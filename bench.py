@@ -1,0 +1,61 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set is the `bench=True` subset of the query registry —
+the heavy relational/LLM operators, not the trivial projections. Each
+query is executed once for warm-up-free wall time (local[N] JVM is
+shared, so the first query absorbs JVM/codegen warmup; we run a tiny
+warmup action first to amortize that).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from supabase_etl_spark.queries import load_all
+    from supabase_etl_spark.session import get_spark
+
+    registry = load_all()
+    bench_set = {n: s for n, s in registry.items() if s.bench}
+
+    spark = get_spark("bench")
+    # warmup: JVM + parquet footer caches
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(bench_set):
+        spec = bench_set[name]
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()  # full materialization without driver collect
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Local replica of the driver's correctness gate.
+
+For every registered query: run the Spark plan and the DuckDB oracle on
+the same parquet tables, canonicalize (sort columns by name, sort rows,
+stringify values), and diff. Exit non-zero on any mismatch.
+
+Usage:
+    python scripts/check_correctness.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canon_value(v):
+    """Canonical string for a cell value, engine-agnostic."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr keeps full double precision; engines must match bitwise
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_value(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_rows(columns, rows):
+    """Sort columns by name, then rows lexicographically."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols_sorted = [columns[i] for i in order]
+    out = sorted(tuple(canon_value(r[i]) for i in order) for r in rows)
+    return cols_sorted, out
+
+
+def run_duckdb(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    con.close()
+    return cols, rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--max-diff", type=int, default=5)
+    args = ap.parse_args()
+
+    from supabase_etl_spark.queries import load_all
+    from supabase_etl_spark.session import get_spark
+
+    registry = load_all()
+    names = args.names or sorted(registry)
+    spark = get_spark("check-correctness")
+
+    failures = []
+    for name in names:
+        spec = registry[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, args.sf)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        spark_t = time.time() - t0
+        if spec.oracle is None:
+            print(f"SKIP-ORACLE {name}: {len(s_rows)} rows ({spark_t:.1f}s, rows-only check)")
+            continue
+        try:
+            d_cols, d_rows = run_duckdb(spec.oracle, args.sf)
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        sc, sr = canon_rows(s_cols, s_rows)
+        dc, dr = canon_rows(d_cols, d_rows)
+        if sc != dc:
+            print(f"FAIL {name}: schema mismatch spark={sc} duckdb={dc}")
+            failures.append(name)
+            continue
+        if len(sr) != len(dr):
+            print(f"FAIL {name}: row count spark={len(sr)} duckdb={len(dr)}")
+            failures.append(name)
+            continue
+        diffs = [(a, b) for a, b in zip(sr, dr) if a != b]
+        if diffs:
+            print(f"FAIL {name}: {len(diffs)}/{len(sr)} rows differ; cols={sc}")
+            for a, b in diffs[: args.max_diff]:
+                print(f"   spark : {a}")
+                print(f"   duckdb: {b}")
+            failures.append(name)
+        else:
+            print(f"OK   {name}: {len(sr)} rows match ({spark_t:.1f}s)")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,3 @@
+from supabase_etl_spark.io.readers import TABLE_NAMES, load_table, load_tables, register_views
+
+__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views"]

@@ -1,0 +1,110 @@
+"""Source scans (SURVEY.md §2.2 "Sources / sinks").
+
+The reference's only source is an SDK/REST pull into pandas
+(etl_supabase.py:115-119, op S1). Here the general surface is Spark's
+declarative readers — parquet/csv/json/binaryFile — which give Catalyst
+predicate pushdown, column pruning and partition pruning for free. The
+driver testdata is parquet (TESTDATA.md); at 100 TB the same calls fan
+out over splits, no code change.
+"""
+
+from __future__ import annotations
+
+import functools
+import glob as _glob
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables: always broadcast-join candidates at any scale
+# (region=5, nation=25 rows; supplier scales but stays tiny relative to
+# the fact tables).
+BROADCAST_DIMS = {"region", "nation", "supplier"}
+
+
+@functools.lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. Footer-only metadata read (driver-side,
+    O(1) regardless of data size)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    files = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    schema = pq.read_schema(files[0])
+    return tuple(
+        f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark has no nanosecond timestamp type; when the footer declares
+    NANOS we read them as raw int64 (spark.sql.legacy.parquet.nanosAsLong)
+    and truncate to microseconds — the same truncation DuckDB applies —
+    so downstream event-time semantics agree across engines.
+    """
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Lazy; filters/projections push down."""
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL entry point."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_binary(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Multimodal scan: opaque bytes + metadata (SURVEY §2.2 binary scan).
+
+    Yields (path, modificationTime, length, content: binary) — the
+    engine's convention for image/audio/video payload columns.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

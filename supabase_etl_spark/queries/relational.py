@@ -1,0 +1,465 @@
+"""Relational core: scan, filter, project, scalar expressions, agg.
+
+Covers SURVEY.md §2.2 "Projection / filter / scalar expressions" plus
+the flagship pricing-summary aggregate (§7.2 minimum slice). All
+queries are single-pass columnar plans: parquet scan with pushed
+filters -> whole-stage-codegen expressions -> partial+final hash agg ->
+sort. No Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.queries import query
+from supabase_etl_spark.queries._helpers import davg, dsum, sql_davg, sql_dsum
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter", "scan"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> pushed filter -> hash agg -> sort.
+
+    Reference has no aggregation at all (SURVEY §2.1 'explicitly
+    absent'); this is the flagship of the generalized surface.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 1000 AND 50000
+      AND o_orderpriority LIKE '1-%'
+      AND o_custkey IS NOT NULL
+      AND NOT (o_orderstatus = 'F' AND o_totalprice > 40000)
+    ORDER BY o_orderkey
+    """,
+    tags=("filter",),
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison, boolean algebra, IN, BETWEEN, LIKE, null predicates.
+
+    All of these compile to data-source filters (PushedFilters in the
+    parquet scan) — verified in tests/test_plans.py.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus").isin("O", "F"))
+        .filter(F.col("o_totalprice").between(1000, 50000))
+        .filter(F.col("o_orderpriority").like("1-%"))
+        .filter(F.col("o_custkey").isNotNull())
+        .filter(~((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 40000)))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "project_rename_cast",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           CAST(c_custkey AS VARCHAR) AS custkey_str,
+           CAST(trunc(c_acctbal) AS INTEGER) AS acctbal_int,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS acctbal_dec_str,
+           upper(c_mktsegment) AS segment
+    FROM customer
+    ORDER BY custkey
+    """,
+    tags=("project", "cast"),
+)
+def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection, rename, casts int/string/decimal (ref T2 generalized)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_custkey").cast("string").alias("custkey_str"),
+        F.col("c_acctbal").cast("int").alias("acctbal_int"),
+        F.col("c_acctbal").cast("decimal(18,2)").cast("string").alias("acctbal_dec_str"),
+        F.upper("c_mktsegment").alias("segment"),
+    ).orderBy("custkey")
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_or_default,
+           CASE WHEN o_totalprice > 30000 THEN NULL ELSE o_totalprice END AS maybe_price,
+           COALESCE(CASE WHEN o_totalprice > 30000 THEN NULL ELSE o_totalprice END, -1.0)
+             AS price_filled,
+           (CASE WHEN o_totalprice > 30000 THEN NULL ELSE o_totalprice END IS NULL)
+             AS price_is_null
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("nulls",),
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / isnull surface (ref T2/T4/T6 generalized).
+
+    Testdata has no natural nulls, so nulls are manufactured with
+    nullif/CASE conditionals, then handled — same shape the
+    reference's NaN→null normalization takes (etl_supabase.py:57).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    maybe_price = F.when(F.col("o_totalprice") > 30000, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_or_default"
+        ),
+        maybe_price.alias("maybe_price"),
+        F.coalesce(maybe_price, F.lit(-1.0)).alias("price_filled"),
+        maybe_price.isNull().alias("price_is_null"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           trim(concat('  ', p_type, '  ')) AS type_trimmed,
+           substring(p_name, 1, 5) AS name_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_underscored,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           strpos(p_name, 'a') AS first_a,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_first_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devoweled,
+           split_part(p_type, ' ', 1) AS type_token0
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("strings",),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (SURVEY §2.2 string fns)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("type_trimmed"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_underscored"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("name_devoweled"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_token0"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           day(o_orderdate) AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           CAST(o_orderdate AS DATE) AS order_date_only,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+           dayofweek(o_orderdate) AS order_dow,
+           quarter(o_orderdate) AS order_quarter,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("datetime",),
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface; session TZ is UTC for determinism.
+
+    Note DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is
+    1=Sunday..7 — bridged with -1 on the Spark side? No: bridged by
+    using (dayofweek - 1) in Spark to match DuckDB's numbering.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.col("o_orderdate").cast("date").alias("order_date_only"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 2) AS price_rounded,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_extendedprice) AS price_ceil,
+           abs(l_extendedprice - 1000.0) AS price_abs_dev,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           round(exp(l_discount), 6) AS disc_exp,
+           round(ln(l_extendedprice + 1.0), 6) AS price_ln,
+           round(pow(l_quantity, 2), 6) AS qty_sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+           CAST(sign(l_extendedprice - 1000.0) AS DOUBLE) AS price_sign,
+           greatest(l_quantity, l_discount * 100) AS g,
+           least(l_quantity, l_discount * 100) AS l
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("math",),
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface. Per-row IEEE double ops are bit-identical
+    across engines; transcendentals (sqrt/exp/ln/pow) are rounded to
+    6 dp because libm implementations may differ in the last ulp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice"), 2).alias("price_rounded"),
+            F.floor("l_extendedprice").cast("double").alias("price_floor"),
+            F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+            F.abs(F.col("l_extendedprice") - 1000.0).alias("price_abs_dev"),
+            F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+            F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+            F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
+            F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+            (F.col("l_orderkey") % 7).alias("key_mod7"),
+            F.signum(F.col("l_extendedprice") - 1000.0).alias("price_sign"),
+            F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
+            F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("l"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 5000 THEN 'small'
+                WHEN o_totalprice < 20000 THEN 'medium'
+                WHEN o_totalprice < 40000 THEN 'large'
+                ELSE 'jumbo' END AS price_band,
+           CASE o_orderstatus WHEN 'O' THEN 'open'
+                              WHEN 'F' THEN 'finished'
+                              ELSE 'other' END AS status_name
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("conditional",),
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Searched + simple CASE (SURVEY §2.2 conditional)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 5000, "small")
+        .when(F.col("o_totalprice") < 20000, "medium")
+        .when(F.col("o_totalprice") < 40000, "large")
+        .otherwise("jumbo")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("other")
+        .alias("status_name"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           round(CAST(embedding[64] AS DOUBLE), 6) AS last_elem,
+           round(CAST(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum') AS DOUBLE), 6)
+             AS elem_sum_f,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS elem_max,
+           round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS elem_min,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS sorted_first,
+           len(list_distinct(embedding)) AS n_distinct,
+           round(CAST(list_transform(embedding, x -> x * 2)[1] AS DOUBLE), 6) AS doubled_first
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    tags=("arrays",),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order function surface over embeddings.embedding.
+
+    Aggregation over the float array stays in float (like DuckDB's
+    list_aggregate on FLOAT[]) and is rounded at the boundary.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_elem"),
+        F.round(F.element_at(emb, 64).cast("double"), 6).alias("last_elem"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0).cast("double"), lambda acc, x: acc + x.cast("double")), 6
+        ).alias("elem_sum_f"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("elem_max"),
+        F.round(F.array_min(emb).cast("double"), 6).alias("elem_min"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.element_at(F.sort_array(emb), 1).cast("double"), 6).alias("sorted_first"),
+        F.size(F.array_distinct(emb)).alias("n_distinct"),
+        F.round(F.element_at(F.transform(emb, lambda x: x * 2), 1).cast("double"), 6).alias(
+            "doubled_first"
+        ),
+    ).orderBy("vec_id")
+
+
+@query(
+    "explode_posexplode",
+    oracle="""
+    WITH exploded AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS val
+        FROM embeddings
+        WHERE vec_id < 10
+    )
+    SELECT vec_id, CAST(pos AS INTEGER) AS pos, round(CAST(val AS DOUBLE), 6) AS val
+    FROM exploded
+    WHERE pos < 8
+    ORDER BY vec_id, pos
+    """,
+    tags=("arrays", "explode"),
+)
+def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (lateral unnest) of the embedding array."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 10)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") < 8)
+        .select("vec_id", "pos", F.round(F.col("val").cast("double"), 6).alias("val"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+@query(
+    "json_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+           json_extract_string(props, '$.k') AS k_str,
+           (json_extract(props, '$.missing') IS NOT NULL) AS has_missing,
+           to_json(struct_pack(event_id := event_id, event_type := event_type)) AS packed
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("json",),
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON surface over events.props (a JSON object string) — ref T5.
+
+    get_json_object extracts; to_json(struct) packs — the reference's
+    pack-to-JSONB (etl_supabase.py:53-66) as one columnar expression.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.missing").isNotNull().alias("has_missing"),
+        F.to_json(F.struct("event_id", "event_type")).alias("packed"),
+    ).orderBy("event_id")
+
+
+@query(
+    "sql_entry_point",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("sql",),
+)
+def sql_entry_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine.sql(...) lifecycle (SURVEY §3): temp views + SQL text
+    through the full parser -> analyzer -> Catalyst -> codegen path."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_acctbal
+        FROM customer
+        WHERE c_acctbal > 0
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )

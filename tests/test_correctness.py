@@ -1,0 +1,39 @@
+"""Oracle correctness: every registered query vs DuckDB at sf0.001.
+
+Mirrors the driver's t2 gate (row-count + schema + order-insensitive
+values). Runs at the smoke scale factor to keep the suite fast;
+scripts/check_correctness.py runs the same comparison at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scripts.check_correctness import canon_rows, run_duckdb
+from supabase_etl_spark.queries import load_all
+
+REGISTRY = load_all()
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+NO_ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    d_cols, d_rows = run_duckdb(spec.oracle, sf_dir)
+    sc, sr = canon_rows(s_cols, s_rows)
+    dc, dr = canon_rows(d_cols, d_rows)
+    assert sc == dc, f"schema mismatch: spark={sc} duckdb={dc}"
+    assert len(sr) == len(dr), f"row count: spark={len(sr)} duckdb={len(dr)}"
+    diffs = [(a, b) for a, b in zip(sr, dr) if a != b]
+    assert not diffs, f"{len(diffs)}/{len(sr)} rows differ; first: {diffs[0]}"
+
+
+@pytest.mark.parametrize("name", NO_ORACLE_QUERIES)
+def test_query_runs(spark, sf_dir, name):
+    """Rows-only check for non-SQL-expressible ops."""
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    assert sdf.count() >= 0
