@@ -1,0 +1,89 @@
+"""Composite join operators Spark lacks as primitives (SURVEY §2.2).
+
+As-of and range joins are compositions of built-in DataFrame ops so
+Catalyst still sees a declarative plan (predicate pushdown, AQE skew
+handling all apply). No Python touches the row path.
+
+Scale notes (100 TB posture):
+  * Both joins first narrow candidates with an equi component (the
+    `by` keys), so the shuffle is a plain hash partition on those
+    keys — no broadcast-nested-loop blowup when `by` is present.
+  * For pure range joins without equi keys, callers should bucket the
+    time axis (`bucket_width`) — that turns the non-equi predicate
+    into an equi join on bucket id + a residual filter, which scales
+    linearly instead of quadratically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_time: str,
+    right_time: str,
+    left_keys: list[str],
+    direction: str = "backward",
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the latest right row at-or-before
+    (backward) / earliest at-or-after (forward) its timestamp, per
+    `by` group.
+
+    `left_keys` must uniquely identify left rows (used to pick the
+    single best match deterministically; ties on right_time broken by
+    all right columns to stay order-stable).
+
+    Implementation: equi-join on `by` + time inequality, then
+    row_number over the left key ordered by right_time (desc for
+    backward). One shuffle on `by`, one on `left_keys` — at scale,
+    pre-partitioning both inputs by `by` keeps it to one.
+    """
+    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    if direction == "backward":
+        cond = rt < lt if strict else rt <= lt
+        order = [F.col(f"r.{right_time}").desc()]
+    elif direction == "forward":
+        cond = rt > lt if strict else rt >= lt
+        order = [F.col(f"r.{right_time}").asc()]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    on = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in by]
+    joined = left.alias("l").join(right.alias("r"), on=[*on, cond], how="left")
+    # deterministic tiebreak: right time, then every right column
+    order += [F.col(f"r.{c}").asc_nulls_last() for c in right.columns if c != right_time]
+    w = Window.partitionBy(*[F.col(f"l.{k}") for k in left_keys]).orderBy(*order)
+    return joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_start: Column,
+    left_end: Column,
+    right_time: Column,
+    how: str = "inner",
+    extra_cond=None,
+) -> DataFrame:
+    """Join right rows whose `right_time` falls in [left_start, left_end).
+
+    With `by` keys (or an equi predicate inside `extra_cond`) the plan
+    is a hash join with the interval predicate as residual — linear.
+    Without any equi component, callers should pre-bucket the time
+    axis; Spark would otherwise plan a broadcast-nested-loop.
+
+    `extra_cond`: optional callable (left, right) -> Column appended to
+    the join condition (e.g. extra equi keys with differing names).
+    """
+    cond = (right_time >= left_start) & (right_time < left_end)
+    for k in by:
+        cond = cond & (left[k] == right[k])
+    if extra_cond is not None:
+        cond = cond & extra_cond(left, right)
+    return left.join(right, on=cond, how=how)

@@ -1,0 +1,386 @@
+"""Aggregation surface (SURVEY.md §2.2 "Aggregation").
+
+Group-by, global, rollup/cube/grouping-sets, exact+approx distinct,
+percentiles, pivot/unpivot, ordered collect. All hash-aggregate plans
+with map-side partial aggregation; stddev/variance are computed from
+exact decimal moments so the values are order-independent and match
+the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.queries import query
+from supabase_etl_spark.queries._helpers import davg, dsum, sql_davg, sql_dsum
+
+
+@query(
+    "agg_group_variety",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_davg("l_quantity", "avg_qty")},
+           CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+           round(sqrt((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity))
+                 / (COUNT(l_quantity) - 1)), 6) AS stddev_qty,
+           min_by(l_orderkey, l_shipdate || '|' || lpad(CAST(l_orderkey AS VARCHAR), 20, '0'))
+             AS first_shipped_order
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+    bench=True,
+)
+def agg_group_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count / count distinct / sum / avg / min / max / stddev /
+    ordered-first per group.
+
+    stddev from exact decimal moments: sqrt((Σx² − (Σx)²/n)/(n−1)) —
+    order-independent, unlike the native streaming variance whose
+    float accumulation differs between engines. min_by over a
+    (shipdate, orderkey) composite gives a deterministic ordered-first.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    sum_q = F.sum(q.cast("decimal(28,6)")).cast("double")
+    sum_q2 = F.sum((q * q).cast("decimal(28,6)")).cast("double")
+    n = F.count(q)
+    order_key = F.concat_ws(
+        "|",
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
+        F.lpad(F.col("l_orderkey").cast("string"), 20, "0"),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            dsum(q, "sum_qty"),
+            davg(q, "avg_qty"),
+            F.min(q).cast("double").alias("min_qty"),
+            F.max(q).cast("double").alias("max_qty"),
+            F.round(F.sqrt((sum_q2 - sum_q * sum_q / n) / (n - 1)), 6).alias("stddev_qty"),
+            F.min_by(F.col("l_orderkey"), order_key).alias("first_shipped_order"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           {sql_dsum("l_extendedprice", "total_price")},
+           {sql_davg("l_discount", "avg_discount")},
+           CAST(min(l_shipdate) AS TIMESTAMP) AS first_ship,
+           CAST(max(l_shipdate) AS TIMESTAMP) AS last_ship
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        dsum(F.col("l_extendedprice"), "total_price"),
+        davg(F.col("l_discount"), "avg_discount"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           GROUPING(l_returnflag, l_linestatus) AS gid
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id — hierarchical subtotals + grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry point."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "agg_distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus, l_suppkey
+    """,
+    tags=("agg", "dedup"),
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct over a projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus", "l_suppkey")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus", "l_suppkey")
+    )
+
+
+@query(
+    "agg_dedup_survivor",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rn
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM ranked WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+    tags=("agg", "dedup"),
+)
+def agg_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates(subset): survivor picked by an
+    explicit ordering (highest totalprice, orderkey tiebreak) instead
+    of Spark's arbitrary first-seen row (SURVEY §2.2 dedup note)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    oracle=None,  # approximate by design; exactness checked in tests vs rsd bound
+    tags=("agg", "approx"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path where exact
+    countDistinct's shuffle is too expensive. Compared against the
+    exact count within rsd in tests/test_approx.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 6) AS p25,
+           round(CAST(quantile_cont(o_totalprice, 0.5)  AS DOUBLE), 6) AS p50,
+           round(CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE), 6) AS p75,
+           CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS p50_disc
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous + discrete percentiles per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .cast("double")
+            .alias("p50_disc"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) FILTER (l_linestatus = 'O') AS DOUBLE)
+             AS qty_open,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) FILTER (l_linestatus = 'F') AS DOUBLE)
+             AS qty_finished,
+           COUNT(*) FILTER (l_linestatus = 'O') AS n_open,
+           COUNT(*) FILTER (l_linestatus = 'F') AS n_finished
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide with an explicit value list (required for a
+    deterministic schema — and at scale it avoids a discovery pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.col("O_qty").alias("qty_open"),
+        F.col("F_qty").alias("qty_finished"),
+        F.col("O_n").alias("n_open"),
+        F.col("F_n").alias("n_finished"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+        SELECT p_partkey,
+               CAST(p_retailprice AS DOUBLE) AS retailprice,
+               CAST(p_size AS DOUBLE) AS size
+        FROM part
+    )
+    UNPIVOT (val FOR metric IN (retailprice, size))
+    ORDER BY p_partkey, metric
+    """,
+    tags=("agg", "unpivot"),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide→long (the reference's statements are wide frames
+    keyed by year — this is the inverse reshape, SURVEY §1.4)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot("p_partkey", ["retailprice", "size"], "metric", "val")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           array_to_string(list_sort(list(DISTINCT n_nationkey % 5)), ',') AS distinct_mods
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set with explicit sort for determinism,
+    serialized to a string so both engines hash identically."""
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set(F.col("n_nationkey") % 5)),
+                    lambda v: v.cast("string"),
+                ),
+                ",",
+            ).alias("distinct_mods"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -1,0 +1,407 @@
+"""Join surface (SURVEY.md §2.2 "Joins").
+
+Star-schema joins over lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
+plus the composite as-of / range joins over events. Dimension tables
+are explicitly broadcast (region=5, nation=25 rows — broadcast at any
+scale); fact-fact joins shuffle on their keys and rely on AQE for skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.operators.joins import asof_join, range_join
+from supabase_etl_spark.queries import query
+from supabase_etl_spark.queries._helpers import dsum, sql_dsum
+
+
+@query(
+    "join_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "limit"),
+    bench=True,
+)
+def join_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, agg, global top-k.
+
+    Catalyst broadcast-joins the filtered customer side; the top-10
+    compiles to TakeOrderedAndProject (no full sort at scale).
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "join_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "agg", "broadcast"),
+    bench=True,
+)
+def join_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join with broadcast dimensions."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 0.0) AS total_spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'F'
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no matching orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"), F.lit(0.0)
+            ).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH big_spenders AS (
+        SELECT o_custkey, COUNT(*) AS n_big
+        FROM orders WHERE o_totalprice > 40000 GROUP BY o_custkey
+    ),
+    low_keys AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           c_name, n_big,
+           (c_custkey IS NULL) AS only_right,
+           (n_big IS NULL) AS only_left
+    FROM low_keys
+    FULL OUTER JOIN big_spenders ON c_custkey = o_custkey
+    ORDER BY custkey
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows surviving on both sides."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 40000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "c_name",
+            "n_big",
+            F.col("c_custkey").isNull().alias("only_right"),
+            F.col("n_big").isNull().alias("only_left"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≙ EXISTS: customers with at least one urgent order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≙ NOT EXISTS: customers with no pending orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join over bounded dimensions (5 × 25)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@query(
+    "join_theta_non_equi",
+    oracle="""
+    SELECT o_orderkey, p_partkey, o_totalprice, p_retailprice
+    FROM orders, part
+    WHERE o_orderkey % 500 = 0
+      AND p_partkey % 50 = 0
+      AND o_totalprice > p_retailprice * 25
+    ORDER BY o_orderkey, p_partkey
+    """,
+    tags=("join",),
+)
+def join_theta_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure inequality (theta) join — broadcast-nested-loop on bounded
+    inputs. Both sides are pre-filtered; at scale a theta join must be
+    banded/bucketed first (see operators.joins.range_join)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 0)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
+    return (
+        o.join(p, o.o_totalprice > p.p_retailprice * 25)
+        .select("o_orderkey", "p_partkey", "o_totalprice", "p_retailprice")
+        .orderBy("o_orderkey", "p_partkey")
+    )
+
+
+@query(
+    "join_range_session",
+    oracle="""
+    SELECT s.event_id AS signup_event, s.user_id,
+           COUNT(e.event_id) AS events_within_hour
+    FROM events s
+    LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts >= s.ts
+     AND e.ts < s.ts + INTERVAL 1 HOUR
+     AND e.event_id <> s.event_id
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id, s.user_id
+    ORDER BY s.event_id
+    """,
+    tags=("join", "range"),
+)
+def join_range_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: events within [signup_ts, signup_ts + 1h).
+
+    Equi component (user_id) keeps it a hash join with a residual
+    interval filter — the scalable shape (operators.joins.range_join).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event"),
+        F.col("user_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    others = ev.select(
+        F.col("event_id").alias("other_event"),
+        F.col("user_id").alias("other_user"),
+        F.col("ts").alias("other_ts"),
+    )
+    joined = range_join(
+        signups.withColumn("window_end", F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+        others,
+        by=[],
+        left_start=F.col("signup_ts"),
+        left_end=F.col("window_end"),
+        right_time=F.col("other_ts"),
+        how="left",
+        extra_cond=lambda left, right: (left.user_id == right.other_user)
+        & (left.signup_event != right.other_event),
+    )
+    return (
+        joined.groupBy("signup_event", "user_id")
+        .agg(F.count("other_event").alias("events_within_hour"))
+        .orderBy("signup_event")
+    )
+
+
+@query(
+    "join_asof_last_view_before_purchase",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT event_id AS view_event, user_id, ts AS view_ts, value AS view_value
+        FROM events WHERE event_type = 'view'
+    ),
+    ranked AS (
+        SELECT p.event_id, p.user_id, v.view_event, v.view_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY v.view_ts DESC, v.view_event ASC, v.view_value ASC
+               ) AS rn
+        FROM purchases p
+        LEFT JOIN views v ON v.user_id = p.user_id AND v.view_ts <= p.ts
+    )
+    SELECT event_id AS purchase_event, user_id, view_event AS last_view_event,
+           view_value AS last_view_value
+    FROM ranked WHERE rn = 1
+    ORDER BY purchase_event
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest 'view' event at-or-before each 'purchase',
+    per user (operators.joins.asof_join)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        left_time="ts",
+        right_time="view_ts",
+        left_keys=["event_id"],
+        direction="backward",
+    )
+    return out.select(
+        F.col("l.event_id").alias("purchase_event"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.view_event").alias("last_view_event"),
+        F.col("r.view_value").alias("last_view_value"),
+    ).orderBy("purchase_event")
+
+
+@query(
+    "join_broadcast_region_rollup",
+    oracle="""
+    SELECT r_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of both dimension tables; the fact side never
+    shuffles for the join (only for the final 5-group agg)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double").alias("total_balance"),
+        )
+        .orderBy("r_name")
+    )

@@ -299,9 +299,9 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "case_when",
     oracle="""
     SELECT o_orderkey,
-           CASE WHEN o_totalprice < 5000 THEN 'small'
-                WHEN o_totalprice < 20000 THEN 'medium'
-                WHEN o_totalprice < 40000 THEN 'large'
+           CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 250000 THEN 'medium'
+                WHEN o_totalprice < 400000 THEN 'large'
                 ELSE 'jumbo' END AS price_band,
            CASE o_orderstatus WHEN 'O' THEN 'open'
                               WHEN 'F' THEN 'finished'
@@ -316,9 +316,9 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.when(F.col("o_totalprice") < 5000, "small")
-        .when(F.col("o_totalprice") < 20000, "medium")
-        .when(F.col("o_totalprice") < 40000, "large")
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 250000, "medium")
+        .when(F.col("o_totalprice") < 400000, "large")
         .otherwise("jumbo")
         .alias("price_band"),
         F.when(F.col("o_orderstatus") == "O", "open")

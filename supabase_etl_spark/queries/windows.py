@@ -1,0 +1,192 @@
+"""Window function surface (SURVEY.md §2.2 "Window functions").
+
+Ranking, analytic (lag/lead/first/last/nth), aggregates over frames
+(rows/range/unbounded), and top-k per group. Every window has a total
+ordering (explicit tiebreak keys) so results hash-match the oracle.
+Window sums run through decimal casts — frame-order independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.queries import query
+
+
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER()   OVER w AS rn,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           NTILE(4)       OVER w AS quartile,
+           round(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ORDER BY o_custkey, rn
+    """,
+    tags=("window",),
+    bench=True,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile / percent_rank."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ).orderBy("o_custkey", "rn")
+
+
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(event_type)  OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           LAG(value, 2, -1.0) OVER w AS value_2_back,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           LAST_VALUE(event_id) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_event,
+           NTH_VALUE(event_id, 3) OVER w AS third_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    tags=("window",),
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first / last / nth_value per user session stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("value", 2, -1.0).over(w).alias("value_2_back"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w_full).alias("last_event"),
+        F.nth_value("event_id", 3).over(w).alias("third_event"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "window_frames",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS moving_sum_3,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_last_hour,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS cnt_3
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "frames"),
+    bench=True,
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg-over-window frames: sliding rows frame, running total, and a
+    time-based range frame (last hour by epoch micros)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec_val = F.col("value").cast("decimal(28,6)")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_3 = w_order.rowsBetween(-2, 0)
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    epoch_us = F.unix_micros("ts")
+    w_range = (
+        Window.partitionBy("user_id").orderBy(epoch_us).rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(dec_val).over(w_3).cast("double").alias("moving_sum_3"),
+        F.sum(dec_val).over(w_run).cast("double").alias("running_total"),
+        F.sum(dec_val).over(w_range).cast("double").alias("sum_last_hour"),
+        F.count(F.lit(1)).over(w_3).alias("cnt_3"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT n_nationkey, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC
+               ) AS rn
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_nationkey, c_custkey, c_acctbal, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY n_nationkey, rn
+    """,
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation — the scalable top-k-per-
+    group idiom (rank + filter; no global sort, no collect)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_nationkey", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("n_nationkey", "rn")
+    )
+
+
+@query(
+    "window_cume_dist_lead_diff",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(CUME_DIST() OVER w, 6) AS cdist,
+           CAST(LEAD(l_quantity) OVER w - l_quantity AS DOUBLE) AS qty_delta_next
+    FROM lineitem
+    WHERE l_suppkey <= 5
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber)
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+    tags=("window",),
+)
+def window_cume_dist_lead_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + lead-difference (per-supplier quantity deltas)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        (F.lead("l_quantity").over(w) - F.col("l_quantity")).alias("qty_delta_next"),
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
