@@ -1,0 +1,120 @@
+"""Reference-op queries in the correctness gate (SURVEY §2.1 T1-T7).
+
+The unit-level parity pitfalls live in tests/test_reference_parity.py
+against the vnstock-shaped fixture; these queries exercise the same
+operators over the driver testdata so they are oracle-checked at
+sf0.01 like every other operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.functions.nulls import truthy_coalesce
+from supabase_etl_spark.functions.packing import exclusion_project, pack_json, pack_map
+from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.queries import query
+
+
+@query(
+    "ref_jsonb_records",
+    oracle="""
+    SELECT CASE WHEN o_orderstatus <> '' AND o_orderstatus IS NOT NULL
+                THEN o_orderstatus ELSE 'FPT' END AS ticker,
+           year(o_orderdate) AS year,
+           to_json(struct_pack(
+               o_orderkey := o_orderkey,
+               o_orderpriority := o_orderpriority
+           )) AS data
+    FROM orders
+    ORDER BY CAST(json_extract_string(data, '$.o_orderkey') AS BIGINT)
+    """,
+    tags=("reference", "pack"),
+)
+def ref_jsonb_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's record reshape (T7, etl_supabase.py:35-68) over
+    orders: (ticker, year, data-json) in one columnar select —
+    `iterrows` replaced by whole-stage codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    payload = o.select("o_orderkey", "o_orderpriority")
+    return o.select(
+        truthy_coalesce("o_orderstatus", default="FPT", df=o).alias("ticker"),
+        F.year("o_orderdate").alias("year"),
+        pack_json(payload, exclude_ci=()).alias("data"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "ref_exclusion_project",
+    oracle="""
+    SELECT c_name, c_acctbal, c_mktsegment
+    FROM customer
+    ORDER BY c_name
+    """,
+    tags=("reference", "project"),
+)
+def ref_exclusion_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive exclusion projection (T3): keys dropped, the
+    open remainder kept — driven by a rename that plants reference-like
+    key names (CP / YEAR) in the schema."""
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "CP"
+    ).withColumnRenamed("c_nationkey", "YEAR")
+    out = exclusion_project(c)  # drops CP + YEAR (ci), keeps the rest
+    return out.orderBy("c_name")
+
+
+@query(
+    "ref_truthy_coalesce",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN seg <> '' AND seg IS NOT NULL THEN seg
+                WHEN c_name <> '' AND c_name IS NOT NULL THEN c_name
+                ELSE 'FPT' END AS ticker
+    FROM (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN '' ELSE c_mktsegment END AS seg
+        FROM customer
+    )
+    ORDER BY c_custkey
+    """,
+    tags=("reference", "nulls"),
+)
+def ref_truthy_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truthy-or fallback (ref :59): '' falls through where plain
+    COALESCE would keep it (pitfall SURVEY §2.3.1)."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "seg",
+        F.when(F.col("c_mktsegment") == "BUILDING", "").otherwise(F.col("c_mktsegment")),
+    )
+    return c.select(
+        "c_custkey",
+        truthy_coalesce("seg", "c_name", default="FPT", df=c).alias("ticker"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "ref_pack_map",
+    oracle="""
+    SELECT s_suppkey,
+           's_acctbal,s_name,s_nationkey' AS data_keys,
+           s_name AS name_from_map,
+           CAST(s_nationkey AS VARCHAR) AS nation_from_map
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("reference", "pack"),
+)
+def ref_pack_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema map payload (T5 map flavor): keys listed sorted,
+    values extracted back out — proving map round-trip without
+    depending on engine-specific map serialization."""
+    s = load_table(spark, sf_dir, "supplier")
+    data = pack_map(s, exclude_ci=("s_suppkey",))
+    return s.select(
+        "s_suppkey",
+        F.array_join(F.array_sort(F.map_keys(data)), ",").alias("data_keys"),
+        F.element_at(data, "s_name").alias("name_from_map"),
+        F.element_at(data, "s_nationkey").alias("nation_from_map"),
+    ).orderBy("s_suppkey")

@@ -23,7 +23,7 @@ from supabase_etl_spark.queries import query
            RANK()         OVER w AS rnk,
            DENSE_RANK()   OVER w AS drnk,
            NTILE(4)       OVER w AS quartile,
-           round(PERCENT_RANK() OVER w, 6) AS pct_rank
+           PERCENT_RANK() OVER w AS pct_rank
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
     ORDER BY o_custkey, rn
@@ -44,7 +44,7 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.percent_rank().over(w).alias("pct_rank"),
     ).orderBy("o_custkey", "rn")
 
 
@@ -170,7 +170,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_cume_dist_lead_diff",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           round(CUME_DIST() OVER w, 6) AS cdist,
+           CUME_DIST() OVER w AS cdist,
            CAST(LEAD(l_quantity) OVER w - l_quantity AS DOUBLE) AS qty_delta_next
     FROM lineitem
     WHERE l_suppkey <= 5
@@ -187,6 +187,6 @@ def window_cume_dist_lead_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.cume_dist().over(w).alias("cdist"),
         (F.lead("l_quantity").over(w) - F.col("l_quantity")).alias("qty_delta_next"),
     ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
