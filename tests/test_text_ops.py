@@ -1,0 +1,73 @@
+"""Edge cases for operators/text.py on synthetic rows.
+
+Covers what the documents table can't: CJK short-circuit, sub-shingle
+documents, whitespace-only text, profile tie-breaking order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.operators import text as T
+
+
+def _one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_token_count_whitespace_only(spark):
+    assert _one(spark, "   \t  ", T.token_count(F.col("text"))) == 0
+
+
+def test_bpe_splits_punct_and_digits(spark):
+    # "ab12,cd" -> [ab][12][,][cd]
+    assert _one(spark, "ab12,cd", T.bpe_token_count(F.col("text"))) == 4
+
+
+def test_lang_id_cjk_short_circuit(spark):
+    assert _one(spark, "the the the 中文", T.lang_id(F.col("text"))) == "zh"
+
+
+@pytest.mark.parametrize(
+    ("text", "want"),
+    [
+        ("der und ist das", "de"),
+        ("el que los se", "es"),
+        ("les des et pour", "fr"),
+        ("the of and to", "en"),
+        ("nothing matches here", "en"),  # default
+        ("la la la", "es"),  # 'la' in both es and fr: es wins (CASE order)
+    ],
+)
+def test_lang_id_profiles(spark, text, want):
+    assert _one(spark, text, T.lang_id(F.col("text"))) == want
+
+
+def test_fingerprint_short_doc_hashes_full_text(spark):
+    # len < k: single shingle = the whole text
+    fp = _one(spark, "abc", T.fingerprint(F.col("text")))
+    assert fp == hashlib.md5(b"abc").hexdigest()
+
+
+def test_fingerprint_shift_invariance(spark):
+    # shared interior shingles: identical min over shared region unless
+    # a boundary shingle wins — here the min shingle hash is shared
+    base = "the quick brown fox jumps over the lazy dog" * 3
+    fp1 = _one(spark, base, T.fingerprint(F.col("text")))
+    fp2 = _one(spark, "XX " + base, T.fingerprint(F.col("text")))
+    shingles = {base[i : i + T.FINGERPRINT_K] for i in range(len(base) - T.FINGERPRINT_K + 1)}
+    expected = min(hashlib.md5(s.encode()).hexdigest() for s in shingles)
+    assert fp1 == expected
+    # prefix only adds shingles; min can only stay or decrease
+    assert fp2 <= fp1
+
+
+def test_quality_score_bounds(spark):
+    q_empty = _one(spark, " ", T.quality_score(F.col("text")))
+    assert q_empty == pytest.approx(0.3)  # only the no-punct term
+    q_good = _one(spark, "the cat sat on the mat " * 12, T.quality_score(F.col("text")))
+    assert 0.9 <= q_good <= 1.0
