@@ -1,0 +1,293 @@
+"""Similarity search over ``embeddings.embedding`` (SURVEY.md §2.2
+"LLM ops": ANN over an embedding column).
+
+Three tiers, all oracle-checked because every "random" ingredient is a
+deterministic integer-LCG expression both engines replay bit-for-bit:
+
+* brute-force exact cosine top-k — the baseline; O(Q·N) with the tiny
+  query side broadcast (no shuffle of the corpus);
+* sign-LSH (random-hyperplane) buckets — replaces the cross join with a
+  bucket equi-join; the scale path for pairwise search;
+* IVF (inverted-file) — nearest-centroid partitioning with nprobe=2,
+  the standard billion-vector layout: candidates shrink by the number
+  of centroids, and the corpus assignment is a one-off batch job.
+
+Cosines are sequential double folds (operators/dedup.dot_double) —
+bitwise-identical to DuckDB's list_reduce, no decimal needed.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.operators.dedup import dot_double, sql_dot
+from supabase_etl_spark.queries import query
+
+N_QUERIES = 10  # query set: vec_id < N_QUERIES
+TOP_K = 5
+
+# Sign-LSH hyperplanes: coefficient for (plane p, dim d) from an LCG on
+# (p*64+d) mapped into [-0.5, 0.5). Integer arithmetic + one double
+# division => bit-identical across engines.
+LSH_PLANES = 4
+LCG_A, LCG_B, LCG_M = 1_103_515_245, 12_345, 2_147_483_648
+DIM = 64
+
+CENTROID_STEP = 50  # IVF centroids: vec_id % 50 == 0
+N_PROBE = 2
+IVF_TOP_K = 3
+
+
+def _plane_coef(p: int, d: Column) -> Column:
+    """LCG coefficient in [-0.5, 0.5) for plane p, dim column d."""
+    x = (
+        F.lit(LCG_A).cast("bigint") * (F.lit(p * DIM).cast("bigint") + d) + F.lit(LCG_B)
+    ) % F.lit(LCG_M)
+    return x.cast("double") / F.lit(float(LCG_M)) - F.lit(0.5)
+
+
+def _sql_plane_coef(p: int, d: str) -> str:
+    return (
+        f"(CAST(({LCG_A} * CAST(({p * DIM} + {d}) AS BIGINT) + {LCG_B}) % {LCG_M} AS DOUBLE)"
+        f" / {float(LCG_M)} - 0.5)"
+    )
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """Bucket id in [0, 2^planes): bit p = sign of plane-p projection."""
+    bits = []
+    for p in range(LSH_PLANES):
+        proj = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                lambda d: _plane_coef(p, d.cast("bigint"))
+                * F.element_at(emb, d + 1).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return reduce(lambda a, b: a + b, bits).alias("bucket")
+
+
+def sql_lsh_bucket(emb: str) -> str:
+    terms = []
+    for p in range(LSH_PLANES):
+        proj = (
+            f"(list_reduce(list_transform(range(0, {DIM}), "
+            f"d -> {_sql_plane_coef(p, 'd')} * CAST({emb}[d + 1] AS DOUBLE)), "
+            f"(acc, x) -> acc + x) + 0.0)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe,
+               sqrt({sql_dot("embedding", "embedding")}) AS qn
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               sqrt({sql_dot("embedding", "embedding")}) AS cn
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+        SELECT qid, cid, {sql_dot("qe", "ce")} / (qn * cn) AS cos_sim
+        FROM q CROSS JOIN c
+    ),
+    ranked AS (
+        SELECT qid, cid, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, cos_sim, rn FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY qid, rn
+    """,
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: tiny query side **broadcast** against the
+    corpus scan — one pass over N vectors per batch of queries, no
+    corpus shuffle; the per-query top-k window partitions by qid."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), nrm.alias("qn"))
+    )
+    c = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), nrm.alias("cn"))
+    )
+    cos = dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("qid", "cid", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("qid", "rn")
+    )
+
+
+@query(
+    "sim_topk_lsh",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT vec_id, embedding,
+               sqrt({sql_dot("embedding", "embedding")}) AS nrm,
+               {sql_lsh_bucket("embedding")} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket FROM hashed
+          WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn, bucket FROM hashed
+          WHERE vec_id >= {N_QUERIES}),
+    scored AS (
+        SELECT qid, cid, {sql_dot("qe", "ce")} / (qn * cn) AS cos_sim
+        FROM q JOIN c USING (bucket)
+    ),
+    ranked AS (
+        SELECT qid, cid, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, cos_sim, rn FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY qid, rn
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-k: 4 deterministic hyperplanes → 16
+    buckets; candidates share the query's bucket (equi-join on bucket
+    key — shuffles 1/16th of the pairs the cross join would). Exact
+    re-rank inside the bucket. Recall < 1 by design; the oracle replays
+    the same algorithm so results still hash-match."""
+    e = load_table(spark, sf_dir, "embeddings")
+    hashed = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        lsh_bucket(F.col("embedding")),
+    )
+    q = hashed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"), "bucket",
+    )
+    c = hashed.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"), "bucket",
+    )
+    cos = dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .select("qid", "cid", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("qid", "rn")
+    )
+
+
+@query(
+    "sim_ivf_probe",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS cent_e,
+               sqrt({sql_dot("embedding", "embedding")}) AS cent_n
+        FROM embeddings WHERE vec_id % {CENTROID_STEP} = 0
+    ),
+    vecs AS (
+        SELECT vec_id, embedding,
+               sqrt({sql_dot("embedding", "embedding")}) AS nrm
+        FROM embeddings
+    ),
+    assign_scored AS (
+        SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {sql_dot("v.embedding", "c.cent_e")} / (v.nrm * c.cent_n) DESC,
+                            c.cent_id ASC
+               ) AS crn
+        FROM vecs v CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, cent_id FROM assign_scored WHERE crn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS qid, embedding AS qe, nrm AS qn, cent_id
+        FROM assign_scored WHERE vec_id < {N_QUERIES} AND crn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT p.qid, a.vec_id AS cid,
+               {sql_dot("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cos_sim
+        FROM probes p JOIN assigned a USING (cent_id)
+        WHERE a.vec_id >= {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT qid, cid, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, cos_sim, rn FROM ranked WHERE rn <= {IVF_TOP_K}
+    ORDER BY qid, rn
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids (every 50th
+    vector), corpus assigned to its nearest centroid once (the inverted
+    file), queries probe their nprobe=2 nearest centroid lists, exact
+    re-rank inside. At scale the assignment is the only corpus-wide
+    pass; probing touches ~nprobe/n_centroids of the data, and the
+    centroid table is always broadcast-sized."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
+    vecs = e.select("vec_id", "embedding", nrm.alias("nrm"))
+    cent = (
+        e.filter(F.col("vec_id") % CENTROID_STEP == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_e"),
+            nrm.alias("cent_n"),
+        )
+    )
+    cent_cos = dot_double(F.col("embedding"), F.col("cent_e")) / (
+        F.col("nrm") * F.col("cent_n")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cent_id").asc()
+    )
+    assign_scored = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "nrm", "cent_id", cent_cos.alias("cent_cos"))
+        .withColumn("crn", F.row_number().over(w_assign))
+    )
+    assigned = assign_scored.filter(F.col("crn") == 1).select(
+        "vec_id", "embedding", "nrm", "cent_id"
+    )
+    probes = assign_scored.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crn") <= N_PROBE)
+    ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"), "cent_id",
+    )
+    cos = dot_double(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .select("qid", F.col("vec_id").alias("cid"), cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOP_K)
+        .orderBy("qid", "rn")
+    )
