@@ -1,0 +1,272 @@
+"""Streaming queries over ``events`` (SURVEY.md §2.2 "Streaming").
+
+Each query runs a real Structured Streaming plan (readStream file
+source → event-time transforms → memory sink) to completion with
+``Trigger.AvailableNow`` and returns the sink table; the oracle is the
+equivalent *batch* SQL in DuckDB — the batch-equivalence discipline
+from SURVEY §5.2(4). Value sums go through decimal so parallel/stream
+accumulation order can't skew doubles.
+
+Emission-mode notes (the pitfalls are the spec):
+* tumbling/sliding aggs run in **complete** mode — append mode would
+  withhold windows past the final watermark, silently dropping the tail
+  of a bounded replay;
+* session windows don't allow complete mode (unbounded keys), so they
+  run in **update** mode with a large watermark delay and a last-wins
+  post-merge keyed on (user_id, session_start);
+* the stateful ops post-merge the same way — exact for a single
+  AvailableNow batch, and convergent (max of monotone counters) if the
+  source splits into several.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.queries import query
+from supabase_etl_spark.queries._helpers import dsum, sql_dsum
+from supabase_etl_spark.streaming.source import read_events_stream, run_available_now
+
+CHECKSUM_K = 31
+CHECKSUM_P = 1_000_000_007
+
+
+@query(
+    "stream_append_pipeline",
+    oracle="""
+    SELECT event_id, ts, user_id, value,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    tags=("streaming",),
+)
+def stream_append_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless stream: filter + JSON extraction in append mode — the
+    pure-map pipeline shape (no state, no watermark, each file batch
+    flows straight through)."""
+    s = read_events_stream(spark, sf_dir)
+    out = s.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return run_available_now(out, "append").orderBy("event_id")
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+    tags=("streaming",),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows per event type, with a
+    10-minute watermark (bounds state at scale; complete mode emits the
+    full history for the bounded replay)."""
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value")
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+    return run_available_now(out, "complete").orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                   - k * (INTERVAL '15 minutes') AS window_start,
+               value
+        FROM events
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+        WHERE event_type = 'click'
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           count(*) AS n,
+           {sql_dsum("value", "total_value")}
+    FROM expanded
+    GROUP BY 1, 2
+    ORDER BY window_start
+    """,
+    tags=("streaming",),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes over click events: each
+    event lands in 4 overlapping windows (what the oracle replays by
+    unnesting the 4 aligned starts)."""
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        s.filter(F.col("event_type") == "click")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n",
+        "total_value",
+    )
+    return run_available_now(out, "complete").orderBy("window_start")
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n,
+           {sql_dsum("value", "total_value")}
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming",),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (F.session_window merges across micro-batches); the oracle is the
+    classic batch gaps-and-islands formulation.
+
+    Session aggregation only supports append mode, and append only
+    emits sessions already sealed by the watermark — which would
+    withhold every user's final session on a bounded replay. The fix is
+    the flush-sentinel idiom: union a far-future synthetic event per
+    user, which (a) advances the watermark past every real session and
+    (b) forms its own one-event session that the watermark then
+    withholds — so the sink contains exactly the real sessions."""
+    s = read_events_stream(spark, sf_dir)
+    flush = s.select(
+        "event_id",
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+        "user_id",
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    merged = s.unionByName(flush).withWatermark("ts", "1 minute")
+    agg = merged.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value")
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n",
+        "total_value",
+    )
+    sink = run_available_now(out, "append")
+    return sink.filter(F.col("session_start") < F.lit("2029-01-01")).orderBy(
+        "user_id", "session_start"
+    )
+
+
+@query(
+    "stream_stateful_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming",),
+)
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful stream dedup: the source unioned with itself plants a
+    duplicate of every event; dropDuplicatesWithinWatermark('event_id')
+    collapses them back before a complete-mode count — so the oracle is
+    the plain batch count of the original (unique) events."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    dd = a.unionByName(b).withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = dd.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    return run_available_now(agg, "complete").orderBy("event_type")
+
+
+@query(
+    "stream_stateful_counter",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           SUM((event_id % {CHECKSUM_P}) * {CHECKSUM_K}) % {CHECKSUM_P} AS checksum
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming",),
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful op (applyInPandasWithState): a per-user
+    running counter + modular checksum held in GroupState across
+    micro-batches — the custom-operator escape hatch for logic windowed
+    aggs can't express. Integer state only (order-independent), so the
+    final state equals the batch recompute."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        n, ck = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            ck = int(
+                (ck + ((pdf["event_id"] % CHECKSUM_P) * CHECKSUM_K).sum()) % CHECKSUM_P
+            )
+        state.update((n, ck))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "checksum": [ck]}
+        )
+
+    s = read_events_stream(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id bigint, n_events bigint, checksum bigint",
+        stateStructType="n bigint, ck bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_available_now(out, "update")
+    # last-wins merge if the replay split into several batches
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )

@@ -1,0 +1,282 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.2 "UDF surface", build plan M4).
+
+The reference's only "UDF" is its row-at-a-time iterrows transform
+(etl_supabase.py:49-66) — the anti-pattern. Here the Python escape
+hatches are exercised the Spark-idiomatic way: Arrow-vectorized
+pandas_udf / applyInPandas / mapInPandas batches, plus one deliberately
+row-at-a-time registered UDF to cover the SQL-registration surface.
+
+Oracle-parity rule for Python code: outputs are integers, strings, or
+min/max-scaled doubles — never Python float *sums* (pandas reduces in
+partition order; integer and min/max reductions are order-independent,
+float sums are not).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.operators.text import BPE_PATTERN
+from supabase_etl_spark.queries import query
+
+CHECKSUM_K = 31
+CHECKSUM_P = 1_000_000_007
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_non_vowel
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("udf",),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf (batched pd.Series in/out —
+    the 10-100x-over-row-UDF path). Counts BPE-ish tokens and
+    non-vowel chars in Python; integer outputs, exact oracle."""
+    bpe = re.compile(BPE_PATTERN)
+    vowels = re.compile("[aeiou]")
+
+    @pandas_udf("int")
+    def n_bpe(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: len(bpe.findall(t)))
+
+    @pandas_udf("int")
+    def n_non_vowel(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: len(vowels.sub("", t)))
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_bpe("text").alias("n_bpe"),
+        n_non_vowel("text").alias("n_non_vowel"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    SELECT lang, doc_id,
+           CASE WHEN max(n_chars) OVER (PARTITION BY lang)
+                     > min(n_chars) OVER (PARTITION BY lang)
+                THEN CAST(n_chars - min(n_chars) OVER (PARTITION BY lang) AS DOUBLE)
+                     / (max(n_chars) OVER (PARTITION BY lang)
+                        - min(n_chars) OVER (PARTITION BY lang))
+                ELSE 0.5 END AS scaled
+    FROM documents
+    ORDER BY lang, doc_id
+    """,
+    tags=("udf",),
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-language min-max scaling of
+    n_chars. Each language group arrives as one pandas DataFrame;
+    min/max are order-independent so the Python result matches the SQL
+    window formulation exactly. Scale note: grouped-map shuffles on the
+    group key and materializes each group in one executor's memory —
+    fine for bounded groups (languages), wrong for skewed billion-row
+    groups (use window functions then)."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["n_chars"].min(), pdf["n_chars"].max()
+        scaled = (
+            (pdf["n_chars"] - lo).astype("float64") / float(hi - lo)
+            if hi > lo
+            else pd.Series(0.5, index=pdf.index)
+        )
+        return pd.DataFrame(
+            {"lang": pdf["lang"], "doc_id": pdf["doc_id"], "scaled": scaled}
+        )
+
+    return (
+        d.groupBy("lang")
+        .applyInPandas(scale, schema="lang string, doc_id long, scaled double")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@query(
+    "udf_grouped_agg",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           min(event_id) AS min_id,
+           max(event_id) AS max_id,
+           SUM((event_id % {CHECKSUM_P}) * {CHECKSUM_K}) % {CHECKSUM_P} AS checksum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("udf",),
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas_udf GROUPED_AGG UDAFs over groupBy: count/min/max and a
+    modular checksum — all integer reductions, order-independent by
+    construction (the one discipline custom aggregates need to survive
+    Spark's partial/final split and arbitrary partition order)."""
+
+    @pandas_udf("long")
+    def checksum(ids: pd.Series) -> int:
+        return int(((ids % CHECKSUM_P) * CHECKSUM_K).sum() % CHECKSUM_P)
+
+    @pandas_udf("long")
+    def pd_count(ids: pd.Series) -> int:
+        return int(ids.count())
+
+    @pandas_udf("long")
+    def pd_min(ids: pd.Series) -> int:
+        return int(ids.min())
+
+    @pandas_udf("long")
+    def pd_max(ids: pd.Series) -> int:
+        return int(ids.max())
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            pd_count("event_id").alias("n"),
+            pd_min("event_id").alias("min_id"),
+            pd_max("event_id").alias("max_id"),
+            checksum("event_id").alias("checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "udf_python_udtf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+        FROM documents WHERE doc_id < 5
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(1, len(t) - 1) + 1),
+                      i -> {'pos': i, 'gram': array_to_string(t[i:i+1], ' ')})) AS u
+        FROM toks
+    )
+    SELECT doc_id, u.pos AS pos, u.gram AS gram
+    FROM grams
+    ORDER BY doc_id, pos
+    """,
+    tags=("udf",),
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+ table function): one input row → many
+    output rows (word bigrams with positions). Registered and invoked
+    through SQL over a temp view — both halves of the UDTF surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, pos: int, gram: string")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):
+            toks = [t for t in re.split(r"\s+", text) if t != ""]
+            if len(toks) < 2:
+                if toks:
+                    yield doc_id, 1, toks[0]
+                return
+            for i in range(len(toks) - 1):
+                yield doc_id, i + 1, f"{toks[i]} {toks[i + 1]}"
+
+    spark.udtf.register("bigrams", Bigrams)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT b.doc_id, b.pos, b.gram
+        FROM udtf_docs, LATERAL bigrams(doc_id, text) b
+        ORDER BY doc_id, pos
+        """
+    )
+
+
+@query(
+    "udf_sql_registered",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS size_bucket
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+    tags=("udf",),
+)
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.udf.register → callable from spark.sql. Deliberately the
+    slow row-at-a-time form to cover the registration surface; the
+    docstring is the warning: in a hot path this serializes every row
+    through CPython — use pandas_udf or native CASE instead."""
+
+    def bucket(price: float) -> str:
+        if price < 50_000:
+            return "small"
+        if price < 150_000:
+            return "medium"
+        return "large"
+
+    spark.udf.register("size_bucket", bucket, "string")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    o.createOrReplaceTempView("udf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, size_bucket(o_totalprice) AS size_bucket
+        FROM udf_orders
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "udf_mapinpandas",
+    oracle="""
+    SELECT doc_id, lang,
+           length(text) AS n_chars_py,
+           len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words_py
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    ORDER BY doc_id
+    """,
+    tags=("udf",),
+)
+def udf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas: whole-partition Arrow batch iterator — filter +
+    derive in one pass, streaming batches (never materializes the full
+    partition, unlike grouped-map). The filter is applied Python-side
+    to exercise batch-shape change; integer outputs keep the oracle
+    exact."""
+    word = re.compile("[A-Za-z]+")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf[pdf["lang"].isin(["en", "de"])]
+            if len(keep) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": keep["doc_id"],
+                    "lang": keep["lang"],
+                    "n_chars_py": keep["text"].str.len(),
+                    "n_words_py": keep["text"].map(lambda t: len(word.findall(t))),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return d.mapInPandas(
+        process, schema="doc_id long, lang string, n_chars_py long, n_words_py long"
+    ).orderBy("doc_id")

@@ -1,0 +1,100 @@
+"""Streaming semantics the single-file replay can't show:
+
+* incremental arrival — three chunk files fed through one checkpoint
+  across three AvailableNow runs; union of emitted appends equals the
+  batch answer;
+* watermark late-data drop — an event older than the advanced watermark
+  never reaches the sink.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_chunk(spark, path, rows):
+    df = spark.createDataFrame(
+        [(i, ts, uid, et, v) for (i, ts, uid, et, v) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_once(spark, src_dir, ckpt, out_dir, agg_builder):
+    """One AvailableNow run into a checkpointed parquet sink (the memory
+    sink can't recover a checkpoint across restarts; the file sink can).
+    Returns ALL rows emitted so far (cumulative append output)."""
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .format("parquet")
+        .load(src_dir)
+    )
+    q = (
+        agg_builder(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).collect()
+
+
+TS = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _t(minutes):
+    return TS + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture()
+def tumbling_count():
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+
+    return build
+
+
+def test_incremental_arrival_equals_batch(spark, tmp_path, tumbling_count):
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    # chunk 1: two events in the 10:00 window
+    _write_chunk(spark, src, [(1, _t(0), 1, "a", 1.0), (2, _t(30), 1, "a", 1.0)])
+    _run_once(spark, src, ckpt, out, tumbling_count)
+    # chunk 2: event at 12:00 -> watermark 11:50 seals the 10:00 window
+    _write_chunk(spark, src, [(3, _t(120), 1, "a", 1.0)])
+    _run_once(spark, src, ckpt, out, tumbling_count)
+    # chunk 3: event at 14:00 -> seals the 12:00 window
+    _write_chunk(spark, src, [(4, _t(240), 1, "a", 1.0)])
+    emitted = _run_once(spark, src, ckpt, out, tumbling_count)
+
+    got = {(r["ws"], r["n"]) for r in emitted}
+    assert (TS, 2) in got, f"10:00 window missing/wrong: {got}"
+    assert (_t(120), 1) in got, f"12:00 window missing/wrong: {got}"
+    # each sealed window emitted exactly once across the three runs
+    assert len([r for r in emitted if r["ws"] == TS]) == 1
+
+
+def test_watermark_drops_late_event(spark, tmp_path, tumbling_count):
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    # watermark advances to 11:50 after this chunk
+    _write_chunk(spark, src, [(1, _t(0), 1, "a", 1.0), (2, _t(120), 1, "a", 1.0)])
+    _run_once(spark, src, ckpt, out, tumbling_count)
+    # 10:15 is behind the 11:50 watermark -> dropped; 14:00 seals 12:00
+    _write_chunk(spark, src, [(3, _t(15), 1, "a", 1.0), (4, _t(240), 1, "a", 1.0)])
+    emitted = _run_once(spark, src, ckpt, out, tumbling_count)
+
+    by_window = {r["ws"]: r["n"] for r in emitted}
+    assert by_window.get(TS) == 1, f"late event leaked into sealed window: {by_window}"
+    assert by_window.get(_t(120)) == 1
