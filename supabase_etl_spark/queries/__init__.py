@@ -50,6 +50,7 @@ _QUERY_MODULES = [
     "supabase_etl_spark.queries.llm_text",
     "supabase_etl_spark.queries.llm_dedup",
     "supabase_etl_spark.queries.llm_similarity",
+    "supabase_etl_spark.queries.llm_multimodal",
     "supabase_etl_spark.queries.streaming",
 ]
 
