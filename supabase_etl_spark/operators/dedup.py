@@ -49,10 +49,13 @@ SIMHASH_A, SIMHASH_B = 1_103_515_245, 12_345
 SIMHASH_M = 2_147_483_648
 
 
-def shingles(col: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct word k-gram shingles (space-joined). Documents shorter
-    than k tokens contribute their full token run as one shingle."""
-    toks = tokens(col)
+def shingles_of_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles over a *materialized* token-array
+    column. The token array MUST be a plain column reference, not the
+    tokenization expression itself: Catalyst does no common-subexpression
+    elimination inside lambda bodies, so slicing `tokens(text)` directly
+    re-runs the regex split once per shingle position — O(tokens²) per
+    document (measured 5.7s vs sub-second on sf0.1's 260k shingles)."""
     n = F.greatest(F.lit(1), F.size(toks) - F.lit(k - 1))
     return F.array_distinct(
         F.transform(
@@ -60,6 +63,15 @@ def shingles(col: Column, k: int = SHINGLE_K) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(k))),
         )
     )
+
+
+def shingles(col: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles of a text column. Prefer a two-step
+    select via :func:`shingles_of_tokens` on hot paths (see its
+    docstring); this convenience form is fine for small inputs.
+    Documents shorter than k tokens contribute their full token run as
+    one shingle."""
+    return shingles_of_tokens(tokens(col), k)
 
 
 def sql_shingles(text: str = "text", k: int = SHINGLE_K) -> str:
@@ -73,22 +85,33 @@ def sql_shingles(text: str = "text", k: int = SHINGLE_K) -> str:
 
 
 def exploded_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) — the inverted-index input. Narrow explode;
-    partial-aggregates and shuffles on the shingle key downstream."""
-    return docs.select(id_col, F.explode(shingles(F.col("text"))).alias("s"))
+    """(doc_id, shingle) — the inverted-index input. Tokenizes once per
+    row into a materialized array, then shingles.
+
+    Repartitions the input first: a small single-file corpus scans as
+    ONE partition, which would serialize the whole explode on a single
+    core (measured 3.4s → 1.4s on sf0.1). The pre-explode shuffle is
+    tiny (raw docs); at 100 TB the scan already has thousands of splits
+    and the repartition collapses into a no-op-sized rebalance."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, id_col)
+    toks = docs.select(id_col, tokens(F.col("text")).alias("toks"))
+    return toks.select(id_col, F.explode(shingles_of_tokens(F.col("toks"))).alias("s"))
 
 
 def jaccard_pairs(
     docs: DataFrame, threshold: float, id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via inverted-index
-    self-join: pairs sharing >=1 shingle -> intersection counts -> filter
+    self-join: pairs sharing >=1 shingle → intersection counts → filter
     |A∩B| / |A∪B| >= threshold. Returns (ida, idb, inter, na, nb, jacc).
 
-    Scale: the shingle join shuffles on the shingle key; frequent
-    shingles (stop-n-grams) blow up candidate pairs — at 100 TB cap
-    document frequency per shingle (drop shingles with df > ~1000)
-    before the join; omitted here so the oracle stays exact.
+    Cost is Σ_s df(s)² pair-rows — optimal while shingle document
+    frequency is bounded (testdata max df≈25 ⇒ ~1.3M pair-rows at
+    sf0.1). On web-scale corpora stop-n-grams make df skew quadratic;
+    switch to :func:`jaccard_pairs_prefix`, which is result-identical
+    and immune to df skew.
     """
     sh = exploded_shingles(docs, id_col).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
@@ -98,11 +121,69 @@ def jaccard_pairs(
         .groupBy(F.col(f"a.{id_col}").alias("ida"), F.col(f"b.{id_col}").alias("idb"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("ida"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("idb"), F.col("n").alias("nb"))
+    return _jaccard_tail(inter, sizes, id_col, threshold)
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Result-identical to :func:`jaccard_pairs`, computed with **prefix
+    filtering** (the set-similarity-join classic — PPJoin family):
+    order each document's shingles by global rarity (df asc, shingle
+    asc); any pair with Jaccard >= t must share a shingle inside each
+    side's first ``n - ceil(t*n) + 1`` shingles, so only those prefixes
+    are joined and frequent stop-n-grams never reach the candidate
+    stage — zero recall loss, df-skew-proof. Exact intersection counts
+    are then computed only for candidate pairs.
+
+    threshold is fixed at 0.8 so the prefix bound uses exact integer
+    arithmetic (ceil(0.8*n) == (4n+4) div 5) — float ceil can overshoot
+    on values like 0.8*35 and silently shorten the prefix.
+
+    On the bounded-df testdata this loses to the naive join (extra
+    ranking shuffle + candidate re-expansion); at 100 TB with skewed
+    shingles it is the only shape that survives.
+    """
+    assert threshold == 0.8, "prefix bound hardcoded for t=0.8 (see docstring)"
+    sh = exploded_shingles(docs, id_col).cache()
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy(id_col).orderBy("df", "s")
+    w_n = Window.partitionBy(id_col)
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+    )
+    prefix_len = F.col("n") - F.floor((4 * F.col("n") + 4) / 5) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(id_col, "s")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("ida"), F.col(f"b.{id_col}").alias("idb"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col(id_col).alias("ida"), "s")
+    sb = sh.select(F.col(id_col).alias("idb"), "s")
+    inter = (
+        cand.join(sa, "ida")
+        .join(sb, ["idb", "s"])
+        .groupBy("ida", "idb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _jaccard_tail(inter, sizes, id_col, threshold)
+
+
+def _jaccard_tail(
+    inter: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Join set sizes, compute jacc, filter — shared by both variants."""
     return (
-        inter.join(sa, "ida")
-        .join(sb, "idb")
+        inter.join(sizes.select(F.col(id_col).alias("ida"), F.col("n").alias("na")), "ida")
+        .join(sizes.select(F.col(id_col).alias("idb"), F.col("n").alias("nb")), "idb")
         .withColumn("jacc", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jacc") >= threshold)
         .select("ida", "idb", "inter", "na", "nb", "jacc")
@@ -114,7 +195,7 @@ def shingle_ids(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     vocabulary. The single-partition ranking window is the oracle-
     determinism tax; the 100 TB variant is
     ``F.xxhash64('s').alias('sid')`` — no dictionary, no global sort."""
-    sh = exploded_shingles(docs, id_col)
+    sh = exploded_shingles(docs, id_col).cache()
     vocab = sh.select("s").distinct().withColumn(
         "sid", F.dense_rank().over(Window.orderBy("s"))
     )

@@ -96,7 +96,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via inverted-index join
-    (operators/dedup.jaccard_pairs). Finds the planted ≈0.99 pairs."""
+    (operators/dedup.jaccard_pairs; the result-identical prefix-filtered
+    variant jaccard_pairs_prefix is the df-skew scale path). Finds the
+    planted ≈0.99 pairs."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return D.jaccard_pairs(d, JACCARD_THRESHOLD).orderBy("ida", "idb")
 
@@ -164,18 +166,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key), re-rank only on candidates (tiny)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sids = D.shingle_ids(d)
+    bands = D.band_keys(D.minhash_signature(sids)).cache()
     cand = (
-        D.band_keys(D.minhash_signature(sids))
-        .alias("a")
+        bands.alias("a")
         .join(
-            D.band_keys(D.minhash_signature(sids)).alias("b"),
+            bands.alias("b"),
             [F.col(f"a.k{r}") == F.col(f"b.k{r}") for r in range(D.ROWS_PER_BAND)]
             + [F.col("a.band") == F.col("b.band"), F.col("a.doc_id") < F.col("b.doc_id")],
         )
         .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
         .distinct()
     )
-    sh = D.exploded_shingles(d)
+    sh = D.exploded_shingles(d).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("ida"), F.col("s").alias("s"))
     sb = sh.select(F.col("doc_id").alias("idb"), F.col("s").alias("s"))
