@@ -51,6 +51,8 @@ _QUERY_MODULES = [
     "supabase_etl_spark.queries.llm_dedup",
     "supabase_etl_spark.queries.llm_similarity",
     "supabase_etl_spark.queries.llm_multimodal",
+    "supabase_etl_spark.queries.llm_ml",
+    "supabase_etl_spark.queries.io_roundtrip",
     "supabase_etl_spark.queries.streaming",
 ]
 

@@ -1,0 +1,110 @@
+"""Sink→source round-trip queries (SURVEY.md §2.2 "Sources / sinks").
+
+Each query WRITES through an engine sink into a scratch directory, reads
+the result back, and returns it — so the oracle hash-check covers the
+full serialize/deserialize cycle (readback-hash semantic from §2.2),
+not just the happy path of the reader. CSV and JSON round-trips pin
+type fidelity (dates, decimals-as-doubles, unicode); the partitioned
+parquet round-trip pins the partition-pruning layout contract.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.io.readers import load_table, read_csv, read_json
+from supabase_etl_spark.io.writers import write_csv, write_json, write_parquet
+from supabase_etl_spark.queries import query
+
+
+@query(
+    "io_csv_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("io",),
+)
+def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → csv sink (header) → csv scan with explicit schema.
+    Proves the reference's CSV sink shape (op L2) both directions."""
+    n = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="csv_rt_")
+    write_csv(n, out)
+    back = read_csv(
+        spark,
+        out,
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    )
+    return back.orderBy("n_nationkey")
+
+
+@query(
+    "io_json_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM orders
+    WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+    tags=("io",),
+)
+def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders slice → json-lines sink → json scan with schema. Dates
+    survive as ISO strings and are re-typed on read — the open-schema
+    JSON contract of the reference's JSONB records (op T5)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="json_rt_")
+    write_json(o, out)
+    back = read_json(
+        spark,
+        out,
+        schema=(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate date"
+        ),
+    )
+    return back.orderBy("o_orderkey")
+
+
+@query(
+    "io_parquet_partitioned",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey <= 2000 AND l_returnflag = 'R'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("io",),
+)
+def io_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem slice → parquet partitioned by l_returnflag → scan with
+    a partition-key filter. The read touches only the 'R' directory
+    (static partition pruning — the layout lever that turns a 100 TB
+    scan into a 30 TB one); tests assert the pruned plan."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+    )
+    out = tempfile.mkdtemp(prefix="pq_part_")
+    write_parquet(li, out, partition_by=["l_returnflag"])
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return back.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+    ).orderBy("l_orderkey", "l_linenumber")

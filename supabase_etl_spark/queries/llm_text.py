@@ -151,6 +151,46 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(list_filter(
+            regexp_split_to_array(text, '\\s+'), t -> t <> ''))) AS term
+        FROM documents
+    ),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+    stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term)
+    SELECT term, df,
+           ln((n + 1.0) / (df + 1.0)) + 1.0 AS idf
+    FROM stats CROSS JOIN n_docs
+    ORDER BY idf DESC, term ASC
+    LIMIT 25
+    """,
+    tags=("llm", "text"),
+)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed IDF per term (the CountVectorizer→IDF pipeline in plain
+    SQL: idf = ln((N+1)/(df+1)) + 1), rarest 25 terms. ln on identical
+    double inputs is bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("term")
+    )
+    n_docs = toks.select("doc_id").distinct().count()
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term",
+            "df",
+            (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        )
+        .orderBy(F.col("idf").desc(), F.col("term").asc())
+        .limit(25)
+    )
+
+
+@query(
     "text_term_frequencies",
     oracle="""
     WITH toks AS (

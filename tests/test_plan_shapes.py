@@ -1,0 +1,64 @@
+"""Plan-shape assertions (SURVEY §5.2(1)): the optimizations we rely on
+must be visible in the physical plan, not assumed."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.io.writers import write_parquet
+from supabase_etl_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load_table(spark, SF, "lineitem").filter(F.col("l_orderkey") == 7)
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,7)]" in _plan(li)
+
+
+def test_column_pruning_reaches_parquet(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(li)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_small_dims_broadcast(spark):
+    q = load_all()["join_q5_local_supplier_volume"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nothing should fall back at this scale
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_quantity"
+    )
+    out = tempfile.mkdtemp(prefix="prune_")
+    write_parquet(li, out, partition_by=["l_returnflag"])
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = _plan(back)
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+    # the partition column filter must NOT appear as a data filter
+    assert "PushedFilters: []" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    q = load_all()["limit_global_topk"]
+    plan = _plan(q.fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    q = load_all()["q1_pricing_summary"]
+    df = q.fn(spark, SF)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = _plan(df)
+    # whole-stage codegen spans render as "*(n) Operator" in toString
+    assert "*(1) HashAggregate" in plan or "WholeStageCodegen" in plan
