@@ -463,3 +463,68 @@ def sql_entry_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    WITH m AS (
+        SELECT event_id,
+               MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)} AS meta
+        FROM events WHERE event_id < 200
+    )
+    SELECT event_id,
+           array_to_string(list_sort(map_keys(meta)), ',') AS keys_csv,
+           array_to_string(list_sort(map_values(meta)), ',') AS vals_csv,
+           meta['type'][1] AS type_val,
+           cardinality(meta) AS n_entries
+    FROM m
+    ORDER BY event_id
+    """,
+    tags=("maps",),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map surface (SURVEY §2.2 "map fns", the ref T5 open-schema
+    payload shape): create_map, map_keys, map_values, element_at,
+    size — emitted as sorted scalars so MAP representation differences
+    between engines never reach the comparator."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    meta = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(meta)), ",").alias("keys_csv"),
+        F.array_join(F.array_sort(F.map_values(meta)), ",").alias("vals_csv"),
+        F.element_at(meta, "type").alias("type_val"),
+        F.size(meta).alias("n_entries"),
+    ).orderBy("event_id")
+
+
+@query(
+    "map_explode_entries",
+    oracle="""
+    WITH m AS (
+        SELECT event_id,
+               MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)} AS meta
+        FROM events WHERE event_id < 100
+    ),
+    e AS (SELECT event_id, unnest(map_entries(meta)) AS ent FROM m)
+    SELECT event_id, ent.key AS k, ent.value AS v
+    FROM e
+    ORDER BY event_id, k
+    """,
+    tags=("maps", "explode"),
+)
+def map_explode_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode of a map column into (key, value) rows."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    meta = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return (
+        ev.select("event_id", F.explode(meta).alias("k", "v"))
+        .orderBy("event_id", "k")
+    )
