@@ -75,14 +75,27 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("names", nargs="*")
     ap.add_argument("--max-diff", type=int, default=5)
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a stock SparkSession (none of the engine's session "
+        "configs) — exactly what the driver's harness does",
+    )
     args = ap.parse_args()
 
     from supabase_etl_spark.queries import load_all
-    from supabase_etl_spark.session import get_spark
 
     registry = load_all()
     names = args.names or sorted(registry)
-    spark = get_spark("check-correctness")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from supabase_etl_spark.session import get_spark
+
+        spark = get_spark("check-correctness")
 
     failures = []
     for name in names:

@@ -118,3 +118,28 @@ def ref_pack_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(data, "s_name").alias("name_from_map"),
         F.element_at(data, "s_nationkey").alias("nation_from_map"),
     ).orderBy("s_suppkey")
+
+
+@query("ref_sdk_source", oracle=None, tags=("reference", "source"))
+def ref_sdk_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op S1 as a real Spark-4 Python Data Source
+    (io/sdk_source.py): one InputPartition per (ticker, statement), the
+    SDK fetch running executor-side, wide vnstock-shaped frames with
+    Vietnamese year/ticker columns — then straight through the
+    reference transform (T1 year discovery, T3 exclusion-project, T5
+    JSON packing, T6 truthy coalesce) into (ticker, year, statement,
+    data). Rows-only check: the source has no parquet twin for DuckDB.
+    """
+    from supabase_etl_spark.functions.packing import to_jsonb_records
+    from supabase_etl_spark.io.sdk_source import register
+
+    register(spark)
+    wide = (
+        spark.read.format("financial_statements")
+        .option("tickers", "FPT,VNM,HPG")
+        .option("start_year", "2020")
+        .option("end_year", "2024")
+        .load()
+    )
+    records = to_jsonb_records(wide)  # statement stays inside the packed data
+    return records.orderBy("ticker", "year", "data")
