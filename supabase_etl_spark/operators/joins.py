@@ -87,3 +87,38 @@ def range_join(
     if extra_cond is not None:
         cond = cond & extra_cond(left, right)
     return left.join(right, on=cond, how=how)
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_time: str,
+    bucket_micros: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Pure range join (no equi keys) made linear by time bucketing.
+
+    Without an equi component Spark plans a broadcast-nested-loop —
+    O(|L|·|R|). Here each left interval explodes into the time buckets
+    it overlaps (≤ interval_width/bucket + 1 rows) and each right row
+    lands in exactly one bucket, so the range predicate becomes an
+    equi-join on bucket id plus a residual interval filter. Results are
+    exactly those of the naive non-equi join: every (L,R) match shares
+    the bucket containing R's timestamp, and appears once because a
+    right row has one bucket.
+
+    `bucket_micros` should be about the typical interval width: larger
+    buckets mean fewer exploded rows but more residual false pairs.
+    """
+    lo = F.floor(F.unix_micros(F.col(left_start)) / bucket_micros)
+    hi = F.floor(F.unix_micros(F.col(left_end)) / bucket_micros)
+    lefts = left.withColumn("__b", F.explode(F.sequence(lo, hi)))
+    rights = right.withColumn(
+        "__b", F.floor(F.unix_micros(F.col(right_time)) / bucket_micros)
+    )
+    residual = (F.col(right_time) >= F.col(left_start)) & (
+        F.col(right_time) < F.col(left_end)
+    )
+    return lefts.join(rights, ["__b"], how).filter(residual).drop("__b")

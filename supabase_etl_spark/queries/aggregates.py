@@ -384,3 +384,20 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@query("agg_approx_quantiles", oracle=None, tags=("agg", "approx"))
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx sketch quantiles of order totalprice (SURVEY
+    §2.2 "approx quantiles" — tolerance-checked against the exact
+    percentiles in tests/test_tolerance.py; the sketch's merge is
+    deterministic but not SQL-replayable, so rows-only here)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.99], 10_000).alias("approx_q")
+    ).select(
+        F.col("approx_q")[0].alias("q25"),
+        F.col("approx_q")[1].alias("q50"),
+        F.col("approx_q")[2].alias("q75"),
+        F.col("approx_q")[3].alias("q99"),
+    )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from supabase_etl_spark.io.readers import load_table
-from supabase_etl_spark.operators.joins import asof_join, range_join
+from supabase_etl_spark.operators.joins import asof_join, bucketed_range_join, range_join
 from supabase_etl_spark.queries import query
 from supabase_etl_spark.queries._helpers import dsum, sql_dsum
 
@@ -404,4 +404,56 @@ def join_broadcast_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double").alias("total_balance"),
         )
         .orderBy("r_name")
+    )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT s.event_id AS signup_event,
+           COUNT(e.event_id) AS arrivals_5min,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events s
+    JOIN events e
+      ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 5 MINUTE
+     AND e.event_id <> s.event_id
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id
+    ORDER BY signup_event
+    """,
+    tags=("join", "range"),
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key): all events, any user, within
+    5 minutes after each signup. Implemented with
+    operators.joins.bucketed_range_join — the time axis is bucketed so
+    the plan is an equi-join on bucket id + residual filter instead of
+    the O(|L|·|R|) nested loop Spark would otherwise choose. The oracle
+    states the naive non-equi form; results are identical."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("win_end"),
+    )
+    others = ev.select(
+        F.col("event_id").alias("other_event"),
+        F.col("ts").alias("other_ts"),
+        F.col("value").alias("other_value"),
+    )
+    joined = bucketed_range_join(
+        signups,
+        others,
+        left_start="win_start",
+        left_end="win_end",
+        right_time="other_ts",
+        bucket_micros=5 * 60 * 1_000_000,
+    ).filter(F.col("other_event") != F.col("signup_event"))
+    return (
+        joined.groupBy("signup_event")
+        .agg(
+            F.count("other_event").alias("arrivals_5min"),
+            F.sum(F.col("other_value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("signup_event")
     )

@@ -62,3 +62,10 @@ def test_whole_stage_codegen_covers_agg(spark):
     plan = _plan(df)
     # whole-stage codegen spans render as "*(n) Operator" in toString
     assert "*(1) HashAggregate" in plan or "WholeStageCodegen" in plan
+
+
+def test_bucketed_range_join_avoids_nested_loop(spark):
+    q = load_all()["join_range_bucketed"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

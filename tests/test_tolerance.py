@@ -57,3 +57,13 @@ def test_spark_ml_minhash_recall(spark):
           for r in REGISTRY["dedup_minhash_spark_ml"].fn(spark, SF).collect()}
     recall = len(exact & ml) / len(exact)
     assert recall >= 0.8, f"spark.ml minhash recall {recall:.2f} < 0.8"
+
+
+def test_approx_quantiles_within_2pct(spark):
+    o = load_table(spark, SF, "orders")
+    exact = o.select(
+        F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.99))")
+    ).collect()[0][0]
+    approx = REGISTRY["agg_approx_quantiles"].fn(spark, SF).collect()[0]
+    for got, want in zip([approx["q25"], approx["q50"], approx["q75"], approx["q99"]], exact):
+        assert abs(got - want) / want <= 0.02, f"approx {got} vs exact {want}"
