@@ -33,3 +33,33 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_mb: int = 512,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    roughly ``target_file_mb`` each. Streaming sinks and incremental
+    jobs accrete thousands of tiny files; at 100 TB an uncompacted
+    table turns every scan's task-scheduling overhead into the
+    bottleneck (one task per file). Sizing uses the dataset's on-disk
+    bytes (driver-side file listing — metadata only), so the rewrite is
+    one pass: read → repartition to ceil(bytes/target) → write.
+    Returns the number of output files requested."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet"))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dest_path)
+    return n_files

@@ -67,3 +67,18 @@ def test_bucketed_join_has_no_exchange(spark):
     # and the result is correct
     n_plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
     assert joined_nb.count() == n_plain
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from supabase_etl_spark.io.writers import compact_parquet
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    frag, compacted = str(tmp_path / "frag"), str(tmp_path / "compact")
+    li.repartition(64).write.parquet(frag)  # simulate small-files accretion
+    import glob
+
+    assert len(glob.glob(f"{frag}/*.parquet")) >= 32
+    n = compact_parquet(spark, frag, compacted, target_file_mb=512)
+    assert n == 1
+    assert len(glob.glob(f"{compacted}/*.parquet")) == 1
+    assert spark.read.parquet(compacted).count() == li.count()

@@ -98,3 +98,54 @@ def test_watermark_drops_late_event(spark, tmp_path, tumbling_count):
     by_window = {r["ws"]: r["n"] for r in emitted}
     assert by_window.get(TS) == 1, f"late event leaked into sealed window: {by_window}"
     assert by_window.get(_t(120)) == 1
+
+
+def test_transform_with_state_in_pandas_if_available(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4's successor to
+    applyInPandasWithState) requires google.protobuf for its state
+    protocol; this runtime doesn't ship it, so the test gates on the
+    import and documents the API shape either way. The production-
+    grade stateful operator coverage lives in stream_stateful_counter
+    (applyInPandasWithState)."""
+    pytest.importorskip("google.protobuf")
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from supabase_etl_spark.streaming.source import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class Counter(StatefulProcessor):
+        def init(self, handle):
+            self.count = handle.getValueState("count", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self.count.get()[0] if self.count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        def close(self):
+            pass
+
+    s = read_events_stream(spark, "/root/testdata/sf0.001")
+    out = s.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Counter(),
+        outputStructType="user_id bigint, n bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+    sink = run_available_now(out, "update")
+    from supabase_etl_spark.io.readers import load_table
+
+    expected = load_table(spark, "/root/testdata/sf0.001", "events").groupBy("user_id").count()
+    got = {(r["user_id"], r["n"]) for r in sink.collect()}
+    want = {(r["user_id"], r["count"]) for r in expected.collect()}
+    assert got == want
