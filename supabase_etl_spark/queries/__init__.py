@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "supabase_etl_spark.queries.llm_similarity",
     "supabase_etl_spark.queries.llm_multimodal",
     "supabase_etl_spark.queries.llm_ml",
+    "supabase_etl_spark.queries.llm_sampling",
     "supabase_etl_spark.queries.io_roundtrip",
     "supabase_etl_spark.queries.streaming",
 ]

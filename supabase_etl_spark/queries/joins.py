@@ -457,3 +457,60 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("signup_event")
     )
+
+
+@query(
+    "join_asof_forward_next_event",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    nxt AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               e.event_id AS next_event, e.ts AS next_ts, e.event_type AS next_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY e.ts ASC, e.event_id ASC
+               ) AS rn
+        FROM purchases p
+        LEFT JOIN events e
+          ON e.user_id = p.user_id AND e.ts > p.ts
+    )
+    SELECT event_id, user_id, next_event, next_ts, next_type
+    FROM nxt WHERE rn = 1
+    ORDER BY event_id
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_forward_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: the first event strictly after each purchase
+    per user (operators.joins.asof_join direction='forward',
+    strict=True) — the counterpart of the backward as-of query. Equi
+    component on user_id keeps it a hash join + rank, no nested loop."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    others = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("next_event"),
+        F.col("ts").alias("next_ts"),
+        F.col("event_type").alias("next_type"),
+    )
+    out = asof_join(
+        purchases,
+        others,
+        by=["user_id"],
+        left_time="ts",
+        right_time="next_ts",
+        left_keys=["event_id"],
+        direction="forward",
+        strict=True,
+    )
+    return out.select(
+        F.col("l.event_id").alias("event_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.next_event").alias("next_event"),
+        F.col("r.next_ts").alias("next_ts"),
+        F.col("r.next_type").alias("next_type"),
+    ).orderBy("event_id")

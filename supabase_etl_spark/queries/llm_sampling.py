@@ -1,0 +1,221 @@
+"""Corpus sampling, splitting, chunking, and quantization
+(LLM-data-pipeline operators beyond the §2.2 list — the remaining
+pieces a training-data pipeline runs between dedup and training).
+
+Determinism rule: anything "random" is an integer LCG over row ids
+(h = (A·id + B) mod P), so sampling decisions replay bit-for-bit in
+DuckDB and across cluster re-runs — re-running a 100 TB sampling job
+yields the same corpus, which is what reproducible training demands.
+`sampleBy`/`rand()` never appear: their results depend on partition
+layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.operators.text import tokens
+from supabase_etl_spark.queries import query
+
+A, B, P = 1_103_515_245, 12_345, 2_147_483_647
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # overlap = size - stride
+
+
+def _bucket(id_col: Column, buckets: int = 100) -> Column:
+    """Deterministic pseudo-random bucket in [0, buckets)."""
+    return ((F.lit(A).cast("bigint") * id_col.cast("bigint") + F.lit(B)) % P) % buckets
+
+
+def _sql_bucket(id_col: str, buckets: int = 100) -> str:
+    return f"((({A} * CAST({id_col} AS BIGINT) + {B}) % {P}) % {buckets})"
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH sampled AS (
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE {_sql_bucket("doc_id")} < CASE lang
+            WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 25 END
+    )
+    SELECT lang, count(*) AS n_sampled,
+           CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS BIGINT) AS total_chars
+    FROM sampled
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-language rates (10% en, 50% zh,
+    25% others — the up/down-weighting move of corpus curation), via
+    deterministic LCG buckets. Pure per-row filter: scan-speed, no
+    shuffle until the rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "zh", 50)
+        .otherwise(25)
+    )
+    sampled = d.filter(_bucket(F.col("doc_id")) < rate)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("n_chars").cast("decimal(28,6)")).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT CASE WHEN {_sql_bucket("doc_id")} < 80 THEN 'train'
+                WHEN {_sql_bucket("doc_id")} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM documents
+    GROUP BY 1
+    ORDER BY split
+    """,
+    tags=("llm", "sampling"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment from the same LCG buckets —
+    stable across re-runs and engines, so no document ever migrates
+    between splits when the pipeline is re-executed."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+        FROM documents WHERE doc_id < 100
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(1, CAST(ceil((len(t) - {CHUNK_SIZE}) /
+                   {CHUNK_STRIDE}.0) AS BIGINT) + 1))) AS chunk_idx,
+               t
+        FROM toks
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(t[chunk_idx * {CHUNK_STRIDE} + 1 :
+                             chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ') AS chunk_text,
+           least({CHUNK_SIZE}, len(t) - chunk_idx * {CHUNK_STRIDE}) AS n_tokens
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("llm", "sampling"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token windows, stride 48 —
+    the RAG/pre-training segmentation op): each doc explodes into its
+    overlapping chunks with exact token budgets. Array-local slicing on
+    a materialized token column — no Python, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tk = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("t") - F.lit(CHUNK_SIZE)) / F.lit(float(CHUNK_STRIDE))).cast("bigint")
+        + 1,
+    )
+    chunks = tk.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "t",
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE + 1
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", F.slice(F.col("t"), start, F.lit(CHUNK_SIZE))).alias("chunk_text"),
+        F.least(
+            F.lit(CHUNK_SIZE), F.size("t") - F.col("chunk_idx") * CHUNK_STRIDE
+        ).alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH stats AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings WHERE vec_id < 100
+    ),
+    q AS (
+        SELECT vec_id, amax / 127.0 AS scale,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / (amax / 127.0)) AS BIGINT)) AS qvec,
+               embedding
+        FROM stats
+    )
+    SELECT vec_id, scale,
+           list_min(qvec) AS q_min, list_max(qvec) AS q_max,
+           (list_reduce(list_transform(range(1, len(embedding) + 1),
+                i -> abs(CAST(embedding[i] AS DOUBLE) - qvec[i] * scale)),
+                (acc, x) -> acc + x) + 0.0) AS l1_error
+    FROM q
+    ORDER BY vec_id
+    """,
+    tags=("llm", "sampling"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per embedding (scale = max|x|/127,
+    q = round(x/scale)) with reconstruction L1 error — the storage-
+    compression op for billion-vector stores (4x smaller than float32).
+    All array-local arithmetic; round() is half-away-from-zero in both
+    engines on identical doubles."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    stats = e.select("vec_id", emb_d.alias("emb"), F.array_max(
+        F.transform(emb_d, F.abs)
+    ).alias("amax"))
+    scale = F.col("amax") / 127.0
+    q = stats.select(
+        "vec_id",
+        scale.alias("scale"),
+        "emb",
+        F.transform(F.col("emb"), lambda x: F.round(x / (F.col("amax") / 127.0)).cast("bigint")).alias("qvec"),
+    )
+    l1 = (
+        F.aggregate(
+            F.zip_with(F.col("emb"), F.col("qvec"), lambda x, qv: F.abs(x - qv * F.col("scale"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        + F.lit(0.0)
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+        l1.alias("l1_error"),
+    ).orderBy("vec_id")
