@@ -270,3 +270,69 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_stream_interval_join",
+    oracle=f"""
+    SELECT p.event_id AS purchase_event, p.user_id,
+           v.event_id AS view_event,
+           {sql_dsum("v.value", "viewed_value")}
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+     AND v.event_type = 'view'
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, v.event_id
+    ORDER BY purchase_event, view_event
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the views
+    of the same user in the preceding hour — both sides are live
+    streams with watermarks (required so Spark can bound the join
+    state: a view older than the watermark minus the interval can never
+    match a future purchase and is evicted). Inner joins emit on match
+    arrival, so a bounded replay yields exactly the batch answer."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("view_user") == F.col("user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select(
+        "purchase_event",
+        "user_id",
+        "view_event",
+        F.col("view_value").cast("decimal(28,6)").alias("dec_value"),
+    )
+    sink = run_available_now(joined, "append")
+    return (
+        sink.groupBy("purchase_event", "user_id", "view_event")
+        .agg(F.sum("dec_value").cast("double").alias("viewed_value"))
+        .orderBy("purchase_event", "view_event")
+    )
