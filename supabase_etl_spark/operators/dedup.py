@@ -201,16 +201,36 @@ def _jaccard_tail(
     )
 
 
-def shingle_ids(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, sid) with dense ids over the sorted distinct shingle
-    vocabulary. The single-partition ranking window is the oracle-
-    determinism tax; the 100 TB variant is
-    ``F.xxhash64('s').alias('sid')`` — no dictionary, no global sort."""
-    sh = exploded_shingles(docs, id_col).cache()
-    vocab = sh.select("s").distinct().withColumn(
-        "sid", F.dense_rank().over(Window.orderBy("s"))
+def strhash(col: Column) -> Column:
+    """Polynomial codepoint hash mod P — the cross-engine deterministic
+    row hash (h = h*31 + code, the classic Java string hash, kept below
+    2^31 so products never overflow bigint). Both engines fold the
+    identical sequence (F.aggregate ≙ list_reduce with prepended init),
+    so hashed ids replay bit-for-bit in the oracle — unlike xxhash64,
+    which only Spark can compute. Purely row-local: this is also the
+    100 TB path (no dictionary, no global sort)."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(MINHASH_P),
     )
-    return sh.join(vocab, "s").select(id_col, "sid")
+
+
+def sql_strhash(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {MINHASH_P})"
+    )
+
+
+def shingle_ids(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sid): shingles hashed to ids inline via :func:`strhash`.
+    Hash collisions (p ≈ n²/2P) merely merge two shingles inside the
+    MinHash sketch — a sketch of a sketch, identical in both engines —
+    while the exact-Jaccard re-rank still runs on shingle strings."""
+    sh = exploded_shingles(docs, id_col)
+    return sh.select(id_col, strhash(F.col("s")).alias("sid"))
 
 
 def minhash_signature(doc_sids: DataFrame, id_col: str = "doc_id") -> DataFrame:

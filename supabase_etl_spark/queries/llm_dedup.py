@@ -120,11 +120,7 @@ def _sql_minhash_cte() -> str:
     )
     key_eq = " AND ".join(f"a.k{r} = b.k{r}" for r in range(D.ROWS_PER_BAND))
     return f"""
-    vocab AS (
-        SELECT s, dense_rank() OVER (ORDER BY s) AS sid
-        FROM (SELECT DISTINCT s FROM sh)
-    ),
-    ds AS (SELECT doc_id, sid FROM sh JOIN vocab USING (s)),
+    ds AS (SELECT doc_id, {D.sql_strhash("s")} AS sid FROM sh),
     sig AS (
         SELECT doc_id,
                {hashes}
@@ -159,11 +155,11 @@ def _sql_minhash_cte() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (12 hashes) + LSH (4 bands × 3 rows) candidate
-    generation, exact-Jaccard re-rank. The dictionary (dense shingle
-    ids) exists only for oracle determinism — at 100 TB swap it for
-    xxhash64(shingle) and the plan is the standard minhash pipeline:
-    one agg for signatures, one band-key self-join (shuffle on band
-    key), re-rank only on candidates (tiny)."""
+    generation, exact-Jaccard re-rank. Shingle ids come from the
+    cross-engine polynomial hash (operators/dedup.strhash) — row-local,
+    no dictionary, no global sort — so the plan is the standard minhash
+    pipeline at any scale: one agg for signatures, one band-key
+    self-join (shuffle on band key), re-rank only on candidates."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sids = D.shingle_ids(d)
     bands = D.band_keys(D.minhash_signature(sids)).cache()
@@ -209,13 +205,9 @@ def _sql_simhash_cte() -> str:
     )
     return f"""
     tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents),
-    vocab AS (
-        SELECT t, dense_rank() OVER (ORDER BY t) AS tid
-        FROM (SELECT DISTINCT t FROM tok)
-    ),
     tc AS (
-        SELECT doc_id, tid, count(*) AS c
-        FROM tok JOIN vocab USING (t) GROUP BY 1, 2
+        SELECT doc_id, {D.sql_strhash("t")} AS tid, count(*) AS c
+        FROM tok GROUP BY 1, 2
     ),
     bits AS (
         SELECT doc_id,
@@ -241,19 +233,18 @@ def _sql_simhash_cte() -> str:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash (count-weighted token hashes, sign per bit),
-    near-dup pairs at small Hamming distance. Token-id dictionary again
-    only for oracle parity (scale path: xxhash64(token)). The pair join
-    here is brute-force n²; at 100 TB block on simhash bit-bands (split
-    the signature into 4 byte-keys, join per band) — same trick as
-    MinHash LSH."""
+    near-dup pairs at small Hamming distance. Token ids from the
+    row-local cross-engine hash (operators/dedup.strhash). The pair
+    join here is brute-force n²; at 100 TB block on simhash bit-bands
+    (split the signature into 4 byte-keys, join per band) — same trick
+    as MinHash LSH."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    from pyspark.sql import Window
-
-    vocab = tok.select("t").distinct().withColumn(
-        "tid", F.dense_rank().over(Window.orderBy("t"))
+    tc = (
+        tok.select("doc_id", D.strhash(F.col("t")).alias("tid"))
+        .groupBy("doc_id", "tid")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    tc = tok.join(vocab, "t").groupBy("doc_id", "tid").agg(F.count(F.lit(1)).alias("c"))
     h = (
         F.lit(D.SIMHASH_A).cast("bigint") * F.col("tid").cast("bigint")
         + F.lit(D.SIMHASH_B)

@@ -161,7 +161,7 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
     stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term)
     SELECT term, df,
-           ln((n + 1.0) / (df + 1.0)) + 1.0 AS idf
+           round(ln((n + 1.0) / (df + 1.0)) + 1.0, 12) AS idf
     FROM stats CROSS JOIN n_docs
     ORDER BY idf DESC, term ASC
     LIMIT 25
@@ -170,8 +170,10 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed IDF per term (the CountVectorizer→IDF pipeline in plain
-    SQL: idf = ln((N+1)/(df+1)) + 1), rarest 25 terms. ln on identical
-    double inputs is bit-identical across engines."""
+    SQL: idf = ln((N+1)/(df+1)) + 1), rarest 25 terms. ln differs by
+    1 ulp between JVM Math.log and DuckDB's libm on some inputs
+    (observed at sf0.1), so idf is rounded to 12 decimals on both
+    sides."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("term")
@@ -183,7 +185,7 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "term",
             "df",
-            (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+            F.round(F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0, 12).alias("idf"),
         )
         .orderBy(F.col("idf").desc(), F.col("term").asc())
         .limit(25)
