@@ -157,6 +157,74 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_cogrouped_map",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           c.c_mktsegment AS mktsegment,
+           count(o.o_orderkey) AS n_orders,
+           coalesce(min(o.o_orderkey), -1) AS min_orderkey,
+           coalesce(max(o.o_orderkey), -1) AS max_orderkey
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey <= 500
+    GROUP BY 1, 2
+    ORDER BY custkey
+    """,
+    tags=("udf",),
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map applyInPandas: customer and orders are each
+    grouped on custkey and the two pandas groups arrive together in one
+    Python call — the Spark-native way to write per-key merge logic
+    (as-of merges, custom reconciliation) without a pre-join. Integer
+    count/min/max keep the oracle exact. Scale note: both sides shuffle
+    on the key and one key's groups must fit in memory — same contract
+    as grouped-map."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .filter(F.col("c_custkey") <= 500)
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey")
+        .filter(F.col("o_custkey") <= 500)
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:  # orders for a custkey outside the filter window
+            return pd.DataFrame(
+                {
+                    "custkey": pd.Series(dtype="int64"),
+                    "mktsegment": pd.Series(dtype="object"),
+                    "n_orders": pd.Series(dtype="int64"),
+                    "min_orderkey": pd.Series(dtype="int64"),
+                    "max_orderkey": pd.Series(dtype="int64"),
+                }
+            )
+        n = len(right)
+        return pd.DataFrame(
+            {
+                "custkey": [int(left["c_custkey"].iloc[0])],
+                "mktsegment": [left["c_mktsegment"].iloc[0]],
+                "n_orders": [n],
+                "min_orderkey": [int(right["o_orderkey"].min()) if n else -1],
+                "max_orderkey": [int(right["o_orderkey"].max()) if n else -1],
+            }
+        )
+
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            schema="custkey long, mktsegment string, n_orders long, "
+            "min_orderkey long, max_orderkey long",
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
     "udf_python_udtf",
     oracle="""
     WITH toks AS (
