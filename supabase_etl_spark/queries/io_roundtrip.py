@@ -108,3 +108,45 @@ def io_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "io_parquet_clustered",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_shipdate AS DATE) AS ship_date, l_quantity
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1995-03-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1995-04-01'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("io",),
+)
+def io_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → range-repartitioned on ship_date, sorted within
+    partitions → parquet → scan with a one-month predicate. The layout
+    concentrates each date range into a few files whose row-group
+    min/max stats exclude everything else — the clustering lever for
+    keys too fine-grained for partition directories (a one-key analog
+    of Delta's OPTIMIZE ZORDER). The date filter reaches the scan as a
+    pushed filter (pinned by tests/test_plan_shapes.py)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        "l_quantity",
+    )
+    out = tempfile.mkdtemp(prefix="pq_clust_")
+    (
+        li.repartitionByRange(8, "ship_date")
+        .sortWithinPartitions("ship_date")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        (F.col("ship_date") >= F.lit("1995-03-01").cast("date"))
+        & (F.col("ship_date") < F.lit("1995-04-01").cast("date"))
+    )
+    return back.select(
+        "l_orderkey", "l_linenumber", "ship_date", "l_quantity"
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -49,6 +49,12 @@ def test_partitioned_write_prunes_partitions(spark):
     assert "PushedFilters: []" in plan
 
 
+def test_clustered_write_pushes_range_filter(spark):
+    q = load_all()["io_parquet_clustered"]
+    plan = _plan(q.fn(spark, SF))
+    assert "PushedFilters: [IsNotNull(ship_date), GreaterThanOrEqual(ship_date," in plan
+
+
 def test_topk_uses_take_ordered(spark):
     q = load_all()["limit_global_topk"]
     plan = _plan(q.fn(spark, SF))
