@@ -43,25 +43,32 @@ def main() -> None:
     # compute, as a long-lived cluster would see.
     smoke_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
 
+    def materialize(df) -> None:
+        # noop-format write: evaluates EVERY output column and the final
+        # sort without collecting to the driver. A count() here would let
+        # Catalyst prune unreferenced projections and eliminate the
+        # trailing orderBy (EliminateSorts), under-measuring map-heavy
+        # queries (ADVICE r1).
+        df.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(bench_set):
         spec = bench_set[name]
         if os.path.isdir(smoke_dir):
-            spec.fn(spark, smoke_dir).count()
+            materialize(spec.fn(spark, smoke_dir))
         # best of 2 measured runs: single-machine wall times jitter
         # 20-30% from GC/compaction; the min is the stable estimator of
         # the plan's actual cost
-        best, n = None, 0
+        best = None
         for _ in range(2):
             t0 = time.time()
-            df = spec.fn(spark, sf_dir)
-            n = df.count()  # full materialization without driver collect
+            materialize(spec.fn(spark, sf_dir))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         total += best
-        print(f"# {name}: {best:.3f}s ({n} rows)", flush=True)
+        print(f"# {name}: {best:.3f}s", flush=True)
 
     print(
         json.dumps(

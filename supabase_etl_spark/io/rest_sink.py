@@ -4,14 +4,18 @@ and object-storage upload (op L3, etl_supabase.py:88-108).
 The reference slices a Python list into 300-row chunks and POSTs them
 sequentially. Here the sink is `foreachPartition`: every partition
 streams its rows into bounded JSON batches and POSTs them in parallel
-across executors — same wire protocol (PostgREST POST, apikey +
-Authorization headers, `Prefer: resolution=merge-duplicates` for
-upsert), but N-way parallel and with exponential-backoff retry, which
-the reference lacks (SURVEY §4.1 "no retries/backoff").
+across executors — same endpoint and auth headers (PostgREST POST,
+apikey + Authorization), but N-way parallel and with
+exponential-backoff retry, which the reference lacks (SURVEY §4.1 "no
+retries/backoff").
 
 Delivery contract: at-least-once, idempotent when the target has a
-primary key (upsert) — identical to the reference's semantics
-(SURVEY §2.3.4), now documented instead of accidental.
+primary key and upsert=True. NOTE an intentional improvement over the
+reference: the reference sends only `Prefer: return=minimal`
+(etl_supabase.py:76-80), so its POST is a plain insert that fails on a
+primary-key conflict; this sink's default upsert=True adds
+`Prefer: resolution=merge-duplicates`, making re-runs idempotent.
+Set upsert=False for bit-exact reference wire behavior.
 
 Scale posture: batch size bounds memory per task; retries bound
 transient failures; per-partition row/batch counts flow back through

@@ -47,6 +47,10 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 SIMHASH_BITS = 32
 SIMHASH_A, SIMHASH_B = 1_103_515_245, 12_345
 SIMHASH_M = 2_147_483_648
+# Pair stage bands the signature into byte keys: a Hamming<=3 pair has
+# at most 3 differing bytes, so >=1 of the 4 bytes matches (pigeonhole)
+# and the per-band equi-join loses no recall.
+SIMHASH_BANDS = SIMHASH_BITS // 8
 
 
 def shingles_of_tokens(toks: Column, k: int = SHINGLE_K) -> Column:

@@ -111,7 +111,17 @@ def bucketed_range_join(
 
     `bucket_micros` should be about the typical interval width: larger
     buckets mean fewer exploded rows but more residual false pairs.
+
+    Inner-only: the post-join residual filter would evaluate to null on
+    null-extended rows and silently drop them, turning any outer join
+    back into an inner one (ADVICE r1) — so other `how` values raise.
     """
+    if how != "inner":
+        raise ValueError(
+            "bucketed_range_join supports how='inner' only: the residual "
+            "interval filter runs after the join and would drop "
+            f"null-extended rows of a {how!r} join"
+        )
     lo = F.floor(F.unix_micros(F.col(left_start)) / bucket_micros)
     hi = F.floor(F.unix_micros(F.col(left_end)) / bucket_micros)
     lefts = left.withColumn("__b", F.explode(F.sequence(lo, hi)))

@@ -75,6 +75,10 @@ def load_all() -> dict[str, QuerySpec]:
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
-        except ModuleNotFoundError:
-            pass  # module not built yet (incremental rounds)
+        except ModuleNotFoundError as e:
+            # Only tolerate the query submodule itself being absent
+            # (incremental rounds); a missing transitive dependency must
+            # fail loudly or the registry silently shrinks (ADVICE r1).
+            if e.name != mod:
+                raise
     return REGISTRY

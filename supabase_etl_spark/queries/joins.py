@@ -136,6 +136,38 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_urgent,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 0.0) AS urgent_spend
+    FROM orders
+    RIGHT JOIN customer ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: the (filtered) orders side is the left input
+    and every customer survives from the right — the mirror of
+    join_left_outer, closing the last SURVEY §2.2 join form."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_urgent"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"), F.lit(0.0)
+            ).alias("urgent_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
     "join_full_outer",
     oracle="""
     WITH big_spenders AS (

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from supabase_etl_spark.io.readers import load_table
 from supabase_etl_spark.operators import dedup as D
 from supabase_etl_spark.operators.text import tokens
+from supabase_etl_spark.queries import llm_similarity as S
 from supabase_etl_spark.queries import query
 
 JACCARD_THRESHOLD = 0.8
@@ -97,10 +98,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via inverted-index join
     (operators/dedup.jaccard_pairs; the result-identical prefix-filtered
-    variant jaccard_pairs_prefix is the df-skew scale path). Finds the
+    variant is registered as dedup_ngram_jaccard_prefix). Finds the
     planted ≈0.99 pairs."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return D.jaccard_pairs(d, JACCARD_THRESHOLD).orderBy("ida", "idb")
+
+
+@query(
+    "dedup_ngram_jaccard_prefix",
+    # Result-identical to dedup_ngram_jaccard by construction (prefix
+    # filtering drops only candidate pairs that cannot reach the
+    # threshold), so the oracle is the same plain inverted-index SQL.
+    oracle=f"""
+    WITH {_SQL_SHINGLE_CTES},
+    inter AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    {_SQL_JACCARD_TAIL}
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered Jaccard near-dup pairs
+    (operators/dedup.jaccard_pairs_prefix): shingles ranked by global
+    rarity, only each document's prefix joins, so stop-shingle df skew
+    never reaches the candidate stage — the shape you'd run on a web
+    corpus. Result-identical to dedup_ngram_jaccard (zero recall loss
+    at t=0.8 by the prefix bound)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.jaccard_pairs_prefix(d, JACCARD_THRESHOLD).orderBy("ida", "idb")
 
 
 def _sql_minhash_cte() -> str:
@@ -218,15 +246,36 @@ def _sql_simhash_cte() -> str:
     """
 
 
+def _sql_simhash_band_ctes() -> str:
+    """Byte-band CTEs replaying the Spark-side banded candidate join."""
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, (simhash >> {8 * b}) & 255 AS k FROM sig"
+        for b in range(D.SIMHASH_BANDS)
+    )
+    return f"""
+    bands AS (
+{band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+    )
+    """
+
+
 @query(
     "dedup_simhash",
     oracle=f"""
-    WITH {_sql_simhash_cte()}
-    SELECT a.doc_id AS ida, b.doc_id AS idb,
-           a.simhash AS simhash_a, b.simhash AS simhash_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    WITH {_sql_simhash_cte()},
+    {_sql_simhash_band_ctes()}
+    SELECT c.ida, c.idb,
+           sa.simhash AS simhash_a, sb.simhash AS simhash_b,
+           bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.ida
+    JOIN sig sb ON sb.doc_id = c.idb
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_MAX_HAMMING}
     ORDER BY ida, idb
     """,
     tags=("llm", "dedup"),
@@ -234,10 +283,14 @@ def _sql_simhash_cte() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash (count-weighted token hashes, sign per bit),
     near-dup pairs at small Hamming distance. Token ids from the
-    row-local cross-engine hash (operators/dedup.strhash). The pair
-    join here is brute-force n²; at 100 TB block on simhash bit-bands
-    (split the signature into 4 byte-keys, join per band) — same trick
-    as MinHash LSH."""
+    row-local cross-engine hash (operators/dedup.strhash).
+
+    The pair stage is **banded**, not all-pairs: the signature splits
+    into 4 byte-keys; any pair at Hamming <= 3 differs in at most 3 of
+    the 4 bytes, so it shares >= 1 intact byte (pigeonhole) and is
+    found by the per-band equi-join — zero recall loss, no n² plan.
+    Candidate volume is bounded by per-(band,byte) bucket occupancy;
+    at 100 TB the join shuffles on (band, byte) like any hash join."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     tc = (
@@ -265,21 +318,63 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         range(1, D.SIMHASH_BITS),
         F.when(F.col("s0") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0)),
     )
-    sig = bits.select("doc_id", sig_expr.alias("simhash"))
-    a, b = sig.alias("a"), sig.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("ida"),
-            F.col("b.doc_id").alias("idb"),
-            F.col("a.simhash").alias("simhash_a"),
-            F.col("b.simhash").alias("simhash_b"),
-            hamming.alias("hamming"),
+    sig = bits.select("doc_id", sig_expr.alias("simhash")).cache()
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("k"),
+            )
+            for b in range(D.SIMHASH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_arr).alias("bk")).select(
+        "doc_id", "bk.band", "bk.k"
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            [
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.k") == F.col("b.k"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
         )
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    return (
+        cand.join(sig.select(F.col("doc_id").alias("ida"), F.col("simhash").alias("simhash_a")), "ida")
+        .join(sig.select(F.col("doc_id").alias("idb"), F.col("simhash").alias("simhash_b")), "idb")
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("ida", "idb", "simhash_a", "simhash_b", "hamming")
         .orderBy("ida", "idb")
     )
+
+
+COSINE_BANDS = 4  # independent sign-LSH bucket sets unioned for candidates
+
+
+def _sql_cosine_band_ctes() -> str:
+    """Multi-band sign-LSH candidate CTEs replaying the Spark plan."""
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, {b} AS band, {S.sql_lsh_bucket('embedding', b)} AS bucket"
+        f" FROM all_vecs"
+        for b in range(COSINE_BANDS)
+    )
+    return f"""
+    bands AS (
+{band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    """
 
 
 @query(
@@ -293,10 +388,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed AS (
         SELECT vec_id, embedding, sqrt({D.sql_dot("embedding", "embedding")}) AS nrm
         FROM all_vecs
-    )
-    SELECT a.vec_id AS ida, b.vec_id AS idb,
+    ),
+    {_sql_cosine_band_ctes()}
+    SELECT c.ida, c.idb,
            {D.sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
-    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    FROM cand c
+    JOIN normed a ON a.vec_id = c.ida
+    JOIN normed b ON b.vec_id = c.idb
     WHERE {D.sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
           >= {COSINE_DUP_THRESHOLD}
     ORDER BY ida, idb
@@ -308,29 +406,68 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-union; organic max cosine in the testdata is ≈0.51, so the
     planted 1.0-pairs are exactly the expected output).
 
-    Brute-force O(n²) pair join — the exact baseline. The norm is
-    precomputed per vector (one scan) so each pair costs a single
-    sequential fold; the scale path is sign-LSH bucketing
-    (sim_topk_lsh in llm_similarity) which replaces the cross join with
-    a bucket-key equi-join."""
+    The pair stage gates candidates through **4 independent sign-LSH
+    bucket sets** (16 deterministic hyperplanes, llm_similarity.
+    lsh_bucket bands 0-3): a pair is scored only if some band puts both
+    vectors in the same bucket. Identical vectors agree on every sign,
+    so planted duplicates are always candidates; for near-but-not-equal
+    pairs at cos>=0.95 each band hits with p≈0.65, so 4 bands miss with
+    p≈0.015 (the oracle replays the identical gate, so results still
+    hash-match bit-for-bit). Replaces the brute-force O(n²) cross join
+    with per-band equi-joins — shuffle on (band, bucket), the 100 TB
+    shape. Exact cosine re-rank runs only on candidates."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = e.select((F.col("vec_id") + COPY_OFFSET).alias("vec_id"), "embedding")
     normed = (
         e.unionByName(planted)
         .withColumn("nrm", F.sqrt(D.dot_double(F.col("embedding"), F.col("embedding"))))
-        .alias("a")
+        .cache()
     )
-    b = normed.alias("b")
-    cos = D.dot_double(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                S.lsh_bucket(F.col("embedding"), b).alias("bucket"),
+            )
+            for b in range(COSINE_BANDS)
+        ]
     )
-    return (
-        normed.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("ida"),
-            F.col("b.vec_id").alias("idb"),
-            cos.alias("cos_sim"),
+    bands = normed.select("vec_id", F.explode(band_arr).alias("bk")).select(
+        "vec_id", "bk.band", "bk.bucket"
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            [
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
         )
+        .select(F.col("a.vec_id").alias("ida"), F.col("b.vec_id").alias("idb"))
+        .distinct()
+    )
+    cos = D.dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(
+            normed.select(
+                F.col("vec_id").alias("ida"),
+                F.col("embedding").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "ida",
+        )
+        .join(
+            normed.select(
+                F.col("vec_id").alias("idb"),
+                F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "idb",
+        )
+        .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+        .select("ida", "idb", "cos_sim")
         .orderBy("ida", "idb")
     )

@@ -57,14 +57,24 @@ def _sql_plane_coef(p: int, d: str) -> str:
     )
 
 
-def lsh_bucket(emb: Column) -> Column:
-    """Bucket id in [0, 2^planes): bit p = sign of plane-p projection."""
+def lsh_bucket(emb: Column, band: int = 0) -> Column:
+    """Bucket id in [0, 2^planes): bit p = sign of plane-p projection.
+
+    ``band`` selects an independent set of hyperplanes (planes
+    ``band*LSH_PLANES .. band*LSH_PLANES+LSH_PLANES-1``) so callers can
+    union candidates across several bucket sets (multi-band LSH)."""
     bits = []
     for p in range(LSH_PLANES):
+        pg = band * LSH_PLANES + p
+        # single-parameter lambda ONLY: F.transform passes the array
+        # index as a second argument when the callable accepts one, so a
+        # `pg=pg` default would be silently overwritten by the index.
+        # Plain closure capture is safe — F.transform evaluates the
+        # lambda eagerly in this iteration.
         proj = F.aggregate(
             F.transform(
                 F.sequence(F.lit(0), F.lit(DIM - 1)),
-                lambda d: _plane_coef(p, d.cast("bigint"))
+                lambda d: _plane_coef(pg, d.cast("bigint"))  # noqa: B023
                 * F.element_at(emb, d + 1).cast("double"),
             ),
             F.lit(0.0),
@@ -74,12 +84,13 @@ def lsh_bucket(emb: Column) -> Column:
     return reduce(lambda a, b: a + b, bits).alias("bucket")
 
 
-def sql_lsh_bucket(emb: str) -> str:
+def sql_lsh_bucket(emb: str, band: int = 0) -> str:
     terms = []
     for p in range(LSH_PLANES):
+        pg = band * LSH_PLANES + p
         proj = (
             f"(list_reduce(list_transform(range(0, {DIM}), "
-            f"d -> {_sql_plane_coef(p, 'd')} * CAST({emb}[d + 1] AS DOUBLE)), "
+            f"d -> {_sql_plane_coef(pg, 'd')} * CAST({emb}[d + 1] AS DOUBLE)), "
             f"(acc, x) -> acc + x) + 0.0)"
         )
         terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")

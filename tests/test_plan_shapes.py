@@ -75,3 +75,21 @@ def test_bucketed_range_join_avoids_nested_loop(spark):
     plan = _plan(q.fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_pair_join_is_banded_not_all_pairs(spark):
+    """The Hamming<=3 pair stage must go through the byte-band equi-join
+    (pigeonhole, zero recall loss) — never a nested-loop n² plan."""
+    q = load_all()["dedup_simhash"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_cosine_pair_join_is_lsh_gated(spark):
+    """Candidate pairs come from the multi-band sign-LSH bucket
+    equi-join, not a brute-force cross join over all vector pairs."""
+    q = load_all()["dedup_embedding_cosine"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
