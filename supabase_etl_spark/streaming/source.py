@@ -26,15 +26,20 @@ EVENTS_SCHEMA_NANOS = (
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over events.parquet with nanos→micros normalization."""
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """readStream over events-shaped parquet with nanos→micros
+    normalization. ``glob`` scopes the directory scan (default: just
+    the sf-dir's events table; incremental landing zones pass a
+    wildcard to pick up newly arriving files)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file source wants a directory (it infers basePath); scope the
-    # scan to the events file with a glob filter
+    # scan to the events file(s) with a glob filter
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA_NANOS)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .load(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
