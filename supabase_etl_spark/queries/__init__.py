@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "supabase_etl_spark.queries.llm_multimodal",
     "supabase_etl_spark.queries.llm_ml",
     "supabase_etl_spark.queries.llm_sampling",
+    "supabase_etl_spark.queries.scale_levers",
     "supabase_etl_spark.queries.io_roundtrip",
     "supabase_etl_spark.queries.streaming",
 ]

@@ -1,0 +1,94 @@
+"""Measured evidence for the scale levers (VERDICT r1 item 10).
+
+`operators/scale.salted_join` existed with equality tests only; these
+two bench-flagged queries put the skew lever on the per-round record:
+identical semantics (same DuckDB oracle, hash-matched) computed with
+and without salting over a deliberately skewed key, so BENCH_r{N}.json
+carries the salted-vs-plain timing side by side at sf0.1.
+
+The skew: ~80% of lineitem rows collapse onto key 0 (every l_orderkey
+not divisible by 5), the rest spread over 100 keys — the one-hot-key
+shape AQE's skew splitting handles for *shuffle sizing* but which still
+serializes a single reducer's aggregation when the hot key exceeds one
+task's share. Salting fans the hot key across 16 lanes at the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.operators.scale import salted_join
+from supabase_etl_spark.queries import query
+
+SALT_BUCKETS = 16
+
+_SKEW_ORACLE = """
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 5 > 0 THEN 0 ELSE l_partkey % 100 END AS k,
+               l_quantity
+        FROM lineitem
+    ),
+    dim AS (
+        SELECT p_partkey % 100 AS k, count(*) AS n_parts FROM part GROUP BY 1
+    )
+    SELECT f.k AS k, count(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           min(d.n_parts) AS n_parts
+    FROM fact f JOIN dim d ON f.k = d.k
+    GROUP BY f.k
+    ORDER BY f.k
+"""
+
+
+def _skew_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.when(F.col("l_orderkey") % 5 > 0, F.lit(0)).otherwise(
+        F.col("l_partkey") % 100
+    )
+    return li.select(k.cast("bigint").alias("k"), "l_quantity", "l_orderkey")
+
+
+def _skew_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy((F.col("p_partkey") % 100).cast("bigint").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+def _skew_agg(joined: DataFrame) -> DataFrame:
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("sum_qty"),
+            F.min("n_parts").alias("n_parts"),
+        )
+        .orderBy("k")
+    )
+
+
+@query("scale_skew_join_plain", oracle=_SKEW_ORACLE, tags=("scale",), bench=True)
+def scale_skew_join_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline: plain equi-join on the skewed key; AQE skew-join
+    splitting is on (session factory) and is the only defense."""
+    f = _skew_fact(spark, sf_dir)
+    d = _skew_dim(spark, sf_dir)
+    return _skew_agg(f.join(d, "k"))
+
+
+@query("scale_skew_join_salted", oracle=_SKEW_ORACLE, tags=("scale",), bench=True)
+def scale_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics through operators/scale.salted_join: the fact
+    side fans over 16 deterministic salt lanes keyed by l_orderkey, the
+    dim side replicates per lane, the join key becomes (k, salt) — the
+    hot key's rows spread over 16 reducers instead of one. Result- and
+    hash-identical to the plain variant (same oracle)."""
+    f = _skew_fact(spark, sf_dir)
+    d = _skew_dim(spark, sf_dir)
+    joined = salted_join(
+        f, d, "k", salt_buckets=SALT_BUCKETS, salt_source=F.col("l_orderkey")
+    )
+    return _skew_agg(joined)

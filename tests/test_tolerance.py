@@ -59,6 +59,50 @@ def test_spark_ml_minhash_recall(spark):
     assert recall >= 0.8, f"spark.ml minhash recall {recall:.2f} < 0.8"
 
 
+def test_brp_lsh_batch_recall_vs_exact_euclidean(spark):
+    """sim_brp_lsh_ml (batch approxSimilarityJoin, no driver loop) must
+    recover most of the exact euclidean top-k for each query, and every
+    distance it reports must equal the exact value for that pair."""
+    from supabase_etl_spark.queries.llm_ml import BRP_N_QUERIES, BRP_TOP_K
+
+    ml_rows = REGISTRY["sim_brp_lsh_ml"].fn(spark, SF).collect()
+    assert ml_rows, "BRP-LSH produced no candidates"
+    e = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < BRP_N_QUERIES).selectExpr(
+        "vec_id AS qid", "embedding AS qe"
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("qe"),
+                F.col("embedding"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("cid").asc())
+    exact_rows = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BRP_TOP_K)
+        .collect()
+    )
+    exact = {(r["qid"], r["cid"]): r["d"] for r in exact_rows}
+    ml = {(r["qid"], r["cid"]): r["dist"] for r in ml_rows}
+    recall = len(set(exact) & set(ml)) / len(exact)
+    assert recall >= 0.6, f"BRP batch recall {recall:.2f} < 0.6"
+    # distances on shared pairs are exact (re-rank is not approximate)
+    for p in set(exact) & set(ml):
+        assert abs(ml[p] - exact[p]) < 1e-9
+
+
 def test_approx_quantiles_within_2pct(spark):
     o = load_table(spark, SF, "orders")
     exact = o.select(
