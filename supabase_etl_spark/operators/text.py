@@ -56,6 +56,26 @@ def punct_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(PUNCT_PATTERN), F.lit(0)))
 
 
+def ngrams_all(toks: Column, k: int) -> Column:
+    """ALL word k-grams of a materialized token-array column, duplicates
+    kept (repetition measurement needs multiplicity; contrast
+    dedup.shingles_of_tokens, which distinct-ifies for set similarity).
+    Documents shorter than k tokens contribute their full run once."""
+    n = F.greatest(F.lit(1), F.size(toks) - F.lit(k - 1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(k))),
+    )
+
+
+def sql_ngrams_all(toks: str, k: int) -> str:
+    """DuckDB mirror of :func:`ngrams_all` (1-based list slicing)."""
+    return (
+        f"list_transform(range(1, greatest(1, len({toks}) - {k - 1}) + 1), "
+        f"i -> array_to_string({toks}[i:i+{k - 1}], ' '))"
+    )
+
+
 def stopword_count(col: Column, words: tuple[str, ...] = STOPWORDS_EN) -> Column:
     """Occurrences (not distinct) of profile words among tokens."""
     return F.size(F.filter(tokens(col), lambda t: t.isin(*words)))

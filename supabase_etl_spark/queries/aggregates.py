@@ -54,11 +54,10 @@ def agg_group_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_q = F.sum(q.cast("decimal(28,6)")).cast("double")
     sum_q2 = F.sum((q * q).cast("decimal(28,6)")).cast("double")
     n = F.count(q)
-    order_key = F.concat_ws(
-        "|",
-        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
-        F.lpad(F.col("l_orderkey").cast("string"), 20, "0"),
-    )
+    # struct ordering == the oracle's padded-string composite ordering
+    # (dates sort lexically == chronologically; orderkey zero-padded),
+    # but without building a string per row (~0.3s/600k rows saved)
+    order_key = F.struct("l_shipdate", "l_orderkey")
     return (
         li.groupBy("l_returnflag")
         .agg(

@@ -471,3 +471,91 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ida", "idb", "cos_sim")
         .orderBy("ida", "idb")
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTES},
+    inter AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.ida, i.idb
+        FROM inter i
+        JOIN sizes sa ON i.ida = sa.doc_id
+        JOIN sizes sb ON i.idb = sb.doc_id
+        WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT ida AS src, idb AS dst FROM pairs
+        UNION
+        SELECT idb, ida FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id,
+           (a = min(b)) AS is_canonical
+    FROM reach GROUP BY a
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate **cluster assignment**: connected components over
+    the n-gram-Jaccard pair graph, every document labeled with its
+    component's minimum doc_id (the canonical survivor). This is the
+    step that turns pairwise dedup output into the keep/drop decision a
+    training-data pipeline actually executes.
+
+    Spark side: min-label propagation — labels start as doc_id; each
+    round joins labels across edges and takes the elementwise min;
+    stops when a round changes nothing. Each round is one equi-join +
+    one groupBy (shuffle on doc_id); rounds needed = component
+    diameter, which for near-dup clusters is tiny (they are cliques or
+    near-cliques). The driver loop iterates over *plans*, never rows
+    (same shape as GraphX/Pregel); lineage is truncated per round with
+    localCheckpoint so plans stay bounded. The DuckDB oracle computes
+    the same fixpoint with a recursive CTE."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.jaccard_pairs(d, JACCARD_THRESHOLD).select("ida", "idb")
+    edges = (
+        pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+        .unionByName(pairs.select(F.col("idb").alias("src"), F.col("ida").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    for _ in range(20):  # diameter bound; near-dup components are shallow
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    ).orderBy("doc_id")

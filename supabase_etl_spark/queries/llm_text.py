@@ -221,3 +221,171 @@ def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("tf").desc(), F.col("term").asc())
         .limit(20)
     )
+
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    arr AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               {T.sql_ngrams_all('toks', 2)} AS g2,
+               {T.sql_ngrams_all('toks', 3)} AS g3
+        FROM toks
+    ),
+    tc AS (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT doc_id, max(c) AS max_c, sum(c) AS n FROM tc GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_id, a.n_tokens AS n_tokens,
+           CAST(top.max_c AS DOUBLE) / top.n AS top_token_frac,
+           1.0 - CAST(len(list_distinct(a.g2)) AS DOUBLE) / len(a.g2) AS dup_bigram_frac,
+           1.0 - CAST(len(list_distinct(a.g3)) AS DOUBLE) / len(a.g3) AS dup_trigram_frac
+    FROM arr a JOIN top ON a.doc_id = top.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/C4 repetition
+    family): most-frequent-token mass and duplicate bi-/tri-gram
+    fractions. High values mark boilerplate and degenerate generations
+    — a standard pre-training drop rule.
+
+    Shape: n-gram fractions are array-local (zero shuffle); the top
+    token needs exact per-(doc, token) counts → explode + two partial
+    aggs partitioned by doc_id, then a doc_id equi-join — all linear."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+    g2, g3 = T.ngrams_all(F.col("toks"), 2), T.ngrams_all(F.col("toks"), 3)
+    arr = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(g2)).cast("double") / F.size(g2)
+        ).alias("dup_bigram_frac"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(g3)).cast("double") / F.size(g3)
+        ).alias("dup_trigram_frac"),
+    )
+    tc = (
+        d.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = tc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_token_frac")
+    )
+    return (
+        arr.join(top, "doc_id")
+        .select("doc_id", "n_tokens", "top_token_frac", "dup_bigram_frac", "dup_trigram_frac")
+        .orderBy("doc_id")
+    )
+
+
+# Gopher-style document-filter thresholds (published rule family:
+# Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1 —
+# word-count window, mean word length window, symbol ratio, alphabetic
+# word fraction, minimum distinct stopwords).
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+_SYMBOL_RE = r"#|\.\.\."
+_STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+
+
+@query(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, lang,
+               len(toks) AS n_words,
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS mean_word_len,
+               CAST(len(regexp_extract_all(text, '{_SYMBOL_RE}')) AS DOUBLE)
+                   / greatest(len(toks), 1) AS symbol_ratio,
+               CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS alpha_frac,
+               len(list_distinct(list_filter(list_transform(toks, x -> lower(x)),
+                                             x -> x IN ({_STOP_SQL})))) AS n_stopwords
+        FROM t
+    )
+    SELECT doc_id, lang, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+           AND (mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
+           AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+           AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+           AND n_stopwords >= {GOPHER_MIN_STOPWORDS} AS keep
+    FROM sig
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based document filter: word-count window, mean
+    word length window, symbol-to-word ratio, alphabetic-word fraction,
+    distinct-stopword floor, and the conjunctive keep flag. Every
+    signal is an array-local column expression — scan-speed at 100 TB,
+    zero shuffle before the final ORDER BY."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", T.tokens(F.col("text")).alias("toks")
+    )
+    n = F.greatest(F.size("toks"), F.lit(1))
+    mean_word_len = (
+        F.aggregate(
+            F.transform(F.col("toks"), lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n
+    )
+    symbol_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_SYMBOL_RE), F.lit(0))).cast("double")
+        / n
+    )
+    alpha_frac = (
+        F.size(F.filter(F.col("toks"), lambda x: x.rlike("[A-Za-z]"))).cast("double") / n
+    )
+    n_stopwords = F.size(
+        F.array_distinct(
+            F.filter(
+                F.transform(F.col("toks"), lambda x: F.lower(x)),
+                lambda x: x.isin(*T.STOPWORDS_EN),
+            )
+        )
+    )
+    sig = d.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stopwords.alias("n_stopwords"),
+    )
+    keep = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
+    )
+    return sig.withColumn("keep", keep).orderBy("doc_id")
