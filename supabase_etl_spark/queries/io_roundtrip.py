@@ -150,3 +150,27 @@ def io_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "l_orderkey", "l_linenumber", "ship_date", "l_quantity"
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "io_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("io",),
+)
+def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → ORC sink → ORC scan. ORC is the second columnar
+    format Spark ships natively (predicate pushdown + column pruning
+    work the same as parquet); the roundtrip pins type fidelity through
+    the ORC writer/reader pair. (Avro is the one format gated out: its
+    spark-avro connector module is not in the base distribution and
+    this environment installs nothing.)"""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    s.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).orderBy("s_suppkey")
