@@ -71,3 +71,70 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        GROUP BY e.user_id
+    )
+    SELECT count(v.user_id) AS n_view,
+           count(c.user_id) AS n_view_click,
+           count(p.user_id) AS n_view_click_purchase,
+           CAST(count(c.user_id) AS DOUBLE) / count(v.user_id) AS click_rate,
+           CAST(count(p.user_id) AS DOUBLE) / count(v.user_id) AS purchase_rate
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    tags=("events",),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel progression (view → click → purchase): each stage
+    keeps users whose first qualifying event happens at-or-after their
+    previous stage's first event. Three conditional min-aggregations
+    chained by user_id equi-joins — every shuffle is on the same key,
+    so a cluster re-uses one hash partitioning end to end; no windows,
+    no row explosion."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    joined = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return joined.agg(
+        F.count("v_ts").alias("n_view"),
+        F.count("c_ts").alias("n_view_click"),
+        F.count("p_ts").alias("n_view_click_purchase"),
+        (F.count("c_ts").cast("double") / F.count("v_ts")).alias("click_rate"),
+        (F.count("p_ts").cast("double") / F.count("v_ts")).alias("purchase_rate"),
+    )
