@@ -1,0 +1,123 @@
+"""Data-quality validation — the constraint gate every production
+pipeline runs before publishing a table (expectation checks in the
+dbt-test / Deequ / Delta-constraints family, expressed as one
+aggregate-only plan).
+
+Each check computes a metric and a boolean verdict; the result is a
+small (check, metric, pass) table. At 100 TB every check here is a
+scan + partial agg (no joins except the FK probe, which is a
+broadcast-able anti-join count), so the whole gate costs about one
+pass over each table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.queries import query
+
+
+@query(
+    "dq_validate",
+    oracle="""
+    WITH pk AS (
+        SELECT count(*) - count(DISTINCT o_orderkey) AS dup_pk FROM orders
+    ),
+    nulls AS (
+        SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS null_frac
+        FROM orders
+    ),
+    fk AS (
+        SELECT count(*) AS orphans
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL
+    ),
+    rng AS (
+        SELECT SUM(CASE WHEN l_quantity <= 0 OR l_discount < 0 OR l_discount > 1
+                        THEN 1 ELSE 0 END) AS bad_rows
+        FROM lineitem
+    ),
+    enum_chk AS (
+        SELECT SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+               AS bad_rows
+        FROM lineitem
+    )
+    SELECT 'orders_pk_unique' AS check_name, CAST(dup_pk AS DOUBLE) AS metric,
+           dup_pk = 0 AS pass FROM pk
+    UNION ALL
+    SELECT 'orders_custkey_not_null', null_frac, null_frac = 0.0 FROM nulls
+    UNION ALL
+    SELECT 'lineitem_fk_orders', CAST(orphans AS DOUBLE), orphans = 0 FROM fk
+    UNION ALL
+    SELECT 'lineitem_value_ranges', CAST(bad_rows AS DOUBLE), bad_rows = 0 FROM rng
+    UNION ALL
+    SELECT 'lineitem_returnflag_domain', CAST(bad_rows AS DOUBLE), bad_rows = 0
+    FROM enum_chk
+    ORDER BY check_name
+    """,
+    tags=("dq",),
+)
+def dq_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five constraint checks: PK uniqueness, null fraction, referential
+    integrity (anti-join count), numeric ranges, enum domain."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dup_pk = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("m")
+    ).select(
+        F.lit("orders_pk_unique").alias("check_name"),
+        F.col("m").cast("double").alias("metric"),
+        (F.col("m") == 0).alias("pass"),
+    )
+    null_frac = o.agg(
+        (
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    ).select(
+        F.lit("orders_custkey_not_null").alias("check_name"),
+        F.col("m").alias("metric"),
+        (F.col("m") == 0.0).alias("pass"),
+    )
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .select(
+            F.lit("lineitem_fk_orders").alias("check_name"),
+            F.col("m").cast("double").alias("metric"),
+            (F.col("m") == 0).alias("pass"),
+        )
+    )
+    bad_range = li.agg(
+        F.sum(
+            F.when(
+                (F.col("l_quantity") <= 0)
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1),
+                1,
+            ).otherwise(0)
+        ).alias("m")
+    ).select(
+        F.lit("lineitem_value_ranges").alias("check_name"),
+        F.col("m").cast("double").alias("metric"),
+        (F.col("m") == 0).alias("pass"),
+    )
+    bad_enum = li.agg(
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).alias("m")
+    ).select(
+        F.lit("lineitem_returnflag_domain").alias("check_name"),
+        F.col("m").cast("double").alias("metric"),
+        (F.col("m") == 0).alias("pass"),
+    )
+    return (
+        dup_pk.unionByName(null_frac)
+        .unionByName(orphans)
+        .unionByName(bad_range)
+        .unionByName(bad_enum)
+        .orderBy("check_name")
+    )

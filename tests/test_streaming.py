@@ -149,3 +149,53 @@ def test_transform_with_state_in_pandas_if_available(spark, tmp_path):
     got = {(r["user_id"], r["n"]) for r in sink.collect()}
     want = {(r["user_id"], r["count"]) for r in expected.collect()}
     assert got == want
+
+
+def test_stream_foreachbatch_rest_upsert(spark, postgrest_mock, tmp_path):
+    """Streaming → reference sink: an AvailableNow events stream
+    delivered through foreachBatch into the chunked PostgREST upsert
+    (ref L1). This is the reference's daily load recast as incremental:
+    each micro-batch upserts idempotently, the checkpoint guarantees a
+    file is never re-delivered across runs."""
+    from supabase_etl_spark.io.rest_sink import RestSinkConfig, upsert_rest
+    from supabase_etl_spark.streaming.source import read_events_stream
+
+    srv, store = postgrest_mock
+    cfg = RestSinkConfig(
+        base_url=f"http://127.0.0.1:{srv.server_address[1]}/rest/v1",
+        table="events_inc",
+        chunk_size=300,
+    )
+
+    def deliver(batch_df, batch_id):
+        upsert_rest(
+            batch_df.select("event_id", "user_id", "event_type", "value"), cfg
+        )
+
+    s = read_events_stream(spark, "/root/testdata/sf0.001").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = (
+        s.writeStream.foreachBatch(deliver)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from supabase_etl_spark.io.readers import load_table
+
+    n_events = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    delivered = sum(len(r["rows"]) for r in store["requests"])
+    assert delivered == n_events
+    assert all(len(r["rows"]) <= 300 for r in store["requests"])
+    # second run, same checkpoint: nothing new to deliver
+    before = len(store["requests"])
+    q2 = (
+        s.writeStream.foreachBatch(deliver)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert len(store["requests"]) == before
