@@ -180,6 +180,7 @@ def _sql_minhash_cte() -> str:
     {_SQL_JACCARD_TAIL}
     """,
     tags=("llm", "dedup"),
+    bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (12 hashes) + LSH (4 bands × 3 rows) candidate

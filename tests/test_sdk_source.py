@@ -64,3 +64,43 @@ def test_source_through_reference_transform(spark):
         data = json.loads(r["data"])
         # year/ticker excluded, statement + metrics packed
         assert set(data) == {"statement", *METRICS}
+
+
+def test_streaming_sdk_source_incremental_years(spark, tmp_path):
+    """The streaming SDK source drains all configured years on the
+    first AvailableNow run, then a widened end_year with the SAME
+    checkpoint delivers only the new years — the reference's daily
+    cron re-pull with exactly-once offset bookkeeping."""
+    from supabase_etl_spark.io.sdk_source import STATEMENTS, register
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain(end_year: int) -> None:
+        s = (
+            spark.readStream.format("financial_statements")
+            .option("tickers", "FPT")
+            .option("start_year", "2020")
+            .option("end_year", str(end_year))
+            .load()
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(2021)
+    got = spark.read.parquet(out)
+    # 2 years x 3 statements x 1 row/year-statement
+    assert got.count() == 2 * len(STATEMENTS)
+    assert {r["Năm"] for r in got.select("Năm").collect()} == {2020, 2021}
+
+    drain(2023)  # same checkpoint: only 2022-2023 arrive
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 4 * len(STATEMENTS)
+    assert {r["Năm"] for r in got2.select("Năm").collect()} == {2020, 2021, 2022, 2023}
