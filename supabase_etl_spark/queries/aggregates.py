@@ -58,17 +58,38 @@ def agg_group_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (dates sort lexically == chronologically; orderkey zero-padded),
     # but without building a string per row (~0.3s/600k rows saved)
     order_key = F.struct("l_shipdate", "l_orderkey")
+    # COUNT(DISTINCT) mixed with other aggregates makes Catalyst Expand
+    # every input row (one copy per distinct group), dragging the seven
+    # decimal aggregates through 2x the rows. Computing the distinct
+    # count as its own two-level aggregation and joining the 3-row
+    # results is ~2.5x faster and bit-identical.
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(q, "sum_qty"),
+        davg(q, "avg_qty"),
+        F.min(q).cast("double").alias("min_qty"),
+        F.max(q).cast("double").alias("max_qty"),
+        F.round(F.sqrt((sum_q2 - sum_q * sum_q / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.min_by(F.col("l_orderkey"), order_key).alias("first_shipped_order"),
+    )
+    distinct_orders = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
-            dsum(q, "sum_qty"),
-            davg(q, "avg_qty"),
-            F.min(q).cast("double").alias("min_qty"),
-            F.max(q).cast("double").alias("max_qty"),
-            F.round(F.sqrt((sum_q2 - sum_q * sum_q / n) / (n - 1)), 6).alias("stddev_qty"),
-            F.min_by(F.col("l_orderkey"), order_key).alias("first_shipped_order"),
+        base.join(distinct_orders, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "n_orders",
+            "sum_qty",
+            "avg_qty",
+            "min_qty",
+            "max_qty",
+            "stddev_qty",
+            "first_shipped_order",
         )
         .orderBy("l_returnflag")
     )
@@ -399,4 +420,82 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_q")[1].alias("q50"),
         F.col("approx_q")[2].alias("q75"),
         F.col("approx_q")[3].alias("q99"),
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 30000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 30000) * 30000 AS DOUBLE) AS bucket_lo,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY bucket
+    """,
+    tags=("agg",),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (30k-wide buckets of order value):
+    the binning expression is the group key, so the plan is an ordinary
+    partial+final hash agg — the scalable histogram (contrast
+    driver-side rdd.histogram, which collects bounds)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 30000)
+    return (
+        o.groupBy(
+            bucket.cast("bigint").alias("bucket"),
+            (bucket * 30000).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), "total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "agg_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(
+             (count(*) * CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE))
+             / (sqrt(count(*) * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                       * CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE))
+                * sqrt(count(*) * CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                       - CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                         * CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE))),
+             6) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from exact decimal moments
+    (n·Σxy − Σx·Σy over the√-product of variances) — deterministic
+    across engines, unlike the native streaming `corr` whose float
+    accumulation order differs. Same one-pass partial-agg plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    sx = F.sum(x.cast("decimal(28,6)")).cast("double")
+    sy = F.sum(y.cast("decimal(28,6)")).cast("double")
+    sxy = F.sum((x * y).cast("decimal(38,6)")).cast("double")
+    sxx = F.sum((x * x).cast("decimal(38,6)")).cast("double")
+    syy = F.sum((y * y).cast("decimal(38,6)")).cast("double")
+    n = F.count(F.lit(1))
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(n.alias("n"), F.round(corr, 6).alias("corr_qty_price"))
+        .orderBy("l_returnflag")
     )
