@@ -348,3 +348,71 @@ def udf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         process, schema="doc_id long, lang string, n_chars_py long, n_words_py long"
     ).orderBy("doc_id")
+
+
+@query(
+    "udf_pandas_iterator",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice * 1.08 + 2.0 AS adjusted
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+    tags=("udf",),
+)
+def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas_udf (`Iterator[pd.Series] ->
+    Iterator[pd.Series]`): the form for amortizing expensive one-off
+    setup (a model handle, a tokenizer) across all Arrow batches of a
+    partition — setup runs once per partition, not once per batch.
+    Here the 'model' is a constant (rate, fee) pair loaded before the
+    batch loop; the arithmetic replays exactly in SQL."""
+
+    @pandas_udf("double")
+    def adjust(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        rate, fee = 1.08, 2.0  # per-partition setup (stand-in for a model load)
+        for s in batches:
+            yield s * rate + fee
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return (
+        o.select("o_orderkey", adjust(F.col("o_totalprice")).alias("adjusted"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT p_partkey, p_size, p_retailprice * 2.0 AS double_price
+    FROM part
+    WHERE p_size > 20
+    ORDER BY p_partkey
+    """,
+    tags=("udf",),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: whole-partition transform over raw pyarrow
+    RecordBatches — the zero-copy floor of the Python boundary (no
+    pandas conversion at all; columnar kernels from pyarrow.compute).
+    Use when even mapInPandas' pandas materialization is too much."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def process(batches):
+        for batch in batches:
+            t = pa.table(batch)
+            t = t.filter(pc.greater(t["p_size"], 20))
+            t = t.append_column(
+                "double_price", pc.multiply(t["p_retailprice"], pa.scalar(2.0))
+            )
+            for out in t.select(
+                ["p_partkey", "p_size", "double_price"]
+            ).to_batches():
+                yield out
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    return p.mapInArrow(
+        process, schema="p_partkey long, p_size int, double_price double"
+    ).orderBy("p_partkey")
