@@ -54,10 +54,16 @@ def agg_group_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_q = F.sum(q.cast("decimal(28,6)")).cast("double")
     sum_q2 = F.sum((q * q).cast("decimal(28,6)")).cast("double")
     n = F.count(q)
-    # struct ordering == the oracle's padded-string composite ordering
-    # (dates sort lexically == chronologically; orderkey zero-padded),
-    # but without building a string per row (~0.3s/600k rows saved)
-    order_key = F.struct("l_shipdate", "l_orderkey")
+    # Ordered-first as a pure-bigint min: a min_by whose ordering key is
+    # a struct (or string) forces SortAggregate — the whole input gets
+    # sorted. Encoding (ship day, orderkey) into one bigint keeps every
+    # aggregate hash-able (plan: HashAggregate end to end). Safe while
+    # orderkey < 10^12 and shipdates are midnight-aligned (both hold for
+    # this schema; at larger key ranges widen the multiplier).
+    ship_day = F.floor(
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")) / F.lit(86_400_000_000)
+    )
+    first_key = F.min(ship_day * F.lit(1_000_000_000_000) + F.col("l_orderkey"))
     # COUNT(DISTINCT) mixed with other aggregates makes Catalyst Expand
     # every input row (one copy per distinct group), dragging the seven
     # decimal aggregates through 2x the rows. Computing the distinct
@@ -70,7 +76,7 @@ def agg_group_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(q).cast("double").alias("min_qty"),
         F.max(q).cast("double").alias("max_qty"),
         F.round(F.sqrt((sum_q2 - sum_q * sum_q / n) / (n - 1)), 6).alias("stddev_qty"),
-        F.min_by(F.col("l_orderkey"), order_key).alias("first_shipped_order"),
+        (first_key % F.lit(1_000_000_000_000)).alias("first_shipped_order"),
     )
     distinct_orders = (
         li.select("l_returnflag", "l_orderkey")
