@@ -389,3 +389,54 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
     )
     return sig.withColumn("keep", keep).orderBy("doc_id")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+    ),
+    tf AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    total AS (SELECT sum(c) AS n FROM tf),
+    scored AS (
+        SELECT tok.doc_id,
+               CAST(-ln(CAST(tf.c AS DOUBLE) / total.n) AS DECIMAL(38,18)) AS nll
+        FROM tok JOIN tf ON tok.t = tf.t CROSS JOIN total
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS mean_nll
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram negative-log-likelihood per document — the cheap proxy
+    for LM-perplexity filtering (CCNet-family): documents whose tokens
+    are corpus-typical score low, gibberish scores high. Corpus term
+    frequencies are one explode+agg; the per-token -ln(p) terms are
+    cast to exact decimal before summing so the mean is
+    order-independent and replayable (ln itself is IEEE-identical on
+    both engines' libm for these inputs; the decimal sum removes the
+    accumulation-order variable)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("t"))
+    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = tf.agg(F.sum("c").alias("n"))
+    nll = (-F.log(F.col("c").cast("double") / F.col("n"))).cast("decimal(38,18)")
+    return (
+        tok.join(tf, "t")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -199,3 +199,77 @@ def test_stream_foreachbatch_rest_upsert(spark, postgrest_mock, tmp_path):
     )
     q2.awaitTermination()
     assert len(store["requests"]) == before
+
+
+def test_stateful_counter_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState with a PERSISTENT checkpoint: run 1 counts
+    the first chunk; run 2 (new query object, same checkpoint) receives
+    only the second chunk but its emitted counts CONTINUE from the
+    recovered per-user state — proof the state store round-trips
+    through checkpoint recovery, not just within one run."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    base = dt.datetime(2024, 1, 1)
+
+    def track(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def drain():
+        s = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double"
+            )
+            .parquet(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                track,
+                outputStructType="user_id bigint, n_events bigint",
+                stateStructType="n bigint",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        # file sinks are append-only; foreachBatch accepts the
+        # update-mode output and appends each micro-batch's rows
+        q = (
+            s.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # chunk 1: user 1 gets 3 events, user 2 gets 1
+    _write_chunk(
+        spark,
+        src,
+        [(i, base + dt.timedelta(minutes=i), 1 if i < 3 else 2, "view", 1.0) for i in range(4)],
+    )
+    drain()
+    got1 = {
+        (r["user_id"], r["n_events"]) for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {(1, 3), (2, 1)}
+
+    # chunk 2: 2 more for user 1, 1 for user 3 — counts must CONTINUE
+    _write_chunk(
+        spark,
+        src,
+        [(10 + i, base + dt.timedelta(hours=1, minutes=i), 1 if i < 2 else 3, "view", 1.0) for i in range(3)],
+    )
+    drain()
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        latest[r["user_id"]] = max(latest.get(r["user_id"], 0), r["n_events"])
+    assert latest == {1: 5, 2: 1, 3: 1}
