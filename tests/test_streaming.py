@@ -273,3 +273,74 @@ def test_stateful_counter_state_survives_restart(spark, tmp_path):
     for r in spark.read.parquet(out).collect():
         latest[r["user_id"]] = max(latest.get(r["user_id"], 0), r["n_events"])
     assert latest == {1: 5, 2: 1, 3: 1}
+
+
+def test_stream_stream_left_outer_interval_join(spark):
+    """Left-outer stream-stream join: purchases with NO view in the
+    preceding hour must still emit, null-extended — which Spark only
+    does once the watermark passes the join window (state eviction
+    proves absence). AvailableNow's trailing no-data batch advances the
+    watermark to finalize those rows; the result must equal the batch
+    left join."""
+    from supabase_etl_spark.streaming.source import (
+        read_events_stream,
+        run_available_now,
+    )
+    from supabase_etl_spark.io.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+
+    def sides():
+        p = (
+            read_events_stream(spark, sf)
+            .filter(F.col("event_type") == "purchase")
+            .selectExpr("event_id AS pe", "user_id", "ts AS pts")
+            .withWatermark("pts", "0 seconds")
+        )
+        v = (
+            read_events_stream(spark, sf)
+            .filter(F.col("event_type") == "view")
+            .selectExpr("event_id AS ve", "user_id AS vu", "ts AS vts")
+            .withWatermark("vts", "0 seconds")
+        )
+        return p, v
+
+    p, v = sides()
+    joined = p.join(
+        v,
+        (F.col("vu") == F.col("user_id"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("vts") <= F.col("pts")),
+        "left_outer",
+    ).select("pe", "ve")
+    got = {
+        (r["pe"], r["ve"]) for r in run_available_now(joined, "append").collect()
+    }
+
+    ev = load_table(spark, sf, "events")
+    bp = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "event_id AS pe", "user_id", "ts AS pts"
+    )
+    bv = ev.filter(F.col("event_type") == "view").selectExpr(
+        "event_id AS ve", "user_id AS vu", "ts AS vts"
+    )
+    want_df = bp.join(
+        bv,
+        (F.col("vu") == F.col("user_id"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("vts") <= F.col("pts")),
+        "left",
+    ).select("pe", "ve")
+    want = {(r["pe"], r["ve"]) for r in want_df.collect()}
+    # Boundary: a purchase at the global max event time can never be
+    # proven matchless — the watermark stops AT it, and a view with
+    # vts == pts would still satisfy the interval, so Spark correctly
+    # withholds that one null-extension. Everything else must match.
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    last_pes = {
+        r["pe"] for r in bp.filter(F.col("pts") == F.lit(max_ts)).collect()
+    }
+    withheld = want - got
+    assert got <= want
+    assert all(pe in last_pes and ve is None for pe, ve in withheld), withheld
+    assert any(ve is None for _, ve in got)  # null-extensions did emit
