@@ -528,3 +528,60 @@ def map_explode_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", F.explode(meta).alias("k", "v"))
         .orderBy("event_id", "k")
     )
+
+
+_EXISTS_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 45
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("sql_exists_subquery", oracle=_EXISTS_SQL, tags=("sql", "subquery"))
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): Catalyst rewrites the
+    correlated predicate into a left-semi join on the correlation key —
+    no per-row subquery execution ever happens (RewritePredicateSubquery
+    — the de-correlation that makes this shape scale)."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+_CORR_SCALAR_SQL = """
+    SELECT l.l_partkey,
+           COUNT(*) AS n_small_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS small_qty
+    FROM lineitem l
+    WHERE l.l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY l.l_partkey
+    ORDER BY l.l_partkey
+"""
+
+
+@query(
+    "sql_correlated_scalar_subquery",
+    oracle=_CORR_SCALAR_SQL,
+    tags=("sql", "subquery"),
+)
+def sql_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): the per-partkey
+    average is de-correlated into one aggregate over lineitem joined
+    back on the correlation key (RewriteCorrelatedScalarSubquery) — one
+    extra agg + join, not N subquery executions. AVG compares, it is
+    not projected, so float averaging stays inside the predicate and
+    both engines agree (the projected aggregates use exact decimal)."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_SCALAR_SQL)

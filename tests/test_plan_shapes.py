@@ -93,3 +93,22 @@ def test_embedding_cosine_pair_join_is_lsh_gated(spark):
     plan = _plan(q.fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    """Correlated EXISTS must plan as a left-semi join, never a per-row
+    subquery (the de-correlation that makes the shape scale)."""
+    q = load_all()["sql_exists_subquery"]
+    plan = _plan(q.fn(spark, SF))
+    assert "LeftSemi" in plan
+    assert "Subquery" not in plan
+
+
+def test_correlated_scalar_subquery_decorrelates_to_aggregate_join(spark):
+    """Correlated scalar subquery: one aggregate joined back on the
+    correlation key — the plan holds a join + aggregate, no scalar
+    subquery node survives optimization."""
+    q = load_all()["sql_correlated_scalar_subquery"]
+    plan = _plan(q.fn(spark, SF))
+    assert "Join" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "ScalarSubquery" not in plan
