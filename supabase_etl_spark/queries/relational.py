@@ -585,3 +585,42 @@ def sql_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFram
 
     register_views(spark, sf_dir)
     return spark.sql(_CORR_SCALAR_SQL)
+
+
+@query(
+    "sql_recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE days(day) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT day + 1 FROM days WHERE day < DATE '1995-03-31'
+    )
+    SELECT days.day AS day, count(o_orderkey) AS n_orders
+    FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = days.day
+    GROUP BY days.day
+    ORDER BY day
+    """,
+    tags=("sql", "recursive"),
+)
+def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (native in Spark 4): a generated calendar spine
+    left-joined to orders — the gap-filling pattern that keeps days
+    with zero orders in a time series. Recursion is driver-bounded
+    (91 iterations building a tiny spine); the join against the fact
+    table is an ordinary broadcast of the spine."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE days(day) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT date_add(day, 1) FROM days WHERE day < DATE '1995-03-31'
+        )
+        SELECT days.day AS day, count(o_orderkey) AS n_orders
+        FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = days.day
+        GROUP BY days.day
+        ORDER BY day
+        """
+    )
