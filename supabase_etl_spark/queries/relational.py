@@ -624,3 +624,40 @@ def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY day
         """
     )
+
+
+@query(
+    "sql_variant_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("sql", "json", "variant"),
+)
+def sql_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for open-schema payloads: parse_json into
+    the binary VARIANT encoding once, typed variant_get extraction after
+    — the shredded-JSON answer to the reference's JSONB `data` column
+    (etl_supabase.py:61-66) that skips per-access string re-parsing.
+    Oracle uses DuckDB's JSON type for the same extraction."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               SUM(variant_get(parse_json(props), '$.k', 'bigint')) AS sum_k,
+               min(variant_get(parse_json(props), '$.k', 'bigint')) AS min_k,
+               max(variant_get(parse_json(props), '$.k', 'bigint')) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
