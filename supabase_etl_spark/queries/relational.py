@@ -661,3 +661,29 @@ def sql_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type
         """
     )
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) o
+    WHERE c.c_custkey <= 300
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+@query("sql_lateral_topn", oracle=_LATERAL_SQL, tags=("sql", "subquery"))
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT (the
+    SQL-standard spelling of top-N-per-group). Catalyst de-correlates
+    the limit into a rank-over-partition plan — same physical shape as
+    the window top-k, but reachable from plain SQL; DuckDB runs the
+    identical text."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
