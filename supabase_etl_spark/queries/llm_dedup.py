@@ -560,3 +560,128 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.withColumn(
         "is_canonical", F.col("doc_id") == F.col("cluster_id")
     ).orderBy("doc_id")
+
+
+@query(
+    "corpus_curate",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTES},
+    inter AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.ida, i.idb
+        FROM inter i
+        JOIN sizes sa ON i.ida = sa.doc_id
+        JOIN sizes sb ON i.idb = sb.doc_id
+        WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT ida AS src, idb AS dst FROM pairs
+        UNION
+        SELECT idb, ida FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    quality AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               (len(toks) BETWEEN 50 AND 100000)
+               AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                    / greatest(len(toks), 1) BETWEEN 3.0 AND 10.0)
+               AND (CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                    / greatest(len(toks), 1) >= 0.8) AS q_pass
+        FROM toks
+    )
+    SELECT count(*) AS n_docs,
+           SUM(CASE WHEN q.q_pass THEN 1 ELSE 0 END) AS n_pass_quality,
+           SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END) AS n_canonical,
+           SUM(CASE WHEN q.q_pass AND c.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+             AS n_curated,
+           SUM(CASE WHEN q.q_pass AND c.doc_id = c.cluster_id THEN q.n_words ELSE 0 END)
+             AS curated_tokens
+    FROM quality q JOIN clusters c ON q.doc_id = c.doc_id
+    """,
+    tags=("llm", "dedup", "pipeline"),
+)
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone: one plan composing the quality gate
+    (Gopher word-count / mean-word-length / alpha-fraction rules) with
+    near-dup cluster assignment (connected components over the Jaccard
+    pair graph) into the decision a training-data pipeline actually
+    ships — keep a document iff it passes quality AND is its cluster's
+    canonical survivor. Emits the corpus accounting row (docs, quality
+    passes, canonicals, curated count, curated token budget)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # cluster assignment (min-label propagation, as dedup_clusters)
+    pairs = D.jaccard_pairs(d, JACCARD_THRESHOLD).select("ida", "idb")
+    edges = (
+        pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+        .unionByName(pairs.select(F.col("idb").alias("src"), F.col("ida").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    # quality gate (Gopher core rules, same exprs as text_gopher_filter)
+    toks = tokens(F.col("text"))
+    n = F.greatest(F.size(toks), F.lit(1))
+    mean_wl = (
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / n
+    )
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("double") / n
+    q = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        (
+            F.size(toks).between(50, 100_000)
+            & mean_wl.between(3.0, 10.0)
+            & (alpha >= 0.8)
+        ).alias("q_pass"),
+    )
+    keep = F.col("q_pass") & (F.col("doc_id") == F.col("cluster_id"))
+    return q.join(labels, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("q_pass"), 1).otherwise(0)).alias("n_pass_quality"),
+        F.sum(F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)).alias(
+            "n_canonical"
+        ),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_curated"),
+        F.sum(F.when(keep, F.col("n_words")).otherwise(0)).alias("curated_tokens"),
+    )
