@@ -505,3 +505,19 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(n.alias("n"), F.round(corr, 6).alias("corr_qty_price"))
         .orderBy("l_returnflag")
     )
+
+
+@query("agg_freq_items", oracle=None, tags=("agg", "approx"))
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter sketch (`df.stat.freqItems`, Karp et al. one-pass
+    counting): candidate values exceeding 30% support for returnflag /
+    linestatus. Rows-only check (the sketch may over-report by design —
+    false positives allowed, false negatives not); the semantic floor
+    (every truly-frequent value present) is asserted in
+    tests/test_tolerance.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.stat.freqItems(["l_returnflag", "l_linestatus"], support=0.3)
+    return out.select(
+        F.array_sort(F.col("l_returnflag_freqItems")).alias("returnflag_candidates"),
+        F.array_sort(F.col("l_linestatus_freqItems")).alias("linestatus_candidates"),
+    )

@@ -111,3 +111,20 @@ def test_approx_quantiles_within_2pct(spark):
     approx = REGISTRY["agg_approx_quantiles"].fn(spark, SF).collect()[0]
     for got, want in zip([approx["q25"], approx["q50"], approx["q75"], approx["q99"]], exact):
         assert abs(got - want) / want <= 0.02, f"approx {got} vs exact {want}"
+
+
+def test_freq_items_contains_all_true_heavy_hitters(spark):
+    """freqItems may over-report (false positives) but must never miss
+    a value whose true frequency exceeds the support threshold."""
+    li = load_table(spark, SF, "lineitem")
+    total = li.count()
+    true_heavy = {
+        r["l_returnflag"]
+        for r in li.groupBy("l_returnflag").count().collect()
+        if r["count"] / total > 0.3
+    }
+    got = set(
+        REGISTRY["agg_freq_items"].fn(spark, SF).collect()[0]["returnflag_candidates"]
+    )
+    assert true_heavy, "no heavy hitters in testdata?"
+    assert true_heavy <= got
