@@ -546,3 +546,46 @@ def join_asof_forward_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.next_ts").alias("next_ts"),
         F.col("r.next_type").alias("next_type"),
     ).orderBy("event_id")
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH l AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 5 END AS k
+        FROM orders WHERE o_orderkey <= 500
+    ),
+    r AS (
+        SELECT CASE WHEN g = 5 THEN NULL ELSE g END AS k,
+               CASE WHEN g = 5 THEN 'null-bucket' ELSE 'bucket-' || g END AS label
+        FROM (SELECT unnest([0, 1, 2, 3, 4, 5]) AS g)
+    )
+    SELECT l.o_orderkey, l.k, r.label
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    ORDER BY o_orderkey
+    """,
+    tags=("join",),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics SCD
+    merges and late-dimension backfills need. Still a hash join (the
+    null bucket is just one more key), not a fallback nested loop."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    left = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey") % 5)
+        .alias("k"),
+    )
+    right = spark.createDataFrame(
+        [(0, "bucket-0"), (1, "bucket-1"), (2, "bucket-2"),
+         (3, "bucket-3"), (4, "bucket-4"), (None, "null-bucket")],
+        "k bigint, label string",
+    )
+    return (
+        left.join(right, left.k.eqNullSafe(right.k))
+        .select("o_orderkey", left.k.alias("k"), "label")
+        .orderBy("o_orderkey")
+    )
