@@ -63,6 +63,19 @@ def run_duckdb(sql: str, sf_dir: str):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    rel = con.sql(sql)
+    # The driver hashes via pandas, where DuckDB HUGEINT (the default
+    # SUM-of-integer result type) degrades to float64 and prints
+    # "99111.0" against Spark's "99111" — a guaranteed hash mismatch
+    # that fetchall()-based canon would hide. Fail loudly here instead.
+    hugeint_cols = [
+        c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t).upper()
+    ]
+    if hugeint_cols:
+        raise ValueError(
+            f"oracle emits HUGEINT columns {hugeint_cols} — wrap with "
+            "CAST(... AS BIGINT) so the driver's pandas canon sees int64"
+        )
     res = con.execute(sql)
     cols = [d[0] for d in res.description]
     rows = res.fetchall()

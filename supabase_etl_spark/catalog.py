@@ -20,9 +20,21 @@ AQE can only repair after paying for it.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import SparkSession
 
 from supabase_etl_spark.io.readers import TABLE_NAMES
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a table identifier, rejecting anything that is not
+    a plain identifier — these names are interpolated into SQL text."""
+    if not _IDENT.match(name):
+        raise ValueError(f"invalid table identifier: {name!r}")
+    return f"`{name}`"
 
 
 def register_catalog_tables(
@@ -36,9 +48,11 @@ def register_catalog_tables(
     created = []
     for t in names:
         name = f"{prefix}{t}"
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        quoted = _quote_ident(name)
+        location = f"{sf_dir}/{t}.parquet".replace("'", "''")
+        spark.sql(f"DROP TABLE IF EXISTS {quoted}")
         spark.sql(
-            f"CREATE TABLE {name} USING parquet LOCATION '{sf_dir}/{t}.parquet'"
+            f"CREATE TABLE {quoted} USING parquet LOCATION '{location}'"
         )
         created.append(name)
     return created
@@ -57,4 +71,4 @@ def analyze_tables(
     `spark.sql.statistics.size.autoUpdate.enabled` for size-only."""
     for t in names:
         suffix = " FOR ALL COLUMNS" if all_columns else ""
-        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS{suffix}")
+        spark.sql(f"ANALYZE TABLE {_quote_ident(t)} COMPUTE STATISTICS{suffix}")

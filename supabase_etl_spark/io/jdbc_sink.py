@@ -126,15 +126,19 @@ def upsert_jdbc(
                 batches_acc.add(1)
                 buf.clear()
 
-        for row in it:
-            if conn is None:
-                conn = connect_fn()  # lazily: empty partitions never connect
-            buf.append(tuple(row[c] for c in cols))
-            if len(buf) >= chunk:
-                flush()
-        flush()
-        if conn is not None:
-            conn.close()
+        try:
+            for row in it:
+                if conn is None:
+                    conn = connect_fn()  # lazily: empty partitions never connect
+                buf.append(tuple(row[c] for c in cols))
+                if len(buf) >= chunk:
+                    flush()
+            flush()
+        finally:
+            # close even when executemany/commit raises — task retries on
+            # long-lived executors would otherwise leak a connection each
+            if conn is not None:
+                conn.close()
 
     df.foreachPartition(_write_partition)
     return {"rows": rows_acc.value, "batches": batches_acc.value}

@@ -517,7 +517,13 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_tolerance.py."""
     li = load_table(spark, sf_dir, "lineitem")
     out = li.stat.freqItems(["l_returnflag", "l_linestatus"], support=0.3)
+    # Join to scalar strings: the driver's canonicalizer sorts rows via
+    # pandas, which cannot sort/hash array cells (unhashable-list crash).
     return out.select(
-        F.array_sort(F.col("l_returnflag_freqItems")).alias("returnflag_candidates"),
-        F.array_sort(F.col("l_linestatus_freqItems")).alias("linestatus_candidates"),
+        F.concat_ws(",", F.array_sort(F.col("l_returnflag_freqItems"))).alias(
+            "returnflag_candidates"
+        ),
+        F.concat_ws(",", F.array_sort(F.col("l_linestatus_freqItems"))).alias(
+            "linestatus_candidates"
+        ),
     )

@@ -191,7 +191,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (shuffle on band key), re-rank only on candidates."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sids = D.shingle_ids(d)
-    bands = D.band_keys(D.minhash_signature(sids)).cache()
+    bands = D.band_keys(D.minhash_signature(sids)).localCheckpoint(eager=False)
     cand = (
         bands.alias("a")
         .join(
@@ -202,7 +202,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
         .distinct()
     )
-    sh = D.exploded_shingles(d).cache()
+    sh = D.exploded_shingles(d).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("ida"), F.col("s").alias("s"))
     sb = sh.select(F.col("doc_id").alias("idb"), F.col("s").alias("s"))
@@ -319,7 +319,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         range(1, D.SIMHASH_BITS),
         F.when(F.col("s0") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0)),
     )
-    sig = bits.select("doc_id", sig_expr.alias("simhash")).cache()
+    sig = bits.select("doc_id", sig_expr.alias("simhash")).localCheckpoint(eager=False)
     band_arr = F.array(
         *[
             F.struct(
@@ -422,7 +422,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = (
         e.unionByName(planted)
         .withColumn("nrm", F.sqrt(D.dot_double(F.col("embedding"), F.col("embedding"))))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     band_arr = F.array(
         *[
@@ -472,6 +472,69 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ida", "idb", "cos_sim")
         .orderBy("ida", "idb")
     )
+
+
+MAX_PROPAGATION_ROUNDS = 20
+
+
+def _min_label_fixpoint(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components by min-label propagation over an undirected
+    pair graph: labels start as doc_id; each round every node takes the
+    min of its own label and its neighbors', until a round changes
+    nothing. One equi-join + one groupBy (shuffle on doc_id) per round;
+    rounds needed = component diameter (near-dup clusters are cliques or
+    near-cliques, so 2-3 in practice). The driver loop iterates over
+    *plans*, never rows (GraphX/Pregel shape); lineage is truncated per
+    round with localCheckpoint so plans stay bounded and the blocks are
+    reclaimed by the ContextCleaner when each round's frame goes out of
+    scope.
+
+    Raises RuntimeError if the fixpoint is not reached within
+    MAX_PROPAGATION_ROUNDS — a silently-unconverged result would emit
+    wrong cluster_id/is_canonical with no other symptom (a high-diameter
+    chain component, e.g. a boilerplate gradient, is exactly the input
+    that would need more rounds)."""
+    edges = (
+        pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+        .unionByName(pairs.select(F.col("idb").alias("src"), F.col("ida").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    changed = -1
+    for _ in range(MAX_PROPAGATION_ROUNDS):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"min-label propagation did not converge in "
+            f"{MAX_PROPAGATION_ROUNDS} rounds ({changed} labels still "
+            "changing) — raise MAX_PROPAGATION_ROUNDS or pre-split the "
+            "component"
+        )
+    return labels
 
 
 @query(
@@ -525,38 +588,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same fixpoint with a recursive CTE."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = D.jaccard_pairs(d, JACCARD_THRESHOLD).select("ida", "idb")
-    edges = (
-        pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
-        .unionByName(pairs.select(F.col("idb").alias("src"), F.col("ida").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
-    for _ in range(20):  # diameter bound; near-dup components are shallow
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = _min_label_fixpoint(d, pairs)
     return labels.withColumn(
         "is_canonical", F.col("doc_id") == F.col("cluster_id")
     ).orderBy("doc_id")
@@ -603,11 +635,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks
     )
     SELECT count(*) AS n_docs,
-           SUM(CASE WHEN q.q_pass THEN 1 ELSE 0 END) AS n_pass_quality,
-           SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END) AS n_canonical,
-           SUM(CASE WHEN q.q_pass AND c.doc_id = c.cluster_id THEN 1 ELSE 0 END)
-             AS n_curated,
-           SUM(CASE WHEN q.q_pass AND c.doc_id = c.cluster_id THEN q.n_words ELSE 0 END)
+           CAST(SUM(CASE WHEN q.q_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_quality,
+           CAST(SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_canonical,
+           CAST(SUM(CASE WHEN q.q_pass AND c.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_curated,
+           CAST(SUM(CASE WHEN q.q_pass AND c.doc_id = c.cluster_id
+                         THEN q.n_words ELSE 0 END) AS BIGINT)
              AS curated_tokens
     FROM quality q JOIN clusters c ON q.doc_id = c.doc_id
     """,
@@ -624,38 +659,7 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # cluster assignment (min-label propagation, as dedup_clusters)
     pairs = D.jaccard_pairs(d, JACCARD_THRESHOLD).select("ida", "idb")
-    edges = (
-        pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
-        .unionByName(pairs.select(F.col("idb").alias("src"), F.col("ida").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
-    for _ in range(20):
-        nbr = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = _min_label_fixpoint(d, pairs)
     # quality gate (Gopher core rules, same exprs as text_gopher_filter)
     toks = tokens(F.col("text"))
     n = F.greatest(F.size(toks), F.lit(1))

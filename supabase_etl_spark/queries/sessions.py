@@ -33,8 +33,9 @@ SESSION_GAP_MIN = 30
     ),
     sess AS (
         SELECT user_id, ts, event_id, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_idx
         FROM ordered
     )
     SELECT user_id, session_idx,

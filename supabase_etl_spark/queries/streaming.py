@@ -225,7 +225,8 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT user_id,
            count(*) AS n_events,
-           SUM((event_id % {CHECKSUM_P}) * {CHECKSUM_K}) % {CHECKSUM_P} AS checksum
+           CAST(SUM((event_id % {CHECKSUM_P}) * {CHECKSUM_K}) % {CHECKSUM_P}
+                AS BIGINT) AS checksum
     FROM events
     GROUP BY user_id
     ORDER BY user_id

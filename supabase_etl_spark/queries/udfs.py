@@ -114,7 +114,8 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            min(event_id) AS min_id,
            max(event_id) AS max_id,
-           SUM((event_id % {CHECKSUM_P}) * {CHECKSUM_K}) % {CHECKSUM_P} AS checksum
+           CAST(SUM((event_id % {CHECKSUM_P}) * {CHECKSUM_K}) % {CHECKSUM_P}
+                AS BIGINT) AS checksum
     FROM events
     GROUP BY event_type
     ORDER BY event_type

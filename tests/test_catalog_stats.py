@@ -41,13 +41,22 @@ def _join_node(spark):
     return plan
 
 
-def test_analyze_flips_join_strategy(spark, tight_broadcast):
+@pytest.fixture()
+def cbo_tables(spark):
     tables = register_catalog_tables(
         spark, SF, names=("lineitem", "orders"), prefix="cbo_"
     )
+    yield tables
+    # teardown must run on assertion failure too: a leaked catalog table
+    # perturbs any later test resolving the same name in this session
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_analyze_flips_join_strategy(spark, tight_broadcast, cbo_tables):
     assert _join_node(spark) == "SortMergeJoin"  # file-size estimate: too big
 
-    analyze_tables(spark, tables)
+    analyze_tables(spark, cbo_tables)
     assert _join_node(spark) == "BroadcastHashJoin"  # stats: 20 rows survive
 
     # and the optimizer now knows the filtered cardinality exactly
@@ -56,5 +65,3 @@ def test_analyze_flips_join_strategy(spark, tight_broadcast):
         filtered._jdf.queryExecution().optimizedPlan().stats().rowCount().toString()
     )
     assert row_count != "None"  # Some(n): defined, not a size-only guess
-    for t in tables:
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
