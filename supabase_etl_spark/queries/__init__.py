@@ -42,6 +42,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 _QUERY_MODULES = [
     "supabase_etl_spark.queries.relational",
     "supabase_etl_spark.queries.joins",
+    "supabase_etl_spark.queries.tpch",
     "supabase_etl_spark.queries.aggregates",
     "supabase_etl_spark.queries.windows",
     "supabase_etl_spark.queries.setops",

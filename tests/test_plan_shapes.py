@@ -95,6 +95,41 @@ def test_embedding_cosine_pair_join_is_lsh_gated(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q6_predicates_and_pruning_reach_scan(spark):
+    """TPC-H Q6: every range predicate pushes into the parquet scan and
+    only the 3 touched columns are read — the scan does the filtering,
+    not the executors."""
+    q = load_all()["tpch_q6_forecast_revenue"]
+    plan = _plan(q.fn(spark, SF))
+    # toString truncates the filter list; the prefix proves pushdown ran
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda" in plan
+    )
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp" in plan
+    )
+
+
+def test_q4_exists_plans_as_semi_join(spark):
+    """TPC-H Q4: the correlated EXISTS with a non-equi date conjunct
+    must still compile to one LeftSemi hash join on l_orderkey with the
+    date comparison as a join residual — no per-row subquery, no
+    nested-loop."""
+    q = load_all()["tpch_q4_order_priority"]
+    plan = _plan(q.fn(spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_not_exists_plans_as_anti_join(spark):
+    q = load_all()["tpch_q22_idle_customers"]
+    plan = _plan(q.fn(spark, SF))
+    assert "LeftAnti" in plan
+
+
 def test_exists_subquery_decorrelates_to_semi_join(spark):
     """Correlated EXISTS must plan as a left-semi join, never a per-row
     subquery (the de-correlation that makes the shape scale)."""
