@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "supabase_etl_spark.queries.llm_multimodal",
     "supabase_etl_spark.queries.llm_ml",
     "supabase_etl_spark.queries.llm_sampling",
+    "supabase_etl_spark.queries.llm_curation",
     "supabase_etl_spark.queries.scale_levers",
     "supabase_etl_spark.queries.sessions",
     "supabase_etl_spark.queries.dq",

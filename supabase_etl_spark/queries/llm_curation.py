@@ -1,0 +1,602 @@
+"""Corpus-curation operators a large-scale training-data pipeline runs
+between dedup and training: sequence packing, benchmark decontamination,
+PII scrubbing, corpus-level line dedup (boilerplate removal), domain
+mixture resampling, and embedding centroid / k-means assignment.
+
+The reference has no curation stage (its 163-line ETL ships raw rows,
+etl_supabase.py:115-131); this module extends the LLM-data-pipeline
+mandate. Every op follows the repo's determinism discipline: LCG buckets
+instead of rand(), decimal accumulators for order-independent sums,
+left-to-right higher-order folds (identical in Spark `aggregate` and
+DuckDB `list_reduce`), and a DuckDB oracle replaying the exact
+algorithm.
+
+Scale notes (100 TB read):
+  * pack_sequences — one window cumsum per language stream (shuffle on
+    lang, in-partition sort); at cluster scale the stream key would be
+    (lang, shard) so no partition exceeds executor memory.
+  * decontaminate_ngram — benchmark n-grams are a tiny distinct set;
+    the contamination probe is one equi-join on the n-gram string,
+    semi-joined back to doc ids. No all-pairs stage.
+  * text_pii_scrub — pure per-row regexp_replace, scan speed.
+  * text_line_dedup — explode lines once, count distinct docs per line
+    (one shuffle on the line), join the verdict back, reassemble with
+    array_sort. Same shape as exact dedup, at line granularity.
+  * sample_domain_mixture — per-source counts are a 20-row broadcast;
+    acceptance is a per-row LCG test. One scan, no shuffle of the
+    corpus itself.
+  * embedding_centroids / kmeans_assign — posexplode shuffles on
+    (label, pos) with map-side partial sums; assignment broadcasts the
+    k=8 centroid table and never shuffles the vector corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.operators.text import ngrams_all, sql_ngrams_all, tokens
+from supabase_etl_spark.queries import query
+from supabase_etl_spark.queries.llm_sampling import _bucket, _sql_bucket
+
+_SQL_TOKENS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+DECON_K = 5  # n-gram width for contamination probe
+DECON_BENCH_PCT = 5  # LCG buckets < 5 => "benchmark" holdout
+LINE_WIDTH = 8  # tokens per synthetic line
+LINE_MAX_DF = 1  # keep lines seen in <= 1 distinct doc
+MIX_TOTAL_FRAC = 0.6  # downsample corpus to 60% with target mix
+KMEANS_K = 8
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len({_SQL_TOKENS}) AS n_tok FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tok,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM toks
+    )
+    SELECT lang,
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           CAST(max((cum_before + n_tok - 1) // {PACK_BUDGET}
+               - cum_before // {PACK_BUDGET} + 1) AS BIGINT) AS max_span
+    FROM cum
+    GROUP BY lang, pack_id
+    ORDER BY lang, pack_id
+    """,
+    tags=("llm", "curation", "packing"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-split): documents are concatenated
+    per language stream in doc_id order and cut into fixed 256-token
+    training windows; each doc's pack is where its first token lands,
+    max_span counts boundary-straddling. One window cumsum per stream —
+    at 100 TB the stream key becomes (lang, shard) so partitions stay
+    bounded while packing stays deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", "lang", tokens(F.col("text")).alias("t")).select(
+        "doc_id", "lang", F.size("t").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = tk.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    pack_id = F.expr(f"cum_before div {PACK_BUDGET}")
+    end_pack = F.expr(f"(cum_before + n_tok - 1) div {PACK_BUDGET}")
+    return (
+        cum.select(
+            "lang",
+            "n_tok",
+            pack_id.alias("pack_id"),
+            (end_pack - pack_id + 1).alias("span"),
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+            F.max("span").alias("max_span"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+@query(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_SQL_TOKENS} AS t,
+               {_sql_bucket("doc_id")} < {DECON_BENCH_PCT} AS is_bench
+        FROM documents
+    ),
+    bench_grams AS (
+        SELECT DISTINCT unnest({sql_ngrams_all("t", DECON_K)}) AS g
+        FROM toks WHERE is_bench
+    ),
+    train_grams AS (
+        SELECT doc_id, lang, unnest({sql_ngrams_all("t", DECON_K)}) AS g
+        FROM toks WHERE NOT is_bench
+    ),
+    contaminated AS (
+        SELECT DISTINCT tg.doc_id
+        FROM train_grams tg JOIN bench_grams bg ON tg.g = bg.g
+    )
+    SELECT lang,
+           count(*) AS n_train,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean
+    FROM toks LEFT JOIN contaminated c USING (doc_id)
+    WHERE NOT is_bench
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: an LCG-deterministic 5% of docs plays
+    the held-out benchmark; any training doc sharing a word-5-gram with
+    it is flagged (the planted near-duplicates guarantee hits). The
+    benchmark n-gram set is distinct-ed before the join — at 100 TB it
+    is millions of rows against the corpus's billions, so the probe is
+    a standard skew-tolerant equi-join followed by a distinct on doc
+    ids; nothing is all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        "lang",
+        tokens(F.col("text")).alias("t"),
+        (_bucket(F.col("doc_id")) < DECON_BENCH_PCT).alias("is_bench"),
+    )
+    bench_grams = (
+        tk.filter("is_bench")
+        .select(F.explode(ngrams_all(F.col("t"), DECON_K)).alias("g"))
+        .distinct()
+    )
+    train = tk.filter(~F.col("is_bench"))
+    contaminated = (
+        train.select("doc_id", F.explode(ngrams_all(F.col("t"), DECON_K)).alias("g"))
+        .join(bench_grams, "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        train.join(contaminated, "doc_id", "left_outer")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clean"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id, lang,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || doc_id || '@example.com now'
+                  ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                  THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                  THEN ' host 10.0.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256)
+                  ELSE '' END AS text
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g') AS clean
+        FROM planted
+    )
+    SELECT doc_id, lang, n_emails,
+           len(regexp_extract_all(clean, '<PHONE>')) AS n_phones,
+           len(regexp_extract_all(clean, '<IP>')) AS n_ips,
+           length(clean) AS clean_chars,
+           sha256(clean) AS clean_hash
+    FROM scrubbed
+    WHERE n_emails > 0
+       OR len(regexp_extract_all(clean, '<PHONE>')) > 0
+       OR len(regexp_extract_all(clean, '<IP>')) > 0
+    ORDER BY doc_id
+    """,
+    tags=("llm", "curation", "text"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails, phone numbers, and IPv4 addresses are
+    replaced with typed placeholder tokens and counted per document.
+    The testdata has no PII, so deterministic synthetic PII is planted
+    (doc_id-derived, identically in the oracle) before scrubbing —
+    the scrub itself is three chained regexp_replace calls, pure
+    per-row JVM regex at scan speed with no shuffle. Replacement order
+    (email → phone → IP) is fixed so placeholders never re-match."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 3) % 256).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    scrubbed = planted.select(
+        "doc_id", "lang", n_emails.alias("n_emails"), clean.alias("clean")
+    )
+    n_phones = F.size(F.regexp_extract_all("clean", F.lit("<PHONE>"), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all("clean", F.lit("<IP>"), F.lit(0)))
+    return (
+        scrubbed.select(
+            "doc_id",
+            "lang",
+            "n_emails",
+            n_phones.alias("n_phones"),
+            n_ips.alias("n_ips"),
+            F.length("clean").alias("clean_chars"),
+            F.sha2("clean", 256).alias("clean_hash"),
+        )
+        .filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0) | (F.col("n_ips") > 0))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_line_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    lines AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(t) / {LINE_WIDTH}.0) AS BIGINT)))
+                   AS line_idx,
+               t
+        FROM toks
+    ),
+    line_text AS (
+        SELECT doc_id, line_idx,
+               array_to_string(
+                   t[line_idx * {LINE_WIDTH} + 1 : (line_idx + 1) * {LINE_WIDTH}],
+                   ' ') AS line
+        FROM lines
+    ),
+    df AS (
+        SELECT line, count(DISTINCT doc_id) AS n_docs
+        FROM line_text GROUP BY line
+    ),
+    kept AS (
+        SELECT lt.doc_id, lt.line_idx, lt.line
+        FROM line_text lt JOIN df ON lt.line = df.line
+        WHERE df.n_docs <= {LINE_MAX_DF}
+    )
+    SELECT lt.doc_id,
+           count(*) AS n_lines,
+           CAST(count(k.line) AS BIGINT) AS n_kept,
+           COALESCE(length(array_to_string(
+               list(k.line ORDER BY lt.line_idx), ' ')), 0) AS clean_chars
+    FROM line_text lt
+    LEFT JOIN kept k ON lt.doc_id = k.doc_id AND lt.line_idx = k.line_idx
+    GROUP BY lt.doc_id
+    ORDER BY lt.doc_id
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (the C4/RefinedWeb boilerplate-removal
+    move): documents split into fixed 8-token lines (the testdata has
+    no newlines), any line occurring in more than one distinct document
+    is dropped everywhere, and survivors are reassembled in order. One
+    shuffle counts distinct docs per line, the verdict joins back on
+    (doc, line) — exact-dedup's plan shape at line granularity, linear
+    at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n_lines = F.ceil(F.size("t") / F.lit(float(LINE_WIDTH))).cast("bigint")
+    lines = tk.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("line_idx"), "t"
+    ).select(
+        "doc_id",
+        "line_idx",
+        F.concat_ws(
+            " ", F.slice(F.col("t"), F.col("line_idx") * LINE_WIDTH + 1, F.lit(LINE_WIDTH))
+        ).alias("line"),
+    )
+    df_counts = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    verdict = lines.join(df_counts, "line").withColumn(
+        "keep", F.col("n_docs") <= LINE_MAX_DF
+    )
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("line_idx"), F.col("line"))
+    )
+    return (
+        verdict.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(
+                F.length(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(F.collect_list(kept_struct)),
+                            lambda s: s.line,
+                        ),
+                    )
+                ),
+                F.lit(0),
+            ).alias("clean_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_domain_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source,
+               CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) % 4 + 1
+                   AS weight,
+               count(*) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source, n_docs,
+               least(1.0,
+                   (CAST(weight AS DOUBLE) / SUM(weight) OVER ())
+                   * ({MIX_TOTAL_FRAC} * SUM(n_docs) OVER ())
+                   / n_docs) AS rate
+        FROM counts
+    )
+    SELECT d.source, r.n_docs,
+           CAST(SUM(CASE WHEN {_sql_bucket("d.doc_id", 1_000_000)}
+                    < CAST(floor(r.rate * 1000000) AS BIGINT)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           r.rate
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY d.source, r.n_docs, r.rate
+    ORDER BY d.source
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture resampling: each source gets a target share
+    (weight derived from its index — the stand-in for a curated mixture
+    table), the corpus is downsampled to 60% total with per-source
+    acceptance rates min(1, share·budget/size), and acceptance is a
+    deterministic LCG test on doc_id. The rate table is 20 rows —
+    broadcast — so the corpus is filtered in one scan with no shuffle;
+    re-running yields the identical sample."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
+        "weight",
+        F.regexp_extract("source", "src([0-9]+)", 1).cast("int") % 4 + 1,
+    )
+    w_all = Window.partitionBy()
+    rates = counts.select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.col("weight").cast("double") / F.sum("weight").over(w_all))
+            * (F.lit(MIX_TOTAL_FRAC) * F.sum("n_docs").over(w_all))
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    accepted = _bucket(F.col("doc_id"), 1_000_000) < F.floor(
+        F.col("rate") * 1_000_000
+    ).cast("bigint")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "rate")
+        .agg(F.sum(F.when(accepted, 1).otherwise(0)).cast("bigint").alias("n_sampled"))
+        .select("source", "n_docs", "n_sampled", "rate")
+        .orderBy("source")
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH comp AS (
+        SELECT label, unnest(range(0, len(embedding))) AS pos, embedding
+        FROM embeddings
+    ),
+    means AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(CAST(embedding[pos + 1] AS DOUBLE)
+                    AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m
+        FROM comp GROUP BY label, pos
+    ),
+    sizes AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT m.label, s.n_vecs,
+           sqrt(CAST(SUM(CAST(m.m * m.m AS DECIMAL(38,12))) AS DOUBLE))
+               AS centroid_norm,
+           max(m.m) AS max_mean, min(m.m) AS min_mean
+    FROM means m JOIN sizes s ON m.label = s.label
+    GROUP BY m.label, s.n_vecs
+    ORDER BY m.label
+    """,
+    tags=("llm", "curation", "embedding"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (mean pooling — the class-prototype
+    op): posexplode shuffles components onto (label, pos) with map-side
+    partial decimal sums, means divide once as doubles, and the
+    centroid norm re-aggregates the 64 means through a second decimal
+    sum — every reduction order-independent, so a 1000-executor run
+    hashes identically to DuckDB's single thread."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    )
+    means = comp.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    sizes = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        means.join(sizes, "label")
+        .groupBy("label", "n_vecs")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("m") * F.col("m")).cast("decimal(38,12)")).cast("double")
+            ).alias("centroid_norm"),
+            F.max("m").alias("max_mean"),
+            F.min("m").alias("min_mean"),
+        )
+        .orderBy("label")
+    )
+
+
+_SQL_DIST2 = """
+    list_reduce(
+        list_transform(range(1, len(e.embedding) + 1),
+            i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+                 * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))),
+        (acc, x) -> acc + x)
+"""
+
+
+@query(
+    "embedding_kmeans_assign",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id < {KMEANS_K}
+    ),
+    dists AS (
+        SELECT e.vec_id, c.centroid_id, {_SQL_DIST2} AS dist2
+        FROM embeddings e, cents c
+    ),
+    best AS (
+        SELECT vec_id, min(dist2) AS min_d FROM dists GROUP BY vec_id
+    ),
+    assign AS (
+        SELECT d.vec_id, min(d.centroid_id) AS cluster_id, b.min_d
+        FROM dists d JOIN best b ON d.vec_id = b.vec_id AND d.dist2 = b.min_d
+        GROUP BY d.vec_id, b.min_d
+    )
+    SELECT cluster_id, count(*) AS n_members,
+           CAST(SUM(CAST(min_d AS DECIMAL(38,12))) AS DOUBLE) AS inertia
+    FROM assign
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+    tags=("llm", "curation", "embedding"),
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step (Lloyd's iteration core): the first k=8
+    vectors seed the centroids, every vector joins against the
+    broadcast centroid table, squared L2 folds left-to-right (Spark
+    `aggregate` ≡ DuckDB `list_reduce` — identical IEEE sequence), and
+    the argmin is the min-equality join with min-id tie-break. The
+    corpus is never shuffled — only scanned — so an iteration at 100 TB
+    is one pass; per-cluster inertia accumulates in decimal."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent"))
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cent"),
+            lambda x, c: (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = e.crossJoin(cents).select(
+        "vec_id", "centroid_id", dist2.alias("dist2")
+    )
+    best = dists.groupBy(F.col("vec_id").alias("b_vec")).agg(
+        F.min("dist2").alias("min_d")
+    )
+    assign = (
+        dists.join(
+            best,
+            (F.col("vec_id") == F.col("b_vec")) & (F.col("dist2") == F.col("min_d")),
+        )
+        .groupBy("b_vec", "min_d")
+        .agg(F.min("centroid_id").alias("cluster_id"))
+    )
+    return (
+        assign.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("min_d").cast("decimal(38,12)")).cast("double").alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
