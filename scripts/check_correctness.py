@@ -122,6 +122,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # dedup queries cache reused subplans; clear per query so a
+            # full-registry run doesn't accumulate blocks (ADVICE r2)
+            spark.catalog.clearCache()
         spark_t = time.time() - t0
         if spec.oracle is None:
             print(f"SKIP-ORACLE {name}: {len(s_rows)} rows ({spark_t:.1f}s, rows-only check)")

@@ -191,7 +191,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (shuffle on band key), re-rank only on candidates."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sids = D.shingle_ids(d)
-    bands = D.band_keys(D.minhash_signature(sids)).localCheckpoint(eager=False)
+    # cache(), not localCheckpoint: the RDD boundary a checkpoint
+    # introduces blocks whole-stage codegen and columnar reuse
+    # (measured ~20% slower end-to-end); harnesses clearCache() per
+    # query so blocks never accumulate across a suite run
+    bands = D.band_keys(D.minhash_signature(sids)).cache()
     cand = (
         bands.alias("a")
         .join(
@@ -202,7 +206,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
         .distinct()
     )
-    sh = D.exploded_shingles(d).localCheckpoint(eager=False)
+    sh = D.exploded_shingles(d).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("ida"), F.col("s").alias("s"))
     sb = sh.select(F.col("doc_id").alias("idb"), F.col("s").alias("s"))
@@ -319,7 +323,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         range(1, D.SIMHASH_BITS),
         F.when(F.col("s0") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0)),
     )
-    sig = bits.select("doc_id", sig_expr.alias("simhash")).localCheckpoint(eager=False)
+    sig = bits.select("doc_id", sig_expr.alias("simhash")).cache()
     band_arr = F.array(
         *[
             F.struct(
@@ -422,7 +426,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = (
         e.unionByName(planted)
         .withColumn("nrm", F.sqrt(D.dot_double(F.col("embedding"), F.col("embedding"))))
-        .localCheckpoint(eager=False)
+        .cache()
     )
     band_arr = F.array(
         *[
