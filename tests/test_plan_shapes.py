@@ -147,3 +147,43 @@ def test_correlated_scalar_subquery_decorrelates_to_aggregate_join(spark):
     plan = _plan(q.fn(spark, SF))
     assert "Join" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "ScalarSubquery" not in plan
+
+
+def test_q9_star_joins_broadcast_dims(spark):
+    """TPC-H Q9: part/supplier/nation all broadcast; no cartesian or
+    nested-loop anywhere in the five-way star."""
+    q = load_all()["tpch_q9_product_profit"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_stats_pass_no_self_subqueries(spark):
+    """TPC-H Q21: the EXISTS/NOT-EXISTS rewrite runs ONE per-order
+    aggregation joined back — the plan must hold hash/merge joins only,
+    with no nested-loop and no surviving subquery nodes."""
+    q = load_all()["tpch_q21_waiting_supplier"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Subquery" not in plan
+
+
+def test_kmeans_corpus_never_shuffles_before_assignment(spark):
+    """embedding_kmeans_assign: the centroid table is the broadcast side
+    of the cross join (8 rows), so the corpus-side scan reaches the
+    distance computation without an Exchange before it."""
+    q = load_all()["embedding_kmeans_assign"]
+    df = q.fn(spark, SF)
+    plan = _plan(df)
+    # the only acceptable nested-loop is the 8-row centroid broadcast
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_probe_is_equi_join(spark):
+    q = load_all()["decontaminate_ngram"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
