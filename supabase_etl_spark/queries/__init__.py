@@ -57,6 +57,7 @@ _QUERY_MODULES = [
     "supabase_etl_spark.queries.llm_curation",
     "supabase_etl_spark.queries.scale_levers",
     "supabase_etl_spark.queries.sessions",
+    "supabase_etl_spark.queries.analytics",
     "supabase_etl_spark.queries.dq",
     "supabase_etl_spark.queries.io_roundtrip",
     "supabase_etl_spark.queries.streaming",

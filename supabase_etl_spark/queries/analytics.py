@@ -1,0 +1,450 @@
+"""Time-series / product-analytics / graph depth queries over ``events``
+and the star schema: retention cohorts, trailing-window anomaly
+detection, gap interpolation, weighted PageRank, and blocked fuzzy
+matching.
+
+These extend SURVEY.md §2.2's "event analytics" block with the shapes a
+100 TB event warehouse actually runs. Determinism discipline as
+everywhere: window frames carry explicit (ts, event_id) tie-breaks,
+trailing means/variances accumulate in decimal (DuckDB's segment-tree
+sliding-window summation would otherwise disagree with Spark's running
+order), and iterative ranks re-aggregate through decimal each round.
+
+Scale notes (100 TB read):
+  * retention — two shuffles (per-user min, cohort rollup), both keyed
+    on high-cardinality columns; no window over the full corpus.
+  * zscore — one window per user stream; state is O(frame) per row.
+  * interpolate — two IGNORE-NULLS window passes, no self-join.
+  * pagerank — driver loops over PLANS (5 bounded iterations); each
+    iteration is one equi-join + one keyed agg, the Pregel shape.
+  * fuzzy join — levenshtein runs only inside name-prefix blocks, so
+    the candidate space is Σ(block²) not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.queries import query
+
+ZSCORE_FRAME = 20  # trailing events per user
+ZSCORE_MIN_N = 10
+ZSCORE_CUTOFF = 2.5
+PR_DAMPING = 0.85
+PR_ITERATIONS = 5
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    actives AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT)
+               AS week_offset,
+           count(*) AS n_users
+    FROM firsts f JOIN actives a USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("events", "analytics"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted in every week they return. Two keyed aggregations (per-user
+    min, then the cohort matrix) — no window over the corpus, so the
+    shape is shuffle-bound on user_id and scales with users, not
+    events."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    actives = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(actives, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "events_zscore_anomaly",
+    oracle=f"""
+    WITH vdecs AS (
+        SELECT user_id, event_id, ts, value,
+               CAST(value AS DECIMAL(18,6)) AS vdec
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id, event_id, ts, value,
+               count(value) OVER w AS n,
+               CAST(SUM(vdec) OVER w AS DOUBLE) AS sx,
+               CAST(SUM(vdec * vdec) OVER w AS DOUBLE) AS sxx
+        FROM vdecs
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {ZSCORE_FRAME} PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+        SELECT user_id, event_id, ts, value,
+               (value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)) AS z
+        FROM stats
+        WHERE n >= {ZSCORE_MIN_N}
+          AND sxx / n - (sx / n) * (sx / n) > 1e-12
+    )
+    SELECT user_id, event_id, ts, value, z
+    FROM scored
+    WHERE abs(z) > {ZSCORE_CUTOFF}
+    ORDER BY user_id, event_id
+    """,
+    tags=("events", "analytics", "window"),
+)
+def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each event is scored against
+    the mean/std of its user's previous 20 events and flagged beyond
+    |z| > 2.5. The moment sums run through decimal inside the window
+    frame — Spark's running summation and DuckDB's segment-tree
+    sliding-window summation add doubles in different orders, and
+    decimal is how the same window hashes identically from both. One
+    window pass, state bounded by the frame."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        # decimal FIRST, square SECOND: squaring in double and then
+        # casting the product to decimal rounds long binary expansions,
+        # where Spark and DuckDB disagree in the last ulp; the decimal
+        # product of decimal inputs is exact in both
+        "vdec",
+        F.col("value").cast("decimal(18,6)"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_FRAME, -1)
+    )
+    n = F.count("value").over(w)
+    sx = F.sum("vdec").over(w).cast("double")
+    sxx = F.sum(F.col("vdec") * F.col("vdec")).over(w).cast("double")
+    stats = e.select("user_id", "event_id", "ts", "value", n.alias("n"),
+                     sx.alias("sx"), sxx.alias("sxx"))
+    mean = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - mean * mean
+    scored = stats.filter(
+        (F.col("n") >= ZSCORE_MIN_N) & (var > 1e-12)
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        ((F.col("value") - mean) / F.sqrt(var)).alias("z"),
+    )
+    return scored.filter(F.abs(F.col("z")) > ZSCORE_CUTOFF).orderBy(
+        "user_id", "event_id"
+    )
+
+
+@query(
+    "events_interpolate",
+    oracle="""
+    WITH planted AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    ctx AS (
+        SELECT user_id, event_id, ts, v,
+               last_value(v IGNORE NULLS) OVER wp AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END
+                   IGNORE NULLS) OVER wp AS prev_t,
+               first_value(v IGNORE NULLS) OVER wn AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END
+                   IGNORE NULLS) OVER wn AS next_t
+        FROM planted
+        WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id, ts,
+           CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN prev_v IS NULL THEN next_v
+               WHEN next_v IS NULL THEN prev_v
+               ELSE prev_v + (next_v - prev_v)
+                    * (CAST(epoch_us(ts) - prev_t AS DOUBLE)
+                       / CAST(next_t - prev_t AS DOUBLE))
+           END AS filled,
+           (v IS NULL) AS was_missing
+    FROM ctx
+    ORDER BY user_id, event_id
+    """,
+    tags=("events", "analytics", "window"),
+)
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation on a time series: every 5th event's
+    value is planted missing, then filled from the nearest non-null
+    neighbors weighted by time distance (edges take the available
+    side). Two IGNORE-NULLS window passes — no self-join, no explode —
+    the standard 100 TB resampling shape. The time fraction divides
+    identical int64 microsecond deltas in both engines, so the filled
+    doubles hash identically."""
+    e = load_table(spark, sf_dir, "events")
+    planted = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    t_us = F.unix_micros(F.col("ts"))
+    t_nn = F.when(F.col("v").isNotNull(), t_us)
+    ctx = planted.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(t_nn, ignorenulls=True).over(wp).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(t_nn, ignorenulls=True).over(wn).alias("next_t"),
+    )
+    frac = (t_us - F.col("prev_t")).cast("double") / (
+        F.col("next_t") - F.col("prev_t")
+    ).cast("double")
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return ctx.select(
+        "user_id",
+        "event_id",
+        "ts",
+        filled.alias("filled"),
+        F.col("v").isNull().alias("was_missing"),
+    ).orderBy("user_id", "event_id")
+
+
+def _pr_oracle() -> str:
+    """Unrolled 5-iteration weighted PageRank in DuckDB SQL (mirrors the
+    Spark driver loop exactly, including the decimal re-aggregation)."""
+    it = """
+    mass{n} AS (
+        SELECT e.dst AS v,
+               list_reduce(list(e.w_frac * r.rank ORDER BY e.src),
+                           (acc, x) -> acc + x) AS mass
+        FROM edges e JOIN it{p} r ON r.v = e.src
+        GROUP BY e.dst
+    ),
+    it{n} AS (
+        -- CAST({d} AS DOUBLE): a bare 0.85 literal is DECIMAL in
+        -- DuckDB, making (1 - 0.85) exactly 0.15 where IEEE doubles
+        -- give 0.15000000000000002 — a last-ulp divergence per round
+        SELECT nodes.v,
+               (1 - CAST({d} AS DOUBLE)) / nn.n
+               + CAST({d} AS DOUBLE) * COALESCE(m.mass, 0.0) AS rank
+        FROM nodes CROSS JOIN nn LEFT JOIN mass{n} m ON m.v = nodes.v
+    )"""
+    its = ",".join(
+        it.format(n=i, p=i - 1, d=PR_DAMPING) for i in range(1, PR_ITERATIONS + 1)
+    )
+    return f"""
+    WITH raw_edges AS (
+        SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY src, dst
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS total FROM raw_edges GROUP BY src),
+    edges AS (
+        SELECT e.src, e.dst,
+               CAST(e.w AS DOUBLE) / CAST(o.total AS DOUBLE) AS w_frac
+        FROM raw_edges e JOIN outw o ON e.src = o.src
+    ),
+    nodes AS (SELECT n_name AS v FROM nation),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    it0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    {its}
+    SELECT v AS nation, rank
+    FROM it{PR_ITERATIONS}
+    ORDER BY rank DESC, nation
+    """
+
+
+@query(
+    "graph_pagerank",
+    oracle=_pr_oracle(),
+    tags=("graph", "analytics", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph (supplier nation →
+    customer nation, edge weight = lineitem count), 5 Lloyd-style
+    iterations at damping 0.85. The driver loops over PLANS — each
+    iteration is one equi-join plus one keyed aggregation (the
+    Pregel/GraphX shape; at 100 TB nodes/edges shuffle on their keys
+    and nothing collects). Per-node contribution sums fold in canonical
+    src order (array_sort + left-to-right aggregate ≡ DuckDB's
+    list(ORDER BY src) + list_reduce) so both engines execute the same
+    IEEE addition sequence and stay bit-identical through all 5
+    iterations; the oracle unrolls the same recurrence as CTEs.
+    Dangling-node mass is dropped identically on both sides (no
+    redistribution)."""
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+        )
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    c = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, s.s_nationkey == n1.s_nk)
+        .join(n2, c.c_nationkey == n2.c_nk)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = raw.groupBy(F.col("src").alias("o_src")).agg(
+        F.sum("w").cast("bigint").alias("total")
+    )
+    edges = (
+        raw.join(outw, raw.src == outw.o_src)
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("total").cast("double")).alias("w_frac"),
+        )
+        .localCheckpoint()  # 625-row edge table; truncate the star-join lineage
+    )
+    nodes = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("v"))
+    n_nodes = nodes.count()
+    ranks = nodes.select("v", (F.lit(1.0) / n_nodes).alias("rank"))
+    for _ in range(PR_ITERATIONS):
+        contribs = edges.join(ranks, edges.src == ranks.v).select(
+            F.col("dst"),
+            F.struct(F.col("src"), (F.col("w_frac") * F.col("rank")).alias("c")).alias(
+                "sc"
+            ),
+        )
+        # canonical-order fold: incoming contributions sort by src and
+        # add left-to-right — the identical IEEE sequence DuckDB's
+        # list(... ORDER BY src) + list_reduce performs. A plain SUM of
+        # doubles would be partition-order-dependent in Spark and
+        # tree-shaped in DuckDB; a decimal cast of the product would
+        # round its long binary expansion differently per engine.
+        incoming = (
+            contribs.groupBy(F.col("dst").alias("v"))
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list("sc")), lambda s: s.c
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("mass")
+            )
+        )
+        ranks = nodes.join(incoming, "v", "left_outer").select(
+            "v",
+            (
+                F.lit((1 - PR_DAMPING) / n_nodes)
+                + F.lit(PR_DAMPING) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select(F.col("v").alias("nation"), "rank").orderBy(
+        F.col("rank").desc(), "nation"
+    )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    WITH corrupted AS (
+        SELECT c_custkey AS dirty_key,
+               substr(c_name, 1, length(c_name) - 1) || 'X' AS dirty_name,
+               substr(c_name, 1, length(c_name) - 2) AS block
+        FROM customer WHERE c_custkey % 20 = 0
+    ),
+    originals AS (
+        SELECT c_custkey AS clean_key, c_name AS clean_name,
+               substr(c_name, 1, length(c_name) - 2) AS block
+        FROM customer
+    )
+    SELECT d.dirty_key, o.clean_key, d.dirty_name, o.clean_name,
+           levenshtein(d.dirty_name, o.clean_name) AS dist
+    FROM corrupted d JOIN originals o ON d.block = o.block
+    WHERE levenshtein(d.dirty_name, o.clean_name) <= 1
+    ORDER BY d.dirty_key, o.clean_key
+    """,
+    tags=("join", "fuzzy", "analytics"),
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity resolution): every 20th customer
+    name is corrupted in its last character, then its candidate set
+    (every clean name within edit distance 1 — the true original plus
+    its near-id siblings; downstream resolution would disambiguate) is
+    recovered — but ONLY inside a name-prefix block, so levenshtein
+    runs on Σ(block²) candidate pairs instead of n². The block key is
+    an equi-join column, which is the entire reason this scales: the
+    expensive comparison never sees a cross join."""
+    cust = load_table(spark, sf_dir, "customer")
+    block = F.expr("substr(c_name, 1, length(c_name) - 2)")
+    corrupted = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("dirty_name"),
+        block.alias("block"),
+    )
+    originals = cust.select(
+        F.col("c_custkey").alias("clean_key"),
+        F.col("c_name").alias("clean_name"),
+        block.alias("block"),
+    )
+    dist = F.levenshtein(F.col("dirty_name"), F.col("clean_name"))
+    return (
+        corrupted.join(originals, "block")
+        .filter(dist <= 1)
+        .select("dirty_key", "clean_key", "dirty_name", "clean_name", dist.alias("dist"))
+        .orderBy("dirty_key", "clean_key")
+    )
