@@ -448,3 +448,105 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dirty_key", "clean_key", "dirty_name", "clean_name", dist.alias("dist"))
         .orderBy("dirty_key", "clean_key")
     )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_id, ts AS valid_from, event_type
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) IS NULL)
+               AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from, event_id
+    """,
+    tags=("events", "analytics", "cdc"),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event stream:
+    change points (rows whose event_type differs from the user's
+    previous event) become validity intervals [valid_from, valid_to)
+    with an is_current flag — the CDC-to-warehouse reshape the
+    reference's upsert sink implies but never materializes. Two window
+    passes (lag for change detection, lead for interval close), both
+    on the same (user_id, ts) ordering, so one shuffle serves both."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    ).select("user_id", "event_id", F.col("ts").alias("valid_from"), "event_type")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    valid_to = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+RESERVOIR_K = 5
+
+
+@query(
+    "sample_reservoir_per_group",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, lang,
+               {{bucket}} AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, h,
+               row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        FROM hashed
+    )
+    SELECT lang, rk, doc_id
+    FROM ranked WHERE rk <= {RESERVOIR_K}
+    ORDER BY lang, rk
+    """.format(
+        bucket="(((1103515245 * CAST(doc_id AS BIGINT) + 12345) % 2147483647))"
+    ),
+    tags=("llm", "sampling", "analytics"),
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir sample: k=5 documents per
+    language, chosen by ranking on an LCG hash of doc_id — the
+    reproducible equivalent of reservoir sampling (same sample on every
+    re-run and engine, unlike rand()-based reservoirs which depend on
+    partition layout). One window per group; at 100 TB the rank-k
+    filter pushes into a partial top-k per partition before the
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.lit(1103515245).cast("bigint") * F.col("doc_id").cast("bigint") + 12345) % F.lit(
+        2147483647
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk")
+    )
