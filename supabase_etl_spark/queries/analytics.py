@@ -506,6 +506,102 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from", "event_id")
 
 
+@query(
+    "merge_cdc_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    changes AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 12 = 0 THEN 'D' ELSE 'U' END AS op,
+               'U1' AS o_orderstatus, o_totalprice * 1.05 AS o_totalprice,
+               1 AS seq
+        FROM orders WHERE o_orderkey % 4 = 0
+        UNION ALL
+        SELECT o_orderkey, 'U' AS op,
+               'U2' AS o_orderstatus, o_totalprice * 0.9 AS o_totalprice,
+               2 AS seq
+        FROM orders WHERE o_orderkey % 8 = 0
+    ),
+    latest AS (
+        SELECT o_orderkey, op, o_orderstatus, o_totalprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                           ORDER BY seq DESC) AS rn
+              FROM changes)
+        WHERE rn = 1
+    )
+    SELECT COALESCE(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+           COALESCE(l.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           COALESCE(l.o_totalprice, b.o_totalprice) AS o_totalprice,
+           CASE WHEN l.o_orderkey IS NULL THEN 'kept'
+                WHEN b.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM base b
+    FULL OUTER JOIN latest l ON b.o_orderkey = l.o_orderkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    ORDER BY o_orderkey
+    """,
+    tags=("cdc", "join"),
+)
+def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD type 1, latest-wins) as a distributed
+    batch op: a CDC change feed (insert/update/delete rows with a
+    sequence number) applied onto a base table. This is the
+    at-scale counterpart of the reference's row-by-row
+    `ON CONFLICT (...) DO UPDATE` sink (etl_supabase.py:71-85): dedupe
+    the feed to the latest change per key (one shuffle), then one
+    co-partitioned full-outer join against the base — both exchanges
+    hash on the merge key, so AQE can coalesce and there is no
+    broadcast-size cliff when the change feed is large. Deletes drop,
+    missing keys insert, matches take the change row's values."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    c1 = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 12 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.lit("U1").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.05)).alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+    )
+    c2 = o.filter(F.col("o_orderkey") % 8 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit("U2").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(0.9)).alias("o_totalprice"),
+        F.lit(2).alias("seq"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    latest = (
+        c1.unionByName(c2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_orderkey").alias("l_key"),
+            "op",
+            F.col("o_orderstatus").alias("l_status"),
+            F.col("o_totalprice").alias("l_price"),
+        )
+    )
+    merged = base.join(latest, base["o_orderkey"] == latest["l_key"], "full_outer")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce(base["o_orderkey"], F.col("l_key")).alias("o_orderkey"),
+            F.coalesce(F.col("l_status"), base["o_orderstatus"]).alias("o_orderstatus"),
+            F.coalesce(F.col("l_price"), base["o_totalprice"]).alias("o_totalprice"),
+            F.when(F.col("l_key").isNull(), F.lit("kept"))
+            .when(base["o_orderkey"].isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("merge_action"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 RESERVOIR_K = 5
 
 
@@ -549,4 +645,90 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= RESERVOIR_K)
         .select("lang", "rk", "doc_id")
         .orderBy("lang", "rk")
+    )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_touch,
+               first_value(CASE WHEN event_type IN ('view', 'click')
+                                THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS first_touch
+        FROM events
+    ),
+    purchases AS (
+        SELECT COALESCE(last_touch, 'direct') AS last_touch,
+               COALESCE(first_touch, 'direct') AS first_touch,
+               value
+        FROM ordered WHERE event_type = 'purchase'
+    )
+    SELECT model, channel, count(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS attributed_value
+    FROM (
+        SELECT 'last_touch' AS model, last_touch AS channel, value FROM purchases
+        UNION ALL
+        SELECT 'first_touch' AS model, first_touch AS channel, value FROM purchases
+    )
+    GROUP BY model, channel
+    ORDER BY model, channel
+    """,
+    tags=("events", "analytics"),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase's value credited to the
+    user's first / most recent preceding touch channel (view or click;
+    'direct' when none). One window pass per user stream computes both
+    models — frame ends at 1 PRECEDING so a purchase never attributes
+    to itself, IGNORE NULLS skips non-touch events in place (no
+    self-join, no sessionize pass). At 100 TB this is a single shuffle
+    on user_id; the rollup after is two tiny keyed aggs."""
+    e = load_table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = e.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+    )
+    purchases = ordered.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
+        F.coalesce("first_touch", F.lit("direct")).alias("first_touch"),
+        "value",
+    )
+    both = purchases.select(
+        F.lit("last_touch").alias("model"),
+        F.col("last_touch").alias("channel"),
+        "value",
+    ).unionByName(
+        purchases.select(
+            F.lit("first_touch").alias("model"),
+            F.col("first_touch").alias("channel"),
+            "value",
+        )
+    )
+    return (
+        both.groupBy("model", "channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("model", "channel")
     )

@@ -693,3 +693,233 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(keep, 1).otherwise(0)).alias("n_curated"),
         F.sum(F.when(keep, F.col("n_words")).otherwise(0)).alias("curated_tokens"),
     )
+
+
+SEMDEDUP_K = 8  # seed centroids: the first k organic vectors
+
+
+def _sql_semantic_dist2(e: str, c: str) -> str:
+    """DuckDB squared-L2 fold identical to the Spark zip_with/aggregate."""
+    return f"""list_reduce(
+        list_transform(range(1, len({e}) + 1),
+            i -> (CAST({e}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))
+                 * (CAST({e}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH all_vecs AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {COPY_OFFSET}, embedding FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings
+        WHERE vec_id < {SEMDEDUP_K}
+    ),
+    dists AS (
+        SELECT v.vec_id, c.centroid_id,
+               {_sql_semantic_dist2("v.embedding", "c.cent")} AS dist2
+        FROM all_vecs v, cents c
+    ),
+    best AS (SELECT vec_id, min(dist2) AS min_d FROM dists GROUP BY vec_id),
+    assign AS (
+        SELECT d.vec_id, min(d.centroid_id) AS cluster_id
+        FROM dists d JOIN best b ON d.vec_id = b.vec_id AND d.dist2 = b.min_d
+        GROUP BY d.vec_id
+    ),
+    normed AS (
+        SELECT a.vec_id, a.cluster_id, v.embedding,
+               sqrt({D.sql_dot("v.embedding", "v.embedding")}) AS nrm
+        FROM assign a JOIN all_vecs v ON a.vec_id = v.vec_id
+    ),
+    pairs AS (
+        SELECT a.cluster_id, a.vec_id AS ida, b.vec_id AS idb
+        FROM normed a
+        JOIN normed b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE {D.sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+              >= {COSINE_DUP_THRESHOLD}
+    ),
+    removed AS (SELECT DISTINCT cluster_id, idb FROM pairs)
+    SELECT n.cluster_id,
+           count(*) AS n_members,
+           (SELECT count(*) FROM pairs p WHERE p.cluster_id = n.cluster_id)
+               AS n_dup_pairs,
+           (SELECT count(*) FROM removed r WHERE r.cluster_id = n.cluster_id)
+               AS n_removed
+    FROM normed n
+    GROUP BY n.cluster_id
+    ORDER BY cluster_id
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    at embedding level — cluster the corpus, then search for
+    near-duplicates ONLY within each cluster. The planted shifted-id
+    copies land in the same cluster as their originals (identical
+    embedding → identical argmin) and are removed by the
+    keep-lowest-id rule.
+
+    The scale story is the whole point: brute-force cosine dedup is
+    O(n²); clustering first bounds the pair stage to Σ n_c² — with k
+    balanced clusters that is n²/k, and k grows with corpus size
+    (SemDeDup used 50k clusters for LAION). Assignment is one scan
+    against a broadcast centroid table (no shuffle of the corpus); the
+    pair join shuffles on cluster_id only. Per-cluster skew is the
+    known failure mode — at production scale the oversized-cluster
+    split (re-cluster any bucket over a row cap) bounds the quadratic
+    term, same remedy as the LSH bucket caps."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.select((F.col("vec_id") + COPY_OFFSET).alias("vec_id"), "embedding")
+    allv = e.unionByName(planted)
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < SEMDEDUP_K).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent")
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cent"),
+            lambda x, c: (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = allv.crossJoin(cents).select("vec_id", "centroid_id", dist2.alias("dist2"))
+    best = dists.groupBy(F.col("vec_id").alias("b_vec")).agg(F.min("dist2").alias("min_d"))
+    assign = (
+        dists.join(
+            best,
+            (F.col("vec_id") == F.col("b_vec")) & (F.col("dist2") == F.col("min_d")),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("centroid_id").alias("cluster_id"))
+    )
+    normed = (
+        allv.join(assign, "vec_id")
+        .withColumn("nrm", F.sqrt(D.dot_double(F.col("embedding"), F.col("embedding"))))
+        .localCheckpoint(eager=False)
+    )
+    a = normed.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = D.dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select("cluster_id", "ida", "idb")
+    )
+    pair_stats = pairs.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.count_distinct(F.col("idb")).alias("n_removed"),
+    )
+    members = normed.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        members.join(pair_stats, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.9
+FRAG_OFFSET = 200_000  # planted fragment ids
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH frags AS (
+        SELECT doc_id + {FRAG_OFFSET} AS doc_id,
+               array_to_string(({_SQL_TOKENS})[1:len({_SQL_TOKENS}) // 2], ' ') AS text
+        FROM documents
+        WHERE len({_SQL_TOKENS}) >= 6
+    ),
+    all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id, text FROM frags
+    ),
+    sh AS (
+        SELECT doc_id, unnest({D.sql_shingles()}) AS s FROM all_docs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.ida, i.idb, i.inter, sa.n AS na, sb.n AS nb,
+           i.inter / least(sa.n, sb.n) AS containment
+    FROM inter i
+    JOIN sizes sa ON i.ida = sa.doc_id
+    JOIN sizes sb ON i.idb = sb.doc_id
+    WHERE i.inter / least(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+    ORDER BY ida, idb
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) — the
+    asymmetric score that catches a short document embedded in a long
+    one, which Jaccard misses (a half-doc fragment scores ≈0.5 Jaccard
+    but ≈1.0 containment). The planted fragments (each document's
+    first-half tokens, shifted ids) are exactly what this measure — and
+    not dedup_ngram_jaccard — must flag.
+
+    Same inverted-index shape as jaccard_pairs: one shuffle on the
+    shingle hash, intersection by count, sizes joined after — only the
+    denominator changes. The same df-skew caveat and prefix-filter
+    remedy apply at web scale."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    frags = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 6)
+        .select(
+            (F.col("doc_id") + FRAG_OFFSET).alias("doc_id"),
+            F.array_join(
+                F.slice(F.col("toks"), 1, (F.size("toks") / 2).cast("int")), " "
+            ).alias("text"),
+        )
+    )
+    sh = (
+        D.exploded_shingles(d.unionByName(frags))
+        .select("doc_id", F.xxhash64("s").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("ida"), F.col("n").alias("na")), "ida")
+        .join(sizes.select(F.col("doc_id").alias("idb"), F.col("n").alias("nb")), "idb")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("ida", "idb", "inter", "na", "nb", "containment")
+        .orderBy("ida", "idb")
+    )

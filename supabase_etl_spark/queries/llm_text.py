@@ -440,3 +440,75 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS b
+        FROM base WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+    c1 AS (SELECT split_part(b, ' ', 1) AS w1, count(*) AS cw FROM bg GROUP BY 1),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(-ln(CAST(c2.cb AS DOUBLE) / c1.cw) AS DECIMAL(38,18)) AS nll
+        FROM bg
+        JOIN c2 ON bg.b = c2.b
+        JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS mean_nll
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional NLL per document — one order up from
+    text_unigram_logprob, the better perplexity proxy for LM-quality
+    filtering (CCNet trains a 5-gram KenLM; the estimation machinery is
+    identical at every order: count n-grams, count contexts, divide).
+    Bigrams are built row-locally (no shuffle), the two count tables
+    are plain aggs, and scoring is two equi-joins on the bigram /
+    context keys — at 100 TB both count tables are corpus-vocabulary
+    sized, far smaller than the corpus, and the joins shuffle on
+    well-distributed string keys. Per-bigram -ln(p) goes through
+    decimal so the mean is accumulation-order independent."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+    bigram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    bg = (
+        d.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigram_arr).alias("b"))
+    )
+    c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = bg.select(F.substring_index("b", " ", 1).alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("cw")
+    )
+    nll = (-F.log(F.col("cb").cast("double") / F.col("cw"))).cast("decimal(38,18)")
+    return (
+        bg.join(c2, "b")
+        .join(c1, F.substring_index(F.col("b"), " ", 1) == F.col("w1"))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
+    )

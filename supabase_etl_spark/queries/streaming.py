@@ -274,6 +274,51 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+           c.c_mktsegment AS mktsegment,
+           count(*) AS n,
+           {sql_dsum("e.value", "total_value")}
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY window_start, mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the live event stream joined to a
+    static broadcast dimension (customer → market segment), then a
+    tumbling event-time rollup per segment. Stream-static inner joins
+    are STATELESS — every micro-batch hash-joins against the (re-read)
+    static side, so at cluster scale the dim is a broadcast per batch
+    and the only state is the windowed agg. This is the canonical
+    "enrich the firehose with a slowly-changing dim" shape the
+    reference's per-run pandas merge cannot express incrementally."""
+    from supabase_etl_spark.io.readers import load_table
+
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    enriched = s.join(dim, "user_id", "inner")
+    agg = enriched.groupBy(F.window("ts", "1 hour"), "mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value")
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        "mktsegment",
+        "n",
+        "total_value",
+    )
+    return run_available_now(out, "complete").orderBy("window_start", "mktsegment")
+
+
+@query(
     "stream_stream_interval_join",
     oracle=f"""
     SELECT p.event_id AS purchase_event, p.user_id,
