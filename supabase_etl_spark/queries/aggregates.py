@@ -283,6 +283,39 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_hll_sketch_rollup",
+    oracle=None,  # sketch estimates; mergeability + accuracy asserted in tests
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 4 built-ins):
+    per-status distinct-customer sketches UNIONED into a grand total
+    without rescanning — `hll_union_agg` over the per-group
+    `hll_sketch_agg` binaries. This is the layer a 100 TB warehouse
+    actually persists: partial sketches per partition/day, merged at
+    query time, never a re-shuffle of raw keys. The union estimate
+    equals the whole-table sketch estimate exactly (union of sketches
+    over a partition of the data IS the sketch of the whole —
+    asserted in tests/test_tolerance.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    groups = per_group.select(
+        "o_orderstatus",
+        "n_rows",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    total = per_group.agg(
+        F.lit("ALL").alias("o_orderstatus"),
+        F.sum("n_rows").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+    )
+    return groups.unionByName(total).orderBy("o_orderstatus")
+
+
+@query(
     "agg_percentiles",
     oracle="""
     SELECT o_orderstatus,

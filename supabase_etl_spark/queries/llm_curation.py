@@ -559,9 +559,10 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors seed the centroids, every vector joins against the
     broadcast centroid table, squared L2 folds left-to-right (Spark
     `aggregate` ≡ DuckDB `list_reduce` — identical IEEE sequence), and
-    the argmin is the min-equality join with min-id tie-break. The
-    corpus is never shuffled — only scanned — so an iteration at 100 TB
-    is one pass; per-cluster inertia accumulates in decimal."""
+    the argmin is a lexicographic `min(struct(dist2, centroid_id))`
+    with min-id tie-break. The corpus is never shuffled — only
+    scanned — so an iteration at 100 TB is one pass; per-cluster
+    inertia accumulates in decimal."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = F.broadcast(
         load_table(spark, sf_dir, "embeddings")
@@ -581,16 +582,15 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     dists = e.crossJoin(cents).select(
         "vec_id", "centroid_id", dist2.alias("dist2")
     )
-    best = dists.groupBy(F.col("vec_id").alias("b_vec")).agg(
-        F.min("dist2").alias("min_d")
-    )
-    assign = (
-        dists.join(
-            best,
-            (F.col("vec_id") == F.col("b_vec")) & (F.col("dist2") == F.col("min_d")),
-        )
-        .groupBy("b_vec", "min_d")
-        .agg(F.min("centroid_id").alias("cluster_id"))
+    # argmin via lexicographic struct min (dist2, then centroid_id):
+    # one skinny agg replaces the min-equality join-back — same
+    # tie-break semantics, one less shuffle
+    assign = dists.groupBy("vec_id").agg(
+        F.min(F.struct("dist2", "centroid_id")).alias("best")
+    ).select(
+        "vec_id",
+        F.col("best.centroid_id").alias("cluster_id"),
+        F.col("best.dist2").alias("min_d"),
     )
     return (
         assign.groupBy("cluster_id")

@@ -651,6 +651,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM quality q JOIN clusters c ON q.doc_id = c.doc_id
     """,
     tags=("llm", "dedup", "pipeline"),
+    bench=True,
 )
 def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation capstone: one plan composing the quality gate
@@ -754,6 +755,7 @@ def _sql_semantic_dist2(e: str, c: str) -> str:
     ORDER BY cluster_id
     """,
     tags=("llm", "dedup", "embedding"),
+    bench=True,
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
@@ -767,11 +769,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²); clustering first bounds the pair stage to Σ n_c² — with k
     balanced clusters that is n²/k, and k grows with corpus size
     (SemDeDup used 50k clusters for LAION). Assignment is one scan
-    against a broadcast centroid table (no shuffle of the corpus); the
-    pair join shuffles on cluster_id only. Per-cluster skew is the
-    known failure mode — at production scale the oversized-cluster
-    split (re-cluster any bucket over a row cap) bounds the quadratic
-    term, same remedy as the LSH bucket caps."""
+    against a broadcast centroid table with a per-row
+    `min(struct(dist2, id))` argmin — ONE skinny shuffle, no
+    join-back on double equality. The pair join is SALTED on the
+    probe id: cluster_id alone has only k distinct values, so a plain
+    equi-join hashes the whole quadratic stage onto k reducers (AQE
+    even coalesces them to one at small input bytes — measured 4.8s
+    single-task at sf0.1); spreading side A over
+    (cluster_id, ida % P) partitions with side B replicated per salt
+    keeps every pair exactly once and the quadratic work evenly
+    spread (0.9s after, same rows). Per-cluster skew beyond that is
+    the known failure mode — at production scale the oversized-
+    cluster split (re-cluster any bucket over a row cap) bounds the
+    quadratic term, same remedy as the LSH bucket caps."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = e.select((F.col("vec_id") + COPY_OFFSET).alias("vec_id"), "embedding")
     allv = e.unionByName(planted)
@@ -791,35 +801,33 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     dists = allv.crossJoin(cents).select("vec_id", "centroid_id", dist2.alias("dist2"))
-    best = dists.groupBy(F.col("vec_id").alias("b_vec")).agg(F.min("dist2").alias("min_d"))
-    assign = (
-        dists.join(
-            best,
-            (F.col("vec_id") == F.col("b_vec")) & (F.col("dist2") == F.col("min_d")),
-        )
-        .groupBy("vec_id")
-        .agg(F.min("centroid_id").alias("cluster_id"))
+    # argmin with min-id tie-break: lexicographic struct min, one agg
+    assign = dists.groupBy("vec_id").agg(
+        F.min(F.struct("dist2", "centroid_id")).getField("centroid_id").alias("cluster_id")
     )
     normed = (
         allv.join(assign, "vec_id")
         .withColumn("nrm", F.sqrt(D.dot_double(F.col("embedding"), F.col("embedding"))))
         .localCheckpoint(eager=False)
     )
+    par = spark.sparkContext.defaultParallelism
     a = normed.select(
         F.col("cluster_id"),
+        (F.col("vec_id") % par).cast("int").alias("salt"),
         F.col("vec_id").alias("ida"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
-    )
+    ).repartition(par, "cluster_id", "salt")
     b = normed.select(
         F.col("cluster_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(par - 1))).alias("salt"),
         F.col("vec_id").alias("idb"),
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
-    )
+    ).repartition(par, "cluster_id", "salt")
     cos = D.dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     pairs = (
-        a.join(b, ["cluster_id"])
+        a.join(b, ["cluster_id", "salt"])
         .filter(F.col("ida") < F.col("idb"))
         .filter(cos >= COSINE_DUP_THRESHOLD)
         .select("cluster_id", "ida", "idb")

@@ -471,6 +471,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("llm", "text"),
+    bench=True,
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional NLL per document — one order up from

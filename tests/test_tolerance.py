@@ -128,3 +128,19 @@ def test_freq_items_contains_all_true_heavy_hitters(spark):
     )
     assert true_heavy, "no heavy hitters in testdata?"
     assert true_heavy <= got
+
+
+def test_hll_sketch_rollup_merge_equals_whole_table_sketch(spark):
+    """The union of per-group HLL sketches must estimate EXACTLY what a
+    single whole-table sketch estimates (sketch-of-parts == sketch-of-
+    whole is the mergeability contract partial aggregation relies on),
+    and both must land within 5% of the exact distinct count."""
+    out = {r["o_orderstatus"]: r["approx_customers"]
+           for r in REGISTRY["agg_hll_sketch_rollup"].fn(spark, SF).collect()}
+    o = load_table(spark, SF, "orders")
+    whole = o.select(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e")
+    ).collect()[0]["e"]
+    assert out["ALL"] == whole
+    exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
+    assert abs(out["ALL"] - exact) / exact <= 0.05
