@@ -316,6 +316,35 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, count(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, item
+    LIMIT 5
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (Spark 4 `approx_top_k`, DataSketches):
+    top-5 event types by count. The sketch guarantee makes this
+    hash-checkable against the EXACT oracle: counts are exact whenever
+    tracked items never evict (maxItemsTracked=64 ≫ 5 distinct event
+    types), and merging per-partition sketches preserves that — the
+    same mergeability contract as the HLL rollup, which is what lets a
+    100 TB cluster keep per-day sketches and answer 'top domains this
+    year' without re-scanning."""
+    e = load_table(spark, sf_dir, "events")
+    topk = e.agg(F.expr("approx_top_k(event_type, 5, 64)").alias("tk"))
+    return (
+        topk.select(F.explode("tk").alias("x"))
+        .select(F.col("x.item").alias("item"), F.col("x.count").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "item")
+    )
+
+
+@query(
     "agg_percentiles",
     oracle="""
     SELECT o_orderstatus,

@@ -440,17 +440,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = normed.select("vec_id", F.explode(band_arr).alias("bk")).select(
         "vec_id", "bk.band", "bk.bucket"
     )
+    # (band, bucket) has only 4×16 = 64 values and the join output is
+    # quadratic in bucket occupancy — the low-cardinality-key trap AQE
+    # coalesces onto a handful of reducers (see SCALE.md round-3 note).
+    # Salt side A on vec_id and replicate side B per salt: each
+    # candidate pair is still produced exactly once, the quadratic
+    # work spreads over P× more partitions.
+    par = spark.sparkContext.defaultParallelism
+    a_side = bands.select(
+        "band", "bucket", (F.col("vec_id") % par).cast("int").alias("salt"),
+        F.col("vec_id").alias("ida"),
+    ).repartition(par, "band", "bucket", "salt")
+    b_side = bands.select(
+        "band", "bucket",
+        F.explode(F.sequence(F.lit(0), F.lit(par - 1))).alias("salt"),
+        F.col("vec_id").alias("idb"),
+    ).repartition(par, "band", "bucket", "salt")
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            [
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.vec_id") < F.col("b.vec_id"),
-            ],
-        )
-        .select(F.col("a.vec_id").alias("ida"), F.col("b.vec_id").alias("idb"))
+        a_side.join(b_side, ["band", "bucket", "salt"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
         .distinct()
     )
     cos = D.dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))

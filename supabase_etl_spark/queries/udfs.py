@@ -417,3 +417,30 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.mapInArrow(
         process, schema="p_partkey long, p_size int, double_price double"
     ).orderBy("p_partkey")
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT doc_id,
+           reverse(lang) AS lang_rev,
+           length(text) % 97 AS len_mod
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 `useArrow=True`): the plain
+    `F.udf` API with Arrow batch transfer underneath — same
+    registration surface as the legacy pickled UDF, ~2-5× its
+    throughput, without rewriting to pandas_udf. Deterministic
+    per-row string/int outputs, exact oracle."""
+    rev = F.udf(lambda s: s[::-1], "string", useArrow=True)
+    len_mod = F.udf(lambda s: len(s) % 97, "int", useArrow=True)
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rev(F.col("lang")).alias("lang_rev"),
+        len_mod(F.col("text")).alias("len_mod"),
+    ).orderBy("doc_id")
