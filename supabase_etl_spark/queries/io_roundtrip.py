@@ -174,3 +174,63 @@ def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="orc_rt_")
     s.write.mode("overwrite").orc(out)
     return spark.read.orc(out).orderBy("s_suppkey")
+
+
+@query(
+    "io_parquet_zorder",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+           o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 199
+      AND CAST(o_orderdate AS DATE) >= DATE '1995-03-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1995-06-01'
+    ORDER BY o_orderkey
+    """,
+    tags=("io", "layout"),
+)
+def io_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering on TWO dimensions: orders laid out
+    by the bit-interleave of (o_custkey, days(o_orderdate)), then
+    scanned with a predicate on BOTH columns. Interleaving makes each
+    file's min/max tight in *both* dimensions simultaneously — the
+    one-key sort of io_parquet_clustered can prune only its leading
+    key; Z-order is how Delta/Iceberg OPTIMIZE ZORDER keeps 2-D
+    selective scans from reading the whole table at 100 TB. The
+    z-value is a pure column expression (10 bits per dimension, no
+    UDF); both predicates reach the scan as pushed filters (pinned in
+    tests/test_plan_shapes.py)."""
+    from functools import reduce
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_totalprice",
+    )
+    x = F.col("o_custkey").cast("bigint")
+    y = F.datediff(F.col("order_date"), F.lit("1992-01-01").cast("date")).cast("bigint")
+    zval = reduce(
+        lambda acc, i: acc
+        + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1),
+        range(10),
+        F.lit(0).cast("bigint"),
+    )
+    out = tempfile.mkdtemp(prefix="pq_zorder_")
+    (
+        o.withColumn("zval", zval)
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("o_custkey").between(100, 199)
+        & (F.col("order_date") >= F.lit("1995-03-01").cast("date"))
+        & (F.col("order_date") < F.lit("1995-06-01").cast("date"))
+    )
+    return back.select(
+        "o_orderkey", "o_custkey", "order_date", "o_totalprice"
+    ).orderBy("o_orderkey")

@@ -236,3 +236,16 @@ def test_stream_static_join_broadcasts_dim(spark):
     q = load_all()["stream_static_enrich"]
     df = q.fn(spark, SF)
     assert df.count() >= 0  # ran to completion via AvailableNow
+
+
+def test_zorder_scan_pushes_both_dimensions(spark):
+    """io_parquet_zorder: the 2-D predicate must reach the parquet scan
+    on BOTH columns (custkey range and date range) — that is what lets
+    Z-ordered file min/max stats prune in two dimensions at once."""
+    q = load_all()["io_parquet_zorder"]
+    plan = _plan(q.fn(spark, SF))
+    # toString truncates the filter list; the prefix shows both columns
+    # entered the pushdown set
+    assert "GreaterThanOrEqual(o_custkey,100)" in plan
+    assert "IsNotNull(order_date)" in plan
+    assert "LessThanOrEqual(" in plan
