@@ -732,3 +732,50 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "channel")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM trans
+    ORDER BY from_type, to_type
+    """,
+    tags=("events", "analytics"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next_type | type) estimated from adjacent-pair counts.
+    The product-analytics 'where do users go next' primitive (and the
+    generative model behind session simulation). One lead() window per
+    user stream, one count shuffle on the (from, to) pair — 25 output
+    rows regardless of corpus size, so at 100 TB the reduction is all
+    map-side. Probabilities divide exact integer counts (deterministic
+    across engines); round(6) pins the double formatting."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wsum = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wsum), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
