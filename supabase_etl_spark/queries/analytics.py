@@ -779,3 +779,68 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wsum), 6).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+EWMA_ALPHA = 0.2  # smoothing factor; weight (1-α)^age over a 20-row frame
+EWMA_FRAME = 20
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+    WITH framed AS (
+        SELECT user_id, event_id, ts, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN {EWMA_FRAME - 1} PRECEDING
+                                          AND CURRENT ROW) AS vals
+        FROM events
+    )
+    SELECT user_id, event_id, ts, value,
+           round(
+               list_reduce(list_transform(vals,
+                   (x, i) -> x * pow({1 - EWMA_ALPHA}, len(vals) - i)),
+                   (a, b) -> a + b)
+               / list_reduce(list_transform(vals,
+                   (x, i) -> pow({1 - EWMA_ALPHA}, len(vals) - i)),
+                   (a, b) -> a + b),
+               6) AS ewma
+    FROM framed
+    ORDER BY user_id, event_id
+    """,
+    tags=("events", "analytics", "window"),
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user stream — the
+    trend-smoothing primitive behind monitoring baselines and feature
+    engineering. True EWMA is a recursion no window frame expresses;
+    the standard production form is the BOUNDED-window restatement
+    (weights (1-α)^age over the last 20 rows — the dropped tail weight
+    is (1-α)^20 ≈ 1%) which IS expressible: collect the frame, weight
+    each element by recency with an indexed transform, fold. All
+    array-local per-row compute after one window shuffle on user_id;
+    the identical left-to-right fold replays in DuckDB's
+    list_transform/list_reduce, so the doubles hash-match without
+    decimal laundering."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_FRAME - 1), 0)
+    )
+    framed = e.select(
+        "user_id", "event_id", "ts", "value",
+        F.collect_list("value").over(w).alias("vals"),
+    )
+    n = F.size("vals")
+    idx = F.sequence(F.lit(1), n)
+    weights = F.transform(idx, lambda i: F.pow(F.lit(1 - EWMA_ALPHA), n - i))
+    num = F.aggregate(
+        F.zip_with(F.col("vals"), weights, lambda x, wgt: x * wgt),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    den = F.aggregate(weights, F.lit(0.0), lambda a, b: a + b)
+    return framed.select(
+        "user_id", "event_id", "ts", "value",
+        F.round(num / den, 6).alias("ewma"),
+    ).orderBy("user_id", "event_id")
