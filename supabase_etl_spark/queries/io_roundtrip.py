@@ -234,3 +234,40 @@ def io_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "o_orderkey", "o_custkey", "order_date", "o_totalprice"
     ).orderBy("o_orderkey")
+
+
+@query(
+    "io_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("io", "xml"),
+)
+def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → XML sink → XML scan (spark-xml is built into Spark 4;
+    no external package). XML is the interchange surface enterprise
+    feeds still arrive on; the roundtrip pins element naming
+    (rowTag/rootTag) and type inference back to the declared schema.
+    Like csv/json, the reader fans out over files — fine at scale for
+    many-file feeds; a single giant XML document does not split, which
+    is the documented operational caveat."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = tempfile.mkdtemp(prefix="xml_rt_")
+    (
+        n.write.format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .load(out)
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")

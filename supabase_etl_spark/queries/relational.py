@@ -687,3 +687,37 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+PARAM_MIN_PRICE = 150_000.0
+PARAM_STATUS = "O"
+
+
+@query(
+    "sql_parameterized",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >= {PARAM_MIN_PRICE} AND o_orderstatus = '{PARAM_STATUS}'
+    ORDER BY o_orderkey
+    """,
+    tags=("sql",),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 `spark.sql(query, args=...)`): named
+    placeholders bound server-side instead of f-string splicing — the
+    injection-safe entry point an engine exposes to applications. The
+    bound literal participates in constant folding and predicate
+    pushdown exactly like an inline one."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        ORDER BY o_orderkey
+        """,
+        args={"min_price": PARAM_MIN_PRICE, "status": PARAM_STATUS},
+    )
