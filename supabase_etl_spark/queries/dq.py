@@ -121,3 +121,52 @@ def dq_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bad_enum)
         .orderBy("check_name")
     )
+
+
+@query(
+    "dq_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT)
+               AS n_null_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    """,
+    tags=("dq", "observe"),
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via `df.observe(Observation, ...)`: the
+    metrics accumulate ON the executors DURING the write action —
+    zero extra pass, unlike a separate dq query that re-scans the
+    table. This is how a 100 TB load publishes row counts / null
+    rates / control totals without doubling its IO; the sink action
+    here is a noop-format write standing in for the production sink.
+    The observed values land in a one-row DataFrame for the oracle."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("n_null_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_price"],
+                m["total_price"],
+                m["max_price"],
+            )
+        ],
+        "n_rows bigint, n_null_price bigint, total_price double, max_price double",
+    )
