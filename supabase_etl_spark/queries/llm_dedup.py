@@ -446,7 +446,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Salt side A on vec_id and replicate side B per salt: each
     # candidate pair is still produced exactly once, the quadratic
     # work spreads over P× more partitions.
-    par = spark.sparkContext.defaultParallelism
+    # salt cap: replication of side B scales with the salt count, so
+    # bound it — 64 spreads a quadratic bucket over 64 tasks at any
+    # cluster size without a 1000x replication bill
+    par = min(spark.sparkContext.defaultParallelism, 64)
     a_side = bands.select(
         "band", "bucket", (F.col("vec_id") % par).cast("int").alias("salt"),
         F.col("vec_id").alias("ida"),
@@ -819,7 +822,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", F.sqrt(D.dot_double(F.col("embedding"), F.col("embedding"))))
         .localCheckpoint(eager=False)
     )
-    par = spark.sparkContext.defaultParallelism
+    par = min(spark.sparkContext.defaultParallelism, 64)  # salt cap, see above
     a = normed.select(
         F.col("cluster_id"),
         (F.col("vec_id") % par).cast("int").alias("salt"),
