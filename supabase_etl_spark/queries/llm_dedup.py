@@ -786,11 +786,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-back on double equality. The pair join is SALTED on the
     probe id: cluster_id alone has only k distinct values, so a plain
     equi-join hashes the whole quadratic stage onto k reducers (AQE
-    even coalesces them to one at small input bytes — measured 4.8s
-    single-task at sf0.1); spreading side A over
-    (cluster_id, ida % P) partitions with side B replicated per salt
-    keeps every pair exactly once and the quadratic work evenly
-    spread (0.9s after, same rows). Per-cluster skew beyond that is
+    even coalesces them to one at small input bytes — the whole query
+    measured 12.7s at sf0.1 with the pair stage single-task);
+    spreading side A over (cluster_id, ida % P) partitions with side
+    B replicated per salt keeps every pair exactly once and the
+    quadratic work evenly spread (1.5s after, same rows — SCALE.md
+    round-3 note). Per-cluster skew beyond that is
     the known failure mode — at production scale the oversized-
     cluster split (re-cluster any bucket over a row cap) bounds the
     quadratic term, same remedy as the LSH bucket caps."""
