@@ -51,19 +51,40 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet scan that tolerates TIMESTAMP(NANOS) columns.
+    """Parquet scan with a stable engine-facing timestamp type.
 
-    Spark has no nanosecond timestamp type; when the footer declares
-    NANOS we read them as raw int64 (spark.sql.legacy.parquet.nanosAsLong)
-    and truncate to microseconds — the same truncation DuckDB applies —
-    so downstream event-time semantics agree across engines.
+    Files written by different producers disagree on temporal physical
+    types: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects)
+    vs TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark 4
+    infers as TIMESTAMP_NTZ). The engine normalizes both to the session
+    TIMESTAMP type so every downstream plan — event-time arithmetic
+    (``unix_micros``), watermarks, window frames — sees one type
+    regardless of producer:
+
+    - NANOS → read as raw int64 (spark.sql.legacy.parquet.nanosAsLong)
+      and truncate to microseconds, the same truncation DuckDB applies;
+    - NTZ → cast to TIMESTAMP. The session runs in UTC (session.py), so
+      the wall-clock field values are bit-identical to DuckDB's naive
+      microsecond timestamps.
     """
+    from pyspark.sql.types import TimestampNTZType
+
     nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # scan-level (not cast-level) normalization: the reader emits
+    # TIMESTAMP directly, so ts predicates still push down to parquet
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # defensive: if a producer wrote a logical NTZ annotation the conf
+    # above does not cover, fall back to a cast projection
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

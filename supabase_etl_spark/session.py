@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet TIMESTAMP(isAdjustedToUTC=false) reads as TIMESTAMP, not
+        # TIMESTAMP_NTZ: one stable temporal type engine-wide (UTC session
+        # tz makes the field values identical either way); applies to both
+        # path reads and catalog external tables
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

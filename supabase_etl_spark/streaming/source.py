@@ -25,24 +25,43 @@ EVENTS_SCHEMA_NANOS = (
     "value double, props string"
 )
 
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
-    """readStream over events-shaped parquet with nanos→micros
-    normalization. ``glob`` scopes the directory scan (default: just
-    the sf-dir's events table; incremental landing zones pass a
-    wildcard to pick up newly arriving files)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """readStream over events-shaped parquet, tolerant of producer
+    temporal types like the batch reader (io/readers.py): NANOS files
+    are read as int64 and truncated to micros; MICROS files are read
+    straight into TIMESTAMP (the explicit schema pins the type, so NTZ
+    inference never applies). ``glob`` scopes the directory scan
+    (default: just the sf-dir's events table; incremental landing zones
+    pass a wildcard to pick up newly arriving files)."""
+    from supabase_etl_spark.io.readers import _nanos_timestamp_cols
+
+    # footer probe on the first matching file decides the read schema;
+    # an empty landing zone (no files yet) defaults to the micros schema
+    try:
+        nanos = "ts" in _nanos_timestamp_cols(f"{sf_dir}/{glob}")
+    except (IndexError, FileNotFoundError, OSError):
+        nanos = False
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file source wants a directory (it infers basePath); scope the
     # scan to the events file(s) with a glob filter
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", glob)
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
