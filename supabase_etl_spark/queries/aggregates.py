@@ -589,3 +589,48 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "linestatus_candidates"
         ),
     )
+
+
+@query(
+    "agg_argminmax_mode",
+    oracle="""
+    SELECT l_returnflag,
+           arg_max(l_suppkey, l_orderkey * 10 + l_linenumber) AS supp_of_last_line,
+           arg_min(l_suppkey, l_orderkey * 10 + l_linenumber) AS supp_of_first_line,
+           mode(CASE WHEN l_quantity > 45 THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+               AS qty_mode_bucket,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "argminmax"),
+)
+def agg_argminmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional aggregates: max_by/min_by (SQL-standard arg_max/
+    arg_min) pick a payload column at the extremum of an ordering key,
+    and mode() returns the most frequent value. All three are one-pass
+    hash aggregates with map-side partials — at 100 TB they reduce to
+    one shuffle of k groups, never a sort.
+
+    Determinism: the ordering key `l_orderkey*10 + l_linenumber` is
+    unique (l_linenumber ≤ 7), so arg_max/arg_min have a single valid
+    answer; the mode argument collapses ~90 % of rows into bucket 0, so
+    the mode is unique by construction (mode over a near-uniform column
+    would tie-break engine-dependently)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    line_key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    qty_bucket = (
+        F.when(F.col("l_quantity") > 45, F.col("l_quantity").cast("bigint"))
+        .otherwise(F.lit(0))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.max_by("l_suppkey", line_key).alias("supp_of_last_line"),
+            F.min_by("l_suppkey", line_key).alias("supp_of_first_line"),
+            F.mode(qty_bucket).alias("qty_mode_bucket"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

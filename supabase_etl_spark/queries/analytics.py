@@ -844,3 +844,58 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "value",
         F.round(num / den, 6).alias("ewma"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS bar_date,
+               value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+        FROM events
+    )
+    SELECT event_type, bar_date,
+           arg_min(value, ord_key) AS open,
+           max(value)              AS high,
+           min(value)              AS low,
+           arg_max(value, ord_key) AS close,
+           count(*)                AS n_ticks
+    FROM keyed
+    GROUP BY event_type, bar_date
+    ORDER BY event_type, bar_date
+    """,
+    tags=("events", "analytics", "finance"),
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event_type — the reference domain's core
+    downsample (vnstock price history → daily candles). One hash
+    aggregate: open/close are max_by/min_by on a zero-padded
+    (epoch-micros, event_id) string key (total order, so the answer is
+    unique), high/low are plain min/max, all with map-side partials —
+    no window, no sort, one shuffle of k·days groups at any scale.
+    The values are picked (not summed), so doubles hash exactly."""
+    e = load_table(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    keyed = e.select(
+        "event_type",
+        F.col("ts").cast("date").alias("bar_date"),
+        "value",
+        ord_key.alias("ord_key"),
+    )
+    return (
+        keyed.groupBy("event_type", "bar_date")
+        .agg(
+            F.min_by("value", F.col("ord_key")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("ord_key")).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("event_type", "bar_date")
+    )

@@ -271,3 +271,69 @@ def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(out)
     )
     return back.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+        SELECT year(o_orderdate) AS yr, count(*) AS n_orders
+        FROM orders
+        GROUP BY 1
+        HAVING count(*) > (SELECT count(*) FROM orders) / 10.0
+    )
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN dim ON year(l_shipdate) = dim.yr
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("io", "join", "scale"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is laid out as
+    year-partitioned parquet; the dim side (order counts per year) is
+    only selective at *runtime* (HAVING over a runtime total — not a
+    foldable literal, so static pruning cannot apply). Catalyst inserts
+    a dynamicpruning subquery into the fact scan's PartitionFilters:
+    the broadcast of the filtered dim is reused to skip entire fact
+    partitions before any I/O. At 100 TB this is the difference between
+    scanning every year-directory and touching only the qualifying ones
+    (pinned by tests/test_plan_shapes.py). Partial years (the dataset's
+    first/last calendar year) fall below the 1/10 threshold at any sf,
+    so the filter always prunes a strict subset."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("ship_year"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    out = tempfile.mkdtemp(prefix="pq_dpp_")
+    write_parquet(li, out, partition_by=["ship_year"])
+    fact = spark.read.parquet(out)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr")
+    )
+    counts = o.groupBy("yr").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = o.agg((F.count(F.lit(1)) / F.lit(10.0)).alias("cutoff"))
+    dim = counts.join(F.broadcast(total)).filter(
+        F.col("n_orders") > F.col("cutoff")
+    )
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        fact.join(dim, fact.ship_year == dim.yr)
+        .groupBy("ship_year")
+        .agg(
+            F.sum(rev.cast("decimal(28,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.col("ship_year").cast("bigint").alias("ship_year"),
+            "revenue",
+            "n_lines",
+        )
+        .orderBy("ship_year")
+    )
