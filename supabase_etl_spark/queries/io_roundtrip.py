@@ -277,10 +277,10 @@ def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_dynamic_partition_pruning",
     oracle="""
     WITH dim AS (
-        SELECT year(o_orderdate) AS yr, count(*) AS n_orders
+        SELECT year(o_orderdate) AS yr, count(*) AS n_jumbo
         FROM orders
+        WHERE o_totalprice >= 450000
         GROUP BY 1
-        HAVING count(*) > (SELECT count(*) FROM orders) / 10.0
     )
     SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
@@ -294,16 +294,17 @@ def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning: the fact side is laid out as
-    year-partitioned parquet; the dim side (order counts per year) is
-    only selective at *runtime* (HAVING over a runtime total — not a
-    foldable literal, so static pruning cannot apply). Catalyst inserts
-    a dynamicpruning subquery into the fact scan's PartitionFilters:
-    the broadcast of the filtered dim is reused to skip entire fact
-    partitions before any I/O. At 100 TB this is the difference between
-    scanning every year-directory and touching only the qualifying ones
-    (pinned by tests/test_plan_shapes.py). Partial years (the dataset's
-    first/last calendar year) fall below the 1/10 threshold at any sf,
-    so the filter always prunes a strict subset."""
+    year-partitioned parquet; the dim side — years that contain at
+    least one jumbo order — is a runtime property of the data, so no
+    static partition list exists at plan time. Because the dim carries
+    a literal selective predicate (o_totalprice >= 450000 — DPP's
+    `hasSelectivePredicate` requires a literal comparison; an
+    attribute-vs-attribute filter does not qualify), Catalyst inserts a
+    dynamicpruning subquery into the fact scan's PartitionFilters and
+    reuses the dim's broadcast exchange to evaluate it: whole
+    year-directories are skipped before any fact I/O. At 100 TB this is
+    the difference between scanning every partition and touching only
+    the qualifying ones (pinned by tests/test_plan_shapes.py)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.year("l_shipdate").alias("ship_year"),
         "l_extendedprice",
@@ -313,18 +314,22 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     write_parquet(li, out, partition_by=["ship_year"])
     fact = spark.read.parquet(out)
 
-    o = load_table(spark, sf_dir, "orders").select(
-        F.year("o_orderdate").alias("yr")
-    )
-    counts = o.groupBy("yr").agg(F.count(F.lit(1)).alias("n_orders"))
-    total = o.agg((F.count(F.lit(1)) / F.lit(10.0)).alias("cutoff"))
-    dim = counts.join(F.broadcast(total)).filter(
-        F.col("n_orders") > F.col("cutoff")
+    o = load_table(spark, sf_dir, "orders")
+    dim = (
+        o.filter(F.col("o_totalprice") >= 450000)
+        .select(F.year("o_orderdate").alias("yr"))
+        .groupBy("yr")
+        .agg(F.count(F.lit(1)).alias("n_jumbo"))
     )
 
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # dim is explicitly broadcast: DPP's cheap path reuses the broadcast
+    # exchange as the pruning subquery (reuseBroadcastOnly default), and
+    # at any scale the per-year dim is trivially broadcastable — without
+    # the hint a toy-sized *fact* side can win the build-side choice and
+    # no partition pruning happens
     return (
-        fact.join(dim, fact.ship_year == dim.yr)
+        fact.join(F.broadcast(dim), fact.ship_year == dim.yr)
         .groupBy("ship_year")
         .agg(
             F.sum(rev.cast("decimal(28,6)")).cast("double").alias("revenue"),

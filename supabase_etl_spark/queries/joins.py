@@ -589,3 +589,74 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", left.k.alias("k"), "label")
         .orderBy("o_orderkey")
     )
+
+
+# Conf keys scoped by join_bloom_runtime_filter (saved/restored around
+# the eager execution).
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # fact scans at test sf are ~1 MB; production default is 10 GB
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+    # bloom filters only inject on shuffle joins (a broadcast join's
+    # build side already prunes); disable size-based broadcast so the
+    # join planner picks the shuffle path the 100 TB case would take
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_filter_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy plan under test: selective dim filter on orders, equi
+    join into the lineitem fact, rollup by priority. With the
+    `_BLOOM_CONFS` scope active, Catalyst builds a bloom filter from
+    the filtered dim keys and injects `might_contain(xxhash64(
+    l_orderkey))` into the fact leg — rows failing the membership test
+    die before the shuffle write, cutting exchanged bytes by the dim's
+    selectivity (the decisive win when the fact side is 100 TB).
+    Exposed separately so tests/test_plan_shapes.py can assert the
+    `might_contain` subquery on the executed plan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 400000
+    ).select("o_orderkey", "o_orderpriority")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(rev, "revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "join_bloom_runtime_filter",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice >= 400000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "scale"),
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction, scoped so the session
+    confs it needs do not leak: the plan executes eagerly (
+    localCheckpoint) inside a save/restore of `_BLOOM_CONFS`, then the
+    materialized result is returned. The interesting part — the
+    injected `might_contain` filter on the fact scan — is pinned by a
+    plan-shape test against `bloom_filter_join_plan`."""
+    saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return bloom_filter_join_plan(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

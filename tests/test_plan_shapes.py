@@ -249,3 +249,33 @@ def test_zorder_scan_pushes_both_dimensions(spark):
     assert "GreaterThanOrEqual(o_custkey,100)" in plan
     assert "IsNotNull(order_date)" in plan
     assert "LessThanOrEqual(" in plan
+
+
+def test_bloom_runtime_filter_injected(spark):
+    """With the bloom conf scope active, the fact leg of the shuffle
+    join must carry a might_contain(bloom subquery) filter — the
+    semi-join reduction that cuts shuffled bytes by dim selectivity."""
+    from supabase_etl_spark.queries.joins import _BLOOM_CONFS, bloom_filter_join_plan
+
+    saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = bloom_filter_join_plan(spark, SF)
+        df.collect()  # AQE finalizes subquery reuse on execution
+        plan = _plan(df)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan
+    assert "xxhash64(l_orderkey" in plan
+
+
+def test_dynamic_partition_pruning_subquery(spark):
+    """The year-partitioned fact scan must be pruned by a dynamic
+    subquery on the runtime-selective dim — visible as a dynamicpruning
+    expression in the scan's PartitionFilters."""
+    q = load_all()["join_dynamic_partition_pruning"]
+    df = q.fn(spark, SF)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan
