@@ -595,8 +595,10 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_argminmax_mode",
     oracle="""
     SELECT l_returnflag,
-           arg_max(l_suppkey, l_orderkey * 10 + l_linenumber) AS supp_of_last_line,
-           arg_min(l_suppkey, l_orderkey * 10 + l_linenumber) AS supp_of_first_line,
+           arg_max(l_suppkey, lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 20, '0')
+                              || lpad(CAST(l_suppkey AS VARCHAR), 10, '0')) AS supp_of_last_line,
+           arg_min(l_suppkey, lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 20, '0')
+                              || lpad(CAST(l_suppkey AS VARCHAR), 10, '0')) AS supp_of_first_line,
            mode(CASE WHEN l_quantity > 45 THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
                AS qty_mode_bucket,
            count(*) AS n
@@ -613,13 +615,19 @@ def agg_argminmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregates with map-side partials — at 100 TB they reduce to
     one shuffle of k groups, never a sort.
 
-    Determinism: the ordering key `l_orderkey*10 + l_linenumber` is
-    unique (l_linenumber ≤ 7), so arg_max/arg_min have a single valid
-    answer; the mode argument collapses ~90 % of rows into bucket 0, so
-    the mode is unique by construction (mode over a near-uniform column
-    would tie-break engine-dependently)."""
+    Determinism: the ordering key is (l_orderkey·10 + l_linenumber)
+    zero-padded with the payload l_suppkey appended as the final
+    tie-break — the synthetic data contains duplicate (orderkey,
+    linenumber) pairs, so the line key alone would let each engine pick
+    a different suppkey at a tied extremum. The mode argument collapses
+    ~90 % of rows into bucket 0, so the mode is unique by construction
+    (mode over a near-uniform column would tie-break
+    engine-dependently)."""
     li = load_table(spark, sf_dir, "lineitem")
-    line_key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    line_key = F.concat(
+        F.lpad((F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string"), 20, "0"),
+        F.lpad(F.col("l_suppkey").cast("string"), 10, "0"),
+    )
     qty_bucket = (
         F.when(F.col("l_quantity") > 45, F.col("l_quantity").cast("bigint"))
         .otherwise(F.lit(0))

@@ -823,7 +823,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", F.sqrt(D.dot_double(F.col("embedding"), F.col("embedding"))))
         .localCheckpoint(eager=False)
     )
-    par = min(spark.sparkContext.defaultParallelism, 64)  # salt cap, see above
+    # Salt factor sized to the data, not the cluster: side B is
+    # replicated `par` times, so a fixed par=defaultParallelism makes a
+    # small corpus pay a 32x embedding-array shuffle for nothing. A
+    # footer-only row count (driver-side O(1)) scales the salt with the
+    # corpus — ~1 salt per 2k vectors, capped at 64 (the replication
+    # cap, commit 8f20868) and by cluster parallelism.
+    import pyarrow.parquet as pq
+
+    n_total = 2 * pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    par = max(1, min(64, spark.sparkContext.defaultParallelism, -(-n_total // 2000)))
     a = normed.select(
         F.col("cluster_id"),
         (F.col("vec_id") % par).cast("int").alias("salt"),

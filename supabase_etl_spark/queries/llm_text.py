@@ -498,8 +498,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(bigram_arr).alias("b"))
     )
     c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
-    c1 = bg.select(F.substring_index("b", " ", 1).alias("w1")).groupBy("w1").agg(
-        F.count(F.lit(1)).alias("cw")
+    # context counts derive from the bigram table (Σ cb over w1), not a
+    # second corpus scan: c2 is vocabulary-sized, the corpus is not
+    c1 = (
+        c2.select(F.substring_index("b", " ", 1).alias("w1"), "cb")
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("cw"))
     )
     nll = (-F.log(F.col("cb").cast("double") / F.col("cw"))).cast("decimal(38,18)")
     return (
