@@ -953,3 +953,182 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ida", "idb", "inter", "na", "nb", "containment")
         .orderBy("ida", "idb")
     )
+
+
+def _sql_incr_minhash_cte() -> str:
+    """sig/band CTEs over the `allsh` (corpus ∪ incoming) shingle set,
+    replaying operators/dedup minhash for the incremental-ingest gate."""
+    hashes = ",\n               ".join(
+        f"min(({a} * CAST(sid AS BIGINT) + {b}) % {D.MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(D.MINHASH_COEFFS)
+    )
+    band_rows = "\n        UNION ALL\n".join(
+        "        SELECT doc_id, {b} AS band, {ks} FROM sig".format(
+            b=b,
+            ks=", ".join(
+                f"h{b * D.ROWS_PER_BAND + r} AS k{r}" for r in range(D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(D.BANDS)
+    )
+    key_eq = " AND ".join(f"a.k{r} = b.k{r}" for r in range(D.ROWS_PER_BAND))
+    return f"""
+    ds AS (SELECT doc_id, {D.sql_strhash("s")} AS sid FROM allsh),
+    sig AS (
+        SELECT doc_id,
+               {hashes}
+        FROM ds GROUP BY doc_id
+    ),
+    bands AS (
+{band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND {key_eq}
+        WHERE a.doc_id >= {COPY_OFFSET} AND b.doc_id < {COPY_OFFSET}
+    )
+    """
+
+
+@query(
+    "dedup_incremental_ingest",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    incoming AS (
+        SELECT doc_id + {COPY_OFFSET} AS doc_id, text
+        FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id + {COPY_OFFSET} AS doc_id,
+               substring(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
+        FROM documents WHERE doc_id % 20 = 10
+    ),
+    exact_dup AS (
+        SELECT DISTINCT i.doc_id
+        FROM incoming i JOIN corpus c ON sha256(i.text) = sha256(c.text)
+    ),
+    both_docs AS (SELECT * FROM corpus UNION ALL SELECT * FROM incoming),
+    allsh AS (
+        SELECT doc_id, unnest({D.sql_shingles()}) AS s FROM both_docs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM allsh GROUP BY doc_id),
+    {_sql_incr_minhash_cte()},
+    inter AS (
+        SELECT c.new_id, c.old_id, count(*) AS inter
+        FROM cand c
+        JOIN allsh sa ON sa.doc_id = c.new_id
+        JOIN allsh sb ON sb.doc_id = c.old_id AND sb.s = sa.s
+        GROUP BY 1, 2
+    ),
+    near_dup AS (
+        SELECT DISTINCT i.new_id AS doc_id
+        FROM inter i
+        JOIN sizes sa ON i.new_id = sa.doc_id
+        JOIN sizes sb ON i.old_id = sb.doc_id
+        WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+    )
+    SELECT i.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'duplicate_exact'
+                WHEN n.doc_id IS NOT NULL THEN 'duplicate_near'
+                ELSE 'admit' END AS verdict
+    FROM incoming i
+    LEFT JOIN exact_dup e ON i.doc_id = e.doc_id
+    LEFT JOIN near_dup n ON i.doc_id = n.doc_id
+    ORDER BY i.doc_id
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest gate — the shape a production training-data
+    pipeline actually runs daily: dedup an arriving batch AGAINST the
+    existing corpus, never corpus-vs-corpus. The batch (synthesized
+    here as exact copies of every 20th document plus 80 %-prefix
+    truncations of every (20k+10)th) is checked in two stages:
+
+    1. exact: sha2 content-hash left-semi join into the corpus — at
+       100 TB the corpus side is a pre-computed hash index, the join
+       shuffles only 32-byte digests, and the incoming batch is tiny
+       relative to the corpus;
+    2. near: MinHash band keys for batch and corpus, candidates only
+       where a band matches ACROSS sides (batch×corpus, never
+       corpus×corpus — the quadratic term the incremental formulation
+       deletes), exact-Jaccard re-rank on candidates.
+
+    Corpus band keys are recomputed here for self-containment; the
+    production pipeline persists them once and the per-batch cost is
+    O(batch) + candidate re-ranks. Verdict per incoming doc:
+    duplicate_exact / duplicate_near / admit."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d
+    trunc = F.expr("substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))")
+    incoming = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + COPY_OFFSET).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 20 == 10).select(
+                (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
+                trunc.alias("text"),
+            )
+        )
+    )
+
+    # stage 1: exact content hash, batch semi-joined into corpus digests
+    corpus_hashes = corpus.select(F.sha2("text", 256).alias("h")).distinct()
+    exact_dup = (
+        incoming.select("doc_id", F.sha2("text", 256).alias("h"))
+        .join(corpus_hashes, "h", "left_semi")
+        .select("doc_id")
+    )
+
+    # stage 2: cross-side MinHash bands (batch x corpus only)
+    both_docs = corpus.unionByName(incoming)
+    sh = D.exploded_shingles(both_docs).cache()
+    bands = D.band_keys(D.minhash_signature(
+        sh.select("doc_id", D.strhash(F.col("s")).alias("sid"))
+    ))
+    is_new = F.col("doc_id") >= COPY_OFFSET
+    cand = (
+        bands.filter(is_new).alias("a")
+        .join(
+            bands.filter(~is_new).alias("b"),
+            [F.col(f"a.k{r}") == F.col(f"b.k{r}") for r in range(D.ROWS_PER_BAND)]
+            + [F.col("a.band") == F.col("b.band")],
+        )
+        .select(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("old_id"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("old_id") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    near_dup = (
+        inter.join(sizes.alias("za"), F.col("new_id") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("old_id") == F.col("zb.doc_id"))
+        .filter(
+            F.col("inter") / (F.col("za.n") + F.col("zb.n") - F.col("inter"))
+            >= JACCARD_THRESHOLD
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+
+    return (
+        incoming.join(
+            exact_dup.withColumn("is_exact", F.lit(True)), "doc_id", "left"
+        )
+        .join(near_dup.withColumn("is_near", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), F.lit("duplicate_exact"))
+            .when(F.col("is_near"), F.lit("duplicate_near"))
+            .otherwise(F.lit("admit"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

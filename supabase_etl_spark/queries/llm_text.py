@@ -517,3 +517,103 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_SQL_TOKENS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+# Per-language linear "quality classifier" — stand-in for a fastText /
+# logistic model artifact. Weights over (chars, tokens, stopword_ratio);
+# per-language intercepts. Broadcast to executors like a real model file.
+_CLF_WEIGHTS = {
+    "en": (0.10, -0.004, 0.012, 2.40),
+    "de": (-0.30, -0.003, 0.010, 2.10),
+    "fr": (-0.20, -0.003, 0.011, 2.20),
+    "es": (-0.25, -0.002, 0.009, 2.00),
+    "__default__": (-1.00, -0.001, 0.005, 1.00),
+}
+
+
+def _sql_clf_case(feature_exprs: tuple[str, str, str]) -> str:
+    f1, f2, f3 = feature_exprs
+    arms = "\n           ".join(
+        f"WHEN lang = '{lang}' THEN round({b} + {w1} * {f1} + {w2} * {f2} + {w3} * {f3}, 6)"
+        for lang, (b, w1, w2, w3) in _CLF_WEIGHTS.items()
+        if lang != "__default__"
+    )
+    b, w1, w2, w3 = _CLF_WEIGHTS["__default__"]
+    return (
+        f"CASE {arms}\n           "
+        f"ELSE round({b} + {w1} * {f1} + {w2} * {f2} + {w3} * {f3}, 6) END"
+    )
+
+
+@query(
+    "text_clf_inference_broadcast",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               CAST(length(text) AS DOUBLE) AS f_chars,
+               CAST(len({_SQL_TOKENS}) AS DOUBLE) AS f_tokens,
+               CAST(len(list_filter({_SQL_TOKENS},
+                        t -> t IN {T._sql_tuple(T.STOPWORDS_EN)}))
+                    AS DOUBLE)
+                   / greatest(1, len({_SQL_TOKENS})) AS f_stop
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           {_sql_clf_case(("f_chars", "f_tokens", "f_stop"))} AS score
+    FROM feats
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "udf", "inference"),
+)
+def text_clf_inference_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-inference plumbing at corpus scale: a classifier artifact
+    (here a per-language linear model; in production a fastText /
+    sklearn pickle) is shipped ONCE per executor via a broadcast
+    variable, and an Arrow-batched pandas UDF scores whole record
+    batches against it with vectorized numpy — the canonical "quality
+    classifier over 100 TB" shape (features computed JVM-side; only the
+    model application crosses the Python boundary, per-batch not
+    per-row; no driver loop, no per-row pickling of the model).
+
+    Determinism: score = b + w1·f1 + w2·f2 + w3·f3 evaluated
+    left-to-right in both engines — identical IEEE operation order, so
+    the rounded doubles hash-match."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("double").alias("f_chars"),
+        F.size(toks).cast("double").alias("f_tokens"),
+        (
+            T.stopword_count(F.col("text")).cast("double")
+            / F.greatest(F.lit(1), F.size(toks))
+        ).alias("f_stop"),
+    )
+
+    model_bc = spark.sparkContext.broadcast(_CLF_WEIGHTS)
+
+    @pandas_udf("double")
+    def score(lang, f1, f2, f3):
+        m = model_bc.value
+        default = m["__default__"]
+        rows = pd.DataFrame(
+            [m.get(v, default) for v in lang],
+            columns=["b", "w1", "w2", "w3"],
+            index=lang.index,
+        )
+        raw = rows["b"] + rows["w1"] * f1 + rows["w2"] * f2 + rows["w3"] * f3
+        return raw.round(6)
+
+    return feats.select(
+        "doc_id",
+        "lang",
+        score(F.col("lang"), F.col("f_chars"), F.col("f_tokens"), F.col("f_stop")).alias(
+            "score"
+        ),
+    ).orderBy("doc_id")
