@@ -382,3 +382,66 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("dec_value").cast("double").alias("viewed_value"))
         .orderBy("purchase_event", "view_event")
     )
+
+
+@query(
+    "stream_ohlc_bars",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 day', ts) AS bar_start,
+               value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+        FROM events
+    )
+    SELECT event_type, bar_start,
+           arg_min(value, ord_key) AS open,
+           max(value)              AS high,
+           min(value)              AS low,
+           arg_max(value, ord_key) AS close,
+           count(*)                AS n_ticks
+    FROM keyed
+    GROUP BY event_type, bar_start
+    ORDER BY event_type, bar_start
+    """,
+    tags=("streaming", "finance"),
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily OHLC candles — the batch events_ohlc_bars
+    recomputed as a watermarked streaming aggregate, proving positional
+    aggregates (min_by/max_by) run incrementally inside Structured
+    Streaming state: per (event_type, day-window) partial extrema merge
+    across micro-batches exactly like sum/count partials, so a live
+    ticker feed maintains candles with bounded state (watermark seals a
+    day, state for sealed windows is dropped). Batch-equivalence oracle:
+    the complete-mode replay hash-matches DuckDB computing the same
+    candles over the table at rest."""
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    keyed = s.select(
+        "event_type",
+        "ts",
+        "value",
+        ord_key.alias("ord_key"),
+    )
+    agg = keyed.groupBy(F.window("ts", "1 day"), "event_type").agg(
+        F.min_by("value", F.col("ord_key")).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", F.col("ord_key")).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    out = agg.select(
+        "event_type",
+        F.col("window.start").alias("bar_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
+    )
+    return run_available_now(out, "complete").orderBy("event_type", "bar_start")
