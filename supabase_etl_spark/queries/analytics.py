@@ -868,6 +868,7 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type, bar_date
     """,
     tags=("events", "analytics", "finance"),
+    bench=True,
 )
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC bars per event_type — the reference domain's core

@@ -1037,6 +1037,7 @@ def _sql_incr_minhash_cte() -> str:
     ORDER BY i.doc_id
     """,
     tags=("llm", "dedup", "incremental"),
+    bench=True,
 )
 def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest gate — the shape a production training-data

@@ -444,3 +444,54 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev(F.col("lang")).alias("lang_rev"),
         len_mod(F.col("text")).alias("len_mod"),
     ).orderBy("doc_id")
+
+
+@query(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow: grouped-map over a raw pyarrow Table per group —
+    the zero-copy grouped path (Spark 4), completing the Arrow surface
+    next to mapInArrow's ungrouped form. Group aggregates run as
+    pyarrow.compute kernels; the decimal cast before summing keeps the
+    double total accumulation-order independent, exactly like the
+    JVM-side dsum discipline."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def agg_group(key, table):
+        qty_dec = pc.cast(table["l_quantity"], pa.decimal128(28, 6))
+        return pa.table(
+            {
+                "l_returnflag": pa.array([key[0].as_py()], pa.string()),
+                "n": pa.array([table.num_rows], pa.int64()),
+                "total_qty": pa.array(
+                    [float(pc.sum(qty_dec).as_py())], pa.float64()
+                ),
+                "max_price": pa.array(
+                    [pc.max(table["l_extendedprice"]).as_py()], pa.float64()
+                ),
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .applyInArrow(
+            agg_group,
+            schema="l_returnflag string, n long, total_qty double, max_price double",
+        )
+        .orderBy("l_returnflag")
+    )
