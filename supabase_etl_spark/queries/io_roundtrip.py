@@ -342,3 +342,112 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("ship_year")
     )
+
+
+@query(
+    "io_schema_evolution_merge",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice,
+           CASE WHEN o_orderkey <= 100 THEN NULL ELSE o_orderpriority END
+               AS o_orderpriority
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+    tags=("io", "schema"),
+)
+def io_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: an old batch written without a column
+    and a new batch written with it live in one dataset;
+    ``mergeSchema=true`` unifies the footers and null-fills the old
+    files — the additive-column evolution every long-lived lake hits.
+    Merge is a driver-side footer union (cheap); the per-file read
+    schema is still pruned, so old files never materialize the new
+    column. The oracle replays the null-fill rule directly."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    out = tempfile.mkdtemp(prefix="pq_evolve_")
+    # old batch: narrow schema
+    (
+        o.filter(F.col("o_orderkey") <= 100)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(f"{out}/batch=old")
+    )
+    # new batch: adds o_orderpriority
+    (
+        o.filter(F.col("o_orderkey") > 100)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(f"{out}/batch=new")
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "io_corrupt_records_permissive",
+    oracle="""
+    SELECT 'corrupt' AS kind, count(*) AS n, 0 AS n_parsed_keys FROM range(7)
+    UNION ALL
+    SELECT 'valid' AS kind, count(*) AS n, count(*) AS n_parsed_keys
+    FROM nation WHERE n_nationkey < 20
+    ORDER BY kind
+    """,
+    tags=("io", "json", "quality"),
+)
+def io_corrupt_records_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input containment: a JSON feed with planted broken
+    lines (7 of them — truncated objects, bare text, wrong bracket)
+    reads in PERMISSIVE mode with a ``_corrupt_record`` rescue column
+    instead of failing the job — quarantine-and-continue, the only
+    viable posture when one bad line in 100 TB must not kill the run.
+    The oracle states the expected valid/corrupt split, derivable
+    because the input is constructed from the nation table plus a fixed
+    corruption list."""
+    import json
+    import os
+
+    # test-input synthesis, not a data path: the 20-row nation dim is
+    # collected only to author the corrupted feed file on local disk
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 20)
+    rows = [
+        json.dumps({"n_nationkey": r["n_nationkey"], "n_name": r["n_name"]})
+        for r in n.select("n_nationkey", "n_name").orderBy("n_nationkey").collect()
+    ]
+    corrupt = [
+        '{"n_nationkey": 98',          # truncated object
+        "not json at all",             # bare text
+        '{"n_nationkey": "}',          # broken string
+        '[{"n_nationkey": 99}',        # unclosed array
+        '{"n_nationkey":,}',           # missing value
+        "{]",                          # wrong bracket
+        '{"n_name" "NOPE"}',           # missing colon
+    ]
+    out = tempfile.mkdtemp(prefix="json_corrupt_")
+    with open(os.path.join(out, "feed.json"), "w") as f:
+        f.write("\n".join(rows + corrupt))
+
+    back = (
+        spark.read.schema(
+            "n_nationkey bigint, n_name string, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    kind = F.when(F.col("_corrupt_record").isNotNull(), F.lit("corrupt")).otherwise(
+        F.lit("valid")
+    )
+    # the aggregate must reference a DATA column as well: Spark rejects
+    # queries over raw JSON that touch only the internal corrupt column
+    return (
+        back.groupBy(kind.alias("kind"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("n_nationkey").alias("n_parsed_keys"),
+        )
+        .orderBy("kind")
+    )
