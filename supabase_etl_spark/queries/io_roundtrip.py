@@ -441,8 +441,12 @@ def io_corrupt_records_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
     kind = F.when(F.col("_corrupt_record").isNotNull(), F.lit("corrupt")).otherwise(
         F.lit("valid")
     )
-    # the aggregate must reference a DATA column as well: Spark rejects
-    # queries over raw JSON that touch only the internal corrupt column
+    # Materialize the parsed feed before aggregating: Spark rejects any
+    # plan whose raw-JSON scan references only the internal corrupt
+    # column, and downstream pruning (e.g. a count() action) can strip
+    # the data-column references back out of a lazy plan. The feed is
+    # rows+7 lines by construction, so the eager checkpoint is free.
+    back = back.localCheckpoint(eager=True)
     return (
         back.groupBy(kind.alias("kind"))
         .agg(
