@@ -116,3 +116,50 @@ def sample_frames(df: DataFrame, every_k: int, content_col: str = "content") -> 
             yield pd.DataFrame({"uri": uris, "frame_idx": idxs, "frame_md5": hashes})
 
     return df.mapInPandas(run, schema="uri string, frame_idx int, frame_md5 string")
+
+
+RESIZE_TARGET = 128  # aspect-preserving max dimension
+
+
+def resize_plan(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """mapInPandas "resize": decode dims (fake_features stand-in),
+    compute aspect-preserving integer target dims bounded by
+    RESIZE_TARGET, and emit the resized-payload descriptor (byte size =
+    w·h·3 RGB; md5 over a deterministic header names the output object).
+    The batch shape is the real thing — swap the dim arithmetic for a
+    PIL/ffmpeg call and the plumbing (Arrow batches in, one row out per
+    image, binary-addressable output) is unchanged. Integer-only math
+    so the oracle replays it exactly."""
+    import hashlib
+
+    schema = (
+        "uri string, width int, height int, new_width int, new_height int, "
+        "new_bytes long, resized_md5 string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "uri": [], "width": [], "height": [],
+                "new_width": [], "new_height": [],
+                "new_bytes": [], "resized_md5": [],
+            }
+            for uri, content in zip(pdf["uri"], pdf[content_col]):
+                w, h, _ = fake_features(content)
+                m = max(w, h)
+                if m <= RESIZE_TARGET:
+                    nw, nh = w, h
+                else:
+                    nw = max(1, w * RESIZE_TARGET // m)
+                    nh = max(1, h * RESIZE_TARGET // m)
+                header = f"{uri}|{nw}|{nh}"
+                out["uri"].append(uri)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["new_width"].append(nw)
+                out["new_height"].append(nh)
+                out["new_bytes"].append(nw * nh * 3)
+                out["resized_md5"].append(hashlib.md5(header.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=schema)

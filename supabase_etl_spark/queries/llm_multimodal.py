@@ -144,3 +144,42 @@ def multimodal_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.hex("content"), 1, 16).alias("head_hex"),
         F.md5(F.hex("content")).alias("content_hex_md5"),
     ).orderBy("file_name")
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH dims AS (
+        SELECT concat('doc://', doc_id) AS uri,
+               64 + (octet_length(encode(text)) % {M.FAKE_DIM_MOD}) AS width,
+               64 + ((ascii(substr(text, 1, 1)) * 256
+                      + ascii(substr(text, length(text), 1)))
+                     % {M.FAKE_DIM_MOD}) AS height
+        FROM documents
+    ),
+    resized AS (
+        SELECT uri, width, height,
+               CASE WHEN greatest(width, height) <= {M.RESIZE_TARGET} THEN width
+                    ELSE greatest(1, width * {M.RESIZE_TARGET} // greatest(width, height))
+               END AS new_width,
+               CASE WHEN greatest(width, height) <= {M.RESIZE_TARGET} THEN height
+                    ELSE greatest(1, height * {M.RESIZE_TARGET} // greatest(width, height))
+               END AS new_height
+        FROM dims
+    )
+    SELECT uri, width, height, new_width, new_height,
+           CAST(new_width AS BIGINT) * new_height * 3 AS new_bytes,
+           md5(concat(uri, '|', new_width, '|', new_height)) AS resized_md5
+    FROM resized
+    ORDER BY uri
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize over binary payload columns
+    (operators/multimodal.resize_plan): Arrow-batched mapInPandas,
+    integer-only target-dim arithmetic (max dim {128}) and a
+    deterministic output-object descriptor — the codec body is the one
+    documented stub; the batch plumbing, schema, and addressing are
+    real and oracle-replayed."""
+    return M.resize_plan(_payloads(spark, sf_dir)).orderBy("uri")
