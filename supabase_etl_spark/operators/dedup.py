@@ -158,24 +158,57 @@ def jaccard_pairs_prefix(
     On the bounded-df testdata this loses to the naive join (extra
     ranking shuffle + candidate re-expansion); at 100 TB with skewed
     shingles it is the only shape that survives.
+
+    Two measured shuffle-width levers (scale-curve, 10x corpus): (a)
+    shingles reduce to xxhash64 keys before any shuffle, like
+    :func:`jaccard_pairs` — the prefix bound holds under ANY consistent
+    global shingle order, so ranking by (df, hash) instead of (df,
+    string) changes which shingles form a prefix but not the recall
+    guarantee, and 8-byte keys shuffle ~2x lighter than ~25-char
+    strings through the rank window, the candidate join, AND the
+    re-expansion; (b) the per-doc row_number and count run in ONE
+    window pass (count over the same ordered spec with an unbounded
+    frame) instead of two sorts of the exploded corpus.
     """
     assert threshold == 0.8, "prefix bound hardcoded for t=0.8 (see docstring)"
-    sh = exploded_shingles(docs, id_col).cache()
+    sh = (
+        exploded_shingles(docs, id_col)
+        .select(id_col, F.xxhash64("s").alias("s"))
+        .cache()
+    )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w_rank = Window.partitionBy(id_col).orderBy("df", "s")
-    w_n = Window.partitionBy(id_col)
+    w_n = w_rank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = (
         sh.join(dfreq, "s")
         .withColumn("rn", F.row_number().over(w_rank))
         .withColumn("n", F.count(F.lit(1)).over(w_n))
     )
     prefix_len = F.col("n") - F.floor((4 * F.col("n") + 4) / 5) + 1
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select(id_col, "s")
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(id_col, "s", "rn", "n")
+    # Candidate pruning (the other two PPJoin bounds — measured on the
+    # 10x scale curve, these cut candidate pairs ~1.2M → ~tens of k
+    # BEFORE the per-shingle re-expansion join, which is |cand| x
+    # doc_shingles rows and dominates the pipeline if fed raw):
+    #   * length filter: jacc >= 0.8 forces 5*min(na,nb) >= 4*max —
+    #     sizes more than 25% apart can never qualify;
+    #   * positional filter: a prefix match at ranks (ra, rb) bounds the
+    #     overlap by min(na-ra, nb-rb) + 1, which must reach
+    #     minoverlap = ceil(0.8/1.8 * (na+nb)) = (4(na+nb)+8) div 9.
+    # Both remove only provably-unreachable pairs — result-identical
+    # (equality vs the naive join is pinned in tests/test_dedup_ops.py).
+    na, nb = F.col("a.n"), F.col("b.n")
+    ubound = F.least(na - F.col("a.rn"), nb - F.col("b.rn")) + 1
+    minoverlap = F.floor((4 * (na + nb) + 8) / 9)
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            (5 * F.least(na, nb) >= 4 * F.greatest(na, nb))
+            & (ubound >= minoverlap)
         )
         .select(F.col(f"a.{id_col}").alias("ida"), F.col(f"b.{id_col}").alias("idb"))
         .distinct()
