@@ -900,3 +900,72 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_date")
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT count(*) FROM tri) AS n_triangles,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*) FROM
+               (SELECT u AS x FROM edges UNION SELECT v FROM edges)) AS n_nodes
+    """,
+    tags=("graph",),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts sharing
+    an order are connected): the canonical E⋈E⋈E pattern. Edges are
+    oriented u<v so each triangle is produced exactly once (a<b<c) —
+    no post-hoc /6 division, no duplicate pairs. Two self-joins on a
+    deduplicated edge list: at scale this is the standard
+    node-iterator-in-SQL shape whose cost is Σ deg(v)², controlled the
+    same way as every pair stage here (bound the per-order part count
+    upstream, salt if a hub node appears). GraphX/GraphFrames do the
+    same joins under a different API."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .cache()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+    )
+    nodes = (
+        edges.select(F.col("u").alias("x"))
+        .unionByName(edges.select(F.col("v").alias("x")))
+        .distinct()
+    )
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+    )

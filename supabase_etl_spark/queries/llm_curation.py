@@ -600,3 +600,81 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+SPAN_K = 8  # repeated-substring width in tokens
+
+
+@query(
+    "text_repeated_span_flags",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest({sql_ngrams_all("t", SPAN_K)}) AS g,
+               unnest(range(1, greatest(1, len(t) - {SPAN_K - 1}) + 1)) AS pos
+        FROM toks
+    ),
+    freq AS (
+        SELECT g, count(*) AS cnt, count(DISTINCT doc_id) AS ndocs
+        FROM grams GROUP BY g
+    ),
+    flagged AS (
+        SELECT gr.doc_id, gr.pos
+        FROM grams gr JOIN freq f ON gr.g = f.g
+        WHERE f.cnt >= 2
+    )
+    SELECT t.doc_id,
+           greatest(1, len(t.t) - {SPAN_K - 1}) AS n_positions,
+           count(fl.pos) AS n_flagged,
+           round(count(fl.pos)
+                 / greatest(1, len(t.t) - {SPAN_K - 1}), 6) AS flag_ratio
+    FROM toks t LEFT JOIN flagged fl ON t.doc_id = fl.doc_id
+    GROUP BY t.doc_id, greatest(1, len(t.t) - {SPAN_K - 1})
+    ORDER BY t.doc_id
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def text_repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup signal (Lee et al. 2022, arXiv:
+    2107.06499 "Deduplicating Training Data Makes Language Models
+    Better" — the ExactSubstr operation, here at token-8-gram
+    granularity instead of a 50-token suffix array): every position
+    whose 8-gram occurs ≥2 times in the corpus (any doc, including
+    self-repetition) is flagged as removable boilerplate; the query
+    reports per-document flagged-position counts and ratio.
+
+    Scale shape: positions come from one posexplode (row-local), the
+    global frequency table is one hash agg (vocabulary-sized, far
+    smaller than the corpus), and flagging is one equi-join on the gram
+    string — the same inverted-index discipline as the dedup family,
+    no suffix-array global sort needed at this granularity. A real
+    pipeline would follow with an interval-union pass to splice
+    flagged spans out; the flag ratio is the curation gate input."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(ngrams_all(F.col("t"), SPAN_K)).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    flagged = (
+        grams.join(freq.filter(F.col("cnt") >= 2), "g")
+        .select("doc_id", "pos")
+    )
+    n_pos = F.greatest(F.lit(1), F.size("t") - F.lit(SPAN_K - 1))
+    base = toked.select("doc_id", n_pos.alias("n_positions"))
+    return (
+        base.join(flagged, "doc_id", "left")
+        .groupBy("doc_id", "n_positions")
+        .agg(F.count("pos").alias("n_flagged"))
+        .select(
+            "doc_id",
+            "n_positions",
+            "n_flagged",
+            F.round(F.col("n_flagged") / F.col("n_positions"), 6).alias("flag_ratio"),
+        )
+        .orderBy("doc_id")
+    )
