@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from supabase_etl_spark.io.readers import load_table
 from supabase_etl_spark.queries import query
+from supabase_etl_spark.queries._helpers import dsum, sql_dsum
 
 SESSION_GAP_MIN = 30
 
@@ -139,3 +140,53 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("c_ts").cast("double") / F.count("v_ts")).alias("click_rate"),
         (F.count("p_ts").cast("double") / F.count("v_ts")).alias("purchase_rate"),
     )
+
+
+@query(
+    "events_session_window_batch",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n,
+           {sql_dsum("value", "total_value")}
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("events", "session"),
+)
+def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window in a plain BATCH aggregate — the same
+    session-merging operator the streaming path uses
+    (stream_session_window), run over the table at rest with no
+    watermark/sentinel machinery: one hash aggregate whose keys merge
+    on gap overlap, no lag/running-sum window cascade. Same oracle as
+    the streaming variant and as events_sessionize's gaps-and-islands
+    formulation — three spellings, one answer — proving the unified
+    batch/stream API surface."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+    return agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n",
+        "total_value",
+    ).orderBy("user_id", "session_start")
