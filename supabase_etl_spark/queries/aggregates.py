@@ -642,3 +642,40 @@ def agg_argminmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_boolean_family",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 900)   AS all_over_900,
+           bool_or(o_orderstatus = 'F')   AS any_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_open
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "boolean"),
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: count_if / bool_and (SQL EVERY) /
+    bool_or (SQL ANY) — predicate rollups as single hash aggregates
+    with map-side partials, the idiomatic replacement for
+    filter-then-count subqueries that each rescan the input."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 900).alias("all_over_900"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+            ).cast("bigint").alias("n_open"),
+        )
+        .orderBy("o_orderpriority")
+    )

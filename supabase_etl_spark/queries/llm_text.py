@@ -617,3 +617,50 @@ def text_clf_inference_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_sentence_split",
+    oracle=f"""
+    WITH sents AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                  s -> trim(s)),
+                   s -> s <> '')) AS sentence,
+               unnest(range(1, len(list_filter(
+                   list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                  s -> trim(s)),
+                   s -> s <> '')) + 1)) AS sent_idx
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, sent_idx, sentence,
+           len(list_filter(regexp_split_to_array(sentence, '\\s+'),
+               t -> t <> '')) AS n_tokens
+    FROM sents
+    ORDER BY doc_id, sent_idx
+    """,
+    tags=("llm", "text", "chunking"),
+)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (terminator regex split, trimmed, empties
+    dropped) with per-sentence token counts — the unit step before
+    sentence-boundary-respecting sequence packing (pack_sequences cuts
+    at token positions; a production packer prefers sentence edges).
+    Row-local split + one posexplode: scan-shaped at any scale."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    ex = d.select(
+        "doc_id", F.posexplode(sents).alias("idx0", "sentence")
+    ).select("doc_id", (F.col("idx0") + 1).alias("sent_idx"), "sentence")
+    from supabase_etl_spark.operators.text import tokens as _toks
+
+    return ex.select(
+        "doc_id",
+        "sent_idx",
+        "sentence",
+        F.size(_toks(F.col("sentence"))).alias("n_tokens"),
+    ).orderBy("doc_id", "sent_idx")
