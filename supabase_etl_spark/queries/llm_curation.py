@@ -36,7 +36,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from supabase_etl_spark.io.readers import load_table
-from supabase_etl_spark.operators.text import ngrams_all, sql_ngrams_all, tokens
+from supabase_etl_spark.operators.text import (
+    ngrams_all,
+    sql_ngrams_all,
+    sql_quality_score,
+    tokens,
+)
 from supabase_etl_spark.queries import query
 from supabase_etl_spark.queries.llm_sampling import _bucket, _sql_bucket
 
@@ -677,4 +682,51 @@ def text_repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_flagged") / F.col("n_positions"), 6).alias("flag_ratio"),
         )
         .orderBy("doc_id")
+    )
+
+
+DOMAIN_CAP = 40  # max documents admitted per source domain
+
+
+@query(
+    "sample_domain_cap",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               ({sql_quality_score()}) AS quality,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ({sql_quality_score()}) DESC, doc_id ASC
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, round(quality, 6) AS quality, rk
+    FROM scored
+    WHERE rk <= {DOMAIN_CAP}
+    ORDER BY source, rk
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain admission cap: keep at most {40} documents per source
+    domain, best-quality first (deterministic doc_id tie-break) — the
+    anti-overrepresentation lever every web-corpus recipe applies
+    (per-domain caps in Dolma/FineWeb-style pipelines) so one crawl-
+    heavy site cannot dominate the mixture. One ranking window per
+    domain partition; at 100 TB the partition key (domain) is
+    high-cardinality so the sort parallelizes, and the cap bounds
+    output size per key by construction."""
+    from supabase_etl_spark.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", q.alias("quality"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .select("doc_id", "source", F.round("quality", 6).alias("quality"), "rk")
+        .orderBy("source", "rk")
     )
