@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from supabase_etl_spark.io.readers import load_table
 from supabase_etl_spark.queries import query
+from supabase_etl_spark.queries._helpers import dsum, sql_dsum
 
 ZSCORE_FRAME = 20  # trailing events per user
 ZSCORE_MIN_N = 10
@@ -968,4 +969,141 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.agg(F.count(F.lit(1)).alias("n_triangles"))
         .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+    )
+
+
+@query(
+    "events_rfm_scores",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id,
+               date_diff('day', CAST(max(ts) AS DATE),
+                         (SELECT CAST(max(ts) AS DATE) FROM events)) AS recency_days,
+               count(*) AS frequency,
+               {sql_dsum("value", "monetary")}
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           NTILE(5) OVER (ORDER BY recency_days ASC, user_id ASC)  AS r_score,
+           NTILE(5) OVER (ORDER BY frequency   DESC, user_id ASC) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary    DESC, user_id ASC) AS m_score
+    FROM base
+    ORDER BY user_id
+    """,
+    tags=("events", "analytics"),
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) —
+    the classic customer-value rollup. One per-user hash aggregate,
+    then three global NTILE windows over the user-level table (users ≪
+    events, so the global sort is over the small aggregate, never the
+    event stream; deterministic user_id tie-breaks keep quintile edges
+    engine-identical). The corpus max-date anchor is a scalar subquery
+    — broadcast, not a driver round-trip."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.col("ts").cast("date")).alias("anchor"))
+    base = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(F.col("value"), "monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("anchor"), F.col("last_day")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    ).orderBy("user_id")
+
+
+FUNNEL_WINDOW_DAYS = 7
+
+
+@query(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH views AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    clicks AS (
+        SELECT v.user_id, min(e.ts) AS t_click
+        FROM views v JOIN events e
+          ON e.user_id = v.user_id AND e.event_type = 'click'
+         AND e.ts > v.t_view
+         AND e.ts <= v.t_view + INTERVAL '{FUNNEL_WINDOW_DAYS} days'
+        GROUP BY v.user_id
+    ),
+    purchases AS (
+        SELECT c.user_id, min(e.ts) AS t_purchase
+        FROM clicks c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts > c.t_click
+         AND e.ts <= c.t_click + INTERVAL '{FUNNEL_WINDOW_DAYS} days'
+        GROUP BY c.user_id
+    )
+    SELECT (SELECT count(*) FROM views)     AS n_viewed,
+           (SELECT count(*) FROM clicks)    AS n_clicked_within,
+           (SELECT count(*) FROM purchases) AS n_purchased_within,
+           round((SELECT count(*) FROM purchases)
+                 / greatest(1, (SELECT count(*) FROM views)), 6) AS conversion
+    """,
+    tags=("events", "analytics", "funnel"),
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: view → click within 7 days → purchase
+    within 7 days of the click — the product-analytics funnel with a
+    bounded attribution window (the unwindowed variant is
+    events_funnel). Each stage is a per-user min-aggregate joined
+    forward with a range predicate on the SAME user key, so every join
+    co-partitions on user_id and the range condition evaluates inside
+    the hash-join row scan — no cross join, no window over the event
+    stream; stage tables shrink monotonically."""
+    e = load_table(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    span = F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAYS")
+    clicks = (
+        views.join(e.filter(F.col("event_type") == "click"), "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + span))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        clicks.join(e.filter(F.col("event_type") == "purchase"), "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + span))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        views.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_clicked_within")))
+        .crossJoin(purchases.agg(F.count(F.lit(1)).alias("n_purchased_within")))
+        .select(
+            "n_viewed",
+            "n_clicked_within",
+            "n_purchased_within",
+            F.round(
+                F.col("n_purchased_within") / F.greatest(F.lit(1), F.col("n_viewed")), 6
+            ).alias("conversion"),
+        )
     )
