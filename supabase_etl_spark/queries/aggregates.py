@@ -679,3 +679,48 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+EQUIDEPTH_BINS = 10
+
+
+@query(
+    "agg_histogram_equidepth",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT quantile_cont(o_totalprice,
+                   [x / {EQUIDEPTH_BINS}.0 FOR x IN range(1, {EQUIDEPTH_BINS})]) AS qs
+        FROM orders
+    ),
+    binned AS (
+        SELECT len(list_filter(b.qs, q -> q < o.o_totalprice)) AS bin
+        FROM orders o CROSS JOIN bounds b
+    )
+    SELECT bin, count(*) AS n
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram: bin edges at exact deciles,
+    then one scan counts rows per bin — the selectivity-estimation
+    structure CBO builds from (ANALYZE ... FOR COLUMNS computes
+    exactly this). Two passes: an exact percentile aggregate (single
+    reduce to 9 doubles, broadcast back), then a scan-side bin
+    assignment via the number of edges below the value — identical
+    strict-inequality rule replayed in the oracle, so ties land in the
+    same bin in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array({}))".format(
+                ", ".join(str(i / EQUIDEPTH_BINS) for i in range(1, EQUIDEPTH_BINS))
+            )
+        ).alias("qs")
+    )
+    binned = o.crossJoin(F.broadcast(edges)).select(
+        F.size(F.filter(F.col("qs"), lambda q: q < F.col("o_totalprice"))).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).orderBy("bin")

@@ -660,3 +660,83 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+OVERLAP_BUCKET_DAYS = 30
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH promo AS (
+        SELECT o_orderkey AS promo_id,
+               CAST(o_orderdate AS DATE) AS p_start,
+               CAST(o_orderdate AS DATE) + INTERVAL 20 DAY AS p_end
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    ship AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_shipdate AS DATE) AS s_start,
+               CAST(l_shipdate AS DATE) + INTERVAL 10 DAY AS s_end
+        FROM lineitem WHERE l_orderkey <= 4000
+    )
+    SELECT p.promo_id, s.l_orderkey, s.l_linenumber
+    FROM promo p JOIN ship s
+      ON p.p_start <= s.s_end AND s.s_start <= p.p_end
+    ORDER BY promo_id, l_orderkey, l_linenumber
+    """,
+    tags=("join", "interval", "scale"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (two interval tables, match when the
+    validity windows intersect) — the SCD2-meets-event-window shape,
+    distinct from the point-in-interval join (join_range_session).
+    Naively this is a non-equi theta join (nested loop). The scale
+    shape: explode BOTH sides onto the 30-day buckets their interval
+    covers, equi-join on bucket, then verify the true overlap predicate
+    and distinct — any overlapping pair shares at least one covered
+    bucket, so recall is exact; the bucket equi-join hash-partitions
+    what the nested loop would broadcast. Bucket width trades
+    replication (intervals span few buckets when wide) against
+    candidate precision (narrow buckets → fewer false candidates);
+    both interval widths here span ≤ 2 buckets."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    promo = o.select(
+        F.col("o_orderkey").alias("promo_id"),
+        F.col("o_orderdate").cast("date").alias("p_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 20).alias("p_end"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 4000)
+    ship = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("s_start"),
+        F.date_add(F.col("l_shipdate").cast("date"), 10).alias("s_end"),
+    )
+
+    def buckets(start, end):
+        lo = F.floor(F.unix_date(start) / OVERLAP_BUCKET_DAYS)
+        hi = F.floor(F.unix_date(end) / OVERLAP_BUCKET_DAYS)
+        return F.explode(F.sequence(lo, hi))
+
+    pb = promo.withColumn("bk", buckets(F.col("p_start"), F.col("p_end")))
+    sb = ship.withColumn("bk", buckets(F.col("s_start"), F.col("s_end")))
+    # ownership rule instead of distinct(): a pair spanning several
+    # shared buckets is emitted only in the bucket containing the
+    # overlap's start — exactly-once per input row pair WITHOUT a
+    # dedup shuffle, and duplicate source rows (present in this
+    # synthetic lineitem) survive like the oracle's plain join
+    own = F.floor(
+        F.unix_date(F.greatest(F.col("p_start"), F.col("s_start")))
+        / OVERLAP_BUCKET_DAYS
+    )
+    return (
+        pb.join(sb, "bk")
+        .filter(
+            (F.col("p_start") <= F.col("s_end"))
+            & (F.col("s_start") <= F.col("p_end"))
+            & (F.col("bk") == own)
+        )
+        .select("promo_id", "l_orderkey", "l_linenumber")
+        .orderBy("promo_id", "l_orderkey", "l_linenumber")
+    )
