@@ -1107,3 +1107,83 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion"),
         )
     )
+
+
+SPAN_MINUTES = 45  # each event opens a 45-minute activity span
+
+
+@query(
+    "events_merge_intervals",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id, ts AS s_start,
+               ts + INTERVAL '{SPAN_MINUTES} minutes' AS s_end
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, s_start, s_end,
+               CASE WHEN s_start <= max(s_end) OVER (
+                        PARTITION BY user_id ORDER BY s_start, s_end
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 0 ELSE 1 END AS is_new
+        FROM spans
+    ),
+    grouped AS (
+        SELECT user_id, s_start, s_end,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY s_start, s_end
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM marked
+    )
+    SELECT user_id, CAST(grp AS BIGINT) AS interval_idx,
+           min(s_start) AS merged_start,
+           max(s_end) AS merged_end,
+           count(*) AS n_spans
+    FROM grouped
+    GROUP BY user_id, grp
+    ORDER BY user_id, interval_idx
+    """,
+    tags=("events", "analytics", "interval"),
+)
+def events_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (merge overlapping/touching spans per key) —
+    the union step behind validity-window compaction, span splicing
+    after repeated-span flagging, and on-call/availability rollups.
+    Gaps-and-islands on intervals: a span starts a new island unless it
+    overlaps the running max end of its predecessors; running-sum of
+    starts numbers the islands; one group-by collapses each island.
+    Two window passes + one hash agg over the same (user_id, start)
+    sort order — Spark plans a single sort feeding both windows."""
+    e = load_table(spark, sf_dir, "events")
+    spans = e.select(
+        "user_id",
+        F.col("ts").alias("s_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {SPAN_MINUTES} MINUTES")).alias("s_end"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_start", "s_end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = spans.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.when(
+            F.col("s_start") <= F.max("s_end").over(w_prev), F.lit(0)
+        ).otherwise(F.lit(1)).alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s_start", "s_end")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = marked.withColumn("grp", F.sum("is_new").over(w_run))
+    return (
+        grouped.groupBy("user_id", F.col("grp").alias("interval_idx"))
+        .agg(
+            F.min("s_start").alias("merged_start"),
+            F.max("s_end").alias("merged_end"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .orderBy("user_id", "interval_idx")
+    )
