@@ -721,3 +721,43 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": PARAM_MIN_PRICE, "status": PARAM_STATUS},
     )
+
+
+@query(
+    "sql_pivot_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql", "pivot"),
+)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL `PIVOT` clause (not the DataFrame .pivot API — that is
+    agg_pivot): explicit IN-list so the output schema is plan-time
+    static, which is what lets Catalyst compile the pivot to one
+    hash aggregate with conditional partials instead of a two-phase
+    distinct-then-pivot. Oracle spells the same thing as portable
+    CASE sums."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, f_orders, o_orders, p_orders
+        FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        PIVOT (
+            count(*) FOR o_orderstatus IN ('F' AS f_orders, 'O' AS o_orders, 'P' AS p_orders)
+        )
+        ORDER BY o_orderpriority
+        """
+    ).select(
+        "o_orderpriority",
+        F.coalesce("f_orders", F.lit(0)).alias("f_orders"),
+        F.coalesce("o_orders", F.lit(0)).alias("o_orders"),
+        F.coalesce("p_orders", F.lit(0)).alias("p_orders"),
+    )

@@ -175,3 +175,33 @@ def limit_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(25)
     )
+
+
+@query(
+    "setop_union_missing_columns",
+    oracle="""
+    SELECT n_nationkey AS k, n_name AS name, CAST(n_regionkey AS BIGINT) AS region, NULL AS balance
+    FROM nation
+    UNION ALL
+    SELECT s_suppkey AS k, s_name AS name, NULL AS region, s_acctbal AS balance
+    FROM supplier
+    ORDER BY k, name
+    """,
+    tags=("setop", "schema"),
+)
+def setop_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): two feeds with partially
+    disjoint schemas align by NAME with null-fill — the schema-drift
+    union a long-lived ingest needs (positional union would silently
+    misalign). The oracle spells the aligned projection explicitly."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("bigint").alias("region"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("balance"),
+    )
+    return n.unionByName(s, allowMissingColumns=True).orderBy("k", "name")

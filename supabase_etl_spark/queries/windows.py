@@ -190,3 +190,35 @@ def window_cume_dist_lead_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         (F.lead("l_quantity").over(w) - F.col("l_quantity")).alias("qty_delta_next"),
     ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT user_id, event_id,
+           nth_value(value, 3) OVER w AS third_value,
+           nth_value(event_type, 2) OVER w AS second_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "analytic"),
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a running frame — the one analytic accessor not
+    in window_analytic: positional lookup inside the frame (third value
+    seen so far per user), null until the frame holds n rows. Same
+    single per-user sort as every other window here."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.nth_value("value", 3).over(w).alias("third_value"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    ).orderBy("user_id", "event_id")
