@@ -92,3 +92,62 @@ def scale_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         f, d, "k", salt_buckets=SALT_BUCKETS, salt_source=F.col("l_orderkey")
     )
     return _skew_agg(joined)
+
+
+@query(
+    "scale_bucketed_join",
+    oracle="""
+    SELECT l_orderkey,
+           count(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(max(o_totalprice) AS DOUBLE) AS totalprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey <= 3000
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    tags=("scale", "join", "bucketed"),
+)
+def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-Exchange co-bucketed join as a registered query (the plan
+    shape itself is pinned by tests/test_scale_ops.py): both sides are
+    written `bucketBy(8, key)` + sorted, so the sort-merge join reads
+    pre-partitioned, pre-sorted buckets — no shuffle stage AT ALL for
+    the join. At 100 TB this is the lever for a recurring big⋈big join
+    on a stable key: pay the bucketed write once, every subsequent join
+    skips its Exchange. Unique table names per (session, sf) keep
+    warehouse dirs from colliding across harness runs."""
+    import shutil
+    import uuid
+
+    from supabase_etl_spark.operators.scale import write_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    t_li, t_o = f"bq_lineitem_{suffix}", f"bq_orders_{suffix}"
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    write_bucketed(li, t_li, "l_orderkey", n_buckets=8, sort_key="l_orderkey")
+    write_bucketed(o, t_o, "o_orderkey", n_buckets=8, sort_key="o_orderkey")
+    bl, bo = spark.table(t_li), spark.table(t_o)
+    out = (
+        bl.hint("merge")
+        .join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("sum_qty"),
+            F.max("o_totalprice").cast("double").alias("totalprice"),
+        )
+        .orderBy("l_orderkey")
+        .localCheckpoint(eager=True)
+    )
+    # managed scratch tables: drop after materialization so repeated
+    # harness runs don't accumulate warehouse dirs
+    for t in (t_li, t_o):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    return out
