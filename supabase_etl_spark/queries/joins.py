@@ -740,3 +740,95 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("promo_id", "l_orderkey", "l_linenumber")
         .orderBy("promo_id", "l_orderkey", "l_linenumber")
     )
+
+
+GRID_CELL = 100  # spatial grid cell width (coordinate units)
+
+
+@query(
+    "join_spatial_grid",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS pid,
+               CAST((c_custkey * 48271) % 1000 AS DOUBLE) AS px,
+               CAST((c_custkey * 69621) % 1000 AS DOUBLE) AS py
+        FROM customer
+    ),
+    rects AS (
+        SELECT s_suppkey AS rid,
+               CAST((s_suppkey * 16807) % 900 AS DOUBLE) AS x0,
+               CAST((s_suppkey * 39373) % 900 AS DOUBLE) AS y0,
+               CAST((s_suppkey * 16807) % 900 + 60 + (s_suppkey % 80) AS DOUBLE) AS x1,
+               CAST((s_suppkey * 39373) % 900 + 60 + (s_suppkey % 80) AS DOUBLE) AS y1
+        FROM supplier
+    )
+    SELECT r.rid, p.pid, p.px, p.py
+    FROM rects r JOIN pts p
+      ON p.px >= r.x0 AND p.px <= r.x1 AND p.py >= r.y0 AND p.py <= r.y1
+    ORDER BY rid, pid
+    """,
+    tags=("join", "spatial", "scale"),
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial containment join (points in rectangles) via grid
+    bucketing — the 2-D generalization of join_range_bucketed's 1-D
+    time buckets, and the core of every distributed spatial engine
+    (Sedona's partitioned spatial join is this plus real geometry):
+    each rectangle explodes onto the grid cells it covers, each point
+    onto its single cell, and the equi-join on (cx, cy) replaces the
+    quadratic theta join; exact containment verifies candidates.
+    Coordinates derive deterministically from keys (LCG-style integer
+    arithmetic) so the oracle replays them bit-identically — the
+    geometry is synthetic, the join plumbing is the real thing. Cell
+    width tunes replication (rect spans ~1-2 cells per axis here)
+    against candidate precision, same trade as every bucketing lever
+    in this repo."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 48271) % 1000).cast("double").alias("px"),
+        ((F.col("c_custkey") * 69621) % 1000).cast("double").alias("py"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rects = s.select(
+        F.col("s_suppkey").alias("rid"),
+        ((F.col("s_suppkey") * 16807) % 900).cast("double").alias("x0"),
+        ((F.col("s_suppkey") * 39373) % 900).cast("double").alias("y0"),
+        ((F.col("s_suppkey") * 16807) % 900 + 60 + (F.col("s_suppkey") % 80))
+        .cast("double")
+        .alias("x1"),
+        ((F.col("s_suppkey") * 39373) % 900 + 60 + (F.col("s_suppkey") % 80))
+        .cast("double")
+        .alias("y1"),
+    )
+    rcells = rects.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("x0") / GRID_CELL), F.floor(F.col("x1") / GRID_CELL)
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("y0") / GRID_CELL), F.floor(F.col("y1") / GRID_CELL)
+            )
+        ).alias("cy"),
+    )
+    pcells = pts.select(
+        "*",
+        F.floor(F.col("px") / GRID_CELL).alias("cx"),
+        F.floor(F.col("py") / GRID_CELL).alias("cy"),
+    )
+    return (
+        rcells.join(pcells, ["cx", "cy"])
+        .filter(
+            (F.col("px") >= F.col("x0"))
+            & (F.col("px") <= F.col("x1"))
+            & (F.col("py") >= F.col("y0"))
+            & (F.col("py") <= F.col("y1"))
+        )
+        .select("rid", "pid", "px", "py")
+        .orderBy("rid", "pid")
+    )
