@@ -724,3 +724,36 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.col("qs"), lambda q: q < F.col("o_totalprice"))).alias("bin")
     )
     return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).orderBy("bin")
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    tags=("agg", "string"),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard LISTAGG (Spark 4 `listagg` WITHIN GROUP ORDER BY ≡
+    DuckDB `string_agg ORDER BY`): ordered string concatenation per
+    group. The explicit intra-group ordering is what makes the result
+    deterministic — an unordered listagg concatenates in partition
+    arrival order and can never hash-match across engines."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations_csv,
+               count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+        """
+    )
