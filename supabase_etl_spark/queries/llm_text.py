@@ -158,7 +158,7 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             regexp_split_to_array(text, '\\s+'), t -> t <> ''))) AS term
         FROM documents
     ),
-    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
     stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term)
     SELECT term, df,
            round(ln((n + 1.0) / (df + 1.0)) + 1.0, 12) AS idf
@@ -173,19 +173,31 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL: idf = ln((N+1)/(df+1)) + 1), rarest 25 terms. ln differs by
     1 ulp between JVM Math.log and DuckDB's libm on some inputs
     (observed at sf0.1), so idf is rounded to 12 decimals on both
-    sides."""
+    sides.
+
+    Shape: N is computed IN-PLAN as a 1-row broadcast aggregate
+    cross-joined onto the vocabulary-sized df table — exactly the
+    oracle's CROSS JOIN n_docs — so the corpus is scanned and
+    tokenized once and nothing blocks plan construction. (A
+    driver-side distinct().count() here would scan the corpus twice
+    at 100 TB.) doc_id is a column of `documents`, so N comes from
+    the raw column, not the exploded token stream — countDistinct on
+    the skinny source column, no second explode."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("term")
     )
-    n_docs = toks.select("doc_id").distinct().count()
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n"))
     return (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "term",
             "df",
-            F.round(F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0, 12).alias("idf"),
+            F.round(F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0, 12).alias(
+                "idf"
+            ),
         )
         .orderBy(F.col("idf").desc(), F.col("term").asc())
         .limit(25)
@@ -421,7 +433,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast to exact decimal before summing so the mean is
     order-independent and replayable (ln itself is IEEE-identical on
     both engines' libm for these inputs; the decimal sum removes the
-    accumulation-order variable)."""
+    accumulation-order variable).
+
+    Shape: the term-frequency table is VOCABULARY-sized (unigram vocab
+    — millions of rows at 100 TB, megabytes serialized), so scoring
+    broadcasts it instead of shuffling the corpus-sized token stream
+    on the term key: one corpus explode, zero corpus shuffles before
+    the final doc_id agg."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
     )
@@ -430,7 +448,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = tf.agg(F.sum("c").alias("n"))
     nll = (-F.log(F.col("c").cast("double") / F.col("n"))).cast("decimal(38,18)")
     return (
-        tok.join(tf, "t")
+        tok.join(F.broadcast(tf), "t")
         .crossJoin(F.broadcast(total))
         .select("doc_id", nll.alias("nll"))
         .groupBy("doc_id")
@@ -479,10 +497,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering (CCNet trains a 5-gram KenLM; the estimation machinery is
     identical at every order: count n-grams, count contexts, divide).
     Bigrams are built row-locally (no shuffle), the two count tables
-    are plain aggs, and scoring is two equi-joins on the bigram /
-    context keys — at 100 TB both count tables are corpus-vocabulary
-    sized, far smaller than the corpus, and the joins shuffle on
-    well-distributed string keys. Per-bigram -ln(p) goes through
+    are plain aggs, and scoring BROADCASTS both count tables onto the
+    corpus-sized bigram stream — zero corpus shuffles before the final
+    doc_id agg (previously both joins shuffled the full exploded
+    stream). c1 (unigram contexts) is always vocab-sized; c2 (bigram
+    counts) is n-gram-vocab-sized — still orders of magnitude below
+    the corpus, but for a corpus whose bigram vocabulary outgrows
+    executor memory, drop the c2 hint and let AQE pick the join at
+    runtime (the bigram keys are well-distributed, so the fallback
+    shuffle has no skew problem). Per-bigram -ln(p) goes through
     decimal so the mean is accumulation-order independent."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
@@ -507,8 +530,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nll = (-F.log(F.col("cb").cast("double") / F.col("cw"))).cast("decimal(38,18)")
     return (
-        bg.join(c2, "b")
-        .join(c1, F.substring_index(F.col("b"), " ", 1) == F.col("w1"))
+        bg.join(F.broadcast(c2), "b")
+        .join(F.broadcast(c1), F.substring_index(F.col("b"), " ", 1) == F.col("w1"))
         .select("doc_id", nll.alias("nll"))
         .groupBy("doc_id")
         .agg(
