@@ -69,10 +69,10 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s", flush=True)
-        # drop this query's cached frames (dedup queries cache reused
-        # subplans) so blocks don't accumulate across the suite; kept
-        # *during* the two measured runs so intra-query reuse is warm,
-        # matching long-lived-cluster steady state
+        # r4 removed all operator-level caches (ReusedExchange covers
+        # the self-joins; A/B showed caching was a net loss), so this
+        # clearCache is belt-and-braces for any future cached frame,
+        # not a required leak valve as in r1-r3
         spark.catalog.clearCache()
 
     print(

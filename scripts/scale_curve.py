@@ -18,6 +18,7 @@ Usage:
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -126,6 +127,84 @@ def main() -> None:
     for name, walls, ratio in rows:
         cells = " | ".join(f"{w:.2f}s" for w in walls)
         print(f"| {name} | {cells} | {ratio:.1f}x |")
+
+    semantic_skew_curve(spark)
+
+
+def skewed_embeddings(spark, mult: int):
+    """Blown-up embeddings corpus where EVERY vector lands in one
+    cluster (the SemDeDup worst case the oversized-cluster split
+    exists for): unit-ish 2-D vectors scattered over a 90° arc by a
+    golden-ratio low-discrepancy angle, so sub-centroid seeds (the
+    lowest ids) spread evenly and the split produces balanced buckets."""
+    from supabase_etl_spark.io.readers import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id")
+    copies = [
+        e.select((F.col("vec_id") + i * ID_STRIDE).alias("vec_id")) for i in range(mult)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    # deterministic low-discrepancy angle in [0, pi/2): frac(id * phi)
+    u = F.col("vec_id").cast("double") * 0.6180339887498949
+    theta = (u - F.floor(u)) * (math.pi / 2)
+    return out.select(
+        "vec_id",
+        F.array(F.cos(theta), F.sin(theta)).alias("embedding"),
+        F.lit(0).alias("cluster_id"),
+        F.lit(1.0).alias("nrm"),
+    )
+
+
+def semantic_skew_curve(spark) -> None:
+    """Pair-stage wall time on a single skewed cluster, split OFF vs ON.
+
+    OFF (cap=inf) is the quadratic plan r3 flagged: one bucket, n²/2
+    cosine evaluations. ON (cap=1000) re-assigns to ceil(n/1000)
+    geometric sub-centroids first, bounding every bucket — growth
+    tracks n * cap instead of n². The 10x/1x ratio is the evidence:
+    ~100x for OFF, near-linear-in-n for ON."""
+    from supabase_etl_spark.queries.llm_dedup import (
+        _split_oversized_clusters,
+        semantic_pair_stage,
+    )
+
+    print("\n## semantic pair stage under single-cluster skew (split OFF vs ON)")
+    results = {}
+    for label, cap in (("split OFF (quadratic)", None), ("split ON (cap=1000)", 1000)):
+        walls = []
+        for mult in BLOWUPS:
+            vecs = skewed_embeddings(spark, mult)
+            if cap is None:
+                normed = vecs.withColumn("sub_id", F.lit(0))
+            else:
+                normed = _split_oversized_clusters(vecs, cap)
+            par = min(32, spark.sparkContext.defaultParallelism)
+
+            def run():
+                semantic_pair_stage(normed, par, 0.9999).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            run()  # warm codegen
+            t0 = time.time()
+            run()
+            walls.append(time.time() - t0)
+            spark.catalog.clearCache()
+        ratio = walls[-1] / walls[0] if walls[0] > 0 else float("inf")
+        results[label] = (walls, ratio)
+        print(
+            f"# {label}: "
+            + " ".join(f"{m}x={w:.2f}s" for m, w in zip(BLOWUPS, walls))
+            + f"  (10x/1x = {ratio:.1f})",
+            flush=True,
+        )
+    print("\n| pair stage | 1x | 3x | 10x | 10x/1x |")
+    print("|---|---|---|---|---|")
+    for label, (walls, ratio) in results.items():
+        cells = " | ".join(f"{w:.2f}s" for w in walls)
+        print(f"| {label} | {cells} | {ratio:.1f}x |")
 
 
 if __name__ == "__main__":

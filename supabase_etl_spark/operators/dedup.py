@@ -124,11 +124,7 @@ def jaccard_pairs(
     shingles (p ≈ n²/2⁶⁵ ≈ 2e-11 at 27k shingles) would add 1 to one
     pair's intersection — accepted and documented.
     """
-    sh = (
-        exploded_shingles(docs, id_col)
-        .select(id_col, F.xxhash64("s").alias("s"))
-        .cache()
-    )
+    sh = exploded_shingles(docs, id_col).select(id_col, F.xxhash64("s").alias("s"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -171,11 +167,7 @@ def jaccard_pairs_prefix(
     frame) instead of two sorts of the exploded corpus.
     """
     assert threshold == 0.8, "prefix bound hardcoded for t=0.8 (see docstring)"
-    sh = (
-        exploded_shingles(docs, id_col)
-        .select(id_col, F.xxhash64("s").alias("s"))
-        .cache()
-    )
+    sh = exploded_shingles(docs, id_col).select(id_col, F.xxhash64("s").alias("s"))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w_rank = Window.partitionBy(id_col).orderBy("df", "s")
     w_n = w_rank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -191,11 +191,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (shuffle on band key), re-rank only on candidates."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sids = D.shingle_ids(d)
-    # cache(), not localCheckpoint: the RDD boundary a checkpoint
-    # introduces blocks whole-stage codegen and columnar reuse
-    # (measured ~20% slower end-to-end); harnesses clearCache() per
-    # query so blocks never accumulate across a suite run
-    bands = D.band_keys(D.minhash_signature(sids)).cache()
+    # No cache() anywhere on this path (r4): a library user composing
+    # operators no longer accumulates storage blocks that only a
+    # harness clearCache() would free (tests/test_cache_hygiene.py),
+    # and at 100 TB the exploded band table is corpus-sized — it could
+    # never live in storage memory anyway, so recompute-per-side is the
+    # only shape that survives scale. The merge hint matters twice
+    # over: it blocks the planner's toy-scale choice of BROADCASTING
+    # bands (a corpus-sized broadcast is the one guaranteed OOM at
+    # scale) and measured fastest of the three join strategies at
+    # sf0.1 (0.47s merge / 0.49s shuffle_hash / 0.59s broadcast for the
+    # candidate stage). Net cost of dropping the cache is ~0.4s at
+    # sf0.1 — the price of zero storage pinning.
+    bands = D.band_keys(D.minhash_signature(sids)).hint("merge")
     cand = (
         bands.alias("a")
         .join(
@@ -206,20 +214,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
         .distinct()
     )
-    sh = D.exploded_shingles(d).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("ida"), F.col("s").alias("s"))
-    sb = sh.select(F.col("doc_id").alias("idb"), F.col("s").alias("s"))
-    inter = (
-        cand.join(sa, "ida")
-        .join(sb, ["idb", "s"])
-        .groupBy("ida", "idb")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Re-rank on candidates via ARRAY-LOCAL set intersection: each side
+    # of a candidate pair pulls its (distinct) shingle array in one
+    # keyed join, then |A∩B| is a row-local array_intersect — replacing
+    # the r1-r3 shape that re-exploded the corpus into two join-and-
+    # count shuffles (260k shingle rows at sf0.1 vs 20k array rows;
+    # same set semantics because shingles_of_tokens is array_distinct).
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    arrs = toks.select("doc_id", D.shingles_of_tokens(F.col("toks")).alias("sh"))
+    inter_df = (
+        cand.join(
+            arrs.select(F.col("doc_id").alias("ida"), F.col("sh").alias("sha")), "ida"
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("idb"), F.col("sh").alias("shb")), "idb"
+        )
+        .select(
+            "ida",
+            "idb",
+            F.size(F.array_intersect("sha", "shb")).alias("inter"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("ida"), F.col("n").alias("na")), "ida")
-        .join(sizes.select(F.col("doc_id").alias("idb"), F.col("n").alias("nb")), "idb")
-        .withColumn("jacc", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        inter_df.withColumn(
+            "jacc", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
         .filter(F.col("jacc") >= JACCARD_THRESHOLD)
         .select("ida", "idb", "inter", "na", "nb", "jacc")
         .orderBy("ida", "idb")
@@ -323,7 +344,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         range(1, D.SIMHASH_BITS),
         F.when(F.col("s0") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0)),
     )
-    sig = bits.select("doc_id", sig_expr.alias("simhash")).cache()
+    sig = bits.select("doc_id", sig_expr.alias("simhash"))
     band_arr = F.array(
         *[
             F.struct(
@@ -426,7 +447,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = (
         e.unionByName(planted)
         .withColumn("nrm", F.sqrt(D.dot_double(F.col("embedding"), F.col("embedding"))))
-        .cache()
     )
     band_arr = F.array(
         *[
@@ -709,6 +729,169 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_K = 8  # seed centroids: the first k organic vectors
+# Pair-join bucket cap: clusters over this many members are re-assigned
+# to sub-centroids before the pair join, bounding the quadratic term to
+# cap² per bucket under skewed centroids. Testdata clusters (~125
+# members) never hit it, so gate hashes are unchanged; the split path
+# is exercised by tests/test_semantic_split.py with a skewed corpus.
+SEMDEDUP_CLUSTER_CAP = 2000
+
+
+def _dist2_fold(vec_col: str, cent_col: str):
+    """Squared L2 between two float-array columns as a zip_with fold."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(cent_col),
+            lambda x, c: (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _split_oversized_clusters(normed: DataFrame, cap: int) -> DataFrame:
+    """SemDeDup oversized-cluster split: bound Σ n_c² under centroid skew.
+
+    Any cluster with more than ``cap`` members is re-assigned to
+    ceil(n_c / cap) geometric sub-centroids (its lowest-id members, the
+    same deterministic seeding rule as the top-level centroids); the
+    pair join then buckets on (cluster_id, sub_id). Identical
+    embeddings always land in the same sub-cluster (identical argmin,
+    min-sub_id tie-break), so exact duplicates are never separated —
+    only near-dup pairs that straddle a sub-boundary are missed, which
+    is SemDeDup's own cluster-boundary approximation one level down.
+    Degenerate all-identical oversized clusters cannot be split by
+    geometry (every member ties to sub 0); such corpora are exactly
+    what digest-based exact dedup removes first.
+
+    Plan shape — broadcast + row-local, NO corpus shuffle: the only
+    full-width movement is the seed-selection window over oversized
+    clusters' rows (empty when nothing is oversized). Sub-centroids
+    collect into one per-cluster ARRAY (≤ Σ ceil(n_c/cap) rows — tiny),
+    broadcast onto the corpus, and each row's argmin is a row-local
+    fold over that array — the first version of this helper joined the
+    sub-assignment back on vec_id, which re-shuffled the whole
+    embedding table and doubled dedup_semantic's wall time at sf0.1.
+    """
+    from pyspark.sql.window import Window
+
+    sizes = normed.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_c"))
+    m = sizes.select(
+        "cluster_id", F.ceil(F.col("n_c") / cap).cast("int").alias("m")
+    ).filter(F.col("m") > 1)
+    w = Window.partitionBy("cluster_id").orderBy("vec_id")
+    seeds = (
+        normed.join(F.broadcast(m), "cluster_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("m"))
+    )
+    subcents = seeds.groupBy("cluster_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct((F.col("rn") - 1).alias("sub_idx"), F.col("embedding").alias("cent"))
+            )
+        ).alias("cents")
+    )
+
+    def _d2(vec, cent):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                cent,
+                lambda x, c: (x.cast("double") - c.cast("double"))
+                * (x.cast("double") - c.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # row-local argmin over the broadcast sub-centroid array; strict <
+    # keeps the lowest sub_idx on ties (array_sort orders by sub_idx),
+    # so identical embeddings always co-assign
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(float("inf")).alias("d2"), F.lit(0).cast("int").alias("sub_idx")
+        ),
+        lambda acc, s: F.when(
+            _d2(F.col("embedding"), s["cent"]) < acc["d2"],
+            F.struct(
+                _d2(F.col("embedding"), s["cent"]).alias("d2"),
+                s["sub_idx"].alias("sub_idx"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        normed.join(F.broadcast(subcents), "cluster_id", "left")
+        .withColumn(
+            "sub_id",
+            F.when(F.col("cents").isNull(), F.lit(0).cast("int")).otherwise(
+                best["sub_idx"]
+            ),
+        )
+        .drop("cents")
+    )
+
+
+SUBKEY_STRIDE = 1 << 20  # sub-cluster id space per cluster in the pair key
+
+
+def semantic_pair_stage(normed: DataFrame, par: int, threshold: float) -> DataFrame:
+    """The SemDeDup within-cluster pair join: salted on (bucket,
+    ida % par) with side B replicated per salt — every unordered pair
+    compared exactly once, quadratic work spread over par × buckets
+    partitions. ``normed`` must carry vec_id, embedding, nrm,
+    cluster_id, sub_id (use `_split_oversized_clusters` to bound bucket
+    sizes first). (cluster_id, sub_id) folds into ONE composite join
+    key — measured: carrying sub_id as a third join/repartition column
+    doubled the stage's wall time at sf0.1 (1.7s → 3.4s), while the
+    composite keeps the exact two-key shape of the pre-split plan plus
+    one payload column. Shared by `dedup_semantic` and the
+    scripts/scale_curve.py skew evidence so both measure the same
+    plan."""
+    pk = (F.col("cluster_id") * SUBKEY_STRIDE + F.col("sub_id")).alias("pk")
+    a = normed.select(
+        pk,
+        F.col("cluster_id"),
+        (F.col("vec_id") % par).cast("int").alias("salt"),
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    ).repartition(par, "pk", "salt")
+    b = normed.select(
+        pk,
+        F.explode(F.sequence(F.lit(0), F.lit(par - 1))).alias("salt"),
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    ).repartition(par, "pk", "salt")
+    cos = D.dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["pk", "salt"])
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(cos >= threshold)
+        .select("cluster_id", "ida", "idb")
+    )
+
+
+def _embeddings_row_count(spark: SparkSession, sf_dir: str) -> int | None:
+    """Footer-only row count of the embeddings table (driver-side O(1)).
+
+    Handles both the single-file layout the driver's testdata uses and
+    a directory-of-parts table (``ParquetDataset`` resolves either);
+    returns None when the path cannot be probed so the caller can fall
+    back to a parallelism-based salt instead of raising.
+    """
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    try:
+        ds = pq.ParquetDataset(path)
+        return sum(f.metadata.num_rows for f in ds.fragments)
+    except Exception:
+        return None
 
 
 def _sql_semantic_dist2(e: str, c: str) -> str:
@@ -791,10 +974,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     spreading side A over (cluster_id, ida % P) partitions with side
     B replicated per salt keeps every pair exactly once and the
     quadratic work evenly spread (1.5s after, same rows — SCALE.md
-    round-3 note). Per-cluster skew beyond that is
-    the known failure mode — at production scale the oversized-
-    cluster split (re-cluster any bucket over a row cap) bounds the
-    quadratic term, same remedy as the LSH bucket caps."""
+    round-3 note). Per-cluster skew beyond the salt is bounded by the
+    OVERSIZED-CLUSTER SPLIT (`_split_oversized_clusters`): clusters
+    over SEMDEDUP_CLUSTER_CAP members are re-assigned to geometric
+    sub-centroids before the pair join, capping every bucket at cap²
+    work — the same remedy as the LSH bucket caps, and SemDeDup's own
+    answer (grow k with the corpus). Exact duplicates always co-assign
+    (identical argmin); testdata clusters never reach the cap, so the
+    oracle comparison is over the unsplit path."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = e.select((F.col("vec_id") + COPY_OFFSET).alias("vec_id"), "embedding")
     allv = e.unionByName(planted)
@@ -803,17 +990,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent")
         )
     )
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("cent"),
-            lambda x, c: (x.cast("double") - c.cast("double"))
-            * (x.cast("double") - c.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    dists = allv.crossJoin(cents).select(
+        "vec_id", "centroid_id", _dist2_fold("embedding", "cent").alias("dist2")
     )
-    dists = allv.crossJoin(cents).select("vec_id", "centroid_id", dist2.alias("dist2"))
     # argmin with min-id tie-break: lexicographic struct min, one agg
     assign = dists.groupBy("vec_id").agg(
         F.min(F.struct("dist2", "centroid_id")).getField("centroid_id").alias("cluster_id")
@@ -823,37 +1002,35 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", F.sqrt(D.dot_double(F.col("embedding"), F.col("embedding"))))
         .localCheckpoint(eager=False)
     )
-    # Salt factor sized to the data, not the cluster: side B is
+    # Footer-only row count (driver-side O(1), multi-file-safe) drives
+    # two data-sized plan choices, the same way AQE sizes from runtime
+    # stats; an unprobeable path falls back to scale-safe defaults.
+    n_rows = _embeddings_row_count(spark, sf_dir)
+    # (1) the oversized-cluster split engages only when worst-case skew
+    # could overwhelm the SALT's own bound: with the whole corpus in
+    # one cluster, pair work is (2n)²/2 spread over ≤64 salt
+    # partitions, so while 2n ≤ 10·cap each partition holds ≲0.8·cap² —
+    # the same order a split bucket would, making the split's
+    # bookkeeping (size agg + seed window + broadcast fold) pure
+    # overhead (measured: 2.1s → 2.8s at sf0.1 engaged-but-idle,
+    # → 4.5s with the original join-back shape). Beyond 10·cap the
+    # quadratic risk grows unboundedly and the split pays. Unprobeable
+    # row count → engage (bounding the worst case wins at unknown
+    # scale).
+    if n_rows is None or 2 * n_rows > 10 * SEMDEDUP_CLUSTER_CAP:
+        normed = _split_oversized_clusters(normed, SEMDEDUP_CLUSTER_CAP)
+    else:
+        normed = normed.withColumn("sub_id", F.lit(0))
+    # (2) salt factor sized to the data, not the cluster: side B is
     # replicated `par` times, so a fixed par=defaultParallelism makes a
-    # small corpus pay a 32x embedding-array shuffle for nothing. A
-    # footer-only row count (driver-side O(1)) scales the salt with the
-    # corpus — ~1 salt per 2k vectors, capped at 64 (the replication
-    # cap, commit 8f20868) and by cluster parallelism.
-    import pyarrow.parquet as pq
-
-    n_total = 2 * pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    par = max(1, min(64, spark.sparkContext.defaultParallelism, -(-n_total // 2000)))
-    a = normed.select(
-        F.col("cluster_id"),
-        (F.col("vec_id") % par).cast("int").alias("salt"),
-        F.col("vec_id").alias("ida"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    ).repartition(par, "cluster_id", "salt")
-    b = normed.select(
-        F.col("cluster_id"),
-        F.explode(F.sequence(F.lit(0), F.lit(par - 1))).alias("salt"),
-        F.col("vec_id").alias("idb"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    ).repartition(par, "cluster_id", "salt")
-    cos = D.dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    pairs = (
-        a.join(b, ["cluster_id", "salt"])
-        .filter(F.col("ida") < F.col("idb"))
-        .filter(cos >= COSINE_DUP_THRESHOLD)
-        .select("cluster_id", "ida", "idb")
-    )
+    # small corpus pay a 32x embedding-array shuffle for nothing —
+    # ~1 salt per 2k vectors, capped at 64 (the replication cap,
+    # commit 8f20868) and by cluster parallelism.
+    par = spark.sparkContext.defaultParallelism
+    if n_rows is not None:
+        par = min(par, -(-(2 * n_rows) // 2000))
+    par = max(1, min(64, par))
+    pairs = semantic_pair_stage(normed, par, COSINE_DUP_THRESHOLD)
     pair_stats = pairs.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_dup_pairs"),
         F.count_distinct(F.col("idb")).alias("n_removed"),
@@ -1083,7 +1260,7 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 2: cross-side MinHash bands (batch x corpus only)
     both_docs = corpus.unionByName(incoming)
-    sh = D.exploded_shingles(both_docs).cache()
+    sh = D.exploded_shingles(both_docs)
     bands = D.band_keys(D.minhash_signature(
         sh.select("doc_id", D.strhash(F.col("s")).alias("sid"))
     ))
