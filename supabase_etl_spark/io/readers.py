@@ -35,19 +35,39 @@ TABLE_NAMES = [
 BROADCAST_DIMS = {"region", "nation", "supplier"}
 
 
-@functools.lru_cache(maxsize=256)
-def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+def _nanos_timestamp_cols_uncached(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects. Footer-only metadata read (driver-side,
-    O(1) regardless of data size)."""
+    O(1) regardless of data size). Un-memoized variant for callers
+    whose path contents can change between calls — stream starts over a
+    landing zone must re-probe (ADVICE r3: a cached empty/micros probe
+    would pin the wrong schema for NANOS files arriving later)."""
+    import os as _os
+
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
     files = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    if _os.path.isdir(files[0]):
+        # directory-of-parts table: probe the first data file (Spark's
+        # own scan handles the directory; only this footer probe needs
+        # a concrete file)
+        files = sorted(
+            _glob.glob(_os.path.join(files[0], "*.parquet"))
+            or _glob.glob(_os.path.join(files[0], "part-*"))
+        )
     schema = pq.read_schema(files[0])
     return tuple(
         f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
     )
+
+
+@functools.lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Memoized probe for immutable batch tables (the driver testdata
+    never changes under a running session, so one footer read per path
+    suffices)."""
+    return _nanos_timestamp_cols_uncached(path)
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -75,6 +95,11 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # scan-level (not cast-level) normalization: the reader emits
     # TIMESTAMP directly, so ts predicates still push down to parquet
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # NTZ→TIMESTAMP is value-preserving ONLY in a UTC session: pin the
+    # runtime conf here so the invariant holds on ANY session, not just
+    # our session.py factory (ADVICE r3: the driver's vanilla harness
+    # session inherits the host TZ, which merely happens to be UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
@@ -117,6 +142,47 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro object-container scan over the engine's pure-Python codec
+    (io/avro_codec.py — no spark-avro jar in this runtime; see that
+    module's header for the documented subset). Distributed shape: the
+    schema comes from a driver-side HEADER-ONLY probe of the first file
+    (the parquet footer-probe analogue — no data blocks read); the
+    files then flow through the binaryFile source and each decodes
+    inside mapInPandas on the executors. One task per file, no
+    driver-side data path — binaryFile cannot split a single file, the
+    same per-file parallelism Spark's own avro/json readers get on
+    non-splittable codecs."""
+    import os as _os
+
+    from supabase_etl_spark.io.avro_codec import (
+        AVRO_TO_SPARK,
+        decode_file,
+        decode_header,
+    )
+
+    files = sorted(_glob.glob(_os.path.join(path, "*.avro")) or _glob.glob(path))
+    with open(files[0], "rb") as fh:
+        head = fh.read(65536)
+    fields, _sync, _pos = decode_header(head)
+    out_schema = ", ".join(f"`{n}` {AVRO_TO_SPARK[t]}" for n, t in fields)
+    names = [n for n, _ in fields]
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                fs, recs = decode_file(bytes(content))
+                if recs:
+                    yield pd.DataFrame(recs, columns=[n for n, _ in fs])[names]
+
+    binary = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(
+        path
+    )
+    return binary.select("content").mapInPandas(decode, out_schema)
 
 
 def read_binary(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:

@@ -35,6 +35,57 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_avro(df: DataFrame, path: str) -> None:
+    """Avro object-container sink over the engine's pure-Python codec
+    (io/avro_codec.py — the runtime ships no spark-avro jar; see that
+    module's header). Fully distributed: each input partition encodes
+    itself via mapInPandas and writes one ``part-<pid>.avro`` file into
+    ``path`` — the same one-file-per-task contract as Spark's own file
+    sinks, so at cluster scale the write parallelizes and no row ever
+    visits the driver. Flat primitive schemas only (asserted)."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401  (schema side only)
+
+    from supabase_etl_spark.io.avro_codec import SPARK_TO_AVRO, encode_records
+
+    fields = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t not in SPARK_TO_AVRO:
+            raise ValueError(
+                f"write_avro supports flat primitive schemas only; "
+                f"column {f.name} has type {t}"
+            )
+        fields.append((f.name, SPARK_TO_AVRO[t]))
+
+    os.makedirs(path, exist_ok=True)
+    cols = [f.name for f in df.schema.fields]
+
+    def encode_partition(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for pdf in batches:
+            for tup in pdf[cols].itertuples(index=False, name=None):
+                rows.append(
+                    tuple(None if pd.isna(v) else v for v in tup)
+                )
+        out_file = os.path.join(path, f"part-{pid:05d}.avro")
+        with open(out_file, "wb") as fh:
+            fh.write(encode_records(fields, rows))
+        yield pd.DataFrame({"path": [out_file], "n_records": [len(rows)]})
+
+    (
+        df.mapInPandas(encode_partition, "path string, n_records bigint")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
 def compact_parquet(
     spark,
     src_path: str,

@@ -10,13 +10,19 @@ parquet round-trip pins the partition-pruning layout contract.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from supabase_etl_spark.io.readers import load_table, read_csv, read_json
-from supabase_etl_spark.io.writers import write_csv, write_json, write_parquet
+from supabase_etl_spark.io.readers import load_table, read_avro, read_csv, read_json
+from supabase_etl_spark.io.writers import (
+    write_avro,
+    write_csv,
+    write_json,
+    write_parquet,
+)
 from supabase_etl_spark.queries import query
 
 
@@ -165,15 +171,42 @@ def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """supplier → ORC sink → ORC scan. ORC is the second columnar
     format Spark ships natively (predicate pushdown + column pruning
     work the same as parquet); the roundtrip pins type fidelity through
-    the ORC writer/reader pair. (Avro is the one format gated out: its
-    spark-avro connector module is not in the base distribution and
-    this environment installs nothing.)"""
+    the ORC writer/reader pair."""
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
     out = tempfile.mkdtemp(prefix="orc_rt_")
     s.write.mode("overwrite").orc(out)
     return spark.read.orc(out).orderBy("s_suppkey")
+
+
+@query(
+    "io_avro_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("io",),
+)
+def io_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → Avro sink → Avro scan, through the engine's own
+    object-container codec (io/avro_codec.py): no spark-avro jar ships
+    in this runtime and installs are gated, so the declared Avro cell
+    is served by a spec-subset pure-Python implementation with fully
+    distributed plumbing — mapInPandas encode per partition on the
+    write, binaryFile + mapInPandas decode per file on the read. The
+    codec's binary encoding is pinned against hand-computed Avro-spec
+    test vectors (tests/test_avro_codec.py), so this roundtrip is not
+    merely self-consistent."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = tempfile.mkdtemp(prefix="avro_rt_")
+    write_avro(s, out)
+    result = read_avro(spark, out).orderBy("s_suppkey").localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 @query(
@@ -304,7 +337,20 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     reuses the dim's broadcast exchange to evaluate it: whole
     year-directories are skipped before any fact I/O. At 100 TB this is
     the difference between scanning every partition and touching only
-    the qualifying ones (pinned by tests/test_plan_shapes.py)."""
+    the qualifying ones (pinned by tests/test_plan_shapes.py, which
+    asserts on the LAZY plan from `dynamic_partition_pruning_plan` —
+    the registered query materializes eagerly so its scratch layout can
+    be removed before returning, like scale_bucketed_join)."""
+    df, out = dynamic_partition_pruning_plan(spark, sf_dir)
+    df = df.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return df
+
+
+def dynamic_partition_pruning_plan(spark: SparkSession, sf_dir: str):
+    """Build the DPP demonstration plan; returns (df, scratch_dir).
+    The caller owns the scratch directory (the fact table's partitioned
+    layout) and must keep it alive until the plan is executed."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.year("l_shipdate").alias("ship_year"),
         "l_extendedprice",
@@ -328,7 +374,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     # at any scale the per-year dim is trivially broadcastable — without
     # the hint a toy-sized *fact* side can win the build-side choice and
     # no partition pruning happens
-    return (
+    df = (
         fact.join(F.broadcast(dim), fact.ship_year == dim.yr)
         .groupBy("ship_year")
         .agg(
@@ -342,6 +388,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("ship_year")
     )
+    return df, out
 
 
 @query(
@@ -382,9 +429,13 @@ def io_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{out}/batch=new")
     )
     back = spark.read.option("mergeSchema", "true").parquet(out)
-    return back.select(
-        "o_orderkey", "o_totalprice", "o_orderpriority"
-    ).orderBy("o_orderkey")
+    result = (
+        back.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .localCheckpoint(eager=True)  # 200 rows; frees the scratch dir
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 @query(
@@ -445,8 +496,11 @@ def io_corrupt_records_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
     # plan whose raw-JSON scan references only the internal corrupt
     # column, and downstream pruning (e.g. a count() action) can strip
     # the data-column references back out of a lazy plan. The feed is
-    # rows+7 lines by construction, so the eager checkpoint is free.
+    # rows+7 lines by construction, so the eager checkpoint is free —
+    # and it ends the plan's dependence on the scratch feed file, which
+    # is removed here instead of accumulating across harness runs.
     back = back.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
     return (
         back.groupBy(kind.alias("kind"))
         .agg(

@@ -41,12 +41,18 @@ def read_events_stream(
     inference never applies). ``glob`` scopes the directory scan
     (default: just the sf-dir's events table; incremental landing zones
     pass a wildcard to pick up newly arriving files)."""
-    from supabase_etl_spark.io.readers import _nanos_timestamp_cols
+    from supabase_etl_spark.io.readers import _nanos_timestamp_cols_uncached
 
-    # footer probe on the first matching file decides the read schema;
-    # an empty landing zone (no files yet) defaults to the micros schema
+    # Footer probe on the first matching file decides the read schema,
+    # re-probed at EVERY stream start (never memoized: a landing zone's
+    # contents change between starts, so a cached empty/micros verdict
+    # would pin the wrong schema for NANOS files that arrived since).
+    # An empty landing zone (no files yet) defaults to the micros
+    # schema; a zone must be temporally homogeneous WITHIN one stream's
+    # lifetime — the schema is pinned at start, as with any
+    # schema-declared file source.
     try:
-        nanos = "ts" in _nanos_timestamp_cols(f"{sf_dir}/{glob}")
+        nanos = "ts" in _nanos_timestamp_cols_uncached(f"{sf_dir}/{glob}")
     except (IndexError, FileNotFoundError, OSError):
         nanos = False
     if nanos:

@@ -271,11 +271,64 @@ def test_bloom_runtime_filter_injected(spark):
     assert "xxhash64(l_orderkey" in plan
 
 
+def test_tfidf_plan_builds_without_jobs(spark):
+    """text_tfidf_terms computes N in-plan (1-row broadcast aggregate
+    cross-joined onto the df table): constructing the DataFrame must
+    launch no aggregation job — the old version ran a blocking
+    distinct().count() at plan-build time, scanning and tokenizing the
+    corpus twice. spark.read.parquet's footer-read schema inference is
+    a 1-stage, 1-task job and is allowed; anything with a shuffle
+    (multi-stage) at build time is the regression this test guards.
+    The N branch's scan must also be pruned to doc_id."""
+    q = load_all()["text_tfidf_terms"]
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    df = q.fn(spark, SF)
+    new_jobs = set(tracker.getJobIdsForGroup()) - before
+    for jid in new_jobs:
+        info = tracker.getJobInfo(jid)
+        assert info is None or len(info.stageIds) <= 1, (
+            f"plan construction ran a shuffling job {jid}"
+        )
+    plan = _plan(df)
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_unigram_logprob_scoring_join_broadcasts(spark):
+    """text_unigram_logprob: the vocab-sized term-frequency table must
+    broadcast onto the corpus-sized token stream — no shuffle of the
+    exploded corpus on the term key."""
+    q = load_all()["text_unigram_logprob"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_logprob_scoring_joins_broadcast(spark):
+    """text_bigram_logprob: BOTH count tables (bigram counts c2,
+    context counts c1) broadcast onto the corpus-sized bigram stream —
+    previously both joins shuffled the full exploded stream."""
+    q = load_all()["text_bigram_logprob"]
+    plan = _plan(q.fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_dynamic_partition_pruning_subquery(spark):
     """The year-partitioned fact scan must be pruned by a dynamic
     subquery on the runtime-selective dim — visible as a dynamicpruning
-    expression in the scan's PartitionFilters."""
-    q = load_all()["join_dynamic_partition_pruning"]
-    df = q.fn(spark, SF)
-    plan = _plan(df)
+    expression in the scan's PartitionFilters. Asserts on the LAZY plan
+    builder; the registered query materializes eagerly so it can remove
+    its scratch layout (which would hide the DPP node here)."""
+    import shutil
+
+    from supabase_etl_spark.queries.io_roundtrip import (
+        dynamic_partition_pruning_plan,
+    )
+
+    df, scratch = dynamic_partition_pruning_plan(spark, SF)
+    try:
+        plan = _plan(df)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
     assert "dynamicpruning" in plan
