@@ -234,34 +234,18 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary stateful op (applyInPandasWithState): a per-user
-    running counter + modular checksum held in GroupState across
-    micro-batches — the custom-operator escape hatch for logic windowed
-    aggs can't express. Integer state only (order-independent), so the
-    final state equals the batch recompute."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    def track(key, pdfs, state: GroupState):
-        n, ck = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            n += len(pdf)
-            ck = int(
-                (ck + ((pdf["event_id"] % CHECKSUM_P) * CHECKSUM_K).sum()) % CHECKSUM_P
-            )
-        state.update((n, ck))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "checksum": [ck]}
-        )
+    """Arbitrary stateful op: a per-user running counter + modular
+    checksum held in keyed state across micro-batches — the
+    custom-operator escape hatch for logic windowed aggs can't express.
+    Dispatches between Spark 4's two stateful APIs
+    (transformWithStateInPandas where the runtime supports it,
+    applyInPandasWithState otherwise — streaming/stateful.py); integer
+    state only (order-independent), so the final state equals the batch
+    recompute on either path."""
+    from supabase_etl_spark.streaming.stateful import running_counter
 
     s = read_events_stream(spark, sf_dir)
-    out = s.groupBy("user_id").applyInPandasWithState(
-        track,
-        outputStructType="user_id bigint, n_events bigint, checksum bigint",
-        stateStructType="n bigint, ck bigint",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    out = running_counter(s, CHECKSUM_P, CHECKSUM_K)
     sink = run_available_now(out, "update")
     # last-wins merge if the replay split into several batches
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
