@@ -94,6 +94,15 @@ def main() -> int:
         help="use a stock SparkSession (none of the engine's session "
         "configs) — exactly what the driver's harness does",
     )
+    ap.add_argument(
+        "--json",
+        metavar="PATH",
+        help="also write per-query results as a JSON artifact (the "
+        "committed full-gate record VERDICT r3 asked for: the driver "
+        "snapshot sees only the first 50 queries alphabetically, so "
+        "each round commits the full-registry gate as "
+        "CORRECTNESS_local_rNN.json)",
+    )
     args = ap.parse_args()
 
     from supabase_etl_spark.queries import load_all
@@ -111,6 +120,7 @@ def main() -> int:
         spark = get_spark("check-correctness")
 
     failures = []
+    results: dict[str, dict] = {}
     for name in names:
         spec = registry[name]
         t0 = time.time()
@@ -121,6 +131,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"match": False, "err": f"spark: {e}"}
             continue
         finally:
             # dedup queries cache reused subplans; clear per query so a
@@ -129,22 +140,31 @@ def main() -> int:
         spark_t = time.time() - t0
         if spec.oracle is None:
             print(f"SKIP-ORACLE {name}: {len(s_rows)} rows ({spark_t:.1f}s, rows-only check)")
+            results[name] = {
+                "match": True,
+                "rows": len(s_rows),
+                "wall_s": round(spark_t, 2),
+                "oracle": "rows-only",
+            }
             continue
         try:
             d_cols, d_rows = run_duckdb(spec.oracle, args.sf)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {"match": False, "err": f"duckdb: {e}"}
             continue
         sc, sr = canon_rows(s_cols, s_rows)
         dc, dr = canon_rows(d_cols, d_rows)
         if sc != dc:
             print(f"FAIL {name}: schema mismatch spark={sc} duckdb={dc}")
             failures.append(name)
+            results[name] = {"match": False, "err": "schema mismatch"}
             continue
         if len(sr) != len(dr):
             print(f"FAIL {name}: row count spark={len(sr)} duckdb={len(dr)}")
             failures.append(name)
+            results[name] = {"match": False, "err": "row count mismatch"}
             continue
         diffs = [(a, b) for a, b in zip(sr, dr) if a != b]
         if diffs:
@@ -153,10 +173,33 @@ def main() -> int:
                 print(f"   spark : {a}")
                 print(f"   duckdb: {b}")
             failures.append(name)
+            results[name] = {"match": False, "err": f"{len(diffs)} rows differ"}
         else:
             print(f"OK   {name}: {len(sr)} rows match ({spark_t:.1f}s)")
+            results[name] = {
+                "match": True,
+                "rows": len(sr),
+                "wall_s": round(spark_t, 2),
+                "oracle": "hash",
+            }
 
     print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf": args.sf,
+                    "n_queries": len(names),
+                    "n_match": len(names) - len(failures),
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+                default=str,
+            )
+        print(f"wrote {args.json}")
     return 1 if failures else 0
 
 
