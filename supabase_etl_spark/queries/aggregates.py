@@ -757,3 +757,72 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r_name
         """
     )
+
+
+@query(
+    "agg_regression_family",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n AS regr_n,
+           round(sx / n, 6) AS regr_avgx,
+           round(sy / n, 6) AS regr_avgy,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS regr_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS regr_intercept,
+           round(((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx)
+                  / sqrt(n * syy - sy * sy))
+                 * ((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx)
+                    / sqrt(n * syy - sy * sy)), 6) AS regr_r2
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "regression"),
+)
+def agg_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (SQL-standard REGR_SLOPE /
+    REGR_INTERCEPT / REGR_R2 / REGR_AVGX / REGR_AVGY / REGR_COUNT
+    semantics — the per-group OLS fit y = a·x + b a feature pipeline
+    computes per segment).
+
+    Native ``F.regr_*`` streams float moments in partition order, so
+    the last few bits differ from a sequential engine; instead the five
+    moments Σx Σy Σx² Σy² Σxy accumulate as exact decimals (one
+    map-side-combined HashAggregate, order-independent) and the closed
+    forms are evaluated on the reduced 3-row result with the identical
+    expression tree as the oracle — bit-for-bit double equality, same
+    trick as ``agg_group_variety``'s stddev. Scale shape: one scan,
+    one skinny shuffle of 6 decimal cells per group, no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(28,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,6)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r = (n * sxy - sx * sy) / F.sqrt(n * sxx - sx * sx) / F.sqrt(n * syy - sy * sy)
+    return m.select(
+        "l_returnflag",
+        n.alias("regr_n"),
+        F.round(sx / n, 6).alias("regr_avgx"),
+        F.round(sy / n, 6).alias("regr_avgy"),
+        F.round(slope, 6).alias("regr_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("regr_intercept"),
+        F.round(r * r, 6).alias("regr_r2"),
+    ).orderBy("l_returnflag")

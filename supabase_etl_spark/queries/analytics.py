@@ -1186,3 +1186,75 @@ def events_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "interval_idx")
     )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS t_us,
+               value, event_id
+        FROM events
+    ), wt AS (
+        SELECT user_id, day, value,
+               coalesce(lead(t_us) OVER (PARTITION BY user_id, day
+                                         ORDER BY t_us, event_id),
+                        epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP)))
+                 - t_us AS w_us
+        FROM e
+    )
+    SELECT user_id, day,
+           count(*) AS n_obs,
+           round(CAST(SUM(CAST(value * w_us AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(w_us) AS DOUBLE), 6) AS twap
+    FROM wt
+    GROUP BY user_id, day
+    ORDER BY user_id, day
+    """,
+    tags=("events", "timeseries"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation holds its value
+    until the next observation in the same (user, day) stream; the last
+    one holds to midnight. The metric a trading/metering pipeline uses
+    where a plain AVG over-weights bursty samplers.
+
+    One window pass (lead over the per-user-day stream, explicit
+    (t_us, event_id) tie-break) + one keyed agg — no self-join, state
+    is O(1) per row. Weights are exact integer microseconds and the
+    value·weight sum accumulates in decimal, so parallel and sequential
+    summation agree bit-for-bit. At 100 TB the stream is already
+    partitionable by (user_id, day); both the window and the agg reuse
+    that one shuffle (same keys), and AQE coalesces the skinny output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    e = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("t_us"),
+        "value",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("t_us", "event_id")
+    end_us = F.unix_micros(F.date_add(F.col("day"), 1).cast("timestamp"))
+    wt = e.select(
+        "user_id",
+        "day",
+        "value",
+        (F.coalesce(F.lead("t_us").over(w), end_us) - F.col("t_us")).alias("w_us"),
+    )
+    return (
+        wt.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(
+                F.sum((F.col("value") * F.col("w_us")).cast("decimal(38,6)")).cast(
+                    "double"
+                )
+                / F.sum("w_us").cast("double"),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id", "day")
+    )
