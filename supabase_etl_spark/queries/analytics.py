@@ -1258,3 +1258,61 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "skyline_pareto_front",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, p_size
+    FROM part r
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part s
+        WHERE s.p_brand = r.p_brand
+          AND s.p_retailprice <= r.p_retailprice
+          AND s.p_size >= r.p_size
+          AND (s.p_retailprice < r.p_retailprice OR s.p_size > r.p_size)
+    )
+    ORDER BY p_brand, p_retailprice, p_size, p_partkey
+    """,
+    tags=("analytics", "skyline"),
+)
+def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (pareto front) per brand: the parts for which no
+    other part of the same brand is both cheaper-or-equal and
+    larger-or-equal with at least one strict — the classic
+    price/quality dominance query (Börzsönyi et al., ICDE 2001).
+
+    The oracle states the semantics as the quadratic NOT EXISTS; the
+    Spark plan is the sort-based linear formulation: collapse to the
+    per-(brand, price) max size (one map-side-combinable agg), take the
+    running max of that over strictly-cheaper prices (window over the
+    distinct-price table — rows, not the raw corpus), and join back.
+    A row is dominated iff a strictly-cheaper price reaches its size
+    (m_lt >= size) or an equal-priced row strictly exceeds it
+    (pmax > size); duplicates of an undominated point all survive, as
+    in the EXISTS form. At 100 TB: no self-join of the corpus, window
+    state O(1), and every stage keys on (brand[, price]) so one
+    shuffle's partitioning is reused throughout."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = p.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("pmax")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_price = per_price.withColumn("m_lt", F.max("pmax").over(w))
+    return (
+        p.join(per_price, ["p_brand", "p_retailprice"])
+        .filter(
+            ~(
+                (F.col("m_lt").isNotNull() & (F.col("m_lt") >= F.col("p_size")))
+                | (F.col("pmax") > F.col("p_size"))
+            )
+        )
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_brand", "p_retailprice", "p_size", "p_partkey")
+    )

@@ -730,3 +730,142 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.round("quality", 6).alias("quality"), "rk")
         .orderBy("source", "rk")
     )
+
+
+BLOOM_M_BITS = 1 << 20  # bloom bitmap width (bits)
+BLOOM_K_HASH = 5  # hash functions per key
+
+
+@query(
+    "decontaminate_bloom",
+    # Bloom pre-filtering is exact on the final answer (no false
+    # negatives; false positives die in the verify join), so the oracle
+    # is the same exact-contamination SQL as decontaminate_ngram.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_SQL_TOKENS} AS t,
+               {_sql_bucket("doc_id")} < {DECON_BENCH_PCT} AS is_bench
+        FROM documents
+    ),
+    bench_grams AS (
+        SELECT DISTINCT unnest({sql_ngrams_all("t", DECON_K)}) AS g
+        FROM toks WHERE is_bench
+    ),
+    train_grams AS (
+        SELECT doc_id, lang, unnest({sql_ngrams_all("t", DECON_K)}) AS g
+        FROM toks WHERE NOT is_bench
+    ),
+    contaminated AS (
+        SELECT DISTINCT tg.doc_id
+        FROM train_grams tg JOIN bench_grams bg ON tg.g = bg.g
+    )
+    SELECT lang,
+           count(*) AS n_train,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean
+    FROM toks LEFT JOIN contaminated c USING (doc_id)
+    WHERE NOT is_bench
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "curation", "dedup", "sketch"),
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with an explicit distributed Bloom filter in
+    front of the exact probe — the 100 TB shape: the benchmark n-gram
+    set hashes into a fixed 128 KiB bitmap that is BUILT distributed
+    (per-position explode, bit_or-packed 64-bit words — one
+    map-side-combinable agg keyed on word index, ≤ m/64 groups) and
+    broadcast once; the corpus-sized train-gram stream then drops
+    ~everything map-side via 5 JVM bit tests BEFORE any shuffle, and
+    only surviving candidates reach the exact equi-join that removes
+    bloom false positives. Catalyst's runtime bloom join
+    (join_bloom_runtime_filter) does this automatically for key joins;
+    this operator is the library form a pipeline applies when the
+    filter must be built once and reused across many probe batches.
+
+    Same final semantics as decontaminate_ngram (bloom cannot lose a
+    true contamination), hence the identical oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        "lang",
+        tokens(F.col("text")).alias("t"),
+        (_bucket(F.col("doc_id")) < DECON_BENCH_PCT).alias("is_bench"),
+    )
+    bench_grams = (
+        tk.filter("is_bench")
+        .select(F.explode(ngrams_all(F.col("t"), DECON_K)).alias("g"))
+        .distinct()
+    )
+
+    # build: k positions per gram -> packed 64-bit words -> 1-row map
+    pos = bench_grams.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("g", F.lit(j)), F.lit(BLOOM_M_BITS))
+                    for j in range(BLOOM_K_HASH)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.shiftright("pos", 6).alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
+    )
+
+    # probe: 5 bit tests, all JVM expressions, before any shuffle
+    train = tk.filter(~F.col("is_bench"))
+    pr = train.select(
+        "doc_id", F.explode(ngrams_all(F.col("t"), DECON_K)).alias("g")
+    )
+    for j in range(BLOOM_K_HASH):
+        pr = pr.withColumn(
+            f"p{j}", F.pmod(F.xxhash64("g", F.lit(j)), F.lit(BLOOM_M_BITS))
+        )
+    hit = None
+    for j in range(BLOOM_K_HASH):
+        test = (
+            F.coalesce(
+                F.element_at(F.col("bm"), F.shiftright(F.col(f"p{j}"), 6)),
+                F.lit(0).cast("long"),
+            ).bitwiseAND(F.expr(f"shiftleft(1L, CAST(p{j} % 64 AS INT))"))
+            != 0
+        )
+        hit = test if hit is None else (hit & test)
+    candidates = (
+        pr.join(F.broadcast(bloom))
+        .filter(hit)
+        .select("doc_id", "g")
+    )
+
+    contaminated = (
+        candidates.join(bench_grams, "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        train.join(contaminated, "doc_id", "left_outer")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clean"),
+        )
+        .orderBy("lang")
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from supabase_etl_spark.io.readers import load_table
@@ -1309,4 +1310,154 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
         .orderBy("doc_id")
+    )
+
+
+SNM_WINDOW = 5  # sorted-neighborhood comparison window
+SNM_KEY_CHARS = 64  # normalized-prefix blocking key width
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {COPY_OFFSET},
+               substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+        FROM documents WHERE doc_id % 20 = 10
+    ),
+    ranked AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY lower(regexp_replace(
+                       substring(text, 1, {SNM_KEY_CHARS}),
+                       '[^a-zA-Z0-9]', '', 'g')), doc_id) AS rn
+        FROM all_docs
+    ),
+    cand AS (
+        SELECT least(a.doc_id, b.doc_id) AS ida,
+               greatest(a.doc_id, b.doc_id) AS idb
+        FROM ranked a JOIN ranked b
+          ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+    ),
+    sh AS (
+        SELECT doc_id, unnest({D.sql_shingles()}) AS s FROM all_docs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.ida, c.idb, count(*) AS inter
+        FROM cand c
+        JOIN sh a ON c.ida = a.doc_id
+        JOIN sh b ON c.idb = b.doc_id AND a.s = b.s
+        GROUP BY 1, 2
+    )
+    SELECT i.ida, i.idb, i.inter, sa.n AS na, sb.n AS nb,
+           i.inter / (sa.n + sb.n - i.inter) AS jacc
+    FROM inter i
+    JOIN sizes sa ON i.ida = sa.doc_id
+    JOIN sizes sb ON i.idb = sb.doc_id
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+    ORDER BY ida, idb
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dup blocking (Hernández &
+    Stolfo, SIGMOD 1995): sort the corpus by a normalized-prefix
+    fingerprint, compare each document only with its {SNM_WINDOW}
+    successors in that order, exact-Jaccard-verify the candidates.
+    The skew-free alternative to hash blocking — a stop-shingle that
+    floods one LSH bucket cannot flood a rank window, whose candidate
+    count is exactly W·n by construction.
+
+    Global rank WITHOUT a single-partition window (the scale trap of
+    the naive row_number() OVER (ORDER BY ...)): range-repartition on
+    the key, rank within partitions, then add broadcast per-partition
+    offsets — rank = global sort position regardless of where the
+    range boundaries fall, since range partitions are contiguous in
+    key order and (key, doc_id) is a total order. Neighbor pairs come
+    from an i=1..W explode + rank equi-join (W× fan-out of skinny
+    rows), never a non-equi self-join. Verify stage re-uses the
+    inverted-index shape on candidates only."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = F.expr("substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))")
+    all_docs = d.unionByName(
+        d.filter(F.col("doc_id") % 20 == 10).select(
+            (F.col("doc_id") + COPY_OFFSET).alias("doc_id"), trunc.alias("text")
+        )
+    )
+    key = F.lower(
+        F.regexp_replace(
+            F.substring(F.col("text"), 1, SNM_KEY_CHARS), "[^a-zA-Z0-9]", ""
+        )
+    )
+    keyed = all_docs.select("doc_id", key.alias("k"))
+
+    par = spark.sparkContext.defaultParallelism
+    ranged = keyed.repartitionByRange(par, "k", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wlocal = W.partitionBy("pid").orderBy("k", "doc_id")
+    local = ranged.withColumn("lrn", F.row_number().over(wlocal))
+    # per-partition row counts -> exclusive running offsets; bounded by
+    # the partition count, so the single-partition window is over ~par
+    # rows, not the corpus
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("n").over(
+                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "off")
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id", (F.col("lrn") + F.col("off")).alias("rn")
+    )
+
+    probe = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(SNM_WINDOW))).alias("i"),
+        F.col("rn"),
+    ).select("id_a", (F.col("rn") + F.col("i")).alias("rn"))
+    cand = (
+        probe.join(ranked.select(F.col("doc_id").alias("id_b"), "rn"), "rn")
+        .select(
+            F.least("id_a", "id_b").alias("ida"),
+            F.greatest("id_a", "id_b").alias("idb"),
+        )
+    )
+
+    sh = D.exploded_shingles(all_docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("ida") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("idb") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("ida", "idb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("ida") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("idb") == F.col("zb.doc_id"))
+        .select(
+            "ida",
+            "idb",
+            "inter",
+            F.col("za.n").alias("na"),
+            F.col("zb.n").alias("nb"),
+            (F.col("inter") / (F.col("za.n") + F.col("zb.n") - F.col("inter"))).alias(
+                "jacc"
+            ),
+        )
+        .filter(F.col("jacc") >= JACCARD_THRESHOLD)
+        .orderBy("ida", "idb")
     )

@@ -111,3 +111,75 @@ def test_kmeans_assignment_total_and_seeds(spark):
     # its own seed has at least that member and zero-or-positive inertia
     assert all(r["inertia"] >= 0.0 for r in rows)
     assert len(rows) <= C.KMEANS_K
+
+
+def test_bloom_prefilter_prunes_without_false_negatives(spark):
+    """The bloom candidate stream must contain EVERY truly contaminated
+    gram occurrence (no false negatives — exactness of the final
+    answer depends on it) and prune a large share of clean grams (the
+    entire point of the 128 KiB broadcast at 100 TB)."""
+    d = C.load_table(spark, SF_SMOKE, "documents")
+    tk = d.select(
+        "doc_id",
+        C.tokens(F.col("text")).alias("t"),
+        (C._bucket(F.col("doc_id")) < C.DECON_BENCH_PCT).alias("is_bench"),
+    )
+    bench_grams = (
+        tk.filter("is_bench")
+        .select(F.explode(C.ngrams_all(F.col("t"), C.DECON_K)).alias("g"))
+        .distinct()
+    )
+    train_grams = tk.filter(~F.col("is_bench")).select(
+        "doc_id", F.explode(C.ngrams_all(F.col("t"), C.DECON_K)).alias("g")
+    )
+    n_train = train_grams.count()
+    true_hits = train_grams.join(bench_grams, "g").count()
+
+    # replicate the query's candidate stage
+    pos = bench_grams.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("g", F.lit(j)), F.lit(C.BLOOM_M_BITS))
+                    for j in range(C.BLOOM_K_HASH)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.shiftright("pos", 6).alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
+    )
+    pr = train_grams
+    for j in range(C.BLOOM_K_HASH):
+        pr = pr.withColumn(
+            f"p{j}", F.pmod(F.xxhash64("g", F.lit(j)), F.lit(C.BLOOM_M_BITS))
+        )
+    hit = None
+    for j in range(C.BLOOM_K_HASH):
+        test = (
+            F.coalesce(
+                F.element_at(F.col("bm"), F.shiftright(F.col(f"p{j}"), 6)),
+                F.lit(0).cast("long"),
+            ).bitwiseAND(F.expr(f"shiftleft(1L, CAST(p{j} % 64 AS INT))"))
+            != 0
+        )
+        hit = test if hit is None else (hit & test)
+    candidates = pr.join(F.broadcast(bloom)).filter(hit).select("doc_id", "g")
+    n_cand = candidates.count()
+    cand_true = candidates.join(bench_grams, "g").count()
+
+    assert cand_true == true_hits, "bloom dropped a true contamination"
+    # planted near-dups make ~5-10% of grams genuinely contaminated;
+    # the bloom should not pass much beyond the true-hit mass
+    assert n_cand <= true_hits + 0.05 * n_train, (
+        f"bloom prefilter too weak: {n_cand} candidates, "
+        f"{true_hits} true of {n_train} grams"
+    )

@@ -48,3 +48,48 @@ def test_cosine_of_identical_vectors_is_one(spark):
     df = spark.createDataFrame([([0.5, -0.25, 0.125],)], "v array<double>")
     got = df.select(D.cosine(F.col("v"), F.col("v")).alias("c")).collect()[0]["c"]
     assert abs(got - 1.0) < 1e-12
+
+
+def test_sorted_neighborhood_recovers_planted_near_dups(spark):
+    """SNM is a blocking heuristic; on the planted corpus it must be
+    exact: a truncated copy shares its original's first 64 normalized
+    chars, so the pair sorts adjacent and falls inside the W-window.
+    Every planted pair that clears the Jaccard threshold must appear."""
+    from supabase_etl_spark.queries import llm_dedup as L
+
+    pairs = {
+        (r["ida"], r["idb"])
+        for r in L.dedup_sorted_neighborhood(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert pairs, "no SNM pairs found at all"
+    # recompute ground truth for the planted (doc, doc+OFFSET) pairs only
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    trunc = F.expr("substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))")
+    planted = d.filter(F.col("doc_id") % 20 == 10).select(
+        (F.col("doc_id") + L.COPY_OFFSET).alias("doc_id"), trunc.alias("text")
+    )
+    both = d.unionByName(planted)
+    sh = D.exploded_shingles(both)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    planted_pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id") + L.COPY_OFFSET)
+            & (F.col("a.s") == F.col("b.s")),
+        )
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.alias("za"), F.col("ida") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("idb") == F.col("zb.doc_id"))
+        .filter(
+            F.col("inter") / (F.col("za.n") + F.col("zb.n") - F.col("inter"))
+            >= L.JACCARD_THRESHOLD
+        )
+        .select("ida", "idb")
+        .collect()
+    )
+    missed = {(r["ida"], r["idb"]) for r in planted_pairs} - pairs
+    assert not missed, f"SNM missed planted near-dup pairs: {sorted(missed)[:5]}"
