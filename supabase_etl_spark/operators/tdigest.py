@@ -1,0 +1,95 @@
+"""Mergeable quantile digest (t-digest-style, equal-weight centroids).
+
+The rollup problem `percentile_approx` cannot serve: a warehouse wants
+per-shard / per-day quantile SKETCHES it can store, union upward, and
+query at any level — the quantile analogue of the HLL rollup
+(aggregates.agg_hll_sketch_rollup). Spark ships mergeable HLL binaries
+but no exposed mergeable quantile sketch, so this module provides one:
+
+  * build  — per group: sort the values, cut into K equal-count chunks,
+    keep (mean, count) per chunk. Deterministic for a given multiset.
+  * merge  — concatenate centroid lists, sort by mean, greedily
+    re-compress adjacent centroids to K. Deterministic, associative
+    enough for rollups (merge order is fixed by sorting on mean).
+  * quantile — interpolate the cumulative-weight curve through centroid
+    means (each centroid's mass centered at its midpoint, the standard
+    t-digest convention).
+
+Rank error is bounded by the chunk mass (~n/K per centroid), i.e. a
+K=64 digest answers any quantile within ~1.6 % rank error — checked by
+tests/test_tolerance.py. All heavy lifting runs inside Arrow-batched
+``applyInPandas`` over numpy; the driver never sees raw values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TDIGEST_K = 64  # centroids per digest
+
+
+def build_digest(values: np.ndarray, k: int = TDIGEST_K) -> tuple[np.ndarray, np.ndarray]:
+    """(means, counts) of k equal-count centroids over the sorted values."""
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    n = v.size
+    if n == 0:
+        return np.array([]), np.array([], dtype=np.int64)
+    k = min(k, n)
+    # chunk boundaries: ceil-spread so sizes differ by at most 1
+    edges = (np.arange(k + 1) * n) // k
+    means = np.array([v[a:b].mean() for a, b in zip(edges[:-1], edges[1:])])
+    counts = (edges[1:] - edges[:-1]).astype(np.int64)
+    return means, counts
+
+
+def merge_digests(
+    means: np.ndarray, counts: np.ndarray, k: int = TDIGEST_K
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge concatenated centroid arrays back down to k centroids.
+
+    Sort by mean, then combine runs of adjacent centroids whose
+    cumulative mass stays within one target chunk (total/k) — the
+    equal-weight analogue of t-digest's scale-function compression."""
+    order = np.argsort(means, kind="stable")
+    m, c = np.asarray(means, dtype=np.float64)[order], np.asarray(counts, dtype=np.int64)[order]
+    total = int(c.sum())
+    if total == 0 or m.size <= k:
+        return m, c
+    target = total / k
+    out_m: list[float] = []
+    out_c: list[int] = []
+    acc_w = 0.0
+    acc_sum = 0.0
+    budget = target
+    for mi, ci in zip(m, c):
+        if acc_w > 0 and acc_w + ci > budget + 1e-9:
+            out_m.append(acc_sum / acc_w)
+            out_c.append(int(round(acc_w)))
+            budget = target  # fresh chunk budget
+            acc_w, acc_sum = 0.0, 0.0
+        acc_w += ci
+        acc_sum += mi * ci
+    if acc_w > 0:
+        out_m.append(acc_sum / acc_w)
+        out_c.append(int(round(acc_w)))
+    return np.array(out_m), np.array(out_c, dtype=np.int64)
+
+
+def digest_quantile(means: np.ndarray, counts: np.ndarray, q: float) -> float:
+    """Quantile estimate: piecewise-linear interpolation through the
+    centroid means at their cumulative-mass midpoints."""
+    m = np.asarray(means, dtype=np.float64)
+    c = np.asarray(counts, dtype=np.float64)
+    if m.size == 0:
+        return float("nan")
+    if m.size == 1:
+        return float(m[0])
+    total = c.sum()
+    # cumulative mass midpoint of each centroid
+    cum = np.cumsum(c) - c / 2.0
+    rank = q * total
+    if rank <= cum[0]:
+        return float(m[0])
+    if rank >= cum[-1]:
+        return float(m[-1])
+    return float(np.interp(rank, cum, m))

@@ -826,3 +826,81 @@ def agg_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("regr_intercept"),
         F.round(r * r, 6).alias("regr_r2"),
     ).orderBy("l_returnflag")
+
+
+TDIGEST_BUCKETS = 32  # simulated shards for the partial-digest stage
+
+
+@query(
+    "agg_tdigest_quantile_rollup",
+    # No SQL-expressible oracle: the digest is a custom mergeable
+    # sketch. tests/test_tolerance.py pins rank-error <= 2/K against
+    # exact percentiles and the union==whole merge property.
+    oracle=None,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_tdigest_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-digest rollup — the quantile analogue of
+    agg_hll_sketch_rollup: per-(group, shard) digests built where the
+    data lives, then MERGED per group without revisiting raw rows.
+    That two-level shape is the only way a 100 TB warehouse serves
+    quantiles at interactive rollup granularity: partial sketches are
+    K=64 (mean, count) pairs (~1 KB), so the second shuffle carries
+    kilobytes per group instead of the column itself.
+
+    Shards are simulated deterministically as l_orderkey % 32 (a real
+    deployment uses the ingest partition); both stages run as
+    Arrow-batched applyInPandas over numpy (operators/tdigest.py)."""
+    import pandas as pd
+
+    from supabase_etl_spark.operators import tdigest as TD
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.pmod(F.col("l_orderkey"), F.lit(TDIGEST_BUCKETS)).alias("bucket"),
+        "l_extendedprice",
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        means, counts = TD.build_digest(pdf["l_extendedprice"].to_numpy())
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "means": [means.tolist()],
+                "counts": [counts.tolist()],
+            }
+        )
+
+    partials = li.groupBy("l_returnflag", "bucket").applyInPandas(
+        build, schema="l_returnflag string, means array<double>, counts array<long>"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        means = np.concatenate([np.asarray(x) for x in pdf["means"]])
+        counts = np.concatenate([np.asarray(x) for x in pdf["counts"]])
+        m, c = TD.merge_digests(means, counts)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "n": [int(c.sum())],
+                "n_centroids": [int(len(m))],
+                "q10": [TD.digest_quantile(m, c, 0.10)],
+                "q50": [TD.digest_quantile(m, c, 0.50)],
+                "q90": [TD.digest_quantile(m, c, 0.90)],
+                "q99": [TD.digest_quantile(m, c, 0.99)],
+            }
+        )
+
+    return (
+        partials.groupBy("l_returnflag")
+        .applyInPandas(
+            merge,
+            schema=(
+                "l_returnflag string, n bigint, n_centroids int, "
+                "q10 double, q50 double, q90 double, q99 double"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -687,3 +687,86 @@ def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sentence",
         F.size(_toks(F.col("sentence"))).alias("n_tokens"),
     ).orderBy("doc_id", "sent_idx")
+
+
+VOCAB_K = 256  # vocabulary size for the id-mapping demo
+_VOCAB_TOK = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+
+@query(
+    "text_vocab_ids",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_VOCAB_TOK} AS t FROM documents
+    ),
+    flat AS (
+        SELECT doc_id, unnest(t) AS tok,
+               unnest(range(1, len(t) + 1)) AS pos
+        FROM toks
+    ),
+    freq AS (
+        SELECT tok, count(*) AS cnt FROM flat GROUP BY tok
+    ),
+    vocab AS (
+        SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS id
+        FROM freq
+        ORDER BY cnt DESC, tok
+        LIMIT {VOCAB_K}
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           list(coalesce(v.id, 0) ORDER BY f.pos) AS ids
+    FROM flat f LEFT JOIN vocab v ON f.tok = v.tok
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def text_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + token→id mapping — the tokenizer-fitting step
+    of a training pipeline: rank the corpus's top-{VOCAB_K} tokens by
+    frequency (ties broken lexicographically, ids dense from 1), then
+    encode every document as its ordered id sequence with OOV→0.
+
+    Scale shape: token frequencies are one map-side-combinable agg; the
+    top-K cut is a TakeOrdered (K rows to the driver-side limit, never
+    a global sort of the vocabulary); the id assignment window runs
+    over exactly K rows. Encoding then BROADCAST-joins the K-row vocab
+    into the positional token stream — the corpus is never shuffled for
+    the lookup; the only corpus-keyed exchange is the final per-doc
+    reassembly, grouped on doc_id with the positions struct-sorted
+    in-place."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    flat = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), "tok")
+    freq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    topk = freq.orderBy(F.desc("cnt"), "tok").limit(VOCAB_K)
+    vocab = topk.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "tok"))
+        .cast("bigint")
+        .alias("id"),
+    )
+    mapped = flat.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0).cast("bigint")).alias("id")
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s["id"],
+            ).alias("ids"),
+        )
+        .orderBy("doc_id")
+    )

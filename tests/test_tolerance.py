@@ -144,3 +144,71 @@ def test_hll_sketch_rollup_merge_equals_whole_table_sketch(spark):
     assert out["ALL"] == whole
     exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
     assert abs(out["ALL"] - exact) / exact <= 0.05
+
+
+def test_tdigest_rank_error_bounded(spark):
+    """Every digest quantile must sit within 2/K rank error of the
+    exact distribution (the chunk-mass bound from operators/tdigest)."""
+    import numpy as np
+
+    from supabase_etl_spark.operators import tdigest as TD
+
+    rows = REGISTRY["agg_tdigest_quantile_rollup"].fn(spark, SF).collect()
+    assert rows
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    tol = 2.0 / TD.TDIGEST_K
+    for r in rows:
+        v = np.sort(np.array(by_flag[r["l_returnflag"]]))
+        n = v.size
+        assert r["n"] == n
+        for q, est in [(0.10, r["q10"]), (0.50, r["q50"]), (0.90, r["q90"]), (0.99, r["q99"])]:
+            # rank of the estimate in the exact sorted sample
+            rank = np.searchsorted(v, est) / n
+            assert abs(rank - q) <= tol, (
+                f"flag={r['l_returnflag']} q={q}: est rank {rank:.4f}"
+            )
+
+
+def test_tdigest_merge_equals_whole():
+    """Union==whole property: a digest merged from 32 shard digests
+    answers quantiles within the same bound as one digest built over
+    the whole array — the invariant that makes the sketch roll up."""
+    import numpy as np
+
+    from supabase_etl_spark.operators import tdigest as TD
+
+    rng = np.random.default_rng(42)
+    data = rng.lognormal(mean=10.0, sigma=1.0, size=20_000)
+    shards = np.array_split(rng.permutation(data), 32)
+    ms, cs = [], []
+    for s in shards:
+        m, c = TD.build_digest(s)
+        ms.append(m)
+        cs.append(c)
+    merged_m, merged_c = TD.merge_digests(np.concatenate(ms), np.concatenate(cs))
+    assert int(merged_c.sum()) == data.size
+    v = np.sort(data)
+    tol = 2.0 / TD.TDIGEST_K
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = TD.digest_quantile(merged_m, merged_c, q)
+        rank = np.searchsorted(v, est) / v.size
+        assert abs(rank - q) <= tol, f"q={q}: merged-digest rank {rank:.4f}"
+
+
+def test_tdigest_build_deterministic():
+    import numpy as np
+
+    from supabase_etl_spark.operators import tdigest as TD
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=5000)
+    m1, c1 = TD.build_digest(x)
+    m2, c2 = TD.build_digest(rng.permutation(x))
+    assert np.array_equal(m1, m2) and np.array_equal(c1, c2)
