@@ -429,3 +429,138 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ticks",
     )
     return run_available_now(out, "complete").orderBy("event_type", "bar_start")
+
+
+@query(
+    "stream_stream_left_outer_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_event, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id AS view_event, user_id, ts
+        FROM events WHERE event_type = 'view'
+    ),
+    wm AS (
+        SELECT least(
+            (SELECT make_timestamp((epoch_ms(max(ts)) - 600000) * 1000) FROM p),
+            (SELECT make_timestamp((epoch_ms(max(ts)) - 600000) * 1000) FROM v)
+        ) AS w
+    ),
+    lj AS (
+        SELECT p.purchase_event, p.user_id, p.ts AS pts, v.view_event
+        FROM p LEFT JOIN v
+          ON v.user_id = p.user_id
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+         AND v.ts <= p.ts
+    )
+    SELECT purchase_event, user_id,
+           CAST(count(view_event) AS BIGINT) AS n_views
+    FROM lj
+    WHERE view_event IS NOT NULL OR pts < (SELECT w FROM wm)
+    GROUP BY purchase_event, user_id
+    ORDER BY purchase_event
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: purchases emit their
+    matched views on arrival (inner path), and a purchase with NO view
+    in its preceding hour emits a null row only once the watermark
+    proves no matching view can still arrive — the state-eviction
+    semantics that distinguish the outer join from the inner one.
+
+    Batch-equivalence has a principled caveat the oracle states
+    exactly: on a bounded replay the final watermark stops at
+    min(max purchase_ts, max view_ts) − 10 min (Spark's
+    multipleWatermarkPolicy=min over both sides, millisecond
+    precision), so match-less purchases YOUNGER than that are withheld
+    — precisely the rows a resumed incremental run would emit next
+    batch. The oracle replays the same cutoff; empirically pinned at
+    two scale factors (sf0.001: 198 nulls, sf0.01: 1940 — the
+    one-purchase delta vs a naive global-max watermark is the
+    min-of-both-sides rule)."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("view_user") == F.col("user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select("purchase_event", "user_id", "view_event")
+    sink = run_available_now(joined, "append")
+    return (
+        sink.groupBy("purchase_event", "user_id")
+        .agg(F.count("view_event").alias("n_views"))
+        .orderBy("purchase_event")
+    )
+
+
+@query(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY day
+    ORDER BY day
+    """,
+    tags=("streaming", "sink"),
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch exactly-once sink roundtrip: the purchase stream
+    lands in a ``batch_id=N``-partitioned parquet table through the
+    transactional-directory handler (streaming/sinks.py — a replayed
+    batch_id is a committed no-op), then the table is read back and
+    aggregated. The oracle aggregates the source directly, so the gate
+    proves the sink lost and duplicated nothing. Replay idempotence
+    itself is pinned by tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from supabase_etl_spark.streaming.sinks import (
+        foreach_batch_parquet_upsert,
+        run_foreach_batch,
+    )
+
+    target = tempfile.mkdtemp(prefix="fb_sink_")
+    s = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "value")
+    )
+    run_foreach_batch(s, foreach_batch_parquet_upsert(target))
+    result = (
+        spark.read.parquet(target)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .orderBy("day")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    return result

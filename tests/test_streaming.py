@@ -384,3 +384,99 @@ def test_stream_stream_left_outer_interval_join(spark):
     assert got <= want
     assert all(pe in last_pes and ve is None for pe, ve in withheld), withheld
     assert any(ve is None for _, ve in got)  # null-extensions did emit
+
+
+def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
+    """A committed batch_id replayed after a simulated failure must be
+    a no-op: same rows, data files untouched (the _SUCCESS marker is
+    the commit record)."""
+    import os
+
+    from supabase_etl_spark.streaming.sinks import foreach_batch_parquet_upsert
+
+    target = str(tmp_path / "fb")
+    handler = foreach_batch_parquet_upsert(target)
+    batch = spark.range(100).selectExpr("id AS event_id", "id * 2.0 AS value")
+    handler(batch, 7)
+    dest = os.path.join(target, "batch_id=7")
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    files_before = {
+        f: os.path.getmtime(os.path.join(dest, f)) for f in os.listdir(dest)
+    }
+    # replay the same batch (Spark re-delivers identical rows for a
+    # given batch_id) — must not rewrite anything
+    handler(batch, 7)
+    files_after = {
+        f: os.path.getmtime(os.path.join(dest, f)) for f in os.listdir(dest)
+    }
+    assert files_after == files_before
+    assert spark.read.parquet(target).count() == 100
+
+    # a DIFFERENT batch_id lands alongside
+    handler(spark.range(100, 150).selectExpr("id AS event_id", "id * 2.0 AS value"), 8)
+    assert spark.read.parquet(target).count() == 150
+
+
+def test_foreach_batch_partial_write_heals(spark, tmp_path):
+    """A batch directory without the _SUCCESS marker (crash mid-write)
+    must be fully rewritten on replay, not skipped."""
+    import os
+
+    from supabase_etl_spark.streaming.sinks import foreach_batch_parquet_upsert
+
+    target = str(tmp_path / "fb2")
+    handler = foreach_batch_parquet_upsert(target)
+    batch = spark.range(50).selectExpr("id AS event_id")
+    handler(batch, 0)
+    dest = os.path.join(target, "batch_id=0")
+    # simulate the crash: delete the marker and a data file
+    os.remove(os.path.join(dest, "_SUCCESS"))
+    data_files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    os.remove(os.path.join(dest, data_files[0]))
+    handler(batch, 0)  # replay heals
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    assert spark.read.parquet(target).count() == 50
+
+
+def test_stream_left_outer_join_watermark_rule(spark):
+    """Pins the bounded-replay emission boundary of the left-outer
+    stream-stream join at sf0.001: every match-less purchase OLDER
+    than min(max purchase_ts, max view_ts) - 10 min emits a null row;
+    younger ones are withheld (they'd emit on the next incremental
+    run)."""
+    from supabase_etl_spark.io.readers import load_table
+    from supabase_etl_spark.queries import load_all
+
+    sf = "/root/testdata/sf0.001"
+    out = load_all()["stream_stream_left_outer_join"].fn(spark, sf)
+    rows = out.collect()
+    nulls = {r["purchase_event"] for r in rows if r["n_views"] == 0}
+
+    ev = load_table(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    v = ev.filter(F.col("event_type") == "view")
+    wm = min(
+        p.agg(F.max("ts")).collect()[0][0], v.agg(F.max("ts")).collect()[0][0]
+    )
+    import datetime
+
+    cutoff = wm.replace(microsecond=wm.microsecond // 1000 * 1000) - datetime.timedelta(minutes=10)
+    matched = {
+        r["purchase_event"]
+        for r in p.alias("p")
+        .join(
+            v.alias("v"),
+            (F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("v.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v.ts") <= F.col("p.ts")),
+            "left_semi",
+        )
+        .select(F.col("p.event_id").alias("purchase_event"))
+        .collect()
+    }
+    expected_nulls = {
+        r["event_id"]
+        for r in p.filter(F.col("ts") < F.lit(cutoff)).collect()
+        if r["event_id"] not in matched
+    }
+    assert nulls == expected_nulls
