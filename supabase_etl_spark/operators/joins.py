@@ -29,10 +29,15 @@ def asof_join(
     left_keys: list[str],
     direction: str = "backward",
     strict: bool = False,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row at-or-before
-    (backward) / earliest at-or-after (forward) its timestamp, per
-    `by` group.
+    (backward) / earliest at-or-after (forward) / closest-in-time
+    (nearest) its timestamp, per `by` group — the full
+    pandas.merge_asof surface (direction= and tolerance=), reference
+    pandas semantics: nearest prefers the backward match on a distance
+    tie, and `tolerance` (a SQL INTERVAL string, e.g.
+    "INTERVAL 30 MINUTES") bounds the match distance.
 
     `left_keys` must uniquely identify left rows (used to pick the
     single best match deterministically; ties on right_time broken by
@@ -40,18 +45,35 @@ def asof_join(
 
     Implementation: equi-join on `by` + time inequality, then
     row_number over the left key ordered by right_time (desc for
-    backward). One shuffle on `by`, one on `left_keys` — at scale,
-    pre-partitioning both inputs by `by` keeps it to one.
-    """
+    backward; abs distance for nearest). One shuffle on `by`, one on
+    `left_keys` — at scale, pre-partitioning both inputs by `by`
+    keeps it to one. A tolerance also tightens the join predicate
+    itself, shrinking the candidate fan-out before the rank."""
     lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    tol = F.expr(tolerance) if tolerance is not None else None
     if direction == "backward":
         cond = rt < lt if strict else rt <= lt
+        if tol is not None:
+            cond = cond & (rt >= lt - tol)
         order = [F.col(f"r.{right_time}").desc()]
     elif direction == "forward":
         cond = rt > lt if strict else rt >= lt
+        if tol is not None:
+            cond = cond & (rt <= lt + tol)
         order = [F.col(f"r.{right_time}").asc()]
+    elif direction == "nearest":
+        if tol is not None:
+            cond = (rt >= lt - tol) & (rt <= lt + tol)
+        else:
+            cond = F.lit(True)
+        dist = F.abs(F.unix_micros(rt) - F.unix_micros(lt))
+        # pandas merge_asof(nearest): equidistant candidates resolve to
+        # the backward (earlier) one — (rt > lt) sorts False first
+        order = [dist.asc(), (rt > lt).cast("int").asc()]
     else:
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
 
     on = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in by]
     joined = left.alias("l").join(right.alias("r"), on=[*on, cond], how="left")

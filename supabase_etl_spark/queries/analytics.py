@@ -1316,3 +1316,169 @@ def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_partkey", "p_retailprice", "p_size")
         .orderBy("p_brand", "p_retailprice", "p_size", "p_partkey")
     )
+
+
+@query(
+    "events_autocorrelation",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, value,
+               lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x1,
+               lead(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x2,
+               CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                    OVER (PARTITION BY user_id) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY user_id) AS m
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(m, 6) AS mean_value,
+           round(CAST(SUM(CAST((value - m) * (x1 - m) AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST((value - m) * (value - m) AS DECIMAL(38,6))) AS DOUBLE),
+                 6) AS acf_lag1,
+           round(CAST(SUM(CAST((value - m) * (x2 - m) AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST((value - m) * (value - m) AS DECIMAL(38,6))) AS DOUBLE),
+                 6) AS acf_lag2
+    FROM s
+    GROUP BY user_id, m
+    ORDER BY user_id
+    """,
+    tags=("events", "timeseries"),
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1/lag-2 autocorrelation of the value series — the
+    time-series diagnostic (is this metric bursty or mean-reverting?)
+    a feature platform computes per entity stream.
+
+    Standard ACF estimator: r_k = Σ(x_t−m)(x_{t+k}−m) / Σ(x_t−m)²
+    with m the full-series mean. One window pass computes both leads
+    AND the per-user mean (decimal-sum based, so parallel order can't
+    skew it) — window and final agg share the user_id partitioning, so
+    the whole query is one shuffle. SUM(NULL-skipping) drops the k
+    tail rows from the numerator exactly as the oracle does."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = Window.partitionBy("user_id")
+    m = (
+        F.sum(F.col("value").cast("decimal(28,6)")).over(wf).cast("double")
+        / F.count(F.lit(1)).over(wf)
+    )
+    s = ev.select(
+        "user_id",
+        "value",
+        F.lead("value", 1).over(wo).alias("x1"),
+        F.lead("value", 2).over(wo).alias("x2"),
+        m.alias("m"),
+    )
+    dev = F.col("value") - F.col("m")
+    den = F.sum((dev * dev).cast("decimal(38,6)")).cast("double")
+    return (
+        s.groupBy("user_id", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum((dev * (F.col("x1") - F.col("m"))).cast("decimal(38,6)")).cast(
+                    "double"
+                )
+                / den,
+                6,
+            ).alias("acf_lag1"),
+            F.round(
+                F.sum((dev * (F.col("x2") - F.col("m"))).cast("decimal(38,6)")).cast(
+                    "double"
+                )
+                / den,
+                6,
+            ).alias("acf_lag2"),
+        )
+        .select(
+            "user_id",
+            "n",
+            F.round("m", 6).alias("mean_value"),
+            "acf_lag1",
+            "acf_lag2",
+        )
+        .orderBy("user_id")
+    )
+
+
+INCR_CUTOVER = "2024-01-25"  # state holds days before; delta arrives after
+
+
+@query(
+    "merge_incremental_agg",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             AS avg_value
+    FROM events
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+    tags=("events", "incremental"),
+)
+def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a daily aggregate STATE table
+    (built from events before the cutover) is updated with a late
+    DELTA batch by merging algebraic accumulators — counts and decimal
+    sums add, min/max combine, avg re-derives from the merged sums —
+    WITHOUT rescanning the historical raw events. The invariant the
+    oracle checks: merge(agg(base), agg(delta)) == agg(base ∪ delta),
+    which is exactly why a 100 TB warehouse stores (count, sum, min,
+    max) state per grain instead of re-aggregating history every
+    night. The merge is a full-outer join on the grain keyed the same
+    as both inputs' aggs — the only corpus-scan is the delta's."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    cut = F.lit(INCR_CUTOVER).cast("date")
+
+    def daily_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    state = daily_state(ev.filter(F.col("day") < cut))
+    delta = daily_state(ev.filter(F.col("day") >= cut))
+
+    s, d = state.alias("s"), delta.alias("d")
+    merged = s.join(
+        d,
+        (F.col("s.day") == F.col("d.day"))
+        & (F.col("s.event_type") == F.col("d.event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("s.day"), F.col("d.day")).alias("day"),
+        F.coalesce(F.col("s.event_type"), F.col("d.event_type")).alias("event_type"),
+        (
+            F.coalesce(F.col("s.n_events"), F.lit(0))
+            + F.coalesce(F.col("d.n_events"), F.lit(0))
+        ).alias("n_events"),
+        (
+            F.coalesce(F.col("s.sum_dec"), F.lit(0).cast("decimal(28,6)"))
+            + F.coalesce(F.col("d.sum_dec"), F.lit(0).cast("decimal(28,6)"))
+        ).alias("sum_dec"),
+        F.least(F.col("s.min_value"), F.col("d.min_value")).alias("lmin"),
+        F.greatest(F.col("s.max_value"), F.col("d.max_value")).alias("lmax"),
+        F.coalesce(F.col("s.min_value"), F.col("d.min_value")).alias("cmin"),
+        F.coalesce(F.col("s.max_value"), F.col("d.max_value")).alias("cmax"),
+    )
+    # least/greatest are null-safe-wrong for one-sided grains: coalesce fills
+    return merged.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("total_value"),
+        F.coalesce(F.col("lmin"), F.col("cmin")).alias("min_value"),
+        F.coalesce(F.col("lmax"), F.col("cmax")).alias("max_value"),
+        F.round(F.col("sum_dec").cast("double") / F.col("n_events"), 6).alias(
+            "avg_value"
+        ),
+    ).orderBy("day", "event_type")

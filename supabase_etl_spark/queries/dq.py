@@ -170,3 +170,65 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, n_null_price bigint, total_price double, max_price double",
     )
+
+
+@query(
+    "dq_skew_report",
+    oracle="""
+    WITH cnt AS (
+        SELECT event_type, user_id, count(*) AS c
+        FROM events GROUP BY event_type, user_id
+    ),
+    top1 AS (
+        SELECT event_type, user_id AS top_user, c AS top_cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c DESC, user_id) AS rn
+        FROM cnt
+    )
+    SELECT c.event_type,
+           CAST(SUM(c.c) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           max(c.c) AS max_cnt,
+           round(CAST(quantile_cont(c.c, 0.9) AS DOUBLE), 6) AS p90_cnt,
+           round(max(c.c) * count(*) / CAST(SUM(c.c) AS DOUBLE), 6)
+             AS skew_ratio,
+           min(t.top_user) AS top_user
+    FROM cnt c JOIN (SELECT * FROM top1 WHERE rn = 1) t USING (event_type)
+    GROUP BY c.event_type
+    ORDER BY c.event_type
+    """,
+    tags=("dq", "scale"),
+)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic — the profiling pass run BEFORE choosing a
+    join/agg strategy at 100 TB: per grouping key domain (event_type ×
+    user_id here) report cardinality, the heaviest key and its mass,
+    the p90 per-key count, and skew_ratio = max/mean (1.0 = uniform;
+    the threshold AQE's skew-join and the salting lever in
+    scale_levers key off). Two skinny aggregations over the per-key
+    count table; the raw stream is shuffled once."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("c"), "user_id")
+    top1 = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("top_user"))
+    )
+    return (
+        cnt.join(top1, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_cnt"),
+            F.round(F.expr("percentile(c, 0.9)"), 6).alias("p90_cnt"),
+            F.round(
+                F.max("c") * F.count(F.lit(1)) / F.sum("c").cast("double"), 6
+            ).alias("skew_ratio"),
+            F.min("top_user").alias("top_user"),
+        )
+        .orderBy("event_type")
+    )

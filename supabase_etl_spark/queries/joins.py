@@ -832,3 +832,135 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rid", "pid", "px", "py")
         .orderBy("rid", "pid")
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pe, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id AS ve, user_id, ts AS vts, value FROM events
+        WHERE event_type = 'view'
+    ),
+    cand AS (
+        SELECT p.pe, v.ve, v.value,
+               row_number() OVER (
+                   PARTITION BY p.pe
+                   ORDER BY abs(epoch_us(v.vts) - epoch_us(p.ts)),
+                            CASE WHEN v.vts > p.ts THEN 1 ELSE 0 END,
+                            v.ve, v.user_id, v.value
+               ) AS rn
+        FROM p JOIN v
+          ON v.user_id = p.user_id
+         AND v.vts >= p.ts - INTERVAL 30 MINUTES
+         AND v.vts <= p.ts + INTERVAL 30 MINUTES
+    )
+    SELECT p.pe AS purchase_event, p.user_id,
+           c.ve AS nearest_view, c.value AS view_value
+    FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c ON p.pe = c.pe
+    ORDER BY purchase_event
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of NEAREST with tolerance — pandas merge_asof(direction=
+    'nearest', tolerance=30min) semantics: each purchase takes the
+    view of the same user closest in time within ±30 minutes,
+    equidistant ties resolving backward (the pandas rule). The
+    tolerance is part of the join predicate, so the candidate fan-out
+    is bounded before the per-left-row rank — at 100 TB that bound is
+    what keeps the equi-join on user_id from degenerating under
+    high-frequency right streams."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        left_time="ts",
+        right_time="view_ts",
+        left_keys=["event_id"],
+        direction="nearest",
+        tolerance="INTERVAL 30 MINUTES",
+    )
+    return out.select(
+        F.col("l.event_id").alias("purchase_event"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.view_event").alias("nearest_view"),
+        F.col("r.view_value").alias("view_value"),
+    ).orderBy("purchase_event")
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pe, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id AS ve, user_id, ts AS vts, value FROM events
+        WHERE event_type = 'view'
+    ),
+    cand AS (
+        SELECT p.pe, v.ve, v.value,
+               row_number() OVER (
+                   PARTITION BY p.pe
+                   ORDER BY v.vts DESC, v.ve, v.user_id, v.value
+               ) AS rn
+        FROM p JOIN v
+          ON v.user_id = p.user_id
+         AND v.vts <= p.ts
+         AND v.vts >= p.ts - INTERVAL 30 MINUTES
+    )
+    SELECT p.pe AS purchase_event, p.user_id,
+           c.ve AS last_view_event, c.value AS view_value
+    FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c ON p.pe = c.pe
+    ORDER BY purchase_event
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 30-minute tolerance (pandas
+    merge_asof(tolerance=...) parity): the latest view at-or-before
+    each purchase, but only if it happened within the last half hour —
+    stale context is worse than none for attribution features. The
+    tolerance tightens the join predicate itself (not a post-filter),
+    shrinking candidates before the rank."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        left_time="ts",
+        right_time="view_ts",
+        left_keys=["event_id"],
+        direction="backward",
+        tolerance="INTERVAL 30 MINUTES",
+    )
+    return out.select(
+        F.col("l.event_id").alias("purchase_event"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.view_event").alias("last_view_event"),
+        F.col("r.view_value").alias("view_value"),
+    ).orderBy("purchase_event")

@@ -219,3 +219,56 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qvec").alias("q_max"),
         l1.alias("l1_error"),
     ).orderBy("vec_id")
+
+
+RESERVOIR_WEIGHTED_K = 20  # weighted sample size per source
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               ln(CAST(({A} * doc_id + {B}) % {P} AS DOUBLE) / {P})
+                 / n_chars AS es_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY es_key DESC, doc_id
+               ) AS rank
+        FROM keyed
+    )
+    SELECT source, rank, doc_id, n_chars AS weight
+    FROM ranked
+    WHERE rank <= {RESERVOIR_WEIGHTED_K}
+    ORDER BY source, rank
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample per source — Efraimidis–Spirakis A-ES:
+    each row draws key u^(1/w) (equivalently ln(u)/w, the monotone form
+    computed here) with u a deterministic LCG uniform and w the row
+    weight (n_chars, a quality/size proxy); the top-K keys per group
+    ARE a weighted-without-replacement sample. The property that makes
+    A-ES the 100 TB choice: the key is computed row-locally in one
+    scan, top-K per group is a windowed rank (or a mergeable per-
+    partition heap at cluster scale) — no global sort, no sequential
+    reservoir state, and re-runs reproduce the exact sample because u
+    derives from doc_id, not partition order."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    h = (F.lit(A).cast("bigint") * F.col("doc_id") + F.lit(B)) % P
+    u = h.cast("double") / F.lit(float(P))
+    key = F.log(u) / F.col("n_chars")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc_nulls_last("es_key"), "doc_id")
+    return (
+        d.withColumn("es_key", key)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RESERVOIR_WEIGHTED_K)
+        .select("source", "rank", "doc_id", F.col("n_chars").alias("weight"))
+        .orderBy("source", "rank")
+    )

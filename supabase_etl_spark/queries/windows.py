@@ -222,3 +222,47 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 3).over(w).alias("third_value"),
         F.nth_value("event_type", 2).over(w).alias("second_type"),
     ).orderBy("user_id", "event_id")
+
+
+ROLLMED_FRAME = 9  # trailing rows per rolling-median window
+
+
+@query(
+    "window_rolling_median",
+    oracle=f"""
+    SELECT event_id, user_id,
+           median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ROLLMED_FRAME - 1} PRECEDING AND CURRENT ROW
+           ) AS roll_median
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("window", "timeseries"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over a trailing {ROLLMED_FRAME}-row frame
+    per user stream — the robust-smoothing window a monitoring
+    pipeline prefers over rolling means under spiky metrics.
+
+    Spark has no median window function; the frame is small and fixed,
+    so the idiomatic form is collect_list over the frame →
+    array_sort → midpoint (even counts average the two middles,
+    DuckDB's interpolation rule). State per row is O(frame), the
+    single shuffle is the per-user repartition — the same cost
+    profile as any analytic window at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLLMED_FRAME - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    mid_hi = F.element_at(arr, F.floor(n / 2).cast("int") + 1)
+    return ev.select(
+        "event_id",
+        "user_id",
+        ((mid_lo + mid_hi) / 2).alias("roll_median"),
+    ).orderBy("event_id")
