@@ -904,3 +904,89 @@ def agg_tdigest_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 2048  # counters per row
+CMS_TOPK = 20  # tokens evaluated against the sketch
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    # xxhash64 has no DuckDB twin, so the gate is rows-only; the
+    # over-estimate guarantee (est >= true, est <= true + N·e/width)
+    # is pinned by tests/test_tolerance.py.
+    oracle=None,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency rollup over the document token
+    stream — the fixed-memory answer to "how often does each of these
+    tokens appear in 100 TB": per-shard sketches are (depth × width)
+    counter grids built with ONE map-side-combinable aggregation
+    (memory O(d·w) per shard, never O(vocabulary)), merged by plain
+    counter addition — the same algebraic-merge discipline as the HLL
+    and t-digest rollups. Point estimates take the MIN across depth
+    rows, so collisions only ever inflate counts (one-sided error
+    e·N/width with probability 1−(1/2)^depth).
+
+    The query builds shard sketches per `source`, merges them, then
+    scores the exact top-{CMS_TOPK} tokens against the merged sketch
+    so the gate row carries both truth and estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    from supabase_etl_spark.operators.text import tokens as tok_fn
+
+    toks = d.select(
+        "source", F.explode(tok_fn(F.col("text"))).alias("tok")
+    )
+
+    # per-shard sketch: one agg keyed (source, depth, pos)
+    probes = toks.select(
+        "source",
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(F.xxhash64("tok", F.lit(j)), F.lit(CMS_WIDTH)).alias(
+                            "pos"
+                        ),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    ).select("source", F.col("h.j").alias("j"), F.col("h.pos").alias("pos"))
+    shard_sketch = probes.groupBy("source", "j", "pos").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # merge: counter addition across shards
+    merged = shard_sketch.groupBy("j", "pos").agg(F.sum("c").alias("c"))
+
+    # evaluate: exact top-K tokens vs their sketch estimates
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    topk = exact.orderBy(F.desc("true_cnt"), "tok").limit(CMS_TOPK)
+    lookups = topk.select(
+        "tok",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(F.xxhash64("tok", F.lit(j)), F.lit(CMS_WIDTH)).alias(
+                            "pos"
+                        ),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    ).select("tok", "true_cnt", F.col("h.j").alias("j"), F.col("h.pos").alias("pos"))
+    return (
+        lookups.join(merged, ["j", "pos"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .orderBy(F.desc("true_cnt"), "tok")
+    )

@@ -1482,3 +1482,107 @@ def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     ).orderBy("day", "event_type")
+
+
+LPA_ITERATIONS = 3
+
+
+@query(
+    "graph_label_propagation",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+    l1 AS (
+        SELECT node, lbl FROM (
+            SELECT s.u AS node, l.lbl,
+                   row_number() OVER (PARTITION BY s.u
+                                      ORDER BY count(*) DESC, l.lbl) AS rn
+            FROM sym s JOIN l0 l ON s.v = l.node
+            GROUP BY s.u, l.lbl
+        ) WHERE rn = 1
+    ),
+    l2 AS (
+        SELECT node, lbl FROM (
+            SELECT s.u AS node, l.lbl,
+                   row_number() OVER (PARTITION BY s.u
+                                      ORDER BY count(*) DESC, l.lbl) AS rn
+            FROM sym s JOIN l1 l ON s.v = l.node
+            GROUP BY s.u, l.lbl
+        ) WHERE rn = 1
+    ),
+    l3 AS (
+        SELECT node, lbl FROM (
+            SELECT s.u AS node, l.lbl,
+                   row_number() OVER (PARTITION BY s.u
+                                      ORDER BY count(*) DESC, l.lbl) AS rn
+            FROM sym s JOIN l2 l ON s.v = l.node
+            GROUP BY s.u, l.lbl
+        ) WHERE rn = 1
+    )
+    SELECT lbl AS community, count(*) AS n_nodes, min(node) AS min_node
+    FROM l3
+    GROUP BY lbl
+    ORDER BY community
+    """,
+    tags=("graph",),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    part co-purchase graph — the deterministic variant: every node
+    starts labeled with its own id; each round it adopts its
+    neighbors' most frequent label, ties to the SMALLEST label (plain
+    LPA's random tie-break would never cross engines). Three fixed
+    rounds, then a community rollup.
+
+    Each round is one equi-join (neighbor labels) + one keyed count +
+    one per-node rank — the Pregel message-aggregate shape, same as
+    graph_pagerank's loop; nothing materializes per iteration beyond
+    the (node, label) frame, and at cluster scale each round reuses
+    the node-id partitioning."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
+    for _ in range(LPA_ITERATIONS):
+        labels = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .select(sym["u"].alias("node"), "lbl")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node"))
+        .orderBy("community")
+    )

@@ -761,3 +761,78 @@ def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("o_orders", F.lit(0)).alias("o_orders"),
         F.coalesce("p_orders", F.lit(0)).alias("p_orders"),
     )
+
+
+@query(
+    "sql_group_by_all",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("sql",),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (the 2023 SQL conveniences both
+    Spark 3.4+ and DuckDB adopted): every non-aggregate select item
+    becomes a grouping key, so adding a dimension to the projection
+    can't silently desync the GROUP BY list. Plan is the ordinary
+    hash aggregate — the sugar is purely analysis-time."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "sql_unpivot_syntax",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                 AS total_price,
+               CAST(count(*) AS DOUBLE) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, metric, val
+    FROM wide UNPIVOT (val FOR metric IN (total_price, n_orders))
+    ORDER BY o_orderpriority, metric
+    """,
+    tags=("sql", "agg"),
+)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard UNPIVOT clause (the syntax twin of
+    agg_unpivot's stack()-based form and sql_pivot_syntax): a wide
+    per-priority metric table relationalized to (key, metric, value)
+    rows. Spark expands UNPIVOT to the same Expand node as stack —
+    one pass, no shuffle beyond the feeding aggregate."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                     AS total_price,
+                   CAST(count(*) AS DOUBLE) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, metric, val
+        FROM wide UNPIVOT (val FOR metric IN (total_price, n_orders))
+        ORDER BY o_orderpriority, metric
+        """
+    )

@@ -212,3 +212,60 @@ def test_tdigest_build_deterministic():
     m1, c1 = TD.build_digest(x)
     m2, c2 = TD.build_digest(rng.permutation(x))
     assert np.array_equal(m1, m2) and np.array_equal(c1, c2)
+
+
+def test_cms_overestimate_guarantee(spark):
+    """CMS point estimates are one-sided: est >= true always; and for
+    the evaluated heavy hitters, est <= true + N/width · depth-margin
+    (collision mass bound, generous constant for the fixed hashes)."""
+    from supabase_etl_spark.operators.text import tokens as tok_fn
+    from supabase_etl_spark.queries import aggregates as AG
+
+    rows = REGISTRY["agg_cms_heavy_hitters"].fn(spark, SF).collect()
+    assert len(rows) == AG.CMS_TOPK
+    d = load_table(spark, SF, "documents")
+    n_total = d.select(F.explode(tok_fn(F.col("text")))).count()
+    bound = 3.0 * n_total / AG.CMS_WIDTH
+    for r in rows:
+        assert r["cms_est"] >= r["true_cnt"], f"under-estimate for {r['tok']}"
+        assert r["cms_est"] <= r["true_cnt"] + bound, (
+            f"{r['tok']}: est {r['cms_est']} vs true {r['true_cnt']} "
+            f"(bound +{bound:.0f})"
+        )
+
+
+def test_cms_merge_equals_whole(spark):
+    """Merged-from-shards sketch == sketch built in one pass over the
+    union — counter addition is the exact merge, bit-for-bit."""
+    from supabase_etl_spark.operators.text import tokens as tok_fn
+    from supabase_etl_spark.queries import aggregates as AG
+
+    d = load_table(spark, SF, "documents")
+    toks = d.select("source", F.explode(tok_fn(F.col("text"))).alias("tok"))
+    probes = toks.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            F.xxhash64("tok", F.lit(j)), F.lit(AG.CMS_WIDTH)
+                        ).alias("pos"),
+                    )
+                    for j in range(AG.CMS_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    ).select("source", F.col("h.j").alias("j"), F.col("h.pos").alias("pos"))
+    via_shards = (
+        probes.groupBy("source", "j", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("j", "pos")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = probes.groupBy("j", "pos").agg(F.count(F.lit(1)).alias("c"))
+    diff = via_shards.join(direct, ["j", "pos"], "full_outer").filter(
+        F.coalesce(via_shards["c"], F.lit(-1)) != F.coalesce(direct["c"], F.lit(-2))
+    )
+    assert diff.count() == 0
