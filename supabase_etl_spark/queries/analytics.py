@@ -1586,3 +1586,62 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node"))
         .orderBy("community")
     )
+
+
+SLIDING_DISTINCT_DAYS = 7
+
+
+@query(
+    "events_sliding_distinct_users",
+    oracle=f"""
+    WITH contrib AS (
+        SELECT DISTINCT
+               CAST(ts AS DATE) + CAST(x.i AS INTEGER) AS day,
+               user_id
+        FROM events, (SELECT unnest(range(0, {SLIDING_DISTINCT_DAYS})) AS i) x
+    ),
+    bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events
+    )
+    SELECT day, count(*) AS active_users_7d
+    FROM contrib, bounds
+    WHERE day >= d0 AND day <= d1
+    GROUP BY day
+    ORDER BY day
+    """,
+    tags=("events", "timeseries"),
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling
+    count-DISTINCT that defeats window frames (distinct is not
+    algebraic over a sliding frame). The scale formulation: each
+    event CONTRIBUTES its user to the {SLIDING_DISTINCT_DAYS} days
+    whose trailing window covers it (a bounded 7× explode of skinny
+    (day, user) pairs, deduplicated map-side), then one exact distinct
+    count per day. No per-day re-scan, no quadratic self-join; the
+    result spine is clipped to observed days on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("event_day"), "user_id"
+    )
+    contrib = (
+        ev.select(
+            F.explode(F.sequence(F.lit(0), F.lit(SLIDING_DISTINCT_DAYS - 1))).alias(
+                "i"
+            ),
+            "event_day",
+            "user_id",
+        )
+        .select(F.date_add(F.col("event_day"), F.col("i")).alias("day"), "user_id")
+        .distinct()
+    )
+    bounds = ev.agg(
+        F.min("event_day").alias("d0"), F.max("event_day").alias("d1")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter((F.col("day") >= F.col("d0")) & (F.col("day") <= F.col("d1")))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("active_users_7d"))
+        .orderBy("day")
+    )

@@ -509,3 +509,65 @@ def io_corrupt_records_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("kind")
     )
+
+
+COMPACT_TARGET_BYTES = 8 * 1024 * 1024  # compaction target file size
+
+
+@query(
+    "io_compact_small_files",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(true AS BOOLEAN) AS row_conserving,
+           CAST(true AS BOOLEAN) AS fewer_files
+    FROM orders
+    """,
+    tags=("io", "scale"),
+)
+def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every large
+    parquet lake schedules: a fragmented table (64 shards here, the
+    steady-state damage of streaming/incremental writers) is rewritten
+    into ceil(total_bytes / target) right-sized files. File listing is
+    a driver-side METADATA operation (bounded by file count, the same
+    listing any planner does); the data path is one scan + one
+    round-robin repartition + one write, embarrassingly parallel at
+    any scale. The gate row carries the row-conservation and
+    fewer-files invariants; the oracle states them over the source."""
+    import os
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+
+    frag_dir = tempfile.mkdtemp(prefix="compact_in_")
+    out_dir = tempfile.mkdtemp(prefix="compact_out_")
+    try:
+        o.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+        def parquet_files(d: str) -> list[str]:
+            return [
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            ]
+
+        before = parquet_files(frag_dir)
+        total_bytes = sum(os.path.getsize(f) for f in before)
+        n_out = max(1, -(-total_bytes // COMPACT_TARGET_BYTES))
+        frag = spark.read.parquet(frag_dir)
+        frag.repartition(n_out).write.mode("overwrite").parquet(out_dir)
+        after = parquet_files(out_dir)
+
+        n_before = o.count()
+        n_after = spark.read.parquet(out_dir).count()
+        return (
+            spark.range(1)
+            .select(
+                F.lit(n_after).alias("n_rows"),
+                F.lit(n_after == n_before).alias("row_conserving"),
+                F.lit(len(after) < len(before)).alias("fewer_files"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(frag_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
