@@ -1534,6 +1534,7 @@ LPA_ITERATIONS = 3
     ORDER BY community
     """,
     tags=("graph",),
+    bench=True,
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation (community detection) over the
@@ -1611,6 +1612,7 @@ SLIDING_DISTINCT_DAYS = 7
     ORDER BY day
     """,
     tags=("events", "timeseries"),
+    bench=True,
 )
 def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct active users per day — the rolling

@@ -1361,6 +1361,7 @@ SNM_KEY_CHARS = 64  # normalized-prefix blocking key width
     ORDER BY ida, idb
     """,
     tags=("llm", "dedup"),
+    bench=True,
 )
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood (SNM) near-dup blocking (Hernández &

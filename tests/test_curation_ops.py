@@ -136,43 +136,15 @@ def test_bloom_prefilter_prunes_without_false_negatives(spark):
     true_hits = train_grams.join(bench_grams, "g").count()
 
     # replicate the query's candidate stage
-    pos = bench_grams.select(
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64("g", F.lit(j)), F.lit(C.BLOOM_M_BITS))
-                    for j in range(C.BLOOM_K_HASH)
-                ]
-            )
-        ).alias("pos")
-    )
-    words = (
-        pos.select(
-            F.shiftright("pos", 6).alias("word"),
-            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("bits"))
-    )
-    bloom = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
-    )
+    bloom = C._bloom_bitmap(spark, bench_grams)
     pr = train_grams
     for j in range(C.BLOOM_K_HASH):
         pr = pr.withColumn(
             f"p{j}", F.pmod(F.xxhash64("g", F.lit(j)), F.lit(C.BLOOM_M_BITS))
         )
-    hit = None
-    for j in range(C.BLOOM_K_HASH):
-        test = (
-            F.coalesce(
-                F.element_at(F.col("bm"), F.shiftright(F.col(f"p{j}"), 6)),
-                F.lit(0).cast("long"),
-            ).bitwiseAND(F.expr(f"shiftleft(1L, CAST(p{j} % 64 AS INT))"))
-            != 0
-        )
-        hit = test if hit is None else (hit & test)
-    candidates = pr.join(F.broadcast(bloom)).filter(hit).select("doc_id", "g")
+    candidates = (
+        pr.join(F.broadcast(bloom)).filter(C._bloom_hit_cond()).select("doc_id", "g")
+    )
     n_cand = candidates.count()
     cand_true = candidates.join(bench_grams, "g").count()
 
