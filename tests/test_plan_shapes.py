@@ -332,3 +332,68 @@ def test_dynamic_partition_pruning_subquery(spark):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     assert "dynamicpruning" in plan
+
+
+def test_snm_rank_uses_range_partitioning_not_global_window(spark):
+    """dedup_sorted_neighborhood's global rank must come from
+    range-repartition + per-partition row_number + broadcast offsets —
+    never a single-partition window over the corpus. The plan shows
+    rangepartitioning for the sort and every Window node keeps a
+    partition spec (pid / rank keys)."""
+    q = load_all()["dedup_sorted_neighborhood"]
+    plan = _plan(q.fn(spark, SF))
+    assert "rangepartitioning" in plan.lower()
+    # the corpus-sized window partitions by pid; the only tiny
+    # unpartitioned window is over the per-partition offsets frame
+    # (bounded by the partition count), which arrives via broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_vocab_lookup_broadcasts_and_topk_is_take_ordered(spark):
+    """text_vocab_ids: the K-row vocabulary must broadcast into the
+    token stream (corpus never shuffles for the lookup) and the top-K
+    cut must plan as TakeOrderedAndProject, not a global sort."""
+    q = load_all()["text_vocab_ids"]
+    plan = _plan(q.fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_filters_before_exact_join(spark):
+    """decontaminate_bloom: the bit-test filter must sit on the
+    train-gram stream BEFORE the exact gram equi-join (map-side prune),
+    and the bitmap must arrive by broadcast."""
+    q = load_all()["decontaminate_bloom"]
+    plan = _plan(q.fn(spark, SF))
+    assert "shiftleft" in plan  # the bit test is a JVM-side filter
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_skyline_has_no_quadratic_join(spark):
+    """skyline_pareto_front is the sort-based linear plan — the
+    quadratic NOT EXISTS of the oracle must not appear as a
+    nested-loop self-join."""
+    q = load_all()["skyline_pareto_front"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_nearest_is_hash_join_with_residual(spark):
+    """join_asof_nearest: the by-key equi component must make this a
+    hash/sort-merge join with the tolerance as residual — a pure
+    non-equi nested loop would be quadratic per user stream."""
+    q = load_all()["join_asof_nearest"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sliding_distinct_contribution_is_bounded_explode(spark):
+    """events_sliding_distinct_users: one Expand/Generate of the event
+    stream, then plain hash aggregates — no per-day rescan loop, no
+    window over the corpus."""
+    q = load_all()["events_sliding_distinct_users"]
+    plan = _plan(q.fn(spark, SF))
+    assert "Generate explode" in plan
+    assert "Window" not in plan
