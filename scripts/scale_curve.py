@@ -96,11 +96,130 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def t_snm(docs):
+        # sorted-neighborhood blocking: distributed rank + W-window
+        # candidate pairs + exact-Jaccard verify (the query's shape,
+        # minus the planted copies)
+        from pyspark.sql import Window as W
+
+        from supabase_etl_spark.queries.llm_dedup import (
+            JACCARD_THRESHOLD,
+            SNM_KEY_CHARS,
+            SNM_WINDOW,
+        )
+
+        key = F.lower(
+            F.regexp_replace(
+                F.substring(F.col("text"), 1, SNM_KEY_CHARS), "[^a-zA-Z0-9]", ""
+            )
+        )
+        keyed = docs.select("doc_id", key.alias("k"))
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        ranged = keyed.repartitionByRange(par, "k", "doc_id").withColumn(
+            "pid", F.spark_partition_id()
+        )
+        local = ranged.withColumn(
+            "lrn", F.row_number().over(W.partitionBy("pid").orderBy("k", "doc_id"))
+        )
+        offsets = (
+            ranged.groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "off",
+                F.coalesce(
+                    F.sum("n").over(
+                        W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("pid", "off")
+        )
+        ranked = local.join(F.broadcast(offsets), "pid").select(
+            "doc_id", (F.col("lrn") + F.col("off")).alias("rn")
+        )
+        probe = ranked.select(
+            F.col("doc_id").alias("id_a"),
+            F.explode(F.sequence(F.lit(1), F.lit(SNM_WINDOW))).alias("i"),
+            F.col("rn"),
+        ).select("id_a", (F.col("rn") + F.col("i")).alias("rn"))
+        cand = probe.join(
+            ranked.select(F.col("doc_id").alias("id_b"), "rn"), "rn"
+        ).select(
+            F.least("id_a", "id_b").alias("ida"),
+            F.greatest("id_a", "id_b").alias("idb"),
+        )
+        sh = D.exploded_shingles(docs)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        inter = (
+            cand.join(sh.alias("sa"), F.col("ida") == F.col("sa.doc_id"))
+            .join(
+                sh.alias("sb"),
+                (F.col("idb") == F.col("sb.doc_id"))
+                & (F.col("sa.s") == F.col("sb.s")),
+            )
+            .groupBy("ida", "idb")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        (
+            inter.join(sizes.alias("za"), F.col("ida") == F.col("za.doc_id"))
+            .join(sizes.alias("zb"), F.col("idb") == F.col("zb.doc_id"))
+            .filter(
+                F.col("inter") / (F.col("za.n") + F.col("zb.n") - F.col("inter"))
+                >= JACCARD_THRESHOLD
+            )
+            .select("ida", "idb")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    def t_bloom(docs):
+        # bloom build over a 5% holdout + dense-bitmap probe of the rest
+        from supabase_etl_spark.operators.text import ngrams_all, tokens
+        from supabase_etl_spark.queries.llm_curation import (
+            BLOOM_K_HASH,
+            BLOOM_M_BITS,
+            DECON_K,
+            _bloom_bitmap,
+            _bloom_hit_cond,
+        )
+
+        tk = docs.select(
+            "doc_id",
+            tokens(F.col("text")).alias("t"),
+            (F.col("doc_id") % 20 == 0).alias("is_bench"),
+        )
+        bench = (
+            tk.filter("is_bench")
+            .select(F.explode(ngrams_all(F.col("t"), DECON_K)).alias("g"))
+            .distinct()
+        )
+        bloom = _bloom_bitmap(docs.sparkSession, bench)
+        pr = tk.filter(~F.col("is_bench")).select(
+            "doc_id", F.explode(ngrams_all(F.col("t"), DECON_K)).alias("g")
+        )
+        for j in range(BLOOM_K_HASH):
+            pr = pr.withColumn(
+                f"p{j}", F.pmod(F.xxhash64("g", F.lit(j)), F.lit(BLOOM_M_BITS))
+            )
+        (
+            pr.join(F.broadcast(bloom))
+            .filter(_bloom_hit_cond())
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_cand"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     ops = {
         "dedup_exact (sha2 groupBy)": t_exact,
         "minhash band candidates": t_minhash,
         "jaccard prefix pairs": t_prefix,
         "token stats (scan-bound)": t_tokens,
+        "sorted-neighborhood pairs": t_snm,
+        "bloom build+probe": t_bloom,
     }
 
     rows = []
