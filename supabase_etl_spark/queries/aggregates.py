@@ -990,3 +990,46 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cms_est"))
         .orderBy(F.desc("true_cnt"), "tok")
     )
+
+
+@query(
+    "agg_hll_set_intersection",
+    oracle=None,  # sketch estimates; accuracy asserted in tests
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from HLL sketches alone —
+    inclusion-exclusion over mergeable sketches: |A∩B| ≈ est(A) +
+    est(B) − est(A∪B). HLL supports only union natively; the
+    subtraction trick is how a warehouse answers \"how many users both
+    viewed and purchased\" from the per-segment sketches it already
+    stores, without ever re-scanning raw ids. Each segment sketch is
+    one hash-agg over its filtered stream; the union is a sketch merge
+    of two binaries. Exact counts ride along for the tolerance test
+    (they'd be dropped at 100 TB — that's the point)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    sk = (
+        a.agg(F.hll_sketch_agg("user_id").alias("sk_a"))
+        .crossJoin(b.agg(F.hll_sketch_agg("user_id").alias("sk_b")))
+        .select(
+            F.hll_sketch_estimate("sk_a").alias("est_a"),
+            F.hll_sketch_estimate("sk_b").alias("est_b"),
+            F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("est_union"),
+        )
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+        )
+    )
+    exact = (
+        a.distinct()
+        .join(b.distinct(), "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return sk.crossJoin(F.broadcast(exact))

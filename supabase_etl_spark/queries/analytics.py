@@ -1647,3 +1647,62 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("active_users_7d"))
         .orderBy("day")
     )
+
+
+@query(
+    "events_longest_streak",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    islands AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                          AS INTEGER) AS grp
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, count(*) AS streak_len, min(day) AS streak_start
+        FROM islands GROUP BY user_id, grp
+    ),
+    best AS (
+        SELECT user_id, streak_len, streak_start,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY streak_len DESC, streak_start) AS rn
+        FROM streaks
+    )
+    SELECT user_id, streak_len AS longest_streak_days, streak_start
+    FROM best WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("events", "timeseries"),
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — the classic
+    gaps-and-islands engagement metric. day − row_number(day) is
+    constant exactly within a consecutive run, so one window + one agg
+    finds every streak without self-joins; earliest start breaks
+    length ties deterministically. All three stages key on user_id, so
+    the whole query rides a single shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("day").alias("streak_start")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), "streak_start"
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").alias("longest_streak_days"),
+            "streak_start",
+        )
+        .orderBy("user_id")
+    )

@@ -190,3 +190,100 @@ def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     ).orderBy("user_id", "session_start")
+
+
+PATH_MAX_STEPS = 5  # leading events per session path
+PATH_TOP_K = 20
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        > {SESSION_GAP_MIN} * 60 * 1000000
+                     OR lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_idx,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS seq
+        FROM flagged
+    ),
+    numbered AS (
+        SELECT user_id, session_idx, event_type,
+               row_number() OVER (PARTITION BY user_id, session_idx
+                                  ORDER BY ts, event_id) AS step
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, session_idx,
+               string_agg(event_type, '>' ORDER BY step) AS path
+        FROM numbered
+        WHERE step <= {PATH_MAX_STEPS}
+        GROUP BY user_id, session_idx
+    ),
+    ranked AS (
+        SELECT path, count(*) AS n_sessions,
+               row_number() OVER (ORDER BY count(*) DESC, path) AS rn
+        FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {PATH_TOP_K}
+    ORDER BY rank
+    """,
+    tags=("events", "sessions"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: sessionize (same 30-min-gap rule as
+    events_sessionize), take each session's first {PATH_MAX_STEPS}
+    event types as a '>'-joined path, count sessions per path, keep
+    the top {PATH_TOP_K} — the product-analytics \"what do people do
+    first\" query.
+
+    One user-keyed window pass produces session ids AND step numbers;
+    the path build is an ordered listagg per session; the final top-K
+    is a TakeOrdered over path counts (the path domain is tiny
+    relative to sessions). No corpus self-joins anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id", "ts", "event_id", "event_type", is_new.alias("is_new")
+    ).withColumn("session_idx", F.sum("is_new").over(w_run))
+    w_sess = Window.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    numbered = sess.withColumn("step", F.row_number().over(w_sess)).filter(
+        F.col("step") <= PATH_MAX_STEPS
+    )
+    paths = (
+        numbered.groupBy("user_id", "session_idx")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("step", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    wr = Window.orderBy(F.desc("n_sessions"), "path")
+    return (
+        counts.orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP_K)
+        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .orderBy("rank")
+    )

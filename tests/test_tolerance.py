@@ -269,3 +269,17 @@ def test_cms_merge_equals_whole(spark):
         F.coalesce(via_shards["c"], F.lit(-1)) != F.coalesce(direct["c"], F.lit(-2))
     )
     assert diff.count() == 0
+
+
+def test_hll_intersection_estimate_close_to_exact(spark):
+    """Inclusion-exclusion over HLL sketches: the intersection estimate
+    must land within 10% of the exact overlap (3 sketch errors stack,
+    but all users overlap heavily in this corpus so relative error
+    stays small)."""
+    row = REGISTRY["agg_hll_set_intersection"].fn(spark, SF).collect()[0]
+    exact = row["exact_intersection"]
+    assert exact > 0
+    assert abs(row["est_intersection"] - exact) / exact <= 0.10
+    # union bound sanity: est_union <= est_a + est_b, >= max(est_a, est_b)
+    assert row["est_union"] <= row["est_a"] + row["est_b"]
+    assert row["est_union"] >= max(row["est_a"], row["est_b"]) * 0.95
