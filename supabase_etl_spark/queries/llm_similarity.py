@@ -403,3 +403,112 @@ def sim_topk_sq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", F.round("cos_sim", 9).alias("cos_sim"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+EMB_DIM = 64  # embeddings.embedding width (fixed by the testdata schema)
+
+
+@query(
+    "embedding_covariance_matrix",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT unnest(flatten(list_transform(range(1, {EMB_DIM} + 1),
+                   i -> list_transform(range(i, {EMB_DIM} + 1),
+                   j -> {{'i': i, 'j': j,
+                          'p': CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[j] AS DOUBLE)}}))))
+               AS e
+        FROM embeddings
+    ),
+    sxy AS (
+        SELECT CAST(e.i AS INT) AS i, CAST(e.j AS INT) AS j,
+               CAST(SUM(CAST(round(e.p, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+               count(*) AS n
+        FROM pairs GROUP BY e.i, e.j
+    ),
+    means AS (
+        SELECT CAST(x.i AS INT) AS i,
+               CAST(SUM(CAST(round(CAST(x.v AS DOUBLE), 12)
+                              AS DECIMAL(38,12))) AS DOUBLE) AS sx
+        FROM (
+            SELECT unnest(embedding) AS v,
+                   unnest(range(1, {EMB_DIM} + 1)) AS i
+            FROM embeddings
+        ) x
+        GROUP BY x.i
+    )
+    SELECT s.i, s.j,
+           s.sp / s.n - (ma.sx / s.n) * (mb.sx / s.n) AS cov
+    FROM sxy s
+    JOIN means ma ON s.i = ma.i
+    JOIN means mb ON s.j = mb.i
+    ORDER BY s.i, s.j
+    """,
+    tags=("llm", "similarity", "linalg"),
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance (Gram) matrix of the embedding corpus —
+    the ONE-PASS input every spectral method needs (PCA, whitening,
+    SemDeDup's cluster geometry): cov_ij = Σxᵢxⱼ/n − μᵢμⱼ over the
+    upper triangle. The d(d+1)/2 products are built ROW-LOCALLY by a
+    nested transform over index pairs (no posexplode self-join — the
+    corpus is touched once and never joined to itself), then one
+    map-side-combinable decimal aggregation reduces to d² skinny
+    cells. At 100 TB this is the canonical \"big n, small d\" shape:
+    the shuffle carries 2080 partial sums per map task, independent of
+    corpus size; the eigen-solve on the collected 64×64 matrix is
+    driver-side model fitting (tests/test_tolerance.py runs the power
+    iteration and checks against numpy's eigh)."""
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    arr = F.col("embedding")
+    pairs = e.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(EMB_DIM)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(EMB_DIM)),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.element_at(arr, i).cast("double")
+                                * F.element_at(arr, j).cast("double")
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select(
+        F.col("e.i").cast("int").alias("i"),
+        F.col("e.j").cast("int").alias("j"),
+        F.col("e.p").alias("p"),
+    )
+    sxy = pairs.groupBy("i", "j").agg(
+        F.sum(F.round(F.col("p"), 12).cast("decimal(38,12)")).cast("double").alias("sp"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    means = (
+        e.select(F.posexplode(arr).alias("i0", "v"))
+        .select((F.col("i0") + 1).cast("int").alias("i"), F.col("v").cast("double").alias("v"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.round(F.col("v"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("sx")
+        )
+    )
+    return (
+        sxy.join(means.alias("ma"), sxy["i"] == F.col("ma.i"))
+        .join(means.alias("mb"), sxy["j"] == F.col("mb.i"))
+        .select(
+            sxy["i"],
+            sxy["j"],
+            (
+                F.col("sp") / F.col("n")
+                - (F.col("ma.sx") / F.col("n")) * (F.col("mb.sx") / F.col("n"))
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
