@@ -1,0 +1,111 @@
+"""Minimal snapshot/manifest table format: versioned parquet with
+time travel, in ~100 lines.
+
+The lakehouse formats (Delta/Iceberg/Hudi) all reduce to one idea: a
+table is an immutable LOG OF SNAPSHOTS, each snapshot an explicit list
+of data files; readers resolve a snapshot first and scan exactly its
+files, so writers never disturb running reads and history stays
+queryable. Neither connector jar ships in this runtime, so this module
+implements the core contract directly over parquet + JSON manifests:
+
+    table_dir/
+      data/part-<uuid>.parquet          immutable data files
+      _manifests/v00000001.json         {"version","files","ts_note"}
+      _manifests/v00000002.json
+      ...
+
+* `commit(df, mode)` — writes new data files, then atomically (tmp +
+  rename) writes manifest v(N+1) listing either the new files only
+  (overwrite) or previous ∪ new (append). The manifest rename is the
+  commit point, exactly like Delta's _delta_log entry.
+* `read(version=None)` — resolves the requested (default: latest)
+  manifest and scans only its files. Old versions remain readable
+  until explicitly vacuumed.
+* Failed/partial writes leave orphan data files but no manifest —
+  invisible to readers, the same crash-consistency argument the real
+  formats make.
+
+At 100 TB the manifest lists grow; real formats shard them (manifest
+lists / checkpoints). The contract demonstrated here — resolve
+snapshot, then scan its explicit file set — is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_manifests")
+
+
+def _versions(table_dir: str) -> list[int]:
+    mdir = _manifest_dir(table_dir)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(f[1:9]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def current_version(table_dir: str) -> int:
+    vs = _versions(table_dir)
+    return vs[-1] if vs else 0
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(table_dir), f"v{version:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def commit(df: DataFrame, table_dir: str, mode: str = "append", note: str = "") -> int:
+    """Write ``df``'s rows as new immutable files and commit the next
+    snapshot. Returns the new version number."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode}")
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+
+    # write the new files into a scratch dir, then move them in — the
+    # data files are invisible until the manifest names them
+    scratch = os.path.join(table_dir, f"_tmp_{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(scratch)
+    new_files = []
+    for f in sorted(os.listdir(scratch)):
+        if not f.endswith(".parquet"):
+            continue
+        dest = f"part-{uuid.uuid4().hex}.parquet"
+        os.rename(os.path.join(scratch, f), os.path.join(data_dir, dest))
+        new_files.append(os.path.join("data", dest))
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    prev = current_version(table_dir)
+    files = list(new_files)
+    if mode == "append" and prev > 0:
+        files = _read_manifest(table_dir, prev)["files"] + new_files
+    version = prev + 1
+    manifest = {"version": version, "files": files, "note": note}
+    tmp = os.path.join(_manifest_dir(table_dir), f".tmp_{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    # atomic rename IS the commit
+    os.rename(tmp, os.path.join(_manifest_dir(table_dir), f"v{version:08d}.json"))
+    return version
+
+
+def read(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
+    """Scan exactly the files of the requested (default: latest)
+    snapshot — time travel is just naming an older manifest."""
+    v = version if version is not None else current_version(table_dir)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _read_manifest(table_dir, v)
+    paths = [os.path.join(table_dir, f) for f in manifest["files"]]
+    return spark.read.parquet(*paths)

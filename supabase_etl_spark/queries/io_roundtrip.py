@@ -571,3 +571,58 @@ def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(frag_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@query(
+    "io_manifest_time_travel",
+    oracle="""
+    SELECT 1 AS version,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey <= 1000
+    UNION ALL
+    SELECT 2 AS version,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM orders
+    ORDER BY version
+    """,
+    tags=("io", "lakehouse"),
+)
+def io_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel over plain parquet
+    (io/manifest_store.py — the Delta/Iceberg core contract with no
+    connector jar): v1 commits the early orders, v2 appends the rest;
+    reading "v1" AFTER the append still returns exactly the first
+    snapshot because a reader resolves a manifest (an immutable file
+    list) before scanning, and the atomic manifest rename is the
+    commit point. The gate row aggregates both versions against the
+    source-table oracle, proving appends are invisible to pinned
+    readers and the latest snapshot sees everything."""
+    import shutil
+    import tempfile
+
+    from supabase_etl_spark.io import manifest_store as M
+    from supabase_etl_spark.queries._helpers import dsum
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = tempfile.mkdtemp(prefix="manifest_tbl_")
+    try:
+        M.commit(o.filter(F.col("o_orderkey") <= 1000), table, mode="overwrite")
+        M.commit(o.filter(F.col("o_orderkey") > 1000), table, mode="append")
+
+        def summarize(version: int) -> DataFrame:
+            return M.read(spark, table, version).agg(
+                F.lit(version).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum(F.col("o_totalprice"), "total"),
+            ).select("version", "n_rows", "total")
+
+        return (
+            summarize(1)
+            .unionByName(summarize(2))
+            .orderBy("version")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

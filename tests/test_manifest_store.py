@@ -1,0 +1,72 @@
+"""Snapshot/manifest store invariants (io/manifest_store.py): the
+Delta/Iceberg core contract — atomic commits, pinned-reader isolation,
+crash-invisible partial writes, overwrite semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from supabase_etl_spark.io import manifest_store as M
+
+
+def test_append_preserves_old_snapshots(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = M.commit(spark.range(100).selectExpr("id", "id * 2 AS v"), t, "overwrite")
+    v2 = M.commit(
+        spark.range(100, 250).selectExpr("id", "id * 2 AS v"), t, "append"
+    )
+    assert (v1, v2) == (1, 2)
+    assert M.read(spark, t, 1).count() == 100
+    assert M.read(spark, t, 2).count() == 250
+    assert M.read(spark, t).count() == 250  # latest
+    # the v1 snapshot is byte-stable: same ids before and after append
+    ids = sorted(r["id"] for r in M.read(spark, t, 1).collect())
+    assert ids == list(range(100))
+
+
+def test_overwrite_starts_fresh_but_history_remains(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(50), t, "overwrite")
+    M.commit(spark.range(7), t, "overwrite")
+    assert M.current_version(t) == 2
+    assert M.read(spark, t).count() == 7
+    assert M.read(spark, t, 1).count() == 50  # time travel across overwrite
+
+
+def test_partial_write_without_manifest_is_invisible(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10), t, "overwrite")
+    # simulate a crashed writer: orphan data file, no manifest
+    orphan = os.path.join(t, "data", "part-orphan.parquet")
+    spark.range(999).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "o"))
+    src = next(
+        f for f in os.listdir(str(tmp_path / "o")) if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(str(tmp_path / "o"), src), orphan)
+    assert M.read(spark, t).count() == 10  # reader never sees the orphan
+    # the next commit also ignores it
+    M.commit(spark.range(5), t, "append")
+    assert M.read(spark, t).count() == 15
+
+
+def test_read_missing_version_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        M.read(spark, t)
+    M.commit(spark.range(3), t, "overwrite")
+    with pytest.raises(FileNotFoundError):
+        M.read(spark, t, 9)
+
+
+def test_manifest_files_are_explicit_lists(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10).repartition(3), t, "overwrite")
+    M.commit(spark.range(10, 20).repartition(2), t, "append")
+    m1 = json.load(open(os.path.join(t, "_manifests", "v00000001.json")))
+    m2 = json.load(open(os.path.join(t, "_manifests", "v00000002.json")))
+    assert len(m1["files"]) == 3
+    assert len(m2["files"]) == 5
+    assert set(m1["files"]) <= set(m2["files"])
