@@ -512,3 +512,151 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+PQ_M = 16  # subspaces
+PQ_K = 64  # centroids per subspace
+PQ_TRAIN_MOD = 2  # deterministic training sample: vec_id % MOD == 0
+PQ_LLOYD_ITERS = 10
+PQ_SHORTLIST = 50  # ADC candidates re-ranked exactly per query
+
+
+def _pq_train_codebooks(spark: SparkSession, sf_dir: str):
+    """Deterministic PQ codebooks: per subspace, k-means on the
+    vec_id%{PQ_TRAIN_MOD}==0 sample (driver-side numpy — bounded model
+    fitting, the same posture as graph_pagerank's driver loop), init =
+    first K sample rows in vec_id order, {PQ_LLOYD_ITERS} Lloyd steps
+    with empty clusters re-seeded to their previous centroid."""
+    import numpy as np
+
+    sample = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    d = x.shape[1]
+    sub = d // PQ_M
+    books = np.zeros((PQ_M, PQ_K, sub))
+    for m in range(PQ_M):
+        xs = x[:, m * sub : (m + 1) * sub]
+        c = xs[:PQ_K].copy()
+        for _ in range(PQ_LLOYD_ITERS):
+            dist = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for k in range(PQ_K):
+                mask = assign == k
+                if mask.any():
+                    c[k] = xs[mask].mean(axis=0)
+        books[m] = c
+    return books
+
+
+@query(
+    "sim_topk_pq_adc",
+    # PQ distances are sample-trained approximations; no SQL twin.
+    # Recall vs brute force pinned in tests/test_tolerance.py.
+    oracle=None,
+    tags=("llm", "similarity", "quantization"),
+)
+def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    and exact refinement (Jégou et al., PAMI 2011; the IVFADC+R
+    layout): each 64-dim vector compresses to {PQ_M} sub-codes
+    ({PQ_M}×{PQ_K} codebooks, trained once on a bounded deterministic
+    sample and broadcast), a query scores the WHOLE corpus by summing
+    {PQ_M} table lookups per vector, and only the {PQ_SHORTLIST}-deep
+    ADC shortlist is re-ranked with exact cosines — codes choose the
+    candidates, floats decide the winners, and no full-precision
+    vector is read outside the shortlist. Vectors are L2-normalized before coding so ADC's
+    squared distance is monotone with cosine (d² = 2−2cos) and the
+    top-k agrees with the cosine rankers. Encode and score run as
+    Arrow-batched numpy over
+    mapInPandas; the only corpus shuffle is the per-query top-k rank.
+    At 100 TB: codes are 8 bytes/vector (32× smaller than float32),
+    the lookup tables are {PQ_K}·{PQ_M} floats per query, and both
+    stages are embarrassingly parallel scans."""
+    import numpy as np
+    import pandas as pd
+
+    books = _pq_train_codebooks(spark, sf_dir)  # (M, K, sub)
+    bks = spark.sparkContext.broadcast(books)
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .collect()
+    )
+    qmat = np.array([r["embedding"] for r in queries], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids = [r["vec_id"] for r in queries]
+    # per-query ADC lookup tables: (Q, M, K) squared sub-distances
+    sub = qmat.shape[1] // PQ_M
+    luts = np.zeros((len(qids), PQ_M, PQ_K))
+    for m in range(PQ_M):
+        qs = qmat[:, m * sub : (m + 1) * sub]
+        luts[:, m, :] = ((qs[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+    lut_b = spark.sparkContext.broadcast(luts)
+    qid_b = spark.sparkContext.broadcast(qids)
+
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+
+    def score(batches):
+        books_v = bks.value
+        luts_v = lut_b.value
+        qids_v = qid_b.value
+        s = books_v.shape[2]
+        for pdf in batches:
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            n = x.shape[0]
+            codes = np.zeros((n, PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                xs = x[:, m * s : (m + 1) * s]
+                dist = ((xs[:, None, :] - books_v[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = dist.argmin(axis=1)
+            # ADC: approx squared distance of every (query, row) pair
+            out_qid, out_cid, out_d = [], [], []
+            for qi, qid in enumerate(qids_v):
+                dd = luts_v[qi][np.arange(PQ_M)[None, :], codes].sum(axis=1)
+                out_qid.extend([qid] * n)
+                out_cid.extend(pdf["vec_id"].tolist())
+                out_d.extend(np.round(dd, 9).tolist())
+            yield pd.DataFrame({"qid": out_qid, "cid": out_cid, "adc_dist": out_d})
+
+    scored = corpus.mapInPandas(
+        score, schema="qid bigint, cid bigint, adc_dist double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("cid"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("qid", "cid", "adc_dist")
+    )
+    # refine: exact cosine on the tiny shortlist only (the IVFADC+R
+    # pattern) — codes choose candidates, floats decide winners
+    qdf = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cdf = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    from supabase_etl_spark.operators.dedup import cosine
+
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        shortlist.join(cdf, "cid")
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            "cid",
+            "adc_dist",
+            F.round(cosine(F.col("qe"), F.col("ce")), 9).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cid", "cos_sim", "adc_dist", "rn")
+        .orderBy("qid", "rn")
+    )
