@@ -564,3 +564,126 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(target, ignore_errors=True)
     return result
+
+
+SESSION_TIMEOUT_GAP_MS = 30 * 60 * 1000
+
+
+@query(
+    "stream_stateful_sessions_timeout",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        > {SESSION_TIMEOUT_GAP_MS}
+                     OR lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid,
+               ts
+        FROM flagged
+    ),
+    agg AS (
+        SELECT user_id, sid,
+               min(epoch_ms(ts)) AS a, max(epoch_ms(ts)) AS b,
+               count(*) AS n
+        FROM sess GROUP BY user_id, sid
+    ),
+    wm AS (
+        SELECT epoch_ms(max(ts)) - 600000 AS w_ms FROM events
+    ),
+    lastsess AS (SELECT user_id, max(sid) AS msid FROM agg GROUP BY user_id)
+    SELECT g.user_id,
+           make_timestamp(g.a * 1000) AS session_start,
+           make_timestamp(g.b * 1000) AS session_end,
+           g.n AS n_events,
+           CASE WHEN g.sid < l.msid THEN 'gap' ELSE 'timeout' END AS closed_by
+    FROM agg g JOIN lastsess l USING (user_id)
+    WHERE g.sid < l.msid
+       OR g.b + {SESSION_TIMEOUT_GAP_MS} < (SELECT w_ms FROM wm)
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization on the arbitrary-stateful API with REAL
+    event-time timeouts: the handler splits each user's arrivals on
+    30-minute gaps (gap-closed sessions emit immediately) and parks
+    the open tail in GroupState with
+    ``setTimeoutTimestamp(last + gap)``; the engine calls back with
+    ``hasTimedOut`` once the watermark passes that instant, which is
+    when the session provably cannot be extended — the state-eviction
+    contract the built-in `session_window` hides. The oracle replays
+    both emission rules exactly: every non-final session, plus final
+    sessions with last_event + gap < (max ts − 10 min) at millisecond
+    precision (timeouts fire on wm > timeoutTimestamp, strict).
+    Withheld open sessions are precisely what a resumed incremental
+    run would close later. State is O(1) per user; the only shuffle is
+    the groupBy key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = SESSION_TIMEOUT_GAP_MS
+
+    def sessions(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, last, n = state.get
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_ms": [start],
+                    "end_ms": [last],
+                    "n_events": [n],
+                    "closed_by": ["timeout"],
+                }
+            )
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).tolist()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        out = []
+        for t in ts_ms:
+            if last is not None and t - last > gap:
+                out.append((key[0], start, last, n, "gap"))
+                start, n = None, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last + gap)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "start_ms", "end_ms", "n_events", "closed_by"]
+            )
+
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    out = s.groupBy("user_id").applyInPandasWithState(
+        sessions,
+        outputStructType=(
+            "user_id bigint, start_ms bigint, end_ms bigint, "
+            "n_events bigint, closed_by string"
+        ),
+        stateStructType="start bigint, last bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    sink = run_available_now(out, "append")
+    return sink.select(
+        "user_id",
+        F.timestamp_millis(F.col("start_ms")).alias("session_start"),
+        F.timestamp_millis(F.col("end_ms")).alias("session_end"),
+        "n_events",
+        "closed_by",
+    ).orderBy("user_id", "session_start")
