@@ -836,3 +836,122 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority, metric
         """
     )
+
+
+@query(
+    "sql_scalar_function",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "net_revenue")},
+           CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("sql", "udf"),
+)
+def sql_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs (Spark 4 CREATE FUNCTION ... RETURN expr): the
+    function body is pure SQL, so Catalyst INLINES it at analysis time
+    — unlike a Python UDF there is no serialization boundary, the
+    inlined expression folds/pushes down like hand-written SQL and
+    whole-stage codegen covers it. The one UDF form that is free at
+    100 TB. The oracle states the inlined semantics directly."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS net_rev")
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS is_bulk")
+    spark.sql(
+        "CREATE TEMPORARY FUNCTION net_rev(price DOUBLE, disc DOUBLE) "
+        "RETURNS DOUBLE RETURN price * (1 - disc)"
+    )
+    spark.sql(
+        "CREATE TEMPORARY FUNCTION is_bulk(qty DOUBLE) "
+        "RETURNS INT RETURN CASE WHEN qty >= 30 THEN 1 ELSE 0 END"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(net_rev(l_extendedprice, l_discount)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS net_revenue,
+               CAST(SUM(is_bulk(l_quantity)) AS BIGINT) AS n_bulk
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    tags=("sql",),
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER(:param) — injection-safe dynamic SQL over table AND
+    column names (the templated-job surface: one statement text, many
+    tables/grains). The identifier binds at analysis time, so the plan
+    is indistinguishable from the literal query — pushdown, pruning
+    and codegen all apply; string-concatenated SQL gets none of that
+    safety."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS grp,
+               count(*) AS n,
+               CAST(SUM(CAST(IDENTIFIER(:val_col) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS total
+        FROM IDENTIFIER(:tbl)
+        GROUP BY grp
+        ORDER BY grp
+        """,
+        args={"tbl": "orders", "grp_col": "o_orderpriority", "val_col": "o_totalprice"},
+    )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 10
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("sql",),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators, the GoogleSQL-style
+    linear dataflow dialect): each stage reads top-to-bottom like a
+    DataFrame chain while remaining pure SQL. Parses to the identical
+    logical plan as the nested form — the oracle is that nested
+    spelling."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= 10
+        |> AGGREGATE count(*) AS n_lines,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+           GROUP BY l_linestatus
+        |> SELECT l_linestatus, n_lines, revenue
+        |> ORDER BY l_linestatus
+        """
+    )
