@@ -1,0 +1,109 @@
+"""Python Data Source WRITER (Spark 4 `DataSource.writer`): a
+REST-shaped batch sink implemented entirely in Python.
+
+The reader half of the Python Data Source API is covered by
+io/sdk_source.py (the vnstock-shaped financial-statements source, with
+a streaming variant); this module covers the WRITER half — the piece
+that replaces the reference's chunked REST upsert (etl_supabase.py's
+`upsert_df` posts 300-row chunks) when the destination has no JVM
+connector. The commit protocol mirrors the JVM DSv2 contract exactly:
+
+  * ``write(iterator)`` runs ON EXECUTORS, once per partition; each
+    task writes its rows to a uniquely-named staging file (task
+    attempt isolation — speculative or retried attempts write
+    different names and the loser is ignored) and returns a
+    WriterCommitMessage naming it.
+  * ``commit(messages)`` runs on the driver only after EVERY task
+    succeeded, and atomically publishes the staged files (rename into
+    the destination + manifest). Until then readers see nothing.
+  * ``abort(messages)`` removes staged files when any task failed.
+
+So the sink is all-or-nothing at the job level even though tasks write
+independently — the same argument the parquet committer makes, rebuilt
+in Python where a REST/entitlement-gated destination would live.
+Rows cross in chunks of ``chunk_size`` (default 300, the reference's
+page size) to bound per-call payloads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+CHUNK_SIZE = 300  # reference parity: etl_supabase.py posts 300-row chunks
+
+
+class _Staged(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class ChunkedJsonlWriter(DataSourceWriter):
+    """Executor-side writer: rows → chunked JSONL staging file."""
+
+    def __init__(self, options):
+        self.dest = options.get("path")
+        if not self.dest:
+            raise ValueError("option 'path' is required")
+        self.chunk_size = int(options.get("chunk_size", CHUNK_SIZE))
+
+    def write(self, iterator):
+        os.makedirs(os.path.join(self.dest, "_staging"), exist_ok=True)
+        name = f"task-{uuid.uuid4().hex}.jsonl"
+        staged = os.path.join(self.dest, "_staging", name)
+        n = 0
+        with open(staged, "w") as fh:
+            chunk = []
+            for row in iterator:
+                chunk.append(row.asDict(recursive=True))
+                if len(chunk) >= self.chunk_size:
+                    fh.write("\n".join(json.dumps(r, default=str) for r in chunk) + "\n")
+                    n += len(chunk)
+                    chunk = []
+            if chunk:
+                fh.write("\n".join(json.dumps(r, default=str) for r in chunk) + "\n")
+                n += len(chunk)
+        return _Staged(staged, n)
+
+    def commit(self, messages):
+        # driver-side, after ALL tasks succeeded: atomic publish
+        published = []
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(self.dest, os.path.basename(m.path))
+            os.rename(m.path, final)
+            published.append({"file": os.path.basename(final), "rows": m.n_rows})
+        manifest = os.path.join(self.dest, "_committed.json")
+        tmp = manifest + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            json.dump({"files": published}, fh)
+        os.rename(tmp, manifest)
+
+    def abort(self, messages):
+        for m in messages or []:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class ChunkedJsonlDataSource(DataSource):
+    """``df.write.format("chunked_jsonl").option("path", d).save()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "chunked_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return ChunkedJsonlWriter(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ChunkedJsonlDataSource)

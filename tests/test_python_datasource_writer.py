@@ -1,0 +1,77 @@
+"""Python Data Source writer contract (io/jsonl_sink_source.py):
+executor-side staged writes, driver-side atomic commit, abort cleanup,
+and readback equality."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.io.jsonl_sink_source import register
+from supabase_etl_spark.io.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _read_back(spark, dest):
+    files = [
+        os.path.join(dest, f) for f in os.listdir(dest) if f.endswith(".jsonl")
+    ]
+    return spark.read.json(files)
+
+
+def test_writer_roundtrip_matches_source(spark, tmp_path):
+    register(spark)
+    dest = str(tmp_path / "out")
+    src = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition(4)
+    )
+    src.write.format("chunked_jsonl").option("path", dest).mode("append").save()
+
+    manifest = json.load(open(os.path.join(dest, "_committed.json")))
+    assert sum(f["rows"] for f in manifest["files"]) == src.count()
+    assert len(manifest["files"]) == 4  # one staged file per partition
+
+    back = _read_back(spark, dest)
+    assert back.count() == src.count()
+    a = src.agg(F.sum("o_orderkey"), F.sum("o_totalprice")).collect()[0]
+    b = back.agg(F.sum("o_orderkey"), F.sum("o_totalprice")).collect()[0]
+    assert a[0] == b[0] and abs(a[1] - b[1]) < 1e-6
+
+    # staging area fully drained by commit
+    assert os.listdir(os.path.join(dest, "_staging")) == []
+
+
+def test_failed_job_publishes_nothing(spark, tmp_path):
+    register(spark)
+    dest = str(tmp_path / "out2")
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("induced task failure")
+
+    src = spark.range(100).select(boom(F.col("id")).alias("id"))
+    try:
+        src.write.format("chunked_jsonl").option("path", dest).mode("append").save()
+        raise AssertionError("write should have failed")
+    except Exception:
+        pass
+    # no committed manifest, no published jsonl
+    assert not os.path.exists(os.path.join(dest, "_committed.json"))
+    published = [f for f in os.listdir(dest) if f.endswith(".jsonl")] if os.path.isdir(dest) else []
+    assert published == []
+
+
+def test_chunking_bounds_payloads(spark, tmp_path):
+    register(spark)
+    dest = str(tmp_path / "out3")
+    spark.range(950).selectExpr("id", "id * 1.5 AS v").coalesce(1).write.format(
+        "chunked_jsonl"
+    ).option("path", dest).option("chunk_size", "300").mode("append").save()
+    files = [f for f in os.listdir(dest) if f.endswith(".jsonl")]
+    assert len(files) == 1
+    lines = open(os.path.join(dest, files[0])).read().strip().split("\n")
+    assert len(lines) == 950
