@@ -687,3 +687,73 @@ def stream_stateful_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFr
         "n_events",
         "closed_by",
     ).orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_chained_window_aggs",
+    oracle="""
+    WITH quarter AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS q_start,
+               event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+        FROM events
+        GROUP BY q_start, event_type
+    ),
+    wm AS (
+        SELECT make_timestamp((epoch_ms(max(ts)) - 600000) * 1000) AS w
+        FROM events
+    )
+    SELECT time_bucket(INTERVAL '1 hour', q_start) AS hour_start,
+           event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           count(*) AS n_quarters,
+           max(n) AS busiest_quarter_n
+    FROM quarter
+    GROUP BY hour_start, event_type
+    HAVING hour_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    ORDER BY hour_start, event_type
+    """,
+    tags=("streaming", "window"),
+)
+def stream_chained_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (legal since
+    Spark 3.4 for window-on-window): a 15-minute tumbling aggregate
+    feeds an hourly rollup that also reports per-hour quarter counts
+    and the busiest quarter — the two-tier downsample a metrics
+    pipeline runs as ONE query instead of two jobs with an
+    intermediate topic. The second window groups on the FIRST window's
+    struct via `F.window(F.col("window"), '1 hour')`, which Spark
+    rewrites to event-time propagation so both operators share the
+    single watermark. Chained stateful operators force APPEND mode
+    (complete would re-emit sub-watermark rows into the downstream
+    state — the correctness check Spark raises); append emits an
+    hourly window once the watermark passes its end, so the oracle
+    replays the nested time_bucket WITH that cutoff
+    (hour_end <= max ts − 10 min, ms precision) — the withheld tail
+    hour is what the next incremental run would finalize."""
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    quarter = s.groupBy(
+        F.window("ts", "15 minutes").alias("qw"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("v"),
+    )
+    hourly = quarter.groupBy(
+        F.window(F.col("qw"), "1 hour").alias("hw"), "event_type"
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum(F.col("v").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_quarters"),
+        F.max("n").alias("busiest_quarter_n"),
+    )
+    out = hourly.select(
+        F.col("hw.start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+        "n_quarters",
+        "busiest_quarter_n",
+    )
+    return run_available_now(out, "append").orderBy("hour_start", "event_type")

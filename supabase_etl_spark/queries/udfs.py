@@ -495,3 +495,72 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "udf_udtf_analyze",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+                 AS t
+        FROM documents WHERE doc_id < 5
+    )
+    SELECT doc_id,
+           CAST(x.i AS INT) AS pos,
+           t[x.i] AS g1,
+           CASE WHEN x.i + 1 <= len(t) THEN t[x.i + 1] END AS g2,
+           CASE WHEN x.i + 2 <= len(t) THEN t[x.i + 2] END AS g3
+    FROM toks, (SELECT unnest(range(1, 10000)) AS i) x
+    WHERE x.i <= len(t)
+    ORDER BY doc_id, pos
+    """,
+    tags=("udf", "udtf"),
+)
+def udf_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 static `analyze()`): the output
+    schema is computed from the call site's literal argument — here an
+    n-gram exploder whose width argument decides how many gram columns
+    exist (`ngram_cols(text, 3)` → g1, g2, g3). The planner calls
+    analyze() once at analysis time with the literal, so downstream
+    resolution, pruning, and the oracle's fixed 3-column shape all see
+    an ordinary static schema. This is the table-function analogue of
+    generics — one registration serving any width, without
+    MapType-shaped stringly output."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NgramCols:
+        @staticmethod
+        def analyze(doc_id: AnalyzeArgument, text: AnalyzeArgument, width: AnalyzeArgument):
+            if not width.isConstantExpression:
+                raise ValueError("width must be a literal")
+            n = int(width.value)
+            schema = (
+                StructType()
+                .add("doc_id", LongType())
+                .add("pos", IntegerType())
+            )
+            for k in range(1, n + 1):
+                schema = schema.add(f"g{k}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id: int, text: str, width: int):
+            toks = [t for t in re.split(r"\s+", text) if t != ""]
+            for i in range(len(toks)):
+                yield (doc_id, i + 1, *[
+                    toks[i + k] if i + k < len(toks) else None
+                    for k in range(width)
+                ])
+
+    spark.udtf.register("ngram_cols", udtf(NgramCols))
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    d.createOrReplaceTempView("udtf_poly_docs")
+    return spark.sql(
+        """
+        SELECT n.doc_id, n.pos, n.g1, n.g2, n.g3
+        FROM udtf_poly_docs, LATERAL ngram_cols(doc_id, text, 3) n
+        ORDER BY doc_id, pos
+        """
+    )
