@@ -517,6 +517,7 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 16  # subspaces
 PQ_K = 64  # centroids per subspace
 PQ_TRAIN_MOD = 2  # deterministic training sample: vec_id % MOD == 0
+PQ_TRAIN_CAP = 4096  # hard sample bound — collect stays driver-safe at any SF
 PQ_LLOYD_ITERS = 10
 PQ_SHORTLIST = 50  # ADC candidates re-ranked exactly per query
 
@@ -533,6 +534,7 @@ def _pq_train_codebooks(spark: SparkSession, sf_dir: str):
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
         .orderBy("vec_id")
+        .limit(PQ_TRAIN_CAP)  # TakeOrdered: bounded driver transfer at any SF
         .select("embedding")
         .collect()
     )
