@@ -1706,3 +1706,60 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_sliding_hll_users",
+    oracle=None,  # sketch estimates; tolerance vs the exact twin in tests
+    tags=("events", "timeseries", "sketch"),
+)
+def events_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users from DAILY HLL SKETCHES — the
+    materialized-sketch answer to events_sliding_distinct_users: one
+    pass builds a kilobyte sketch per day, and every trailing window
+    is a UNION OF 7 STORED SKETCHES (hll_union_agg over an offset
+    explode), never a re-scan of raw ids. At 100 TB this is the only
+    viable shape for many overlapping windows: the raw-pair explode
+    of the exact variant re-shuffles the corpus per window width,
+    while the sketch table is days × 1 KB forever. Estimates carry
+    the exact twin's value alongside (dropped in production — the
+    point is not to need it)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SLIDING_DISTINCT_DAYS - 1))
+        ).alias("i"),
+        "day",
+        "sk",
+    ).select(F.date_add(F.col("day"), F.col("i")).alias("win_day"), "sk")
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    est = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter((F.col("win_day") >= F.col("d0")) & (F.col("win_day") <= F.col("d1")))
+        .groupBy("win_day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users_7d"),
+            F.count(F.lit(1)).alias("n_sketches_merged"),
+        )
+    )
+    exact = (
+        ev.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SLIDING_DISTINCT_DAYS - 1))
+            ).alias("i"),
+            "day",
+            "user_id",
+        )
+        .select(F.date_add(F.col("day"), F.col("i")).alias("win_day"), "user_id")
+        .distinct()
+        .groupBy("win_day")
+        .agg(F.count(F.lit(1)).alias("exact_users_7d"))
+    )
+    return (
+        est.join(exact, "win_day")
+        .select("win_day", "approx_users_7d", "exact_users_7d", "n_sketches_merged")
+        .orderBy("win_day")
+    )

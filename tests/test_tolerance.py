@@ -357,3 +357,15 @@ def test_pq_codebooks_deterministic(spark):
     b1 = _pq_train_codebooks(spark, SF)
     b2 = _pq_train_codebooks(spark, SF)
     assert np.array_equal(b1, b2)
+
+
+def test_sliding_hll_tracks_exact(spark):
+    """Every trailing-window HLL estimate must land within 5% of the
+    exact distinct count, and each window merges at most 7 daily
+    sketches."""
+    rows = REGISTRY["events_sliding_hll_users"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_sketches_merged"] <= 7
+        rel = abs(r["approx_users_7d"] - r["exact_users_7d"]) / r["exact_users_7d"]
+        assert rel <= 0.05, (r["win_day"], rel)
