@@ -49,13 +49,16 @@ def run_foreach_batch(
 ) -> None:
     """Execute a streaming plan to completion (AvailableNow) through a
     foreachBatch handler with a fresh checkpoint."""
+    import shutil
     import tempfile
 
+    ckpt = tempfile.mkdtemp(prefix="ckpt_fb_")
     q = (
         sdf.writeStream.foreachBatch(handler)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_fb_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)

@@ -77,14 +77,21 @@ def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
     Fresh checkpoint per call → deterministic full replay (the
     correctness harness wants the batch-equivalent answer; production
     would keep the checkpoint to get incremental semantics)."""
+    import shutil
+
     name = "snk_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    # fresh-checkpoint-per-call means the dir holds nothing a later run
+    # wants; removing it keeps repeated harness invocations disk-flat
+    # (the scratch-dir discipline the io queries follow)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return sdf.sparkSession.table(name)
