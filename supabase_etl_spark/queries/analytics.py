@@ -1763,3 +1763,92 @@ def events_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("win_day", "approx_users_7d", "exact_users_7d", "n_sketches_merged")
         .orderBy("win_day")
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type
+        FROM events WHERE event_type <> 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_id, ts AS valid_from, event_type
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    dim AS (
+        SELECT user_id, event_type AS state_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from, event_id)
+                 AS valid_to
+        FROM changes
+    )
+    SELECT p.event_id AS purchase_event, p.user_id, d.state_type,
+           d.valid_from AS state_since
+    FROM events p
+    LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_event
+    """,
+    tags=("join", "cdc", "temporal"),
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join against an SCD2 dimension — the
+    temporal-correctness pattern feature stores exist for: each
+    purchase is joined to the activity-state interval (built from the
+    user's NON-purchase events, same construction as scd2_intervals)
+    that was valid AT the purchase instant, never to later knowledge.
+    Because SCD2 intervals partition each user's timeline, the
+    interval predicate makes the join 1:at-most-1 BY CONSTRUCTION —
+    no post-rank dedup, unlike the as-of family. Plan: equi-join on
+    user_id with the interval residual; the dimension side is change
+    points only (orders of magnitude smaller than the stream), so at
+    100 TB it broadcast- or hash-joins cheaply while the fact side
+    never shuffles more than once."""
+    e = load_table(spark, sf_dir, "events")
+    non_purchase = e.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = non_purchase.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    ).select("user_id", "event_id", F.col("ts").alias("valid_from"), "event_type")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    dim = changes.select(
+        "user_id",
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event"), "user_id", "ts"
+    )
+    d = dim.alias("d")
+    return (
+        p.alias("p")
+        .join(
+            d,
+            (F.col("d.user_id") == F.col("p.user_id"))
+            & (F.col("d.valid_from") <= F.col("p.ts"))
+            & (F.col("d.valid_to").isNull() | (F.col("p.ts") < F.col("d.valid_to"))),
+            "left",
+        )
+        .select(
+            "purchase_event",
+            F.col("p.user_id").alias("user_id"),
+            "state_type",
+            F.col("valid_from").alias("state_since"),
+        )
+        .orderBy("purchase_event")
+    )

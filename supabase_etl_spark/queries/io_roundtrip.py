@@ -626,3 +626,77 @@ def io_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
+    "io_manifest_table_changes",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN CAST(round(o_totalprice * 1.1, 2) AS DOUBLE)
+                    ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey <= 2000 AND o_orderkey % 7 <> 0
+    )
+    SELECT 'delete' AS change_type, o_orderkey, o_totalprice
+    FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+    UNION ALL
+    SELECT 'insert' AS change_type, o_orderkey, o_totalprice
+    FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+    ORDER BY o_orderkey, change_type
+    """,
+    tags=("io", "lakehouse", "cdc"),
+)
+def io_manifest_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed BETWEEN SNAPSHOTS of the manifest table
+    (table_changes() semantics without a connector): commit v1, then
+    overwrite with a new state that deletes every 7th order and
+    reprices every 5th; the diff of the two PINNED snapshot reads —
+    exceptAll in both directions — yields the row-level feed, with an
+    update surfacing as its delete+insert pair (value-based CDF, the
+    form every log-structured table format can serve from snapshots
+    alone). Both reads resolve immutable manifests, so the feed is
+    reproducible forever regardless of later commits. The exceptAll
+    diff is one hash aggregation per side at any scale."""
+    import shutil
+    import tempfile
+
+    from supabase_etl_spark.io import manifest_store as M
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", F.col("o_totalprice").cast("double"))
+    )
+    v2_df = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    table = tempfile.mkdtemp(prefix="manifest_cdf_")
+    try:
+        M.commit(o, table, mode="overwrite")
+        M.commit(v2_df, table, mode="overwrite")
+        v1 = M.read(spark, table, 1)
+        v2 = M.read(spark, table, 2)
+        deletes = v1.exceptAll(v2).select(
+            F.lit("delete").alias("change_type"), "o_orderkey", "o_totalprice"
+        )
+        inserts = v2.exceptAll(v1).select(
+            F.lit("insert").alias("change_type"), "o_orderkey", "o_totalprice"
+        )
+        return (
+            deletes.unionByName(inserts)
+            .orderBy("o_orderkey", "change_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

@@ -955,3 +955,157 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_linestatus
         """
     )
+
+
+REACH_SEED = 7  # start part for the reachability walk (co-purchased at every SF)
+REACH_DEPTH = 3
+
+
+@query(
+    "sql_recursive_reachability",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              WHERE l_orderkey <= 500) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              WHERE l_orderkey <= 500) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    reach(node, depth) AS (
+        SELECT CAST({REACH_SEED} AS BIGINT), 0
+        UNION ALL
+        SELECT e.v, r.depth + 1
+        FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.depth < {REACH_DEPTH}
+    )
+    SELECT node, CAST(min(depth) AS INT) AS hops
+    FROM reach
+    GROUP BY node
+    ORDER BY hops, node
+    """,
+    tags=("sql", "graph"),
+)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE doing GRAPH TRAVERSAL (a join in the recursive
+    term, unlike the generator-shaped date spine): breadth-limited
+    transitive closure over the co-purchase graph from one seed part,
+    reporting each reachable part's minimum hop count. Spark 4's
+    WITH RECURSIVE iterates the recursive leg until fixpoint or the
+    depth guard — each iteration is one equi-join against the static
+    edge list, the same Pregel shape as the hand-rolled
+    label-propagation loop but expressed declaratively. The depth
+    bound is what keeps UNION ALL's path multiplicity finite; the
+    closing GROUP BY min(depth) collapses it."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                  WHERE l_orderkey <= 500) a
+            JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                  WHERE l_orderkey <= 500) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        reach(node, depth) AS (
+            SELECT CAST({REACH_SEED} AS BIGINT), 0
+            UNION ALL
+            SELECT e.v, r.depth + 1
+            FROM reach r JOIN edges e ON e.u = r.node
+            WHERE r.depth < {REACH_DEPTH}
+        )
+        SELECT node, CAST(min(depth) AS INT) AS hops
+        FROM reach
+        GROUP BY node
+        ORDER BY hops, node
+        """
+    )
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_big
+    FROM orders
+    WHERE o_totalprice >= 250000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql",),
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 DECLARE / SET VAR): typed,
+    session-scoped state referenced by name inside any query — the
+    ANSI answer to string-splicing thresholds into SQL text. The
+    variable reference resolves to a literal at analysis time, so
+    constant folding and parquet pushdown see 250000.0 exactly as if
+    it were inline (the oracle states the folded form)."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE big_order_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR big_order_floor = 250000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                 AS total_big
+        FROM orders
+        WHERE o_totalprice >= big_order_floor
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "sql_collation_grouping",
+    oracle="""
+    SELECT lower(o_orderpriority) AS priority_ci,
+           count(*) AS n,
+           min(o_orderkey) AS first_order
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                    ELSE lower(o_orderpriority) END AS o_orderpriority
+        FROM orders
+    )
+    GROUP BY priority_ci
+    ORDER BY priority_ci
+    """,
+    tags=("sql", "string"),
+)
+def sql_collation_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4 COLLATE): UTF8_LCASE makes
+    comparison, grouping, and joins case-insensitive WITHOUT rewriting
+    every expression through lower() — the collation travels with the
+    type, so a mixed-case feed (synthesized here by upper-casing even
+    keys) groups correctly and hash aggregation uses the collation's
+    sort key. Output normalizes the representative via lower() because
+    a collated group may surface any member spelling; the oracle is
+    the lower()-rewrite a pre-collation engine would run."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH mixed AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                        ELSE lower(o_orderpriority) END AS prio
+            FROM orders
+        )
+        SELECT lower(prio COLLATE UTF8_LCASE) AS priority_ci,
+               count(*) AS n,
+               min(o_orderkey) AS first_order
+        FROM mixed
+        GROUP BY prio COLLATE UTF8_LCASE
+        ORDER BY priority_ci
+        """
+    )
