@@ -1852,3 +1852,77 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_event")
     )
+
+
+MAD_K = 3.0  # robust z cutoff
+MAD_SCALE = 1.4826  # consistency constant for normal data
+
+
+@query(
+    "events_mad_outliers",
+    oracle=f"""
+    WITH stats AS (
+        SELECT user_id,
+               median(value) AS med
+        FROM events GROUP BY user_id
+    ),
+    dev AS (
+        SELECT e.user_id, e.event_id, e.value, s.med,
+               abs(e.value - s.med) AS adev
+        FROM events e JOIN stats s USING (user_id)
+    ),
+    mad AS (
+        SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           count(*) AS n_events,
+           CAST(SUM(CASE WHEN m.mad > 0
+                          AND d.adev / (m.mad * {MAD_SCALE}) > {MAD_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(CASE WHEN m.mad > 0
+                          THEN d.adev / (m.mad * {MAD_SCALE}) END), 6)
+             AS max_robust_z
+    FROM dev d JOIN mad m USING (user_id)
+    GROUP BY d.user_id
+    ORDER BY d.user_id
+    """,
+    tags=("events", "analytics", "dq"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    estimator that survives what breaks z-scores: mean and stddev are
+    themselves dragged by the outliers they're meant to find, while
+    median/MAD have a 50% breakdown point. robust_z = |x − med| /
+    (MAD·1.4826), flagged beyond {MAD_K}.
+
+    Two exact-median aggregations per user (Spark `percentile`, DuckDB
+    `median` — identical interpolation on even counts) with the
+    deviations joined back between them; all three stages key on
+    user_id so the stream shuffles once, and the medians are exact —
+    no approximation drift between engines, hence a hash oracle rather
+    than a tolerance check."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "user_id").select(
+        "user_id", "event_id", "value", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    rz = F.col("adev") / (F.col("mad") * MAD_SCALE)
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when((F.col("mad") > 0) & (rz > MAD_K), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.max(F.when(F.col("mad") > 0, rz)), 6).alias("max_robust_z"),
+        )
+        .orderBy("user_id")
+    )
