@@ -1109,3 +1109,38 @@ def sql_collation_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY priority_ci
         """
     )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    WHERE l_quantity >= 25.0 AND l_discount <= 0.05
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("sql",),
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE ... USING — the third leg of the dynamic-SQL
+    surface (with IDENTIFIER and session variables): a statement held
+    as a STRING executes with ?-placeholder binding, so generated SQL
+    carries values as parameters, never as spliced text. The bound
+    statement analyzes like any other — both predicates fold into the
+    parquet scan's pushed filters exactly as the oracle's inline
+    literals do."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    stmt = (
+        "SELECT l_returnflag, count(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty "
+        "FROM lineitem WHERE l_quantity >= ? AND l_discount <= ? "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE :stmt USING 25.0, 0.05", args={"stmt": stmt}
+    )
