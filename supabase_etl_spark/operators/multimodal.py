@@ -6,11 +6,13 @@ meta struct<...>)`` — exactly how a 100 TB image/audio/video corpus
 lives in parquet (the bytes stay columnar, codecs run in Arrow-batched
 Python, Spark never interprets them).
 
-The container has no media libraries, so the *decode* step is a
-clearly-marked stub (NotImplementedError) while everything Spark-side —
-schema, binaryFile source, Arrow batch shape, mapInPandas signatures,
-deterministic feature plumbing — is real and oracle-tested against
-byte-derived fake features.
+The container has no media libraries, so — following the Avro-codec
+precedent (jar absent ⇒ implement the public spec) — the decode step
+runs on the engine's own pure-Python raster codecs
+(``operators/imagecodec.py``: PPM/BMP per their public layouts, PNG per
+RFC 2083).  Feature extraction and resize therefore operate on REAL
+decoded pixels; the oracle replays the deterministic pixel synthesis
+(not the codec) in SQL, so a wrong decode is a hash mismatch.
 """
 
 from __future__ import annotations
@@ -22,8 +24,19 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-FAKE_DIM_MOD = 993  # fake feature ranges stay in [64, 64+993)
+from supabase_etl_spark.operators import imagecodec as IC
+
 FRAME_BYTES = 1024  # fake "video": 1 KiB per frame
+
+# Deterministic image-synthesis parameters (replayed by the SQL oracle):
+#   seed  = doc_id % SEED_MOD
+#   w     = DIM_BASE + doc_id % DIM_SPAN
+#   h     = DIM_BASE + (doc_id * 5 + 3) % DIM_SPAN
+#   v(x,y,c) = (seed + 3x + 5y + 7c) % 256
+SEED_MOD = 251
+DIM_BASE = 8
+DIM_SPAN = 9  # dims in [8, 16]
+IMG_RESIZE_TARGET = 12  # aspect-preserving max dim for the real resize
 
 
 def sniff_mime(content: Column) -> Column:
@@ -33,6 +46,8 @@ def sniff_mime(content: Column) -> Column:
     return (
         F.when(prefix.startswith("FFD8FF"), F.lit("image/jpeg"))
         .when(prefix.startswith("89504E47"), F.lit("image/png"))
+        .when(prefix.startswith("424D"), F.lit("image/bmp"))
+        .when(prefix.startswith("5036"), F.lit("image/x-portable-pixmap"))
         .when(prefix.startswith("47494638"), F.lit("image/gif"))
         .when(prefix.startswith("50415231"), F.lit("application/vnd.apache.parquet"))
         .when(prefix.startswith("4F676753"), F.lit("audio/ogg"))
@@ -40,57 +55,92 @@ def sniff_mime(content: Column) -> Column:
     )
 
 
-def decode_image(content: bytes) -> "tuple[int, int]":
-    """Real image decode — STUB: the runtime has no imaging library.
-
-    The Spark-side contract (bytes in, (width, height) out, called from
-    an Arrow-batched UDF) is what matters; swap the body for
-    ``PIL.Image.open(io.BytesIO(content)).size`` where Pillow exists.
-    """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decoding requires Pillow, which this environment does not "
-            "ship; deterministic fake features come from fake_features()"
-        ) from exc
-    raise NotImplementedError("wire PIL decode here when the dependency lands")
+decode_image = IC.decode_image  # magic-byte dispatch → (w, h, channels, pixels)
 
 
-def fake_features(content: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for decode: (width, height, n_frames)
-    derived from payload length and boundary bytes — reproducible in
-    plain SQL for the oracle."""
-    n = len(content)
-    first = content[0] if n else 0
-    last = content[-1] if n else 0
-    width = 64 + (n % FAKE_DIM_MOD)
-    height = 64 + ((first * 256 + last) % FAKE_DIM_MOD)
-    n_frames = 1 + n // FRAME_BYTES
-    return width, height, n_frames
+def synth_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(seed, width, height, format_id) for the deterministic image
+    fixture derived from a document id; format_id 0=PNG, 1=BMP, 2=PPM."""
+    return (
+        doc_id % SEED_MOD,
+        DIM_BASE + doc_id % DIM_SPAN,
+        DIM_BASE + (doc_id * 5 + 3) % DIM_SPAN,
+        doc_id % 3,
+    )
+
+
+def synth_rgb(seed: int, width: int, height: int) -> bytes:
+    """Row-major RGB ramp v(x,y,c) = (seed + 3x + 5y + 7c) % 256 —
+    trivially replayable in SQL with two range cross joins."""
+    return bytes(
+        (seed + 3 * x + 5 * y + 7 * c) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+
+
+_ENCODERS = (IC.encode_png, IC.encode_bmp, IC.encode_ppm)
+
+
+def generate_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas fixture generator: one real encoded image per input
+    row (format round-robins PNG/BMP/PPM by id). This is the ingest
+    stand-in for a binaryFile scan over a media lake — bytes are real
+    container files the decoders must actually parse."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uris, contents = [], []
+            for doc_id in pdf[id_col]:
+                seed, w, h, fmt = synth_params(int(doc_id))
+                uris.append(f"doc://{doc_id}")
+                contents.append(_ENCODERS[fmt](w, h, synth_rgb(seed, w, h)))
+            yield pd.DataFrame({"uri": uris, "content": contents})
+
+    return df.mapInPandas(run, schema="uri string, content binary")
 
 
 def extract_features(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """mapInPandas feature extraction: Arrow batches stream through
-    Python, one output row per input row, schema widened with the
-    feature struct. This is the real multimodal plumbing — replace
-    fake_features with a codec call and nothing else changes."""
+    """mapInPandas feature extraction over REAL decoded pixels: each
+    payload is parsed by the engine's raster codecs, then two exact
+    pixel moments (Σv and Σ(x+2y)·v) are computed from the decoded
+    buffer. Arrow batches in, one row out per image — the decode stage
+    is CPU-local and embarrassingly parallel, the 100 TB shape."""
     schema = (
-        "uri string, mime string, n_bytes long, "
-        "feat struct<width: int, height: int, n_frames: int>"
+        "uri string, n_bytes long, "
+        "feat struct<width: int, height: int, channels: int, "
+        "pixel_sum: long, pixel_wsum: long>"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf[content_col].map(fake_features)
+            feats = []
+            for content in pdf[content_col]:
+                w, h, ch, px = IC.decode_image(bytes(content))
+                psum = 0
+                wsum = 0
+                for y in range(h):
+                    for x in range(w):
+                        base = (y * w + x) * ch
+                        for c in range(ch):
+                            v = px[base + c]
+                            psum += v
+                            wsum += (x + 2 * y) * v
+                feats.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "pixel_sum": psum,
+                        "pixel_wsum": wsum,
+                    }
+                )
             yield pd.DataFrame(
                 {
                     "uri": pdf["uri"],
-                    "mime": pdf["mime"],
                     "n_bytes": pdf[content_col].map(len),
-                    "feat": feats.map(
-                        lambda t: {"width": t[0], "height": t[1], "n_frames": t[2]}
-                    ),
+                    "feat": feats,
                 }
             )
 
@@ -118,23 +168,20 @@ def sample_frames(df: DataFrame, every_k: int, content_col: str = "content") -> 
     return df.mapInPandas(run, schema="uri string, frame_idx int, frame_md5 string")
 
 
-RESIZE_TARGET = 128  # aspect-preserving max dimension
-
-
-def resize_plan(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """mapInPandas "resize": decode dims (fake_features stand-in),
-    compute aspect-preserving integer target dims bounded by
-    RESIZE_TARGET, and emit the resized-payload descriptor (byte size =
-    w·h·3 RGB; md5 over a deterministic header names the output object).
-    The batch shape is the real thing — swap the dim arithmetic for a
-    PIL/ffmpeg call and the plumbing (Arrow batches in, one row out per
-    image, binary-addressable output) is unchanged. Integer-only math
-    so the oracle replays it exactly."""
-    import hashlib
-
+def resize_plan(
+    df: DataFrame,
+    content_col: str = "content",
+    target: int = IMG_RESIZE_TARGET,
+) -> DataFrame:
+    """mapInPandas REAL resize: decode the payload with the engine's
+    raster codecs, nearest-neighbor-resample the actual pixel buffer to
+    an aspect-preserving max dimension, and emit the resized pixel sum
+    (an exact moment the SQL oracle replays through the same integer
+    index mapping dst(x,y)=src(x·w//nw, y·h//nh)). Arrow batches in,
+    one row out per image; integer-only math end to end."""
     schema = (
         "uri string, width int, height int, new_width int, new_height int, "
-        "new_bytes long, resized_md5 string"
+        "new_bytes long, resized_sum long"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,24 +189,24 @@ def resize_plan(df: DataFrame, content_col: str = "content") -> DataFrame:
             out = {
                 "uri": [], "width": [], "height": [],
                 "new_width": [], "new_height": [],
-                "new_bytes": [], "resized_md5": [],
+                "new_bytes": [], "resized_sum": [],
             }
             for uri, content in zip(pdf["uri"], pdf[content_col]):
-                w, h, _ = fake_features(content)
+                w, h, ch, px = IC.decode_image(bytes(content))
                 m = max(w, h)
-                if m <= RESIZE_TARGET:
+                if m <= target:
                     nw, nh = w, h
                 else:
-                    nw = max(1, w * RESIZE_TARGET // m)
-                    nh = max(1, h * RESIZE_TARGET // m)
-                header = f"{uri}|{nw}|{nh}"
+                    nw = max(1, w * target // m)
+                    nh = max(1, h * target // m)
+                resized = IC.resize_nearest(w, h, ch, px, nw, nh)
                 out["uri"].append(uri)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["new_width"].append(nw)
                 out["new_height"].append(nh)
-                out["new_bytes"].append(nw * nh * 3)
-                out["resized_md5"].append(hashlib.md5(header.encode()).hexdigest())
+                out["new_bytes"].append(len(resized))
+                out["resized_sum"].append(sum(resized))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=schema)

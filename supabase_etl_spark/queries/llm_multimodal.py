@@ -1,12 +1,18 @@
 """Multimodal-column queries (SURVEY.md §2.2 "multimodal columns").
 
-Payloads are synthesized deterministically (UTF-8 bytes of document
-text — the testdata ships no media files), so every byte-level result
-is reproducible in the DuckDB oracle; the documents are pure ASCII,
-making char-indexed text functions equal byte-indexed blob functions.
-The plumbing under test — binaryFile source, binary payload columns,
-Arrow-batched mapInPandas decode/feature/frame-sample — is the real
-100 TB shape; only the codec bodies are stubs (operators/multimodal).
+Two payload conventions are exercised:
+
+* **Text payloads** (UTF-8 bytes of document text) for byte-level
+  plumbing — binaryFile source, payload stats, frame sampling.
+* **Real image payloads**: the testdata ships no media files, so the
+  image queries *generate* real PNG/BMP/PPM container files (one per
+  document, format round-robin, pixels a deterministic ramp of the
+  doc_id) and then DECODE them with the engine's own pure-Python
+  raster codecs (operators/imagecodec.py — the Avro-codec precedent
+  applied to images). The oracle replays the pixel synthesis in SQL
+  (range cross joins), NOT the codec — so feature extraction and
+  resize are checked against real decoded pixels; a wrong unfilter or
+  row order is a hash mismatch.
 """
 
 from __future__ import annotations
@@ -57,33 +63,122 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("uri")
 
 
+# Image fixtures are capped to a fixed id range so the query costs the
+# same at every SF (the oracle applies the identical predicate).
+IMG_DOCS = 256
+
+# Shared oracle CTE: replays operators/multimodal.synth_params in SQL.
+_IMG_DOCS_CTE = f"""
+    docs AS (
+        SELECT doc_id,
+               concat('doc://', doc_id) AS uri,
+               doc_id % {M.SEED_MOD} AS seed,
+               CAST({M.DIM_BASE} + doc_id % {M.DIM_SPAN} AS INT) AS w,
+               CAST({M.DIM_BASE} + (doc_id * 5 + 3) % {M.DIM_SPAN} AS INT) AS h
+        FROM documents WHERE doc_id < {IMG_DOCS}
+    )
+"""
+
+
+def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real encoded image per document (PNG/BMP/PPM round-robin) —
+    the driver-generated media fixture for the decode queries."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < IMG_DOCS)
+    return M.generate_images(d.select("doc_id"))
+
+
 @query(
     "multimodal_feature_extract",
     oracle=f"""
-    SELECT concat('doc://', doc_id) AS uri,
-           octet_length(encode(text)) AS n_bytes,
-           64 + (octet_length(encode(text)) % {M.FAKE_DIM_MOD}) AS width,
-           64 + ((ascii(substr(text, 1, 1)) * 256
-                  + ascii(substr(text, length(text), 1))) % {M.FAKE_DIM_MOD}) AS height,
-           1 + octet_length(encode(text)) // {M.FRAME_BYTES} AS n_frames
-    FROM documents
+    WITH {_IMG_DOCS_CTE},
+    px AS (
+        SELECT d.uri, d.w, d.h, x.i AS xi, y.j AS yj,
+               (d.seed + 3 * x.i + 5 * y.j + 7 * c.k) % 256 AS v
+        FROM docs d,
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS x(i),
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS y(j),
+             range(0, 3) AS c(k)
+        WHERE x.i < d.w AND y.j < d.h
+    )
+    SELECT uri,
+           any_value(w) AS width,
+           any_value(h) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           CAST(sum((xi + 2 * yj) * v) AS BIGINT) AS pixel_wsum
+    FROM px GROUP BY uri
     ORDER BY uri
     """,
     tags=("llm", "multimodal"),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas "decode" producing typed features
-    (width/height/n_frames) from the payload bytes — the deterministic
-    stand-in for an image/video codec (operators/multimodal.decode_image
-    is the clearly-marked stub for the real thing)."""
-    feats = M.extract_features(_payloads(spark, sf_dir))
+    """REAL image decode in Arrow-batched mapInPandas: each payload is
+    a genuine PNG/BMP/PPM container file parsed by the engine's own
+    codecs (operators/imagecodec.py), and two exact pixel moments are
+    computed from the decoded buffer. The oracle replays the pixel
+    *synthesis* (not the codec) via range cross joins — any decode
+    defect (wrong unfilter, row order, BGR swap) is a hash mismatch."""
+    feats = M.extract_features(_images(spark, sf_dir))
     return feats.select(
         "uri",
-        "n_bytes",
         F.col("feat.width").alias("width"),
         F.col("feat.height").alias("height"),
-        F.col("feat.n_frames").alias("n_frames"),
+        F.col("feat.channels").alias("channels"),
+        F.col("feat.pixel_sum").alias("pixel_sum"),
+        F.col("feat.pixel_wsum").alias("pixel_wsum"),
     ).orderBy("uri")
+
+
+@query(
+    "multimodal_codec_roundtrip",
+    oracle=f"""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'image/bmp'
+                           ELSE 'image/x-portable-pixmap' END AS mime,
+           count(*) AS n_images,
+           count(*) AS n_pixel_exact,
+           CAST(sum({M.DIM_BASE} + doc_id % {M.DIM_SPAN}) AS BIGINT) AS width_sum
+    FROM documents WHERE doc_id < {IMG_DOCS}
+    GROUP BY 1
+    ORDER BY mime
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec conformance as a distributed query: decode every generated
+    container file and compare the decoded buffer BYTE-FOR-BYTE against
+    the synthesis formula; aggregate per format. The oracle pins
+    n_pixel_exact == n_images — one wrong byte in any PNG unfilter /
+    BMP row flip / PPM header parse fails the row."""
+    import pandas as pd
+    from supabase_etl_spark.operators import imagecodec as IC
+
+    def check(batches):
+        for pdf in batches:
+            mimes, oks, widths = [], [], []
+            for uri, content in zip(pdf["uri"], pdf["content"]):
+                doc_id = int(uri.split("//")[1])
+                seed, w, h, fmt = M.synth_params(doc_id)
+                dec = IC.decode_image(bytes(content))
+                mimes.append(
+                    ["image/png", "image/bmp", "image/x-portable-pixmap"][fmt]
+                )
+                oks.append(dec == (w, h, 3, M.synth_rgb(seed, w, h)))
+                widths.append(w)
+            yield pd.DataFrame({"mime": mimes, "ok": oks, "width": widths})
+
+    checked = _images(spark, sf_dir).mapInPandas(
+        check, schema="mime string, ok boolean, width int"
+    )
+    return (
+        checked.groupBy("mime")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.count_if(F.col("ok")).alias("n_pixel_exact"),
+            F.sum("width").cast("long").alias("width_sum"),
+        )
+        .orderBy("mime")
+    )
 
 
 @query(
@@ -149,37 +244,43 @@ def multimodal_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_resize",
     oracle=f"""
-    WITH dims AS (
-        SELECT concat('doc://', doc_id) AS uri,
-               64 + (octet_length(encode(text)) % {M.FAKE_DIM_MOD}) AS width,
-               64 + ((ascii(substr(text, 1, 1)) * 256
-                      + ascii(substr(text, length(text), 1)))
-                     % {M.FAKE_DIM_MOD}) AS height
-        FROM documents
-    ),
+    WITH {_IMG_DOCS_CTE},
     resized AS (
-        SELECT uri, width, height,
-               CASE WHEN greatest(width, height) <= {M.RESIZE_TARGET} THEN width
-                    ELSE greatest(1, width * {M.RESIZE_TARGET} // greatest(width, height))
-               END AS new_width,
-               CASE WHEN greatest(width, height) <= {M.RESIZE_TARGET} THEN height
-                    ELSE greatest(1, height * {M.RESIZE_TARGET} // greatest(width, height))
-               END AS new_height
-        FROM dims
+        SELECT uri, seed, w, h,
+               CAST(CASE WHEN greatest(w, h) <= {M.IMG_RESIZE_TARGET} THEN w
+                    ELSE greatest(1, w * {M.IMG_RESIZE_TARGET} // greatest(w, h))
+               END AS INT) AS nw,
+               CAST(CASE WHEN greatest(w, h) <= {M.IMG_RESIZE_TARGET} THEN h
+                    ELSE greatest(1, h * {M.IMG_RESIZE_TARGET} // greatest(w, h))
+               END AS INT) AS nh
+        FROM docs
+    ),
+    px AS (
+        SELECT r.uri, r.w, r.h, r.nw, r.nh,
+               (r.seed + 3 * ((x.i * r.w) // r.nw)
+                       + 5 * ((y.j * r.h) // r.nh)
+                       + 7 * c.k) % 256 AS v
+        FROM resized r,
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS x(i),
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS y(j),
+             range(0, 3) AS c(k)
+        WHERE x.i < r.nw AND y.j < r.nh
     )
-    SELECT uri, width, height, new_width, new_height,
-           CAST(new_width AS BIGINT) * new_height * 3 AS new_bytes,
-           md5(concat(uri, '|', new_width, '|', new_height)) AS resized_md5
-    FROM resized
+    SELECT uri,
+           any_value(w) AS width, any_value(h) AS height,
+           any_value(nw) AS new_width, any_value(nh) AS new_height,
+           CAST(any_value(nw) * any_value(nh) * 3 AS BIGINT) AS new_bytes,
+           CAST(sum(v) AS BIGINT) AS resized_sum
+    FROM px GROUP BY uri
     ORDER BY uri
     """,
     tags=("llm", "multimodal"),
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize over binary payload columns
-    (operators/multimodal.resize_plan): Arrow-batched mapInPandas,
-    integer-only target-dim arithmetic (max dim {128}) and a
-    deterministic output-object descriptor — the codec body is the one
-    documented stub; the batch plumbing, schema, and addressing are
-    real and oracle-replayed."""
-    return M.resize_plan(_payloads(spark, sf_dir)).orderBy("uri")
+    """REAL aspect-preserving resize (operators/multimodal.resize_plan):
+    decode the container file, nearest-neighbor-resample the actual
+    pixel buffer to max dim {12}, and report the resized pixel sum.
+    The oracle replays the exact integer index mapping
+    dst(x,y)=src(x·w//nw, y·h//nh) over the synthesis formula — the
+    resample itself is verified, not just the target dims."""
+    return M.resize_plan(_images(spark, sf_dir)).orderBy("uri")

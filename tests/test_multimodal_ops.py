@@ -10,27 +10,68 @@ from pyspark.sql import functions as F
 from supabase_etl_spark.operators import multimodal as M
 
 
-def test_decode_image_is_a_clear_stub():
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        M.decode_image(b"\x89PNG\r\n\x1a\n....")
+def test_decode_image_is_real():
+    """The former stub is gone: decode_image parses real container
+    bytes via the engine's own codecs (operators/imagecodec.py)."""
+    from supabase_etl_spark.operators import imagecodec as IC
+
+    seed, w, h, _ = M.synth_params(42)
+    rgb = M.synth_rgb(seed, w, h)
+    for enc in (IC.encode_png, IC.encode_bmp, IC.encode_ppm):
+        assert M.decode_image(enc(w, h, rgb)) == (w, h, 3, rgb)
+    with pytest.raises(ValueError, match="unrecognized"):
+        M.decode_image(b"not an image")
 
 
-def test_fake_features_deterministic_and_bounded():
-    w, h, f = M.fake_features(b"x" * 3000)
-    assert (w, h, f) == M.fake_features(b"x" * 3000)
-    assert 64 <= w < 64 + M.FAKE_DIM_MOD
-    assert 64 <= h < 64 + M.FAKE_DIM_MOD
-    assert f == 1 + 3000 // M.FRAME_BYTES
+def test_synth_params_deterministic_and_bounded():
+    for doc_id in (0, 1, 7, 250, 255):
+        seed, w, h, fmt = M.synth_params(doc_id)
+        assert seed == doc_id % M.SEED_MOD
+        assert M.DIM_BASE <= w < M.DIM_BASE + M.DIM_SPAN
+        assert M.DIM_BASE <= h < M.DIM_BASE + M.DIM_SPAN
+        assert fmt in (0, 1, 2)
+        assert len(M.synth_rgb(seed, w, h)) == w * h * 3
 
 
-def test_fake_features_empty_payload():
-    assert M.fake_features(b"") == (64, 64, 1)
+def test_generate_extract_resize_end_to_end(spark):
+    """generate_images → extract_features → resize_plan on a tiny frame,
+    verified against a driver-side replay of the same codec calls."""
+    from supabase_etl_spark.operators import imagecodec as IC
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    feats = {
+        r["uri"]: r["feat"]
+        for r in M.extract_features(M.generate_images(df)).collect()
+    }
+    assert len(feats) == 6
+    for i in range(6):
+        seed, w, h, _ = M.synth_params(i)
+        rgb = M.synth_rgb(seed, w, h)
+        f = feats[f"doc://{i}"]
+        assert (f["width"], f["height"], f["channels"]) == (w, h, 3)
+        assert f["pixel_sum"] == sum(rgb)
+    resized = {r["uri"]: r for r in M.resize_plan(M.generate_images(df)).collect()}
+    for i in range(6):
+        seed, w, h, _ = M.synth_params(i)
+        r = resized[f"doc://{i}"]
+        m = max(w, h)
+        if m <= M.IMG_RESIZE_TARGET:
+            nw, nh = w, h
+        else:
+            nw = max(1, w * M.IMG_RESIZE_TARGET // m)
+            nh = max(1, h * M.IMG_RESIZE_TARGET // m)
+        assert (r["new_width"], r["new_height"]) == (nw, nh)
+        expect = IC.resize_nearest(w, h, 3, M.synth_rgb(seed, w, h), nw, nh)
+        assert r["resized_sum"] == sum(expect)
+        assert r["new_bytes"] == len(expect)
 
 
 def test_sniff_mime_magic_bytes(spark):
     rows = [
         (bytearray(b"\xff\xd8\xff\xe0rest"), "image/jpeg"),
         (bytearray(b"\x89PNG\r\n"), "image/png"),
+        (bytearray(b"BM\x36\x00"), "image/bmp"),
+        (bytearray(b"P6\n4 4\n255\n"), "image/x-portable-pixmap"),
         (bytearray(b"GIF89a"), "image/gif"),
         (bytearray(b"OggS\x00"), "audio/ogg"),
         (bytearray(b"plain text"), "application/octet-stream"),
