@@ -38,8 +38,14 @@ STOPWORDS_EN = LANG_PROFILES["en"]
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens, empties removed (leading/trailing blanks)."""
-    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+    """Whitespace tokens, empties removed (leading/trailing blanks).
+
+    ``array_remove(..., '')`` is exactly equivalent to the
+    higher-order ``filter(..., t -> t != '')`` here (both drop every
+    empty string) but is a plain codegen-friendly builtin — a
+    HOF filter forces interpreted per-element lambda eval on every
+    corpus scan that tokenizes."""
+    return F.array_remove(F.split(col, r"\s+"), "")
 
 
 def token_count(col: Column) -> Column:

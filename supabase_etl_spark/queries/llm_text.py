@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import window as W
 
 from supabase_etl_spark.io.readers import load_table
 from supabase_etl_spark.operators import text as T
@@ -499,39 +500,55 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bigrams are built row-locally (no shuffle), the two count tables
     are plain aggs, and scoring BROADCASTS both count tables onto the
     corpus-sized bigram stream — zero corpus shuffles before the final
-    doc_id agg (previously both joins shuffled the full exploded
-    stream). c1 (unigram contexts) is always vocab-sized; c2 (bigram
-    counts) is n-gram-vocab-sized — still orders of magnitude below
-    the corpus, but for a corpus whose bigram vocabulary outgrows
-    executor memory, drop the c2 hint and let AQE pick the join at
-    runtime (the bigram keys are well-distributed, so the fallback
-    shuffle has no skew problem). Per-bigram -ln(p) goes through
-    decimal so the mean is accumulation-order independent."""
+    doc_id agg. The join keys are NUMERIC: each bigram occurrence is
+    reduced once to ``k2 = xxhash64(w1, w2)`` and ``k1 = xxhash64(w1)``
+    (8-byte longs), so the broadcast-hash probes hash a fixed-width
+    integer instead of re-hashing corpus-sized concatenated strings,
+    and the context key is carried as a column instead of being
+    re-parsed from the bigram string (the prior ``concat_ws`` +
+    ``substring_index`` shape was the one compute-bound margin in the
+    r4 bench). c1 derives from c2 (Σ cb over k1) — vocabulary-sized,
+    never a second corpus scan. For a corpus whose bigram vocabulary
+    outgrows executor memory, drop the c2 hint and let AQE pick the
+    join (64-bit hash keys are uniform, so the fallback shuffle has no
+    skew problem). Per-bigram -ln(p) goes through decimal so the mean
+    is accumulation-order independent. 64-bit key collisions are
+    negligible at any realistic vocabulary (~n²/2⁶⁵) and would only
+    merge two counts, not drop rows."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
     )
     bigram_arr = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        lambda i: F.struct(
+            F.element_at(F.col("toks"), i).alias("w1"),
+            F.element_at(F.col("toks"), i + 1).alias("w2"),
         ),
     )
     bg = (
         d.filter(F.size("toks") >= 2)
         .select("doc_id", F.explode(bigram_arr).alias("b"))
+        .select(
+            "doc_id",
+            F.xxhash64("b.w1", "b.w2").alias("k2"),
+            F.xxhash64("b.w1").alias("k1"),
+        )
     )
-    c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
-    # context counts derive from the bigram table (Σ cb over w1), not a
-    # second corpus scan: c2 is vocabulary-sized, the corpus is not
-    c1 = (
-        c2.select(F.substring_index("b", " ", 1).alias("w1"), "cb")
-        .groupBy("w1")
-        .agg(F.sum("cb").alias("cw"))
-    )
+    # k2 functionally determines k1, so grouping by both adds no groups;
+    # carrying k1 here is what lets the context count derive in-place.
+    c2 = bg.groupBy("k2", "k1").agg(F.count(F.lit(1)).alias("cb"))
+    # context counts (Σ cb over k1) come from a WINDOW over the
+    # vocabulary-sized c2 — not a second aggregation whose broadcast
+    # would re-run the whole corpus lineage. One count table, one
+    # broadcast, one probe join; the corpus is scanned exactly twice
+    # (c2 build + scoring probe) instead of three times.
+    cts = c2.withColumn(
+        "cw", F.sum("cb").over(W.Window.partitionBy("k1"))
+    ).select("k2", "cb", "cw")
     nll = (-F.log(F.col("cb").cast("double") / F.col("cw"))).cast("decimal(38,18)")
     return (
-        bg.join(F.broadcast(c2), "b")
-        .join(F.broadcast(c1), F.substring_index(F.col("b"), " ", 1) == F.col("w1"))
+        bg.select("doc_id", "k2")
+        .join(F.broadcast(cts), "k2")
         .select("doc_id", nll.alias("nll"))
         .groupBy("doc_id")
         .agg(
