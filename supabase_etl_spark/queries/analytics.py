@@ -1536,7 +1536,9 @@ LPA_ITERATIONS = 3
     tags=("graph",),
     bench=True,
 )
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_label_propagation(
+    spark: SparkSession, sf_dir: str, iterations: int = LPA_ITERATIONS
+) -> DataFrame:
     """Synchronous label propagation (community detection) over the
     part co-purchase graph — the deterministic variant: every node
     starts labeled with its own id; each round it adopts its
@@ -1546,9 +1548,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each round is one equi-join (neighbor labels) + one keyed count +
     one per-node rank — the Pregel message-aggregate shape, same as
-    graph_pagerank's loop; nothing materializes per iteration beyond
-    the (node, label) frame, and at cluster scale each round reuses
-    the node-id partitioning."""
+    graph_pagerank's loop. The edge list and each round's label frame
+    are localCheckpoint-truncated (matching graph_pagerank and
+    llm_dedup._min_label_fixpoint): without truncation the nested
+    join+agg+window lineage grows the plan superlinearly in the round
+    count, and analysis time — driver-side, unsharded — becomes the
+    bottleneck long before executor work does. ``iterations`` is
+    parameterized; blocks from retired rounds are reclaimed by the
+    ContextCleaner as each frame goes out of scope."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") <= 2000)
@@ -1565,14 +1572,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    sym = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    sym = (
+        edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
     w = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
-    for _ in range(LPA_ITERATIONS):
+    for _ in range(iterations):
         labels = (
             sym.join(labels, sym["v"] == labels["node"])
             .select(sym["u"].alias("node"), "lbl")
@@ -1581,6 +1590,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
+            .localCheckpoint()
         )
     return (
         labels.groupBy(F.col("lbl").alias("community"))
@@ -1721,9 +1731,12 @@ def events_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode), never a re-scan of raw ids. At 100 TB this is the only
     viable shape for many overlapping windows: the raw-pair explode
     of the exact variant re-shuffles the corpus per window width,
-    while the sketch table is days × 1 KB forever. Estimates carry
-    the exact twin's value alongside (dropped in production — the
-    point is not to need it)."""
+    while the sketch table is days × 1 KB forever. The query is
+    SKETCH-ONLY — this is the shape users should copy; the ±5% bound
+    against the exact explode+distinct twin lives in
+    tests/test_tolerance.py, not in the plan (computing the exact
+    answer in-query would double the very work the sketch exists to
+    avoid — r4 verdict finding #3)."""
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
@@ -1736,7 +1749,7 @@ def events_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sk",
     ).select(F.date_add(F.col("day"), F.col("i")).alias("win_day"), "sk")
     bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    est = (
+    return (
         contrib.crossJoin(F.broadcast(bounds))
         .filter((F.col("win_day") >= F.col("d0")) & (F.col("win_day") <= F.col("d1")))
         .groupBy("win_day")
@@ -1744,23 +1757,7 @@ def events_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users_7d"),
             F.count(F.lit(1)).alias("n_sketches_merged"),
         )
-    )
-    exact = (
-        ev.select(
-            F.explode(
-                F.sequence(F.lit(0), F.lit(SLIDING_DISTINCT_DAYS - 1))
-            ).alias("i"),
-            "day",
-            "user_id",
-        )
-        .select(F.date_add(F.col("day"), F.col("i")).alias("win_day"), "user_id")
-        .distinct()
-        .groupBy("win_day")
-        .agg(F.count(F.lit(1)).alias("exact_users_7d"))
-    )
-    return (
-        est.join(exact, "win_day")
-        .select("win_day", "approx_users_7d", "exact_users_7d", "n_sketches_merged")
+        .select("win_day", "approx_users_7d", "n_sketches_merged")
         .orderBy("win_day")
     )
 

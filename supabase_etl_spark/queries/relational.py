@@ -771,7 +771,7 @@ def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
     FROM lineitem
     GROUP BY ALL
-    ORDER BY l_returnflag, l_linestatus
+    ORDER BY ALL
     """,
     tags=("sql",),
 )
@@ -779,8 +779,12 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ALL / ORDER BY ALL (the 2023 SQL conveniences both
     Spark 3.4+ and DuckDB adopted): every non-aggregate select item
     becomes a grouping key, so adding a dimension to the projection
-    can't silently desync the GROUP BY list. Plan is the ordinary
-    hash aggregate — the sugar is purely analysis-time."""
+    can't silently desync the GROUP BY list; ORDER BY ALL sorts by
+    every select item left-to-right — deterministic HERE because the
+    leading items (returnflag, linestatus) are the grouping key and
+    therefore unique. Both engines run the real syntax. Plan is the
+    ordinary hash aggregate + sort — the sugar is purely
+    analysis-time."""
     from supabase_etl_spark.io.readers import register_views
 
     register_views(spark, sf_dir)
@@ -792,7 +796,7 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         FROM lineitem
         GROUP BY ALL
-        ORDER BY l_returnflag, l_linestatus
+        ORDER BY ALL
         """
     )
 

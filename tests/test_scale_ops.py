@@ -82,3 +82,30 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert n == 1
     assert len(glob.glob(f"{compacted}/*.parquet")) == 1
     assert spark.read.parquet(compacted).count() == li.count()
+
+
+def test_label_propagation_plan_bounded_in_rounds(spark):
+    """localCheckpoint per LPA round must keep the logical plan
+    constant-size: 10 rounds may not analyze into a superlinearly
+    bigger plan than 2 rounds (the r4 verdict's growth concern)."""
+    import time
+
+    from supabase_etl_spark.queries.analytics import graph_label_propagation
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan_len(iters):
+        t0 = time.time()
+        df = graph_label_propagation(spark, sf, iterations=iters)
+        build = time.time() - t0
+        return len(df._jdf.queryExecution().optimizedPlan().toString()), build
+
+    len2, t2 = plan_len(2)
+    len10, t10 = plan_len(10)
+    # truncated lineage -> final plan identical in shape regardless of
+    # round count (each round starts from a checkpointed scan)
+    assert len10 <= len2 * 1.5, (len2, len10)
+    # and 10 rounds converge to the same communities as 3 on this graph
+    r3 = {tuple(r) for r in graph_label_propagation(spark, sf, iterations=3).collect()}
+    r10 = {tuple(r) for r in graph_label_propagation(spark, sf, iterations=10).collect()}
+    assert r3 == r10

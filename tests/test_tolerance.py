@@ -362,10 +362,38 @@ def test_pq_codebooks_deterministic(spark):
 def test_sliding_hll_tracks_exact(spark):
     """Every trailing-window HLL estimate must land within 5% of the
     exact distinct count, and each window merges at most 7 daily
-    sketches."""
+    sketches. The exact twin lives HERE, not in the registry query —
+    the production plan is sketch-only (computing the exact answer
+    in-query would double the work the sketch avoids)."""
+    from pyspark.sql import functions as F
+
+    from supabase_etl_spark.io.readers import load_table
+    from supabase_etl_spark.queries.analytics import SLIDING_DISTINCT_DAYS
+
     rows = REGISTRY["events_sliding_hll_users"].fn(spark, SF).collect()
     assert rows
+    ev = load_table(spark, SF, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    exact = {
+        r["win_day"]: r["exact"]
+        for r in (
+            ev.select(
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(SLIDING_DISTINCT_DAYS - 1))
+                ).alias("i"),
+                "day",
+                "user_id",
+            )
+            .select(F.date_add(F.col("day"), F.col("i")).alias("win_day"), "user_id")
+            .distinct()
+            .groupBy("win_day")
+            .agg(F.count(F.lit(1)).alias("exact"))
+            .collect()
+        )
+    }
     for r in rows:
-        assert r["n_sketches_merged"] <= 7
-        rel = abs(r["approx_users_7d"] - r["exact_users_7d"]) / r["exact_users_7d"]
+        assert r["n_sketches_merged"] <= SLIDING_DISTINCT_DAYS
+        ex = exact[r["win_day"]]
+        rel = abs(r["approx_users_7d"] - ex) / ex
         assert rel <= 0.05, (r["win_day"], rel)
