@@ -23,6 +23,21 @@ independently — the same argument the parquet committer makes, rebuilt
 in Python where a REST/entitlement-gated destination would live.
 Rows cross in chunks of ``chunk_size`` (default 300, the reference's
 page size) to bound per-call payloads.
+
+``mode("overwrite")`` is honored: the driver-side commit clears
+previously published ``task-*.jsonl`` files before publishing the new
+set, so a directory-glob reader never sees a mix of generations
+(append mode keeps old files and the manifest lists the union).
+
+SHARED-FILESYSTEM REQUIREMENT: tasks stage under ``<dest>/_staging``
+on the filesystem local to the executor, and the driver publishes by
+``os.rename`` — so destination and staging must live on a filesystem
+all executors AND the driver share (local mode, NFS, or a FUSE-mounted
+object store). On a multi-node cluster without shared storage, the
+write() staging step must instead upload to the shared destination
+(e.g. the REST/object-store call this sink models) and commit() only
+publishes the manifest; the protocol is unchanged, the byte transport
+is what varies.
 """
 
 from __future__ import annotations
@@ -49,11 +64,12 @@ class _Staged(WriterCommitMessage):
 class ChunkedJsonlWriter(DataSourceWriter):
     """Executor-side writer: rows → chunked JSONL staging file."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self.dest = options.get("path")
         if not self.dest:
             raise ValueError("option 'path' is required")
         self.chunk_size = int(options.get("chunk_size", CHUNK_SIZE))
+        self.overwrite = overwrite
 
     def write(self, iterator):
         os.makedirs(os.path.join(self.dest, "_staging"), exist_ok=True)
@@ -74,15 +90,27 @@ class ChunkedJsonlWriter(DataSourceWriter):
         return _Staged(staged, n)
 
     def commit(self, messages):
-        # driver-side, after ALL tasks succeeded: atomic publish
+        # driver-side, after ALL tasks succeeded: atomic publish.
+        # Overwrite clears the previous generation FIRST so glob
+        # readers never see old+new mixed; orphan-on-crash here leaves
+        # a manifest-less directory, the same crash story as staging.
+        if self.overwrite:
+            for f in os.listdir(self.dest):
+                if f.startswith("task-") and f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.dest, f))
         published = []
+        manifest = os.path.join(self.dest, "_committed.json")
+        if not self.overwrite and os.path.exists(manifest):
+            # append: the new manifest lists previous ∪ new, matching
+            # what a directory-glob reader sees
+            with open(manifest) as fh:
+                published = json.load(fh)["files"]
         for m in messages:
             if m is None:
                 continue
             final = os.path.join(self.dest, os.path.basename(m.path))
             os.rename(m.path, final)
             published.append({"file": os.path.basename(final), "rows": m.n_rows})
-        manifest = os.path.join(self.dest, "_committed.json")
         tmp = manifest + f".tmp{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as fh:
             json.dump({"files": published}, fh)
@@ -102,7 +130,7 @@ class ChunkedJsonlDataSource(DataSource):
         return "chunked_jsonl"
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return ChunkedJsonlWriter(self.options)
+        return ChunkedJsonlWriter(self.options, overwrite=overwrite)
 
 
 def register(spark) -> None:

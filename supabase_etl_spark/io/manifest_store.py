@@ -14,10 +14,13 @@ implements the core contract directly over parquet + JSON manifests:
       _manifests/v00000002.json
       ...
 
-* `commit(df, mode)` — writes new data files, then atomically (tmp +
-  rename) writes manifest v(N+1) listing either the new files only
-  (overwrite) or previous ∪ new (append). The manifest rename is the
-  commit point, exactly like Delta's _delta_log entry.
+* `commit(df, mode)` — writes new data files, then publishes manifest
+  v(N+1) listing either the new files only (overwrite) or previous ∪
+  new (append). Publication is PUT-IF-ABSENT (hard link, which raises
+  EEXIST on conflict): when two writers race to the same version, one
+  wins and the other gets ConcurrentCommitError to re-read and retry
+  — the same optimistic-concurrency contract as Delta's _delta_log
+  entry, not last-writer-wins.
 * `read(version=None)` — resolves the requested (default: latest)
   manifest and scans only its files. Old versions remain readable
   until explicitly vacuumed.
@@ -37,6 +40,10 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first; re-read and retry."""
 
 
 def _manifest_dir(table_dir: str) -> str:
@@ -95,8 +102,21 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append", note: str = "") 
     tmp = os.path.join(_manifest_dir(table_dir), f".tmp_{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    # atomic rename IS the commit
-    os.rename(tmp, os.path.join(_manifest_dir(table_dir), f"v{version:08d}.json"))
+    # PUT-IF-ABSENT is the commit (the Delta/Iceberg log contract): a
+    # hard link fails with EEXIST if another writer already published
+    # this version — a plain rename would silently overwrite the
+    # loser's snapshot. The loser's data files stay orphaned in data/
+    # (invisible: no manifest names them), same as any aborted write.
+    final = os.path.join(_manifest_dir(table_dir), f"v{version:08d}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ConcurrentCommitError(
+            f"version {version} was committed by a concurrent writer; "
+            "re-read the table and retry the commit"
+        ) from None
+    os.unlink(tmp)
     return version
 
 

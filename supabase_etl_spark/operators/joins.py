@@ -62,10 +62,11 @@ def asof_join(
             cond = cond & (rt <= lt + tol)
         order = [F.col(f"r.{right_time}").asc()]
     elif direction == "nearest":
+        # strict ≙ pandas allow_exact_matches=False: an exact-time
+        # right row is not a candidate in either direction
+        cond = (rt != lt) if strict else F.lit(True)
         if tol is not None:
-            cond = (rt >= lt - tol) & (rt <= lt + tol)
-        else:
-            cond = F.lit(True)
+            cond = cond & (rt >= lt - tol) & (rt <= lt + tol)
         dist = F.abs(F.unix_micros(rt) - F.unix_micros(lt))
         # pandas merge_asof(nearest): equidistant candidates resolve to
         # the backward (earlier) one — (rt > lt) sorts False first

@@ -45,33 +45,35 @@ def build_digest(values: np.ndarray, k: int = TDIGEST_K) -> tuple[np.ndarray, np
 def merge_digests(
     means: np.ndarray, counts: np.ndarray, k: int = TDIGEST_K
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Merge concatenated centroid arrays back down to k centroids.
+    """Merge concatenated centroid arrays back down to AT MOST k
+    centroids — a hard size invariant, so digests cannot grow across
+    repeated merge levels in a deep rollup tree.
 
-    Sort by mean, then combine runs of adjacent centroids whose
-    cumulative mass stays within one target chunk (total/k) — the
-    equal-weight analogue of t-digest's scale-function compression."""
+    Sort by mean, then assign each centroid to the equal-mass chunk
+    its cumulative starting mass falls into (chunk i covers mass
+    [i·total/k, (i+1)·total/k)) and combine within chunks by weighted
+    mean. One pass, deterministic, and the output has ≤ k centroids
+    by construction (k distinct chunk ids exist) — unlike a greedy
+    flush, whose under-full emitted chunks could reach ~2k (ADVICE
+    r4). Rank error stays bounded by the chunk mass: a chunk spans at
+    most target + (largest input centroid) mass, and input centroid
+    masses are themselves ≤ their digests' chunk masses."""
     order = np.argsort(means, kind="stable")
-    m, c = np.asarray(means, dtype=np.float64)[order], np.asarray(counts, dtype=np.int64)[order]
+    m = np.asarray(means, dtype=np.float64)[order]
+    c = np.asarray(counts, dtype=np.int64)[order]
     total = int(c.sum())
     if total == 0 or m.size <= k:
         return m, c
     target = total / k
+    cum_before = np.cumsum(c) - c  # mass strictly before each centroid
+    bucket = np.minimum((cum_before / target).astype(np.int64), k - 1)
     out_m: list[float] = []
     out_c: list[int] = []
-    acc_w = 0.0
-    acc_sum = 0.0
-    budget = target
-    for mi, ci in zip(m, c):
-        if acc_w > 0 and acc_w + ci > budget + 1e-9:
-            out_m.append(acc_sum / acc_w)
-            out_c.append(int(round(acc_w)))
-            budget = target  # fresh chunk budget
-            acc_w, acc_sum = 0.0, 0.0
-        acc_w += ci
-        acc_sum += mi * ci
-    if acc_w > 0:
-        out_m.append(acc_sum / acc_w)
-        out_c.append(int(round(acc_w)))
+    for b in np.unique(bucket):
+        sel = bucket == b
+        w = c[sel]
+        out_m.append(float(np.average(m[sel], weights=w)))
+        out_c.append(int(w.sum()))
     return np.array(out_m), np.array(out_c, dtype=np.int64)
 
 

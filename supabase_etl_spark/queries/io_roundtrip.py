@@ -46,7 +46,9 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         schema="n_nationkey int, n_name string, n_regionkey int",
     )
-    return back.orderBy("n_nationkey")
+    result = back.orderBy("n_nationkey").localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 @query(
@@ -85,7 +87,9 @@ def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice double, o_orderdate date"
         ),
     )
-    return back.orderBy("o_orderkey")
+    result = back.orderBy("o_orderkey").localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 @query(
@@ -111,9 +115,13 @@ def io_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="pq_part_")
     write_parquet(li, out, partition_by=["l_returnflag"])
     back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
-    return back.select(
-        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
-    ).orderBy("l_orderkey", "l_linenumber")
+    result = (
+        back.select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 @query(
@@ -135,7 +143,20 @@ def io_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max stats exclude everything else — the clustering lever for
     keys too fine-grained for partition directories (a one-key analog
     of Delta's OPTIMIZE ZORDER). The date filter reaches the scan as a
-    pushed filter (pinned by tests/test_plan_shapes.py)."""
+    pushed filter (pinned by tests/test_plan_shapes.py, which asserts
+    on the LAZY plan from `io_parquet_clustered_plan`; the registered
+    query materializes eagerly so its scratch layout can be removed
+    before returning)."""
+    df, out = io_parquet_clustered_plan(spark, sf_dir)
+    df = df.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return df
+
+
+def io_parquet_clustered_plan(spark: SparkSession, sf_dir: str):
+    """Build the clustered-layout demonstration plan; returns
+    (df, scratch_dir). The caller owns the scratch directory and must
+    keep it alive until the plan is executed."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
@@ -153,9 +174,12 @@ def io_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ship_date") >= F.lit("1995-03-01").cast("date"))
         & (F.col("ship_date") < F.lit("1995-04-01").cast("date"))
     )
-    return back.select(
-        "l_orderkey", "l_linenumber", "ship_date", "l_quantity"
-    ).orderBy("l_orderkey", "l_linenumber")
+    return (
+        back.select("l_orderkey", "l_linenumber", "ship_date", "l_quantity").orderBy(
+            "l_orderkey", "l_linenumber"
+        ),
+        out,
+    )
 
 
 @query(
@@ -177,7 +201,9 @@ def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = tempfile.mkdtemp(prefix="orc_rt_")
     s.write.mode("overwrite").orc(out)
-    return spark.read.orc(out).orderBy("s_suppkey")
+    result = spark.read.orc(out).orderBy("s_suppkey").localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 @query(
@@ -232,7 +258,19 @@ def io_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective scans from reading the whole table at 100 TB. The
     z-value is a pure column expression (10 bits per dimension, no
     UDF); both predicates reach the scan as pushed filters (pinned in
-    tests/test_plan_shapes.py)."""
+    tests/test_plan_shapes.py against the LAZY plan from
+    `io_parquet_zorder_plan`; the registered query materializes
+    eagerly so its scratch layout can be removed before returning)."""
+    df, out = io_parquet_zorder_plan(spark, sf_dir)
+    df = df.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return df
+
+
+def io_parquet_zorder_plan(spark: SparkSession, sf_dir: str):
+    """Build the Z-order layout demonstration plan; returns
+    (df, scratch_dir). The caller owns the scratch directory and must
+    keep it alive until the plan is executed."""
     from functools import reduce
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -264,9 +302,12 @@ def io_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("order_date") >= F.lit("1995-03-01").cast("date"))
         & (F.col("order_date") < F.lit("1995-06-01").cast("date"))
     )
-    return back.select(
-        "o_orderkey", "o_custkey", "order_date", "o_totalprice"
-    ).orderBy("o_orderkey")
+    return (
+        back.select("o_orderkey", "o_custkey", "order_date", "o_totalprice").orderBy(
+            "o_orderkey"
+        ),
+        out,
+    )
 
 
 @query(
@@ -303,7 +344,13 @@ def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
         .load(out)
     )
-    return back.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+    result = (
+        back.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 @query(

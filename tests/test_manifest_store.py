@@ -70,3 +70,32 @@ def test_manifest_files_are_explicit_lists(spark, tmp_path):
     assert len(m1["files"]) == 3
     assert len(m2["files"]) == 5
     assert set(m1["files"]) <= set(m2["files"])
+
+
+def test_concurrent_commit_is_put_if_absent(spark, tmp_path):
+    """Two writers racing to the same version: exactly one wins; the
+    loser gets ConcurrentCommitError and the winner's snapshot is
+    intact (the Delta/Iceberg optimistic-concurrency contract — a
+    plain rename would silently swallow the winner's commit)."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(5).toDF("id")
+    assert M.commit(df, t, note="v1") == 1
+
+    # simulate the race: writer B publishes v2 out from under writer A
+    # after A has read prev=1 — done by pre-creating the v2 manifest
+    # file A is about to link into place
+    mdir = os.path.join(t, "_manifests")
+    winner = {"version": 2, "files": M._read_manifest(t, 1)["files"], "note": "B"}
+    with open(os.path.join(mdir, "v00000002.json"), "w") as fh:
+        json.dump(winner, fh)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(M, "current_version", return_value=1):
+        with pytest.raises(M.ConcurrentCommitError, match="version 2"):
+            M.commit(spark.range(3).toDF("id"), t, note="A")
+
+    # winner's manifest untouched; no tmp litter; table still readable
+    assert M._read_manifest(t, 2)["note"] == "B"
+    assert not [f for f in os.listdir(mdir) if f.startswith(".tmp")]
+    assert M.read(spark, t).count() == 5

@@ -50,9 +50,19 @@ def test_partitioned_write_prunes_partitions(spark):
 
 
 def test_clustered_write_pushes_range_filter(spark):
-    q = load_all()["io_parquet_clustered"]
-    plan = _plan(q.fn(spark, SF))
-    assert "PushedFilters: [IsNotNull(ship_date), GreaterThanOrEqual(ship_date," in plan
+    import shutil
+
+    from supabase_etl_spark.queries.io_roundtrip import io_parquet_clustered_plan
+
+    df, scratch = io_parquet_clustered_plan(spark, SF)
+    try:
+        plan = _plan(df)
+        assert (
+            "PushedFilters: [IsNotNull(ship_date), GreaterThanOrEqual(ship_date,"
+            in plan
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def test_topk_uses_take_ordered(spark):
@@ -242,13 +252,20 @@ def test_zorder_scan_pushes_both_dimensions(spark):
     """io_parquet_zorder: the 2-D predicate must reach the parquet scan
     on BOTH columns (custkey range and date range) — that is what lets
     Z-ordered file min/max stats prune in two dimensions at once."""
-    q = load_all()["io_parquet_zorder"]
-    plan = _plan(q.fn(spark, SF))
-    # toString truncates the filter list; the prefix shows both columns
-    # entered the pushdown set
-    assert "GreaterThanOrEqual(o_custkey,100)" in plan
-    assert "IsNotNull(order_date)" in plan
-    assert "LessThanOrEqual(" in plan
+    import shutil
+
+    from supabase_etl_spark.queries.io_roundtrip import io_parquet_zorder_plan
+
+    df, scratch = io_parquet_zorder_plan(spark, SF)
+    try:
+        plan = _plan(df)
+        # toString truncates the filter list; the prefix shows both
+        # columns entered the pushdown set
+        assert "GreaterThanOrEqual(o_custkey,100)" in plan
+        assert "IsNotNull(order_date)" in plan
+        assert "LessThanOrEqual(" in plan
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def test_bloom_runtime_filter_injected(spark):

@@ -75,3 +75,36 @@ def test_chunking_bounds_payloads(spark, tmp_path):
     assert len(files) == 1
     lines = open(os.path.join(dest, files[0])).read().strip().split("\n")
     assert len(lines) == 950
+
+
+def test_overwrite_clears_previous_generation(spark, tmp_path):
+    """mode('overwrite') must not leave older task files behind: a
+    glob reader sees exactly the new generation, and the manifest
+    matches it (the advisor's mixed-generation finding)."""
+    register(spark)
+    dest = str(tmp_path / "out")
+    gen1 = spark.range(10).selectExpr("id AS k").repartition(2)
+    gen1.write.format("chunked_jsonl").option("path", dest).mode("append").save()
+    assert _read_back(spark, dest).count() == 10
+
+    gen2 = spark.range(100, 103).selectExpr("id AS k").repartition(1)
+    gen2.write.format("chunked_jsonl").option("path", dest).mode("overwrite").save()
+
+    back = _read_back(spark, dest)
+    assert back.count() == 3
+    assert {r["k"] for r in back.collect()} == {100, 101, 102}
+    manifest = json.load(open(os.path.join(dest, "_committed.json")))
+    assert sum(f["rows"] for f in manifest["files"]) == 3
+
+
+def test_append_manifest_lists_union(spark, tmp_path):
+    """Two append generations: the manifest lists previous ∪ new, in
+    agreement with what a directory glob reads."""
+    register(spark)
+    dest = str(tmp_path / "out")
+    for lo, hi in ((0, 5), (5, 9)):
+        (spark.range(lo, hi).selectExpr("id AS k").repartition(1)
+         .write.format("chunked_jsonl").option("path", dest).mode("append").save())
+    manifest = json.load(open(os.path.join(dest, "_committed.json")))
+    assert sum(f["rows"] for f in manifest["files"]) == 9
+    assert _read_back(spark, dest).count() == 9

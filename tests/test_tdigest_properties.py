@@ -80,3 +80,37 @@ def test_merge_of_shards_matches_whole(xs, n_shards):
         lo = np.searchsorted(xs_sorted, est, side="left") / x.size
         hi = np.searchsorted(xs_sorted, est, side="right") / x.size
         assert lo - tol <= q <= hi + tol, (q, est, lo, hi)
+
+
+def test_merge_size_invariant_deep_rollup():
+    """Digests must not grow across merge levels: merging merged
+    digests repeatedly stays at <= K centroids with total mass
+    conserved (the hard invariant ADVICE r4 asked to pin)."""
+    import numpy as np
+
+    from supabase_etl_spark.operators import tdigest as TD
+
+    rng = np.random.default_rng(11)
+    data = rng.exponential(scale=3.0, size=40_000)
+    # level 0: 64 shard digests
+    digests = [TD.build_digest(s) for s in np.array_split(data, 64)]
+    level = 0
+    while len(digests) > 1:
+        level += 1
+        nxt = []
+        for i in range(0, len(digests), 4):  # 4-way merge fan-in
+            group = digests[i : i + 4]
+            m = np.concatenate([g[0] for g in group])
+            c = np.concatenate([g[1] for g in group])
+            mm, mc = TD.merge_digests(m, c)
+            assert mm.size <= TD.TDIGEST_K, (level, mm.size)
+            assert int(mc.sum()) == sum(int(g[1].sum()) for g in group)
+            nxt.append((mm, mc))
+        digests = nxt
+    mm, mc = digests[0]
+    assert int(mc.sum()) == data.size
+    v = np.sort(data)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = TD.digest_quantile(mm, mc, q)
+        rank = np.searchsorted(v, est) / v.size
+        assert abs(rank - q) <= 2.0 / TD.TDIGEST_K, (q, rank)
