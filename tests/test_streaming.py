@@ -480,3 +480,122 @@ def test_stream_left_outer_join_watermark_rule(spark):
         if r["event_id"] not in matched
     }
     assert nulls == expected_nulls
+
+
+class _FakeValueState:
+    """Value state with optional TTL, modeling the RocksDB backend's
+    idle-key expiry against a fake clock."""
+
+    def __init__(self, ttl_ms=None, clock=None):
+        self.v = None
+        self.ttl_ms = ttl_ms
+        self.clock = clock or (lambda: 0)
+        self.written_at = None
+
+    def _expired(self):
+        return (
+            self.ttl_ms is not None
+            and self.written_at is not None
+            and self.clock() - self.written_at >= self.ttl_ms
+        )
+
+    def exists(self):
+        return self.v is not None and not self._expired()
+
+    def get(self):
+        return None if self._expired() else self.v
+
+    def update(self, v):
+        self.v = v
+        self.written_at = self.clock()
+
+    def clear(self):
+        self.v = None
+
+
+class _FakeHandle:
+    """Fake StatefulProcessorHandle: value states (with TTL) + the
+    timer surface (registerTimer/deleteTimer/listTimers)."""
+
+    def __init__(self, clock=None):
+        self.states = {}
+        self.timers = []
+        self.clock = clock or (lambda: 0)
+
+    def getValueState(self, name, schema, ttl_ms=None):
+        return self.states.setdefault(
+            name, _FakeValueState(ttl_ms=ttl_ms, clock=self.clock)
+        )
+
+    def registerTimer(self, expiry_ms):
+        self.timers.append(expiry_ms)
+
+    def deleteTimer(self, expiry_ms):
+        self.timers.remove(expiry_ms)
+
+    def listTimers(self):
+        return list(self.timers)
+
+
+def test_transform_with_state_timer_lifecycle():
+    """make_session_timeout_processor through the fake handle: open
+    sessions emit nothing, each batch re-arms exactly ONE timer at
+    last_event + gap, and firing the timer emits the closed session
+    and clears state — the transformWithState timer path, runnable
+    without protobuf."""
+    import pandas as pd
+
+    from supabase_etl_spark.streaming.stateful import make_session_timeout_processor
+
+    GAP = 30_000
+    proc = make_session_timeout_processor(GAP)
+    h = _FakeHandle()
+    proc.init(h)
+
+    out = list(proc.handleInputRows((5,), iter([pd.DataFrame({"ts_ms": [1000, 4000]})]), None))
+    assert out == []  # open session: no emission
+    assert h.timers == [4000 + GAP]
+
+    # second batch extends the session and REPLACES the timer
+    out = list(proc.handleInputRows((5,), iter([pd.DataFrame({"ts_ms": [9000]})]), None))
+    assert out == []
+    assert h.timers == [9000 + GAP]  # exactly one pending timer
+
+    class _Expired:
+        def getExpiryTimeInMs(self):
+            return 9000 + GAP
+
+    emitted = list(proc.handleExpiredTimer((5,), None, _Expired()))
+    assert len(emitted) == 1
+    row = emitted[0].iloc[0]
+    assert (row["session_start"], row["session_end"], row["n_events"]) == (1000, 9000, 3)
+    # state cleared: a second fire emits nothing
+    assert list(proc.handleExpiredTimer((5,), None, _Expired())) == []
+    proc.close()
+
+
+def test_transform_with_state_ttl_expiry():
+    """make_counter_processor(ttl_ms=...): state written before the
+    TTL horizon is gone at the next batch — the processor restarts the
+    count from zero exactly as a RocksDB TTL store would make it."""
+    import pandas as pd
+
+    from supabase_etl_spark.queries.streaming import CHECKSUM_K, CHECKSUM_P
+    from supabase_etl_spark.streaming.stateful import make_counter_processor
+
+    now = {"t": 0}
+    proc = make_counter_processor(CHECKSUM_P, CHECKSUM_K, ttl_ms=60_000)
+    h = _FakeHandle(clock=lambda: now["t"])
+    proc.init(h)
+
+    out1 = list(proc.handleInputRows((1,), iter([pd.DataFrame({"event_id": [1, 2]})]), None))
+    assert out1[0]["n_events"][0] == 2
+
+    now["t"] = 30_000  # within TTL: state survives
+    out2 = list(proc.handleInputRows((1,), iter([pd.DataFrame({"event_id": [3]})]), None))
+    assert out2[0]["n_events"][0] == 3
+
+    now["t"] = 120_000  # past TTL since last write: state expired
+    out3 = list(proc.handleInputRows((1,), iter([pd.DataFrame({"event_id": [4]})]), None))
+    assert out3[0]["n_events"][0] == 1  # restarted from zero
+    proc.close()
