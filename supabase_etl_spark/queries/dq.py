@@ -232,3 +232,125 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+PSI_BINS = 10        # fixed-width value bins
+PSI_BIN_WIDTH = 50.0  # events.value spans ~[0, 500)
+PSI_ALERT = 0.1      # the conventional "investigate" threshold
+
+
+@query(
+    "dq_drift_psi",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(event_id % 2 AS INT) AS cohort,
+               LEAST({PSI_BINS - 1},
+                     GREATEST(0, CAST(floor(value / {PSI_BIN_WIDTH}) AS INT))) AS bin
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type, bin,
+               CAST(count(*) FILTER (WHERE cohort = 0) AS BIGINT) AS na,
+               CAST(count(*) FILTER (WHERE cohort = 1) AS BIGINT) AS nb
+        FROM ev GROUP BY event_type, bin
+    ),
+    spine AS (
+        SELECT event_type, CAST(i AS INT) AS bin
+        FROM (SELECT DISTINCT event_type FROM ev),
+             unnest(range(0, {PSI_BINS})) AS t(i)
+    ),
+    filled AS (
+        SELECT s.event_type, s.bin,
+               COALESCE(c.na, 0) AS na, COALESCE(c.nb, 0) AS nb
+        FROM spine s LEFT JOIN cnt c
+          ON s.event_type = c.event_type AND s.bin = c.bin
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+        FROM filled GROUP BY event_type
+    ),
+    terms AS (
+        SELECT f.event_type, t.ta, t.tb,
+               ((f.na + 1) / CAST(t.ta + {PSI_BINS} AS DOUBLE)
+                - (f.nb + 1) / CAST(t.tb + {PSI_BINS} AS DOUBLE))
+               * ln(((f.na + 1) / CAST(t.ta + {PSI_BINS} AS DOUBLE))
+                    / ((f.nb + 1) / CAST(t.tb + {PSI_BINS} AS DOUBLE))) AS term
+        FROM filled f JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           MIN(ta) AS n_a, MIN(tb) AS n_b,
+           round(CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 6) AS psi,
+           round(CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 6) > {PSI_ALERT}
+               AS drift
+    FROM terms
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("dq", "drift"),
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift check between two cohorts —
+    the standard ML-monitoring gate for "has the feature distribution
+    moved" (PSI > 0.1 investigate, > 0.25 act). Cohorts here are the
+    deterministic A/B split ``event_id % 2`` (in production: last
+    week vs this week, or control vs canary); the monitored feature is
+    ``value`` in {PSI_BINS} fixed-width bins with add-1 smoothing so
+    empty bins stay finite.
+
+    100 TB shape: one corpus scan into a (event_type × {PSI_BINS})-cell
+    count grid via map-side-combined agg — the shuffle carries a few
+    dozen cells per event type, nothing else; the bin spine, totals
+    join, and PSI fold are all on that tiny grid. Per-bin terms are
+    IEEE-identical across engines (literally parallel expressions);
+    the over-bins sum goes through decimal so it is order-free, and
+    the drift verdict compares the ROUNDED psi so no boundary float
+    divergence can flip the boolean between engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).cast("int").alias("cohort"),
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.greatest(
+                F.lit(0), F.floor(F.col("value") / PSI_BIN_WIDTH).cast("int")
+            ),
+        ).alias("bin"),
+    )
+    cnt = ev.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("cohort") == 0, 1)).alias("na"),
+        F.count(F.when(F.col("cohort") == 1, 1)).alias("nb"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(PSI_BINS - 1))).alias("bin"),
+        )
+        .select("event_type", F.col("bin").cast("int").alias("bin"))
+    )
+    filled = spine.join(cnt, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    pa = (F.col("na") + 1) / (F.col("ta") + PSI_BINS).cast("double")
+    pb = (F.col("nb") + 1) / (F.col("tb") + PSI_BINS).cast("double")
+    term = (pa - pb) * F.log(pa / pb)
+    psi = F.round(F.sum(term.cast("decimal(38,18)")).cast("double"), 6)
+    return (
+        filled.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("ta").alias("n_a"),
+            F.min("tb").alias("n_b"),
+            psi.alias("psi"),
+            (psi > PSI_ALERT).alias("drift"),
+        )
+        .orderBy("event_type")
+    )

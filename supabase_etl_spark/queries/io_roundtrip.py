@@ -6,6 +6,15 @@ full serialize/deserialize cycle (readback-hash semantic from §2.2),
 not just the happy path of the reader. CSV and JSON round-trips pin
 type fidelity (dates, decimals-as-doubles, unicode); the partitioned
 parquet round-trip pins the partition-pruning layout contract.
+
+Scratch discipline (r5): every returned plan is LAZY over a
+session-lifetime scratch dir (io/scratch.py, removed at interpreter
+exit). The r4 shape — eager localCheckpoint + immediate rmtree — pinned
+each read-back in executor storage until driver GC got around to it,
+which is both a memory pin at real SF (these queries roundtrip whole
+tables) and a storage-hygiene leak on a long-lived session
+(tests/test_storage_hygiene_registry.py is the gate). The one
+deliberate exception is documented at io_corrupt_records_permissive.
 """
 
 from __future__ import annotations
@@ -17,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from supabase_etl_spark.io.readers import load_table, read_avro, read_csv, read_json
+from supabase_etl_spark.io.scratch import register_scratch, scratch_dir
 from supabase_etl_spark.io.writers import (
     write_avro,
     write_csv,
@@ -39,16 +49,14 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → csv sink (header) → csv scan with explicit schema.
     Proves the reference's CSV sink shape (op L2) both directions."""
     n = load_table(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="csv_rt_")
+    out = scratch_dir("csv_rt_")
     write_csv(n, out)
     back = read_csv(
         spark,
         out,
         schema="n_nationkey int, n_name string, n_regionkey int",
     )
-    result = back.orderBy("n_nationkey").localCheckpoint(eager=True)
-    shutil.rmtree(out, ignore_errors=True)
-    return result
+    return back.orderBy("n_nationkey")
 
 
 @query(
@@ -77,7 +85,7 @@ def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
         )
     )
-    out = tempfile.mkdtemp(prefix="json_rt_")
+    out = scratch_dir("json_rt_")
     write_json(o, out)
     back = read_json(
         spark,
@@ -87,9 +95,7 @@ def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice double, o_orderdate date"
         ),
     )
-    result = back.orderBy("o_orderkey").localCheckpoint(eager=True)
-    shutil.rmtree(out, ignore_errors=True)
-    return result
+    return back.orderBy("o_orderkey")
 
 
 @query(
@@ -112,16 +118,13 @@ def io_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_orderkey") <= 2000)
         .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
     )
-    out = tempfile.mkdtemp(prefix="pq_part_")
+    out = scratch_dir("pq_part_")
     write_parquet(li, out, partition_by=["l_returnflag"])
     back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
-    result = (
+    return (
         back.select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
-        .localCheckpoint(eager=True)
     )
-    shutil.rmtree(out, ignore_errors=True)
-    return result
 
 
 @query(
@@ -143,13 +146,11 @@ def io_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max stats exclude everything else — the clustering lever for
     keys too fine-grained for partition directories (a one-key analog
     of Delta's OPTIMIZE ZORDER). The date filter reaches the scan as a
-    pushed filter (pinned by tests/test_plan_shapes.py, which asserts
-    on the LAZY plan from `io_parquet_clustered_plan`; the registered
-    query materializes eagerly so its scratch layout can be removed
-    before returning)."""
+    pushed filter (pinned by tests/test_plan_shapes.py against
+    `io_parquet_clustered_plan`); the scratch layout lives until
+    interpreter exit so the returned plan stays lazy."""
     df, out = io_parquet_clustered_plan(spark, sf_dir)
-    df = df.localCheckpoint(eager=True)
-    shutil.rmtree(out, ignore_errors=True)
+    register_scratch(out)
     return df
 
 
@@ -199,11 +200,9 @@ def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
-    out = tempfile.mkdtemp(prefix="orc_rt_")
+    out = scratch_dir("orc_rt_")
     s.write.mode("overwrite").orc(out)
-    result = spark.read.orc(out).orderBy("s_suppkey").localCheckpoint(eager=True)
-    shutil.rmtree(out, ignore_errors=True)
-    return result
+    return spark.read.orc(out).orderBy("s_suppkey")
 
 
 @query(
@@ -228,11 +227,9 @@ def io_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
-    out = tempfile.mkdtemp(prefix="avro_rt_")
+    out = scratch_dir("avro_rt_")
     write_avro(s, out)
-    result = read_avro(spark, out).orderBy("s_suppkey").localCheckpoint(eager=True)
-    shutil.rmtree(out, ignore_errors=True)
-    return result
+    return read_avro(spark, out).orderBy("s_suppkey")
 
 
 @query(
@@ -258,12 +255,11 @@ def io_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective scans from reading the whole table at 100 TB. The
     z-value is a pure column expression (10 bits per dimension, no
     UDF); both predicates reach the scan as pushed filters (pinned in
-    tests/test_plan_shapes.py against the LAZY plan from
-    `io_parquet_zorder_plan`; the registered query materializes
-    eagerly so its scratch layout can be removed before returning)."""
+    tests/test_plan_shapes.py against `io_parquet_zorder_plan`); the
+    scratch layout lives until interpreter exit so the returned plan
+    stays lazy."""
     df, out = io_parquet_zorder_plan(spark, sf_dir)
-    df = df.localCheckpoint(eager=True)
-    shutil.rmtree(out, ignore_errors=True)
+    register_scratch(out)
     return df
 
 
@@ -330,7 +326,7 @@ def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    out = tempfile.mkdtemp(prefix="xml_rt_")
+    out = scratch_dir("xml_rt_")
     (
         n.write.format("xml")
         .option("rootTag", "nations")
@@ -344,13 +340,9 @@ def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
         .load(out)
     )
-    result = (
-        back.select("n_nationkey", "n_name", "n_regionkey")
-        .orderBy("n_nationkey")
-        .localCheckpoint(eager=True)
+    return back.select("n_nationkey", "n_name", "n_regionkey").orderBy(
+        "n_nationkey"
     )
-    shutil.rmtree(out, ignore_errors=True)
-    return result
 
 
 @query(
@@ -384,13 +376,12 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     reuses the dim's broadcast exchange to evaluate it: whole
     year-directories are skipped before any fact I/O. At 100 TB this is
     the difference between scanning every partition and touching only
-    the qualifying ones (pinned by tests/test_plan_shapes.py, which
-    asserts on the LAZY plan from `dynamic_partition_pruning_plan` —
-    the registered query materializes eagerly so its scratch layout can
-    be removed before returning, like scale_bucketed_join)."""
+    the qualifying ones (pinned by tests/test_plan_shapes.py against
+    `dynamic_partition_pruning_plan`); the partitioned scratch layout
+    lives until interpreter exit so the returned plan keeps its
+    dynamicpruning scan filter live."""
     df, out = dynamic_partition_pruning_plan(spark, sf_dir)
-    df = df.localCheckpoint(eager=True)
-    shutil.rmtree(out, ignore_errors=True)
+    register_scratch(out)
     return df
 
 
@@ -460,7 +451,7 @@ def io_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema is still pruned, so old files never materialize the new
     column. The oracle replays the null-fill rule directly."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
-    out = tempfile.mkdtemp(prefix="pq_evolve_")
+    out = scratch_dir("pq_evolve_")
     # old batch: narrow schema
     (
         o.filter(F.col("o_orderkey") <= 100)
@@ -476,13 +467,9 @@ def io_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{out}/batch=new")
     )
     back = spark.read.option("mergeSchema", "true").parquet(out)
-    result = (
-        back.select("o_orderkey", "o_totalprice", "o_orderpriority")
-        .orderBy("o_orderkey")
-        .localCheckpoint(eager=True)  # 200 rows; frees the scratch dir
+    return back.select("o_orderkey", "o_totalprice", "o_orderpriority").orderBy(
+        "o_orderkey"
     )
-    shutil.rmtree(out, ignore_errors=True)
-    return result
 
 
 @query(
@@ -524,7 +511,7 @@ def io_corrupt_records_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
         "{]",                          # wrong bracket
         '{"n_name" "NOPE"}',           # missing colon
     ]
-    out = tempfile.mkdtemp(prefix="json_corrupt_")
+    out = tempfile.mkdtemp(prefix="json_corrupt_")  # removed below
     with open(os.path.join(out, "feed.json"), "w") as f:
         f.write("\n".join(rows + corrupt))
 
@@ -543,9 +530,13 @@ def io_corrupt_records_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
     # plan whose raw-JSON scan references only the internal corrupt
     # column, and downstream pruning (e.g. a count() action) can strip
     # the data-column references back out of a lazy plan. The feed is
-    # rows+7 lines by construction, so the eager checkpoint is free —
-    # and it ends the plan's dependence on the scratch feed file, which
-    # is removed here instead of accumulating across harness runs.
+    # ≤27 lines BY CONSTRUCTION AT ANY SF (nation keys < 20 + 7 planted
+    # corruptions), so this is the one roundtrip query that keeps the
+    # eager-checkpoint shape instead of a session-lifetime scratch dir:
+    # the pinned block is a few hundred bytes, and laziness here would
+    # re-expose the pruning trap above. The storage-hygiene sweep
+    # classifies (and releases) exactly this kind of bounded
+    # checkpoint block.
     back = back.localCheckpoint(eager=True)
     shutil.rmtree(out, ignore_errors=True)
     return (
@@ -606,14 +597,12 @@ def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         n_before = o.count()
         n_after = spark.read.parquet(out_dir).count()
-        return (
-            spark.range(1)
-            .select(
-                F.lit(n_after).alias("n_rows"),
-                F.lit(n_after == n_before).alias("row_conserving"),
-                F.lit(len(after) < len(before)).alias("fewer_files"),
-            )
-            .localCheckpoint(eager=True)
+        # the gate row is pure literals — it references no scratch
+        # data, so no materialization is needed before cleanup
+        return spark.range(1).select(
+            F.lit(n_after).alias("n_rows"),
+            F.lit(n_after == n_before).alias("row_conserving"),
+            F.lit(len(after) < len(before)).alias("fewer_files"),
         )
     finally:
         shutil.rmtree(frag_dir, ignore_errors=True)
@@ -646,33 +635,22 @@ def io_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit point. The gate row aggregates both versions against the
     source-table oracle, proving appends are invisible to pinned
     readers and the latest snapshot sees everything."""
-    import shutil
-    import tempfile
-
     from supabase_etl_spark.io import manifest_store as M
     from supabase_etl_spark.queries._helpers import dsum
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    table = tempfile.mkdtemp(prefix="manifest_tbl_")
-    try:
-        M.commit(o.filter(F.col("o_orderkey") <= 1000), table, mode="overwrite")
-        M.commit(o.filter(F.col("o_orderkey") > 1000), table, mode="append")
+    table = scratch_dir("manifest_tbl_")
+    M.commit(o.filter(F.col("o_orderkey") <= 1000), table, mode="overwrite")
+    M.commit(o.filter(F.col("o_orderkey") > 1000), table, mode="append")
 
-        def summarize(version: int) -> DataFrame:
-            return M.read(spark, table, version).agg(
-                F.lit(version).alias("version"),
-                F.count(F.lit(1)).alias("n_rows"),
-                dsum(F.col("o_totalprice"), "total"),
-            ).select("version", "n_rows", "total")
+    def summarize(version: int) -> DataFrame:
+        return M.read(spark, table, version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "total"),
+        ).select("version", "n_rows", "total")
 
-        return (
-            summarize(1)
-            .unionByName(summarize(2))
-            .orderBy("version")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(table, ignore_errors=True)
+    return summarize(1).unionByName(summarize(2)).orderBy("version")
 
 
 @query(
@@ -710,9 +688,6 @@ def io_manifest_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone). Both reads resolve immutable manifests, so the feed is
     reproducible forever regardless of later commits. The exceptAll
     diff is one hash aggregation per side at any scale."""
-    import shutil
-    import tempfile
-
     from supabase_etl_spark.io import manifest_store as M
 
     o = (
@@ -728,22 +703,15 @@ def io_manifest_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
     )
-    table = tempfile.mkdtemp(prefix="manifest_cdf_")
-    try:
-        M.commit(o, table, mode="overwrite")
-        M.commit(v2_df, table, mode="overwrite")
-        v1 = M.read(spark, table, 1)
-        v2 = M.read(spark, table, 2)
-        deletes = v1.exceptAll(v2).select(
-            F.lit("delete").alias("change_type"), "o_orderkey", "o_totalprice"
-        )
-        inserts = v2.exceptAll(v1).select(
-            F.lit("insert").alias("change_type"), "o_orderkey", "o_totalprice"
-        )
-        return (
-            deletes.unionByName(inserts)
-            .orderBy("o_orderkey", "change_type")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(table, ignore_errors=True)
+    table = scratch_dir("manifest_cdf_")
+    M.commit(o, table, mode="overwrite")
+    M.commit(v2_df, table, mode="overwrite")
+    v1 = M.read(spark, table, 1)
+    v2 = M.read(spark, table, 2)
+    deletes = v1.exceptAll(v2).select(
+        F.lit("delete").alias("change_type"), "o_orderkey", "o_totalprice"
+    )
+    inserts = v2.exceptAll(v1).select(
+        F.lit("insert").alias("change_type"), "o_orderkey", "o_totalprice"
+    )
+    return deletes.unionByName(inserts).orderBy("o_orderkey", "change_type")

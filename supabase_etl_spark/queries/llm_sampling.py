@@ -12,7 +12,7 @@ layout.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from supabase_etl_spark.io.readers import load_table
@@ -271,4 +271,183 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= RESERVOIR_WEIGHTED_K)
         .select("source", "rank", "doc_id", F.col("n_chars").alias("weight"))
         .orderBy("source", "rank")
+    )
+
+
+DSIR_BUCKETS = 256  # hashed n-gram feature buckets
+DSIR_K = 50         # resampled corpus size
+# cross-engine 32-bit gram hash: int(md5(g)[:8], 16) — md5 is the one
+# hash both Spark and DuckDB compute identically over UTF-8 text
+_DSIR_SQL_BUCKET = (
+    f"(CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT) % {DSIR_BUCKETS})"
+)
+_DSIR_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+
+@query(
+    "sample_dsir",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, {_DSIR_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, g FROM (
+            SELECT doc_id, lang, unnest(toks) AS g FROM base
+            UNION ALL
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS g
+            FROM base WHERE len(toks) >= 2
+        )
+    ),
+    bucketed AS (
+        SELECT doc_id, lang, {_DSIR_SQL_BUCKET} AS b FROM grams
+    ),
+    rcnt AS (SELECT b, count(*) AS cr FROM bucketed GROUP BY b),
+    tcnt AS (SELECT b, count(*) AS ct FROM bucketed WHERE lang = 'en' GROUP BY b),
+    tot AS (
+        SELECT count(*) AS nr,
+               count(*) FILTER (WHERE lang = 'en') AS nt
+        FROM bucketed
+    ),
+    ratio AS (
+        SELECT r.b,
+               ln((COALESCE(t.ct, 0) + 1) / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
+                 - ln((r.cr + 1) / CAST(nr + {DSIR_BUCKETS} AS DOUBLE)) AS lr
+        FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tot
+    ),
+    docw AS (
+        SELECT doc_id, SUM(CAST(lr AS DECIMAL(38,18))) AS lw
+        FROM bucketed JOIN ratio USING (b)
+        GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang,
+               CAST(COALESCE(w.lw, 0) AS DOUBLE)
+                 - ln(-ln((({A} * d.doc_id + {B}) % {P} + 1)
+                          / (CAST({P} AS DOUBLE) + 1))) AS gkey,
+               CAST(COALESCE(w.lw, 0) AS DOUBLE) AS logw
+        FROM documents d LEFT JOIN docw w USING (doc_id)
+    ),
+    ranked AS (
+        SELECT doc_id, lang, logw, gkey,
+               row_number() OVER (ORDER BY gkey DESC, doc_id) AS rank
+        FROM scored
+    )
+    SELECT rank, doc_id, lang,
+           round(logw, 6) AS log_weight, round(gkey, 6) AS gumbel_key
+    FROM ranked WHERE rank <= {DSIR_K}
+    ORDER BY rank
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): pick pretraining documents whose hashed-n-gram
+    distribution looks like a target domain. Feature space: unigrams +
+    bigrams hashed into {256} buckets (the paper uses 10k; the machinery
+    is bucket-count-agnostic). Importance log-weight of a document is
+    Σ over its gram occurrences of ln p_target(bucket) − ln p_raw(bucket)
+    (add-1 smoothed); selection is Gumbel top-k over logw + Gumbel
+    noise — the exact sampling-without-replacement equivalence — with
+    the Gumbel drawn from the registry's deterministic LCG uniform so
+    the selected corpus replays bit-for-bit.
+
+    Target here: lang='en' documents (the "formal text" stand-in);
+    raw: the whole corpus.
+
+    100 TB shape: the bucket log-ratio table is {256} rows built by two
+    map-side-combined aggs over one gram stream (tiny shuffle on 256
+    keys, no skew — buckets are hash-uniform); scoring re-streams the
+    grams against the BROADCAST ratio table and aggregates per doc
+    (one corpus-keyed shuffle with partial aggregation); the final
+    top-k is TakeOrdered, never a global sort. Nothing driver-side,
+    nothing quadratic, and the gram hash is md5-prefix — computed
+    identically by DuckDB for the oracle. Per-doc sums go through
+    decimal so executor partition order cannot move the doubles.
+    Docstring numbers are interpolated from DSIR_BUCKETS/DSIR_K.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.col("text")).alias("toks")
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(F.size("toks") >= 2, F.concat(F.col("toks"), bigrams)).otherwise(
+                F.col("toks")
+            )
+        ).alias("g"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % DSIR_BUCKETS
+    )
+    bucketed = grams.select("doc_id", "lang", bucket.alias("b"))
+
+    rcnt = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tcnt = (
+        bucketed.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = bucketed.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("nt"),
+    )
+    smooth = F.lit(DSIR_BUCKETS).cast("bigint")
+    ratio = (
+        rcnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("nt") + smooth).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("nr") + smooth).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    docw = (
+        bucketed.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("lr").cast("decimal(38,18)")).alias("lw"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    u = (
+        ((F.lit(A).cast("bigint") * F.col("doc_id") + F.lit(B)) % P + 1).cast("double")
+        / F.lit(float(P + 1))
+    )
+    logw = F.coalesce(F.col("lw"), F.lit(0).cast("decimal(38,18)")).cast("double")
+    scored = docs.join(docw, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        logw.alias("logw"),
+        (logw - F.log(-F.log(u))).alias("gkey"),
+    )
+    # global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    # per-partition heaps, never a single-partition sort; the rank
+    # column is derived afterwards on the K-row result
+    top = scored.orderBy(F.desc("gkey"), F.asc("doc_id")).limit(DSIR_K)
+    w = Window.orderBy(F.desc("gkey"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "doc_id",
+            "lang",
+            F.round("logw", 6).alias("log_weight"),
+            F.round("gkey", 6).alias("gumbel_key"),
+        )
+        .orderBy("rank")
     )

@@ -662,3 +662,125 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "cos_sim", "adc_dist", "rn")
         .orderBy("qid", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# ColBERT-style late interaction (MaxSim)
+
+MAXSIM_TOKENS = 8   # sub-vectors per embedding
+MAXSIM_SUBDIM = 8   # dims per sub-vector (8 x 8 = the 64-d embedding)
+MAXSIM_TOP_K = 3
+
+
+def _sql_maxsim_slice_dot(q: str, c: str, qj: int, cj: int) -> str:
+    """Dot product of sub-vector ``qj`` of ``q`` against sub-vector
+    ``cj`` of ``c`` — same sequential list_reduce fold as sql_dot so
+    doubles match Spark's aggregate() bitwise."""
+    qs = f"list_slice({q}, {qj * MAXSIM_SUBDIM + 1}, {(qj + 1) * MAXSIM_SUBDIM})"
+    cs = f"list_slice({c}, {cj * MAXSIM_SUBDIM + 1}, {(cj + 1) * MAXSIM_SUBDIM})"
+    return sql_dot(qs, cs)
+
+
+def _sql_maxsim(q: str, c: str) -> str:
+    """Σ_qj max_cj dot(q_j, c_j) with the per-token max over an explicit
+    greatest() (order-free) and the token sum through DECIMAL (order-free),
+    mirroring the Spark expression term-for-term."""
+    per_token = [
+        "greatest("
+        + ", ".join(_sql_maxsim_slice_dot(q, c, qj, cj) for cj in range(MAXSIM_TOKENS))
+        + ")"
+        for qj in range(MAXSIM_TOKENS)
+    ]
+    total = " + ".join(f"CAST({t} AS DECIMAL(38,18))" for t in per_token)
+    return f"CAST({total} AS DOUBLE)"
+
+
+@query(
+    "sim_maxsim_late_interaction",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < {MAXSIM_TOP_K + 1}
+    ),
+    c AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings WHERE vec_id >= {MAXSIM_TOP_K + 1}
+    ),
+    scored AS (
+        SELECT qid, cid, round({_sql_maxsim("qe", "ce")}, 9) AS maxsim
+        FROM q CROSS JOIN c
+    ),
+    ranked AS (
+        SELECT qid, cid, maxsim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY maxsim DESC, cid ASC) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, maxsim, rn FROM ranked WHERE rn <= {MAXSIM_TOP_K}
+    ORDER BY qid, rn
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval scoring (Khattab &
+    Zaharia, SIGIR 2020): a document is a BAG of token vectors, not one
+    pooled vector, and relevance is MaxSim — for each query token, the
+    best-matching document token's dot product, summed over query
+    tokens. Here each 64-d embedding is reshaped into 8 sub-vectors of
+    8 dims (the multi-vector plumbing is identical for real per-token
+    embeddings; only the slicing differs), the 4-query batch is
+    BROADCAST against the corpus scan, and the whole 8x8 max-dot grid
+    is pure nested higher-order array expressions — JVM-side, zero
+    UDFs, zero corpus shuffles. At 100 TB this is the same shape as
+    sim_topk_bruteforce: one corpus pass per query batch, per-query
+    top-k. Real deployments put an ANN prefilter (sim_topk_lsh /
+    sim_topk_ivf) in front and MaxSim-rescore the shortlist — both
+    halves live in this registry. Determinism: per-token max over an
+    8-way greatest (order-free), token sum through decimal
+    (order-free), each sub-dot a sequential fold matching DuckDB's
+    list_reduce bitwise."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(MAXSIM_TOKENS - 1)),
+        lambda j: F.slice(emb, j * MAXSIM_SUBDIM + 1, MAXSIM_SUBDIM),
+    )
+    n_q = MAXSIM_TOP_K + 1
+    q = e.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("qid"), toks.alias("qt")
+    )
+    c = e.filter(F.col("vec_id") >= n_q).select(
+        F.col("vec_id").alias("cid"), toks.alias("ct")
+    )
+
+    def subdot(qv: Column, cv: Column) -> Column:
+        return (
+            F.aggregate(
+                F.zip_with(qv, cv, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            + F.lit(0.0)
+        )
+
+    # decimal addition widens (38,18)+(38,18) -> (38,17); cast the fold
+    # result back so the accumulator type stays fixed. 20 integer
+    # digits are far beyond any |maxsim| here, so the cast never
+    # truncates and the sum stays exact and order-free.
+    maxsim = F.aggregate(
+        F.col("qt"),
+        F.lit(0).cast("decimal(38,18)"),
+        lambda acc, qv: (
+            acc
+            + F.array_max(F.transform(F.col("ct"), lambda cv: subdot(qv, cv))).cast(
+                "decimal(38,18)"
+            )
+        ).cast("decimal(38,18)"),
+    ).cast("double")
+    w = Window.partitionBy("qid").orderBy(F.col("maxsim").desc(), F.col("cid").asc())
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("qid", "cid", F.round(maxsim, 9).alias("maxsim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MAXSIM_TOP_K)
+        .orderBy("qid", "rn")
+    )

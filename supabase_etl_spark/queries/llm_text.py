@@ -787,3 +787,84 @@ def text_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+BPE_TOP_PAIRS = 20  # merge candidates returned per training step
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT g AS tok, count(*) AS w
+        FROM (SELECT unnest({_TOKS_SQL}) AS g FROM documents)
+        GROUP BY g
+    ),
+    pairs AS (
+        SELECT substring(tok, CAST(i AS INT), 1) AS a,
+               substring(tok, CAST(i AS INT) + 1, 1) AS b,
+               w
+        FROM vocab, unnest(range(1, length(tok))) AS t(i)
+        WHERE length(tok) >= 2
+    ),
+    counted AS (
+        SELECT a, b, a || b AS merged, CAST(SUM(w) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY a, b
+    ),
+    ranked AS (
+        SELECT a, b, merged, pair_count,
+               row_number() OVER (ORDER BY pair_count DESC, a, b) AS rank
+        FROM counted
+    )
+    SELECT rank, a, b, merged, pair_count
+    FROM ranked WHERE rank <= {BPE_TOP_PAIRS}
+    ORDER BY rank
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training primitive (Sennrich et al. 2016 /
+    GPT-2's trainer): count adjacent symbol pairs across the corpus,
+    weighted by word frequency — the top pair is the next merge rule.
+    This registers the counting step at the character level (round 0
+    of training, where every symbol is one char; after a merge the
+    identical query runs over the rewritten symbol sequences).
+
+    The load-bearing scale property, same as every real BPE trainer
+    (HuggingFace tokenizers does exactly this): pair counting runs on
+    the WORD-FREQUENCY table, not the corpus — one corpus-sized
+    token agg (map-side combined, shuffle keyed on tokens) reduces
+    100 TB of text to a vocabulary-sized table, and everything after —
+    pair explode, pair agg, top-k — is vocabulary-sized work. The
+    per-word pair explode is a higher-order sequence over character
+    positions (JVM-side, no UDF); top-k is TakeOrdered. Counts are
+    integers: exact, order-free, no float discipline needed."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok") - 1),
+            lambda i: F.struct(
+                F.col("tok").substr(i, F.lit(1)).alias("a"),
+                F.col("tok").substr(i + 1, F.lit(1)).alias("b"),
+            ),
+        )
+    )
+    counted = (
+        vocab.filter(F.length("tok") >= 2)
+        .select(pair.alias("p"), "w")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("w").alias("pair_count"))
+        .withColumn("merged", F.concat("a", "b"))
+    )
+    top = counted.orderBy(F.desc("pair_count"), "a", "b").limit(BPE_TOP_PAIRS)
+    w = W.Window.orderBy(F.desc("pair_count"), "a", "b")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "a", "b", "merged", "pair_count")
+        .orderBy("rank")
+    )

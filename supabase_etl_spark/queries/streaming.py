@@ -537,22 +537,20 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated. The oracle aggregates the source directly, so the gate
     proves the sink lost and duplicated nothing. Replay idempotence
     itself is pinned by tests/test_streaming.py."""
-    import shutil
-    import tempfile
-
+    from supabase_etl_spark.io.scratch import scratch_dir
     from supabase_etl_spark.streaming.sinks import (
         foreach_batch_parquet_upsert,
         run_foreach_batch,
     )
 
-    target = tempfile.mkdtemp(prefix="fb_sink_")
+    target = scratch_dir("fb_sink_")
     s = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "ts", "value")
     )
     run_foreach_batch(s, foreach_batch_parquet_upsert(target))
-    result = (
+    return (
         spark.read.parquet(target)
         .groupBy(F.to_date("ts").alias("day"))
         .agg(
@@ -560,10 +558,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value"), "total_value"),
         )
         .orderBy("day")
-        .localCheckpoint(eager=True)
     )
-    shutil.rmtree(target, ignore_errors=True)
-    return result
 
 
 SESSION_TIMEOUT_GAP_MS = 30 * 60 * 1000
