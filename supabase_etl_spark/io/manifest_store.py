@@ -74,29 +74,31 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append", note: str = "") 
     snapshot. Returns the new version number."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode}")
-    data_dir = os.path.join(table_dir, "data")
-    os.makedirs(data_dir, exist_ok=True)
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
-
-    # write the new files into a scratch dir, then move them in — the
-    # data files are invisible until the manifest names them
-    scratch = os.path.join(table_dir, f"_tmp_{uuid.uuid4().hex[:12]}")
-    df.write.mode("overwrite").parquet(scratch)
-    new_files = []
-    for f in sorted(os.listdir(scratch)):
-        if not f.endswith(".parquet"):
-            continue
-        dest = f"part-{uuid.uuid4().hex}.parquet"
-        os.rename(os.path.join(scratch, f), os.path.join(data_dir, dest))
-        new_files.append(os.path.join("data", dest))
-    import shutil
-
-    shutil.rmtree(scratch, ignore_errors=True)
-
+    # the new data files are invisible until the manifest names them
+    new_files = _write_data_files(df, table_dir)
     prev = current_version(table_dir)
     files = list(new_files)
     if mode == "append" and prev > 0:
         files = _read_manifest(table_dir, prev)["files"] + new_files
+    return _commit_files(table_dir, files, note)
+
+
+def read(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
+    """Scan exactly the files of the requested (default: latest)
+    snapshot — time travel is just naming an older manifest."""
+    v = version if version is not None else current_version(table_dir)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _read_manifest(table_dir, v)
+    paths = [os.path.join(table_dir, f) for f in manifest["files"]]
+    return spark.read.parquet(*paths)
+
+
+def _commit_files(table_dir: str, files: list[str], note: str) -> int:
+    """Publish manifest v(N+1) naming exactly ``files`` (same
+    put-if-absent discipline as commit())."""
+    prev = current_version(table_dir)
     version = prev + 1
     manifest = {"version": version, "files": files, "note": note}
     tmp = os.path.join(_manifest_dir(table_dir), f".tmp_{uuid.uuid4().hex[:8]}")
@@ -120,12 +122,102 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append", note: str = "") 
     return version
 
 
-def read(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
-    """Scan exactly the files of the requested (default: latest)
-    snapshot — time travel is just naming an older manifest."""
-    v = version if version is not None else current_version(table_dir)
+def _write_data_files(df: DataFrame, table_dir: str) -> list[str]:
+    """Write df's rows as new immutable data files; return their
+    manifest-relative paths (invisible until a manifest names them)."""
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    scratch = os.path.join(table_dir, f"_tmp_{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(scratch)
+    new_files = []
+    for f in sorted(os.listdir(scratch)):
+        if f.endswith(".parquet"):
+            dest = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(scratch, f), os.path.join(data_dir, dest))
+            new_files.append(os.path.join("data", dest))
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    return new_files
+
+
+def merge(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_cols: list[str],
+    note: str = "",
+) -> int:
+    """Copy-on-write MERGE (Delta's ``MERGE INTO`` core): WHEN MATCHED
+    THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *. Returns the new
+    version.
+
+    The scale-defining property, same as Delta/Iceberg COW: only data
+    files that CONTAIN a matched key are rewritten. Touched files are
+    found by joining the target scan (tagged with its file path) to the
+    source keys — one pruned scan; untouched files carry over into the
+    new manifest BY NAME, zero bytes moved. The rewrite set is
+    (touched-file rows anti-joined on the keys) ∪ (all source rows);
+    at 100 TB the cost is proportional to touched data + source, not
+    table size. The matched-file list is a driver-side METADATA
+    transfer bounded by file count — the same class as the file listing
+    any lakehouse planner does, never row data.
+    """
+    from pyspark.sql import functions as F
+
+    v = current_version(table_dir)
+    if v <= 0:
+        return commit(source, table_dir, mode="overwrite", note=note or "merge-init")
+    manifest = _read_manifest(table_dir, v)
+    tgt = read(spark, table_dir, v).withColumn(
+        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    src_keys = source.select(*key_cols).distinct()
+    touched = {
+        r["_file"]
+        for r in tgt.join(src_keys, key_cols, "left_semi")
+        .select("_file")
+        .distinct()
+        .collect()  # metadata-sized: bounded by file count
+    }
+    carried = [
+        f for f in manifest["files"] if os.path.basename(f) not in touched
+    ]
+    keep = (
+        tgt.filter(F.col("_file").isin(list(touched)))
+        .drop("_file")
+        .join(source.select(*key_cols), key_cols, "left_anti")
+    )
+    rewrite = keep.unionByName(source)
+    new_files = _write_data_files(rewrite, table_dir)
+    return _commit_files(table_dir, carried + new_files, note or "merge")
+
+
+def delete_where(
+    spark: SparkSession, table_dir: str, condition, note: str = ""
+) -> int:
+    """Copy-on-write DELETE: rewrite only the files that contain a row
+    matching ``condition`` (a Column or SQL string); every other file
+    carries over by name. Returns the new version."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    v = current_version(table_dir)
     if v <= 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _read_manifest(table_dir, v)
-    paths = [os.path.join(table_dir, f) for f in manifest["files"]]
-    return spark.read.parquet(*paths)
+    tgt = read(spark, table_dir, v).withColumn(
+        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    touched = {
+        r["_file"]
+        for r in tgt.filter(cond).select("_file").distinct().collect()
+    }
+    carried = [
+        f for f in manifest["files"] if os.path.basename(f) not in touched
+    ]
+    survivors = tgt.filter(F.col("_file").isin(list(touched))).filter(~cond).drop(
+        "_file"
+    )
+    new_files = _write_data_files(survivors, table_dir)
+    return _commit_files(table_dir, carried + new_files, note or "delete")

@@ -51,6 +51,7 @@ def sniff_mime(content: Column) -> Column:
         .when(prefix.startswith("47494638"), F.lit("image/gif"))
         .when(prefix.startswith("50415231"), F.lit("application/vnd.apache.parquet"))
         .when(prefix.startswith("4F676753"), F.lit("audio/ogg"))
+        .when(prefix.startswith("52494646"), F.lit("audio/x-wav"))  # RIFF
         .otherwise(F.lit("application/octet-stream"))
     )
 
@@ -210,3 +211,75 @@ def resize_plan(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=schema)
+
+
+# --- audio (WAV PCM via operators/audiocodec.py) ------------------------
+
+AUDIO_RATE = 8000
+AUDIO_LEN_BASE = 400
+AUDIO_LEN_SPAN = 201  # n_samples in [400, 600]
+AUDIO_AMP_MOD = 4001  # samples in [-2000, 2000]
+
+
+def synth_audio_params(doc_id: int) -> tuple[int, int]:
+    """(seed, n_samples) for the deterministic PCM fixture."""
+    return doc_id % SEED_MOD, AUDIO_LEN_BASE + doc_id % AUDIO_LEN_SPAN
+
+
+def synth_pcm(seed: int, n: int) -> list[int]:
+    """s(i) = (7·seed + 11·i) mod 4001 − 2000 — a sawtooth-ish integer
+    signal trivially replayable in SQL with one range unnest."""
+    return [(7 * seed + 11 * i) % AUDIO_AMP_MOD - 2000 for i in range(n)]
+
+
+def generate_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas fixture generator: one REAL RIFF/WAVE container per
+    input row — the audio analog of generate_images."""
+    from supabase_etl_spark.operators import audiocodec as AC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uris, contents = [], []
+            for doc_id in pdf[id_col]:
+                seed, n = synth_audio_params(int(doc_id))
+                uris.append(f"doc://{doc_id}.wav")
+                contents.append(AC.encode_wav(synth_pcm(seed, n), AUDIO_RATE))
+            yield pd.DataFrame({"uri": uris, "content": contents})
+
+    return df.mapInPandas(run, schema="uri string, content binary")
+
+
+def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Arrow-batched real WAV decode → exact integer signal features:
+    sample count/rate, peak |s|, Σ|s|, and zero crossings (sign flips
+    between consecutive samples). Integer features make the decode
+    oracle-checkable without float discipline."""
+    from supabase_etl_spark.operators import audiocodec as AC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uri, content in zip(pdf["uri"], pdf[content_col]):
+                rate, channels, s = AC.decode_wav(bytes(content))
+                zc = sum(
+                    1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0)
+                )
+                rows.append(
+                    {
+                        "uri": uri,
+                        "sample_rate": rate,
+                        "n_samples": len(s),
+                        "peak": max(abs(v) for v in s) if s else 0,
+                        "sum_abs": sum(abs(v) for v in s),
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "uri string, sample_rate int, n_samples int, peak int, "
+            "sum_abs bigint, zero_crossings int"
+        ),
+    )

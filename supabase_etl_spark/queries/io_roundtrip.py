@@ -715,3 +715,93 @@ def io_manifest_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("insert").alias("change_type"), "o_orderkey", "o_totalprice"
     )
     return deletes.unionByName(inserts).orderBy("o_orderkey", "change_type")
+
+
+@query(
+    "io_manifest_merge_upsert",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey <= 1500
+    ),
+    source AS (
+        -- updates: reprice every 3rd existing key; inserts: keys in (1500, 2000]
+        -- (0.9x as one IEEE multiply, no round(): both engines produce
+        -- the identical double; round() tie semantics differ)
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) * 0.9 AS o_totalprice
+        FROM orders
+        WHERE (o_orderkey <= 1500 AND o_orderkey % 3 = 0)
+           OR (o_orderkey > 1500 AND o_orderkey <= 2000)
+    ),
+    merged AS (
+        SELECT t.o_orderkey,
+               COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+        FROM target t LEFT JOIN source s USING (o_orderkey)
+        UNION ALL
+        SELECT s.o_orderkey, s.o_totalprice
+        FROM source s LEFT JOIN target t USING (o_orderkey)
+        WHERE t.o_orderkey IS NULL
+    )
+    SELECT o_orderkey, o_totalprice FROM merged
+    ORDER BY o_orderkey
+    """,
+    tags=("io", "lakehouse", "dml"),
+)
+def io_manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over the manifest table (Delta's ``WHEN MATCHED THEN
+    UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`` in copy-on-write
+    form, no connector jar): v1 commits orders ≤1500; the source
+    reprices every 3rd existing key (matched→update) and brings keys
+    1501..2000 (not-matched→insert); the read of v2 must show exactly
+    the upserted state. The scale property under test is FILE-LEVEL
+    pruning: merge() rewrites only data files containing a matched
+    key — every untouched file carries into the new manifest by name
+    (pinned by tests/test_manifest_store.py::test_merge_carries_
+    untouched_files) — so MERGE cost tracks touched-data + source
+    size, not table size. The oracle replays the upsert relationally."""
+    from supabase_etl_spark.io import manifest_store as M
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double")
+    )
+    table = scratch_dir("manifest_merge_")
+    M.commit(o.filter(F.col("o_orderkey") <= 1500), table, mode="overwrite")
+    source = (
+        o.filter(
+            ((F.col("o_orderkey") <= 1500) & (F.col("o_orderkey") % 3 == 0))
+            | ((F.col("o_orderkey") > 1500) & (F.col("o_orderkey") <= 2000))
+        )
+        .select("o_orderkey", (F.col("o_totalprice") * 0.9).alias("o_totalprice"))
+    )
+    M.merge(spark, table, source, ["o_orderkey"])
+    return M.read(spark, table).orderBy("o_orderkey")
+
+
+@query(
+    "io_manifest_delete_where",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 1500 AND NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
+    ORDER BY o_orderkey
+    """,
+    tags=("io", "lakehouse", "dml"),
+)
+def io_manifest_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE WHERE on the manifest table: rows matching
+    the predicate vanish from the new snapshot; files without a single
+    matching row carry over untouched (rewrite cost ∝ affected files,
+    the Delta/Iceberg COW delete contract). Old snapshots still serve
+    the deleted rows — deletion is a new version, not an erasure."""
+    from supabase_etl_spark.io import manifest_store as M
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double")
+    )
+    table = scratch_dir("manifest_del_")
+    M.commit(o.filter(F.col("o_orderkey") <= 1500), table, mode="overwrite")
+    M.delete_where(
+        spark, table, "o_orderstatus = 'F' AND o_totalprice > 150000"
+    )
+    return M.read(spark, table).orderBy("o_orderkey")

@@ -284,3 +284,52 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst(x,y)=src(x·w//nw, y·h//nh) over the synthesis formula — the
     resample itself is verified, not just the target dims."""
     return M.resize_plan(_images(spark, sf_dir)).orderBy("uri")
+
+
+AUDIO_DOCS = 40  # fixture corpus: doc_id < AUDIO_DOCS
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, concat('doc://', doc_id, '.wav') AS uri,
+               doc_id % {M.SEED_MOD} AS seed,
+               {M.AUDIO_LEN_BASE} + doc_id % {M.AUDIO_LEN_SPAN} AS n
+        FROM documents WHERE doc_id < {AUDIO_DOCS}
+    ),
+    sig AS (
+        SELECT d.uri, d.n, t.i,
+               (7 * d.seed + 11 * t.i) % {M.AUDIO_AMP_MOD} - 2000 AS s,
+               (7 * d.seed + 11 * (t.i + 1)) % {M.AUDIO_AMP_MOD} - 2000 AS s_next
+        FROM docs d, range(0, {M.AUDIO_LEN_BASE + M.AUDIO_LEN_SPAN}) AS t(i)
+        WHERE t.i < d.n
+    )
+    SELECT uri,
+           CAST({M.AUDIO_RATE} AS INT) AS sample_rate,
+           CAST(any_value(n) AS INT) AS n_samples,
+           CAST(max(abs(s)) AS INT) AS peak,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(sum(CASE WHEN i < n - 1 AND ((s < 0) <> (s_next < 0))
+                         THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+    FROM sig GROUP BY uri
+    ORDER BY uri
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: each payload is a genuine RIFF/WAVE PCM
+    container (engine-built per the public WAV spec,
+    operators/audiocodec.py — the audio analog of the PNG/BMP/PPM
+    image path), parsed back by the chunk-walking decoder inside an
+    Arrow-batched mapInPandas, then reduced to exact integer signal
+    features (peak, Σ|s|, zero crossings). The oracle replays the
+    deterministic PCM *synthesis* (not the codec) with one range
+    unnest — a wrong header layout, endianness slip, or off-by-one in
+    the chunk walk is a hash mismatch, not a silently plausible
+    number. At 100 TB: bytes stay columnar in parquet/binaryFile
+    splits; decode parallelism is partition count; features shrink the
+    payload 1000x before anything shuffles."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < AUDIO_DOCS)
+    audio = M.generate_audio(d.select("doc_id"))
+    return M.extract_audio_features(audio).orderBy("uri")

@@ -99,3 +99,55 @@ def test_concurrent_commit_is_put_if_absent(spark, tmp_path):
     assert M._read_manifest(t, 2)["note"] == "B"
     assert not [f for f in os.listdir(mdir) if f.startswith(".tmp")]
     assert M.read(spark, t).count() == 5
+
+
+def test_merge_upserts_and_carries_untouched_files(spark, tmp_path):
+    """COW MERGE file pruning: two appends create disjoint-key file
+    sets; a source touching only the second range must (a) upsert
+    correctly, (b) carry every v1 data file into v3 BY NAME — zero
+    rewrite of untouched files (the property that makes MERGE cost
+    touched-data-sized, not table-sized)."""
+    t = str(tmp_path / "tbl")
+    low = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    high = spark.range(100, 200).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    M.commit(low.repartition(2), t, "overwrite")
+    M.commit(high.repartition(2), t, "append")
+    v1_files = set(M._read_manifest(t, 1)["files"])
+
+    src = spark.range(150, 250).selectExpr("id AS k", "CAST(-id AS DOUBLE) AS v")
+    v3 = M.merge(spark, t, src, ["k"])
+    assert v3 == 3
+    m3 = set(M._read_manifest(t, 3)["files"])
+    assert v1_files <= m3, "untouched low-range files must carry over by name"
+
+    out = {r["k"]: r["v"] for r in M.read(spark, t).collect()}
+    assert len(out) == 250
+    assert out[0] == 0.0 and out[149] == 149.0       # unmatched target rows kept
+    assert out[150] == -150.0 and out[199] == -199.0  # matched -> updated
+    assert out[249] == -249.0                         # not matched -> inserted
+    # time travel still serves the pre-merge state
+    assert M.read(spark, t, 2).count() == 200
+
+
+def test_merge_into_empty_table_bootstraps(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    src = spark.range(5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    assert M.merge(spark, t, src, ["k"]) == 1
+    assert M.read(spark, t).count() == 5
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    low = spark.range(0, 100).selectExpr("id AS k")
+    high = spark.range(100, 200).selectExpr("id AS k")
+    M.commit(low.repartition(2), t, "overwrite")
+    M.commit(high.repartition(2), t, "append")
+    v1_files = set(M._read_manifest(t, 1)["files"])
+
+    M.delete_where(spark, t, "k >= 150")
+    m3 = set(M._read_manifest(t, 3)["files"])
+    assert v1_files <= m3, "files with no matching row must carry over by name"
+    kept = sorted(r["k"] for r in M.read(spark, t).collect())
+    assert kept == list(range(150))
+    # deletion is a new version, not an erasure
+    assert M.read(spark, t, 2).count() == 200
