@@ -752,3 +752,48 @@ def stream_chained_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "busiest_quarter_n",
     )
     return run_available_now(out, "append").orderBy("hour_start", "event_type")
+
+
+@query(
+    "stream_pyds_replay",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           {sql_dsum("value", "total_value")},
+           CAST(max(user_id) AS BIGINT) AS max_user
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "pyds"),
+)
+def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Python ``DataSourceStreamReader`` end-to-end
+    (io/replay_stream_source.py): the events table replayed as a
+    partitioned stream — driver plans row-range InputPartitions off
+    the parquet FOOTER (metadata only), executors read their row
+    slices in parallel with row-group pruning, offsets checkpoint and
+    commit per microbatch. This is the scale half of the Python
+    data-source API that the SimpleDataSourceStreamReader
+    (io/sdk_source.py) deliberately does not cover: Simple reads on
+    the driver; this source's read() never runs there. The streamed
+    aggregation must equal the batch answer over the same table —
+    the oracle is the plain relational agg, so the source's
+    partitioning, slicing, and type bridge are all on the hash."""
+    from supabase_etl_spark.io.replay_stream_source import read_replay_stream
+
+    s = read_replay_stream(
+        spark,
+        f"{sf_dir}/events.parquet",
+        ["event_id", "user_id", "event_type", "value"],
+        rows_per_partition=1000,
+    )
+    agg = (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+            F.max("user_id").alias("max_user"),
+        )
+    )
+    return run_available_now(agg, "complete").orderBy("event_type")
