@@ -1923,3 +1923,98 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+KCORE_K = 3       # minimum in-core degree
+KCORE_ROUNDS = 4  # bounded peel rounds (parameterized below)
+
+
+@query(
+    "graph_kcore",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym0 AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    n1 AS (SELECT u FROM sym0 GROUP BY u HAVING count(*) >= {KCORE_K}),
+    sym1 AS (SELECT s.u, s.v FROM sym0 s
+             JOIN n1 a ON s.u = a.u JOIN n1 b ON s.v = b.u),
+    n2 AS (SELECT u FROM sym1 GROUP BY u HAVING count(*) >= {KCORE_K}),
+    sym2 AS (SELECT s.u, s.v FROM sym1 s
+             JOIN n2 a ON s.u = a.u JOIN n2 b ON s.v = b.u),
+    n3 AS (SELECT u FROM sym2 GROUP BY u HAVING count(*) >= {KCORE_K}),
+    sym3 AS (SELECT s.u, s.v FROM sym2 s
+             JOIN n3 a ON s.u = a.u JOIN n3 b ON s.v = b.u),
+    n4 AS (SELECT u FROM sym3 GROUP BY u HAVING count(*) >= {KCORE_K}),
+    sym4 AS (SELECT s.u, s.v FROM sym3 s
+             JOIN n4 a ON s.u = a.u JOIN n4 b ON s.v = b.u)
+    SELECT u AS part, CAST(count(*) AS BIGINT) AS core_degree
+    FROM sym4 GROUP BY u
+    ORDER BY part
+    """,
+    tags=("graph",),
+)
+def graph_kcore(
+    spark: SparkSession, sf_dir: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Bounded k-core peeling over the part co-purchase graph: each
+    round drops every vertex whose degree in the SURVIVING subgraph is
+    < k, then restricts the edges to survivors — the dense-subgraph
+    extraction used for spam/bot rings and community cores
+    (Matula–Beck peeling, distributed as in Montresor et al.). Four
+    fixed rounds are registered (parameterized ``rounds``; a true-core
+    caller loops to fixpoint the way llm_dedup._min_label_fixpoint
+    does) and the oracle replays the identical unrolled peel — the
+    LPA precedent for iteration-bounded graph ops.
+
+    Per round: one degree agg + two semi-joins restricting the
+    symmetric edge list — Pregel's message shape, all hash-keyed on
+    vertex id, nothing quadratic; the edge frame is
+    localCheckpoint-truncated per round so plan analysis stays flat in
+    the round count (the r4 LPA lesson). At 100 TB degrees skew
+    (celebrity vertices), but the agg is a map-side-combinable count —
+    the skew lands on one combiner key, not a shuffle hot spot."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        alive = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        sym = (
+            sym.join(alive, "u", "left_semi")
+            .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("u").alias("part"), "core_degree")
+        .orderBy("part")
+    )

@@ -340,6 +340,7 @@ _DSIR_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
     ORDER BY rank
     """,
     tags=("llm", "sampling"),
+    bench=True,
 )
 def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al.,

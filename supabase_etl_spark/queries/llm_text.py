@@ -457,14 +457,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("mean_nll"),
         )
-        .orderBy("doc_id")
     )
 
 
-@query(
-    "text_bigram_logprob",
-    oracle=f"""
-    WITH base AS (
+# shared bigram-NLL oracle CTEs (text_bigram_logprob, text_ppl_buckets)
+_BIGRAM_NLL_SQL = f"""base AS (
         SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
     ),
     bg AS (
@@ -481,12 +478,22 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bg
         JOIN c2 ON bg.b = c2.b
         JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1
-    )
-    SELECT doc_id,
-           count(*) AS n_bigrams,
-           round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS mean_nll
-    FROM scored
-    GROUP BY doc_id
+    ),
+    nll AS (
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS mean_nll
+        FROM scored
+        GROUP BY doc_id
+    )"""
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH {_BIGRAM_NLL_SQL}
+    SELECT doc_id, n_bigrams, mean_nll
+    FROM nll
     ORDER BY doc_id
     """,
     tags=("llm", "text"),
@@ -515,6 +522,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     is accumulation-order independent. 64-bit key collisions are
     negligible at any realistic vocabulary (~n²/2⁶⁵) and would only
     merge two counts, not drop rows."""
+    return _bigram_nll_frame(spark, sf_dir).orderBy("doc_id")
+
+
+def _bigram_nll_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, mean_nll) — the bigram scoring plan shared
+    by text_bigram_logprob and text_ppl_buckets."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
     )
@@ -555,7 +568,6 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("mean_nll"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -867,4 +879,58 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rank", F.row_number().over(w))
         .select("rank", "a", "b", "merged", "pair_count")
         .orderBy("rank")
+    )
+
+
+@query(
+    "text_ppl_buckets",
+    oracle=f"""
+    WITH {_BIGRAM_NLL_SQL},
+    th AS (
+        SELECT round(CAST(quantile_cont(mean_nll, CAST(1.0/3 AS DOUBLE))
+                     AS DOUBLE), 6) AS t1,
+               round(CAST(quantile_cont(mean_nll, CAST(2.0/3 AS DOUBLE))
+                     AS DOUBLE), 6) AS t2
+        FROM nll
+    )
+    SELECT doc_id, mean_nll,
+           CASE WHEN mean_nll <= t1 THEN 'head'
+                WHEN mean_nll <= t2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM nll CROSS JOIN th
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): bucket the
+    corpus by language-model perplexity terciles — head (lowest NLL,
+    Wikipedia-like) trains first-class, middle is kept, tail is the
+    usual drop candidate. The LM score is the engine's own bigram NLL
+    (shared plan builder with text_bigram_logprob); thresholds are the
+    exact corpus 1/3 and 2/3 quantiles, computed as a 1-row agg that
+    BROADCASTS back over the scored corpus — one corpus scoring pass,
+    one tiny threshold frame, one stateless comparison per doc.
+
+    Scale note: exact ``percentile`` concentrates the value vector in
+    one aggregation buffer — fine to ~10⁸ docs, and the oracle needs
+    its exactness; the 100 TB swap-in is ``approx_percentile`` (or the
+    registry's mergeable t-digest rollup) with identical plan shape.
+    Both the per-doc score and the thresholds are rounded to 6dp
+    BEFORE the boundary comparison, so no engine can flip a bucket on
+    a 1-ulp divergence."""
+    nll = _bigram_nll_frame(spark, sf_dir)
+    th = nll.agg(
+        F.round(F.expr("percentile(mean_nll, CAST(1.0/3 AS DOUBLE))"), 6).alias("t1"),
+        F.round(F.expr("percentile(mean_nll, CAST(2.0/3 AS DOUBLE))"), 6).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("mean_nll") <= F.col("t1"), F.lit("head"))
+        .when(F.col("mean_nll") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        nll.crossJoin(F.broadcast(th))
+        .select("doc_id", "mean_nll", bucket.alias("ppl_bucket"))
+        .orderBy("doc_id")
     )
