@@ -213,6 +213,70 @@ def main() -> None:
             .save()
         )
 
+    def t_dsir(docs):
+        # DSIR scoring shape: gram stream -> 256-bucket ratio broadcast
+        # -> per-doc decimal sum -> TakeOrdered (queries/llm_sampling.py)
+        from supabase_etl_spark.queries.llm_sampling import DSIR_BUCKETS
+
+        grams = docs.select(
+            "doc_id",
+            (F.col("doc_id") % 7 == 0).alias("tgt"),
+            F.explode(
+                F.array_remove(F.split(F.col("text"), r"\s+"), "")
+            ).alias("g"),
+        )
+        bucket = (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint")
+            % DSIR_BUCKETS
+        )
+        b = grams.select("doc_id", "tgt", bucket.alias("b"))
+        rcnt = b.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+        tcnt = b.filter("tgt").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+        ratio = rcnt.join(tcnt, "b", "left").select(
+            "b",
+            (
+                F.log((F.coalesce("ct", F.lit(0)) + 1).cast("double"))
+                - F.log((F.col("cr") + 1).cast("double"))
+            ).alias("lr"),
+        )
+        (
+            b.join(F.broadcast(ratio), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("lr").cast("decimal(38,18)")).alias("lw"))
+            .orderBy(F.desc("lw"))
+            .limit(50)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    def t_kcore(docs):
+        # one peel round at corpus scale: degree agg + two semi-joins
+        # over a synthetic doc-adjacency (consecutive ids share an edge
+        # fan of width 8 — degree-bounded, size-linear in the corpus)
+        e = docs.select(
+            F.col("doc_id").alias("u"),
+            F.explode(
+                F.sequence(F.col("doc_id") + 1, F.col("doc_id") + 8)
+            ).alias("v"),
+        )
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        alive = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter("deg >= 12")
+            .select("u")
+        )
+        (
+            sym.join(alive, "u", "left_semi")
+            .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     ops = {
         "dedup_exact (sha2 groupBy)": t_exact,
         "minhash band candidates": t_minhash,
@@ -220,6 +284,8 @@ def main() -> None:
         "token stats (scan-bound)": t_tokens,
         "sorted-neighborhood pairs": t_snm,
         "bloom build+probe": t_bloom,
+        "dsir score+topk": t_dsir,
+        "kcore peel round": t_kcore,
     }
 
     rows = []

@@ -2018,3 +2018,70 @@ def graph_kcore(
         .select(F.col("u").alias("part"), "core_degree")
         .orderBy("part")
     )
+
+
+# half-life 7 days: lambda = ln(2)/7 per day, pinned as an exact double
+# literal so both engines decay with the SAME constant (libm ln() is not
+# guaranteed correctly-rounded across runtimes)
+DECAY_LAMBDA = 0.0990210257942779
+US_PER_DAY = 86_400_000_000
+
+
+@query(
+    "events_trending_decay",
+    oracle=f"""
+    WITH ref AS (SELECT max(epoch_us(ts)) AS t_ref FROM events),
+    scored AS (
+        SELECT event_type,
+               CAST(value * exp(-{DECAY_LAMBDA}
+                    * ((t_ref - epoch_us(ts)) / {US_PER_DAY}.0))
+                    AS DECIMAL(38,18)) AS dv
+        FROM events CROSS JOIN ref
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           round(CAST(sum(dv) AS DOUBLE), 6) AS decayed_value,
+           row_number() OVER (
+               ORDER BY round(CAST(sum(dv) AS DOUBLE), 6) DESC, event_type
+           ) AS trend_rank
+    FROM scored
+    GROUP BY event_type
+    ORDER BY trend_rank
+    """,
+    tags=("events", "analytics"),
+)
+def events_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement ranking — the "trending
+    now" scorer (half-life 7 days): each event contributes
+    value·e^(−λ·age_days) against the corpus's latest timestamp, so
+    yesterday's burst outranks last month's sustained volume. The
+    reference time is an in-plan 1-row agg broadcast back over the
+    scan (the TF-IDF N pattern — nothing blocks plan build); ages are
+    integer microsecond diffs so both engines feed exp() the identical
+    double; per-event decay terms go through decimal so the per-type
+    sum is partition-order-free; the final rank sorts a
+    handful-of-types frame. One corpus scan, one tiny broadcast, one
+    grid-sized agg — and at any scale the decayed sum is MERGEABLE
+    (fix t_ref, decay then sum) so daily partials roll up without
+    rescanning history, unlike a sliding-window count."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    ref = ev.agg(F.max(F.unix_micros("ts")).alias("t_ref"))
+    age_days = (F.col("t_ref") - F.unix_micros("ts")) / F.lit(float(US_PER_DAY))
+    dv = (F.col("value") * F.exp(-F.lit(DECAY_LAMBDA) * age_days)).cast(
+        "decimal(38,18)"
+    )
+    scored = (
+        ev.crossJoin(F.broadcast(ref))
+        .select("event_type", dv.alias("dv"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("dv").cast("double"), 6).alias("decayed_value"),
+        )
+    )
+    w = Window.orderBy(F.desc("decayed_value"), F.asc("event_type"))
+    return (
+        scored.withColumn("trend_rank", F.row_number().over(w))
+        .select("event_type", "n_events", "decayed_value", "trend_rank")
+        .orderBy("trend_rank")
+    )

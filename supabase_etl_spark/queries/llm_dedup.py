@@ -1462,3 +1462,143 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jacc") >= JACCARD_THRESHOLD)
         .orderBy("ida", "idb")
     )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (Fellegi–Sunter)
+
+ER_DUP_STRIDE = 10_000_000  # id space of the injected "source B" records
+# ln(m/u)-style agreement / disagreement weights (fixed priors — a real
+# deployment EM-fits these; the scoring machinery is identical)
+ER_W = {
+    "name": (4.0, -2.0),
+    "bal": (2.0, -1.0),
+    "seg": (1.0, -0.5),
+}
+ER_THRESHOLD = 4.0
+ER_LEV_MAX = 2      # name agreement: edit distance ≤ 2
+ER_BAL_TOL = 0.05   # balance agreement tolerance
+
+
+@query(
+    "er_record_linkage",
+    oracle=f"""
+    WITH a AS (
+        SELECT c_custkey AS key, c_name AS name, c_nationkey AS nat,
+               c_acctbal AS bal, c_mktsegment AS seg
+        FROM customer
+    ),
+    b AS (
+        -- deterministic dirty copies of every 4th record: one character
+        -- deleted from the name at a key-dependent position, balance
+        -- nudged, segment sometimes lost
+        SELECT c_custkey + {ER_DUP_STRIDE} AS key,
+               concat(substring(c_name, 1, 9 + c_custkey % 9),
+                      substring(c_name, 11 + c_custkey % 9,
+                                length(c_name))) AS name,
+               c_nationkey AS nat,
+               c_acctbal + 0.01 * (c_custkey % 3) AS bal,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL
+                    ELSE c_mktsegment END AS seg
+        FROM customer WHERE c_custkey % 4 = 0
+    ),
+    cand AS (
+        SELECT a.key AS a_key, b.key AS b_key,
+               a.name AS a_name, b.name AS b_name,
+               a.bal AS a_bal, b.bal AS b_bal,
+               a.seg AS a_seg, b.seg AS b_seg
+        FROM a JOIN b
+          ON a.nat = b.nat
+         AND CAST(floor(a.bal / 1000) AS BIGINT) = CAST(floor(b.bal / 1000) AS BIGINT)
+    ),
+    scored AS (
+        SELECT a_key, b_key,
+               CAST(
+                 CAST(CASE WHEN levenshtein(a_name, b_name) <= {ER_LEV_MAX}
+                      THEN {ER_W["name"][0]} ELSE {ER_W["name"][1]} END
+                      AS DECIMAL(10,2))
+               + CAST(CASE WHEN abs(a_bal - b_bal) <= {ER_BAL_TOL}
+                      THEN {ER_W["bal"][0]} ELSE {ER_W["bal"][1]} END
+                      AS DECIMAL(10,2))
+               + CAST(CASE WHEN b_seg IS NOT NULL AND a_seg = b_seg
+                      THEN {ER_W["seg"][0]} ELSE {ER_W["seg"][1]} END
+                      AS DECIMAL(10,2))
+               AS DOUBLE) AS score
+        FROM cand
+    )
+    SELECT a_key, b_key, score
+    FROM scored WHERE score >= {ER_THRESHOLD}
+    ORDER BY a_key, b_key
+    """,
+    tags=("llm", "dedup", "er"),
+)
+def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage, Fellegi–Sunter style (the 1969
+    model under every production ER system — Splink, dedupe.io): two
+    "sources" — the customer registry and a deterministically dirtied
+    copy of every 4th record (one name character deleted at a
+    key-dependent position, balance nudged, segment sometimes lost) —
+    are BLOCKED on (nation, coarse balance bucket), candidate pairs get
+    an agreement vector (edit-distance name match, balance tolerance,
+    null-aware segment equality), and each feature contributes its
+    ln(m/u) agreement/disagreement weight to a match score; pairs over
+    threshold link.
+
+    Scale shape: blocking turns the n×m comparison space into bucketed
+    equi-join candidates (never a cross join); block skew is bounded by
+    the bucket granularity the blocker chooses; feature weights are
+    plan constants; the score is a 3-term decimal sum (order-free).
+    The edit distance runs on the JVM (`levenshtein` builtin — DuckDB
+    computes the identical DP), only on blocked candidates, never all
+    pairs. Dirty-copy injection replays in SQL, so linkage output is
+    fully hash-checked — including the false-positive behavior of the
+    chosen weights, not just the planted pairs."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    k = F.col("c_custkey")
+    b = c.filter(k % 4 == 0).select(
+        (k + ER_DUP_STRIDE).alias("key"),
+        F.concat(
+            F.expr("substring(c_name, 1, 9 + c_custkey % 9)"),
+            F.expr("substring(c_name, 11 + c_custkey % 9, length(c_name))"),
+        ).alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        (F.col("c_acctbal") + 0.01 * (k % 3)).alias("bal"),
+        F.when(k % 5 == 0, F.lit(None)).otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    bucket = lambda col: F.floor(col / 1000).cast("bigint")  # noqa: E731
+    cand = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.nat") == F.col("b.nat"))
+        & (bucket(F.col("a.bal")) == bucket(F.col("b.bal"))),
+    )
+
+    def w(feature: str, agree):
+        yes, no = ER_W[feature]
+        return (
+            F.when(agree, F.lit(yes)).otherwise(F.lit(no)).cast("decimal(10,2)")
+        )
+
+    score = (
+        w("name", F.levenshtein(F.col("a.name"), F.col("b.name")) <= ER_LEV_MAX)
+        + w("bal", F.abs(F.col("a.bal") - F.col("b.bal")) <= ER_BAL_TOL)
+        + w(
+            "seg",
+            F.col("b.seg").isNotNull() & (F.col("a.seg") == F.col("b.seg")),
+        )
+    ).cast("double")
+    return (
+        cand.select(
+            F.col("a.key").alias("a_key"),
+            F.col("b.key").alias("b_key"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= ER_THRESHOLD)
+        .orderBy("a_key", "b_key")
+    )
