@@ -797,3 +797,63 @@ def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "complete").orderBy("event_type")
+
+
+@query(
+    "stream_pyds_sink_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    WHERE event_type IN ('purchase', 'view')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "pyds"),
+)
+def stream_pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Python Data Source matrix, end-to-end in one pipeline:
+    events replayed through the partitioned PYTHON STREAM READER
+    (io/replay_stream_source.py), written through the PYTHON STREAM
+    WRITER (io/jsonl_sink_source.py — per-epoch staged-file publish
+    with idempotent batchId commits), then the sink's manifest-listed
+    files are read back and aggregated. The oracle is the plain batch
+    aggregation over the source table, so both Python halves — offset
+    planning/slicing on the read, epoch publication on the write — sit
+    on the value hash. Restart/replay idempotence of the sink is
+    pinned separately in tests/test_python_datasource_writer.py."""
+    import json as _json
+    import os
+
+    from supabase_etl_spark.io import jsonl_sink_source as J
+    from supabase_etl_spark.io.replay_stream_source import read_replay_stream
+    from supabase_etl_spark.io.scratch import scratch_dir
+
+    J.register(spark)
+    dest = scratch_dir("pyds_sink_")
+    ckpt = scratch_dir("pyds_sink_ckpt_")
+    s = read_replay_stream(
+        spark,
+        f"{sf_dir}/events.parquet",
+        ["event_id", "event_type", "value"],
+        rows_per_partition=2000,
+    ).filter(F.col("event_type").isin("purchase", "view"))
+    q = (
+        s.writeStream.format("chunked_jsonl")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with open(os.path.join(dest, "_committed.json")) as fh:
+        files = [os.path.join(dest, e["file"]) for e in _json.load(fh)["files"]]
+    back = spark.read.schema("event_id bigint, event_type string, value double").json(
+        files
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "total_value"))
+        .orderBy("event_type")
+    )

@@ -108,3 +108,62 @@ def test_append_manifest_lists_union(spark, tmp_path):
     manifest = json.load(open(os.path.join(dest, "_committed.json")))
     assert sum(f["rows"] for f in manifest["files"]) == 9
     assert _read_back(spark, dest).count() == 9
+
+
+def test_stream_writer_epoch_commit_is_idempotent(spark, tmp_path):
+    """A microbatch replayed after a crash between sink-commit and
+    checkpoint-advance must not double-publish: commit() with an
+    already-seen batchId drops the restaged files."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from supabase_etl_spark.io.jsonl_sink_source import ChunkedJsonlStreamWriter
+
+    dest = str(tmp_path / "sink")
+    os.makedirs(dest)
+    w = ChunkedJsonlStreamWriter({"path": dest})
+
+    rows = [Row(k=1, v="a"), Row(k=2, v="b")]
+    m1 = w.write(iter(rows))
+    w.commit([m1], batchId=0)
+    state = json.load(open(os.path.join(dest, "_committed.json")))
+    assert state["epochs"] == [0] and len(state["files"]) == 1
+
+    # engine replays epoch 0 (restage + commit again)
+    m1b = w.write(iter(rows))
+    w.commit([m1b], batchId=0)
+    state = json.load(open(os.path.join(dest, "_committed.json")))
+    assert state["epochs"] == [0] and len(state["files"]) == 1, "double-publish"
+    assert not os.path.exists(m1b.path), "replayed stage file must be dropped"
+
+    # a NEW epoch publishes normally
+    m2 = w.write(iter([Row(k=3, v="c")]))
+    w.commit([m2], batchId=1)
+    state = json.load(open(os.path.join(dest, "_committed.json")))
+    assert state["epochs"] == [0, 1] and len(state["files"]) == 2
+    published = [
+        os.path.join(dest, e["file"]) for e in state["files"]
+    ]
+    n_rows = sum(
+        1 for f in published for line in open(f) if line.strip()
+    )
+    assert n_rows == 3
+
+
+def test_stream_writer_abort_cleans_stage(spark, tmp_path):
+    import os
+
+    from pyspark.sql import Row
+
+    from supabase_etl_spark.io.jsonl_sink_source import ChunkedJsonlStreamWriter
+
+    dest = str(tmp_path / "sink")
+    os.makedirs(dest)
+    w = ChunkedJsonlStreamWriter({"path": dest})
+    m = w.write(iter([Row(k=1)]))
+    assert os.path.exists(m.path)
+    w.abort([m], batchId=0)
+    assert not os.path.exists(m.path)
+    assert not os.path.exists(os.path.join(dest, "_committed.json"))
