@@ -857,3 +857,109 @@ def stream_pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "total_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_stream_full_outer_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    wm AS (
+        SELECT least(
+            (SELECT make_timestamp((epoch_ms(max(ts)) - 600000) * 1000) FROM p),
+            (SELECT make_timestamp((epoch_ms(max(ts)) - 600000) * 1000) FROM v)
+        ) AS w
+    )
+    SELECT * FROM (
+        SELECT 'matched' AS kind,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+        FROM p JOIN v ON p.user_id = v.user_id
+         AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        UNION ALL
+        SELECT 'purchase_only',
+               CAST(count(*) AS BIGINT), CAST(count(DISTINCT p.user_id) AS BIGINT)
+        FROM p, wm
+        WHERE p.ts < wm.w AND NOT EXISTS (
+            SELECT 1 FROM v WHERE p.user_id = v.user_id
+              AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts)
+        UNION ALL
+        SELECT 'view_only',
+               CAST(count(*) AS BIGINT), CAST(count(DISTINCT v.user_id) AS BIGINT)
+        FROM v, wm
+        WHERE v.ts + INTERVAL 1 HOUR < wm.w AND NOT EXISTS (
+            SELECT 1 FROM p WHERE p.user_id = v.user_id
+              AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts)
+    )
+    ORDER BY kind
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both eviction clocks at
+    once, completing the inner/left-outer pair: matched pairs emit on
+    arrival; a match-less PURCHASE emits its null row when the
+    watermark passes its own timestamp (it can only match older-or-
+    equal views, so nothing future can save it); a match-less VIEW
+    emits when the watermark passes ``view_ts + 1 HOUR`` — a view can
+    match purchases up to an hour AFTER it, so its state must survive
+    a full window longer. That asymmetry (eviction horizon = your own
+    ts plus how far FORWARD the other side can still match you) is the
+    whole content of outer-join state management, and the oracle
+    replays both cutoffs exactly against the final watermark
+    min(max(p.ts), max(v.ts)) − 10 min. Empirically pinned at two
+    scale factors: sf0.001 matched/p-only/v-only = 3/198/184,
+    sf0.01 = 40/1940/1936 — boundary operators are strict '<' on both
+    sides (verified against '<=' twins, no tie rows at either SF)."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("view_user") == F.col("user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "full_outer",
+    ).select(
+        "purchase_event",
+        "view_event",
+        F.coalesce(F.col("user_id"), F.col("view_user")).alias("u"),
+    )
+    sink = run_available_now(joined, "append")
+    kind = (
+        F.when(
+            F.col("purchase_event").isNotNull() & F.col("view_event").isNotNull(),
+            F.lit("matched"),
+        )
+        .when(F.col("view_event").isNull(), F.lit("purchase_only"))
+        .otherwise(F.lit("view_only"))
+    )
+    return (
+        sink.groupBy(kind.alias("kind"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("u").alias("n_users"),
+        )
+        .orderBy("kind")
+    )
