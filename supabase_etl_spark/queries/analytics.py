@@ -2085,3 +2085,105 @@ def events_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", "decayed_value", "trend_rank")
         .orderBy("trend_rank")
     )
+
+
+BASKET_MIN_SUPPORT = 0.05  # pair must appear in ≥5% of baskets
+
+
+@query(
+    "events_market_basket",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT user_id, event_type FROM events GROUP BY user_id, event_type
+    ),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_baskets FROM events),
+    item AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM baskets
+        GROUP BY event_type
+    ),
+    pair AS (
+        SELECT a.event_type AS ante, b.event_type AS cons,
+               CAST(count(*) AS BIGINT) AS pair_cnt
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT ante, cons, pair_cnt FROM pair
+        UNION ALL
+        SELECT cons AS ante, ante AS cons, pair_cnt FROM pair
+    )
+    SELECT s.ante, s.cons,
+           s.pair_cnt,
+           round(s.pair_cnt / CAST(n.n_baskets AS DOUBLE), 6) AS support,
+           round(s.pair_cnt / CAST(ia.cnt AS DOUBLE), 6) AS confidence,
+           round((s.pair_cnt / CAST(ia.cnt AS DOUBLE))
+                 / (ic.cnt / CAST(n.n_baskets AS DOUBLE)), 6) AS lift
+    FROM sym s
+    JOIN item ia ON s.ante = ia.event_type
+    JOIN item ic ON s.cons = ic.event_type
+    CROSS JOIN n
+    WHERE s.pair_cnt / CAST(n.n_baskets AS DOUBLE) >= {BASKET_MIN_SUPPORT}
+    ORDER BY ante, cons
+    """,
+    tags=("events", "analytics"),
+)
+def events_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over user event baskets
+    (support / confidence / lift — the Agrawal-Srikant metrics): a
+    user's distinct event types form a basket; every co-occurring pair
+    above minimum support becomes the rule ante→cons with
+    confidence = P(cons|ante) and lift = confidence / P(cons).
+
+    The shape IS the scalable one — the same reason FP-growth on a
+    cluster reduces to this for pairs: one dedup agg to baskets, one
+    self-equi-join ON THE BASKET KEY (never a cross join; per-basket
+    cost is |basket|², bounded by the item-universe cardinality), two
+    broadcast-sized item-count joins, one broadcast 1-row basket
+    total. Rule metrics are single IEEE divisions on exact integer
+    counts, rounded before compare; the support threshold applies to
+    the exact ratio identically in both engines. Higher-order
+    itemsets at 100 TB iterate this join on the pruned survivor set
+    (the a-priori property), each round broadcast-filtered by the
+    last."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.countDistinct("user_id").alias("n_baskets"))
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"), F.col("b.event_type").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    sym = pair.unionByName(
+        pair.select(
+            F.col("cons").alias("ante"), F.col("ante").alias("cons"), "pair_cnt"
+        )
+    )
+    ia = item.select(F.col("event_type").alias("ante"), F.col("cnt").alias("a_cnt"))
+    ic = item.select(F.col("event_type").alias("cons"), F.col("cnt").alias("c_cnt"))
+    support = F.col("pair_cnt") / F.col("n_baskets").cast("double")
+    confidence = F.col("pair_cnt") / F.col("a_cnt").cast("double")
+    lift = confidence / (F.col("c_cnt") / F.col("n_baskets").cast("double"))
+    return (
+        sym.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n))
+        .filter(support >= BASKET_MIN_SUPPORT)
+        .select(
+            "ante",
+            "cons",
+            "pair_cnt",
+            F.round(support, 6).alias("support"),
+            F.round(confidence, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy("ante", "cons")
+    )

@@ -95,3 +95,78 @@ def sim_brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BRP_TOP_K)
         .orderBy("qid", "rn")
     )
+
+
+PREFIXSPAN_MIN_SUPPORT = 0.3  # pattern must hold in ≥30% of user sequences
+
+
+@query(
+    "ml_prefixspan_sequences",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_seq FROM seq),
+    p1 AS (
+        SELECT event_type AS pattern, CAST(count(DISTINCT user_id) AS BIGINT) AS freq
+        FROM seq GROUP BY event_type
+    ),
+    p2 AS (
+        SELECT concat(a.event_type, '->', b.event_type) AS pattern,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS freq
+        FROM seq a JOIN seq b
+          ON a.user_id = b.user_id AND a.rn < b.rn
+        GROUP BY 1
+    ),
+    all_p AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+    SELECT pattern, freq
+    FROM all_p CROSS JOIN n
+    WHERE freq >= CAST(ceil({PREFIXSPAN_MIN_SUPPORT} * n.n_seq) AS BIGINT)
+    ORDER BY pattern
+    """,
+    tags=("ml", "events", "sequence"),
+)
+def ml_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining with spark.ml's PrefixSpan (Pei et
+    al. 2001): each user's time-ordered event types form a sequence of
+    singleton itemsets; patterns up to length 2 with ≥30% sequence
+    support are mined by the distributed projected-database algorithm.
+    Unlike the LSH ml variants, PrefixSpan is EXACTLY replayable: a
+    length-2 pattern [A,B] holds for a user iff positions i<j exist
+    with those types in the engine's own (ts, event_id) total order —
+    one self-join on the sequence table — so this spark.ml op gets a
+    full value-hash oracle, not a rows-only check. Sequence
+    construction (sort_array of (ts-rank, type) structs per user) is
+    one shuffle; PrefixSpan's projected-database growth is bounded by
+    maxPatternLength=2, which also bounds the oracle to the pair join.
+    """
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqs = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: F.array(s["event_type"]),
+            ).alias("sequence")
+        )
+    )
+    ps = PrefixSpan(
+        minSupport=PREFIXSPAN_MIN_SUPPORT,
+        maxPatternLength=2,
+        sequenceCol="sequence",
+    )
+    pats = ps.findFrequentSequentialPatterns(seqs)
+    pattern = F.concat_ws(
+        "->", F.transform(F.col("sequence"), lambda its: its[0])
+    )
+    return pats.select(pattern.alias("pattern"), F.col("freq")).orderBy("pattern")
