@@ -221,3 +221,38 @@ def delete_where(
     )
     new_files = _write_data_files(survivors, table_dir)
     return _commit_files(table_dir, carried + new_files, note or "delete")
+
+
+def vacuum(table_dir: str, retain_versions: int = 1) -> dict:
+    """Garbage-collect the table: drop manifests older than the newest
+    ``retain_versions`` and delete every data file no surviving
+    manifest references (orphans from aborted writes and losers of
+    commit races included). Returns counts for observability.
+
+    Mirrors Delta VACUUM / Iceberg expire_snapshots: readers pinned to
+    a retained version are unaffected; readers pinned to an expired
+    one lose time travel — which is why real formats gate this on a
+    retention window. Purely driver-side metadata + unlink: O(files),
+    no data scan, no Spark job."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    vs = _versions(table_dir)
+    if not vs:
+        return {"manifests_removed": 0, "files_removed": 0}
+    keep_vs = vs[-retain_versions:]
+    referenced = set()
+    for v in keep_vs:
+        referenced.update(
+            os.path.basename(f) for f in _read_manifest(table_dir, v)["files"]
+        )
+    removed_manifests = 0
+    for v in vs[:-retain_versions]:
+        os.unlink(os.path.join(_manifest_dir(table_dir), f"v{v:08d}.json"))
+        removed_manifests += 1
+    data_dir = os.path.join(table_dir, "data")
+    removed_files = 0
+    for f in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
+        if f.endswith(".parquet") and f not in referenced:
+            os.unlink(os.path.join(data_dir, f))
+            removed_files += 1
+    return {"manifests_removed": removed_manifests, "files_removed": removed_files}

@@ -151,3 +151,40 @@ def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
     assert kept == list(range(150))
     # deletion is a new version, not an erasure
     assert M.read(spark, t, 2).count() == 200
+
+
+def test_vacuum_drops_expired_versions_and_orphans(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10).toDF("id"), t, "overwrite")     # v1
+    M.commit(spark.range(10, 20).toDF("id"), t, "append")    # v2
+    M.commit(spark.range(5).toDF("id"), t, "overwrite")      # v3 (drops v1/v2 files)
+    # plant an orphan (aborted write / race loser): data file no manifest names
+    orphan = os.path.join(t, "data", "part-orphan.parquet")
+    open(orphan, "wb").write(b"junk")
+
+    stats = M.vacuum(t, retain_versions=1)
+    assert stats["manifests_removed"] == 2
+    assert stats["files_removed"] >= 3  # v1+v2 data files + the orphan
+    assert not os.path.exists(orphan)
+    # latest version still fully readable
+    assert M.read(spark, t).count() == 5
+    # expired time travel is gone
+    with pytest.raises(FileNotFoundError):
+        M._read_manifest(t, 1)
+
+
+def test_vacuum_retains_requested_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10).toDF("id"), t, "overwrite")
+    M.commit(spark.range(10, 20).toDF("id"), t, "append")
+    M.commit(spark.range(3).toDF("id"), t, "overwrite")
+    stats = M.vacuum(t, retain_versions=2)
+    assert stats["manifests_removed"] == 1
+    # both retained versions readable: v2 (20 rows) and v3 (3 rows)
+    assert M.read(spark, t, 2).count() == 20
+    assert M.read(spark, t, 3).count() == 3
+    # vacuum with everything retained is a no-op
+    assert M.vacuum(t, retain_versions=5) == {
+        "manifests_removed": 0,
+        "files_removed": 0,
+    }
