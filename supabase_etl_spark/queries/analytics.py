@@ -2187,3 +2187,104 @@ def events_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ante", "cons")
     )
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tr AS (
+        SELECT event_type, day, v,
+               CASE WHEN count(*) OVER w = 7
+                    THEN CAST(SUM(CAST(v AS DECIMAL(28,6))) OVER w AS DOUBLE) / 7
+                    END AS trend
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT *, v - trend AS detrended,
+               CAST(dayofweek(day) AS INT) AS dow
+        FROM tr
+    ),
+    seas AS (
+        SELECT event_type, dow,
+               CAST(SUM(CAST(detrended AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(detrended) AS seasonal
+        FROM det WHERE detrended IS NOT NULL
+        GROUP BY event_type, dow
+    )
+    SELECT d.event_type, d.day,
+           round(d.v, 6) AS daily_value,
+           round(d.trend, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(d.detrended - s.seasonal, 6) AS residual
+    FROM det d JOIN seas s ON d.event_type = s.event_type AND d.dow = s.dow
+    WHERE d.trend IS NOT NULL
+    ORDER BY d.event_type, d.day
+    """,
+    tags=("events", "analytics", "timeseries"),
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    core of STL, per-series): daily value series → 7-observation
+    centered moving-average TREND (emitted only where the window is
+    complete) → day-of-week mean of the detrended series as SEASONAL
+    → the rest is RESIDUAL, the anomaly-hunting signal. The
+    observation window (ROWS frame) rather than a calendar RANGE frame
+    makes gap handling identical in both engines.
+
+    Scale shape: one scan → (type × day) daily grid (map-side combined
+    agg — the grid is tiny regardless of corpus size); every window
+    and group after runs on the grid, partitioned BY SERIES, so a
+    million independent series parallelize perfectly and no window
+    ever sees more than one series. Decimal discipline on every sum
+    (daily, trend, seasonal); rounding before compare."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(dsum(F.col("value"), "v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trend = F.when(
+        F.count(F.lit(1)).over(w) == 7,
+        F.sum(F.col("v").cast("decimal(28,6)")).over(w).cast("double") / 7,
+    )
+    det = daily.select(
+        "event_type",
+        "day",
+        "v",
+        trend.alias("trend"),
+        F.dayofweek("day").cast("int").alias("dow"),
+    ).withColumn("detrended", F.col("v") - F.col("trend"))
+    seas = (
+        det.filter(F.col("detrended").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            (
+                F.sum(F.col("detrended").cast("decimal(38,18)")).cast("double")
+                / F.count("detrended")
+            ).alias("seasonal")
+        )
+    )
+    return (
+        det.join(seas, ["event_type", "dow"])
+        .filter(F.col("trend").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            F.round("v", 6).alias("daily_value"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("detrended") - F.col("seasonal"), 6).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )
