@@ -354,3 +354,197 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "dq_table_stats",
+    oracle="""
+    WITH s AS (SELECT count(*) AS n FROM orders)
+    SELECT * FROM (
+        SELECT 'o_custkey' AS col,
+               (SELECT n FROM s) AS n_rows,
+               CAST(count(o_custkey) AS BIGINT) AS n_non_null,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
+               CAST(min(o_custkey) AS VARCHAR) AS min_val,
+               CAST(max(o_custkey) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', (SELECT n FROM s),
+               CAST(count(o_orderstatus) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+               CAST(min(o_orderstatus) AS VARCHAR),
+               CAST(max(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', (SELECT n FROM s),
+               CAST(count(o_totalprice) AS BIGINT),
+               CAST(count(DISTINCT o_totalprice) AS BIGINT),
+               CAST(round(min(o_totalprice), 6) AS VARCHAR),
+               CAST(round(max(o_totalprice), 6) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', (SELECT n FROM s),
+               CAST(count(o_orderdate) AS BIGINT),
+               CAST(count(DISTINCT o_orderdate) AS BIGINT),
+               CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
+               CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)
+        FROM orders
+    )
+    ORDER BY col
+    """,
+    tags=("dq", "stats"),
+)
+def dq_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style column statistics — the inputs every
+    cost-based optimizer (and every data-quality dashboard) wants:
+    per-column row count, non-null count, exact NDV, min and max,
+    emitted as one narrow (column, stats) table. ONE scan computes all
+    columns' moments simultaneously (a single aggregate with
+    count/min/max per column plus count-distincts — Spark rewrites
+    multiple exact distincts via expand, trading one scan for a wider
+    shuffle; at 100 TB you swap in approx_count_distinct and the plan
+    collapses to a plain one-pass agg, same shape as this query's
+    non-distinct moments). Values stringify so heterogeneous column
+    types share the narrow schema — the same convention
+    ANALYZE ... COMPUTE STATISTICS FOR COLUMNS uses in its own
+    catalog table."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("ndv_custkey"),
+        F.min("o_custkey").alias("min_custkey"),
+        F.max("o_custkey").alias("max_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("ndv_status"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderstatus").alias("max_status"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("ndv_price"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.countDistinct("o_orderdate").alias("ndv_date"),
+        F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("o_custkey").alias("col"),
+            F.col("nn_custkey").alias("n_non_null"),
+            F.col("ndv_custkey").alias("ndv"),
+            F.col("min_custkey").cast("string").alias("min_val"),
+            F.col("max_custkey").cast("string").alias("max_val"),
+        ),
+        F.struct(
+            F.lit("o_orderstatus").alias("col"),
+            F.col("nn_status").alias("n_non_null"),
+            F.col("ndv_status").alias("ndv"),
+            F.col("min_status").cast("string").alias("min_val"),
+            F.col("max_status").cast("string").alias("max_val"),
+        ),
+        F.struct(
+            F.lit("o_totalprice").alias("col"),
+            F.col("nn_price").alias("n_non_null"),
+            F.col("ndv_price").alias("ndv"),
+            F.col("min_price").cast("string").alias("min_val"),
+            F.col("max_price").cast("string").alias("max_val"),
+        ),
+        F.struct(
+            F.lit("o_orderdate").alias("col"),
+            F.col("nn_date").alias("n_non_null"),
+            F.col("ndv_date").alias("ndv"),
+            F.col("min_date").cast("string").alias("min_val"),
+            F.col("max_date").cast("string").alias("max_val"),
+        ),
+    )
+    return (
+        stats.select("n_rows", F.explode(rows).alias("s"))
+        .select(
+            F.col("s.col").alias("col"),
+            "n_rows",
+            F.col("s.n_non_null").alias("n_non_null"),
+            F.col("s.ndv").alias("ndv"),
+            F.col("s.min_val").alias("min_val"),
+            F.col("s.max_val").alias("max_val"),
+        )
+        .orderBy("col")
+    )
+
+
+@query(
+    "dq_winsorize",
+    oracle="""
+    WITH th AS (
+        SELECT event_type,
+               round(CAST(quantile_cont(value, 0.01) AS DOUBLE), 6) AS p01,
+               round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6) AS p99
+        FROM events GROUP BY event_type
+    ),
+    clipped AS (
+        SELECT e.event_type, th.p01, th.p99, e.value,
+               CASE WHEN e.value < th.p01 THEN th.p01
+                    WHEN e.value > th.p99 THEN th.p99
+                    ELSE e.value END AS wv
+        FROM events e JOIN th USING (event_type)
+    )
+    SELECT event_type,
+           CAST(min(p01) AS DOUBLE) AS p01,
+           CAST(min(p99) AS DOUBLE) AS p99,
+           CAST(SUM(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(SUM(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_raw,
+           round(CAST(SUM(CAST(wv AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_winsorized
+    FROM clipped
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("dq", "stats"),
+)
+def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the outlier-taming step of numeric feature prep
+    (clip, don't drop): per group, values outside the exact [p01, p99]
+    band clamp to the band edges; the report carries the thresholds,
+    clip counts, and the raw-vs-winsorized mean shift. Thresholds
+    compute as one grouped percentile agg (group-sized, broadcast back
+    over the scan — the ppl_buckets / TF-IDF pattern); clamping is a
+    stateless per-row CASE; both engines compare against the ROUNDED
+    thresholds so a 1-ulp quantile divergence cannot flip a clip.
+    At 100 TB: approx_percentile or the registry's mergeable t-digest
+    replaces the exact quantile with the identical downstream plan."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    th = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.01)"), 6).alias("p01"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+    wv = (
+        F.when(F.col("value") < F.col("p01"), F.col("p01"))
+        .when(F.col("value") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .select("event_type", "p01", "p99", "value", wv.alias("wv"))
+        .groupBy("event_type")
+        .agg(
+            F.min("p01").alias("p01"),
+            F.min("p99").alias("p99"),
+            F.count(F.when(F.col("value") < F.col("p01"), 1)).alias("n_clipped_low"),
+            F.count(F.when(F.col("value") > F.col("p99"), 1)).alias("n_clipped_high"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(F.col("wv").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )

@@ -63,3 +63,20 @@ def test_decoder_rejects_non_pcm_and_garbage():
         AC.decode_wav(bytes(buf))
     with pytest.raises(ValueError, match="RIFF"):
         AC.decode_wav(b"not a wav at all")
+
+
+def test_roundtrip_property_random_signals():
+    """Hypothesis: any int16 signal at any rate roundtrips exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        s=st.lists(st.integers(min_value=-32768, max_value=32767), max_size=200),
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    )
+    def check(s, rate):
+        r, ch, out = AC.decode_wav(AC.encode_wav(s, rate))
+        assert (r, ch, out) == (rate, 1, s)
+
+    check()
