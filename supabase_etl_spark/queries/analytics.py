@@ -2288,3 +2288,70 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+IVM_SPLIT_ORDER = 3000  # orders with key <= split are the "old" batch
+
+
+@query(
+    "merge_incremental_join",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey <= {2 * IVM_SPLIT_ORDER}
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey
+    """,
+    tags=("analytics", "ivm"),
+)
+def merge_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the delta rule
+    Δ(A ⋈ B) = (ΔA ⋈ B₀) ∪ (A₀ ⋈ ΔB) ∪ (ΔA ⋈ ΔB): both inputs are
+    split into an "old" half (keys ≤ {IVM_SPLIT_ORDER}) and a "delta"
+    half; the maintained view is old⋈old (the standing materialized
+    state) UNION the three delta terms, and the registered result must
+    hash-equal the from-scratch join the oracle computes — the
+    correctness condition every IVM engine (Materialize, DBSP, Delta
+    MVs) maintains per transaction.
+
+    Scale shape: each delta term joins a SMALL change set against a
+    large standing side — the whole point of IVM is that work tracks
+    |Δ|, not |A|+|B|; the three terms and the base union into ONE plan
+    (no intermediate materialization needed for correctness proof) and
+    the final per-key agg runs on the union. The companion
+    merge_incremental_agg row maintains an AGGREGATE by partial-state
+    merge; together they cover the two IVM primitives."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey").filter(
+        F.col("o_orderkey") <= 2 * IVM_SPLIT_ORDER
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).filter(F.col("l_orderkey") <= 2 * IVM_SPLIT_ORDER)
+    o_old = o.filter(F.col("o_orderkey") <= IVM_SPLIT_ORDER)
+    o_new = o.filter(F.col("o_orderkey") > IVM_SPLIT_ORDER)
+    l_old = li.filter(F.col("l_orderkey") <= IVM_SPLIT_ORDER)
+    l_new = li.filter(F.col("l_orderkey") > IVM_SPLIT_ORDER)
+
+    def j(a, b):
+        return a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderkey", "l_quantity"
+        )
+
+    view = (
+        j(o_old, l_old)          # standing state
+        .unionByName(j(o_new, l_old))  # ΔA ⋈ B₀
+        .unionByName(j(o_old, l_new))  # A₀ ⋈ ΔB
+        .unionByName(j(o_new, l_new))  # ΔA ⋈ ΔB
+    )
+    return (
+        view.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("o_orderkey")
+    )

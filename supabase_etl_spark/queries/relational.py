@@ -1148,3 +1148,56 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "EXECUTE IMMEDIATE :stmt USING 25.0, 0.05", args={"stmt": stmt}
     )
+
+
+TRY_BIG = 9_223_372_036_854_775_000  # near bigint max: forces data-dependent overflow
+
+
+@query(
+    "sql_try_functions",
+    oracle=f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE round(o_totalprice / (o_orderkey % 7), 6) END AS safe_ratio,
+           try_cast(o_orderstatus AS INTEGER) AS status_as_int,
+           CASE WHEN o_orderkey <= 9223372036854775807 - {TRY_BIG}
+                THEN o_orderkey + {TRY_BIG} ELSE NULL END AS guarded_add,
+           CASE WHEN o_orderkey % 3 = 2 THEN NULL
+                ELSE ['low','mid','high'][(o_orderkey % 3) + 1] END AS tier
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+    tags=("sql", "errors"),
+)
+def sql_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRY_* error-containment family — ANSI mode's answer to
+    "one bad row must not kill the 100 TB job": ``try_divide`` nulls
+    the division by zero instead of raising, ``try_cast`` nulls the
+    unparseable cast, ``try_add`` nulls the bigint overflow (made
+    data-dependent here: keys within {TRY_BIG} of MAX overflow, tiny
+    keys don't), ``try_element_at`` nulls the out-of-bounds index.
+    Under ``spark.sql.ansi.enabled`` the un-prefixed forms of all four
+    THROW — TRY_* is how a pipeline opts into cell-level quarantine
+    while keeping strict semantics everywhere else (the row-level
+    sibling of io_corrupt_records_permissive's record quarantine).
+    DuckDB lacks try_divide/try_add, so the oracle states each
+    function's documented semantics with explicit guards — the hash
+    proves the TRY functions equal their guarded definitions."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    tiers = F.array(F.lit("low"), F.lit("mid"), F.lit("high"))
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 7), 6
+        ).alias("safe_ratio"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("status_as_int"),
+        F.try_add(F.col("o_orderkey"), F.lit(TRY_BIG)).alias("guarded_add"),
+        # index 1/2 when key%3 in {0,1}; key%3==2 probes index 4 -> out
+        # of bounds -> NULL (try_element_at is 1-based like element_at)
+        F.try_element_at(
+            tiers,
+            F.when(F.col("o_orderkey") % 3 == 2, F.lit(4))
+            .otherwise((F.col("o_orderkey") % 3 + 1).cast("int")),
+        ).alias("tier"),
+    ).orderBy("o_orderkey")
