@@ -316,9 +316,14 @@ _DSIR_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
                  - ln((r.cr + 1) / CAST(nr + {DSIR_BUCKETS} AS DOUBLE)) AS lr
         FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tot
     ),
+    bdoc AS (
+        SELECT doc_id, b, CAST(count(*) AS DECIMAL(10,0)) AS n_db
+        FROM bucketed GROUP BY doc_id, b
+    ),
     docw AS (
-        SELECT doc_id, SUM(CAST(lr AS DECIMAL(38,18))) AS lw
-        FROM bucketed JOIN ratio USING (b)
+        SELECT doc_id,
+               SUM(n_db * CAST(round(lr, 12) AS DECIMAL(14,12))) AS lw
+        FROM bdoc JOIN ratio USING (b)
         GROUP BY doc_id
     ),
     scored AS (
@@ -363,10 +368,15 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams against the BROADCAST ratio table and aggregates per doc
     (one corpus-keyed shuffle with partial aggregation); the final
     top-k is TakeOrdered, never a global sort. Nothing driver-side,
-    nothing quadratic, and the gram hash is md5-prefix — computed
-    identically by DuckDB for the oracle. Per-doc sums go through
-    decimal so executor partition order cannot move the doubles.
-    Docstring numbers are interpolated from DSIR_BUCKETS/DSIR_K.
+    nothing quadratic. Per-doc sums go through exact small decimals so
+    executor partition order cannot move the doubles.
+
+    Hash choice: the gram bucket hash is md5-prefix ONLY because the
+    DuckDB oracle must replay it bit-for-bit; an A/B at sf0.1 measured
+    the md5+conv path at ~2x the cost of ``pmod(xxhash64(g), B)``
+    (0.89 s vs 0.52 s per gram pass), so a production deployment
+    swaps one expression and keeps the identical plan. Docstring
+    numbers are interpolated from DSIR_BUCKETS/DSIR_K.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tokens(F.col("text")).alias("toks")
@@ -389,47 +399,62 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (
         F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % DSIR_BUCKETS
     )
-    bucketed = grams.select("doc_id", "lang", bucket.alias("b"))
-
-    rcnt = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tcnt = (
-        bucketed.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # hash every gram ONCE into a (doc, bucket) count grid; the
+    # distribution aggs and the scoring pass both derive from this
+    # frame, whose identical groupBy Exchange Spark reuses
+    # (ReusedExchange) — one tokenize+md5 pass over the corpus instead
+    # of two (the md5/conv gram hashing dominated the r5 bench at 2x
+    # corpus volume before this)
+    bdoc = (
+        grams.select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("n_db"))
     )
-    tot = bucketed.agg(
-        F.count(F.lit(1)).alias("nr"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("nt"),
+    # ONE conditional agg carries both distributions (raw + target) —
+    # a separate filtered tcnt branch would have its lang predicate
+    # pushed below the bdoc aggregation, making the subtrees differ
+    # and defeating exchange reuse; this way bdoc has exactly two
+    # consumers (this 256-row agg and the scoring join) over an
+    # identical shuffle subtree
+    cnt = bdoc.groupBy("b").agg(
+        F.sum("n_db").alias("cr"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == "en", F.col("n_db"))), F.lit(0)
+        ).alias("ct"),
     )
+    tot = cnt.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     smooth = F.lit(DSIR_BUCKETS).cast("bigint")
-    ratio = (
-        rcnt.join(tcnt, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                    / (F.col("nt") + smooth).cast("double")
-                )
-                - F.log(
-                    (F.col("cr") + 1).cast("double")
-                    / (F.col("nr") + smooth).cast("double")
-                )
-            ).alias("lr"),
-        )
+    ratio = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("nt") + smooth).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + 1).cast("double")
+                / (F.col("nr") + smooth).cast("double")
+            )
+        ).alias("lr"),
     )
+    # Σ over buckets n_db·lr replaces Σ over occurrences — scoring
+    # joins the 256-row ratio table onto the grid, not the raw gram
+    # stream. The ratio is quantized ONCE to 12 fractional digits and
+    # the product uses small exact decimals — DECIMAL(10,0)·(14,12) →
+    # (25,12), no precision-loss rounding in either engine (a full
+    # (38,18)·(38,18) multiply hits Spark's precision cap and rounds).
+    lr_q = F.round(F.col("lr"), 12).cast("decimal(14,12)")
     docw = (
-        bucketed.join(F.broadcast(ratio), "b")
+        bdoc.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("lr").cast("decimal(38,18)")).alias("lw"))
+        .agg(F.sum(F.col("n_db").cast("decimal(10,0)") * lr_q).alias("lw"))
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     u = (
         ((F.lit(A).cast("bigint") * F.col("doc_id") + F.lit(B)) % P + 1).cast("double")
         / F.lit(float(P + 1))
     )
-    logw = F.coalesce(F.col("lw"), F.lit(0).cast("decimal(38,18)")).cast("double")
+    logw = F.coalesce(F.col("lw"), F.lit(0).cast("decimal(25,12)")).cast("double")
     scored = docs.join(docw, "doc_id", "left").select(
         "doc_id",
         "lang",
