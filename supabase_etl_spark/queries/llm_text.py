@@ -940,3 +940,244 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "mean_nll", bucket.alias("ppl_bucket"))
         .orderBy("doc_id")
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("spark", "join", "window")  # the standing query
+BM25_TOP_K = 25
+
+
+# shared BM25 oracle CTE chain (text_bm25_search, text_hybrid_rrf)
+_BM25_RANKED_SQL = f"""toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks
+        WHERE term IN ('spark', 'join', 'window')
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(
+                   ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * ({BM25_K1} + 1))
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                      + {BM25_B} * dl.dl / stats.avgdl))
+                   AS DECIMAL(38,18)) AS s
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN df USING (term)
+        CROSS JOIN stats
+    ),
+    bm25_ranked AS (
+        SELECT doc_id,
+               round(CAST(SUM(s) AS DOUBLE), 6) AS bm25,
+               CAST(count(*) AS BIGINT) AS n_terms_hit,
+               row_number() OVER (
+                   ORDER BY round(CAST(SUM(s) AS DOUBLE), 6) DESC, doc_id
+               ) AS rank
+        FROM scored GROUP BY doc_id
+    )"""
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH {_BM25_RANKED_SQL}
+    SELECT rank, doc_id, bm25, n_terms_hit
+    FROM bm25_ranked WHERE rank <= {BM25_TOP_K}
+    ORDER BY rank
+    """,
+    tags=("llm", "text", "search"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson–Spärck Jones Okapi weighting,
+    k1={BM25_K1} b={BM25_B}) for a standing term query — the lexical
+    retrieval baseline every RAG/retrieval stack still runs beside its
+    embedding ANN (both live in this registry; text_hybrid_rrf is the
+    union + rerank). idf = ln(1 + (N − df + ½)/(df + ½)) with the
+    document-length normalization that distinguishes BM25 from TF-IDF.
+
+    Plan shape for a corpus-scale index: the posting lists (per-term
+    tf) come from ONE filtered agg — the query-term filter lands
+    BEFORE the shuffle, so the shuffle carries only matching postings,
+    never the corpus vocabulary; doc lengths are a second corpus agg
+    (shared scan); N/avgdl are a 1-row broadcast and df a
+    query-terms-sized broadcast; the final rank is TakeOrdered. Score
+    terms are single-expression IEEE doubles (identical both engines)
+    summed through decimal; ranking compares the ROUNDED score so a
+    1-ulp divergence cannot reorder."""
+    return _bm25_ranked_frame(spark, sf_dir, BM25_TOP_K)
+
+
+def _bm25_ranked_frame(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
+    """(rank, doc_id, bm25, n_terms_hit) top-``depth`` — the BM25 plan
+    shared by text_bm25_search and text_hybrid_rrf (the fusion list
+    runs deeper than the display list)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    s = (
+        idf
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    ).cast("decimal(38,18)")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s").cast("double"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(depth)
+    w = W.Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "bm25", "n_terms_hit")
+        .orderBy("rank")
+    )
+
+
+RRF_K = 60        # the standard reciprocal-rank-fusion damping constant
+RRF_LIST_DEPTH = 50
+RRF_TOP_K = 20
+
+
+@query(
+    "text_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_RANKED_SQL},
+    lex AS (
+        SELECT doc_id, rank AS lex_rank FROM bm25_ranked
+        WHERE rank <= {RRF_LIST_DEPTH}
+    ),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    dense_scored AS (
+        SELECT e.vec_id AS doc_id,
+               (list_reduce(list_transform(range(1, len(CAST(e.embedding AS DOUBLE[])) + 1), i -> CAST(CAST(e.embedding AS DOUBLE[])[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (acc, x) -> acc + x) + 0.0) / (sqrt((list_reduce(list_transform(range(1, len(q.qe) + 1), i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (acc, x) -> acc + x) + 0.0)) * sqrt((list_reduce(list_transform(range(1, len(CAST(e.embedding AS DOUBLE[])) + 1), i -> CAST(CAST(e.embedding AS DOUBLE[])[i] AS DOUBLE) * CAST(CAST(e.embedding AS DOUBLE[])[i] AS DOUBLE)), (acc, x) -> acc + x) + 0.0))) AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id > 0
+    ),
+    dense AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY round(cos_sim, 9) DESC, doc_id
+               ) AS dense_rank_
+        FROM dense_scored
+    ),
+    dense_top AS (
+        SELECT doc_id, dense_rank_ FROM dense WHERE dense_rank_ <= {RRF_LIST_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rank, d.dense_rank_,
+               round(
+                   COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0)
+                   + COALESCE(1.0 / ({RRF_K} + d.dense_rank_), 0), 9) AS rrf
+        FROM lex l FULL OUTER JOIN dense_top d ON l.doc_id = d.doc_id
+    )
+    SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+           doc_id, rrf,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense_rank_ AS BIGINT) AS dense_rank
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT {RRF_TOP_K}
+    """,
+    tags=("llm", "text", "search"),
+)
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the production RAG shape: the BM25 lexical
+    list (shared plan with text_bm25_search) and an embedding-cosine
+    dense list (query = vec 0 against the aligned embeddings table)
+    fused by Reciprocal Rank Fusion, score = Σ 1/({RRF_K}+rank)
+    (Cormack et al. 2009 — rank-only fusion needs no score
+    calibration between the two retrievers, which is why RRF is the
+    default in every hybrid search engine). Both lists are
+    top-{RRF_LIST_DEPTH}; a doc found by only one list still fuses.
+
+    Scale: each retriever keeps its own scale shape (BM25: filtered
+    posting aggs; dense: broadcast query against the corpus scan);
+    fusion itself is a full-outer join of two {RRF_LIST_DEPTH}-row
+    lists — free. Ranks are integers, fusion terms single IEEE
+    divisions, rounded before the final ordering."""
+    from supabase_etl_spark.operators.dedup import dot_double
+
+    # lexical list: same plan as text_bm25_search, at fusion depth
+    lex = _bm25_ranked_frame(spark, sf_dir, RRF_LIST_DEPTH).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
+    cos = dot_double(F.col("emb"), F.col("qe")) / (
+        F.sqrt(dot_double(F.col("qe"), F.col("qe")))
+        * F.sqrt(dot_double(F.col("emb"), F.col("emb")))
+    )
+    wd = W.Window.orderBy(F.desc("cs"), F.asc("doc_id"))
+    dense = (
+        e.filter(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), F.round(cos, 9).alias("cs"))
+        .withColumn("dense_rank_", F.row_number().over(wd))
+        .filter(F.col("dense_rank_") <= RRF_LIST_DEPTH)
+        .select("doc_id", "dense_rank_")
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("dense_rank_")), F.lit(0.0)),
+        9,
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            rrf.alias("rrf"),
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("dense_rank_").cast("bigint").alias("dense_rank"),
+        )
+    )
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP_K)
+    wr = W.Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(wr))
+        .select("rank", "doc_id", "rrf", "lex_rank", "dense_rank")
+        .orderBy("rank")
+    )
