@@ -2355,3 +2355,108 @@ def merge_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+ABC_A, ABC_B = 0.80, 0.95  # cumulative-revenue class boundaries
+
+
+@query(
+    "orders_abc_pareto",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(r) AS t FROM rev),
+    cum AS (
+        SELECT o_custkey, r,
+               round(CAST(SUM(r) OVER (ORDER BY r DESC, o_custkey) AS DOUBLE)
+                     / CAST((SELECT t FROM tot) AS DOUBLE), 9) AS cshare
+        FROM rev
+    ),
+    classed AS (
+        SELECT *,
+               CASE WHEN cshare <= {ABC_A} THEN 'A'
+                    WHEN cshare <= {ABC_B} THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM cum
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(SUM(r), 2) AS DOUBLE) AS class_revenue,
+           round(CAST(min(cshare) AS DOUBLE), 9) AS first_cum_share,
+           round(CAST(max(cshare) AS DOUBLE), 9) AS last_cum_share
+    FROM classed
+    GROUP BY abc
+    ORDER BY abc
+    """,
+    tags=("analytics", "scale"),
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification (the 80-15-5 inventory rule):
+    customers ranked by revenue; class A holds the head that carries
+    {ABC_A:.0%} of cumulative revenue, B the next band to {ABC_B:.0%},
+    C the tail. The interesting part at scale is the GLOBAL cumulative
+    sum: the naive window (ORDER BY with no partition) drags the whole
+    corpus through one task, so this plan computes the prefix sum the
+    distributed way — range-repartition on the sort key, per-partition
+    running sums, plus a broadcast of per-partition totals' prefix
+    offsets (the dedup_sorted_neighborhood global-rank pattern applied
+    to sums). Decimal arithmetic end-to-end makes the distributed
+    prefix sum EXACTLY equal the oracle's sequential window; shares
+    round to 9dp before classification so boundaries cannot flip."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("r")
+    )
+    par = spark.sparkContext.defaultParallelism
+    ranged = rev.repartitionByRange(
+        par, F.col("r").desc(), F.col("o_custkey").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("r").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("lcum", F.sum("r").over(wloc))
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.sum("r").alias("ptot"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("ptot").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("decimal(28,6)"),
+            ),
+        )
+        .select("pid", "off")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    cshare = F.round(
+        (F.col("lcum") + F.col("off")).cast("double") / F.col("t").cast("double"),
+        9,
+    )
+    abc = (
+        F.when(F.col("cshare") <= ABC_A, F.lit("A"))
+        .when(F.col("cshare") <= ABC_B, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select("o_custkey", "r", cshare.alias("cshare"))
+        .select("o_custkey", "r", "cshare", abc.alias("abc"))
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("r"), 2).cast("double").alias("class_revenue"),
+            F.round(F.min("cshare"), 9).alias("first_cum_share"),
+            F.round(F.max("cshare"), 9).alias("last_cum_share"),
+        )
+        .orderBy("abc")
+    )
