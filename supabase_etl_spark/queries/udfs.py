@@ -564,3 +564,80 @@ def udf_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+@query(
+    "udf_udtf_table_argument",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events WHERE user_id < 40
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN rn = 1 THEN event_type END) AS VARCHAR) AS first_type,
+           CAST(max(CASE WHEN rn = n THEN event_type END) AS VARCHAR) AS last_type,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases
+    FROM ordered
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("udf", "udtf"),
+)
+def udf_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a TABLE argument + PARTITION BY/ORDER BY (Spark 4's
+    table-valued-function execution contract): the engine partitions
+    the input table BY USER and streams each partition's rows to one
+    UDTF instance in timestamp order; terminate() emits one summary
+    row per partition. This is the piece the row-at-a-time UDTF
+    (udf_python_udtf) and the static-analyze polymorphic UDTF
+    (udf_udtf_analyze) don't cover: per-GROUP stateful iteration with
+    engine-managed partitioning and intra-partition ordering — the
+    same execution shape as applyInPandas, but with a SQL-callable
+    surface (``session_summary(TABLE(...) PARTITION BY ... ORDER BY
+    ...)``). At scale the shuffle is the PARTITION BY — one exchange,
+    state bounded per user, the engine guarantees ordered delivery so
+    the UDTF needs no sorting of its own."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "user_id bigint, n_events bigint, first_type string, "
+        "last_type string, n_purchases bigint"
+    ))
+    class SessionSummary:
+        def __init__(self):
+            self.user = None
+            self.n = 0
+            self.first = None
+            self.last = None
+            self.purchases = 0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            self.n += 1
+            if self.first is None:
+                self.first = row["event_type"]
+            self.last = row["event_type"]
+            if row["event_type"] == "purchase":
+                self.purchases += 1
+
+        def terminate(self):
+            if self.user is not None:
+                yield (self.user, self.n, self.first, self.last, self.purchases)
+
+    spark.udtf.register("session_summary", SessionSummary)
+    load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40).createOrReplaceTempView(
+        "events_small_tva"
+    )
+    return spark.sql(
+        """
+        SELECT * FROM session_summary(
+            TABLE(SELECT user_id, event_type, ts, event_id FROM events_small_tva)
+            PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        ORDER BY user_id
+        """
+    )
