@@ -548,3 +548,62 @@ def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+KANON_K = 5  # the privacy threshold under audit
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH quasi AS (
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               count(*) AS grp_n
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(min(grp_n) AS BIGINT) AS k_anonymity,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN grp_n < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_classes,
+           CAST(SUM(CASE WHEN grp_n < {KANON_K} THEN grp_n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           round(CAST(SUM(CASE WHEN grp_n < {KANON_K} THEN grp_n ELSE 0 END)
+                      AS DOUBLE) / SUM(grp_n), 6) AS suppression_rate
+    FROM quasi
+    """,
+    tags=("dq", "privacy"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the quasi-identifier
+    tuple (nation, market segment, coarse balance band): the dataset's
+    k is the SMALLEST equivalence-class size — any class under the
+    target k={KANON_K} re-identifies its members, and the report
+    quantifies the suppression cost of publishing (rows that must be
+    dropped or further generalized). The governance sibling of
+    text_pii_scrub: scrub removes direct identifiers, this audits the
+    indirect ones.
+
+    One grouped count on the quasi-identifier tuple + one tiny rollup
+    — at 100 TB it is exactly a group-by-cardinality problem, skew
+    bounded by the generalization the analyst chose (that choice, not
+    the engine, is the privacy/utility dial). Integer counts
+    throughout; one rounded ratio."""
+    c = load_table(spark, sf_dir, "customer")
+    quasi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    risk = F.sum(F.when(F.col("grp_n") < KANON_K, F.col("grp_n")).otherwise(0))
+    return quasi.agg(
+        F.min("grp_n").alias("k_anonymity"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("grp_n") < KANON_K, 1).otherwise(0)).alias(
+            "n_violating_classes"
+        ),
+        risk.alias("n_rows_at_risk"),
+        F.round(risk.cast("double") / F.sum("grp_n"), 6).alias("suppression_rate"),
+    )
