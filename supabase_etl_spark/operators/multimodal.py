@@ -283,3 +283,36 @@ def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataF
             "sum_abs bigint, zero_crossings int"
         ),
     )
+
+
+def resample_audio(df: DataFrame, factor: int = 2, content_col: str = "content") -> DataFrame:
+    """Arrow-batched integer decimation: decode WAV, average each
+    consecutive ``factor``-sample block (floor division — exact
+    integers, SQL-replayable), re-encode at rate/factor. The audio
+    analog of the image resize: a real signal-processing pass whose
+    output is bit-checkable."""
+    from supabase_etl_spark.operators import audiocodec as AC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uri, content in zip(pdf["uri"], pdf[content_col]):
+                rate, _ch, s = AC.decode_wav(bytes(content))
+                n_out = len(s) // factor
+                out = [
+                    sum(s[i * factor : (i + 1) * factor]) // factor
+                    for i in range(n_out)
+                ]
+                rows.append(
+                    {
+                        "uri": uri,
+                        "content": AC.encode_wav(out, rate // factor),
+                        "n_in": len(s),
+                        "n_out": n_out,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, schema="uri string, content binary, n_in int, n_out int"
+    )

@@ -333,3 +333,64 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < AUDIO_DOCS)
     audio = M.generate_audio(d.select("doc_id"))
     return M.extract_audio_features(audio).orderBy("uri")
+
+
+@query(
+    "multimodal_audio_resample",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, concat('doc://', doc_id, '.wav') AS uri,
+               doc_id % {M.SEED_MOD} AS seed,
+               {M.AUDIO_LEN_BASE} + doc_id % {M.AUDIO_LEN_SPAN} AS n
+        FROM documents WHERE doc_id < {AUDIO_DOCS}
+    ),
+    pairs AS (
+        SELECT d.uri, d.n, t.i,
+               ((7 * d.seed + 11 * (2 * t.i)) % {M.AUDIO_AMP_MOD} - 2000) AS s0,
+               ((7 * d.seed + 11 * (2 * t.i + 1)) % {M.AUDIO_AMP_MOD} - 2000) AS s1
+        FROM docs d,
+             range(0, ({M.AUDIO_LEN_BASE + M.AUDIO_LEN_SPAN}) // 2) AS t(i)
+        WHERE t.i < d.n // 2
+    ),
+    resampled AS (
+        -- floor((s0+s1)/2) with truncation-toward-negative-infinity
+        -- (Python //), which differs from SQL integer division on
+        -- negative sums: use floor() on a double division explicitly
+        SELECT uri, CAST(floor((s0 + s1) / 2.0) AS BIGINT) AS r
+        FROM pairs
+    )
+    SELECT uri,
+           CAST({M.AUDIO_RATE} // 2 AS INT) AS out_rate,
+           CAST(count(*) AS INT) AS n_out,
+           CAST(max(abs(r)) AS INT) AS peak,
+           CAST(sum(abs(r)) AS BIGINT) AS sum_abs
+    FROM resampled GROUP BY uri
+    ORDER BY uri
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio RESAMPLE through the engine's WAV codec: decode →
+    2:1 decimation (each output sample the floor-average of a
+    consecutive pair — exact integer DSP) → re-encode at half the
+    rate → decode AGAIN and reduce to integer features, so the hash
+    covers decode, the arithmetic, and the re-encoded container
+    round-trip in one query. The oracle replays the decimation in
+    closed form from the deterministic synthesis. Python's floor
+    division rounds toward −∞ — the oracle states floor() explicitly
+    because SQL integer division truncates toward zero on negatives,
+    exactly the class of silent cross-engine bug this registry's
+    oracle discipline exists to catch."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < AUDIO_DOCS)
+    resampled = M.resample_audio(M.generate_audio(d.select("doc_id")), factor=2)
+    feats = M.extract_audio_features(resampled)
+    return (
+        feats.select(
+            "uri",
+            F.col("sample_rate").alias("out_rate"),
+            F.col("n_samples").alias("n_out"),
+            "peak",
+            "sum_abs",
+        )
+        .orderBy("uri")
+    )
