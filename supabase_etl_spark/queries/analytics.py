@@ -2400,55 +2400,32 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     C the tail. The interesting part at scale is the GLOBAL cumulative
     sum: the naive window (ORDER BY with no partition) drags the whole
     corpus through one task, so this plan computes the prefix sum the
-    distributed way — range-repartition on the sort key, per-partition
-    running sums, plus a broadcast of per-partition totals' prefix
-    offsets (the dedup_sorted_neighborhood global-rank pattern applied
-    to sums). Decimal arithmetic end-to-end makes the distributed
+    distributed way via operators/prefix.distributed_cumsum —
+    range-repartition on the sort key, per-partition running sums,
+    plus a broadcast of per-partition totals' prefix offsets (the
+    dedup_sorted_neighborhood global-rank pattern applied to sums;
+    property-pinned bit-equal to the sequential window in
+    tests/test_prefix_sum.py). Decimal arithmetic end-to-end makes the distributed
     prefix sum EXACTLY equal the oracle's sequential window; shares
     round to 9dp before classification so boundaries cannot flip."""
+    from supabase_etl_spark.operators.prefix import distributed_cumsum
+
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("r")
     )
-    par = spark.sparkContext.defaultParallelism
-    ranged = rev.repartitionByRange(
-        par, F.col("r").desc(), F.col("o_custkey").asc()
-    ).withColumn("pid", F.spark_partition_id())
-    wloc = (
-        Window.partitionBy("pid")
-        .orderBy(F.col("r").desc(), F.col("o_custkey").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = ranged.withColumn("lcum", F.sum("r").over(wloc))
-    offsets = (
-        ranged.groupBy("pid")
-        .agg(F.sum("r").alias("ptot"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("ptot").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0).cast("decimal(28,6)"),
-            ),
-        )
-        .select("pid", "off")
+    cum = distributed_cumsum(
+        rev, "r", [F.col("r").desc(), F.col("o_custkey").asc()], out="lcum"
     )
     tot = rev.agg(F.sum("r").alias("t"))
-    cshare = F.round(
-        (F.col("lcum") + F.col("off")).cast("double") / F.col("t").cast("double"),
-        9,
-    )
+    cshare = F.round(F.col("lcum").cast("double") / F.col("t").cast("double"), 9)
     abc = (
         F.when(F.col("cshare") <= ABC_A, F.lit("A"))
         .when(F.col("cshare") <= ABC_B, F.lit("B"))
         .otherwise(F.lit("C"))
     )
     return (
-        local.join(F.broadcast(offsets), "pid")
-        .crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select("o_custkey", "r", cshare.alias("cshare"))
         .select("o_custkey", "r", "cshare", abc.alias("abc"))
         .groupBy("abc")
