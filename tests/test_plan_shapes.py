@@ -471,3 +471,45 @@ def test_psi_grid_is_tiny_after_first_agg(spark):
     plan = _plan(q.fn(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_parquet_bloom_filter_bytes_are_written(spark):
+    """io_parquet_bloom_layout's write option must actually emit bloom
+    bitmaps: the bloom-enabled file is materially larger than the same
+    data written plain, and pyarrow still parses the footer (the
+    bitmap lives between row groups and footer, invisible to readers
+    that don't ask)."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    # parquet-mr SKIPS the bloom when a chunk is fully dictionary-
+    # encoded (the dictionary already answers membership exactly), so
+    # disable dictionary encoding on both writes to force the bitmap
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey").coalesce(1)
+    plain_dir = tempfile.mkdtemp(prefix="bloom_plain_")
+    bloom_dir = tempfile.mkdtemp(prefix="bloom_on_")
+    try:
+        (
+            o.write.mode("overwrite")
+            .option("parquet.enable.dictionary", "false")
+            .parquet(plain_dir)
+        )
+        (
+            o.write.mode("overwrite")
+            .option("parquet.enable.dictionary", "false")
+            .option("parquet.bloom.filter.enabled#o_custkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#o_custkey", "2000")
+            .parquet(bloom_dir)
+        )
+        plain = glob.glob(plain_dir + "/*.parquet")[0]
+        bloomed = glob.glob(bloom_dir + "/*.parquet")[0]
+        assert os.path.getsize(bloomed) > os.path.getsize(plain) + 1024
+        assert pq.ParquetFile(bloomed).metadata.num_rows == o.count()
+    finally:
+        import shutil
+
+        shutil.rmtree(plain_dir, ignore_errors=True)
+        shutil.rmtree(bloom_dir, ignore_errors=True)
