@@ -188,3 +188,35 @@ def test_vacuum_retains_requested_history(spark, tmp_path):
         "manifests_removed": 0,
         "files_removed": 0,
     }
+
+
+def test_merge_loses_commit_race_cleanly(spark, tmp_path):
+    """MERGE publishes through the same put-if-absent gate as commit():
+    when another writer steals the next version between the merge's
+    read and publish, the merge raises ConcurrentCommitError, the
+    winner's snapshot is intact, and the merge's rewritten files stay
+    invisible orphans (no manifest names them)."""
+    import json as _json
+    import unittest.mock as mock
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    assert M.commit(base, t, note="v1") == 1
+
+    # writer B steals v2 while the merge is in flight
+    mdir = os.path.join(t, "_manifests")
+    winner = {"version": 2, "files": M._read_manifest(t, 1)["files"], "note": "B"}
+    with open(os.path.join(mdir, "v00000002.json"), "w") as fh:
+        _json.dump(winner, fh)
+
+    src = spark.range(5, 15).selectExpr("id AS k", "CAST(-id AS DOUBLE) AS v")
+    with mock.patch.object(M, "current_version", return_value=1):
+        with pytest.raises(M.ConcurrentCommitError, match="version 2"):
+            M.merge(spark, t, src, ["k"])
+
+    assert M._read_manifest(t, 2)["note"] == "B"
+    # loser's rewrite files are orphans: latest read still serves v1 data
+    assert sorted(r["k"] for r in M.read(spark, t).collect()) == list(range(10))
+    # and vacuum reclaims them
+    stats = M.vacuum(t, retain_versions=2)
+    assert stats["files_removed"] >= 1
