@@ -256,3 +256,46 @@ def vacuum(table_dir: str, retain_versions: int = 1) -> dict:
             os.unlink(os.path.join(data_dir, f))
             removed_files += 1
     return {"manifests_removed": removed_manifests, "files_removed": removed_files}
+
+
+def file_stats(table_dir: str, version: int | None = None) -> list[dict]:
+    """Per-data-file planning statistics for a snapshot — the
+    manifest-level metadata real formats keep inline (Iceberg manifest
+    entries, Delta add-file stats) so planners prune files WITHOUT
+    opening them: row count, byte size, and per-column min/max/nulls
+    straight from each parquet footer. Driver-side, bounded by file
+    count, zero data I/O (footers only). A reader that filters on a
+    column can intersect its predicate with these ranges and skip
+    whole files before Spark ever lists them."""
+    import pyarrow.parquet as pq
+
+    v = version if version is not None else current_version(table_dir)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    out = []
+    for rel in _read_manifest(table_dir, v)["files"]:
+        path = os.path.join(table_dir, rel)
+        md = pq.ParquetFile(path).metadata
+        cols: dict = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                cur = cols.setdefault(
+                    name, {"min": st.min, "max": st.max, "null_count": 0}
+                )
+                cur["min"] = min(cur["min"], st.min)
+                cur["max"] = max(cur["max"], st.max)
+                cur["null_count"] += st.null_count or 0
+        out.append(
+            {
+                "file": rel,
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(path),
+                "columns": cols,
+            }
+        )
+    return out

@@ -859,3 +859,55 @@ def io_parquet_bloom_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
         "o_orderkey"
     )
+
+
+PARQUET_CODECS = ("snappy", "zstd", "gzip")
+
+
+@query(
+    "io_parquet_codecs",
+    oracle=f"""
+    SELECT codec, n_rows, CAST(true AS BOOLEAN) AS roundtrip_ok
+    FROM (
+        SELECT unnest({list(PARQUET_CODECS)}) AS codec,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey <= 4000) AS n_rows
+    )
+    ORDER BY codec
+    """,
+    tags=("io", "layout"),
+)
+def io_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec bake-off — the storage-cost dial nobody gets
+    to ignore at 100 TB: the same lineitem slice written under snappy
+    (Spark's default: fast, modest ratio), zstd (the modern default
+    for cold data: ~25-40% smaller at similar read speed), and gzip
+    (legacy; best ratio, slowest CPU). Every variant must read back
+    row-identical — codec choice is a pure storage/CPU trade with zero
+    semantic surface, which is exactly what the gate row proves. The
+    relative SIZES are asserted in tests/test_plan_shapes.py
+    (zstd < snappy on this data); sizes are environment-stable but not
+    oracle-predictable, so the registry row carries the parity
+    verdict, not the byte counts. Per-codec scratch layouts live in
+    session scratch dirs; at scale this query is the shape of a
+    format-migration dry run (write-new, verify-parity, flip)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 4000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    n_src = li.count()  # bounded slice; the parity anchor
+    rows = []
+    for codec in PARQUET_CODECS:
+        out = scratch_dir(f"pq_codec_{codec}_")
+        li.write.mode("overwrite").option("compression", codec).parquet(out)
+        back = spark.read.parquet(out)
+        n_back = back.count()
+        same = (
+            n_back == n_src
+            and back.exceptAll(li).isEmpty()
+            and li.exceptAll(back).isEmpty()
+        )
+        rows.append((codec, n_back, bool(same)))
+    return spark.createDataFrame(
+        rows, "codec string, n_rows bigint, roundtrip_ok boolean"
+    ).orderBy("codec")

@@ -158,3 +158,36 @@ def test_resize_nearest_mapping():
 def test_resize_identity():
     rgb = _pattern(5, 3)
     assert IC.resize_nearest(5, 3, 3, rgb, 5, 3) == rgb
+
+
+def test_roundtrip_property_random_pixels():
+    """Hypothesis: arbitrary RGB buffers roundtrip exactly through all
+    three encoders (PNG exercises filtering + zlib; BMP row padding;
+    PPM maxval text header)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from supabase_etl_spark.operators import imagecodec as IC
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=9),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=w * h * 3,
+                    max_size=w * h * 3,
+                )
+            )
+        )
+        for enc in (IC.encode_png, IC.encode_bmp, IC.encode_ppm):
+            got = IC.decode_image(enc(w, h, px))
+            assert got[:2] == (w, h)
+            assert got[3] == px, enc.__name__
+
+    check()

@@ -220,3 +220,23 @@ def test_merge_loses_commit_race_cleanly(spark, tmp_path):
     # and vacuum reclaims them
     stats = M.vacuum(t, retain_versions=2)
     assert stats["files_removed"] >= 1
+
+
+def test_file_stats_expose_prunable_ranges(spark, tmp_path):
+    """file_stats must report footer-true row counts and column ranges
+    per snapshot file — the metadata a planner prunes on. Disjoint-key
+    appends yield disjoint reported ranges; a pinned old version
+    reports only its own files."""
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(0, 100).toDF("k"), t, "overwrite")
+    M.commit(spark.range(100, 200).toDF("k"), t, "append")
+
+    stats = M.file_stats(t)
+    assert sum(s["rows"] for s in stats) == 200
+    ranges = sorted((s["columns"]["k"]["min"], s["columns"]["k"]["max"]) for s in stats)
+    assert ranges[0][1] < ranges[-1][0], "disjoint appends must report disjoint ranges"
+    assert all(s["bytes"] > 0 for s in stats)
+
+    v1 = M.file_stats(t, version=1)
+    assert sum(s["rows"] for s in v1) == 100
+    assert max(s["columns"]["k"]["max"] for s in v1) == 99

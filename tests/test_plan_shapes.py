@@ -513,3 +513,34 @@ def test_parquet_bloom_filter_bytes_are_written(spark):
 
         shutil.rmtree(plain_dir, ignore_errors=True)
         shutil.rmtree(bloom_dir, ignore_errors=True)
+
+
+def test_zstd_compresses_tighter_than_snappy(spark):
+    """io_parquet_codecs' operational claim, pinned: on the repetitive
+    lineitem slice zstd's layout is materially smaller than snappy's —
+    the storage dividend a 100 TB lake collects by flipping one
+    option."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .coalesce(1)
+    )
+    sizes = {}
+    dirs = []
+    try:
+        for codec in ("snappy", "zstd"):
+            d = tempfile.mkdtemp(prefix=f"codec_{codec}_")
+            dirs.append(d)
+            li.write.mode("overwrite").option("compression", codec).parquet(d)
+            sizes[codec] = sum(
+                os.path.getsize(f) for f in glob.glob(d + "/*.parquet")
+            )
+        assert sizes["zstd"] < sizes["snappy"]
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
