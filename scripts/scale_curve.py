@@ -277,6 +277,50 @@ def main() -> None:
             .save()
         )
 
+    def _er_pairs(cust, fine: bool):
+        # Fellegi-Sunter candidate stage: block, pair, count. Coarse
+        # blocking = nation only (25 keys at ANY corpus size — block
+        # population grows linearly with data, so candidate PAIRS grow
+        # quadratically); fine blocking adds the balance band, keeping
+        # block populations ~constant under growth.
+        a = cust.select(F.col("c_custkey").alias("ka"), F.col("c_nationkey").alias("na"),
+                        F.col("c_acctbal").alias("ba"))
+        b = cust.select(F.col("c_custkey").alias("kb"), F.col("c_nationkey").alias("nb"),
+                        F.col("c_acctbal").alias("bb"))
+        cond = (F.col("na") == F.col("nb")) & (F.col("ka") < F.col("kb"))
+        if fine:
+            cond = cond & (
+                F.floor(F.col("ba") / 100) == F.floor(F.col("bb") / 100)
+            )
+        a.join(b, cond).groupBy().count().write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def blowup_customers(mult: int):
+        from supabase_etl_spark.io.readers import load_table
+
+        c = load_table(spark, SF_DIR, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal"
+        )
+        copies = [
+            c.select(
+                (F.col("c_custkey") + i * ID_STRIDE).alias("c_custkey"),
+                "c_nationkey",
+                (F.col("c_acctbal") + F.lit(i * 0.001)).alias("c_acctbal"),
+            )
+            for i in range(mult)
+        ]
+        out = copies[0]
+        for cc in copies[1:]:
+            out = out.unionByName(cc)
+        return out
+
+    def t_er_coarse(docs):
+        _er_pairs(blowup_customers(docs.__mult__), fine=False)
+
+    def t_er_fine(docs):
+        _er_pairs(blowup_customers(docs.__mult__), fine=True)
+
     ops = {
         "dedup_exact (sha2 groupBy)": t_exact,
         "minhash band candidates": t_minhash,
@@ -286,6 +330,8 @@ def main() -> None:
         "bloom build+probe": t_bloom,
         "dsir score+topk": t_dsir,
         "kcore peel round": t_kcore,
+        "ER pairs, coarse blocking (nation)": t_er_coarse,
+        "ER pairs, fine blocking (nation x bal-band)": t_er_fine,
     }
 
     rows = []
@@ -293,6 +339,7 @@ def main() -> None:
         walls = []
         for mult in BLOWUPS:
             docs = blowup_docs(spark, mult)
+            docs.__mult__ = mult  # for ops that build their own corpus
             fn(docs)  # warm codegen at this plan shape
             t0 = time.time()
             fn(docs)
