@@ -316,3 +316,86 @@ def resample_audio(df: DataFrame, factor: int = 2, content_col: str = "content")
     return df.mapInPandas(
         run, schema="uri string, content binary, n_in int, n_out int"
     )
+
+
+# --- video (YUV4MPEG2 via operators/videocodec.py) ----------------------
+
+VIDEO_W, VIDEO_H = 8, 6
+VIDEO_FRAMES_BASE = 6
+VIDEO_FRAMES_SPAN = 5  # n_frames in [6, 10]
+VIDEO_SAMPLE_EVERY = 3  # keep frames 0, 3, 6, ...
+
+
+def synth_video_params(doc_id: int) -> tuple[int, int]:
+    """(seed, n_frames) for the deterministic video fixture."""
+    return doc_id % SEED_MOD, VIDEO_FRAMES_BASE + doc_id % VIDEO_FRAMES_SPAN
+
+
+def synth_planes(seed: int, f: int) -> tuple[bytes, bytes, bytes]:
+    """Y/Cb/Cr planes of frame ``f`` — closed-form per pixel, one
+    range unnest away from SQL."""
+    y = bytes(
+        (seed + 3 * x + 5 * yy + 11 * f) % 256
+        for yy in range(VIDEO_H)
+        for x in range(VIDEO_W)
+    )
+    cb = bytes(
+        (seed + 7 * f + x) % 256 for yy in range(VIDEO_H) for x in range(VIDEO_W)
+    )
+    cr = bytes(
+        (seed + 13 * f + yy) % 256 for yy in range(VIDEO_H) for x in range(VIDEO_W)
+    )
+    return y, cb, cr
+
+
+def generate_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas fixture generator: one REAL YUV4MPEG2 stream per
+    input row — the video analog of generate_images/generate_audio."""
+    from supabase_etl_spark.operators import videocodec as VC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uris, contents = [], []
+            for doc_id in pdf[id_col]:
+                seed, n = synth_video_params(int(doc_id))
+                frames = [synth_planes(seed, f) for f in range(n)]
+                uris.append(f"doc://{doc_id}.y4m")
+                contents.append(VC.encode_y4m(VIDEO_W, VIDEO_H, frames))
+            yield pd.DataFrame({"uri": uris, "content": contents})
+
+    return df.mapInPandas(run, schema="uri string, content binary")
+
+
+def sample_video_frames(df: DataFrame, every_k: int, content_col: str = "content") -> DataFrame:
+    """Arrow-batched REAL frame sampling: decode the Y4M container,
+    keep every k-th frame, emit one row per kept frame with exact
+    integer luma/chroma statistics — the decimation every video
+    training pipeline runs before feature extraction."""
+    from supabase_etl_spark.operators import videocodec as VC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uri, content in zip(pdf["uri"], pdf[content_col]):
+                w, h, _fps, frames = VC.decode_y4m(bytes(content))
+                for f in range(0, len(frames), every_k):
+                    y, cb, cr = frames[f]
+                    rows.append(
+                        {
+                            "uri": uri,
+                            "frame_idx": f,
+                            "n_frames": len(frames),
+                            "luma_sum": sum(y),
+                            "luma_max": max(y),
+                            "chroma_sum": sum(cb) + sum(cr),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "uri string, frame_idx int, n_frames int, "
+            "luma_sum bigint, luma_max int, chroma_sum bigint"
+        ),
+    )

@@ -394,3 +394,61 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("uri")
     )
+
+
+VIDEO_DOCS = 30  # fixture corpus: doc_id < VIDEO_DOCS
+
+
+@query(
+    "multimodal_video_frame_stats",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, concat('doc://', doc_id, '.y4m') AS uri,
+               doc_id % {M.SEED_MOD} AS seed,
+               {M.VIDEO_FRAMES_BASE} + doc_id % {M.VIDEO_FRAMES_SPAN} AS n
+        FROM documents WHERE doc_id < {VIDEO_DOCS}
+    ),
+    sampled AS (
+        SELECT d.uri, d.seed, d.n, t.f
+        FROM docs d, range(0, {M.VIDEO_FRAMES_BASE + M.VIDEO_FRAMES_SPAN}) AS t(f)
+        WHERE t.f < d.n AND t.f % {M.VIDEO_SAMPLE_EVERY} = 0
+    ),
+    px AS (
+        SELECT s.uri, s.f, s.n,
+               (s.seed + 3 * x.i + 5 * y.j + 11 * s.f) % 256 AS yv,
+               (s.seed + 7 * s.f + x.i) % 256 AS cbv,
+               (s.seed + 13 * s.f + y.j) % 256 AS crv
+        FROM sampled s,
+             range(0, {M.VIDEO_W}) AS x(i),
+             range(0, {M.VIDEO_H}) AS y(j)
+    )
+    SELECT uri,
+           CAST(f AS INT) AS frame_idx,
+           CAST(any_value(n) AS INT) AS n_frames,
+           CAST(sum(yv) AS BIGINT) AS luma_sum,
+           CAST(max(yv) AS INT) AS luma_max,
+           CAST(sum(cbv) + sum(crv) AS BIGINT) AS chroma_sum
+    FROM px GROUP BY uri, f
+    ORDER BY uri, frame_idx
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling: each payload is a genuine
+    YUV4MPEG2 stream (engine-built per the public mjpegtools spec,
+    operators/videocodec.py — completing the image/audio/VIDEO codec
+    triple with actual parsed containers in all three modalities); the
+    Arrow-batched sampler parses the stream header and FRAME markers,
+    keeps every {M.VIDEO_SAMPLE_EVERY}rd frame, and reduces each kept
+    frame's Y/Cb/Cr planes to exact integer statistics. The oracle
+    replays the deterministic plane synthesis — a header-parse slip,
+    plane-order swap, or frame-boundary off-by-one is a hash mismatch.
+    At 100 TB: streams stay opaque binary columns in parquet; decode
+    parallelism is partition count; frame sampling shrinks payloads
+    {M.VIDEO_SAMPLE_EVERY}x before features, the standard
+    training-pipeline decimation."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < VIDEO_DOCS)
+    vids = M.generate_videos(d.select("doc_id"))
+    return M.sample_video_frames(vids, M.VIDEO_SAMPLE_EVERY).orderBy(
+        "uri", "frame_idx"
+    )
