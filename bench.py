@@ -115,24 +115,28 @@ def main() -> None:
         spark_matched_total += timings[name]
         print(f"# oracle {name}: {best:.3f}s (ratio {ratios[name]:.2f}x)", flush=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "oracle": oracle_timings,
-                "ratio": ratios,
-                "oracle_total": round(oracle_total, 3),
-                "ratio_total": round(spark_matched_total / oracle_total, 3)
-                if oracle_total > 0
-                else -1.0,
-                "sf": sf,
-            }
-        ),
-        flush=True,
+    payload = {
+        "metric": "bench_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "oracle": oracle_timings,
+        "ratio": ratios,
+        "oracle_total": round(oracle_total, 3),
+        "ratio_total": round(spark_matched_total / oracle_total, 3)
+        if oracle_total > 0
+        else -1.0,
+        "sf": sf,
+    }
+    print(json.dumps(payload), flush=True)
+    # The driver keeps only a bounded tail of stdout, which truncated
+    # the per-query dicts in BENCH_r4/r5 — persist the full payload so
+    # round-over-round comparison never depends on a tail buffer.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(os.path.dirname(__file__), "bench_results.json")
     )
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
 
 
 if __name__ == "__main__":

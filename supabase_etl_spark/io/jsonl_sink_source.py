@@ -24,9 +24,13 @@ in Python where a REST/entitlement-gated destination would live.
 Rows cross in chunks of ``chunk_size`` (default 300, the reference's
 page size) to bound per-call payloads.
 
-``mode("overwrite")`` is honored: the driver-side commit clears
-previously published ``task-*.jsonl`` files before publishing the new
-set, so a directory-glob reader never sees a mix of generations
+``mode("overwrite")`` is honored with a publish-first protocol: the
+new generation's files land first (uuid names never collide), the
+manifest is atomically swapped to name only them, and the previous
+generation is deleted last — so a crash anywhere in the commit leaves
+either the old or the new generation fully intact, never neither.
+Manifest-driven readers are always consistent; a raw directory-glob
+reader can transiently see both generations during the swap window
 (append mode keeps old files and the manifest lists the union).
 
 SHARED-FILESYSTEM REQUIREMENT: tasks stage under ``<dest>/_staging``
@@ -92,20 +96,22 @@ class ChunkedJsonlWriter(DataSourceWriter):
 
     def commit(self, messages):
         # driver-side, after ALL tasks succeeded: atomic publish.
-        # Overwrite clears the previous generation FIRST so glob
-        # readers never see old+new mixed; orphan-on-crash here leaves
-        # a manifest-less directory, the same crash story as staging.
-        if self.overwrite:
-            for f in os.listdir(self.dest):
-                if f.startswith("task-") and f.endswith(".jsonl"):
-                    os.remove(os.path.join(self.dest, f))
-        published = []
+        # Ordering is publish-new → swap-manifest → delete-old: uuid
+        # task names never collide across generations, so the new
+        # files land first, the manifest rename atomically repoints
+        # readers at them, and the old generation is GC'd last. A
+        # crash at ANY point leaves the previously committed data (or
+        # the new, once the manifest renamed) fully intact — deleting
+        # the old generation first would destroy committed data with
+        # no replacement if the driver died mid-commit.
         manifest = os.path.join(self.dest, "_committed.json")
-        if not self.overwrite and os.path.exists(manifest):
-            # append: the new manifest lists previous ∪ new, matching
-            # what a directory-glob reader sees
+        published = []
+        if os.path.exists(manifest):
             with open(manifest) as fh:
-                published = json.load(fh)["files"]
+                prev = json.load(fh)["files"]
+            if not self.overwrite:
+                # append: the new manifest lists previous ∪ new
+                published = prev
         for m in messages:
             if m is None:
                 continue
@@ -116,6 +122,14 @@ class ChunkedJsonlWriter(DataSourceWriter):
         with open(tmp, "w") as fh:
             json.dump({"files": published}, fh)
         os.rename(tmp, manifest)
+        # GC: any task-*.jsonl not in the just-published manifest is a
+        # previous overwrite generation or crash leftover — safe to
+        # drop now, and losing a crash race here only leaks files the
+        # manifest never names.
+        keep = {e["file"] for e in published}
+        for f in os.listdir(self.dest):
+            if f.startswith("task-") and f.endswith(".jsonl") and f not in keep:
+                os.remove(os.path.join(self.dest, f))
 
     def abort(self, messages):
         for m in messages or []:

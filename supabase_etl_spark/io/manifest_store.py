@@ -81,7 +81,7 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append", note: str = "") 
     files = list(new_files)
     if mode == "append" and prev > 0:
         files = _read_manifest(table_dir, prev)["files"] + new_files
-    return _commit_files(table_dir, files, note)
+    return _commit_files(table_dir, files, note, base_version=prev)
 
 
 def read(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
@@ -95,11 +95,21 @@ def read(spark: SparkSession, table_dir: str, version: int | None = None) -> Dat
     return spark.read.parquet(*paths)
 
 
-def _commit_files(table_dir: str, files: list[str], note: str) -> int:
-    """Publish manifest v(N+1) naming exactly ``files`` (same
-    put-if-absent discipline as commit())."""
-    prev = current_version(table_dir)
-    version = prev + 1
+def _commit_files(
+    table_dir: str, files: list[str], note: str, base_version: int
+) -> int:
+    """Publish manifest at ``base_version + 1`` naming exactly ``files``.
+
+    ``base_version`` MUST be the version the caller built ``files``
+    from — NOT re-read here. Re-reading at publish time would let a
+    concurrent commit v(N+1) land between the caller's snapshot read
+    (base N) and publication; this writer would then link v(N+2) built
+    from N's file list, silently dropping the concurrent commit from
+    the latest snapshot (lost update). Linking at base+1 instead makes
+    any interleaved commit deterministically surface as
+    ConcurrentCommitError so the stale writer re-reads and retries.
+    """
+    version = base_version + 1
     manifest = {"version": version, "files": files, "note": note}
     tmp = os.path.join(_manifest_dir(table_dir), f".tmp_{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
@@ -190,7 +200,7 @@ def merge(
     )
     rewrite = keep.unionByName(source)
     new_files = _write_data_files(rewrite, table_dir)
-    return _commit_files(table_dir, carried + new_files, note or "merge")
+    return _commit_files(table_dir, carried + new_files, note or "merge", base_version=v)
 
 
 def delete_where(
@@ -216,14 +226,23 @@ def delete_where(
     carried = [
         f for f in manifest["files"] if os.path.basename(f) not in touched
     ]
-    survivors = tgt.filter(F.col("_file").isin(list(touched))).filter(~cond).drop(
-        "_file"
+    # SQL DELETE semantics: only rows where the condition is TRUE are
+    # deleted. Survivors are rows where it is FALSE **or NULL** —
+    # filter(~cond) alone would drop null-condition rows in touched
+    # files while identical rows in untouched files carry over, making
+    # the outcome depend on file co-location.
+    survivors = (
+        tgt.filter(F.col("_file").isin(list(touched)))
+        .filter(~cond | cond.isNull())
+        .drop("_file")
     )
     new_files = _write_data_files(survivors, table_dir)
-    return _commit_files(table_dir, carried + new_files, note or "delete")
+    return _commit_files(table_dir, carried + new_files, note or "delete", base_version=v)
 
 
-def vacuum(table_dir: str, retain_versions: int = 1) -> dict:
+def vacuum(
+    table_dir: str, retain_versions: int = 1, retention_seconds: float = 0.0
+) -> dict:
     """Garbage-collect the table: drop manifests older than the newest
     ``retain_versions`` and delete every data file no surviving
     manifest references (orphans from aborted writes and losers of
@@ -233,7 +252,15 @@ def vacuum(table_dir: str, retain_versions: int = 1) -> dict:
     a retained version are unaffected; readers pinned to an expired
     one lose time travel — which is why real formats gate this on a
     retention window. Purely driver-side metadata + unlink: O(files),
-    no data scan, no Spark job."""
+    no data scan, no Spark job.
+
+    ``retention_seconds`` guards against racing an in-flight commit:
+    _write_data_files renames staged files into data/ BEFORE the
+    manifest is published, so an unreferenced file may be a commit in
+    flight, not an orphan. Files younger than the window (by mtime)
+    are skipped, same as Delta VACUUM's age gate. The default 0
+    reclaims immediately and is only safe when no writer is concurrent
+    with the vacuum."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     vs = _versions(table_dir)
@@ -249,11 +276,17 @@ def vacuum(table_dir: str, retain_versions: int = 1) -> dict:
     for v in vs[:-retain_versions]:
         os.unlink(os.path.join(_manifest_dir(table_dir), f"v{v:08d}.json"))
         removed_manifests += 1
+    import time
+
+    now = time.time()
     data_dir = os.path.join(table_dir, "data")
     removed_files = 0
     for f in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
         if f.endswith(".parquet") and f not in referenced:
-            os.unlink(os.path.join(data_dir, f))
+            path = os.path.join(data_dir, f)
+            if retention_seconds > 0 and now - os.path.getmtime(path) < retention_seconds:
+                continue  # possibly a just-staged file of an in-flight commit
+            os.unlink(path)
             removed_files += 1
     return {"manifests_removed": removed_manifests, "files_removed": removed_files}
 

@@ -67,6 +67,11 @@ def decode_y4m(buf: bytes) -> tuple[int, int, tuple[int, int], list[tuple[bytes,
         if buf[pos : pos + 5] != b"FRAME":
             raise ValueError(f"expected FRAME marker at byte {pos}")
         fnl = buf.find(b"\n", pos)  # frame params (if any) end at newline
+        if fnl < 0:
+            # stream ends inside the FRAME header: without this guard,
+            # buf[fnl+1:] == buf[0:] silently re-reads from the start
+            # of the buffer and yields a garbage frame
+            raise ValueError("truncated FRAME header")
         data = buf[fnl + 1 : fnl + 1 + 3 * plane]
         if len(data) < 3 * plane:
             raise ValueError("truncated frame payload")

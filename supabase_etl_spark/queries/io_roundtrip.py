@@ -911,3 +911,127 @@ def io_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "codec string, n_rows bigint, roundtrip_ok boolean"
     ).orderBy("codec")
+
+
+@query(
+    "io_manifest_vacuum",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           2 AS manifests_removed,
+           5 AS files_removed,
+           TRUE AS expired_unreadable,
+           TRUE AS orphan_gone
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    tags=("io", "lakehouse", "maintenance"),
+)
+def io_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM on the manifest table (Delta VACUUM / Iceberg
+    expire_snapshots, no connector jar): three commits build history —
+    v1 overwrite (orders ≤1000, 2 files), v2 append ((1000,2000], 2
+    files), v3 overwrite (orders ≤500) — plus one planted orphan (an
+    aborted write's data file no manifest names). vacuum(retain=1)
+    must (a) drop exactly the v1/v2 manifests, (b) reclaim exactly
+    their 4 data files + the orphan, (c) leave the retained snapshot
+    byte-identical — the read-back aggregate hash-matches the source
+    predicate — and (d) make expired time travel raise rather than
+    serve a half-collected snapshot. File counts are deterministic
+    because each commit repartitions to a fixed width. Purely
+    driver-side metadata + unlink at any scale: O(files), no data
+    scan, no Spark job (the read-back is the verification scan)."""
+    import os
+
+    from supabase_etl_spark.io import manifest_store as M
+    from supabase_etl_spark.queries._helpers import dsum
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = scratch_dir("manifest_vac_")
+    M.commit(o.filter(F.col("o_orderkey") <= 1000).repartition(2), table, "overwrite")
+    M.commit(
+        o.filter((F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 2000))
+        .repartition(2),
+        table,
+        "append",
+    )
+    M.commit(o.filter(F.col("o_orderkey") <= 500).repartition(1), table, "overwrite")
+    with open(os.path.join(table, "data", "part-orphan.parquet"), "wb") as fh:
+        fh.write(b"aborted-write-junk")
+
+    stats = M.vacuum(table, retain_versions=1)
+    try:
+        M.read(spark, table, 1)
+        expired_unreadable = False
+    except FileNotFoundError:
+        expired_unreadable = True
+    orphan_gone = not os.path.exists(os.path.join(table, "data", "part-orphan.parquet"))
+
+    return (
+        M.read(spark, table)
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("o_totalprice"), "total"))
+        .select(
+            "n_rows",
+            "total",
+            F.lit(stats["manifests_removed"]).alias("manifests_removed"),
+            F.lit(stats["files_removed"]).alias("files_removed"),
+            F.lit(expired_unreadable).alias("expired_unreadable"),
+            F.lit(orphan_gone).alias("orphan_gone"),
+        )
+    )
+
+
+@query(
+    "io_manifest_file_stats",
+    oracle="""
+    SELECT 1 AS file_idx, count(*) AS n_rows,
+           min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+           TRUE AS bytes_positive
+    FROM orders WHERE o_orderkey <= 1000
+    UNION ALL
+    SELECT 2 AS file_idx, count(*) AS n_rows,
+           min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+           TRUE AS bytes_positive
+    FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000
+    ORDER BY file_idx
+    """,
+    tags=("io", "lakehouse", "maintenance"),
+)
+def io_manifest_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level FILE STATISTICS (Iceberg manifest entries / Delta
+    add-file stats): two single-file commits over disjoint o_orderkey
+    ranges; file_stats() reads ONLY parquet footers (zero data I/O) and
+    must report footer-true per-file row counts and column min/max —
+    the metadata a planner intersects with a predicate to skip whole
+    files before listing them. The oracle recomputes each file's
+    stats relationally from the source ranges; a hash match proves the
+    footer numbers are the truth, not an estimate. Driver-side and
+    bounded by file count — the same metadata class as any lakehouse
+    planner's file listing."""
+    from supabase_etl_spark.io import manifest_store as M
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = scratch_dir("manifest_stats_")
+    M.commit(o.filter(F.col("o_orderkey") <= 1000).repartition(1), table, "overwrite")
+    M.commit(
+        o.filter((F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 2000))
+        .repartition(1),
+        table,
+        "append",
+    )
+    stats = M.file_stats(table)  # metadata-sized: one dict per data file
+    rows = sorted(
+        (
+            int(s["columns"]["o_orderkey"]["min"]),
+            int(s["columns"]["o_orderkey"]["max"]),
+            int(s["rows"]),
+            s["bytes"] > 0,
+        )
+        for s in stats
+    )
+    return spark.createDataFrame(
+        [
+            (i + 1, n, mn, mx, bp)
+            for i, (mn, mx, n, bp) in enumerate(rows)
+        ],
+        "file_idx int, n_rows bigint, min_k bigint, max_k bigint, bytes_positive boolean",
+    ).orderBy("file_idx")

@@ -281,6 +281,34 @@ DSIR_K = 50         # resampled corpus size
 _DSIR_SQL_BUCKET = (
     f"(CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT) % {DSIR_BUCKETS})"
 )
+
+
+def dsir_bucket_expr(g) -> "F.Column":
+    """Gram → feature-bucket hash for the DSIR family.
+
+    Two paths, identical plan shape, selected by
+    ``SPARK_GRAFT_DSIR_HASH``:
+
+    * ``md5`` (default): 32-bit md5 prefix — the one hash DuckDB
+      replays bit-for-bit, so the oracle gate can value-hash the
+      selected corpus. ~2x the cost of xxhash64 per gram pass
+      (sf0.1 A/B in SCALE.md).
+    * ``xxhash64``: ``pmod(xxhash64(g), B)`` — the production path; a
+      64-bit JVM-side hash with no hex/conv detour. Bucket ids differ
+      from the md5 path (any uniform hash is a valid DSIR feature
+      space — the paper's buckets are arbitrary), so it is gated off
+      by default to keep oracle parity; tests pin that both paths
+      yield statistically indistinguishable bucket-count
+      distributions and overlapping top-k selections.
+    """
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_DSIR_HASH", "md5")
+    if mode == "xxhash64":
+        return F.pmod(F.xxhash64(g), F.lit(DSIR_BUCKETS)).cast("bigint")
+    if mode != "md5":
+        raise ValueError(f"SPARK_GRAFT_DSIR_HASH must be md5|xxhash64, got {mode!r}")
+    return F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint") % DSIR_BUCKETS
 _DSIR_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
 
 
@@ -371,12 +399,15 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing quadratic. Per-doc sums go through exact small decimals so
     executor partition order cannot move the doubles.
 
-    Hash choice: the gram bucket hash is md5-prefix ONLY because the
-    DuckDB oracle must replay it bit-for-bit; an A/B at sf0.1 measured
-    the md5+conv path at ~2x the cost of ``pmod(xxhash64(g), B)``
-    (0.89 s vs 0.52 s per gram pass), so a production deployment
-    swaps one expression and keeps the identical plan. Docstring
-    numbers are interpolated from DSIR_BUCKETS/DSIR_K.
+    Hash choice: the gram bucket hash defaults to md5-prefix ONLY
+    because the DuckDB oracle must replay it bit-for-bit; an A/B at
+    sf0.1 measured the md5+conv path at ~2x the cost of
+    ``pmod(xxhash64(g), B)`` (numbers in SCALE.md), so production
+    deployments set ``SPARK_GRAFT_DSIR_HASH=xxhash64``
+    (`dsir_bucket_expr`) — one swapped expression, identical plan;
+    tests/test_scale_ops.py pins the two paths' bucket distributions
+    and top-k overlap. Docstring numbers are interpolated from
+    DSIR_BUCKETS/DSIR_K.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tokens(F.col("text")).alias("toks")
@@ -396,9 +427,7 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % DSIR_BUCKETS
-    )
+    bucket = dsir_bucket_expr("g")
     # hash every gram ONCE into a (doc, bucket) count grid; the
     # distribution aggs and the scoring pass both derive from this
     # frame, whose identical groupBy Exchange Spark reuses

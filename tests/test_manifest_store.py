@@ -240,3 +240,66 @@ def test_file_stats_expose_prunable_ranges(spark, tmp_path):
     v1 = M.file_stats(t, version=1)
     assert sum(s["rows"] for s in v1) == 100
     assert max(s["columns"]["k"]["max"] for s in v1) == 99
+
+
+def test_interleaved_commit_raises_not_lost_update(spark, tmp_path):
+    """The real lost-update race (no mocks): writer A reads base N,
+    writer B commits v(N+1), A publishes. A must get
+    ConcurrentCommitError — if _commit_files re-read current_version
+    at publish time, A would link v(N+2) built from N's file list and
+    B's commit would silently vanish from the latest snapshot."""
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10).toDF("id"), t, "overwrite", note="base")  # v1
+
+    # writer A: reads its base snapshot (v1) and stages data files
+    base = M.current_version(t)
+    a_files = M._read_manifest(t, base)["files"] + M._write_data_files(
+        spark.range(100, 105).toDF("id"), t
+    )
+    # writer B lands v2 while A is between read and publish
+    M.commit(spark.range(50, 60).toDF("id"), t, "append", note="B")
+    assert M.current_version(t) == 2
+
+    with pytest.raises(M.ConcurrentCommitError, match="version 2"):
+        M._commit_files(t, a_files, "A", base_version=base)
+
+    # B's rows are still in the latest snapshot — nothing lost
+    ids = sorted(r["id"] for r in M.read(spark, t).collect())
+    assert ids == list(range(10)) + list(range(50, 60))
+
+
+def test_delete_where_null_condition_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: only condition=TRUE rows are deleted.
+    Rows where the condition evaluates to NULL must survive even when
+    they share a file with deleted rows (filter(~cond) alone drops
+    them, making the outcome depend on file co-location)."""
+    t = str(tmp_path / "tbl")
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 10), (2, NULL), (3, 200) AS t(k, v)"
+    ).coalesce(1)  # one file: null-cond row co-located with a deleted row
+    M.commit(df, t, "overwrite")
+    M.delete_where(spark, t, "v > 100")
+    kept = sorted((r["k"], r["v"]) for r in M.read(spark, t).collect())
+    assert kept == [(1, 10), (2, None)], "NULL-condition row must survive"
+
+
+def test_vacuum_retention_window_spares_young_files(spark, tmp_path):
+    """A vacuum racing an in-flight commit must not reap just-staged
+    files: with retention_seconds set, unreferenced files younger than
+    the window survive; aged files (simulated via mtime rewind) go."""
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(5).toDF("id"), t, "overwrite")
+    young = os.path.join(t, "data", "part-inflight.parquet")
+    open(young, "wb").write(b"staged-by-inflight-commit")
+    old = os.path.join(t, "data", "part-aborted.parquet")
+    open(old, "wb").write(b"aborted-long-ago")
+    os.utime(old, (1, 1))  # epoch-old mtime
+
+    stats = M.vacuum(t, retain_versions=1, retention_seconds=3600)
+    assert os.path.exists(young), "in-flight staged file must survive the window"
+    assert not os.path.exists(old), "aged orphan must be reclaimed"
+    assert stats["files_removed"] == 1
+    # default (0) still reclaims immediately — documented single-writer mode
+    stats2 = M.vacuum(t, retain_versions=1)
+    assert not os.path.exists(young)
+    assert stats2["files_removed"] == 1

@@ -84,3 +84,17 @@ def test_roundtrip_property_random_planes():
         assert got == (w, h, (25, 1), frames)
 
     check()
+
+
+def test_truncated_frame_header_raises_cleanly():
+    """Stream ending in 'FRAME' with no trailing newline must raise a
+    clean truncation error, not silently re-read from buffer start
+    (buf.find returning -1 would slice buf[0:...])."""
+    import pytest
+
+    from supabase_etl_spark.operators import videocodec as V
+
+    good = V.encode_y4m(2, 2, [(b"\x10" * 4, b"\x20" * 4, b"\x30" * 4)])
+    trunc = good[: good.rindex(b"FRAME") + 5]  # ends exactly at 'FRAME'
+    with pytest.raises(ValueError, match="truncated FRAME header"):
+        V.decode_y4m(trunc)
