@@ -1022,14 +1022,25 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         normed = _split_oversized_clusters(normed, SEMDEDUP_CLUSTER_CAP)
     else:
         normed = normed.withColumn("sub_id", F.lit(0))
-    # (2) salt factor sized to the data, not the cluster: side B is
-    # replicated `par` times, so a fixed par=defaultParallelism makes a
-    # small corpus pay a 32x embedding-array shuffle for nothing —
-    # ~1 salt per 2k vectors, capped at 64 (the replication cap,
-    # commit 8f20868) and by cluster parallelism.
-    par = spark.sparkContext.defaultParallelism
+    # (2) salt factor: the pair join's partition count IS buckets x
+    # salt, so par must clear two bars at once — (a) enough (bucket,
+    # salt) combos to occupy the cluster (r5's ~1-salt-per-2k-vectors
+    # sizing gave par=2 at sf0.1: the whole quadratic stage ran as TWO
+    # tasks, the bench's straggler; measured sweep par=1..32 at sf0.1:
+    # 1.63/1.43/1.27/1.14/1.12/1.08 s — monotonic until parallelism
+    # saturates), while (b) bounding side-B replication (par copies of
+    # the corpus) on small inputs where the shuffle would cost more
+    # than the pairs. So: 2x-oversubscribed cores-per-bucket target,
+    # data-ceiled at ~1 salt per 250 vectors, capped at 64. At 100 TB
+    # the split drives bucket count ∝ n/cap, the cores-per-bucket
+    # target collapses to 1-2, and replication stays O(n) — bucket
+    # parallelism, not salt, carries the scale-out.
+    n_buckets = SEMDEDUP_K
+    if n_rows is not None and 2 * n_rows > 10 * SEMDEDUP_CLUSTER_CAP:
+        n_buckets = max(SEMDEDUP_K, -(-(2 * n_rows) // SEMDEDUP_CLUSTER_CAP))
+    par = -(-(2 * spark.sparkContext.defaultParallelism) // n_buckets)
     if n_rows is not None:
-        par = min(par, -(-(2 * n_rows) // 2000))
+        par = min(par, -(-(2 * n_rows) // 250))
     par = max(1, min(64, par))
     pairs = semantic_pair_stage(normed, par, COSINE_DUP_THRESHOLD)
     pair_stats = pairs.groupBy("cluster_id").agg(
