@@ -120,18 +120,54 @@ def ref_pack_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("s_suppkey")
 
 
-@query("ref_sdk_source", oracle=None, tags=("reference", "source"))
+def _sdk_oracle_sql() -> str:
+    """Expected (ticker, year, data) rows as a VALUES literal, replayed
+    from the SAME deterministic LCG the executor-side mock SDK runs
+    (io/sdk_source.py:_fetch) — upgrading ref_sdk_source from a
+    rows-only check to a full value-hash row. The JSON number format
+    is pinned by routing metrics through DECIMAL(18,2) on the Spark
+    side (Jackson prints BigDecimal plainly; raw doubles go
+    scientific); here the identical quantization is
+    Decimal(repr(v)).quantize(0.01, HALF_UP), which matches Spark's
+    double→decimal cast (BigDecimal.valueOf = shortest-repr parse,
+    then setScale HALF_UP)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from supabase_etl_spark.io.sdk_source import METRICS, STATEMENTS, _fetch
+
+    rows = []
+    for t in ("FPT", "VNM", "HPG"):
+        for s in STATEMENTS:
+            for ticker, year, statement, *vals in _fetch(t, s, range(2020, 2025)):
+                parts = [f'"statement":"{statement}"']
+                for m, v in zip(METRICS, vals):
+                    d = Decimal(repr(v)).quantize(
+                        Decimal("0.01"), rounding=ROUND_HALF_UP
+                    )
+                    parts.append(f'"{m}":{d}')
+                data = "{" + ",".join(parts) + "}"
+                rows.append(f"('{ticker}', {year}, '{data}')")
+    values = ",\n        ".join(rows)
+    return (
+        f"SELECT ticker, year, data FROM (VALUES {values}) "
+        "AS t(ticker, year, data) ORDER BY ticker, year, data"
+    )
+
+
+@query("ref_sdk_source", oracle=_sdk_oracle_sql(), tags=("reference", "source"))
 def ref_sdk_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference op S1 as a real Spark-4 Python Data Source
     (io/sdk_source.py): one InputPartition per (ticker, statement), the
     SDK fetch running executor-side, wide vnstock-shaped frames with
     Vietnamese year/ticker columns — then straight through the
     reference transform (T1 year discovery, T3 exclusion-project, T5
-    JSON packing, T6 truthy coalesce) into (ticker, year, statement,
-    data). Rows-only check: the source has no parquet twin for DuckDB.
-    """
+    JSON packing, T6 truthy coalesce) into (ticker, year, data).
+    Metrics are cast to DECIMAL(18,2) before packing so the JSON
+    number format is engine-portable (plain, two fractional digits);
+    the oracle replays the mock SDK's LCG in Python and pins every
+    byte of the packed payload (value-hash, not rows-only)."""
     from supabase_etl_spark.functions.packing import to_jsonb_records
-    from supabase_etl_spark.io.sdk_source import register
+    from supabase_etl_spark.io.sdk_source import METRICS, register
 
     register(spark)
     wide = (
@@ -140,6 +176,12 @@ def ref_sdk_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("start_year", "2020")
         .option("end_year", "2024")
         .load()
+    )
+    wide = wide.select(
+        "CP",
+        "Năm",
+        "statement",
+        *[F.col(f"`{m}`").cast("decimal(18,2)").alias(m) for m in METRICS],
     )
     records = to_jsonb_records(wide)  # statement stays inside the packed data
     return records.orderBy("ticker", "year", "data")

@@ -101,3 +101,104 @@ def test_checkpoint_restart_is_exactly_once(spark):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_reader_writer_crash_matrix_exactly_once(spark):
+    """End-to-end exactly-once of the full Python DSv2 pipeline
+    (parquet_replay stream reader → chunked_jsonl stream writer) under
+    a crash MATRIX across 3+ restarts on one checkpoint:
+
+      restart 1 — crash between sink-commit and checkpoint-advance
+        (the commit marker is deleted after the run): the engine
+        replays the epoch; the sink must find its batchId already in
+        the manifest and drop the restaged files, not double-publish.
+      restart 2 — same replay crash, plus a stale _staging file from a
+        dead task attempt lying around: the orphan must stay
+        unpublished (manifest-invisible).
+      restart 3 — clean restart (checkpoint advanced): nothing new is
+        admitted and the manifest is byte-stable.
+
+    After every restart the manifest-listed readback must equal the
+    batch aggregation of the source — no loss, no duplication."""
+    import json
+
+    from supabase_etl_spark.io import jsonl_sink_source as J
+
+    J.register(spark)
+    dest = tempfile.mkdtemp(prefix="pyds_mtx_dest_")
+    ckpt = tempfile.mkdtemp(prefix="pyds_mtx_ckpt_")
+    try:
+        total = pq.ParquetFile(EVENTS).metadata.num_rows
+
+        def run_once():
+            s = read_replay_stream(spark, EVENTS, COLS, rows_per_partition=500)
+            q = (
+                s.writeStream.format("chunked_jsonl")
+                .option("path", dest)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        def manifest():
+            with open(os.path.join(dest, "_committed.json")) as fh:
+                return json.load(fh)
+
+        def check_exact():
+            m = manifest()
+            files = [os.path.join(dest, e["file"]) for e in m["files"]]
+            back = spark.read.schema(
+                "event_id bigint, user_id bigint, event_type string, value double"
+            ).json(files)
+            assert back.count() == total
+            assert back.select("event_id").distinct().count() == total
+            # each epoch published at most once
+            assert len(m["epochs"]) == len(set(m["epochs"]))
+            return m
+
+        def crash_checkpoint():
+            # simulate dying between sink-commit and checkpoint-advance:
+            # drop the newest commit marker so the engine replays it
+            commits = os.path.join(ckpt, "commits")
+            newest = max(
+                (f for f in os.listdir(commits) if not f.startswith(".")),
+                key=lambda f: int(f),
+            )
+            os.unlink(os.path.join(commits, newest))
+            # the Hadoop local FS keeps a checksum sidecar; a stale one
+            # makes the restarted query think another query owns the log
+            crc = os.path.join(commits, f".{newest}.crc")
+            if os.path.exists(crc):
+                os.unlink(crc)
+
+        run_once()
+        m0 = check_exact()
+
+        # restart 1: replay after lost commit marker
+        crash_checkpoint()
+        run_once()
+        m1 = check_exact()
+        assert m1["files"] == m0["files"], "replayed epoch must not re-publish"
+
+        # restart 2: replay again, now with a dead task attempt's
+        # stale staging file present
+        crash_checkpoint()
+        staging = os.path.join(dest, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        stale = os.path.join(staging, f"task-{uuid.uuid4().hex}.jsonl")
+        with open(stale, "w") as fh:
+            fh.write('{"event_id": -1, "user_id": -1, "event_type": "x", "value": 0.0}\n')
+        run_once()
+        m2 = check_exact()
+        assert m2["files"] == m0["files"]
+        published = {e["file"] for e in m2["files"]}
+        assert os.path.basename(stale) not in published
+
+        # restart 3: clean restart — checkpoint is ahead, nothing admitted
+        run_once()
+        m3 = check_exact()
+        assert m3 == m2
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -599,3 +599,84 @@ def test_transform_with_state_ttl_expiry():
     out3 = list(proc.handleInputRows((1,), iter([pd.DataFrame({"event_id": [4]})]), None))
     assert out3[0]["n_events"][0] == 1  # restarted from zero
     proc.close()
+
+
+def _protobuf_missing_reason() -> str | None:
+    """Exact skip reason for the transformWithStateInPandas gate: the
+    real ImportError text, so the skip message names the dependency
+    that is actually absent (not an assumption)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return None
+    except ImportError as e:
+        assert "google" in str(e) or "protobuf" in str(e), str(e)
+        return f"transformWithStateInPandas needs google.protobuf: {e}"
+
+
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.mark.skipif(
+    _protobuf_missing_reason() is not None, reason=str(_protobuf_missing_reason())
+)
+def test_transform_with_state_real_path(spark):
+    """Runs the REAL transformWithStateInPandas path (no dispatch, no
+    fallback) — proven the day the runtime gains protobuf instead of
+    assumed. Forces the StatefulProcessor API directly and checks the
+    final per-user state equals the batch recompute, exactly like the
+    fallback-path test."""
+    from pyspark.sql import functions as F
+
+    from supabase_etl_spark.io.readers import load_table
+    from supabase_etl_spark.queries.streaming import CHECKSUM_K, CHECKSUM_P
+    from supabase_etl_spark.streaming.source import (
+        read_events_stream,
+        run_available_now,
+    )
+    from supabase_etl_spark.streaming.stateful import (
+        OUT_SCHEMA,
+        make_counter_processor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream_df = read_events_stream(spark, sf)
+    out = stream_df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_counter_processor(CHECKSUM_P, CHECKSUM_K),
+        outputStructType=OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    got_rows = run_available_now(out, "update").collect()
+    latest = {}
+    for r in sorted(got_rows, key=lambda r: r["n_events"]):
+        latest[r["user_id"]] = (r["n_events"], r["checksum"])
+    ev = load_table(spark, sf, "events")
+    want = {
+        r["user_id"]: (r["n"], r["ck"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum((F.col("event_id") % CHECKSUM_P) * CHECKSUM_K) % CHECKSUM_P)
+            .cast("bigint")
+            .alias("ck"),
+        )
+        .collect()
+    }
+    assert latest == want
+
+
+def test_transform_with_state_gate_reason_is_exact():
+    """The environment gate must report truthfully: on this runtime the
+    probe and the actual import agree, and when the import fails the
+    recorded skip reason carries the real ImportError text."""
+    from supabase_etl_spark.streaming.stateful import (
+        transform_with_state_available,
+    )
+
+    reason = _protobuf_missing_reason()
+    if reason is None:
+        assert transform_with_state_available()
+    else:
+        assert not transform_with_state_available()
+        assert "google.protobuf" in reason
