@@ -321,6 +321,104 @@ def main() -> None:
     def t_er_fine(docs):
         _er_pairs(blowup_customers(docs.__mult__), fine=True)
 
+    def t_containment(docs):
+        # dedup_containment's inverted-index intersection: one shuffle
+        # on the shingle hash, per-pair count, sizes joined after. The
+        # r5 verdict's super-linear suspect — pair output per shingle
+        # is quadratic in posting-list length, so the curve tests
+        # whether constant duplicate density (disjoint per-copy
+        # shingles) keeps posting lists, and thus growth, linear.
+        sh = (
+            D.exploded_shingles(docs)
+            .select("doc_id", F.xxhash64("s").alias("s"))
+            .localCheckpoint(eager=False)
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        (
+            inter.join(
+                sizes.select(F.col("doc_id").alias("ida"), F.col("n").alias("na")), "ida"
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("idb"), F.col("n").alias("nb")), "idb"
+            )
+            .filter(
+                F.col("inter") / F.least("na", "nb") >= 0.9
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    def blowup_embeddings(mult: int):
+        from supabase_etl_spark.io.readers import load_table
+
+        e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+        copies = [
+            e.select((F.col("vec_id") + i * ID_STRIDE).alias("vec_id"), "embedding")
+            for i in range(mult)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    def t_maxsim(docs):
+        # sim_maxsim_late_interaction's grid: fixed 4-query broadcast
+        # batch x growing corpus, 8x8 max-dot per pair, per-query
+        # top-k. One corpus pass per batch => the curve must be linear.
+        from supabase_etl_spark.queries.llm_similarity import (
+            MAXSIM_SUBDIM,
+            MAXSIM_TOKENS,
+            MAXSIM_TOP_K,
+        )
+        from pyspark.sql import Window as W
+
+        e = blowup_embeddings(docs.__mult__)
+        emb = F.col("embedding").cast("array<double>")
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(MAXSIM_TOKENS - 1)),
+            lambda j: F.slice(emb, j * MAXSIM_SUBDIM + 1, MAXSIM_SUBDIM),
+        )
+        n_q = MAXSIM_TOP_K + 1
+        q = e.filter(F.col("vec_id") < n_q).select(
+            F.col("vec_id").alias("qid"), toks.alias("qt")
+        )
+        c = e.filter(F.col("vec_id") >= n_q).select(
+            F.col("vec_id").alias("cid"), toks.alias("ct")
+        )
+
+        def subdot(qv, cv):
+            return F.aggregate(
+                F.zip_with(qv, cv, lambda x, y: x * y), F.lit(0.0), lambda a2, x: a2 + x
+            )
+
+        maxsim = F.aggregate(
+            F.col("qt"),
+            F.lit(0.0),
+            lambda acc, qv: acc
+            + F.array_max(F.transform(F.col("ct"), lambda cv: subdot(qv, cv))),
+        )
+        w = W.partitionBy("qid").orderBy(F.col("maxsim").desc(), F.col("cid").asc())
+        (
+            c.crossJoin(F.broadcast(q))
+            .select("qid", "cid", maxsim.alias("maxsim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= MAXSIM_TOP_K)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     ops = {
         "dedup_exact (sha2 groupBy)": t_exact,
         "minhash band candidates": t_minhash,
@@ -332,7 +430,11 @@ def main() -> None:
         "kcore peel round": t_kcore,
         "ER pairs, coarse blocking (nation)": t_er_coarse,
         "ER pairs, fine blocking (nation x bal-band)": t_er_fine,
+        "containment inverted-index pairs": t_containment,
+        "maxsim query-batch x corpus grid": t_maxsim,
     }
+    if len(sys.argv) > 1:
+        ops = {k: v for k, v in ops.items() if any(a in k for a in sys.argv[1:])}
 
     rows = []
     for name, fn in ops.items():
@@ -360,7 +462,8 @@ def main() -> None:
         cells = " | ".join(f"{w:.2f}s" for w in walls)
         print(f"| {name} | {cells} | {ratio:.1f}x |")
 
-    semantic_skew_curve(spark)
+    if len(sys.argv) <= 1:
+        semantic_skew_curve(spark)
 
 
 def skewed_embeddings(spark, mult: int):
