@@ -1035,3 +1035,62 @@ def io_manifest_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "file_idx int, n_rows bigint, min_k bigint, max_k bigint, bytes_positive boolean",
     ).orderBy("file_idx")
+
+
+@query(
+    "io_dynamic_partition_overwrite",
+    oracle="""
+    WITH merged AS (
+        SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS p
+        FROM orders WHERE o_orderpriority <> '1-URGENT'
+        UNION ALL
+        SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) * 0.5 AS p
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM merged
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("io", "layout", "dml"),
+)
+def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite (INSERT OVERWRITE ... PARTITION
+    semantics, `partitionOverwriteMode=dynamic` as a write option): a
+    5-way priority-partitioned orders layout, then an overwrite whose
+    input touches ONLY the 1-URGENT partition (prices halved). Dynamic
+    mode must replace exactly the partitions present in the incoming
+    data and leave the other four untouched — static mode (the
+    default) would truncate the whole table first, so the readback
+    aggregate hash-matches the merged oracle ONLY if partition-scoped
+    replacement actually happened. At 100 TB this is the daily-load
+    idiom: restate one day/priority in place without rewriting or even
+    listing the rest of the table; overwrite cost tracks the restated
+    partition's size."""
+    from supabase_etl_spark.queries._helpers import dsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("double")
+    )
+    out = scratch_dir("dyn_po_")
+    o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+    upd = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0.5
+    )
+    (
+        upd.write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "total"),
+        )
+        .orderBy("o_orderpriority")
+    )

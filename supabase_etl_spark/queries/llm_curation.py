@@ -894,3 +894,122 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_span_splice_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest({sql_ngrams_all("t", SPAN_K)}) AS g,
+               unnest(range(1, greatest(1, len(t) - {SPAN_K - 1}) + 1)) AS s
+        FROM toks
+    ),
+    freq AS (SELECT g, count(*) AS cnt FROM grams GROUP BY g),
+    iv AS (
+        SELECT gr.doc_id, gr.s, gr.s + {SPAN_K - 1} AS e
+        FROM grams gr JOIN freq f ON gr.g = f.g
+        WHERE f.cnt >= 2
+    ),
+    mk AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+        FROM iv
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM mk
+    ),
+    spans AS (
+        SELECT doc_id, island, min(s) AS s, max(e) AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS tokens_removed
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.tokens_removed, 0) AS tokens_removed,
+           CAST(len(t.t) AS BIGINT) - COALESCE(p.tokens_removed, 0) AS tokens_kept
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def text_span_splice_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The splice pass text_repeated_span_flags points at (Lee et al.
+    2022 ExactSubstr, the REMOVAL half): flagged gram positions become
+    token intervals [pos, pos+K-1], overlapping intervals merge into
+    maximal spans per document (gaps-and-islands over a running-max
+    window), and the output is each document's post-splice token
+    budget — n_spans, tokens_removed, tokens_kept — the numbers a
+    curation pipeline feeds its token accounting.
+
+    Scale shape: the gram frequency table is one hash agg
+    (vocabulary-sized); flagging is one equi-join on the gram; the
+    island merge windows partition BY DOCUMENT (per-doc interval
+    counts, never corpus-wide ordering), so the only corpus-sized
+    shuffles are the gram agg and the doc-keyed window — both linear.
+    Reference: the same inverted-index discipline as
+    text_repeated_span_flags (llm_curation.py:645)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    grams = toked.select(
+        "doc_id", F.posexplode(ngrams_all(F.col("t"), SPAN_K)).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("s"), "g")
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    iv = grams.join(freq.filter(F.col("cnt") >= 2), "g").select(
+        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max = F.max("e").over(w_prev)
+    isl = iv.withColumn(
+        "island",
+        F.sum(
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+        ).over(w_run),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("tokens_removed"),
+    )
+    base = toked.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    zero = F.lit(0).cast("bigint")
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", zero).alias("n_spans"),
+            F.coalesce("tokens_removed", zero).alias("tokens_removed"),
+            (F.col("n_tokens") - F.coalesce("tokens_removed", zero)).alias(
+                "tokens_kept"
+            ),
+        )
+        .orderBy("doc_id")
+    )

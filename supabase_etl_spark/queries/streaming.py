@@ -963,3 +963,61 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("kind")
     )
+
+
+@query(
+    "stream_stream_left_semi_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, CAST(p.value AS DOUBLE) AS value
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+            SELECT 1 FROM events v
+            WHERE v.event_type = 'view'
+              AND v.user_id = p.user_id
+              AND v.ts >= p.ts - INTERVAL 1 HOUR
+              AND v.ts <= p.ts
+      )
+    ORDER BY p.event_id
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — the existence-check
+    flavor Spark supports alongside inner/outer: each purchase emits
+    AT MOST ONCE, as soon as any view of the same user in the
+    preceding hour arrives, and the view side's columns never leak
+    into the output (semi-join contract). State bounding is the same
+    watermark-interval argument as the inner join: a view older than
+    watermark-minus-interval can never certify a future purchase and
+    is evicted. The oracle is the batch EXISTS subquery — a bounded
+    replay must converge to exactly it."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("view_user") == F.col("user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "left_semi",
+    ).select("event_id", "user_id", F.col("value").cast("double").alias("value"))
+    sink = run_available_now(joined, "append")
+    return sink.orderBy("event_id")
