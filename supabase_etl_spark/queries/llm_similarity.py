@@ -784,3 +784,89 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= MAXSIM_TOP_K)
         .orderBy("qid", "rn")
     )
+
+
+JL_DIM = 16  # random-projection target dimensionality
+
+
+def _jl_matrix() -> list[list[int]]:
+    """Deterministic ±1 projection matrix (Achlioptas 2003: Rademacher
+    entries satisfy the JL lemma like Gaussians do, and cost one
+    multiply-free sign flip per element). LCG-seeded so both engines
+    replay the identical matrix from the literal below."""
+    rows = []
+    seed = 20260814
+    for _ in range(JL_DIM):
+        row = []
+        for _ in range(EMB_DIM):
+            seed = (1103515245 * seed + 12345) % 2_147_483_648
+            row.append(1 if (seed >> 16) % 2 == 0 else -1)
+        rows.append(row)
+    return rows
+
+
+def _jl_sql() -> str:
+    m = _jl_matrix()
+    rlit = "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in m
+    ) + "]"
+    cols = ",\n           ".join(
+        f"""round(list_reduce(list_transform(range(1, {EMB_DIM} + 1),
+               i -> CAST(embedding[i] AS DOUBLE) * ({rlit})[{j + 1}][i]),
+               (a, b) -> a + b) / 4.0, 9) AS p{j}"""
+        for j in range(JL_DIM)
+    )
+    return f"""
+    SELECT vec_id,
+           {cols}
+    FROM embeddings
+    ORDER BY vec_id
+    """
+
+
+@query(
+    "sim_random_projection",
+    oracle=_jl_sql(),
+    tags=("llm", "similarity", "embedding"),
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas ±1 variant):
+    64-d embeddings down to {JL}-d with distances preserved within
+    (1±ε) w.h.p. — the standard pre-step that makes downstream ANN /
+    clustering pay {JL}/64 of the distance-arithmetic cost. The
+    projection matrix is a broadcast-free LITERAL (16x64 signs, ~1 KiB
+    folded into the plan as a constant array) and each output
+    component is a row-local zip_with/aggregate fold over the input
+    vector — zero shuffles, zero UDFs, whole-stage codegen end to end;
+    at 100 TB this is a pure map over the corpus scan. Scaling is
+    1/sqrt(k) = 1/4. Output is the 16 projected components as flat
+    columns, every value pinned by the oracle replaying the identical
+    literal matrix and sequential fold."""
+    m = _jl_matrix()
+    rlit = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(str(v) for v in row) + ")" for row in m
+        )
+        + ")"
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    ).withColumn("R", rlit)
+    proj_cols = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("x"),
+                    F.element_at(F.col("R"), j + 1),
+                    lambda a, b: a * b.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / 4.0,
+            9,
+        ).alias(f"p{j}")
+        for j in range(JL_DIM)
+    ]
+    return e.select("vec_id", *proj_cols).orderBy("vec_id")

@@ -1021,3 +1021,94 @@ def stream_stream_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", F.col("value").cast("double").alias("value"))
     sink = run_available_now(joined, "append")
     return sink.orderBy("event_id")
+
+
+@query(
+    "stream_cdc_merge_manifest",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey <= 1500
+    ),
+    updates AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) * 0.9 AS o_totalprice
+        FROM orders
+        WHERE (o_orderkey <= 1500 AND o_orderkey % 3 = 0)
+           OR (o_orderkey > 1500 AND o_orderkey <= 2000)
+    ),
+    merged AS (
+        SELECT t.o_orderkey,
+               COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice
+        FROM target t LEFT JOIN updates u USING (o_orderkey)
+        UNION ALL
+        SELECT u.o_orderkey, u.o_totalprice
+        FROM updates u LEFT JOIN target t USING (o_orderkey)
+        WHERE t.o_orderkey IS NULL
+    )
+    SELECT o_orderkey, o_totalprice FROM merged
+    ORDER BY o_orderkey
+    """,
+    tags=("streaming", "sink", "lakehouse"),
+)
+def stream_cdc_merge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert INTO THE LAKEHOUSE: micro-batches of order
+    repricings delivered through foreachBatch, each batch MERGEd
+    (copy-on-write, file-pruned) into the manifest table — the
+    Delta-streaming-sink idiom rebuilt on the engine's own snapshot
+    log. The update feed is split into 3 disjoint-key files read with
+    maxFilesPerTrigger=1 under AvailableNow, so the merge really runs
+    once per micro-batch against the then-current snapshot; disjoint
+    key ranges make the final state batch-count-invariant. Readback of
+    the final snapshot must hash-equal the relational replay of the
+    whole upsert. Each merge's cost is touched-files + batch (COW
+    pruning), and every intermediate snapshot stays time-travelable —
+    the audit trail a CDC pipeline wants at 100 TB."""
+    import os
+
+    from supabase_etl_spark.io import manifest_store as M
+    from supabase_etl_spark.io.scratch import scratch_dir
+
+    from supabase_etl_spark.io.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double")
+    )
+    table = scratch_dir("stream_merge_tbl_")
+    M.commit(o.filter(F.col("o_orderkey") <= 1500), table, mode="overwrite")
+
+    updates = o.filter(
+        ((F.col("o_orderkey") <= 1500) & (F.col("o_orderkey") % 3 == 0))
+        | ((F.col("o_orderkey") > 1500) & (F.col("o_orderkey") <= 2000))
+    ).select("o_orderkey", (F.col("o_totalprice") * 0.9).alias("o_totalprice"))
+    feed = scratch_dir("stream_merge_feed_")
+    # three disjoint-key files => three micro-batches
+    for i, (lo, hi) in enumerate([(-1, 700), (700, 1400), (1400, 2000)]):
+        (
+            updates.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(feed, f"part{i}"))
+        )
+
+    src = (
+        spark.readStream.schema("o_orderkey bigint, o_totalprice double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed, "part*"))
+    )
+
+    def upsert(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        M.merge(batch_df.sparkSession, table, batch_df, ["o_orderkey"])
+
+    ckpt = scratch_dir("stream_merge_ckpt_")
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return M.read(spark, table).orderBy("o_orderkey")
