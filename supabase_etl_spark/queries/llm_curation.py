@@ -1013,3 +1013,131 @@ def text_span_splice_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+TEMP_BUDGET_FRAC = 0.5  # temperature-mixture total budget
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    probs AS (
+        SELECT source, n_docs,
+               sqrt(CAST(n_docs AS DOUBLE))
+                   / SUM(sqrt(CAST(n_docs AS DOUBLE))) OVER () AS p
+        FROM counts
+    ),
+    rates AS (
+        SELECT source, n_docs,
+               least(1.0, p * {TEMP_BUDGET_FRAC}
+                          * SUM(n_docs) OVER () / n_docs) AS rate
+        FROM probs
+    ),
+    accepted AS (
+        SELECT d.source, count(*) AS n_sampled
+        FROM documents d JOIN rates r USING (source)
+        WHERE {_sql_bucket("d.doc_id", 1_000_000)} < floor(r.rate * 1000000)
+        GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs,
+           COALESCE(a.n_sampled, 0) AS n_sampled,
+           round(r.rate, 6) AS rate
+    FROM rates r LEFT JOIN accepted a USING (source)
+    ORDER BY r.source
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling (the multilingual mixture
+    rule of XLM-R / mT5: p_i ∝ n_i^(1/T), upweighting small domains so
+    head domains don't drown the tail). T=2 → exponent 0.5, chosen
+    deliberately: IEEE-754 REQUIRES sqrt to be correctly rounded, so
+    both engines produce bit-identical probabilities — pow(x, 0.3)
+    would be 1-ulp lottery across libms. Acceptance is the registry's
+    deterministic LCG on doc_id against the per-source rate; the rate
+    table is |sources| rows (broadcast), so sampling is one shuffle-
+    free corpus scan, same scale shape as sample_domain_mixture."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    rates = counts.select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (
+                F.sqrt(F.col("n_docs").cast("double"))
+                / F.sum(F.sqrt(F.col("n_docs").cast("double"))).over(w_all)
+            )
+            * F.lit(TEMP_BUDGET_FRAC)
+            * F.sum("n_docs").over(w_all)
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    accepted = (
+        d.join(F.broadcast(rates), "source")
+        .filter(
+            _bucket(F.col("doc_id"), 1_000_000)
+            < F.floor(F.col("rate") * 1_000_000)
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(accepted, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.round("rate", 6).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_ngram_diversity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_SQL_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+        SELECT source, unnest({sql_ngrams_all("t", 3)}) AS g FROM toks
+    )
+    SELECT source,
+           count(*) AS n_grams,
+           count(DISTINCT g) AS n_distinct,
+           round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6)
+               AS diversity
+    FROM grams
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "curation", "metrics"),
+)
+def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram diversity per source (the distinct-n-grams/total ratio —
+    the Self-BLEU-adjacent metric curation pipelines watch: templated
+    or duplicated sources score low, diverse prose scores high). One
+    explode + one two-level agg; the distinct count is exact here and
+    the documented 100 TB swap is approx_count_distinct per source
+    (mergeable, no distinct shuffle) once the gram stream outgrows the
+    exact path — identical query shape either way."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    grams = d.select(
+        "source", F.explode(ngrams_all(tokens(F.col("text")), 3)).alias("g")
+    )
+    return (
+        grams.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_distinct("g").alias("n_distinct"),
+            F.round(
+                F.count_distinct("g") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("diversity"),
+        )
+        .orderBy("source")
+    )

@@ -1613,3 +1613,50 @@ def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= ER_THRESHOLD)
         .orderBy("a_key", "b_key")
     )
+
+
+@query(
+    "dedup_exact_canonical",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   '\\s+', ' ', 'g'))) AS h
+        FROM documents
+    )
+    SELECT min(doc_id) AS keeper,
+           count(*) AS n_copies,
+           h
+    FROM canon
+    GROUP BY h
+    ORDER BY keeper
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER text canonicalization (the Dolma/C4 hygiene
+    step dedup_exact deliberately skips): lowercase, non-alphanumerics
+    to spaces, whitespace collapsed, then hash-group — so documents
+    differing only in case, punctuation, or spacing collapse into one
+    group where byte-exact dedup sees distinct texts. Same scale shape
+    as dedup_exact: canonicalization is a row-local expression chain
+    inside the scan, then ONE hash-shuffle on the digest with min-id
+    survivor. Cross-engine note: DuckDB's regexp_replace needs the 'g'
+    flag to match Spark's replace-all default — the kind of dialect
+    trap the oracle exists to catch."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", F.md5(canon).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper", "n_copies", "h")
+        .orderBy("keeper")
+    )

@@ -1112,3 +1112,82 @@ def stream_cdc_merge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return M.read(spark, table).orderBy("o_orderkey")
+
+
+@query(
+    "stream_stream_right_outer_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_event, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id AS view_event, user_id, ts
+        FROM events WHERE event_type = 'view'
+    ),
+    wm AS (
+        SELECT least(
+            (SELECT make_timestamp((epoch_ms(max(ts)) - 600000) * 1000) FROM p),
+            (SELECT make_timestamp((epoch_ms(max(ts)) - 600000) * 1000) FROM v)
+        ) AS w
+    ),
+    rj AS (
+        SELECT v.view_event, v.user_id, v.ts AS vts, p.purchase_event
+        FROM v LEFT JOIN p
+          ON p.user_id = v.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 1 HOUR
+    )
+    SELECT view_event, user_id,
+           CAST(count(purchase_event) AS BIGINT) AS n_purchases
+    FROM rj
+    WHERE purchase_event IS NOT NULL
+       OR vts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    GROUP BY view_event, user_id
+    ORDER BY view_event
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join — completes the
+    left/full/semi outer matrix: every view survives, purchases of the
+    same user within the following hour attach when they exist, and a
+    view with no purchase emits its null-padded row only once the
+    watermark guarantees no future purchase can match (its match
+    window [vts, vts+1h] must close under the final watermark — the
+    oracle models exactly that seal, the same discipline as the
+    left/full outer twins: matches always emit; null-padded rows only
+    for sealed views)."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("view_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "right_outer",
+    ).select("view_event", "view_user", "purchase_event")
+    sink = run_available_now(joined, "append")
+    return (
+        sink.groupBy("view_event", F.col("view_user").alias("user_id"))
+        .agg(F.count("purchase_event").alias("n_purchases"))
+        .orderBy("view_event")
+    )
