@@ -948,6 +948,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY t.doc_id
     """,
     tags=("llm", "curation", "dedup"),
+    bench=True,
 )
 def text_span_splice_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The splice pass text_repeated_span_flags points at (Lee et al.

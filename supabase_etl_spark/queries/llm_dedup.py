@@ -1660,3 +1660,111 @@ def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keeper", "n_copies", "h")
         .orderBy("keeper")
     )
+
+
+def _split_leakage_oracle() -> str:
+    from supabase_etl_spark.queries.llm_sampling import _sql_bucket
+
+    b = _sql_bucket("cluster_id", 100)
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTES},
+    inter AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.ida, i.idb
+        FROM inter i
+        JOIN sizes sa ON i.ida = sa.doc_id
+        JOIN sizes sb ON i.idb = sb.doc_id
+        WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT ida AS src, idb AS dst FROM pairs
+        UNION
+        SELECT idb, ida FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    assigned AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN {b} < 80 THEN 'train'
+                    WHEN {b} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clusters
+    ),
+    leaks AS (
+        SELECT count(*) AS leaked
+        FROM pairs p
+        JOIN assigned x ON p.ida = x.doc_id
+        JOIN assigned y ON p.idb = y.doc_id
+        WHERE x.split <> y.split
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters,
+           (SELECT leaked FROM leaks) AS leaked_pairs
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """
+
+
+@query(
+    "split_leakage_safe",
+    oracle=_split_leakage_oracle(),
+    tags=("llm", "dedup", "sampling"),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split — the eval-decontamination
+    rule split_train_val_test skips: hashing doc_id sends two
+    near-duplicate documents to DIFFERENT splits (test answers leak
+    into train), so the split key must be the near-dup CLUSTER id.
+    Pipeline: Jaccard pair graph → min-label connected components
+    (shared `_min_label_fixpoint`) → deterministic LCG bucket on
+    cluster_id → 80/10/10. The output self-certifies: leaked_pairs
+    counts near-dup pairs straddling splits, computed from the data
+    (not asserted) — zero by construction since both endpoints carry
+    the same cluster_id. Scale: the split adds one broadcast-free
+    row-local bucket expression on top of the CC labels; the leak
+    audit is one pairs-sized join, |pairs| << corpus."""
+    from supabase_etl_spark.queries.llm_sampling import _bucket
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.jaccard_pairs(d, JACCARD_THRESHOLD).select("ida", "idb")
+    labels = _min_label_fixpoint(d, pairs)  # doc_id, cluster_id
+    bk = _bucket(F.col("cluster_id"), 100)
+    assigned = labels.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bk < 80, "train").when(bk < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    ).localCheckpoint(eager=False)
+    leaks = (
+        pairs.join(
+            assigned.select(F.col("doc_id").alias("ida"), F.col("split").alias("sa")),
+            "ida",
+        )
+        .join(
+            assigned.select(F.col("doc_id").alias("idb"), F.col("split").alias("sb")),
+            "idb",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("leaked"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select("split", "n_docs", "n_clusters", F.col("leaked").alias("leaked_pairs"))
+        .orderBy("split")
+    )

@@ -37,3 +37,18 @@ def test_query_runs(spark, sf_dir, name):
     spec = REGISTRY[name]
     sdf = spec.fn(spark, sf_dir)
     assert sdf.count() >= 0
+
+
+def test_driver_priority_slots_are_value_hashable():
+    """The driver's independent oracle samples the first 50 registry
+    entries; DRIVER_PRIORITY spends those slots on the LLM/streaming/
+    lake flagships. Every slot must carry a DuckDB oracle (value-hash),
+    and the registry must actually serve them first — a rows-only or
+    misplaced entry silently wastes independent verification."""
+    from supabase_etl_spark.queries import DRIVER_PRIORITY, load_all
+
+    reg = load_all()
+    first50 = list(reg)[:50]
+    assert first50 == list(DRIVER_PRIORITY)
+    missing = [n for n in DRIVER_PRIORITY if reg[n].oracle is None]
+    assert not missing, f"rows-only queries in the driver window: {missing}"
