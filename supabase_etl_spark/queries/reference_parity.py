@@ -185,3 +185,66 @@ def ref_sdk_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     records = to_jsonb_records(wide)  # statement stays inside the packed data
     return records.orderBy("ticker", "year", "data")
+
+
+def _sdk_stream_oracle_sql() -> str:
+    """Expected full drain of the STREAMING SDK source (all years
+    2020-2024, every ticker x statement) as a VALUES literal — same
+    LCG replay discipline as `_sdk_oracle_sql`, but over the wide
+    frame the stream emits (no JSON packing: the stream's own rows
+    are the contract under test)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from supabase_etl_spark.io.sdk_source import METRICS, STATEMENTS, _fetch
+
+    rows = []
+    for t in ("FPT", "VNM"):
+        for s in STATEMENTS:
+            for ticker, year, statement, *vals in _fetch(t, s, range(2021, 2025)):
+                cells = [f"'{ticker}'", str(year), f"'{statement}'"]
+                for v in vals:
+                    d = Decimal(repr(v)).quantize(
+                        Decimal("0.01"), rounding=ROUND_HALF_UP
+                    )
+                    cells.append(f"CAST({d} AS DECIMAL(18,2))")
+                rows.append("(" + ", ".join(cells) + ")")
+    values = ",\n        ".join(rows)
+    cols = ", ".join(["ticker", "year", "statement"] + [f"m_{m}" for m in METRICS])
+    return (
+        f"SELECT * FROM (VALUES {values}) AS t({cols}) "
+        "ORDER BY ticker, statement, year"
+    )
+
+
+@query(
+    "ref_sdk_stream_source",
+    oracle=_sdk_stream_oracle_sql(),
+    tags=("reference", "source", "streaming"),
+)
+def ref_sdk_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the SDK source (io/sdk_source.py
+    `SimpleDataSourceStreamReader`): offsets are last-ingested years,
+    an AvailableNow run drains exactly the configured year range in
+    per-year increments, and the drained rows — the source's whole
+    output contract — are value-hashed against the LCG replay. This
+    upgrades the last rows-only reference op to a full hash row
+    (restart/replay semantics stay pinned in tests/test_sdk_source.py)."""
+    from supabase_etl_spark.io.sdk_source import METRICS, register
+    from supabase_etl_spark.streaming.source import run_available_now
+
+    register(spark)
+    wide = (
+        spark.readStream.format("financial_statements")
+        .option("tickers", "FPT,VNM")
+        .option("start_year", "2021")
+        .option("end_year", "2024")
+        .load()
+    )
+    out = wide.select(
+        F.col("CP").alias("ticker"),
+        F.col("Năm").alias("year"),
+        "statement",
+        *[F.col(f"`{m}`").cast("decimal(18,2)").alias(f"m_{m}") for m in METRICS],
+    )
+    sink = run_available_now(out, "append")
+    return sink.orderBy("ticker", "statement", "year")
