@@ -2437,3 +2437,131 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+SSSP_SOURCE = "FRANCE"
+SSSP_MAX_ROUNDS = 24  # |V| - 1: the Bellman-Ford worst case
+
+
+def _sssp_oracle() -> str:
+    return f"""
+    WITH RECURSIVE raw_edges AS (
+        SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY src, dst
+    ),
+    edges AS (
+        SELECT src, dst, CAST(w % 7 + 1 AS BIGINT) AS wi FROM raw_edges
+    ),
+    reach(v, dist, hops) AS (
+        SELECT '{SSSP_SOURCE}', CAST(0 AS BIGINT), 0
+        UNION
+        SELECT e.dst, r.dist + e.wi, r.hops + 1
+        FROM reach r JOIN edges e ON r.v = e.src
+        WHERE r.hops < {SSSP_MAX_ROUNDS}
+    ),
+    best AS (SELECT v, min(dist) AS dist FROM reach GROUP BY v)
+    SELECT n.n_name AS nation, b.dist
+    FROM nation n LEFT JOIN best b ON n.n_name = b.v
+    ORDER BY nation
+    """
+
+
+@query(
+    "graph_sssp_bellman_ford",
+    oracle=_sssp_oracle(),
+    tags=("graph", "analytics", "iterative"),
+)
+def graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (Bellman-Ford, the distributed
+    relaxation form) over the nation trade graph with deterministic
+    integer weights (w % 7 + 1 from the lineitem edge counts — exact
+    arithmetic, no float drift across engines). Each round is one
+    equi-join (current dists x edges) plus one min-aggregation — the
+    Pregel shape shared with graph_pagerank/_min_label_fixpoint; the
+    driver loop iterates over PLANS with per-round localCheckpoint
+    truncation and stops as soon as a round relaxes nothing (graph
+    diameter rounds in practice, |V|-1 worst case, RuntimeError past
+    the bound rather than a silently wrong fixpoint). The oracle is
+    the same recurrence as a hop-bounded recursive CTE. At 100 TB:
+    nodes/edges shuffle on their keys, nothing collects; integer
+    distances make the fixpoint engine-order-independent."""
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+        )
+    )
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, s.s_nationkey == n1.s_nk)
+        .join(n2, c.c_nationkey == n2.c_nk)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg((F.count(F.lit(1)) % 7 + 1).cast("bigint").alias("wi"))
+        .localCheckpoint()  # <=600-row edge table; truncate the star-join lineage
+    )
+    dist = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_name").alias("v"))
+        .withColumn(
+            "dist",
+            F.when(F.col("v") == SSSP_SOURCE, F.lit(0).cast("bigint")).otherwise(
+                F.lit(None).cast("bigint")
+            ),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(SSSP_MAX_ROUNDS):
+        relaxed = (
+            dist.filter(F.col("dist").isNotNull())
+            .join(edges, dist.v == edges.src)
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min(F.col("dist") + F.col("wi")).alias("cand"))
+        )
+        nxt = (
+            dist.join(relaxed, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.coalesce("dist", F.lit(None).cast("bigint")),
+                    F.col("cand"),
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            nxt.join(dist.select("v", F.col("dist").alias("old")), "v")
+            .filter(~F.col("dist").eqNullSafe(F.col("old")))
+            .count()
+        )
+        dist = nxt
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"Bellman-Ford did not converge within {SSSP_MAX_ROUNDS} rounds "
+            "(negative-cycle-like non-convergence is impossible with positive "
+            "weights; this indicates a plan bug)"
+        )
+    return dist.select(F.col("v").alias("nation"), "dist").orderBy("nation")

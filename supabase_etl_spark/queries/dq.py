@@ -607,3 +607,87 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         risk.alias("n_rows_at_risk"),
         F.round(risk.cast("double") / F.sum("grp_n"), 6).alias("suppression_rate"),
     )
+
+
+@query(
+    "dq_quarantine_split",
+    oracle="""
+    WITH flagged AS (
+        SELECT l_orderkey, l_linenumber,
+               (l_quantity < 1 OR l_quantity > 50) AS r_qty,
+               (l_discount > 0.05) AS r_disc,
+               (l_tax > 0.07) AS r_tax,
+               (l_shipdate < DATE '1993-01-01') AS r_early
+        FROM lineitem
+    ),
+    reasons AS (
+        SELECT 'qty_out_of_range' AS reason, count(*) FILTER (WHERE r_qty) AS n_rows
+        FROM flagged
+        UNION ALL
+        SELECT 'high_discount', count(*) FILTER (WHERE r_disc) FROM flagged
+        UNION ALL
+        SELECT 'tax_above_cap', count(*) FILTER (WHERE r_tax) FROM flagged
+        UNION ALL
+        SELECT 'ship_before_1993', count(*) FILTER (WHERE r_early) FROM flagged
+        UNION ALL
+        SELECT '__quarantined__',
+               count(*) FILTER (WHERE r_qty OR r_disc OR r_tax OR r_early)
+        FROM flagged
+        UNION ALL
+        SELECT '__clean__',
+               count(*) FILTER (WHERE NOT (r_qty OR r_disc OR r_tax OR r_early))
+        FROM flagged
+    )
+    SELECT reason, n_rows FROM reasons ORDER BY reason
+    """,
+    tags=("dq",),
+)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level QUARANTINE SPLIT — the pipeline shape dq_validate's
+    check metrics feed: every row is evaluated against the rule suite
+    at once (one scan, reasons collected as an array column), rows
+    with any failure route to quarantine WITH their reason list, clean
+    rows flow on. The gate row reports per-reason counts plus the
+    clean/quarantined split; in production the same `reasons` column
+    rides along into the quarantine sink so triage never re-derives
+    why a row was held. One scan, one tiny agg — no shuffle carries
+    the wide row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        ("qty_out_of_range", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ("high_discount", F.col("l_discount") > 0.05),
+        ("tax_above_cap", F.col("l_tax") > 0.07),
+        ("ship_before_1993", F.col("l_shipdate") < F.lit("1993-01-01").cast("date")),
+    ]
+    reasons = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in rules]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    flagged = li.select(reasons.alias("reasons"))
+    per_reason = (
+        flagged.select(F.explode("reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    split = flagged.agg(
+        F.sum(F.when(F.size("reasons") > 0, 1).otherwise(0)).alias("q"),
+        F.sum(F.when(F.size("reasons") == 0, 1).otherwise(0)).alias("c"),
+    )
+    summary = split.select(
+        F.explode(
+            F.create_map(
+                F.lit("__quarantined__"), F.col("q"), F.lit("__clean__"), F.col("c")
+            )
+        ).alias("reason", "n_rows")
+    )
+    # rules that fired on zero rows still need their gate row
+    all_rules = spark.createDataFrame(
+        [(name,) for name, _ in rules], "reason string"
+    )
+    per_reason_full = (
+        all_rules.join(per_reason, "reason", "left")
+        .select("reason", F.coalesce("n_rows", F.lit(0).cast("bigint")).alias("n_rows"))
+    )
+    return per_reason_full.unionByName(summary).orderBy("reason")
