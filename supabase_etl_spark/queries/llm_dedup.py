@@ -1768,3 +1768,183 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_docs", "n_clusters", F.col("leaked").alias("leaked_pairs"))
         .orderBy("split")
     )
+
+
+COSINE_SWEEP_THRESHOLDS = (0.80, 0.85, 0.90, 0.95, 0.99)
+
+
+@query(
+    "dedup_cosine_threshold_sweep",
+    oracle=f"""
+    WITH all_vecs AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {COPY_OFFSET}, embedding FROM embeddings
+    ),
+    normed AS (
+        SELECT vec_id, embedding, sqrt({D.sql_dot("embedding", "embedding")}) AS nrm
+        FROM all_vecs
+    ),
+    {{cand_ctes}}
+    , scored AS (
+        SELECT c.ida, c.idb,
+               {D.sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+        FROM cand c
+        JOIN normed a ON a.vec_id = c.ida
+        JOIN normed b ON b.vec_id = c.idb
+    ),
+    th AS (SELECT CAST(unnest([{", ".join(str(t) for t in COSINE_SWEEP_THRESHOLDS)}])
+               AS DOUBLE) AS threshold)
+    SELECT th.threshold,
+           CAST(count(*) FILTER (WHERE s.cos >= th.threshold) AS BIGINT)
+               AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN s.cos >= th.threshold THEN s.idb END)
+                AS BIGINT) AS n_docs_flagged
+    FROM th LEFT JOIN scored s ON TRUE
+    GROUP BY th.threshold
+    ORDER BY threshold
+    """.replace("{cand_ctes}", _sql_cosine_band_ctes()),
+    tags=("llm", "dedup", "calibration"),
+)
+def dedup_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-dedup THRESHOLD CALIBRATION: the sensitivity sweep a
+    curation team runs before committing to a cutoff — candidate pairs
+    are scored ONCE (the same 4-band sign-LSH gate + salted bucket
+    join as dedup_embedding_cosine), then every threshold in the sweep
+    is evaluated against the one scored set (conditional aggregates
+    over a 5-row broadcast), reporting surviving pair count and
+    flagged-doc count per cutoff. Adding thresholds costs one more
+    5-row conditional, never another corpus pass — the property that
+    makes the sweep affordable at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.select((F.col("vec_id") + COPY_OFFSET).alias("vec_id"), "embedding")
+    normed = e.unionByName(planted).withColumn(
+        "nrm", F.sqrt(D.dot_double(F.col("embedding"), F.col("embedding")))
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                S.lsh_bucket(F.col("embedding"), b).alias("bucket"),
+            )
+            for b in range(COSINE_BANDS)
+        ]
+    )
+    bands = normed.select("vec_id", F.explode(band_arr).alias("bk")).select(
+        "vec_id", "bk.band", "bk.bucket"
+    )
+    par = min(spark.sparkContext.defaultParallelism, 64)
+    a_side = bands.select(
+        "band", "bucket", (F.col("vec_id") % par).cast("int").alias("salt"),
+        F.col("vec_id").alias("ida"),
+    ).repartition(par, "band", "bucket", "salt")
+    b_side = bands.select(
+        "band", "bucket",
+        F.explode(F.sequence(F.lit(0), F.lit(par - 1))).alias("salt"),
+        F.col("vec_id").alias("idb"),
+    ).repartition(par, "band", "bucket", "salt")
+    cand = (
+        a_side.join(b_side, ["band", "bucket", "salt"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )
+    cos = D.dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    scored = (
+        cand.join(
+            normed.select(
+                F.col("vec_id").alias("ida"),
+                F.col("embedding").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "ida",
+        )
+        .join(
+            normed.select(
+                F.col("vec_id").alias("idb"),
+                F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "idb",
+        )
+        .select("ida", "idb", cos.alias("cos"))
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in COSINE_SWEEP_THRESHOLDS], "threshold double"
+    )
+    hit = F.col("cos") >= F.col("threshold")
+    return (
+        F.broadcast(th)
+        .crossJoin(scored)
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_pairs"),
+            F.count_distinct(F.when(hit, F.col("idb"))).alias("n_docs_flagged"),
+        )
+        .orderBy("threshold")
+    )
+
+
+XSOURCE_OFFSET = 300_000  # planted cross-source mirror ids
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH all_docs AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        -- mirror every 3rd document into the NEXT source bucket
+        SELECT doc_id + {XSOURCE_OFFSET},
+               'src' || CAST((CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) + 1) % 20 AS VARCHAR),
+               text
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    canon AS (SELECT doc_id, source, md5(text) AS h FROM all_docs),
+    pairs AS (
+        SELECT least(a.source, b.source) AS source_a,
+               greatest(a.source, b.source) AS source_b,
+               count(*) AS n_shared
+        FROM canon a JOIN canon b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared
+    FROM pairs
+    ORDER BY source_a, source_b
+    """,
+    tags=("llm", "dedup", "metrics"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE duplication matrix — the provenance question exact
+    dedup answers next: which pairs of sources share identical
+    documents, and how many (mirror sites, syndicated feeds, scraped
+    re-posts). Planted mirrors (every 3rd doc copied into the next
+    source bucket) give the matrix known mass. Shape: digest group-join
+    (one shuffle on the content hash; group sizes are duplicate
+    multiplicities, tiny), pair counts keyed by the unordered source
+    pair. At web scale the digest join is the same plan as
+    dedup_exact; the matrix itself is |sources|² at most — metadata."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    nxt = (
+        (F.regexp_extract("source", "src([0-9]+)", 1).cast("int") + 1) % 20
+    ).cast("string")
+    mirrored = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + XSOURCE_OFFSET).alias("doc_id"),
+        F.concat(F.lit("src"), nxt).alias("source"),
+        "text",
+    )
+    canon = (
+        d.unionByName(mirrored)
+        .select("doc_id", "source", F.md5("text").alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = canon.alias("a"), canon.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.least("a.source", "b.source").alias("source_a"),
+            F.greatest("a.source", "b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
