@@ -452,3 +452,94 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_video_frames(vids, M.VIDEO_SAMPLE_EVERY).orderBy(
         "uri", "frame_idx"
     )
+
+
+@query(
+    "multimodal_image_phash_dedup",
+    oracle=f"""
+    WITH {_IMG_DOCS_CTE},
+    px AS (
+        SELECT d.uri, d.w, d.h, x.i AS xi, y.j AS yj,
+               ((d.seed + 3 * x.i + 5 * y.j) % 256)
+               + ((d.seed + 3 * x.i + 5 * y.j + 7) % 256)
+               + ((d.seed + 3 * x.i + 5 * y.j + 14) % 256) AS lum
+        FROM docs d,
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS x(i),
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS y(j)
+        WHERE x.i < d.w AND y.j < d.h
+    ),
+    blocks AS (
+        SELECT uri, (yj * 8) // h AS bi, (xi * 8) // w AS bj,
+               SUM(lum) AS bs, COUNT(*) AS bc
+        FROM px GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT uri, SUM(lum) AS ts, COUNT(*) AS tc FROM px GROUP BY uri),
+    bits AS (
+        SELECT b.uri,
+               CASE WHEN b.bs * t.tc > t.ts * b.bc THEN '1' ELSE '0' END AS bit,
+               b.bi, b.bj
+        FROM blocks b JOIN tot t USING (uri)
+    ),
+    hashes AS (
+        SELECT uri, string_agg(bit, '' ORDER BY bi, bj) AS ahash
+        FROM bits GROUP BY uri
+    )
+    SELECT ahash,
+           count(*) AS n_images,
+           min(uri) AS keeper_uri
+    FROM hashes GROUP BY ahash
+    ORDER BY keeper_uri
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup detection by perceptual average-hash (aHash):
+    decode every container (real PNG/BMP/PPM codecs, Arrow-batched
+    mapInPandas), block-pool luminance into an 8x8 grid, emit one bit
+    per block (block mean > image mean — compared by exact integer
+    cross-multiplication, no float division), and group images by the
+    64-bit signature. Visually identical images hash equal regardless
+    of container format; the grouping is the multimodal sibling of
+    dedup_exact. The oracle replays pixel synthesis + the identical
+    integer pooling in SQL — a codec defect or pooling off-by-one is a
+    hash mismatch. 100 TB shape: decode+hash is a pure map (Arrow
+    batches, no shuffle); the only shuffle is the 64-bit-signature
+    groupBy — exactly dedup_exact's plan with a decode in the scan."""
+    import pandas as pd
+
+    from supabase_etl_spark.operators import imagecodec as IC
+
+    def ahash(batches):
+        for pdf in batches:
+            uris, hashes = [], []
+            for uri, content in zip(pdf["uri"], pdf["content"]):
+                w, h, _c, buf = IC.decode_image(bytes(content))
+                bs = [[0] * 8 for _ in range(8)]
+                bc = [[0] * 8 for _ in range(8)]
+                ts = tc = 0
+                for y in range(h):
+                    row = y * w * 3
+                    bi = (y * 8) // h
+                    for x in range(w):
+                        p = row + x * 3
+                        lum = buf[p] + buf[p + 1] + buf[p + 2]
+                        bj = (x * 8) // w
+                        bs[bi][bj] += lum
+                        bc[bi][bj] += 1
+                        ts += lum
+                        tc += 1
+                bits = "".join(
+                    "1" if bs[bi][bj] * tc > ts * bc[bi][bj] else "0"
+                    for bi in range(8)
+                    for bj in range(8)
+                )
+                uris.append(uri)
+                hashes.append(bits)
+            yield pd.DataFrame({"uri": uris, "ahash": hashes})
+
+    hashed = _images(spark, sf_dir).mapInPandas(ahash, schema="uri string, ahash string")
+    return (
+        hashed.groupBy("ahash")
+        .agg(F.count(F.lit(1)).alias("n_images"), F.min("uri").alias("keeper_uri"))
+        .orderBy("keeper_uri")
+    )
