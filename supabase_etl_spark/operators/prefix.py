@@ -40,8 +40,20 @@ def distributed_cumsum(
     for exactness."""
     spark = df.sparkSession
     par = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(par, *order).withColumn(
-        _PID, F.spark_partition_id()
+    # localCheckpoint is CORRECTNESS here, not an optimization: `local`
+    # and `offsets` below both consume `ranged`, and without
+    # materialization each consumer re-evaluates the plan —
+    # repartitionByRange re-SAMPLES its range boundaries per
+    # evaluation, so over a nondeterministically-ordered input (any
+    # shuffle output) the two consumers can see DIFFERENT partition
+    # assignments and the offsets no longer describe the local sums
+    # (observed: chained cumsums over a groupBy output produced a
+    # wrong KS statistic; pinned by
+    # tests/test_prefix_sum.py::test_chained_cumsum_over_shuffle_output).
+    ranged = (
+        df.repartitionByRange(par, *order)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()
     )
     wloc = (
         Window.partitionBy(_PID)

@@ -691,3 +691,123 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("reason", F.coalesce("n_rows", F.lit(0).cast("bigint")).alias("n_rows"))
     )
     return per_reason_full.unionByName(summary).orderBy("reason")
+
+
+KS_SPLIT_DATE = "1995-06-01"
+
+
+@query(
+    "dq_drift_ks",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT l_extendedprice AS v,
+               CASE WHEN l_shipdate < DATE '{KS_SPLIT_DATE}' THEN 1 ELSE 0 END AS in_a
+        FROM lineitem
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(SUM(in_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - in_a) AS BIGINT) AS cb
+        FROM tagged GROUP BY v
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per_v),
+    cum AS (
+        SELECT v,
+               SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+               SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+        FROM per_v
+    )
+    SELECT (SELECT CAST(na AS BIGINT) FROM tot) AS n_a,
+           (SELECT CAST(nb AS BIGINT) FROM tot) AS n_b,
+           CAST(max(abs(cum_a * (SELECT nb FROM tot)
+                        - cum_b * (SELECT na FROM tot))) AS BIGINT) AS d_scaled,
+           round(max(abs(cum_a * (SELECT nb FROM tot)
+                         - cum_b * (SELECT na FROM tot)))
+                 / CAST((SELECT na * nb FROM tot) AS DOUBLE), 9) AS ks
+    FROM cum
+    """,
+    tags=("dq", "drift"),
+)
+def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic — the
+    distribution-shift alarm PSI's fixed bins can miss: KS is the max
+    gap between the two empirical CDFs, computed here EXACTLY with
+    integer cross-multiplication (|cumA·nB − cumB·nA|, divided once at
+    the end) so there is no per-row float accumulation to drift. The
+    CDF running totals use the DISTRIBUTED prefix-sum operator
+    (operators/prefix.py: range repartition + partition-local window +
+    broadcast offsets) — a bare Window.orderBy(v) would drag every
+    distinct value through one task, the single-partition trap this
+    registry bans. Samples: lineitem prices shipped before vs after
+    {KS_SPLIT_DATE}."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_shipdate") < F.lit(KS_SPLIT_DATE).cast("date"))
+        .cast("int")
+        .alias("in_a"),
+    )
+    per_v = li.groupBy("v").agg(
+        F.sum("in_a").cast("decimal(20,0)").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("decimal(20,0)").alias("cb"),
+    )
+    # Both running CDFs in ONE distributed prefix pass (the
+    # operators/prefix.py construction, two-valued): range-partition
+    # once, localCheckpoint so the sampled range boundaries are fixed
+    # for every consumer, then partition-local windows + broadcast
+    # prefix offsets. Chaining two distributed_cumsum calls instead
+    # would re-sample range boundaries between dependent frames.
+    par = spark.sparkContext.defaultParallelism
+    ranged = (
+        per_v.repartitionByRange(par, "v")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    wloc = Window.partitionBy("_pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("ca").alias("_ta"), F.sum("cb").alias("_tb"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_ta").over(woff), F.lit(0)).alias("_oa"),
+            F.coalesce(F.sum("_tb").over(woff), F.lit(0)).alias("_ob"),
+        )
+    )
+    cum = (
+        ranged.withColumn("_la", F.sum("ca").over(wloc))
+        .withColumn("_lb", F.sum("cb").over(wloc))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            "v",
+            (F.col("_la") + F.col("_oa")).alias("cum_a"),
+            (F.col("_lb") + F.col("_ob")).alias("cum_b"),
+        )
+    )
+    tot = per_v.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "na",
+            "nb",
+            F.abs(
+                F.col("cum_a").cast("bigint") * F.col("nb")
+                - F.col("cum_b").cast("bigint") * F.col("na")
+            ).alias("gap"),
+        )
+        .groupBy("na", "nb")
+        .agg(F.max("gap").alias("d_scaled"))
+    )
+    return d.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "d_scaled",
+        F.round(
+            F.col("d_scaled") / (F.col("na") * F.col("nb")).cast("double"), 9
+        ).alias("ks"),
+    )

@@ -50,3 +50,36 @@ def test_single_row_and_empty(spark):
 
 def test_more_partitions_than_rows(spark):
     _check(spark, [1.0, -2.0, 3.5], 16)
+
+
+def test_chained_cumsum_over_shuffle_output(spark):
+    """Two distributed_cumsum calls chained over a groupBy (shuffle)
+    output — the shape that exposed the re-sampled-range-boundary bug:
+    without materializing the ranged frame, `local` and `offsets`
+    could see different partition assignments and the second cumsum
+    silently drifted. Both outputs must equal the naive
+    single-partition window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from supabase_etl_spark.operators.prefix import distributed_cumsum
+
+    base = (
+        spark.range(50_000)
+        .select(
+            (F.col("id") % 9973).alias("v"),
+            ((F.col("id") % 7) + 1).cast("decimal(20,0)").alias("a"),
+            ((F.col("id") % 5) + 1).cast("decimal(20,0)").alias("b"),
+        )
+        .groupBy("v")
+        .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    )
+    got = distributed_cumsum(base, "a", [F.col("v")], out="ca")
+    got = distributed_cumsum(got, "b", [F.col("v")], out="cb")
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = base.withColumn("ca", F.sum("a").over(w)).withColumn(
+        "cb", F.sum("b").over(w)
+    )
+    g = {r["v"]: (r["ca"], r["cb"]) for r in got.collect()}
+    wnt = {r["v"]: (r["ca"], r["cb"]) for r in want.collect()}
+    assert g == wnt
