@@ -1094,3 +1094,70 @@ def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "io_manifest_stats_pruned_scan",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           2 AS files_scanned,
+           2 AS files_skipped,
+           TRUE AS result_equals_full_scan
+    FROM orders
+    WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    """,
+    tags=("io", "lakehouse", "planning"),
+)
+def io_manifest_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-stats FILE PRUNING closed loop — file_stats() used as the
+    planner it exists for: four disjoint-key commits build a manifest
+    table whose per-file o_orderkey ranges the planner intersects with
+    the predicate (500, 1500], scanning ONLY the two overlapping files;
+    the untouched half of the table is never opened. The gate pins (a)
+    the pruned aggregate hash-equals the source predicate, (b) exactly
+    2 of 4 files scanned, and (c) the pruned result equals the full
+    scan + filter — prune-then-scan is a pure optimization, never a
+    semantics change. This is the Iceberg/Delta min-max skip rebuilt
+    end to end on the engine's own metadata: at 100 TB the planner
+    reads O(files) footers and the query reads only intersecting
+    files."""
+    import os
+
+    from supabase_etl_spark.io import manifest_store as M
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = scratch_dir("manifest_prune_")
+    M.commit(o.filter(F.col("o_orderkey") <= 500).repartition(1), table, "overwrite")
+    for lo, hi in [(500, 1000), (1000, 1500), (1500, 2000)]:
+        M.commit(
+            o.filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi))
+            .repartition(1),
+            table,
+            "append",
+        )
+    stats = M.file_stats(table)  # metadata-sized: one dict per file
+    lo_p, hi_p = 500, 1500  # predicate: o_orderkey > 500 AND <= 1500
+    keep = [
+        s["file"]
+        for s in stats
+        if int(s["columns"]["o_orderkey"]["max"]) > lo_p
+        and int(s["columns"]["o_orderkey"]["min"]) <= hi_p
+    ]
+    pred = (F.col("o_orderkey") > lo_p) & (F.col("o_orderkey") <= hi_p)
+    pruned = spark.read.parquet(*[os.path.join(table, f) for f in keep]).filter(pred)
+    full = M.read(spark, table).filter(pred)
+    agg = pruned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total"),
+    )
+    same = pruned.exceptAll(full).isEmpty() and full.exceptAll(pruned).isEmpty()
+    return agg.select(
+        "n_rows",
+        "total",
+        F.lit(len(keep)).alias("files_scanned"),
+        F.lit(len(stats) - len(keep)).alias("files_skipped"),
+        F.lit(bool(same)).alias("result_equals_full_scan"),
+    )

@@ -543,3 +543,157 @@ def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_images"), F.min("uri").alias("keeper_uri"))
         .orderBy("keeper_uri")
     )
+
+
+@query(
+    "multimodal_audio_fingerprint_dedup",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, concat('doc://', doc_id, '.wav') AS uri,
+               doc_id % {M.SEED_MOD} AS seed,
+               {M.AUDIO_LEN_BASE} + doc_id % {M.AUDIO_LEN_SPAN} AS n
+        FROM documents WHERE doc_id < {AUDIO_DOCS}
+    ),
+    sig AS (
+        SELECT d.uri, (t.i * 16) // d.n AS bi,
+               abs((7 * d.seed + 11 * t.i) % {M.AUDIO_AMP_MOD} - 2000) AS e
+        FROM docs d, range(0, {M.AUDIO_LEN_BASE + M.AUDIO_LEN_SPAN}) AS t(i)
+        WHERE t.i < d.n
+    ),
+    blocks AS (
+        SELECT uri, bi, SUM(e) AS bs, COUNT(*) AS bc FROM sig GROUP BY 1, 2
+    ),
+    tot AS (SELECT uri, SUM(e) AS ts, COUNT(*) AS tc FROM sig GROUP BY uri),
+    bits AS (
+        SELECT b.uri, b.bi,
+               CASE WHEN b.bs * t.tc > t.ts * b.bc THEN '1' ELSE '0' END AS bit
+        FROM blocks b JOIN tot t USING (uri)
+    ),
+    fps AS (
+        SELECT uri, string_agg(bit, '' ORDER BY bi) AS fingerprint
+        FROM bits GROUP BY uri
+    )
+    SELECT fingerprint, count(*) AS n_clips, min(uri) AS keeper_uri
+    FROM fps GROUP BY fingerprint
+    ORDER BY keeper_uri
+    """,
+    tags=("llm", "multimodal", "audio", "dedup"),
+)
+def multimodal_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO fingerprint dedup (chromaprint's shape at energy-envelope
+    granularity): decode each RIFF/WAVE container with the engine's
+    chunk-walking codec, pool |sample| energy into 16 time blocks, emit
+    one bit per block (block energy > clip mean, exact integer
+    cross-multiplication), and group clips by the 16-bit envelope
+    signature — the audio sibling of multimodal_image_phash_dedup,
+    completing perceptual dedup across all three modalities. Decode +
+    fingerprint is a pure Arrow map; the only shuffle is the signature
+    groupBy. The oracle replays PCM synthesis + identical pooling in
+    SQL."""
+    import pandas as pd
+
+    from supabase_etl_spark.operators import audiocodec as AC
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < AUDIO_DOCS)
+    audio = M.generate_audio(d.select("doc_id"))
+
+    def fingerprint(batches):
+        for pdf in batches:
+            uris, fps = [], []
+            for uri, content in zip(pdf["uri"], pdf["content"]):
+                _rate, _ch, samples = AC.decode_wav(bytes(content))
+                n = len(samples)
+                bs = [0] * 16
+                bc = [0] * 16
+                ts = 0
+                for i, s in enumerate(samples):
+                    e = abs(s)
+                    bi = (i * 16) // n
+                    bs[bi] += e
+                    bc[bi] += 1
+                    ts += e
+                bits = "".join(
+                    "1" if bs[bi] * n > ts * bc[bi] else "0" for bi in range(16)
+                )
+                uris.append(uri)
+                fps.append(bits)
+            yield pd.DataFrame({"uri": uris, "fingerprint": fps})
+
+    fps = audio.mapInPandas(fingerprint, schema="uri string, fingerprint string")
+    return (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_clips"), F.min("uri").alias("keeper_uri"))
+        .orderBy("keeper_uri")
+    )
+
+
+SCENE_CUT_PER_PIXEL = 30  # mean-abs-luma-diff cut threshold per pixel
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, concat('doc://', doc_id, '.y4m') AS uri,
+               doc_id % {M.SEED_MOD} AS seed,
+               {M.VIDEO_FRAMES_BASE} + doc_id % {M.VIDEO_FRAMES_SPAN} AS n
+        FROM documents WHERE doc_id < {VIDEO_DOCS}
+    ),
+    diffs AS (
+        SELECT d.uri, t.f,
+               abs(((d.seed + 3 * x.i + 5 * y.j + 11 * t.f) % 256)
+                   - ((d.seed + 3 * x.i + 5 * y.j + 11 * (t.f - 1)) % 256)) AS dv
+        FROM docs d,
+             range(1, {M.VIDEO_FRAMES_BASE + M.VIDEO_FRAMES_SPAN}) AS t(f),
+             range(0, {M.VIDEO_W}) AS x(i),
+             range(0, {M.VIDEO_H}) AS y(j)
+        WHERE t.f < d.n
+    )
+    SELECT uri,
+           CAST(f AS INT) AS frame_idx,
+           CAST(sum(dv) AS BIGINT) AS diff_sum,
+           (sum(dv) > {SCENE_CUT_PER_PIXEL * M.VIDEO_W * M.VIDEO_H}) AS is_cut
+    FROM diffs GROUP BY uri, f
+    ORDER BY uri, frame_idx
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO scene-change detection (the shot-boundary pass a video
+    curation pipeline runs before frame sampling): decode every
+    YUV4MPEG2 stream with the engine codec, compute each consecutive
+    frame pair's summed absolute luma difference, and flag frames
+    whose diff energy clears the per-pixel threshold — exact integer
+    arithmetic end to end. Decode + diff is a pure Arrow map emitting
+    one row per frame transition (payload shrinks ~1000x before any
+    shuffle); the oracle replays plane synthesis and the identical
+    diff in SQL, so a plane-order or stride defect in the codec is a
+    hash mismatch, not a plausible-looking energy."""
+    import pandas as pd
+
+    from supabase_etl_spark.operators import videocodec as VC
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < VIDEO_DOCS)
+    videos = M.generate_videos(d.select("doc_id"))
+    cut_bar = SCENE_CUT_PER_PIXEL * M.VIDEO_W * M.VIDEO_H
+
+    def cuts(batches):
+        for pdf in batches:
+            uris, fids, sums, flags = [], [], [], []
+            for uri, content in zip(pdf["uri"], pdf["content"]):
+                _w, _h, _fps, frames = VC.decode_y4m(bytes(content))
+                for f in range(1, len(frames)):
+                    prev_y, cur_y = frames[f - 1][0], frames[f][0]
+                    ds = sum(abs(a - b) for a, b in zip(cur_y, prev_y))
+                    uris.append(uri)
+                    fids.append(f)
+                    sums.append(ds)
+                    flags.append(ds > cut_bar)
+            yield pd.DataFrame(
+                {"uri": uris, "frame_idx": fids, "diff_sum": sums, "is_cut": flags}
+            )
+
+    out = videos.mapInPandas(
+        cuts, schema="uri string, frame_idx int, diff_sum bigint, is_cut boolean"
+    )
+    return out.orderBy("uri", "frame_idx")
