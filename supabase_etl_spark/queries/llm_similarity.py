@@ -870,3 +870,121 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(JL_DIM)
     ]
     return e.select("vec_id", *proj_cols).orderBy("vec_id")
+
+
+MRL_DIM = 16  # truncated (matryoshka) prefix dimensionality
+
+
+def _sql_dot_prefix(a: str, b: str, k: int) -> str:
+    return (
+        f"(list_reduce(list_transform(range(1, {k} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(acc, x) -> acc + x) + 0.0)"
+    )
+
+
+@query(
+    "sim_matryoshka_recall_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe,
+               sqrt({sql_dot("embedding", "embedding")}) AS qn,
+               sqrt({_sql_dot_prefix("embedding", "embedding", MRL_DIM)}) AS qnt
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               sqrt({sql_dot("embedding", "embedding")}) AS cn,
+               sqrt({_sql_dot_prefix("embedding", "embedding", MRL_DIM)}) AS cnt
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+        SELECT qid, cid,
+               {sql_dot("qe", "ce")} / (qn * cn) AS cos_full,
+               {_sql_dot_prefix("qe", "ce", MRL_DIM)} / (qnt * cnt) AS cos_trunc
+        FROM q CROSS JOIN c
+    ),
+    rf AS (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_full DESC, cid ASC) AS rn
+        FROM scored
+    ),
+    rt AS (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_trunc DESC, cid ASC) AS rn
+        FROM scored
+    ),
+    hits AS (
+        SELECT rf.qid, count(*) AS n_overlap
+        FROM rf JOIN rt ON rf.qid = rt.qid AND rf.cid = rt.cid
+        WHERE rf.rn <= {TOP_K} AND rt.rn <= {TOP_K}
+        GROUP BY rf.qid
+    )
+    SELECT q.qid AS qid,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(COALESCE(h.n_overlap, 0) / CAST({TOP_K} AS DOUBLE), 6)
+               AS recall_at_k
+    FROM q LEFT JOIN hits h ON q.qid = h.qid
+    ORDER BY q.qid
+    """,
+    tags=("llm", "similarity", "calibration"),
+)
+def sim_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation RECALL evaluation (Kusupati et al. 2022
+    MRL: nested-prefix embeddings let retrieval run at a fraction of
+    the dimensionality): rank the corpus by full-64d cosine and by
+    first-16-dims cosine in ONE scored pass (both dots computed per
+    candidate row; no second corpus scan), then report per-query
+    top-k overlap — the recall@k number that decides whether the
+    cheap prefix index is usable as the first stage of a
+    retrieve-then-rerank pipeline. Same broadcast-queries x corpus
+    shape as sim_topk_bruteforce; the eval adds only per-query windows
+    over N_QUERIES x TOP_K rows."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    full_n = F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
+    trunc = F.slice(F.col("embedding"), 1, MRL_DIM)
+    trunc_n = F.sqrt(dot_double(trunc, trunc))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        full_n.alias("qn"),
+        trunc_n.alias("qnt"),
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        full_n.alias("cn"),
+        trunc_n.alias("cnt"),
+    )
+    cos_full = dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    cos_trunc = dot_double(
+        F.slice(F.col("qe"), 1, MRL_DIM), F.slice(F.col("ce"), 1, MRL_DIM)
+    ) / (F.col("qnt") * F.col("cnt"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", cos_full.alias("cos_full"), cos_trunc.alias("cos_trunc")
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("cid"))
+    wt = Window.partitionBy("qid").orderBy(F.desc("cos_trunc"), F.asc("cid"))
+    rf = scored.withColumn("rn", F.row_number().over(wf)).filter(
+        F.col("rn") <= TOP_K
+    ).select("qid", "cid")
+    rt = scored.withColumn("rn", F.row_number().over(wt)).filter(
+        F.col("rn") <= TOP_K
+    ).select("qid", "cid")
+    hits = rf.join(rt, ["qid", "cid"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_overlap", F.lit(0).cast("bigint")).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.lit(float(TOP_K)), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )
