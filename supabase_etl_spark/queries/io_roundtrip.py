@@ -1161,3 +1161,53 @@ def io_manifest_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(len(stats) - len(keep)).alias("files_skipped"),
         F.lit(bool(same)).alias("result_equals_full_scan"),
     )
+
+
+@query(
+    "io_pyds_jsonl_source",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           CAST(max(event_id) AS BIGINT) AS max_event
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("io", "pyds"),
+)
+def io_pyds_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource BATCH READER over the chunked-jsonl sink's own
+    manifest (io/jsonl_sink_source.ManifestJsonlReader) — the last
+    cell of the Python DSv2 matrix: write through the DSv2 batch
+    writer, read back through the DSv2 batch reader (driver plans one
+    InputPartition per manifest-published file; executors parse their
+    file locally; crash leftovers outside the manifest stay
+    invisible). The aggregate of the round-trip must hash-equal the
+    source predicate — both Python halves sit on the value hash."""
+    from supabase_etl_spark.io import jsonl_sink_source as J
+
+    J.register(spark)
+    dest = scratch_dir("pyds_src_")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select("event_id", "event_type", "value")
+    ev.write.format("chunked_jsonl").option("path", dest).mode("append").save()
+    back = (
+        spark.read.format("chunked_jsonl")
+        .option("path", dest)
+        .option("schema", "event_id bigint, event_type string, value double")
+        .load()
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.max("event_id").alias("max_event"),
+        )
+        .orderBy("event_type")
+    )
