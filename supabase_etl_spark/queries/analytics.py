@@ -2565,3 +2565,142 @@ def graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weights; this indicates a plan bug)"
         )
     return dist.select(F.col("v").alias("nation"), "dist").orderBy("nation")
+
+
+@query(
+    "events_pattern_match_sequence",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type, event_id,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2,
+               lead(ts, 2) OVER w AS ts2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    hits AS (
+        SELECT user_id, ts, event_id
+        FROM ordered
+        WHERE event_type = 'view' AND t1 = 'view' AND t2 = 'purchase'
+          AND ts2 <= ts + INTERVAL 24 HOUR
+    )
+    SELECT user_id,
+           count(*) AS n_matches,
+           min(ts) AS first_match_ts
+    FROM hits
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "analytics", "pattern"),
+)
+def events_pattern_match_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style STRICT-SEQUENCE detection (the pattern
+    `view view purchase` with strictly consecutive rows and a 24-hour
+    deadline) — stricter than the funnel ops, which count stage
+    reachability and tolerate interleaved events. Consecutive-row
+    patterns of fixed length compile to lead() windows over the
+    per-user event order (total order (ts, event_id) so ties cannot
+    flip matches); per-user windows partition by user_id, so the one
+    shuffle is user-keyed and the pattern scan is row-local — the
+    standard rewrite for fixed-length MATCH_RECOGNIZE at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    )
+    hits = ordered.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "view")
+        & (F.col("t2") == "purchase")
+        & (F.col("ts2") <= F.col("ts") + F.expr("INTERVAL 24 HOURS"))
+    )
+    return (
+        hits.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("ts").alias("first_match_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_clamped_running_balance",
+    oracle="""
+    WITH deltas AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(CASE WHEN event_type = 'purchase' THEN -value
+                               ELSE value END * 100) AS BIGINT) AS delta_c
+        FROM events
+    ),
+    folded AS (
+        SELECT user_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list(delta_c ORDER BY ts, event_id)),
+                   (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x)
+               ) AS balance_c,
+               count(*) AS n_events
+        FROM deltas
+        GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(balance_c AS DOUBLE) / 100 AS final_balance
+    FROM folded
+    ORDER BY user_id
+    """,
+    tags=("events", "analytics", "fold"),
+)
+def events_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLAMPED running balance — balance(i) = max(0, balance(i-1) + Δi)
+    — the canonical NON-ASSOCIATIVE recurrence (inventory that cannot
+    go negative, credit that cannot overdraw) that no window frame or
+    prefix sum can express: the clamp makes every step depend on the
+    folded past. The scalable rewrite: per-user ordered fold —
+    collect each user's deltas in (ts, event_id) order and run ONE
+    array-local aggregate() with the clamp inside the lambda; state is
+    a single bigint (cents — exact integer arithmetic, no float
+    accumulation), work is user-partitioned (one shuffle), and the
+    fold order is pinned by a total order so both engines execute the
+    identical sequence. Credits are event values; purchases debit."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(
+            F.when(F.col("event_type") == "purchase", -F.col("value")).otherwise(
+                F.col("value")
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("delta_c"),
+    )
+    folded = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "delta_c"))
+                    ),
+                    lambda s: s["delta_c"],
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: F.greatest(F.lit(0).cast("bigint"), acc + x),
+            ).alias("balance_c"),
+        )
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        (F.col("balance_c").cast("double") / 100).alias("final_balance"),
+    ).orderBy("user_id")
