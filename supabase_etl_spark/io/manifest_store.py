@@ -92,7 +92,10 @@ def read(spark: SparkSession, table_dir: str, version: int | None = None) -> Dat
         raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _read_manifest(table_dir, v)
     paths = [os.path.join(table_dir, f) for f in manifest["files"]]
-    return spark.read.parquet(*paths)
+    # mergeSchema: snapshots written under schema evolution mix file
+    # schemas; the footer union adds columns null-filled for old files
+    # (harmless no-op when every file agrees)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def _commit_files(
@@ -157,6 +160,7 @@ def merge(
     source: DataFrame,
     key_cols: list[str],
     note: str = "",
+    evolve_schema: bool = False,
 ) -> int:
     """Copy-on-write MERGE (Delta's ``MERGE INTO`` core): WHEN MATCHED
     THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *. Returns the new
@@ -198,7 +202,11 @@ def merge(
         .drop("_file")
         .join(source.select(*key_cols), key_cols, "left_anti")
     )
-    rewrite = keep.unionByName(source)
+    # evolve_schema (Delta's mergeSchema/autoMerge): source columns
+    # absent from the target null-fill the kept rows; untouched files
+    # carry over in their OLD schema and read() reconciles via footer
+    # union — schema evolution costs zero rewrites of unmatched files.
+    rewrite = keep.unionByName(source, allowMissingColumns=evolve_schema)
     new_files = _write_data_files(rewrite, table_dir)
     return _commit_files(table_dir, carried + new_files, note or "merge", base_version=v)
 
@@ -332,3 +340,20 @@ def file_stats(table_dir: str, version: int | None = None) -> list[dict]:
             }
         )
     return out
+
+
+def restore(table_dir: str, version: int, note: str = "") -> int:
+    """RESTORE the table to an earlier snapshot (Delta RESTORE /
+    Iceberg rollback): publish a NEW version whose file list is the
+    target version's — history is never rewritten, the rollback is
+    itself an auditable commit, and the files are shared by name (zero
+    data movement; pure metadata). Concurrency follows the same
+    base-version put-if-absent discipline as every other commit."""
+    vs = _versions(table_dir)
+    if version not in vs:
+        raise FileNotFoundError(f"version {version} not in {table_dir}")
+    base = vs[-1]
+    files = _read_manifest(table_dir, version)["files"]
+    return _commit_files(
+        table_dir, files, note or f"restore-to-v{version}", base_version=base
+    )

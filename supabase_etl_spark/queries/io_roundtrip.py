@@ -1211,3 +1211,104 @@ def io_pyds_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "io_manifest_restore",
+    oracle="""
+    SELECT 4 AS version,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           TRUE AS bad_version_still_travelable
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    tags=("io", "lakehouse", "maintenance"),
+)
+def io_manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE / rollback as a forward commit: v1 good (orders ≤1000),
+    v2 bad append, v3 worse overwrite; restore(v1) publishes v4 whose
+    file list is v1's BY NAME — zero bytes moved, the rollback is
+    itself an auditable version, and the bad snapshots stay
+    time-travelable for forensics. The gate aggregates the restored
+    head against the v1 predicate and pins that the rolled-back v3 is
+    still readable."""
+    from supabase_etl_spark.io import manifest_store as M
+    from supabase_etl_spark.queries._helpers import dsum
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = scratch_dir("manifest_restore_")
+    M.commit(o.filter(F.col("o_orderkey") <= 1000), table, "overwrite")      # v1
+    M.commit(
+        o.filter(F.col("o_orderkey") > 90000), table, "append", note="bad"
+    )                                                                        # v2
+    M.commit(o.limit(1), table, "overwrite", note="worse")                   # v3
+    v4 = M.restore(table, 1)
+    bad_readable = M.read(spark, table, 3).count() == 1
+    return (
+        M.read(spark, table)
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("o_totalprice"), "total"))
+        .select(
+            F.lit(v4).alias("version"),
+            "n_rows",
+            "total",
+            F.lit(bool(bad_readable)).alias("bad_version_still_travelable"),
+        )
+    )
+
+
+@query(
+    "io_manifest_merge_schema_evolution",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey <= 1000
+    ),
+    source AS (
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) * 0.9 AS o_totalprice,
+               'repriced' AS o_flag
+        FROM orders
+        WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    ),
+    merged AS (
+        SELECT t.o_orderkey,
+               COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+               s.o_flag
+        FROM target t LEFT JOIN source s USING (o_orderkey)
+        UNION ALL
+        SELECT s.o_orderkey, s.o_totalprice, s.o_flag
+        FROM source s LEFT JOIN target t USING (o_orderkey)
+        WHERE t.o_orderkey IS NULL
+    )
+    SELECT o_orderkey, o_totalprice, o_flag FROM merged
+    ORDER BY o_orderkey
+    """,
+    tags=("io", "lakehouse", "dml", "schema-evolution"),
+)
+def io_manifest_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION (Delta autoMerge): the source brings
+    a column the target never had (o_flag); evolve_schema=True merges
+    it in — updated/inserted rows carry the value, kept rows null-fill,
+    and files untouched by the merge carry over in their OLD schema
+    with the reader's footer union reconciling (zero rewrites bought
+    the new column). The oracle replays the upsert with the evolved
+    column relationally."""
+    from supabase_etl_spark.io import manifest_store as M
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double")
+    )
+    table = scratch_dir("manifest_evolve_")
+    M.commit(o.filter(F.col("o_orderkey") <= 1000).repartition(2), table, "overwrite")
+    source = (
+        o.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 1500))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 0.9).alias("o_totalprice"),
+            F.lit("repriced").alias("o_flag"),
+        )
+    )
+    M.merge(spark, table, source, ["o_orderkey"], evolve_schema=True)
+    return M.read(spark, table).select(
+        "o_orderkey", "o_totalprice", "o_flag"
+    ).orderBy("o_orderkey")
