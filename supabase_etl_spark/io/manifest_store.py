@@ -357,3 +357,33 @@ def restore(table_dir: str, version: int, note: str = "") -> int:
     return _commit_files(
         table_dir, files, note or f"restore-to-v{version}", base_version=base
     )
+
+
+def optimize(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int,
+    cluster_by: list[str] | None = None,
+    note: str = "",
+) -> int:
+    """OPTIMIZE the latest snapshot (Delta OPTIMIZE [ZORDER BY] /
+    Iceberg rewrite_data_files): rewrite the current file set into
+    ``target_files`` range-clustered files (sorted within each by
+    ``cluster_by``), published as a new version — readers pinned to
+    old snapshots are untouched, and the rewrite is itself a commit
+    under the same base-version put-if-absent discipline. Compaction
+    kills the small-file tax; clustering tightens per-file min/max so
+    stats/bloom pruning bites. Cost is one full rewrite of the LIVE
+    snapshot only (never history), the same bill Delta pays."""
+    v = current_version(table_dir)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    df = read(spark, table_dir, v)
+    if cluster_by:
+        df = df.repartitionByRange(target_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        df = df.repartition(target_files)
+    new_files = _write_data_files(df, table_dir)
+    return _commit_files(table_dir, new_files, note or "optimize", base_version=v)

@@ -2704,3 +2704,68 @@ def events_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFram
         "n_events",
         (F.col("balance_c").cast("double") / 100).alias("final_balance"),
     ).orderBy("user_id")
+
+
+@query(
+    "scd3_previous_value",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS previous_value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           event_type AS current_value,
+           previous_value,
+           ts AS changed_at
+    FROM changes WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("events", "analytics", "cdc"),
+)
+def scd3_previous_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 3 — current + previous value as COLUMNS on one row per
+    key (the dimension shape when only one step of history matters,
+    completing the registry's SCD1/SCD2 family): compress the change
+    history (lag-change detection over the (ts, event_id) total
+    order), pair each change with the value it replaced, and keep each
+    key's latest change row. Two user-partitioned windows over the
+    change stream — the shuffle is user-keyed and the change stream is
+    far smaller than the event stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .withColumn("previous_value", F.lag("event_type").over(w))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+    )
+    return (
+        changes.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("current_value"),
+            "previous_value",
+            F.col("ts").alias("changed_at"),
+        )
+        .orderBy("user_id")
+    )

@@ -1312,3 +1312,62 @@ def io_manifest_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> Data
     return M.read(spark, table).select(
         "o_orderkey", "o_totalprice", "o_flag"
     ).orderBy("o_orderkey")
+
+
+@query(
+    "io_manifest_optimize",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           8 AS files_before,
+           2 AS files_after,
+           TRUE AS clustered_disjoint
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    tags=("io", "lakehouse", "maintenance"),
+)
+def io_manifest_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on the manifest table: eight single-file appends build
+    the small-file problem; optimize(target=2, cluster_by=o_custkey)
+    rewrites the live snapshot into two range-clustered files as a new
+    version. The gate pins (a) row/total conservation through the
+    rewrite (value hash vs the source), (b) the 8→2 file counts, and
+    (c) that the two files' o_custkey ranges are DISJOINT (footer
+    stats via file_stats) — the property that makes post-OPTIMIZE
+    pruning bite. Pre-optimize history remains readable."""
+    from supabase_etl_spark.io import manifest_store as M
+    from supabase_etl_spark.queries._helpers import dsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = scratch_dir("manifest_opt_")
+    for i in range(8):
+        M.commit(
+            o.filter(
+                (F.col("o_orderkey") > i * 250) & (F.col("o_orderkey") <= (i + 1) * 250)
+                | ((F.col("o_orderkey") == 0) if i == 0 else F.lit(False))
+            ).repartition(1),
+            table,
+            "overwrite" if i == 0 else "append",
+        )
+    files_before = len(M._read_manifest(table, 8)["files"])
+    M.optimize(spark, table, target_files=2, cluster_by=["o_custkey"])
+    stats = M.file_stats(table)
+    files_after = len(stats)
+    ranges = sorted(
+        (int(s["columns"]["o_custkey"]["min"]), int(s["columns"]["o_custkey"]["max"]))
+        for s in stats
+    )
+    disjoint = all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+    return (
+        M.read(spark, table)
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("o_totalprice"), "total"))
+        .select(
+            "n_rows",
+            "total",
+            F.lit(files_before).alias("files_before"),
+            F.lit(files_after).alias("files_after"),
+            F.lit(bool(disjoint)).alias("clustered_disjoint"),
+        )
+    )
