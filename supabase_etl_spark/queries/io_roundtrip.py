@@ -1138,12 +1138,14 @@ def io_manifest_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     stats = M.file_stats(table)  # metadata-sized: one dict per file
     lo_p, hi_p = 500, 1500  # predicate: o_orderkey > 500 AND <= 1500
-    keep = [
-        s["file"]
-        for s in stats
-        if int(s["columns"]["o_orderkey"]["max"]) > lo_p
-        and int(s["columns"]["o_orderkey"]["min"]) <= hi_p
-    ]
+    keep = []
+    for s in stats:
+        if s["rows"] == 0:
+            continue  # an empty file (possible at tiny SFs) never matches
+        col = s["columns"].get("o_orderkey")
+        # no stats for the column => cannot prove absence => must scan
+        if col is None or (int(col["max"]) > lo_p and int(col["min"]) <= hi_p):
+            keep.append(s["file"])
     pred = (F.col("o_orderkey") > lo_p) & (F.col("o_orderkey") <= hi_p)
     pruned = spark.read.parquet(*[os.path.join(table, f) for f in keep]).filter(pred)
     full = M.read(spark, table).filter(pred)
