@@ -1164,3 +1164,62 @@ def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_quality_deciles",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               round({{q}}, 9) AS q
+        FROM documents
+    ),
+    binned AS (
+        SELECT doc_id, n_chars, q,
+               ntile(10) OVER (ORDER BY q DESC, doc_id) AS decile
+        FROM scored
+    )
+    SELECT decile,
+           count(*) AS n_docs,
+           round(min(q), 6) AS min_score,
+           round(max(q), 6) AS max_score,
+           CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+               AS mean_chars
+    FROM binned
+    GROUP BY decile
+    ORDER BY decile
+    """.replace("{q}", sql_quality_score("text")),
+    tags=("llm", "curation", "calibration"),
+)
+def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score DECILE CALIBRATION table — the summary a curation
+    team reads before picking a score cutoff (the decile boundaries
+    become the candidate thresholds; mean length per decile shows what
+    a cutoff throws away). ntile(10) runs over the (score, doc_id)
+    total order; the scores themselves are the registry's pure-column
+    quality expression rounded to 9 digits so rank order is
+    engine-stable. The ntile is the one global-ordering window — at
+    100 TB swap it for approx-quantile boundaries + a broadcast bin
+    join (same output shape, documented swap, identical downstream)."""
+    from supabase_etl_spark.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.round(quality_score(F.col("text")), 9).alias("q")
+    )
+    binned = d.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("q"), F.asc("doc_id"))),
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("q"), 6).alias("min_score"),
+            F.round(F.max("q"), 6).alias("max_score"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_chars"),
+        )
+        .orderBy("decile")
+    )

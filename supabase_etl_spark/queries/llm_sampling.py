@@ -506,3 +506,110 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+BOOT_B = 32  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds scaled to 1e6 LCG buckets:
+# P(X<=k) for k=0..4, tail mass to 5
+_POIS = (367879, 735758, 919698, 981011, 996340)
+
+
+def _poisson_count_expr(u):
+    """Deterministic Poisson(1) draw from an LCG bucket in [0, 1e6)."""
+    c = F.lit(5)
+    for k in range(len(_POIS) - 1, -1, -1):
+        c = F.when(u < _POIS[k], k).otherwise(c)
+    return c
+
+
+def _sql_poisson(u: str) -> str:
+    return (
+        f"(CASE WHEN {u} < {_POIS[0]} THEN 0 WHEN {u} < {_POIS[1]} THEN 1 "
+        f"WHEN {u} < {_POIS[2]} THEN 2 WHEN {u} < {_POIS[3]} THEN 3 "
+        f"WHEN {u} < {_POIS[4]} THEN 4 ELSE 5 END)"
+    )
+
+
+@query(
+    "sample_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT d.doc_id, d.n_chars, r.b,
+               {_sql_poisson(_sql_bucket("d.doc_id * 37 + r.b", 1_000_000))} AS w
+        FROM documents d, range(0, {BOOT_B}) AS r(b)
+    ),
+    per_rep AS (
+        SELECT b,
+               CAST(SUM(CAST(w AS DECIMAL(20,0)) * n_chars) AS DOUBLE)
+                   / SUM(w) AS rep_mean
+        FROM reps GROUP BY b HAVING SUM(w) > 0
+    ),
+    moments AS (
+        SELECT count(*) AS n_reps,
+               CAST(SUM(CAST(round(rep_mean, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                   / count(*) AS boot_mean,
+               CAST(SUM(CAST(round(rep_mean * rep_mean, 6) AS DECIMAL(38,8))) AS DOUBLE)
+                   / count(*) AS boot_m2
+        FROM per_rep
+    )
+    SELECT n_reps,
+           round(boot_mean, 6) AS boot_mean,
+           round(sqrt(boot_m2 - boot_mean * boot_mean), 6) AS boot_se
+    FROM moments
+    """,
+    tags=("llm", "sampling", "stats"),
+)
+def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP standard error of the mean document length —
+    the resampling machinery that gives error bars on any corpus
+    statistic without a second pass per replicate: each (doc,
+    replicate) pair draws a deterministic Poisson(1) weight (inverse
+    CDF over the registry's LCG, so both engines replay every draw),
+    all {B} replicates ride ONE explode of the corpus, and each
+    replicate's weighted mean + the across-replicate moments reduce in
+    exact decimals. This is the distributed bootstrap as production
+    runs it (Poisson weights, not true multinomial resampling —
+    Chamandy et al., Google 2012); work is corpus x B rows in one map
+    + two tiny aggs, never B corpus passes."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    reps = d.crossJoin(
+        F.broadcast(
+            d.sparkSession.range(BOOT_B).select(F.col("id").cast("int").alias("b"))
+        )
+    )
+    u = _bucket(F.col("doc_id") * 37 + F.col("b"), 1_000_000)
+    reps = reps.select("doc_id", "n_chars", "b", _poisson_count_expr(u).alias("w"))
+    per_rep = (
+        reps.groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w").cast("decimal(20,0)") * F.col("n_chars")).cast(
+                    "double"
+                )
+                / F.sum("w")
+            ).alias("rep_mean")
+        )
+        .filter(F.col("rep_mean").isNotNull())
+    )
+    moments = per_rep.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        (
+            F.sum(F.round(F.col("rep_mean"), 9).cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("boot_mean"),
+        (
+            F.sum(
+                F.round(F.col("rep_mean") * F.col("rep_mean"), 6).cast(
+                    "decimal(38,8)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("boot_m2"),
+    )
+    return moments.select(
+        "n_reps",
+        F.round("boot_mean", 6).alias("boot_mean"),
+        F.round(
+            F.sqrt(F.col("boot_m2") - F.col("boot_mean") * F.col("boot_mean")), 6
+        ).alias("boot_se"),
+    )
