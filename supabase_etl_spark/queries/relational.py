@@ -1201,3 +1201,59 @@ def sql_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise((F.col("o_orderkey") % 3 + 1).cast("int")),
         ).alias("tier"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "struct_map_mutation",
+    oracle="""
+    SELECT s_suppkey,
+           s_name AS name_from_struct,
+           CAST(s_acctbal AS DOUBLE) * 2 AS acct2,
+           'acct2,s_name' AS struct_fields_after_drop,
+           upper(s_name) AS key_upper,
+           CAST(s_acctbal AS DOUBLE) * 2 AS val_doubled,
+           (s_acctbal > 5000.0) AS survives_filter,
+           CAST(s_acctbal AS DOUBLE) + s_nationkey AS zipped_sum
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("relational", "struct", "map"),
+)
+def struct_map_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type MUTATION surface — the Column.withField/dropFields
+    struct editors and the map higher-order family (transform_keys /
+    transform_values / map_filter / map_zip_with) that in-place schema
+    evolution and open-schema payload maintenance lean on. Everything
+    is verified through extracted scalars so the oracle replays
+    SEMANTICS (what the mutated struct/map must contain), not engine
+    serialization: withField adds acct2=2x, dropFields removes the
+    original, transform_keys uppercases, transform_values doubles,
+    map_filter keeps >5000 balances, map_zip_with adds a second map's
+    nationkey. All row-local expressions — scan-speed at any scale."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("bal"),
+        "s_nationkey",
+    )
+    st = F.struct(F.col("s_name"), F.col("bal").alias("s_acctbal"))
+    st2 = st.withField("acct2", F.col("bal") * 2).dropFields("s_acctbal")
+    m = F.create_map(F.col("s_name"), F.col("bal"))
+    mk = F.transform_keys(m, lambda k, _v: F.upper(k))
+    mv = F.transform_values(m, lambda _k, v: v * 2)
+    mf = F.map_filter(m, lambda _k, v: v > 5000.0)
+    m2 = F.create_map(F.col("s_name"), F.col("s_nationkey").cast("double"))
+    mz = F.map_zip_with(m, m2, lambda _k, v1, v2: v1 + v2)
+    return s.select(
+        "s_suppkey",
+        st2.getField("s_name").alias("name_from_struct"),
+        st2.getField("acct2").alias("acct2"),
+        # derived from the REAL post-mutation schema (driver-side
+        # introspection), not asserted: dropFields must have removed
+        # s_acctbal and withField added acct2
+        F.lit(
+            ",".join(sorted(s.select(st2.alias("st")).schema["st"].dataType.names))
+        ).alias("struct_fields_after_drop"),
+        F.element_at(F.map_keys(mk), 1).alias("key_upper"),
+        F.element_at(F.map_values(mv), 1).alias("val_doubled"),
+        (F.size(F.map_keys(mf)) == 1).alias("survives_filter"),
+        F.element_at(F.map_values(mz), 1).alias("zipped_sum"),
+    ).orderBy("s_suppkey")
