@@ -613,3 +613,105 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("boot_m2") - F.col("boot_mean") * F.col("boot_mean")), 6
         ).alias("boot_se"),
     )
+
+
+NEG_K = 4  # negatives per anchor
+NEG_ANCHORS = 64  # anchor docs: doc_id < NEG_ANCHORS
+
+
+@query(
+    "sample_contrastive_negatives",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, source FROM documents),
+    anchors AS (SELECT doc_id AS anchor_id, source AS anchor_src
+                FROM corpus WHERE doc_id < {NEG_ANCHORS}),
+    n AS (SELECT count(*) AS n_docs, min(doc_id) AS base FROM corpus),
+    draws AS (
+        SELECT a.anchor_id, a.anchor_src, r.j,
+               {_sql_bucket("a.anchor_id * 101 + r.j", 1_000_000_000)}
+                   % (SELECT n_docs FROM n) AS pick_off
+        FROM anchors a, range(0, {NEG_K * 4}) AS r(j)
+    ),
+    picked AS (
+        SELECT d.anchor_id, d.anchor_src, d.j,
+               c.doc_id AS negative_id, c.source AS negative_src
+        FROM draws d
+        JOIN (SELECT doc_id, source,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS off
+              FROM corpus) c
+          ON c.off = d.pick_off
+        WHERE c.source <> d.anchor_src AND c.doc_id <> d.anchor_id
+    ),
+    ranked AS (
+        SELECT anchor_id, negative_id, negative_src,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY j, negative_id) AS rnk
+        FROM picked
+    )
+    SELECT anchor_id, rnk AS neg_rank, negative_id, negative_src
+    FROM ranked WHERE rnk <= {NEG_K}
+    ORDER BY anchor_id, neg_rank
+    """,
+    tags=("llm", "sampling", "training"),
+)
+def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for contrastive training (the
+    retrieval/embedding fine-tuning data shape: per anchor, k negatives
+    drawn corpus-wide, excluding the anchor's own source as a cheap
+    hard-positive guard): each anchor draws 4k LCG offsets into the
+    doc_id rank space (over-drawing covers rejections), joins them to
+    the ranked corpus, rejects same-source/self picks, and keeps the
+    first k survivors in draw order — every re-run and both engines
+    reproduce the identical pairs, the property contrastive data prep
+    needs for resumable jobs. Shape: the offset join is |anchors x 4k|
+    rows against a corpus ranked ONCE (distributed rank at scale, the
+    SNM machinery); no corpus x corpus stage."""
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n_docs = corpus.count()  # driver-side scalar: one footer-cheap count
+    anchors = corpus.filter(F.col("doc_id") < NEG_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id"), F.col("source").alias("anchor_src")
+    )
+    draws = anchors.crossJoin(
+        F.broadcast(
+            spark.range(NEG_K * 4).select(F.col("id").cast("int").alias("j"))
+        )
+    ).select(
+        "anchor_id",
+        "anchor_src",
+        "j",
+        (
+            _bucket(F.col("anchor_id") * 101 + F.col("j"), 1_000_000_000) % n_docs
+        ).alias("pick_off"),
+    )
+    # distributed global rank (operators/prefix.py), not a bare
+    # Window.orderBy — the whole corpus would flow through one task
+    from supabase_etl_spark.operators.prefix import distributed_cumsum
+
+    ranked_corpus = distributed_cumsum(
+        corpus.withColumn("one", F.lit(1).cast("decimal(20,0)")),
+        "one",
+        [F.col("doc_id")],
+        out="rk",
+    ).select(
+        "doc_id", "source", (F.col("rk").cast("bigint") - 1).alias("off")
+    )
+    picked = (
+        draws.join(ranked_corpus, draws.pick_off == ranked_corpus.off)
+        .filter(
+            (F.col("source") != F.col("anchor_src"))
+            & (F.col("doc_id") != F.col("anchor_id"))
+        )
+        .select(
+            "anchor_id",
+            "j",
+            F.col("doc_id").alias("negative_id"),
+            F.col("source").alias("negative_src"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("j", "negative_id")
+    return (
+        picked.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select("anchor_id", "neg_rank", "negative_id", "negative_src")
+        .orderBy("anchor_id", "neg_rank")
+    )
