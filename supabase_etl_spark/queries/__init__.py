@@ -88,31 +88,31 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard_prefix", "dedup_embedding_cosine",
     "dedup_semantic", "dedup_containment", "dedup_incremental_ingest",
     "dedup_sorted_neighborhood", "dedup_clusters", "er_record_linkage",
-    "corpus_curate",
+    "corpus_curate", "split_leakage_safe",
     # similarity / embeddings
     "sim_topk_bruteforce", "sim_ivf_probe", "sim_topk_sq_int8",
     "sim_maxsim_late_interaction", "embedding_kmeans_assign",
     # text analysis
-    "text_token_stats", "text_quality_score", "text_lang_id",
+    "text_token_stats", "text_lang_id",
     "text_gopher_filter", "text_bigram_logprob",
     "text_clf_inference_broadcast", "text_bpe_pair_counts",
     "text_bm25_search", "text_pii_scrub", "text_line_dedup",
     # sampling / curation
-    "sample_dsir", "sample_domain_mixture", "sample_weighted_reservoir",
+    "sample_dsir", "sample_domain_mixture",
     "pack_sequences", "decontaminate_bloom", "decontaminate_ngram",
-    "doc_chunking",
     # multimodal
-    "multimodal_codec_roundtrip", "multimodal_audio_features",
+    "multimodal_codec_roundtrip", "multimodal_image_phash_dedup",
     "multimodal_video_frame_stats",
     # lake maintenance
     "io_manifest_time_travel", "io_manifest_table_changes",
     "io_manifest_merge_upsert", "io_manifest_delete_where",
+    "io_manifest_vacuum",
     # streaming
     "stream_append_pipeline", "stream_tumbling_window",
     "stream_session_window", "stream_stateful_dedup",
     "stream_stream_interval_join", "stream_stateful_sessions_timeout",
     "stream_foreach_batch_sink", "stream_pyds_replay",
-    "stream_pyds_sink_roundtrip",
+    "stream_pyds_sink_roundtrip", "stream_cdc_merge_manifest",
 )
 
 
