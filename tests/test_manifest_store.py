@@ -303,3 +303,52 @@ def test_vacuum_retention_window_spares_young_files(spark, tmp_path):
     stats2 = M.vacuum(t, retain_versions=1)
     assert not os.path.exists(young)
     assert stats2["files_removed"] == 1
+
+
+def test_restore_is_forward_commit_with_race_safety(spark, tmp_path):
+    """restore() publishes a NEW version sharing the target's files by
+    name (no data movement), loses commit races cleanly, and never
+    rewrites history."""
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10).toDF("id"), t, "overwrite")   # v1
+    M.commit(spark.range(3).toDF("id"), t, "overwrite")    # v2
+    v1_files = M._read_manifest(t, 1)["files"]
+
+    v3 = M.restore(t, 1)
+    assert v3 == 3
+    assert M._read_manifest(t, 3)["files"] == v1_files  # shared by name
+    assert M.read(spark, t).count() == 10
+    assert M.read(spark, t, 2).count() == 3  # history intact
+
+    # race: another writer steals v4 between restore's read and publish
+    import json as _json
+    winner = {"version": 4, "files": v1_files, "note": "B"}
+    with open(os.path.join(t, "_manifests", "v00000004.json"), "w") as fh:
+        _json.dump(winner, fh)
+    import unittest.mock as mock
+
+    with mock.patch.object(M, "_versions", return_value=[1, 2, 3]):
+        with pytest.raises(M.ConcurrentCommitError):
+            M.restore(t, 2)
+    assert M._read_manifest(t, 4)["note"] == "B"
+
+
+def test_optimize_compacts_and_isolates_pinned_readers(spark, tmp_path):
+    """optimize() rewrites only the live snapshot into the target file
+    count; pinned readers of the pre-optimize version still resolve
+    their original files."""
+    t = str(tmp_path / "tbl")
+    for i in range(5):
+        M.commit(
+            spark.range(i * 100, (i + 1) * 100).toDF("k").repartition(1),
+            t,
+            "overwrite" if i == 0 else "append",
+        )
+    assert len(M._read_manifest(t, 5)["files"]) == 5
+    v6 = M.optimize(spark, t, target_files=2, cluster_by=["k"])
+    assert v6 == 6
+    assert len(M._read_manifest(t, 6)["files"]) == 2
+    assert sorted(r["k"] for r in M.read(spark, t).collect()) == list(range(500))
+    # pinned pre-optimize reader unaffected
+    assert M.read(spark, t, 5).count() == 500
+    assert len(M._read_manifest(t, 5)["files"]) == 5
