@@ -1223,3 +1223,101 @@ def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "embedding_centroid_outliers",
+    oracle="""
+    WITH comp AS (
+        SELECT vec_id, label, unnest(range(0, len(embedding))) AS pos, embedding
+        FROM embeddings
+    ),
+    vals AS (
+        SELECT vec_id, label, pos,
+               CAST(embedding[pos + 1] AS DOUBLE) AS v
+        FROM comp
+    ),
+    means AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m
+        FROM vals GROUP BY label, pos
+    ),
+    dists AS (
+        SELECT vec_id, ANY_VALUE(vals.label) AS label,
+               sqrt(CAST(SUM(CAST((v - m) * (v - m) AS DECIMAL(38,18)))
+                    AS DOUBLE)) AS dist
+        FROM vals JOIN means USING (label, pos)
+        GROUP BY vec_id
+    ),
+    st AS (
+        SELECT label,
+               CAST(SUM(CAST(dist AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               CAST(SUM(CAST(dist * dist AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*) AS m2
+        FROM dists GROUP BY label
+    )
+    SELECT d.vec_id, d.label,
+           round(d.dist, 6) AS dist,
+           round((d.dist - st.mu)
+                 / greatest(sqrt(st.m2 - st.mu * st.mu), 1e-12), 6) AS z,
+           abs((d.dist - st.mu)
+               / greatest(sqrt(st.m2 - st.mu * st.mu), 1e-12)) > 2.0 AS is_outlier
+    FROM dists d JOIN st USING (label)
+    ORDER BY d.vec_id
+    """,
+    tags=("llm", "embedding"),
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: per-label z-scores of distance-from-label-centroid
+    with |z| > 2 outlier flags — the intra-cluster outlier gate run
+    before an ANN index build (mislabeled / degenerate vectors sit far
+    from their label's centroid and poison recall; plain L2-norm checks
+    are blind on unit-normalized corpora like this one).
+
+    Scale: one posexplode shuffles components onto (label, pos) for the
+    centroid means (map-side partial decimal sums; the means table is
+    labels x dim — tiny); the distance recombine groups the SAME
+    exploded components by vec_id (second bounded shuffle, rows = n x
+    dim, never pairs); per-label moments are a label-cardinality agg and
+    broadcast back. Nothing is all-pairs, no UDF, all sums through
+    exact decimals so parallel == sequential bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vals = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v0")
+    ).select("vec_id", "label", "pos", F.col("v0").cast("double").alias("v"))
+    means = vals.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    dists = (
+        vals.join(F.broadcast(means), ["label", "pos"])
+        .groupBy("vec_id")
+        .agg(
+            F.any_value(F.col("label")).alias("label"),
+            F.sqrt(
+                F.sum(((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))).cast("decimal(38,18)")).cast(
+                    "double"
+                )
+            ).alias("dist"),
+        )
+    )
+    st = dists.groupBy("label").agg(
+        (F.sum(F.col("dist").cast("decimal(38,18)")).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (
+            F.sum((F.col("dist") * F.col("dist")).cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m2"),
+    )
+    zden = F.greatest(F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")), F.lit(1e-12))
+    zval = (F.col("dist") - F.col("mu")) / zden
+    return (
+        dists.join(F.broadcast(st), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round("dist", 6).alias("dist"),
+            F.round(zval, 6).alias("z"),
+            (F.abs(zval) > 2.0).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )

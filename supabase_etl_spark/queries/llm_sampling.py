@@ -715,3 +715,84 @@ def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "neg_rank", "negative_id", "negative_src")
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+SHUFFLE_EPOCHS = 3
+
+
+@query(
+    "sample_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT unnest(range(0, {SHUFFLE_EPOCHS})) AS epoch),
+    keyed AS (
+        SELECT e.epoch, d.doc_id,
+               md5(e.epoch || ':' || d.doc_id) AS shuffle_key
+        FROM documents d CROSS JOIN e
+    )
+    SELECT epoch,
+           CAST(row_number() OVER (
+                PARTITION BY epoch ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+           doc_id, shuffle_key
+    FROM keyed
+    ORDER BY epoch, pos
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch training shuffle: every epoch gets its
+    own full permutation of the corpus, keyed by md5(epoch:doc_id) — the
+    reproducible data-ordering a training run needs (re-running epoch k
+    on any cluster layout replays the same order; md5 is the one hash
+    both engines compute identically, same parity trick as DSIR).
+
+    Scale: the naive row_number() OVER (PARTITION BY epoch ORDER BY key)
+    funnels each epoch through ONE task (epoch cardinality ~3 — the
+    classic low-cardinality window skew). Instead: range-repartition on
+    (epoch, key, doc_id), rank within partitions, add broadcast
+    per-partition offsets (global rank, same idiom as
+    dedup_sorted_neighborhood), then rebase per epoch by subtracting the
+    broadcast per-epoch min rank — every stage is corpus-parallel, no
+    single-task sort at any epoch count."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(SHUFFLE_EPOCHS).select(F.col("id").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))).alias("shuffle_key"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    ranged = keyed.repartitionByRange(par, "epoch", "shuffle_key", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wl = Window.partitionBy("pid").orderBy("epoch", "shuffle_key", "doc_id")
+    local = ranged.withColumn("lrn", F.row_number().over(wl))
+    # per-partition counts -> exclusive offsets; the only driver-ordered
+    # window runs over ~par rows, not the corpus
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "off")
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "epoch", "doc_id", "shuffle_key", (F.col("lrn") + F.col("off")).alias("grn")
+    )
+    base = ranked.groupBy("epoch").agg(F.min("grn").alias("base"))
+    return (
+        ranked.join(F.broadcast(base), "epoch")
+        .select(
+            "epoch",
+            (F.col("grn") - F.col("base") + 1).cast("bigint").alias("pos"),
+            "doc_id",
+            "shuffle_key",
+        )
+        .orderBy("epoch", "pos")
+    )

@@ -1181,3 +1181,145 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "doc_id", "rrf", "lex_rank", "dense_rank")
         .orderBy("rank")
     )
+
+
+@query(
+    "text_source_kl_divergence",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS_SQL}) AS t FROM documents
+    ),
+    st AS (SELECT source, t, count(*) AS c_st FROM tok GROUP BY source, t),
+    stot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+    ct AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY t),
+    tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+    terms AS (
+        SELECT st.source, st.c_st,
+               CAST((CAST(st.c_st AS DOUBLE) / CAST(stot.n_s AS DOUBLE))
+                    * ln((CAST(st.c_st AS DOUBLE) / CAST(stot.n_s AS DOUBLE))
+                         / (CAST(ct.c_t AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+                    AS DECIMAL(38,18)) AS term
+        FROM st JOIN stot USING (source) JOIN ct USING (t) CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(sum(c_st) AS BIGINT) AS n_tokens,
+           count(*) AS vocab,
+           round(CAST(sum(term) AS DOUBLE), 6) AS kl_divergence
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "text"),
+)
+def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus distribution —
+    the data-mixture diagnostic behind DoReMi/DSIR-style reweighting
+    (how far each source's token distribution sits from the blend it
+    feeds). KL(p_source || p_corpus) summed over tokens present in the
+    source (zero-count terms contribute exactly 0 in the limit, so the
+    support restriction is exact, not an approximation).
+
+    Scale: one corpus scan exploding tokens, then every aggregate and
+    join is vocab-sized (c_st, c_t) or source-sized (n_s) — the corpus
+    itself is never joined or re-shuffled. The 1-row corpus total is a
+    broadcast cross join. Per-term doubles are IEEE-identical across
+    engines; the sum runs through decimal(38,18) so Spark's parallel
+    accumulation matches DuckDB's sequential order bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(T.tokens(F.col("text"))).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    stot = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    ct = st.groupBy("t").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    tot = ct.agg(F.sum("c_t").cast("bigint").alias("n"))
+    p = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_t").cast("double") / F.col("n").cast("double")
+    term = (p * F.log(p / q)).cast("decimal(38,18)")
+    terms = (
+        st.join(F.broadcast(stot), "source")
+        .join(ct, "t")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "c_st", term.alias("term"))
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.sum("c_st").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(F.sum("term").cast("double"), 6).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )
+
+
+BPE_TRAIN_ROUNDS = 8
+
+
+@query("text_bpe_train_merges", tags=("llm", "text", "iterative"))
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the first 8 merge
+    rules over the corpus (the iterative half of tokenizer training —
+    text_bpe_pair_counts is a single round of the same statistic).
+
+    The classic scalable shape (what HF tokenizers / SentencePiece do):
+    ONE corpus scan builds the word-frequency table, and the entire
+    training loop then runs on that vocab-sized table — pair counting,
+    argmax, and merge application never touch the corpus again. At
+    100 TB the loop cost is O(rounds x vocab), not O(rounds x corpus).
+
+    Per round: adjacent symbol pairs explode from the (localCheckpoint-
+    truncated, vocab-sized) symbol table weighted by word frequency; a
+    hash agg picks the global best pair (ties broken lexically — fully
+    deterministic); the merge applies as a JVM-side left-to-right
+    `aggregate` fold (greedy non-overlapping, the BPE contract: 'aaa'
+    with rule a+a -> ['aa','a']) — no Python UDF anywhere. The one
+    collect() per round fetches exactly 1 row (the argmax), bounded by
+    design.
+
+    No SQL oracle: the merge sequence is inherently iterative (each
+    round's input depends on the previous argmax) — rows-only in the
+    gate, with a pure-Python golden-reference parity test at sf0.001
+    (tests/test_text_ops.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select("freq", F.split("w", "").alias("syms")).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs = cur.select(
+            "freq",
+            F.expr(
+                "transform(slice(syms, 1, size(syms) - 1),"
+                " (x, i) -> struct(x AS l, syms[i + 1] AS r))"
+            ).alias("prs"),
+        ).select(F.explode("prs").alias("p"), "freq")
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()  # bounded: exactly one argmax row per round
+        )
+        if not best:
+            break
+        b = best[0]
+        merged = b["l"] + b["r"]
+        merges.append((rank, b["l"], b["r"], merged, int(b["cnt"])))
+        lc, rc, mc = F.lit(b["l"]), F.lit(b["r"]), F.lit(merged)
+        folded = F.aggregate(
+            F.col("syms"),
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == lc) & (x == rc),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(mc)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        # localCheckpoint keeps per-round lineage constant-depth: each
+        # round materializes only the vocab-sized symbol table.
+        cur = cur.select("freq", folded.alias("syms")).localCheckpoint()
+    return spark.createDataFrame(
+        merges, schema="rank INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT"
+    ).orderBy("rank")

@@ -71,3 +71,55 @@ def test_quality_score_bounds(spark):
     assert q_empty == pytest.approx(0.3)  # only the no-punct term
     q_good = _one(spark, "the cat sat on the mat " * 12, T.quality_score(F.col("text")))
     assert 0.9 <= q_good <= 1.0
+
+
+def test_bpe_train_merges_matches_python_golden(spark):
+    """The distributed BPE trainer must reproduce a pure-Python greedy
+    BPE reference (word-frequency table, lexical tie-break, greedy
+    left-to-right non-overlapping merge) on the sf0.001 corpus."""
+    import collections
+
+    import duckdb
+
+    from supabase_etl_spark.queries.llm_text import (
+        BPE_TRAIN_ROUNDS,
+        text_bpe_train_merges,
+    )
+
+    rows = duckdb.sql(
+        "SELECT text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    freq = collections.Counter()
+    for (text,) in rows:
+        for w in text.split():
+            if w:
+                freq[w] += 1
+    words = {w: (list(w), c) for w, (c) in ((w, c) for w, c in freq.items())}
+
+    expected = []
+    for rank in range(1, BPE_TRAIN_ROUNDS + 1):
+        pair_counts = collections.Counter()
+        for syms, c in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += c
+        if not pair_counts:
+            break
+        (l, r), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rank, l, r, l + r, cnt))
+        merged = l + r
+        for w, (syms, c) in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            words[w] = (out, c)
+
+    got = [
+        (x["rank"], x["lhs"], x["rhs"], x["merged"], x["pair_count"])
+        for x in text_bpe_train_merges(spark, "/root/testdata/sf0.001").collect()
+    ]
+    assert got == expected
