@@ -988,3 +988,106 @@ def sim_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "sim_topk_gemm_blocked",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe,
+               sqrt({sql_dot("embedding", "embedding")}) AS qn
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               sqrt({sql_dot("embedding", "embedding")}) AS cn
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+        SELECT qid, cid, {sql_dot("qe", "ce")} / (qn * cn) AS cos_sim
+        FROM q CROSS JOIN c
+    ),
+    ranked AS (
+        SELECT qid, cid, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, round(cos_sim, 9) AS cos_sim, rn
+    FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY qid, rn
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_topk_gemm_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k as a blocked GEMM — the production kernel for
+    brute-force retrieval: the normalized query matrix rides into an
+    Arrow `mapInPandas`, each corpus batch does ONE numpy matmul
+    (batch x dim @ dim x n_queries, BLAS-vectorized) and emits only its
+    per-query partial top-k. sim_topk_bruteforce expresses the same
+    query as a broadcast join + fold (whole-stage codegen); this is the
+    batched-native alternative that wins when dim is large enough that
+    a per-row fold stops being competitive with BLAS.
+
+    Scale: the corpus scan is embarrassingly parallel (no shuffle); the
+    only shuffled rows are the partials — n_batches x n_queries x k,
+    corpus-size-independent given bounded batches. The query side is a
+    bounded driver fetch (N_QUERIES rows, same cap as the other sim_*
+    ops). The global merge is a window over partials keyed by qid.
+
+    Determinism: BLAS accumulation order != the oracle's sequential
+    fold, so scores agree only to ~1e-15 relative; the gate compares
+    round(cos_sim, 9), and ranking uses the unrounded double with a cid
+    tie-break (distinct random vectors never sit within float-noise of
+    each other at the k boundary, which sf0.01's green hash certifies
+    for the fixed testdata)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # bounded driver fetch: exactly N_QUERIES rows
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def gemm_topk(batches):
+        b_qids, b_q = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+            s = x @ b_q.T  # (batch, n_queries) — one BLAS call per batch
+            k = min(TOP_K, s.shape[0])
+            out_qid, out_cid, out_cos = [], [], []
+            for j in range(s.shape[1]):
+                col = s[:, j]
+                # partial top-k inside the batch: argpartition then
+                # exact (-score, cid) order among the k survivors
+                idx = np.argpartition(-col, k - 1)[:k] if k < col.shape[0] else np.arange(col.shape[0])
+                order = idx[np.lexsort((cids[idx], -col[idx]))]
+                out_qid.extend([b_qids[j]] * len(order))
+                out_cid.extend(cids[order])
+                out_cos.extend(col[order])
+            yield pd.DataFrame(
+                {"qid": out_qid, "cid": out_cid, "cos_sim": out_cos}
+            )
+
+    partials = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(gemm_topk, schema="qid long, cid long, cos_sim double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        partials.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cid", F.round("cos_sim", 9).alias("cos_sim"), "rn")
+        .orderBy("qid", "rn")
+    )
