@@ -419,6 +419,79 @@ def main() -> None:
             .save()
         )
 
+    def t_epoch_shuffle(docs):
+        # sample_epoch_shuffle's shape: 3 epochs x distributed global
+        # rank (range-repartition + broadcast offsets + per-epoch rebase)
+        from pyspark.sql import Window as W
+
+        epochs = spark.range(3).select(F.col("id").alias("epoch"))
+        keyed = docs.crossJoin(F.broadcast(epochs)).select(
+            "epoch",
+            "doc_id",
+            F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))).alias("sk"),
+        )
+        par = spark.sparkContext.defaultParallelism
+        ranged = keyed.repartitionByRange(par, "epoch", "sk", "doc_id").withColumn(
+            "pid", F.spark_partition_id()
+        )
+        local = ranged.withColumn(
+            "lrn",
+            F.row_number().over(W.partitionBy("pid").orderBy("epoch", "sk", "doc_id")),
+        )
+        offsets = (
+            ranged.groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "off",
+                F.coalesce(
+                    F.sum("n").over(
+                        W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("pid", "off")
+        )
+        ranked = local.join(F.broadcast(offsets), "pid").select(
+            "epoch", "doc_id", (F.col("lrn") + F.col("off")).alias("grn")
+        )
+        base = ranked.groupBy("epoch").agg(F.min("grn").alias("base"))
+        (
+            ranked.join(F.broadcast(base), "epoch")
+            .select("epoch", "doc_id", (F.col("grn") - F.col("base") + 1).alias("pos"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    def t_source_kl(docs):
+        # text_source_kl_divergence's shape: token explode -> vocab-sized
+        # joins/aggs only (source derived from doc_id; blowup docs carry
+        # no source column)
+        from supabase_etl_spark.operators.text import tokens
+
+        tok = docs.select(
+            (F.col("doc_id") % 20).alias("source"),
+            F.explode(tokens(F.col("text"))).alias("t"),
+        )
+        st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_st"))
+        stot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+        ct = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+        tot = ct.agg(F.sum("c_t").alias("n"))
+        p = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+        q = F.col("c_t").cast("double") / F.col("n").cast("double")
+        (
+            st.join(F.broadcast(stot), "source")
+            .join(ct, "t")
+            .crossJoin(F.broadcast(tot))
+            .select("source", (p * F.log(p / q)).cast("decimal(38,18)").alias("term"))
+            .groupBy("source")
+            .agg(F.sum("term"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     ops = {
         "dedup_exact (sha2 groupBy)": t_exact,
         "minhash band candidates": t_minhash,
@@ -432,6 +505,8 @@ def main() -> None:
         "ER pairs, fine blocking (nation x bal-band)": t_er_fine,
         "containment inverted-index pairs": t_containment,
         "maxsim query-batch x corpus grid": t_maxsim,
+        "epoch-shuffle distributed rank": t_epoch_shuffle,
+        "source-KL vocab aggs": t_source_kl,
     }
     if len(sys.argv) > 1:
         ops = {k: v for k, v in ops.items() if any(a in k for a in sys.argv[1:])}
