@@ -544,3 +544,45 @@ def test_zstd_compresses_tighter_than_snappy(spark):
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_epoch_shuffle_rank_is_range_partitioned_not_single_task(spark):
+    """sample_epoch_shuffle's global rank must come from a range
+    repartition (corpus-parallel), and the only unpartitioned window
+    (the per-partition offset cumsum) must run over spark_partition_id
+    counts, never corpus rows: the corpus-sized windows are all
+    partitioned by pid."""
+    q = load_all()["sample_epoch_shuffle"]
+    plan = _plan(q.fn(spark, SF))
+    assert "rangepartitioning(epoch" in plan.lower()
+    # the corpus-sized rank window is pid-partitioned
+    assert "partitionBy: [pid" in plan or "[pid#" in plan
+
+
+def test_source_kl_broadcasts_totals_and_stats(spark):
+    """text_source_kl_divergence: the source-totals and corpus-total
+    legs broadcast; the corpus is never in a nested-loop join."""
+    q = load_all()["text_source_kl_divergence"]
+    plan = _plan(q.fn(spark, SF))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_gemm_topk_has_no_join_only_arrow_map(spark):
+    """sim_topk_gemm_blocked: the corpus side must be a pure Arrow map
+    (MapInPandas/ArrowEvalPython), not a cross/broadcast join — the
+    shuffle carries only the per-batch partials."""
+    q = load_all()["sim_topk_gemm_blocked"]
+    plan = _plan(q.fn(spark, SF))
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_outliers_broadcasts_means_and_stats(spark):
+    """embedding_centroid_outliers: the means and moments tables are
+    broadcast back onto the exploded corpus — no sort-merge join of
+    corpus-sized legs on the label key."""
+    q = load_all()["embedding_centroid_outliers"]
+    plan = _plan(q.fn(spark, SF))
+    assert plan.count("BroadcastExchange") >= 2
