@@ -85,21 +85,22 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), benc
 DRIVER_PRIORITY: tuple[str, ...] = (
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard_prefix", "dedup_embedding_cosine",
+    "dedup_embedding_cosine",
     "dedup_semantic", "dedup_containment", "dedup_incremental_ingest",
     "dedup_sorted_neighborhood", "dedup_clusters", "er_record_linkage",
     "corpus_curate", "split_leakage_safe",
     # similarity / embeddings
     "sim_topk_bruteforce", "sim_ivf_probe", "sim_topk_sq_int8",
-    "sim_maxsim_late_interaction", "embedding_kmeans_assign",
+    "sim_maxsim_late_interaction", "sim_topk_gemm_blocked",
+    "embedding_kmeans_assign", "embedding_centroid_outliers",
     # text analysis
-    "text_token_stats", "text_lang_id",
+    "text_lang_id", "text_source_kl_divergence",
     "text_gopher_filter", "text_bigram_logprob",
     "text_clf_inference_broadcast", "text_bpe_pair_counts",
-    "text_bm25_search", "text_pii_scrub", "text_line_dedup",
+    "text_bm25_search", "text_line_dedup",
     # sampling / curation
-    "sample_dsir", "sample_domain_mixture",
-    "pack_sequences", "decontaminate_bloom", "decontaminate_ngram",
+    "sample_dsir", "sample_domain_mixture", "sample_epoch_shuffle",
+    "decontaminate_bloom", "decontaminate_ngram",
     # multimodal
     "multimodal_codec_roundtrip", "multimodal_image_phash_dedup",
     "multimodal_video_frame_stats",
