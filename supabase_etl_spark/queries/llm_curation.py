@@ -1321,3 +1321,143 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+KMEANS_ROUNDS = 3
+
+
+def _kmeans_lloyd_sql(k: int, rounds: int) -> str:
+    """Unrolled Lloyd-iteration oracle: the same 3 rounds the Spark plan
+    runs, as chained CTEs. Distances are EXACT decimal(38,18) sums of
+    per-component squared gaps, so assignment argmins are order-free and
+    bit-identical across engines; centroid means quantize through
+    decimal(28,6) (the embedding_centroids idiom)."""
+    parts = [
+        f"""
+    WITH comp AS (
+        SELECT vec_id, unnest(range(0, len(embedding))) AS pos, embedding
+        FROM embeddings
+    ),
+    vals AS (
+        SELECT vec_id, pos, CAST(embedding[pos + 1] AS DOUBLE) AS v FROM comp
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, pos, v AS m FROM vals WHERE vec_id < {k}
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    d{i} AS (
+        SELECT vals.vec_id, c.cid,
+               SUM(CAST((vals.v - c.m) * (vals.v - c.m) AS DECIMAL(38,18))) AS dist2
+        FROM vals JOIN c{i - 1} c USING (pos)
+        GROUP BY vals.vec_id, c.cid
+    ),
+    a{i} AS (
+        SELECT vec_id, cid, dist2 FROM (
+            SELECT vec_id, cid, dist2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    ),
+    s{i} AS (
+        SELECT {i} AS iter, cid AS cluster_id, count(*) AS n_members,
+               round(CAST(SUM(dist2) AS DOUBLE), 6) AS inertia
+        FROM a{i} GROUP BY cid
+    )""")
+        if i < rounds:
+            parts.append(f""",
+    c{i} AS (
+        SELECT a.cid, vals.pos,
+               CAST(SUM(CAST(vals.v AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m
+        FROM vals JOIN a{i} a USING (vec_id)
+        GROUP BY a.cid, vals.pos
+    )""")
+    union = "\n    UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, rounds + 1))
+    parts.append(f"\n    {union}\n    ORDER BY iter, cluster_id")
+    return "".join(parts)
+
+
+@query(
+    "embedding_kmeans_lloyd",
+    oracle=_kmeans_lloyd_sql(KMEANS_K, KMEANS_ROUNDS),
+    tags=("llm", "curation", "embedding", "iterative"),
+)
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd k-means, 3 iterations (assign -> recompute centroids
+    -> reassign), emitting per-iteration cluster sizes and inertia —
+    the iterative training loop embedding_kmeans_assign is one step of,
+    and the rare iterative algorithm with a FULL value-hash oracle (the
+    3 rounds unroll into chained SQL CTEs).
+
+    Determinism without float-order traps: every distance is an EXACT
+    decimal(38,18) SUM of per-component squared gaps — order-free, so
+    Spark's parallel partial aggregation and DuckDB's sequential scan
+    produce the same decimal, and the (dist2, cid) argmin can never
+    flip; centroid means quantize through decimal(28,6).
+
+    Scale per iteration: components join the broadcast k x dim centroid
+    table; map-side partial aggregation collapses the (vec, cid) groups
+    before the shuffle (components of one vector are partition-local,
+    so the shuffle carries n x k skinny rows, not n x dim x k); the
+    assignment (n rows) and the new centroid table (k x dim rows) are
+    localCheckpoint-materialized so each round is constant plan depth
+    and the corpus is scanned once per round."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vals = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v0")
+    ).select("vec_id", "pos", F.col("v0").cast("double").alias("v"))
+    cents = (
+        vals.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), "pos", F.col("v").alias("m"))
+        .localCheckpoint()
+    )
+    outs: list[DataFrame] = []
+    for i in range(1, KMEANS_ROUNDS + 1):
+        term = (
+            (F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))
+        ).cast("decimal(38,18)")
+        d = (
+            vals.join(F.broadcast(cents), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(term).alias("dist2"))
+        )
+        a = (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist2", "cid")).alias("best"))
+            .select(
+                "vec_id",
+                F.col("best.cid").alias("cid"),
+                F.col("best.dist2").alias("dist2"),
+            )
+            .localCheckpoint()  # n skinny rows; feeds stats AND recompute
+        )
+        outs.append(
+            a.groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.round(F.sum("dist2").cast("double"), 6).alias("inertia"),
+            )
+            .select(
+                F.lit(i).alias("iter"),
+                F.col("cid").alias("cluster_id"),
+                "n_members",
+                "inertia",
+            )
+        )
+        if i < KMEANS_ROUNDS:
+            cents = (
+                vals.join(a.select("vec_id", "cid"), "vec_id")
+                .groupBy("cid", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("v").cast("decimal(28,6)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("m")
+                )
+                .localCheckpoint()
+            )
+    out = outs[0]
+    for s in outs[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("iter", "cluster_id")
