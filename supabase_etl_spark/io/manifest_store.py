@@ -280,6 +280,14 @@ def vacuum(
         referenced.update(
             os.path.basename(f) for f in _read_manifest(table_dir, v)["files"]
         )
+    # staged branches (write-audit-publish) are LIVE roots: their files
+    # are invisible to main readers but must survive until the branch
+    # publishes or is dropped
+    bdir = os.path.join(_manifest_dir(table_dir), "branches")
+    for b in os.listdir(bdir) if os.path.isdir(bdir) else []:
+        if b.endswith(".json"):
+            with open(os.path.join(bdir, b)) as fh:
+                referenced.update(os.path.basename(f) for f in json.load(fh)["files"])
     removed_manifests = 0
     for v in vs[:-retain_versions]:
         os.unlink(os.path.join(_manifest_dir(table_dir), f"v{v:08d}.json"))
@@ -387,3 +395,88 @@ def optimize(
         df = df.repartition(target_files)
     new_files = _write_data_files(df, table_dir)
     return _commit_files(table_dir, new_files, note or "optimize", base_version=v)
+
+
+# ---------------------------------------------------------------------------
+# Branches: write-audit-publish (Iceberg WAP / Delta CDC-staging pattern)
+# ---------------------------------------------------------------------------
+
+
+def _branch_path(table_dir: str, branch: str) -> str:
+    if not branch or "/" in branch or branch.startswith("."):
+        raise ValueError(f"invalid branch name: {branch!r}")
+    return os.path.join(_manifest_dir(table_dir), "branches", f"{branch}.json")
+
+
+def stage(
+    df: DataFrame, table_dir: str, branch: str, mode: str = "append", note: str = ""
+) -> str:
+    """Stage ``df`` on a named branch: data files are written (immutable,
+    orphaned-until-named as always) and a BRANCH manifest records the
+    would-be snapshot {base_version, files} — but nothing links into the
+    main version chain, so main readers cannot observe the batch. This
+    is the write half of write-audit-publish: audits run against
+    read_branch() output, and only publish_branch() makes the snapshot
+    real. A branch manifest is a plain file, so staging is crash-safe
+    the same way commits are (a torn write leaves orphan data files and
+    no branch)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode}")
+    os.makedirs(os.path.dirname(_branch_path(table_dir, branch)), exist_ok=True)
+    new_files = _write_data_files(df, table_dir)
+    base = current_version(table_dir)
+    files = list(new_files)
+    if mode == "append" and base > 0:
+        files = _read_manifest(table_dir, base)["files"] + new_files
+    payload = {"branch": branch, "base_version": base, "files": files, "note": note}
+    tmp = _branch_path(table_dir, branch) + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, _branch_path(table_dir, branch))  # atomic re-stage
+    return branch
+
+
+def read_branch(spark: SparkSession, table_dir: str, branch: str) -> DataFrame:
+    """Scan the staged snapshot of ``branch`` — what main WOULD become
+    if the branch published. This is the audit surface of WAP."""
+    path = _branch_path(table_dir, branch)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no branch {branch!r} in {table_dir}")
+    with open(path) as fh:
+        files = json.load(fh)["files"]
+    paths = [os.path.join(table_dir, f) for f in files]
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def publish_branch(table_dir: str, branch: str, note: str = "") -> int:
+    """Fast-forward main to the staged snapshot (the publish half of
+    WAP): commits the branch's exact file list at base_version + 1
+    under the same put-if-absent discipline as every commit — if main
+    advanced since staging, the publish deterministically raises
+    ConcurrentCommitError (the staged snapshot no longer describes a
+    fast-forward; re-stage against the new base). On success the
+    branch manifest is deleted: publish is the branch's terminal
+    state."""
+    path = _branch_path(table_dir, branch)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no branch {branch!r} in {table_dir}")
+    with open(path) as fh:
+        staged = json.load(fh)
+    v = _commit_files(
+        table_dir,
+        staged["files"],
+        note or f"publish-{branch}",
+        base_version=staged["base_version"],
+    )
+    os.unlink(path)
+    return v
+
+
+def drop_branch(table_dir: str, branch: str) -> None:
+    """Discard a staged branch (audit failed): the branch manifest is
+    unlinked and its data files become invisible orphans for vacuum to
+    collect — main was never touched, which is the entire point of
+    auditing before publishing."""
+    path = _branch_path(table_dir, branch)
+    if os.path.exists(path):
+        os.unlink(path)

@@ -1373,3 +1373,93 @@ def io_manifest_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(disjoint)).alias("clustered_disjoint"),
         )
     )
+
+
+@query(
+    "io_manifest_wap_publish",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    good AS (  -- the batch that passes the audit (positive prices only)
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 4000
+    ),
+    -- the poisoned batch (negated prices) is staged, audited, DROPPED:
+    -- it never reaches main, so the final table is base UNION good and
+    -- main advanced exactly twice (v1 base, v2 publish)
+    final AS (SELECT * FROM base UNION ALL SELECT * FROM good)
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           2 AS n_versions,
+           0 AS n_branches_left
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("io", "manifest", "wap"),
+)
+def io_manifest_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (Iceberg WAP / Delta staging): batches land
+    on an isolated BRANCH, a DQ audit runs against the branch snapshot,
+    and only a passing batch fast-forwards main — a failing batch is
+    dropped with main never touched. The poisoned batch (negated
+    prices) is staged and audited FIRST to prove branch isolation: its
+    rows never become visible to main readers, dropping it leaves only
+    orphan files for vacuum, and main's version count records exactly
+    the two real commits (base, publish) — staging is not a commit.
+
+    Scale: staging IS a commit minus the version link (same immutable
+    data files, metadata-sized branch manifest), the audit is whatever
+    read-side plan the gate needs over the branch snapshot, and
+    publish/drop are O(1) metadata — WAP costs one write of the batch
+    regardless of table size, exactly Iceberg's bill."""
+    import os
+
+    from supabase_etl_spark.io import manifest_store as M
+    from supabase_etl_spark.io.scratch import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    table = scratch_dir("manifest_wap_")
+    M.commit(o.filter(F.col("o_orderkey") <= 2000), table, mode="overwrite")
+
+    def audit_passes() -> bool:
+        branch_df = M.read_branch(spark, table, "etl")
+        return branch_df.filter(F.col("o_totalprice") <= 0).count() == 0
+
+    batch = o.filter((F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 4000))
+    # 1) poisoned batch: negated prices must fail the audit and be dropped
+    M.stage(batch.withColumn("o_totalprice", -F.col("o_totalprice")), table, "etl")
+    if audit_passes():  # pragma: no cover - guarded by the oracle hash
+        raise AssertionError("poisoned batch must fail the WAP audit")
+    M.drop_branch(table, "etl")
+    # 2) clean batch: stage, audit, publish
+    M.stage(batch, table, "etl")
+    if not audit_passes():  # pragma: no cover
+        raise AssertionError("clean batch must pass the WAP audit")
+    M.publish_branch(table, "etl")
+
+    bdir = os.path.join(table, "_manifests", "branches")
+    n_branches = len(
+        [f for f in (os.listdir(bdir) if os.path.isdir(bdir) else []) if f.endswith(".json")]
+    )
+    return (
+        M.read(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("total"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "total",
+            F.lit(M.current_version(table)).alias("n_versions"),
+            F.lit(n_branches).alias("n_branches_left"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -352,3 +352,75 @@ def test_optimize_compacts_and_isolates_pinned_readers(spark, tmp_path):
     # pinned pre-optimize reader unaffected
     assert M.read(spark, t, 5).count() == 500
     assert len(M._read_manifest(t, 5)["files"]) == 5
+
+
+def test_branch_stage_is_invisible_to_main(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10), t, "overwrite")
+    M.stage(spark.range(10, 30), t, "audit")
+    # main readers see only the committed snapshot; the branch sees the
+    # would-be fast-forward
+    assert M.read(spark, t).count() == 10
+    assert M.current_version(t) == 1
+    assert M.read_branch(spark, t, "audit").count() == 30
+
+
+def test_branch_publish_fast_forwards_main(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10), t, "overwrite")
+    M.stage(spark.range(10, 30), t, "audit")
+    v = M.publish_branch(t, "audit")
+    assert v == 2
+    assert M.read(spark, t).count() == 30
+    # publish is terminal: the branch is gone
+    with pytest.raises(FileNotFoundError):
+        M.read_branch(spark, t, "audit")
+
+
+def test_branch_publish_after_main_advanced_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10), t, "overwrite")
+    M.stage(spark.range(10, 30), t, "audit")
+    # main advances while the audit is running
+    M.commit(spark.range(100, 105), t, "append")
+    with pytest.raises(M.ConcurrentCommitError):
+        M.publish_branch(t, "audit")
+    # the staged snapshot is intact for a re-stage decision
+    assert M.read_branch(spark, t, "audit").count() == 30
+    assert M.read(spark, t).count() == 15
+
+
+def test_drop_branch_leaves_main_untouched_and_orphans_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10), t, "overwrite")
+    M.stage(spark.range(10, 30), t, "bad")
+    M.drop_branch(t, "bad")
+    assert M.read(spark, t).count() == 10
+    with pytest.raises(FileNotFoundError):
+        M.read_branch(spark, t, "bad")
+    # the dropped batch's files are orphans now; vacuum reclaims them
+    stats = M.vacuum(t)
+    assert stats["files_removed"] >= 1
+    assert M.read(spark, t).count() == 10
+
+
+def test_vacuum_spares_staged_branch_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10), t, "overwrite")
+    M.stage(spark.range(10, 30), t, "audit")
+    stats = M.vacuum(t)  # branch files are LIVE roots, not orphans
+    assert stats["files_removed"] == 0
+    assert M.read_branch(spark, t, "audit").count() == 30
+    # and the branch still publishes cleanly after the vacuum
+    assert M.publish_branch(t, "audit") == 2
+    assert M.read(spark, t).count() == 30
+
+
+def test_restage_replaces_branch_atomically(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10), t, "overwrite")
+    M.stage(spark.range(10, 20), t, "audit")
+    M.stage(spark.range(10, 15), t, "audit")  # re-stage smaller batch
+    assert M.read_branch(spark, t, "audit").count() == 15
+    assert M.publish_branch(t, "audit") == 2
+    assert M.read(spark, t).count() == 15
