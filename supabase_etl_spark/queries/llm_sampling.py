@@ -796,3 +796,148 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "pos")
     )
+
+
+DOREMI_ROUNDS = 3
+DOREMI_ETA = 5.0  # mirror-descent step; scaled for visible reweighting
+
+
+def _doremi_sql(rounds: int, eta: float) -> str:
+    """Unrolled mirror-descent oracle: per round, the blend distribution
+    q_t = sum_i w_i p_i and each domain's excess KL(p_i || q_t) rebuild
+    from the CURRENT weights, then w <- w * exp(eta * KL) normalized.
+    Every cross-term sum runs through decimal(38,18) so engine
+    accumulation order can't skew the trajectory."""
+    toks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+    parts = [
+        f"""
+    WITH tok AS (
+        SELECT source, unnest({toks}) AS t FROM documents
+    ),
+    st AS (SELECT source, t, count(*) AS c_st FROM tok GROUP BY source, t),
+    stot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+             FROM st GROUP BY source),
+    p AS (
+        SELECT st.source, st.t,
+               CAST(st.c_st AS DOUBLE) / CAST(stot.n_s AS DOUBLE) AS p
+        FROM st JOIN stot USING (source)
+    ),
+    w0 AS (
+        SELECT source,
+               1.0 / (SELECT count(DISTINCT source) FROM documents) AS w
+        FROM (SELECT DISTINCT source FROM documents)
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}"
+        parts.append(f""",
+    q{r} AS (
+        SELECT p.t,
+               CAST(SUM(CAST(p.p * w.w AS DECIMAL(38,18))) AS DOUBLE) AS q
+        FROM p JOIN {prev} w USING (source) GROUP BY p.t
+    ),
+    kl{r} AS (
+        SELECT p.source,
+               CAST(SUM(CAST(p.p * ln(p.p / q{r}.q) AS DECIMAL(38,18)))
+                    AS DOUBLE) AS kl
+        FROM p JOIN q{r} USING (t) GROUP BY p.source
+    ),
+    n{r} AS (
+        SELECT w.source, w.w * exp({eta} * kl{r}.kl) AS num
+        FROM {prev} w JOIN kl{r} USING (source)
+    ),
+    d{r} AS (
+        SELECT CAST(SUM(CAST(num AS DECIMAL(38,18))) AS DOUBLE) AS den
+        FROM n{r}
+    ),
+    w{r} AS (
+        SELECT source, num / d{r}.den AS w FROM n{r} CROSS JOIN d{r}
+    )""")
+    parts.append(f"""
+    SELECT w.source,
+           round(w.w, 9) AS weight,
+           round(kl.kl, 6) AS kl_to_blend
+    FROM w{rounds} w JOIN kl{rounds} kl USING (source)
+    ORDER BY w.source""")
+    return "".join(parts)
+
+
+@query(
+    "sample_doremi_weights",
+    oracle=_doremi_sql(DOREMI_ROUNDS, DOREMI_ETA),
+    tags=("llm", "sampling", "iterative"),
+)
+def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, Group-DRO
+    mirror descent): per round, rebuild the blended token distribution
+    q_t = sum_i w_i p_i from the CURRENT weights, measure each domain's
+    excess loss as KL(p_i || q_t) (how much the blend underserves the
+    domain), and update w <- w * exp(eta * KL), normalized. Domains far
+    from the blend gain weight, and the blend chases them — the whole
+    trajectory is data-dependent, so the rounds are genuinely
+    iterative, yet the unrolled SQL oracle value-hashes every step.
+
+    Scale: ONE corpus scan builds the per-domain unigram table; each
+    round is vocab-sized joins (q_t, KL) plus domain-sized weight
+    algebra — corpus-independent loop cost, same shape as the BPE
+    trainer. Decimal(38,18) sums keep q_t, KL, and the normalizer
+    order-free so Spark parallel == DuckDB sequential bit-for-bit; the
+    weight chain itself is scalar double arithmetic, IEEE-identical.
+    Weights stay in DataFrames end-to-end (domain-sized
+    localCheckpoints per round, no driver-side math)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    stot = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    p = st.join(F.broadcast(stot), "source").select(
+        "source",
+        "t",
+        (F.col("c_st").cast("double") / F.col("n_s").cast("double")).alias("p"),
+    )
+    n_src = d.select("source").distinct().count()  # bounded: domain count
+    w = (
+        d.select("source")
+        .distinct()
+        .select("source", (F.lit(1.0) / F.lit(float(n_src))).alias("w"))
+        .localCheckpoint()
+    )
+    kl = None
+    for _ in range(DOREMI_ROUNDS):
+        q = (
+            p.join(F.broadcast(w), "source")
+            .select("t", (F.col("p") * F.col("w")).cast("decimal(38,18)").alias("term"))
+            .groupBy("t")
+            .agg(F.sum("term").cast("double").alias("q"))
+        )
+        kl = (
+            p.join(q, "t")
+            .select(
+                "source",
+                (F.col("p") * F.log(F.col("p") / F.col("q")))
+                .cast("decimal(38,18)")
+                .alias("term"),
+            )
+            .groupBy("source")
+            .agg(F.sum("term").cast("double").alias("kl"))
+            .localCheckpoint()  # domain-sized
+        )
+        num = w.join(kl, "source").select(
+            "source", (F.col("w") * F.exp(DOREMI_ETA * F.col("kl"))).alias("num")
+        )
+        den = num.agg(
+            F.sum(F.col("num").cast("decimal(38,18)")).cast("double").alias("den")
+        )
+        w = (
+            num.crossJoin(F.broadcast(den))
+            .select("source", (F.col("num") / F.col("den")).alias("w"))
+            .localCheckpoint()
+        )
+    return (
+        w.join(kl, "source")
+        .select(
+            "source",
+            F.round("w", 9).alias("weight"),
+            F.round("kl", 6).alias("kl_to_blend"),
+        )
+        .orderBy("source")
+    )
