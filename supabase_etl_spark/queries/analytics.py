@@ -2769,3 +2769,166 @@ def scd3_previous_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_pattern_negation",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER w AS k
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    nxt AS (
+        SELECT user_id, ts, event_id, event_type, k,
+               min(CASE WHEN event_type = 'purchase' THEN k END) OVER f AS np_k,
+               min(CASE WHEN event_type = 'error' THEN k END) OVER f AS ne_k
+        FROM ordered
+        WINDOW f AS (PARTITION BY user_id ORDER BY k
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    matches AS (
+        SELECT v.user_id, v.ts, v.event_id
+        FROM nxt v JOIN ordered p
+          ON p.user_id = v.user_id AND p.k = v.np_k
+        WHERE v.event_type = 'view'
+          AND p.ts <= v.ts + INTERVAL 24 HOUR
+          AND (v.ne_k IS NULL OR v.ne_k > v.np_k)
+    )
+    SELECT user_id, count(*) AS n_matches, min(ts) AS first_match_ts
+    FROM matches
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "analytics", "pattern"),
+)
+def events_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern with NEGATION (MATCH_RECOGNIZE `view NOT-error*
+    purchase` within 24 h): a view matches iff the user's NEXT purchase
+    arrives inside the deadline with NO error event strictly between
+    them — absence-of-event semantics that funnels and strict-sequence
+    patterns can't express.
+
+    The rewrite that scales: a per-user row_number gives every event a
+    dense order key; two FOLLOWING-frame window minima find the next
+    purchase and next error keys in one pass (no per-view scan of the
+    future); the negation is then the pure key comparison ne_k > np_k,
+    and one user-keyed self-join fetches the matched purchase's
+    timestamp for the deadline test. Total cost: one user-keyed shuffle
+    for the windows plus one user-keyed equi-join — never event x event
+    within a user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.withColumn("k", F.row_number().over(wk))
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("k")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = ordered.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "k",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("k"))).over(wf).alias("np_k"),
+        F.min(F.when(F.col("event_type") == "error", F.col("k"))).over(wf).alias("ne_k"),
+    )
+    views = nxt.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "np_k", "ne_k"
+    )
+    purchases = ordered.select(
+        "user_id", F.col("k").alias("np_k"), F.col("ts").alias("p_ts")
+    )
+    matches = views.join(purchases, ["user_id", "np_k"]).filter(
+        (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 24 HOURS"))
+        & (F.col("ne_k").isNull() | (F.col("ne_k") > F.col("np_k")))
+    )
+    return (
+        matches.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"), F.min("ts").alias("first_match_ts"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "scd6_hybrid",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER w AS raw_prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_id, ts AS valid_from, event_type
+        FROM ordered
+        WHERE raw_prev IS NULL OR event_type <> raw_prev
+    ),
+    t2 AS (
+        SELECT user_id, event_type, valid_from, event_id,
+               lead(valid_from) OVER w2 AS valid_to,
+               lag(event_type) OVER w2 AS prev_type
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    ),
+    cur AS (
+        SELECT user_id, event_type AS current_type
+        FROM t2 WHERE valid_to IS NULL
+    )
+    SELECT t2.user_id, t2.event_type, t2.prev_type, cur.current_type,
+           t2.valid_from, t2.valid_to, (t2.valid_to IS NULL) AS is_current
+    FROM t2 JOIN cur USING (user_id)
+    ORDER BY t2.user_id, t2.valid_from, t2.event_id
+    """,
+    tags=("events", "analytics", "cdc"),
+)
+def scd6_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 6 (hybrid 1+2+3): the change-compressed type-2 interval
+    rows, each ALSO carrying the entity's previous value (type 3) and
+    the overlaid CURRENT value on every historical row (type 1) — the
+    warehouse pattern that lets one table answer as-of, transition, and
+    as-of-now questions without joins at query time. Completes the SCD
+    family (1 via dedup survivor, 2, 3, and now 6).
+
+    Scale: change compression and both windows are per-entity streams
+    (one user-keyed shuffle); the current-value overlay is an equi-join
+    of the change table against its open rows — change-table-sized, not
+    event-sized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("raw_prev", F.lag("event_type").over(w))
+        .filter(F.col("raw_prev").isNull() | (F.col("event_type") != F.col("raw_prev")))
+        .select("user_id", "event_id", F.col("ts").alias("valid_from"), "event_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    t2 = changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "event_id",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lag("event_type").over(w2).alias("prev_type"),
+    )
+    cur = t2.filter(F.col("valid_to").isNull()).select(
+        "user_id", F.col("event_type").alias("current_type")
+    )
+    return (
+        t2.join(cur, "user_id")
+        .select(
+            "user_id",
+            "event_type",
+            "prev_type",
+            "current_type",
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
