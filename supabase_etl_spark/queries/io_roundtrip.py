@@ -1380,11 +1380,11 @@ def io_manifest_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT o_orderkey, o_totalprice, o_orderpriority
-        FROM orders WHERE o_orderkey <= 2000
+        FROM orders WHERE o_orderkey % 4 <> 0
     ),
     good AS (  -- the batch that passes the audit (positive prices only)
         SELECT o_orderkey, o_totalprice, o_orderpriority
-        FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 4000
+        FROM orders WHERE o_orderkey % 4 = 0
     ),
     -- the poisoned batch (negated prices) is staged, audited, DROPPED:
     -- it never reaches main, so the final table is base UNION good and
@@ -1425,13 +1425,15 @@ def io_manifest_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     table = scratch_dir("manifest_wap_")
-    M.commit(o.filter(F.col("o_orderkey") <= 2000), table, mode="overwrite")
+    # modulo split keeps both the base and the batch non-empty at every
+    # scale factor (absolute key cutoffs go empty at sf0.001)
+    M.commit(o.filter(F.col("o_orderkey") % 4 != 0), table, mode="overwrite")
 
     def audit_passes() -> bool:
         branch_df = M.read_branch(spark, table, "etl")
         return branch_df.filter(F.col("o_totalprice") <= 0).count() == 0
 
-    batch = o.filter((F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 4000))
+    batch = o.filter(F.col("o_orderkey") % 4 == 0)
     # 1) poisoned batch: negated prices must fail the audit and be dropped
     M.stage(batch.withColumn("o_totalprice", -F.col("o_totalprice")), table, "etl")
     if audit_passes():  # pragma: no cover - guarded by the oracle hash
