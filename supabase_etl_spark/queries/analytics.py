@@ -2932,3 +2932,192 @@ def scd6_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "event_id")
     )
+
+
+HOLT_ALPHA = 0.5  # level smoothing
+HOLT_BETA = 0.3  # trend smoothing
+# closed-form trend update t' = ab*(y - l) + (1 - ab)*t, algebraically
+# equal to b*(l' - l) + (1 - b)*t — chosen so the fold never repeats the
+# l' subexpression (see docstring: DuckDB 1.0 struct-accumulator CSE bug)
+HOLT_AB = HOLT_ALPHA * HOLT_BETA
+HOLT_OMB = 1.0 - HOLT_AB
+
+
+@query(
+    "events_holt_linear_forecast",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    series AS (
+        SELECT event_type,
+               count(*) AS n_obs,
+               list(y ORDER BY day) AS ys
+        FROM daily GROUP BY event_type
+    ),
+    fitted AS (
+        SELECT event_type, n_obs,
+               list_reduce(
+                   list_transform(ys, x -> [CAST(x AS DOUBLE), CAST(0 AS DOUBLE)]),
+                   (acc, x) -> [
+                       {HOLT_ALPHA} * x[1] + (1 - {HOLT_ALPHA}) * (acc[1] + acc[2]),
+                       {HOLT_AB!r} * (x[1] - acc[1]) + {HOLT_OMB!r} * acc[2]
+                   ]) AS st
+        FROM series
+    )
+    SELECT event_type, n_obs,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round(st[1] + st[2], 6) AS forecast_1
+    FROM fitted
+    ORDER BY event_type
+    """,
+    tags=("events", "analytics", "timeseries"),
+)
+def events_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend) over each
+    event type's daily-total series, with the 1-step-ahead forecast —
+    the classic non-seasonal forecasting primitive next to the STL-core
+    seasonal decompose. The recurrence is non-associative, so it runs
+    as an ordered ARRAY-LOCAL fold per series (the clamped-balance
+    machinery): daily totals aggregate with exact decimals, the series
+    assembles via an ordered collect bounded by days-per-key (~366),
+    and the fold is a sequential double chain — bit-identical across
+    engines because both seed with [y1, 0] and fold the tail.
+
+    Two portability traps pinned here: (1) DuckDB 1.0's list_reduce
+    mis-evaluates STRUCT-typed accumulators whose fields share
+    subexpressions (the l' recomputation inside the trend field came
+    back corrupted from iteration 3 onward) — the state is therefore a
+    2-element DOUBLE LIST, and the trend update uses the algebraically
+    equal closed form t' = ab*(y - l) + (1-ab)*t that never repeats
+    l'; (2) both engines must use that SAME form, since the two
+    formulas differ in float rounding. At 100 TB the series key becomes
+    (type, shard) so arrays stay bounded; partial-series folds combine
+    via state handoff (seed the tail fold with the head's state)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+    )
+    a = F.lit(float(HOLT_ALPHA))
+    ab, omb = F.lit(float(HOLT_AB)), F.lit(float(HOLT_OMB))
+    st = F.aggregate(
+        F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
+        F.array(F.element_at("ys", 1), F.lit(0.0)),
+        lambda acc, x: F.array(
+            a * x + (F.lit(1.0) - a) * (F.element_at(acc, 1) + F.element_at(acc, 2)),
+            ab * (x - F.element_at(acc, 1)) + omb * F.element_at(acc, 2),
+        ),
+    )
+    return (
+        series.select(
+            "event_type",
+            "n_obs",
+            F.round(F.element_at(st, 1), 6).alias("level"),
+            F.round(F.element_at(st, 2), 6).alias("trend"),
+            F.round(F.element_at(st, 1) + F.element_at(st, 2), 6).alias("forecast_1"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CUSUM_SLACK = 0.02  # allowance k, in relative-deviation units
+CUSUM_H = 0.3  # alarm threshold on the cumulative statistic
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    series AS (
+        SELECT event_type,
+               count(*) AS n_obs,
+               list(y ORDER BY day) AS ys,
+               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mu
+        FROM daily GROUP BY event_type
+    ),
+    traj AS (
+        SELECT event_type, n_obs,
+               list_reduce(
+                   list_transform(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list_transform(ys, y -> y / mu - 1)),
+                       v -> [v]),
+                   (acc, x) -> list_append(
+                       acc, greatest(CAST(0 AS DOUBLE),
+                                     acc[-1] + x[1] - {CUSUM_SLACK}))
+               ) AS s_all
+        FROM series
+    ),
+    stats AS (
+        SELECT event_type, n_obs, s_all[2:] AS s FROM traj
+    )
+    SELECT event_type, n_obs,
+           round(list_max(s), 6) AS cusum_max,
+           CAST(list_position(s, list_max(s)) AS BIGINT) AS argmax_t,
+           list_max(s) > {CUSUM_H} AS alarm
+    FROM stats
+    ORDER BY event_type
+    """,
+    tags=("events", "analytics", "timeseries"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection per event type (Page
+    1954): relative daily deviations d_t = y_t/mu - 1 accumulate as
+    s_t = max(0, s_(t-1) + d_t - k); an upward level shift drives s
+    past the alarm threshold, and the argmax marks the most-likely
+    change location. The non-associative clamp makes this a sequential
+    per-series fold, like Holt — but here the fold APPENDS the s
+    trajectory to a list state and max/argmax post-compute from the
+    array (sidesteps both the repeated-subexpression hazard inside
+    fold lambdas and DuckDB's struct-accumulator bug; trajectory
+    length = days-per-key, bounded). Seeding is made explicit by
+    prepending s_0 = 0 so both engines run the identical recurrence
+    from the identical state. Scale: one exact-decimal daily rollup,
+    one ordered collect per series, array-local everything after."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+        (
+            F.sum(F.col("y").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+    )
+    k, zero = F.lit(float(CUSUM_SLACK)), F.lit(0.0)
+    ds = F.transform(F.col("ys"), lambda y: y / F.col("mu") - F.lit(1.0))
+    s_all = F.aggregate(
+        ds,
+        F.array(zero),
+        lambda acc, x: F.concat(
+            acc, F.array(F.greatest(zero, F.element_at(acc, -1) + x - k))
+        ),
+    )
+    s = F.slice(s_all, 2, F.size(s_all) - 1)
+    return (
+        series.select(
+            "event_type",
+            "n_obs",
+            F.round(F.array_max(s), 6).alias("cusum_max"),
+            F.array_position(s, F.array_max(s)).cast("bigint").alias("argmax_t"),
+            (F.array_max(s) > F.lit(float(CUSUM_H))).alias("alarm"),
+        )
+        .orderBy("event_type")
+    )
