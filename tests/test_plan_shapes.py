@@ -586,3 +586,13 @@ def test_centroid_outliers_broadcasts_means_and_stats(spark):
     q = load_all()["embedding_centroid_outliers"]
     plan = _plan(q.fn(spark, SF))
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_dbscan_candidates_are_grid_equi_join(spark):
+    """embedding_dbscan_grid: neighbor candidates must come from the
+    (pcx, pcy) grid equi-join — no cartesian/nested-loop pair stage
+    anywhere in the plan."""
+    q = load_all()["embedding_dbscan_grid"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
