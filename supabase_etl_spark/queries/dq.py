@@ -811,3 +811,85 @@ def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d_scaled") / (F.col("na") * F.col("nb")).cast("double"), 9
         ).alias("ks"),
     )
+
+
+@query(
+    "dq_benford_law",
+    oracle="""
+    WITH pos AS (
+        SELECT o_totalprice AS x FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+        SELECT CAST(floor(x / power(10, floor(log10(x)))) AS BIGINT) AS d
+        FROM pos
+    ),
+    obs AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+    expected AS (
+        SELECT unnest(range(1, 10)) AS d
+    ),
+    joined AS (
+        SELECT e.d,
+               COALESCE(o.n, 0) AS n,
+               t.total,
+               log10(1.0 + 1.0 / e.d) AS p_exp
+        FROM expected e LEFT JOIN obs o ON e.d = o.d CROSS JOIN tot t
+    )
+    SELECT d AS leading_digit,
+           CAST(n AS BIGINT) AS n_observed,
+           round(CAST(n AS DOUBLE) / total, 6) AS freq_observed,
+           round(p_exp, 6) AS freq_benford,
+           round((n - total * p_exp) * (n - total * p_exp)
+                 / (total * p_exp), 6) AS chi2_term
+    FROM joined
+    ORDER BY leading_digit
+    """,
+    tags=("dq", "audit"),
+)
+def dq_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic forensic DQ screen for fabricated or truncated numeric
+    columns (natural multi-magnitude amounts follow P(d) =
+    log10(1 + 1/d); synthetic/capped data visibly deviates, and the
+    per-digit chi-square terms localize which digits drive it).
+
+    The digit extraction floor(x / 10^floor(log10 x)) is pure per-row
+    double arithmetic (IEEE-identical cross-engine); the rest is a
+    9-group count. One scan, one 9-row aggregate — scan-bound at any
+    scale, and the 9-digit spine LEFT JOIN makes absent digits report
+    an explicit zero instead of a missing row."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    spine = spark.range(1, 10).select(F.col("id").alias("d"))
+    p_exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    joined = (
+        spine.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "total",
+            p_exp.alias("p_exp"),
+        )
+    )
+    chi2 = (
+        (F.col("n") - F.col("total") * F.col("p_exp"))
+        * (F.col("n") - F.col("total") * F.col("p_exp"))
+        / (F.col("total") * F.col("p_exp"))
+    )
+    return joined.select(
+        F.col("d").alias("leading_digit"),
+        F.col("n").cast("bigint").alias("n_observed"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("freq_observed"),
+        F.round("p_exp", 6).alias("freq_benford"),
+        F.round(chi2, 6).alias("chi2_term"),
+    ).orderBy("leading_digit")

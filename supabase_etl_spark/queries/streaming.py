@@ -1191,3 +1191,89 @@ def stream_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("purchase_event").alias("n_purchases"))
         .orderBy("view_event")
     )
+
+
+@query(
+    "stream_session_window_dynamic_gap",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'purchase'
+                    THEN INTERVAL '40 minutes' ELSE INTERVAL '15 minutes'
+               END AS gap
+        FROM events
+    ),
+    ends AS (
+        SELECT user_id, ts, event_id, value, ts + gap AS e FROM base
+    ),
+    marked AS (
+        SELECT user_id, ts, value, e,
+               CASE WHEN max(e) OVER wprev IS NULL
+                         OR ts >= max(e) OVER wprev
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ends
+        WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value, e,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(e) AS session_end,
+           count(*) AS n,
+           {sql_dsum("value", "total_value")}
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming",),
+)
+def stream_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows whose inactivity gap depends on the EVENT (a
+    purchase keeps the session alive 40 minutes, anything else 15) —
+    F.session_window's dynamic-gap form, the streaming feature the
+    fixed-gap op can't express (checkout flows idle longer than
+    browsing without splitting the session).
+
+    The batch oracle needs the RUNNING-MAX formulation, not the lag
+    gap: with per-event gaps, a long-gap event can bridge over several
+    short-gap successors, so a session continues while ts < max of all
+    previous window ends (exactly Spark's merge-overlapping-windows
+    semantics on half-open [ts, ts+gap) windows). Same flush-sentinel
+    idiom as stream_session_window: append mode only emits
+    watermark-sealed sessions, so a far-future synthetic event per
+    user seals every real one and is filtered out of the sink."""
+    s = read_events_stream(spark, sf_dir)
+    flush = s.select(
+        "event_id",
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+        "user_id",
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    merged = s.unionByName(flush).withWatermark("ts", "1 minute")
+    # session_window's dynamic form wants CalendarIntervalType — the
+    # INTERVAL literal parses as DayTimeIntervalType, so build the gap
+    # via string -> interval cast
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("40 minutes")
+    ).otherwise(F.lit("15 minutes")).cast("interval")
+    agg = merged.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value")
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n",
+        "total_value",
+    )
+    sink = run_available_now(out, "append")
+    return sink.filter(F.col("session_start") < F.lit("2029-01-01")).orderBy(
+        "user_id", "session_start"
+    )
