@@ -893,3 +893,99 @@ def dq_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_exp", 6).alias("freq_benford"),
         F.round(chi2, 6).alias("chi2_term"),
     ).orderBy("leading_digit")
+
+
+AB_BUCKETS = 100
+AB_SPLIT = 50  # bucket < 50 -> variant A
+
+
+@query(
+    "dq_ab_test_ztest",
+    oracle=f"""
+    WITH users AS (
+        SELECT user_id,
+               (((1103515245 * CAST(user_id AS BIGINT) + 12345)
+                 % 2147483647) % {AB_BUCKETS}) < {AB_SPLIT} AS is_a,
+               CAST(max(CASE WHEN event_type = 'purchase' AND value > 150
+                             THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(count(*) FILTER (is_a) AS BIGINT) AS n_a,
+               CAST(SUM(converted) FILTER (is_a) AS BIGINT) AS c_a,
+               CAST(count(*) FILTER (NOT is_a) AS BIGINT) AS n_b,
+               CAST(SUM(converted) FILTER (NOT is_a) AS BIGINT) AS c_b
+        FROM users
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           round(CAST(c_a AS DOUBLE) / n_a, 6) AS p_a,
+           round(CAST(c_b AS DOUBLE) / n_b, 6) AS p_b,
+           round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / greatest(sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 1e-12), 6) AS z_score,
+           abs((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+               / greatest(sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)), 1e-12)) > 1.96 AS significant_95
+    FROM arms
+    """,
+    tags=("dq", "analytics", "experiment"),
+)
+def dq_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment readout: users split
+    into deterministic LCG arms (the repo's reproducible-assignment
+    discipline — rand() would unassign users between runs), conversion
+    = any purchase event, pooled-variance z with the 1.96 two-sided
+    gate. The whole test is one user-grouped scan plus a 1-row
+    aggregate; every double (rates, pooled variance, z) is written
+    identically in both engines so the verdict bit can't flip.
+
+    Scale: conversion flags reduce user-locally (max of indicator),
+    the arm rollup is a global 4-counter agg with map-side partials —
+    scan-bound at any event volume."""
+    A, B, P = 1_103_515_245, 12_345, 2_147_483_647
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("converted")
+    ).select(
+        "converted",
+        (
+            ((F.lit(A).cast("bigint") * F.col("user_id").cast("bigint") + B) % P)
+            % AB_BUCKETS
+            < AB_SPLIT
+        ).alias("is_a"),
+    )
+    arms = users.agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("is_a"), F.col("converted"))).cast("bigint").alias("c_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(~F.col("is_a"), F.col("converted"))).cast("bigint").alias("c_b"),
+    )
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (p_a - p_b) / F.greatest(
+        F.sqrt(
+            p_pool
+            * (1 - p_pool)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+        F.lit(1e-12),
+    )
+    return arms.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

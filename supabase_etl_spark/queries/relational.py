@@ -9,7 +9,7 @@ sort. No Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from supabase_etl_spark.io.readers import load_table
@@ -1257,3 +1257,68 @@ def struct_map_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.map_keys(mf)) == 1).alias("survives_filter"),
         F.element_at(F.map_values(mz), 1).alias("zipped_sum"),
     ).orderBy("s_suppkey")
+
+
+@query(
+    "sql_gaps_in_sequence",
+    oracle="""
+    WITH ks AS (SELECT DISTINCT o_orderkey AS k FROM orders
+              WHERE o_orderpriority = '1-URGENT'),
+    islands AS (
+        SELECT k, k - row_number() OVER (ORDER BY k) AS grp FROM ks
+    ),
+    spans AS (
+        SELECT min(k) AS island_start, max(k) AS island_end
+        FROM islands GROUP BY grp
+    ),
+    gaps AS (
+        SELECT island_end + 1 AS gap_start,
+               lead(island_start) OVER (ORDER BY island_start) - 1 AS gap_end
+        FROM spans
+    )
+    SELECT gap_start, gap_end, gap_end - gap_start + 1 AS gap_len
+    FROM gaps
+    WHERE gap_end IS NOT NULL
+    ORDER BY gap_start
+    """,
+    tags=("sql", "windows"),
+)
+def sql_gaps_in_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-range detection over a key sequence (the
+    gaps-and-islands DUAL: emit the holes, not the runs) — the
+    standard audit for surrogate-key continuity and ingestion
+    completeness (run here over the URGENT-priority key subset, whose
+    holes are the other priorities — the full key space is contiguous
+    by construction, which would make the audit vacuous). Islands form
+    from the k - row_number() trick, holes are lead(island_start) -
+    island_end between consecutive islands.
+
+    Scale note: the global ORDER BY window here is island-spine work —
+    the island GROUPING is key-distributed, and the spans table (one
+    row per island) is orders of magnitude smaller than the key space,
+    so the one ordered pass runs over metadata-sized input. For a key
+    space whose ISLAND count itself explodes, the distributed-rank
+    construction (sample_epoch_shuffle) replaces the spine window."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    w = Window.orderBy("k")
+    islands = o.select("k", (F.col("k") - F.row_number().over(w)).alias("grp"))
+    spans = islands.groupBy("grp").agg(
+        F.min("k").alias("island_start"), F.max("k").alias("island_end")
+    )
+    ws = Window.orderBy("island_start")
+    gaps = spans.select(
+        (F.col("island_end") + 1).alias("gap_start"),
+        (F.lead("island_start").over(ws) - 1).alias("gap_end"),
+    )
+    return (
+        gaps.filter(F.col("gap_end").isNotNull())
+        .select(
+            "gap_start", "gap_end", (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len")
+        )
+        .orderBy("gap_start")
+    )
