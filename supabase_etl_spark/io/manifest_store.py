@@ -480,3 +480,29 @@ def drop_branch(table_dir: str, branch: str) -> None:
     path = _branch_path(table_dir, branch)
     if os.path.exists(path):
         os.unlink(path)
+
+
+def clone_shallow(src_table: str, dst_table: str, note: str = "") -> int:
+    """SHALLOW CLONE (Delta CLONE): create a new table whose first
+    snapshot references the SOURCE table's current data files by
+    absolute path — zero data movement, and the two tables evolve
+    independently from that point (appends to either are invisible to
+    the other; the clone's own writes land in its own data/ dir).
+
+    Works because read() resolves entries with os.path.join(table_dir,
+    f), and an absolute entry wins the join — relative entries stay the
+    table's own files, absolute entries are borrowed ones. Same caveat
+    as Delta: VACUUM on the SOURCE does not know about clones, so
+    expiring source history can orphan a clone's borrowed files —
+    retention windows are the operational guard."""
+    v = current_version(src_table)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version in {src_table}")
+    files = [
+        f if os.path.isabs(f) else os.path.abspath(os.path.join(src_table, f))
+        for f in _read_manifest(src_table, v)["files"]
+    ]
+    os.makedirs(_manifest_dir(dst_table), exist_ok=True)
+    return _commit_files(
+        dst_table, files, note or f"clone-of-{src_table}@v{v}", base_version=0
+    )

@@ -1465,3 +1465,59 @@ def io_manifest_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "io_manifest_shallow_clone",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    src_batch AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    clone_batch AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 2
+    ),
+    src_final AS (SELECT * FROM base UNION ALL SELECT * FROM src_batch),
+    clone_final AS (SELECT * FROM base UNION ALL SELECT * FROM clone_batch)
+    SELECT 'clone' AS tbl,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM clone_final
+    UNION ALL
+    SELECT 'source', count(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+    FROM src_final
+    ORDER BY tbl
+    """,
+    tags=("io", "manifest"),
+)
+def io_manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE with independent evolution: the clone's
+    first snapshot borrows the source's files by absolute path (no
+    bytes move); afterwards each table appends its own batch and the
+    gate pins that NEITHER append leaked into the other — the clone
+    holds base+clone_batch, the source base+src_batch. The Delta
+    operational caveat (source VACUUM can orphan borrowed files)
+    carries over and is unit-tested rather than hand-waved."""
+    from supabase_etl_spark.io import manifest_store as M
+    from supabase_etl_spark.io.scratch import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    src = scratch_dir("manifest_clone_src_")
+    dst = scratch_dir("manifest_clone_dst_")
+    M.commit(o.filter(F.col("o_orderkey") % 3 == 0), src, mode="overwrite")
+    M.clone_shallow(src, dst)
+    # divergence: each side appends a different batch
+    M.commit(o.filter(F.col("o_orderkey") % 3 == 1), src, mode="append")
+    M.commit(o.filter(F.col("o_orderkey") % 3 == 2), dst, mode="append")
+
+    def summarize(table: str, name: str) -> DataFrame:
+        return M.read(spark, table).agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("total"),
+        ).select("tbl", "n_rows", "total")
+
+    return summarize(dst, "clone").unionByName(summarize(src, "source")).orderBy("tbl")

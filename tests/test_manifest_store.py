@@ -424,3 +424,37 @@ def test_restage_replaces_branch_atomically(spark, tmp_path):
     assert M.read_branch(spark, t, "audit").count() == 15
     assert M.publish_branch(t, "audit") == 2
     assert M.read(spark, t).count() == 15
+
+
+def test_shallow_clone_is_zero_copy_then_diverges(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    M.commit(spark.range(100), src, "overwrite")
+    v = M.clone_shallow(src, dst)
+    assert v == 1
+    # zero-copy: the clone's data dir holds no files of its own yet
+    import os
+
+    ddir = os.path.join(dst, "data")
+    assert not os.path.isdir(ddir) or os.listdir(ddir) == []
+    assert M.read(spark, dst).count() == 100
+    # divergence: each side appends independently
+    M.commit(spark.range(100, 130), src, "append")
+    M.commit(spark.range(200, 205), dst, "append")
+    assert M.read(spark, src).count() == 130
+    assert M.read(spark, dst).count() == 105
+    # the clone's own batch landed in the clone's data dir
+    assert len(os.listdir(ddir)) >= 1
+
+
+def test_source_vacuum_orphans_clone_borrowed_files(spark, tmp_path):
+    """The documented Delta caveat: expiring SOURCE history can remove
+    files a shallow clone still references — the clone then fails to
+    read, which is exactly why retention windows guard vacuum."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    M.commit(spark.range(50), src, "overwrite")
+    M.clone_shallow(src, dst)
+    # source rewrites itself (overwrite) then vacuums old history
+    M.commit(spark.range(5), src, "overwrite")
+    M.vacuum(src, retain_versions=1)
+    with pytest.raises(Exception):
+        M.read(spark, dst).count()
