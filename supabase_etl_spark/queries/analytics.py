@@ -3239,3 +3239,135 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tau, 6).alias("kendall_tau"),
         F.round(med, 6).alias("sen_slope"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_kaplan_meier",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS first_seen,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+               max(ts) AS last_seen
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT user_id,
+               CASE WHEN first_purchase IS NOT NULL
+                    THEN CAST(floor((epoch_us(first_purchase) - epoch_us(first_seen))
+                                    / 3600000000.0) AS BIGINT)
+                    ELSE CAST(floor((epoch_us(last_seen) - epoch_us(first_seen))
+                                    / 3600000000.0) AS BIGINT)
+               END AS t_obs,
+               (first_purchase IS NOT NULL) AS is_event
+        FROM per_user
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM obs),
+    drops AS (SELECT t_obs AS t, CAST(count(*) AS BIGINT) AS leaving FROM obs GROUP BY t_obs),
+    events_t AS (
+        SELECT t_obs AS t, CAST(count(*) AS BIGINT) AS d
+        FROM obs WHERE is_event GROUP BY t_obs
+    ),
+    risk AS (
+        SELECT e.t, e.d,
+               tot.n_total
+               - COALESCE(SUM(dr.leaving) OVER (ORDER BY e.t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        FROM events_t e
+        LEFT JOIN drops dr ON e.t = dr.t
+        CROSS JOIN tot
+    ),
+    km AS (
+        SELECT t, d, n_risk,
+               exp(SUM(ln(greatest(1.0 - CAST(d AS DOUBLE) / n_risk, 1e-12)))
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS s
+        FROM risk
+    )
+    SELECT t AS hours, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events, round(s, 6) AS survival
+    FROM km
+    ORDER BY hours
+    """,
+    tags=("events", "analytics", "survival"),
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of time-to-first-purchase
+    (hours from a user's first event), right-censoring users who never
+    purchase at their last-seen time — the product-limit estimator
+    behind every retention/conversion-latency curve. S(t) = prod over
+    event times t_i <= t of (1 - d_i / n_i), computed as
+    exp(running-sum of log terms) so both engines accumulate in the
+    SAME window order (a running product has no SQL aggregate; the log
+    detour is the standard rewrite). Durations are exact integer
+    epoch-microsecond arithmetic floored to hours (unix_timestamp's
+    second truncation would diverge from DuckDB's interval math on
+    sub-second stamps). The greatest(..., 1e-12) guard makes the final
+    time's d = n_risk row a clean survival 0.000000 instead of ln(0).
+
+    Scale: one user-grouped pass builds observations; everything after
+    is distinct-duration-sized (the risk-set cumulative and the KM
+    window both run over event-time rows, not users). The risk-window
+    note from the prefix-sum family applies if distinct durations ever
+    rival the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+        F.max("ts").alias("last_seen"),
+    )
+    dur = F.floor(
+        (F.unix_micros("first_purchase") - F.unix_micros("first_seen"))
+        / F.lit(3600000000.0)
+    )
+    cens = F.floor(
+        (F.unix_micros("last_seen") - F.unix_micros("first_seen"))
+        / F.lit(3600000000.0)
+    )
+    obs = per_user.select(
+        F.when(F.col("first_purchase").isNotNull(), dur)
+        .otherwise(cens)
+        .cast("bigint")
+        .alias("t_obs"),
+        F.col("first_purchase").isNotNull().alias("is_event"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    drops = obs.groupBy(F.col("t_obs").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaving")
+    )
+    events_t = (
+        obs.filter("is_event")
+        .groupBy(F.col("t_obs").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        events_t.join(drops, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+            ).alias("n_risk"),
+        )
+    )
+    wkm = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    s = F.exp(
+        F.sum(
+            F.log(
+                F.greatest(
+                    F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"),
+                    F.lit(1e-12),
+                )
+            )
+        ).over(wkm)
+    )
+    return risk.select(
+        F.col("t").alias("hours"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.round(s, 6).alias("survival"),
+    ).orderBy("hours")
