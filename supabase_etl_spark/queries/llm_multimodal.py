@@ -697,3 +697,125 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cuts, schema="uri string, frame_idx int, diff_sum bigint, is_cut boolean"
     )
     return out.orderBy("uri", "frame_idx")
+
+
+@query(
+    "multimodal_video_frame_phash_dedup",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, concat('doc://', doc_id, '.y4m') AS uri,
+               doc_id % {M.SEED_MOD} AS seed,
+               {M.VIDEO_FRAMES_BASE} + doc_id % {M.VIDEO_FRAMES_SPAN} AS n
+        FROM documents WHERE doc_id % 97 = 0 AND doc_id < 3880
+    ),
+    px AS (
+        SELECT d.uri, t.f, x.i AS xi, y.j AS yj,
+               ((d.seed + 3 * x.i + 5 * y.j + 11 * t.f) % 256) AS lum
+        FROM docs d,
+             range(0, {M.VIDEO_FRAMES_BASE + M.VIDEO_FRAMES_SPAN}) AS t(f),
+             range(0, {M.VIDEO_W}) AS x(i),
+             range(0, {M.VIDEO_H}) AS y(j)
+        WHERE t.f < d.n
+    ),
+    blocks AS (
+        SELECT uri, f, (yj * 8) // {M.VIDEO_H} AS bi, (xi * 8) // {M.VIDEO_W} AS bj,
+               SUM(lum) AS bs, COUNT(*) AS bc
+        FROM px GROUP BY 1, 2, 3, 4
+    ),
+    bits AS (
+        SELECT a.uri, a.f, a.bi, a.bj,
+               CASE WHEN a.bs * b.bc > b.bs * a.bc THEN '1' ELSE '0' END AS bit
+        FROM blocks a JOIN blocks b
+          ON a.uri = b.uri AND a.f = b.f AND a.bi = b.bi AND b.bj = a.bj + 1
+    ),
+    hashes AS (
+        SELECT uri, f, string_agg(bit, '' ORDER BY bi, bj) AS dhash
+        FROM bits GROUP BY uri, f
+    )
+    SELECT dhash,
+           count(*) AS n_frames,
+           CAST(count(DISTINCT uri) AS BIGINT) AS n_videos,
+           min(uri || '#' || lpad(CAST(f AS VARCHAR), 3, '0')) AS keeper
+    FROM hashes GROUP BY dhash
+    ORDER BY keeper
+    """,
+    tags=("llm", "multimodal", "dedup", "video"),
+)
+def multimodal_video_frame_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-level perceptual dedup ACROSS videos: decode every Y4M
+    stream (engine codec), dHash each frame's luma plane — block-pool
+    to the 8x8 grid and emit one bit per HORIZONTALLY ADJACENT block
+    pair (left mean > right mean, exact integer cross-multiplication) —
+    and group frames corpus-wide by signature. dHash, not aHash, on
+    purpose: on smooth-gradient frames every block clears or misses
+    the global mean the same way (a first aHash draft collapsed the
+    whole corpus into ONE signature — vacuous dedup), while adjacent
+    differences track where the mod-256 wrap lands and genuinely
+    discriminate. Cross-video duplicates are planted by construction
+    (a frame's pixels depend only on (seed + 11f) mod 256), and
+    n_videos > 1 groups are exactly the stock-frame shares this pass
+    exists to find.
+
+    Scale: decode + hash is a pure Arrow map (frame -> <=64-char
+    signature before any shuffle); grouping is dedup_exact's single
+    hash shuffle at frame granularity. The oracle replays synthesis +
+    identical pooling/comparison in SQL."""
+    import pandas as pd
+
+    from supabase_etl_spark.operators import videocodec as VC
+
+    # strided doc set (bounded at 40 videos at any sf): the 0..29 prefix
+    # slice keeps every synthetic luma gradient wrap-free, which makes
+    # ANY perceptual hash constant — the stride spreads seeds over the
+    # full 0..250 range so wraps (and therefore signatures) vary
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 3880)
+    )
+    videos = M.generate_videos(d.select("doc_id"))
+    w, h = M.VIDEO_W, M.VIDEO_H
+
+    def frame_hashes(batches):
+        for pdf in batches:
+            uris, fids, hashes = [], [], []
+            for uri, content in zip(pdf["uri"], pdf["content"]):
+                _w, _h, _fps, frames = VC.decode_y4m(bytes(content))
+                for f, planes in enumerate(frames):
+                    yplane = planes[0]
+                    bsum: dict[tuple[int, int], int] = {}
+                    bcnt: dict[tuple[int, int], int] = {}
+                    for idx, v in enumerate(yplane):
+                        xi, yj = idx % w, idx // w
+                        key = ((yj * 8) // h, (xi * 8) // w)
+                        bsum[key] = bsum.get(key, 0) + v
+                        bcnt[key] = bcnt.get(key, 0) + 1
+                    bits = []
+                    for bi, bj in sorted(bsum):
+                        nxt = (bi, bj + 1)
+                        if nxt in bsum:
+                            bits.append(
+                                "1"
+                                if bsum[(bi, bj)] * bcnt[nxt]
+                                > bsum[nxt] * bcnt[(bi, bj)]
+                                else "0"
+                            )
+                    uris.append(uri)
+                    fids.append(f)
+                    hashes.append("".join(bits))
+            yield pd.DataFrame({"uri": uris, "f": fids, "dhash": hashes})
+
+    frames_df = videos.mapInPandas(
+        frame_hashes, schema="uri string, f int, dhash string"
+    )
+    keeper = F.concat_ws(
+        "#", F.col("uri"), F.lpad(F.col("f").cast("string"), 3, "0")
+    )
+    return (
+        frames_df.select("dhash", "uri", keeper.alias("k"))
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.count_distinct("uri").cast("bigint").alias("n_videos"),
+            F.min("k").alias("keeper"),
+        )
+        .orderBy("keeper")
+    )
