@@ -3371,3 +3371,82 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_events"),
         F.round(s, 6).alias("survival"),
     ).orderBy("hours")
+
+
+@query(
+    "events_gini_coefficient",
+    oracle="""
+    WITH spend AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+        FROM spend
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(i * x AS DECIMAL(38,12))) AS DOUBLE) AS six
+        FROM ranked
+    )
+    SELECT n AS n_users,
+           round(sx, 6) AS total_spend,
+           round(2.0 * six / (n * sx) - (n + 1.0) / n, 6) AS gini
+    FROM agg
+    """,
+    tags=("events", "analytics", "inequality"),
+)
+def events_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user purchase spend (the standard
+    whale-concentration readout): G = 2*sum(i*x_i)/(n*sum(x)) -
+    (n+1)/n over spend sorted ascending — the discrete Lorenz-curve
+    formula, exact, no binning. The global rank comes from the
+    DISTRIBUTED-RANK construction (range-repartition + partition-local
+    row_number + broadcast per-partition offsets — the
+    sample_epoch_shuffle/SNM idiom), so no single-task sort of the
+    user population at any scale; both weighted sums run through
+    decimals. The oracle ranks with a plain window (single-node)."""
+    ev = load_table(spark, sf_dir, "events")
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("x"))
+    )
+    par = spark.sparkContext.defaultParallelism
+    ranged = spend.repartitionByRange(par, "x", "user_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wl = Window.partitionBy("pid").orderBy("x", "user_id")
+    local = ranged.withColumn("lrn", F.row_number().over(wl))
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "off")
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "x", (F.col("lrn") + F.col("off")).cast("bigint").alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("six"),
+    )
+    gini = 2.0 * F.col("six") / (F.col("n") * F.col("sx")) - (
+        F.col("n") + F.lit(1.0)
+    ) / F.col("n")
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.round("sx", 6).alias("total_spend"),
+        F.round(gini, 6).alias("gini"),
+    )

@@ -1323,3 +1323,75 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, schema="rank INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT"
     ).orderBy("rank")
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest({_TOKS_SQL}) AS t FROM documents)
+        GROUP BY t
+    ),
+    ranked AS (
+        SELECT c, CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS r
+        FROM tf
+    ),
+    pts AS (
+        SELECT ln(CAST(r AS DOUBLE)) AS lx, ln(CAST(c AS DOUBLE)) AS ly
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(lx AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ly AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(lx * ly AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(lx * lx AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_vocab,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS log_intercept
+    FROM s
+    """,
+    tags=("llm", "text"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: least-squares
+    slope of ln(freq) on ln(rank) — natural language sits near -1, and
+    the deviation is a standard corpus-health diagnostic next to the
+    Benford audit on the numeric side (template/boilerplate corpora
+    flatten the head, spam steepens the tail). The rank window runs
+    over the VOCAB table (already aggregated), and all regression
+    moments are exact-decimal sums of per-row doubles — one corpus
+    scan, vocab-sized everything after, 1-row output. For a vocab too
+    large for one rank window, the distributed-rank idiom swaps in
+    (same as events_gini_coefficient)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = W.Window.orderBy(F.desc("c"), F.asc("t"))
+    pts = tf.withColumn("r", F.row_number().over(w).cast("bigint")).select(
+        F.log(F.col("r").cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("lx").cast("decimal(38,18)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(38,18)")).cast("double").alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(38,18)")).cast("double").alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(38,18)")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("log_intercept"),
+    )
