@@ -1084,3 +1084,155 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               l_extendedprice AS v,
+               SUM(CAST(l_quantity AS DECIMAL(28,6)))
+                   OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                         ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(CAST(l_quantity AS DECIMAL(28,6)))
+                   OVER (PARTITION BY l_returnflag) AS totw
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(v) FILTER (WHERE cumw >= totw * CAST(0.50 AS DECIMAL(3,2)))
+               AS wp50,
+           MIN(v) FILTER (WHERE cumw >= totw * CAST(0.90 AS DECIMAL(3,2)))
+               AS wp90,
+           CAST(MAX(totw) AS DOUBLE) AS total_weight
+    FROM w
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles (lower weighted-median convention): the
+    smallest value whose cumulative weight reaches p of the total.
+    Quantity-weighted price percentiles per returnflag.
+
+    The cumulative weight runs through an exact decimal window sum, so
+    Spark's parallel partials and DuckDB's sequential scan agree
+    bit-for-bit; the answer is invariant to ordering within value ties
+    (only the tie group's *closing* cumulative weight decides whether
+    the value qualifies). At 100 TB this is one shuffle per group key
+    for the window sort — same cost class as any windowed rank; no
+    driver collect, no UDF.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    cum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("l_returnflag")
+    wdec = F.col("l_quantity").cast("decimal(28,6)")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum(wdec).over(cum).alias("cumw"),
+        F.sum(wdec).over(tot).alias("totw"),
+    )
+    half = F.lit("0.50").cast("decimal(3,2)")
+    p90 = F.lit("0.90").cast("decimal(3,2)")
+    return (
+        w.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("cumw") >= F.col("totw") * half, F.col("v"))).alias(
+                "wp50"
+            ),
+            F.min(F.when(F.col("cumw") >= F.col("totw") * p90, F.col("v"))).alias(
+                "wp90"
+            ),
+            F.max("totw").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_spearman_correlation",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag AS g,
+               2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                   + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+                   AS rx,
+               2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_discount)
+                   + COUNT(*) OVER (PARTITION BY l_returnflag, l_discount) - 1
+                   AS ry
+        FROM lineitem
+    ),
+    sums AS (
+        SELECT g,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        FROM ranked GROUP BY g
+    )
+    SELECT g AS l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+               AS spearman_rho
+    FROM sums
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation with tie-averaged ranks, per group.
+
+    Average ranks are doubled into the integer lattice
+    (``2*rank + ties - 1`` = twice the midrank), so every moment is an
+    exact decimal integer sum — scaling both variables by 2 leaves rho
+    unchanged. Pearson's formula then runs in double on identical
+    operands in both engines, giving a bit-for-bit match. Two window
+    passes (one per variable) and one hash aggregate; at 100 TB the
+    cost is the two rank sorts — no ties-handling UDF, no collect.
+    decimal(38,0) keeps the cubic-in-n moment exact to n ~ 3e12 rows
+    per group.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), "l_quantity", "l_discount"
+    )
+    rk_q = Window.partitionBy("g").orderBy("l_quantity")
+    tie_q = Window.partitionBy("g", "l_quantity")
+    rk_d = Window.partitionBy("g").orderBy("l_discount")
+    tie_d = Window.partitionBy("g", "l_discount")
+    ranked = li.select(
+        "g",
+        (2 * F.rank().over(rk_q) + F.count(F.lit(1)).over(tie_q) - 1).alias("rx"),
+        (2 * F.rank().over(rk_d) + F.count(F.lit(1)).over(tie_d) - 1).alias("ry"),
+    )
+    d38 = "decimal(38,0)"
+    sums = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("rx").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("ry").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("rx") * F.col("ry")).cast(d38)).cast("double").alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast(d38)).cast("double").alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast(d38)).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return sums.select(
+        F.col("g").alias("l_returnflag"),
+        n.cast("bigint").alias("n_rows"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("spearman_rho"),
+    ).orderBy("l_returnflag")

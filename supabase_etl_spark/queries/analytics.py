@@ -3450,3 +3450,61 @@ def events_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sx", 6).alias("total_spend"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+@query(
+    "graph_hits_bipartite",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    a1 AS (SELECT p, COUNT(*) AS a FROM e GROUP BY p),
+    h1 AS (
+        SELECT e.s, SUM(a1.a) AS h FROM e JOIN a1 ON e.p = a1.p GROUP BY e.s
+    ),
+    a2 AS (
+        SELECT e.p, CAST(SUM(CAST(h1.h AS DECIMAL(38,0))) AS BIGINT) AS auth
+        FROM e JOIN h1 ON e.s = h1.s GROUP BY e.p
+    )
+    SELECT p AS part_key, auth AS authority_score
+    FROM a2
+    ORDER BY authority_score DESC, part_key
+    LIMIT 20
+    """,
+    tags=("graph",),
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the bipartite supplier->part graph
+    (two unnormalized mutual-reinforcement iterations; Kleinberg 1999).
+    Rankings under unnormalized iteration equal the normalized ones —
+    normalization rescales every score by the same constant — so the
+    scores stay in the exact integer lattice and the oracle matches
+    bit-for-bit.
+
+    Shape per iteration: edge-list equi-join against the current score
+    vector + hash aggregate — the same shuffle class as PageRank. At
+    100 TB the edge list partitions on the join key each round, score
+    vectors are |V|-sized, and the final top-k is a TakeOrdered, so no
+    driver-side iteration state. decimal(38,0) keeps sums exact far
+    beyond any realistic degree product.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a1 = e.groupBy("p").agg(F.count(F.lit(1)).alias("a"))
+    h1 = (
+        e.join(a1, "p")
+        .groupBy("s")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        e.join(h1, "s")
+        .groupBy("p")
+        .agg(F.sum(F.col("h").cast("decimal(38,0)")).cast("bigint").alias("auth"))
+    )
+    return (
+        a2.select(F.col("p").alias("part_key"), F.col("auth").alias("authority_score"))
+        .orderBy(F.desc("authority_score"), "part_key")
+        .limit(20)
+    )

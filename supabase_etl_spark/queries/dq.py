@@ -989,3 +989,104 @@ def dq_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+@query(
+    "dq_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderstatus AS r, o_orderpriority AS c, COUNT(*) AS o
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    rt AS (SELECT r, SUM(o) AS rt FROM obs GROUP BY r),
+    ct AS (SELECT c, SUM(o) AS ct FROM obs GROUP BY c),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+        SELECT obs.o,
+               CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                   / CAST(n.n AS DOUBLE) AS exp
+        FROM obs JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN n
+    ),
+    stat AS (
+        SELECT round(CAST(SUM(CAST(
+                   (CAST(o AS DOUBLE) - exp) * (CAST(o AS DOUBLE) - exp) / exp
+                   AS DECIMAL(38,18))) AS DOUBLE), 6) AS chi2
+        FROM cells
+    ),
+    dims AS (
+        SELECT (SELECT COUNT(*) FROM rt) AS nr,
+               (SELECT COUNT(*) FROM ct) AS nc,
+               (SELECT n FROM n) AS n
+    )
+    SELECT chi2,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                        * CAST(CASE WHEN nr < nc THEN nr - 1 ELSE nc - 1 END
+                               AS DOUBLE))), 9) AS cramers_v
+    FROM stat CROSS JOIN dims
+    """,
+    tags=("dq", "statistics"),
+)
+def dq_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (order status x order priority), plus Cramér's V effect
+    size — the drift/association audit a feature store runs between a
+    label column and a candidate feature.
+
+    Observed counts are one hash aggregate; expected counts come from
+    broadcast-joined row/column marginals (both bounded by category
+    cardinality, tiny at any scale). The per-cell term is double
+    arithmetic on identical operands in both engines; the cell sum runs
+    through decimal(38,18) so the statistic is summation-order
+    independent. One scan, three metadata-sized joins — scales to any
+    row count because everything after the first aggregate is
+    |categories|-sized.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("r"), F.col("o_orderpriority").alias("c")
+    )
+    obs = o.groupBy("r", "c").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("r").agg(F.sum("o").alias("rt"))
+    ct = obs.groupBy("c").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o",
+            (
+                F.col("rt").cast("double")
+                * F.col("ct").cast("double")
+                / F.col("n").cast("double")
+            ).alias("exp"),
+        )
+    )
+    od, ex = F.col("o").cast("double"), F.col("exp")
+    stat = cells.agg(
+        F.round(
+            F.sum(((od - ex) * (od - ex) / ex).cast("decimal(38,18)"))
+            .cast("double"),
+            6,
+        ).alias("chi2")
+    )
+    dims = (
+        rt.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("nc")))
+        .crossJoin(n)
+    )
+    nr, nc = F.col("nr"), F.col("nc")
+    return stat.crossJoin(F.broadcast(dims)).select(
+        "chi2",
+        ((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.when(nr < nc, nr - 1).otherwise(nc - 1).cast("double")
+                )
+            ),
+            9,
+        ).alias("cramers_v"),
+    )
