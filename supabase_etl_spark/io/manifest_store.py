@@ -79,14 +79,36 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append", note: str = "") 
     new_files = _write_data_files(df, table_dir)
     prev = current_version(table_dir)
     files = list(new_files)
+    deletes: list[dict] = []
     if mode == "append" and prev > 0:
-        files = _read_manifest(table_dir, prev)["files"] + new_files
-    return _commit_files(table_dir, files, note, base_version=prev)
+        pm = _read_manifest(table_dir, prev)
+        files = pm["files"] + new_files
+        # carried MOR deletes still apply to the carried files (their
+        # applies_to scopes keep matching by basename); the new files
+        # are outside every scope, so appended rows never lose keys
+        deletes = pm.get("deletes", [])
+    return _commit_files(table_dir, files, note, base_version=prev, deletes=deletes)
 
 
 def read(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
     """Scan exactly the files of the requested (default: latest)
-    snapshot — time travel is just naming an older manifest."""
+    snapshot — time travel is just naming an older manifest. If the
+    snapshot carries merge-on-read equality deletes (see
+    ``delete_where_mor``), they are applied here as anti-joins scoped
+    to the data files each delete was committed against."""
+    return _read_tagged(spark, table_dir, version).drop("_file")
+
+
+def _read_tagged(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """read() plus a ``_file`` column naming each row's source data file
+    (basename). The column MUST be stamped on the raw single-source scan:
+    once MOR deletes turn the plan into a union, ``input_file_name()`` is
+    illegal (Spark's PreReadCheck rejects multi-source plans), which is
+    why merge()/delete_where() go through this instead of re-deriving it."""
+    from pyspark.sql import functions as F
+
     v = version if version is not None else current_version(table_dir)
     if v <= 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
@@ -95,11 +117,33 @@ def read(spark: SparkSession, table_dir: str, version: int | None = None) -> Dat
     # mergeSchema: snapshots written under schema evolution mix file
     # schemas; the footer union adds columns null-filled for old files
     # (harmless no-op when every file agrees)
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths).withColumn(
+        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    # Iceberg sequence-number semantics, expressed extensionally: each
+    # delete names the data files it applies to (the snapshot's files at
+    # delete time), so rows appended LATER with a deleted key are not
+    # affected. Each application is one anti-join on the delete's key
+    # columns; compact_mor() folds them away.
+    for entry in manifest.get("deletes", []):
+        keys = spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in entry["files"]]
+        ).distinct()
+        scope = F.col("_file").isin(entry["applies_to"])
+        df = (
+            df.filter(scope)
+            .join(keys, entry["key_cols"], "left_anti")
+            .unionByName(df.filter(~scope))
+        )
+    return df
 
 
 def _commit_files(
-    table_dir: str, files: list[str], note: str, base_version: int
+    table_dir: str,
+    files: list[str],
+    note: str,
+    base_version: int,
+    deletes: list[dict] | None = None,
 ) -> int:
     """Publish manifest at ``base_version + 1`` naming exactly ``files``.
 
@@ -113,7 +157,9 @@ def _commit_files(
     ConcurrentCommitError so the stale writer re-reads and retries.
     """
     version = base_version + 1
-    manifest = {"version": version, "files": files, "note": note}
+    manifest: dict = {"version": version, "files": files, "note": note}
+    if deletes:
+        manifest["deletes"] = deletes
     tmp = os.path.join(_manifest_dir(table_dir), f".tmp_{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -183,9 +229,7 @@ def merge(
     if v <= 0:
         return commit(source, table_dir, mode="overwrite", note=note or "merge-init")
     manifest = _read_manifest(table_dir, v)
-    tgt = read(spark, table_dir, v).withColumn(
-        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
-    )
+    tgt = _read_tagged(spark, table_dir, v)
     src_keys = source.select(*key_cols).distinct()
     touched = {
         r["_file"]
@@ -208,7 +252,16 @@ def merge(
     # union — schema evolution costs zero rewrites of unmatched files.
     rewrite = keep.unionByName(source, allowMissingColumns=evolve_schema)
     new_files = _write_data_files(rewrite, table_dir)
-    return _commit_files(table_dir, carried + new_files, note or "merge", base_version=v)
+    # carried files keep their basenames, so carried MOR delete scopes
+    # still hit them; rewritten rows came through read(), which already
+    # applied the deletes, and the new basenames fall outside every scope
+    return _commit_files(
+        table_dir,
+        carried + new_files,
+        note or "merge",
+        base_version=v,
+        deletes=manifest.get("deletes", []),
+    )
 
 
 def delete_where(
@@ -224,9 +277,7 @@ def delete_where(
     if v <= 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _read_manifest(table_dir, v)
-    tgt = read(spark, table_dir, v).withColumn(
-        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
-    )
+    tgt = _read_tagged(spark, table_dir, v)
     touched = {
         r["_file"]
         for r in tgt.filter(cond).select("_file").distinct().collect()
@@ -245,7 +296,90 @@ def delete_where(
         .drop("_file")
     )
     new_files = _write_data_files(survivors, table_dir)
-    return _commit_files(table_dir, carried + new_files, note or "delete", base_version=v)
+    return _commit_files(
+        table_dir,
+        carried + new_files,
+        note or "delete",
+        base_version=v,
+        deletes=manifest.get("deletes", []),
+    )
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    key_cols: list[str],
+    note: str = "",
+) -> int:
+    """Merge-on-read DELETE (Iceberg equality deletes / Delta deletion
+    vectors): instead of rewriting any data file, write the KEYS of the
+    matching rows as a delete file and publish a snapshot that carries
+    the delete alongside the untouched data files. Readers apply it as
+    an anti-join (see read()); compact_mor() folds deletes back into
+    plain files when read amplification accumulates.
+
+    This is the write-cheap half of the COW/MOR trade: delete cost is
+    proportional to the MATCHED KEYS (one pruned scan + a key-sized
+    write), never to table size — at 100 TB deleting a few million rows
+    moves megabytes, where delete_where() (COW) would rewrite every
+    touched file. The delete records which data files it applies to, so
+    rows appended later under the same key are unaffected — the same
+    ordering guarantee Iceberg gets from sequence numbers."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    v = current_version(table_dir)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _read_manifest(table_dir, v)
+    keys = read(spark, table_dir, v).filter(cond).select(*key_cols).distinct()
+    del_dir = os.path.join(table_dir, "deletes")
+    os.makedirs(del_dir, exist_ok=True)
+    scratch = os.path.join(table_dir, f"_tmp_{uuid.uuid4().hex[:12]}")
+    keys.write.mode("overwrite").parquet(scratch)
+    del_files = []
+    for f in sorted(os.listdir(scratch)):
+        if f.endswith(".parquet"):
+            dest = f"del-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(scratch, f), os.path.join(del_dir, dest))
+            del_files.append(os.path.join("deletes", dest))
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    entry = {
+        "files": del_files,
+        "key_cols": list(key_cols),
+        "applies_to": [os.path.basename(f) for f in manifest["files"]],
+    }
+    return _commit_files(
+        table_dir,
+        manifest["files"],
+        note or "delete-mor",
+        base_version=v,
+        deletes=manifest.get("deletes", []) + [entry],
+    )
+
+
+def compact_mor(spark: SparkSession, table_dir: str, note: str = "") -> int:
+    """Fold accumulated merge-on-read deletes into plain data files
+    (Iceberg rewrite_position_delete_files + rewrite_data_files): the
+    current logical table (read() already applies the deletes) is
+    rewritten and published WITHOUT a deletes list. Read amplification
+    returns to zero; the old delete files become vacuum-able once their
+    snapshots expire. Cost: one rewrite of the live snapshot, the same
+    bill OPTIMIZE pays — which is why engines run it on a schedule, not
+    per delete."""
+    v = current_version(table_dir)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if not _read_manifest(table_dir, v).get("deletes"):
+        return v  # nothing to fold
+    df = read(spark, table_dir, v)
+    new_files = _write_data_files(df, table_dir)
+    return _commit_files(
+        table_dir, new_files, note or "compact-mor", base_version=v
+    )
 
 
 def vacuum(
@@ -277,9 +411,10 @@ def vacuum(
     keep_vs = vs[-retain_versions:]
     referenced = set()
     for v in keep_vs:
-        referenced.update(
-            os.path.basename(f) for f in _read_manifest(table_dir, v)["files"]
-        )
+        m = _read_manifest(table_dir, v)
+        referenced.update(os.path.basename(f) for f in m["files"])
+        for entry in m.get("deletes", []):
+            referenced.update(os.path.basename(f) for f in entry["files"])
     # staged branches (write-audit-publish) are LIVE roots: their files
     # are invisible to main readers but must survive until the branch
     # publishes or is dropped
@@ -295,15 +430,20 @@ def vacuum(
     import time
 
     now = time.time()
-    data_dir = os.path.join(table_dir, "data")
     removed_files = 0
-    for f in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
-        if f.endswith(".parquet") and f not in referenced:
-            path = os.path.join(data_dir, f)
-            if retention_seconds > 0 and now - os.path.getmtime(path) < retention_seconds:
-                continue  # possibly a just-staged file of an in-flight commit
-            os.unlink(path)
-            removed_files += 1
+    # deletes/ holds MOR equality-delete key files; same orphan rule
+    for sub in ("data", "deletes"):
+        d = os.path.join(table_dir, sub)
+        for f in os.listdir(d) if os.path.isdir(d) else []:
+            if f.endswith(".parquet") and f not in referenced:
+                path = os.path.join(d, f)
+                if (
+                    retention_seconds > 0
+                    and now - os.path.getmtime(path) < retention_seconds
+                ):
+                    continue  # possibly a just-staged file of an in-flight commit
+                os.unlink(path)
+                removed_files += 1
     return {"manifests_removed": removed_manifests, "files_removed": removed_files}
 
 
@@ -361,9 +501,13 @@ def restore(table_dir: str, version: int, note: str = "") -> int:
     if version not in vs:
         raise FileNotFoundError(f"version {version} not in {table_dir}")
     base = vs[-1]
-    files = _read_manifest(table_dir, version)["files"]
+    target = _read_manifest(table_dir, version)
     return _commit_files(
-        table_dir, files, note or f"restore-to-v{version}", base_version=base
+        table_dir,
+        target["files"],
+        note or f"restore-to-v{version}",
+        base_version=base,
+        deletes=target.get("deletes", []),
     )
 
 

@@ -1521,3 +1521,121 @@ def io_manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("tbl", "n_rows", "total")
 
     return summarize(dst, "clone").unionByName(summarize(src, "source")).orderBy("tbl")
+
+
+@query(
+    "io_manifest_mor_delete",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    d1 AS (
+        SELECT o_orderkey FROM base
+        WHERE o_orderstatus = 'F' AND o_orderkey <= 800
+    ),
+    s1 AS (
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d1)
+    ),
+    re AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey <= 100 AND o_orderstatus = 'F'
+    ),
+    s2 AS (
+        SELECT * FROM s1 UNION ALL SELECT * FROM re
+    ),
+    fin AS (
+        SELECT * FROM s2 WHERE NOT (o_orderkey % 7 = 3)
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_price,
+           TRUE AS mor_no_rewrite,
+           TRUE AS two_delete_entries,
+           TRUE AS deletes_folded,
+           TRUE AS compact_preserves
+    FROM fin
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("io", "lakehouse", "mor"),
+)
+def io_manifest_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE with equality-delete files (Iceberg MOR /
+    Delta deletion vectors), end to end:
+
+    v1 commits orders<=2000 as 3 files; v2 MOR-deletes
+    (status F, key<=800) — the file list must be UNCHANGED (write cost
+    = keys, not table); v3 re-appends previously deleted rows, which
+    must SURVIVE because the delete's applies_to scope names only the
+    v1 files (Iceberg sequence-number ordering, extensionally); v4
+    MOR-deletes key%7=3 across all current files; compact_mor() then
+    folds both delete entries into plain files with the row set
+    byte-preserved.
+
+    Read amplification is the deliberate trade: each live delete is an
+    anti-join at read time, bounded here by two entries and removed by
+    compaction. At 100 TB the delete write moves megabytes of keys
+    instead of rewriting terabytes of touched files — the reason every
+    production format grew a MOR path."""
+    import os
+
+    from supabase_etl_spark.io import manifest_store as M
+    from supabase_etl_spark.queries._helpers import dsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = scratch_dir("manifest_mor_")
+    M.commit(o.filter(F.col("o_orderkey") <= 2000).repartition(3), table, "overwrite")
+    files_v1 = M._read_manifest(table, 1)["files"]
+
+    M.delete_where_mor(
+        spark,
+        table,
+        "o_orderstatus = 'F' AND o_orderkey <= 800",
+        ["o_orderkey"],
+    )
+    m2 = M._read_manifest(table, 2)
+    mor_no_rewrite = m2["files"] == files_v1 and len(m2.get("deletes", [])) == 1
+
+    M.commit(
+        o.filter((F.col("o_orderkey") <= 100) & (F.col("o_orderstatus") == "F"))
+        .repartition(1),
+        table,
+        "append",
+    )
+    M.delete_where_mor(spark, table, "o_orderkey % 7 = 3", ["o_orderkey"])
+    v4 = M.current_version(table)
+    two_delete_entries = len(M._read_manifest(table, v4).get("deletes", [])) == 2
+
+    pre = M.read(spark, table).agg(
+        F.count(F.lit(1)).alias("c"), dsum(F.col("o_totalprice"), "s")
+    ).first()
+    v5 = M.compact_mor(spark, table)
+    deletes_folded = not M._read_manifest(table, v5).get("deletes")
+    post = M.read(spark, table).agg(
+        F.count(F.lit(1)).alias("c"), dsum(F.col("o_totalprice"), "s")
+    ).first()
+    compact_preserves = (pre["c"], pre["s"]) == (post["c"], post["s"])
+
+    return (
+        M.read(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            "total_price",
+            F.lit(bool(mor_no_rewrite)).alias("mor_no_rewrite"),
+            F.lit(bool(two_delete_entries)).alias("two_delete_entries"),
+            F.lit(bool(deletes_folded)).alias("deletes_folded"),
+            F.lit(bool(compact_preserves)).alias("compact_preserves"),
+        )
+        .orderBy("o_orderstatus")
+    )

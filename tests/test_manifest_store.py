@@ -458,3 +458,88 @@ def test_source_vacuum_orphans_clone_borrowed_files(spark, tmp_path):
     M.vacuum(src, retain_versions=1)
     with pytest.raises(Exception):
         M.read(spark, dst).count()
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read equality deletes
+# ---------------------------------------------------------------------------
+
+
+def test_mor_delete_rewrites_nothing_and_filters_reads(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(100).selectExpr("id", "id * 2 AS v"), t, "overwrite")
+    files_before = M._read_manifest(t, 1)["files"]
+    M.delete_where_mor(spark, t, "id < 10", ["id"])
+    m = M._read_manifest(t, 2)
+    assert m["files"] == files_before  # zero data files rewritten
+    assert len(m["deletes"]) == 1
+    assert M.read(spark, t).count() == 90
+    # time travel to v1 still sees the deleted rows
+    assert M.read(spark, t, 1).count() == 100
+
+
+def test_mor_delete_scope_spares_later_appends(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(50).selectExpr("id", "id AS v"), t, "overwrite")
+    M.delete_where_mor(spark, t, "id < 5", ["id"])
+    # re-append rows with the deleted keys: they are NEWER than the
+    # delete and must survive (sequence-number ordering)
+    M.commit(spark.range(5).selectExpr("id", "id + 1000 AS v"), t, "append")
+    got = {(r["id"], r["v"]) for r in M.read(spark, t).collect() if r["id"] < 5}
+    assert got == {(i, i + 1000) for i in range(5)}
+
+
+def test_compact_mor_folds_deletes_and_preserves_rows(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(100).selectExpr("id", "id AS v"), t, "overwrite")
+    M.delete_where_mor(spark, t, "id % 2 = 0", ["id"])
+    M.delete_where_mor(spark, t, "id > 90", ["id"])
+    before = sorted(r["id"] for r in M.read(spark, t).collect())
+    v = M.compact_mor(spark, t)
+    m = M._read_manifest(t, v)
+    assert "deletes" not in m
+    assert sorted(r["id"] for r in M.read(spark, t).collect()) == before
+    # compaction on a delete-free table is a no-op version-wise
+    assert M.compact_mor(spark, t) == v
+
+
+def test_vacuum_spares_live_delete_files_then_collects_expired(spark, tmp_path):
+    import os
+
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(100).selectExpr("id", "id AS v"), t, "overwrite")
+    M.delete_where_mor(spark, t, "id < 10", ["id"])
+    # retain the MOR snapshot: its delete files must survive GC
+    M.vacuum(t, retain_versions=1)
+    assert M.read(spark, t).count() == 90
+    m = M._read_manifest(t, M.current_version(t))
+    for e in m["deletes"]:
+        for f in e["files"]:
+            assert os.path.exists(os.path.join(t, f))
+    # compact, then expire the MOR snapshot: delete files are orphans now
+    M.compact_mor(spark, t)
+    M.vacuum(t, retain_versions=1)
+    ddir = os.path.join(t, "deletes")
+    left = [f for f in os.listdir(ddir)] if os.path.isdir(ddir) else []
+    assert left == []
+    assert M.read(spark, t).count() == 90
+
+
+def test_cow_delete_after_mor_does_not_resurrect(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(100).selectExpr("id", "id AS v").repartition(2), t)
+    M.delete_where_mor(spark, t, "id < 10", ["id"])
+    # COW delete of a different predicate: carried files keep the MOR
+    # delete applied; nothing deleted earlier reappears
+    M.delete_where(spark, t, "id >= 95")
+    ids = sorted(r["id"] for r in M.read(spark, t).collect())
+    assert ids == list(range(10, 95))
+
+
+def test_restore_carries_mor_deletes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(20).selectExpr("id", "id AS v"), t, "overwrite")
+    M.delete_where_mor(spark, t, "id < 5", ["id"])          # v2: 15 rows
+    M.commit(spark.range(100, 110).selectExpr("id", "id AS v"), t, "append")
+    v = M.restore(t, 2)
+    assert M.read(spark, t, v).count() == 15  # deletes restored with files
