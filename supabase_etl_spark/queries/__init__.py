@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "supabase_etl_spark.queries.llm_similarity",
     "supabase_etl_spark.queries.llm_multimodal",
     "supabase_etl_spark.queries.llm_ml",
+    "supabase_etl_spark.queries.ml_eval",
     "supabase_etl_spark.queries.llm_sampling",
     "supabase_etl_spark.queries.llm_curation",
     "supabase_etl_spark.queries.scale_levers",
