@@ -1292,3 +1292,235 @@ def embedding_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+MAT_DIM = 16  # Matryoshka truncation width (prefix dims of the embedding)
+
+
+@query(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe, embedding[1:{MAT_DIM}] AS qe16,
+               sqrt({sql_dot("embedding", "embedding")}) AS qn
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS ce, embedding[1:{MAT_DIM}] AS ce16,
+               sqrt({sql_dot("embedding", "embedding")}) AS cn
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    full_rank AS (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY {sql_dot("qe", "ce")} / (qn * cn) DESC, cid ASC) AS rn
+        FROM q CROSS JOIN c
+    ),
+    trunc_rank AS (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY {sql_dot("qe16", "ce16")}
+                            / (sqrt({sql_dot("qe16", "qe16")})
+                               * sqrt({sql_dot("ce16", "ce16")})) DESC, cid ASC) AS rn
+        FROM q CROSS JOIN c
+    ),
+    hits AS (
+        SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM (SELECT qid, cid FROM full_rank WHERE rn <= {TOP_K}) f
+        JOIN (SELECT qid, cid FROM trunc_rank WHERE rn <= {TOP_K}) t
+          ON f.qid = t.qid AND f.cid = t.cid
+        GROUP BY f.qid
+    )
+    SELECT q.qid,
+           COALESCE(h.n_common, 0) AS n_common,
+           CAST(COALESCE(h.n_common, 0) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM (SELECT DISTINCT qid FROM q) q
+    LEFT JOIN hits h ON q.qid = h.qid
+    ORDER BY q.qid
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality check: recall@k of cosine top-k
+    computed on the FIRST 16 embedding dims against the exact 64-dim
+    top-k. This is the eval every nested-representation deployment runs
+    before serving truncated vectors (store 4x less, prune with the
+    prefix, re-rank with the full width). Both rankings are the
+    broadcast-query brute-force shape — the corpus is scanned, never
+    shuffled — and the overlap join is Q·k-sized."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.slice("embedding", 1, MAT_DIM).alias("qe16"),
+        nrm.alias("qn"),
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.slice("embedding", 1, MAT_DIM).alias("ce16"),
+        nrm.alias("cn"),
+    )
+    base = c.crossJoin(F.broadcast(q))
+
+    def topk(score, name: str) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(F.col(name).desc(), F.col("cid").asc())
+        return (
+            base.select("qid", "cid", score.alias(name))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("qid", "cid")
+        )
+
+    full_cos = dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    trunc_cos = dot_double(F.col("qe16"), F.col("ce16")) / (
+        F.sqrt(dot_double(F.col("qe16"), F.col("qe16")))
+        * F.sqrt(dot_double(F.col("ce16"), F.col("ce16")))
+    )
+    hits = (
+        topk(full_cos, "cos_full")
+        .join(topk(trunc_cos, "cos_trunc"), ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        q.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            (F.coalesce("n_common", F.lit(0)).cast("double") / TOP_K).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _sql_pca_iter(prev_v: str, idx: int) -> str:
+    """One power-iteration round as oracle CTEs: w = G·v (decimal sums),
+    nrm = ||w||, v = w/nrm."""
+    return f"""
+    w{idx} AS (
+        SELECT gm.i, CAST(SUM(CAST(round(gm.g * {prev_v}.v, 12)
+                                   AS DECIMAL(38,12))) AS DOUBLE) AS w
+        FROM gm JOIN {prev_v} ON gm.j = {prev_v}.i GROUP BY gm.i
+    ),
+    n{idx} AS (
+        SELECT sqrt(CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        FROM w{idx}
+    ),
+    v{idx} AS (SELECT i, w / (SELECT nrm FROM n{idx}) AS v FROM w{idx})"""
+
+
+@query(
+    "embedding_pca_power",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT unnest(flatten(list_transform(range(1, {EMB_DIM} + 1),
+                   i -> list_transform(range(i, {EMB_DIM} + 1),
+                   j -> {{'i': i, 'j': j,
+                          'p': CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[j] AS DOUBLE)}}))))
+               AS e
+        FROM embeddings
+    ),
+    gu AS (
+        SELECT CAST(e.i AS INT) AS i, CAST(e.j AS INT) AS j,
+               CAST(SUM(CAST(round(e.p, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM embeddings) AS g
+        FROM pairs GROUP BY e.i, e.j
+    ),
+    gm AS (
+        SELECT i, j, g FROM gu
+        UNION ALL
+        SELECT j AS i, i AS j, g FROM gu WHERE i < j
+    ),
+    v0 AS (SELECT CAST(x.i AS INT) AS i, 0.125 AS v
+           FROM (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) x),
+    {_sql_pca_iter("v0", 1)},
+    {_sql_pca_iter("v1", 2)},
+    {_sql_pca_iter("v2", 3)}
+    SELECT v3.i AS dim, v3.v AS loading, (SELECT nrm FROM n3) AS eigenvalue
+    FROM v3 WHERE v3.i <= 8
+    ORDER BY dim
+    """,
+    tags=("llm", "similarity", "linalg"),
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA top component via power iteration, entirely in
+    the engine: the uncentered Gram matrix G = Σ e·eᵀ/n comes from the
+    same row-local upper-triangle pass as embedding_covariance_matrix
+    (one corpus scan, d² partial sums), then three rounds of
+    v ← G·v/||G·v|| run as joins+aggregations on the d²-sized matrix
+    table — corpus size never appears again. The returned eigenvalue
+    is ||G·v₂|| (the Rayleigh norm of the last iterate; G is PSD so
+    the power sequence is monotone). Starting vector 1/8·1 is exact
+    binary, every G·v term is round-12 decimal-summed, so three
+    iterations stay bit-identical across engines. At 100 TB the Gram
+    pass is the only data-sized stage — the iteration cost is d²,
+    whether d=64 or d=4096."""
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    n_tot = e.agg(F.count(F.lit(1)).alias("n"))
+    arr = F.col("embedding")
+    pairs = e.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(EMB_DIM)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(EMB_DIM)),
+                        lambda j: F.struct(
+                            i.cast("int").alias("i"),
+                            j.cast("int").alias("j"),
+                            (
+                                F.element_at(arr, i).cast("double")
+                                * F.element_at(arr, j).cast("double")
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    gu = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.round(F.col("p"), 12).cast("decimal(38,12)")).cast("double").alias("sp"))
+        .crossJoin(F.broadcast(n_tot))
+        .select("i", "j", (F.col("sp") / F.col("n")).alias("g"))
+    )
+    gm = gu.unionByName(
+        gu.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+    v = spark.range(1, EMB_DIM + 1).select(
+        F.col("id").cast("int").alias("i"), F.lit(0.125).alias("v")
+    )
+    nrm = None
+    for _ in range(3):
+        w = (
+            gm.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.round(F.col("g") * F.col("v"), 12).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("w") * F.col("w"), 12).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("w") / F.col("nrm")).alias("v")
+        )
+    return (
+        v.crossJoin(F.broadcast(nrm))
+        .filter(F.col("i") <= 8)
+        .select(F.col("i").alias("dim"), F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue"))
+        .orderBy("dim")
+    )

@@ -572,3 +572,259 @@ def ml_eval_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ap_num") / F.col("m")).alias("ap_at_k"),
         (F.col("dcg") / F.expr(_IDCG_CASE)).alias("ndcg_at_k"),
     ).orderBy("qid")
+
+
+@query(
+    "ml_eval_cohens_kappa",
+    oracle="""
+    WITH raters AS (
+        SELECT CASE WHEN CAST(FLOOR(ABS(CAST(embedding[4] AS DOUBLE)) * 100) AS BIGINT) % 3 = 0
+                    THEN (label + 1) % 10 ELSE label END AS ra,
+               CASE WHEN CAST(FLOOR(ABS(CAST(embedding[5] AS DOUBLE)) * 100) AS BIGINT) % 4 = 0
+                    THEN (label + 2) % 10 ELSE label END AS rb
+        FROM embeddings
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree_n
+        FROM raters
+    ),
+    ma AS (SELECT ra AS cls, CAST(COUNT(*) AS BIGINT) AS ca FROM raters GROUP BY ra),
+    mb AS (SELECT rb AS cls, CAST(COUNT(*) AS BIGINT) AS cb FROM raters GROUP BY rb),
+    chance AS (
+        SELECT CAST(SUM(ma.ca * mb.cb) AS BIGINT) AS sab
+        FROM ma JOIN mb ON ma.cls = mb.cls
+    )
+    SELECT tot.n, tot.agree_n,
+           CAST(tot.agree_n AS DOUBLE) / tot.n AS po,
+           CAST(chance.sab AS DOUBLE) / tot.n / tot.n AS pe,
+           (CAST(tot.agree_n AS DOUBLE) / tot.n - CAST(chance.sab AS DOUBLE) / tot.n / tot.n)
+               / (1.0 - CAST(chance.sab AS DOUBLE) / tot.n / tot.n) AS kappa
+    FROM tot CROSS JOIN chance
+    ORDER BY n
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement: Cohen's kappa between two
+    deterministic raters (independent digit-test label flips on
+    embedding dims 4 and 5). Chance agreement comes from the marginal
+    product Σ a_k·b_k — an exact integer join over the class-sized
+    marginals — so kappa is pure rational arithmetic over counts: two
+    corpus passes (one for marginals, one for the agreement count),
+    everything downstream is class-cardinality-sized."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def rater(dim: int, mod: int, shift: int):
+        flip = (
+            F.floor(F.abs(F.element_at("embedding", dim).cast("double")) * 100).cast("bigint")
+            % mod
+            == 0
+        )
+        return F.when(flip, (F.col("label") + shift) % 10).otherwise(F.col("label"))
+
+    raters = e.select(rater(4, 3, 1).alias("ra"), rater(5, 4, 2).alias("rb"))
+    tot = raters.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0)).alias("agree_n"),
+    )
+    ma = raters.groupBy(F.col("ra").alias("cls")).agg(F.count(F.lit(1)).alias("ca"))
+    mb = raters.groupBy(F.col("rb").alias("cls")).agg(F.count(F.lit(1)).alias("cb"))
+    chance = ma.join(mb, "cls").agg(F.sum(F.col("ca") * F.col("cb")).alias("sab"))
+    po = F.col("agree_n").cast("double") / F.col("n")
+    pe = F.col("sab").cast("double") / F.col("n") / F.col("n")
+    return (
+        tot.crossJoin(F.broadcast(chance))
+        .select(
+            "n",
+            "agree_n",
+            po.alias("po"),
+            pe.alias("pe"),
+            ((po - pe) / (1.0 - pe)).alias("kappa"),
+        )
+        .orderBy("n")
+    )
+
+
+@query(
+    "ml_eval_ari_nmi",
+    oracle="""
+    WITH assign AS (
+        SELECT label AS ca,
+               ((CAST(FLOOR((CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)) * 25)
+                     AS BIGINT) % 5) + 5) % 5 AS cb
+        FROM embeddings
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM assign),
+    nij AS (SELECT ca, cb, CAST(COUNT(*) AS BIGINT) AS c FROM assign GROUP BY ca, cb),
+    ai AS (SELECT ca, CAST(COUNT(*) AS BIGINT) AS c FROM assign GROUP BY ca),
+    bj AS (SELECT cb, CAST(COUNT(*) AS BIGINT) AS c FROM assign GROUP BY cb),
+    comb AS (
+        SELECT (SELECT SUM(c * (c - 1)) / 2.0 FROM nij) AS sumij,
+               (SELECT SUM(c * (c - 1)) / 2.0 FROM ai) AS suma,
+               (SELECT SUM(c * (c - 1)) / 2.0 FROM bj) AS sumb,
+               (SELECT n * (n - 1) / 2.0 FROM tot) AS combn
+    ),
+    mi AS (
+        SELECT CAST(SUM(CAST((CAST(nij.c AS DOUBLE) / tot.n)
+                             * ln((CAST(tot.n AS DOUBLE) * nij.c)
+                                  / (CAST(ai.c AS DOUBLE) * bj.c))
+                             AS DECIMAL(38,12))) AS DOUBLE) AS mi
+        FROM nij
+        JOIN ai ON nij.ca = ai.ca
+        JOIN bj ON nij.cb = bj.cb
+        CROSS JOIN tot
+    ),
+    ha AS (
+        SELECT CAST(SUM(CAST(-(CAST(ai.c AS DOUBLE) / tot.n)
+                             * ln(CAST(ai.c AS DOUBLE) / tot.n)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS h
+        FROM ai CROSS JOIN tot
+    ),
+    hb AS (
+        SELECT CAST(SUM(CAST(-(CAST(bj.c AS DOUBLE) / tot.n)
+                             * ln(CAST(bj.c AS DOUBLE) / tot.n)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS h
+        FROM bj CROSS JOIN tot
+    )
+    SELECT tot.n,
+           comb.sumij,
+           (comb.sumij - comb.suma * comb.sumb / comb.combn)
+               / ((comb.suma + comb.sumb) / 2.0 - comb.suma * comb.sumb / comb.combn) AS ari,
+           mi.mi,
+           mi.mi / sqrt(ha.h * hb.h) AS nmi
+    FROM tot CROSS JOIN comb CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+    ORDER BY n
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_ari_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-agreement metrics: Adjusted Rand Index and normalized
+    mutual information between the reference labels and a deterministic
+    bucket clustering of embedding dims 1+2. ARI is exact pair-counting
+    over the contingency table (every comb2 is an even integer product,
+    so the double halves are exact); MI/entropy terms go through
+    decimal so the sum order can't split the engines (ln itself is
+    libm-identical — same contract the NLL operators rely on). The
+    contingency table is classes×clusters-sized; the corpus is touched
+    by one groupBy."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = (
+        (
+            F.floor(
+                (
+                    F.element_at("embedding", 1).cast("double")
+                    + F.element_at("embedding", 2).cast("double")
+                )
+                * 25
+            ).cast("bigint")
+            % 5
+            + 5
+        )
+        % 5
+    )
+    assign = e.select(F.col("label").alias("ca"), cb.alias("cb"))
+    tot = assign.agg(F.count(F.lit(1)).alias("n"))
+    nij = assign.groupBy("ca", "cb").agg(F.count(F.lit(1)).alias("c"))
+    ai = assign.groupBy("ca").agg(F.count(F.lit(1)).alias("c"))
+    bj = assign.groupBy("cb").agg(F.count(F.lit(1)).alias("c"))
+
+    def comb2_sum(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg((F.sum(F.col("c") * (F.col("c") - 1)) / 2.0).alias(alias))
+
+    comb = (
+        comb2_sum(nij, "sumij")
+        .crossJoin(comb2_sum(ai, "suma"))
+        .crossJoin(comb2_sum(bj, "sumb"))
+        .crossJoin(tot.select((F.col("n") * (F.col("n") - 1) / 2.0).alias("combn")))
+    )
+    ai_r = ai.select(F.col("ca").alias("ca"), F.col("c").alias("a_c"))
+    bj_r = bj.select(F.col("cb").alias("cb"), F.col("c").alias("b_c"))
+    joined = nij.join(F.broadcast(ai_r), "ca").join(F.broadcast(bj_r), "cb").crossJoin(
+        F.broadcast(tot)
+    )
+    mi_term = (F.col("c").cast("double") / F.col("n")) * F.log(
+        (F.col("n").cast("double") * F.col("c")) / (F.col("a_c").cast("double") * F.col("b_c"))
+    )
+    mi = joined.agg(F.sum(mi_term.cast(DEC18)).cast("double").alias("mi"))
+
+    def entropy(df: DataFrame, alias: str) -> DataFrame:
+        p = F.col("c").cast("double") / F.col("n")
+        return df.crossJoin(F.broadcast(tot)).agg(
+            F.sum((-p * F.log(p)).cast(DEC18)).cast("double").alias(alias)
+        )
+
+    ha = entropy(ai, "ha")
+    hb = entropy(bj, "hb")
+    expected = F.col("suma") * F.col("sumb") / F.col("combn")
+    return (
+        tot.crossJoin(F.broadcast(comb))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            "n",
+            "sumij",
+            (
+                (F.col("sumij") - expected)
+                / ((F.col("suma") + F.col("sumb")) / 2.0 - expected)
+            ).alias("ari"),
+            "mi",
+            (F.col("mi") / F.sqrt(F.col("ha") * F.col("hb"))).alias("nmi"),
+        )
+        .orderBy("n")
+    )
+
+
+@query(
+    "ml_eval_ipw_ate",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS t,
+               o_totalprice AS y,
+               (0.5 + 0.5 * (CAST(o_orderkey % 100 AS DOUBLE) / 50.0 - 1.0)
+                    / (1.0 + ABS(CAST(o_orderkey % 100 AS DOUBLE) / 50.0 - 1.0))) AS p
+        FROM orders
+    )
+    SELECT CAST(SUM(t) AS BIGINT) AS n_treated,
+           CAST(COUNT(*) - SUM(t) AS BIGINT) AS n_control,
+           CAST(SUM(CAST(t * y / p AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(SUM(CAST(t / p AS DECIMAL(38,12))) AS DOUBLE) AS mu_treated,
+           CAST(SUM(CAST((1 - t) * y / (1.0 - p) AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(SUM(CAST((1 - t) / (1.0 - p) AS DECIMAL(38,12))) AS DOUBLE) AS mu_control,
+           CAST(SUM(CAST(t * y / p AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(SUM(CAST(t / p AS DECIMAL(38,12))) AS DOUBLE)
+           - CAST(SUM(CAST((1 - t) * y / (1.0 - p) AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(SUM(CAST((1 - t) / (1.0 - p) AS DECIMAL(38,12))) AS DOUBLE) AS ate
+    FROM scored
+    ORDER BY n_treated
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Hájek
+    estimator) over orders: treatment = high order priority, outcome =
+    order value, propensity from a deterministic confounder score
+    squashed into [0.25, 0.75] (bounded away from 0/1, so no weight
+    explosion). One aggregation pass: four weighted decimal sums and
+    two counts — the same single-shuffle shape at any corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    t = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    z = (F.col("o_orderkey") % 100).cast("double") / 50.0 - 1.0
+    p = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    scored = o.select(t.alias("t"), F.col("o_totalprice").alias("y"), p.alias("p"))
+    mu1 = F.sum((F.col("t") * F.col("y") / F.col("p")).cast(DEC18)).cast("double") / F.sum(
+        (F.col("t") / F.col("p")).cast(DEC18)
+    ).cast("double")
+    mu0 = F.sum(
+        ((1 - F.col("t")) * F.col("y") / (F.lit(1.0) - F.col("p"))).cast(DEC18)
+    ).cast("double") / F.sum(
+        ((1 - F.col("t")) / (F.lit(1.0) - F.col("p"))).cast(DEC18)
+    ).cast("double")
+    return scored.agg(
+        F.sum("t").alias("n_treated"),
+        (F.count(F.lit(1)) - F.sum("t")).alias("n_control"),
+        mu1.alias("mu_treated"),
+        mu0.alias("mu_control"),
+        (mu1 - mu0).alias("ate"),
+    ).orderBy("n_treated")
