@@ -3508,3 +3508,286 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority_score"), "part_key")
         .limit(20)
     )
+
+
+@query(
+    "graph_link_prediction",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    wedges AS (
+        SELECT a1.v AS x, a2.v AS y, a1.u AS z
+        FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+    ),
+    cand AS (
+        SELECT w.x AS u, w.y AS v,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM(CAST(round(1.0 / ln(CAST(dz.d AS DOUBLE)), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS adamic_adar
+        FROM wedges w JOIN deg dz ON w.z = dz.node
+        WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = w.x AND e.v = w.y)
+        GROUP BY w.x, w.y
+    )
+    SELECT c.u, c.v, c.common_neighbors,
+           round(c.adamic_adar, 9) AS adamic_adar,
+           CAST(c.common_neighbors AS DOUBLE)
+               / (du.d + dv.d - c.common_neighbors) AS jaccard,
+           CAST(du.d * dv.d AS BIGINT) AS pref_attachment
+    FROM cand c
+    JOIN deg du ON c.u = du.node
+    JOIN deg dv ON c.v = dv.node
+    ORDER BY round(c.adamic_adar, 9) DESC, c.u, c.v
+    LIMIT 20
+    """,
+    tags=("graph", "analytics"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph: for every
+    non-adjacent pair at distance 2, score with the four classic
+    heuristics — common neighbors, Adamic-Adar (Σ 1/ln deg over shared
+    neighbors, decimal-summed), Jaccard of neighborhoods, and
+    preferential attachment — and return the top 20 predicted links.
+
+    Candidates are generated by WEDGE enumeration (two hops through a
+    shared neighbor), never by pairing all non-edges: the cost is
+    Σ deg(z)² like triangle counting, not |V|², and the same hub
+    controls apply at scale (cap or salt high-degree centers). The
+    existing-edge exclusion is an anti-join against the oriented edge
+    list, and every per-pair score folds from the wedge group — one
+    shuffle on the (x, y) pair key."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    adj = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    wedges = a1.join(
+        a2, (F.col("a1.u") == F.col("a2.u")) & (F.col("a1.v") < F.col("a2.v"))
+    ).select(F.col("a1.v").alias("x"), F.col("a2.v").alias("y"), F.col("a1.u").alias("z"))
+    cand = (
+        wedges.join(
+            edges.select(F.col("u").alias("x"), F.col("v").alias("y")),
+            ["x", "y"],
+            "left_anti",
+        )
+        .join(deg.select(F.col("node").alias("z"), F.col("d").alias("dz")), "z")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(
+                F.round(1.0 / F.log(F.col("dz").cast("double")), 12).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("adamic_adar"),
+        )
+    )
+    return (
+        cand.join(deg.select(F.col("node").alias("x"), F.col("d").alias("du")), "x")
+        .join(deg.select(F.col("node").alias("y"), F.col("d").alias("dv")), "y")
+        .select(
+            F.col("x").alias("u"),
+            F.col("y").alias("v"),
+            "common_neighbors",
+            F.round("adamic_adar", 9).alias("adamic_adar"),
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+            (F.col("du") * F.col("dv")).alias("pref_attachment"),
+        )
+        .orderBy(F.col("adamic_adar").desc(), "u", "v")
+        .limit(20)
+    )
+
+
+HW_ALPHA = 0.4  # level smoothing
+HW_BETA = 0.2  # trend smoothing
+HW_GAMMA = 0.3  # seasonal smoothing
+HW_M = 7  # weekly season on daily series
+# closed forms with NO repeated derived subexpression inside the fold
+# (same DuckDB list_reduce CSE-bug avoidance as events_holt_linear_forecast):
+#   l'  = a*(y - s_i) + (1-a)*(l + b)
+#   b'  = ab*(y - s_i - l) + (1-ab)*b
+#   s_i'= g1a*(y - l - b) + (1-g1a)*s_i     where g1a = gamma*(1-alpha)
+HW_AB = HW_ALPHA * HW_BETA
+HW_OMAB = 1.0 - HW_AB
+HW_G1A = HW_GAMMA * (1.0 - HW_ALPHA)
+HW_OMG1A = 1.0 - HW_G1A
+
+
+@query(
+    "events_holt_winters_seasonal",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    series AS (
+        SELECT event_type,
+               count(*) AS n_obs,
+               list(y ORDER BY day) AS ys
+        FROM series_src GROUP BY event_type
+    ),
+    init AS (
+        SELECT event_type, n_obs, ys,
+               list_reduce(ys[1:{HW_M}], (a, x) -> a + x) / {float(HW_M)} AS m1,
+               list_reduce(ys[{HW_M + 1}:{2 * HW_M}], (a, x) -> a + x)
+                   / {float(HW_M)} AS m2
+        FROM series
+    ),
+    state0 AS (
+        SELECT event_type, n_obs, ys,
+               list_concat(
+                   [m1, (m2 - m1) / {float(HW_M)}, 1.0],
+                   list_transform(ys[1:{HW_M}], x -> x - m1)) AS s0
+        FROM init
+    ),
+    fitted AS (
+        SELECT event_type, n_obs,
+               list_reduce(
+                   list_concat(
+                       [s0],
+                       list_transform(ys[{2 * HW_M + 1}:],
+                           x -> [CAST(x AS DOUBLE), 0.0, 0.0, 0.0, 0.0,
+                                 0.0, 0.0, 0.0, 0.0, 0.0])),
+                   (acc, x) -> list_concat(
+                       [
+                           {HW_ALPHA} * (x[1] - acc[3 + CAST(acc[3] AS INT)])
+                               + {1.0 - HW_ALPHA} * (acc[1] + acc[2]),
+                           {HW_AB!r} * (x[1] - acc[3 + CAST(acc[3] AS INT)] - acc[1])
+                               + {HW_OMAB!r} * acc[2],
+                           CASE WHEN acc[3] = {float(HW_M)} THEN 1.0
+                                ELSE acc[3] + 1.0 END
+                       ],
+                       list_transform(range(1, {HW_M + 1}),
+                           k -> CASE WHEN k = CAST(acc[3] AS INT)
+                                     THEN {HW_G1A!r} * (x[1] - acc[1] - acc[2])
+                                          + {HW_OMG1A!r} * acc[3 + CAST(acc[3] AS INT)]
+                                     ELSE acc[CAST(k AS INT) + 3] END))) AS st
+        FROM state0
+    )
+    SELECT event_type, n_obs,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round(st[4], 6) AS season_1,
+           round(st[1] + st[2] + st[3 + CAST(st[3] AS INT)], 6) AS forecast_1
+    FROM fitted
+    ORDER BY event_type
+    """.replace("series_src", "daily"),
+    tags=("events", "analytics", "timeseries"),
+)
+def events_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters TRIPLE exponential smoothing (level + trend +
+    additive weekly seasonality) per event type, with the one-step
+    forecast l + b + s_next. Extends events_holt_linear_forecast with a
+    cycling seasonal state: the fold state is a flat 10-double list
+    [l, b, slot, s1..s7], the active seasonal slot is picked by
+    indexing the list with its own slot counter, and each update field
+    is a closed form that never repeats a derived value (the same
+    DuckDB list_reduce CSE-bug discipline the Holt operator pins).
+    Initialization is the textbook two-season start: l0 = mean of week
+    one, b0 = (week-two mean − week-one mean)/7, s_j = y_j − l0; the
+    fold then consumes observations 15.. in order. Scale shape is
+    identical to Holt: exact-decimal daily totals, an ordered collect
+    bounded by days-per-key, and a sequential array-local fold —
+    partial folds combine by seeding the tail with the head's state."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+    )
+    m = HW_M
+    fsum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    init = series.select(
+        "event_type",
+        "n_obs",
+        "ys",
+        (fsum(F.slice("ys", 1, m)) / float(m)).alias("m1"),
+        (fsum(F.slice("ys", m + 1, m)) / float(m)).alias("m2"),
+    )
+    state0 = init.select(
+        "event_type",
+        "n_obs",
+        "ys",
+        F.concat(
+            F.array(
+                F.col("m1"),
+                (F.col("m2") - F.col("m1")) / float(m),
+                F.lit(1.0),
+            ),
+            F.transform(F.slice("ys", 1, m), lambda x: x - F.col("m1")),
+        ).alias("s0"),
+    )
+    a_, oma = F.lit(float(HW_ALPHA)), F.lit(1.0 - HW_ALPHA)
+    ab_, omab = F.lit(float(HW_AB)), F.lit(float(HW_OMAB))
+    g1a, omg1a = F.lit(float(HW_G1A)), F.lit(float(HW_OMG1A))
+
+    def step(acc, y):
+        idx = F.element_at(acc, 3).cast("int")
+        si = F.element_at(acc, idx + 3)
+        return F.concat(
+            F.array(
+                a_ * (y - si) + oma * (F.element_at(acc, 1) + F.element_at(acc, 2)),
+                ab_ * (y - si - F.element_at(acc, 1)) + omab * F.element_at(acc, 2),
+                F.when(F.element_at(acc, 3) == float(m), F.lit(1.0)).otherwise(
+                    F.element_at(acc, 3) + 1.0
+                ),
+            ),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(m)),
+                lambda k: F.when(
+                    k == idx,
+                    g1a * (y - F.element_at(acc, 1) - F.element_at(acc, 2)) + omg1a * si,
+                ).otherwise(F.element_at(acc, (k + 3).cast("int"))),
+            ),
+        )
+
+    st = F.aggregate(
+        F.slice(
+            F.col("ys"), 2 * m + 1, F.greatest(F.size("ys") - 2 * m, F.lit(0))
+        ),
+        F.col("s0"),
+        step,
+    )
+    fitted = state0.select("event_type", "n_obs", st.alias("st"))
+    fc_idx = (F.element_at("st", 3).cast("int") + 3).cast("int")
+    return fitted.select(
+        "event_type",
+        "n_obs",
+        F.round(F.element_at("st", 1), 6).alias("level"),
+        F.round(F.element_at("st", 2), 6).alias("trend"),
+        F.round(F.element_at("st", 4), 6).alias("season_1"),
+        F.round(
+            F.element_at("st", 1) + F.element_at("st", 2) + F.element_at("st", fc_idx), 6
+        ).alias("forecast_1"),
+    ).orderBy("event_type")
