@@ -85,30 +85,32 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), benc
 # family; every name must exist in REGISTRY (asserted below).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # dedup family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_semantic", "dedup_containment", "dedup_incremental_ingest",
     "dedup_sorted_neighborhood", "dedup_clusters", "er_record_linkage",
     "corpus_curate", "split_leakage_safe",
     # similarity / embeddings
     "sim_topk_bruteforce", "sim_ivf_probe", "sim_topk_sq_int8",
-    "sim_maxsim_late_interaction", "sim_topk_gemm_blocked",
+    "sim_maxsim_late_interaction", "sim_topk_gemm_blocked", "embedding_pca_power",
     "embedding_kmeans_assign", "embedding_centroid_outliers",
     # text analysis
     "text_lang_id", "text_source_kl_divergence",
     "text_gopher_filter", "text_bigram_logprob",
     "text_clf_inference_broadcast", "text_bpe_pair_counts",
-    "text_bm25_search", "text_line_dedup",
+    "text_bm25_search",
     # sampling / curation
-    "sample_dsir", "sample_domain_mixture", "sample_epoch_shuffle",
+    "sample_dsir", "sample_domain_mixture",
     "decontaminate_bloom", "decontaminate_ngram",
+    # model evaluation
+    "ml_eval_auc_pr", "ml_eval_ranking_ndcg",
     # multimodal
     "multimodal_codec_roundtrip", "multimodal_image_phash_dedup",
     "multimodal_video_frame_stats",
     # lake maintenance
     "io_manifest_time_travel", "io_manifest_table_changes",
     "io_manifest_merge_upsert", "io_manifest_delete_where",
-    "io_manifest_vacuum",
+    "io_manifest_mor_delete",
     # streaming
     "stream_append_pipeline", "stream_tumbling_window",
     "stream_session_window", "stream_stateful_dedup",
