@@ -1461,3 +1461,221 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in outs[1:]:
         out = out.unionByName(s)
     return out.orderBy("iter", "cluster_id")
+
+
+PREF_PAIRS_PER_GROUP = 3  # top-i vs bottom-i pairs mined per source
+
+
+@query(
+    "sample_preference_pairs",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rb,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars ASC, doc_id DESC) AS rw,
+               COUNT(*) OVER (PARTITION BY source) AS n_s
+        FROM documents
+    )
+    SELECT b.source, CAST(b.rb AS BIGINT) AS pair_rank,
+           b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           b.n_chars AS chosen_score, w.n_chars AS rejected_score,
+           b.n_chars - w.n_chars AS margin
+    FROM (SELECT * FROM ranked WHERE rb <= {PREF_PAIRS_PER_GROUP} AND 2 * rb <= n_s) b
+    JOIN (SELECT * FROM ranked WHERE rw <= {PREF_PAIRS_PER_GROUP}) w
+      ON b.source = w.source AND b.rb = w.rw
+    ORDER BY b.source, pair_rank
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def sample_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining (the DPO/RLHF data-prep step): within
+    each source, pair the i-th highest-scoring document with the i-th
+    lowest as (chosen, rejected), i ≤ 3, guarded so a pair never
+    crosses the middle of a small group (2i ≤ group size — no document
+    is its own rejected twin). The score here is the deterministic
+    n_chars proxy; in production it is a reward-model column and the
+    plan is unchanged: two per-group rank windows and one rank
+    equi-join, all partitioned by the group key — no global sort, no
+    pair blow-up."""
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    wb = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ww = Window.partitionBy("source").orderBy(F.col("n_chars").asc(), F.col("doc_id").desc())
+    ranked = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_s"),
+    )
+    best = ranked.filter(
+        (F.col("rb") <= PREF_PAIRS_PER_GROUP) & (2 * F.col("rb") <= F.col("n_s"))
+    ).select("source", F.col("rb").alias("pair_rank"), F.col("doc_id").alias("chosen_id"), F.col("n_chars").alias("chosen_score"))
+    worst = ranked.filter(F.col("rw") <= PREF_PAIRS_PER_GROUP).select(
+        "source", F.col("rw").alias("pair_rank"), F.col("doc_id").alias("rejected_id"), F.col("n_chars").alias("rejected_score")
+    )
+    return (
+        best.join(worst, ["source", "pair_rank"])
+        .select(
+            "source",
+            F.col("pair_rank").cast("bigint").alias("pair_rank"),
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+        .orderBy("source", "pair_rank")
+    )
+
+
+@query(
+    "sample_logo_influence",
+    oracle="""
+    WITH tot AS (
+        SELECT CAST(SUM(n_chars) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS s_s,
+               CAST(COUNT(*) AS BIGINT) AS n_s
+        FROM documents GROUP BY source
+    )
+    SELECT p.source, p.n_s AS n_docs,
+           CAST(t.s AS DOUBLE) / t.n AS mean_global,
+           CAST(t.s - p.s_s AS DOUBLE) / (t.n - p.n_s) AS mean_without,
+           CAST(t.s - p.s_s AS DOUBLE) / (t.n - p.n_s)
+               - CAST(t.s AS DOUBLE) / t.n AS influence
+    FROM per_src p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def sample_logo_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-group-out data valuation: for every source, the corpus
+    metric (mean document length as the stand-in for a quality score)
+    recomputed WITHOUT that source, and the influence delta. This is
+    the cheap end of data-attribution — one grouped aggregation plus
+    one global aggregation, then pure arithmetic on group-sized rows;
+    ablating any of S sources costs one pass total, not S passes. All
+    sums are exact integers, so both engines derive identical doubles."""
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    tot = d.agg(F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("n"))
+    per_src = d.groupBy("source").agg(
+        F.sum("n_chars").alias("s_s"), F.count(F.lit(1)).alias("n_s")
+    )
+    mean_global = F.col("s").cast("double") / F.col("n")
+    mean_without = (F.col("s") - F.col("s_s")).cast("double") / (F.col("n") - F.col("n_s"))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            mean_global.alias("mean_global"),
+            mean_without.alias("mean_without"),
+            (mean_without - mean_global).alias("influence"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "sample_quantile_normalize",
+    oracle="""
+    WITH src_ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars ASC, doc_id ASC) - 1 AS r,
+               COUNT(*) OVER (PARTITION BY source) AS n_s
+        FROM documents
+    ),
+    gr AS (
+        SELECT n_chars AS gv,
+               ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rn
+        FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    mapped AS (
+        SELECT s.source, s.doc_id, s.n_chars,
+               CASE WHEN s.n_s = 1 THEN (t.n + 1) // 2
+                    ELSE CAST(FLOOR(CAST(s.r * (t.n - 1) AS DOUBLE)
+                                    / (s.n_s - 1)) AS BIGINT) + 1 END AS pos
+        FROM src_ranked s CROSS JOIN tot t
+    )
+    SELECT m.source, m.doc_id, m.n_chars AS original,
+           g.gv AS normalized
+    FROM mapped m JOIN gr g ON m.pos = g.rn
+    ORDER BY m.doc_id
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def sample_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources: each document's score is
+    replaced by the GLOBAL distribution's value at the same relative
+    rank, so every source's score distribution becomes comparable
+    before a single corpus-wide threshold is applied (the fix for
+    'source A's quality classifier runs hot'). Ranks are integers, the
+    rank→position mapping is exact floor arithmetic, and the lookup is
+    a position equi-join — no interpolation, no floats beyond one exact
+    division. The global rank uses the SNM machinery's range-partition
+    + broadcast-offset pattern, not a single-partition window, so the
+    global sort scales like any distributed sort."""
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    ws = Window.partitionBy("source").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    src_ranked = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.row_number().over(ws) - 1).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_s"),
+    )
+    # global rank without a single-partition window: range-repartition,
+    # rank locally, add broadcast per-partition offsets (same pattern as
+    # dedup_sorted_neighborhood)
+    par = spark.sparkContext.defaultParallelism
+    ranged = d.repartitionByRange(par, "n_chars", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wlocal = Window.partitionBy("pid").orderBy("n_chars", "doc_id")
+    local = ranged.withColumn("lrn", F.row_number().over(wlocal))
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "off")
+    )
+    glob = local.join(F.broadcast(offsets), "pid").select(
+        F.col("n_chars").alias("gv"), (F.col("lrn") + F.col("off")).alias("rn")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    pos = F.when(
+        F.col("n_s") == 1, F.floor((F.col("n") + 1) / 2).cast("bigint")
+    ).otherwise(
+        F.floor(
+            (F.col("r") * (F.col("n") - 1)).cast("double") / (F.col("n_s") - 1)
+        ).cast("bigint")
+        + 1
+    )
+    mapped = src_ranked.crossJoin(F.broadcast(tot)).select(
+        "source", "doc_id", "n_chars", pos.alias("pos")
+    )
+    return (
+        mapped.join(glob, mapped["pos"] == glob["rn"])
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").alias("original"),
+            F.col("gv").alias("normalized"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1395,3 +1395,89 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(intercept, 6).alias("log_intercept"),
     )
+
+
+SPAN_LCG_A, SPAN_LCG_B, SPAN_LCG_P = 1_103_515_245, 12_345, 2_147_483_647
+SPAN_RATIO = 0.05  # spans per token = mask_ratio 0.15 / mean span 3
+SPAN_LEN = 3
+
+
+@query(
+    "text_span_corruption",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    plan AS (
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR(CAST(n_tokens AS DOUBLE) * {SPAN_RATIO}) AS BIGINT)
+                   AS n_spans
+        FROM toks
+    ),
+    spans AS (
+        SELECT doc_id, n_tokens, n_spans,
+               unnest(range(1, n_spans + 1)) AS k
+        FROM plan
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS span_idx, n_tokens, n_spans,
+           (({SPAN_LCG_A} * (doc_id * 31 + k) + {SPAN_LCG_B}) % {SPAN_LCG_P})
+               % GREATEST(n_tokens - {SPAN_LEN - 1}, 1) + 1 AS start_tok,
+           LEAST((({SPAN_LCG_A} * (doc_id * 31 + k) + {SPAN_LCG_B}) % {SPAN_LCG_P})
+                     % GREATEST(n_tokens - {SPAN_LEN - 1}, 1) + {SPAN_LEN},
+                 n_tokens) AS end_tok
+    FROM spans
+    ORDER BY doc_id, span_idx
+    """,
+    tags=("llm", "text"),
+)
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption masking plan: for each document, pick
+    ⌊0.05·n⌋ deterministic span starts (15% mask ratio at mean span 3)
+    via an integer LCG keyed on (doc_id, span index), clipped to the
+    token range. Emits one row per span — the downstream mask applier
+    consumes (doc_id, start, end) without ever re-tokenizing. The plan
+    is one tokenize pass plus a sequence explode whose fan-out is the
+    mask budget (5% of tokens), and the LCG replays bit-for-bit on any
+    cluster layout — rerunning the masking job on 100 TB yields the
+    same spans, which is what checkpoint-resumable preprocessing
+    needs."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = d.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("n_tokens").cast("double") * SPAN_RATIO).cast("bigint").alias(
+            "n_spans"
+        ),
+    )
+    spans = plan.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.explode(
+            F.when(
+                F.col("n_spans") >= 1,
+                F.sequence(F.lit(1).cast("bigint"), F.col("n_spans")),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("k"),
+    )
+    start = (
+        (
+            F.lit(SPAN_LCG_A).cast("bigint") * (F.col("doc_id") * 31 + F.col("k"))
+            + SPAN_LCG_B
+        )
+        % SPAN_LCG_P
+    ) % F.greatest(F.col("n_tokens") - (SPAN_LEN - 1), F.lit(1)) + 1
+    return spans.select(
+        "doc_id",
+        F.col("k").alias("span_idx"),
+        "n_tokens",
+        "n_spans",
+        start.alias("start_tok"),
+        F.least(start + (SPAN_LEN - 1), F.col("n_tokens")).alias("end_tok"),
+    ).orderBy("doc_id", "span_idx")
