@@ -3791,3 +3791,188 @@ def events_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("st", 1) + F.element_at("st", 2) + F.element_at("st", fc_idx), 6
         ).alias("forecast_1"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_shapley_attribution",
+    oracle="""
+    WITH flags AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+               MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS hs,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    sets AS (
+        SELECT hc * 4 + hs * 2 + hv AS s,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conv) AS BIGINT) AS k
+        FROM flags GROUP BY hc * 4 + hs * 2 + hv
+    ),
+    v AS (
+        SELECT COALESCE(MAX(CASE WHEN s = 0 THEN CAST(k AS DOUBLE) / n END), 0.0) AS v0,
+               COALESCE(MAX(CASE WHEN s = 1 THEN CAST(k AS DOUBLE) / n END), 0.0) AS v1,
+               COALESCE(MAX(CASE WHEN s = 2 THEN CAST(k AS DOUBLE) / n END), 0.0) AS v2,
+               COALESCE(MAX(CASE WHEN s = 3 THEN CAST(k AS DOUBLE) / n END), 0.0) AS v3,
+               COALESCE(MAX(CASE WHEN s = 4 THEN CAST(k AS DOUBLE) / n END), 0.0) AS v4,
+               COALESCE(MAX(CASE WHEN s = 5 THEN CAST(k AS DOUBLE) / n END), 0.0) AS v5,
+               COALESCE(MAX(CASE WHEN s = 6 THEN CAST(k AS DOUBLE) / n END), 0.0) AS v6,
+               COALESCE(MAX(CASE WHEN s = 7 THEN CAST(k AS DOUBLE) / n END), 0.0) AS v7
+        FROM sets
+    )
+    SELECT channel, phi, v7 - v0 AS total_lift FROM (
+        SELECT 'click' AS channel,
+               (v4 - v0) / 3.0 + (v6 - v2) / 6.0 + (v5 - v1) / 6.0 + (v7 - v3) / 3.0 AS phi,
+               v0, v7
+        FROM v
+        UNION ALL
+        SELECT 'signup' AS channel,
+               (v2 - v0) / 3.0 + (v6 - v4) / 6.0 + (v3 - v1) / 6.0 + (v7 - v5) / 3.0 AS phi,
+               v0, v7
+        FROM v
+        UNION ALL
+        SELECT 'view' AS channel,
+               (v1 - v0) / 3.0 + (v5 - v4) / 6.0 + (v3 - v2) / 6.0 + (v7 - v6) / 3.0 AS phi,
+               v0, v7
+        FROM v
+    ) t
+    ORDER BY channel
+    """,
+    tags=("events", "analytics", "attribution"),
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution over three exposure
+    channels (click/signup/view → purchase): the coalition value v(S)
+    is the observed conversion rate of users whose exposure set is
+    exactly S, and each channel's phi applies the closed-form 3-player
+    Shapley weights (1/3 singleton and grand-coalition margins, 1/6
+    middle margins). Complements the Markov-removal attribution
+    operator with the game-theoretic axioms (efficiency: Σφ = v(N) −
+    v(∅), surfaced as total_lift). One user-level groupBy, one 8-row
+    coalition table, then constant-size arithmetic — exact at any
+    corpus size; the 2^k coalition table only grows with CHANNELS, and
+    the standard production answer beyond ~10 channels is sampled
+    permutations over the same per-user exposure sets."""
+    ev = load_table(spark, sf_dir, "events")
+    flag = lambda t: F.max(F.when(F.col("event_type") == t, 1).otherwise(0))  # noqa: E731
+    flags = ev.groupBy("user_id").agg(
+        flag("click").alias("hc"),
+        flag("signup").alias("hs"),
+        flag("view").alias("hv"),
+        flag("purchase").alias("conv"),
+    )
+    sets = flags.groupBy(
+        (F.col("hc") * 4 + F.col("hs") * 2 + F.col("hv")).alias("s")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
+    v = sets.agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(F.col("s") == i, F.col("k").cast("double") / F.col("n"))
+                ),
+                F.lit(0.0),
+            ).alias(f"v{i}")
+            for i in range(8)
+        ]
+    )
+    c = {i: F.col(f"v{i}") for i in range(8)}
+    phis = {
+        "click": (c[4] - c[0]) / 3.0 + (c[6] - c[2]) / 6.0 + (c[5] - c[1]) / 6.0 + (c[7] - c[3]) / 3.0,
+        "signup": (c[2] - c[0]) / 3.0 + (c[6] - c[4]) / 6.0 + (c[3] - c[1]) / 6.0 + (c[7] - c[5]) / 3.0,
+        "view": (c[1] - c[0]) / 3.0 + (c[5] - c[4]) / 6.0 + (c[3] - c[2]) / 6.0 + (c[7] - c[6]) / 3.0,
+    }
+    out = None
+    for name, phi in phis.items():
+        row = v.select(
+            F.lit(name).alias("channel"),
+            phi.alias("phi"),
+            (c[7] - c[0]).alias("total_lift"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("channel")
+
+
+QINI_LCG_A, QINI_LCG_B, QINI_LCG_P = 1_103_515_245, 12_345, 2_147_483_647
+QINI_GRID = 40
+
+
+@query(
+    "events_qini_uplift",
+    oracle=f"""
+    WITH users AS (
+        SELECT user_id,
+               user_id % 2 AS t,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+               (({QINI_LCG_A} * user_id + {QINI_LCG_B}) % {QINI_LCG_P})
+                   % {QINI_GRID} AS s
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT s,
+               CAST(SUM(t) AS BIGINT) AS nt,
+               CAST(COUNT(*) - SUM(t) AS BIGINT) AS nc,
+               CAST(SUM(t * conv) AS BIGINT) AS kt,
+               CAST(SUM((1 - t) * conv) AS BIGINT) AS kc
+        FROM users GROUP BY s
+    ),
+    c AS (
+        SELECT s,
+               CAST(SUM(nt) OVER (ORDER BY s DESC) AS BIGINT) AS cum_nt,
+               CAST(SUM(nc) OVER (ORDER BY s DESC) AS BIGINT) AS cum_nc,
+               CAST(SUM(kt) OVER (ORDER BY s DESC) AS BIGINT) AS cum_kt,
+               CAST(SUM(kc) OVER (ORDER BY s DESC) AS BIGINT) AS cum_kc
+        FROM g
+    )
+    SELECT s, cum_nt, cum_nc, cum_kt, cum_kc,
+           CASE WHEN cum_nc = 0 THEN CAST(cum_kt AS DOUBLE)
+                ELSE CAST(cum_kt AS DOUBLE)
+                     - CAST(cum_kc AS DOUBLE) * cum_nt / cum_nc END AS qini
+    FROM c
+    ORDER BY s DESC
+    """,
+    tags=("events", "analytics", "ml-eval"),
+)
+def events_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve: users split into deterministic treatment /
+    control halves, ranked by a deterministic uplift score, and at each
+    score threshold the incremental conversions attributable to
+    treatment are cum_kt − cum_kc·(cum_nt/cum_nc) — the uplift
+    modeler's gain chart, where the final row is the overall
+    incremental effect and the curve's shape ranks the scoring model.
+    Same scale lever as the ML-eval threshold metrics: one user-level
+    groupBy, one score-grid groupBy, cumulative windows over the
+    bounded threshold table."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    ).select(
+        (F.col("user_id") % 2).alias("t"),
+        "conv",
+        (
+            (F.lit(QINI_LCG_A).cast("bigint") * F.col("user_id") + QINI_LCG_B)
+            % QINI_LCG_P
+            % QINI_GRID
+        ).alias("s"),
+    )
+    g = users.groupBy("s").agg(
+        F.sum("t").alias("nt"),
+        (F.count(F.lit(1)) - F.sum("t")).alias("nc"),
+        F.sum(F.col("t") * F.col("conv")).alias("kt"),
+        F.sum((1 - F.col("t")) * F.col("conv")).alias("kc"),
+    )
+    w = Window.orderBy(F.col("s").desc())
+    c = g.select(
+        "s",
+        F.sum("nt").over(w).alias("cum_nt"),
+        F.sum("nc").over(w).alias("cum_nc"),
+        F.sum("kt").over(w).alias("cum_kt"),
+        F.sum("kc").over(w).alias("cum_kc"),
+    )
+    qini = F.when(F.col("cum_nc") == 0, F.col("cum_kt").cast("double")).otherwise(
+        F.col("cum_kt").cast("double")
+        - F.col("cum_kc").cast("double") * F.col("cum_nt") / F.col("cum_nc")
+    )
+    return c.select("s", "cum_nt", "cum_nc", "cum_kt", "cum_kc", qini.alias("qini")).orderBy(
+        F.col("s").desc()
+    )

@@ -828,3 +828,133 @@ def ml_eval_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu0.alias("mu_control"),
         (mu1 - mu0).alias("ate"),
     ).orderBy("n_treated")
+
+
+@query(
+    "ml_eval_woe_iv",
+    oracle="""
+    WITH lab AS (
+        SELECT o_orderpriority AS bucket,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+        FROM orders
+    ),
+    per_b AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(bad) AS BIGINT) AS bads,
+               CAST(COUNT(*) - SUM(bad) AS BIGINT) AS goods
+        FROM lab GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(goods) AS BIGINT) AS g_tot, CAST(SUM(bads) AS BIGINT) AS b_tot
+        FROM per_b
+    )
+    SELECT p.bucket, p.n, p.goods, p.bads,
+           ln((CAST(p.goods AS DOUBLE) / t.g_tot)
+              / (CAST(p.bads AS DOUBLE) / t.b_tot)) AS woe,
+           (CAST(p.goods AS DOUBLE) / t.g_tot - CAST(p.bads AS DOUBLE) / t.b_tot)
+               * ln((CAST(p.goods AS DOUBLE) / t.g_tot)
+                    / (CAST(p.bads AS DOUBLE) / t.b_tot)) AS iv_term
+    FROM per_b p CROSS JOIN tot t
+    ORDER BY p.bucket
+    """,
+    tags=("llm", "ml-eval", "features"),
+)
+def ml_eval_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value per feature
+    bucket (the credit-scoring feature screen): WOE = ln of the
+    good-rate/bad-rate ratio per bucket, IV term = (good frac − bad
+    frac)·WOE. One grouped count pass; the WOE table is
+    bucket-cardinality-sized and becomes a broadcast map in the
+    downstream encode join. ln is libm-identical across engines (the
+    NLL contract); every other factor is exact counts."""
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_orderpriority").alias("bucket"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    per_b = lab.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bad").alias("bads"),
+        (F.count(F.lit(1)) - F.sum("bad")).alias("goods"),
+    )
+    tot = per_b.agg(F.sum("goods").alias("g_tot"), F.sum("bads").alias("b_tot"))
+    gf = F.col("goods").cast("double") / F.col("g_tot")
+    bf = F.col("bads").cast("double") / F.col("b_tot")
+    woe = F.log(gf / bf)
+    return (
+        per_b.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n",
+            "goods",
+            "bads",
+            woe.alias("woe"),
+            ((gf - bf) * woe).alias("iv_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "ml_eval_target_encode_oof",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS cat, o_orderkey % 5 AS fold, o_totalprice AS y
+        FROM orders
+    ),
+    per_cf AS (
+        SELECT cat, fold,
+               CAST(COUNT(*) AS BIGINT) AS n_cf,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS s_cf
+        FROM base GROUP BY cat, fold
+    ),
+    per_c AS (
+        SELECT cat,
+               CAST(SUM(n_cf) AS BIGINT) AS n_c,
+               CAST(SUM(CAST(s_cf AS DECIMAL(28,6))) AS DOUBLE) AS s_c
+        FROM per_cf GROUP BY cat
+    )
+    SELECT f.cat, f.fold, f.n_cf,
+           (c.s_c - f.s_cf) / (c.n_c - f.n_cf) AS oof_mean
+    FROM per_cf f JOIN per_c c ON f.cat = c.cat
+    ORDER BY f.cat, f.fold
+    """,
+    tags=("llm", "ml-eval", "features"),
+)
+def ml_eval_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding: each (category, fold) cell gets
+    the target mean computed from the OTHER folds only — the K-fold
+    out-of-fold scheme that stops a category's own rows from leaking
+    their labels into their feature. Two grouped aggregations (cell
+    sums, then category totals) and a category-keyed join; no per-fold
+    re-scan — ablating fold k is arithmetic on the cell sums, so K
+    costs nothing extra at 100 TB. Decimal cell sums keep both engines
+    bit-identical; the cross-fold subtraction happens on the exact
+    cast doubles in the same order."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.col("o_totalprice").alias("y"),
+    )
+    per_cf = base.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).alias("n_cf"),
+        F.sum(F.col("y").cast("decimal(28,6)")).cast("double").alias("s_cf"),
+    )
+    per_c = per_cf.groupBy("cat").agg(
+        F.sum("n_cf").alias("n_c"),
+        F.sum(F.col("s_cf").cast("decimal(28,6)")).cast("double").alias("s_c"),
+    )
+    return (
+        per_cf.join(F.broadcast(per_c), "cat")
+        .select(
+            "cat",
+            "fold",
+            "n_cf",
+            ((F.col("s_c") - F.col("s_cf")) / (F.col("n_c") - F.col("n_cf"))).alias(
+                "oof_mean"
+            ),
+        )
+        .orderBy("cat", "fold")
+    )
