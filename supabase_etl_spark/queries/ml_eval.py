@@ -958,3 +958,206 @@ def ml_eval_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cat", "fold")
     )
+
+
+TREE_BIN_WIDTH = 10000.0  # o_totalprice histogram bin width
+TREE_MAX_BIN = 60
+
+
+@query(
+    "ml_tree_histogram_split",
+    oracle=f"""
+    WITH binned AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / {TREE_BIN_WIDTH}) AS BIGINT),
+                     {TREE_MAX_BIN}) AS b,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    hist AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b, CAST(SUM(y) AS BIGINT) AS s_b
+        FROM binned GROUP BY b
+    ),
+    cum AS (
+        SELECT b, n_b, s_b,
+               CAST(SUM(n_b) OVER (ORDER BY b) AS BIGINT) AS cn,
+               CAST(SUM(s_b) OVER (ORDER BY b) AS BIGINT) AS cs,
+               CAST(SUM(n_b) OVER () AS BIGINT) AS n_tot,
+               CAST(SUM(s_b) OVER () AS BIGINT) AS s_tot
+        FROM hist
+    ),
+    gains AS (
+        SELECT b, cn, cs, n_tot, s_tot,
+               CAST(cs * cs AS DOUBLE) / cn
+                   + CAST((s_tot - cs) * (s_tot - cs) AS DOUBLE) / (n_tot - cn)
+                   - CAST(s_tot * s_tot AS DOUBLE) / n_tot AS gain
+        FROM cum WHERE cn < n_tot
+    )
+    SELECT b AS split_bin, cn AS n_left, cs AS pos_left, gain,
+           CASE WHEN gain = MAX(gain) OVER () THEN TRUE ELSE FALSE END AS is_best
+    FROM gains
+    ORDER BY split_bin
+    """,
+    tags=("llm", "ml-eval", "tree"),
+)
+def ml_tree_histogram_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-tree split finding — the core kernel of
+    every distributed GBDT (XGBoost approx / LightGBM): quantize the
+    feature into ≤61 bins, aggregate per-bin count and label sum in ONE
+    corpus pass, then score every candidate split with the variance
+    -reduction gain cs²/n_L + (S−cs)²/n_R − S²/N on the cumulative
+    histogram. The split search costs bins, not rows — the exact reason
+    histogram GBDT scales: a 100 TB feature column reduces to a 61-row
+    histogram per (feature, node), map-side-combined. Gains are exact
+    rationals of integer counts, so the argmax flag is deterministic
+    across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / TREE_BIN_WIDTH).cast("bigint"),
+            F.lit(TREE_MAX_BIN).cast("bigint"),
+        ).alias("b"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    hist = binned.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_b"), F.sum("y").alias("s_b")
+    )
+    wasc = Window.orderBy("b")
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "b",
+        F.sum("n_b").over(wasc).alias("cn"),
+        F.sum("s_b").over(wasc).alias("cs"),
+        F.sum("n_b").over(wall).alias("n_tot"),
+        F.sum("s_b").over(wall).alias("s_tot"),
+    )
+    gain = (
+        (F.col("cs") * F.col("cs")).cast("double") / F.col("cn")
+        + ((F.col("s_tot") - F.col("cs")) * (F.col("s_tot") - F.col("cs"))).cast("double")
+        / (F.col("n_tot") - F.col("cn"))
+        - (F.col("s_tot") * F.col("s_tot")).cast("double") / F.col("n_tot")
+    )
+    gains = cum.filter(F.col("cn") < F.col("n_tot")).select(
+        F.col("b").alias("split_bin"),
+        F.col("cn").alias("n_left"),
+        F.col("cs").alias("pos_left"),
+        gain.alias("gain"),
+    )
+    return gains.select(
+        "split_bin",
+        "n_left",
+        "pos_left",
+        "gain",
+        (F.col("gain") == F.max("gain").over(Window.partitionBy())).alias("is_best"),
+    ).orderBy("split_bin")
+
+
+RIDGE_LAMBDA = 10
+
+
+@query(
+    "ml_ridge_regression_normal",
+    oracle=f"""
+    WITH feat AS (
+        SELECT o_orderkey % 7 AS x1,
+               CASE o_orderpriority
+                    WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                    WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                    ELSE 5 END AS x2,
+               o_totalprice AS y
+        FROM orders
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS sx1,
+               CAST(SUM(x2) AS BIGINT) AS sx2,
+               CAST(SUM(x1 * x1) AS BIGINT) AS sx11,
+               CAST(SUM(x1 * x2) AS BIGINT) AS sx12,
+               CAST(SUM(x2 * x2) AS BIGINT) AS sx22,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x1 * y AS DECIMAL(28,6))) AS DOUBLE) AS sx1y,
+               CAST(SUM(CAST(x2 * y AS DECIMAL(28,6))) AS DOUBLE) AS sx2y
+        FROM feat
+    ),
+    m AS (
+        SELECT CAST(n + {RIDGE_LAMBDA} AS DOUBLE) AS a,
+               CAST(sx1 AS DOUBLE) AS b, CAST(sx2 AS DOUBLE) AS c,
+               CAST(sx11 + {RIDGE_LAMBDA} AS DOUBLE) AS d,
+               CAST(sx12 AS DOUBLE) AS e,
+               CAST(sx22 + {RIDGE_LAMBDA} AS DOUBLE) AS f,
+               sy, sx1y, sx2y, n
+        FROM s
+    ),
+    sol AS (
+        SELECT n,
+               a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d) AS det,
+               sy * (d * f - e * e) - b * (sx1y * f - sx2y * e)
+                   + c * (sx1y * e - sx2y * d) AS det0,
+               a * (sx1y * f - sx2y * e) - sy * (b * f - c * e)
+                   + c * (b * sx2y - c * sx1y) AS det1,
+               a * (d * sx2y - e * sx1y) - b * (b * sx2y - c * sx1y)
+                   + sy * (b * e - c * d) AS det2
+        FROM m
+    )
+    SELECT n, det0 / det AS beta0, det1 / det AS beta1, det2 / det AS beta2
+    FROM sol
+    ORDER BY n
+    """,
+    tags=("llm", "ml-eval", "linalg"),
+)
+def ml_ridge_regression_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ridge regression by NORMAL EQUATIONS with an exact
+    Cramer solve: two integer features + intercept, (XᵀX + λI)β = Xᵀy.
+    The single corpus pass produces nine sufficient statistics (six
+    integer Gram entries, three decimal-exact moment sums); the 3×3
+    solve is closed-form cofactor arithmetic on those scalars — the
+    textbook "big n, tiny p" trainer shape where 100 TB of rows reduce
+    to p² map-side-combined partial sums and the driver-sized solve is
+    free. Integer features keep XᵀX exact, the λ ridge keeps the system
+    well-conditioned, and both engines evaluate the identical cofactor
+    expressions, so β matches bitwise."""
+    o = load_table(spark, sf_dir, "orders")
+    x2 = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 3)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 4)
+        .otherwise(5)
+    )
+    feat = o.select(
+        (F.col("o_orderkey") % 7).alias("x1"), x2.alias("x2"), F.col("o_totalprice").alias("y")
+    )
+    s = feat.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum(F.col("y").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x1") * F.col("y")).cast("decimal(28,6)")).cast("double").alias("sx1y"),
+        F.sum((F.col("x2") * F.col("y")).cast("decimal(28,6)")).cast("double").alias("sx2y"),
+    )
+    m = s.select(
+        (F.col("n") + RIDGE_LAMBDA).cast("double").alias("a"),
+        F.col("sx1").cast("double").alias("b"),
+        F.col("sx2").cast("double").alias("c"),
+        (F.col("sx11") + RIDGE_LAMBDA).cast("double").alias("d"),
+        F.col("sx12").cast("double").alias("e"),
+        (F.col("sx22") + RIDGE_LAMBDA).cast("double").alias("f"),
+        "sy",
+        "sx1y",
+        "sx2y",
+        "n",
+    )
+    a, b, c, d, e, f = (F.col(k) for k in "abcdef")
+    sy, sx1y, sx2y = F.col("sy"), F.col("sx1y"), F.col("sx2y")
+    det = a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d)
+    det0 = sy * (d * f - e * e) - b * (sx1y * f - sx2y * e) + c * (sx1y * e - sx2y * d)
+    det1 = a * (sx1y * f - sx2y * e) - sy * (b * f - c * e) + c * (b * sx2y - c * sx1y)
+    det2 = a * (d * sx2y - e * sx1y) - b * (b * sx2y - c * sx1y) + sy * (b * e - c * d)
+    return m.select(
+        "n",
+        (det0 / det).alias("beta0"),
+        (det1 / det).alias("beta1"),
+        (det2 / det).alias("beta2"),
+    ).orderBy("n")
