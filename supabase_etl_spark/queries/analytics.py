@@ -3976,3 +3976,193 @@ def events_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("s", "cum_nt", "cum_nc", "cum_kt", "cum_kc", qini.alias("qini")).orderBy(
         F.col("s").desc()
     )
+
+
+@query(
+    "orders_bradley_terry",
+    oracle="""
+    WITH matches AS (
+        SELECT CASE WHEN o1.o_totalprice > o2.o_totalprice
+                    OR (o1.o_totalprice = o2.o_totalprice
+                        AND o1.o_orderkey < o2.o_orderkey)
+                    THEN o1.o_orderpriority ELSE o2.o_orderpriority END AS winner,
+               LEAST(o1.o_orderpriority, o2.o_orderpriority) AS li,
+               GREATEST(o1.o_orderpriority, o2.o_orderpriority) AS gi
+        FROM orders o1 JOIN orders o2
+          ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
+         AND o1.o_orderpriority <> o2.o_orderpriority
+    ),
+    wins AS (SELECT winner AS item, CAST(COUNT(*) AS BIGINT) AS w FROM matches GROUP BY winner),
+    pair_games AS (
+        SELECT li, gi, CAST(COUNT(*) AS BIGINT) AS g FROM matches GROUP BY li, gi
+    ),
+    games AS (
+        SELECT item, CAST(SUM(g) AS BIGINT) AS g_tot FROM (
+            SELECT li AS item, g FROM pair_games
+            UNION ALL
+            SELECT gi AS item, g FROM pair_games
+        ) t GROUP BY item
+    ),
+    w1 AS (
+        SELECT g.item, COALESCE(w.w, 0) AS wins, g.g_tot,
+               2.0 * COALESCE(w.w, 0) / g.g_tot AS r1
+        FROM games g LEFT JOIN wins w ON g.item = w.item
+    ),
+    denom2 AS (
+        SELECT item,
+               CAST(SUM(CAST(round(term, 12) AS DECIMAL(38,12))) AS DOUBLE) AS dn
+        FROM (
+            SELECT p.li AS item, CAST(p.g AS DOUBLE) / (a.r1 + b.r1) AS term
+            FROM pair_games p
+            JOIN w1 a ON p.li = a.item JOIN w1 b ON p.gi = b.item
+            UNION ALL
+            SELECT p.gi AS item, CAST(p.g AS DOUBLE) / (a.r1 + b.r1) AS term
+            FROM pair_games p
+            JOIN w1 a ON p.li = a.item JOIN w1 b ON p.gi = b.item
+        ) t GROUP BY item
+    ),
+    w2 AS (
+        SELECT w1.item, w1.wins, w1.g_tot, w1.wins / denom2.dn AS r2
+        FROM w1 JOIN denom2 ON w1.item = denom2.item
+    ),
+    norm AS (
+        SELECT CAST(SUM(CAST(round(r2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s FROM w2
+    )
+    SELECT w2.item, w2.wins, w2.g_tot AS games, w2.r2 / norm.s AS rating
+    FROM w2 CROSS JOIN norm
+    ORDER BY w2.item
+    """,
+    tags=("analytics", "ranking"),
+)
+def orders_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry pairwise-preference ratings (the model under Elo,
+    RLHF reward modeling, and LLM arena leaderboards), fit with two
+    minorization-maximization iterations over priorities: matches are
+    same-customer order pairs, winner = higher order value. The corpus
+    work is one blocked self-join (customer-keyed, bounded per-customer
+    fan-out) reduced immediately to item-pair win/game counts; both MM
+    iterations then run on the items²-sized table, so fitting cost is
+    independent of match volume. Per-item sums of rational terms go
+    through round-12 decimals to stay order-independent."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    win1 = (F.col("o1.o_totalprice") > F.col("o2.o_totalprice")) | (
+        (F.col("o1.o_totalprice") == F.col("o2.o_totalprice"))
+        & (F.col("o1.o_orderkey") < F.col("o2.o_orderkey"))
+    )
+    matches = o1.join(
+        o2,
+        (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+        & (F.col("o1.o_orderkey") < F.col("o2.o_orderkey"))
+        & (F.col("o1.o_orderpriority") != F.col("o2.o_orderpriority")),
+    ).select(
+        F.when(win1, F.col("o1.o_orderpriority"))
+        .otherwise(F.col("o2.o_orderpriority"))
+        .alias("winner"),
+        F.least("o1.o_orderpriority", "o2.o_orderpriority").alias("li"),
+        F.greatest("o1.o_orderpriority", "o2.o_orderpriority").alias("gi"),
+    )
+    wins = matches.groupBy(F.col("winner").alias("item")).agg(F.count(F.lit(1)).alias("w"))
+    pair_games = matches.groupBy("li", "gi").agg(F.count(F.lit(1)).alias("g"))
+    games = (
+        pair_games.select(F.col("li").alias("item"), "g")
+        .unionByName(pair_games.select(F.col("gi").alias("item"), "g"))
+        .groupBy("item")
+        .agg(F.sum("g").alias("g_tot"))
+    )
+    w1 = games.join(wins, "item", "left").select(
+        "item",
+        F.coalesce("w", F.lit(0)).alias("wins"),
+        "g_tot",
+        (2.0 * F.coalesce("w", F.lit(0)) / F.col("g_tot")).alias("r1"),
+    )
+    pg = (
+        pair_games.join(w1.select(F.col("item").alias("li"), F.col("r1").alias("ra")), "li")
+        .join(w1.select(F.col("item").alias("gi"), F.col("r1").alias("rb")), "gi")
+        .select("li", "gi", (F.col("g").cast("double") / (F.col("ra") + F.col("rb"))).alias("term"))
+    )
+    denom2 = (
+        pg.select(F.col("li").alias("item"), "term")
+        .unionByName(pg.select(F.col("gi").alias("item"), "term"))
+        .groupBy("item")
+        .agg(F.sum(F.round("term", 12).cast("decimal(38,12)")).cast("double").alias("dn"))
+    )
+    w2 = w1.join(denom2, "item").select(
+        "item", "wins", "g_tot", (F.col("wins") / F.col("dn")).alias("r2")
+    )
+    norm = w2.agg(
+        F.sum(F.round("r2", 12).cast("decimal(38,12)")).cast("double").alias("s")
+    )
+    return (
+        w2.crossJoin(F.broadcast(norm))
+        .select("item", "wins", F.col("g_tot").alias("games"), (F.col("r2") / F.col("s")).alias("rating"))
+        .orderBy("item")
+    )
+
+
+@query(
+    "events_markov_next_accuracy",
+    oracle="""
+    WITH ordered_ev AS (
+        SELECT user_id, event_type AS cur, ts, event_id,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    trans AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ordered_ev WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    pred AS (
+        SELECT cur, nxt AS predicted_next, c AS n_correct,
+               ROW_NUMBER() OVER (PARTITION BY cur ORDER BY c DESC, nxt ASC) AS rn
+        FROM trans
+    ),
+    tot AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS n_total FROM trans GROUP BY cur)
+    SELECT p.cur, p.predicted_next, t.n_total, p.n_correct,
+           CAST(p.n_correct AS DOUBLE) / t.n_total AS accuracy
+    FROM pred p JOIN tot t ON p.cur = t.cur
+    WHERE p.rn = 1
+    ORDER BY p.cur
+    """,
+    tags=("events", "analytics", "ml-eval"),
+)
+def events_markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction accuracy of the first-order Markov
+    baseline: learn argmax transitions from per-user ordered event
+    streams, report each state's most-likely successor and the
+    fraction of observed transitions it explains — the sanity floor
+    any sequence model must beat. Per-user lead window, one grouped
+    count, a rank window on the states²-sized transition table; pure
+    integer ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered_ev = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    )
+    trans = (
+        ordered_ev.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = Window.partitionBy("cur").orderBy(F.col("c").desc(), F.col("nxt").asc())
+    pred = trans.select(
+        "cur",
+        F.col("nxt").alias("predicted_next"),
+        F.col("c").alias("n_correct"),
+        F.row_number().over(wp).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    tot = trans.groupBy("cur").agg(F.sum("c").alias("n_total"))
+    return (
+        pred.join(tot, "cur")
+        .select(
+            "cur",
+            "predicted_next",
+            "n_total",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n_total")).alias("accuracy"),
+        )
+        .orderBy("cur")
+    )

@@ -1161,3 +1161,181 @@ def ml_ridge_regression_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (det1 / det).alias("beta1"),
         (det2 / det).alias("beta2"),
     ).orderBy("n")
+
+
+CONF_ALPHA = 0.9  # split-conformal target coverage
+
+
+@query(
+    "ml_eval_conformal_interval",
+    oracle=f"""
+    WITH folds AS (
+        SELECT o_orderpriority AS cat, o_totalprice AS y, o_orderkey,
+               o_orderkey % 3 AS fold
+        FROM orders
+    ),
+    train_mean AS (
+        SELECT cat,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS yhat
+        FROM folds WHERE fold = 0 GROUP BY cat
+    ),
+    calib AS (
+        SELECT f.cat, ABS(f.y - t.yhat) AS r, f.o_orderkey
+        FROM folds f JOIN train_mean t ON f.cat = t.cat
+        WHERE f.fold = 1
+    ),
+    calib_ranked AS (
+        SELECT cat, r,
+               ROW_NUMBER() OVER (PARTITION BY cat ORDER BY r ASC, o_orderkey ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY cat) AS n_cal
+        FROM calib
+    ),
+    q AS (
+        SELECT cat, n_cal, r AS q_alpha
+        FROM calib_ranked
+        WHERE rn = LEAST(CAST(CEIL({CONF_ALPHA} * (n_cal + 1)) AS BIGINT), n_cal)
+    ),
+    test AS (
+        SELECT f.cat, ABS(f.y - t.yhat) AS r
+        FROM folds f JOIN train_mean t ON f.cat = t.cat
+        WHERE f.fold = 2
+    )
+    SELECT q.cat, CAST(q.n_cal AS BIGINT) AS n_cal, q.q_alpha,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN test.r <= q.q_alpha THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS coverage
+    FROM test JOIN q ON test.cat = q.cat
+    GROUP BY q.cat, q.n_cal, q.q_alpha
+    ORDER BY q.cat
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per category: fit on fold
+    0 (category means), take the ⌈0.9·(n+1)⌉-th smallest absolute
+    residual on calibration fold 1 as the interval half-width, and
+    report empirical coverage on held-out fold 2 — the
+    distribution-free uncertainty wrapper every deployed regressor
+    should ship with. The quantile is an EXACT order statistic (rank
+    window partitioned by category, so it scales with per-category
+    volume), folds are deterministic key arithmetic, and coverage is a
+    count ratio — no floats beyond identically-computed residuals."""
+    o = load_table(spark, sf_dir, "orders")
+    folds = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.col("o_totalprice").alias("y"),
+        "o_orderkey",
+        (F.col("o_orderkey") % 3).alias("fold"),
+    )
+    train_mean = (
+        folds.filter(F.col("fold") == 0)
+        .groupBy("cat")
+        .agg(
+            (F.sum(F.col("y").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias(
+                "yhat"
+            )
+        )
+    )
+    calib = (
+        folds.filter(F.col("fold") == 1)
+        .join(F.broadcast(train_mean), "cat")
+        .select("cat", F.abs(F.col("y") - F.col("yhat")).alias("r"), "o_orderkey")
+    )
+    wr = Window.partitionBy("cat").orderBy(F.col("r").asc(), F.col("o_orderkey").asc())
+    ranked = calib.select(
+        "cat",
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cat")).alias("n_cal"),
+    )
+    q = ranked.filter(
+        F.col("rn")
+        == F.least(
+            F.ceil(CONF_ALPHA * (F.col("n_cal") + 1)).cast("bigint"), F.col("n_cal")
+        )
+    ).select("cat", F.col("n_cal").cast("bigint").alias("n_cal"), F.col("r").alias("q_alpha"))
+    test = (
+        folds.filter(F.col("fold") == 2)
+        .join(F.broadcast(train_mean), "cat")
+        .select("cat", F.abs(F.col("y") - F.col("yhat")).alias("r"))
+    )
+    return (
+        test.join(F.broadcast(q), "cat")
+        .groupBy("cat", "n_cal", "q_alpha")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            (
+                F.sum(F.when(F.col("r") <= F.col("q_alpha"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("coverage"),
+        )
+        .orderBy("cat")
+    )
+
+
+@query(
+    "events_pmi_cooccurrence",
+    oracle="""
+    WITH per_user AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events),
+    marg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM per_user GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM per_user a JOIN per_user b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.ta, p.tb, p.c_ab, ma.c AS c_a, mb.c AS c_b,
+           ln((CAST(p.c_ab AS DOUBLE) * t.n) / (CAST(ma.c AS DOUBLE) * mb.c)) AS pmi
+    FROM pairs p
+    JOIN marg ma ON p.ta = ma.event_type
+    JOIN marg mb ON p.tb = mb.event_type
+    CROSS JOIN n_users t
+    ORDER BY p.ta, p.tb
+    """,
+    tags=("events", "analytics", "ml-eval"),
+)
+def events_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in
+    a user's history — the association statistic under word embeddings
+    (PMI matrix factorization) and basket analysis alike. Distinct
+    (user, type) pairs, a user-keyed self-join for co-occurrence
+    counts, marginals, then pmi = ln(c_ab·N / (c_a·c_b)). The
+    type-pair table is vocabulary²-sized; the self-join fans out per
+    user by their distinct-type count, the same bounded-basket shape
+    as the market-basket operator."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(F.countDistinct("user_id").alias("n"))
+    marg = per_user.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = per_user.alias("a"), per_user.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    return (
+        pairs.join(F.broadcast(marg.select(F.col("event_type").alias("ta"), F.col("c").alias("c_a"))), "ta")
+        .join(F.broadcast(marg.select(F.col("event_type").alias("tb"), F.col("c").alias("c_b"))), "tb")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "ta",
+            "tb",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.log(
+                (F.col("c_ab").cast("double") * F.col("n"))
+                / (F.col("c_a").cast("double") * F.col("c_b"))
+            ).alias("pmi"),
+        )
+        .orderBy("ta", "tb")
+    )
