@@ -4166,3 +4166,101 @@ def events_markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur")
     )
+
+
+BACKTEST_ORIGINS = 5  # rolling-origin holdouts: cut the last k points
+
+
+@query(
+    "events_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    series AS (
+        SELECT event_type, count(*) AS n_obs, list(y ORDER BY day) AS ys
+        FROM daily GROUP BY event_type
+    ),
+    origins AS (
+        SELECT event_type, n_obs, ys, CAST(k AS BIGINT) AS origin_cut
+        FROM series, UNNEST(range(1, {BACKTEST_ORIGINS + 1})) AS t(k)
+        WHERE n_obs > k + 1
+    ),
+    fitted AS (
+        SELECT event_type, n_obs, origin_cut,
+               list_reduce(
+                   list_transform(ys[1:len(ys) - CAST(origin_cut AS INT)],
+                                  x -> [CAST(x AS DOUBLE), CAST(0 AS DOUBLE)]),
+                   (acc, x) -> [
+                       {HOLT_ALPHA} * x[1] + (1 - {HOLT_ALPHA}) * (acc[1] + acc[2]),
+                       {HOLT_AB!r} * (x[1] - acc[1]) + {HOLT_OMB!r} * acc[2]
+                   ]) AS st,
+               ys[len(ys) - CAST(origin_cut AS INT) + 1] AS actual
+        FROM origins
+    )
+    SELECT event_type, origin_cut,
+           round(st[1] + st[2], 6) AS forecast_1,
+           round(actual, 6) AS actual,
+           round(ABS(st[1] + st[2] - actual), 6) AS abs_err
+    FROM fitted
+    ORDER BY event_type, origin_cut
+    """,
+    tags=("events", "analytics", "timeseries", "ml-eval"),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtesting: for each of the last five
+    origins, refit the Holt level+trend fold on the truncated prefix
+    and score the one-step forecast against the held-out actual — the
+    evaluation protocol (a.k.a. time-series cross-validation) that
+    justifies a forecasting model before anyone trusts its intervals.
+    The origin fan-out is a 5× explode of the per-key series array;
+    each refit is the same sequential array-local fold as the Holt
+    operator on a shorter prefix, so backtesting K origins costs K
+    folds over bounded arrays — no re-shuffle of the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+    )
+    origins = series.select(
+        "event_type",
+        "n_obs",
+        "ys",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.lit(BACKTEST_ORIGINS).cast("bigint"))).alias(
+            "origin_cut"
+        ),
+    ).filter(F.col("n_obs") > F.col("origin_cut") + 1)
+    a = F.lit(float(HOLT_ALPHA))
+    ab, omb = F.lit(float(HOLT_AB)), F.lit(float(HOLT_OMB))
+    train_len = (F.size("ys") - F.col("origin_cut")).cast("int")
+    st = F.aggregate(
+        F.slice(F.col("ys"), 2, F.greatest(train_len - 1, F.lit(0))),
+        F.array(F.element_at("ys", 1), F.lit(0.0)),
+        lambda acc, x: F.array(
+            a * x + (F.lit(1.0) - a) * (F.element_at(acc, 1) + F.element_at(acc, 2)),
+            ab * (x - F.element_at(acc, 1)) + omb * F.element_at(acc, 2),
+        ),
+    )
+    fitted = origins.select(
+        "event_type",
+        "origin_cut",
+        st.alias("st"),
+        F.element_at("ys", (F.size("ys") - F.col("origin_cut") + 1).cast("int")).alias(
+            "actual"
+        ),
+    )
+    fc = F.element_at("st", 1) + F.element_at("st", 2)
+    return fitted.select(
+        "event_type",
+        "origin_cut",
+        F.round(fc, 6).alias("forecast_1"),
+        F.round("actual", 6).alias("actual"),
+        F.round(F.abs(fc - F.col("actual")), 6).alias("abs_err"),
+    ).orderBy("event_type", "origin_cut")

@@ -1481,3 +1481,74 @@ def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("start_tok"),
         F.least(start + (SPAN_LEN - 1), F.col("n_tokens")).alias("end_tok"),
     ).orderBy("doc_id", "span_idx")
+
+
+ENTROPY_LOW = 2.0  # nats; below = repetitive/degenerate text
+ENTROPY_HIGH = 4.5  # nats; above = likely binary/gibberish
+
+
+@query(
+    "text_char_entropy_filter",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch
+        FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+    ),
+    freq AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM chars GROUP BY doc_id, ch
+    ),
+    probs AS (
+        SELECT doc_id, c,
+               CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id) AS p
+        FROM freq
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+               CAST(SUM(CAST(round(-p * ln(p), 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   AS entropy
+        FROM probs GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_counted, n_distinct_chars, entropy,
+           entropy < {ENTROPY_LOW} AS flag_low_entropy,
+           entropy > {ENTROPY_HIGH} AS flag_high_entropy
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality filter: Shannon entropy (nats) of each
+    document's character distribution, with low/high flags — the cheap
+    detector for degenerate repetition (entropy collapses) and
+    binary-smuggled-as-text (entropy saturates) that text-corpus
+    pipelines run alongside the Gopher rules. One position explode +
+    one (doc, char) groupBy; the per-doc term count is bounded by the
+    alphabet, and −Σp·ln p goes through round-12 decimals so the
+    parallel sum matches the oracle bitwise."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = d.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i")
+    ).select("doc_id", F.expr("substring(text, CAST(i AS INT), 1)").alias("ch"))
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    wdoc = W.Window.partitionBy("doc_id")
+    probs = freq.select(
+        "doc_id", "c", (F.col("c").cast("double") / F.sum("c").over(wdoc)).alias("p")
+    )
+    per_doc = probs.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.round(-F.col("p") * F.log("p"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("entropy"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars_counted",
+        "n_distinct_chars",
+        "entropy",
+        (F.col("entropy") < ENTROPY_LOW).alias("flag_low_entropy"),
+        (F.col("entropy") > ENTROPY_HIGH).alias("flag_high_entropy"),
+    ).orderBy("doc_id")
