@@ -1236,3 +1236,205 @@ def agg_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("spearman_rho"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_welch_ttest",
+    oracle="""
+    WITH lab AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hi'
+                    ELSE 'lo' END AS grp,
+               o_totalprice AS y
+        FROM orders
+    ),
+    s AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM lab GROUP BY grp
+    ),
+    m AS (
+        SELECT grp, n, sy / n AS mean,
+               (syy - sy * sy / n) / (n - 1) AS var
+        FROM s
+    ),
+    w AS (
+        SELECT a.n AS n_hi, b.n AS n_lo,
+               a.mean - b.mean AS mean_diff,
+               a.var / a.n + b.var / b.n AS se2,
+               a.var / a.n AS va, b.var / b.n AS vb,
+               a.n AS na, b.n AS nb
+        FROM (SELECT * FROM m WHERE grp = 'hi') a
+        CROSS JOIN (SELECT * FROM m WHERE grp = 'lo') b
+    )
+    SELECT n_hi, n_lo, mean_diff,
+           mean_diff / sqrt(se2) AS t_stat,
+           se2 * se2 / (va * va / (na - 1) + vb * vb / (nb - 1)) AS dof,
+           ABS(mean_diff / sqrt(se2)) > 1.96 AS significant_05
+    FROM w
+    ORDER BY n_hi
+    """,
+    tags=("agg", "stats"),
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (high- vs low-priority
+    order values) with the Satterthwaite degrees of freedom — the
+    default mean-comparison test when variances differ, and the missing
+    sibling of the two-proportion z-test. Sufficient statistics only:
+    count, decimal-exact Σy and Σy², one pass; the t and df formulas
+    are identical rational arithmetic on six scalars in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi")
+        .otherwise("lo")
+        .alias("grp"),
+        F.col("o_totalprice").alias("y"),
+    )
+    s = lab.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)")).cast("double").alias("syy"),
+    )
+    m = s.select(
+        "grp",
+        "n",
+        (F.col("sy") / F.col("n")).alias("mean"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = m.filter(F.col("grp") == "hi").select(
+        F.col("n").alias("na"), F.col("mean").alias("ma"), F.col("var").alias("va_full")
+    )
+    b = m.filter(F.col("grp") == "lo").select(
+        F.col("n").alias("nb"), F.col("mean").alias("mb"), F.col("var").alias("vb_full")
+    )
+    w = a.crossJoin(b).select(
+        F.col("na").alias("n_hi"),
+        F.col("nb").alias("n_lo"),
+        (F.col("ma") - F.col("mb")).alias("mean_diff"),
+        (F.col("va_full") / F.col("na") + F.col("vb_full") / F.col("nb")).alias("se2"),
+        (F.col("va_full") / F.col("na")).alias("va"),
+        (F.col("vb_full") / F.col("nb")).alias("vb"),
+        "na",
+        "nb",
+    )
+    t = F.col("mean_diff") / F.sqrt(F.col("se2"))
+    return w.select(
+        "n_hi",
+        "n_lo",
+        "mean_diff",
+        t.alias("t_stat"),
+        (
+            F.col("se2") * F.col("se2")
+            / (
+                F.col("va") * F.col("va") / (F.col("na") - 1)
+                + F.col("vb") * F.col("vb") / (F.col("nb") - 1)
+            )
+        ).alias("dof"),
+        (F.abs(t) > 1.96).alias("significant_05"),
+    ).orderBy("n_hi")
+
+
+MWU_BIN = 1000.0  # Mann-Whitney score quantization (midranks handle ties)
+
+
+@query(
+    "agg_mann_whitney_u",
+    oracle=f"""
+    WITH lab AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS g,
+               CAST(FLOOR(o_totalprice / {MWU_BIN}) AS BIGINT) AS s
+        FROM orders
+    ),
+    per_s AS (
+        SELECT s,
+               CAST(SUM(g) AS BIGINT) AS n1s,
+               CAST(COUNT(*) - SUM(g) AS BIGINT) AS n2s,
+               CAST(COUNT(*) AS BIGINT) AS ns
+        FROM lab GROUP BY s
+    ),
+    cum AS (
+        SELECT s, n1s, n2s, ns,
+               CAST(SUM(ns) OVER (ORDER BY s) - ns AS BIGINT) AS below,
+               CAST(SUM(n1s) OVER () AS BIGINT) AS n1,
+               CAST(SUM(n2s) OVER () AS BIGINT) AS n2,
+               CAST(SUM(ns) OVER () AS BIGINT) AS n
+        FROM per_s
+    ),
+    agg AS (
+        SELECT MAX(n1) AS n1, MAX(n2) AS n2, MAX(n) AS n,
+               CAST(SUM(CAST(n1s AS DOUBLE)
+                        * (below + (ns + 1) / 2.0)) AS DOUBLE) AS r1,
+               CAST(SUM(ns * ns * ns - ns) AS DOUBLE) AS tie3
+        FROM cum
+    )
+    SELECT n1, n2,
+           r1 - n1 * (n1 + 1) / 2.0 AS u1,
+           (r1 - n1 * (n1 + 1) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)
+               / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                      * ((n + 1) - tie3 / (CAST(n AS DOUBLE) * (n - 1)))) AS z,
+           ABS((r1 - n1 * (n1 + 1) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)
+               / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                      * ((n + 1) - tie3 / (CAST(n AS DOUBLE) * (n - 1))))) > 1.96
+               AS significant_05
+    FROM agg
+    ORDER BY n1
+    """,
+    tags=("agg", "stats"),
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) with midrank tie handling and
+    the tie-corrected normal approximation — the nonparametric
+    complement of the Welch t-test, computed on a QUANTIZED score grid:
+    per-bucket group counts give midranks below + (n_s+1)/2 without any
+    per-row ranking, so the rank sums are exact half-integer arithmetic
+    over a bounded threshold table (the same grouped-threshold lever as
+    the AUC operator, to which U is equivalent up to scaling). One
+    corpus groupBy; everything downstream is bucket-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    lab = o.select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).alias("g"),
+        F.floor(F.col("o_totalprice") / MWU_BIN).cast("bigint").alias("s"),
+    )
+    per_s = lab.groupBy("s").agg(
+        F.sum("g").alias("n1s"),
+        (F.count(F.lit(1)) - F.sum("g")).alias("n2s"),
+        F.count(F.lit(1)).alias("ns"),
+    )
+    wasc = Window.orderBy("s")
+    wall = Window.partitionBy()
+    cum = per_s.select(
+        "s",
+        "n1s",
+        "n2s",
+        "ns",
+        (F.sum("ns").over(wasc) - F.col("ns")).alias("below"),
+        F.sum("n1s").over(wall).alias("n1"),
+        F.sum("n2s").over(wall).alias("n2"),
+        F.sum("ns").over(wall).alias("n"),
+    )
+    agg = cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.col("n1s").cast("double") * (F.col("below") + (F.col("ns") + 1) / 2.0)
+        ).cast("double").alias("r1"),
+        F.sum(F.col("ns") * F.col("ns") * F.col("ns") - F.col("ns")).cast("double").alias("tie3"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    z = (u1 - F.col("n1").cast("double") * F.col("n2") / 2.0) / F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / 12.0
+        * ((F.col("n") + 1) - F.col("tie3") / (F.col("n").cast("double") * (F.col("n") - 1)))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant_05"),
+    ).orderBy("n1")
