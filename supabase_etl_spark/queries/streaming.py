@@ -1277,3 +1277,67 @@ def stream_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataF
     return sink.filter(F.col("session_start") < F.lit("2029-01-01")).orderBy(
         "user_id", "session_start"
     )
+
+
+@query(
+    "stream_sliding_topk_trending",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - k * (INTERVAL '30 minutes') AS window_start,
+               event_type, value
+        FROM events
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS k)
+    ),
+    counts AS (
+        SELECT window_start,
+               window_start + INTERVAL '1 hour' AS window_end,
+               event_type,
+               count(*) AS n,
+               {sql_dsum("value", "total_value")}
+        FROM expanded
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                     ORDER BY n DESC, event_type ASC) AS rnk
+        FROM counts
+    )
+    SELECT window_start, window_end, event_type, n, total_value,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY window_start, rnk
+    """,
+    tags=("streaming",),
+)
+def stream_sliding_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending leaderboard: top-3 event types per 1-hour window
+    sliding every 30 minutes. The STREAMING half maintains the
+    per-(window, type) counts — the only state that must be
+    incrementally correct, bounded by watermark × type cardinality;
+    the rank-and-truncate runs on the emitted snapshot, which is how
+    production trending systems split the work (stateful counting in
+    the stream, cheap top-k at serve time — a global streaming sort
+    would be an unbounded-state anti-pattern). Each event lands in 2
+    overlapping windows; the oracle replays the expansion + rank in
+    batch SQL."""
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = s.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value")
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+    snap = run_available_now(out, "complete")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        snap.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("window_start", "rnk")
+    )
