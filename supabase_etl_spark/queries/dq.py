@@ -12,7 +12,7 @@ pass over each table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from supabase_etl_spark.io.readers import load_table
@@ -1089,4 +1089,133 @@ def dq_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             9,
         ).alias("cramers_v"),
+    )
+
+
+FRESH_SLA_HOURS = 24.0
+
+
+@query(
+    "dq_freshness_sla",
+    oracle=f"""
+    WITH per_feed AS (
+        SELECT event_type AS feed,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MAX(ts) AS last_ts,
+               CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
+        FROM events GROUP BY event_type
+    ),
+    ref AS (SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) AS now_us FROM events)
+    SELECT p.feed, p.n_rows, p.last_ts,
+           CAST(r.now_us - p.last_us AS DOUBLE) / 3600000000.0 AS lag_hours,
+           CAST(r.now_us - p.last_us AS DOUBLE) / 3600000000.0
+               > {FRESH_SLA_HOURS} AS sla_breached
+    FROM per_feed p CROSS JOIN ref r
+    ORDER BY p.feed
+    """,
+    tags=("dq",),
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness SLA monitor: per feed (event type standing in for
+    an ingestion source), the latest event time, its lag behind the
+    corpus watermark in hours, and a 24-hour SLA breach flag — the
+    first page of any pipeline-health dashboard. One grouped max over
+    exact microsecond epochs; lag arithmetic is identical integer →
+    double division in both engines, so the breach flags can't
+    disagree."""
+    ev = load_table(spark, sf_dir, "events")
+    per_feed = ev.groupBy(F.col("event_type").alias("feed")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("ts").alias("last_ts"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    )
+    ref = ev.agg(F.max(F.unix_micros("ts")).alias("now_us"))
+    lag = (F.col("now_us") - F.col("last_us")).cast("double") / 3600000000.0
+    return (
+        per_feed.crossJoin(F.broadcast(ref))
+        .select(
+            "feed",
+            "n_rows",
+            "last_ts",
+            lag.alias("lag_hours"),
+            (lag > FRESH_SLA_HOURS).alias("sla_breached"),
+        )
+        .orderBy("feed")
+    )
+
+
+BOT_MIN_EVENTS = 50
+BOT_CV_MAX = 0.35  # coefficient of variation of inter-arrival gaps
+
+
+@query(
+    "dq_bot_regularity",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT)
+                   - CAST(LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS BIGINT)
+                   AS gap_us
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+               CAST(SUM(CAST(gap_us AS DECIMAL(28,0))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(CAST(gap_us AS DOUBLE) * gap_us AS DECIMAL(38,0)))
+                    AS DOUBLE) AS ss
+        FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+    ),
+    stats AS (
+        SELECT user_id, n_gaps,
+               s / n_gaps AS mean_gap_us,
+               sqrt((ss - s * s / n_gaps) / (n_gaps - 1)) / (s / n_gaps) AS cv
+        FROM per_user WHERE n_gaps >= {BOT_MIN_EVENTS}
+    )
+    SELECT user_id, n_gaps,
+           round(mean_gap_us / 1000000.0, 6) AS mean_gap_s,
+           round(cv, 9) AS gap_cv,
+           cv < {BOT_CV_MAX} AS flag_bot_like
+    FROM stats
+    ORDER BY user_id
+    """,
+    tags=("dq", "sessions"),
+)
+def dq_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-regularity screen: users whose inter-event gaps are too
+    uniform (coefficient of variation below 0.35 over ≥50 gaps) —
+    metronomic traffic is the classic scripted-client signature, while
+    humans are bursty. Per-user lag window over exact microsecond
+    epochs, then single-pass moment sums (exact decimal Σgap, Σgap²);
+    the CV and flag are identical rational arithmetic in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum(F.col("gap_us").cast("decimal(28,0)")).cast("double").alias("s"),
+        F.sum((F.col("gap_us").cast("double") * F.col("gap_us")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    mean = F.col("s") / F.col("n_gaps")
+    cv = (
+        F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n_gaps")) / (F.col("n_gaps") - 1))
+        / mean
+    )
+    return (
+        per_user.filter(F.col("n_gaps") >= BOT_MIN_EVENTS)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round(mean / 1000000.0, 6).alias("mean_gap_s"),
+            F.round(cv, 9).alias("gap_cv"),
+            (cv < BOT_CV_MAX).alias("flag_bot_like"),
+        )
+        .orderBy("user_id")
     )
