@@ -4264,3 +4264,151 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("actual", 6).alias("actual"),
         F.round(F.abs(fc - F.col("actual")), 6).alias("abs_err"),
     ).orderBy("event_type", "origin_cut")
+
+
+@query(
+    "events_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    cohorted AS (
+        SELECT e.user_id,
+               CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+               CAST(FLOOR(CAST(date_diff('day', CAST(f.first_ts AS DATE),
+                                         CAST(e.ts AS DATE)) AS DOUBLE) / 7)
+                    AS BIGINT) AS age_weeks,
+               e.value
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+    ),
+    cells AS (
+        SELECT cohort_week, age_weeks,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               {sql_dsum("value", "revenue")}
+        FROM cohorted GROUP BY cohort_week, age_weeks
+    ),
+    sizes AS (
+        SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+               CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM firsts GROUP BY 1
+    )
+    SELECT c.cohort_week, c.age_weeks, s.cohort_users, c.n_purchases, c.revenue,
+           CAST(SUM(CAST(c.revenue AS DECIMAL(28,6)))
+                    OVER (PARTITION BY c.cohort_week ORDER BY c.age_weeks)
+                AS DOUBLE) / s.cohort_users AS cum_ltv_per_user
+    FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+    ORDER BY c.cohort_week, c.age_weeks
+    """,
+    tags=("events", "analytics"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen week,
+    purchase revenue accumulated by cohort age in weeks, normalized
+    per cohort user — the table behind every LTV/payback chart, and the
+    revenue-side sibling of the retention-matrix operator. One
+    first-event groupBy, one cohort-cell aggregation, and a cumulative
+    window over the months-sized cell table; revenue goes through exact
+    decimals at both the cell and cumulative levels."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorted = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            F.date_trunc("week", "first_ts").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("first_ts").cast("date"))
+                .cast("double")
+                / 7
+            ).cast("bigint").alias("age_weeks"),
+            "value",
+        )
+    )
+    from supabase_etl_spark.queries._helpers import dsum
+    cells = cohorted.groupBy("cohort_week", "age_weeks").agg(
+        F.count(F.lit(1)).alias("n_purchases"), dsum(F.col("value"), "revenue")
+    )
+    sizes = firsts.groupBy(
+        F.date_trunc("week", "first_ts").cast("date").alias("cohort_week")
+    ).agg(F.count(F.lit(1)).alias("cohort_users"))
+    wcum = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    return (
+        cells.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            "n_purchases",
+            "revenue",
+            (
+                F.sum(F.col("revenue").cast("decimal(28,6)")).over(wcum).cast("double")
+                / F.col("cohort_users")
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+@query(
+    "events_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS pnl
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    curve AS (
+        SELECT event_type, day,
+               CAST(SUM(CAST(pnl AS DECIMAL(28,6)))
+                        OVER (PARTITION BY event_type ORDER BY day)
+                    AS DOUBLE) AS equity
+        FROM daily
+    ),
+    dd AS (
+        SELECT event_type, day, equity,
+               MAX(equity) OVER (PARTITION BY event_type ORDER BY day) AS peak
+        FROM curve
+    )
+    SELECT event_type,
+           MAX(peak - equity) AS max_drawdown,
+           MAX(CASE WHEN peak > 0 THEN (peak - equity) / peak ELSE 0.0 END)
+               AS max_drawdown_frac,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM dd
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "analytics", "timeseries"),
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series: running-peak-minus-equity over the
+    cumulative daily curve, absolute and as a fraction of the peak —
+    the risk statistic every backtest and SLO burn-down chart reports.
+    Two per-key cumulative windows (equity, running peak) over exact
+    decimal daily sums, then a grouped max; drawdown differences are
+    doubles both engines derive from identical exact prefixes."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("pnl"))
+    wcum = Window.partitionBy("event_type").orderBy("day")
+    curve = daily.select(
+        "event_type",
+        "day",
+        F.sum(F.col("pnl").cast("decimal(28,6)")).over(wcum).cast("double").alias("equity"),
+    )
+    dd = curve.withColumn("peak", F.max("equity").over(wcum))
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            F.max(F.col("peak") - F.col("equity")).alias("max_drawdown"),
+            F.max(
+                F.when(
+                    F.col("peak") > 0, (F.col("peak") - F.col("equity")) / F.col("peak")
+                ).otherwise(F.lit(0.0))
+            ).alias("max_drawdown_frac"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
