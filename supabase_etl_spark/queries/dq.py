@@ -1219,3 +1219,125 @@ def dq_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+DP_EPSILON = 1.0  # per-query privacy budget; Laplace scale = sens/eps
+DP_LCG_A, DP_LCG_B, DP_LCG_P = 1_103_515_245, 12_345, 2_147_483_647
+
+
+@query(
+    "dq_dp_noisy_counts",
+    oracle=f"""
+    WITH counts AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n,
+               ROW_NUMBER() OVER (ORDER BY event_type) AS grp_idx
+        FROM events GROUP BY event_type
+    ),
+    noised AS (
+        SELECT event_type, true_n,
+               (CAST(({DP_LCG_A} * grp_idx + {DP_LCG_B}) % {DP_LCG_P} AS DOUBLE)
+                    / {DP_LCG_P}) - 0.5 AS u
+        FROM counts
+    )
+    SELECT event_type, true_n,
+           round(true_n + (CASE WHEN u >= 0 THEN -1.0 ELSE 1.0 END)
+                 * (1.0 / {DP_EPSILON}) * ln(1.0 - 2.0 * ABS(u)), 6)
+               AS noisy_n,
+           {DP_EPSILON} AS epsilon
+    FROM noised
+    ORDER BY event_type
+    """,
+    tags=("dq", "privacy"),
+)
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of grouped counts via the Laplace
+    mechanism (sensitivity 1, ε = 1): noise is inverse-CDF sampled,
+    n + sign(u)·(1/ε)·ln(1−2|u|), from a deterministic LCG uniform per
+    group — the derandomized-for-replay shape of every DP aggregation
+    pipeline (production swaps the LCG for a seeded CSPRNG; the plan,
+    sensitivity accounting, and budget column are identical). One
+    grouped count; noise is per-group scalar arithmetic, and the
+    release NEVER exposes per-row data — the true_n column here exists
+    only because the oracle audit needs it."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_n"))
+    w = Window.orderBy("event_type")
+    noised = counts.withColumn("grp_idx", F.row_number().over(w)).select(
+        "event_type",
+        "true_n",
+        (
+            (
+                (F.lit(DP_LCG_A).cast("bigint") * F.col("grp_idx") + DP_LCG_B)
+                % DP_LCG_P
+            ).cast("double")
+            / DP_LCG_P
+            - 0.5
+        ).alias("u"),
+    )
+    noise = (
+        F.when(F.col("u") >= 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * (1.0 / DP_EPSILON)
+        * F.log(1.0 - 2.0 * F.abs(F.col("u")))
+    )
+    return noised.select(
+        "event_type",
+        "true_n",
+        F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
+        F.lit(float(DP_EPSILON)).alias("epsilon"),
+    ).orderBy("event_type")
+
+
+LDIV_L = 2  # minimum distinct sensitive values per quasi-identifier class
+
+
+@query(
+    "dq_l_diversity",
+    oracle=f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS grp_n,
+               CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'delinquent'
+                                        ELSE 'solvent' END) AS BIGINT) AS l_distinct
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(MIN(l_distinct) AS BIGINT) AS l_diversity,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN l_distinct < {LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_homogeneous_classes,
+           CAST(SUM(CASE WHEN l_distinct < {LDIV_L} THEN grp_n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk
+    FROM classes
+    ORDER BY l_diversity
+    """,
+    tags=("dq", "privacy"),
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the homogeneity-attack complement of
+    k-anonymity (same quasi-identifier classes as dq_k_anonymity): a
+    class where every member shares the sensitive attribute (solvency
+    here) leaks it even when k is satisfied. Counts classes whose
+    sensitive-value diversity falls below l=2 and the rows they expose.
+    One groupBy with a conditional distinct-count; class table is
+    QI-cardinality-sized."""
+    c = load_table(spark, sf_dir, "customer")
+    sens = F.when(F.col("c_acctbal") < 0, "delinquent").otherwise("solvent")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("grp_n"),
+        F.countDistinct(sens).alias("l_distinct"),
+    )
+    return classes.agg(
+        F.min("l_distinct").alias("l_diversity"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("l_distinct") < LDIV_L, 1).otherwise(0)).alias(
+            "n_homogeneous_classes"
+        ),
+        F.sum(F.when(F.col("l_distinct") < LDIV_L, F.col("grp_n")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+    ).orderBy("l_diversity")
