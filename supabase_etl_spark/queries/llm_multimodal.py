@@ -819,3 +819,99 @@ def multimodal_video_frame_phash_dedup(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("keeper")
     )
+
+
+PATCH = 4  # ViT patch edge (px); fixture dims are 8-16 so 2-4 per axis
+
+
+@query(
+    "multimodal_vit_patchify",
+    oracle=f"""
+    WITH {_IMG_DOCS_CTE},
+    px AS (
+        SELECT d.uri, d.w, d.h, x.i AS xi, y.j AS yj,
+               (d.seed + 3 * x.i + 5 * y.j + 7 * c.k) % 256 AS v
+        FROM docs d,
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS x(i),
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS y(j),
+             range(0, 3) AS c(k)
+        WHERE x.i < d.w AND y.j < d.h
+    )
+    SELECT uri,
+           CAST(yj // {PATCH} AS INT) AS patch_row,
+           CAST(xi // {PATCH} AS INT) AS patch_col,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS patch_sum,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS patch_mean
+    FROM px
+    GROUP BY uri, yj // {PATCH}, xi // {PATCH}
+    ORDER BY uri, patch_row, patch_col
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_vit_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction over REAL decoded images: each
+    PNG/BMP/PPM payload is parsed by the engine's raster codecs inside
+    Arrow-batched mapInPandas, the pixel grid is split into 4×4
+    patches (edge patches partial, as ViT preprocessors pad or drop
+    them), and per-patch count/sum/mean are emitted — the exact
+    aggregation a patch-embedding pipeline feeds into the projection
+    layer, minus the matmul. The oracle replays the pixel SYNTHESIS
+    with integer-division patch grouping, so a decode defect (row
+    order, unfilter, channel swap) or a patch-boundary off-by-one is a
+    hash mismatch. Scale shape: decode + patchify is per-row CPU work
+    in Arrow batches; the output fan-out is (w/P)·(h/P) rows per image
+    — the same embarrassingly-parallel layout a 100 TB media lake
+    needs, with no shuffle until the grouped emit."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from supabase_etl_spark.operators import imagecodec as IC
+
+    imgs = _images(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uris, prs, pcs, ns, sums = [], [], [], [], []
+            for uri, content in zip(pdf["uri"], pdf["content"]):
+                w, h, ch, px = IC.decode_image(bytes(content))
+                a = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, ch)
+                )
+                for pr in range((h + PATCH - 1) // PATCH):
+                    for pc in range((w + PATCH - 1) // PATCH):
+                        blk = a[
+                            pr * PATCH : (pr + 1) * PATCH,
+                            pc * PATCH : (pc + 1) * PATCH,
+                            :,
+                        ]
+                        uris.append(uri)
+                        prs.append(pr)
+                        pcs.append(pc)
+                        ns.append(int(blk.size))
+                        sums.append(int(blk.sum()))
+            yield pd.DataFrame(
+                {
+                    "uri": uris,
+                    "patch_row": pd.Series(prs, dtype="int32"),
+                    "patch_col": pd.Series(pcs, dtype="int32"),
+                    "n_values": pd.Series(ns, dtype="int64"),
+                    "patch_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    patches = imgs.mapInPandas(
+        run,
+        schema="uri string, patch_row int, patch_col int, n_values long, patch_sum long",
+    )
+    return patches.select(
+        "uri",
+        "patch_row",
+        "patch_col",
+        "n_values",
+        "patch_sum",
+        (F.col("patch_sum").cast("double") / F.col("n_values")).alias("patch_mean"),
+    ).orderBy("uri", "patch_row", "patch_col")
