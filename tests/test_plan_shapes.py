@@ -596,3 +596,68 @@ def test_dbscan_candidates_are_grid_equi_join(spark):
     plan = _plan(q.fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ml_eval_threshold_metrics_group_before_windows(spark):
+    """ml_eval_auc_pr: the corpus is reduced by a hash aggregate to the
+    (model, score) threshold table BEFORE any window runs — windows
+    must consume the aggregated stream, and no corpus-sized
+    nested-loop join may appear."""
+    q = load_all()["ml_eval_auc_pr"]
+    plan = _plan(q.fn(spark, SF))
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") < len(plan)  # present
+    assert "CartesianProduct" not in plan
+    # windows are partitioned by model (the threshold table key)
+    assert "partitionBy: [model" in plan or "[model#" in plan
+
+
+def test_pca_power_iteration_broadcasts_scalars(spark):
+    """embedding_pca_power: the per-iteration norm scalars and the
+    row-count must broadcast onto the matrix table; the corpus appears
+    only under the one Gram-pass aggregate (no corpus self-join)."""
+    q = load_all()["embedding_pca_power"]
+    plan = _plan(q.fn(spark, SF))
+    assert plan.count("BroadcastExchange") >= 3  # n_tot + 3 norms (>=3 visible)
+    assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_excludes_edges_with_anti_join(spark):
+    """graph_link_prediction: existing edges must be removed by a
+    LeftAnti hash join on the (x, y) pair key — never a filter over a
+    cartesian pairing."""
+    q = load_all()["graph_link_prediction"]
+    plan = _plan(q.fn(spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ranking_ndcg_broadcasts_query_side(spark):
+    """ml_eval_ranking_ndcg: the query batch must broadcast against the
+    corpus scan (same shape as sim_topk_bruteforce) — the corpus is
+    never shuffled for the retrieval stage."""
+    q = load_all()["ml_eval_ranking_ndcg"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_quantile_normalize_global_rank_is_range_partitioned(spark):
+    """sample_quantile_normalize: the global rank must come from a
+    range repartition with pid-partitioned local windows (the SNM
+    pattern), not a single-partition corpus window."""
+    q = load_all()["sample_quantile_normalize"]
+    plan = _plan(q.fn(spark, SF))
+    assert "rangepartitioning(n_chars" in plan.lower()
+    assert "partitionBy: [pid" in plan or "[pid#" in plan
+
+
+def test_mor_delete_read_is_scoped_anti_join(spark, tmp_path):
+    """manifest read() under a MOR delete applies a LeftAnti join scoped
+    by file, and the delete-key side is small enough to broadcast."""
+    from supabase_etl_spark.io import manifest_store as MS
+
+    t = str(tmp_path / "tbl")
+    MS.commit(spark.range(1000).selectExpr("id", "id AS v"), t, "overwrite")
+    MS.delete_where_mor(spark, t, "id < 50", ["id"])
+    plan = _plan(MS.read(spark, t))
+    assert "LeftAnti" in plan
