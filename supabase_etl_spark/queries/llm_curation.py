@@ -1679,3 +1679,79 @@ def sample_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_url_canonicalize_dedup",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               concat(
+                   'https://',
+                   CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,
+                   '.example.com/articles/', CAST(doc_id % 40 AS VARCHAR),
+                   CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+                   '?id=', CAST(doc_id % 40 AS VARCHAR),
+                   CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END
+               ) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               lower(regexp_replace(regexp_replace(url,
+                   '&utm_[a-z_]+=[^&]*', ''), '/+[?]', '?')) AS canonical_url
+        FROM raw
+    ),
+    grouped AS (
+        SELECT canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_variants,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+        FROM canon GROUP BY canonical_url
+    )
+    SELECT canonical_url, n_variants, canonical_doc,
+           n_variants > 1 AS had_duplicates
+    FROM grouped
+    ORDER BY canonical_url
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def text_url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the FIRST dedup stage of every
+    web-crawl pipeline (cheaper than any content hash): strip tracking
+    parameters (utm_*), collapse trailing slashes before the query,
+    lowercase, then group by canonical form keeping the smallest doc id
+    as survivor. The fixture synthesizes dirty variants (case-flipped
+    hosts, trailing slashes, utm suffixes) deterministically from
+    doc_id; both engines apply the identical regex pipeline (patterns
+    avoid engine-specific escaping via the [?] class). One map + one
+    groupBy — the canonical 100 TB first-pass shape."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com/articles/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&utm_source=feed")).otherwise(F.lit("")),
+    )
+    canon = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(url, "&utm_[a-z_]+=[^&]*", ""), "/+[?]", "?"
+        )
+    )
+    grouped = (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+    return grouped.select(
+        "canonical_url",
+        "n_variants",
+        "canonical_doc",
+        (F.col("n_variants") > 1).alias("had_duplicates"),
+    ).orderBy("canonical_url")

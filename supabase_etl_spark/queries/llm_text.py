@@ -1552,3 +1552,76 @@ def text_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("entropy") < ENTROPY_LOW).alias("flag_low_entropy"),
         (F.col("entropy") > ENTROPY_HIGH).alias("flag_high_entropy"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               concat(ws[CAST(i AS INT)], ' ', ws[CAST(i AS INT) + 1], ' ',
+                      ws[CAST(i AS INT) + 2]) AS g
+        FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 3
+    ),
+    doc_grams AS (SELECT DISTINCT doc_id, g FROM grams),
+    df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM doc_grams GROUP BY g)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS novelty,
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) < 0.5 AS flag_boilerplate
+    FROM doc_grams d JOIN df f ON d.g = f.g
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "text", "quality", "dedup"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty score: the fraction of a document's distinct
+    word trigrams that appear in NO other document — low novelty means
+    boilerplate/template text (the soft sibling of exact line dedup,
+    and the memorization-risk screen run before adding a source to a
+    training mix). Shingle explode, corpus document-frequency groupBy,
+    gram-keyed join back — every stage is the inverted-index shape the
+    Jaccard dedup family already uses, so the same shingle-skew
+    controls apply at 100 TB."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("ws", i.cast("int")),
+                    F.element_at("ws", (i + 1).cast("int")),
+                    F.element_at("ws", (i + 2).cast("int")),
+                ),
+            )
+        ).alias("g"),
+    )
+    doc_grams = grams.distinct()
+    df_t = doc_grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        doc_grams.join(df_t, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+            ((novel.cast("double") / F.count(F.lit(1))) < 0.5).alias("flag_boilerplate"),
+        )
+        .orderBy("doc_id")
+    )
