@@ -1524,3 +1524,262 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("i").alias("dim"), F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue"))
         .orderBy("dim")
     )
+
+
+@query(
+    "sim_ivf_recall_curve",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS cent_e,
+               sqrt({sql_dot("embedding", "embedding")}) AS cent_n
+        FROM embeddings WHERE vec_id % {CENTROID_STEP} = 0
+    ),
+    vecs AS (
+        SELECT vec_id, embedding,
+               sqrt({sql_dot("embedding", "embedding")}) AS nrm
+        FROM embeddings
+    ),
+    assign_scored AS (
+        SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {sql_dot("v.embedding", "c.cent_e")} / (v.nrm * c.cent_n) DESC,
+                            c.cent_id ASC
+               ) AS crn
+        FROM vecs v CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, cent_id FROM assign_scored WHERE crn = 1
+    ),
+    sweeps AS (SELECT CAST(np AS BIGINT) AS nprobe FROM UNNEST(range(1, 4)) AS t(np)),
+    probes AS (
+        SELECT s.nprobe, a.vec_id AS qid, a.embedding AS qe, a.nrm AS qn, a.cent_id
+        FROM assign_scored a CROSS JOIN sweeps s
+        WHERE a.vec_id < {N_QUERIES} AND a.crn <= s.nprobe
+    ),
+    scored AS (
+        SELECT p.nprobe, p.qid, a.vec_id AS cid,
+               {sql_dot("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cos_sim
+        FROM probes p JOIN assigned a USING (cent_id)
+        WHERE a.vec_id >= {N_QUERIES}
+    ),
+    approx AS (
+        SELECT nprobe, qid, cid FROM (
+            SELECT nprobe, qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY nprobe, qid
+                                      ORDER BY cos_sim DESC, cid ASC) AS rn
+            FROM scored
+        ) WHERE rn <= {IVF_TOP_K}
+    ),
+    exact AS (
+        SELECT qid, cid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {sql_dot("q.embedding", "c.embedding")}
+                                / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rn
+            FROM vecs q CROSS JOIN vecs c
+            WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        ) WHERE rn <= {IVF_TOP_K}
+    )
+    SELECT s.nprobe,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS total_hits,
+           CAST(COALESCE(h.hits, 0) AS DOUBLE) / ({N_QUERIES} * {IVF_TOP_K})
+               AS mean_recall
+    FROM sweeps s
+    LEFT JOIN (
+        SELECT a.nprobe, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+        GROUP BY a.nprobe
+    ) h ON s.nprobe = h.nprobe
+    ORDER BY s.nprobe
+    """,
+    tags=("llm", "similarity", "ml-eval"),
+)
+def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe curve for the IVF index: sweep nprobe 1..3 and
+    measure top-k overlap against the exact ranking — the tuning table
+    every ANN deployment publishes (latency grows with nprobe, recall
+    saturates; the knee picks the operating point). The sweep reuses
+    ONE centroid-assignment pass; each probe level is a filter on the
+    assignment rank, so the marginal cost per curve point is only the
+    candidate re-rank. Both the index and the exact reference are
+    deterministic, making the whole curve value-hashable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
+    vecs = e.select("vec_id", "embedding", nrm.alias("nrm"))
+    cent = vecs.filter(F.col("vec_id") % CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_e"),
+        F.col("nrm").alias("cent_n"),
+    )
+    ccos = dot_double(F.col("embedding"), F.col("cent_e")) / (F.col("nrm") * F.col("cent_n"))
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    assign_scored = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "nrm", "cent_id", ccos.alias("ccos"))
+        .withColumn("crn", F.row_number().over(wassign))
+    )
+    assigned = assign_scored.filter(F.col("crn") == 1).select(
+        "vec_id", "embedding", "nrm", "cent_id"
+    )
+    sweeps = spark.range(1, 4).select(F.col("id").alias("nprobe"))
+    probes = (
+        assign_scored.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(sweeps))
+        .filter(F.col("crn") <= F.col("nprobe"))
+        .select(
+            "nprobe",
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "cent_id",
+        )
+    )
+    scos = dot_double(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))
+    wrank = Window.partitionBy("nprobe", "qid").orderBy(
+        F.col("cos_sim").desc(), F.col("cid").asc()
+    )
+    approx = (
+        probes.join(
+            assigned.select(
+                F.col("vec_id").alias("cid"), "embedding", "nrm", "cent_id"
+            ),
+            "cent_id",
+        )
+        .filter(F.col("cid") >= N_QUERIES)
+        .select("nprobe", "qid", "cid", scos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= IVF_TOP_K)
+        .select("nprobe", "qid", "cid")
+    )
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = vecs.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
+    )
+    ecos = dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    wex = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .select("qid", "cid", ecos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(wex))
+        .filter(F.col("rn") <= IVF_TOP_K)
+        .select("qid", "cid")
+    )
+    hits = approx.join(exact, ["qid", "cid"]).groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return (
+        sweeps.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("total_hits"),
+            (
+                F.coalesce("hits", F.lit(0)).cast("double") / (N_QUERIES * IVF_TOP_K)
+            ).alias("mean_recall"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _sql_ff_round(prev_d: str, cent: str, idx: int) -> str:
+    """One farthest-first round as oracle CTEs: fold the new center's
+    distance into the running min, then take the argmax (min vec_id on
+    ties)."""
+    return f"""
+    d{idx} AS (
+        SELECT v.vec_id, v.embedding, v.nrm,
+               LEAST(v.d,
+                     1.0 - {sql_dot("v.embedding", "cc.ce")}
+                           / (v.nrm * cc.cn)) AS d
+        FROM {prev_d} v CROSS JOIN {cent} cc
+    ),
+    m{idx} AS (SELECT MAX(d) AS mx FROM d{idx}),
+    c{idx} AS (
+        SELECT MIN(vec_id) AS center_id, MAX(d.d) AS dist
+        FROM d{idx} d CROSS JOIN m{idx} WHERE d.d = m{idx}.mx
+    ),
+    ce{idx} AS (
+        SELECT d.embedding AS ce, d.nrm AS cn
+        FROM d{idx} d JOIN c{idx} ON d.vec_id = c{idx}.center_id
+    )"""
+
+
+@query(
+    "embedding_farthest_first_init",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding,
+               sqrt({sql_dot("embedding", "embedding")}) AS nrm
+        FROM embeddings
+    ),
+    ce0 AS (
+        SELECT embedding AS ce, nrm AS cn FROM vecs WHERE vec_id = 0
+    ),
+    d0 AS (
+        SELECT vec_id, embedding, nrm, CAST(2.0 AS DOUBLE) AS d FROM vecs
+    ),
+    {_sql_ff_round("d0", "ce0", 1)},
+    {_sql_ff_round("d1", "ce1", 2)},
+    {_sql_ff_round("d2", "ce2", 3)}
+    SELECT 0 AS round, CAST(0 AS BIGINT) AS center_id, 0.0 AS dist
+    UNION ALL SELECT 1, center_id, round(dist, 9) FROM c1
+    UNION ALL SELECT 2, center_id, round(dist, 9) FROM c2
+    UNION ALL SELECT 3, center_id, round(dist, 9) FROM c3
+    ORDER BY round
+    """,
+    tags=("llm", "similarity", "clustering"),
+)
+def embedding_farthest_first_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first (k-center / Gonzalez) seeding — the deterministic
+    cousin of k-means++ used when init must be replayable: start from
+    vector 0, then three rounds of "pick the point maximizing its
+    min cosine distance to the chosen set". Each round is one broadcast
+    of the new 1-row center, one corpus map updating the running min
+    distance, and one argmax reduction — k rounds cost k corpus passes
+    with nothing but scalars shuffled, the standard seeding shape
+    before a Lloyd run (embedding_kmeans_lloyd). Ties break to the
+    smallest vec_id, so the chosen set is exact in both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
+    vecs = e.select("vec_id", "embedding", nrm.alias("nrm"))
+    d = vecs.withColumn("d", F.lit(2.0))
+    cent = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
+    )
+    rows = [(0, 0, 0.0)]
+    out = None
+    for rnd in range(1, 4):
+        nd = F.least(
+            F.col("d"),
+            F.lit(1.0)
+            - dot_double(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn")),
+        )
+        d = d.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "embedding", "nrm", nd.alias("d")
+        )
+        mx = d.agg(F.max("d").alias("mx"))
+        c = (
+            d.crossJoin(F.broadcast(mx))
+            .filter(F.col("d") == F.col("mx"))
+            .agg(F.min("vec_id").alias("center_id"), F.max("d").alias("dist"))
+        )
+        picked = d.join(
+            F.broadcast(c), d["vec_id"] == c["center_id"]
+        ).select(F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+        row = c.select(
+            F.lit(rnd).alias("round"),
+            F.col("center_id"),
+            F.round("dist", 9).alias("dist"),
+        )
+        out = row if out is None else out.unionByName(row)
+        cent = picked
+    first = e.sparkSession.createDataFrame(
+        [(0, 0, 0.0)], "round int, center_id bigint, dist double"
+    )
+    return first.unionByName(out).orderBy("round")
