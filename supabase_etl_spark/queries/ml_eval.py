@@ -1339,3 +1339,90 @@ def events_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ta", "tb")
     )
+
+
+@query(
+    "ml_eval_fairness_metrics",
+    oracle="""
+    WITH scored AS (
+        SELECT label % 3 AS grp,
+               (label % 2) AS y,
+               CASE WHEN CAST(FLOOR((CAST(embedding[1] AS DOUBLE)
+                                     + 0.25 * (label % 2)) * 40) AS BIGINT) >= 2
+                    THEN 1 ELSE 0 END AS yhat
+        FROM embeddings
+    ),
+    per_grp AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(yhat) AS BIGINT) AS pred_pos,
+               CAST(SUM(y * yhat) AS BIGINT) AS tp,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM((1 - y) * yhat) AS BIGINT) AS fp,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM scored GROUP BY grp
+    ),
+    overall AS (
+        SELECT CAST(SUM(pred_pos) AS DOUBLE) / SUM(n) AS rate_all
+        FROM per_grp
+    )
+    SELECT g.grp, g.n,
+           CAST(g.pred_pos AS DOUBLE) / g.n AS positive_rate,
+           CAST(g.tp AS DOUBLE) / g.pos AS tpr,
+           CAST(g.fp AS DOUBLE) / g.neg AS fpr,
+           CAST(g.pred_pos AS DOUBLE) / g.n - o.rate_all AS parity_gap,
+           ABS(CAST(g.pred_pos AS DOUBLE) / g.n - o.rate_all) > 0.1
+               AS parity_violation
+    FROM per_grp g CROSS JOIN overall o
+    ORDER BY g.grp
+    """,
+    tags=("llm", "ml-eval", "fairness"),
+)
+def ml_eval_fairness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of a thresholded classifier: per protected
+    group (a deterministic partition of the labels), the selection rate
+    (demographic parity), true-positive rate and false-positive rate
+    (equalized odds), each group's parity gap against the overall rate,
+    and a 10-point violation flag — the four-fifths-rule style report
+    every deployed classifier owes its review board. One grouped count
+    pass; every metric is a ratio of exact integers, so flags cannot
+    straddle engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    yhat = F.when(
+        F.floor(
+            (F.element_at("embedding", 1).cast("double") + 0.25 * (F.col("label") % 2))
+            * 40
+        ).cast("bigint")
+        >= 2,
+        1,
+    ).otherwise(0)
+    scored = e.select(
+        (F.col("label") % 3).alias("grp"),
+        (F.col("label") % 2).alias("y"),
+        yhat.alias("yhat"),
+    )
+    per_grp = scored.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yhat").alias("pred_pos"),
+        F.sum(F.col("y") * F.col("yhat")).alias("tp"),
+        F.sum("y").alias("pos"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).alias("fp"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    overall = per_grp.agg(
+        (F.sum("pred_pos").cast("double") / F.sum("n")).alias("rate_all")
+    )
+    rate = F.col("pred_pos").cast("double") / F.col("n")
+    return (
+        per_grp.crossJoin(F.broadcast(overall))
+        .select(
+            "grp",
+            "n",
+            rate.alias("positive_rate"),
+            (F.col("tp").cast("double") / F.col("pos")).alias("tpr"),
+            (F.col("fp").cast("double") / F.col("neg")).alias("fpr"),
+            (rate - F.col("rate_all")).alias("parity_gap"),
+            (F.abs(rate - F.col("rate_all")) > 0.1).alias("parity_violation"),
+        )
+        .orderBy("grp")
+    )

@@ -1322,3 +1322,95 @@ def sql_gaps_in_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_start")
     )
+
+
+@query(
+    "sql_order_by_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sql", "syntax"),
+)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ALL (with GROUP BY ALL): total ordering over every
+    select-list column without repeating them — Spark and DuckDB share
+    the syntax, so the oracle is literally the same statement."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_oba")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders_oba
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "sql_select_star_except",
+    oracle="""
+    SELECT * EXCLUDE (o_custkey, o_totalprice)
+    FROM orders
+    WHERE o_orderkey <= 50
+    ORDER BY o_orderkey
+    """,
+    tags=("sql", "syntax"),
+)
+def sql_select_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT(...) — projection by exclusion at the SQL layer
+    (Spark's EXCEPT = DuckDB's EXCLUDE), the ergonomic twin of the
+    DataFrame-level exclusion projection in ref_exclusion_project.
+    Column pruning still reaches the scan: the excluded columns never
+    leave the reader."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sse")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_custkey, o_totalprice)
+        FROM orders_sse
+        WHERE o_orderkey <= 50
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "sql_values_inline_table",
+    oracle="""
+    WITH tiers(mktsegment, tier) AS (
+        VALUES ('AUTOMOBILE', 'retail'), ('BUILDING', 'industrial'),
+               ('FURNITURE', 'retail'), ('HOUSEHOLD', 'retail'),
+               ('MACHINERY', 'industrial')
+    )
+    SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_balance
+    FROM customer c JOIN tiers t ON c.c_mktsegment = t.mktsegment
+    GROUP BY t.tier
+    ORDER BY t.tier
+    """,
+    tags=("sql", "syntax"),
+)
+def sql_values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES inline table as a join dimension — the idiomatic way to
+    ship a small lookup in the query text itself; Catalyst folds it to
+    a LocalRelation and broadcasts it, so the join costs one map-side
+    hash probe."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_vit")
+    return spark.sql(
+        """
+        WITH tiers AS (
+            SELECT * FROM VALUES
+                ('AUTOMOBILE', 'retail'), ('BUILDING', 'industrial'),
+                ('FURNITURE', 'retail'), ('HOUSEHOLD', 'retail'),
+                ('MACHINERY', 'industrial') AS t(mktsegment, tier)
+        )
+        SELECT t.tier, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_balance
+        FROM customer_vit c JOIN tiers t ON c.c_mktsegment = t.mktsegment
+        GROUP BY t.tier
+        ORDER BY t.tier
+        """
+    )
