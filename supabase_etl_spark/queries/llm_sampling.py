@@ -941,3 +941,61 @@ def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sample_mixup_pairs",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS r,
+               COUNT(*) OVER (PARTITION BY lang) AS n_s
+        FROM documents
+    ),
+    paired AS (
+        SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b, a.r
+        FROM ranked a
+        JOIN ranked b
+          ON a.lang = b.lang AND b.r = (a.r + a.n_s // 2) % a.n_s
+        WHERE a.n_s >= 2
+    )
+    SELECT lang, id_a, id_b,
+           CAST((({A} * (id_a * 131 + id_b) + {B}) % {P}) AS DOUBLE) / {P} AS lam
+    FROM paired
+    ORDER BY lang, id_a
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_mixup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MixUp pair planning: within each language stratum, pair the
+    rank-r example with rank (r + n/2) mod n and attach a deterministic
+    LCG mixing coefficient λ — the shuffle-free, replayable version of
+    the random pairing MixUp/CutMix training needs (re-running the plan
+    on any cluster layout yields the same pairs, so augmented batches
+    are reproducible). Per-stratum rank windows and one rank equi-join;
+    no global shuffle, fan-out exactly 1:1."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        (F.row_number().over(w) - 1).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_s"),
+    )
+    a = ranked.alias("a")
+    b = ranked.select(
+        F.col("lang").alias("lang_b"), F.col("doc_id").alias("id_b"), F.col("r").alias("rb")
+    )
+    paired = (
+        a.filter(F.col("n_s") >= 2)
+        .join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("rb") == (F.col("r") + F.floor(F.col("n_s") / 2)) % F.col("n_s")),
+        )
+        .select("lang", F.col("doc_id").alias("id_a"), "id_b")
+    )
+    lam = (
+        (F.lit(A).cast("bigint") * (F.col("id_a") * 131 + F.col("id_b")) + B) % P
+    ).cast("double") / P
+    return paired.select("lang", "id_a", "id_b", lam.alias("lam")).orderBy("lang", "id_a")

@@ -1426,3 +1426,86 @@ def ml_eval_fairness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "ml_eval_learning_curve",
+    oracle=f"""
+    WITH sweeps AS (SELECT CAST(k AS BIGINT) AS k FROM UNNEST(range(1, 5)) AS t(k)),
+    scored AS (
+        SELECT s.k,
+               (label % 2) AS y,
+               CAST(FLOOR((CAST(embedding[1] AS DOUBLE)
+                           + 0.25 * (label % 2)) * {SCORE_GRID}) AS BIGINT) AS sc
+        FROM embeddings e CROSS JOIN sweeps s
+        WHERE e.vec_id % 4 < s.k
+    ),
+    g AS (
+        SELECT k, sc,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM scored GROUP BY k, sc
+    ),
+    c AS (
+        SELECT k, sc, pos, neg,
+               CAST(SUM(neg) OVER (PARTITION BY k ORDER BY sc) AS BIGINT) AS cumneg_le,
+               CAST(SUM(pos) OVER (PARTITION BY k) AS BIGINT) AS p_tot,
+               CAST(SUM(neg) OVER (PARTITION BY k) AS BIGINT) AS n_tot
+        FROM g
+    )
+    SELECT k AS subset_quarters,
+           CAST(MAX(p_tot) + MAX(n_tot) AS BIGINT) AS n_rows,
+           CAST(SUM(pos * (2 * (cumneg_le - neg) + neg)) AS DOUBLE)
+               / (2.0 * MAX(p_tot) * MAX(n_tot)) AS auc
+    FROM c
+    GROUP BY k
+    ORDER BY subset_quarters
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-curve sweep: the AUC of the fixture scorer evaluated on
+    nested 25/50/75/100% key-sliced subsets — the diagnostic that says
+    whether more data still buys metric (slope at the right edge). The
+    subset sweep is a 4-way explode BEFORE the threshold groupBy, so
+    all four AUCs come from ONE corpus pass into a (k × score-grid)
+    table; each is the same exact integer pair-count as
+    ml_eval_auc_pr."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sweeps = spark.range(1, 5).select(F.col("id").alias("k"))
+    sc = F.floor(
+        (F.element_at("embedding", 1).cast("double") + 0.25 * (F.col("label") % 2))
+        * SCORE_GRID
+    ).cast("bigint")
+    scored = (
+        e.crossJoin(F.broadcast(sweeps))
+        .filter(F.col("vec_id") % 4 < F.col("k"))
+        .select("k", (F.col("label") % 2).alias("y"), sc.alias("sc"))
+    )
+    g = scored.groupBy("k", "sc").agg(
+        F.sum("y").alias("pos"), (F.count(F.lit(1)) - F.sum("y")).alias("neg")
+    )
+    wasc = Window.partitionBy("k").orderBy("sc")
+    wall = Window.partitionBy("k")
+    c = g.select(
+        "k",
+        "pos",
+        "neg",
+        F.sum("neg").over(wasc).alias("cumneg_le"),
+        F.sum("pos").over(wall).alias("p_tot"),
+        F.sum("neg").over(wall).alias("n_tot"),
+    )
+    return (
+        c.groupBy("k")
+        .agg(
+            (F.max("p_tot") + F.max("n_tot")).alias("n_rows"),
+            (
+                F.sum(
+                    F.col("pos") * (2 * (F.col("cumneg_le") - F.col("neg")) + F.col("neg"))
+                ).cast("double")
+                / (F.lit(2.0) * F.max("p_tot") * F.max("n_tot"))
+            ).alias("auc"),
+        )
+        .select(F.col("k").alias("subset_quarters"), "n_rows", "auc")
+        .orderBy("subset_quarters")
+    )
