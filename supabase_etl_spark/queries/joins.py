@@ -964,3 +964,111 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.view_event").alias("last_view_event"),
         F.col("r.view_value").alias("view_value"),
     ).orderBy("purchase_event")
+
+
+GEO_DEG2RAD = 0.017453292519943295  # math.radians(1), shared literal
+GEO_CELL_DEG = 30
+GEO_QUERIES = 10
+GEO_KNN = 3
+GEO_EARTH_KM = 6371.0
+
+
+@query(
+    "join_geo_haversine_knn",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+               CAST((c_custkey * 101) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon,
+               CAST(FLOOR((CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100.0 - 85.0)
+                          / {GEO_CELL_DEG}) AS BIGINT) AS cx,
+               CAST(FLOOR((CAST((c_custkey * 101) % 36000 AS DOUBLE) / 100.0 - 180.0)
+                          / {GEO_CELL_DEG}) AS BIGINT) AS cy
+        FROM customer
+    ),
+    q AS (
+        SELECT p.id AS qid, p.lat AS qlat, p.lon AS qlon,
+               p.cx + dx.d AS cx, p.cy + dy.d AS cy
+        FROM pts p,
+             (SELECT unnest(range(-1, 2)) AS d) dx,
+             (SELECT unnest(range(-1, 2)) AS d) dy
+        WHERE p.id <= {GEO_QUERIES}
+    ),
+    cand AS (
+        SELECT q.qid, q.qlat, q.qlon, c.id AS cid, c.lat, c.lon
+        FROM q JOIN pts c ON q.cx = c.cx AND q.cy = c.cy
+        WHERE c.id <> q.qid
+    ),
+    scored AS (
+        SELECT qid, cid,
+               round(2.0 * {GEO_EARTH_KM} * asin(sqrt(
+                   sin((lat - qlat) * {GEO_DEG2RAD} / 2.0)
+                       * sin((lat - qlat) * {GEO_DEG2RAD} / 2.0)
+                   + cos(qlat * {GEO_DEG2RAD}) * cos(lat * {GEO_DEG2RAD})
+                     * sin((lon - qlon) * {GEO_DEG2RAD} / 2.0)
+                     * sin((lon - qlon) * {GEO_DEG2RAD} / 2.0))), 6) AS dist_km
+        FROM cand
+    ),
+    ranked AS (
+        SELECT qid, cid, dist_km,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dist_km ASC, cid ASC) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, dist_km, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {GEO_KNN}
+    ORDER BY qid, rn
+    """,
+    tags=("join", "geo"),
+)
+def join_geo_haversine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial k-nearest-neighbor via grid-bucketed haversine: points
+    get deterministic (lat, lon) and a 30° grid cell; each query point
+    probes its 3×3 cell neighborhood (a 9× explode of the tiny query
+    side), candidates equi-join on the cell key, and exact great-circle
+    distances rank inside the neighborhood — the standard geo-KNN shape
+    where candidate count tracks local density, never corpus size
+    (production shrinks cells and adds a ring-expansion retry for empty
+    neighborhoods). Distances are rounded to 1e-6 km BEFORE ranking so
+    last-ulp libm differences between engines cannot flip an order."""
+    c = load_table(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") * 37) % 17000).cast("double") / 100.0 - 85.0
+    lon = ((F.col("c_custkey") * 101) % 36000).cast("double") / 100.0 - 180.0
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.floor(lat / GEO_CELL_DEG).cast("bigint").alias("cx"),
+        F.floor(lon / GEO_CELL_DEG).cast("bigint").alias("cy"),
+    )
+    d = spark.range(-1, 2).select(F.col("id").alias("d"))
+    q = (
+        pts.filter(F.col("id") <= GEO_QUERIES)
+        .crossJoin(F.broadcast(d.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(d.select(F.col("d").alias("dy"))))
+        .select(
+            F.col("id").alias("qid"),
+            F.col("lat").alias("qlat"),
+            F.col("lon").alias("qlon"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    cand = pts.join(F.broadcast(q), ["cx", "cy"]).filter(F.col("id") != F.col("qid"))
+    dlat = (F.col("lat") - F.col("qlat")) * GEO_DEG2RAD / 2.0
+    dlon = (F.col("lon") - F.col("qlon")) * GEO_DEG2RAD / 2.0
+    hav = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.col("qlat") * GEO_DEG2RAD)
+        * F.cos(F.col("lat") * GEO_DEG2RAD)
+        * F.sin(dlon)
+        * F.sin(dlon)
+    )
+    dist = F.round(2.0 * GEO_EARTH_KM * F.asin(F.sqrt(hav)), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("dist_km").asc(), F.col("cid").asc())
+    return (
+        cand.select("qid", F.col("id").alias("cid"), dist.alias("dist_km"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= GEO_KNN)
+        .orderBy("qid", "rn")
+    )

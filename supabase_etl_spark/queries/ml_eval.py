@@ -1509,3 +1509,72 @@ def ml_eval_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").alias("subset_quarters"), "n_rows", "auc")
         .orderBy("subset_quarters")
     )
+
+
+@query(
+    "ml_eval_best_f1_threshold",
+    oracle=f"""
+    WITH {_SQL_CUM},
+    metrics AS (
+        SELECT model, s,
+               CAST(cumpos_ge AS DOUBLE) / (cumpos_ge + cumneg_ge) AS precision_,
+               CAST(cumpos_ge AS DOUBLE) / p_tot AS recall_,
+               2.0 * cumpos_ge / (cumpos_ge + cumneg_ge + p_tot) AS f1
+        FROM c
+    ),
+    best AS (
+        SELECT model, s, precision_, recall_, f1,
+               MAX(f1) OVER (PARTITION BY model) AS best_f1
+        FROM metrics
+    )
+    SELECT model, CAST(MIN(s) AS BIGINT) AS best_threshold,
+           MAX(best_f1) AS f1,
+           MAX(CASE WHEN s = (SELECT MIN(s2.s) FROM best s2
+                              WHERE s2.model = best.model AND s2.f1 = s2.best_f1)
+                    THEN precision_ END) AS precision_,
+           MAX(CASE WHEN s = (SELECT MIN(s2.s) FROM best s2
+                              WHERE s2.model = best.model AND s2.f1 = s2.best_f1)
+                    THEN recall_ END) AS recall_
+    FROM best
+    WHERE f1 = best_f1
+    GROUP BY model
+    ORDER BY model
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold optimization: the score cut maximizing F1 per
+    model, with its precision and recall — the operating-point search
+    every binary classifier deployment runs after AUC says the ranking
+    is good. The 2·TP/(TP+FP+P) identity computes F1 without ever
+    materializing a harmonic mean, the argmax scans the bounded
+    threshold table, and ties break to the lowest cut. Exact integer
+    ratios throughout."""
+    c = _cum(spark, sf_dir)
+    f1 = 2.0 * F.col("cumpos_ge") / (F.col("cumpos_ge") + F.col("cumneg_ge") + F.col("p_tot"))
+    metrics = c.select(
+        "model",
+        "s",
+        (F.col("cumpos_ge").cast("double") / (F.col("cumpos_ge") + F.col("cumneg_ge"))).alias(
+            "precision_"
+        ),
+        (F.col("cumpos_ge").cast("double") / F.col("p_tot")).alias("recall_"),
+        f1.alias("f1"),
+    )
+    w = Window.partitionBy("model")
+    best = metrics.withColumn("best_f1", F.max("f1").over(w)).filter(
+        F.col("f1") == F.col("best_f1")
+    )
+    wmin = Window.partitionBy("model")
+    return (
+        best.withColumn("min_s", F.min("s").over(wmin))
+        .filter(F.col("s") == F.col("min_s"))
+        .select(
+            "model",
+            F.col("s").alias("best_threshold"),
+            "f1",
+            "precision_",
+            "recall_",
+        )
+        .orderBy("model")
+    )
