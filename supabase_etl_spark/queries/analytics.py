@@ -4412,3 +4412,127 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+CIRC_2PI_OVER_24 = 0.2617993877991494  # 2*pi/24, shared literal
+
+
+@query(
+    "events_circular_mean_hour",
+    oracle=f"""
+    WITH angles AS (
+        SELECT event_type,
+               CAST(date_part('hour', ts) AS BIGINT) AS hr
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(sin(hr * {CIRC_2PI_OVER_24}), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS ss,
+               CAST(SUM(CAST(round(cos(hr * {CIRC_2PI_OVER_24}), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS sc
+        FROM angles GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(atan2(ss, sc) / {CIRC_2PI_OVER_24}, 6) AS mean_hour,
+           round(sqrt(ss * ss + sc * sc) / n, 9) AS concentration
+    FROM sums
+    ORDER BY event_type
+    """,
+    tags=("events", "analytics", "timeseries"),
+)
+def events_circular_mean_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular mean of event hour-of-day per type, with the resultant
+    vector length as concentration — the statistic a naive arithmetic
+    mean of hours gets WRONG (23:00 and 01:00 average to midnight on
+    the circle, not noon). Hours map to unit-circle angles; sin/cos
+    sums go through round-12 decimals (the transcendental-sum
+    discipline), and the atan2 back-map divides by the same shared 2π/24
+    literal. One grouped pass; output is type-cardinality-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("bigint")
+    angles = ev.select("event_type", hr.alias("hr"))
+    sums = angles.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.sin(F.col("hr") * CIRC_2PI_OVER_24), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ss"),
+        F.sum(F.round(F.cos(F.col("hr") * CIRC_2PI_OVER_24), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sc"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(F.atan2(F.col("ss"), F.col("sc")) / CIRC_2PI_OVER_24, 6).alias("mean_hour"),
+        F.round(
+            F.sqrt(F.col("ss") * F.col("ss") + F.col("sc") * F.col("sc")) / F.col("n"), 9
+        ).alias("concentration"),
+    ).orderBy("event_type")
+
+
+@query(
+    "events_markov_entropy_rate",
+    oracle="""
+    WITH ordered_ev AS (
+        SELECT user_id, event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    trans AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ordered_ev WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    row_tot AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS rc FROM trans GROUP BY cur),
+    grand AS (SELECT CAST(SUM(c) AS BIGINT) AS g FROM trans),
+    terms AS (
+        SELECT t.cur, t.nxt,
+               (CAST(r.rc AS DOUBLE) / g.g)
+                   * (CAST(t.c AS DOUBLE) / r.rc)
+                   * (-ln(CAST(t.c AS DOUBLE) / r.rc)) AS term
+        FROM trans t JOIN row_tot r ON t.cur = r.cur CROSS JOIN grand g
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_transitions_distinct,
+           CAST(SUM(CAST(round(term, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS entropy_rate_nats
+    FROM terms
+    ORDER BY n_transitions_distinct
+    """,
+    tags=("events", "analytics"),
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order event Markov chain,
+    H = Σᵢ πᵢ Σⱼ −pᵢⱼ ln pᵢⱼ with the stationary weight πᵢ estimated by
+    observed occupancy — how predictable user behavior is in nats per
+    step (0 = deterministic flows; ln(types) = uniform chaos), the
+    information-theoretic summary over the same transition table as
+    the Markov baseline ops. Per-user lead pass, states²-sized table,
+    round-12 decimal ln-term sums."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered_ev = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    )
+    trans = (
+        ordered_ev.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row_tot = trans.groupBy("cur").agg(F.sum("c").alias("rc"))
+    grand = trans.agg(F.sum("c").alias("g"))
+    p = F.col("c").cast("double") / F.col("rc")
+    term = (F.col("rc").cast("double") / F.col("g")) * p * (-F.log(p))
+    return (
+        trans.join(F.broadcast(row_tot), "cur")
+        .crossJoin(F.broadcast(grand))
+        .select(term.alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions_distinct"),
+            F.sum(F.round("term", 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("entropy_rate_nats"),
+        )
+        .orderBy("n_transitions_distinct")
+    )
