@@ -1341,3 +1341,70 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows_at_risk"
         ),
     ).orderBy("l_diversity")
+
+
+@query(
+    "dq_completeness_profile",
+    oracle="""
+    WITH cols AS (
+        SELECT 'o_custkey' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+    )
+    SELECT col_name, n_rows, n_null,
+           1.0 - CAST(n_null AS DOUBLE) / n_rows AS fill_rate,
+           CAST(n_null AS DOUBLE) / n_rows > 0.01 AS breaches_1pct
+    FROM cols
+    ORDER BY col_name
+    """,
+    tags=("dq",),
+)
+def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-completeness profile: per-column null counts, fill rate,
+    and a 1% breach flag, computed for ALL profiled columns in ONE
+    aggregation pass — the conditional-count unpivot pattern (never one
+    scan per column, which is how naive profilers go quadratic on wide
+    tables). The Spark side aggregates once and stacks the result; the
+    oracle spells out the per-column semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus", "o_totalprice"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+        )
+    one = o.agg(*aggs)
+    stack_expr = "stack({n}, {args}) AS (col_name, n_null)".format(
+        n=len(cols), args=", ".join(f"'{c}', null_{c}" for c in cols)
+    )
+    return (
+        one.select(F.col("n_rows"), F.expr(stack_expr))
+        .select(
+            "col_name",
+            "n_rows",
+            "n_null",
+            (1.0 - F.col("n_null").cast("double") / F.col("n_rows")).alias("fill_rate"),
+            (F.col("n_null").cast("double") / F.col("n_rows") > 0.01).alias(
+                "breaches_1pct"
+            ),
+        )
+        .orderBy("col_name")
+    )

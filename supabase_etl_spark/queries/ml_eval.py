@@ -1578,3 +1578,91 @@ def ml_eval_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+@query(
+    "ml_eval_mcnemar_test",
+    oracle="""
+    WITH preds AS (
+        SELECT (label % 2) AS y,
+               CASE WHEN CAST(FLOOR((CAST(embedding[1] AS DOUBLE)
+                                     + 0.25 * (label % 2)) * 40) AS BIGINT) >= 2
+                    THEN 1 ELSE 0 END AS pa,
+               CASE WHEN CAST(FLOOR((CAST(embedding[2] AS DOUBLE)
+                                     + 0.25 * (label % 2)) * 40) AS BIGINT) >= 2
+                    THEN 1 ELSE 0 END AS pb
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS both_right,
+               CAST(SUM(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS both_wrong
+        FROM preds
+    )
+    SELECT b AS a_only_correct, c AS b_only_correct, both_right, both_wrong,
+           CASE WHEN b + c = 0 THEN 0.0
+                ELSE (ABS(CAST(b AS DOUBLE) - c) - 1.0)
+                     * (ABS(CAST(b AS DOUBLE) - c) - 1.0) / (b + c) END AS chi2,
+           CASE WHEN b + c = 0 THEN FALSE
+                ELSE (ABS(CAST(b AS DOUBLE) - c) - 1.0)
+                     * (ABS(CAST(b AS DOUBLE) - c) - 1.0) / (b + c) > 3.841 END
+               AS significant_05
+    FROM cells
+    ORDER BY a_only_correct
+    """,
+    tags=("llm", "ml-eval", "stats"),
+)
+def ml_eval_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test with continuity correction — the PAIRED
+    comparison of two classifiers on the same examples (model A vs
+    model B thresholded on embedding dims 1 vs 2): only the discordant
+    cells matter, chi² = (|b−c|−1)²/(b+c) against the 3.841 bar. This
+    is the statistically sound way to claim 'model B beats model A'
+    on a shared eval set (unpaired tests overstate significance). One
+    pass, four conditional counts, constant-size arithmetic."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def pred(dim: int):
+        return F.when(
+            F.floor(
+                (F.element_at("embedding", dim).cast("double") + 0.25 * (F.col("label") % 2))
+                * 40
+            ).cast("bigint")
+            >= 2,
+            1,
+        ).otherwise(0)
+
+    preds = e.select(
+        (F.col("label") % 2).alias("y"), pred(1).alias("pa"), pred(2).alias("pb")
+    )
+    cells = preds.agg(
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y")), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y")), 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") == F.col("y")), 1).otherwise(0)
+        ).alias("both_right"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") != F.col("y")), 1).otherwise(0)
+        ).alias("both_wrong"),
+    )
+    chi2 = F.when(F.col("b") + F.col("c") == 0, F.lit(0.0)).otherwise(
+        (F.abs(F.col("b").cast("double") - F.col("c")) - 1.0)
+        * (F.abs(F.col("b").cast("double") - F.col("c")) - 1.0)
+        / (F.col("b") + F.col("c"))
+    )
+    sig = F.when(F.col("b") + F.col("c") == 0, F.lit(False)).otherwise(chi2 > 3.841)
+    return cells.select(
+        F.col("b").alias("a_only_correct"),
+        F.col("c").alias("b_only_correct"),
+        "both_right",
+        "both_wrong",
+        chi2.alias("chi2"),
+        sig.alias("significant_05"),
+    ).orderBy("a_only_correct")
