@@ -266,3 +266,50 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         ((mid_lo + mid_hi) / 2).alias("roll_median"),
     ).orderBy("event_id")
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                    OVER (PARTITION BY event_type ORDER BY ts
+                          RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                                AND CURRENT ROW)
+                AS DOUBLE) AS trailing_1h_value,
+           CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY ts
+                               RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+               AS trailing_1h_events
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_type, ts, event_id
+    """,
+    tags=("window", "timeseries"),
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: a trailing one-HOUR window (not N rows)
+    per event type — the frame semantics row-count frames cannot
+    express when event density varies. Spark expresses the interval
+    frame as rangeBetween over exact microsecond epochs (inclusive
+    bounds, matching SQL RANGE ... PRECEDING); value sums go through
+    exact decimals inside the frame. Peer rows (identical ts) share a
+    frame by definition in both engines, so ties cannot diverge."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double").alias(
+            "trailing_1h_value"
+        ),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    ).orderBy("event_type", "ts", "event_id")
