@@ -915,3 +915,100 @@ def multimodal_vit_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "patch_sum",
         (F.col("patch_sum").cast("double") / F.col("n_values")).alias("patch_mean"),
     ).orderBy("uri", "patch_row", "patch_col")
+
+
+VAD_FRAME = 50  # samples per energy frame
+VAD_THRESH = 55000  # frame activity threshold on sum(|s|)
+
+
+@query(
+    "multimodal_audio_energy_segments",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, concat('doc://', doc_id, '.wav') AS uri,
+               doc_id % {M.SEED_MOD} AS seed,
+               {M.AUDIO_LEN_BASE} + doc_id % {M.AUDIO_LEN_SPAN} AS n
+        FROM documents WHERE doc_id < {AUDIO_DOCS}
+    ),
+    sig AS (
+        SELECT d.uri, t.i // {VAD_FRAME} AS frame,
+               ABS((7 * d.seed + 11 * t.i) % {M.AUDIO_AMP_MOD} - 2000) AS a
+        FROM docs d, range(0, {M.AUDIO_LEN_BASE + M.AUDIO_LEN_SPAN}) AS t(i)
+        WHERE t.i < d.n
+    ),
+    frames AS (
+        SELECT uri, CAST(frame AS BIGINT) AS frame,
+               CAST(SUM(a) AS BIGINT) AS energy
+        FROM sig GROUP BY uri, frame
+    ),
+    active AS (
+        SELECT uri, frame, energy,
+               frame - ROW_NUMBER() OVER (PARTITION BY uri ORDER BY frame) AS island
+        FROM frames WHERE energy > {VAD_THRESH}
+    )
+    SELECT uri,
+           CAST(MIN(frame) AS BIGINT) AS start_frame,
+           CAST(MAX(frame) AS BIGINT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS segment_energy
+    FROM active
+    GROUP BY uri, island
+    ORDER BY uri, start_frame
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based activity segmentation over REAL decoded audio (the
+    VAD-shaped primitive speech pipelines run before transcription):
+    each RIFF/WAVE payload is parsed by the engine's chunk-walking
+    decoder in Arrow-batched mapInPandas and reduced to per-50-sample
+    frame energies; active frames (Σ|s| over threshold) merge into
+    segments with the gaps-and-islands rewrite. The oracle replays the
+    PCM synthesis, so a decode defect or frame-boundary off-by-one is
+    a hash mismatch. Scale: decode+frame is per-row Arrow work, frames
+    shrink the payload 50x before the per-uri island windows."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from supabase_etl_spark.operators import audiocodec as AC
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < AUDIO_DOCS)
+    audio = M.generate_audio(d.select("doc_id"))
+
+    def frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uris, frames, energies = [], [], []
+            for uri, content in zip(pdf["uri"], pdf["content"]):
+                _rate, _n, samples = AC.decode_wav(bytes(content))
+                for f0 in range(0, len(samples), VAD_FRAME):
+                    uris.append(uri)
+                    frames.append(f0 // VAD_FRAME)
+                    energies.append(sum(abs(s) for s in samples[f0 : f0 + VAD_FRAME]))
+            yield pd.DataFrame(
+                {
+                    "uri": uris,
+                    "frame": pd.Series(frames, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    frames = audio.mapInPandas(
+        frame_energy, schema="uri string, frame long, energy long"
+    )
+    w = Window.partitionBy("uri").orderBy("frame")
+    active = frames.filter(F.col("energy") > VAD_THRESH).withColumn(
+        "island", F.col("frame") - F.row_number().over(w)
+    )
+    return (
+        active.groupBy("uri", "island")
+        .agg(
+            F.min("frame").alias("start_frame"),
+            F.max("frame").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("energy").alias("segment_energy"),
+        )
+        .drop("island")
+        .orderBy("uri", "start_frame")
+    )
