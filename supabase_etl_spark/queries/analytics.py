@@ -4536,3 +4536,76 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_transitions_distinct")
     )
+
+
+@query(
+    "events_did_estimator",
+    oracle="""
+    WITH labeled AS (
+        SELECT user_id % 2 AS treat,
+               CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 1 ELSE 0 END AS post,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+        SELECT treat, post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_y
+        FROM labeled GROUP BY treat, post
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN treat = 1 AND post = 1 THEN mean_y END) AS t_post,
+               MAX(CASE WHEN treat = 1 AND post = 0 THEN mean_y END) AS t_pre,
+               MAX(CASE WHEN treat = 0 AND post = 1 THEN mean_y END) AS c_post,
+               MAX(CASE WHEN treat = 0 AND post = 0 THEN mean_y END) AS c_pre,
+               CAST(SUM(n) AS BIGINT) AS n_total
+        FROM cells
+    )
+    SELECT n_total, t_pre, t_post, c_pre, c_post,
+           (t_post - t_pre) - (c_post - c_pre) AS did_estimate
+    FROM wide
+    ORDER BY n_total
+    """,
+    tags=("events", "analytics", "ml-eval"),
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2×2 (treatment × pre/post) cell
+    means of purchase value and the DiD estimate (Δtreat − Δcontrol) —
+    the workhorse causal design when randomization isn't available and
+    parallel trends are plausible; completes the causal family next to
+    the IPW and uplift operators. One grouped pass to four cells with
+    exact decimal means, then constant arithmetic."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    labeled = ev.select(
+        (F.col("user_id") % 2).alias("treat"),
+        F.when(F.col("ts").cast("date") >= F.lit("2024-01-16").cast("date"), 1)
+        .otherwise(0)
+        .alias("post"),
+        "value",
+    )
+    cells = labeled.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("value").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_y"
+        ),
+    )
+    pick = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("treat") == t) & (F.col("post") == p), F.col("mean_y"))
+    )
+    wide = cells.agg(
+        pick(1, 1).alias("t_post"),
+        pick(1, 0).alias("t_pre"),
+        pick(0, 1).alias("c_post"),
+        pick(0, 0).alias("c_pre"),
+        F.sum("n").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        ((F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))).alias(
+            "did_estimate"
+        ),
+    ).orderBy("n_total")

@@ -1625,3 +1625,91 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("text_bpe_encode", tags=("llm", "text", "iterative"))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the serving half of tokenizer training: learn the
+    first 8 merge rules exactly as text_bpe_train_merges does (bounded
+    1-row collect per round on the vocab-sized table), then apply them
+    IN RANK ORDER to every document's tokens as chained JVM-side greedy
+    folds and report per-document BPE statistics (symbol count,
+    compression vs characters). This is the map-side shape a 100 TB
+    tokenization job has: the merge table is a broadcast-sized
+    artifact, encoding is embarrassingly parallel column work, and no
+    Python touches the hot path. Rows-only in the gate (the merge
+    sequence is iterative); the greedy fold semantics are pinned by the
+    trainer's golden-parity test plus the encode unit test
+    (tests/test_text_ops.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select("freq", F.split("w", "").alias("syms")).localCheckpoint()
+    merges: list[tuple[str, str, str]] = []
+    for _rank in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs = cur.select(
+            "freq",
+            F.expr(
+                "transform(slice(syms, 1, size(syms) - 1),"
+                " (x, i) -> struct(x AS l, syms[i + 1] AS r))"
+            ).alias("prs"),
+        ).select(F.explode("prs").alias("p"), "freq")
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()  # bounded: one argmax row per round
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append((b["l"], b["r"], b["l"] + b["r"]))
+
+        def fold(lhs: str, rhs: str, merged: str):
+            lc, rc, mc = F.lit(lhs), F.lit(rhs), F.lit(merged)
+            return lambda col: F.aggregate(
+                col,
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0) & (F.element_at(acc, -1) == lc) & (x == rc),
+                    F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(mc)),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+
+        cur = cur.select(
+            "freq", fold(b["l"], b["r"], b["l"] + b["r"])(F.col("syms")).alias("syms")
+        ).localCheckpoint()
+    # encode: per document token, chars -> chained folds in rank order
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w")).select(
+        "doc_id", F.split("w", "").alias("syms")
+    )
+    def apply_merge(col, lhs: str, rhs: str, merged: str):
+        # closure-capture factory: a default-arg lambda would change the
+        # HOF arity Spark inspects (same trap noted at lsh_bucket)
+        lc, rc, mc = F.lit(lhs), F.lit(rhs), F.lit(merged)
+        return F.aggregate(
+            col,
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == lc) & (x == rc),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(mc)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    enc = F.col("syms")
+    for lhs, rhs, merged in merges:
+        enc = apply_merge(enc, lhs, rhs, merged)
+    return (
+        toks.select("doc_id", F.size("syms").alias("n_chars"), F.size(enc).alias("n_bpe"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+            (F.sum("n_bpe").cast("double") / F.sum("n_chars")).alias("compression"),
+        )
+        .orderBy("doc_id")
+    )

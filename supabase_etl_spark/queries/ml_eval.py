@@ -1666,3 +1666,94 @@ def ml_eval_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         sig.alias("significant_05"),
     ).orderBy("a_only_correct")
+
+
+@query(
+    "ml_eval_regression_metrics",
+    oracle="""
+    WITH folds AS (
+        SELECT o_orderpriority AS cat, o_totalprice AS y, o_orderkey % 3 AS fold
+        FROM orders
+    ),
+    model AS (
+        SELECT cat,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS yhat
+        FROM folds WHERE fold < 2 GROUP BY cat
+    ),
+    test AS (
+        SELECT f.y, m.yhat FROM folds f JOIN model m ON f.cat = m.cat
+        WHERE f.fold = 2
+    ),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS ybar
+        FROM test
+    )
+    SELECT b.n,
+           CAST(SUM(CAST(ABS(t.y - t.yhat) AS DECIMAL(28,6))) AS DOUBLE) / b.n AS mae,
+           sqrt(CAST(SUM(CAST((t.y - t.yhat) * (t.y - t.yhat) AS DECIMAL(38,6)))
+                     AS DOUBLE) / b.n) AS rmse,
+           CAST(SUM(CAST(ABS(t.y - t.yhat) / t.y AS DECIMAL(38,12))) AS DOUBLE)
+               / b.n AS mape,
+           1.0 - CAST(SUM(CAST((t.y - t.yhat) * (t.y - t.yhat) AS DECIMAL(38,6)))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST((t.y - b.ybar) * (t.y - b.ybar) AS DECIMAL(38,6)))
+                        AS DOUBLE) AS r2
+    FROM test t CROSS JOIN base b
+    GROUP BY b.n, b.ybar
+    ORDER BY b.n
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out regression eval: MAE, RMSE, MAPE, and R² of the
+    category-mean predictor trained on folds 0-1 and scored on fold 2
+    — the regression counterpart of the classification threshold
+    suite. Every error moment is a decimal-exact sum of per-row doubles
+    computed identically in both engines (positive prices keep MAPE
+    well-defined); R² compares against the held-out mean baseline."""
+    o = load_table(spark, sf_dir, "orders")
+    folds = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_orderkey") % 3).alias("fold"),
+    )
+    model = (
+        folds.filter(F.col("fold") < 2)
+        .groupBy("cat")
+        .agg(
+            (F.sum(F.col("y").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias(
+                "yhat"
+            )
+        )
+    )
+    test = folds.filter(F.col("fold") == 2).join(F.broadcast(model), "cat").select("y", "yhat")
+    base = test.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("y").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "ybar"
+        ),
+    )
+    err = F.col("y") - F.col("yhat")
+    dev = F.col("y") - F.col("ybar")
+    return (
+        test.crossJoin(F.broadcast(base))
+        .groupBy("n", "ybar")
+        .agg(
+            (F.sum(F.abs(err).cast("decimal(28,6)")).cast("double") / F.col("n")).alias("mae"),
+            F.sqrt(
+                F.sum((err * err).cast("decimal(38,6)")).cast("double") / F.col("n")
+            ).alias("rmse"),
+            (
+                F.sum((F.abs(err) / F.col("y")).cast("decimal(38,12)")).cast("double")
+                / F.col("n")
+            ).alias("mape"),
+            (
+                F.lit(1.0)
+                - F.sum((err * err).cast("decimal(38,6)")).cast("double")
+                / F.sum((dev * dev).cast("decimal(38,6)")).cast("double")
+            ).alias("r2"),
+        )
+        .select("n", "mae", "rmse", "mape", "r2")
+        .orderBy("n")
+    )

@@ -123,3 +123,32 @@ def test_bpe_train_merges_matches_python_golden(spark):
         for x in text_bpe_train_merges(spark, "/root/testdata/sf0.001").collect()
     ]
     assert got == expected
+
+
+def test_bpe_encode_applies_merges_greedily(spark, tmp_path):
+    """Encode parity on a crafted corpus: with 'ab' then 'abc' learned,
+    the full rank-order cascade collapses 'ababc' to a single symbol."""
+    import os
+
+    import pandas as pd
+
+    from supabase_etl_spark.queries.llm_text import text_bpe_encode
+
+    sf = str(tmp_path)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            # 'ab' dominates pair counts, then 'ab'+'c'
+            "text": ["ababc ababc", "abc ab", "ab ab ab"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [11, 6, 8],
+        }
+    )
+    docs.to_parquet(os.path.join(sf, "documents.parquet"))
+    out = {r["doc_id"]: r for r in text_bpe_encode(spark, sf).collect()}
+    # doc 2: three 'ab' words -> one symbol each
+    assert out[2]["n_bpe_tokens"] == 3 and out[2]["n_chars"] == 6
+    # doc 0: rounds 1-3 learn ab, ab+c, ab+abc -> each 'ababc' is ONE
+    # symbol (greedy rank-order application fully collapses the word)
+    assert out[0]["n_bpe_tokens"] == 2 and out[0]["n_chars"] == 10
