@@ -1757,3 +1757,132 @@ def ml_eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n", "mae", "rmse", "mape", "r2")
         .orderBy("n")
     )
+
+
+@query(
+    "ml_eval_model_card",
+    oracle=f"""
+    WITH {_SQL_CUM},
+    aucs AS (
+        SELECT model,
+               CAST(SUM(pos * (2 * (cumneg_le - neg) + neg)) AS DOUBLE)
+                   / (2.0 * MAX(p_tot) * MAX(n_tot)) AS auc,
+               CAST(SUM(CAST(pos * ({_SQL_P} - 1.0) * ({_SQL_P} - 1.0)
+                             + neg * {_SQL_P} * {_SQL_P}
+                             AS DECIMAL(38,12))) AS DOUBLE)
+                   / (MAX(p_tot) + MAX(n_tot)) AS brier
+        FROM c GROUP BY model
+    ),
+    ks AS (
+        SELECT model, MAX(absdiff) AS ks FROM (
+            SELECT model,
+                   ABS(CAST(cumpos_le AS DOUBLE) / p_tot
+                       - CAST(cumneg_le AS DOUBLE) / n_tot) AS absdiff
+            FROM c
+        ) GROUP BY model
+    ),
+    f1s AS (
+        SELECT model, MAX(2.0 * cumpos_ge / (cumpos_ge + cumneg_ge + p_tot)) AS best_f1
+        FROM c GROUP BY model
+    ),
+    fair AS (
+        SELECT MAX(ABS(CAST(pred_pos AS DOUBLE) / n - rate_all)) AS max_parity_gap
+        FROM (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN CAST(FLOOR((CAST(embedding[1] AS DOUBLE)
+                                                  + 0.25 * (label % 2)) * 40) AS BIGINT)
+                                      >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pred_pos
+            FROM (SELECT label % 3 AS grp, label, embedding FROM embeddings)
+            GROUP BY grp
+        ) g CROSS JOIN (
+            SELECT CAST(SUM(CASE WHEN CAST(FLOOR((CAST(embedding[1] AS DOUBLE)
+                                                  + 0.25 * (label % 2)) * 40) AS BIGINT)
+                                      >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                       AS rate_all
+            FROM embeddings
+        ) o
+    )
+    SELECT metric, round(value_, 9) AS value_ FROM (
+        SELECT concat('auc_', model) AS metric, auc AS value_ FROM aucs
+        UNION ALL SELECT concat('brier_', model), brier FROM aucs
+        UNION ALL SELECT concat('ks_', model), ks FROM ks
+        UNION ALL SELECT concat('best_f1_', model), best_f1 FROM f1s
+        UNION ALL SELECT 'max_parity_gap', max_parity_gap FROM fair
+    ) t
+    ORDER BY metric
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_model_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-card capstone: one (metric, value) report row set
+    composing the evaluation family — AUC, Brier, KS separation, best
+    F1 per model, and the worst demographic-parity gap — the summary
+    table a model registry stores per version. Every component reuses
+    the grid-bounded threshold-table machinery, so the whole card
+    costs two corpus passes (scores + fairness counts) regardless of
+    corpus size."""
+    c = _cum(spark, sf_dir)
+    p = _p_col()
+    aucs = c.groupBy("model").agg(
+        (
+            F.sum(F.col("pos") * (2 * (F.col("cumneg_le") - F.col("neg")) + F.col("neg"))).cast("double")
+            / (F.lit(2.0) * F.max("p_tot") * F.max("n_tot"))
+        ).alias("auc"),
+        (
+            F.sum(
+                (F.col("pos") * (p - 1.0) * (p - 1.0) + F.col("neg") * p * p).cast(DEC18)
+            ).cast("double")
+            / (F.max("p_tot") + F.max("n_tot"))
+        ).alias("brier"),
+    )
+    ks = (
+        c.select(
+            "model",
+            F.abs(
+                F.col("cumpos_le").cast("double") / F.col("p_tot")
+                - F.col("cumneg_le").cast("double") / F.col("n_tot")
+            ).alias("absdiff"),
+        )
+        .groupBy("model")
+        .agg(F.max("absdiff").alias("ks"))
+    )
+    f1s = c.groupBy("model").agg(
+        F.max(
+            2.0 * F.col("cumpos_ge") / (F.col("cumpos_ge") + F.col("cumneg_ge") + F.col("p_tot"))
+        ).alias("best_f1")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    yhat = F.when(
+        F.floor(
+            (F.element_at("embedding", 1).cast("double") + 0.25 * (F.col("label") % 2)) * 40
+        ).cast("bigint")
+        >= 2,
+        1,
+    ).otherwise(0)
+    per_grp = e.select((F.col("label") % 3).alias("grp"), yhat.alias("yhat")).groupBy(
+        "grp"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("yhat").alias("pred_pos"))
+    overall = e.select(yhat.alias("yhat")).agg(
+        (F.sum("yhat").cast("double") / F.count(F.lit(1))).alias("rate_all")
+    )
+    fair = (
+        per_grp.crossJoin(F.broadcast(overall))
+        .select(
+            F.abs(F.col("pred_pos").cast("double") / F.col("n") - F.col("rate_all")).alias(
+                "gap"
+            )
+        )
+        .agg(F.max("gap").alias("max_parity_gap"))
+    )
+    rows = (
+        aucs.select(F.concat(F.lit("auc_"), "model").alias("metric"), F.col("auc").alias("value_"))
+        .unionByName(
+            aucs.select(F.concat(F.lit("brier_"), "model").alias("metric"), F.col("brier").alias("value_"))
+        )
+        .unionByName(ks.select(F.concat(F.lit("ks_"), "model").alias("metric"), F.col("ks").alias("value_")))
+        .unionByName(
+            f1s.select(F.concat(F.lit("best_f1_"), "model").alias("metric"), F.col("best_f1").alias("value_"))
+        )
+        .unionByName(fair.select(F.lit("max_parity_gap").alias("metric"), F.col("max_parity_gap").alias("value_")))
+    )
+    return rows.select("metric", F.round("value_", 9).alias("value_")).orderBy("metric")
