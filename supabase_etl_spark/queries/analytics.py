@@ -4609,3 +4609,72 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             "did_estimate"
         ),
     ).orderBy("n_total")
+
+
+@query(
+    "events_rolling_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    win AS (
+        SELECT event_type, day, t, y,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(t) OVER w AS BIGINT) AS st,
+               CAST(SUM(t * t) OVER w AS BIGINT) AS stt,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sy,
+               CAST(SUM(CAST(t * y AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sty
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY t
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, n,
+           CASE WHEN n * stt - st * st = 0 THEN 0.0
+                ELSE round((n * sty - st * sy) / (n * stt - st * st), 9) END
+               AS slope_7d
+    FROM win
+    ORDER BY event_type, day
+    """,
+    tags=("events", "analytics", "timeseries"),
+)
+def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day least-squares slope of each series — the rolling
+    trend detector dashboards shade green/red with. The regression
+    moments (n, Σt, Σt², Σy, Σty) accumulate in one RANGE-framed window
+    pass over the daily rollup with decimal-exact y-sums; the slope is
+    the closed form on five frame scalars, zero-guarded for degenerate
+    frames. Per-key windows over days-per-key rows — the corpus is
+    touched once by the rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y")).select(
+        "event_type",
+        "day",
+        F.datediff("day", F.lit("2024-01-01").cast("date")).cast("bigint").alias("t"),
+        "y",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rangeBetween(-6, 0)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("t").over(w).alias("st"),
+        F.sum(F.col("t") * F.col("t")).over(w).alias("stt"),
+        F.sum(F.col("y").cast("decimal(28,6)")).over(w).cast("double").alias("sy"),
+        F.sum((F.col("t") * F.col("y")).cast("decimal(28,6)")).over(w).cast("double").alias("sty"),
+    )
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    slope = F.when(den == 0, F.lit(0.0)).otherwise(
+        F.round((F.col("n") * F.col("sty") - F.col("st") * F.col("sy")) / den, 9)
+    )
+    return win.select("event_type", "day", "n", slope.alias("slope_7d")).orderBy(
+        "event_type", "day"
+    )

@@ -1408,3 +1408,127 @@ def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@query(
+    "dq_cross_field_rules",
+    oracle="""
+    WITH joined AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(l.l_shipdate AS DATE) AS ship_d,
+               CAST(o.o_orderdate AS DATE) AS order_d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN ship_d < order_d THEN 1 ELSE 0 END) AS BIGINT)
+               AS ship_before_order,
+           CAST(SUM(CASE WHEN date_diff('day', order_d, ship_d) > 120
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ship_over_120d,
+           CAST(SUM(CASE WHEN ship_d < order_d THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS violation_rate
+    FROM joined
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    tags=("dq",),
+)
+def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-FIELD (and cross-TABLE) consistency rules: ship-before-
+    order violations and >120-day shipping outliers per priority —
+    the temporal-sanity checks single-column profilers can't express
+    because the rule spans a join. One fact-dim equi-join and a
+    grouped conditional count; at scale the join is the star-schema
+    shuffle every fact query already pays."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    joined = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+        F.col("o_orderdate").cast("date").alias("order_d"),
+    )
+    viol = F.when(F.col("ship_d") < F.col("order_d"), 1).otherwise(0)
+    return (
+        joined.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(viol).alias("ship_before_order"),
+            F.sum(
+                F.when(F.datediff("ship_d", "order_d") > 120, 1).otherwise(0)
+            ).alias("ship_over_120d"),
+            (F.sum(viol).cast("double") / F.count(F.lit(1))).alias("violation_rate"),
+        )
+        .orderBy("priority")
+    )
+
+
+AB_Z_ALPHA = 1.959963984540054  # two-sided 5%
+AB_Z_BETA = 0.8416212335729143  # 80% power
+AB_Z_TOT2 = (AB_Z_ALPHA + AB_Z_BETA) ** 2  # shared (z_a + z_b)^2 literal
+
+
+@query(
+    "dq_ab_power_analysis",
+    oracle=f"""
+    WITH arms AS (
+        SELECT user_id % 2 AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    rates AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS p1,
+               CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS p2,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM arms
+    )
+    SELECT n1, n2, p1, p2, p2 - p1 AS observed_delta,
+           CASE WHEN p2 = p1 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(CEIL(CAST({AB_Z_TOT2!r} AS DOUBLE)
+                               * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+                               / ((p2 - p1) * (p2 - p1))) AS BIGINT) END
+               AS n_per_arm_80pct
+    FROM rates
+    ORDER BY n1
+    """,
+    tags=("dq", "stats"),
+)
+def dq_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size (power) analysis: given the observed conversion
+    rates of two deterministic arms, the per-arm n needed to detect the
+    observed delta at 80% power / 5% two-sided alpha — the
+    pre-experiment calculator that pairs the z-test operator (run it
+    BEFORE the test, not after it fails). z-quantile constants are
+    shared literals; everything else is exact count ratios and the
+    closed-form two-proportion formula."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    ).select((F.col("user_id") % 2).alias("arm"), "conv")
+    rates = arms.agg(
+        (
+            F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).cast("double")
+            / F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        ).alias("p1"),
+        (
+            F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).cast("double")
+            / F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        ).alias("p2"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n2"),
+    )
+    delta = F.col("p2") - F.col("p1")
+    n_req = F.when(F.col("p2") == F.col("p1"), F.lit(None).cast("bigint")).otherwise(
+        F.ceil(
+            F.lit(AB_Z_TOT2)
+            * (F.col("p1") * (1.0 - F.col("p1")) + F.col("p2") * (1.0 - F.col("p2")))
+            / (delta * delta)
+        ).cast("bigint")
+    )
+    return rates.select(
+        "n1", "n2", "p1", "p2", delta.alias("observed_delta"), n_req.alias("n_per_arm_80pct")
+    ).orderBy("n1")
