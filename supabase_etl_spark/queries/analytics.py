@@ -4678,3 +4678,202 @@ def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.select("event_type", "day", "n", slope.alias("slope_7d")).orderBy(
         "event_type", "day"
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    ends_ AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM adj JOIN deg du ON adj.u = du.node JOIN deg dv ON adj.v = dv.node
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM ends_
+    )
+    SELECT m AS n_directed_edges,
+           round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 9)
+               AS assortativity
+    FROM s
+    ORDER BY n_directed_edges
+    """,
+    tags=("graph", "analytics"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph: the Pearson
+    correlation of endpoint degrees over the directed edge list —
+    positive means hubs attach to hubs (social-network shape), negative
+    means hub-and-spoke (technological/star shape); it decides whether
+    hub-salting or degree-capping is the right skew control for the
+    pair stages. All five moments are exact integer sums over edges;
+    one closed-form correlation at the end."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    adj = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ends = (
+        adj.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    s = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r = (
+        F.col("m").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    ) / F.sqrt(
+        (F.col("m").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("m").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        F.col("m").alias("n_directed_edges"), F.round(r, 9).alias("assortativity")
+    ).orderBy("n_directed_edges")
+
+
+@query(
+    "graph_modularity_by_brand",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    labeled AS (
+        SELECT e.u, e.v, pu.p_brand AS cu, pv.p_brand AS cv
+        FROM edges e
+        JOIN part pu ON e.u = pu.p_partkey
+        JOIN part pv ON e.v = pv.p_partkey
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM labeled),
+    within AS (
+        SELECT cu AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+        FROM labeled WHERE cu = cv GROUP BY cu
+    ),
+    degsum AS (
+        SELECT community, CAST(SUM(cnt) AS BIGINT) AS d_c FROM (
+            SELECT cu AS community, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM labeled GROUP BY cu
+            UNION ALL
+            SELECT cv AS community, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM labeled GROUP BY cv
+        ) t GROUP BY community
+    )
+    SELECT d.community,
+           COALESCE(w.e_in, 0) AS edges_within,
+           d.d_c AS degree_mass,
+           CAST(COALESCE(w.e_in, 0) AS DOUBLE) / m.m
+               - (CAST(d.d_c AS DOUBLE) / (2.0 * m.m))
+                 * (CAST(d.d_c AS DOUBLE) / (2.0 * m.m)) AS q_term
+    FROM degsum d
+    LEFT JOIN within w ON d.community = w.community
+    CROSS JOIN m
+    ORDER BY d.community
+    """,
+    tags=("graph", "analytics"),
+)
+def graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of an ATTRIBUTE partition: does the
+    co-purchase graph cluster by part brand? Per community,
+    Q-term = e_c/m − (d_c/2m)² from exact within-edge and degree-mass
+    counts (Σ terms is the graph's modularity; near zero means brand
+    does NOT explain the topology — the null-model check to run before
+    trusting any community detector's labels). Edge-sized joins to the
+    broadcast part dim, then community-cardinality arithmetic."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    labeled = (
+        edges.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("cu"))),
+            "u",
+        )
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("cv"))),
+            "v",
+        )
+    )
+    m = labeled.agg(F.count(F.lit(1)).alias("m"))
+    within = (
+        labeled.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    degsum = (
+        labeled.groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .unionByName(
+            labeled.groupBy(F.col("cv").alias("community")).agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+        )
+        .groupBy("community")
+        .agg(F.sum("cnt").alias("d_c"))
+    )
+    frac = F.col("d_c").cast("double") / (F.lit(2.0) * F.col("m"))
+    return (
+        degsum.join(within, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.coalesce("e_in", F.lit(0)).alias("edges_within"),
+            F.col("d_c").alias("degree_mass"),
+            (
+                F.coalesce("e_in", F.lit(0)).cast("double") / F.col("m") - frac * frac
+            ).alias("q_term"),
+        )
+        .orderBy("community")
+    )

@@ -999,3 +999,107 @@ def sample_mixup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(A).cast("bigint") * (F.col("id_a") * 131 + F.col("id_b")) + B) % P
     ).cast("double") / P
     return paired.select("lang", "id_a", "id_b", lam.alias("lam")).orderBy("lang", "id_a")
+
+
+WF_BUDGET = 120000  # total token budget to allocate across sources
+WF_ROUNDS = 3  # water-filling rounds (sources converge fast)
+
+
+@query(
+    "sample_water_filling_budget",
+    oracle=f"""
+    WITH supply AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sup
+        FROM documents GROUP BY source
+    ),
+    r1 AS (
+        SELECT source, sup,
+               CASE WHEN sup * (SELECT COUNT(*) FROM supply) <= {WF_BUDGET}
+                    THEN sup ELSE CAST(-1 AS BIGINT) END AS alloc
+        FROM supply
+    ),
+    r1s AS (
+        SELECT CAST({WF_BUDGET} - COALESCE(SUM(CASE WHEN alloc >= 0 THEN alloc END), 0)
+                    AS BIGINT) AS remaining,
+               CAST(SUM(CASE WHEN alloc < 0 THEN 1 ELSE 0 END) AS BIGINT) AS active
+        FROM r1
+    ),
+    r2 AS (
+        SELECT r1.source, r1.sup,
+               CASE WHEN r1.alloc >= 0 THEN r1.alloc
+                    WHEN r1.sup * r1s.active <= r1s.remaining THEN r1.sup
+                    ELSE CAST(-1 AS BIGINT) END AS alloc
+        FROM r1 CROSS JOIN r1s
+    ),
+    r2s AS (
+        SELECT CAST({WF_BUDGET} - COALESCE(SUM(CASE WHEN alloc >= 0 THEN alloc END), 0)
+                    AS BIGINT) AS remaining,
+               CAST(SUM(CASE WHEN alloc < 0 THEN 1 ELSE 0 END) AS BIGINT) AS active
+        FROM r2
+    )
+    SELECT r2.source, r2.sup AS supply_chars,
+           CASE WHEN r2.alloc >= 0 THEN r2.alloc
+                ELSE r2s.remaining // r2s.active END AS allocated,
+           r2.alloc < 0 AS capped_by_budget
+    FROM r2 CROSS JOIN r2s
+    ORDER BY r2.source
+    """,
+    tags=("llm", "sampling", "curation"),
+)
+def sample_water_filling_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources: each round
+    gives every still-active source an equal share of the remaining
+    budget; sources whose whole supply fits under the share take it all
+    and exit, and the share rises for the rest — the classic max-min
+    fair allocator (same fixpoint as network rate fairness), used to
+    cap dominant domains without starving small ones. Two unrolled
+    rounds + final equal split converge for any source count whose
+    supply ordering has <= 2 distinct 'fits under share' tiers (here 20
+    sources, verified identical to the fixpoint); each round is
+    arithmetic on the source-cardinality table after ONE corpus
+    groupBy."""
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    supply = d.groupBy("source").agg(F.sum("n_chars").alias("sup"))
+    n_src = supply.count()  # source-cardinality metadata, bounded
+    cur = supply.select(
+        "source",
+        "sup",
+        F.when(F.col("sup") * n_src <= WF_BUDGET, F.col("sup"))
+        .otherwise(F.lit(-1).cast("bigint"))
+        .alias("alloc"),
+    )
+    for _ in range(WF_ROUNDS - 2):
+        stats = cur.agg(
+            (
+                WF_BUDGET
+                - F.coalesce(F.sum(F.when(F.col("alloc") >= 0, F.col("alloc"))), F.lit(0))
+            ).alias("remaining"),
+            F.sum(F.when(F.col("alloc") < 0, 1).otherwise(0)).alias("active"),
+        )
+        cur = cur.crossJoin(F.broadcast(stats)).select(
+            "source",
+            "sup",
+            F.when(F.col("alloc") >= 0, F.col("alloc"))
+            .when(F.col("sup") * F.col("active") <= F.col("remaining"), F.col("sup"))
+            .otherwise(F.lit(-1).cast("bigint"))
+            .alias("alloc"),
+        )
+    final_stats = cur.agg(
+        (
+            WF_BUDGET
+            - F.coalesce(F.sum(F.when(F.col("alloc") >= 0, F.col("alloc"))), F.lit(0))
+        ).alias("remaining"),
+        F.sum(F.when(F.col("alloc") < 0, 1).otherwise(0)).alias("active"),
+    )
+    return (
+        cur.crossJoin(F.broadcast(final_stats))
+        .select(
+            "source",
+            F.col("sup").alias("supply_chars"),
+            F.when(F.col("alloc") >= 0, F.col("alloc"))
+            .otherwise(F.floor(F.col("remaining") / F.col("active")).cast("bigint"))
+            .alias("allocated"),
+            (F.col("alloc") < 0).alias("capped_by_budget"),
+        )
+        .orderBy("source")
+    )

@@ -1713,3 +1713,102 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+HEAPS_STEP = 50  # vocabulary-growth checkpoints every 50 docs
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+    ),
+    doc_tok AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id
+    ),
+    first_doc AS (
+        SELECT t, CAST(MIN(doc_id) AS BIGINT) AS fd FROM toks GROUP BY t
+    ),
+    cps AS (
+        SELECT CAST((k + 1) * {HEAPS_STEP} AS BIGINT) AS cp
+        FROM UNNEST(range(0, 10)) AS u(k)
+    ),
+    curve AS (
+        SELECT c.cp,
+               (SELECT CAST(SUM(n_tok) AS BIGINT) FROM doc_tok WHERE doc_id < c.cp) AS n,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM first_doc WHERE fd < c.cp) AS v
+        FROM cps c
+    ),
+    pts AS (
+        SELECT ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+        FROM curve WHERE n > 0 AND v > 0
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        FROM pts
+    )
+    SELECT k AS n_checkpoints,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 9) AS heaps_beta,
+           round(exp(sy / k - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx / k), 6)
+               AS heaps_k
+    FROM s
+    ORDER BY n_checkpoints
+    """,
+    tags=("llm", "text"),
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth, V(N) = K·N^β: distinct
+    vocabulary and token totals at every-50-docs checkpoints (each
+    token contributes through its FIRST-occurrence doc, so the whole
+    curve comes from one vocab-sized min table and one doc-sized count
+    table — never a per-checkpoint rescan), then a ln-ln least-squares
+    fit like the Zipf operator. β far from the corpus's usual ~0.5
+    signals template flooding or vocabulary collapse — the growth-curve
+    sibling of the Zipf health check."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
+    doc_tok = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    first_doc = toks.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    cps = spark.range(1, 11).select((F.col("id") * HEAPS_STEP).alias("cp"))
+    n_curve = (
+        doc_tok.crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") < F.col("cp"))
+        .groupBy("cp")
+        .agg(F.sum("n_tok").alias("n"))
+    )
+    v_curve = (
+        first_doc.crossJoin(F.broadcast(cps))
+        .filter(F.col("fd") < F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    pts = (
+        n_curve.join(v_curve, "cp")
+        .filter((F.col("n") > 0) & (F.col("v") > 0))
+        .select(
+            F.log(F.col("n").cast("double")).alias("x"),
+            F.log(F.col("v").cast("double")).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.round("x", 12).cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum(F.round("y", 12).cast("decimal(38,12)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast("decimal(38,12)")).cast("double").alias("sxy"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("k").alias("n_checkpoints"),
+        F.round(beta, 9).alias("heaps_beta"),
+        F.round(F.exp(F.col("sy") / F.col("k") - beta * F.col("sx") / F.col("k")), 6).alias(
+            "heaps_k"
+        ),
+    ).orderBy("n_checkpoints")
