@@ -1783,3 +1783,162 @@ def embedding_farthest_first_init(spark: SparkSession, sf_dir: str) -> DataFrame
         [(0, 0, 0.0)], "round int, center_id bigint, dist double"
     )
     return first.unionByName(out).orderBy("round")
+
+
+MMR_QUERIES = 5
+MMR_POOL = 10
+MMR_PICKS = 3
+MMR_LAMBDA = 0.7
+
+
+def _sql_mmr_round(sel_list: str, idx: int) -> str:
+    """One MMR greedy round: candidates not yet selected score
+    λ·rel − (1−λ)·max-sim-to-selected; argmax per query (ties → min
+    cid)."""
+    return f"""
+    mx{idx} AS (
+        SELECT p.qid, p.cid, p.rel,
+               MAX({sql_dot("p.ce", "s.ce")} / (p.cn * s.cn)) AS maxsim
+        FROM pool p
+        JOIN {sel_list} s ON p.qid = s.qid AND p.cid NOT IN (SELECT cid FROM {sel_list} s2 WHERE s2.qid = p.qid)
+        GROUP BY p.qid, p.cid, p.rel
+    ),
+    sc{idx} AS (
+        SELECT qid, cid, rel,
+               {MMR_LAMBDA} * rel - {round(1.0 - MMR_LAMBDA, 10)} * maxsim AS score,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY {MMR_LAMBDA} * rel - {round(1.0 - MMR_LAMBDA, 10)} * maxsim DESC,
+                            cid ASC) AS rn
+        FROM mx{idx}
+    ),
+    pick{idx} AS (
+        SELECT qid, cid, CAST({idx} AS BIGINT) AS pick_rank, score
+        FROM sc{idx} WHERE rn = 1
+    ),
+    sel{idx} AS (
+        SELECT s.qid, s.cid, p.ce, p.cn FROM (
+            SELECT qid, cid FROM {sel_list}
+            UNION ALL SELECT qid, cid FROM pick{idx}
+        ) s JOIN pool p ON s.qid = p.qid AND s.cid = p.cid
+    )"""
+
+
+@query(
+    "sim_mmr_diversified_rerank",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe,
+               sqrt({sql_dot("embedding", "embedding")}) AS qn
+        FROM embeddings WHERE vec_id < {MMR_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               sqrt({sql_dot("embedding", "embedding")}) AS cn
+        FROM embeddings WHERE vec_id >= {MMR_QUERIES}
+    ),
+    ranked AS (
+        SELECT qid, cid, ce, cn,
+               {sql_dot("qe", "ce")} / (qn * cn) AS rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY {sql_dot("qe", "ce")} / (qn * cn) DESC, cid ASC) AS rn
+        FROM q CROSS JOIN c
+    ),
+    pool AS (
+        SELECT qid, cid, ce, cn, rel FROM ranked WHERE rn <= {MMR_POOL}
+    ),
+    first_pick AS (
+        SELECT qid, cid, CAST(1 AS BIGINT) AS pick_rank, rel AS score
+        FROM (
+            SELECT qid, cid, rel,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn
+            FROM pool
+        ) WHERE rn = 1
+    ),
+    sel1 AS (
+        SELECT f.qid, f.cid, p.ce, p.cn
+        FROM first_pick f JOIN pool p ON f.qid = p.qid AND f.cid = p.cid
+    ),
+    {_sql_mmr_round("sel1", 2)},
+    {_sql_mmr_round("sel2", 3)}
+    SELECT qid, pick_rank, cid, round(score, 9) AS score FROM (
+        SELECT qid, cid, pick_rank, score FROM first_pick
+        UNION ALL SELECT qid, cid, pick_rank, score FROM pick2
+        UNION ALL SELECT qid, cid, pick_rank, score FROM pick3
+    ) t
+    ORDER BY qid, pick_rank
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from each query's exact
+    top-10 pool, greedily pick 3 results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked — the standard
+    diversification pass between retrieval and display (or between
+    retrieval and RAG context packing, where near-duplicate passages
+    waste the token budget). The greedy loop unrolls into K rounds of
+    pool×selected joins — per query that is POOL·k pairs, never
+    corpus-sized; the pool itself comes from the broadcast-query exact
+    ranking. Scores are exact dot-fold arithmetic; ties break to the
+    smallest cid, so the picked sets match bitwise."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
+    q = e.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), nrm.alias("qn")
+    )
+    c = e.filter(F.col("vec_id") >= MMR_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), nrm.alias("cn")
+    )
+    rel = dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    wrel = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("cid").asc())
+    pool = (
+        c.crossJoin(F.broadcast(q))
+        .select("qid", "cid", "ce", "cn", rel.alias("rel"))
+        .withColumn("rn", F.row_number().over(wrel))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+        .localCheckpoint()  # the pool is reused by every greedy round
+    )
+    first_pick = (
+        pool.withColumn("rn", F.row_number().over(wrel))
+        .filter(F.col("rn") == 1)
+        .select("qid", "cid", F.lit(1).cast("bigint").alias("pick_rank"), F.col("rel").alias("score"))
+    )
+    sel = first_pick.join(
+        pool.select("qid", "cid", "ce", "cn"), ["qid", "cid"]
+    ).select("qid", "cid", "ce", "cn")
+    picks = [first_pick]
+    lam, om = MMR_LAMBDA, round(1.0 - MMR_LAMBDA, 10)
+    for k in range(2, MMR_PICKS + 1):
+        sim = dot_double(F.col("ce"), F.col("sce")) / (F.col("cn") * F.col("scn"))
+        cand = pool.join(
+            sel.select(
+                "qid", F.col("cid").alias("scid"), F.col("ce").alias("sce"), F.col("cn").alias("scn")
+            ),
+            "qid",
+        )
+        # drop candidates already in the selected set (anti on the pair key)
+        cand = cand.join(sel.select("qid", "cid"), ["qid", "cid"], "left_anti")
+        mx = cand.select("qid", "cid", "rel", sim.alias("sim")).groupBy(
+            "qid", "cid", "rel"
+        ).agg(F.max("sim").alias("maxsim"))
+        score = lam * F.col("rel") - om * F.col("maxsim")
+        wsc = Window.partitionBy("qid").orderBy(score.desc(), F.col("cid").asc())
+        pick = (
+            mx.withColumn("rn", F.row_number().over(wsc))
+            .filter(F.col("rn") == 1)
+            .select(
+                "qid", "cid", F.lit(k).cast("bigint").alias("pick_rank"), score.alias("score")
+            )
+        )
+        picks.append(pick)
+        sel = sel.unionByName(
+            pick.join(pool.select("qid", "cid", "ce", "cn"), ["qid", "cid"]).select(
+                "qid", "cid", "ce", "cn"
+            )
+        )
+    out = picks[0]
+    for p_ in picks[1:]:
+        out = out.unionByName(p_)
+    return out.select("qid", "pick_rank", "cid", F.round("score", 9).alias("score")).orderBy(
+        "qid", "pick_rank"
+    )
