@@ -69,12 +69,57 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
-def commit(df: DataFrame, table_dir: str, mode: str = "append", note: str = "") -> int:
+class SchemaEnforcementError(ValueError):
+    """Raised by commit(schema_mode='enforce') when the incoming
+    DataFrame's schema does not match the table's current schema —
+    write-time fail-fast (Delta's schema enforcement), instead of a
+    surprise at some later read."""
+
+
+def _table_schema(df: DataFrame, table_dir: str, version: int):
+    """Current snapshot's reconciled schema, footer-only (no row read)."""
+    manifest = _read_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, f) for f in manifest["files"]]
+    return (
+        df.sparkSession.read.option("mergeSchema", "true").parquet(*paths).schema
+    )
+
+
+def commit(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    note: str = "",
+    schema_mode: str = "merge",
+) -> int:
     """Write ``df``'s rows as new immutable files and commit the next
-    snapshot. Returns the new version number."""
+    snapshot. Returns the new version number.
+
+    ``schema_mode='merge'`` (default) keeps the store's historical
+    behavior: appended files may add or drop columns, and read()
+    reconciles via footer-union mergeSchema. ``schema_mode='enforce'``
+    rejects an append whose column set or types differ from the
+    current snapshot (SchemaEnforcementError listing the drift), the
+    fail-fast contract production tables want: a typo'd producer dies
+    at WRITE time instead of poisoning every downstream read."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode}")
+    if schema_mode not in ("merge", "enforce"):
+        raise ValueError(f"schema_mode must be merge|enforce, got {schema_mode}")
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    if schema_mode == "enforce" and mode == "append" and current_version(table_dir) > 0:
+        cur = {f.name: f.dataType for f in _table_schema(df, table_dir, current_version(table_dir))}
+        new = {f.name: f.dataType for f in df.schema}
+        added = sorted(set(new) - set(cur))
+        missing = sorted(set(cur) - set(new))
+        retyped = sorted(
+            n for n in set(cur) & set(new) if cur[n].simpleString() != new[n].simpleString()
+        )
+        if added or missing or retyped:
+            raise SchemaEnforcementError(
+                f"schema drift rejected: added={added} missing={missing} "
+                f"retyped={retyped}"
+            )
     # the new data files are invisible until the manifest names them
     new_files = _write_data_files(df, table_dir)
     prev = current_version(table_dir)

@@ -1639,3 +1639,93 @@ def io_manifest_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "io_manifest_schema_enforcement",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000
+    ),
+    appended AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey > 1000 AND o_orderkey <= 1500
+    ),
+    final_rows AS (
+        SELECT * FROM base UNION ALL SELECT * FROM appended
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+           TRUE AS drift_rejected,
+           TRUE AS retype_rejected,
+           TRUE AS version_unchanged_after_reject,
+           TRUE AS conforming_append_ok
+    FROM final_rows
+    ORDER BY n_rows
+    """,
+    tags=("io", "lakehouse"),
+)
+def io_manifest_schema_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time schema enforcement on the manifest store (Delta's
+    enforcement contract): v1 commits a two-column table; an append
+    that ADDS a column and one that RETYPES a column are both rejected
+    under schema_mode='enforce' with the version unchanged — the
+    producer dies at write time instead of poisoning downstream reads —
+    while a conforming append lands. Enforcement is a footer-only
+    schema probe: no data rows are read to validate a write."""
+    from supabase_etl_spark.io import manifest_store as M
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = scratch_dir("manifest_enforce_")
+    M.commit(o.filter(F.col("o_orderkey") <= 1000), table, "overwrite")
+
+    drift_rejected = False
+    try:
+        M.commit(
+            o.filter(F.col("o_orderkey") <= 10).withColumn("extra", F.lit(1)),
+            table,
+            "append",
+            schema_mode="enforce",
+        )
+    except M.SchemaEnforcementError:
+        drift_rejected = True
+    retype_rejected = False
+    try:
+        M.commit(
+            o.filter(F.col("o_orderkey") <= 10).withColumn(
+                "o_totalprice", F.col("o_totalprice").cast("string")
+            ),
+            table,
+            "append",
+            schema_mode="enforce",
+        )
+    except M.SchemaEnforcementError:
+        retype_rejected = True
+    version_unchanged = M.current_version(table) == 1
+
+    M.commit(
+        o.filter((F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1500)),
+        table,
+        "append",
+        schema_mode="enforce",
+    )
+    conforming_ok = M.current_version(table) == 2
+
+    from supabase_etl_spark.queries._helpers import dsum
+
+    return (
+        M.read(spark, table)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .select(
+            "n_rows",
+            "total_price",
+            F.lit(bool(drift_rejected)).alias("drift_rejected"),
+            F.lit(bool(retype_rejected)).alias("retype_rejected"),
+            F.lit(bool(version_unchanged)).alias("version_unchanged_after_reject"),
+            F.lit(bool(conforming_ok)).alias("conforming_append_ok"),
+        )
+        .orderBy("n_rows")
+    )

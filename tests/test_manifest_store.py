@@ -543,3 +543,43 @@ def test_restore_carries_mor_deletes(spark, tmp_path):
     M.commit(spark.range(100, 110).selectExpr("id", "id AS v"), t, "append")
     v = M.restore(t, 2)
     assert M.read(spark, t, v).count() == 15  # deletes restored with files
+
+
+# ---------------------------------------------------------------------------
+# Schema enforcement
+# ---------------------------------------------------------------------------
+
+
+def test_schema_enforce_rejects_added_and_retyped_columns(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10).selectExpr("id", "id * 2 AS v"), t, "overwrite")
+    with pytest.raises(M.SchemaEnforcementError, match="added=\\['extra'\\]"):
+        M.commit(
+            spark.range(5).selectExpr("id", "id AS v", "id AS extra"),
+            t,
+            "append",
+            schema_mode="enforce",
+        )
+    with pytest.raises(M.SchemaEnforcementError, match="retyped=\\['v'\\]"):
+        M.commit(
+            spark.range(5).selectExpr("id", "CAST(id AS STRING) AS v"),
+            t,
+            "append",
+            schema_mode="enforce",
+        )
+    # nothing was committed by the failed attempts
+    assert M.current_version(t) == 1
+    assert M.read(spark, t).count() == 10
+
+
+def test_schema_enforce_accepts_identical_and_merge_still_evolves(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10).selectExpr("id", "id AS v"), t, "overwrite")
+    M.commit(
+        spark.range(10, 15).selectExpr("id", "id AS v"), t, "append", schema_mode="enforce"
+    )
+    assert M.read(spark, t).count() == 15
+    # default merge mode keeps the historical evolution behavior
+    M.commit(spark.range(15, 18).selectExpr("id", "id AS v", "id AS w"), t, "append")
+    got = M.read(spark, t)
+    assert got.count() == 18 and "w" in got.columns
