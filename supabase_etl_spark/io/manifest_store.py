@@ -695,3 +695,24 @@ def clone_shallow(src_table: str, dst_table: str, note: str = "") -> int:
     return _commit_files(
         dst_table, files, note or f"clone-of-{src_table}@v{v}", base_version=0
     )
+
+
+def metadata_count(table_dir: str, version: int | None = None) -> int | None:
+    """COUNT(*) answered from parquet FOOTERS alone — zero data rows
+    read (the trick behind Delta/Iceberg's instant counts: snapshot
+    row counts are metadata). Driver-side O(files) footer probes via
+    pyarrow. Returns None when the snapshot carries live MOR deletes
+    (footers can't see anti-joined rows — compact_mor() restores
+    metadata-answerable counts)."""
+    import pyarrow.parquet as pq
+
+    v = version if version is not None else current_version(table_dir)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _read_manifest(table_dir, v)
+    if manifest.get("deletes"):
+        return None
+    return sum(
+        pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows
+        for f in manifest["files"]
+    )

@@ -4877,3 +4877,71 @@ def graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH presence AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    endpoints AS (
+        SELECT day, start_ts AS at_ts, 1 AS delta, user_id FROM presence
+        UNION ALL
+        SELECT day, end_ts AS at_ts, -1 AS delta, user_id FROM presence
+    ),
+    swept AS (
+        SELECT day, at_ts,
+               CAST(SUM(delta) OVER (PARTITION BY day
+                   ORDER BY at_ts, delta DESC, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS concurrent
+        FROM endpoints
+    ),
+    peaks AS (
+        SELECT day, MAX(concurrent) AS peak FROM swept GROUP BY day
+    )
+    SELECT p.day, p.peak,
+           MIN(s.at_ts) AS first_peak_ts
+    FROM peaks p JOIN swept s ON p.day = s.day AND s.concurrent = p.peak
+    GROUP BY p.day, p.peak
+    ORDER BY p.day
+    """,
+    tags=("events", "analytics", "sessions"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day — the meeting-rooms sweep: each user's
+    daily presence interval contributes +1 at its start and −1 at its
+    end, a running sum over the day-partitioned endpoint stream finds
+    the maximum simultaneous users, and the first instant it is reached.
+    The tie rule (starts before ends at the same timestamp → inclusive
+    overlap) is pinned into the ORDER BY so both engines sweep
+    identically. Endpoints are 2 rows per (user, day) — the sweep
+    windows are day-partitioned, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    presence = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    endpoints = presence.select(
+        "day", F.col("start_ts").alias("at_ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        presence.select(
+            "day", F.col("end_ts").alias("at_ts"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("at_ts").asc(), F.col("delta").desc(), F.col("user_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = endpoints.select("day", "at_ts", F.sum("delta").over(w).alias("concurrent"))
+    peaks = swept.groupBy("day").agg(F.max("concurrent").alias("peak"))
+    return (
+        swept.join(peaks, "day")
+        .filter(F.col("concurrent") == F.col("peak"))
+        .groupBy("day", "peak")
+        .agg(F.min("at_ts").alias("first_peak_ts"))
+        .orderBy("day")
+    )

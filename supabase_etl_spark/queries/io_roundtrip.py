@@ -1729,3 +1729,69 @@ def io_manifest_schema_enforcement(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("n_rows")
     )
+
+
+@query(
+    "io_manifest_metadata_count",
+    oracle="""
+    WITH v1 AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey <= 3000),
+    v2 AS (
+        SELECT COUNT(*) AS c FROM orders
+        WHERE o_orderkey <= 3000 OR (o_orderkey > 3000 AND o_orderkey <= 4000)
+    )
+    SELECT CAST(v1.c AS BIGINT) AS v1_rows,
+           CAST(v2.c AS BIGINT) AS v2_rows,
+           TRUE AS v1_metadata_matches_scan,
+           TRUE AS v2_metadata_matches_scan,
+           TRUE AS mor_returns_none,
+           TRUE AS compacted_metadata_restored
+    FROM v1 CROSS JOIN v2
+    ORDER BY v1_rows
+    """,
+    tags=("io", "lakehouse"),
+)
+def io_manifest_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*): snapshot row counts answered from
+    parquet footers with zero data rows read (the Delta/Iceberg
+    instant-count trick), checked against full scans at two versions;
+    a live MOR delete makes the metadata count honestly decline
+    (returns None — footers cannot see anti-joined rows) and
+    compaction restores it. At 100 TB this is the difference between a
+    dashboard COUNT costing milliseconds of driver metadata and a
+    full-table scan."""
+    from supabase_etl_spark.io import manifest_store as M
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    table = scratch_dir("manifest_metacount_")
+    M.commit(o.filter(F.col("o_orderkey") <= 3000).repartition(2), table, "overwrite")
+    v1_meta = M.metadata_count(table)
+    v1_scan = M.read(spark, table).count()
+
+    M.commit(
+        o.filter((F.col("o_orderkey") > 3000) & (F.col("o_orderkey") <= 4000)),
+        table,
+        "append",
+    )
+    v2_meta = M.metadata_count(table)
+    v2_scan = M.read(spark, table).count()
+
+    M.delete_where_mor(spark, table, "o_orderkey % 5 = 0", ["o_orderkey"])
+    mor_none = M.metadata_count(table) is None
+    M.compact_mor(spark, table)
+    compacted_ok = M.metadata_count(table) == M.read(spark, table).count()
+
+    return spark.createDataFrame(
+        [
+            (
+                int(v1_scan),
+                int(v2_scan),
+                bool(v1_meta == v1_scan),
+                bool(v2_meta == v2_scan),
+                bool(mor_none),
+                bool(compacted_ok),
+            )
+        ],
+        "v1_rows bigint, v2_rows bigint, v1_metadata_matches_scan boolean, "
+        "v2_metadata_matches_scan boolean, mor_returns_none boolean, "
+        "compacted_metadata_restored boolean",
+    ).orderBy("v1_rows")
