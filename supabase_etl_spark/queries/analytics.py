@@ -4945,3 +4945,109 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("at_ts").alias("first_peak_ts"))
         .orderBy("day")
     )
+
+
+@query(
+    "events_stickiness_ratio",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ),
+    cover AS (
+        SELECT CAST(day + CAST(k AS INT) AS DATE) AS wday, user_id
+        FROM du, UNNEST(range(0, 7)) AS t(k)
+    ),
+    wau AS (
+        SELECT wday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM cover GROUP BY wday
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    ORDER BY d.day
+    """,
+    tags=("events", "analytics"),
+)
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio product teams
+    track (1.0 = every weekly user shows up daily). The trailing-7-day
+    distinct count uses the covering-days explode (each active day
+    contributes itself to the next 7 window anchors), the same
+    shuffle-bounded rewrite as the sliding-distinct operator — a 7×
+    fan-out of (day, user) rows, never a per-day rescan."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "day", "user_id"
+    ).select(F.date_add("day", F.col("k")).alias("day"), "user_id")
+    wau = cover.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select("day", "dau", "wau", (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "orders_littles_law_audit",
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS start_d,
+               MAX(CAST(l.l_shipdate AS DATE)) AS end_d
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ),
+    horizon AS (
+        SELECT MIN(start_d) AS d0, MAX(end_d) AS d1,
+               CAST(date_diff('day', MIN(start_d), MAX(end_d)) + 1 AS BIGINT) AS n_days,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(date_diff('day', start_d, end_d) + 1) AS BIGINT) AS order_days
+        FROM spans
+    )
+    SELECT n_orders, n_days,
+           CAST(n_orders AS DOUBLE) / n_days AS lambda_per_day,
+           CAST(order_days AS DOUBLE) / n_orders AS w_days,
+           (CAST(n_orders AS DOUBLE) / n_days) * (CAST(order_days AS DOUBLE) / n_orders)
+               AS l_littles,
+           CAST(order_days AS DOUBLE) / n_days AS l_time_avg
+    FROM horizon
+    ORDER BY n_orders
+    """,
+    tags=("analytics", "ops"),
+)
+def orders_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit over the order lifecycle: arrival rate λ
+    (orders/day over the horizon), mean time-in-system W (order date →
+    last line shipped, inclusive), and the two sides of L = λ·W — the
+    queueing identity every ops dashboard should reconcile; here the
+    identity holds EXACTLY because both sides reduce to the same
+    Σ order-days (the algebra is surfaced, not assumed). One fact-dim
+    groupBy to per-order spans, then constant-size arithmetic on four
+    exact integers."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("start_d"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("end_d"))
+    )
+    horizon = spans.agg(
+        (F.datediff(F.max("end_d"), F.min("start_d")) + 1).cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.datediff("end_d", "start_d") + 1).cast("bigint").alias("order_days"),
+    )
+    lam = F.col("n_orders").cast("double") / F.col("n_days")
+    w = F.col("order_days").cast("double") / F.col("n_orders")
+    return horizon.select(
+        "n_orders",
+        "n_days",
+        lam.alias("lambda_per_day"),
+        w.alias("w_days"),
+        (lam * w).alias("l_littles"),
+        (F.col("order_days").cast("double") / F.col("n_days")).alias("l_time_avg"),
+    ).orderBy("n_orders")
