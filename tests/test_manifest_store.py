@@ -583,3 +583,31 @@ def test_schema_enforce_accepts_identical_and_merge_still_evolves(spark, tmp_pat
     M.commit(spark.range(15, 18).selectExpr("id", "id AS v", "id AS w"), t, "append")
     got = M.read(spark, t)
     assert got.count() == 18 and "w" in got.columns
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only counts
+# ---------------------------------------------------------------------------
+
+
+def test_metadata_count_matches_scan_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(123).selectExpr("id"), t, "overwrite")
+    M.commit(spark.range(200, 250).selectExpr("id"), t, "append")
+    assert M.metadata_count(t, 1) == 123
+    assert M.metadata_count(t) == 173 == M.read(spark, t).count()
+
+
+def test_metadata_count_declines_under_mor_then_recovers(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(100).selectExpr("id"), t, "overwrite")
+    M.delete_where_mor(spark, t, "id < 40", ["id"])
+    assert M.metadata_count(t) is None  # footers can't see anti-joined rows
+    assert M.metadata_count(t, 1) == 100  # pre-delete snapshot still metadata-answerable
+    M.compact_mor(spark, t)
+    assert M.metadata_count(t) == 60 == M.read(spark, t).count()
+
+
+def test_metadata_count_requires_a_committed_version(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        M.metadata_count(str(tmp_path / "nope"))
