@@ -1438,3 +1438,69 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > 1.96).alias("significant_05"),
     ).orderBy("n1")
+
+
+@query(
+    "agg_herfindahl_index",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS cust_rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    seg AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(cust_rev AS DECIMAL(28,6))) AS DOUBLE) AS seg_rev
+        FROM rev GROUP BY segment
+    )
+    SELECT s.segment, s.n_customers,
+           round(CAST(SUM(CAST(round((r.cust_rev / s.seg_rev)
+                                     * (r.cust_rev / s.seg_rev), 12)
+                               AS DECIMAL(38,12))) AS DOUBLE), 9) AS hhi,
+           round(CAST(SUM(CAST(round((r.cust_rev / s.seg_rev)
+                                     * (r.cust_rev / s.seg_rev), 12)
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                 * s.n_customers, 6) AS hhi_normalized_x_n
+    FROM rev r JOIN seg s ON r.segment = s.segment
+    GROUP BY s.segment, s.n_customers, s.seg_rev
+    ORDER BY s.segment
+    """,
+    tags=("agg", "stats"),
+)
+def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per market segment:
+    Σ (customer revenue share)² — the antitrust/portfolio statistic
+    pairing the Gini operator (HHI weighs the head, Gini the whole
+    curve; 1/n = perfectly even, 1 = monopoly — surfaced via HHI·n).
+    Two grouped passes (customer revenue, segment totals) and a
+    decimal-summed square pass over customer-sized rows."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("cust_rev")
+        )
+    )
+    seg = rev.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("cust_rev").cast("decimal(28,6)")).cast("double").alias("seg_rev"),
+    )
+    share2 = F.round(
+        (F.col("cust_rev") / F.col("seg_rev")) * (F.col("cust_rev") / F.col("seg_rev")), 12
+    ).cast("decimal(38,12)")
+    return (
+        rev.join(F.broadcast(seg), "segment")
+        .groupBy("segment", "n_customers", "seg_rev")
+        .agg(F.sum(share2).cast("double").alias("hhi_raw"))
+        .select(
+            "segment",
+            "n_customers",
+            F.round("hhi_raw", 9).alias("hhi"),
+            F.round(F.col("hhi_raw") * F.col("n_customers"), 6).alias("hhi_normalized_x_n"),
+        )
+        .orderBy("segment")
+    )

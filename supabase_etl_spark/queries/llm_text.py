@@ -1812,3 +1812,51 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaps_k"
         ),
     ).orderBy("n_checkpoints")
+
+
+@query(
+    "text_lang_id_confusion",
+    oracle=f"""
+    WITH preds AS (
+        SELECT lang AS declared, {T.sql_lang_id()} AS predicted
+        FROM documents
+    ),
+    cells AS (
+        SELECT declared, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM preds GROUP BY declared, predicted
+    ),
+    support AS (
+        SELECT declared, CAST(SUM(n) AS BIGINT) AS total FROM cells GROUP BY declared
+    )
+    SELECT c.declared, c.predicted, c.n,
+           CAST(c.n AS DOUBLE) / s.total AS frac_of_declared,
+           c.declared = c.predicted AS is_correct
+    FROM cells c JOIN support s ON c.declared = s.declared
+    ORDER BY c.declared, c.predicted
+    """,
+    tags=("llm", "text", "ml-eval"),
+)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the engine's own stopword-profile language
+    detector against the declared labels — eating our own eval
+    dogfood: text_lang_id reports per-document hits, this aggregates
+    WHERE the detector fails (which language pairs confuse it), the
+    view that actually drives threshold/profile fixes. One grouped
+    count over the per-row prediction; languages² cells."""
+    d = load_table(spark, sf_dir, "documents")
+    preds = d.select(
+        F.col("lang").alias("declared"), T.lang_id(F.col("text")).alias("predicted")
+    )
+    cells = preds.groupBy("declared", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    support = cells.groupBy("declared").agg(F.sum("n").alias("total"))
+    return (
+        cells.join(support, "declared")
+        .select(
+            "declared",
+            "predicted",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("frac_of_declared"),
+            (F.col("declared") == F.col("predicted")).alias("is_correct"),
+        )
+        .orderBy("declared", "predicted")
+    )
