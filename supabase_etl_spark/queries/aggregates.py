@@ -1504,3 +1504,65 @@ def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+TRIM_FRAC = 0.1  # drop the lowest and highest 10% by rank
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS y,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ),
+    kept AS (
+        SELECT grp, y, n,
+               CAST(FLOOR(n * {TRIM_FRAC}) AS BIGINT) AS cut
+        FROM ranked
+        WHERE rn > CAST(FLOOR(n * {TRIM_FRAC}) AS BIGINT)
+          AND rn <= n - CAST(FLOOR(n * {TRIM_FRAC}) AS BIGINT)
+    )
+    SELECT grp,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS trimmed_mean
+    FROM kept
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    tags=("agg", "stats"),
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed mean per group: drop the lowest and highest decile
+    BY EXACT RANK (deterministic o_orderkey tiebreak, so the kept set —
+    not just its size — is identical in both engines) and average the
+    middle with decimal-exact sums — the outlier-robust mean that
+    pairs the winsorize (clip) report: trimming removes, winsorizing
+    caps. One rank window per group plus one grouped mean."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("y"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    cut = F.floor(F.col("n") * TRIM_FRAC).cast("bigint")
+    kept = ranked.filter((F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut))
+    return (
+        kept.groupBy("grp")
+        .agg(
+            F.max("n").alias("n_total"),
+            F.count(F.lit(1)).alias("n_kept"),
+            (F.sum(F.col("y").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias(
+                "trimmed_mean"
+            ),
+        )
+        .orderBy("grp")
+    )

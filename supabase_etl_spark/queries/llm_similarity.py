@@ -1942,3 +1942,150 @@ def sim_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "pick_rank", "cid", F.round("score", 9).alias("score")).orderBy(
         "qid", "pick_rank"
     )
+
+
+PRF_QUERIES = 5
+PRF_FEEDBACK_K = 3
+PRF_TOP_K = 5
+PRF_ALPHA = 0.6  # original-query weight; (1-alpha) on the feedback centroid
+
+
+@query(
+    "sim_rocchio_prf_expansion",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe,
+               sqrt({sql_dot("embedding", "embedding")}) AS qn
+        FROM embeddings WHERE vec_id < {PRF_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               sqrt({sql_dot("embedding", "embedding")}) AS cn
+        FROM embeddings WHERE vec_id >= {PRF_QUERIES}
+    ),
+    r0 AS (
+        SELECT qid, cid, ce,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY {sql_dot("qe", "ce")} / (qn * cn) DESC, cid ASC) AS rn
+        FROM q CROSS JOIN c
+    ),
+    fbd AS (
+        SELECT qid, u.d AS d,
+               list_reduce(list(CAST(ce[CAST(u.d AS INT)] AS DOUBLE) ORDER BY rn),
+                           (a, b) -> a + b) / {PRF_FEEDBACK_K} AS cv
+        FROM r0, UNNEST(range(1, {64} + 1)) AS u(d)
+        WHERE rn <= {PRF_FEEDBACK_K}
+        GROUP BY qid, u.d
+    ),
+    fb AS (
+        SELECT qid, list(cv ORDER BY d) AS centroid FROM fbd GROUP BY qid
+    ),
+    q2 AS (
+        SELECT q.qid,
+               list_transform(range(1, {64} + 1),
+                   d -> {PRF_ALPHA} * CAST(q.qe[d] AS DOUBLE)
+                        + {round(1.0 - PRF_ALPHA, 10)} * fb.centroid[d]) AS qe2
+        FROM q JOIN fb ON q.qid = fb.qid
+    ),
+    r1 AS (
+        SELECT q2.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q2.qid
+                   ORDER BY {sql_dot("q2.qe2", "c.ce")}
+                            / (sqrt({sql_dot("q2.qe2", "q2.qe2")}) * c.cn) DESC,
+                            c.cid ASC) AS rn
+        FROM q2 CROSS JOIN c
+    ),
+    base AS (SELECT qid, cid FROM r0 WHERE rn <= {PRF_TOP_K}),
+    expanded AS (SELECT qid, cid FROM r1 WHERE rn <= {PRF_TOP_K}),
+    overlap AS (
+        SELECT b.qid, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM base b JOIN expanded e ON b.qid = e.qid AND b.cid = e.cid
+        GROUP BY b.qid
+    )
+    SELECT q.qid, COALESCE(o.n_common, 0) AS n_common,
+           CAST({PRF_TOP_K} - COALESCE(o.n_common, 0) AS BIGINT) AS n_new_results
+    FROM (SELECT DISTINCT qid FROM q) q
+    LEFT JOIN overlap o ON q.qid = o.qid
+    ORDER BY q.qid
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_rocchio_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback: retrieve top-3, move each
+    query toward its feedback centroid (q' = α·q + (1−α)·centroid),
+    re-retrieve, and report how much the expanded top-5 changed — the
+    classic recall-boosting loop dense retrieval inherited from SMART.
+    Both retrieval passes are the broadcast-query exact scan; the
+    centroid is a per-query k-row mean (exact: sums of ≤3 doubles in
+    fixed order), and the blend is per-dim identical arithmetic, so the
+    expanded ranking hashes bitwise."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
+    q = e.filter(F.col("vec_id") < PRF_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), nrm.alias("qn")
+    )
+    c = e.filter(F.col("vec_id") >= PRF_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), nrm.alias("cn")
+    )
+    cos0 = dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w0 = Window.partitionBy("qid").orderBy(F.col("cos0").desc(), F.col("cid").asc())
+    r0 = (
+        c.crossJoin(F.broadcast(q))
+        .select("qid", "cid", "ce", cos0.alias("cos0"))
+        .withColumn("rn", F.row_number().over(w0))
+    )
+    # feedback centroid: per-dim mean over the top-k rows — DuckDB sums
+    # the k values per dim in qid-group order; mirror with a sequential
+    # fold over the collected (rn-sorted) vector list
+    fb = (
+        r0.filter(F.col("rn") <= PRF_FEEDBACK_K)
+        .groupBy("qid")
+        .agg(F.array_sort(F.collect_list(F.struct("rn", "ce"))).alias("tops"))
+        .select(
+            "qid",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda d: F.aggregate(
+                    F.col("tops"),
+                    F.lit(0.0),
+                    lambda acc, s: acc + F.element_at(s["ce"], d).cast("double"),
+                )
+                / PRF_FEEDBACK_K,
+            ).alias("centroid"),
+        )
+    )
+    q2 = q.join(fb, "qid").select(
+        "qid",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda d: PRF_ALPHA * F.element_at("qe", d).cast("double")
+            + round(1.0 - PRF_ALPHA, 10) * F.element_at("centroid", d),
+        ).alias("qe2"),
+    )
+    cos1 = dot_double(F.col("qe2"), F.col("ce")) / (
+        F.sqrt(dot_double(F.col("qe2"), F.col("qe2"))) * F.col("cn")
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.col("cos1").desc(), F.col("cid").asc())
+    r1 = (
+        c.crossJoin(F.broadcast(q2))
+        .select("qid", "cid", cos1.alias("cos1"))
+        .withColumn("rn", F.row_number().over(w1))
+    )
+    base = r0.filter(F.col("rn") <= PRF_TOP_K).select("qid", "cid")
+    expanded = r1.filter(F.col("rn") <= PRF_TOP_K).select("qid", "cid")
+    overlap = base.join(expanded, ["qid", "cid"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        q.select("qid")
+        .distinct()
+        .join(overlap, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            (PRF_TOP_K - F.coalesce("n_common", F.lit(0))).cast("bigint").alias(
+                "n_new_results"
+            ),
+        )
+        .orderBy("qid")
+    )

@@ -287,3 +287,79 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .orderBy("rank")
     )
+
+
+BOUNCE_GAP_MIN = 30  # session gap, matching events_sessionize
+
+
+@query(
+    "events_bounce_rate",
+    oracle=f"""
+    WITH ordered_ev AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                         OR epoch_us(ts)
+                            - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id))
+                            > {BOUNCE_GAP_MIN * 60 * 1000000}
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered_ev
+    ),
+    per_sess AS (
+        SELECT user_id, session_no,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(ts) AS DATE) AS day
+        FROM sess GROUP BY user_id, session_no
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS bounce_rate
+    FROM per_sess
+    GROUP BY day
+    ORDER BY day
+    """,
+    tags=("events", "sessions"),
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the fraction of 30-minute-gap sessions that
+    contain exactly ONE event — the engagement-floor metric every web
+    dashboard leads with, built on the same gap-sessionization as
+    events_sessionize (lag + cumulative session numbering per user) so
+    the session boundaries agree across the operators. Sessions bucket
+    to the day of their first event; per-user windows, one grouped
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_start = F.when(
+        F.lag("ts").over(w).isNull() | (gap_s > BOUNCE_GAP_MIN * 60 * 1000000), 1
+    ).otherwise(0)
+    sess = ev.select("user_id", "ts", "event_id", is_start.alias("is_start")).select(
+        "user_id",
+        "ts",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    per_sess = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"), F.min("ts").cast("date").alias("day")
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        per_sess.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounce.alias("n_bounces"),
+            (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
