@@ -661,3 +661,29 @@ def test_mor_delete_read_is_scoped_anti_join(spark, tmp_path):
     MS.delete_where_mor(spark, t, "id < 50", ["id"])
     plan = _plan(MS.read(spark, t))
     assert "LeftAnti" in plan
+
+
+def test_trimmed_mean_single_rank_pass(spark):
+    """agg_trimmed_mean: one rank window partitioned by group, then a
+    hash aggregate — no self-join of the corpus to find the cut
+    points."""
+    q = load_all()["agg_trimmed_mean"]
+    plan = _plan(q.fn(spark, SF))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_mmr_pool_is_checkpoint_bounded(spark):
+    """sim_mmr_diversified_rerank: every greedy round joins the POOL
+    (localCheckpoint-materialized, Q*POOL rows), never the corpus — the
+    corpus appears only under the initial broadcast-query scan."""
+    q = load_all()["sim_mmr_diversified_rerank"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_herfindahl_broadcasts_segment_totals(spark):
+    """agg_herfindahl_index: segment totals broadcast onto the
+    customer-revenue stream for the share computation."""
+    q = load_all()["agg_herfindahl_index"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastExchange" in plan
