@@ -1566,3 +1566,129 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "agg_geo_harmonic_means",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS arithmetic_mean,
+           round(exp(CAST(SUM(CAST(round(ln(o_totalprice), 12) AS DECIMAL(38,12)))
+                          AS DOUBLE) / COUNT(*)), 6) AS geometric_mean,
+           round(COUNT(*) / CAST(SUM(CAST(round(1.0 / o_totalprice, 18)
+                                          AS DECIMAL(38,18))) AS DOUBLE), 6)
+               AS harmonic_mean
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY grp
+    """,
+    tags=("agg", "stats"),
+)
+def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pythagorean mean family per group: arithmetic (decimal
+    sums), geometric (exp of the decimal-summed ln — the mean for
+    ratios/growth rates), and harmonic (the mean for rates; reciprocals
+    are ~1e-5 so the decimal scale is 18, within the shortest-repr
+    agreement window for 0-int-digit terms). AM ≥ GM ≥ HM falls out as
+    a free sanity invariant. One grouped pass."""
+    o = load_table(spark, sf_dir, "orders")
+    am = F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))
+    gm = F.round(
+        F.exp(
+            F.sum(F.round(F.log("o_totalprice"), 12).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ),
+        6,
+    )
+    hm = F.round(
+        F.count(F.lit(1))
+        / F.sum(F.round(1.0 / F.col("o_totalprice"), 18).cast("decimal(38,18)")).cast(
+            "double"
+        ),
+        6,
+    )
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            am.alias("arithmetic_mean"),
+            gm.alias("geometric_mean"),
+            hm.alias("harmonic_mean"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
+    "agg_anova_oneway",
+    oracle="""
+    WITH lab AS (
+        SELECT CAST(date_part('dow', o_orderdate) AS BIGINT) AS grp,
+               o_totalprice AS y
+        FROM orders
+    ),
+    per_g AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        FROM lab GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS s_tot,
+               CAST(SUM(CAST(ss AS DECIMAL(38,6))) AS DOUBLE) AS ss_tot,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(s * s / n, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sum_sq_means
+        FROM per_g
+    )
+    SELECT k AS n_groups, n_tot,
+           round((sum_sq_means - s_tot * s_tot / n_tot) / (k - 1)
+                 / ((ss_tot - sum_sq_means) / (n_tot - k)), 9) AS f_stat,
+           (sum_sq_means - s_tot * s_tot / n_tot)
+               / (ss_tot - s_tot * s_tot / n_tot) AS eta_squared
+    FROM tot
+    ORDER BY n_groups
+    """,
+    tags=("agg", "stats"),
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does order value differ by weekday? F = between-
+    group mean square / within-group mean square, plus η² effect size —
+    the k-group generalization of the two-sample t family already here.
+    Entirely from per-group sufficient statistics (n, Σy, Σy², each
+    decimal-exact; the per-group mean squares round-6-quantized before
+    the cross-group sum) — two grouped passes, constant-size algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.dayofweek("o_orderdate").cast("bigint").alias("grp"),
+        F.col("o_totalprice").alias("y"),
+    )
+    per_g = lab.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(28,6)")).cast("double").alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)")).cast("double").alias("ss"),
+    )
+    tot = per_g.agg(
+        F.sum("n").alias("n_tot"),
+        F.sum(F.col("s").cast("decimal(28,6)")).cast("double").alias("s_tot"),
+        F.sum(F.col("ss").cast("decimal(38,6)")).cast("double").alias("ss_tot"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.round(F.col("s") * F.col("s") / F.col("n"), 6).cast("decimal(38,6)")
+        ).cast("double").alias("sum_sq_means"),
+    )
+    ssb = F.col("sum_sq_means") - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")
+    ssw = F.col("ss_tot") - F.col("sum_sq_means")
+    sst = F.col("ss_tot") - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        "n_tot",
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n_tot") - F.col("k"))), 9).alias(
+            "f_stat"
+        ),
+        (ssb / sst).alias("eta_squared"),
+    ).orderBy("n_groups")
