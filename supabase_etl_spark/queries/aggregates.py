@@ -1641,15 +1641,15 @@ def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS s_tot,
                CAST(SUM(CAST(ss AS DECIMAL(38,6))) AS DOUBLE) AS ss_tot,
                CAST(COUNT(*) AS BIGINT) AS k,
-               CAST(SUM(CAST(round(s * s / n, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(SUM(CAST(round(s * s / n, 0) AS DECIMAL(38,0))) AS DOUBLE)
                    AS sum_sq_means
         FROM per_g
     )
     SELECT k AS n_groups, n_tot,
            round((sum_sq_means - s_tot * s_tot / n_tot) / (k - 1)
                  / ((ss_tot - sum_sq_means) / (n_tot - k)), 9) AS f_stat,
-           (sum_sq_means - s_tot * s_tot / n_tot)
-               / (ss_tot - s_tot * s_tot / n_tot) AS eta_squared
+           round((sum_sq_means - s_tot * s_tot / n_tot)
+                 / (ss_tot - s_tot * s_tot / n_tot), 9) AS eta_squared
     FROM tot
     ORDER BY n_groups
     """,
@@ -1660,8 +1660,9 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     group mean square / within-group mean square, plus η² effect size —
     the k-group generalization of the two-sample t family already here.
     Entirely from per-group sufficient statistics (n, Σy, Σy², each
-    decimal-exact; the per-group mean squares round-6-quantized before
-    the cross-group sum) — two grouped passes, constant-size algebra."""
+    decimal-exact; the per-group mean squares are INTEGER-quantized
+    before the cross-group sum — at ~1e13 magnitude a finer decimal
+    scale would leave the shortest-repr agreement window) — two grouped passes, constant-size algebra."""
     o = load_table(spark, sf_dir, "orders")
     lab = o.select(
         F.dayofweek("o_orderdate").cast("bigint").alias("grp"),
@@ -1678,7 +1679,7 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ss").cast("decimal(38,6)")).cast("double").alias("ss_tot"),
         F.count(F.lit(1)).alias("k"),
         F.sum(
-            F.round(F.col("s") * F.col("s") / F.col("n"), 6).cast("decimal(38,6)")
+            F.round(F.col("s") * F.col("s") / F.col("n"), 0).cast("decimal(38,0)")
         ).cast("double").alias("sum_sq_means"),
     )
     ssb = F.col("sum_sq_means") - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")
@@ -1690,5 +1691,5 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n_tot") - F.col("k"))), 9).alias(
             "f_stat"
         ),
-        (ssb / sst).alias("eta_squared"),
+        F.round(ssb / sst, 9).alias("eta_squared"),
     ).orderBy("n_groups")
