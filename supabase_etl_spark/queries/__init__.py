@@ -56,6 +56,7 @@ _QUERY_MODULES = [
     "supabase_etl_spark.queries.ml_eval",
     "supabase_etl_spark.queries.llm_sampling",
     "supabase_etl_spark.queries.llm_curation",
+    "supabase_etl_spark.queries.ml_train",
     "supabase_etl_spark.queries.scale_levers",
     "supabase_etl_spark.queries.sessions",
     "supabase_etl_spark.queries.analytics",

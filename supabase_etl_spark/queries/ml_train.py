@@ -1,0 +1,371 @@
+"""Distributed model TRAINING operators (SURVEY.md §2.2 "LLM ops" —
+the classifier-training half of a curation pipeline: quality filters
+and domain routers are trained ON the corpus with the same engine that
+scores it; recommendation co-occurrence models power dataset mixing).
+
+Three classic "big n, tiny p" trainer shapes, each expressed as pure
+DataFrame aggregations so 100 TB of rows reduce to map-side-combined
+partial sums:
+
+* multinomial Naive Bayes — one token-level groupBy builds the model
+  (a vocab-sized table), one broadcast join + doc-level groupBy scores
+  the corpus. The model table is the only state; no iteration.
+* logistic regression by full-batch gradient descent — the per-epoch
+  state is a 1-row coefficient frame crossJoin(broadcast)-ed into the
+  next epoch's scan; three unrolled epochs form a single DAG with no
+  driver collect. A rational squash p = 0.5 + 0.5·z/(1+|z|) replaces
+  sigmoid so the oracle needs no transcendentals.
+* item-item collaborative filtering — basket-keyed self-join builds
+  co-occurrence counts (cost Σ|basket|², never corpus²), cosine from
+  IEEE-exact sqrt of integer products, top-k neighbors per item by
+  quantize-then-rank.
+
+Exactness discipline (SURVEY.md §4.3): per-row doubles are computed by
+identical IEEE expressions in both engines, rounded at 1e-12, and
+summed through decimal(38,12) so Spark's parallel order and DuckDB's
+sequential order agree bitwise; ln() terms follow the NLL pattern
+(round-12 before the decimal sum); sqrt is IEEE-correctly-rounded and
+needs no canonicalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.queries import query
+
+DEC = "decimal(38,12)"
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes
+# ---------------------------------------------------------------------------
+
+NB_MIN_DF = 3  # vocab = tokens with total corpus frequency >= NB_MIN_DF
+
+_NB_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+
+@query(
+    "ml_nb_train_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, doc_id % 2 AS c,
+               unnest({_NB_TOKS}) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT term,
+               SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS c0,
+               SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS c1
+        FROM tok GROUP BY term
+    ),
+    vocab AS (
+        SELECT term, c0, c1 FROM counts WHERE c0 + c1 >= {NB_MIN_DF}
+    ),
+    tot AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM vocab
+    ),
+    llr AS (
+        SELECT term,
+               ROUND(LN(CAST(c1 + 1 AS DOUBLE) / (n1 + v))
+                   - LN(CAST(c0 + 1 AS DOUBLE) / (n0 + v)), 12) AS w
+        FROM vocab, tot
+    ),
+    prior AS (
+        SELECT ROUND(LN(CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)), 12) AS b
+        FROM documents
+    ),
+    scored AS (
+        SELECT t.doc_id, t.c,
+               CAST(SUM(CAST(l.w AS DECIMAL(38,12))) AS DOUBLE) + p.b AS margin
+        FROM tok t JOIN llr l ON t.term = l.term, prior p
+        GROUP BY t.doc_id, t.c, p.b
+    )
+    SELECT c AS true_class,
+           CASE WHEN margin > 0 THEN 1 ELSE 0 END AS pred_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(ROUND(margin, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / COUNT(*) AS avg_margin
+    FROM scored
+    GROUP BY true_class, pred_class
+    ORDER BY true_class, pred_class
+    """,
+    tags=("llm", "ml-train", "text"),
+)
+def ml_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained and scored in one job: binary
+    task c = doc_id % 2, Laplace-smoothed per-class token likelihoods
+    over a min-df vocab, per-doc log-likelihood-ratio margin, confusion
+    matrix with mean margins. Train = one token groupBy (vocab-sized
+    model table); score = model join + doc groupBy. At 100 TB the
+    model stays vocab-bounded and the corpus is touched twice, both
+    passes map-side-combinable; OOV tokens drop out of the inner join
+    exactly as the oracle's."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        (F.col("doc_id") % 2).alias("c"),
+        F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    vocab = counts.filter(F.col("c0") + F.col("c1") >= NB_MIN_DF)
+    tot = vocab.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1"), F.count(F.lit(1)).alias("v")
+    )
+    llr = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log((F.col("c1") + 1).cast("double") / (F.col("n1") + F.col("v")))
+            - F.log((F.col("c0") + 1).cast("double") / (F.col("n0") + F.col("v"))),
+            12,
+        ).alias("w"),
+    )
+    prior = d.agg(
+        F.round(
+            F.log(
+                F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).cast("double")
+                / F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+            ),
+            12,
+        ).alias("b")
+    )
+    scored = (
+        tok.join(llr, "term")
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id", "c", "b")
+        .agg((F.sum(F.col("w").cast(DEC)).cast("double") + F.first("b")).alias("margin"))
+    )
+    return (
+        scored.groupBy(
+            F.col("c").alias("true_class"),
+            F.when(F.col("margin") > 0, 1).otherwise(0).alias("pred_class"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.round("margin", 9).cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_margin"),
+        )
+        .orderBy("true_class", "pred_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# logistic regression by unrolled full-batch gradient descent
+# ---------------------------------------------------------------------------
+
+LR_ETA = "0.1"  # learning rate, shared literal
+LR_EPOCHS = 3
+
+_LR_FEAT = """
+        SELECT o_orderkey % 7 AS x1,
+               CASE o_orderpriority
+                    WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                    WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                    ELSE 5 END AS x2,
+               o_custkey % 2 AS y
+        FROM orders
+"""
+
+
+def _lr_sql_epoch_flat(i: int) -> str:
+    """One oracle epoch: squash, residual gradient, coefficient update."""
+    prev = f"b{i - 1}"
+    return f"""
+    g{i} AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(
+                   (0.5 + 0.5 * (b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)
+                        / (1 + ABS(b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)) - f.y)
+                   * 1.0, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+               CAST(SUM(CAST(ROUND(
+                   (0.5 + 0.5 * (b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)
+                        / (1 + ABS(b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)) - f.y)
+                   * f.x1, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+               CAST(SUM(CAST(ROUND(
+                   (0.5 + 0.5 * (b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)
+                        / (1 + ABS(b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)) - f.y)
+                   * f.x2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g2,
+               MIN(b.beta0) AS pb0, MIN(b.beta1) AS pb1, MIN(b.beta2) AS pb2
+        FROM feat f, {prev} b
+    ),
+    b{i} AS (
+        SELECT pb0 - CAST({LR_ETA} AS DOUBLE) * g0 / n AS beta0,
+               pb1 - CAST({LR_ETA} AS DOUBLE) * g1 / n AS beta1,
+               pb2 - CAST({LR_ETA} AS DOUBLE) * g2 / n AS beta2
+        FROM g{i}
+    )"""
+
+
+_LR_ORACLE = (
+    f"WITH feat AS ({_LR_FEAT}),\n    b0 AS (SELECT CAST(0.0 AS DOUBLE) AS beta0,"
+    " CAST(0.0 AS DOUBLE) AS beta1, CAST(0.0 AS DOUBLE) AS beta2),"
+    + ",".join(_lr_sql_epoch_flat(i) for i in range(1, LR_EPOCHS + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {i} AS epoch, beta0, beta1, beta2 FROM b{i}"
+        for i in range(1, LR_EPOCHS + 1)
+    )
+    + "\n    ORDER BY epoch"
+)
+
+
+@query("ml_logreg_gd", oracle=_LR_ORACLE, tags=("llm", "ml-train", "iterative"))
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch gradient-descent logistic regression, three unrolled
+    epochs in one DAG. The epoch state is a 1-row coefficient frame
+    crossJoin(broadcast)-ed into the next epoch's scan — no driver
+    collect, so on a cluster each epoch is one map-side-combined agg
+    over the corpus and the chain is Catalyst-planned end to end (the
+    kmeans-Lloyd unrolling pattern, queries/llm_curation.py). The
+    rational squash p = 0.5 + 0.5·z/(1+|z|) stands in for sigmoid:
+    same monotone S-shape, zero transcendentals, so both engines
+    produce bit-identical gradients through the round-12 decimal sums."""
+    o = load_table(spark, sf_dir, "orders")
+    x2 = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 3)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 4)
+        .otherwise(5)
+    )
+    feat = o.select(
+        (F.col("o_orderkey") % 7).alias("x1"),
+        x2.alias("x2"),
+        (F.col("o_custkey") % 2).alias("y"),
+    )
+    eta = F.lit(float(LR_ETA))
+    beta = spark.createDataFrame(
+        [(0.0, 0.0, 0.0)], "beta0 double, beta1 double, beta2 double"
+    )
+    snapshots = []
+    for epoch in range(1, LR_EPOCHS + 1):
+        z = F.col("beta0") + F.col("beta1") * F.col("x1") + F.col("beta2") * F.col("x2")
+        p = 0.5 + 0.5 * z / (1 + F.abs(z))
+        r = p - F.col("y")
+        g = (
+            feat.crossJoin(F.broadcast(beta))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(r * 1.0, 12).cast(DEC)).cast("double").alias("g0"),
+                F.sum(F.round(r * F.col("x1"), 12).cast(DEC)).cast("double").alias("g1"),
+                F.sum(F.round(r * F.col("x2"), 12).cast(DEC)).cast("double").alias("g2"),
+                F.min("beta0").alias("pb0"),
+                F.min("beta1").alias("pb1"),
+                F.min("beta2").alias("pb2"),
+            )
+        )
+        beta = g.select(
+            (F.col("pb0") - eta * F.col("g0") / F.col("n")).alias("beta0"),
+            (F.col("pb1") - eta * F.col("g1") / F.col("n")).alias("beta1"),
+            (F.col("pb2") - eta * F.col("g2") / F.col("n")).alias("beta2"),
+        )
+        snapshots.append(beta.select(F.lit(epoch).alias("epoch"), "beta0", "beta1", "beta2"))
+    out = snapshots[0]
+    for s in snapshots[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("epoch")
+
+
+# ---------------------------------------------------------------------------
+# item-item collaborative filtering
+# ---------------------------------------------------------------------------
+
+CF_TOP_K = 3
+
+
+@query(
+    "ml_item_cf_cosine",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey % 200 AS item
+        FROM lineitem
+    ),
+    item_n AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM basket GROUP BY item
+    ),
+    pair AS (
+        SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS c
+        FROM basket a JOIN basket b ON a.ok = b.ok AND a.item < b.item
+        GROUP BY a.item, b.item
+    ),
+    sym AS (
+        SELECT i, j, c FROM pair
+        UNION ALL
+        SELECT j AS i, i AS j, c FROM pair
+    ),
+    scored AS (
+        SELECT s.i AS item, s.j AS neighbor, s.c AS support,
+               s.c / SQRT(CAST(ni.n * nj.n AS DOUBLE)) AS cosine
+        FROM sym s
+        JOIN item_n ni ON s.i = ni.item
+        JOIN item_n nj ON s.j = nj.item
+    ),
+    ranked AS (
+        SELECT item, neighbor, support, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY item
+                   ORDER BY ROUND(cosine, 9) DESC, neighbor ASC
+               ) AS rank
+        FROM scored
+    )
+    SELECT item, neighbor, support, cosine, rank
+    FROM ranked WHERE rank <= {CF_TOP_K}
+    ORDER BY item, rank
+    """,
+    tags=("llm", "ml-train", "recsys"),
+)
+def ml_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: order-basket co-occurrence
+    counts → cosine similarity c_ij/√(n_i·n_j) → top-3 neighbors per
+    item. The self-join is keyed on the basket id, so cost is
+    Σ|basket|² (the market-basket shape), never items² or corpus²; at
+    100 TB the item-count side is an items-sized table joined twice
+    (broadcastable when the catalog is small). sqrt is IEEE
+    correctly-rounded — bit-identical across engines — and ranking is
+    quantize-then-rank (round-9, neighbor tiebreak) so window order
+    never depends on a last-ulp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("ok"), (F.col("l_partkey") % 200).alias("item")
+    ).distinct()
+    item_n = basket.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sym = pair.unionAll(pair.select(F.col("j").alias("i"), F.col("i").alias("j"), "c"))
+    ni = item_n.select(F.col("item").alias("i"), F.col("n").alias("n_i"))
+    nj = item_n.select(F.col("item").alias("j"), F.col("n").alias("n_j"))
+    scored = (
+        sym.join(F.broadcast(ni), "i")
+        .join(F.broadcast(nj), "j")
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("neighbor"),
+            F.col("c").alias("support"),
+            (F.col("c") / F.sqrt((F.col("n_i") * F.col("n_j")).cast("double"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.round("cosine", 9).desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.select("item", "neighbor", "support", "cosine", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= CF_TOP_K)
+        .orderBy("item", "rank")
+    )
