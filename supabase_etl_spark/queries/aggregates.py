@@ -1693,3 +1693,75 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(ssb / sst, 9).alias("eta_squared"),
     ).orderBy("n_groups")
+
+
+@query(
+    "agg_shannon_diversity",
+    oracle="""
+    WITH cell AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+        FROM cell GROUP BY lang
+    ),
+    terms AS (
+        SELECT c.lang, t.n, t.k,
+               ROUND(-(CAST(c.c AS DOUBLE) / t.n) * LN(CAST(c.c AS DOUBLE) / t.n), 12) AS h_term,
+               ROUND((CAST(c.c AS DOUBLE) / t.n) * (CAST(c.c AS DOUBLE) / t.n), 12) AS p2_term
+        FROM cell c JOIN tot t ON c.lang = t.lang
+    )
+    SELECT lang, CAST(MIN(n) AS BIGINT) AS n_docs, CAST(MIN(k) AS BIGINT) AS richness,
+           ROUND(CAST(SUM(CAST(h_term AS DECIMAL(38,12))) AS DOUBLE), 9) AS shannon_h,
+           ROUND(CASE WHEN MIN(k) > 1
+                      THEN CAST(SUM(CAST(h_term AS DECIMAL(38,12))) AS DOUBLE) / LN(CAST(MIN(k) AS DOUBLE))
+                      ELSE 0.0 END, 9) AS evenness,
+           ROUND(1.0 - CAST(SUM(CAST(p2_term AS DECIMAL(38,12))) AS DOUBLE), 9) AS simpson
+    FROM terms
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("agg", "stats", "llm"),
+)
+def agg_shannon_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy, Pielou evenness (H / ln k), and Gini-Simpson
+    index of the source distribution within each language — the
+    standard diversity triple for auditing corpus mixture balance
+    before training. Two grouped count passes produce a cell table
+    bounded by |lang|x|source|; the entropy terms are per-cell rational
+    doubles through the round-12 decimal-sum pattern (ln is
+    libm-identical when summed this way), so the whole statistic is
+    bit-exact across engines. Scale: corpus is touched once by the
+    first groupBy; everything downstream is category-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cell.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n"), F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    terms = cell.join(tot, "lang").select(
+        "lang",
+        "n",
+        "k",
+        F.round(-p * F.log(p), 12).alias("h_term"),
+        F.round(p * p, 12).alias("p2_term"),
+    )
+    h = F.sum(F.col("h_term").cast("decimal(38,12)")).cast("double")
+    p2 = F.sum(F.col("p2_term").cast("decimal(38,12)")).cast("double")
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.min("n").cast("bigint").alias("n_docs"),
+            F.min("k").cast("bigint").alias("richness"),
+            F.round(h, 9).alias("shannon_h"),
+            F.round(
+                F.when(
+                    F.min("k") > 1, h / F.log(F.min("k").cast("double"))
+                ).otherwise(0.0),
+                9,
+            ).alias("evenness"),
+            F.round(1.0 - p2, 9).alias("simpson"),
+        )
+        .orderBy("lang")
+    )

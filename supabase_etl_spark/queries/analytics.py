@@ -5051,3 +5051,192 @@ def orders_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lam * w).alias("l_littles"),
         (F.col("order_days").cast("double") / F.col("n_days")).alias("l_time_avg"),
     ).orderBy("n_orders")
+
+
+@query(
+    "events_nelson_aalen",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS first_seen,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+               max(ts) AS last_seen
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT CASE WHEN first_purchase IS NOT NULL
+                    THEN CAST(floor((epoch_us(first_purchase) - epoch_us(first_seen))
+                                    / 3600000000.0) AS BIGINT)
+                    ELSE CAST(floor((epoch_us(last_seen) - epoch_us(first_seen))
+                                    / 3600000000.0) AS BIGINT)
+               END AS t_obs,
+               (first_purchase IS NOT NULL) AS is_event
+        FROM per_user
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM obs),
+    drops AS (SELECT t_obs AS t, CAST(count(*) AS BIGINT) AS leaving FROM obs GROUP BY t_obs),
+    events_t AS (
+        SELECT t_obs AS t, CAST(count(*) AS BIGINT) AS d
+        FROM obs WHERE is_event GROUP BY t_obs
+    ),
+    risk AS (
+        SELECT e.t, e.d,
+               tot.n_total
+               - COALESCE(SUM(dr.leaving) OVER (ORDER BY e.t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        FROM events_t e
+        LEFT JOIN drops dr ON e.t = dr.t
+        CROSS JOIN tot
+    ),
+    na AS (
+        SELECT t, d, n_risk,
+               SUM(CAST(d AS DOUBLE) / n_risk)
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS h,
+               SUM(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk))
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS v
+        FROM risk
+    )
+    SELECT t AS hours, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events, round(h, 6) AS cum_hazard, round(v, 9) AS hazard_var
+    FROM na
+    ORDER BY hours
+    """,
+    tags=("events", "analytics", "survival"),
+)
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator, the additive twin of
+    events_kaplan_meier over the same time-to-first-purchase
+    observations: H(t) = sum over event times t_i <= t of d_i/n_i,
+    with the Poisson variance estimate sum d_i/n_i^2. Unlike KM's
+    product limit, the hazard is a plain running sum of rational
+    doubles, so no log detour is needed: both engines accumulate the
+    identical IEEE terms in the identical window order. Scale: the
+    user-grouped pass is the only corpus-sized stage; the hazard
+    windows run over distinct-duration rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+        F.max("ts").alias("last_seen"),
+    )
+    dur = F.floor(
+        (F.unix_micros("first_purchase") - F.unix_micros("first_seen"))
+        / F.lit(3600000000.0)
+    )
+    cens = F.floor(
+        (F.unix_micros("last_seen") - F.unix_micros("first_seen"))
+        / F.lit(3600000000.0)
+    )
+    obs = per_user.select(
+        F.when(F.col("first_purchase").isNotNull(), dur)
+        .otherwise(cens)
+        .cast("bigint")
+        .alias("t_obs"),
+        F.col("first_purchase").isNotNull().alias("is_event"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    drops = obs.groupBy(F.col("t_obs").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaving")
+    )
+    events_t = (
+        obs.filter("is_event")
+        .groupBy(F.col("t_obs").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        events_t.join(drops, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+            ).alias("n_risk"),
+        )
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select(
+        F.col("t").alias("hours"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.round(
+            F.sum(F.col("d").cast("double") / F.col("n_risk")).over(wcum), 6
+        ).alias("cum_hazard"),
+        F.round(
+            F.sum(
+                F.col("d").cast("double")
+                / (F.col("n_risk").cast("double") * F.col("n_risk"))
+            ).over(wcum),
+            9,
+        ).alias("hazard_var"),
+    ).orderBy("hours")
+
+
+# Wilson score interval: z_{0.975} and its square as shared literals so
+# both engines parse bit-identical doubles (bare numeric literals would
+# parse as DECIMAL and diverge).
+WILSON_Z = "1.9599639845400536"
+WILSON_Z2 = "3.8414588206941236"
+
+
+@query(
+    "events_wilson_ci",
+    oracle=f"""
+    WITH conv AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS s
+        FROM events GROUP BY event_type
+    ),
+    w AS (
+        SELECT event_type, n, s,
+               CAST(s AS DOUBLE) / n AS p_hat,
+               CAST({WILSON_Z} AS DOUBLE) AS z,
+               CAST({WILSON_Z2} AS DOUBLE) AS z2
+        FROM conv
+    )
+    SELECT event_type, n, s, round(p_hat, 9) AS p_hat,
+           round((p_hat + z2 / (2 * n)
+                  - z * SQRT(p_hat * (1 - p_hat) / n + z2 / (4.0 * n * n)))
+                 / (1 + z2 / n), 9) AS ci_low,
+           round((p_hat + z2 / (2 * n)
+                  + z * SQRT(p_hat * (1 - p_hat) / n + z2 / (4.0 * n * n)))
+                 / (1 + z2 / n), 9) AS ci_high
+    FROM w
+    ORDER BY event_type
+    """,
+    tags=("events", "analytics", "stats"),
+)
+def events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score confidence interval for the per-event-type
+    conversion rate (value > 50), the interval every A/B dashboard
+    should use instead of the Wald CI that collapses at small n or
+    extreme p. One grouped count pass; the interval arithmetic is
+    per-group scalar math on (n, s) — z embedded as a shared literal,
+    sqrt IEEE-correctly-rounded — so both engines produce bit-identical
+    bounds before the cosmetic round-9. Scale: output is
+    event-type-sized; the corpus pass is one map-side-combined count."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("bigint").alias("s"),
+    )
+    z = F.lit(float(WILSON_Z))
+    z2 = F.lit(float(WILSON_Z2))
+    n = F.col("n").cast("double")
+    p = F.col("s").cast("double") / F.col("n")
+    center = p + z2 / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+    denom = 1 + z2 / n
+    return conv.select(
+        "event_type",
+        "n",
+        "s",
+        F.round(p, 9).alias("p_hat"),
+        F.round((center - half) / denom, 9).alias("ci_low"),
+        F.round((center + half) / denom, 9).alias("ci_high"),
+    ).orderBy("event_type")
