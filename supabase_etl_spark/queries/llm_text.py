@@ -8,7 +8,7 @@ shuffle, and those reduce to a handful of groups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import window as W
 
@@ -1860,3 +1860,292 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("declared", "predicted")
     )
+
+
+RAKE_TOP_K = 20
+
+_RAKE_STOPS = T._sql_tuple(T.STOPWORDS_EN)
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks0 AS (
+        SELECT doc_id, {_TOKS_SQL} AS ws FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, t.i - 1 AS pos, lower(ws[t.i]) AS w
+        FROM toks0, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ),
+    marked AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN w IN {_RAKE_STOPS} THEN 1 ELSE 0 END AS is_stop
+        FROM tok
+    ),
+    phrased AS (
+        SELECT doc_id, pos, w, pid FROM (
+            SELECT doc_id, pos, w, is_stop,
+                   SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS pid
+            FROM marked
+        ) WHERE is_stop = 0
+    ),
+    with_len AS (
+        SELECT doc_id, pid, pos, w,
+               CAST(COUNT(*) OVER (PARTITION BY doc_id, pid) AS BIGINT) AS plen
+        FROM phrased
+    ),
+    word_stats AS (
+        SELECT w,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS degree
+        FROM with_len GROUP BY w
+    ),
+    inst AS (
+        SELECT l.doc_id, l.pid,
+               string_agg(l.w, ' ' ORDER BY l.pos) AS phrase,
+               CAST(MIN(l.plen) AS BIGINT) AS n_words,
+               CAST(SUM(CAST(ROUND(CAST(s.degree AS DOUBLE) / s.freq, 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS score
+        FROM with_len l JOIN word_stats s ON l.w = s.w
+        GROUP BY l.doc_id, l.pid
+    ),
+    dedup AS (
+        SELECT phrase, MIN(n_words) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               MIN(score) AS score
+        FROM inst GROUP BY phrase
+    )
+    SELECT phrase, n_words, n_occurrences, ROUND(score, 9) AS rake_score,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY ROUND(score, 9) DESC, phrase ASC) AS rnk
+        FROM dedup WHERE n_words >= 2
+    )
+    WHERE rnk <= {RAKE_TOP_K}
+    ORDER BY rank
+    """,
+    tags=("llm", "text", "keywords"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; word score = degree/freq
+    where degree sums the lengths of every phrase containing the word;
+    phrase score sums its word scores; top-20 multi-word phrases
+    corpus-wide. Phrase segmentation is pure window arithmetic (the
+    running count of stopwords seen is the phrase id), so no regex
+    dialect is involved. The phrase-instance rebuild keys on
+    (doc, phrase-id) — corpus-sized but map-side-combinable — and word
+    stats are a vocab-sized table; ranking is quantize-then-rank. At
+    100 TB the only corpus-order window is per-document (bounded
+    partitions)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias(
+            "pos", "w0"
+        ),
+    ).select("doc_id", "pos", F.lower("w0").alias("w"))
+    marked = tok.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.when(F.col("w").isin(*T.STOPWORDS_EN), 1).otherwise(0).alias("is_stop"),
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    phrased = (
+        marked.select(
+            "doc_id", "pos", "w", "is_stop", F.sum("is_stop").over(wrun).alias("pid")
+        )
+        .filter(F.col("is_stop") == 0)
+        .drop("is_stop")
+    )
+    with_len = phrased.select(
+        "doc_id",
+        "pid",
+        "pos",
+        "w",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("doc_id", "pid"))
+        .cast("bigint")
+        .alias("plen"),
+    )
+    word_stats = with_len.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    inst = (
+        with_len.join(word_stats, "w")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+            ).alias("phrase"),
+            F.min("plen").cast("bigint").alias("n_words"),
+            F.sum(
+                F.round(F.col("degree").cast("double") / F.col("freq"), 12).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    dedup = inst.groupBy("phrase").agg(
+        F.min("n_words").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.min("score").alias("score"),
+    )
+    # global top-k via TakeOrdered (orderBy+limit), NOT an unpartitioned
+    # ranking window over the corpus-sized phrase table; the row_number
+    # window then runs on the 20-row result only.
+    top = (
+        dedup.filter(F.col("n_words") >= 2)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.round("score", 9).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), F.col("phrase").asc())
+        .limit(RAKE_TOP_K)
+    )
+    wr = Window.orderBy(F.col("rake_score").desc(), F.col("phrase").asc())
+    return top.select(
+        "phrase",
+        "n_words",
+        "n_occurrences",
+        "rake_score",
+        F.row_number().over(wr).cast("bigint").alias("rank"),
+    ).orderBy("rank")
+
+
+_BLEU_G1 = T.sql_ngrams_all("hws", 1)
+_BLEU_G2 = T.sql_ngrams_all("hws", 2)
+_BLEU_R1 = T.sql_ngrams_all("rws", 1)
+_BLEU_R2 = T.sql_ngrams_all("rws", 2)
+
+
+@query(
+    "text_bleu_pairwise",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),
+    pairs AS (
+        SELECT h.doc_id AS hyp_id, r.doc_id AS ref_id,
+               h.ws AS hws, r.ws AS rws
+        FROM toks h JOIN toks r ON r.doc_id = h.doc_id + 1
+    ),
+    hg AS (
+        SELECT hyp_id, 1 AS n, unnest({_BLEU_G1}) AS g FROM pairs
+        UNION ALL
+        SELECT hyp_id, 2 AS n, unnest({_BLEU_G2}) AS g FROM pairs
+    ),
+    rg AS (
+        SELECT hyp_id, 1 AS n, unnest({_BLEU_R1}) AS g FROM pairs
+        UNION ALL
+        SELECT hyp_id, 2 AS n, unnest({_BLEU_R2}) AS g FROM pairs
+    ),
+    hc AS (SELECT hyp_id, n, g, CAST(COUNT(*) AS BIGINT) AS c FROM hg GROUP BY hyp_id, n, g),
+    rc AS (SELECT hyp_id, n, g, CAST(COUNT(*) AS BIGINT) AS c FROM rg GROUP BY hyp_id, n, g),
+    clip AS (
+        SELECT h.hyp_id, h.n,
+               CAST(SUM(LEAST(h.c, COALESCE(r.c, 0))) AS BIGINT) AS m,
+               CAST(SUM(h.c) AS BIGINT) AS tot
+        FROM hc h LEFT JOIN rc r ON h.hyp_id = r.hyp_id AND h.n = r.n AND h.g = r.g
+        GROUP BY h.hyp_id, h.n
+    ),
+    pn AS (
+        SELECT c1.hyp_id,
+               CAST(c1.m AS DOUBLE) / c1.tot AS p1,
+               CAST(c2.m AS DOUBLE) / c2.tot AS p2
+        FROM clip c1 JOIN clip c2 ON c1.hyp_id = c2.hyp_id
+        WHERE c1.n = 1 AND c2.n = 2
+    )
+    SELECT p.hyp_id, pr.ref_id,
+           CAST(len(pr.hws) AS BIGINT) AS len_h,
+           CAST(len(pr.rws) AS BIGINT) AS len_r,
+           ROUND(p.p1, 9) AS p1, ROUND(p.p2, 9) AS p2,
+           ROUND(LEAST(CAST(0.0 AS DOUBLE),
+                       1.0 - CAST(len(pr.rws) AS DOUBLE) / len(pr.hws))
+                 + 0.5 * ROUND(LN(GREATEST(p.p1, 1e-12)), 12)
+                 + 0.5 * ROUND(LN(GREATEST(p.p2, 1e-12)), 12), 6) AS log_bleu2
+    FROM pn p JOIN pairs pr ON p.hyp_id = pr.hyp_id
+    ORDER BY p.hyp_id
+    """,
+    tags=("llm", "text", "eval"),
+)
+def text_bleu_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise log-BLEU-2 (clipped n-gram precision + brevity
+    penalty) between each document and its doc_id+1 neighbor — the
+    reference-overlap metric generation pipelines run between model
+    output and gold text. The pairing is an equi-join on doc_id+1, so
+    no window touches the corpus; gram clipping is an
+    (hyp, n, gram)-keyed join of two grouped count tables — all
+    integer until the final rational precisions. Log terms follow the
+    round-12 ln pattern, and the 1e-12 floor makes zero-overlap pairs
+    a finite sentinel instead of -inf. At 100 TB every stage keys on
+    (pair, gram): map-side-combinable, no skew beyond gram frequency."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("ws")
+    )
+    h = toks.select(F.col("doc_id").alias("hyp_id"), F.col("ws").alias("hws"))
+    r = toks.select(F.col("doc_id").alias("ref_id"), F.col("ws").alias("rws"))
+    pairs = h.join(r, F.col("ref_id") == F.col("hyp_id") + 1)
+
+    def gram_counts(col: str, out: str) -> DataFrame:
+        g1 = pairs.select(
+            "hyp_id", F.lit(1).alias("n"), F.explode(T.ngrams_all(F.col(col), 1)).alias("g")
+        )
+        g2 = pairs.select(
+            "hyp_id", F.lit(2).alias("n"), F.explode(T.ngrams_all(F.col(col), 2)).alias("g")
+        )
+        return (
+            g1.unionAll(g2)
+            .groupBy("hyp_id", "n", "g")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    hc = gram_counts("hws", "c")
+    rc = gram_counts("rws", "cr")
+    clip = (
+        hc.join(rc, ["hyp_id", "n", "g"], "left")
+        .groupBy("hyp_id", "n")
+        .agg(
+            F.sum(F.least(F.col("c"), F.coalesce(F.col("cr"), F.lit(0))))
+            .cast("bigint")
+            .alias("m"),
+            F.sum("c").cast("bigint").alias("tot"),
+        )
+    )
+    c1 = clip.filter(F.col("n") == 1).select(
+        "hyp_id", (F.col("m").cast("double") / F.col("tot")).alias("p1")
+    )
+    c2 = clip.filter(F.col("n") == 2).select(
+        "hyp_id", (F.col("m").cast("double") / F.col("tot")).alias("p2")
+    )
+    pn = c1.join(c2, "hyp_id")
+    out = pn.join(pairs, "hyp_id").select(
+        "hyp_id",
+        "ref_id",
+        F.size("hws").cast("bigint").alias("len_h"),
+        F.size("rws").cast("bigint").alias("len_r"),
+        F.round("p1", 9).alias("p1"),
+        F.round("p2", 9).alias("p2"),
+        F.round(
+            F.least(
+                F.lit(0.0), 1.0 - F.size("rws").cast("double") / F.size("hws")
+            )
+            + 0.5 * F.round(F.log(F.greatest(F.col("p1"), F.lit(1e-12))), 12)
+            + 0.5 * F.round(F.log(F.greatest(F.col("p2"), F.lit(1e-12))), 12),
+            6,
+        ).alias("log_bleu2"),
+    )
+    return out.orderBy("hyp_id")
