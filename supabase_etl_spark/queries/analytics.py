@@ -5240,3 +5240,77 @@ def events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 9).alias("ci_low"),
         F.round((center + half) / denom, 9).alias("ci_high"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_lifecycle_accounting",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS wk
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, wk,
+               LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+        FROM uw
+    ),
+    weekly AS (
+        SELECT wk,
+               CAST(COUNT(*) AS BIGINT) AS active,
+               CAST(SUM(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+               CAST(SUM(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+               CAST(SUM(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 1 THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        FROM seq GROUP BY wk
+    )
+    SELECT wk AS week, active, new_users, retained, resurrected,
+           CAST(COALESCE(LAG(active) OVER (ORDER BY wk), 0) - retained AS BIGINT) AS churned
+    FROM weekly
+    ORDER BY week
+    """,
+    tags=("events", "analytics", "growth"),
+)
+def events_lifecycle_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: classify each user-week as new / retained /
+    resurrected from the user's previous active week, and derive
+    churned(w) = active(w-1) - retained(w) — the standard
+    new+retained+resurrected-churned decomposition of WAU growth.
+    Weeks are integer epoch-week indexes (floor of epoch-us / one
+    week), so no calendar/timezone dialect is involved. Scale: one
+    distinct pass builds the user-week table, the lag window is
+    per-user (bounded partitions), and the final churn lag runs over
+    the weeks-sized summary."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(604800000000.0)).cast("bigint").alias("wk"),
+    ).distinct()
+    wlag = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select("user_id", "wk", F.lag("wk").over(wlag).alias("prev_wk"))
+    weekly = seq.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active"),
+        F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("retained"),
+        F.sum(
+            F.when(
+                F.col("prev_wk").isNotNull() & (F.col("prev_wk") < F.col("wk") - 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("resurrected"),
+    )
+    wweek = Window.orderBy("wk")
+    return weekly.select(
+        F.col("wk").alias("week"),
+        "active",
+        "new_users",
+        "retained",
+        "resurrected",
+        (F.coalesce(F.lag("active").over(wweek), F.lit(0)) - F.col("retained"))
+        .cast("bigint")
+        .alias("churned"),
+    ).orderBy("week")

@@ -1532,3 +1532,80 @@ def dq_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rates.select(
         "n1", "n2", "p1", "p2", delta.alias("observed_delta"), n_req.alias("n_per_arm_80pct")
     ).orderBy("n1")
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    WITH checks AS (
+        SELECT 'orders.o_custkey->customer' AS relationship,
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders',
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM part p
+                                       WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                       WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+    )
+    SELECT relationship, n_child, n_orphans,
+           ROUND(CAST(n_orphans AS DOUBLE) / n_child, 9) AS orphan_rate,
+           n_orphans = 0 AS fk_valid
+    FROM checks
+    ORDER BY relationship
+    """,
+    tags=("dq", "integrity"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: for each child
+    -> parent relationship, count child rows whose key has no parent
+    (left_anti join) and flag the constraint. The classic pre-join
+    data-contract check every warehouse load runs. Each anti join
+    shuffles on its own key (or broadcasts when the parent is a dim
+    table — customer/supplier/part here); counts are
+    map-side-combined. Output is one row per relationship."""
+
+    def check(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str) -> DataFrame:
+        n_child = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        orphans = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        return (
+            n_child.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans").cast("double") / F.col("n_child"), 9
+                ).alias("orphan_rate"),
+                (F.col("n_orphans") == 0).alias("fk_valid"),
+            )
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    out = (
+        check(orders, "o_custkey", customer, "c_custkey", "orders.o_custkey->customer")
+        .unionAll(check(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders"))
+        .unionAll(check(lineitem, "l_partkey", part, "p_partkey", "lineitem.l_partkey->part"))
+        .unionAll(check(lineitem, "l_suppkey", supplier, "s_suppkey", "lineitem.l_suppkey->supplier"))
+    )
+    return out.orderBy("relationship")

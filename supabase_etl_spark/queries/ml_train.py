@@ -369,3 +369,202 @@ def ml_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= CF_TOP_K)
         .orderBy("item", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# gradient-boosted stumps (two boosting rounds, squared loss)
+# ---------------------------------------------------------------------------
+
+GB_NU = "0.5"  # shrinkage, shared literal
+GB_ROUNDS = 2
+
+_GB_FEAT = """
+        SELECT o_orderkey % 7 AS x1,
+               CASE o_orderpriority
+                    WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                    WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                    ELSE 5 END AS x2,
+               o_totalprice AS y
+        FROM orders
+"""
+
+
+def _gb_sql_round(i: int) -> str:
+    """One boosting round over residual table r{i-1}(x1, x2, r):
+    stacked per-(feature, bin) sufficient stats, cumulative split scan,
+    argmax split, residual update, and MSE."""
+    prev = f"r{i - 1}"
+    return f"""
+    stats{i} AS (
+        SELECT f, b, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(r, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s
+        FROM (
+            SELECT 1 AS f, x1 AS b, r FROM {prev}
+            UNION ALL
+            SELECT 2 AS f, x2 AS b, r FROM {prev}
+        ) GROUP BY f, b
+    ),
+    cum{i} AS (
+        SELECT f, b,
+               SUM(n) OVER (PARTITION BY f ORDER BY b ROWS UNBOUNDED PRECEDING) AS nl,
+               SUM(s) OVER (PARTITION BY f ORDER BY b ROWS UNBOUNDED PRECEDING) AS sl,
+               SUM(n) OVER (PARTITION BY f) AS nt,
+               SUM(s) OVER (PARTITION BY f) AS st,
+               MAX(b) OVER (PARTITION BY f) AS bmax
+        FROM stats{i}
+    ),
+    best{i} AS (
+        SELECT f AS feature, b AS split_bin,
+               sl / nl AS leaf_l, (st - sl) / (nt - nl) AS leaf_r
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY
+                       ROUND(sl * sl / nl + (st - sl) * (st - sl) / (nt - nl), 3) DESC,
+                       f ASC, b ASC) AS rk
+            FROM cum{i} WHERE b < bmax
+        ) WHERE rk = 1
+    ),
+    r{i} AS (
+        SELECT p.x1, p.x2,
+               p.r - CAST({GB_NU} AS DOUBLE) *
+                   (CASE WHEN b.feature = 1
+                         THEN CASE WHEN p.x1 <= b.split_bin THEN b.leaf_l ELSE b.leaf_r END
+                         ELSE CASE WHEN p.x2 <= b.split_bin THEN b.leaf_l ELSE b.leaf_r END
+                    END) AS r
+        FROM {prev} p, best{i} b
+    ),
+    mse{i} AS (
+        SELECT CAST(SUM(CAST(ROUND(r * r, 0) AS DECIMAL(38,0))) AS DOUBLE)
+                   / COUNT(*) AS mse
+        FROM r{i}
+    )"""
+
+
+_GB_ORACLE = (
+    f"""WITH feat AS ({_GB_FEAT}),
+    f0 AS (
+        SELECT CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu FROM feat
+    ),
+    r0 AS (SELECT x1, x2, y - f0.mu AS r FROM feat, f0),"""
+    + ",".join(_gb_sql_round(i) for i in range(1, GB_ROUNDS + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {i} AS round, b.feature, b.split_bin, ROUND(b.leaf_l, 6) AS leaf_left,"
+        f" ROUND(b.leaf_r, 6) AS leaf_right, ROUND(m.mse, 3) AS mse"
+        f" FROM best{i} b, mse{i} m"
+        for i in range(1, GB_ROUNDS + 1)
+    )
+    + "\n    ORDER BY round"
+)
+
+
+@query("ml_gb_stumps", oracle=_GB_ORACLE, tags=("llm", "ml-train", "iterative"))
+def ml_gb_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of gradient boosting with depth-1 regression stumps
+    under squared loss — the inner loop of every distributed GBDT
+    (XGBoost/LightGBM histogram method): per-round sufficient
+    statistics are (count, residual-sum) per (feature, bin), the split
+    scan is a cumulative window over the BIN table (≤12 rows, never
+    the corpus), and the chosen stump re-enters the next round's scan
+    as a broadcast 1-row plan. Residuals are money-scale, so the
+    decimal(28,6) round-6 sum pattern applies; split argmax is
+    quantize-then-rank (gain round-3, feature/bin tiebreak). At 100 TB
+    each round is one stacked map-side-combined agg + one scalar
+    broadcast — the histogram-method scaling argument verbatim."""
+    o = load_table(spark, sf_dir, "orders")
+    x2 = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 3)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 4)
+        .otherwise(5)
+    )
+    feat = o.select(
+        (F.col("o_orderkey") % 7).alias("x1"), x2.alias("x2"), F.col("o_totalprice").alias("y")
+    )
+    mu = feat.agg(
+        (F.sum(F.col("y").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "mu"
+        )
+    )
+    cur = feat.crossJoin(F.broadcast(mu)).select(
+        "x1", "x2", (F.col("y") - F.col("mu")).alias("r")
+    )
+    nu = F.lit(float(GB_NU))
+    out_rows = []
+    for rnd in range(1, GB_ROUNDS + 1):
+        stacked = cur.select(F.lit(1).alias("f"), F.col("x1").alias("b"), "r").unionAll(
+            cur.select(F.lit(2).alias("f"), F.col("x2").alias("b"), "r")
+        )
+        stats = stacked.groupBy("f", "b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round("r", 6).cast("decimal(28,6)")).cast("double").alias("s"),
+        )
+        wcum = Window.partitionBy("f").orderBy("b").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        wall = Window.partitionBy("f")
+        cum = stats.select(
+            "f",
+            "b",
+            F.sum("n").over(wcum).alias("nl"),
+            F.sum("s").over(wcum).alias("sl"),
+            F.sum("n").over(wall).alias("nt"),
+            F.sum("s").over(wall).alias("st"),
+            F.max("b").over(wall).alias("bmax"),
+        )
+        gain = F.round(
+            F.col("sl") * F.col("sl") / F.col("nl")
+            + (F.col("st") - F.col("sl")) * (F.col("st") - F.col("sl"))
+            / (F.col("nt") - F.col("nl")),
+            3,
+        )
+        wrk = Window.orderBy(gain.desc(), F.col("f").asc(), F.col("b").asc())
+        best = (
+            cum.filter(F.col("b") < F.col("bmax"))
+            .select(
+                F.col("f").alias("feature"),
+                F.col("b").alias("split_bin"),
+                (F.col("sl") / F.col("nl")).alias("leaf_l"),
+                ((F.col("st") - F.col("sl")) / (F.col("nt") - F.col("nl"))).alias(
+                    "leaf_r"
+                ),
+                F.row_number().over(wrk).alias("rk"),
+            )
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        leaf = F.when(
+            F.col("feature") == 1,
+            F.when(F.col("x1") <= F.col("split_bin"), F.col("leaf_l")).otherwise(
+                F.col("leaf_r")
+            ),
+        ).otherwise(
+            F.when(F.col("x2") <= F.col("split_bin"), F.col("leaf_l")).otherwise(
+                F.col("leaf_r")
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "x1", "x2", (F.col("r") - nu * leaf).alias("r")
+        )
+        mse = cur.agg(
+            (
+                F.sum(F.round(F.col("r") * F.col("r"), 0).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("mse")
+        )
+        out_rows.append(
+            best.crossJoin(F.broadcast(mse)).select(
+                F.lit(rnd).alias("round"),
+                "feature",
+                "split_bin",
+                F.round("leaf_l", 6).alias("leaf_left"),
+                F.round("leaf_r", 6).alias("leaf_right"),
+                F.round("mse", 3).alias("mse"),
+            )
+        )
+    out = out_rows[0]
+    for s in out_rows[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")
