@@ -5314,3 +5314,101 @@ def events_lifecycle_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("churned"),
     ).orderBy("week")
+
+
+LORENZ_BUCKETS = 10
+
+
+@query(
+    "events_lorenz_deciles",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT total,
+               ROW_NUMBER() OVER (ORDER BY total ASC, user_id ASC) AS rn,
+               COUNT(*) OVER () AS n
+        FROM per_user
+    ),
+    bucketed AS (
+        SELECT CAST(floor((rn - 1) * {LORENZ_BUCKETS} / n) AS BIGINT) AS decile, total
+        FROM ranked
+    ),
+    agg AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(ROUND(total, 6) AS DECIMAL(28,6))) AS DOUBLE) AS dec_sum
+        FROM bucketed GROUP BY decile
+    )
+    SELECT decile, n_users,
+           ROUND(dec_sum / SUM(dec_sum) OVER (), 9) AS share,
+           ROUND(SUM(dec_sum) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                 / SUM(dec_sum) OVER (), 9) AS cum_share
+    FROM agg
+    ORDER BY decile
+    """,
+    tags=("events", "analytics", "stats"),
+)
+def events_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile resolution: rank users by total event
+    value, split into ten equal-population buckets, report each
+    bucket's share and cumulative share of total value — the curve
+    behind the Gini coefficient (events_gini_coefficient computes the
+    scalar; this exposes the distribution shape concentration
+    dashboards plot). The global rank uses the range-repartition +
+    per-partition-offset idiom (no single-partition window over
+    users); everything after the bucket assignment is a 10-row table.
+    Decile math floor((rn-1)*10/n) matches the oracle exactly because
+    both sides are integer."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("total")
+    )
+    par = spark.sparkContext.defaultParallelism
+    ranged = per_user.repartitionByRange(par, "total", "user_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wlocal = Window.partitionBy("pid").orderBy("total", "user_id")
+    local = ranged.withColumn("lrn", F.row_number().over(wlocal))
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "off")
+    )
+    n_tot = per_user.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(n_tot))
+        .select("total", (F.col("lrn") + F.col("off")).alias("rn"), "n")
+    )
+    bucketed = ranked.select(
+        F.floor((F.col("rn") - 1) * LORENZ_BUCKETS / F.col("n"))
+        .cast("bigint")
+        .alias("decile"),
+        "total",
+    )
+    agg = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.round("total", 6).cast("decimal(28,6)")).cast("double").alias("dec_sum"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        "decile",
+        "n_users",
+        F.round(F.col("dec_sum") / F.sum("dec_sum").over(wall), 9).alias("share"),
+        F.round(
+            F.sum("dec_sum").over(wcum) / F.sum("dec_sum").over(wall), 9
+        ).alias("cum_share"),
+    ).orderBy("decile")

@@ -1414,3 +1414,116 @@ def sql_values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY t.tier
         """
     )
+
+
+@query(
+    "sql_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) FILTER (WHERE l_linestatus = 'F')
+                AS DOUBLE) AS qty_finished,
+           CAST(MAX(l_quantity) FILTER (WHERE l_tax < 0.03) AS DOUBLE) AS max_qty_low_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("sql",),
+)
+def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI aggregate FILTER (WHERE ...) clause — per-aggregate
+    predicates without CASE WHEN scaffolding, evaluated map-side inside
+    the same hash aggregate (one scan, one shuffle, regardless of how
+    many filtered aggregates the query stacks)."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) FILTER (WHERE l_linestatus = 'F')
+                    AS DOUBLE) AS qty_finished,
+               CAST(MAX(l_quantity) FILTER (WHERE l_tax < 0.03) AS DOUBLE) AS max_qty_low_tax
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_grouping_function",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, returnflag, linestatus
+    """,
+    tags=("sql",),
+)
+def sql_grouping_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns over ROLLUP — the standard way to
+    tell a real NULL group from a subtotal row, so downstream consumers
+    can filter grand totals without string sentinels. Single rollup
+    aggregate, output bounded by the group hierarchy."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status, returnflag, linestatus
+        """
+    )
+
+
+@query(
+    "sql_natural_join",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS orderkey, o_custkey, o_totalprice FROM orders),
+         l AS (SELECT l_orderkey AS orderkey, l_quantity FROM lineitem)
+    SELECT orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS order_price
+    FROM o NATURAL JOIN l
+    GROUP BY orderkey
+    ORDER BY orderkey
+    LIMIT 500
+    """,
+    tags=("sql", "join"),
+)
+def sql_natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL JOIN resolving the equi-key from the shared column name
+    — same shuffled-hash/sort-merge physical plan as an explicit ON,
+    with the join key deduplicated in the output."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH o AS (SELECT o_orderkey AS orderkey, o_custkey, o_totalprice FROM orders),
+             l AS (SELECT l_orderkey AS orderkey, l_quantity FROM lineitem)
+        SELECT orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS order_price
+        FROM o NATURAL JOIN l
+        GROUP BY orderkey
+        ORDER BY orderkey
+        LIMIT 500
+        """
+    )
