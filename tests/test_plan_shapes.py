@@ -687,3 +687,60 @@ def test_herfindahl_broadcasts_segment_totals(spark):
     q = load_all()["agg_herfindahl_index"]
     plan = _plan(q.fn(spark, SF))
     assert "BroadcastExchange" in plan
+
+
+def test_nb_model_join_avoids_cartesian(spark):
+    """ml_nb_train_score: the scoring join is token-keyed; the tiny
+    prior/total frames enter via BroadcastNestedLoopJoin only, never a
+    corpus-sized CartesianProduct."""
+    q = load_all()["ml_nb_train_score"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_logreg_epochs_broadcast_coefficients(spark):
+    """ml_logreg_gd: each unrolled epoch consumes the 1-row coefficient
+    frame through a broadcast, so no epoch shuffles the corpus."""
+    q = load_all()["ml_logreg_gd"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_item_cf_self_join_is_basket_keyed(spark):
+    """ml_item_cf_cosine: co-occurrence comes from an equi-join on the
+    order key (SortMerge or ShuffledHash), never a cartesian pair
+    blowup; the item-count sides broadcast."""
+    q = load_all()["ml_item_cf_cosine"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gb_stumps_split_scan_is_bin_sized(spark):
+    """ml_gb_stumps: the cumulative split-scan windows partition by
+    feature id (the ≤12-row bin table), and the chosen stump re-enters
+    each round as a broadcast — no single-partition corpus window."""
+    q = load_all()["ml_gb_stumps"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rake_topk_is_take_ordered(spark):
+    """text_rake_keywords: the global top-20 is TakeOrderedAndProject
+    over the phrase table, not an unpartitioned ranking window over
+    the corpus."""
+    q = load_all()["text_rake_keywords"]
+    plan = _plan(q.fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lorenz_rank_is_range_partitioned(spark):
+    """events_lorenz_deciles: the global rank rides on a range
+    repartition (Exchange rangepartitioning), not a single-partition
+    ORDER BY window over all users."""
+    q = load_all()["events_lorenz_deciles"]
+    plan = _plan(q.fn(spark, SF))
+    assert "rangepartitioning" in plan
