@@ -5412,3 +5412,62 @@ def events_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dec_sum").over(wcum) / F.sum("dec_sum").over(wall), 9
         ).alias("cum_share"),
     ).orderBy("decile")
+
+
+@query(
+    "orders_fulfillment_snapshot",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               min(CAST(floor(epoch_us(l_shipdate) / 86400000000.0) AS BIGINT)) AS first_ship_day,
+               max(CAST(floor(epoch_us(l_shipdate) / 86400000000.0) AS BIGINT)) AS last_ship_day
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           CAST(floor(epoch_us(o.o_orderdate) / 86400000000.0) AS BIGINT) AS order_day,
+           li.n_lines,
+           li.first_ship_day, li.last_ship_day,
+           li.first_ship_day - CAST(floor(epoch_us(o.o_orderdate) / 86400000000.0) AS BIGINT)
+               AS days_to_first_ship,
+           li.last_ship_day - li.first_ship_day AS ship_span_days,
+           CASE WHEN o.o_orderstatus = 'F' THEN 'complete'
+                WHEN li.n_lines IS NULL THEN 'pending'
+                ELSE 'in_progress' END AS milestone
+    FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    ORDER BY o.o_orderkey
+    """,
+    tags=("analytics", "warehouse"),
+)
+def orders_fulfillment_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact table (Kimball pattern #3): one row
+    per order carrying every fulfillment milestone reached so far —
+    first/last ship dates, lag-to-first-ship, shipping span, and a
+    derived milestone state — the table order-tracking dashboards scan
+    instead of re-aggregating lineitem. One lineitem groupBy + one
+    orderkey-keyed left join; day arithmetic is integer epoch-day
+    subtraction (no calendar dialect). At 100 TB both sides shuffle on
+    the same key, and the snapshot can be maintained incrementally by
+    the merge_incremental_agg machinery."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    day = lambda c: F.floor(F.unix_micros(c) / F.lit(86400000000.0)).cast("bigint")
+    agg = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.min(day(F.col("l_shipdate"))).alias("first_ship_day"),
+        F.max(day(F.col("l_shipdate"))).alias("last_ship_day"),
+    )
+    joined = o.join(agg, o["o_orderkey"] == agg["l_orderkey"], "left")
+    return joined.select(
+        "o_orderkey",
+        day(F.col("o_orderdate")).alias("order_day"),
+        "n_lines",
+        "first_ship_day",
+        "last_ship_day",
+        (F.col("first_ship_day") - day(F.col("o_orderdate"))).alias("days_to_first_ship"),
+        (F.col("last_ship_day") - F.col("first_ship_day")).alias("ship_span_days"),
+        F.when(F.col("o_orderstatus") == "F", "complete")
+        .when(F.col("n_lines").isNull(), "pending")
+        .otherwise("in_progress")
+        .alias("milestone"),
+    ).orderBy("o_orderkey")

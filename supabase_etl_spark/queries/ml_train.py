@@ -568,3 +568,131 @@ def ml_gb_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in out_rows[1:]:
         out = out.unionAll(s)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick feature vectorization
+# ---------------------------------------------------------------------------
+
+FH_BUCKETS = 16
+
+_FH_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+
+@query(
+    "ml_feature_hash_vectorize",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_FH_TOKS}) AS term FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(term), 1, 8)) AS BIGINT) % {FH_BUCKETS} AS bucket,
+               CASE WHEN CAST(concat('0x', substring(md5(term), 9, 1)) AS BIGINT) % 2 = 0
+                    THEN 1 ELSE -1 END AS sign
+        FROM tok
+    )
+    SELECT doc_id, bucket,
+           CAST(SUM(sign) AS BIGINT) AS feature_value,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM hashed
+    GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+    tags=("llm", "ml-train", "features"),
+)
+def ml_feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature vectorization (Weinberger et al. 2009):
+    each token hashes to one of 16 signed buckets, per-doc bucket sums
+    form the fixed-width feature vector — the stateless, vocab-free
+    featurizer that needs no fitted dictionary and therefore no
+    driver-side state at any corpus size. The signed second hash makes
+    bucket collisions unbiased. One explode + one (doc, bucket)
+    groupBy; values stay integer end-to-end. The md5-prefix hash is
+    the oracle-replayable path (the dsir_bucket_expr pattern); a
+    production swap to xxhash64 changes bucket ids only."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("term"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % FH_BUCKETS
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5("term"), 9, 1), 16, 10).cast("bigint") % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sign").cast("bigint").alias("feature_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-armed bandit arm statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_bandit_ucb",
+    oracle="""
+    WITH arms AS (
+        SELECT event_type AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n_pulls,
+               CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_wins
+        FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(n_pulls) AS BIGINT) AS n_total FROM arms)
+    SELECT arm, n_pulls, n_wins,
+           ROUND(CAST(n_wins AS DOUBLE) / n_pulls, 9) AS mean_reward,
+           ROUND(CAST(n_wins + 1 AS DOUBLE) / (n_pulls + 2), 9) AS posterior_mean,
+           ROUND(CAST(n_wins AS DOUBLE) / n_pulls
+                 + SQRT(2.0 * ROUND(LN(CAST(n_total AS DOUBLE)), 12) / n_pulls), 9)
+               AS ucb1
+    FROM arms, tot
+    ORDER BY arm
+    """,
+    tags=("llm", "ml-train", "bandit"),
+)
+def events_bandit_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-armed-bandit arm statistics from logged feedback: per-arm
+    pull/win counts, empirical mean, Beta(1,1) Thompson posterior
+    mean, and the UCB1 index mean + sqrt(2 ln N / n) — the nightly
+    batch job that re-fits an explore/exploit policy from the event
+    log. One grouped count pass; the arm table is category-sized, so
+    the index arithmetic is free at any corpus scale. ln follows the
+    round-12 pattern; sqrt is IEEE-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pulls"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("bigint").alias("n_wins"),
+    )
+    tot = arms.agg(F.sum("n_pulls").cast("bigint").alias("n_total"))
+    mean = F.col("n_wins").cast("double") / F.col("n_pulls")
+    return (
+        arms.crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            "n_pulls",
+            "n_wins",
+            F.round(mean, 9).alias("mean_reward"),
+            F.round(
+                (F.col("n_wins") + 1).cast("double") / (F.col("n_pulls") + 2), 9
+            ).alias("posterior_mean"),
+            F.round(
+                mean
+                + F.sqrt(
+                    2.0
+                    * F.round(F.log(F.col("n_total").cast("double")), 12)
+                    / F.col("n_pulls")
+                ),
+                9,
+            ).alias("ucb1"),
+        )
+        .orderBy("arm")
+    )

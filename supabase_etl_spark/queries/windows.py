@@ -313,3 +313,50 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
     ).orderBy("event_type", "ts", "event_id")
+
+
+@query(
+    "window_value_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS BIGINT)
+               AS n_similar_priced,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cum_band_price
+    FROM orders
+    ORDER BY o_custkey, o_totalprice, o_orderkey
+    """,
+    tags=("window",),
+)
+def window_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE window frame (value-based, not row- or
+    time-based): for each order, statistics over the customer's other
+    orders within ±10000 of its price. RANGE frames bound by VALUE
+    offsets make the frame data-dependent — the companion of
+    window_time_range_frame on a non-temporal axis. Partitioned by
+    customer, so frames stay bounded at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    wband = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    wcum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(wband).cast("bigint").alias("n_similar_priced"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .over(wcum)
+        .cast("double")
+        .alias("cum_band_price"),
+    ).orderBy("o_custkey", "o_totalprice", "o_orderkey")
