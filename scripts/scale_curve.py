@@ -492,8 +492,127 @@ def main() -> None:
             .save()
         )
 
+    def t_naive_bayes(docs):
+        # ml_nb_train_score's shape: token groupBy builds the vocab
+        # model, token-keyed join + doc groupBy scores the corpus
+        from supabase_etl_spark.operators.text import tokens
+
+        tok = docs.select(
+            "doc_id",
+            (F.col("doc_id") % 2).alias("c"),
+            F.explode(tokens(F.col("text"))).alias("term"),
+        )
+        counts = tok.groupBy("term").agg(
+            F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("c1"),
+        )
+        vocab = counts.filter(F.col("c0") + F.col("c1") >= 3)
+        llr = vocab.select(
+            "term",
+            (
+                F.log((F.col("c1") + 1).cast("double"))
+                - F.log((F.col("c0") + 1).cast("double"))
+            ).alias("w"),
+        )
+        (
+            tok.join(llr, "term")
+            .groupBy("doc_id", "c")
+            .agg(F.sum("w").alias("margin"))
+            .groupBy("c", (F.col("margin") > 0).alias("pred"))
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    def t_rake(docs):
+        # text_rake_keywords' shape: per-doc phrase windows + vocab-
+        # sized word stats + phrase rebuild + TakeOrdered top-k
+        from pyspark.sql import Window as W
+
+        from supabase_etl_spark.operators.text import STOPWORDS_EN
+
+        tok = docs.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split("text", r"\s+"), lambda t: t != "")
+            ).alias("pos", "w0"),
+        ).select("doc_id", "pos", F.lower("w0").alias("w"))
+        marked = tok.select(
+            "doc_id",
+            "pos",
+            "w",
+            F.when(F.col("w").isin(*STOPWORDS_EN), 1).otherwise(0).alias("is_stop"),
+        )
+        wrun = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        phrased = (
+            marked.select(
+                "doc_id", "pos", "w", "is_stop",
+                F.sum("is_stop").over(wrun).alias("pid"),
+            )
+            .filter(F.col("is_stop") == 0)
+        )
+        with_len = phrased.select(
+            "doc_id", "pid", "pos", "w",
+            F.count(F.lit(1)).over(W.partitionBy("doc_id", "pid")).alias("plen"),
+        )
+        word_stats = with_len.groupBy("w").agg(
+            F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
+        )
+        (
+            with_len.join(word_stats, "w")
+            .groupBy("doc_id", "pid")
+            .agg(
+                F.sum(F.col("degree").cast("double") / F.col("freq")).alias("score")
+            )
+            .orderBy(F.col("score").desc())
+            .limit(20)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    def t_bleu(docs):
+        # text_bleu_pairwise's shape: doc_id+1 pairing, per-(pair, n,
+        # gram) count joins, integer clipping
+        from supabase_etl_spark.operators.text import ngrams_all, tokens
+
+        toks = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+        h = toks.select(F.col("doc_id").alias("hyp_id"), F.col("ws").alias("hws"))
+        r = toks.select(F.col("doc_id").alias("ref_id"), F.col("ws").alias("rws"))
+        pairs = h.join(r, F.col("ref_id") == F.col("hyp_id") + 1)
+
+        def gc(col, out):
+            g1 = pairs.select(
+                "hyp_id", F.lit(1).alias("n"), F.explode(ngrams_all(F.col(col), 1)).alias("g")
+            )
+            g2 = pairs.select(
+                "hyp_id", F.lit(2).alias("n"), F.explode(ngrams_all(F.col(col), 2)).alias("g")
+            )
+            return g1.unionAll(g2).groupBy("hyp_id", "n", "g").agg(
+                F.count(F.lit(1)).alias(out)
+            )
+
+        hc, rc = gc("hws", "c"), gc("rws", "cr")
+        (
+            hc.join(rc, ["hyp_id", "n", "g"], "left")
+            .groupBy("hyp_id", "n")
+            .agg(
+                F.sum(F.least(F.col("c"), F.coalesce(F.col("cr"), F.lit(0)))).alias("m"),
+                F.sum("c").alias("tot"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     ops = {
         "dedup_exact (sha2 groupBy)": t_exact,
+        "naive-bayes train+score": t_naive_bayes,
+        "rake phrase windows": t_rake,
+        "bleu pair gram clip": t_bleu,
         "minhash band candidates": t_minhash,
         "jaccard prefix pairs": t_prefix,
         "token stats (scan-bound)": t_tokens,
