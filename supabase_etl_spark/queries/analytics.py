@@ -5471,3 +5471,130 @@ def orders_fulfillment_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("in_progress")
         .alias("milestone"),
     ).orderBy("o_orderkey")
+
+
+ABSORB_STEPS = 3
+ABSORB_TARGET = "purchase"
+
+
+def _absorb_sql_step(i: int) -> str:
+    """One value-iteration step: a_i(s) = p_direct(s) + sum over
+    non-absorbing t of p(s->t) * a_{i-1}(t)."""
+    prev = f"a{i - 1}"
+    return f"""
+    a{i} AS (
+        SELECT pd.state,
+               pd.p_direct + COALESCE(st.contrib, 0.0) AS val
+        FROM pd LEFT JOIN (
+            SELECT tr.from_type AS state,
+                   CAST(SUM(CAST(ROUND(tr.p * a.val, 12) AS DECIMAL(38,12)))
+                        AS DOUBLE) AS contrib
+            FROM nonabs tr JOIN {prev} a ON tr.to_type = a.state
+            GROUP BY tr.from_type
+        ) st ON pd.state = st.state
+    )"""
+
+
+_ABSORB_ORACLE = (
+    f"""WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    trans AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) AS DOUBLE)
+                   / SUM(count(*)) OVER (PARTITION BY from_type) AS p
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    states AS (SELECT DISTINCT from_type AS state FROM trans),
+    pd AS (
+        SELECT s.state, COALESCE(t.p, 0.0) AS p_direct
+        FROM states s LEFT JOIN (
+            SELECT from_type, p FROM trans WHERE to_type = '{ABSORB_TARGET}'
+        ) t ON s.state = t.from_type
+    ),
+    nonabs AS (
+        SELECT from_type, to_type, p FROM trans WHERE to_type <> '{ABSORB_TARGET}'
+    ),
+    a0 AS (SELECT state, p_direct AS val FROM pd),"""
+    + ",".join(_absorb_sql_step(i) for i in range(1, ABSORB_STEPS + 1))
+    + f"""
+    SELECT pd.state, ROUND(pd.p_direct, 9) AS p_direct,
+           ROUND(a1.val, 9) AS p_within_2,
+           ROUND(a2.val, 9) AS p_within_3,
+           ROUND(a3.val, 9) AS p_within_4
+    FROM pd
+    JOIN a1 ON pd.state = a1.state
+    JOIN a2 ON pd.state = a2.state
+    JOIN a3 ON pd.state = a3.state
+    ORDER BY pd.state"""
+)
+
+
+@query(
+    "events_absorbing_markov",
+    oracle=_ABSORB_ORACLE,
+    tags=("events", "analytics", "markov"),
+)
+def events_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-Markov conversion probability: P(reach 'purchase'
+    within k steps | current state), by value iteration over the
+    empirical transition matrix with 'purchase' absorbing (paths stop
+    on conversion). Three unrolled iterations — the finite-horizon
+    slice of the fundamental-matrix computation — all running on the
+    |states|^2 transition table, so the only corpus-sized work is the
+    per-user lead() window that counts transitions. Products round-12
+    into decimal sums per the iterative-unroll discipline
+    (kmeans/DoReMi pattern)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    wsum = Window.partitionBy("from_type")
+    trans = (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "from_type",
+            "to_type",
+            (F.col("n").cast("double") / F.sum("n").over(wsum)).alias("p"),
+        )
+    )
+    states = trans.select(F.col("from_type").alias("state")).distinct()
+    direct = trans.filter(F.col("to_type") == ABSORB_TARGET).select(
+        F.col("from_type").alias("state"), F.col("p").alias("pd_raw")
+    )
+    pd_ = states.join(direct, "state", "left").select(
+        "state", F.coalesce("pd_raw", F.lit(0.0)).alias("p_direct")
+    )
+    nonabs = trans.filter(F.col("to_type") != ABSORB_TARGET)
+    a = pd_.select("state", F.col("p_direct").alias("val"))
+    snapshots = []
+    for _ in range(ABSORB_STEPS):
+        contrib = (
+            nonabs.join(
+                a.select(F.col("state").alias("to_type"), "val"), "to_type"
+            )
+            .groupBy(F.col("from_type").alias("state"))
+            .agg(
+                F.sum(F.round(F.col("p") * F.col("val"), 12).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("contrib")
+            )
+        )
+        a = pd_.join(contrib, "state", "left").select(
+            "state",
+            (F.col("p_direct") + F.coalesce("contrib", F.lit(0.0))).alias("val"),
+        )
+        snapshots.append(a)
+    out = pd_.select("state", F.round("p_direct", 9).alias("p_direct"))
+    for i, s in enumerate(snapshots):
+        out = out.join(
+            s.select("state", F.round("val", 9).alias(f"p_within_{i + 2}")), "state"
+        )
+    return out.orderBy("state")

@@ -96,6 +96,7 @@ _NB_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
     ORDER BY true_class, pred_class
     """,
     tags=("llm", "ml-train", "text"),
+    bench=True,
 )
 def ml_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes trained and scored in one job: binary
@@ -695,4 +696,147 @@ def events_bandit_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ucb1"),
         )
         .orderBy("arm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out hit-rate evaluation of the CF neighbor model
+# ---------------------------------------------------------------------------
+
+_CF_CTES = f"""
+    basket AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey % 200 AS item
+        FROM lineitem
+    ),
+    item_n AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM basket GROUP BY item
+    ),
+    pair AS (
+        SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS c
+        FROM basket a JOIN basket b ON a.ok = b.ok AND a.item < b.item
+        GROUP BY a.item, b.item
+    ),
+    sym AS (
+        SELECT i, j, c FROM pair
+        UNION ALL
+        SELECT j AS i, i AS j, c FROM pair
+    ),
+    ranked AS (
+        SELECT item, neighbor,
+               ROW_NUMBER() OVER (
+                   PARTITION BY item
+                   ORDER BY ROUND(cosine, 9) DESC, neighbor ASC
+               ) AS rank
+        FROM (
+            SELECT s.i AS item, s.j AS neighbor,
+                   s.c / SQRT(CAST(ni.n * nj.n AS DOUBLE)) AS cosine
+            FROM sym s
+            JOIN item_n ni ON s.i = ni.item
+            JOIN item_n nj ON s.j = nj.item
+        )
+    ),
+    topk AS (SELECT item, neighbor FROM ranked WHERE rank <= {CF_TOP_K})
+"""
+
+
+@query(
+    "ml_cf_hitrate_eval",
+    oracle=f"""
+    WITH {_CF_CTES},
+    held AS (
+        SELECT ok, MAX(item) AS held, CAST(COUNT(*) AS BIGINT) AS bsize
+        FROM basket GROUP BY ok HAVING COUNT(*) >= 2
+    ),
+    rest AS (
+        SELECT b.ok, b.item
+        FROM basket b JOIN held h ON b.ok = h.ok AND b.item <> h.held
+    ),
+    cand AS (
+        SELECT DISTINCT r.ok, t.neighbor
+        FROM rest r JOIN topk t ON r.item = t.item
+    ),
+    scored_orders AS (
+        SELECT h.ok, h.bsize,
+               CASE WHEN c.neighbor IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM held h LEFT JOIN cand c
+            ON c.ok = h.ok AND c.neighbor = h.held
+    )
+    SELECT CAST(LEAST(bsize, 5) AS BIGINT) AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 9) AS hit_rate
+    FROM scored_orders
+    GROUP BY LEAST(bsize, 5)
+    ORDER BY size_bucket
+    """,
+    tags=("llm", "ml-train", "recsys"),
+)
+def ml_cf_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out hit-rate@k for the item-item CF model: hold out
+    each basket's max item, predict from the top-3 neighbors of the
+    remaining items, report hit rate by basket size. The offline eval
+    every recommender retrain job runs (here with the standard
+    train-on-all simplification — neighbors are fit on the full
+    baskets, so the rate is an optimistic in-sample bound, as the
+    docstringed production caveat). Eval cost is one candidate join
+    (rest x top-3) plus a per-order existence probe — all equi-joins
+    on ok/item keys, integer end-to-end until the final rate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("ok"), (F.col("l_partkey") % 200).alias("item")
+    ).distinct()
+    item_n = basket.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sym = pair.unionAll(pair.select(F.col("j").alias("i"), F.col("i").alias("j"), "c"))
+    ni = item_n.select(F.col("item").alias("i"), F.col("n").alias("n_i"))
+    nj = item_n.select(F.col("item").alias("j"), F.col("n").alias("n_j"))
+    wrank = Window.partitionBy("item").orderBy(
+        F.round("cosine", 9).desc(), F.col("neighbor").asc()
+    )
+    topk = (
+        sym.join(F.broadcast(ni), "i")
+        .join(F.broadcast(nj), "j")
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("neighbor"),
+            (F.col("c") / F.sqrt((F.col("n_i") * F.col("n_j")).cast("double"))).alias(
+                "cosine"
+            ),
+        )
+        .select("item", "neighbor", F.row_number().over(wrank).alias("rank"))
+        .filter(F.col("rank") <= CF_TOP_K)
+        .drop("rank")
+    )
+    held = (
+        basket.groupBy("ok")
+        .agg(F.max("item").alias("held"), F.count(F.lit(1)).cast("bigint").alias("bsize"))
+        .filter(F.col("bsize") >= 2)
+    )
+    rest = basket.join(held, "ok").filter(F.col("item") != F.col("held")).select(
+        "ok", "item"
+    )
+    cand = rest.join(topk, "item").select("ok", "neighbor").distinct()
+    hit_join = held.join(
+        cand,
+        (cand["ok"] == held["ok"]) & (cand["neighbor"] == held["held"]),
+        "left",
+    ).select(
+        held["ok"],
+        "bsize",
+        F.when(cand["neighbor"].isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    return (
+        hit_join.groupBy(F.least(F.col("bsize"), F.lit(5)).cast("bigint").alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("hit").cast("bigint").alias("n_hits"),
+            F.round(F.sum("hit").cast("double") / F.count(F.lit(1)), 9).alias("hit_rate"),
+        )
+        .orderBy("size_bucket")
     )
