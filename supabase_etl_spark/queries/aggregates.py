@@ -1765,3 +1765,66 @@ def agg_shannon_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "agg_variance_mergeable",
+    oracle="""
+    WITH partials AS (
+        SELECT l_returnflag AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(ROUND(l_quantity * l_quantity, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS s2
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    merged AS (
+        SELECT 'ALL' AS grp,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(s, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(ROUND(s2, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s2
+        FROM partials
+    ),
+    unioned AS (
+        SELECT * FROM partials UNION ALL SELECT * FROM merged
+    )
+    SELECT grp, n,
+           ROUND(s / n, 9) AS mean,
+           ROUND(s2 / n - (s / n) * (s / n), 9) AS var_pop
+    FROM unioned
+    ORDER BY grp
+    """,
+    tags=("agg", "stats", "mergeable"),
+)
+def agg_variance_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable one-pass variance algebra (Chan et al.): per-group
+    sufficient statistics (n, Σx, Σx²) combine into the global
+    variance WITHOUT rescanning — the merged 'ALL' row is computed
+    from the group partials alone, exactly the map-side-combine /
+    sketch-merge contract every distributed aggregation relies on.
+    Decimal-exact partials make merged == direct bit-for-bit, which is
+    the property this query pins: a rollup tier (hour→day→month) can
+    merge variance partials at any granularity with zero drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("l_quantity", 6).cast("decimal(28,6)")).cast("double").alias("s"),
+        F.sum(F.round(F.col("l_quantity") * F.col("l_quantity"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    merged = partials.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum(F.round("s", 6).cast("decimal(28,6)")).cast("double").alias("s"),
+        F.sum(F.round("s2", 6).cast("decimal(28,6)")).cast("double").alias("s2"),
+    ).select(F.lit("ALL").alias("grp"), "n", "s", "s2")
+    unioned = partials.unionByName(merged)
+    return unioned.select(
+        "grp",
+        "n",
+        F.round(F.col("s") / F.col("n"), 9).alias("mean"),
+        F.round(
+            F.col("s2") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+            9,
+        ).alias("var_pop"),
+    ).orderBy("grp")

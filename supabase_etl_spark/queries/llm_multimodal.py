@@ -1012,3 +1012,138 @@ def multimodal_audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFr
         .drop("island")
         .orderBy("uri", "start_frame")
     )
+
+
+HIST_BUCKETS = 8  # intensity histogram buckets (256 / 32)
+HIST_TOP_K = 3
+
+
+@query(
+    "multimodal_image_histogram_similarity",
+    oracle=f"""
+    WITH {_IMG_DOCS_CTE},
+    px AS (
+        SELECT d.uri,
+               (d.seed + 3 * x.i + 5 * y.j + 7 * c.k) % 256 AS v
+        FROM docs d,
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS x(i),
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS y(j),
+             range(0, 3) AS c(k)
+        WHERE x.i < d.w AND y.j < d.h
+    ),
+    hist AS (
+        SELECT uri, v // 32 AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM px GROUP BY uri, v // 32
+    ),
+    norms AS (
+        SELECT uri, CAST(SUM(c * c) AS BIGINT) AS n2 FROM hist GROUP BY uri
+    ),
+    dots AS (
+        SELECT a.uri AS ua, b.uri AS ub, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+        FROM hist a JOIN hist b ON a.bucket = b.bucket AND a.uri < b.uri
+        GROUP BY a.uri, b.uri
+    ),
+    sym AS (
+        SELECT ua AS uri, ub AS neighbor, dot FROM dots
+        UNION ALL
+        SELECT ub AS uri, ua AS neighbor, dot FROM dots
+    ),
+    scored AS (
+        SELECT s.uri, s.neighbor,
+               s.dot / SQRT(CAST(na.n2 AS DOUBLE) * nb.n2) AS cosine
+        FROM sym s
+        JOIN norms na ON s.uri = na.uri
+        JOIN norms nb ON s.neighbor = nb.uri
+    )
+    SELECT uri, neighbor, ROUND(cosine, 9) AS cosine, CAST(rk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY uri ORDER BY ROUND(cosine, 9) DESC, neighbor ASC) AS rk
+        FROM scored
+    )
+    WHERE rk <= {HIST_TOP_K}
+    ORDER BY uri, rank
+    """,
+    tags=("llm", "multimodal", "similarity"),
+)
+def multimodal_image_histogram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color-distribution near-duplicate search over REAL decoded
+    images: each payload is decoded by the engine's raster codecs in
+    Arrow-batched mapInPandas, reduced to an 8-bucket intensity
+    histogram (the classic global-color image descriptor —
+    complementary to the structural aHash/dHash dedups, which miss
+    recolored crops that histograms catch and vice versa), then
+    top-3 nearest neighbors per image by histogram cosine via a
+    bucket-keyed inverted-index join. Integer dot/norm arithmetic +
+    IEEE sqrt keeps cosines bit-identical; ranking is
+    quantize-then-rank. The image fixture is capped at {IMG_DOCS} ids
+    by design; an unbounded media lake would LSH-bucket the histograms
+    first (the dedup_embedding_cosine machinery applies verbatim)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from supabase_etl_spark.operators import imagecodec as IC
+
+    imgs = _images(spark, sf_dir)
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uris, buckets, counts = [], [], []
+            for uri, content in zip(pdf["uri"], pdf["content"]):
+                w, h, ch, px = IC.decode_image(bytes(content))
+                a = np.frombuffer(px, dtype=np.uint8)
+                bc = np.bincount(a // 32, minlength=HIST_BUCKETS)
+                for b in range(HIST_BUCKETS):
+                    if bc[b]:
+                        uris.append(uri)
+                        buckets.append(b)
+                        counts.append(int(bc[b]))
+            yield pd.DataFrame(
+                {
+                    "uri": uris,
+                    "bucket": pd.Series(buckets, dtype="int32"),
+                    "c": pd.Series(counts, dtype="int64"),
+                }
+            )
+
+    h = imgs.mapInPandas(hist, schema="uri string, bucket int, c long")
+    norms = h.groupBy("uri").agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2"))
+    a = h.alias("a")
+    b = h.alias("b")
+    dots = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.uri") < F.col("b.uri")))
+        .groupBy(F.col("a.uri").alias("ua"), F.col("b.uri").alias("ub"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias("dot"))
+    )
+    sym = dots.select(F.col("ua").alias("uri"), F.col("ub").alias("neighbor"), "dot").unionAll(
+        dots.select(F.col("ub").alias("uri"), F.col("ua").alias("neighbor"), "dot")
+    )
+    na = norms.select(F.col("uri"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("uri").alias("neighbor"), F.col("n2").alias("nb2"))
+    scored = (
+        sym.join(na, "uri")
+        .join(nb, "neighbor")
+        .select(
+            "uri",
+            "neighbor",
+            (
+                F.col("dot") / F.sqrt(F.col("na2").cast("double") * F.col("nb2"))
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("uri").orderBy(
+        F.round("cosine", 9).desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.select(
+            "uri",
+            "neighbor",
+            F.round("cosine", 9).alias("cosine"),
+            F.row_number().over(wr).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= HIST_TOP_K)
+        .orderBy("uri", "rank")
+    )
