@@ -5564,6 +5564,9 @@ def events_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             "to_type",
             (F.col("n").cast("double") / F.sum("n").over(wsum)).alias("p"),
         )
+        # |states|^2-row table consumed by every iteration step: truncate
+        # the lineage so the value iteration never re-scans the corpus
+        .localCheckpoint()
     )
     states = trans.select(F.col("from_type").alias("state")).distinct()
     direct = trans.filter(F.col("to_type") == ABSORB_TARGET).select(

@@ -744,3 +744,31 @@ def test_lorenz_rank_is_range_partitioned(spark):
     q = load_all()["events_lorenz_deciles"]
     plan = _plan(q.fn(spark, SF))
     assert "rangepartitioning" in plan
+
+
+def test_absorbing_markov_iterates_on_state_table(spark):
+    """events_absorbing_markov: the corpus appears once (per-user lead
+    window); the three value-iteration steps run on the states^2
+    transition table with no corpus re-scan or cartesian blowup."""
+    q = load_all()["events_absorbing_markov"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the localCheckpoint-truncated transition table feeds the whole
+    # iteration chain; the corpus scan appears at most once
+    assert plan.count("events.parquet") <= 1
+
+
+def test_cf_hitrate_candidates_are_keyed_joins(spark):
+    """ml_cf_hitrate_eval: candidate generation is rest-items x top-3
+    neighbors through an item-keyed equi-join, never a cartesian."""
+    q = load_all()["ml_cf_hitrate_eval"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_similarity_joins_on_bucket(spark):
+    """multimodal_image_histogram_similarity: the pair stage is a
+    bucket-keyed equi-join of two histogram scans."""
+    q = load_all()["multimodal_image_histogram_similarity"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
