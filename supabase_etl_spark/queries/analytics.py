@@ -5601,3 +5601,263 @@ def events_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             s.select("state", F.round("val", 9).alias(f"p_within_{i + 2}")), "state"
         )
     return out.orderBy("state")
+
+
+PPR_SEED_REGION = "ASIA"  # restart mass spreads over this region's nations
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized PageRank: identical recurrence to
+    _pr_oracle but the restart mass concentrates on the seed set."""
+    it = """
+    pmass{n} AS (
+        SELECT e.dst AS v,
+               list_reduce(list(e.w_frac * r.rank ORDER BY e.src),
+                           (acc, x) -> acc + x) AS mass
+        FROM edges e JOIN pit{p} r ON r.v = e.src
+        GROUP BY e.dst
+    ),
+    pit{n} AS (
+        SELECT nodes.v,
+               (1 - CAST({d} AS DOUBLE)) * nodes.restart
+               + CAST({d} AS DOUBLE) * COALESCE(m.mass, 0.0) AS rank
+        FROM nodes LEFT JOIN pmass{n} m ON m.v = nodes.v
+    )"""
+    its = ",".join(
+        it.format(n=i, p=i - 1, d=PR_DAMPING) for i in range(1, PR_ITERATIONS + 1)
+    )
+    return f"""
+    WITH raw_edges AS (
+        SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY src, dst
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS total FROM raw_edges GROUP BY src),
+    edges AS (
+        SELECT e.src, e.dst,
+               CAST(e.w AS DOUBLE) / CAST(o.total AS DOUBLE) AS w_frac
+        FROM raw_edges e JOIN outw o ON e.src = o.src
+    ),
+    seeds AS (
+        SELECT n_name AS v FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{PPR_SEED_REGION}'
+    ),
+    ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds),
+    nodes AS (
+        SELECT n_name AS v,
+               CASE WHEN n_name IN (SELECT v FROM seeds)
+                    THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS restart
+        FROM nation
+    ),
+    pit0 AS (SELECT v, restart AS rank FROM nodes),
+    {its}
+    SELECT v AS nation, ROUND(rank, 12) AS ppr,
+           v IN (SELECT v FROM seeds) AS is_seed
+    FROM pit{PR_ITERATIONS}
+    ORDER BY ROUND(rank, 12) DESC, nation
+    """
+
+
+@query(
+    "graph_ppr_from_seed",
+    oracle=_ppr_oracle(),
+    tags=("graph", "analytics", "iterative"),
+)
+def graph_ppr_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the nation trade graph: restart mass
+    concentrates on the ASIA seed set instead of spreading uniformly,
+    so ranks measure proximity TO the seeds — the recommendation /
+    related-entities primitive (who trades with Asia, transitively).
+    Identical Pregel-shaped iteration and canonical-fold determinism
+    discipline as graph_pagerank; only the restart vector differs, so
+    the two queries share the 100 TB scaling argument: per iteration
+    one edge-keyed join + one keyed fold, nothing collects."""
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+        )
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    c = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, s.s_nationkey == n1.s_nk)
+        .join(n2, c.c_nationkey == n2.c_nk)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = raw.groupBy(F.col("src").alias("o_src")).agg(
+        F.sum("w").cast("bigint").alias("total")
+    )
+    edges = (
+        raw.join(outw, raw.src == outw.o_src)
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("total").cast("double")).alias("w_frac"),
+        )
+        .localCheckpoint()
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    seeds = (
+        nation.join(
+            region, nation["n_regionkey"] == region["r_regionkey"]
+        )
+        .filter(F.col("r_name") == PPR_SEED_REGION)
+        .select(F.col("n_name").alias("v"))
+    )
+    k = seeds.count()
+    nodes = (
+        nation.select(F.col("n_name").alias("v"))
+        .join(seeds.select("v", F.lit(True).alias("is_seed")), "v", "left")
+        .select(
+            "v",
+            F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+            F.when(F.coalesce("is_seed", F.lit(False)), F.lit(1.0) / k)
+            .otherwise(0.0)
+            .alias("restart"),
+        )
+        .localCheckpoint()
+    )
+    ranks = nodes.select("v", F.col("restart").alias("rank"))
+    for _ in range(PR_ITERATIONS):
+        contribs = edges.join(ranks, edges.src == ranks.v).select(
+            F.col("dst"),
+            F.struct(F.col("src"), (F.col("w_frac") * F.col("rank")).alias("c")).alias(
+                "sc"
+            ),
+        )
+        incoming = (
+            contribs.groupBy(F.col("dst").alias("v"))
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list("sc")), lambda s: s.c
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("mass")
+            )
+        )
+        ranks = nodes.join(incoming, "v", "left_outer").select(
+            "v",
+            (
+                F.lit(1 - PR_DAMPING) * F.col("restart")
+                + F.lit(PR_DAMPING) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return (
+        ranks.join(nodes.select("v", "is_seed"), "v")
+        .select(
+            F.col("v").alias("nation"),
+            F.round("rank", 12).alias("ppr"),
+            "is_seed",
+        )
+        .orderBy(F.round("rank", 12).desc(), "nation")
+    )
+
+
+@query(
+    "events_conversion_lag_percentiles",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS first_seen,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    first_ev AS (
+        SELECT user_id, event_type AS channel
+        FROM (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    lags AS (
+        SELECT f.channel,
+               CAST(floor((epoch_us(p.first_purchase) - epoch_us(p.first_seen))
+                          / 3600000000.0) AS BIGINT) AS lag_hours
+        FROM per_user p JOIN first_ev f ON p.user_id = f.user_id
+        WHERE p.first_purchase IS NOT NULL
+          AND p.first_purchase > p.first_seen
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           round(CAST(quantile_cont(lag_hours, 0.25) AS DOUBLE), 6) AS p25_hours,
+           round(CAST(quantile_cont(lag_hours, 0.5)  AS DOUBLE), 6) AS p50_hours,
+           round(CAST(quantile_cont(lag_hours, 0.9)  AS DOUBLE), 6) AS p90_hours
+    FROM lags
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    tags=("events", "analytics", "percentile"),
+)
+def events_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per acquisition channel (the
+    user's first event type standing in for the channel): exact
+    p25/p50/p90 of the first-seen -> first-purchase lag in integer
+    hours. Lag quartiles by channel are how growth teams compare
+    funnel friction across entry points. Two per-user reductions (one
+    min/min pass, one first-event window) joined on user, then exact
+    percentiles over integer hour lags — at 100 TB the percentile
+    input is converted-users-sized and integer-valued, so
+    percentile() interpolation is exact on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    wfirst = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_ev = (
+        ev.select("user_id", F.col("event_type").alias("channel"), "ts", "event_id")
+        .withColumn("rn", F.row_number().over(wfirst))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "channel")
+    )
+    lags = (
+        per_user.join(first_ev, "user_id")
+        .filter(
+            F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_seen"))
+        )
+        .select(
+            "channel",
+            F.floor(
+                (F.unix_micros("first_purchase") - F.unix_micros("first_seen"))
+                / F.lit(3600000000.0)
+            )
+            .cast("bigint")
+            .alias("lag_hours"),
+        )
+    )
+    return (
+        lags.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+            F.round(F.expr("percentile(lag_hours, 0.25)"), 6).alias("p25_hours"),
+            F.round(F.expr("percentile(lag_hours, 0.5)"), 6).alias("p50_hours"),
+            F.round(F.expr("percentile(lag_hours, 0.9)"), 6).alias("p90_hours"),
+        )
+        .orderBy("channel")
+    )
