@@ -69,6 +69,12 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
+class ConstraintViolationError(ValueError):
+    """Raised when a write contains rows that violate a table CHECK
+    constraint (Delta-style: a row violates only when the expression
+    evaluates to FALSE — NULL passes, matching SQL CHECK semantics)."""
+
+
 class SchemaEnforcementError(ValueError):
     """Raised by commit(schema_mode='enforce') when the incoming
     DataFrame's schema does not match the table's current schema —
@@ -120,9 +126,15 @@ def commit(
                 f"schema drift rejected: added={added} missing={missing} "
                 f"retyped={retyped}"
             )
+    prev = current_version(table_dir)
+    if prev > 0:
+        # CHECK constraints gate every write mode (append AND overwrite),
+        # before any data file lands — the Delta contract
+        _validate_constraints(
+            df, _read_manifest(table_dir, prev).get("constraints", [])
+        )
     # the new data files are invisible until the manifest names them
     new_files = _write_data_files(df, table_dir)
-    prev = current_version(table_dir)
     files = list(new_files)
     deletes: list[dict] = []
     if mode == "append" and prev > 0:
@@ -133,6 +145,76 @@ def commit(
         # are outside every scope, so appended rows never lose keys
         deletes = pm.get("deletes", [])
     return _commit_files(table_dir, files, note, base_version=prev, deletes=deletes)
+
+
+def _validate_constraints(df: DataFrame, constraints: list[dict]) -> None:
+    """One aggregation pass counting violators of every constraint at
+    once; raises ConstraintViolationError naming each failed constraint
+    with its violation count. NULL evaluations pass (SQL CHECK)."""
+    from pyspark.sql import functions as F
+
+    if not constraints:
+        return
+    counts = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(F.expr(c["expr"]), F.lit(True)), 1).otherwise(0)
+            ).alias(c["name"])
+            for c in constraints
+        ]
+    ).collect()[0]  # one row of per-constraint counters — bounded
+    bad = {c["name"]: counts[c["name"]] for c in constraints if counts[c["name"]]}
+    if bad:
+        detail = ", ".join(
+            f"{n} ({bad[n]} rows)" for n in sorted(bad)
+        )
+        raise ConstraintViolationError(f"CHECK constraint violated: {detail}")
+
+
+def add_constraint(
+    spark: SparkSession, table_dir: str, name: str, expr: str, note: str = ""
+) -> int:
+    """Add a named CHECK constraint (a SQL boolean expression over the
+    table's columns). Existing data must already satisfy it — the call
+    validates the current snapshot first (ALTER TABLE ADD CONSTRAINT
+    semantics) — and every subsequent commit()/merge() is gated on it.
+    Publishing is a metadata-only commit carrying the same files."""
+    v = current_version(table_dir)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _read_manifest(table_dir, v)
+    cons = list(manifest.get("constraints", []))
+    if any(c["name"] == name for c in cons):
+        raise ValueError(f"constraint {name!r} already exists")
+    _validate_constraints(read(spark, table_dir), [{"name": name, "expr": expr}])
+    cons.append({"name": name, "expr": expr})
+    return _commit_files(
+        table_dir,
+        manifest["files"],
+        note or f"add-constraint {name}",
+        base_version=v,
+        deletes=manifest.get("deletes", []),
+        constraints=cons,
+    )
+
+
+def drop_constraint(table_dir: str, name: str, note: str = "") -> int:
+    """Remove a named CHECK constraint via a metadata-only commit."""
+    v = current_version(table_dir)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _read_manifest(table_dir, v)
+    cons = [c for c in manifest.get("constraints", []) if c["name"] != name]
+    if len(cons) == len(manifest.get("constraints", [])):
+        raise ValueError(f"constraint {name!r} does not exist")
+    return _commit_files(
+        table_dir,
+        manifest["files"],
+        note or f"drop-constraint {name}",
+        base_version=v,
+        deletes=manifest.get("deletes", []),
+        constraints=cons,
+    )
 
 
 def read(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
@@ -189,6 +271,7 @@ def _commit_files(
     note: str,
     base_version: int,
     deletes: list[dict] | None = None,
+    constraints: list[dict] | None = None,
 ) -> int:
     """Publish manifest at ``base_version + 1`` naming exactly ``files``.
 
@@ -202,9 +285,16 @@ def _commit_files(
     ConcurrentCommitError so the stale writer re-reads and retries.
     """
     version = base_version + 1
+    if constraints is None and base_version > 0:
+        # CHECK constraints are table metadata: inherit from the base
+        # snapshot unless the caller explicitly sets a new list, so
+        # merge/delete/compact/optimize can never silently drop them
+        constraints = _read_manifest(table_dir, base_version).get("constraints", [])
     manifest: dict = {"version": version, "files": files, "note": note}
     if deletes:
         manifest["deletes"] = deletes
+    if constraints:
+        manifest["constraints"] = constraints
     tmp = os.path.join(_manifest_dir(table_dir), f".tmp_{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -274,6 +364,9 @@ def merge(
     if v <= 0:
         return commit(source, table_dir, mode="overwrite", note=note or "merge-init")
     manifest = _read_manifest(table_dir, v)
+    # incoming rows are the only new data a MERGE can introduce — gate
+    # them on the table's CHECK constraints like commit() does
+    _validate_constraints(source, manifest.get("constraints", []))
     tgt = _read_tagged(spark, table_dir, v)
     src_keys = source.select(*key_cols).distinct()
     touched = {

@@ -1795,3 +1795,113 @@ def io_manifest_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v2_metadata_matches_scan boolean, mor_returns_none boolean, "
         "compacted_metadata_restored boolean",
     ).orderBy("v1_rows")
+
+
+@query(
+    "io_manifest_check_constraints",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000
+    ),
+    appended AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey > 1000 AND o_orderkey <= 1500
+    ),
+    final_rows AS (
+        SELECT * FROM base UNION ALL SELECT * FROM appended
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+           TRUE AS violation_rejected,
+           TRUE AS version_unchanged_after_reject,
+           TRUE AS merge_violation_rejected,
+           TRUE AS clean_append_ok,
+           TRUE AS constraint_survives_delete
+    FROM final_rows
+    ORDER BY n_rows
+    """,
+    tags=("io", "lakehouse"),
+)
+def io_manifest_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraints on the manifest store (Delta's
+    ALTER TABLE ADD CONSTRAINT contract): add_constraint validates the
+    existing snapshot then gates every commit()/merge() — a violating
+    append and a violating MERGE both die at write time with the
+    version unchanged (NULL evaluations pass, SQL CHECK semantics), a
+    clean append lands, and the constraint survives a COW DELETE via
+    manifest metadata inheritance so maintenance can never silently
+    drop it. Validation is ONE aggregation pass over the incoming
+    batch counting violators of all constraints at once — cost is the
+    write's own scan, never the table's."""
+    from supabase_etl_spark.io import manifest_store as M
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = scratch_dir("manifest_check_")
+    M.commit(o.filter(F.col("o_orderkey") <= 1000), table, "overwrite")
+    M.add_constraint(spark, table, "price_positive", "o_totalprice > 0")
+
+    violation_rejected = False
+    try:
+        M.commit(
+            o.filter(F.col("o_orderkey") <= 10).withColumn(
+                "o_totalprice", F.lit(-1.0)
+            ),
+            table,
+            "append",
+        )
+    except M.ConstraintViolationError:
+        violation_rejected = True
+    version_unchanged = M.current_version(table) == 2  # v2 = add-constraint
+
+    merge_rejected = False
+    try:
+        M.merge(
+            spark,
+            table,
+            o.filter(F.col("o_orderkey") <= 10).withColumn(
+                "o_totalprice", F.lit(-2.0)
+            ),
+            key_cols=["o_orderkey"],
+        )
+    except M.ConstraintViolationError:
+        merge_rejected = True
+
+    M.commit(
+        o.filter((F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1500)),
+        table,
+        "append",
+    )
+    clean_ok = M.current_version(table) == 3
+
+    # constraint survives maintenance: COW-delete nothing-matching rows,
+    # then confirm a violating append is STILL rejected
+    M.delete_where(spark, table, "o_totalprice < 0")
+    survives = False
+    try:
+        M.commit(
+            o.filter(F.col("o_orderkey") <= 5).withColumn("o_totalprice", F.lit(-3.0)),
+            table,
+            "append",
+        )
+    except M.ConstraintViolationError:
+        survives = True
+
+    from supabase_etl_spark.queries._helpers import dsum
+
+    return (
+        M.read(spark, table)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .select(
+            "n_rows",
+            "total_price",
+            F.lit(bool(violation_rejected)).alias("violation_rejected"),
+            F.lit(bool(version_unchanged)).alias("version_unchanged_after_reject"),
+            F.lit(bool(merge_rejected)).alias("merge_violation_rejected"),
+            F.lit(bool(clean_ok)).alias("clean_append_ok"),
+            F.lit(bool(survives)).alias("constraint_survives_delete"),
+        )
+        .orderBy("n_rows")
+    )

@@ -611,3 +611,65 @@ def test_metadata_count_declines_under_mor_then_recovers(spark, tmp_path):
 def test_metadata_count_requires_a_committed_version(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         M.metadata_count(str(tmp_path / "nope"))
+
+
+def test_check_constraint_gates_commit_and_merge(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10).selectExpr("id", "id * 2 AS v"), t, "overwrite")
+    M.add_constraint(spark, t, "v_nonneg", "v >= 0")
+    # clean append passes and the constraint survives it
+    M.commit(spark.range(10, 15).selectExpr("id", "id AS v"), t, "append")
+    with pytest.raises(M.ConstraintViolationError, match="v_nonneg \\(2 rows\\)"):
+        M.commit(
+            spark.range(2).selectExpr("id", "-1 * (id + 1) AS v"), t, "append"
+        )
+    with pytest.raises(M.ConstraintViolationError, match="v_nonneg"):
+        M.merge(
+            spark,
+            t,
+            spark.range(3).selectExpr("id", "-5 AS v"),
+            key_cols=["id"],
+        )
+    # failed writes committed nothing
+    assert M.read(spark, t).count() == 15
+    # overwrite is gated too (constraints are table metadata, not data)
+    with pytest.raises(M.ConstraintViolationError):
+        M.commit(spark.range(3).selectExpr("id", "-9 AS v"), t, "overwrite")
+
+
+def test_check_constraint_null_passes_and_existing_data_validated(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(
+        spark.range(5).selectExpr(
+            "id", "CASE WHEN id = 3 THEN NULL ELSE CAST(id AS BIGINT) END AS v"
+        ),
+        t,
+        "overwrite",
+    )
+    # NULL evaluations pass (SQL CHECK semantics)
+    M.add_constraint(spark, t, "v_small", "v < 100")
+    M.commit(
+        spark.range(1).selectExpr("id", "CAST(NULL AS BIGINT) AS v"), t, "append"
+    )
+    # adding a constraint the CURRENT data violates is rejected
+    with pytest.raises(M.ConstraintViolationError, match="v_big"):
+        M.add_constraint(spark, t, "v_big", "v > 100")
+    # duplicate names rejected
+    with pytest.raises(ValueError, match="already exists"):
+        M.add_constraint(spark, t, "v_small", "v < 50")
+
+
+def test_check_constraint_survives_maintenance_and_drops(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(20).selectExpr("id", "id AS v"), t, "overwrite")
+    M.add_constraint(spark, t, "v_nonneg", "v >= 0")
+    # carried through COW delete and optimize (metadata inheritance)
+    M.delete_where(spark, t, "v > 15")
+    M.optimize(spark, t, target_files=2)
+    with pytest.raises(M.ConstraintViolationError):
+        M.commit(spark.range(1).selectExpr("id", "-1 AS v"), t, "append")
+    # drop restores writability for previously-violating rows
+    M.drop_constraint(t, "v_nonneg")
+    M.commit(spark.range(1).selectExpr("id", "-1 AS v"), t, "append")
+    with pytest.raises(ValueError, match="does not exist"):
+        M.drop_constraint(t, "v_nonneg")
