@@ -1103,3 +1103,54 @@ def sample_water_filling_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+KFOLD_K = 5
+
+
+@query(
+    "sample_kfold_assign",
+    oracle=f"""
+    WITH folds AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {KFOLD_K} AS fold
+        FROM documents
+    )
+    SELECT fold, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_chars
+    FROM folds
+    GROUP BY fold, lang
+    ORDER BY fold, lang
+    """,
+    tags=("llm", "sampling", "cv"),
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5(doc_id) % 5 — content-independent, replayable on any engine,
+    and stable under corpus growth (a document's fold never changes
+    when neighbors arrive, unlike row_number() % k). The output is the
+    fold x language balance audit a CV harness checks before training:
+    near-uniform fold sizes and per-language means confirm the hash is
+    not confounded with strata. Pure map + one grouped agg; the md5
+    path is oracle parity, production swaps to xxhash64 exactly as
+    dsir_bucket_expr documents."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % KFOLD_K
+    )
+    return (
+        d.select(fold.alias("fold"), "lang", "n_chars")
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_chars"),
+        )
+        .orderBy("fold", "lang")
+    )

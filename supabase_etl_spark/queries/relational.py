@@ -1527,3 +1527,75 @@ def sql_natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 500
         """
     )
+
+
+@query(
+    "sql_join_hint_broadcast",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    tags=("sql", "join", "hint"),
+)
+def sql_join_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface join hints: /*+ BROADCAST(n) */ forces the dim side
+    to broadcast regardless of statistics — the escape hatch when the
+    planner under- or over-estimates a build side. Results are
+    hint-invariant (the oracle runs the plain join); the physical
+    effect is pinned by a plan-shape test asserting
+    BroadcastHashJoin."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n) */ n.n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_balance
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY nation
+        """
+    )
+
+
+@query(
+    "sql_named_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+           CAST(COUNT(*) OVER w AS BIGINT) AS orders_so_far,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE), 6)
+               AS spend_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING)
+    ORDER BY o_custkey, order_seq
+    """,
+    tags=("sql", "window"),
+)
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause: one window specification shared by several
+    analytic functions — the ANSI syntax that keeps multi-metric
+    running-state queries single-sourced (and guarantees Spark plans
+    ONE Window operator for all three functions instead of three)."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+               CAST(COUNT(*) OVER w AS BIGINT) AS orders_so_far,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE), 6)
+                   AS spend_so_far
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING)
+        ORDER BY o_custkey, order_seq
+        """
+    )

@@ -772,3 +772,19 @@ def test_histogram_similarity_joins_on_bucket(spark):
     q = load_all()["multimodal_image_histogram_similarity"]
     plan = _plan(q.fn(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_sql_broadcast_hint_forces_broadcast(spark):
+    """sql_join_hint_broadcast: the /*+ BROADCAST(n) */ hint must be
+    visible as a BroadcastHashJoin in the physical plan."""
+    q = load_all()["sql_join_hint_broadcast"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_named_window_plans_one_window_operator(spark):
+    """sql_named_window: three analytic functions over one named WINDOW
+    spec must share a single Window operator."""
+    q = load_all()["sql_named_window"]
+    plan = _plan(q.fn(spark, SF))
+    assert plan.count("Window ") <= 1 or plan.count("[Window") <= 1
