@@ -1886,3 +1886,156 @@ def ml_eval_model_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fair.select(F.lit("max_parity_gap").alias("metric"), F.col("max_parity_gap").alias("value_")))
     )
     return rows.select("metric", F.round("value_", 9).alias("value_")).orderBy("metric")
+
+
+@query(
+    "ml_eval_brier_decomposition",
+    oracle=f"""
+    WITH {_SQL_CUM},
+    bins AS (
+        SELECT model,
+               LEAST(CAST(FLOOR({_SQL_P} * 10) AS BIGINT), 9) AS bin,
+               CAST(SUM(pos + neg) AS BIGINT) AS n_b,
+               CAST(SUM(CAST((pos + neg) * {_SQL_P} AS DECIMAL(38,12))) AS DOUBLE)
+                   / SUM(pos + neg) AS p_b,
+               CAST(SUM(pos) AS DOUBLE) / SUM(pos + neg) AS o_b
+        FROM c GROUP BY model, bin
+    ),
+    gstats AS (
+        SELECT model,
+               CAST(SUM(n_b) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_b * n_b, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                   / SUM(n_b) AS obar
+        FROM bins GROUP BY model
+    ),
+    brier AS (
+        SELECT model,
+               CAST(SUM(CAST(ROUND(pos * ({_SQL_P} - 1) * ({_SQL_P} - 1)
+                                   + neg * {_SQL_P} * {_SQL_P}, 12)
+                             AS DECIMAL(38,12))) AS DOUBLE)
+                   / SUM(pos + neg) AS brier
+        FROM c GROUP BY model
+    ),
+    decomp AS (
+        SELECT b.model,
+               CAST(SUM(CAST(ROUND(b.n_b * (b.p_b - b.o_b) * (b.p_b - b.o_b), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) / g.n AS reliability,
+               CAST(SUM(CAST(ROUND(b.n_b * (b.o_b - g.obar) * (b.o_b - g.obar), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) / g.n AS resolution,
+               g.obar * (1 - g.obar) AS uncertainty
+        FROM bins b JOIN gstats g ON b.model = g.model
+        GROUP BY b.model, g.n, g.obar
+    )
+    SELECT d.model,
+           ROUND(br.brier, 9) AS brier,
+           ROUND(d.reliability, 9) AS reliability,
+           ROUND(d.resolution, 9) AS resolution,
+           ROUND(d.uncertainty, 9) AS uncertainty,
+           ROUND(br.brier - (d.reliability - d.resolution + d.uncertainty), 9)
+               AS within_bin_residual
+    FROM decomp d JOIN brier br ON d.model = br.model
+    ORDER BY d.model
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score: brier = reliability
+    - resolution + uncertainty (+ a within-bin variance residual,
+    reported honestly since the bin forecast p_b is a mean, not a
+    constant). Reliability isolates calibration error, resolution the
+    model's discrimination — the pair tells you whether to recalibrate
+    or retrain, which a single Brier number cannot. Computed entirely
+    on the threshold table then ten calibration bins — the Brier pass
+    and the decomposition are both grid-sized, corpus-independent."""
+    p = _p_col()
+    bin_ = F.least(F.floor(p * 10).cast("bigint"), F.lit(9).cast("bigint"))
+    c = _cum(spark, sf_dir)
+    n_rows = F.col("pos") + F.col("neg")
+    bins = (
+        c.select(
+            "model",
+            bin_.alias("bin"),
+            "pos",
+            "neg",
+            (n_rows * p).cast(DEC18).alias("wp"),
+        )
+        .groupBy("model", "bin")
+        .agg(
+            F.sum(F.col("pos") + F.col("neg")).cast("bigint").alias("n_b"),
+            (F.sum("wp").cast("double") / F.sum(F.col("pos") + F.col("neg"))).alias(
+                "p_b"
+            ),
+            (F.sum("pos").cast("double") / F.sum(F.col("pos") + F.col("neg"))).alias(
+                "o_b"
+            ),
+        )
+    )
+    glob = bins.groupBy("model").agg(
+        F.sum("n_b").cast("bigint").alias("n"),
+        (
+            F.sum(F.round(F.col("o_b") * F.col("n_b"), 6).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.sum("n_b")
+        ).alias("obar"),
+    )
+    brier = c.groupBy("model").agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("pos") * (p - 1) * (p - 1) + F.col("neg") * p * p, 12
+                ).cast("decimal(38,12)")
+            ).cast("double")
+            / F.sum(F.col("pos") + F.col("neg"))
+        ).alias("brier")
+    )
+    decomp = (
+        bins.join(glob, "model")
+        .groupBy("model", "n", "obar")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("n_b")
+                        * (F.col("p_b") - F.col("o_b"))
+                        * (F.col("p_b") - F.col("o_b")),
+                        12,
+                    ).cast("decimal(38,12)")
+                ).cast("double")
+                / F.col("n")
+            ).alias("reliability"),
+            (
+                F.sum(
+                    F.round(
+                        F.col("n_b")
+                        * (F.col("o_b") - F.col("obar"))
+                        * (F.col("o_b") - F.col("obar")),
+                        12,
+                    ).cast("decimal(38,12)")
+                ).cast("double")
+                / F.col("n")
+            ).alias("resolution"),
+        )
+        .select(
+            "model",
+            "reliability",
+            "resolution",
+            (F.col("obar") * (1 - F.col("obar"))).alias("uncertainty"),
+        )
+    )
+    return (
+        decomp.join(brier, "model")
+        .select(
+            "model",
+            F.round("brier", 9).alias("brier"),
+            F.round("reliability", 9).alias("reliability"),
+            F.round("resolution", 9).alias("resolution"),
+            F.round("uncertainty", 9).alias("uncertainty"),
+            F.round(
+                F.col("brier")
+                - (F.col("reliability") - F.col("resolution") + F.col("uncertainty")),
+                9,
+            ).alias("within_bin_residual"),
+        )
+        .orderBy("model")
+    )
