@@ -1609,3 +1609,250 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check(lineitem, "l_suppkey", supplier, "s_suppkey", "lineitem.l_suppkey->supplier"))
     )
     return out.orderBy("relationship")
+
+
+@query(
+    "dq_functional_dependency",
+    oracle="""
+    WITH fd1 AS (
+        SELECT COUNT(*) AS n_lhs_groups,
+               SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_violations,
+               MAX(d) AS max_rhs_distinct
+        FROM (SELECT COUNT(DISTINCT p_type) AS d FROM part GROUP BY p_brand)
+    ),
+    fd2 AS (
+        SELECT COUNT(*), SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END), MAX(d)
+        FROM (SELECT COUNT(DISTINCT p_name) AS d FROM part GROUP BY p_partkey)
+    ),
+    fd3 AS (
+        SELECT COUNT(*), SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END), MAX(d)
+        FROM (SELECT COUNT(DISTINCT o_orderpriority) AS d
+              FROM orders GROUP BY o_custkey)
+    ),
+    fd4 AS (
+        SELECT COUNT(*), SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END), MAX(d)
+        FROM (SELECT COUNT(DISTINCT n_regionkey) AS d
+              FROM nation GROUP BY n_nationkey)
+    ),
+    labeled AS (
+        SELECT 'part.p_brand->p_type' AS fd, * FROM fd1
+        UNION ALL SELECT 'part.p_partkey->p_name', * FROM fd2
+        UNION ALL SELECT 'orders.o_custkey->o_orderpriority', * FROM fd3
+        UNION ALL SELECT 'nation.n_nationkey->n_regionkey', * FROM fd4
+    )
+    SELECT fd, CAST(n_lhs_groups AS BIGINT) AS n_lhs_groups,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(max_rhs_distinct AS BIGINT) AS max_rhs_distinct,
+           n_violations = 0 AS holds
+    FROM labeled
+    ORDER BY fd
+    """,
+    tags=("dq", "profiling"),
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (profiling-suite staple, the
+    single-FD slice of what Metanome/Deequ uniqueness analyzers do):
+    for each declared candidate FD lhs -> rhs, group by lhs, count
+    distinct rhs per group, and report how many groups violate the
+    dependency. At 100 TB each FD is one shuffle on its lhs with
+    map-side partial distinct aggregation; the verdict table is one
+    row per FD, so the reduce side is metadata-sized."""
+
+    def audit(df: DataFrame, lhs: str, rhs: str, name: str) -> DataFrame:
+        per_group = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("d"))
+        return per_group.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs_groups"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+            F.max("d").cast("bigint").alias("max_rhs_distinct"),
+        ).select(
+            F.lit(name).alias("fd"),
+            "n_lhs_groups",
+            "n_violations",
+            "max_rhs_distinct",
+            (F.col("n_violations") == 0).alias("holds"),
+        )
+
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    out = (
+        audit(part, "p_brand", "p_type", "part.p_brand->p_type")
+        .unionAll(audit(part, "p_partkey", "p_name", "part.p_partkey->p_name"))
+        .unionAll(
+            audit(orders, "o_custkey", "o_orderpriority",
+                  "orders.o_custkey->o_orderpriority")
+        )
+        .unionAll(
+            audit(nation, "n_nationkey", "n_regionkey",
+                  "nation.n_nationkey->n_regionkey")
+        )
+    )
+    return out.orderBy("fd")
+
+
+@query(
+    "dq_candidate_keys",
+    oracle="""
+    WITH k1 AS (
+        SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
+               COUNT(*) AS n_groups, MAX(n) AS max_dup
+        FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+    ),
+    k2 AS (
+        SELECT (SELECT COUNT(*) FROM orders), COUNT(*), MAX(n)
+        FROM (SELECT COUNT(*) AS n FROM orders
+              GROUP BY o_custkey, o_orderdate)
+    ),
+    k3 AS (
+        SELECT (SELECT COUNT(*) FROM lineitem), COUNT(*), MAX(n)
+        FROM (SELECT COUNT(*) AS n FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
+    ),
+    k4 AS (
+        SELECT (SELECT COUNT(*) FROM lineitem), COUNT(*), MAX(n)
+        FROM (SELECT COUNT(*) AS n FROM lineitem
+              GROUP BY l_partkey, l_suppkey)
+    ),
+    labeled AS (
+        SELECT 'orders(o_orderkey)' AS candidate, * FROM k1
+        UNION ALL SELECT 'orders(o_custkey,o_orderdate)', * FROM k2
+        UNION ALL SELECT 'lineitem(l_orderkey,l_linenumber)', * FROM k3
+        UNION ALL SELECT 'lineitem(l_partkey,l_suppkey)', * FROM k4
+    )
+    SELECT candidate, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(max_dup AS BIGINT) AS max_dup,
+           ROUND(CAST(n_groups AS DOUBLE) / n_rows, 9) AS uniqueness,
+           max_dup = 1 AS is_key
+    FROM labeled
+    ORDER BY candidate
+    """,
+    tags=("dq", "profiling"),
+)
+def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over declared column combinations:
+    distinct-group count vs row count plus the worst duplication
+    factor, flagging combos that are true keys. The uniqueness ratio
+    is the standard profiling metric (Deequ's Uniqueness /
+    ApproxCountDistinct pair, exact here). Each combo is one
+    grouped count with map-side partials — at 100 TB, four shuffles
+    keyed on the candidate columns, each reducing to one metadata
+    row; no distinct-on-struct is materialized."""
+
+    def probe(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+        total = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        groups = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.max("n").cast("bigint").alias("max_dup"),
+            )
+        )
+        return total.crossJoin(groups).select(
+            F.lit(name).alias("candidate"),
+            "n_rows",
+            "n_groups",
+            "max_dup",
+            F.round(F.col("n_groups").cast("double") / F.col("n_rows"), 9).alias(
+                "uniqueness"
+            ),
+            (F.col("max_dup") == 1).alias("is_key"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    out = (
+        probe(orders, ["o_orderkey"], "orders(o_orderkey)")
+        .unionAll(
+            probe(orders, ["o_custkey", "o_orderdate"],
+                  "orders(o_custkey,o_orderdate)")
+        )
+        .unionAll(
+            probe(lineitem, ["l_orderkey", "l_linenumber"],
+                  "lineitem(l_orderkey,l_linenumber)")
+        )
+        .unionAll(
+            probe(lineitem, ["l_partkey", "l_suppkey"],
+                  "lineitem(l_partkey,l_suppkey)")
+        )
+    )
+    return out.orderBy("candidate")
+
+
+@query(
+    "dq_missingness_patterns",
+    oracle="""
+    WITH masked AS (
+        SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE props END AS props,
+               CASE WHEN event_id % 11 = 3 THEN NULL ELSE event_type END
+                   AS event_type
+        FROM events
+    ),
+    flagged AS (
+        SELECT (CASE WHEN value IS NULL THEN 'M' ELSE '-' END)
+               || (CASE WHEN props IS NULL THEN 'M' ELSE '-' END)
+               || (CASE WHEN event_type IS NULL THEN 'M' ELSE '-' END)
+                   AS pattern,
+               (CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+               + (CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+               + (CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                   AS n_missing
+        FROM masked
+    )
+    SELECT pattern, CAST(MAX(n_missing) AS INT) AS n_cols_missing,
+           COUNT(*) AS n_rows,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 9) AS frac
+    FROM flagged
+    GROUP BY pattern
+    ORDER BY pattern
+    """,
+    tags=("dq", "profiling"),
+)
+def dq_missingness_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-pattern profile (the md.pattern / missingno matrix):
+    every row is reduced to its null-bitmap over the audited columns
+    and patterns are counted — the first step of any MCAR/MAR
+    analysis and imputation plan. The base tables ship null-free, so
+    a deterministic mask (written identically in both engines) plants
+    the nulls the profiler then measures. One grouped count on a
+    pattern key with at most 2^k distinct values — map-side combine
+    collapses it before the shuffle, so 100 TB costs one scan."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("props"))
+        .alias("props"),
+        F.when(F.col("event_id") % 11 == 3, None)
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+    )
+    miss = lambda c: F.when(F.col(c).isNull(), "M").otherwise("-")  # noqa: E731
+    bit = lambda c: F.when(F.col(c).isNull(), 1).otherwise(0)  # noqa: E731
+    flagged = masked.select(
+        F.concat(miss("value"), miss("props"), miss("event_type")).alias("pattern"),
+        (bit("value") + bit("props") + bit("event_type")).alias("n_missing"),
+    )
+    total_w = Window.partitionBy()
+    return (
+        flagged.groupBy("pattern")
+        .agg(
+            F.max("n_missing").cast("int").alias("n_cols_missing"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn(
+            "frac",
+            F.round(
+                F.col("n_rows").cast("double") / F.sum("n_rows").over(total_w), 9
+            ),
+        )
+        .select("pattern", "n_cols_missing", "n_rows", "frac")
+        .orderBy("pattern")
+    )
