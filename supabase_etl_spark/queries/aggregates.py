@@ -1828,3 +1828,135 @@ def agg_variance_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("var_pop"),
     ).orderBy("grp")
+
+
+@query(
+    "agg_theil_inequality",
+    oracle="""
+    WITH pos AS (SELECT c_nationkey, c_acctbal AS x FROM customer
+                 WHERE c_acctbal > 0),
+    tot AS (
+        SELECT CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu,
+               COUNT(*) AS n
+        FROM pos
+    ),
+    grp AS (
+        SELECT c_nationkey,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu_g,
+               COUNT(*) AS n_g,
+               CAST(SUM(CAST(round((x / (SELECT mu FROM tot))
+                                   * ln(x / (SELECT mu FROM tot)), 9)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS t_total_part
+        FROM pos GROUP BY c_nationkey
+    ),
+    grp_inner AS (
+        SELECT p.c_nationkey,
+               CAST(SUM(CAST(round((p.x / g.mu_g) * ln(p.x / g.mu_g), 9)
+                             AS DECIMAL(38,12))) AS DOUBLE) / g.n_g AS t_g
+        FROM pos p JOIN grp g USING (c_nationkey)
+        GROUP BY p.c_nationkey, g.n_g
+    ),
+    parts AS (
+        SELECT g.c_nationkey, g.n_g, g.mu_g, g.t_total_part, i.t_g,
+               (CAST(g.n_g AS DOUBLE) / t.n) * (g.mu_g / t.mu)
+                   * ln(g.mu_g / t.mu) AS b_term,
+               (CAST(g.n_g AS DOUBLE) / t.n) * (g.mu_g / t.mu) * i.t_g
+                   AS w_term
+        FROM grp g JOIN grp_inner i USING (c_nationkey) CROSS JOIN tot t
+    )
+    SELECT CAST(t.n AS BIGINT) AS n, t.mu AS mean_balance,
+           CAST(SUM(CAST(round(p.t_total_part, 12) AS DECIMAL(38,12)))
+                AS DOUBLE) / t.n AS theil_total,
+           CAST(SUM(CAST(round(p.b_term, 12) AS DECIMAL(38,12)))
+                AS DOUBLE) AS theil_between,
+           CAST(SUM(CAST(round(p.w_term, 12) AS DECIMAL(38,12)))
+                AS DOUBLE) AS theil_within
+    FROM parts p CROSS JOIN tot t
+    GROUP BY t.n, t.mu
+    """,
+    tags=("agg", "inequality"),
+)
+def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index with exact between-/within-group
+    decomposition over customer balances by nation — the additive
+    decomposition is why Theil (not Gini) is the index economists use
+    to attribute inequality to segments. Three aggregation passes:
+    global mean, per-nation means + per-row entropy terms, and the
+    25-row decomposition rollup. At 100 TB: two scans with map-side
+    decimal partials and one nation-keyed shuffle (25 groups); the
+    per-row ln() term never leaves its partition unaggregated."""
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).select(
+        "c_nationkey", F.col("c_acctbal").alias("x")
+    )
+    tot = pos.agg(
+        (F.sum(F.col("x").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)))
+        .alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows = pos.crossJoin(F.broadcast(tot))
+    # per-nation means and the global-relative per-row terms
+    grp = rows.groupBy("c_nationkey", "mu", "n").agg(
+        (F.sum(F.col("x").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)))
+        .alias("mu_g"),
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(
+            F.round((F.col("x") / F.col("mu")) * F.log(F.col("x") / F.col("mu")), 9)
+            .cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("t_total_part"),
+    )
+    # within-group entropy terms need mu_g on each row: one more pass
+    inner = (
+        rows.join(F.broadcast(grp.select("c_nationkey", "mu_g", "n_g")), "c_nationkey")
+        .groupBy("c_nationkey", "n_g")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("x") / F.col("mu_g"))
+                        * F.log(F.col("x") / F.col("mu_g")),
+                        9,
+                    ).cast("decimal(38,12)")
+                ).cast("double")
+                / F.col("n_g")
+            ).alias("t_g")
+        )
+        .select("c_nationkey", "t_g")
+    )
+    parts = grp.join(F.broadcast(inner), "c_nationkey").select(
+        "n",
+        "mu",
+        "t_total_part",
+        (
+            (F.col("n_g").cast("double") / F.col("n"))
+            * (F.col("mu_g") / F.col("mu"))
+            * F.log(F.col("mu_g") / F.col("mu"))
+        ).alias("b_term"),
+        (
+            (F.col("n_g").cast("double") / F.col("n"))
+            * (F.col("mu_g") / F.col("mu"))
+            * F.col("t_g")
+        ).alias("w_term"),
+    )
+    return parts.groupBy("n", "mu").agg(
+        (
+            F.sum(F.round(F.col("t_total_part"), 12).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.col("n")
+        ).alias("theil_total"),
+        F.sum(F.round(F.col("b_term"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("theil_between"),
+        F.sum(F.round(F.col("w_term"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("theil_within"),
+    ).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("mu").alias("mean_balance"),
+        "theil_total",
+        "theil_between",
+        "theil_within",
+    )

@@ -2039,3 +2039,247 @@ def ml_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+@query(
+    "ml_eval_durbin_watson",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS rf, l_orderkey, l_linenumber,
+               l_quantity AS x,
+               CAST(CAST(l_extendedprice * 0.0001 AS DECIMAL(18,6)) AS DOUBLE) AS y
+        FROM lineitem
+    ),
+    stats AS (
+        SELECT rf, COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+        FROM pts GROUP BY rf
+    ),
+    coef AS (
+        SELECT rf, n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+        FROM stats
+    ),
+    resid AS (
+        SELECT p.rf, round(p.y - c.a - c.b * p.x, 3) AS e,
+               LAG(round(p.y - c.a - c.b * p.x, 3)) OVER (
+                   PARTITION BY p.rf
+                   ORDER BY p.l_orderkey, p.l_linenumber, p.x, p.y
+               ) AS e_prev
+        FROM pts p JOIN coef c USING (rf)
+    )
+    SELECT r.rf, CAST(c.n AS BIGINT) AS n, round(c.b, 9) AS slope,
+           CAST(SUM(CAST((r.e - r.e_prev) * (r.e - r.e_prev)
+                         AS DECIMAL(28,6))) AS DOUBLE)
+           / CAST(SUM(CAST(r.e * r.e AS DECIMAL(28,6)))
+                  AS DOUBLE) AS durbin_watson
+    FROM resid r JOIN coef c USING (rf)
+    GROUP BY r.rf, c.n, c.b
+    ORDER BY r.rf
+    """,
+    tags=("ml_eval", "regression"),
+)
+def ml_eval_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson residual-autocorrelation statistic per group: fit
+    price-on-quantity OLS from exact decimal moments, score residuals
+    row-wise, and compute DW = sum((e_t - e_{t-1})^2) / sum(e_t^2)
+    over a deterministic within-group ordering — the standard
+    diagnostic that a regression's errors are serially correlated
+    (DW ~ 2 means none). Price is pre-scaled by 1e-4 and snapped to a 6-dp grid, and
+    residuals to 3 dp, so every summed term is an exact 6-dp rational
+    and the decimal(28,6) sums cast to double without last-ulp
+    ambiguity (38,12 sums at 1e6 magnitude need 19 sig digits and
+    fail the cast).
+    At 100 TB: one moment pass (map-side decimal partials), a
+    broadcast of the 3-row coefficient table, and one ordered window
+    per group — each group sorts within its own partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("rf"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("x"),
+        (F.col("l_extendedprice") * 0.0001)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("y"),
+    )
+    d6 = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
+    stats = pts.groupBy("rf").agg(
+        F.count(F.lit(1)).alias("n"),
+        d6(F.col("x")).alias("sx"),
+        d6(F.col("y")).alias("sy"),
+        d6(F.col("x") * F.col("y")).alias("sxy"),
+        d6(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    coef = stats.select(
+        "rf", "n", b.alias("b"), ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a")
+    )
+    w = Window.partitionBy("rf").orderBy("l_orderkey", "l_linenumber", "x", "y")
+    resid = (
+        pts.join(F.broadcast(coef), "rf")
+        .withColumn(
+            "e", F.round(F.col("y") - F.col("a") - F.col("b") * F.col("x"), 3)
+        )
+        .withColumn("e_prev", F.lag("e").over(w))
+    )
+    return (
+        resid.groupBy("rf", "n", "b")
+        .agg(
+            (
+                d6((F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev")))
+                / d6(F.col("e") * F.col("e"))
+            ).alias("durbin_watson")
+        )
+        .select(
+            "rf",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("b", 9).alias("slope"),
+            "durbin_watson",
+        )
+        .orderBy("rf")
+    )
+
+
+@query(
+    "ml_eval_mutual_information",
+    oracle="""
+    WITH feat AS (
+        SELECT event_type AS x,
+               CAST(floor(hour(ts) / 6.0) AS INT) AS y
+        FROM events
+        UNION ALL
+        SELECT 'uid' || CAST(user_id % 4 AS VARCHAR) AS x,
+               CAST(event_id % 3 AS INT) AS y
+        FROM events
+    ),
+    cells AS (
+        SELECT CASE WHEN x LIKE 'uid%' THEN 'uid_mod4~eid_mod3'
+                    ELSE 'event_type~hour_q' END AS pair,
+               x, y, COUNT(*) AS c
+        FROM feat GROUP BY 1, x, y
+    ),
+    probs AS (
+        SELECT pair, x, y, c,
+               CAST(SUM(c) OVER (PARTITION BY pair) AS DOUBLE) AS n,
+               CAST(SUM(c) OVER (PARTITION BY pair, x) AS DOUBLE) AS cx,
+               CAST(SUM(c) OVER (PARTITION BY pair, y) AS DOUBLE) AS cy
+        FROM cells
+    ),
+    terms AS (
+        SELECT pair,
+               (c / n) * ln((c / n) / ((cx / n) * (cy / n))) AS mi_term,
+               x, y, c, n, cx, cy
+        FROM probs
+    ),
+    hx AS (
+        SELECT pair, CAST(SUM(CAST(round(-(cx / n) * ln(cx / n), 12)
+                                   AS DECIMAL(38,12))) AS DOUBLE) AS h_x
+        FROM (SELECT DISTINCT pair, x, cx, n FROM probs) GROUP BY pair
+    ),
+    hy AS (
+        SELECT pair, CAST(SUM(CAST(round(-(cy / n) * ln(cy / n), 12)
+                                   AS DECIMAL(38,12))) AS DOUBLE) AS h_y
+        FROM (SELECT DISTINCT pair, y, cy, n FROM probs) GROUP BY pair
+    ),
+    mi AS (
+        SELECT pair, COUNT(*) AS n_cells,
+               CAST(SUM(CAST(round(mi_term, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS mi_nats
+        FROM terms GROUP BY pair
+    )
+    SELECT m.pair, CAST(m.n_cells AS BIGINT) AS n_cells, m.mi_nats,
+           hx.h_x, hy.h_y,
+           round(m.mi_nats / sqrt(hx.h_x * hy.h_y), 9) AS nmi
+    FROM mi m JOIN hx USING (pair) JOIN hy USING (pair)
+    ORDER BY m.pair
+    """,
+    tags=("ml_eval", "feature_selection"),
+)
+def ml_eval_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between categorical feature pairs (the
+    sklearn mutual_info_score / feature-selection staple): exact joint
+    and marginal counts, MI = sum p(x,y)·ln(p(x,y)/(p(x)p(y))) in
+    nats, entropies, and normalized MI. The per-row pass collapses to
+    a (pair, x, y) contingency table bounded by the category product
+    (~40 cells here), so the windows and entropy sums run on a
+    metadata-sized table — the same grid-bounding lever as the
+    threshold-table metrics. One scan + one grouped count at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    f1 = ev.select(
+        F.lit("event_type~hour_q").alias("pair"),
+        F.col("event_type").alias("x"),
+        F.floor(F.hour("ts") / 6).cast("int").alias("y"),
+    )
+    f2 = ev.select(
+        F.lit("uid_mod4~eid_mod3").alias("pair"),
+        F.concat(F.lit("uid"), (F.col("user_id") % 4).cast("string")).alias("x"),
+        (F.col("event_id") % 3).cast("int").alias("y"),
+    )
+    cells = f1.unionAll(f2).groupBy("pair", "x", "y").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("pair")
+    probs = cells.select(
+        "pair",
+        "x",
+        "y",
+        "c",
+        F.sum("c").over(wp).cast("double").alias("n"),
+        F.sum("c").over(Window.partitionBy("pair", "x")).cast("double").alias("cx"),
+        F.sum("c").over(Window.partitionBy("pair", "y")).cast("double").alias("cy"),
+    )
+    p = F.col("c") / F.col("n")
+    mi_term = p * F.log(p / ((F.col("cx") / F.col("n")) * (F.col("cy") / F.col("n"))))
+    mi = probs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.round(mi_term, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("mi_nats"),
+    )
+    hx = (
+        probs.select("pair", "x", "cx", "n")
+        .distinct()
+        .groupBy("pair")
+        .agg(
+            F.sum(
+                F.round(-(F.col("cx") / F.col("n")) * F.log(F.col("cx") / F.col("n")), 12)
+                .cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("h_x")
+        )
+    )
+    hy = (
+        probs.select("pair", "y", "cy", "n")
+        .distinct()
+        .groupBy("pair")
+        .agg(
+            F.sum(
+                F.round(-(F.col("cy") / F.col("n")) * F.log(F.col("cy") / F.col("n")), 12)
+                .cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("h_y")
+        )
+    )
+    return (
+        mi.join(hx, "pair")
+        .join(hy, "pair")
+        .select(
+            "pair",
+            "n_cells",
+            "mi_nats",
+            "h_x",
+            "h_y",
+            F.round(F.col("mi_nats") / F.sqrt(F.col("h_x") * F.col("h_y")), 9).alias(
+                "nmi"
+            ),
+        )
+        .orderBy("pair")
+    )
