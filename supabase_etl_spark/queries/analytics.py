@@ -5861,3 +5861,265 @@ def events_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("channel")
     )
+
+
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 2
+
+
+def _truss_sql_round(prev: str, cur: str, k: int) -> str:
+    """One unrolled k-truss peel in DuckDB SQL: enumerate triangles on
+    the canonical (u<v) edge list, credit each edge's support, keep
+    edges with support >= k-2."""
+    return f"""
+    tri_{cur} AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM {prev} e1
+        JOIN {prev} e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN {prev} e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    sup_{cur} AS (
+        SELECT u, v, count(*) AS sup FROM (
+            SELECT x AS u, y AS v FROM tri_{cur}
+            UNION ALL SELECT x AS u, z AS v FROM tri_{cur}
+            UNION ALL SELECT y AS u, z AS v FROM tri_{cur}
+        ) GROUP BY u, v
+    ),
+    {cur} AS (
+        SELECT e.u, e.v FROM {prev} e
+        JOIN sup_{cur} s ON e.u = s.u AND e.v = s.v AND s.sup >= {k - 2}
+    )"""
+
+
+@query(
+    "graph_ktruss",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    er0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),{_truss_sql_round("er0", "er1", KTRUSS_K)},{_truss_sql_round("er1", "er2", KTRUSS_K)},
+    tri_f AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM er2 e1
+        JOIN er2 e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN er2 e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
+        SELECT x AS u, y AS v FROM tri_f
+        UNION ALL SELECT x AS u, z AS v FROM tri_f
+        UNION ALL SELECT y AS u, z AS v FROM tri_f
+    ) GROUP BY u, v
+    ORDER BY u, v
+    """,
+    tags=("graph",),
+)
+def graph_ktruss(
+    spark: SparkSession, sf_dir: str, k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS
+) -> DataFrame:
+    """Bounded k-truss decomposition of the part co-purchase graph:
+    each round enumerates triangles on the canonical (u<v) edge list,
+    counts per-edge triangle support, and drops edges with support
+    < k-2 — the cohesive-subgraph mining step (Cohen's truss; the
+    denser, community-grade refinement of k-core, which peels
+    vertices where truss peels edges). Two fixed rounds registered,
+    then a final support recount on the surviving edges; the oracle
+    replays the identical unrolled peel (the k-core/LPA precedent).
+
+    Scale: triangle enumeration is the wedge join e(x,y)⋈e(x,z) closed
+    by e(y,z) — all hash equi-joins keyed on vertex ids, never a cross
+    product; canonical ordering (u<v) halves the edge list and makes
+    each wedge counted once. Per round the edge frame shrinks
+    monotonically and is localCheckpoint-truncated so the plan stays
+    flat in the round count. At 100 TB the wedge join skews on hub
+    vertices — the production mitigation is degree-ordered orientation
+    (orient each edge low-degree → high-degree), which this canonical
+    form approximates on id order."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def support(e: DataFrame) -> DataFrame:
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        tri = (
+            e1.join(
+                e2,
+                (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+            )
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .select(
+                F.col("e1.u").alias("x"), F.col("e1.v").alias("y"),
+                F.col("e2.v").alias("z"),
+            )
+        )
+        roles = (
+            tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+            .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+            .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+        )
+        return roles.groupBy("u", "v").agg(F.count(F.lit(1)).alias("sup"))
+
+    for _ in range(rounds):
+        sup = support(edges).filter(F.col("sup") >= k - 2).select("u", "v")
+        edges = edges.join(sup, ["u", "v"], "left_semi").localCheckpoint(eager=False)
+    return (
+        support(edges)
+        .select("u", "v", F.col("sup").cast("bigint").alias("support"))
+        .orderBy("u", "v")
+    )
+
+
+# SPRT constants, pinned as exact double literals shared by both engines
+# (libm ln() is not guaranteed correctly-rounded across runtimes):
+# H0 p=0.18 vs H1 p=0.22, alpha=0.05, beta=0.20.
+SPRT_L1 = 0.20067069546215124  # ln(0.22/0.18), per-success LLR increment
+SPRT_L0 = -0.050010420574661305  # ln(0.78/0.82), per-failure LLR increment
+SPRT_A = 2.772588722239781  # ln((1-beta)/alpha), accept-H1 boundary
+SPRT_B = -1.5581446180465497  # ln(beta/(1-alpha)), accept-H0 boundary
+
+
+@query(
+    "events_sprt_sequential_test",
+    oracle=f"""
+    WITH trials AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+               event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS success
+        FROM events
+    ),
+    walk AS (
+        SELECT variant, event_id,
+               ROW_NUMBER() OVER w AS t,
+               SUM(success) OVER w AS k
+        FROM trials
+        WINDOW w AS (PARTITION BY variant ORDER BY event_id)
+    ),
+    llr AS (
+        SELECT variant, t,
+               k * CAST({SPRT_L1!r} AS DOUBLE)
+               + (t - k) * CAST({SPRT_L0!r} AS DOUBLE) AS llr
+        FROM walk
+    ),
+    crossing AS (
+        SELECT variant,
+               MAX(t) AS n_trials,
+               MIN(CASE WHEN llr >= CAST({SPRT_A!r} AS DOUBLE) THEN t END)
+                   AS t_up,
+               MIN(CASE WHEN llr <= CAST({SPRT_B!r} AS DOUBLE) THEN t END)
+                   AS t_dn
+        FROM llr GROUP BY variant
+    ),
+    verdict AS (
+        SELECT variant, n_trials,
+               CASE
+                 WHEN t_up IS NOT NULL
+                      AND (t_dn IS NULL OR t_up < t_dn) THEN t_up
+                 WHEN t_dn IS NOT NULL THEN t_dn
+               END AS t_decide,
+               CASE
+                 WHEN t_up IS NOT NULL
+                      AND (t_dn IS NULL OR t_up < t_dn) THEN 'accept_h1'
+                 WHEN t_dn IS NOT NULL THEN 'accept_h0'
+                 ELSE 'continue'
+               END AS decision
+        FROM crossing
+    )
+    SELECT v.variant, CAST(v.n_trials AS BIGINT) AS n_trials,
+           CAST(v.t_decide AS BIGINT) AS t_decide, v.decision,
+           round(l.llr, 9) AS llr_at_decision
+    FROM verdict v
+    LEFT JOIN llr l ON l.variant = v.variant AND l.t = v.t_decide
+    ORDER BY v.variant
+    """,
+    tags=("events", "experimentation"),
+)
+def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test per experiment
+    variant: trials arrive in event order, the cumulative
+    log-likelihood ratio is k·ln(p1/p0) + (t-k)·ln((1-p1)/(1-p0)),
+    and the test stops at the first boundary crossing (accept H1 at
+    A, accept H0 at B) — the sequential A/B machinery that lets an
+    experiment stop early instead of waiting for a fixed horizon.
+    The LLR is a pure integer-weighted sum of two pinned literal
+    constants, so the walk is exact in both engines; the crossing
+    scan is a conditional MIN over the walk. Scale: one window
+    cumsum partitioned by variant (each variant sorts within its own
+    partitions) + a variant-keyed 2-row aggregate; the join back for
+    the decision LLR is broadcast-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    trials = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("success"),
+    )
+    w = Window.partitionBy("variant").orderBy("event_id")
+    walk = trials.select(
+        "variant",
+        "event_id",
+        F.row_number().over(w).alias("t"),
+        F.sum("success").over(w).alias("k"),
+    )
+    llr = walk.select(
+        "variant",
+        "t",
+        (
+            F.col("k") * F.lit(SPRT_L1) + (F.col("t") - F.col("k")) * F.lit(SPRT_L0)
+        ).alias("llr"),
+    )
+    crossing = llr.groupBy("variant").agg(
+        F.max("t").alias("n_trials"),
+        F.min(F.when(F.col("llr") >= SPRT_A, F.col("t"))).alias("t_up"),
+        F.min(F.when(F.col("llr") <= SPRT_B, F.col("t"))).alias("t_dn"),
+    )
+    up_wins = F.col("t_up").isNotNull() & (
+        F.col("t_dn").isNull() | (F.col("t_up") < F.col("t_dn"))
+    )
+    verdict = crossing.select(
+        "variant",
+        "n_trials",
+        F.when(up_wins, F.col("t_up"))
+        .otherwise(F.col("t_dn"))
+        .alias("t_decide"),
+        F.when(up_wins, "accept_h1")
+        .when(F.col("t_dn").isNotNull(), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+    v, l = verdict.alias("v"), llr.alias("l")
+    return (
+        v.join(
+            l,
+            (F.col("l.variant") == F.col("v.variant"))
+            & (F.col("l.t") == F.col("v.t_decide")),
+            "left",
+        )
+        .select(
+            F.col("v.variant").alias("variant"),
+            F.col("v.n_trials").cast("bigint").alias("n_trials"),
+            F.col("v.t_decide").cast("bigint").alias("t_decide"),
+            F.col("v.decision").alias("decision"),
+            F.round(F.col("l.llr"), 9).alias("llr_at_decision"),
+        )
+        .orderBy("variant")
+    )

@@ -1755,3 +1755,108 @@ def text_url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_doc",
         (F.col("n_variants") > 1).alias("had_duplicates"),
     ).orderBy("canonical_url")
+
+
+@query(
+    "embedding_kmeans_silhouette",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id < {KMEANS_K}
+    ),
+    dists AS (
+        SELECT e.vec_id, c.centroid_id, {_SQL_DIST2} AS dist2
+        FROM embeddings e, cents c
+    ),
+    ranked AS (
+        SELECT vec_id, centroid_id, dist2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, centroid_id) AS rn
+        FROM dists
+    ),
+    pervec AS (
+        SELECT vec_id,
+               MAX(CASE WHEN rn = 1 THEN centroid_id END) AS cluster_id,
+               sqrt(MAX(CASE WHEN rn = 1 THEN dist2 END)) AS a,
+               sqrt(MAX(CASE WHEN rn = 2 THEN dist2 END)) AS b
+        FROM ranked WHERE rn <= 2 GROUP BY vec_id
+    ),
+    scored AS (
+        SELECT cluster_id,
+               CASE WHEN greatest(a, b) = 0 THEN 0.0
+                    ELSE (b - a) / greatest(a, b) END AS s
+        FROM pervec
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(round(s, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           / count(*) AS mean_silhouette,
+           round(MIN(s), 9) AS min_silhouette,
+           round(MAX(s), 9) AS max_silhouette
+    FROM scored GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+    tags=("llm", "curation", "embedding"),
+)
+def embedding_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per cluster — the
+    clustering-quality metric sklearn calls silhouette, in the
+    centroid approximation that makes it linear instead of O(n²):
+    a = distance to the assigned centroid, b = distance to the
+    nearest OTHER centroid, s = (b-a)/max(a,b), averaged per cluster.
+    The full pairwise silhouette cannot survive 100 TB; the centroid
+    form is the production proxy (same ranking, one corpus pass).
+
+    Plan: broadcast the k=8 centroid table, fold squared L2 per
+    (vector, centroid) array-locally, take the two smallest distances
+    per vector with a bounded collect+sort (k entries — a map-side
+    partial agg, no corpus shuffle), then one cluster-keyed rollup of
+    the 6-dp-snapped scores in decimal(28,6) (sum magnitude stays
+    within the 15-sig-digit cast-safe range)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent"))
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cent"),
+            lambda x, c: (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = e.crossJoin(cents).select("vec_id", "centroid_id", dist2.alias("dist2"))
+    top2 = (
+        dists.groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist2", "centroid_id"))), 1, 2
+            ).alias("nearest")
+        )
+        .select(
+            "vec_id",
+            F.col("nearest")[0]["centroid_id"].alias("cluster_id"),
+            F.sqrt(F.col("nearest")[0]["dist2"]).alias("a"),
+            F.sqrt(F.col("nearest")[1]["dist2"]).alias("b"),
+        )
+    )
+    s = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    scored = top2.select("cluster_id", s.alias("s"))
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            (
+                F.sum(F.round(F.col("s"), 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_silhouette"),
+            F.round(F.min("s"), 9).alias("min_silhouette"),
+            F.round(F.max("s"), 9).alias("max_silhouette"),
+        )
+        .orderBy("cluster_id")
+    )
