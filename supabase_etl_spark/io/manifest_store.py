@@ -546,7 +546,10 @@ def vacuum(
     vs = _versions(table_dir)
     if not vs:
         return {"manifests_removed": 0, "files_removed": 0}
-    keep_vs = vs[-retain_versions:]
+    # tags are retention roots (Iceberg expire_snapshots honors refs):
+    # a tagged version's manifest and files survive any retain window
+    tagged = {t["version"] for t in list_tags(table_dir)}
+    keep_vs = sorted(set(vs[-retain_versions:]) | (tagged & set(vs)))
     referenced = set()
     for v in keep_vs:
         m = _read_manifest(table_dir, v)
@@ -562,7 +565,9 @@ def vacuum(
             with open(os.path.join(bdir, b)) as fh:
                 referenced.update(os.path.basename(f) for f in json.load(fh)["files"])
     removed_manifests = 0
-    for v in vs[:-retain_versions]:
+    for v in vs:
+        if v in keep_vs:
+            continue
         os.unlink(os.path.join(_manifest_dir(table_dir), f"v{v:08d}.json"))
         removed_manifests += 1
     import time
@@ -760,6 +765,75 @@ def drop_branch(table_dir: str, branch: str) -> None:
     collect — main was never touched, which is the entire point of
     auditing before publishing."""
     path = _branch_path(table_dir, branch)
+    if os.path.exists(path):
+        os.unlink(path)
+
+
+def _tags_dir(table_dir: str) -> str:
+    return os.path.join(_manifest_dir(table_dir), "tags")
+
+
+def create_tag(
+    table_dir: str, name: str, version: int | None = None, note: str = ""
+) -> int:
+    """Create an immutable named ref pinning ``version`` (default:
+    current) — Iceberg's tags / Delta's named snapshots. Tags are
+    retention roots: vacuum() keeps a tagged version's manifest and
+    data files alive regardless of ``retain_versions``, so a
+    ``model-v3-training-set`` tag makes the exact corpus a model was
+    trained on reproducible forever without freezing the whole
+    history. Publication is the same PUT-IF-ABSENT hard link as a
+    commit: racing create_tag calls for one name surface as
+    ValueError, never a silent overwrite."""
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name: {name!r}")
+    v = version if version is not None else current_version(table_dir)
+    if v not in _versions(table_dir):
+        raise FileNotFoundError(f"version {v} not present in {table_dir}")
+    tdir = _tags_dir(table_dir)
+    os.makedirs(tdir, exist_ok=True)
+    tmp = os.path.join(tdir, f".tmp_{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "version": v, "note": note}, fh)
+    final = os.path.join(tdir, f"tag-{name}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ValueError(f"tag {name!r} already exists (tags are immutable)") from None
+    os.unlink(tmp)
+    return v
+
+
+def list_tags(table_dir: str) -> list[dict]:
+    """All tags as [{name, version, note}], name-sorted."""
+    tdir = _tags_dir(table_dir)
+    out = []
+    for f in sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []:
+        if f.startswith("tag-") and f.endswith(".json"):
+            with open(os.path.join(tdir, f)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def resolve_tag(table_dir: str, name: str) -> int:
+    """Tag name -> pinned version (FileNotFoundError if absent)."""
+    path = os.path.join(_tags_dir(table_dir), f"tag-{name}.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no tag {name!r} in {table_dir}")
+    with open(path) as fh:
+        return json.load(fh)["version"]
+
+
+def read_tag(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
+    """Scan the snapshot a tag pins (time travel by name)."""
+    return read(spark, table_dir, version=resolve_tag(table_dir, name))
+
+
+def drop_tag(table_dir: str, name: str) -> None:
+    """Remove a tag; the pinned version reverts to normal retention
+    (the next vacuum may expire it)."""
+    path = os.path.join(_tags_dir(table_dir), f"tag-{name}.json")
     if os.path.exists(path):
         os.unlink(path)
 

@@ -1905,3 +1905,72 @@ def io_manifest_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("n_rows")
     )
+
+
+@query(
+    "io_manifest_tag_retention",
+    oracle="""
+    WITH tagged AS (
+        SELECT count(*) AS n_tag_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS tag_total
+        FROM orders WHERE o_orderkey <= 800
+    ),
+    latest AS (
+        SELECT count(*) AS n_latest_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS latest_total
+        FROM orders WHERE o_orderkey <= 600
+    )
+    SELECT t.n_tag_rows, t.tag_total, l.n_latest_rows, l.latest_total,
+           1 AS tag_version, 1 AS manifests_removed, 1 AS files_removed,
+           TRUE AS expired_unreadable
+    FROM tagged t CROSS JOIN latest l
+    """,
+    tags=("io", "lakehouse", "maintenance"),
+)
+def io_manifest_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAGS as retention roots (Iceberg tags + expire_snapshots ref
+    protection): v1 (orders ≤800) is tagged 'train-corpus', v2 (≤400)
+    and v3 (≤600) overwrite it, then vacuum(retain=1) runs. The tag
+    must pin v1's manifest AND data files through the vacuum — the
+    reproducibility contract that lets a model card say 'trained on
+    tag train-corpus' years later — while the untagged v2 expires
+    (manifest + its one data file reclaimed) and time travel to it
+    raises. Read-back through the tag and through latest both
+    hash-match the source predicates. Tag publication is put-if-absent
+    like a commit; vacuum stays driver-side O(files) at any scale."""
+    from supabase_etl_spark.io import manifest_store as M
+    from supabase_etl_spark.queries._helpers import dsum
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = scratch_dir("manifest_tag_")
+    M.commit(o.filter(F.col("o_orderkey") <= 800).repartition(2), table, "overwrite")
+    tag_v = M.create_tag(table, "train-corpus", note="flagship training corpus")
+    M.commit(o.filter(F.col("o_orderkey") <= 400).repartition(1), table, "overwrite")
+    M.commit(o.filter(F.col("o_orderkey") <= 600).repartition(1), table, "overwrite")
+
+    stats = M.vacuum(table, retain_versions=1)
+    try:
+        M.read(spark, table, 2)
+        expired_unreadable = False
+    except FileNotFoundError:
+        expired_unreadable = True
+
+    tagged = M.read_tag(spark, table, "train-corpus").agg(
+        F.count(F.lit(1)).alias("n_tag_rows"), dsum(F.col("o_totalprice"), "tag_total")
+    )
+    latest = M.read(spark, table).agg(
+        F.count(F.lit(1)).alias("n_latest_rows"),
+        dsum(F.col("o_totalprice"), "latest_total"),
+    )
+    return tagged.crossJoin(latest).select(
+        "n_tag_rows",
+        "tag_total",
+        "n_latest_rows",
+        "latest_total",
+        F.lit(tag_v).alias("tag_version"),
+        F.lit(stats["manifests_removed"]).alias("manifests_removed"),
+        F.lit(stats["files_removed"]).alias("files_removed"),
+        F.lit(expired_unreadable).alias("expired_unreadable"),
+    )

@@ -673,3 +673,44 @@ def test_check_constraint_survives_maintenance_and_drops(spark, tmp_path):
     M.commit(spark.range(1).selectExpr("id", "-1 AS v"), t, "append")
     with pytest.raises(ValueError, match="does not exist"):
         M.drop_constraint(t, "v_nonneg")
+
+
+def test_tag_pins_version_through_vacuum(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(100), t, "overwrite")
+    assert M.create_tag(t, "golden") == 1
+    M.commit(spark.range(10), t, "overwrite")
+    M.commit(spark.range(20), t, "overwrite")
+    stats = M.vacuum(t, retain_versions=1)
+    # untagged v2 expired; tagged v1 and latest v3 survive
+    assert stats["manifests_removed"] == 1
+    assert M.read_tag(spark, t, "golden").count() == 100
+    assert M.read(spark, t).count() == 20
+    with pytest.raises(FileNotFoundError):
+        M.read(spark, t, 2)
+
+
+def test_tag_is_immutable_and_validated(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(5), t, "overwrite")
+    M.create_tag(t, "rel")
+    with pytest.raises(ValueError):
+        M.create_tag(t, "rel")  # duplicate name never overwrites
+    with pytest.raises(ValueError):
+        M.create_tag(t, "../escape")
+    with pytest.raises(FileNotFoundError):
+        M.create_tag(t, "ghost", version=99)
+    assert [tag["name"] for tag in M.list_tags(t)] == ["rel"]
+
+
+def test_drop_tag_reverts_to_normal_retention(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(9), t, "overwrite")
+    M.create_tag(t, "tmp")
+    M.commit(spark.range(3), t, "overwrite")
+    M.drop_tag(t, "tmp")
+    M.vacuum(t, retain_versions=1)
+    with pytest.raises(FileNotFoundError):
+        M.read(spark, t, 1)  # untagged again -> expired
+    with pytest.raises(FileNotFoundError):
+        M.resolve_tag(t, "tmp")
