@@ -6123,3 +6123,179 @@ def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@query(
+    "events_competing_risks",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS first_seen,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS t_error,
+               max(ts) AS last_seen
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT user_id,
+               CASE
+                 WHEN t_purchase IS NOT NULL
+                      AND (t_error IS NULL OR t_purchase <= t_error)
+                   THEN 'purchase'
+                 WHEN t_error IS NOT NULL THEN 'error'
+                 ELSE 'censor'
+               END AS cause,
+               CAST(floor((epoch_us(
+                   CASE
+                     WHEN t_purchase IS NOT NULL
+                          AND (t_error IS NULL OR t_purchase <= t_error)
+                       THEN t_purchase
+                     WHEN t_error IS NOT NULL THEN t_error
+                     ELSE last_seen
+                   END) - epoch_us(first_seen)) / 3600000000.0) AS BIGINT)
+                   AS t_obs
+        FROM per_user
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM obs),
+    drops AS (SELECT t_obs AS t, CAST(count(*) AS BIGINT) AS leaving
+              FROM obs GROUP BY t_obs),
+    d_any AS (SELECT t_obs AS t, CAST(count(*) AS BIGINT) AS d
+              FROM obs WHERE cause <> 'censor' GROUP BY t_obs),
+    risk AS (
+        SELECT e.t, e.d,
+               tot.n_total
+               - COALESCE(SUM(dr.leaving) OVER (ORDER BY e.t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM d_any e
+        LEFT JOIN drops dr ON e.t = dr.t
+        CROSS JOIN tot
+    ),
+    surv AS (
+        SELECT t, d, n_risk,
+               COALESCE(exp(SUM(ln(greatest(1.0 - CAST(d AS DOUBLE) / n_risk,
+                                            1e-12)))
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING)), 1.0) AS s_minus
+        FROM risk
+    ),
+    d_cause AS (
+        SELECT t_obs AS t, cause, CAST(count(*) AS BIGINT) AS d_k
+        FROM obs WHERE cause <> 'censor' GROUP BY t_obs, cause
+    ),
+    incr AS (
+        SELECT dc.cause, dc.t, dc.d_k, sv.n_risk,
+               sv.s_minus * CAST(dc.d_k AS DOUBLE) / sv.n_risk AS inc
+        FROM d_cause dc JOIN surv sv ON dc.t = sv.t
+    )
+    SELECT cause, t AS hours, CAST(n_risk AS BIGINT) AS n_risk,
+           d_k AS n_events,
+           round(SUM(inc) OVER (PARTITION BY cause ORDER BY t
+                                ROWS UNBOUNDED PRECEDING), 6)
+               AS cumulative_incidence
+    FROM incr
+    ORDER BY cause, hours
+    """,
+    tags=("events", "analytics", "survival"),
+)
+def events_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under competing risks: each
+    user's first 'purchase' and first 'error' compete (whichever comes
+    first is that user's terminal cause; neither means censoring at
+    last-seen). CIF_k(t) = sum over event times <= t of
+    S(t-) * d_k/n_risk, where S is the cause-agnostic Kaplan-Meier —
+    the estimator that fixes the bias of running 1-KM per cause as if
+    the other cause were censoring (it over-counts; CIFs here sum to
+    <= 1 by construction). Running products take the exp-sum-ln window
+    rewrite (the events_kaplan_meier precedent, same window order both
+    engines). Scale: one user-keyed agg over the corpus, then every
+    window runs on the event-time table, bounded by distinct
+    observation hours — metadata-sized, like every threshold-table
+    metric."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("t_error"),
+        F.max("ts").alias("last_seen"),
+    )
+    purchase_first = F.col("t_purchase").isNotNull() & (
+        F.col("t_error").isNull() | (F.col("t_purchase") <= F.col("t_error"))
+    )
+    t_end = (
+        F.when(purchase_first, F.col("t_purchase"))
+        .when(F.col("t_error").isNotNull(), F.col("t_error"))
+        .otherwise(F.col("last_seen"))
+    )
+    us = lambda c: F.unix_micros(c)  # noqa: E731
+    obs = per_user.select(
+        F.when(purchase_first, "purchase")
+        .when(F.col("t_error").isNotNull(), "error")
+        .otherwise("censor")
+        .alias("cause"),
+        F.floor((us(t_end) - us(F.col("first_seen"))) / F.lit(3600000000.0))
+        .cast("bigint")
+        .alias("t_obs"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    drops = obs.groupBy(F.col("t_obs").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaving")
+    )
+    d_any = (
+        obs.filter(F.col("cause") != "censor")
+        .groupBy(F.col("t_obs").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        d_any.join(drops, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d",
+            (F.col("n_total") - F.coalesce(F.sum("leaving").over(before), F.lit(0)))
+            .alias("n_risk"),
+        )
+    )
+    surv = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.coalesce(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.greatest(
+                            F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"),
+                            F.lit(1e-12),
+                        )
+                    )
+                ).over(before)
+            ),
+            F.lit(1.0),
+        ).alias("s_minus"),
+    )
+    d_cause = (
+        obs.filter(F.col("cause") != "censor")
+        .groupBy(F.col("t_obs").alias("t"), "cause")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_k"))
+    )
+    incr = d_cause.join(surv.select("t", "n_risk", "s_minus"), "t").select(
+        "cause",
+        "t",
+        "d_k",
+        "n_risk",
+        (F.col("s_minus") * F.col("d_k").cast("double") / F.col("n_risk")).alias("inc"),
+    )
+    cw = Window.partitionBy("cause").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return incr.select(
+        "cause",
+        F.col("t").alias("hours"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d_k").alias("n_events"),
+        F.round(F.sum("inc").over(cw), 6).alias("cumulative_incidence"),
+    ).orderBy("cause", "hours")

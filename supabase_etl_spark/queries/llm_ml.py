@@ -170,3 +170,107 @@ def ml_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "->", F.transform(F.col("sequence"), lambda its: its[0])
     )
     return pats.select(pattern.alias("pattern"), F.col("freq")).orderBy("pattern")
+
+
+KNN_QUERIES = 40  # held-out query set: vec_id < KNN_QUERIES
+KNN_K = 5
+
+_KNN_COS = (
+    "(list_reduce(list_transform(range(1, len(q.embedding) + 1), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), "
+    "(acc, x) -> acc + x) + 0.0) / (q.nrm * c.nrm)"
+)
+
+
+@query(
+    "ml_knn_classifier_eval",
+    oracle=f"""
+    WITH normed AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+                        i -> CAST(embedding[i] AS DOUBLE)
+                             * CAST(embedding[i] AS DOUBLE)),
+                    (acc, x) -> acc + x) + 0.0) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM normed WHERE vec_id < {KNN_QUERIES}),
+    c AS (SELECT * FROM normed WHERE vec_id >= {KNN_QUERIES}),
+    sims AS (
+        SELECT q.vec_id AS qid, q.label AS true_label,
+               c.label AS clabel, c.vec_id AS cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_KNN_COS} DESC, c.vec_id
+               ) AS rn
+        FROM q, c
+    ),
+    votes AS (
+        SELECT qid, true_label, clabel, count(*) AS n_votes
+        FROM sims WHERE rn <= {KNN_K}
+        GROUP BY qid, true_label, clabel
+    ),
+    pred AS (
+        SELECT qid, true_label, clabel AS pred_label, n_votes,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY n_votes DESC, clabel
+               ) AS vr
+        FROM votes
+    )
+    SELECT qid, true_label, pred_label, CAST(n_votes AS BIGINT) AS n_votes,
+           true_label = pred_label AS correct
+    FROM pred WHERE vr = 1
+    ORDER BY qid
+    """,
+    tags=("ml", "classification"),
+)
+def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification eval over the embedding corpus: the first
+    40 vectors are a held-out query set, each classified by the
+    majority label of its 5 nearest corpus neighbors by cosine
+    (vote ties break to the smallest label, distance ties to the
+    smallest id). The lazy-learner baseline every embedding-quality
+    report starts from. Plan: broadcast the bounded query batch
+    against one corpus scan (never corpus×corpus), per-query top-k
+    window partitioned by qid, then a vote count on k·|Q| rows —
+    identical shape to sim_topk_bruteforce, so the 100 TB story is
+    one pass over the corpus per query batch."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from supabase_etl_spark.operators.dedup import dot_double
+
+    nrm = F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
+    q = e.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+        nrm.alias("qn"),
+    )
+    c = e.filter(F.col("vec_id") >= KNN_QUERIES).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"),
+        nrm.alias("cn"),
+    )
+    cos = dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    knn = (
+        c.crossJoin(F.broadcast(q))
+        .select("qid", "true_label", "clabel", "cid", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+    )
+    votes = knn.groupBy("qid", "true_label", "clabel").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    vw = Window.partitionBy("qid").orderBy(F.col("n_votes").desc(), F.col("clabel"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select(
+            "qid",
+            "true_label",
+            F.col("clabel").alias("pred_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+            (F.col("true_label") == F.col("clabel")).alias("correct"),
+        )
+        .orderBy("qid")
+    )
