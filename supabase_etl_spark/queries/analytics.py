@@ -6299,3 +6299,219 @@ def events_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_k").alias("n_events"),
         F.round(F.sum("inc").over(cw), 6).alias("cumulative_incidence"),
     ).orderBy("cause", "hours")
+
+
+# ---- HMM Viterbi (unrolled) -------------------------------------------
+# 2 hidden states, 5 observed event types, L=6 steps. All log-probs are
+# pinned literals so both engines add the exact same doubles; the
+# recursion is generated ONCE as SQL expression text and evaluated via
+# F.expr in Spark and verbatim in the DuckDB oracle — a single source
+# of truth for the arithmetic.
+HMM_L = 6
+_HMM_PI = {"A": -0.35667494393873245, "B": -1.2039728043259361}  # ln .7/.3
+_HMM_T = {  # ln of row-stochastic transition matrix
+    ("A", "A"): -0.2231435513142097,  # ln 0.8
+    ("A", "B"): -1.6094379124341003,  # ln 0.2
+    ("B", "A"): -0.916290731874155,   # ln 0.4
+    ("B", "B"): -0.5108256237659907,  # ln 0.6
+}
+_HMM_E = {  # ln emission probs per state over the 5 event types
+    "A": {"click": -0.6931471805599453, "view": -1.2039728043259361,
+          "purchase": -1.8971199848858813, "signup": -2.995732273553991,
+          "error": -3.912023005428146},
+    "B": {"click": -2.3025850929940455, "view": -1.6094379124341003,
+          "purchase": -3.2188758248682006, "signup": -1.0498221244986778,
+          "error": -0.7985076962177716},
+}
+
+
+def _hmm_emit(state: str, obs_col: str) -> str:
+    cases = " ".join(
+        f"WHEN '{o}' THEN CAST('{lp!r}' AS DOUBLE)"
+        for o, lp in _HMM_E[state].items()
+    )
+    return f"(CASE {obs_col} {cases} ELSE CAST('-20.0' AS DOUBLE) END)"
+
+
+def _hmm_exprs() -> list[tuple[str, str]]:
+    """(column_name, sql_expression) pairs unrolling the Viterbi
+    recursion over observation columns o1..oL."""
+    out = []
+    out.append(("va_1", f"CAST('{_HMM_PI['A']!r}' AS DOUBLE) + {_hmm_emit('A', 'o1')}"))
+    out.append(("vb_1", f"CAST('{_HMM_PI['B']!r}' AS DOUBLE) + {_hmm_emit('B', 'o1')}"))
+    for t in range(2, HMM_L + 1):
+        p = t - 1
+        taa = f"CAST('{_HMM_T[('A','A')]!r}' AS DOUBLE)"
+        tba = f"CAST('{_HMM_T[('B','A')]!r}' AS DOUBLE)"
+        tab = f"CAST('{_HMM_T[('A','B')]!r}' AS DOUBLE)"
+        tbb = f"CAST('{_HMM_T[('B','B')]!r}' AS DOUBLE)"
+        out.append((f"bpa_{t}",
+                    f"(CASE WHEN va_{p} + {taa} >= vb_{p} + {tba} "
+                    f"THEN 'A' ELSE 'B' END)"))
+        out.append((f"va_{t}",
+                    f"(CASE WHEN va_{p} + {taa} >= vb_{p} + {tba} "
+                    f"THEN va_{p} + {taa} ELSE vb_{p} + {tba} END) "
+                    f"+ {_hmm_emit('A', f'o{t}')}"))
+        out.append((f"bpb_{t}",
+                    f"(CASE WHEN va_{p} + {tab} >= vb_{p} + {tbb} "
+                    f"THEN 'A' ELSE 'B' END)"))
+        out.append((f"vb_{t}",
+                    f"(CASE WHEN va_{p} + {tab} >= vb_{p} + {tbb} "
+                    f"THEN va_{p} + {tab} ELSE vb_{p} + {tbb} END) "
+                    f"+ {_hmm_emit('B', f'o{t}')}"))
+    # backtrack: sL = argmax, s_{t} = bp_{t+1}(s_{t+1})
+    out.append((f"s_{HMM_L}",
+                f"(CASE WHEN va_{HMM_L} >= vb_{HMM_L} THEN 'A' ELSE 'B' END)"))
+    for t in range(HMM_L - 1, 0, -1):
+        out.append((f"s_{t}",
+                    f"(CASE WHEN s_{t+1} = 'A' THEN bpa_{t+1} ELSE bpb_{t+1} END)"))
+    path = " || ".join(f"s_{t}" for t in range(1, HMM_L + 1))
+    best = f"(CASE WHEN va_{HMM_L} >= vb_{HMM_L} THEN va_{HMM_L} ELSE vb_{HMM_L} END)"
+    out.append(("state_path", path))
+    out.append(("log_prob", f"round({best}, 9)"))
+    return out
+
+
+def _hmm_oracle() -> str:
+    steps = ""
+    prev = "seq"
+    for i, (name, expr) in enumerate(_hmm_exprs()):
+        cur = f"h{i}"
+        steps += f",\n    {cur} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = cur
+    obs_cols = ", ".join(
+        f"MAX(CASE WHEN rn = {t} THEN event_type END) AS o{t}"
+        for t in range(1, HMM_L + 1)
+    )
+    return f"""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, {obs_cols}
+        FROM ranked WHERE rn <= {HMM_L}
+        GROUP BY user_id
+        HAVING count(*) >= {HMM_L}
+    ){steps}
+    SELECT user_id, state_path, log_prob
+    FROM {prev}
+    ORDER BY user_id
+    """
+
+
+@query(
+    "events_hmm_viterbi",
+    oracle=_hmm_oracle(),
+    tags=("events", "sequence"),
+)
+def events_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of a 2-state HMM (engaged 'A' vs churny 'B')
+    over each user's first 6 events — the sequence-labeling decode
+    behind bot detection and user-state segmentation. The max-product
+    recursion is UNROLLED into pure column expressions (6 steps × 2
+    states of CASE/max arithmetic plus explicit backpointers), so a
+    100 TB decode is one user-keyed pivot followed by a map-only
+    expression pass — no iteration, no UDF, no state store. All
+    transition/emission log-probs are pinned literals; Spark evaluates
+    the SAME generated expression text via F.expr that the oracle runs
+    verbatim, so the floating-point walk is identical by
+    construction. Ties break to state 'A' at every max."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= HMM_L)
+    seq = (
+        ranked.groupBy("user_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("rn") == t, F.col("event_type"))).alias(f"o{t}")
+                for t in range(1, HMM_L + 1)
+            ],
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .filter(F.col("n_obs") >= HMM_L)
+        .drop("n_obs")
+    )
+    cur = seq
+    for name, expr in _hmm_exprs():
+        cur = cur.withColumn(name, F.expr(expr))
+    return cur.select("user_id", "state_path", "log_prob").orderBy("user_id")
+
+
+@query(
+    "events_burstiness_fano",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    ),
+    gaps AS (
+        SELECT event_type, CAST(gap_us AS DOUBLE) / 1000000.0 AS gap_s
+        FROM ordered WHERE gap_us IS NOT NULL
+    ),
+    mom AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(gap_s AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(gap_s * gap_s AS DECIMAL(28,6))) AS DOUBLE) AS s2
+        FROM gaps GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           round(s1 / n, 9) AS mean_gap_s,
+           round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 9) AS sd_gap_s,
+           round((sqrt((s2 - s1 * s1 / n) / (n - 1)) - s1 / n)
+                 / (sqrt((s2 - s1 * s1 / n) / (n - 1)) + s1 / n), 9)
+               AS burstiness,
+           round((s2 - s1 * s1 / n) / (n - 1) / (s1 / n), 9) AS fano_factor
+    FROM mom
+    ORDER BY event_type
+    """,
+    tags=("events", "analytics"),
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type: the Goh-Barabási
+    burstiness B = (σ-μ)/(σ+μ) and the Fano factor σ²/μ of the
+    inter-event gaps — B≈0 / Fano≈μ for a Poisson process, B→1 for
+    bursty traffic (the signature separating organic users from bots
+    and incident storms). Gaps are exact integer microsecond LAGs
+    (per-type ordered windows, each type sorts within its own
+    partitions); moments go through decimal(28,6) sums — gaps are
+    ~seconds-scale so the 6-dp snap keeps every term in the
+    cast-safe digit budget. One window pass + one grouped moment
+    aggregation at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select(
+            "event_type", (F.col("gap_us").cast("double") / 1000000.0).alias("gap_s")
+        )
+    )
+    mom = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gap_s").cast("decimal(28,6)")).cast("double").alias("s1"),
+        F.sum((F.col("gap_s") * F.col("gap_s")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    sd = F.sqrt(var)
+    return mom.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(mean, 9).alias("mean_gap_s"),
+        F.round(sd, 9).alias("sd_gap_s"),
+        F.round((sd - mean) / (sd + mean), 9).alias("burstiness"),
+        F.round(var / mean, 9).alias("fano_factor"),
+    ).orderBy("event_type")

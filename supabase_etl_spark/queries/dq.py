@@ -1856,3 +1856,139 @@ def dq_missingness_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pattern", "n_cols_missing", "n_rows", "frac")
         .orderBy("pattern")
     )
+
+
+@query(
+    "dq_spc_control_chart",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS xbar,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    lim AS (
+        SELECT COUNT(*) AS k,
+               CAST(SUM(CAST(xbar AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS mu,
+               CAST(SUM(CAST(xbar * xbar AS DECIMAL(28,6))) AS DOUBLE) AS s2
+        FROM daily
+    ),
+    z AS (
+        SELECT d.day, d.xbar, d.n,
+               (d.xbar - l.mu)
+               / sqrt((l.s2 - l.mu * l.mu * l.k) / (l.k - 1)) AS z
+        FROM daily d CROSS JOIN lim l
+    ),
+    flags AS (
+        SELECT day, xbar, n, z,
+               abs(z) > 3 AS r1_beyond_3s,
+               (SUM(CASE WHEN z > 2 THEN 1 ELSE 0 END) OVER w3 >= 2
+                OR SUM(CASE WHEN z < -2 THEN 1 ELSE 0 END) OVER w3 >= 2)
+                   AS r2_two_of_three_2s,
+               (SUM(CASE WHEN z > 1 THEN 1 ELSE 0 END) OVER w5 >= 4
+                OR SUM(CASE WHEN z < -1 THEN 1 ELSE 0 END) OVER w5 >= 4)
+                   AS r3_four_of_five_1s,
+               (COUNT(*) OVER w8 = 8
+                AND abs(SUM(CASE WHEN z > 0 THEN 1 ELSE -1 END) OVER w8) = 8)
+                   AS r4_eight_same_side
+        FROM z
+        WINDOW w3 AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+               w5 AS (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+               w8 AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_orders, round(xbar, 9) AS xbar,
+           round(z, 9) AS z,
+           r1_beyond_3s, r2_two_of_three_2s, r3_four_of_five_1s,
+           r4_eight_same_side
+    FROM flags
+    WHERE r1_beyond_3s OR r2_two_of_three_2s OR r3_four_of_five_1s
+          OR r4_eight_same_side
+    ORDER BY day
+    """,
+    tags=("dq", "monitoring"),
+)
+def dq_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control over the daily order-value mean:
+    X-bar chart with the Western Electric run rules — (1) a point
+    beyond 3σ, (2) 2-of-3 consecutive beyond 2σ same side, (3) 4-of-5
+    beyond 1σ same side, (4) 8 consecutive on one side of the center
+    line — the drift monitor a pipeline puts on every daily metric,
+    catching slow regressions long before a hard threshold fires.
+    Daily means and the control limits come from decimal moments;
+    every rule is an integer count over a bounded ROWS window on the
+    day-grained table, so 100 TB of orders reduces to one grouped agg
+    and windows over ~O(days) rows. Returns only the violating days."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("xbar"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lim = daily.agg(
+        F.count(F.lit(1)).alias("k"),
+        (
+            F.sum(F.col("xbar").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        F.sum((F.col("xbar") * F.col("xbar")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    z = daily.crossJoin(F.broadcast(lim)).select(
+        "day",
+        "xbar",
+        "n",
+        (
+            (F.col("xbar") - F.col("mu"))
+            / F.sqrt(
+                (F.col("s2") - F.col("mu") * F.col("mu") * F.col("k"))
+                / (F.col("k") - 1)
+            )
+        ).alias("z"),
+    )
+    w3 = Window.orderBy("day").rowsBetween(-2, 0)
+    w5 = Window.orderBy("day").rowsBetween(-4, 0)
+    w8 = Window.orderBy("day").rowsBetween(-7, 0)
+    hi = lambda th, w: F.sum(F.when(F.col("z") > th, 1).otherwise(0)).over(w)  # noqa: E731
+    lo = lambda th, w: F.sum(F.when(F.col("z") < -th, 1).otherwise(0)).over(w)  # noqa: E731
+    flags = z.select(
+        "day",
+        "xbar",
+        "n",
+        "z",
+        (F.abs(F.col("z")) > 3).alias("r1_beyond_3s"),
+        ((hi(2, w3) >= 2) | (lo(2, w3) >= 2)).alias("r2_two_of_three_2s"),
+        ((hi(1, w5) >= 4) | (lo(1, w5) >= 4)).alias("r3_four_of_five_1s"),
+        (
+            (F.count(F.lit(1)).over(w8) == 8)
+            & (
+                F.abs(
+                    F.sum(F.when(F.col("z") > 0, 1).otherwise(-1)).over(w8)
+                )
+                == 8
+            )
+        ).alias("r4_eight_same_side"),
+    )
+    return (
+        flags.filter(
+            F.col("r1_beyond_3s")
+            | F.col("r2_two_of_three_2s")
+            | F.col("r3_four_of_five_1s")
+            | F.col("r4_eight_same_side")
+        )
+        .select(
+            "day",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round("xbar", 9).alias("xbar"),
+            F.round("z", 9).alias("z"),
+            "r1_beyond_3s",
+            "r2_two_of_three_2s",
+            "r3_four_of_five_1s",
+            "r4_eight_same_side",
+        )
+        .orderBy("day")
+    )
