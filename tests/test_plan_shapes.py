@@ -788,3 +788,51 @@ def test_named_window_plans_one_window_operator(spark):
     q = load_all()["sql_named_window"]
     plan = _plan(q.fn(spark, SF))
     assert plan.count("Window ") <= 1 or plan.count("[Window") <= 1
+
+
+def test_ktruss_triangle_join_is_keyed(spark):
+    """graph_ktruss: every triangle enumeration round is a vertex-keyed
+    equi-join chain on the canonical edge list — never a cartesian."""
+    q = load_all()["graph_ktruss"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_silhouette_broadcasts_centroids_only(spark):
+    """embedding_kmeans_silhouette: the k=8 centroid table broadcasts
+    against one corpus scan; the corpus side never shuffles before the
+    per-vector distance fold."""
+    q = load_all()["embedding_kmeans_silhouette"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_eval_broadcasts_query_batch(spark):
+    """ml_knn_classifier_eval: the bounded query batch is the broadcast
+    side; the corpus is scanned once, not self-joined."""
+    q = load_all()["ml_knn_classifier_eval"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_viterbi_is_map_only_after_pivot(spark):
+    """events_hmm_viterbi: the unrolled recursion is pure column
+    expressions — exactly one corpus scan, one user-keyed pivot agg,
+    no joins at all in the decode."""
+    q = load_all()["events_hmm_viterbi"]
+    plan = _plan(q.fn(spark, SF))
+    assert plan.count("events.parquet") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan
+
+
+def test_spc_windows_run_on_daily_table(spark):
+    """dq_spc_control_chart: the run-rule windows ride the day-grained
+    aggregate (single ordered partition of O(days) rows is fine); the
+    corpus-sized orders scan appears exactly twice (daily means +
+    control limits share one cached-free plan: daily agg reused)."""
+    q = load_all()["dq_spc_control_chart"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
