@@ -277,6 +277,53 @@ def main() -> None:
             .save()
         )
 
+    def t_ktruss(docs):
+        # one truss round at corpus scale: triangle enumeration (wedge
+        # join closed by the third edge) + per-edge support + semi-join
+        # peel, over the same degree-bounded synthetic adjacency as
+        # t_kcore (fan width 8 — triangles per vertex are constant, so
+        # a linear curve means the joins are keyed, not pair-bound)
+        e = docs.select(
+            F.col("doc_id").alias("u"),
+            F.explode(
+                F.sequence(F.col("doc_id") + 1, F.col("doc_id") + 8)
+            ).alias("v"),
+        )
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        tri = (
+            e1.join(
+                e2,
+                (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+            )
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .select(
+                F.col("e1.u").alias("x"), F.col("e1.v").alias("y"),
+                F.col("e2.v").alias("z"),
+            )
+        )
+        roles = (
+            tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+            .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+            .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+        )
+        sup = (
+            roles.groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter("sup >= 2")
+            .select("u", "v")
+        )
+        (
+            e.join(sup, ["u", "v"], "left_semi")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     def _er_pairs(cust, fine: bool):
         # Fellegi-Sunter candidate stage: block, pair, count. Coarse
         # blocking = nation only (25 keys at ANY corpus size — block
@@ -620,6 +667,7 @@ def main() -> None:
         "bloom build+probe": t_bloom,
         "dsir score+topk": t_dsir,
         "kcore peel round": t_kcore,
+        "ktruss triangle round": t_ktruss,
         "ER pairs, coarse blocking (nation)": t_er_coarse,
         "ER pairs, fine blocking (nation x bal-band)": t_er_fine,
         "containment inverted-index pairs": t_containment,
