@@ -6515,3 +6515,81 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sd - mean) / (sd + mean), 9).alias("burstiness"),
         F.round(var / mean, 9).alias("fano_factor"),
     ).orderBy("event_type")
+
+
+@query(
+    "scd4_current_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_id, ts AS valid_from, event_type
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    intervals AS (
+        SELECT user_id, event_type, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from, event_id)
+                   AS valid_to
+        FROM changes
+    )
+    SELECT 'current' AS table_name, user_id, event_type,
+           valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM intervals WHERE valid_to IS NULL
+    UNION ALL
+    SELECT 'history', user_id, event_type, valid_from, valid_to
+    FROM intervals WHERE valid_to IS NOT NULL
+    ORDER BY table_name, user_id, valid_from
+    """,
+    tags=("events", "cdc"),
+)
+def scd4_current_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing dimension TYPE 4 — the current/history table
+    split (the warehouse pattern when the hot dimension must stay
+    narrow and fast while full lineage lives in a separate history
+    table): change points become validity intervals exactly as in the
+    SCD2 build, then open intervals land in 'current' (valid_to NULL)
+    and closed ones in 'history'. Completes the SCD family alongside
+    types 2, 3 and 6. Same two window passes on one (user_id, ts)
+    ordering — one shuffle serves both — plus a split that is a pure
+    filter; the union is plan-level, no second scan."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_id", F.col("ts").alias("valid_from"), "event_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    intervals = changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    current = intervals.filter(F.col("valid_to").isNull()).select(
+        F.lit("current").alias("table_name"),
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    history = intervals.filter(F.col("valid_to").isNotNull()).select(
+        F.lit("history").alias("table_name"),
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+    )
+    return current.unionAll(history).orderBy("table_name", "user_id", "valid_from")

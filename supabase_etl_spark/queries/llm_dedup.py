@@ -1948,3 +1948,86 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "er_survivorship_golden_record",
+    oracle="""
+    WITH blocked AS (
+        SELECT doc_id, source, lang, n_chars,
+               lang || '#' || CAST(n_chars // 50 AS VARCHAR) AS cluster_key
+        FROM documents
+    ),
+    src_votes AS (
+        SELECT cluster_key, source, count(*) AS votes,
+               ROW_NUMBER() OVER (PARTITION BY cluster_key
+                                  ORDER BY count(*) DESC, source) AS vr
+        FROM blocked GROUP BY cluster_key, source
+    ),
+    golden AS (
+        SELECT cluster_key,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(min(doc_id) AS BIGINT) AS survivor_id,
+               CAST(max(n_chars) AS BIGINT) AS canonical_n_chars
+        FROM blocked GROUP BY cluster_key
+    )
+    SELECT g.cluster_key, g.n_members, g.survivor_id,
+           g.canonical_n_chars, s.source AS canonical_source,
+           CAST(s.votes AS BIGINT) AS source_votes
+    FROM golden g JOIN src_votes s
+      ON g.cluster_key = s.cluster_key AND s.vr = 1
+    ORDER BY g.cluster_key
+    """,
+    tags=("llm", "dedup", "er"),
+)
+def er_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record construction — the MDM step AFTER
+    matching: every match cluster collapses to one canonical record by
+    explicit field-level rules (min-id survivor, most-frequent source
+    with deterministic tie-break, max-completeness numeric). Clusters
+    here come from a deterministic blocking key (lang × length band);
+    in the full pipeline the same rules run on dedup_clusters' connected
+    components — the rules engine, not the matcher, is what this
+    operator adds over er_record_linkage. Two grouped aggregations plus
+    a per-cluster vote window (partitioned by cluster, bounded by
+    sources-per-cluster) — one corpus scan, cluster-keyed shuffles, no
+    pairs materialized."""
+    d = load_table(spark, sf_dir, "documents")
+    blocked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.concat(
+            F.col("lang"), F.lit("#"), F.floor(F.col("n_chars") / 50).cast("string")
+        ).alias("cluster_key"),
+    )
+    votes = blocked.groupBy("cluster_key", "source").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    vw = W.partitionBy("cluster_key").orderBy(F.col("votes").desc(), "source")
+    top_src = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select(
+            "cluster_key",
+            F.col("source").alias("canonical_source"),
+            F.col("votes").cast("bigint").alias("source_votes"),
+        )
+    )
+    golden = blocked.groupBy("cluster_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("doc_id").cast("bigint").alias("survivor_id"),
+        F.max("n_chars").cast("bigint").alias("canonical_n_chars"),
+    )
+    return (
+        golden.join(top_src, "cluster_key")
+        .select(
+            "cluster_key",
+            "n_members",
+            "survivor_id",
+            "canonical_n_chars",
+            "canonical_source",
+            "source_votes",
+        )
+        .orderBy("cluster_key")
+    )
