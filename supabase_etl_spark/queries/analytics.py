@@ -6593,3 +6593,121 @@ def scd4_current_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
     )
     return current.unionAll(history).orderBy("table_name", "user_id", "valid_from")
+
+
+# ---- slope-constrained DTW (unrolled DP) ------------------------------
+DTW_T = 30  # both daily series have exactly 30 days at every SF
+
+
+def _dtw_oracle() -> str:
+    steps = []
+    for i in range(2, DTW_T + 1):
+        steps.append(
+            f"""r{i} AS MATERIALIZED (
+        SELECT c.j, m.d + c.c AS d
+        FROM (
+            SELECT tj AS j, MIN(d) AS d FROM (
+                SELECT p.j + t.o AS tj, p.d
+                FROM r{i-1} p, (VALUES (0), (1), (2)) t(o)
+            ) WHERE tj <= {DTW_T} GROUP BY tj
+        ) m
+        JOIN costs c ON c.i = {i} AND c.j = m.j
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH xs AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, xbar AS x FROM (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS xbar
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        )
+    ),
+    ys AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS j, xbar AS y FROM (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS xbar
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        )
+    ),
+    costs AS MATERIALIZED (SELECT i, j, abs(x - y) AS c FROM xs, ys),
+    r1 AS MATERIALIZED (SELECT 1 AS j, c AS d FROM costs WHERE i = 1 AND j = 1),
+    {chain}
+    SELECT j, round(d, 9) AS dtw_d FROM r{DTW_T} ORDER BY j
+    """
+
+
+@query(
+    "events_dtw_alignment",
+    oracle=_dtw_oracle(),
+    tags=("events", "timeseries"),
+)
+def events_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slope-constrained dynamic time warping between the daily 'click'
+    and 'view' mean-value series: D(i,j) = cost(i,j) + min over
+    {(i-1,j), (i-1,j-1), (i-1,j-2)} — the Sakoe-Chiba step pattern
+    where each day of series A consumes 0-2 days of B, the alignment
+    used to compare phase-shifted KPI curves where Euclidean distance
+    breaks. The corpus-scale work is the two daily decimal rollups;
+    the DP itself is a 30x30 metadata-sized problem, so it folds in
+    ONE whole-stage expression (aggregate over the step sequence with
+    a transform per row — no 29-stage driver loop, no UDF, no
+    collect). The oracle replays the identical recursion as 29
+    chained CTEs (Spark's WITH RECURSIVE disallows aggregates over
+    the recursive reference, so unrolling is the
+    cross-engine-deterministic form). Every D value is one specific
+    min-path sum of |mean diffs| built from decimal-exact daily
+    means, so both engines walk identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def daily(et: str, idx: str, val: str) -> DataFrame:
+        d = ev.filter(F.col("event_type") == et).groupBy(
+            F.col("ts").cast("date").alias("day")
+        ).agg(
+            (
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias(val)
+        )
+        w = Window.orderBy("day")
+        return d.select(F.row_number().over(w).alias(idx), val)
+
+    xs = daily("click", "i", "x")
+    ys = daily("view", "j", "y")
+    # cost matrix as one array-of-arrays row: m[i-1][j-1] = |x_i - y_j|
+    costs = (
+        xs.crossJoin(ys)
+        .select("i", "j", F.abs(F.col("x") - F.col("y")).alias("c"))
+        .groupBy("i")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c"))), lambda s: s["c"]
+            ).alias("crow")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "crow"))),
+                lambda s: s["crow"],
+            ).alias("m")
+        )
+    )
+    t = DTW_T
+    inf = "CAST('Infinity' AS DOUBLE)"
+    # row 1: only j=1 is reachable; fold rows 2..T, each cell taking the
+    # min of the previous row's {j, j-1, j-2} then adding its cost
+    dp = (
+        f"aggregate(sequence(2, {t}), "
+        f"transform(sequence(1, {t}), j -> IF(j = 1, m[0][0], {inf})), "
+        f"(acc, i) -> transform(sequence(1, {t}), j -> "
+        f"element_at(element_at(m, i), j) + least("
+        f"element_at(acc, j), "
+        f"IF(j >= 2, element_at(acc, j - 1), {inf}), "
+        f"IF(j >= 3, element_at(acc, j - 2), {inf}))))"
+    )
+    return (
+        costs.select(F.posexplode(F.expr(dp)).alias("j0", "d"))
+        .select((F.col("j0") + 1).alias("j"), F.round("d", 9).alias("dtw_d"))
+        .orderBy("j")
+    )
