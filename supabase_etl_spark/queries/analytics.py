@@ -6711,3 +6711,112 @@ def events_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("j0") + 1).alias("j"), F.round("d", 9).alias("dtw_d"))
         .orderBy("j")
     )
+
+
+RICH_CLUB_KS = (2, 4, 8, 16)
+
+
+@query(
+    "graph_rich_club",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT u AS node, count(*) AS d FROM (
+            SELECT u FROM e UNION ALL SELECT v FROM e
+        ) t(u) GROUP BY u
+    ),
+    edge_deg AS (
+        SELECT least(du.d, dv.d) AS dmin
+        FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in RICH_CLUB_KS)}]) AS k),
+    stats AS (
+        SELECT ks.k,
+               (SELECT count(*) FROM deg WHERE d > ks.k) AS n_nodes,
+               (SELECT count(*) FROM edge_deg WHERE dmin > ks.k) AS n_edges
+        FROM ks
+    )
+    SELECT k, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           round(CASE WHEN n_nodes >= 2
+                      THEN 2.0 * n_edges / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1))
+                      ELSE 0.0 END, 9) AS phi
+    FROM stats
+    ORDER BY k
+    """,
+    tags=("graph",),
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2·E_k / (N_k·(N_k−1)) over the
+    part co-purchase graph: do high-degree vertices preferentially
+    interconnect (the hub-oligarchy diagnostic used on
+    interaction/infrastructure graphs)? One degree aggregation, one
+    edge->degree join annotating each edge with min(endpoint degrees),
+    then every k in the ladder reads from the SAME annotated edge
+    table via conditional counts — no per-k re-scan. All integer
+    counts; the ratio is one IEEE division rounded at 9. Degree join
+    sides are vertex-keyed; nothing quadratic."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    edge_deg = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(F.least("du", "dv").alias("dmin"))
+    )
+    ks = spark.createDataFrame([(k,) for k in RICH_CLUB_KS], "k int")
+    n_nodes = deg.crossJoin(F.broadcast(ks)).filter(F.col("d") > F.col("k")).groupBy(
+        "k"
+    ).agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edge_deg.crossJoin(F.broadcast(ks)).filter(
+        F.col("dmin") > F.col("k")
+    ).groupBy("k").agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        ks.join(n_nodes, "k", "left")
+        .join(n_edges, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_nodes", F.lit(0)).cast("bigint").alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).cast("bigint").alias("n_edges"),
+            F.round(
+                F.when(
+                    F.coalesce("n_nodes", F.lit(0)) >= 2,
+                    2.0
+                    * F.coalesce("n_edges", F.lit(0))
+                    / (
+                        F.coalesce("n_nodes", F.lit(0)).cast("double")
+                        * (F.coalesce("n_nodes", F.lit(0)) - 1)
+                    ),
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )

@@ -2089,3 +2089,125 @@ def sim_rocchio_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+TRIPLET_ANCHORS = 20
+TRIPLET_MARGIN = 0.2
+
+_DIST2_QC = """
+    list_reduce(
+        list_transform(range(1, len(q.embedding) + 1),
+            i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+                 * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))),
+        (acc, x) -> acc + x)
+"""
+
+
+@query(
+    "embedding_triplet_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings
+               WHERE vec_id < {TRIPLET_ANCHORS}),
+    c AS (SELECT vec_id, label, embedding FROM embeddings
+          WHERE vec_id >= {TRIPLET_ANCHORS}),
+    dists AS (
+        SELECT q.vec_id AS aid, q.label AS alabel,
+               c.vec_id AS cid, c.label AS clabel,
+               sqrt({_DIST2_QC}) AS d
+        FROM q, c
+    ),
+    pos AS (
+        SELECT aid, cid AS pos_id, d AS d_pos,
+               ROW_NUMBER() OVER (PARTITION BY aid ORDER BY d, cid) AS rn
+        FROM dists WHERE alabel = clabel
+    ),
+    p1 AS (SELECT aid, pos_id, d_pos FROM pos WHERE rn = 1),
+    semihard AS (
+        SELECT x.aid, x.cid AS neg_id, x.d AS d_neg,
+               ROW_NUMBER() OVER (PARTITION BY x.aid ORDER BY x.d, x.cid) AS rn,
+               COUNT(*) OVER (PARTITION BY x.aid) AS n_semihard
+        FROM dists x JOIN p1 ON x.aid = p1.aid
+        WHERE x.alabel <> x.clabel
+          AND x.d > p1.d_pos
+          AND x.d < p1.d_pos + CAST('{TRIPLET_MARGIN!r}' AS DOUBLE)
+    )
+    SELECT p1.aid AS anchor_id, p1.pos_id, round(p1.d_pos, 9) AS d_pos,
+           s.neg_id, round(s.d_neg, 9) AS d_neg,
+           CAST(COALESCE(s.n_semihard, 0) AS BIGINT) AS n_semihard
+    FROM p1 LEFT JOIN (SELECT * FROM semihard WHERE rn = 1) s
+      ON p1.aid = s.aid
+    ORDER BY anchor_id
+    """,
+    tags=("llm", "similarity", "training"),
+)
+def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard triplet mining (the FaceNet rule) for contrastive
+    training data: per anchor, the positive is its nearest same-label
+    corpus vector, and the mined negative is the CLOSEST different-
+    label vector inside the semi-hard band d_pos < d_neg < d_pos +
+    margin — violators that are neither trivially easy (outside
+    margin) nor collapse-inducing (closer than the positive).
+    Anchors with an empty band surface as NULL negatives (the signal
+    to widen the margin). Unlike sample_contrastive_negatives' LCG
+    draw, the mining here is distance-driven. Plan: bounded anchor
+    batch broadcast against one corpus scan (the sim_topk shape —
+    never corpus x corpus), two per-anchor windows on |A| x |C|
+    candidate rows partitioned by anchor."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("embedding").alias("qe"),
+    )
+    c = e.filter(F.col("vec_id") >= TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("qe"),
+            F.col("ce"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = c.crossJoin(F.broadcast(q)).select(
+        "aid", "alabel", "cid", "clabel", F.sqrt(dist2).alias("d")
+    )
+    pw = Window.partitionBy("aid").orderBy("d", "cid")
+    p1 = (
+        dists.filter(F.col("alabel") == F.col("clabel"))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") == 1)
+        .select("aid", F.col("cid").alias("pos_id"), F.col("d").alias("d_pos"))
+    )
+    band = (
+        dists.filter(F.col("alabel") != F.col("clabel"))
+        .join(p1.select("aid", "d_pos"), "aid")
+        .filter(
+            (F.col("d") > F.col("d_pos"))
+            & (F.col("d") < F.col("d_pos") + F.lit(TRIPLET_MARGIN))
+        )
+    )
+    sw = Window.partitionBy("aid")
+    semihard = (
+        band.withColumn("rn", F.row_number().over(pw))
+        .withColumn("n_semihard", F.count(F.lit(1)).over(sw))
+        .filter(F.col("rn") == 1)
+        .select("aid", F.col("cid").alias("neg_id"), F.col("d").alias("d_neg"), "n_semihard")
+    )
+    return (
+        p1.join(semihard, "aid", "left")
+        .select(
+            F.col("aid").alias("anchor_id"),
+            "pos_id",
+            F.round("d_pos", 9).alias("d_pos"),
+            "neg_id",
+            F.round("d_neg", 9).alias("d_neg"),
+            F.coalesce(F.col("n_semihard"), F.lit(0)).cast("bigint").alias("n_semihard"),
+        )
+        .orderBy("anchor_id")
+    )
