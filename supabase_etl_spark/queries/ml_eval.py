@@ -2283,3 +2283,197 @@ def ml_eval_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+@query(
+    "ml_eval_isotonic_calibration",
+    oracle=f"""
+    WITH {_SQL_SCORED},
+    g AS (
+        SELECT model, s,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM scored GROUP BY model, s
+    ),
+    c AS (
+        SELECT model, s, pos, n,
+               CAST(SUM(pos) OVER (PARTITION BY model ORDER BY s) AS BIGINT)
+                   AS cp_le,
+               CAST(SUM(n) OVER (PARTITION BY model ORDER BY s) AS BIGINT)
+                   AS cn_le
+        FROM g
+    ),
+    intervals AS (
+        SELECT i.model, i.s AS si, j.s AS sj,
+               CAST(j.cp_le - i.cp_le + i.pos AS DOUBLE)
+               / (j.cn_le - i.cn_le + i.n) AS iv_avg
+        FROM c i JOIN c j ON i.model = j.model AND i.s <= j.s
+    ),
+    inner_min AS (
+        SELECT b.model, b.s, v.si, MIN(v.iv_avg) AS lo
+        FROM c b JOIN intervals v
+          ON v.model = b.model AND v.si <= b.s AND v.sj >= b.s
+        GROUP BY b.model, b.s, v.si
+    ),
+    fit AS (
+        SELECT model, s, MAX(lo) AS fitted FROM inner_min GROUP BY model, s
+    )
+    SELECT f.model, f.s, g.n,
+           round(CAST(g.pos AS DOUBLE) / g.n, 9) AS raw_rate,
+           round(f.fitted, 9) AS isotonic_rate
+    FROM fit f JOIN g ON f.model = g.model AND f.s = g.s
+    ORDER BY f.model, f.s
+    """,
+    tags=("llm", "ml-eval", "calibration"),
+)
+def ml_eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (the PAV fit sklearn's
+    IsotonicRegression/CalibratedClassifierCV produces), computed by
+    the minimax identity fitted(b) = max_{{i<=b}} min_{{j>=b}}
+    avg(y[i..j]) — exactly equal to pool-adjacent-violators but
+    expressed as joins/aggregations instead of a sequential stack,
+    which is what makes it cross-engine-deterministic AND
+    distributable. The corpus collapses to the ~40-row score grid
+    first (the threshold-table lever), so the interval enumeration is
+    grid²-bounded metadata work: one corpus pass at 100 TB, then
+    O(G³) tiny-table arithmetic. Interval means are exact integer
+    ratios; min/max of identical doubles are identical."""
+    g = (
+        _scored(spark, sf_dir)
+        .groupBy("model", "s")
+        .agg(
+            F.sum("y").cast("bigint").alias("pos"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    w = Window.partitionBy("model").orderBy("s")
+    c = g.select(
+        "model",
+        "s",
+        "pos",
+        "n",
+        F.sum("pos").over(w).cast("bigint").alias("cp_le"),
+        F.sum("n").over(w).cast("bigint").alias("cn_le"),
+    )
+    ci, cj = c.alias("i"), c.alias("j")
+    intervals = ci.join(
+        cj,
+        (F.col("i.model") == F.col("j.model")) & (F.col("i.s") <= F.col("j.s")),
+    ).select(
+        F.col("i.model").alias("model"),
+        F.col("i.s").alias("si"),
+        F.col("j.s").alias("sj"),
+        (
+            (F.col("j.cp_le") - F.col("i.cp_le") + F.col("i.pos")).cast("double")
+            / (F.col("j.cn_le") - F.col("i.cn_le") + F.col("i.n"))
+        ).alias("iv_avg"),
+    )
+    bins = c.select("model", "s").alias("b")
+    inner_min = (
+        bins.join(
+            intervals.alias("v"),
+            (F.col("v.model") == F.col("b.model"))
+            & (F.col("v.si") <= F.col("b.s"))
+            & (F.col("v.sj") >= F.col("b.s")),
+        )
+        .groupBy(F.col("b.model").alias("model"), F.col("b.s").alias("s"), "v.si")
+        .agg(F.min("v.iv_avg").alias("lo"))
+    )
+    fit = inner_min.groupBy("model", "s").agg(F.max("lo").alias("fitted"))
+    return (
+        fit.join(g, ["model", "s"])
+        .select(
+            "model",
+            "s",
+            "n",
+            F.round(F.col("pos").cast("double") / F.col("n"), 9).alias("raw_rate"),
+            F.round("fitted", 9).alias("isotonic_rate"),
+        )
+        .orderBy("model", "s")
+    )
+
+
+@query(
+    "ml_eval_ece_mce",
+    oracle=f"""
+    WITH {_SQL_SCORED},
+    g AS (
+        SELECT model, s,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM scored GROUP BY model, s
+    ),
+    binned AS (
+        SELECT model,
+               LEAST(CAST(FLOOR({_SQL_P} * 10) AS BIGINT), 9) AS bin,
+               SUM(CAST(n * {_SQL_P} AS DECIMAL(28,6))) AS wp,
+               CAST(SUM(pos) AS BIGINT) AS pos,
+               CAST(SUM(n) AS BIGINT) AS n
+        FROM g GROUP BY model, 2
+    ),
+    tot AS (SELECT model, CAST(SUM(n) AS BIGINT) AS n_tot
+            FROM binned GROUP BY model),
+    per_bin AS (
+        SELECT b.model, b.bin, b.n, t.n_tot,
+               ABS(CAST(b.pos AS DOUBLE) / b.n
+                   - CAST(b.wp AS DOUBLE) / b.n) AS gap
+        FROM binned b JOIN tot t ON b.model = t.model
+    )
+    SELECT model,
+           round(CAST(SUM(CAST(round(gap * n, 6) AS DECIMAL(28,6)))
+                      AS DOUBLE) / MAX(n_tot), 9) AS ece,
+           round(MAX(gap), 9) AS mce,
+           CAST(COUNT(*) AS BIGINT) AS n_bins
+    FROM per_bin
+    GROUP BY model
+    ORDER BY model
+    """,
+    tags=("llm", "ml-eval", "calibration"),
+)
+def ml_eval_ece_mce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error over 10 equal-width
+    probability bins: ECE = Σ (n_b/N)·|acc_b − conf_b|, MCE = max gap
+    — the headline calibration scalars reported next to reliability
+    diagrams. Derived entirely from the grid-bounded threshold table
+    (probabilities use the rational squash, no transcendentals); the
+    weighted gap sum snaps to 6 dp before its decimal(28,6)
+    accumulation so both engines cast identically."""
+    p = _p_col()
+    bin_ = F.least(F.floor(p * 10).cast("bigint"), F.lit(9).cast("bigint"))
+    g = (
+        _scored(spark, sf_dir)
+        .groupBy("model", "s")
+        .agg(
+            F.sum("y").cast("bigint").alias("pos"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    binned = g.select(
+        "model", bin_.alias("bin"), "pos", "n", (F.col("n") * p).alias("wp_term")
+    ).groupBy("model", "bin").agg(
+        F.sum(F.col("wp_term").cast("decimal(28,6)")).alias("wp"),
+        F.sum("pos").cast("bigint").alias("pos"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
+    tot = binned.groupBy("model").agg(F.sum("n").cast("bigint").alias("n_tot"))
+    gap = F.abs(
+        F.col("pos").cast("double") / F.col("n")
+        - F.col("wp").cast("double") / F.col("n")
+    )
+    per_bin = binned.join(tot, "model").select(
+        "model", "bin", "n", "n_tot", gap.alias("gap")
+    )
+    return (
+        per_bin.groupBy("model")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("gap") * F.col("n"), 6).cast("decimal(28,6)"))
+                .cast("double")
+                / F.max("n_tot"),
+                9,
+            ).alias("ece"),
+            F.round(F.max("gap"), 9).alias("mce"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        )
+        .orderBy("model")
+    )
