@@ -1,0 +1,279 @@
+"""Minimal Delta-Lake transaction-log reader/writer (no delta-spark jar).
+
+Interop surface: the Delta PROTOCOL, not the library. A Delta table is
+a directory of parquet data files plus `_delta_log/` holding one JSON
+file per commit (zero-padded 20-digit version), each a sequence of
+newline-delimited ACTIONS:
+
+    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    {"metaData": {"id": ..., "schemaString": "...", ...}}
+    {"add":    {"path": "part-...", "size": N, "dataChange": true, ...}}
+    {"remove": {"path": "part-...", "deletionTimestamp": N, ...}}
+    {"commitInfo": {...}}
+
+A snapshot at version V = replay actions 0..V in order: `add` puts a
+file in the live set, `remove` deletes it (last action per path wins).
+Periodic parquet CHECKPOINTS (`_last_checkpoint` pointer) snapshot the
+live set so readers skip the JSON replay prefix.
+
+This module implements that contract directly (reference bar:
+`/root/reference/etl_supabase.py:71-108` ships rows to an external
+store; a lakehouse-format log is the engine-side equivalent), enough
+to (a) read basic Delta tables written by other engines — minReader 1,
+no deletion vectors / column mapping, which raise loudly — and
+(b) write logs Delta readers accept. Commits publish PUT-IF-ABSENT
+(hard link) like the manifest store, so concurrent writers surface as
+ConcurrentCommitError, never a lost update.
+
+At 100 TB: snapshot resolution is driver-side O(commits since last
+checkpoint) + one checkpoint parquet read — the same cost model as
+delta-spark's Snapshot; data I/O is exactly the live file set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from supabase_etl_spark.io.manifest_store import ConcurrentCommitError
+
+_LOG = "_delta_log"
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _LOG)
+
+
+def _versions(table_dir: str) -> list[int]:
+    d = _log_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:20])
+        for f in os.listdir(d)
+        if len(f) == 25 and f.endswith(".json") and f[:20].isdigit()
+    )
+
+
+def current_version(table_dir: str) -> int:
+    vs = _versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no Delta log in {table_dir}")
+    return vs[-1]
+
+
+def _read_actions(table_dir: str, version: int) -> list[dict]:
+    path = os.path.join(_log_dir(table_dir), f"{version:020d}.json")
+    with open(path) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def _last_checkpoint(table_dir: str) -> dict | None:
+    p = os.path.join(_log_dir(table_dir), "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def snapshot_files(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> list[str]:
+    """Resolve the live data-file set at ``version`` (default latest)
+    by checkpoint + JSON replay. Driver-side metadata only."""
+    v = version if version is not None else current_version(table_dir)
+    if v not in _versions(table_dir):
+        raise FileNotFoundError(f"no Delta version {v} in {table_dir}")
+    live: dict[str, bool] = {}
+    start = 0
+    cp = _last_checkpoint(table_dir)
+    if cp is not None and cp["version"] <= v:
+        cp_path = os.path.join(
+            _log_dir(table_dir), f"{cp['version']:020d}.checkpoint.parquet"
+        )
+        for row in (
+            spark.read.parquet(cp_path)
+            .select("add.path", "remove.path")
+            .collect()
+        ):  # checkpoint rows: one action each, O(files) bounded
+            if row[0] is not None:
+                live[row[0]] = True
+            if row[1] is not None:
+                live.pop(row[1], None)
+        start = cp["version"] + 1
+    for ver in range(start, v + 1):
+        for action in _read_actions(table_dir, ver):
+            if "protocol" in action:
+                mr = action["protocol"].get("minReaderVersion", 1)
+                if mr > 1:
+                    raise NotImplementedError(
+                        f"Delta minReaderVersion {mr} needs features "
+                        "(deletion vectors / column mapping) this reader "
+                        "does not implement"
+                    )
+            if "add" in action:
+                live[action["add"]["path"]] = True
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
+    return sorted(live)
+
+
+def read_delta(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Scan the snapshot's exact live file set (time travel by
+    version). Empty snapshot -> empty frame with the logged schema."""
+    files = snapshot_files(spark, table_dir, version)
+    if not files:
+        schema = _logged_schema(table_dir)
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*[os.path.join(table_dir, f) for f in files])
+
+
+def _logged_schema(table_dir: str):
+    from pyspark.sql.types import StructType
+
+    for v in reversed(_versions(table_dir)):
+        for action in _read_actions(table_dir, v):
+            if "metaData" in action:
+                return StructType.fromJson(
+                    json.loads(action["metaData"]["schemaString"])
+                )
+    raise FileNotFoundError(f"no metaData action in {table_dir}")
+
+
+def write_delta(
+    df: DataFrame, table_dir: str, mode: str = "overwrite"
+) -> int:
+    """Commit df as the next Delta version: stage parquet files, then
+    publish the JSON commit atomically (put-if-absent hard link).
+    ``overwrite`` emits remove actions for every previously-live file;
+    ``append`` only adds. Returns the committed version."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    vs = _versions(table_dir)
+    base = vs[-1] if vs else -1
+    prev = (
+        snapshot_files(df.sparkSession, table_dir, base) if base >= 0 else []
+    )
+
+    scratch = os.path.join(table_dir, f"_tmp_{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(scratch)
+    now_ms = int(time.time() * 1000)
+    adds = []
+    for f in sorted(os.listdir(scratch)):
+        if f.endswith(".parquet"):
+            dest = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(scratch, f), os.path.join(table_dir, dest))
+            adds.append(
+                {
+                    "path": dest,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table_dir, dest)),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            )
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    actions: list[dict] = []
+    if base < 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    if mode == "overwrite":
+        actions.extend(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+            for p in prev
+        )
+    actions.extend({"add": a} for a in adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+            }
+        }
+    )
+
+    version = base + 1
+    tmp = os.path.join(_log_dir(table_dir), f".tmp_{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    final = os.path.join(_log_dir(table_dir), f"{version:020d}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ConcurrentCommitError(
+            f"Delta version {version} committed concurrently; retry"
+        ) from None
+    os.unlink(tmp)
+    return version
+
+
+def write_checkpoint(spark: SparkSession, table_dir: str) -> int:
+    """Snapshot the current live file set as a checkpoint parquet +
+    `_last_checkpoint` pointer, so later reads skip the JSON prefix
+    (Delta's periodic checkpointing). Returns the checkpointed
+    version."""
+    v = current_version(table_dir)
+    files = snapshot_files(spark, table_dir, v)
+    rows = [
+        (
+            {
+                "path": p,
+                "partitionValues": {},
+                "size": int(os.path.getsize(os.path.join(table_dir, p))),
+                "modificationTime": 0,
+                "dataChange": False,
+            },
+            None,
+        )
+        for p in files
+    ]
+    schema = (
+        "add struct<path:string, partitionValues:map<string,string>, "
+        "size:bigint, modificationTime:bigint, dataChange:boolean>, "
+        "remove struct<path:string, deletionTimestamp:bigint, "
+        "dataChange:boolean>"
+    )
+    cp_path = os.path.join(_log_dir(table_dir), f"{v:020d}.checkpoint.parquet")
+    scratch = os.path.join(table_dir, f"_tmpcp_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(scratch)
+    part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+    os.replace(os.path.join(scratch, part), cp_path)
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    with open(os.path.join(_log_dir(table_dir), "_last_checkpoint"), "w") as fh:
+        json.dump({"version": v, "size": len(rows)}, fh)
+    return v

@@ -1974,3 +1974,70 @@ def io_manifest_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(stats["files_removed"]).alias("files_removed"),
         F.lit(expired_unreadable).alias("expired_unreadable"),
     )
+
+
+@query(
+    "io_delta_log_roundtrip",
+    oracle="""
+    WITH latest AS (
+        SELECT count(*) AS n_latest,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS latest_total
+        FROM orders WHERE o_orderkey <= 600
+    ),
+    v0 AS (
+        SELECT count(*) AS n_v0,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS v0_total
+        FROM orders WHERE o_orderkey <= 1000
+    )
+    SELECT l.n_latest, l.latest_total, v.n_v0, v.v0_total,
+           2 AS latest_version, 2 AS n_live_files,
+           TRUE AS checkpoint_used
+    FROM latest l CROSS JOIN v0 v
+    """,
+    tags=("io", "lakehouse", "interop"),
+)
+def io_delta_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-Lake TRANSACTION-LOG interop without the delta-spark jar:
+    the engine-built log writer commits v0 (orders ≤1000, JSON actions
+    with protocol/metaData/add), v1 overwrites (≤400, remove+add), a
+    CHECKPOINT parquet snapshots v1, and v2 appends ((400,600]) — then
+    the reader resolves snapshots from checkpoint + JSON replay, time
+    travels to v0, and both read-backs hash-match the source
+    predicates. This is the format's core contract (replay
+    add/remove, last action per path wins, checkpoint skips the
+    prefix) — a user's existing basic Delta tables read the same way.
+    Snapshot resolution is driver-side O(commits); data I/O is the
+    exact live file set."""
+    from supabase_etl_spark.io import delta_log as D
+    from supabase_etl_spark.queries._helpers import dsum
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = scratch_dir("delta_rt_")
+    D.write_delta(o.filter(F.col("o_orderkey") <= 1000).repartition(2), table)
+    D.write_delta(o.filter(F.col("o_orderkey") <= 400).repartition(1), table)
+    D.write_checkpoint(spark, table)
+    D.write_delta(
+        o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 600))
+        .repartition(1),
+        table,
+        mode="append",
+    )
+    checkpoint_used = D._last_checkpoint(table) is not None
+    n_live = len(D.snapshot_files(spark, table))
+    latest = D.read_delta(spark, table).agg(
+        F.count(F.lit(1)).alias("n_latest"), dsum(F.col("o_totalprice"), "latest_total")
+    )
+    v0 = D.read_delta(spark, table, version=0).agg(
+        F.count(F.lit(1)).alias("n_v0"), dsum(F.col("o_totalprice"), "v0_total")
+    )
+    return latest.crossJoin(v0).select(
+        "n_latest",
+        "latest_total",
+        "n_v0",
+        "v0_total",
+        F.lit(D.current_version(table)).alias("latest_version"),
+        F.lit(n_live).alias("n_live_files"),
+        F.lit(checkpoint_used).alias("checkpoint_used"),
+    )
