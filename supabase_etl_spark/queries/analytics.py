@@ -6820,3 +6820,118 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+CROSTON_ALPHA = 0.3
+CROSTON_SBA = 1.0 - CROSTON_ALPHA / 2.0  # Syntetos-Boylan bias correction
+
+
+@query(
+    "events_croston_intermittent",
+    oracle=f"""
+    WITH spine AS (
+        SELECT t.event_type, d.day
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+    ),
+    demand AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS z
+        FROM events WHERE value > 200.0 GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT s.event_type, s.day, COALESCE(dm.z, 0.0) AS z
+        FROM spine s LEFT JOIN demand dm
+          ON s.event_type = dm.event_type AND s.day = dm.day
+    ),
+    series AS (
+        SELECT event_type, count(*) AS n_obs,
+               CAST(SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_demand_days,
+               list(z ORDER BY day) AS zs
+        FROM daily GROUP BY event_type
+    ),
+    fitted AS (
+        SELECT event_type, n_obs, n_demand_days,
+               list_reduce(
+                   list_prepend([0.0, 1.0, 1.0],
+                       list_transform(zs, x -> [CAST(x AS DOUBLE),
+                                                CAST(0 AS DOUBLE),
+                                                CAST(0 AS DOUBLE)])),
+                   (acc, x) -> CASE WHEN x[1] > 0 THEN [
+                       {CROSTON_ALPHA} * x[1] + (1 - {CROSTON_ALPHA}) * acc[1],
+                       {CROSTON_ALPHA} * acc[3] + (1 - {CROSTON_ALPHA}) * acc[2],
+                       1.0
+                   ] ELSE [acc[1], acc[2], acc[3] + 1.0] END) AS st
+        FROM series
+    )
+    SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs, n_demand_days,
+           round(st[1], 6) AS demand_size_hat,
+           round(st[2], 6) AS interval_hat,
+           round(st[1] / st[2], 6) AS croston_forecast,
+           round(CAST('{CROSTON_SBA!r}' AS DOUBLE) * st[1] / st[2], 6)
+               AS sba_forecast
+    FROM fitted
+    ORDER BY event_type
+    """,
+    tags=("events", "analytics", "timeseries"),
+)
+def events_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (daily counts of
+    rare high-value events, zero on most days): separate exponential
+    smoothing of demand SIZE and of the INTERVAL between demands,
+    forecast = size/interval, plus the Syntetos-Boylan bias-corrected
+    variant — the standard spare-parts/rare-event forecaster where
+    Holt/EWMA systematically overshoot right after each demand spike.
+    Same machinery as the Holt fold: a zero-filled daily spine, exact
+    integer demand counts, one ordered array-local fold per series
+    with a 3-element double-list state [size_hat, interval_hat,
+    periods_since_demand] (list state, not struct — the DuckDB
+    struct-accumulator CSE trap), updating only on demand days. At
+    100 TB the series key shards like every bounded-fold operator."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.select("event_type").distinct().crossJoin(
+        ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    )
+    demand = (
+        ev.filter(F.col("value") > 200.0)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("z"))
+    )
+    daily = spine.join(demand, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("z", F.lit(0.0)).alias("z")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.when(F.col("z") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_demand_days"),
+        F.array_sort(F.collect_list(F.struct("day", "z"))).alias("pairs"),
+    )
+    a = CROSTON_ALPHA
+    fold = F.aggregate(
+        F.transform(F.col("pairs"), lambda s: s["z"]),
+        F.array(F.lit(0.0), F.lit(1.0), F.lit(1.0)),
+        lambda acc, x: F.when(
+            x > 0,
+            F.array(
+                F.lit(a) * x + F.lit(1 - a) * acc[0],
+                F.lit(a) * acc[2] + F.lit(1 - a) * acc[1],
+                F.lit(1.0),
+            ),
+        ).otherwise(F.array(acc[0], acc[1], acc[2] + F.lit(1.0))),
+    )
+    fitted = series.select(
+        "event_type", "n_obs", "n_demand_days", fold.alias("st")
+    )
+    return fitted.select(
+        "event_type",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        "n_demand_days",
+        F.round(F.col("st")[0], 6).alias("demand_size_hat"),
+        F.round(F.col("st")[1], 6).alias("interval_hat"),
+        F.round(F.col("st")[0] / F.col("st")[1], 6).alias("croston_forecast"),
+        F.round(F.lit(CROSTON_SBA) * F.col("st")[0] / F.col("st")[1], 6).alias(
+            "sba_forecast"
+        ),
+    ).orderBy("event_type")

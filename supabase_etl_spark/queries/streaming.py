@@ -1341,3 +1341,91 @@ def stream_sliding_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("window_start", "rnk")
     )
+
+
+@query(
+    "stream_bloom_returning_users",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) + 3 AS cutoff FROM events
+    ),
+    hist AS (
+        SELECT DISTINCT user_id, event_type FROM events, bounds
+        WHERE CAST(ts AS DATE) < bounds.cutoff
+    ),
+    tagged AS (
+        SELECT e.event_type,
+               CASE WHEN h.user_id IS NOT NULL
+                    THEN 'seen_pair' ELSE 'novel_pair' END AS cohort
+        FROM events e LEFT JOIN hist h
+          ON e.user_id = h.user_id AND e.event_type = h.event_type
+    )
+    SELECT event_type, cohort, count(*) AS n_events
+    FROM tagged GROUP BY event_type, cohort
+    ORDER BY event_type, cohort
+    """,
+    tags=("streaming", "bloom"),
+)
+def stream_bloom_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming membership gate against a HISTORICAL corpus: the
+    first-3-days (user, action) pair set builds a 1 Mbit packed bloom bitmap
+    (distributed bit_or build, broadcast once); every streamed event
+    then takes 5 JVM bit tests MAP-SIDE, and only bloom survivors
+    reach the exact stream-static semi-join that removes false
+    positives — the shape that lets a 100 TB/day stream drop
+    ~everything before any shuffle when probing a multi-billion-key
+    history. Bloom misses are exact 'new' verdicts (no false
+    negatives), so the batch oracle is plain membership ('has this user done
+    this action before' — the personalization/first-touch gate).
+    Counts per (event_type, cohort) run in complete mode."""
+    from supabase_etl_spark.io.readers import load_table
+    from supabase_etl_spark.queries.llm_curation import (
+        BLOOM_K_HASH,
+        BLOOM_M_BITS,
+        _bloom_bitmap,
+        _bloom_hit_cond,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        F.date_add(F.min(F.col("ts")).cast("date"), 3).alias("cutoff")
+    )
+    hist = (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts").cast("date") < F.col("cutoff"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    bloom = _bloom_bitmap(
+        spark,
+        hist.select(
+            F.concat_ws("#", F.col("user_id"), F.col("event_type")).alias("g")
+        ),
+    ).withColumn("k", F.lit(1))
+
+    s = read_events_stream(spark, sf_dir).withColumn("k", F.lit(1))
+    pr = s.join(F.broadcast(bloom), "k")
+    pr = pr.withColumn(
+        "g", F.concat_ws("#", F.col("user_id"), F.col("event_type"))
+    )
+    for j in range(BLOOM_K_HASH):
+        pr = pr.withColumn(
+            f"p{j}", F.pmod(F.xxhash64("g", F.lit(j)), F.lit(BLOOM_M_BITS))
+        )
+    survivors = pr.filter(_bloom_hit_cond()).select(
+        "event_id", "event_type", "user_id"
+    )
+    returning = survivors.join(hist, ["user_id", "event_type"], "left_semi").select(
+        "event_type", F.lit("seen_pair").alias("cohort")
+    )
+    # bloom misses are definitively novel; bloom false positives fail
+    # the exact semi above and must land in 'novel' via the anti join
+    new = (
+        s.select("event_id", "event_type", "user_id")
+        .join(hist, ["user_id", "event_type"], "left_anti")
+        .select("event_type", F.lit("novel_pair").alias("cohort"))
+    )
+    agg = returning.unionByName(new).groupBy("event_type", "cohort").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return run_available_now(agg, "complete").orderBy("event_type", "cohort")
