@@ -2477,3 +2477,155 @@ def ml_eval_ece_mce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+# fixed linear scorer for the permutation-importance probe: pinned
+# weights over the first three embedding dims (w·x > 0 predicts y=1)
+_PI_W = (1.8, 1.1, 0.4)
+_PI_SHIFT = 0.25  # class-conditional shift, same as the _scored fixture
+
+
+@query(
+    "ml_eval_permutation_importance",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, (label % 2) AS y,
+               CAST(embedding[1] AS DOUBLE) + {_PI_SHIFT} * (label % 2) AS f1,
+               CAST(embedding[2] AS DOUBLE) AS f2,
+               CAST(embedding[3] AS DOUBLE) AS f3
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT b.*,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rid,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#perm'),
+                                  vec_id) AS prid
+        FROM base b
+    ),
+    perm AS (
+        SELECT a.rid, a.y, a.f1, a.f2, a.f3,
+               p1.f1 AS pf1, p2.f2 AS pf2, p3.f3 AS pf3
+        FROM ranked a
+        JOIN ranked p1 ON p1.prid = a.rid
+        JOIN ranked p2 ON p2.prid = a.rid
+        JOIN ranked p3 ON p3.prid = a.rid
+    ),
+    scored AS (
+        SELECT y,
+               CASE WHEN {_PI_W[0]!r} * f1 + {_PI_W[1]!r} * f2
+                         + {_PI_W[2]!r} * f3 > 0 THEN 1 ELSE 0 END AS p0,
+               CASE WHEN {_PI_W[0]!r} * pf1 + {_PI_W[1]!r} * f2
+                         + {_PI_W[2]!r} * f3 > 0 THEN 1 ELSE 0 END AS p1,
+               CASE WHEN {_PI_W[0]!r} * f1 + {_PI_W[1]!r} * pf2
+                         + {_PI_W[2]!r} * f3 > 0 THEN 1 ELSE 0 END AS p2,
+               CASE WHEN {_PI_W[0]!r} * f1 + {_PI_W[1]!r} * f2
+                         + {_PI_W[2]!r} * pf3 > 0 THEN 1 ELSE 0 END AS p3
+        FROM perm
+    ),
+    acc AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN p0 = y THEN 1 ELSE 0 END) AS a0,
+               SUM(CASE WHEN p1 = y THEN 1 ELSE 0 END) AS a1,
+               SUM(CASE WHEN p2 = y THEN 1 ELSE 0 END) AS a2,
+               SUM(CASE WHEN p3 = y THEN 1 ELSE 0 END) AS a3
+        FROM scored
+    )
+    SELECT f.feature,
+           round(CAST(a0 AS DOUBLE) / n, 9) AS baseline_acc,
+           round(CAST(CASE f.feature WHEN 'f1' THEN a1
+                                     WHEN 'f2' THEN a2
+                                     ELSE a3 END AS DOUBLE) / n, 9)
+               AS permuted_acc,
+           round(CAST(a0 - CASE f.feature WHEN 'f1' THEN a1
+                                          WHEN 'f2' THEN a2
+                                          ELSE a3 END AS DOUBLE) / n, 9)
+               AS importance
+    FROM acc, (SELECT 'f1' AS feature UNION ALL SELECT 'f2'
+               UNION ALL SELECT 'f3') f
+    ORDER BY f.feature
+    """,
+    tags=("llm", "ml-eval", "feature_selection"),
+)
+def ml_eval_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation feature importance (Breiman's model-agnostic
+    importance, sklearn's permutation_importance): break one feature's
+    association with the label by re-dealing its column under a
+    deterministic md5-rank permutation, re-score a fixed linear
+    classifier, and report the accuracy drop per feature. The
+    permutation is a rank self-join (identity rank joined to the
+    md5-shuffled rank) — replayable in both engines, unlike an RNG
+    shuffle, and distributed as two range-partitioned ranks + an
+    equi-join rather than any driver-side shuffle. One corpus pass
+    scores baseline and all three permuted variants together."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        (F.col("label") % 2).alias("y"),
+        (
+            F.element_at("embedding", 1).cast("double")
+            + _PI_SHIFT * (F.col("label") % 2)
+        ).alias("f1"),
+        F.element_at("embedding", 2).cast("double").alias("f2"),
+        F.element_at("embedding", 3).cast("double").alias("f3"),
+    )
+    wr = Window.orderBy("vec_id")
+    wp = Window.orderBy(
+        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#perm"))), "vec_id"
+    )
+    ranked = base.select(
+        "*",
+        F.row_number().over(wr).alias("rid"),
+        F.row_number().over(wp).alias("prid"),
+    )
+    a = ranked.alias("a")
+    perm = (
+        a.join(
+            ranked.select(F.col("prid").alias("j1"), F.col("f1").alias("pf1")),
+            F.col("j1") == F.col("a.rid"),
+        )
+        .join(
+            ranked.select(F.col("prid").alias("j2"), F.col("f2").alias("pf2")),
+            F.col("j2") == F.col("a.rid"),
+        )
+        .join(
+            ranked.select(F.col("prid").alias("j3"), F.col("f3").alias("pf3")),
+            F.col("j3") == F.col("a.rid"),
+        )
+    )
+    w1, w2, w3 = _PI_W
+
+    def pred(c1, c2, c3):
+        return F.when(w1 * c1 + w2 * c2 + w3 * c3 > 0, 1).otherwise(0)
+
+    scored = perm.select(
+        F.col("a.y").alias("y"),
+        pred(F.col("a.f1"), F.col("a.f2"), F.col("a.f3")).alias("p0"),
+        pred(F.col("pf1"), F.col("a.f2"), F.col("a.f3")).alias("p1"),
+        pred(F.col("a.f1"), F.col("pf2"), F.col("a.f3")).alias("p2"),
+        pred(F.col("a.f1"), F.col("a.f2"), F.col("pf3")).alias("p3"),
+    )
+    acc = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col(f"p{i}") == F.col("y"), 1).otherwise(0)).alias(f"a{i}")
+            for i in range(4)
+        ],
+    )
+    feats = spark.createDataFrame([("f1",), ("f2",), ("f3",)], "feature string")
+    permuted = (
+        F.when(F.col("feature") == "f1", F.col("a1"))
+        .when(F.col("feature") == "f2", F.col("a2"))
+        .otherwise(F.col("a3"))
+    )
+    return (
+        acc.crossJoin(F.broadcast(feats))
+        .select(
+            "feature",
+            F.round(F.col("a0").cast("double") / F.col("n"), 9).alias("baseline_acc"),
+            F.round(permuted.cast("double") / F.col("n"), 9).alias("permuted_acc"),
+            F.round((F.col("a0") - permuted).cast("double") / F.col("n"), 9).alias(
+                "importance"
+            ),
+        )
+        .orderBy("feature")
+    )
