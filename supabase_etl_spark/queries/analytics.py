@@ -6935,3 +6935,240 @@ def events_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sba_forecast"
         ),
     ).orderBy("event_type")
+
+
+REMOVAL_CHANNELS = ("click", "error", "signup", "view")  # purchase = absorber
+REMOVAL_STEPS = 3
+
+
+def _removal_variant_sql(tag: str, removed: str | None) -> str:
+    """CTE chain for one removal variant: filtered transition table,
+    k unrolled value-iteration steps, and the start-weighted
+    conversion probability."""
+    cond = f"from_type <> '{removed}' AND to_type <> '{removed}'" if removed else "TRUE"
+    p0_cond2 = f"p0.state <> '{removed}'" if removed else "TRUE"
+    steps = ""
+    for i in range(1, REMOVAL_STEPS + 1):
+        prev = f"{tag}_a{i - 1}"
+        steps += f""",
+    {tag}_a{i} AS MATERIALIZED (
+        SELECT pd.state, pd.p_direct + COALESCE(st.contrib, 0.0) AS val
+        FROM {tag}_pd pd LEFT JOIN (
+            SELECT tr.from_type AS state,
+                   CAST(SUM(CAST(ROUND(tr.p * a.val, 12) AS DECIMAL(38,12)))
+                        AS DOUBLE) AS contrib
+            FROM {tag}_nonabs tr JOIN {prev} a ON tr.to_type = a.state
+            GROUP BY tr.from_type
+        ) st ON pd.state = st.state
+    )"""
+    return f""",
+    {tag}_trans AS MATERIALIZED (SELECT * FROM trans WHERE {cond}),
+    {tag}_pd AS MATERIALIZED (
+        SELECT s.state, COALESCE(t.p, 0.0) AS p_direct
+        FROM (SELECT DISTINCT from_type AS state FROM {tag}_trans) s
+        LEFT JOIN (SELECT from_type, p FROM {tag}_trans
+                   WHERE to_type = 'purchase') t
+          ON s.state = t.from_type
+    ),
+    {tag}_nonabs AS MATERIALIZED (
+        SELECT from_type, to_type, p FROM {tag}_trans
+        WHERE to_type <> 'purchase'
+    ),
+    {tag}_a0 AS MATERIALIZED (SELECT state, p_direct AS val FROM {tag}_pd){steps},
+    {tag}_conv AS MATERIALIZED (
+        SELECT (SELECT COALESCE(SUM(w), 0.0) FROM p0
+                WHERE state = 'purchase')
+               + COALESCE((
+                   SELECT CAST(SUM(CAST(ROUND(p0.w * a.val, 12)
+                                        AS DECIMAL(38,12))) AS DOUBLE)
+                   FROM p0 JOIN {tag}_a{REMOVAL_STEPS} a ON p0.state = a.state
+                   WHERE p0.state <> 'purchase' AND {p0_cond2}
+               ), 0.0) AS p_conv
+    )"""
+
+
+def _removal_oracle() -> str:
+    variants = "".join(
+        _removal_variant_sql(f"v{i}", ch)
+        for i, ch in enumerate(REMOVAL_CHANNELS)
+    )
+    effects = " + ".join(
+        f"GREATEST((SELECT p_conv FROM f_conv) "
+        f"- (SELECT p_conv FROM v{i}_conv), 0.0)"
+        for i in range(len(REMOVAL_CHANNELS))
+    )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, (SELECT p_conv FROM v{i}_conv) AS p_conv_removed"
+        for i, ch in enumerate(REMOVAL_CHANNELS)
+    )
+    return f"""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    trans AS MATERIALIZED (
+        SELECT from_type, to_type,
+               CAST(count(*) AS DOUBLE)
+                   / SUM(count(*)) OVER (PARTITION BY from_type) AS p
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    firsts AS (
+        SELECT user_id, state FROM (
+            SELECT user_id, event_type AS state,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    p0 AS MATERIALIZED (
+        SELECT state, CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM firsts) AS w
+        FROM firsts GROUP BY state
+    ){_removal_variant_sql("f", None)}{variants},
+    eff AS (
+        SELECT r.channel, f.p_conv AS p_conv_full, r.p_conv_removed,
+               GREATEST(f.p_conv - r.p_conv_removed, 0.0) AS effect
+        FROM ({rows}) r CROSS JOIN f_conv f
+    )
+    SELECT channel, round(p_conv_full, 9) AS p_conv_full,
+           round(p_conv_removed, 9) AS p_conv_removed,
+           round(effect, 9) AS removal_effect,
+           round(effect / NULLIF(({effects}), 0.0), 9) AS attribution_share
+    FROM eff
+    ORDER BY channel
+    """
+
+
+@query(
+    "events_markov_removal_attribution",
+    oracle=_removal_oracle(),
+    tags=("events", "analytics", "markov", "attribution"),
+)
+def events_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov REMOVAL-EFFECT attribution (the data-driven model that
+    replaces first/last-touch heuristics): conversion probability of
+    the empirical journey chain is re-computed with each touch channel
+    deleted (transitions through it die un-renormalized — journeys
+    needing the channel are lost), and a channel's credit is its
+    relative drop, normalized into attribution shares. Conversion
+    probability is start-distribution-weighted finite-horizon value
+    iteration with 'purchase' absorbing (the events_absorbing_markov
+    machinery, run once per variant). The ONLY corpus-sized work is
+    one lead() window + one first-event agg; all 5 variants iterate on
+    the |states|^2 transition table, localCheckpoint-truncated, so
+    the attribution is O(channels x states^2) metadata arithmetic at
+    any corpus scale."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    wsum = Window.partitionBy("from_type")
+    trans = (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "from_type",
+            "to_type",
+            (F.col("n").cast("double") / F.sum("n").over(wsum)).alias("p"),
+        )
+        .localCheckpoint()
+    )
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias("state")
+    )
+    n_users = firsts.groupBy().agg(F.count(F.lit(1)).alias("nu"))
+    p0 = (
+        firsts.groupBy("state")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(n_users))
+        .select("state", (F.col("c").cast("double") / F.col("nu")).alias("w"))
+        .localCheckpoint()
+    )
+
+    def conv_prob(removed: str | None) -> DataFrame:
+        """1-row frame with the variant's conversion probability."""
+        tv = trans
+        if removed is not None:
+            tv = trans.filter(
+                (F.col("from_type") != removed) & (F.col("to_type") != removed)
+            )
+        states = tv.select(F.col("from_type").alias("state")).distinct()
+        pd_ = states.join(
+            tv.filter(F.col("to_type") == "purchase").select(
+                F.col("from_type").alias("state"), F.col("p").alias("pdr")
+            ),
+            "state",
+            "left",
+        ).select("state", F.coalesce("pdr", F.lit(0.0)).alias("p_direct"))
+        nonabs = tv.filter(F.col("to_type") != "purchase")
+        a = pd_.select("state", F.col("p_direct").alias("val"))
+        for _ in range(REMOVAL_STEPS):
+            contrib = (
+                nonabs.join(
+                    a.select(F.col("state").alias("to_type"), "val"), "to_type"
+                )
+                .groupBy(F.col("from_type").alias("state"))
+                .agg(
+                    F.sum(
+                        F.round(F.col("p") * F.col("val"), 12).cast("decimal(38,12)")
+                    )
+                    .cast("double")
+                    .alias("contrib")
+                )
+            )
+            a = pd_.join(contrib, "state", "left").select(
+                "state",
+                (F.col("p_direct") + F.coalesce("contrib", F.lit(0.0))).alias("val"),
+            )
+        p0v = p0.filter(F.col("state") != "purchase")
+        if removed is not None:
+            p0v = p0v.filter(F.col("state") != removed)
+        walked = p0v.join(a, "state").agg(
+            F.coalesce(
+                F.sum(
+                    F.round(F.col("w") * F.col("val"), 12).cast("decimal(38,12)")
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("pw")
+        )
+        started_converted = p0.filter(F.col("state") == "purchase").groupBy().agg(
+            F.coalesce(F.sum("w"), F.lit(0.0)).alias("pp")
+        )
+        return walked.crossJoin(started_converted).select(
+            (F.col("pw") + F.col("pp")).alias("p_conv")
+        )
+
+    full = conv_prob(None).select(F.col("p_conv").alias("p_conv_full"))
+    rows = None
+    for ch in REMOVAL_CHANNELS:
+        r = conv_prob(ch).select(
+            F.lit(ch).alias("channel"), F.col("p_conv").alias("p_conv_removed")
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    eff = rows.crossJoin(F.broadcast(full)).select(
+        "channel",
+        "p_conv_full",
+        "p_conv_removed",
+        F.greatest(F.col("p_conv_full") - F.col("p_conv_removed"), F.lit(0.0)).alias(
+            "effect"
+        ),
+    )
+    tot = eff.groupBy().agg(F.sum("effect").alias("tot_eff"))
+    return (
+        eff.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round("p_conv_full", 9).alias("p_conv_full"),
+            F.round("p_conv_removed", 9).alias("p_conv_removed"),
+            F.round("effect", 9).alias("removal_effect"),
+            F.round(
+                F.col("effect") / F.when(F.col("tot_eff") != 0, F.col("tot_eff")), 9
+            ).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )
