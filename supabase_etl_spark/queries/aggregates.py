@@ -1960,3 +1960,138 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "theil_between",
         "theil_within",
     )
+
+
+@query(
+    "agg_kendall_tau_b",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice / 2000.0) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY x, y
+    ),
+    pairs AS (
+        SELECT a.c AS ca, b.c AS cb,
+               CASE WHEN (a.x < b.x AND a.y < b.y)
+                      OR (a.x > b.x AND a.y > b.y) THEN 'conc'
+                    WHEN (a.x < b.x AND a.y > b.y)
+                      OR (a.x > b.x AND a.y < b.y) THEN 'disc'
+                    WHEN a.x = b.x AND a.y <> b.y THEN 'tie_x'
+                    WHEN a.x <> b.x AND a.y = b.y THEN 'tie_y'
+                    ELSE 'tie_xy' END AS kind
+        FROM cells a JOIN cells b
+          ON a.x < b.x OR (a.x = b.x AND a.y < b.y)
+    ),
+    within AS (
+        SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS t_xy
+        FROM cells
+    ),
+    counts AS (
+        SELECT
+            CAST(COALESCE(SUM(CASE WHEN kind = 'conc' THEN ca * cb END), 0)
+                 AS BIGINT) AS nc,
+            CAST(COALESCE(SUM(CASE WHEN kind = 'disc' THEN ca * cb END), 0)
+                 AS BIGINT) AS nd,
+            CAST(COALESCE(SUM(CASE WHEN kind = 'tie_x' THEN ca * cb END), 0)
+                 AS BIGINT) AS tx_cross,
+            CAST(COALESCE(SUM(CASE WHEN kind = 'tie_y' THEN ca * cb END), 0)
+                 AS BIGINT) AS ty_cross,
+            CAST(COALESCE(SUM(CASE WHEN kind = 'tie_xy' THEN ca * cb END), 0)
+                 AS BIGINT) AS txy_cross
+        FROM pairs
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts)
+    SELECT t.n, c.nc AS concordant, c.nd AS discordant,
+           c.tx_cross + c.txy_cross + w.t_xy AS ties_x,
+           c.ty_cross + c.txy_cross + w.t_xy AS ties_y,
+           round((c.nc - c.nd) / sqrt(
+               (CAST(t.n AS DOUBLE) * (t.n - 1) / 2
+                - (c.tx_cross + c.txy_cross + w.t_xy))
+               * (CAST(t.n AS DOUBLE) * (t.n - 1) / 2
+                  - (c.ty_cross + c.txy_cross + w.t_xy))), 9) AS tau_b
+    FROM counts c CROSS JOIN tot t CROSS JOIN within w
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation with full tie correction,
+    EXACT at corpus scale: rows collapse to a quantized contingency
+    grid first (the threshold-table lever), so the O(n²) pair
+    enumeration becomes cell-pair counting on a grid²-bounded table —
+    concordant/discordant/tied masses are integer products of cell
+    counts, and within-cell pairs feed both tie terms. The naive
+    per-row algorithm is unrunnable at 100 TB; this form is one
+    grouped count + metadata arithmetic, exactly how the
+    Mann-Whitney/Spearman operators scale. tau-b divides by the
+    tie-adjusted pair counts (Agresti), a single IEEE expression on
+    exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.floor("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") / 2000.0).cast("bigint").alias("y"),
+    )
+    cells = pts.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, b = cells.alias("a"), cells.alias("b")
+    kind = (
+        F.when(
+            ((F.col("a.x") < F.col("b.x")) & (F.col("a.y") < F.col("b.y")))
+            | ((F.col("a.x") > F.col("b.x")) & (F.col("a.y") > F.col("b.y"))),
+            "conc",
+        )
+        .when(
+            ((F.col("a.x") < F.col("b.x")) & (F.col("a.y") > F.col("b.y")))
+            | ((F.col("a.x") > F.col("b.x")) & (F.col("a.y") < F.col("b.y"))),
+            "disc",
+        )
+        .when((F.col("a.x") == F.col("b.x")) & (F.col("a.y") != F.col("b.y")), "tie_x")
+        .when((F.col("a.x") != F.col("b.x")) & (F.col("a.y") == F.col("b.y")), "tie_y")
+        .otherwise("tie_xy")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.x") < F.col("b.x"))
+        | ((F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y"))),
+    ).select(
+        (F.col("a.c") * F.col("b.c")).alias("m"), kind.alias("kind")
+    )
+    counts = pairs.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("kind") == k, F.col("m"))), F.lit(0))
+            .cast("bigint")
+            .alias(al)
+            for k, al in [
+                ("conc", "nc"),
+                ("disc", "nd"),
+                ("tie_x", "tx_cross"),
+                ("tie_y", "ty_cross"),
+                ("tie_xy", "txy_cross"),
+            ]
+        ]
+    )
+    within = cells.agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("t_xy")
+    )
+    tot = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    half = lambda n: n.cast("double") * (n - 1) / 2  # noqa: E731
+    return (
+        counts.crossJoin(tot)
+        .crossJoin(within)
+        .select(
+            "n",
+            F.col("nc").alias("concordant"),
+            F.col("nd").alias("discordant"),
+            (F.col("tx_cross") + F.col("txy_cross") + F.col("t_xy")).alias("ties_x"),
+            (F.col("ty_cross") + F.col("txy_cross") + F.col("t_xy")).alias("ties_y"),
+            F.round(
+                (F.col("nc") - F.col("nd"))
+                / F.sqrt(
+                    (half(F.col("n")) - (F.col("tx_cross") + F.col("txy_cross") + F.col("t_xy")))
+                    * (half(F.col("n")) - (F.col("ty_cross") + F.col("txy_cross") + F.col("t_xy")))
+                ),
+                9,
+            ).alias("tau_b"),
+        )
+    )
