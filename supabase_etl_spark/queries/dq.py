@@ -1992,3 +1992,87 @@ def dq_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "dq_reconciliation_diff",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.01
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_orderkey % 131 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus
+        FROM orders WHERE o_orderkey % 53 <> 0
+    ),
+    joined AS (
+        SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
+               s.o_totalprice AS sp, t.o_totalprice AS tp,
+               s.o_orderstatus AS ss, t.o_orderstatus AS ts
+        FROM orders s FULL OUTER JOIN target t
+          ON s.o_orderkey = t.o_orderkey
+    )
+    SELECT
+        CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_keys,
+        CAST(SUM(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_missing_in_target,
+        CAST(SUM(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_extra_in_target,
+        CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+                      AND sp <> tp THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_price_mismatch,
+        CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+                      AND ss <> ts THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_status_mismatch,
+        CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+                      AND sp = tp AND ss = ts THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_identical
+    FROM joined
+    """,
+    tags=("dq", "reconciliation"),
+)
+def dq_reconciliation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation (the data-diff every migration/backfill
+    signs off on): source vs target full-outer-joined on the business
+    key, reporting missing/extra keys and per-column cell mismatches.
+    The target here is a deterministic perturbation of the source
+    (dropped keys, price drift, status corruption) so the expected
+    diff is exactly replayable. One key-partitioned full outer join +
+    conditional counts with map-side partials — at 100 TB the
+    standard move is bucketing both sides on the key so the join is
+    shuffle-free; column comparisons never leave the joined row."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    target = o.filter(F.col("o_orderkey") % 53 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") * 1.01
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 131 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    s, t = o.alias("s"), target.alias("t")
+    j = s.join(t, F.col("s.o_orderkey") == F.col("t.o_orderkey"), "full_outer")
+    sk, tk = F.col("s.o_orderkey"), F.col("t.o_orderkey")
+    both = sk.isNotNull() & tk.isNotNull()
+    cnt = lambda c, al: F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(al)  # noqa: E731
+    return j.agg(
+        cnt(both, "n_matched_keys"),
+        cnt(tk.isNull(), "n_missing_in_target"),
+        cnt(sk.isNull(), "n_extra_in_target"),
+        cnt(both & (F.col("s.o_totalprice") != F.col("t.o_totalprice")),
+            "n_price_mismatch"),
+        cnt(both & (F.col("s.o_orderstatus") != F.col("t.o_orderstatus")),
+            "n_status_mismatch"),
+        cnt(
+            both
+            & (F.col("s.o_totalprice") == F.col("t.o_totalprice"))
+            & (F.col("s.o_orderstatus") == F.col("t.o_orderstatus")),
+            "n_identical",
+        ),
+    )

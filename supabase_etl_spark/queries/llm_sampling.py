@@ -1154,3 +1154,107 @@ def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "lang")
     )
+
+
+BATCH_TOKENS = 512  # batch capacity used for padding-efficiency audit
+BATCH_DOCS = 8  # docs per batch
+
+
+@query(
+    "sample_length_bucketed_batching",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> t <> '')) AS n_tok
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tok,
+               ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS rn_sorted,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '#batch'), doc_id
+               ) AS rn_random
+        FROM lens
+    ),
+    assigned AS (
+        SELECT n_tok,
+               CAST((rn_sorted - 1) // {BATCH_DOCS} AS BIGINT) AS b_sorted,
+               CAST((rn_random - 1) // {BATCH_DOCS} AS BIGINT) AS b_random
+        FROM ranked
+    ),
+    s AS (
+        SELECT b_sorted AS batch, CAST(SUM(n_tok) AS BIGINT) AS toks,
+               CAST(MAX(n_tok) AS BIGINT) * COUNT(*) AS padded
+        FROM assigned GROUP BY b_sorted
+    ),
+    r AS (
+        SELECT b_random AS batch, CAST(SUM(n_tok) AS BIGINT) AS toks,
+               CAST(MAX(n_tok) AS BIGINT) * COUNT(*) AS padded
+        FROM assigned GROUP BY b_random
+    )
+    SELECT 'length_sorted' AS strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(toks) AS BIGINT) AS real_tokens,
+           CAST(SUM(padded) AS BIGINT) AS padded_tokens,
+           round(CAST(SUM(toks) AS DOUBLE) / SUM(padded), 9) AS efficiency
+    FROM s
+    UNION ALL
+    SELECT 'random', CAST(COUNT(*) AS BIGINT), CAST(SUM(toks) AS BIGINT),
+           CAST(SUM(padded) AS BIGINT),
+           round(CAST(SUM(toks) AS DOUBLE) / SUM(padded), 9)
+    FROM r
+    ORDER BY strategy
+    """,
+    tags=("llm", "sampling", "training"),
+)
+def sample_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit — the padding-efficiency lever
+    every LLM training loader pulls (sorting by length before
+    batching so each batch pads to a SIMILAR max, vs random batching
+    where one long doc pads the whole batch): both strategies assign
+    docs to fixed-size batches deterministically (length-sorted rank
+    vs md5-shuffled rank), and the report compares real tokens to
+    padded tokens (batch_size x batch_max). Complements
+    pack_sequences (concat packing) with the padded-batch shape.
+    Distributed ranks + two grouped aggregations; at 100 TB the
+    length sort is a range-partitioned rank, exactly the SNM
+    machinery."""
+    d = load_table(spark, sf_dir, "documents")
+    from supabase_etl_spark.operators.text import tokens
+
+    lens = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tok"))
+    ws = Window.orderBy("n_tok", "doc_id")
+    wr = Window.orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#batch"))), "doc_id"
+    )
+    assigned = lens.select(
+        "n_tok",
+        F.floor((F.row_number().over(ws) - 1) / BATCH_DOCS)
+        .cast("bigint")
+        .alias("b_sorted"),
+        F.floor((F.row_number().over(wr) - 1) / BATCH_DOCS)
+        .cast("bigint")
+        .alias("b_random"),
+    )
+
+    def audit(bcol: str, name: str) -> DataFrame:
+        per = assigned.groupBy(bcol).agg(
+            F.sum("n_tok").cast("bigint").alias("toks"),
+            (F.max("n_tok").cast("bigint") * F.count(F.lit(1))).alias("padded"),
+        )
+        return per.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("toks").cast("bigint").alias("real_tokens"),
+            F.sum("padded").cast("bigint").alias("padded_tokens"),
+            F.round(
+                F.sum("toks").cast("double") / F.sum("padded"), 9
+            ).alias("efficiency"),
+        ).select("strategy", "n_batches", "real_tokens", "padded_tokens", "efficiency")
+
+    return (
+        audit("b_sorted", "length_sorted")
+        .unionByName(audit("b_random", "random"))
+        .orderBy("strategy")
+    )
