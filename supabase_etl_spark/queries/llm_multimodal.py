@@ -1147,3 +1147,97 @@ def multimodal_image_histogram_similarity(spark: SparkSession, sf_dir: str) -> D
         .filter(F.col("rank") <= HIST_TOP_K)
         .orderBy("uri", "rank")
     )
+
+
+@query(
+    "multimodal_image_sobel_edges",
+    oracle=f"""
+    WITH {_IMG_DOCS_CTE},
+    grads AS (
+        SELECT d.uri, d.w, d.h,
+               ABS(((d.seed + 3*(x.i+1) + 5*(y.j-1) + 7*c.k) % 256
+                    + 2*((d.seed + 3*(x.i+1) + 5*y.j + 7*c.k) % 256)
+                    + (d.seed + 3*(x.i+1) + 5*(y.j+1) + 7*c.k) % 256)
+                   - ((d.seed + 3*(x.i-1) + 5*(y.j-1) + 7*c.k) % 256
+                      + 2*((d.seed + 3*(x.i-1) + 5*y.j + 7*c.k) % 256)
+                      + (d.seed + 3*(x.i-1) + 5*(y.j+1) + 7*c.k) % 256))
+               + ABS(((d.seed + 3*(x.i-1) + 5*(y.j+1) + 7*c.k) % 256
+                      + 2*((d.seed + 3*x.i + 5*(y.j+1) + 7*c.k) % 256)
+                      + (d.seed + 3*(x.i+1) + 5*(y.j+1) + 7*c.k) % 256)
+                     - ((d.seed + 3*(x.i-1) + 5*(y.j-1) + 7*c.k) % 256
+                        + 2*((d.seed + 3*x.i + 5*(y.j-1) + 7*c.k) % 256)
+                        + (d.seed + 3*(x.i+1) + 5*(y.j-1) + 7*c.k) % 256))
+                   AS g
+        FROM docs d,
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS x(i),
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS y(j),
+             range(0, 3) AS c(k)
+        WHERE x.i >= 1 AND x.i < d.w - 1 AND y.j >= 1 AND y.j < d.h - 1
+    )
+    SELECT uri, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_interior,
+           CAST(SUM(g) AS BIGINT) AS edge_energy,
+           CAST(MAX(g) AS BIGINT) AS max_gradient
+    FROM grads GROUP BY uri
+    ORDER BY uri
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_image_sobel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sobel edge extraction over REAL decoded images: each container
+    file goes through the engine codecs, and the 3x3 Sobel |Gx|+|Gy|
+    energy is computed on the decoded buffer with numpy inside
+    Arrow-batched mapInPandas — the canonical image-feature shape
+    (decode → convolve → per-image stats) a multimodal training
+    pipeline runs per shard. Exact integer gradients, so the oracle
+    can replay the pixel SYNTHESIS formula analytically (every
+    neighbor value is inline modular arithmetic, no SQL convolution
+    joins); any decode or orientation defect is a hash mismatch. One
+    corpus pass, per-image work bounded by w·h·3."""
+    import numpy as np
+    import pandas as pd
+
+    from supabase_etl_spark.operators import imagecodec as IC
+
+    def sobel(batches):
+        for pdf in batches:
+            uris, ws, hs, nin, es, mg = [], [], [], [], [], []
+            for uri, content in zip(pdf["uri"], pdf["content"]):
+                w, h, ch, buf = IC.decode_image(bytes(content))
+                a = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+                a = a.reshape(h, w, ch)
+                gx = (
+                    (a[:-2, 2:] + 2 * a[1:-1, 2:] + a[2:, 2:])
+                    - (a[:-2, :-2] + 2 * a[1:-1, :-2] + a[2:, :-2])
+                )
+                gy = (
+                    (a[2:, :-2] + 2 * a[2:, 1:-1] + a[2:, 2:])
+                    - (a[:-2, :-2] + 2 * a[:-2, 1:-1] + a[:-2, 2:])
+                )
+                g = np.abs(gx) + np.abs(gy)
+                uris.append(uri)
+                ws.append(w)
+                hs.append(h)
+                nin.append(int(g.shape[0] * g.shape[1] * ch))
+                es.append(int(g.sum()))
+                mg.append(int(g.max()))
+            yield pd.DataFrame(
+                {
+                    "uri": uris,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_interior": pd.Series(nin, dtype="int64"),
+                    "edge_energy": pd.Series(es, dtype="int64"),
+                    "max_gradient": pd.Series(mg, dtype="int64"),
+                }
+            )
+
+    return (
+        _images(spark, sf_dir)
+        .mapInPandas(
+            sobel,
+            "uri string, width int, height int, n_interior bigint, "
+            "edge_energy bigint, max_gradient bigint",
+        )
+        .orderBy("uri")
+    )
