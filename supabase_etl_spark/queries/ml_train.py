@@ -185,17 +185,17 @@ def _lr_sql_epoch_flat(i: int) -> str:
     g{i} AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(ROUND(
-                   (0.5 + 0.5 * (b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)
-                        / (1 + ABS(b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)) - f.y)
-                   * 1.0, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+                   0.5 + 0.5 * (b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)
+                       / (1 + ABS(b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2))
+                   - f.y, 6) * 1.0 AS DECIMAL(28,6))) AS DOUBLE) AS g0,
                CAST(SUM(CAST(ROUND(
-                   (0.5 + 0.5 * (b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)
-                        / (1 + ABS(b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)) - f.y)
-                   * f.x1, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+                   0.5 + 0.5 * (b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)
+                       / (1 + ABS(b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2))
+                   - f.y, 6) * f.x1 AS DECIMAL(28,6))) AS DOUBLE) AS g1,
                CAST(SUM(CAST(ROUND(
-                   (0.5 + 0.5 * (b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)
-                        / (1 + ABS(b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)) - f.y)
-                   * f.x2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g2,
+                   0.5 + 0.5 * (b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2)
+                       / (1 + ABS(b.beta0 + b.beta1 * f.x1 + b.beta2 * f.x2))
+                   - f.y, 6) * f.x2 AS DECIMAL(28,6))) AS DOUBLE) AS g2,
                MIN(b.beta0) AS pb0, MIN(b.beta1) AS pb1, MIN(b.beta2) AS pb2
         FROM feat f, {prev} b
     ),
@@ -229,8 +229,10 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the corpus and the chain is Catalyst-planned end to end (the
     kmeans-Lloyd unrolling pattern, queries/llm_curation.py). The
     rational squash p = 0.5 + 0.5·z/(1+|z|) stands in for sigmoid:
-    same monotone S-shape, zero transcendentals, so both engines
-    produce bit-identical gradients through the round-12 decimal sums."""
+    same monotone S-shape, zero transcendentals; residuals snap to a
+    6-dp grid before the exact decimal(28,6) gradient sums so both
+    engines add identical rationals (round-12 of full-entropy repeated
+    residuals hit a HALF_UP-vs-binary boundary at sf0.001)."""
     o = load_table(spark, sf_dir, "orders")
     x2 = (
         F.when(F.col("o_orderpriority") == "1-URGENT", 1)
@@ -252,14 +254,19 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for epoch in range(1, LR_EPOCHS + 1):
         z = F.col("beta0") + F.col("beta1") * F.col("x1") + F.col("beta2") * F.col("x2")
         p = 0.5 + 0.5 * z / (1 + F.abs(z))
-        r = p - F.col("y")
+        # 6-dp residual snap: discrete features repeat the same r across
+        # many rows, so a single .5e-12 HALF_UP-vs-binary boundary case
+        # multiplies (sf0.001 hit r=0.5000499950005 on 23 rows). A 6-dp
+        # grid keeps every term an exact 6-dp rational, decimal(28,6)-
+        # summable with a cast-safe digit budget.
+        r = F.round(p - F.col("y"), 6)
         g = (
             feat.crossJoin(F.broadcast(beta))
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.round(r * 1.0, 12).cast(DEC)).cast("double").alias("g0"),
-                F.sum(F.round(r * F.col("x1"), 12).cast(DEC)).cast("double").alias("g1"),
-                F.sum(F.round(r * F.col("x2"), 12).cast(DEC)).cast("double").alias("g2"),
+                F.sum((r * 1.0).cast("decimal(28,6)")).cast("double").alias("g0"),
+                F.sum((r * F.col("x1")).cast("decimal(28,6)")).cast("double").alias("g1"),
+                F.sum((r * F.col("x2")).cast("decimal(28,6)")).cast("double").alias("g2"),
                 F.min("beta0").alias("pb0"),
                 F.min("beta1").alias("pb1"),
                 F.min("beta2").alias("pb2"),
