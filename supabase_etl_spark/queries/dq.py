@@ -2076,3 +2076,127 @@ def dq_reconciliation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_identical",
         ),
     )
+
+
+@query(
+    "dq_association_matrix",
+    oracle="""
+    WITH feat AS (
+        SELECT 'priority~status' AS pair, o_orderpriority AS x,
+               o_orderstatus AS y
+        FROM orders
+        UNION ALL
+        SELECT 'returnflag~linestatus', l_returnflag, l_linestatus
+        FROM lineitem
+        UNION ALL
+        SELECT 'brand~container_band',
+               p_brand, CAST(p_size // 10 AS VARCHAR)
+        FROM part
+    ),
+    cells AS (
+        SELECT pair, x, y, CAST(count(*) AS BIGINT) AS o FROM feat
+        GROUP BY pair, x, y
+    ),
+    marg AS (
+        SELECT pair, x, y, o,
+               CAST(SUM(o) OVER (PARTITION BY pair, x) AS BIGINT) AS rx,
+               CAST(SUM(o) OVER (PARTITION BY pair, y) AS BIGINT) AS cy,
+               CAST(SUM(o) OVER (PARTITION BY pair) AS BIGINT) AS n
+        FROM cells
+    ),
+    dims AS (
+        SELECT pair, COUNT(DISTINCT x) AS r, COUNT(DISTINCT y) AS c
+        FROM cells GROUP BY pair
+    ),
+    chi AS (
+        SELECT pair, MAX(n) AS n,
+               CAST(SUM(CAST(round(
+                   (o - CAST(rx AS DOUBLE) * cy / n)
+                   * (o - CAST(rx AS DOUBLE) * cy / n)
+                   / (CAST(rx AS DOUBLE) * cy / n), 9) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS chi2
+        FROM marg GROUP BY pair
+    )
+    SELECT ch.pair, CAST(ch.n AS BIGINT) AS n,
+           CAST((d.r - 1) * (d.c - 1) AS BIGINT) AS dof,
+           round(ch.chi2, 9) AS chi2,
+           round(sqrt(ch.chi2 / (ch.n * (least(d.r, d.c) - 1))), 9)
+               AS cramers_v
+    FROM chi ch JOIN dims d ON ch.pair = d.pair
+    ORDER BY ch.pair
+    """,
+    tags=("dq", "profiling"),
+)
+def dq_association_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association audit across declared column pairs:
+    chi-square statistic, degrees of freedom, and Cramér's V — the
+    normalized [0,1] association strength profilers report alongside
+    MI, answering 'which columns are redundant / which leak the
+    target'. Each pair collapses to its contingency cells (one grouped
+    count, map-side partials); expected counts come from window
+    marginals on the cell table (category-product-bounded); chi2
+    terms are round-9-snapped into decimal sums. One scan per source
+    table at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    feat = (
+        o.select(
+            F.lit("priority~status").alias("pair"),
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .unionAll(
+            li.select(
+                F.lit("returnflag~linestatus").alias("pair"),
+                F.col("l_returnflag").alias("x"),
+                F.col("l_linestatus").alias("y"),
+            )
+        )
+        .unionAll(
+            pt.select(
+                F.lit("brand~container_band").alias("pair"),
+                F.col("p_brand").alias("x"),
+                F.floor(F.col("p_size") / 10).cast("string").alias("y"),
+            )
+        )
+    )
+    cells = feat.groupBy("pair", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    marg = cells.select(
+        "pair",
+        "x",
+        "y",
+        "o",
+        F.sum("o").over(Window.partitionBy("pair", "x")).cast("bigint").alias("rx"),
+        F.sum("o").over(Window.partitionBy("pair", "y")).cast("bigint").alias("cy"),
+        F.sum("o").over(Window.partitionBy("pair")).cast("bigint").alias("n"),
+    )
+    dims = cells.groupBy("pair").agg(
+        F.countDistinct("x").alias("r"), F.countDistinct("y").alias("c")
+    )
+    exp = F.col("rx").cast("double") * F.col("cy") / F.col("n")
+    chi = marg.groupBy("pair").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.round((F.col("o") - exp) * (F.col("o") - exp) / exp, 9).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("chi2"),
+    )
+    return (
+        chi.join(dims, "pair")
+        .select(
+            "pair",
+            F.col("n").cast("bigint").alias("n"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+            F.round("chi2", 9).alias("chi2"),
+            F.round(
+                F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))), 9
+            ).alias("cramers_v"),
+        )
+        .orderBy("pair")
+    )
