@@ -272,6 +272,7 @@ def _commit_files(
     base_version: int,
     deletes: list[dict] | None = None,
     constraints: list[dict] | None = None,
+    partitions: dict[str, dict] | None = None,
 ) -> int:
     """Publish manifest at ``base_version + 1`` naming exactly ``files``.
 
@@ -291,6 +292,8 @@ def _commit_files(
         # merge/delete/compact/optimize can never silently drop them
         constraints = _read_manifest(table_dir, base_version).get("constraints", [])
     manifest: dict = {"version": version, "files": files, "note": note}
+    if partitions:
+        manifest["partitions"] = partitions
     if deletes:
         manifest["deletes"] = deletes
     if constraints:
@@ -767,6 +770,94 @@ def drop_branch(table_dir: str, branch: str) -> None:
     path = _branch_path(table_dir, branch)
     if os.path.exists(path):
         os.unlink(path)
+
+
+def commit_partitioned(
+    df: DataFrame, table_dir: str, partition_exprs: dict[str, str], note: str = ""
+) -> int:
+    """Hidden-partitioned overwrite commit (Iceberg's partition
+    transforms): ``partition_exprs`` maps partition names to SQL
+    expressions over the data columns (e.g. {"om":
+    "month(o_orderdate)"}). Data files keep only the SOURCE columns —
+    the transform values live in the manifest as per-file partition
+    tuples, so readers prune files by transformed predicates without
+    the writer ever materializing a partition column in the data
+    (the 'hidden' contract: queries filter on source semantics, the
+    layout serves them automatically). One file per partition tuple."""
+    derived = df
+    for name, expr in partition_exprs.items():
+        derived = derived.withColumn(name, F_expr(expr))
+    names = list(partition_exprs)
+    scratch = os.path.join(table_dir, f"_tmp_{uuid.uuid4().hex[:12]}")
+    derived.repartition(1).write.partitionBy(*names).mode("overwrite").parquet(scratch)
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    files: list[str] = []
+    partitions: dict[str, dict[str, str]] = {}
+    for root, _dirs, fnames in sorted(os.walk(scratch)):
+        for f in sorted(fnames):
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(root, scratch)
+            pvals: dict[str, str] = {}
+            for comp in rel.split(os.sep):
+                if "=" in comp:
+                    k, v = comp.split("=", 1)
+                    pvals[k] = v
+            dest = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(root, f), os.path.join(data_dir, dest))
+            path = os.path.join("data", dest)
+            files.append(path)
+            partitions[path] = pvals
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    prev = current_version(table_dir) if _versions(table_dir) else 0
+    return _commit_files(
+        table_dir,
+        files,
+        note or f"hidden-partitioned overwrite ({', '.join(names)})",
+        base_version=prev,
+        partitions=partitions,
+    )
+
+
+def F_expr(expr: str):
+    from pyspark.sql import functions as F
+
+    return F.expr(expr)
+
+
+def read_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    filters: dict[str, str] | None = None,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Partition-pruned scan: keep only manifest entries whose
+    partition tuple matches ``filters`` (string equality on the
+    transform values — Iceberg's partition-predicate projection).
+    Returns (frame, files_total, files_read); driver-side metadata
+    pruning, zero data I/O for skipped files."""
+    v = version if version is not None else current_version(table_dir)
+    manifest = _read_manifest(table_dir, v)
+    entries = manifest["files"]
+    pmap = manifest.get("partitions", {})
+    total = len(entries)
+    live = []
+    for path in entries:
+        pv = pmap.get(path, {})
+        if filters and any(str(pv.get(k)) != str(val) for k, val in filters.items()):
+            continue
+        live.append(path)
+    if not live:
+        raise FileNotFoundError(f"no files match partition filter {filters}")
+    return (
+        spark.read.parquet(*[os.path.join(table_dir, p) for p in live]),
+        total,
+        len(live),
+    )
 
 
 def _tags_dir(table_dir: str) -> str:

@@ -2041,3 +2041,64 @@ def io_delta_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_live).alias("n_live_files"),
         F.lit(checkpoint_used).alias("checkpoint_used"),
     )
+
+
+@query(
+    "io_manifest_hidden_partitioning",
+    oracle="""
+    WITH agg AS (
+        SELECT count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS march_total
+        FROM orders WHERE month(o_orderdate) = 3
+    ),
+    parts AS (
+        SELECT count(*) AS n_files_total FROM (
+            SELECT DISTINCT month(o_orderdate), o_custkey % 4 FROM orders
+        )
+    ),
+    hit AS (
+        SELECT count(*) AS n_files_read FROM (
+            SELECT DISTINCT o_custkey % 4 FROM orders
+            WHERE month(o_orderdate) = 3
+        )
+    )
+    SELECT a.n_rows, a.march_total,
+           CAST(p.n_files_total AS BIGINT) AS n_files_total,
+           CAST(h.n_files_read AS BIGINT) AS n_files_read
+    FROM agg a CROSS JOIN parts p CROSS JOIN hit h
+    """,
+    tags=("io", "lakehouse", "layout"),
+)
+def io_manifest_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING (Iceberg partition transforms): orders are
+    committed with derived partition tuples month(o_orderdate) x
+    bucket(4, o_custkey) recorded ONLY in the manifest — the data
+    files keep source columns, one file per tuple — and a reader
+    filtering on the month transform prunes to exactly the matching
+    files before any I/O. The oracle recomputes both the March
+    aggregate and the expected file counts (distinct partition tuples
+    / distinct tuples with month=3) relationally, so the pruning
+    arithmetic itself is hash-verified, not asserted as constants.
+    At 100 TB this is the layout decision that turns month-scoped
+    queries into 1/12th scans with zero partition columns stored."""
+    from supabase_etl_spark.io import manifest_store as M
+    from supabase_etl_spark.queries._helpers import dsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    table = scratch_dir("manifest_hidden_")
+    M.commit_partitioned(
+        o, table, {"om": "month(o_orderdate)", "cb": "pmod(o_custkey, 4)"}
+    )
+    march, total, n_read = M.read_partitioned(spark, table, filters={"om": "3"})
+    agg = march.agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum(F.col("o_totalprice"), "march_total")
+    )
+    return agg.select(
+        "n_rows",
+        "march_total",
+        F.lit(total).cast("bigint").alias("n_files_total"),
+        F.lit(n_read).cast("bigint").alias("n_files_read"),
+    )

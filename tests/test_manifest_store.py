@@ -714,3 +714,20 @@ def test_drop_tag_reverts_to_normal_retention(spark, tmp_path):
         M.read(spark, t, 1)  # untagged again -> expired
     with pytest.raises(FileNotFoundError):
         M.resolve_tag(t, "tmp")
+
+
+def test_hidden_partitioning_prunes_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.range(100).selectExpr("id", "id % 10 AS g", "id * 2 AS v")
+    M.commit_partitioned(df, t, {"band": "id % 4"})
+    full, total, read_all = M.read_partitioned(spark, t)
+    assert (total, read_all) == (4, 4)
+    assert full.count() == 100
+    # transform values never materialize as data columns
+    assert "band" not in full.columns
+    pruned, total, n_read = M.read_partitioned(spark, t, filters={"band": "2"})
+    assert (total, n_read) == (4, 1)
+    ids = sorted(r["id"] for r in pruned.collect())
+    assert ids == [i for i in range(100) if i % 4 == 2]
+    with pytest.raises(FileNotFoundError):
+        M.read_partitioned(spark, t, filters={"band": "99"})
