@@ -1599,3 +1599,87 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, order_seq
         """
     )
+
+
+@query(
+    "sql_ddl_managed_table",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice * 1.1 AS gross
+        FROM orders WHERE o_orderkey <= 1000
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_totalprice * 1.1
+        FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 1500
+    )
+    SELECT count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_price,
+           CAST(SUM(CAST(gross AS DECIMAL(28,6))) AS DOUBLE) AS total_gross,
+           TRUE AS table_listed, TRUE AS dropped
+    FROM src
+    """,
+    tags=("sql", "ddl"),
+)
+def sql_ddl_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-table DDL lifecycle through the session catalog:
+    CREATE TABLE ... USING parquet, two INSERT INTO batches, a CTAS
+    enrichment table (CREATE TABLE AS SELECT with a derived column),
+    catalog listing, SELECT-back, DROP TABLE —
+    the metastore surface (Derby-backed spark-warehouse) a SQL user
+    drives instead of paths. The read-back aggregate is hash-checked
+    against the equivalent relational pipeline; the listing/drop
+    verdicts assert the catalog transitions. Managed tables at 100 TB
+    are the same parquet scans underneath — the catalog is metadata
+    indirection, not a different engine path."""
+    import uuid as _uuid
+
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    tbl = f"managed_{_uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {tbl} (o_orderkey BIGINT, o_totalprice DOUBLE) USING parquet"
+    )
+    try:
+        spark.sql(
+            f"INSERT INTO {tbl} SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE o_orderkey <= 1000"
+        )
+        spark.sql(
+            f"INSERT INTO {tbl} SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE o_orderkey > 1000 AND o_orderkey <= 1500"
+        )
+        spark.sql(
+            f"CREATE TABLE {tbl}_enriched USING parquet AS "
+            f"SELECT o_orderkey, o_totalprice, o_totalprice * 1.1 AS gross "
+            f"FROM {tbl}"
+        )
+        listed = any(t.name == tbl for t in spark.catalog.listTables())
+        agg = spark.sql(
+            f"""
+            SELECT count(*) AS n_rows,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                       AS total_price,
+                   CAST(SUM(CAST(gross AS DECIMAL(28,6))) AS DOUBLE)
+                       AS total_gross
+            FROM {tbl}_enriched
+            """
+        ).collect()[0]  # 1-row aggregate: bounded driver fetch
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_enriched")
+    dropped = not any(t.name == tbl for t in spark.catalog.listTables())
+    return spark.createDataFrame(
+        [
+            (
+                agg["n_rows"],
+                agg["total_price"],
+                agg["total_gross"],
+                bool(listed),
+                bool(dropped),
+            )
+        ],
+        "n_rows bigint, total_price double, total_gross double, "
+        "table_listed boolean, dropped boolean",
+    )
