@@ -2003,7 +2003,7 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS BIGINT) AS txy_cross
         FROM pairs
     ),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts)
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
     SELECT t.n, c.nc AS concordant, c.nd AS discordant,
            c.tx_cross + c.txy_cross + w.t_xy AS ties_x,
            c.ty_cross + c.txy_cross + w.t_xy AS ties_y,
@@ -2033,7 +2033,13 @@ def agg_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_quantity").cast("bigint").alias("x"),
         F.floor(F.col("l_extendedprice") / 2000.0).cast("bigint").alias("y"),
     )
-    cells = pts.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cells = (
+        pts.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # grid-sized table feeding the pair join twice, the tie terms,
+        # and the total: truncate so the corpus scans once
+        .localCheckpoint()
+    )
     a, b = cells.alias("a"), cells.alias("b")
     kind = (
         F.when(
@@ -2074,7 +2080,7 @@ def agg_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = cells.agg(
         F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("t_xy")
     )
-    tot = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
     half = lambda n: n.cast("double") * (n - 1) / 2  # noqa: E731
     return (
         counts.crossJoin(tot)

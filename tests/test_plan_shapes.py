@@ -836,3 +836,41 @@ def test_spc_windows_run_on_daily_table(spark):
     q = load_all()["dq_spc_control_chart"]
     plan = _plan(q.fn(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_triplet_mining_broadcasts_anchor_batch(spark):
+    """embedding_triplet_mining: the anchor batch broadcasts against
+    one corpus scan; candidate generation is never corpus x corpus."""
+    q = load_all()["embedding_triplet_mining"]
+    plan = _plan(q.fn(spark, SF))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kendall_pairs_stay_on_grid(spark):
+    """agg_kendall_tau_b: the pair enumeration joins the grid cell
+    table to itself — the corpus-sized lineitem scan appears at most
+    twice (cells + total), never in the pair join."""
+    q = load_all()["agg_kendall_tau_b"]
+    plan = _plan(q.fn(spark, SF))
+    assert plan.count("lineitem.parquet") <= 2
+
+
+def test_removal_attribution_iterates_on_state_table(spark):
+    """events_markov_removal_attribution: five variants of value
+    iteration run on the checkpointed states^2 table; the events scan
+    count stays bounded by the two corpus passes (transitions +
+    first-events), not by variants x steps."""
+    q = load_all()["events_markov_removal_attribution"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("events.parquet") <= 2
+
+
+def test_dtw_corpus_work_is_two_rollups(spark):
+    """events_dtw_alignment: the DP folds in one HOF expression — the
+    events scan appears exactly twice (click + view rollups) and no
+    join machinery enters the fold."""
+    q = load_all()["events_dtw_alignment"]
+    plan = _plan(q.fn(spark, SF))
+    assert plan.count("events.parquet") == 2
