@@ -847,3 +847,139 @@ def ml_cf_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# linear SVM by unrolled subgradient descent on the hinge loss
+# ---------------------------------------------------------------------------
+
+SVM_ETA = "0.05"
+SVM_LAMBDA = "0.01"
+SVM_EPOCHS = 3
+
+
+def _svm_sql_epoch(i: int) -> str:
+    prev = f"w{i - 1}"
+    margin = "(w.w0 + w.w1 * f.x1 + w.w2 * f.x2) * f.yy"
+    return f"""
+    sg{i} AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CASE WHEN {margin} < 1
+                    THEN -f.yy ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE) AS g0,
+               CAST(SUM(CAST(CASE WHEN {margin} < 1
+                    THEN -f.yy * f.x1 ELSE 0 END AS DECIMAL(28,6)))
+                    AS DOUBLE) AS g1,
+               CAST(SUM(CAST(CASE WHEN {margin} < 1
+                    THEN -f.yy * f.x2 ELSE 0 END AS DECIMAL(28,6)))
+                    AS DOUBLE) AS g2,
+               MIN(w.w0) AS pw0, MIN(w.w1) AS pw1, MIN(w.w2) AS pw2
+        FROM feat f, {prev} w
+    ),
+    w{i} AS (
+        SELECT pw0 - CAST({SVM_ETA} AS DOUBLE)
+                   * (g0 / n + CAST({SVM_LAMBDA} AS DOUBLE) * pw0) AS w0,
+               pw1 - CAST({SVM_ETA} AS DOUBLE)
+                   * (g1 / n + CAST({SVM_LAMBDA} AS DOUBLE) * pw1) AS w1,
+               pw2 - CAST({SVM_ETA} AS DOUBLE)
+                   * (g2 / n + CAST({SVM_LAMBDA} AS DOUBLE) * pw2) AS w2
+        FROM sg{i}
+    )"""
+
+
+_SVM_ORACLE = (
+    f"""WITH feat AS (
+        SELECT o_orderkey % 7 AS x1,
+               CASE o_orderpriority
+                    WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                    WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                    ELSE 5 END AS x2,
+               (o_custkey % 2) * 2 - 1 AS yy
+        FROM orders
+    ),
+    w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+                  CAST(0.0 AS DOUBLE) AS w2),"""
+    + ",".join(_svm_sql_epoch(i) for i in range(1, SVM_EPOCHS + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {i} AS epoch, round(w0, 12) AS w0, round(w1, 12) AS w1, "
+        f"round(w2, 12) AS w2 FROM w{i}"
+        for i in range(1, SVM_EPOCHS + 1)
+    )
+    + "\n    ORDER BY epoch"
+)
+
+
+@query("ml_svm_hinge_gd", oracle=_SVM_ORACLE, tags=("llm", "ml-train", "iterative"))
+def ml_svm_hinge_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear SVM by unrolled full-batch subgradient descent on the
+    L2-regularized hinge loss — the max-margin counterpart to
+    ml_logreg_gd, completing the linear-trainer family (NB, logistic,
+    ridge, boosted stumps, SVM). Determinism is cleaner than the
+    logistic case: the hinge subgradient terms -y·x·1[margin<1] are
+    pure INTEGERS (labels ±1, integer features), so decimal(28,6)
+    sums are exact with no rounding at all — the only doubles are the
+    three coefficients, updated by identical IEEE expressions in both
+    engines. Same scale shape: each epoch is one map-side-combined
+    aggregate over the corpus, coefficients ride a broadcast 1-row
+    frame, and the whole 3-epoch chain is Catalyst-planned end to
+    end."""
+    o = load_table(spark, sf_dir, "orders")
+    x2 = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 3)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 4)
+        .otherwise(5)
+    )
+    feat = o.select(
+        (F.col("o_orderkey") % 7).alias("x1"),
+        x2.alias("x2"),
+        ((F.col("o_custkey") % 2) * 2 - 1).alias("yy"),
+    )
+    eta, lam = float(SVM_ETA), float(SVM_LAMBDA)
+    w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
+    snapshots = []
+    for _ in range(SVM_EPOCHS):
+        margin = (
+            F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+        ) * F.col("yy")
+        viol = margin < 1
+        g = feat.crossJoin(F.broadcast(w)).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(viol, -F.col("yy")).otherwise(0).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("g0"),
+            F.sum(
+                F.when(viol, -F.col("yy") * F.col("x1"))
+                .otherwise(0)
+                .cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("g1"),
+            F.sum(
+                F.when(viol, -F.col("yy") * F.col("x2"))
+                .otherwise(0)
+                .cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("g2"),
+            F.min("w0").alias("pw0"),
+            F.min("w1").alias("pw1"),
+            F.min("w2").alias("pw2"),
+        )
+        w = g.select(
+            (F.col("pw0") - eta * (F.col("g0") / F.col("n") + lam * F.col("pw0"))).alias("w0"),
+            (F.col("pw1") - eta * (F.col("g1") / F.col("n") + lam * F.col("pw1"))).alias("w1"),
+            (F.col("pw2") - eta * (F.col("g2") / F.col("n") + lam * F.col("pw2"))).alias("w2"),
+        )
+        snapshots.append(w)
+    out = None
+    for i, snap in enumerate(snapshots, start=1):
+        row = snap.select(
+            F.lit(i).alias("epoch"),
+            F.round("w0", 12).alias("w0"),
+            F.round("w1", 12).alias("w1"),
+            F.round("w2", 12).alias("w2"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("epoch")
