@@ -2220,3 +2220,92 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rep_pairs").cast("double") / (n * (F.col("n_tokens") - 1)), 9
         ).alias("simpson_d"),
     ).orderBy("source")
+
+
+# 0.5*ln(2): JS mass of corpus tokens ABSENT from a source (there
+# m = q/2 exactly) — string-cast so both engines parse the same double
+_HALF_LN2 = "0.34657359027997264"
+
+
+@query(
+    "text_source_js_divergence",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS_SQL}) AS t FROM documents
+    ),
+    st AS (SELECT source, t, count(*) AS c_st FROM tok GROUP BY source, t),
+    stot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+             FROM st GROUP BY source),
+    ct AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY t),
+    tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+    terms AS (
+        SELECT st.source,
+               CAST(round(
+                   0.5 * ((CAST(st.c_st AS DOUBLE) / stot.n_s)
+                          * ln((CAST(st.c_st AS DOUBLE) / stot.n_s)
+                               / (0.5 * (CAST(st.c_st AS DOUBLE) / stot.n_s
+                                         + CAST(ct.c_t AS DOUBLE) / tot.n)))
+                          + (CAST(ct.c_t AS DOUBLE) / tot.n)
+                          * ln((CAST(ct.c_t AS DOUBLE) / tot.n)
+                               / (0.5 * (CAST(st.c_st AS DOUBLE) / stot.n_s
+                                         + CAST(ct.c_t AS DOUBLE) / tot.n)))),
+                   9) AS DECIMAL(38,12)) AS term,
+               CAST(round(CAST(ct.c_t AS DOUBLE) / tot.n, 12)
+                    AS DECIMAL(38,12)) AS q_mass
+        FROM st JOIN stot USING (source) JOIN ct USING (t) CROSS JOIN tot
+    )
+    SELECT source, count(*) AS vocab_overlap,
+           round(CAST(sum(term) AS DOUBLE)
+                 + CAST('{_HALF_LN2}' AS DOUBLE)
+                   * (1.0 - CAST(sum(q_mass) AS DOUBLE)), 6)
+               AS js_divergence
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "text"),
+)
+def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    against the corpus mixture — the SYMMETRIC, bounded [0, ln2]
+    counterpart of the KL drift score, the usual choice for
+    pretraining-mix monitoring because it never explodes on
+    source-only tokens. Corpus tokens ABSENT from a source contribute
+    exactly 0.5·ln2·q_t (m = q/2 there), so their whole mass folds
+    into the closed form 0.5·ln2·(1 − Σ_present q_t) and the
+    computation stays on the PRESENT (source, token) table — one
+    explode + vocab-bounded joins, identical shape and cost to the KL
+    operator, no vocab×sources blowup for the absent side."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(T.tokens(F.col("text"))).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    stot = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    ct = st.groupBy("t").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    tot = ct.agg(F.sum("c_t").cast("bigint").alias("n"))
+    p = F.col("c_st").cast("double") / F.col("n_s")
+    q = F.col("c_t").cast("double") / F.col("n")
+    m = 0.5 * (p + q)
+    term = 0.5 * (p * F.log(p / m) + q * F.log(q / m))
+    terms = (
+        st.join(F.broadcast(stot), "source")
+        .join(ct, "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(term, 9).cast("decimal(38,12)").alias("term"),
+            F.round(q, 12).cast("decimal(38,12)").alias("q_mass"),
+        )
+    )
+    half_ln2 = float(_HALF_LN2)
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_overlap"),
+            F.round(
+                F.sum("term").cast("double")
+                + half_ln2 * (1.0 - F.sum("q_mass").cast("double")),
+                6,
+            ).alias("js_divergence"),
+        )
+        .orderBy("source")
+    )
