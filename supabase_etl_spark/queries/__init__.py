@@ -97,12 +97,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_kmeans_assign", "embedding_centroid_outliers",
     # text analysis
     "text_lang_id", "text_source_kl_divergence",
-    "text_gopher_filter", "text_bigram_logprob",
+    "text_gopher_filter", "events_dtw_alignment",
     "text_clf_inference_broadcast", "text_bpe_pair_counts",
     "text_bm25_search",
     # sampling / curation
     "sample_dsir", "sample_domain_mixture",
-    "decontaminate_bloom", "decontaminate_ngram",
+    "decontaminate_bloom", "io_delta_log_roundtrip",
     # model evaluation
     "ml_eval_auc_pr", "ml_eval_ranking_ndcg",
     # multimodal
