@@ -107,3 +107,58 @@ def test_empty_snapshot_uses_logged_schema(spark, tmp_path):
     out = D.read_delta(spark, t)
     assert out.count() == 0
     assert out.columns == ["id", "v"]
+
+
+def test_action_replay_matches_model(tmp_path):
+    """Property: for any interleaving of add/remove actions across
+    commits, snapshot_files at every version equals the dict-replay
+    model (last action per path wins). Pure metadata — no Spark."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.tuples(st.booleans(), st.integers(min_value=0, max_value=9)),
+                min_size=1,
+                max_size=4,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def run(commits):
+        import shutil
+        import uuid as _uuid
+
+        t = str(tmp_path / f"dl_{_uuid.uuid4().hex[:8]}")
+        os.makedirs(os.path.join(t, "_delta_log"))
+        model: dict[str, bool] = {}
+        expected_at = []
+        for v, actions in enumerate(commits):
+            lines = []
+            if v == 0:
+                lines.append({"protocol": {"minReaderVersion": 1}})
+            for is_add, fid in actions:
+                path = f"f{fid}.parquet"
+                if is_add:
+                    model[path] = True
+                    lines.append(
+                        {"add": {"path": path, "partitionValues": {},
+                                 "size": 1, "modificationTime": 0,
+                                 "dataChange": True}}
+                    )
+                else:
+                    model.pop(path, None)
+                    lines.append(
+                        {"remove": {"path": path, "deletionTimestamp": 0,
+                                    "dataChange": True}}
+                    )
+            with open(os.path.join(t, "_delta_log", f"{v:020d}.json"), "w") as fh:
+                fh.write("\n".join(json.dumps(a) for a in lines))
+            expected_at.append(sorted(model))
+        for v, exp in enumerate(expected_at):
+            assert D.snapshot_files(None, t, version=v) == exp
+        shutil.rmtree(t, ignore_errors=True)
+
+    run()
