@@ -983,3 +983,110 @@ def ml_svm_hinge_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("epoch")
+
+
+# ---------------------------------------------------------------------------
+# quantile regression by pinball-loss grid search
+# ---------------------------------------------------------------------------
+
+QR_TAUS = ("0.5", "0.9")
+# candidates pre-scaled by 1e-4 (the price scale): exact-double
+# intercepts (multiples of 0.25) and repr-literal slopes shared by
+# both engines
+QR_SLOPES = tuple(repr((2500 + 250 * i) * 1e-4) for i in range(9))
+QR_INTERCEPTS = tuple(repr((-5000 + 2500 * i) * 1e-4) for i in range(9))
+
+
+@query(
+    "ml_quantile_regression_grid",
+    oracle=f"""
+    WITH cand AS (
+        SELECT CAST(t.tau AS DOUBLE) AS tau, CAST(a.a AS DOUBLE) AS a,
+               CAST(b.b AS DOUBLE) AS b
+        FROM (VALUES {", ".join(f"({t})" for t in QR_TAUS)}) t(tau),
+             (VALUES {", ".join(f"({a})" for a in QR_INTERCEPTS)}) a(a),
+             (VALUES {", ".join(f"({b})" for b in QR_SLOPES)}) b(b)
+    ),
+    pts AS (
+        SELECT l_quantity AS x,
+               CAST(CAST(l_extendedprice * 0.0001 AS DECIMAL(18,6))
+                    AS DOUBLE) AS y
+        FROM lineitem
+    ),
+    losses AS (
+        SELECT c.tau, c.a, c.b,
+               CAST(SUM(CAST(
+                   CASE WHEN p.y - (c.a + c.b * p.x) >= 0
+                        THEN c.tau * (p.y - (c.a + c.b * p.x))
+                        ELSE (c.tau - 1) * (p.y - (c.a + c.b * p.x)) END
+                   AS DECIMAL(28,7))) AS DOUBLE) AS loss
+        FROM pts p, cand c
+        GROUP BY c.tau, c.a, c.b
+    ),
+    best AS (
+        SELECT tau, a, b, loss,
+               ROW_NUMBER() OVER (PARTITION BY tau
+                                  ORDER BY loss, a, b) AS rn
+        FROM losses
+    )
+    SELECT tau, a AS intercept, b AS slope, round(loss, 6) AS pinball_loss
+    FROM best WHERE rn = 1
+    ORDER BY tau
+    """,
+    tags=("llm", "ml-train"),
+)
+def ml_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile regression (pinball / check loss) fit by exhaustive
+    grid search over a broadcast candidate lattice — the
+    embarrassingly-parallel form that replaces iterative IRLS at
+    corpus scale: every (tau, intercept, slope) candidate scores in
+    ONE shared pass over the data (81 candidates x 2 taus ride the
+    same scan via a broadcast cross join, map-side decimal partials),
+    and the argmin per tau is a 162-row window. The tau=0.9 line
+    sitting above the tau=0.5 line is the heteroscedasticity read.
+    Prices and candidates are pre-scaled by 1e-4 and the price snaps
+    to a 6-dp grid, so per-row losses are IDENTICAL ~8-sig-digit
+    doubles in both engines and the decimal(28,7) cast/sum is
+    boundary-free (tau x a 6-dp grid lands on exact 7-dp decimals, so
+    the cast scale must be 7, not 6) (the repeated-residual lesson: never round a
+    full-entropy 7-dp value at 6 dp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").alias("x"),
+        (F.col("l_extendedprice") * 0.0001)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("y"),
+    )
+    cand = spark.createDataFrame(
+        [
+            (float(t), float(a), float(b))
+            for t in QR_TAUS
+            for a in QR_INTERCEPTS
+            for b in QR_SLOPES
+        ],
+        "tau double, a double, b double",
+    )
+    resid = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    pinball = F.when(resid >= 0, F.col("tau") * resid).otherwise(
+        (F.col("tau") - 1) * resid
+    )
+    losses = (
+        pts.crossJoin(F.broadcast(cand))
+        .groupBy("tau", "a", "b")
+        .agg(
+            F.sum(pinball.cast("decimal(28,7)")).cast("double").alias("loss")
+        )
+    )
+    w = Window.partitionBy("tau").orderBy("loss", "a", "b")
+    return (
+        losses.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "tau",
+            F.col("a").alias("intercept"),
+            F.col("b").alias("slope"),
+            F.round("loss", 6).alias("pinball_loss"),
+        )
+        .orderBy("tau")
+    )
