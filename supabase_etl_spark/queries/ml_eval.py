@@ -2629,3 +2629,126 @@ def ml_eval_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("feature")
     )
+
+
+PSM_CALIPER = 0.05
+
+
+@query(
+    "ml_eval_propensity_matching",
+    oracle=f"""
+    WITH units AS (
+        SELECT c_custkey, c_acctbal AS y,
+               CAST(c_custkey % 2 AS INT) AS treated,
+               c_mktsegment AS seg, c_nationkey AS nat
+        FROM customer
+    ),
+    cells AS (
+        SELECT seg, nat,
+               CAST(SUM(treated) AS DOUBLE) / COUNT(*) AS score
+        FROM units GROUP BY seg, nat
+    ),
+    scored AS (
+        SELECT u.c_custkey, u.y, u.treated, c.score,
+               CAST(FLOOR(c.score / {PSM_CALIPER!r}) AS BIGINT) AS bucket
+        FROM units u JOIN cells c ON u.seg = c.seg AND u.nat = c.nat
+    ),
+    treated AS (SELECT * FROM scored WHERE treated = 1),
+    controls AS (SELECT * FROM scored WHERE treated = 0),
+    cand AS (
+        SELECT t.c_custkey AS t_key, t.y AS y_t, t.score AS s_t,
+               c.c_custkey AS c_key, c.y AS y_c,
+               ABS(t.score - c.score) AS d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.c_custkey
+                   ORDER BY ABS(t.score - c.score), c.c_custkey
+               ) AS rn
+        FROM treated t
+        JOIN (SELECT DISTINCT o FROM (VALUES (-1), (0), (1)) v(o)) off ON TRUE
+        JOIN controls c ON c.bucket = t.bucket + off.o
+        WHERE ABS(t.score - c.score) <= {PSM_CALIPER!r}
+    ),
+    matched AS (SELECT * FROM cand WHERE rn = 1),
+    att AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(CAST(y_t - y_c AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS att
+        FROM matched
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM treated) AS n_treated,
+           a.n_matched,
+           round(CAST(a.n_matched AS DOUBLE)
+                 / (SELECT COUNT(*) FROM treated), 9) AS match_rate,
+           round(a.att, 6) AS att
+    FROM att a
+    """,
+    tags=("llm", "ml-eval", "causal"),
+)
+def ml_eval_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching ATT (the nearest-neighbor causal
+    design next to the IPW estimator): each treated unit matches its
+    closest control by propensity score within a caliper (1-NN with
+    replacement, deterministic ties by key), and the effect is the
+    mean matched outcome difference. Scores are exact cell-level
+    treatment rates (stratified propensity). Scale: candidate
+    generation is a BUCKET-banded equi-join (caliper-wide score
+    buckets x 3 neighbor offsets), never treated x controls — the
+    same banding that keeps the as-of joins linear; the 1-NN pick is
+    a per-treated window on the banded candidates."""
+    cust = load_table(spark, sf_dir, "customer")
+    units = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("y"),
+        (F.col("c_custkey") % 2).cast("int").alias("treated"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    cells = units.groupBy("seg", "nat").agg(
+        (F.sum("treated").cast("double") / F.count(F.lit(1))).alias("score")
+    )
+    scored = units.join(F.broadcast(cells), ["seg", "nat"]).select(
+        "c_custkey",
+        "y",
+        "treated",
+        "score",
+        F.floor(F.col("score") / PSM_CALIPER).cast("bigint").alias("bucket"),
+    )
+    treated = scored.filter(F.col("treated") == 1).select(
+        F.col("c_custkey").alias("t_key"),
+        F.col("y").alias("y_t"),
+        F.col("score").alias("s_t"),
+        F.col("bucket").alias("t_bucket"),
+    )
+    controls = scored.filter(F.col("treated") == 0).select(
+        F.col("c_custkey").alias("c_key"),
+        F.col("y").alias("y_c"),
+        F.col("score").alias("s_c"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    offs = spark.createDataFrame([(-1,), (0,), (1,)], "o int")
+    cand = (
+        treated.crossJoin(F.broadcast(offs))
+        .withColumn("probe", F.col("t_bucket") + F.col("o"))
+        .join(controls, F.col("probe") == F.col("c_bucket"))
+        .filter(F.abs(F.col("s_t") - F.col("s_c")) <= PSM_CALIPER)
+    )
+    w = Window.partitionBy("t_key").orderBy(
+        F.abs(F.col("s_t") - F.col("s_c")), "c_key"
+    )
+    matched = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    att = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        (
+            F.sum((F.col("y_t") - F.col("y_c")).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("att"),
+    )
+    n_treated = treated.agg(F.count(F.lit(1)).cast("bigint").alias("n_treated"))
+    return att.crossJoin(F.broadcast(n_treated)).select(
+        "n_treated",
+        "n_matched",
+        F.round(F.col("n_matched").cast("double") / F.col("n_treated"), 9).alias(
+            "match_rate"
+        ),
+        F.round("att", 6).alias("att"),
+    )
