@@ -7172,3 +7172,169 @@ def events_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "events_logrank_test",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INT) AS grp,
+               min(ts) AS first_seen,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase,
+               max(ts) AS last_seen
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT grp,
+               CAST(floor((epoch_us(COALESCE(first_purchase, last_seen))
+                           - epoch_us(first_seen)) / 3600000000.0) AS BIGINT)
+                   AS t_obs,
+               (first_purchase IS NOT NULL) AS is_event
+        FROM per_user
+    ),
+    drops AS (
+        SELECT t_obs AS t, grp, CAST(count(*) AS BIGINT) AS leaving
+        FROM obs GROUP BY t_obs, grp
+    ),
+    d_t AS (
+        SELECT t_obs AS t,
+               CAST(SUM(CASE WHEN grp = 1 AND is_event THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM obs GROUP BY t_obs
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(SUM(grp) AS BIGINT) AS n1_all
+        FROM obs
+    ),
+    risk AS (
+        SELECT e.t, e.d1, e.d,
+               tot.n_all
+               - COALESCE(SUM(dr_all.leaving) OVER (ORDER BY e.t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk,
+               tot.n1_all
+               - COALESCE(SUM(dr_all.l1) OVER (ORDER BY e.t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n1_risk
+        FROM d_t e
+        LEFT JOIN (
+            SELECT t, CAST(SUM(leaving) AS BIGINT) AS leaving,
+                   CAST(SUM(CASE WHEN grp = 1 THEN leaving ELSE 0 END)
+                        AS BIGINT) AS l1
+            FROM drops GROUP BY t
+        ) dr_all ON e.t = dr_all.t
+        CROSS JOIN tot
+    ),
+    terms AS (
+        SELECT t, d1,
+               CAST(d AS DOUBLE) * n1_risk / n_risk AS e1,
+               CASE WHEN n_risk > 1
+                    THEN CAST(d AS DOUBLE) * n1_risk * (n_risk - n1_risk)
+                         * (n_risk - d) / (CAST(n_risk AS DOUBLE) * n_risk
+                                           * (n_risk - 1))
+                    ELSE 0.0 END AS v1
+        FROM risk WHERE d > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+           CAST(SUM(d1) AS BIGINT) AS observed_g1,
+           round(CAST(SUM(CAST(round(e1, 9) AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS expected_g1,
+           round(
+               (SUM(d1) - CAST(SUM(CAST(round(e1, 9) AS DECIMAL(38,12)))
+                               AS DOUBLE))
+               * (SUM(d1) - CAST(SUM(CAST(round(e1, 9) AS DECIMAL(38,12)))
+                                 AS DOUBLE))
+               / CAST(SUM(CAST(round(v1, 9) AS DECIMAL(38,12))) AS DOUBLE),
+               6) AS logrank_chi2
+    FROM terms
+    """,
+    tags=("events", "analytics", "survival"),
+)
+def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing time-to-first-purchase
+    between the two user cohorts: at every event time, group 1's
+    observed events are compared with their hypergeometric expectation
+    under the pooled risk set, and chi2 = (O-E)²/V — the standard
+    inferential companion to the Kaplan-Meier curves (is the survival
+    difference real?). Everything reduces to the event-time table:
+    one user-keyed aggregation over the corpus, then bounded windows
+    and exact integer-ratio terms (round-9-snapped into decimal sums)
+    on O(distinct hours) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+        F.max("ts").alias("last_seen"),
+    )
+    us = lambda c: F.unix_micros(c)  # noqa: E731
+    obs = per_user.select(
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        F.floor(
+            (us(F.coalesce("first_purchase", "last_seen")) - us(F.col("first_seen")))
+            / F.lit(3600000000.0)
+        )
+        .cast("bigint")
+        .alias("t_obs"),
+        F.col("first_purchase").isNotNull().alias("is_event"),
+    )
+    d_t = obs.groupBy(F.col("t_obs").alias("t")).agg(
+        F.sum(F.when((F.col("grp") == 1) & F.col("is_event"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).cast("bigint").alias("d"),
+    )
+    drops = obs.groupBy(F.col("t_obs").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+        F.sum("grp").cast("bigint").alias("l1"),
+    )
+    tot = obs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("grp").cast("bigint").alias("n1_all"),
+    )
+    before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        d_t.join(drops, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d1",
+            "d",
+            (F.col("n_all") - F.coalesce(F.sum("leaving").over(before), F.lit(0)))
+            .alias("n_risk"),
+            (F.col("n1_all") - F.coalesce(F.sum("l1").over(before), F.lit(0)))
+            .alias("n1_risk"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    e1 = F.col("d").cast("double") * F.col("n1_risk") / F.col("n_risk")
+    v1 = F.when(
+        F.col("n_risk") > 1,
+        F.col("d").cast("double")
+        * F.col("n1_risk")
+        * (F.col("n_risk") - F.col("n1_risk"))
+        * (F.col("n_risk") - F.col("d"))
+        / (
+            F.col("n_risk").cast("double")
+            * F.col("n_risk")
+            * (F.col("n_risk") - 1)
+        ),
+    ).otherwise(F.lit(0.0))
+    terms = risk.select("t", "d1", e1.alias("e1"), v1.alias("v1"))
+    dsum9 = lambda c: F.sum(F.round(c, 9).cast("decimal(38,12)")).cast("double")  # noqa: E731
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+        F.sum("d1").cast("bigint").alias("observed_g1"),
+        F.round(dsum9(F.col("e1")), 6).alias("expected_g1"),
+        F.round(
+            (F.sum("d1") - dsum9(F.col("e1")))
+            * (F.sum("d1") - dsum9(F.col("e1")))
+            / dsum9(F.col("v1")),
+            6,
+        ).alias("logrank_chi2"),
+    )
