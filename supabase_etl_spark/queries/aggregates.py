@@ -9,7 +9,7 @@ the DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from supabase_etl_spark.io.readers import load_table
@@ -2100,4 +2100,126 @@ def agg_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("tau_b"),
         )
+    )
+
+
+@query(
+    "agg_levene_brown_forsythe",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS g,
+               CAST(CAST(l_extendedprice * 0.0001 AS DECIMAL(18,6))
+                    AS DOUBLE) AS x
+        FROM lineitem
+    ),
+    med AS (
+        SELECT g,
+               CAST(SUM(CASE WHEN rn IN (CAST(floor((n + 1) / 2.0) AS BIGINT),
+                                         CAST(floor((n + 2) / 2.0) AS BIGINT))
+                             THEN x ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN rn IN (CAST(floor((n + 1) / 2.0) AS BIGINT),
+                                      CAST(floor((n + 2) / 2.0) AS BIGINT))
+                          THEN 1 ELSE 0 END) AS median
+        FROM (
+            SELECT g, x,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM pts
+        ) GROUP BY g
+    ),
+    z AS (
+        SELECT p.g, round(ABS(p.x - m.median), 3) AS z
+        FROM pts p JOIN med m ON p.g = m.g
+    ),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(z AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(z * z AS DECIMAL(28,6))) AS DOUBLE) AS s2
+        FROM z GROUP BY g
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_all, COUNT(*) AS k,
+               CAST(SUM(CAST(s1 AS DECIMAL(28,6))) AS DOUBLE) AS s1_all
+        FROM grp
+    )
+    SELECT t.n_all, CAST(t.k AS BIGINT) AS k,
+           round((SELECT SUM(s1 * s1 / n) FROM grp)
+                 - t.s1_all * t.s1_all / t.n_all, 6) AS ss_between,
+           round((SELECT SUM(s2) FROM grp)
+                 - (SELECT SUM(s1 * s1 / n) FROM grp), 6) AS ss_within,
+           round(
+               (((SELECT SUM(s1 * s1 / n) FROM grp)
+                 - t.s1_all * t.s1_all / t.n_all) / (t.k - 1))
+               / (((SELECT SUM(s2) FROM grp)
+                   - (SELECT SUM(s1 * s1 / n) FROM grp)) / (t.n_all - t.k)),
+               6) AS bf_statistic
+    FROM tot t
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-based Levene) test of variance
+    homogeneity across the return-flag groups: one-way ANOVA on the
+    absolute deviations from each group's EXACT median — the
+    robust pre-check before any pooled-variance t/ANOVA inference.
+    Medians come from distributed ranks (avg of the two middle order
+    statistics); deviations snap to 3 dp so their squares are exact
+    6-dp rationals and every moment accumulates in cast-safe
+    decimal(28,6); the F-ratio is then pure identical-double
+    arithmetic. Two window passes + two grouped aggregations — the
+    rank partitions by group, so 100 TB sorts within groups, never
+    globally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("g"),
+        (F.col("l_extendedprice") * 0.0001)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("x"),
+    )
+    wr = Window.partitionBy("g").orderBy("x")
+    wn = Window.partitionBy("g")
+    ranked = pts.select(
+        "g",
+        "x",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+    hi = F.floor((F.col("n") + 2) / 2.0).cast("bigint")
+    mid = F.col("rn").isin if False else None  # noqa: F841
+    is_mid = (F.col("rn") == lo) | (F.col("rn") == hi)
+    med = ranked.groupBy("g").agg(
+        (
+            F.sum(F.when(is_mid, F.col("x")).otherwise(0.0)).cast("double")
+            / F.sum(F.when(is_mid, 1).otherwise(0))
+        ).alias("median")
+    )
+    z = pts.join(F.broadcast(med), "g").select(
+        "g", F.round(F.abs(F.col("x") - F.col("median")), 3).alias("z")
+    )
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("z").cast("decimal(28,6)")).cast("double").alias("s1"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("s1").cast("decimal(28,6)")).cast("double").alias("s1_all"),
+        F.sum(F.col("s1") * F.col("s1") / F.col("n")).alias("sb_raw"),
+        F.sum("s2").alias("s2_all"),
+    )
+    ssb = F.col("sb_raw") - F.col("s1_all") * F.col("s1_all") / F.col("n_all")
+    ssw = F.col("s2_all") - F.col("sb_raw")
+    return tot.select(
+        "n_all",
+        F.col("k").cast("bigint").alias("k"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_all") - F.col("k"))), 6
+        ).alias("bf_statistic"),
     )
