@@ -2223,3 +2223,93 @@ def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_all") - F.col("k"))), 6
         ).alias("bf_statistic"),
     )
+
+
+@query(
+    "agg_hodges_lehmann",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS g, CAST(FLOOR(l_quantity) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY g, v
+    ),
+    pair_avgs AS (
+        -- Walsh averages on the value grid: unordered pairs with
+        -- replacement, weight = c_i*c_j (i<j) or c*(c+1)/2 (i=j)
+        SELECT a.g, (a.v + b.v) / 2.0 AS w,
+               CASE WHEN a.v = b.v THEN a.c * (a.c + 1) / 2
+                    ELSE a.c * b.c END AS wt
+        FROM cells a JOIN cells b ON a.g = b.g AND a.v <= b.v
+    ),
+    ordered AS (
+        SELECT g, w, wt,
+               SUM(wt) OVER (PARTITION BY g ORDER BY w
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(wt) OVER (PARTITION BY g) AS total
+        FROM pair_avgs
+    ),
+    medians AS (
+        SELECT g,
+               MIN(CASE WHEN cum * 2 >= total THEN w END) AS hl_lo,
+               MIN(CASE WHEN cum * 2 >= total + 2 THEN w END) AS hl_hi
+        FROM ordered GROUP BY g
+    )
+    SELECT g, round((hl_lo + COALESCE(hl_hi, hl_lo)) / 2.0, 9)
+               AS hodges_lehmann
+    FROM medians
+    ORDER BY g
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location estimator per group — the median of all
+    pairwise (Walsh) averages, the robust estimator behind the
+    Wilcoxon signed-rank interval. Naively O(n²) pairs; here rows
+    collapse to the integer value grid first, so Walsh averages
+    enumerate GRID cell pairs with multiplicities (c_i·c_j, diagonal
+    c(c+1)/2) and the weighted median walks a cumulative window over
+    ~grid² rows — exact at any corpus size, the same counting trick
+    as the Kendall and Mann-Whitney operators. Even-total medians
+    average the two middle Walsh values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor("l_quantity").cast("bigint").alias("v"),
+    )
+    cells = pts.groupBy("g", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, b = cells.alias("a"), cells.alias("b")
+    pair_avgs = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.v") <= F.col("b.v"))
+    ).select(
+        F.col("a.g").alias("g"),
+        ((F.col("a.v") + F.col("b.v")) / 2.0).alias("w"),
+        F.when(
+            F.col("a.v") == F.col("b.v"), F.col("a.c") * (F.col("a.c") + 1) / 2
+        )
+        .otherwise(F.col("a.c") * F.col("b.c"))
+        .alias("wt"),
+    )
+    wc = Window.partitionBy("g").orderBy("w").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt_ = Window.partitionBy("g")
+    ordered = pair_avgs.select(
+        "g",
+        "w",
+        F.sum("wt").over(wc).alias("cum"),
+        F.sum("wt").over(wt_).alias("total"),
+    )
+    medians = ordered.groupBy("g").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("w"))).alias("hl_lo"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("total") + 2, F.col("w"))).alias(
+            "hl_hi"
+        ),
+    )
+    return medians.select(
+        "g",
+        F.round(
+            (F.col("hl_lo") + F.coalesce("hl_hi", "hl_lo")) / 2.0, 9
+        ).alias("hodges_lehmann"),
+    ).orderBy("g")

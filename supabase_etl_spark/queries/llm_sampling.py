@@ -1258,3 +1258,79 @@ def sample_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFra
         .unionByName(audit("b_random", "random"))
         .orderBy("strategy")
     )
+
+
+AL_BUDGET = 25  # labeling budget per model
+
+
+@query(
+    "sample_active_learning_queue",
+    oracle=f"""
+    WITH scored AS (
+        SELECT m.model,
+               e.vec_id,
+               CAST(FLOOR((CAST(CASE WHEN m.model = 'm1' THEN embedding[1]
+                                     ELSE embedding[2] END AS DOUBLE)
+                           + 0.25 * (label % 2)) * 40) AS BIGINT) AS s
+        FROM embeddings e
+        CROSS JOIN (SELECT 'm1' AS model UNION ALL SELECT 'm2') m
+    ),
+    prob AS (
+        SELECT model, vec_id,
+               0.5 + 0.5 * (CAST(s AS DOUBLE) / 40.0)
+                         / (1.0 + ABS(CAST(s AS DOUBLE) / 40.0)) AS p
+        FROM scored
+    ),
+    ranked AS (
+        SELECT model, vec_id, p, ABS(p - 0.5) AS margin,
+               ROW_NUMBER() OVER (PARTITION BY model
+                                  ORDER BY ABS(p - 0.5), vec_id) AS rn
+        FROM prob
+    )
+    SELECT model, vec_id, round(p, 9) AS p, round(margin, 9) AS margin,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {AL_BUDGET}
+    ORDER BY model, rank
+    """,
+    tags=("llm", "sampling", "training"),
+)
+def sample_active_learning_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty-sampling labeling queue (margin-based active
+    learning): per model, the k rows whose predicted probability sits
+    closest to 0.5 — where a label purchase buys the most decision-
+    boundary information. Scores ride the eval fixture's quantized
+    grid + rational squash (no transcendentals); the queue is a
+    per-model top-k window, TakeOrdered-shaped. This is the loop that
+    decides which documents human annotators see next in a curation
+    pipeline; at 100 TB it is one scan + a k-bounded per-model
+    selection."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def model(dim: int, name: str) -> DataFrame:
+        raw = F.element_at("embedding", dim).cast("double") + 0.25 * (
+            F.col("label") % 2
+        )
+        return e.select(
+            F.lit(name).alias("model"),
+            "vec_id",
+            F.floor(raw * 40).cast("bigint").alias("s"),
+        )
+
+    scored = model(1, "m1").unionByName(model(2, "m2"))
+    zz = F.col("s").cast("double") / 40.0
+    p = 0.5 + 0.5 * zz / (1.0 + F.abs(zz))
+    prob = scored.select("model", "vec_id", p.alias("p"))
+    w = Window.partitionBy("model").orderBy(F.abs(F.col("p") - 0.5), "vec_id")
+    return (
+        prob.withColumn("margin", F.abs(F.col("p") - 0.5))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= AL_BUDGET)
+        .select(
+            "model",
+            "vec_id",
+            F.round("p", 9).alias("p"),
+            F.round("margin", 9).alias("margin"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+        .orderBy("model", "rank")
+    )
