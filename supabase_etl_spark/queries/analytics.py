@@ -7338,3 +7338,89 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("logrank_chi2"),
     )
+
+
+@query(
+    "orders_price_index",
+    oracle="""
+    WITH li AS (
+        SELECT l_partkey,
+               year(l_shipdate) AS yr,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS q,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS p
+        FROM lineitem GROUP BY l_partkey, year(l_shipdate)
+    ),
+    bounds AS (SELECT min(yr) AS y0, min(yr) + 1 AS y1 FROM li),
+    matched AS (
+        SELECT b0.l_partkey, b0.p AS p0, b0.q AS q0, b1.p AS p1, b1.q AS q1
+        FROM li b0 JOIN li b1 ON b0.l_partkey = b1.l_partkey
+        CROSS JOIN bounds
+        WHERE b0.yr = bounds.y0 AND b1.yr = bounds.y1
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(round(p1 * q0, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS p1q0,
+               CAST(SUM(CAST(round(p0 * q0, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS p0q0,
+               CAST(SUM(CAST(round(p1 * q1, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS p1q1,
+               CAST(SUM(CAST(round(p0 * q1, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS p0q1
+        FROM matched
+    )
+    SELECT n_parts,
+           round(p1q0 / p0q0, 9) AS laspeyres,
+           round(p1q1 / p0q1, 9) AS paasche,
+           round(sqrt((p1q0 / p0q0) * (p1q1 / p0q1)), 9) AS fisher
+    FROM sums
+    """,
+    tags=("orders", "analytics", "economics"),
+)
+def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-index numbers between the first two shipment years:
+    Laspeyres (base-period basket), Paasche (current basket), and the
+    Fisher ideal (their geometric mean) over per-part unit prices —
+    the BI/economics rollup behind every 'price inflation vs mix
+    shift' dashboard. Per-(part, year) unit prices come from exact
+    decimal revenue/quantity sums; the index joins the two years on
+    the part key (hash equi-join) and accumulates the four
+    cross-basket products 6-dp-snapped. Full-entropy p·q products
+    round at 6 dp where the grid dwarfs engine rounding skew."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey", F.year("l_shipdate").alias("yr")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("q"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
+        ).alias("p"),
+    )
+    bounds = per.agg(
+        F.min("yr").alias("y0"), (F.min("yr") + 1).alias("y1")
+    )
+    b = per.crossJoin(F.broadcast(bounds))
+    b0 = b.filter(F.col("yr") == F.col("y0")).select(
+        "l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    b1 = b.filter(F.col("yr") == F.col("y1")).select(
+        "l_partkey", F.col("p").alias("p1"), F.col("q").alias("q1")
+    )
+    matched = b0.join(b1, "l_partkey")
+    d6 = lambda c: F.sum(F.round(c, 6).cast("decimal(28,6)")).cast("double")  # noqa: E731
+    sums = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        d6(F.col("p1") * F.col("q0")).alias("p1q0"),
+        d6(F.col("p0") * F.col("q0")).alias("p0q0"),
+        d6(F.col("p1") * F.col("q1")).alias("p1q1"),
+        d6(F.col("p0") * F.col("q1")).alias("p0q1"),
+    )
+    return sums.select(
+        "n_parts",
+        F.round(F.col("p1q0") / F.col("p0q0"), 9).alias("laspeyres"),
+        F.round(F.col("p1q1") / F.col("p0q1"), 9).alias("paasche"),
+        F.round(
+            F.sqrt((F.col("p1q0") / F.col("p0q0")) * (F.col("p1q1") / F.col("p0q1"))),
+            9,
+        ).alias("fisher"),
+    )

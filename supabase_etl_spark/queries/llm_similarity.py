@@ -2211,3 +2211,74 @@ def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+@query(
+    "embedding_isotropy_score",
+    oracle=f"""
+    WITH normed AS (
+        SELECT vec_id,
+               sqrt({sql_dot("embedding", "embedding")}) AS nrm,
+               embedding
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+               embedding, nrm
+        FROM normed
+    ),
+    sums AS (
+        SELECT pos,
+               CAST(SUM(CAST(round(CAST(embedding[pos + 1] AS DOUBLE) / nrm,
+                                   9) AS DECIMAL(38,12))) AS DOUBLE) AS s
+        FROM comp GROUP BY pos
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM normed),
+    agg AS (
+        SELECT CAST(SUM(CAST(round(s * s, 9) AS DECIMAL(38,12))) AS DOUBLE)
+                   AS sum_sq
+        FROM sums
+    )
+    SELECT t.n,
+           round((a.sum_sq - t.n) / (CAST(t.n AS DOUBLE) * (t.n - 1)), 9)
+               AS mean_pairwise_cosine,
+           round(a.sum_sq / t.n, 9) AS anisotropy_norm2
+    FROM agg a CROSS JOIN tot t
+    """,
+    tags=("llm", "similarity", "quality"),
+)
+def embedding_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy audit (Ethayarajh's anisotropy
+    measure): the EXACT mean pairwise cosine across the whole corpus
+    via the identity mean_cos = (||Σu||² − n) / (n(n−1)) over
+    unit-normalized vectors — no pair enumeration at all, just
+    per-dimension decimal sums of the normalized components and one
+    64-term norm. High mean cosine = collapsed/anisotropic space
+    (bad for retrieval); the score every embedding-model rollout
+    checks. One corpus pass, d-bounded reduce — the O(n²) definition
+    computed in O(n·d)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from supabase_etl_spark.operators.dedup import dot_double
+
+    nrm = F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
+    comp = e.select(nrm.alias("nrm"), F.posexplode("embedding").alias("pos", "x"))
+    sums = comp.groupBy("pos").agg(
+        F.sum(F.round(F.col("x").cast("double") / F.col("nrm"), 9).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s")
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    agg = sums.agg(
+        F.sum(F.round(F.col("s") * F.col("s"), 9).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sum_sq")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.round(
+            (F.col("sum_sq") - F.col("n"))
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            9,
+        ).alias("mean_pairwise_cosine"),
+        F.round(F.col("sum_sq") / F.col("n"), 9).alias("anisotropy_norm2"),
+    )
