@@ -2031,3 +2031,99 @@ def er_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("cluster_key")
     )
+
+
+@query(
+    "dedup_lsh_quality_audit",
+    oracle=f"""
+    WITH {_SQL_SHINGLE_CTES},
+    {_sql_minhash_cte()},
+    true_inter AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    true_pairs AS (
+        SELECT i.ida, i.idb
+        FROM true_inter i
+        JOIN sizes sa ON i.ida = sa.doc_id
+        JOIN sizes sb ON i.idb = sb.doc_id
+        WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+    ),
+    tp AS (
+        SELECT CAST(count(*) AS BIGINT) AS tp
+        FROM cand c JOIN true_pairs t ON c.ida = t.ida AND c.idb = t.idb
+    ),
+    counts AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM true_pairs) AS n_true,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+               (SELECT tp FROM tp) AS tp
+    )
+    SELECT n_true, n_cand, tp,
+           n_cand - tp AS fp,
+           n_true - tp AS fn,
+           round(CASE WHEN n_cand > 0
+                      THEN CAST(tp AS DOUBLE) / n_cand ELSE 1.0 END, 9)
+               AS precision,
+           round(CASE WHEN n_true > 0
+                      THEN CAST(tp AS DOUBLE) / n_true ELSE 1.0 END, 9)
+               AS recall
+    FROM counts
+    """,
+    tags=("llm", "dedup", "quality"),
+)
+def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-quality audit, VALUE-HASHED rather than
+    tolerance-tested: the banded minhash candidate set is compared
+    against the exact Jaccard-threshold ground truth, reporting
+    TP/FP/FN and the realized precision/recall of the band
+    configuration (4 bands x 3 rows at threshold 0.8). Both sides are
+    already oracle-replayable deterministic pipelines, so the audit
+    itself hashes — this is the 'measure, don't guess' answer to 'is
+    the S-curve actually delivering the recall the math promises on
+    THIS corpus'. Scale: ground truth uses the inverted-index
+    (shingle-keyed) exact join — at 100 TB the audit runs on a
+    sampled stratum, and the candidate side is the same banded join
+    the production dedup runs."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    true_pairs = D.jaccard_pairs(d, JACCARD_THRESHOLD).select("ida", "idb")
+    bands = D.band_keys(D.minhash_signature(D.shingle_ids(d))).hint("merge")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            [F.col("a.band") == F.col("b.band")]
+            + [F.col(f"a.k{r}") == F.col(f"b.k{r}") for r in range(D.ROWS_PER_BAND)]
+            + [F.col("a.doc_id") < F.col("b.doc_id")],
+        )
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    tp = cand.join(true_pairs, ["ida", "idb"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tp")
+    )
+    n_true = true_pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(tp)
+        .select(
+            "n_true",
+            "n_cand",
+            "tp",
+            (F.col("n_cand") - F.col("tp")).alias("fp"),
+            (F.col("n_true") - F.col("tp")).alias("fn"),
+            F.round(
+                F.when(
+                    F.col("n_cand") > 0, F.col("tp").cast("double") / F.col("n_cand")
+                ).otherwise(F.lit(1.0)),
+                9,
+            ).alias("precision"),
+            F.round(
+                F.when(
+                    F.col("n_true") > 0, F.col("tp").cast("double") / F.col("n_true")
+                ).otherwise(F.lit(1.0)),
+                9,
+            ).alias("recall"),
+        )
+    )
