@@ -7424,3 +7424,103 @@ def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("fisher"),
     )
+
+
+@query(
+    "events_eb_rate_shrinkage",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM events GROUP BY user_id
+    ),
+    rates AS (
+        SELECT user_id, n, k, CAST(k AS DOUBLE) / n AS r FROM per_user
+    ),
+    mom AS (
+        SELECT CAST(SUM(CAST(round(r, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS mu,
+               CAST(SUM(CAST(round(r * r, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS m2,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM rates
+    ),
+    prior AS (
+        SELECT mu, n_users,
+               mu * (mu * (1 - mu) / greatest(m2 - mu * mu, 1e-9) - 1)
+                   AS alpha,
+               (1 - mu) * (mu * (1 - mu) / greatest(m2 - mu * mu, 1e-9) - 1)
+                   AS beta
+        FROM mom
+    ),
+    shrunk AS (
+        SELECT r.user_id, r.n, r.k, r.r,
+               (r.k + p.alpha) / (r.n + p.alpha + p.beta) AS r_eb
+        FROM rates r CROSS JOIN prior p
+    )
+    SELECT CAST(user_id // 25 AS BIGINT) AS user_band,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(SUM(CAST(round(r, 9) AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_raw_rate,
+           round(CAST(SUM(CAST(round(r_eb, 9) AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_eb_rate,
+           round(MAX(ABS(r - r_eb)), 9) AS max_shrinkage
+    FROM shrunk
+    GROUP BY 1
+    ORDER BY user_band
+    """,
+    tags=("events", "analytics", "bayes"),
+)
+def events_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user purchase rates toward a
+    method-of-moments Beta prior — the smoothed-CTR estimator every
+    ranking/ads system uses so a 1-for-1 user doesn't outrank a
+    480-for-500 one: alpha/beta come from the rate distribution's own
+    mean/variance, and each user's posterior mean (k+alpha)/(n+alpha+
+    beta) pulls low-evidence rates toward the prior. Two grouped
+    passes (per-user counts, moment rollup) + one broadcast of the
+    2-scalar prior; banded output keeps the report bounded. Moment
+    terms round-9 into decimal sums; the variance floor guards the
+    degenerate equal-rates case identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    rates = per_user.select(
+        "user_id", "n", "k", (F.col("k").cast("double") / F.col("n")).alias("r")
+    )
+    d9 = lambda c: F.sum(F.round(c, 9).cast("decimal(38,12)")).cast("double")  # noqa: E731
+    mom = rates.agg(
+        (d9(F.col("r")) / F.count(F.lit(1))).alias("mu"),
+        (d9(F.col("r") * F.col("r")) / F.count(F.lit(1))).alias("m2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    common = F.col("mu") * (1 - F.col("mu")) / F.greatest(
+        F.col("m2") - F.col("mu") * F.col("mu"), F.lit(1e-9)
+    ) - 1
+    prior = mom.select(
+        (F.col("mu") * common).alias("alpha"),
+        ((1 - F.col("mu")) * common).alias("beta"),
+    )
+    shrunk = rates.crossJoin(F.broadcast(prior)).select(
+        "user_id",
+        "r",
+        ((F.col("k") + F.col("alpha")) / (F.col("n") + F.col("alpha") + F.col("beta")))
+        .alias("r_eb"),
+    )
+    return (
+        shrunk.groupBy(F.floor(F.col("user_id") / 25).cast("bigint").alias("user_band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(d9(F.col("r")) / F.count(F.lit(1)), 9).alias("mean_raw_rate"),
+            F.round(d9(F.col("r_eb")) / F.count(F.lit(1)), 9).alias("mean_eb_rate"),
+            F.round(F.max(F.abs(F.col("r") - F.col("r_eb"))), 9).alias(
+                "max_shrinkage"
+            ),
+        )
+        .orderBy("user_band")
+    )

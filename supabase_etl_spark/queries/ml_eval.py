@@ -2752,3 +2752,55 @@ def ml_eval_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("att", 6).alias("att"),
     )
+
+
+COST_FN = 5.0  # cost of a missed positive
+COST_FP = 1.0  # cost of a false alarm
+
+
+@query(
+    "ml_eval_cost_curve",
+    oracle=f"""
+    WITH {_SQL_CUM}
+    SELECT model, s AS threshold,
+           CAST(cumneg_ge - neg AS BIGINT) + neg AS predicted_pos_neg,
+           round(({COST_FN!r} * (p_tot - cumpos_ge)
+                  + {COST_FP!r} * cumneg_ge)
+                 / (p_tot + n_tot), 9) AS expected_cost_ge,
+           CAST(p_tot - cumpos_ge AS BIGINT) AS fn_count,
+           CAST(cumneg_ge AS BIGINT) AS fp_count
+    FROM c
+    ORDER BY model, threshold
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive threshold curve: for every score threshold (rows
+    with s >= t predicted positive), the normalized expected cost
+    cost_fn·FN + cost_fp·FP — the decision layer on top of the ROC
+    machinery that picks the OPERATING threshold when errors are
+    asymmetric (missing a bad document costs 5x a false alarm here).
+    Pure integer cumulatives on the grid-bounded threshold table, the
+    same one corpus pass every eval metric shares; the argmin row is
+    the deployable threshold."""
+    return (
+        _cum(spark, sf_dir)
+        .select(
+            "model",
+            F.col("s").alias("threshold"),
+            (F.col("cumneg_ge") - F.col("neg") + F.col("neg"))
+            .cast("bigint")
+            .alias("predicted_pos_neg"),
+            F.round(
+                (
+                    COST_FN * (F.col("p_tot") - F.col("cumpos_ge"))
+                    + COST_FP * F.col("cumneg_ge")
+                )
+                / (F.col("p_tot") + F.col("n_tot")),
+                9,
+            ).alias("expected_cost_ge"),
+            (F.col("p_tot") - F.col("cumpos_ge")).cast("bigint").alias("fn_count"),
+            F.col("cumneg_ge").cast("bigint").alias("fp_count"),
+        )
+        .orderBy("model", "threshold")
+    )
