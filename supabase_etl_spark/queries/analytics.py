@@ -7524,3 +7524,108 @@ def events_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_band")
     )
+
+
+@query(
+    "orders_xyz_classification",
+    oracle="""
+    WITH weekly AS (
+        SELECT l_partkey,
+               CAST(floor(epoch_us(l_shipdate) / 604800000000.0) AS BIGINT)
+                   AS wk,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+               CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu,
+               CAST(SUM(CAST(q * q AS DECIMAL(28,6))) AS DOUBLE) AS s2
+        FROM weekly GROUP BY l_partkey
+        HAVING COUNT(*) >= 4
+    ),
+    cv AS (
+        SELECT l_partkey, n_weeks,
+               sqrt(greatest(s2 / n_weeks - mu * mu, 0.0)) / mu AS cv
+        FROM stats WHERE mu > 0
+    ),
+    classed AS (
+        SELECT CASE WHEN cv < 0.5 THEN 'X'
+                    WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class,
+               cv
+        FROM cv
+    )
+    SELECT xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(CAST(round(cv, 9) AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_cv,
+           round(MIN(cv), 9) AS min_cv, round(MAX(cv), 9) AS max_cv
+    FROM classed
+    GROUP BY xyz_class
+    ORDER BY xyz_class
+    """,
+    tags=("orders", "analytics", "supply"),
+)
+def orders_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification — the companion axis to
+    the ABC value ranking (together the ABC-XYZ planning matrix): each
+    part's weekly demand series yields a coefficient of variation, and
+    parts class as X (steady, cv<0.5), Y (variable, <1.0) or Z
+    (erratic) — X parts get automated reorder policies, Z parts manual
+    planning. Exact decimal weekly rollup + per-part population
+    moments (the variance from exact sums, floored at 0 against
+    cancellation); parts with under 4 observed weeks are excluded as
+    unclassifiable. Two grouped aggregations, part-keyed shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey",
+        F.floor(F.unix_micros("l_shipdate") / F.lit(604800000000.0))
+        .cast("bigint")
+        .alias("wk"),
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("q"))
+    stats = (
+        weekly.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+            (
+                F.sum(F.col("q").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("s2"),
+        )
+        .filter(F.col("n_weeks") >= 4)
+        .filter(F.col("mu") > 0)
+    )
+    cv = stats.select(
+        "l_partkey",
+        (
+            F.sqrt(
+                F.greatest(
+                    F.col("s2") / F.col("n_weeks") - F.col("mu") * F.col("mu"),
+                    F.lit(0.0),
+                )
+            )
+            / F.col("mu")
+        ).alias("cv"),
+    )
+    classed = cv.select(
+        F.when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        "cv",
+    )
+    return (
+        classed.groupBy("xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum(F.round("cv", 9).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_cv"),
+            F.round(F.min("cv"), 9).alias("min_cv"),
+            F.round(F.max("cv"), 9).alias("max_cv"),
+        )
+        .orderBy("xyz_class")
+    )

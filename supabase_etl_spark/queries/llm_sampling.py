@@ -1334,3 +1334,99 @@ def sample_active_learning_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "rank")
     )
+
+
+MLM_RATE = 15  # percent of tokens selected for prediction
+MLM_MASK = 80  # of selected: % replaced with [MASK]
+MLM_RAND = 10  # of selected: % replaced with a random token
+
+
+@query(
+    "sample_mlm_masking_plan",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> t <> '')) AS w,
+               unnest(range(1, len(list_filter(
+                   regexp_split_to_array(text, '\\s+'), t -> t <> '')) + 1))
+                   AS pos
+        FROM documents
+    ),
+    plan AS (
+        SELECT doc_id, pos,
+               {_sql_bucket("doc_id * 100000 + pos")} AS sel,
+               {_sql_bucket("doc_id * 100000 + pos + 7777777")} AS act
+        FROM tok
+    ),
+    decided AS (
+        SELECT doc_id, pos,
+               CASE WHEN sel < {MLM_RATE} THEN
+                        CASE WHEN act < {MLM_MASK} THEN 'mask'
+                             WHEN act < {MLM_MASK + MLM_RAND} THEN 'random'
+                             ELSE 'keep' END
+                    ELSE 'pass' END AS action
+        FROM plan
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN action <> 'pass' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected,
+           CAST(SUM(CASE WHEN action = 'mask' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mask,
+           CAST(SUM(CASE WHEN action = 'random' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_random,
+           CAST(SUM(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep_selected,
+           CAST(SUM(CASE WHEN action <> 'pass' THEN pos ELSE 0 END) AS BIGINT)
+               AS selected_pos_checksum
+    FROM decided
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("llm", "sampling", "training"),
+)
+def sample_mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style masked-LM corruption PLAN: 15% of token positions
+    are selected for prediction, and of those 80% become [MASK], 10%
+    a random token, 10% stay verbatim — decided by the deterministic
+    LCG on (doc, position) so every re-run (and both engines) builds
+    the identical training epoch, the resumability property span
+    corruption (T5) already has in this suite. The per-doc counts and
+    the selected-position checksum hash-verify the plan exactly. One
+    token explode + one grouped count — map-side combinable, no
+    shuffle beyond the doc key at any corpus size."""
+    from supabase_etl_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "w"))
+    key = F.col("doc_id") * 100000 + (F.col("pos0") + 1)
+    sel = _bucket(key)
+    act = _bucket(key + 7777777)
+    decided = tok.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.when(
+            sel < MLM_RATE,
+            F.when(act < MLM_MASK, "mask")
+            .when(act < MLM_MASK + MLM_RAND, "random")
+            .otherwise("keep"),
+        )
+        .otherwise("pass")
+        .alias("action"),
+    )
+    c = lambda cond, al: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(al)  # noqa: E731
+    return (
+        decided.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            c(F.col("action") != "pass", "n_selected"),
+            c(F.col("action") == "mask", "n_mask"),
+            c(F.col("action") == "random", "n_random"),
+            c(F.col("action") == "keep", "n_keep_selected"),
+            F.sum(F.when(F.col("action") != "pass", F.col("pos")).otherwise(0))
+            .cast("bigint")
+            .alias("selected_pos_checksum"),
+        )
+        .orderBy("doc_id")
+    )
