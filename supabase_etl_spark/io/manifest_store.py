@@ -974,3 +974,28 @@ def metadata_count(table_dir: str, version: int | None = None) -> int | None:
         pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows
         for f in manifest["files"]
     )
+
+
+def commit_with_retry(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    note: str = "",
+    max_retries: int = 5,
+) -> int:
+    """Optimistic-concurrency retry loop around commit(): on
+    ConcurrentCommitError the base version is re-read and the commit
+    retried (the data files are re-staged against the NEW snapshot, so
+    an append never resurrects files the winning writer overwrote) —
+    the convenience wrapper every multi-writer pipeline wants instead
+    of hand-rolling the re-read. Raises after ``max_retries``
+    consecutive losses."""
+    last: ConcurrentCommitError | None = None
+    for _ in range(max_retries):
+        try:
+            return commit(df, table_dir, mode=mode, note=note)
+        except ConcurrentCommitError as e:
+            last = e
+    raise ConcurrentCommitError(
+        f"lost the commit race {max_retries} times in {table_dir}"
+    ) from last

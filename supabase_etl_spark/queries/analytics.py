@@ -7629,3 +7629,95 @@ def orders_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("xyz_class")
     )
+
+
+# Gumbel method-of-moments constants, string-cast-shared literals:
+# beta = s * sqrt(6)/pi, mu = xbar - gamma * beta
+_GUMBEL_SQRT6_PI = "0.779696801233676"
+_EULER_GAMMA = "0.5772156649015329"
+
+
+@query(
+    "events_gumbel_extreme_value",
+    oracle=f"""
+    WITH daily_max AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(max(value) AS DOUBLE) AS mx
+        FROM events GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(mx AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+                   AS xbar,
+               CAST(SUM(CAST(mx * mx AS DECIMAL(28,6))) AS DOUBLE) AS s2
+        FROM daily_max
+    ),
+    fit AS (
+        SELECT n, xbar,
+               sqrt(greatest((s2 - xbar * xbar * n) / (n - 1), 0.0))
+                   * CAST('{_GUMBEL_SQRT6_PI}' AS DOUBLE) AS beta
+        FROM mom
+    )
+    SELECT n AS n_days, round(xbar, 9) AS mean_daily_max,
+           round(xbar - CAST('{_EULER_GAMMA}' AS DOUBLE) * beta, 9)
+               AS gumbel_mu,
+           round(beta, 9) AS gumbel_beta,
+           round((xbar - CAST('{_EULER_GAMMA}' AS DOUBLE) * beta)
+                 - beta * ln(-ln(1.0 - 1.0 / 30.0)), 9)
+               AS return_level_30d,
+           round((xbar - CAST('{_EULER_GAMMA}' AS DOUBLE) * beta)
+                 - beta * ln(-ln(1.0 - 1.0 / 365.0)), 9)
+               AS return_level_365d
+    FROM fit
+    """,
+    tags=("events", "analytics", "extreme-value"),
+)
+def events_gumbel_extreme_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis of daily maxima (Gumbel/EV1 by method of
+    moments): beta = s·√6/π, mu = x̄ − γ·beta, and the T-day RETURN
+    LEVEL mu − beta·ln(−ln(1−1/T)) — 'the daily peak you should
+    expect once a month / once a year', the capacity-planning number
+    percentiles of the raw stream understate because maxima, not
+    means, break systems. Block maxima come from one daily rollup;
+    moments are exact decimals; √6/π and Euler's γ are string-cast
+    shared literals. The ln(−ln(·)) terms run on identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    daily_max = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.max("value").cast("double").alias("mx")
+    )
+    mom = daily_max.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("mx").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("xbar"),
+        F.sum((F.col("mx") * F.col("mx")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    sqrt6pi = float(_GUMBEL_SQRT6_PI)
+    gamma = float(_EULER_GAMMA)
+    beta = (
+        F.sqrt(
+            F.greatest(
+                (F.col("s2") - F.col("xbar") * F.col("xbar") * F.col("n"))
+                / (F.col("n") - 1),
+                F.lit(0.0),
+            )
+        )
+        * sqrt6pi
+    )
+    fit = mom.select("n", "xbar", beta.alias("beta"))
+    mu = F.col("xbar") - gamma * F.col("beta")
+    # ln(-ln(1-1/T)) is evaluated ENGINE-side in both engines so the
+    # arithmetic path matches the oracle exactly
+    rl30 = mu - F.col("beta") * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / 30.0))
+    rl365 = mu - F.col("beta") * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / 365.0))
+    return fit.select(
+        F.col("n").alias("n_days"),
+        F.round("xbar", 9).alias("mean_daily_max"),
+        F.round(mu, 9).alias("gumbel_mu"),
+        F.round("beta", 9).alias("gumbel_beta"),
+        F.round(rl30, 9).alias("return_level_30d"),
+        F.round(rl365, 9).alias("return_level_365d"),
+    )

@@ -731,3 +731,26 @@ def test_hidden_partitioning_prunes_files(spark, tmp_path):
     assert ids == [i for i in range(100) if i % 4 == 2]
     with pytest.raises(FileNotFoundError):
         M.read_partitioned(spark, t, filters={"band": "99"})
+
+
+def test_commit_with_retry_wins_after_race(spark, tmp_path, monkeypatch):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(5), t, "overwrite")
+    real_link = os.link
+    fails = {"left": 2}  # lose the race twice, then win
+
+    def racing_link(src, dst):
+        if "_manifests" in dst and fails["left"] > 0 and not os.path.exists(dst):
+            fails["left"] -= 1
+            with open(dst, "w") as fh:
+                json.dump({"version": 0, "files": [], "note": "winner"}, fh)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", racing_link)
+    v = M.commit_with_retry(spark.range(3), t, mode="append")
+    # the injected winners published empty overwrites at v2/v3, so the
+    # retried append re-read THEIR snapshot (not v1's) — lost-update-
+    # free: 0 carried files + 3 appended rows
+    assert fails["left"] == 0
+    assert v == 4 == M.current_version(t)
+    assert M.read(spark, t, v).count() == 3
