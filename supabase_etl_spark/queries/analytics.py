@@ -7721,3 +7721,88 @@ def events_gumbel_extreme_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rl30, 9).alias("return_level_30d"),
         F.round(rl365, 9).alias("return_level_365d"),
     )
+
+
+@query(
+    "events_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS y
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN b.y > a.y THEN 1
+                    WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    s AS (
+        SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n
+        FROM pairs
+    )
+    SELECT n, s_stat,
+           round(CAST(s_stat AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1) / 2), 9) AS kendall_tau,
+           round(
+               CASE WHEN s_stat > 0 THEN (s_stat - 1)
+                    WHEN s_stat < 0 THEN (s_stat + 1)
+                    ELSE 0 END
+               / sqrt(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) / 18.0),
+               9) AS z_statistic
+    FROM s
+    """,
+    tags=("events", "analytics", "timeseries"),
+)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the daily mean-value
+    series: S = sum of pairwise signs over all day pairs, Kendall's
+    tau normalization, and the continuity-corrected z statistic — the
+    nonparametric 'is this KPI actually trending' test that pairs
+    with the Theil-Sen slope estimate (events_theil_sen_trend gives
+    the magnitude, this gives the significance). The corpus collapses
+    to the ~30-row daily table first, so the pair join is bounded by
+    days², not data; signs of identical decimal-derived doubles are
+    identical. (No ties in practice here, so the normal-variance
+    form omits the tie correction — documented.)"""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("y")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.y") > F.col("a.y"), 1)
+        .when(F.col("b.y") < F.col("a.y"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(sgn.alias("sgn"))
+    n_ = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = pairs.agg(F.sum("sgn").cast("bigint").alias("s_stat")).crossJoin(
+        F.broadcast(n_)
+    )
+    corrected = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(F.lit(0))
+    )
+    return s.select(
+        "n",
+        "s_stat",
+        F.round(
+            F.col("s_stat").cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1) / 2),
+            9,
+        ).alias("kendall_tau"),
+        F.round(
+            corrected
+            / F.sqrt(
+                F.col("n").cast("double") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                / 18.0
+            ),
+            9,
+        ).alias("z_statistic"),
+    )
