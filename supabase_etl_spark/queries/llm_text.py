@@ -2309,3 +2309,78 @@ def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+BURSTY_MIN_DF = 5  # ignore ultra-rare terms
+BURSTY_TOP_K = 30
+
+
+@query(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+    ),
+    per_doc AS (
+        SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY t, doc_id
+    ),
+    stats AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS cf,
+               CAST(MAX(tf) AS BIGINT) AS max_tf
+        FROM per_doc GROUP BY t
+        HAVING COUNT(*) >= {BURSTY_MIN_DF}
+    ),
+    ranked AS (
+        SELECT t, df, cf, max_tf,
+               CAST(cf AS DOUBLE) / df AS burstiness,
+               ROW_NUMBER() OVER (ORDER BY CAST(cf AS DOUBLE) / df DESC, t)
+                   AS rn
+        FROM stats
+    )
+    SELECT t AS term, df, cf, max_tf, round(burstiness, 9) AS burstiness,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {BURSTY_TOP_K}
+    ORDER BY rank
+    """,
+    tags=("llm", "text"),
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church-Gale): cf/df — the mean occurrences of
+    a term WITHIN the documents that contain it. Content-bearing terms
+    burst (high cf/df: when they appear, they appear repeatedly);
+    function words spread thin — the signal that separates topical
+    keywords from glue vocabulary independently of raw frequency, and
+    a boilerplate detector when whole templates burst. One token
+    explode + two grouped counts (both map-side-combinable,
+    vocab-bounded) + a TakeOrdered top-k. Exact integer ratio, single
+    IEEE division."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
+    per_doc = tok.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = (
+        per_doc.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+            F.max("tf").cast("bigint").alias("max_tf"),
+        )
+        .filter(F.col("df") >= BURSTY_MIN_DF)
+    )
+    w = Window.orderBy(
+        (F.col("cf").cast("double") / F.col("df")).desc(), F.col("t")
+    )
+    return (
+        stats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BURSTY_TOP_K)
+        .select(
+            F.col("t").alias("term"),
+            "df",
+            "cf",
+            "max_tf",
+            F.round(F.col("cf").cast("double") / F.col("df"), 9).alias("burstiness"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+        .orderBy("rank")
+    )
