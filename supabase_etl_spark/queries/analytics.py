@@ -7806,3 +7806,111 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("z_statistic"),
     )
+
+
+@query(
+    "events_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS y
+        FROM events GROUP BY 1
+    ),
+    med AS (
+        SELECT CAST(SUM(CASE WHEN rn IN (CAST(floor((n + 1) / 2.0) AS BIGINT),
+                                         CAST(floor((n + 2) / 2.0) AS BIGINT))
+                             THEN y ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN rn IN (CAST(floor((n + 1) / 2.0) AS BIGINT),
+                                      CAST(floor((n + 2) / 2.0) AS BIGINT))
+                          THEN 1 ELSE 0 END) AS m
+        FROM (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM daily)
+    ),
+    signs AS (
+        SELECT day, CASE WHEN y > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
+        FROM daily WHERE y <> (SELECT m FROM med)
+    ),
+    runs AS (
+        SELECT s, LAG(s) OVER (ORDER BY day) AS prev FROM signs
+    ),
+    counts AS (
+        SELECT CAST(SUM(CASE WHEN prev IS NULL OR s <> prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r,
+               CAST(SUM(s) AS BIGINT) AS n1,
+               CAST(SUM(1 - s) AS BIGINT) AS n2
+        FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           round(1.0 + 2.0 * n1 * n2 / (n1 + n2), 9) AS expected_runs,
+           round((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                           * (n1 + n2 - 1))), 9) AS z_statistic
+    FROM counts
+    """,
+    tags=("events", "analytics", "statistics"),
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily series
+    around its exact median: too FEW runs of consecutive above/below
+    days means trending or regime persistence, too many means
+    oscillation — the model-free check that a KPI's day-to-day noise
+    is actually noise. Median from distributed order statistics,
+    median-equal days excluded (standard), runs counted by one LAG
+    over the day-bounded table, z from the exact run-count moments.
+    All corpus work is the one daily rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("y")
+    )
+    wr = Window.orderBy("y")
+    wn = Window.partitionBy()
+    ranked = daily.select(
+        "day",
+        "y",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+    hi = F.floor((F.col("n") + 2) / 2.0).cast("bigint")
+    is_mid = (F.col("rn") == lo) | (F.col("rn") == hi)
+    med = ranked.agg(
+        (
+            F.sum(F.when(is_mid, F.col("y")).otherwise(0.0)).cast("double")
+            / F.sum(F.when(is_mid, 1).otherwise(0))
+        ).alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("m"))
+        .select("day", F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("s"))
+    )
+    runs = signs.select("s", F.lag("s").over(Window.orderBy("day")).alias("prev"))
+    counts = runs.agg(
+        F.sum(F.when(F.col("prev").isNull() | (F.col("s") != F.col("prev")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("r"),
+        F.sum("s").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n2"),
+    )
+    er = 1.0 + 2.0 * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    nn = (F.col("n1") + F.col("n2")).cast("double")
+    var = (
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (nn * (F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2") - 1))
+    )
+    return counts.select(
+        F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.round(er, 9).alias("expected_runs"),
+        F.round((F.col("r") - er) / F.sqrt(var), 9).alias("z_statistic"),
+    )

@@ -2804,3 +2804,98 @@ def ml_eval_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "threshold")
     )
+
+
+@query(
+    "ml_eval_doubly_robust_ate",
+    oracle="""
+    WITH units AS (
+        SELECT c_custkey, c_acctbal AS y,
+               CAST(c_custkey % 2 AS INT) AS tr,
+               c_mktsegment AS seg, c_nationkey AS nat
+        FROM customer
+    ),
+    cells AS (
+        SELECT seg, nat,
+               CAST(SUM(tr) AS DOUBLE) / COUNT(*) AS e,
+               CAST(SUM(CASE WHEN tr = 1
+                    THEN CAST(y AS DECIMAL(28,6)) END) AS DOUBLE)
+               / NULLIF(SUM(tr), 0) AS m1,
+               CAST(SUM(CASE WHEN tr = 0
+                    THEN CAST(y AS DECIMAL(28,6)) END) AS DOUBLE)
+               / NULLIF(SUM(1 - tr), 0) AS m0
+        FROM units GROUP BY seg, nat
+        HAVING SUM(tr) > 0 AND SUM(1 - tr) > 0
+    ),
+    scored AS (
+        SELECT u.y, u.tr, c.e, c.m1, c.m0,
+               c.m1 - c.m0
+               + u.tr * (u.y - c.m1) / c.e
+               - (1 - u.tr) * (u.y - c.m0) / (1 - c.e) AS psi
+        FROM units u JOIN cells c ON u.seg = c.seg AND u.nat = c.nat
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+           round(CAST(SUM(CAST(round(psi, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS dr_ate,
+           round(CAST(SUM(CAST(round(m1 - m0, 6) AS DECIMAL(28,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS outcome_model_ate
+    FROM scored
+    """,
+    tags=("llm", "ml-eval", "causal"),
+)
+def ml_eval_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust (AIPW) average treatment effect: the influence
+    function psi = m1(x) − m0(x) + T(y−m1)/e − (1−T)(y−m0)/(1−e)
+    combines the stratified outcome model with inverse-propensity
+    residual corrections — consistent if EITHER model is right, the
+    estimator production causal pipelines prefer over plain IPW
+    (ml_eval_ipw_ate) or matching (ml_eval_propensity_matching),
+    completing the causal family. Cell models and propensities come
+    from one grouped pass (degenerate all-treated/all-control cells
+    excluded, as AIPW requires overlap); psi snaps to 6 dp before
+    exact decimal averaging. One scan + one broadcast cell join."""
+    cust = load_table(spark, sf_dir, "customer")
+    units = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("y"),
+        (F.col("c_custkey") % 2).cast("int").alias("tr"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    cells = (
+        units.groupBy("seg", "nat")
+        .agg(
+            (F.sum("tr").cast("double") / F.count(F.lit(1))).alias("e"),
+            (
+                F.sum(
+                    F.when(F.col("tr") == 1, F.col("y").cast("decimal(28,6)"))
+                ).cast("double")
+                / F.sum("tr")
+            ).alias("m1"),
+            (
+                F.sum(
+                    F.when(F.col("tr") == 0, F.col("y").cast("decimal(28,6)"))
+                ).cast("double")
+                / F.sum(1 - F.col("tr"))
+            ).alias("m0"),
+            F.sum("tr").alias("nt"),
+            F.sum(1 - F.col("tr")).alias("nc"),
+        )
+        .filter((F.col("nt") > 0) & (F.col("nc") > 0))
+        .select("seg", "nat", "e", "m1", "m0")
+    )
+    psi = (
+        F.col("m1")
+        - F.col("m0")
+        + F.col("tr") * (F.col("y") - F.col("m1")) / F.col("e")
+        - (1 - F.col("tr")) * (F.col("y") - F.col("m0")) / (1 - F.col("e"))
+    )
+    scored = units.join(F.broadcast(cells), ["seg", "nat"]).select(
+        psi.alias("psi"), (F.col("m1") - F.col("m0")).alias("om")
+    )
+    d6 = lambda c: F.sum(F.round(c, 6).cast("decimal(28,6)")).cast("double")  # noqa: E731
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.round(d6(F.col("psi")) / F.count(F.lit(1)), 6).alias("dr_ate"),
+        F.round(d6(F.col("om")) / F.count(F.lit(1)), 6).alias("outcome_model_ate"),
+    )
