@@ -7914,3 +7914,110 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(er, 9).alias("expected_runs"),
         F.round((F.col("r") - er) / F.sqrt(var), 9).alias("z_statistic"),
     )
+
+
+@query(
+    "graph_reciprocity_dyad_census",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+    ),
+    nodes AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT src AS v FROM e UNION SELECT dst FROM e
+        )
+    ),
+    mutual AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m2
+        FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+        WHERE a.src < a.dst
+    ),
+    counts AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+               (SELECT m2 FROM mutual) AS mutual_dyads,
+               (SELECT n FROM nodes) AS n_nodes
+    )
+    SELECT n_nodes, n_edges, mutual_dyads,
+           n_edges - 2 * mutual_dyads AS asymmetric_dyads,
+           CAST(n_nodes * (n_nodes - 1) // 2
+               - mutual_dyads - (n_edges - 2 * mutual_dyads) AS BIGINT)
+               AS null_dyads,
+           round(2.0 * mutual_dyads / n_edges, 9) AS reciprocity
+    FROM counts
+    """,
+    tags=("graph",),
+)
+def graph_reciprocity_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity and the Holland-Leinhardt dyad census of the
+    DIRECTED nation trade graph (supplier nation → customer nation):
+    mutual / asymmetric / null dyads and the reciprocity ratio
+    2M/E — does trade flow both ways between country pairs, the
+    directed-structure diagnostic the undirected ops (triangles,
+    k-core/truss) cannot see. One distinct-edge aggregation over the
+    star join, then a src/dst-keyed self-join for mutual pairs on the
+    25-node edge list — metadata-sized after the corpus pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst")
+    )
+    e = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), sup["s_nationkey"] == F.col("sk"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("ck"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    mutual = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+        )
+        .filter(F.col("a.src") < F.col("a.dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mutual_dyads"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        nodes.crossJoin(n_edges)
+        .crossJoin(mutual)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "mutual_dyads",
+            (F.col("n_edges") - 2 * F.col("mutual_dyads")).alias("asymmetric_dyads"),
+            (
+                F.col("n_nodes") * (F.col("n_nodes") - 1) / 2
+                - F.col("mutual_dyads")
+                - (F.col("n_edges") - 2 * F.col("mutual_dyads"))
+            )
+            .cast("bigint")
+            .alias("null_dyads"),
+            F.round(2.0 * F.col("mutual_dyads") / F.col("n_edges"), 9).alias(
+                "reciprocity"
+            ),
+        )
+    )
