@@ -1090,3 +1090,132 @@ def ml_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tau")
     )
+
+
+# ---------------------------------------------------------------------------
+# lasso by coordinate descent on sufficient statistics (unrolled sweeps)
+# ---------------------------------------------------------------------------
+
+LASSO_LAMBDA = "5000.0"  # L1 strength on the slope coefficients
+LASSO_SWEEPS = 4
+
+
+def _lasso_exprs() -> list[tuple[str, str]]:
+    """Unrolled coordinate-descent sweeps as scalar SQL expressions
+    over the sufficient statistics (n, sx1, sx2, sx11, sx12, sx22, sy,
+    sx1y, sx2y). Evaluated via F.expr in Spark and verbatim in the
+    oracle, so both engines walk identical doubles."""
+    lam = f"CAST('{LASSO_LAMBDA}' AS DOUBLE)"
+    out = [("b0_0", "sy / n"), ("b1_0", "CAST(0.0 AS DOUBLE)"),
+           ("b2_0", "CAST(0.0 AS DOUBLE)")]
+    for t in range(1, LASSO_SWEEPS + 1):
+        p = t - 1
+        rho1 = f"(sx1y - b0_{p} * sx1 - b2_{p} * sx12)"
+        out.append((
+            f"b1_{t}",
+            f"(CASE WHEN {rho1} > {lam} THEN ({rho1} - {lam}) / sx11 "
+            f"WHEN {rho1} < -{lam} THEN ({rho1} + {lam}) / sx11 "
+            f"ELSE CAST(0.0 AS DOUBLE) END)",
+        ))
+        rho2 = f"(sx2y - b0_{p} * sx2 - b1_{t} * sx12)"
+        out.append((
+            f"b2_{t}",
+            f"(CASE WHEN {rho2} > {lam} THEN ({rho2} - {lam}) / sx22 "
+            f"WHEN {rho2} < -{lam} THEN ({rho2} + {lam}) / sx22 "
+            f"ELSE CAST(0.0 AS DOUBLE) END)",
+        ))
+        out.append((f"b0_{t}", f"(sy - b1_{t} * sx1 - b2_{t} * sx2) / n"))
+    return out
+
+
+def _lasso_oracle() -> str:
+    steps = ""
+    prev = "s"
+    for i, (name, expr) in enumerate(_lasso_exprs()):
+        cur = f"l{i}"
+        steps += f",\n    {cur} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = cur
+    t = LASSO_SWEEPS
+    return f"""
+    WITH feat AS (
+        SELECT o_orderkey % 7 AS x1,
+               CASE o_orderpriority
+                    WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                    WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                    ELSE 5 END AS x2,
+               o_totalprice AS y
+        FROM orders
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS sx1,
+               CAST(SUM(x2) AS BIGINT) AS sx2,
+               CAST(SUM(x1 * x1) AS BIGINT) AS sx11,
+               CAST(SUM(x1 * x2) AS BIGINT) AS sx12,
+               CAST(SUM(x2 * x2) AS BIGINT) AS sx22,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x1 * y AS DECIMAL(28,6))) AS DOUBLE) AS sx1y,
+               CAST(SUM(CAST(x2 * y AS DECIMAL(28,6))) AS DOUBLE) AS sx2y
+        FROM feat
+    ){steps}
+    SELECT n, round(b0_{t}, 9) AS beta0, round(b1_{t}, 9) AS beta1,
+           round(b2_{t}, 9) AS beta2,
+           (b1_{t} = 0.0) AS x1_zeroed, (b2_{t} = 0.0) AS x2_zeroed
+    FROM {prev}
+    """
+
+
+@query("ml_lasso_coordinate_descent", oracle=_lasso_oracle(),
+       tags=("llm", "ml-train", "iterative"))
+def ml_lasso_coordinate_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lasso (L1) regression by coordinate descent, four sweeps
+    unrolled — completing the regularization family next to ridge
+    (ml_ridge_regression_normal): each coordinate update is the
+    soft-threshold S(rho_j, lambda)/z_j, and because the model has
+    tiny p, EVERY sweep is closed-form scalar arithmetic over the
+    same nine sufficient statistics the ridge solve uses — one corpus
+    pass total, zero per-sweep scans (the 'big n, tiny p' shape). The
+    zeroed-coefficient flags expose the feature-selection behavior
+    that distinguishes L1 from L2. Sweep expressions are generated
+    once and run via F.expr + verbatim oracle SQL (the Viterbi
+    precedent), so both engines walk identical doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    x2 = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 3)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 4)
+        .otherwise(5)
+    )
+    feat = o.select(
+        (F.col("o_orderkey") % 7).alias("x1"),
+        x2.alias("x2"),
+        F.col("o_totalprice").alias("y"),
+    )
+    s = feat.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum(F.col("y").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x1") * F.col("y")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sx1y"),
+        F.sum((F.col("x2") * F.col("y")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sx2y"),
+    )
+    cur = s
+    for name, expr in _lasso_exprs():
+        cur = cur.withColumn(name, F.expr(expr))
+    t = LASSO_SWEEPS
+    return cur.select(
+        "n",
+        F.round(F.col(f"b0_{t}"), 9).alias("beta0"),
+        F.round(F.col(f"b1_{t}"), 9).alias("beta1"),
+        F.round(F.col(f"b2_{t}"), 9).alias("beta2"),
+        (F.col(f"b1_{t}") == 0.0).alias("x1_zeroed"),
+        (F.col(f"b2_{t}") == 0.0).alias("x2_zeroed"),
+    )
