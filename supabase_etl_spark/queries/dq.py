@@ -2200,3 +2200,123 @@ def dq_association_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+@query(
+    "dq_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               dayofweek(CAST(ts AS DATE)) AS dow,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2
+    ),
+    baseline AS (
+        SELECT dow,
+               CAST(SUM(CAST(total AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+                   AS dow_mean
+        FROM daily GROUP BY dow
+    ),
+    resid AS (
+        SELECT d.day, d.total, b.dow_mean, d.total - b.dow_mean AS r
+        FROM daily d JOIN baseline b ON d.dow = b.dow
+    ),
+    rmed AS (
+        SELECT CAST(SUM(CASE WHEN rn IN (CAST(floor((n + 1) / 2.0) AS BIGINT),
+                                         CAST(floor((n + 2) / 2.0) AS BIGINT))
+                             THEN r ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN rn IN (CAST(floor((n + 1) / 2.0) AS BIGINT),
+                                      CAST(floor((n + 2) / 2.0) AS BIGINT))
+                          THEN 1 ELSE 0 END) AS m
+        FROM (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn,
+                     COUNT(*) OVER () AS n FROM resid)
+    ),
+    absr AS (
+        SELECT day, total, dow_mean, r,
+               ABS(r - (SELECT m FROM rmed)) AS ar
+        FROM resid
+    ),
+    madv AS (
+        SELECT CAST(SUM(CASE WHEN rn IN (CAST(floor((n + 1) / 2.0) AS BIGINT),
+                                         CAST(floor((n + 2) / 2.0) AS BIGINT))
+                             THEN ar ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN rn IN (CAST(floor((n + 1) / 2.0) AS BIGINT),
+                                      CAST(floor((n + 2) / 2.0) AS BIGINT))
+                          THEN 1 ELSE 0 END) AS mad
+        FROM (SELECT ar, ROW_NUMBER() OVER (ORDER BY ar) AS rn,
+                     COUNT(*) OVER () AS n FROM absr)
+    )
+    SELECT a.day, round(a.total, 6) AS total,
+           round(a.dow_mean, 6) AS dow_baseline,
+           round((a.r - rm.m)
+                 / (CAST('1.4826' AS DOUBLE) * mv.mad), 9) AS robust_z,
+           ABS((a.r - rm.m) / (CAST('1.4826' AS DOUBLE) * mv.mad)) > 2.5
+               AS is_anomaly
+    FROM absr a CROSS JOIN rmed rm CROSS JOIN madv mv
+    ORDER BY a.day
+    """,
+    tags=("dq", "monitoring"),
+)
+def dq_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly alerting: daily totals are compared
+    against their WEEKDAY baseline (a Monday is judged against
+    Mondays), and the residuals are flagged by the robust z-score
+    (median/MAD x 1.4826 — outlier-proof, unlike the mean/stddev the
+    plain SPC chart uses). The alert shape every volumetric monitor
+    converges on: seasonal baseline first, robust dispersion second.
+    One daily rollup is the only corpus work; the baseline join,
+    median ranks and MAD all run on the day-grained table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total"))
+    baseline = daily.groupBy("dow").agg(
+        (
+            F.sum(F.col("total").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dow_mean")
+    )
+    resid = daily.join(F.broadcast(baseline), "dow").select(
+        "day", "total", "dow_mean", (F.col("total") - F.col("dow_mean")).alias("r")
+    )
+
+    def _median(df: DataFrame, col: str) -> DataFrame:
+        wr = Window.orderBy(col)
+        wn = Window.partitionBy()
+        ranked = df.select(
+            F.col(col),
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        lo = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+        hi = F.floor((F.col("n") + 2) / 2.0).cast("bigint")
+        is_mid = (F.col("rn") == lo) | (F.col("rn") == hi)
+        return ranked.agg(
+            (
+                F.sum(F.when(is_mid, F.col(col)).otherwise(0.0)).cast("double")
+                / F.sum(F.when(is_mid, 1).otherwise(0))
+            ).alias("m")
+        )
+
+    rmed = _median(resid, "r")
+    absr = resid.crossJoin(F.broadcast(rmed)).select(
+        "day", "total", "dow_mean", "r", F.abs(F.col("r") - F.col("m")).alias("ar"),
+        F.col("m").alias("rm"),
+    )
+    madv = _median(absr.select(F.col("ar").alias("ar")), "ar").select(
+        F.col("m").alias("mad")
+    )
+    k = float("1.4826")
+    z = (F.col("r") - F.col("rm")) / (k * F.col("mad"))
+    return (
+        absr.crossJoin(F.broadcast(madv))
+        .select(
+            "day",
+            F.round("total", 6).alias("total"),
+            F.round("dow_mean", 6).alias("dow_baseline"),
+            F.round(z, 9).alias("robust_z"),
+            (F.abs(z) > 2.5).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
