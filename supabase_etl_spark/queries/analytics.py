@@ -8021,3 +8021,154 @@ def graph_reciprocity_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+RMST_TAU = 200  # restriction horizon (hours)
+
+
+@query(
+    "events_survival_rmst",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS first_seen,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+               max(ts) AS last_seen
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT CAST(floor((epoch_us(COALESCE(first_purchase, last_seen))
+                           - epoch_us(first_seen)) / 3600000000.0) AS BIGINT)
+                   AS t_obs,
+               (first_purchase IS NOT NULL) AS is_event
+        FROM per_user
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM obs),
+    drops AS (SELECT t_obs AS t, CAST(count(*) AS BIGINT) AS leaving
+              FROM obs GROUP BY t_obs),
+    events_t AS (
+        SELECT t_obs AS t, CAST(count(*) AS BIGINT) AS d
+        FROM obs WHERE is_event GROUP BY t_obs
+    ),
+    risk AS (
+        SELECT e.t, e.d,
+               tot.n_total
+               - COALESCE(SUM(dr.leaving) OVER (ORDER BY e.t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM events_t e LEFT JOIN drops dr ON e.t = dr.t CROSS JOIN tot
+    ),
+    km AS (
+        SELECT t,
+               exp(SUM(ln(greatest(1.0 - CAST(d AS DOUBLE) / n_risk, 1e-12)))
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS s,
+               LEAD(t) OVER (ORDER BY t) AS t_next
+        FROM risk WHERE t < {RMST_TAU}
+    ),
+    segs AS (
+        -- S=1 from 0 to the first event time
+        SELECT 1.0 AS s, (SELECT COALESCE(MIN(t), {RMST_TAU}) FROM km) AS width
+        UNION ALL
+        SELECT s, LEAST(COALESCE(t_next, {RMST_TAU}), {RMST_TAU}) - t AS width
+        FROM km
+    )
+    SELECT CAST({RMST_TAU} AS BIGINT) AS tau_hours,
+           round(CAST(SUM(CAST(round(s * width, 9) AS DECIMAL(38,12)))
+                      AS DOUBLE), 6) AS rmst_hours,
+           round(CAST(SUM(CAST(round(s * width, 9) AS DECIMAL(38,12)))
+                      AS DOUBLE) / {RMST_TAU}, 9) AS rmst_fraction
+    FROM segs
+    """,
+    tags=("events", "analytics", "survival"),
+)
+def events_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time: the area under the Kaplan-Meier
+    curve up to tau=200h — 'expected purchase-free hours in the first
+    200', the effect measure modern trials report when hazards are
+    non-proportional and medians mislead. The KM step function
+    integrates exactly as sum(S_i x interval width) with the S=1 head
+    segment; S values come from the same exp-sum-ln windows as
+    events_kaplan_meier, widths are exact integer hours, and the
+    products round-9 into decimal sums. Corpus work = one user-keyed
+    aggregation; everything after runs on the event-time table."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+        F.max("ts").alias("last_seen"),
+    )
+    us = lambda c: F.unix_micros(c)  # noqa: E731
+    obs = per_user.select(
+        F.floor(
+            (us(F.coalesce("first_purchase", "last_seen")) - us(F.col("first_seen")))
+            / F.lit(3600000000.0)
+        )
+        .cast("bigint")
+        .alias("t_obs"),
+        F.col("first_purchase").isNotNull().alias("is_event"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    drops = obs.groupBy(F.col("t_obs").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaving")
+    )
+    events_t = (
+        obs.filter("is_event")
+        .groupBy(F.col("t_obs").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        events_t.join(drops, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d",
+            (F.col("n_total") - F.coalesce(F.sum("leaving").over(before), F.lit(0)))
+            .alias("n_risk"),
+        )
+    )
+    upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = risk.filter(F.col("t") < RMST_TAU).select(
+        "t",
+        F.exp(
+            F.sum(
+                F.log(
+                    F.greatest(
+                        F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"),
+                        F.lit(1e-12),
+                    )
+                )
+            ).over(upto)
+        ).alias("s"),
+        F.lead("t").over(Window.orderBy("t")).alias("t_next"),
+    )
+    head = km.agg(
+        F.lit(1.0).alias("s"),
+        F.coalesce(F.min("t"), F.lit(RMST_TAU)).cast("double").alias("width"),
+    )
+    tail = km.select(
+        "s",
+        (
+            F.least(F.coalesce("t_next", F.lit(RMST_TAU)), F.lit(RMST_TAU))
+            - F.col("t")
+        )
+        .cast("double")
+        .alias("width"),
+    )
+    segs = head.unionByName(tail)
+    return segs.agg(
+        F.lit(RMST_TAU).cast("bigint").alias("tau_hours"),
+        F.round(
+            F.sum(F.round(F.col("s") * F.col("width"), 9).cast("decimal(38,12)"))
+            .cast("double"),
+            6,
+        ).alias("rmst_hours"),
+        F.round(
+            F.sum(F.round(F.col("s") * F.col("width"), 9).cast("decimal(38,12)"))
+            .cast("double")
+            / RMST_TAU,
+            9,
+        ).alias("rmst_fraction"),
+    )
