@@ -232,6 +232,74 @@ class _FileSlice(InputPartition):
         self.path = path
 
 
+def _parse_ddl_fields(ddl: str) -> tuple[list[str], list[str]]:
+    """Split a DDL string into (names, lowercased types) at TOP-LEVEL
+    commas only — a naive ``split(',')`` corrupts parameterized types
+    like ``decimal(10,2)`` (ADVICE r6). Supported type subset for the
+    JSONL transport: integral / floating / boolean / string /
+    decimal(p,s) / date / timestamp. Nested types (struct/map/array)
+    have no canonical JSONL scalar encoding here, so they raise up
+    front rather than yielding corrupt rows."""
+    fields: list[str] = []
+    types: list[str] = []
+    depth, start = 0, 0
+    parts: list[str] = []
+    for i, ch in enumerate(ddl):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(ddl[start:i])
+            start = i + 1
+    parts.append(ddl[start:])
+    for part in parts:
+        part = part.strip()
+        if not part:
+            continue
+        name, _, typ = part.partition(" ")
+        typ = typ.strip().lower()
+        if not typ:
+            raise ValueError(f"DDL field missing a type: {part!r}")
+        base = typ.replace("<", "(").split("(")[0].strip()
+        if base in ("struct", "map", "array"):
+            raise ValueError(
+                f"unsupported nested type {typ!r} for the JSONL source; "
+                "supported: int/bigint/float/double/boolean/string/"
+                "decimal(p,s)/date/timestamp"
+            )
+        fields.append(name.strip())
+        types.append(typ)
+    return fields, types
+
+
+def _jsonl_cast(typ: str):
+    """Python-side cast for one supported DDL type (see _parse_ddl_fields)."""
+    base = typ.split("(")[0].strip()
+    if base in ("bigint", "int", "long", "integer", "smallint", "tinyint"):
+        return int
+    if base in ("double", "float", "real"):
+        return float
+    if base in ("boolean", "bool"):
+        # JSON carries real booleans; tolerate the writer's str() form too
+        return lambda v: v if isinstance(v, bool) else str(v).lower() == "true"
+    if base in ("decimal", "numeric"):
+        import decimal
+
+        return lambda v: decimal.Decimal(str(v))
+    if base == "date":
+        import datetime as _dt
+
+        return lambda v: _dt.date.fromisoformat(str(v))
+    if base == "timestamp":
+        import datetime as _dt
+
+        return lambda v: _dt.datetime.fromisoformat(str(v))
+    if base in ("string", "varchar", "char"):
+        return str
+    raise ValueError(f"unsupported type {typ!r} for the JSONL source")
+
+
 class ManifestJsonlReader(DataSourceReader):
     """Batch READER half of the chunked-jsonl source — completes the
     Python DataSource matrix cell (batch writer above, stream pair in
@@ -250,12 +318,7 @@ class ManifestJsonlReader(DataSourceReader):
         self.ddl = options.get("schema")
         if not self.ddl:
             raise ValueError("option 'schema' (DDL string) is required")
-        self.fields = [
-            f.strip().split()[0] for f in self.ddl.split(",")
-        ]
-        self.types = [
-            f.strip().split(None, 1)[1].strip().lower() for f in self.ddl.split(",")
-        ]
+        self.fields, self.types = _parse_ddl_fields(self.ddl)
 
     def partitions(self):
         manifest = os.path.join(self.dest, "_committed.json")
@@ -266,14 +329,7 @@ class ManifestJsonlReader(DataSourceReader):
         ]
 
     def read(self, partition: _FileSlice):
-        casts = []
-        for t in self.types:
-            if t in ("bigint", "int", "long", "integer"):
-                casts.append(int)
-            elif t in ("double", "float"):
-                casts.append(float)
-            else:
-                casts.append(str)
+        casts = [_jsonl_cast(t) for t in self.types]
         with open(partition.path) as fh:
             for line in fh:
                 if not line.strip():

@@ -240,7 +240,19 @@ def _read_tagged(
     if v <= 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _read_manifest(table_dir, v)
-    paths = [os.path.join(table_dir, f) for f in manifest["files"]]
+    return _scan_tagged(spark, table_dir, manifest["files"], manifest.get("deletes", []))
+
+
+def _scan_tagged(
+    spark: SparkSession, table_dir: str, files: list[str], deletes: list[dict]
+) -> DataFrame:
+    """Scan an explicit file list with MOR equality deletes applied,
+    rows tagged with their source data file. Shared by snapshot reads
+    (``_read_tagged``) and WAP branch reads (``read_branch``) so both
+    surfaces honor the same delete semantics."""
+    from pyspark.sql import functions as F
+
+    paths = [os.path.join(table_dir, f) for f in files]
     # mergeSchema: snapshots written under schema evolution mix file
     # schemas; the footer union adds columns null-filled for old files
     # (harmless no-op when every file agrees)
@@ -252,7 +264,7 @@ def _read_tagged(
     # delete time), so rows appended LATER with a deleted key are not
     # affected. Each application is one anti-join on the delete's key
     # columns; compact_mor() folds them away.
-    for entry in manifest.get("deletes", []):
+    for entry in deletes:
         keys = spark.read.parquet(
             *[os.path.join(table_dir, p) for p in entry["files"]]
         ).distinct()
@@ -654,6 +666,10 @@ def restore(table_dir: str, version: int, note: str = "") -> int:
         note or f"restore-to-v{version}",
         base_version=base,
         deletes=target.get("deletes", []),
+        # partition metadata is part of the snapshot being restored:
+        # dropping it would break read_partitioned(filters=...) on the
+        # restored version (ADVICE r6, low)
+        partitions=target.get("partitions"),
     )
 
 
@@ -716,9 +732,19 @@ def stage(
     new_files = _write_data_files(df, table_dir)
     base = current_version(table_dir)
     files = list(new_files)
+    deletes: list[dict] = []
     if mode == "append" and base > 0:
-        files = _read_manifest(table_dir, base)["files"] + new_files
+        base_manifest = _read_manifest(table_dir, base)
+        files = base_manifest["files"] + new_files
+        # Carry the base snapshot's MOR equality deletes into the staged
+        # snapshot: they scope to base data files (applies_to), which the
+        # append keeps, so dropping them would resurrect deleted rows on
+        # publish (ADVICE r6, medium). Overwrite mode replaces the whole
+        # file set, so no base delete can apply.
+        deletes = base_manifest.get("deletes", [])
     payload = {"branch": branch, "base_version": base, "files": files, "note": note}
+    if deletes:
+        payload["deletes"] = deletes
     tmp = _branch_path(table_dir, branch) + f".tmp_{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
@@ -733,9 +759,10 @@ def read_branch(spark: SparkSession, table_dir: str, branch: str) -> DataFrame:
     if not os.path.exists(path):
         raise FileNotFoundError(f"no branch {branch!r} in {table_dir}")
     with open(path) as fh:
-        files = json.load(fh)["files"]
-    paths = [os.path.join(table_dir, f) for f in files]
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+        staged = json.load(fh)
+    return _scan_tagged(
+        spark, table_dir, staged["files"], staged.get("deletes", [])
+    ).drop("_file")
 
 
 def publish_branch(table_dir: str, branch: str, note: str = "") -> int:
@@ -757,6 +784,7 @@ def publish_branch(table_dir: str, branch: str, note: str = "") -> int:
         staged["files"],
         note or f"publish-{branch}",
         base_version=staged["base_version"],
+        deletes=staged.get("deletes", []),
     )
     os.unlink(path)
     return v

@@ -79,12 +79,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), benc
 
 
 # The driver's independent oracle samples the FIRST 50 registry entries.
-# Spend those slots on the flagship LLM-pipeline / streaming /
-# lake-maintenance operators (the hardest-to-verify components) rather
-# than relational basics, which the 277-query local gate already covers
-# with the identical DuckDB protocol. Order within the list groups by
-# family; every name must exist in REGISTRY (asserted below).
-DRIVER_PRIORITY: tuple[str, ...] = (
+# Those slots ROTATE every round (VERDICT r6 task 1): the window is computed
+# from the committed CORRECTNESS_r*.json driver artifacts — the first 50
+# oracle-bearing registry names that have NEVER appeared in a prior
+# driver run, allocated across the least-verified families by quota.
+# Once every query has been driver-verified, the window cycles back to
+# the least-recently-verified names. The r1–r6 hand-picked window below
+# is kept as the deterministic fallback when no artifacts are readable
+# (fresh clone without round history).
+_STATIC_PRIORITY: tuple[str, ...] = (
     # dedup family
     "dedup_exact", "dedup_minhash_lsh",
     "dedup_embedding_cosine",
@@ -120,13 +123,78 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_pyds_sink_roundtrip", "stream_cdc_merge_manifest",
 )
 
+# Family quotas for the rotated window, in fill order. Six under-verified
+# families × 8-10 slots = 50. When a family runs dry (fully verified in
+# prior rounds) its unused slots backfill from the remaining candidates
+# in registry order, so the window always holds 50 names while any
+# unverified oracle-bearing query exists.
+_ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
+    ("ml_eval_", 10),
+    ("ml_", 8),
+    ("graph_", 8),
+    ("io_manifest_", 8),
+    ("multimodal_", 8),
+    ("stream_", 8),
+)
+_WINDOW_SIZE = 50
+
+# Computed on first load_all(); falls back to _STATIC_PRIORITY.
+DRIVER_PRIORITY: tuple[str, ...] = ()
+
+
+def driver_verified_names(root: "str | None" = None) -> set[str]:
+    """Query names green in any committed driver artifact.
+
+    Reads ``CORRECTNESS_r*.json`` at the repo root (NOT the builder's
+    ``CORRECTNESS_local_*`` artifacts — only independent driver runs
+    retire a name from the rotation).
+    """
+    import json
+    from pathlib import Path
+
+    base = Path(root) if root else Path(__file__).resolve().parents[2]
+    seen: set[str] = set()
+    for p in sorted(base.glob("CORRECTNESS_r[0-9]*.json")):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            seen.update(k for k, v in data.items() if isinstance(v, dict))
+    return seen
+
+
+def compute_driver_priority(registry: dict[str, QuerySpec], seen: set[str]) -> tuple[str, ...]:
+    """The 50-slot driver window: never-driver-verified, oracle-bearing
+    names first, allocated by family quota then backfilled in registry
+    order; if fewer than 50 unverified names remain, the oldest-verified
+    names cycle back in (registry order) to keep re-checking coverage."""
+    candidates = [n for n, s in registry.items() if s.oracle is not None and n not in seen]
+    window: list[str] = []
+    for prefix, quota in _ROTATION_QUOTAS:
+        fam = [n for n in candidates if n.startswith(prefix) and n not in window]
+        window.extend(fam[:quota])
+    for n in candidates:  # backfill unused quota slots
+        if len(window) >= _WINDOW_SIZE:
+            break
+        if n not in window:
+            window.append(n)
+    if len(window) < _WINDOW_SIZE:  # everything verified: cycle oracle names again
+        for n, s in registry.items():
+            if len(window) >= _WINDOW_SIZE:
+                break
+            if s.oracle is not None and n not in window:
+                window.append(n)
+    return tuple(window[:_WINDOW_SIZE])
+
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (idempotent) and return the registry.
 
-    The returned dict is reordered so DRIVER_PRIORITY names come first
-    (the driver's correctness gate samples the first 50 entries).
+    The returned dict is reordered so the rotated driver window comes
+    first (the driver's correctness gate samples the first 50 entries).
     """
+    global DRIVER_PRIORITY
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
@@ -136,9 +204,12 @@ def load_all() -> dict[str, QuerySpec]:
             # fail loudly or the registry silently shrinks (ADVICE r1).
             if e.name != mod:
                 raise
-    missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
+    seen = driver_verified_names()
+    priority = compute_driver_priority(REGISTRY, seen) if seen else _STATIC_PRIORITY
+    missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise ValueError(f"DRIVER_PRIORITY names not in registry: {missing}")
+    DRIVER_PRIORITY = tuple(priority)
     ordered = {n: REGISTRY[n] for n in DRIVER_PRIORITY}
     ordered.update({n: s for n, s in REGISTRY.items() if n not in ordered})
     return ordered

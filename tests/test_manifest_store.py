@@ -754,3 +754,38 @@ def test_commit_with_retry_wins_after_race(spark, tmp_path, monkeypatch):
     assert fails["left"] == 0
     assert v == 4 == M.current_version(t)
     assert M.read(spark, t, v).count() == 3
+
+
+def test_branch_staged_on_mor_table_keeps_deletes(spark, tmp_path):
+    """WAP × MOR interplay (ADVICE r6, medium): staging an append branch
+    on a table with live merge-on-read deletes must carry the deletes —
+    read_branch() applies them and publish_branch() commits them, so
+    publishing never resurrects deleted rows on main."""
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(100).selectExpr("id", "id AS v"), t, "overwrite")
+    M.delete_where_mor(spark, t, "id < 10", ["id"])  # 90 live rows
+    M.stage(spark.range(1000, 1020).selectExpr("id", "id AS v"), t, "audit")
+    # the audit surface already honors the deletes
+    branch_ids = {r["id"] for r in M.read_branch(spark, t, "audit").collect()}
+    assert branch_ids == set(range(10, 100)) | set(range(1000, 1020))
+    v = M.publish_branch(t, "audit")
+    main_ids = {r["id"] for r in M.read(spark, t, v).collect()}
+    assert main_ids == branch_ids, "publish resurrected MOR-deleted rows"
+    # overwrite-mode staging replaces the file set: base deletes gone
+    M.stage(spark.range(5), t, "fresh", mode="overwrite")
+    assert M.read_branch(spark, t, "fresh").count() == 5
+
+
+def test_restore_preserves_partition_metadata(spark, tmp_path):
+    """restore() must forward the target snapshot's partitions map
+    (ADVICE r6, low): a restored hidden-partitioned snapshot stays
+    filter-prunable via read_partitioned()."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(40).selectExpr("id", "id AS v")
+    M.commit_partitioned(df, t, {"band": "id % 4"})
+    M.commit(spark.range(5), t, "overwrite")  # v2 clobbers main
+    v3 = M.restore(t, 1)
+    pruned, total, n_read = M.read_partitioned(spark, t, filters={"band": "2"})
+    assert n_read < total
+    assert sorted(r["id"] for r in pruned.collect()) == [i for i in range(40) if i % 4 == 2]
+    assert M.read(spark, t, v3).count() == 40

@@ -167,3 +167,52 @@ def test_stream_writer_abort_cleans_stage(spark, tmp_path):
     w.abort([m], batchId=0)
     assert not os.path.exists(m.path)
     assert not os.path.exists(os.path.join(dest, "_committed.json"))
+
+
+def test_reader_parses_parameterized_and_boolean_types(spark, tmp_path):
+    """DDL schema parsing must split on TOP-LEVEL commas only and carry
+    real types: decimal(10,2) (comma inside the type), boolean (was
+    falling into the str branch, yielding 'True'/'False' strings —
+    ADVICE r6), and date round-trip."""
+    register(spark)
+    dest = str(tmp_path / "typed")
+    src = spark.range(6).selectExpr(
+        "id",
+        "CAST(id * 1.25 AS DECIMAL(10,2)) AS amount",
+        "id % 2 = 0 AS flag",
+        "DATE'2024-03-01' + CAST(id AS INT) AS d",
+    )
+    src.coalesce(1).write.format("chunked_jsonl").option("path", dest).mode("append").save()
+    back = (
+        spark.read.format("chunked_jsonl")
+        .option("path", dest)
+        .option("schema", "id bigint, amount decimal(10,2), flag boolean, d date")
+        .load()
+    )
+    assert [f.dataType.simpleString() for f in back.schema.fields] == [
+        "bigint", "decimal(10,2)", "boolean", "date",
+    ]
+    rows = {r["id"]: r for r in back.collect()}
+    assert len(rows) == 6
+    import datetime as dt
+    from decimal import Decimal
+
+    for i in range(6):
+        assert rows[i]["amount"] == Decimal(str(i * 1.25)).quantize(Decimal("0.01"))
+        assert rows[i]["flag"] is (i % 2 == 0)
+        assert rows[i]["d"] == dt.date(2024, 3, 1) + dt.timedelta(days=i)
+
+
+def test_reader_rejects_nested_types_up_front(spark, tmp_path):
+    """struct/map/array have no JSONL scalar encoding here: the reader
+    must raise at plan time, not yield corrupt rows."""
+    from supabase_etl_spark.io.jsonl_sink_source import _parse_ddl_fields
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported nested type"):
+        _parse_ddl_fields("id bigint, s struct<a:int,b:string>")
+    # and the happy path keeps names/types aligned through the comma
+    names, types = _parse_ddl_fields("a decimal(10,2), b string, c map_like_name int")
+    assert names == ["a", "b", "c"]
+    assert types == ["decimal(10,2)", "string", "int"]
