@@ -213,6 +213,6 @@ def test_reader_rejects_nested_types_up_front(spark, tmp_path):
     with _pytest.raises(ValueError, match="unsupported nested type"):
         _parse_ddl_fields("id bigint, s struct<a:int,b:string>")
     # and the happy path keeps names/types aligned through the comma
-    names, types = _parse_ddl_fields("a decimal(10,2), b string, c map_like_name int")
-    assert names == ["a", "b", "c"]
+    names, types = _parse_ddl_fields("a decimal(10,2), b string, map_like_name int")
+    assert names == ["a", "b", "map_like_name"]
     assert types == ["decimal(10,2)", "string", "int"]
