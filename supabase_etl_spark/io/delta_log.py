@@ -95,11 +95,20 @@ def snapshot_files(
         cp_path = os.path.join(
             _log_dir(table_dir), f"{cp['version']:020d}.checkpoint.parquet"
         )
+        cp_df = spark.read.parquet(cp_path)
+        cols = ["add.path", "remove.path"]
+        has_protocol = "protocol" in cp_df.columns
+        if has_protocol:
+            cols.append("protocol.minReaderVersion")
         for row in (
-            spark.read.parquet(cp_path)
-            .select("add.path", "remove.path")
-            .collect()
+            cp_df.select(*cols).collect()
         ):  # checkpoint rows: one action each, O(files) bounded
+            if has_protocol and row[2] is not None and row[2] > 1:
+                raise NotImplementedError(
+                    f"Delta minReaderVersion {row[2]} needs features "
+                    "(deletion vectors / column mapping) this reader "
+                    "does not implement"
+                )
             if row[0] is not None:
                 live[row[0]] = True
             if row[1] is not None:
@@ -245,6 +254,35 @@ def write_checkpoint(spark: SparkSession, table_dir: str) -> int:
     version."""
     v = current_version(table_dir)
     files = snapshot_files(spark, table_dir, v)
+    # The Delta protocol requires checkpoints to be the COMPLETE replay
+    # state: an external reader honoring _last_checkpoint never rereads
+    # the JSON prefix, so protocol + metaData must be in the checkpoint
+    # or the reader cannot reconstruct schema/feature requirements
+    # (ADVICE r6). Latest-wins replay of the JSON commits up to v:
+    protocol = metadata = None
+    for ver in range(v + 1):
+        for action in _read_actions(table_dir, ver):
+            if "protocol" in action:
+                protocol = action["protocol"]
+            if "metaData" in action:
+                metadata = action["metaData"]
+    if protocol is None or metadata is None:
+        raise FileNotFoundError(
+            f"no protocol/metaData action in {table_dir}; log is not a "
+            "valid Delta table"
+        )
+    meta_row = {
+        "id": metadata["id"],
+        "format": {"provider": metadata["format"]["provider"]},
+        "schemaString": metadata["schemaString"],
+        "partitionColumns": metadata.get("partitionColumns", []),
+        "configuration": metadata.get("configuration", {}),
+        "createdTime": int(metadata.get("createdTime", 0)),
+    }
+    proto_row = {
+        "minReaderVersion": int(protocol.get("minReaderVersion", 1)),
+        "minWriterVersion": int(protocol.get("minWriterVersion", 2)),
+    }
     rows = [
         (
             {
@@ -255,14 +293,22 @@ def write_checkpoint(spark: SparkSession, table_dir: str) -> int:
                 "dataChange": False,
             },
             None,
+            None,
+            None,
         )
         for p in files
     ]
+    rows.append((None, None, proto_row, None))
+    rows.append((None, None, None, meta_row))
     schema = (
         "add struct<path:string, partitionValues:map<string,string>, "
         "size:bigint, modificationTime:bigint, dataChange:boolean>, "
         "remove struct<path:string, deletionTimestamp:bigint, "
-        "dataChange:boolean>"
+        "dataChange:boolean>, "
+        "protocol struct<minReaderVersion:int, minWriterVersion:int>, "
+        "metaData struct<id:string, format:struct<provider:string>, "
+        "schemaString:string, partitionColumns:array<string>, "
+        "configuration:map<string,string>, createdTime:bigint>"
     )
     cp_path = os.path.join(_log_dir(table_dir), f"{v:020d}.checkpoint.parquet")
     scratch = os.path.join(table_dir, f"_tmpcp_{uuid.uuid4().hex[:8]}")

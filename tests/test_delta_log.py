@@ -162,3 +162,31 @@ def test_action_replay_matches_model(tmp_path):
         shutil.rmtree(t, ignore_errors=True)
 
     run()
+
+
+def test_checkpoint_is_complete_replay_state(spark, tmp_path):
+    """Delta checkpoints must contain the full replay including protocol
+    and metaData actions (ADVICE r6): an external reader honoring
+    _last_checkpoint never rereads the JSON prefix, so schema/protocol
+    must be reconstructible from the checkpoint parquet alone."""
+    t = str(tmp_path / "dl")
+    D.write_delta(spark.range(20).selectExpr("id", "id * 2 AS v"), t)
+    D.write_checkpoint(spark, t)
+    v = D.current_version(t)
+    cp = spark.read.parquet(
+        os.path.join(t, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    )
+    for col in ("add", "remove", "protocol", "metaData"):
+        assert col in cp.columns, f"checkpoint missing {col} column"
+    protos = [r for r in cp.select("protocol.*").collect() if r["minReaderVersion"] is not None]
+    metas = [r for r in cp.select("metaData.*").collect() if r["id"] is not None]
+    assert len(protos) == 1 and protos[0]["minReaderVersion"] == 1
+    assert len(metas) == 1
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(_json.loads(metas[0]["schemaString"]))
+    assert [f.name for f in schema.fields] == ["id", "v"]
+    # the checkpointed protocol is enforced on read, same as JSON replay
+    assert D.read_delta(spark, t).count() == 20
