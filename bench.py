@@ -58,10 +58,22 @@ def main() -> None:
         # queries (ADVICE r1).
         df.write.format("noop").mode("overwrite").save()
 
+    # Per-query env overrides: the bench measures the PRODUCTION path.
+    # sample_dsir's registry default is the md5 gram hash purely for
+    # DuckDB-oracle bit-parity; deployments run xxhash64 (~25% faster
+    # end-to-end, SCALE.md r6 A/B), so that's what the headline row
+    # times (VERDICT r6 task 3). The md5 path stays green in the
+    # correctness gate, and an extra diagnostic row below tracks it.
+    env_overrides: dict[str, dict[str, str]] = {
+        "sample_dsir": {"SPARK_GRAFT_DSIR_HASH": "xxhash64"},
+    }
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(bench_set):
         spec = bench_set[name]
+        for k, v in env_overrides.get(name, {}).items():
+            os.environ[k] = v
         if os.path.isdir(smoke_dir):
             materialize(spec.fn(spark, smoke_dir))
         # best of 2 measured runs: single-machine wall times jitter
@@ -81,6 +93,20 @@ def main() -> None:
         # clearCache is belt-and-braces for any future cached frame,
         # not a required leak valve as in r1-r3
         spark.catalog.clearCache()
+        for k in env_overrides.get(name, {}):
+            os.environ.pop(k, None)
+
+    # Diagnostic row (excluded from totals/ratios): the md5 oracle-parity
+    # DSIR path, so the md5↔xxhash64 gap stays visible round-over-round.
+    if "sample_dsir" in bench_set:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            materialize(bench_set["sample_dsir"].fn(spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings["sample_dsir_md5_parity"] = round(best, 3)
+        print(f"# sample_dsir_md5_parity: {best:.3f}s (diagnostic)", flush=True)
 
     # Same-process DuckDB oracle timings for the same queries — the
     # denominator of the epoch-invariant ratio. Queries with

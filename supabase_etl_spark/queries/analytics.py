@@ -5917,6 +5917,7 @@ def _truss_sql_round(prev: str, cur: str, k: int) -> str:
     ORDER BY u, v
     """,
     tags=("graph",),
+    bench=True,
 )
 def graph_ktruss(
     spark: SparkSession, sf_dir: str, k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS

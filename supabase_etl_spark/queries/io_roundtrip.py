@@ -747,6 +747,7 @@ def io_manifest_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderkey
     """,
     tags=("io", "lakehouse", "dml"),
+    bench=True,
 )
 def io_manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO over the manifest table (Delta's ``WHEN MATCHED THEN

@@ -968,58 +968,79 @@ def text_span_splice_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget — n_spans, tokens_removed, tokens_kept — the numbers a
     curation pipeline feeds its token accounting.
 
-    Scale shape: the gram frequency table is one hash agg
-    (vocabulary-sized); flagging is one equi-join on the gram; the
-    island merge windows partition BY DOCUMENT (per-doc interval
-    counts, never corpus-wide ordering), so the only corpus-sized
-    shuffles are the gram agg and the doc-keyed window — both linear.
+    Scale shape (re-derived r7, measured 2.07 -> 1.51 s at sf0.1): the
+    corpus-sized gram stream shuffles exactly ONCE. Each gram travels
+    as (xxhash64-of-token-slice, doc_id*1e6+pos encoded in one bigint);
+    one groupBy(g).collect_list aggregates occurrence lists, repeated
+    grams (size >= 2) explode back, and the island merge is a per-doc
+    HOF fold over the sorted flagged positions — no second scan, no
+    gram join, no WindowExec. The r6 shape (freq agg + equi-join +
+    two doc-partitioned windows) evaluated the gram subtree twice
+    (Catalyst has no ReusedExchange across the agg boundary) and paid
+    four extra stages; per-doc occurrence lists are bounded by doc
+    length, so collect_list never skews. Remaining gap to the oracle
+    at sf0.1 is fixed stage latency (~6 AQE stages on trivial data),
+    which amortizes at real scale. doc_id*1e6+pos is collision-free
+    while docs stay under 1e6 tokens (enforced by the tokenizer's doc
+    length cap); 64-bit gram-hash collisions follow the same accepted
+    argument as dedup_containment.
     Reference: the same inverted-index discipline as
     text_repeated_span_flags (llm_curation.py:645)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toked = d.select("doc_id", tokens(F.col("text")).alias("t"))
-    # grams travel as xxhash64 of the token SLICE (structural array
-    # hash): no gram-string materialization, and the freq shuffle
-    # carries 8 bytes per gram instead of the 8-token text — measured
-    # 1.97 -> 1.68 s at sf0.1, bit-identical output (the oracle
-    # compares per-doc counts, which agree absent a 64-bit collision —
-    # the same argument dedup_containment makes)
     n_tok = F.size("t")
+    enc = F.lit(1_000_000).cast("bigint")
     grams = toked.select(
-        "doc_id",
+        (F.col("doc_id") * enc).alias("docbase"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(F.lit(0), n_tok - (SPAN_K - 1))),
                 lambda i: F.xxhash64(F.slice(F.col("t"), i, SPAN_K)),
             )
         ).alias("pos0", "g"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("s"), "g")
-    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
-    iv = grams.join(freq.filter(F.col("cnt") >= 2), "g").select(
-        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
+    ).select((F.col("docbase") + F.col("pos0") + 1).alias("ds"), "g")
+    occ = grams.groupBy("g").agg(F.collect_list("ds").alias("occ"))
+    iv = (
+        occ.filter(F.size("occ") >= 2)
+        .select(F.explode("occ").alias("ds"))
+        .select(
+            (F.col("ds") / enc).cast("bigint").alias("doc_id"),
+            F.pmod("ds", enc).alias("s"),
+        )
     )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # island merge as one fold: positions sorted per doc; every
+    # interval is [s, s+K-1], so a new span starts iff s > current end
+    k1 = F.lit(SPAN_K - 1).cast("bigint")
+    zero_b = F.lit(0).cast("bigint")
+    init = F.struct(
+        zero_b.alias("n"),
+        zero_b.alias("rm"),
+        F.lit(None).cast("bigint").alias("cs"),
+        F.lit(None).cast("bigint").alias("ce"),
     )
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    prev_max = F.max("e").over(w_prev)
-    isl = iv.withColumn(
-        "island",
-        F.sum(
-            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
-        ).over(w_run),
-    )
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("s").alias("s"), F.max("e").alias("e")
-    )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("tokens_removed"),
+
+    def _step(acc, s):
+        s = s.cast("bigint")
+        new_span = acc.cs.isNull() | (s > acc.ce)
+        closed = F.coalesce(acc.ce - acc.cs + 1, zero_b)
+        return F.struct(
+            F.when(new_span, acc.n + 1).otherwise(acc.n).alias("n"),
+            F.when(new_span, acc.rm + closed).otherwise(acc.rm).alias("rm"),
+            F.when(new_span, s).otherwise(acc.cs).alias("cs"),
+            F.when(new_span, s + k1).otherwise(F.greatest(acc.ce, s + k1)).alias("ce"),
+        )
+
+    def _finish(acc):
+        return F.struct(
+            acc.n.alias("n_spans"),
+            (acc.rm + F.coalesce(acc.ce - acc.cs + 1, zero_b)).alias("tokens_removed"),
+        )
+
+    per_doc = (
+        iv.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .select("doc_id", F.aggregate("ss", init, _step, _finish).alias("m"))
+        .select("doc_id", "m.n_spans", "m.tokens_removed")
     )
     base = toked.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
     zero = F.lit(0).cast("bigint")

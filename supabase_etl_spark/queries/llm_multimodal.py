@@ -432,6 +432,7 @@ VIDEO_DOCS = 30  # fixture corpus: doc_id < VIDEO_DOCS
     ORDER BY uri, frame_idx
     """,
     tags=("llm", "multimodal", "video"),
+    bench=True,
 )
 def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode + frame sampling: each payload is a genuine

@@ -180,6 +180,7 @@ _SQL_P = f"(0.5 + 0.5 * (CAST(s AS DOUBLE) / {float(SCORE_GRID)}) / (1.0 + ABS(C
     ORDER BY model
     """,
     tags=("llm", "ml-eval"),
+    bench=True,
 )
 def ml_eval_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUC-ROC, average precision, and Brier score per model.
