@@ -655,6 +655,204 @@ def main() -> None:
             .save()
         )
 
+    def t_kmeans_lloyd(docs):
+        # embedding_kmeans_lloyd's loop shape (llm_curation.py): 3
+        # chained rounds of broadcast-centroid assignment (exact
+        # decimal distances over exploded components) + mean recompute,
+        # localCheckpoint-truncated per round. Linear curve = each
+        # round is one corpus scan + a k x dim agg; super-linear would
+        # mean the chained lineage is re-executing earlier rounds.
+        e = blowup_embeddings(docs.__mult__)
+        vals = e.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+        cents = (
+            vals.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("cid"), "pos", F.col("v").alias("m"))
+            .localCheckpoint()
+        )
+        a = None
+        for i in range(3):
+            term = ((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))).cast(
+                "decimal(38,18)"
+            )
+            d = (
+                vals.join(F.broadcast(cents), "pos")
+                .groupBy("vec_id", "cid")
+                .agg(F.sum(term).alias("d2"))
+            )
+            a = (
+                d.groupBy("vec_id")
+                .agg(F.min(F.struct("d2", "cid")).alias("b"))
+                .select("vec_id", F.col("b.cid").alias("cid"))
+                .localCheckpoint()
+            )
+            if i < 2:
+                cents = (
+                    vals.join(a, "vec_id")
+                    .groupBy("cid", "pos")
+                    .agg(
+                        (
+                            F.sum(F.col("v").cast("decimal(28,6)")).cast("double")
+                            / F.count(F.lit(1))
+                        ).alias("m")
+                    )
+                    .localCheckpoint()
+                )
+        a.groupBy("cid").count().write.format("noop").mode("overwrite").save()
+
+    def t_dbscan_grid(docs):
+        # embedding_dbscan_grid's shape: JL 2-D projection, eps-grid
+        # bucketing, 3x3 cell-probe neighbor join, core count, CC over
+        # core edges (operators/cc.py). Copies are shifted whole cell-
+        # regions apart in x (the embedding analog of per-copy token
+        # tags) so the blowup grows corpus size at constant density —
+        # untranslated copies would stack identical points in the same
+        # cells and measure quadratic cell occupancy by construction.
+        from supabase_etl_spark.operators.cc import connected_components
+        from supabase_etl_spark.queries.llm_similarity import (
+            DBSCAN_EPS,
+            DBSCAN_EPS2,
+            DBSCAN_MINPTS,
+            _jl_matrix,
+        )
+
+        m = _jl_matrix()[:2]
+        rlit = F.expr(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(str(v) for v in row) + ")" for row in m
+            )
+            + ")"
+        )
+        e = blowup_embeddings(docs.__mult__).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("xv")
+        ).withColumn("R", rlit)
+
+        def proj(j):
+            return F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("xv"),
+                        F.element_at(F.col("R"), j + 1),
+                        lambda a, b: a * b.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / 4.0,
+                9,
+            )
+
+        eps, eps2 = F.lit(float(DBSCAN_EPS)), F.lit(float(DBSCAN_EPS2))
+        shift = (F.floor(F.col("vec_id") / ID_STRIDE) * 8.0).cast("double")
+        pts = e.select(
+            "vec_id", (proj(0) + shift).alias("x"), proj(1).alias("y")
+        ).select(
+            "vec_id", "x", "y",
+            F.floor(F.col("x") / eps).cast("bigint").alias("cx"),
+            F.floor(F.col("y") / eps).cast("bigint").alias("cy"),
+        )
+        offs = F.expr("array(-1, 0, 1)")
+        probe = (
+            pts.select("vec_id", "x", "y", "cx", "cy", F.explode(offs).alias("dx"))
+            .select("vec_id", "x", "y", "cx", "cy", "dx", F.explode(offs).alias("dy"))
+            .select(
+                F.col("vec_id").alias("ida"),
+                F.col("x").alias("ax"), F.col("y").alias("ay"),
+                (F.col("cx") + F.col("dx")).alias("pcx"),
+                (F.col("cy") + F.col("dy")).alias("pcy"),
+            )
+        )
+        right = pts.select(
+            F.col("vec_id").alias("idb"),
+            F.col("x").alias("bx"), F.col("y").alias("by"),
+            F.col("cx").alias("pcx"), F.col("cy").alias("pcy"),
+        )
+        d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+            F.col("ay") - F.col("by")
+        ) * (F.col("ay") - F.col("by"))
+        nbr = (
+            probe.join(right, ["pcx", "pcy"])
+            .filter((F.col("ida") != F.col("idb")) & (d2 <= eps2))
+            .select("ida", "idb")
+            .localCheckpoint(eager=False)
+        )
+        core = (
+            nbr.groupBy("ida")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= DBSCAN_MINPTS - 1)
+            .select(F.col("ida").alias("vec_id"))
+        )
+        core_edges = (
+            nbr.join(core.select(F.col("vec_id").alias("ida")), "ida")
+            .join(core.select(F.col("vec_id").alias("idb")), "idb")
+            .select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+        )
+        labels = connected_components(
+            core.select(F.col("vec_id").alias("node")), core_edges
+        )
+        labels.groupBy("component").count().write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def t_gemm_topk(docs):
+        # sim_topk_gemm_blocked's kernel: broadcast 10-query matrix,
+        # one numpy matmul per Arrow batch, per-batch partial top-k,
+        # window merge of n_batches x n_queries x k partials. Linear
+        # curve = shuffle volume stays corpus-size-independent.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import Window as W
+
+        e = blowup_embeddings(docs.__mult__)
+        qrows = (
+            e.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+        )
+        qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+        qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+        qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
+        bc = spark.sparkContext.broadcast((qids, qmat))
+
+        def gemm_topk(batches):
+            b_qids, b_q = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                x = np.array(list(pdf["embedding"]), dtype=np.float64)
+                x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+                s = x @ b_q.T
+                k = min(10, s.shape[0])
+                oq, oc, os_ = [], [], []
+                for j in range(s.shape[1]):
+                    col = s[:, j]
+                    idx = (
+                        np.argpartition(-col, k - 1)[:k]
+                        if k < col.shape[0]
+                        else np.arange(col.shape[0])
+                    )
+                    order = idx[np.lexsort((cids[idx], -col[idx]))]
+                    oq.extend([b_qids[j]] * len(order))
+                    oc.extend(cids[order])
+                    os_.extend(col[order])
+                yield pd.DataFrame({"qid": oq, "cid": oc, "cos_sim": os_})
+
+        partials = (
+            e.filter(F.col("vec_id") >= 10)
+            .select("vec_id", "embedding")
+            .mapInPandas(gemm_topk, schema="qid long, cid long, cos_sim double")
+        )
+        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+        (
+            partials.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     ops = {
         "dedup_exact (sha2 groupBy)": t_exact,
         "naive-bayes train+score": t_naive_bayes,
@@ -672,6 +870,9 @@ def main() -> None:
         "ER pairs, fine blocking (nation x bal-band)": t_er_fine,
         "containment inverted-index pairs": t_containment,
         "maxsim query-batch x corpus grid": t_maxsim,
+        "kmeans lloyd 3 rounds": t_kmeans_lloyd,
+        "dbscan grid probe + CC": t_dbscan_grid,
+        "gemm blocked topk": t_gemm_topk,
         "epoch-shuffle distributed rank": t_epoch_shuffle,
         "source-KL vocab aggs": t_source_kl,
     }
