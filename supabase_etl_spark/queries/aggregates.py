@@ -2313,3 +2313,76 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hl_lo") + F.coalesce("hl_hi", "hl_lo")) / 2.0, 9
         ).alias("hodges_lehmann"),
     ).orderBy("g")
+
+
+@query(
+    "agg_skewness_kurtosis",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag AS g,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4
+        FROM lineitem
+        GROUP BY l_returnflag
+    ),
+    c AS (
+        SELECT g, n,
+               s1 / n AS mu,
+               (s2 - s1 * s1 / n) / n AS m2,
+               (s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n) * (s1 / n)) / n AS m3,
+               (s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2
+                   - 3 * n * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) / n AS m4
+        FROM m
+    )
+    SELECT g,
+           CAST(n AS BIGINT) AS n,
+           round(mu, 9) AS mean_qty,
+           round(m3 / (m2 * sqrt(m2)), 9) AS skewness_g1,
+           round(m4 / (m2 * m2) - 3, 9) AS kurtosis_excess
+    FROM c
+    ORDER BY g
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population skewness (g1 = m3/m2^1.5) and excess kurtosis
+    (g2 = m4/m2² − 3) per group from the first four EXACT power sums —
+    the shape statistics the native streaming `skewness`/`kurtosis`
+    aggregates estimate with float accumulation. l_quantity is
+    integer-valued (1..50), so Σx..Σx⁴ are exact BIGINT sums (max
+    ~6.25e6 per row × 6e6 rows at sf1 ≈ 4e13 < 2^53 — the double cast
+    is lossless); the central-moment algebra then runs on identical
+    doubles in both engines, rounded to 9 dp for libm-division safety.
+
+    100 TB: one map-side-combined hash aggregate (3 groups), zero extra
+    shuffles — the cheapest possible distributed shape; at larger value
+    domains swap BIGINT for decimal power sums with the scale budget
+    tracked per power."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    m = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = (s2 - s1 * s1 / n) / n
+    m3 = (s3 - F.lit(3) * mu * s2 + F.lit(2) * n * mu * mu * mu) / n
+    m4 = (
+        s4 - F.lit(4) * mu * s3 + F.lit(6) * mu * mu * s2 - F.lit(3) * n * mu * mu * mu * mu
+    ) / n
+    return m.select(
+        "g",
+        n.cast("bigint").alias("n"),
+        F.round(mu, 9).alias("mean_qty"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 9).alias("skewness_g1"),
+        F.round(m4 / (m2 * m2) - 3, 9).alias("kurtosis_excess"),
+    ).orderBy("g")

@@ -2384,3 +2384,124 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+RBO_DEPTH = 20  # evaluation depth D
+RBO_P = 0.9  # persistence parameter
+# per-depth weight p^(d-1)/d as shared shortest-repr literals (the NDCG
+# discount discipline: bare numeric literals parse as DECIMAL, so every
+# branch is CAST(... AS DOUBLE) from the string form)
+_RBO_W = [repr(RBO_P ** (d - 1) / d) for d in range(1, RBO_DEPTH + 1)]
+_RBO_W_CASE = (
+    "CASE d "
+    + " ".join(f"WHEN {d} THEN CAST('{w}' AS DOUBLE)" for d, w in enumerate(_RBO_W, 1))
+    + " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+@query(
+    "text_rbo_rank_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS s1,
+               CAST(len({_SQL_TOKENS}) AS BIGINT) AS s2
+        FROM documents
+    ),
+    ra AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s1 DESC, doc_id) AS r
+        FROM toks QUALIFY r <= {RBO_DEPTH}
+    ),
+    rb AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s2 DESC, doc_id) AS r
+        FROM toks QUALIFY r <= {RBO_DEPTH}
+    ),
+    mx AS (
+        SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+               greatest(COALESCE(ra.r, {RBO_DEPTH + 1}),
+                        COALESCE(rb.r, {RBO_DEPTH + 1})) AS m
+        FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    ),
+    depths AS (SELECT unnest(range(1, {RBO_DEPTH + 1})) AS d),
+    ov AS (
+        SELECT d.d,
+               CAST(count(*) FILTER (WHERE mx.m <= d.d) AS BIGINT) AS overlap
+        FROM depths d LEFT JOIN mx ON mx.m <= d.d
+        GROUP BY d.d
+    )
+    SELECT d, overlap,
+           round({_RBO_W_CASE} * overlap, 12) AS term,
+           round(CAST((1.0 - {RBO_P!r}) AS DOUBLE)
+                 * CAST(SUM(CAST(round({_RBO_W_CASE} * overlap, 12)
+                                 AS DECIMAL(38,12)))
+                        OVER (ORDER BY d) AS DOUBLE), 9) AS rbo_min_at_d
+    FROM ov
+    ORDER BY d
+    """,
+    tags=("llm", "text", "ranking"),
+)
+def text_rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    document rankings — by raw char length vs by token count — the
+    top-weighted, prefix-convergent similarity retrieval teams use to
+    compare two rankers without a relevance oracle. RBO_min@D =
+    (1−p)·Σ_{{d≤D}} p^{{d−1}}·|A_d ∩ B_d|/d; prefix intersection at
+    depth d is just the count of items whose max(rank_A, rank_B) ≤ d,
+    so the whole metric reads off a D-row grid.
+
+    Scale: only the top-D of each list matters — both rankings come
+    from TakeOrdered(D) (never a global sort), the full-outer join is
+    ≤2D rows, and the depth fold is a D-row window. Weights are shared
+    shortest-repr literals; per-depth terms round-12 then decimal-sum,
+    so the cumulative RBO is order-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("s1"),
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("s2"),
+    )
+    ra = (
+        toks.orderBy(F.col("s1").desc(), "doc_id")
+        .limit(RBO_DEPTH)
+        .select("doc_id", F.row_number().over(Window.orderBy(F.col("s1").desc(), "doc_id")).alias("r"))
+    )
+    rb = (
+        toks.orderBy(F.col("s2").desc(), "doc_id")
+        .limit(RBO_DEPTH)
+        .select("doc_id", F.row_number().over(Window.orderBy(F.col("s2").desc(), "doc_id")).alias("r"))
+    )
+    sentinel = F.lit(RBO_DEPTH + 1)
+    mx = (
+        ra.select(F.col("doc_id").alias("ida"), F.col("r").alias("ra"))
+        .join(
+            rb.select(F.col("doc_id").alias("idb"), F.col("r").alias("rb")),
+            F.col("ida") == F.col("idb"),
+            "full_outer",
+        )
+        .select(
+            F.greatest(F.coalesce("ra", sentinel), F.coalesce("rb", sentinel)).alias("m")
+        )
+    )
+    depths = spark.range(1, RBO_DEPTH + 1).select(F.col("id").alias("d"))
+    ov = (
+        depths.join(F.broadcast(mx), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("m").cast("bigint").alias("overlap"))
+    )
+    w_case = F.expr(_RBO_W_CASE)
+    term = F.round(w_case * F.col("overlap"), 12)
+    cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ov.select("d", "overlap", term.alias("term"))
+        .select(
+            "d",
+            "overlap",
+            "term",
+            F.round(
+                F.lit(1.0 - RBO_P)
+                * F.sum(F.col("term").cast("decimal(38,12)")).over(cum).cast("double"),
+                9,
+            ).alias("rbo_min_at_d"),
+        )
+        .orderBy("d")
+    )

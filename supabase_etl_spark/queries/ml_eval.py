@@ -2900,3 +2900,103 @@ def ml_eval_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d6(F.col("psi")) / F.count(F.lit(1)), 6).alias("dr_ate"),
         F.round(d6(F.col("om")) / F.count(F.lit(1)), 6).alias("outcome_model_ate"),
     )
+
+
+_Z975 = "1.959963984540054"  # Phi^-1(0.975), string-cast to avoid decimal-literal double-rounding
+
+
+@query(
+    "ml_eval_delong_auc_ci",
+    oracle=f"""
+    WITH {_SQL_CUM},
+    auc AS (
+        SELECT model,
+               CAST(SUM(pos * (2 * (cumneg_le - neg) + neg)) AS DOUBLE)
+                   / (2.0 * MAX(p_tot) * MAX(n_tot)) AS auc,
+               MAX(p_tot) AS m, MAX(n_tot) AS n
+        FROM c GROUP BY model
+    ),
+    dev AS (
+        SELECT c.model,
+               c.pos * POWER(CAST(2 * (c.cumneg_le - c.neg) + c.neg AS DOUBLE)
+                             / (2.0 * c.n_tot) - a.auc, 2) AS t10,
+               c.neg * POWER(CAST(2 * (c.cumpos_ge - c.pos) + c.pos AS DOUBLE)
+                             / (2.0 * c.p_tot) - a.auc, 2) AS t01
+        FROM c JOIN auc a ON c.model = a.model
+    ),
+    s AS (
+        SELECT model,
+               CAST(SUM(CAST(t10 AS DECIMAL(38,12))) AS DOUBLE) AS s10_num,
+               CAST(SUM(CAST(t01 AS DECIMAL(38,12))) AS DOUBLE) AS s01_num
+        FROM dev GROUP BY model
+    )
+    SELECT a.model, round(a.auc, 9) AS auc,
+           round(sqrt(s.s10_num / (a.m - 1) / a.m + s.s01_num / (a.n - 1) / a.n), 9)
+               AS se_delong,
+           round(a.auc - CAST('{_Z975}' AS DOUBLE)
+                 * sqrt(s.s10_num / (a.m - 1) / a.m + s.s01_num / (a.n - 1) / a.n), 9)
+               AS ci_lo,
+           round(a.auc + CAST('{_Z975}' AS DOUBLE)
+                 * sqrt(s.s10_num / (a.m - 1) / a.m + s.s01_num / (a.n - 1) / a.n), 9)
+               AS ci_hi
+    FROM auc a JOIN s ON a.model = s.model
+    ORDER BY a.model
+    """,
+    tags=("llm", "ml-eval", "statistics"),
+)
+def ml_eval_delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong (1988) nonparametric AUC standard error and 95% CI — the
+    inference companion to ml_eval_auc_pr (a point AUC without a CI is
+    uninterpretable when comparing two curation classifiers). Placement
+    values collapse onto the score grid: every positive in cell s
+    shares V10 = (#neg below + ½·#neg tied)/n, so the variance of the
+    placements is a weighted sum over GRID cells (~40 rows), never a
+    per-row pass — the same quantization lever as the rest of this
+    module. var(AUC) = S10/m + S01/n with S10/S01 the sample variances
+    of the positive/negative placements.
+
+    Exactness: placements and AUC are ratios of exact integers evaluated
+    by identical double expressions; squared deviations (≤0.25, 0 int
+    digits) sum through decimal(38,12) inside the 15-sig-digit
+    cross-engine agreement window; z_{{0.975}} is a string-cast literal
+    (decimal-literal parsing double-rounds 1 ulp in DuckDB)."""
+    c = _cum(spark, sf_dir)
+    auc = c.groupBy("model").agg(
+        (
+            F.sum(F.col("pos") * (2 * (F.col("cumneg_le") - F.col("neg")) + F.col("neg"))).cast("double")
+            / (F.lit(2.0) * F.max("p_tot") * F.max("n_tot"))
+        ).alias("auc"),
+        F.max("p_tot").alias("m"),
+        F.max("n_tot").alias("n"),
+    )
+    v10 = (2 * (F.col("cumneg_le") - F.col("neg")) + F.col("neg")).cast("double") / (
+        F.lit(2.0) * F.col("n_tot")
+    )
+    v01 = (2 * (F.col("cumpos_ge") - F.col("pos")) + F.col("pos")).cast("double") / (
+        F.lit(2.0) * F.col("p_tot")
+    )
+    dev = c.join(F.broadcast(auc), "model").select(
+        "model",
+        (F.col("pos") * F.pow(v10 - F.col("auc"), 2)).alias("t10"),
+        (F.col("neg") * F.pow(v01 - F.col("auc"), 2)).alias("t01"),
+    )
+    s = dev.groupBy("model").agg(
+        F.sum(F.col("t10").cast(DEC18)).cast("double").alias("s10_num"),
+        F.sum(F.col("t01").cast(DEC18)).cast("double").alias("s01_num"),
+    )
+    z = F.expr(f"CAST('{_Z975}' AS DOUBLE)")
+    se = F.sqrt(
+        F.col("s10_num") / (F.col("m") - 1) / F.col("m")
+        + F.col("s01_num") / (F.col("n") - 1) / F.col("n")
+    )
+    return (
+        auc.join(s, "model")
+        .select(
+            "model",
+            F.round("auc", 9).alias("auc"),
+            F.round(se, 9).alias("se_delong"),
+            F.round(F.col("auc") - z * se, 9).alias("ci_lo"),
+            F.round(F.col("auc") + z * se, 9).alias("ci_hi"),
+        )
+        .orderBy("model")
+    )
