@@ -259,21 +259,45 @@ def _scan_tagged(
     df = spark.read.option("mergeSchema", "true").parquet(*paths).withColumn(
         "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
     )
+    # positional deletes address rows by (data file, row ordinal) —
+    # stamp the parquet row index only when a positional entry exists
+    # (the metadata column is free to compute but widens every shuffle)
+    has_pos = any(e.get("type") == "positional" for e in deletes)
+    if has_pos:
+        df = df.withColumn("_pos", F.col("_metadata.row_index"))
     # Iceberg sequence-number semantics, expressed extensionally: each
     # delete names the data files it applies to (the snapshot's files at
     # delete time), so rows appended LATER with a deleted key are not
-    # affected. Each application is one anti-join on the delete's key
-    # columns; compact_mor() folds them away.
+    # affected. Each application is one anti-join — on the delete's key
+    # columns (equality deletes) or on (file, position) (positional
+    # deletes); compact_mor() folds both kinds away.
     for entry in deletes:
-        keys = spark.read.parquet(
-            *[os.path.join(table_dir, p) for p in entry["files"]]
-        ).distinct()
         scope = F.col("_file").isin(entry["applies_to"])
-        df = (
-            df.filter(scope)
-            .join(keys, entry["key_cols"], "left_anti")
-            .unionByName(df.filter(~scope))
-        )
+        if entry.get("type") == "positional":
+            dels = spark.read.parquet(
+                *[os.path.join(table_dir, p) for p in entry["files"]]
+            ).select(F.col("file").alias("_dfile"), F.col("pos").alias("_dpos"))
+            df = (
+                df.filter(scope)
+                .join(
+                    dels,
+                    (F.col("_file") == F.col("_dfile"))
+                    & (F.col("_pos") == F.col("_dpos")),
+                    "left_anti",
+                )
+                .unionByName(df.filter(~scope))
+            )
+        else:
+            keys = spark.read.parquet(
+                *[os.path.join(table_dir, p) for p in entry["files"]]
+            ).distinct()
+            df = (
+                df.filter(scope)
+                .join(keys, entry["key_cols"], "left_anti")
+                .unionByName(df.filter(~scope))
+            )
+    if has_pos:
+        df = df.drop("_pos")
     return df
 
 
@@ -509,6 +533,69 @@ def delete_where_mor(
         table_dir,
         manifest["files"],
         note or "delete-mor",
+        base_version=v,
+        deletes=manifest.get("deletes", []) + [entry],
+    )
+
+
+def delete_where_positional(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    note: str = "",
+) -> int:
+    """Merge-on-read DELETE by POSITION (Iceberg positional delete
+    files): where ``delete_where_mor`` records the matching rows' KEY
+    VALUES, this records (data file, row ordinal) pairs — the form
+    Iceberg writes when no identity columns exist or when keys repeat
+    (an equality delete would erase ALL rows sharing the key; a
+    positional delete erases exactly the matched physical rows).
+    Readers apply it as an anti-join on (_file, _metadata.row_index);
+    compact_mor() folds it away like any other delete.
+
+    Positions are stable because data files are immutable; the entry
+    scopes to the snapshot's files (applies_to), so later appends are
+    untouched without any sequence-number machinery. Cost: one pruned
+    scan + a (string, long)-pair write proportional to matched rows."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    v = current_version(table_dir)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _read_manifest(table_dir, v)
+    # positions computed on the RAW file scan (not the delete-applied
+    # view): ordinals address physical rows, and re-deleting an already
+    # deleted ordinal is a harmless no-op, matching Iceberg
+    paths = [os.path.join(table_dir, f) for f in manifest["files"]]
+    raw = spark.read.option("mergeSchema", "true").parquet(*paths).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+        F.col("_metadata.row_index").alias("pos"),
+        "*",
+    )
+    matched = raw.filter(cond).select("file", "pos")
+    del_dir = os.path.join(table_dir, "deletes")
+    os.makedirs(del_dir, exist_ok=True)
+    scratch = os.path.join(table_dir, f"_tmp_{uuid.uuid4().hex[:12]}")
+    matched.write.mode("overwrite").parquet(scratch)
+    del_files = []
+    for f in sorted(os.listdir(scratch)):
+        if f.endswith(".parquet"):
+            dest = f"del-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(scratch, f), os.path.join(del_dir, dest))
+            del_files.append(os.path.join("deletes", dest))
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    entry = {
+        "type": "positional",
+        "files": del_files,
+        "applies_to": [os.path.basename(f) for f in manifest["files"]],
+    }
+    return _commit_files(
+        table_dir,
+        manifest["files"],
+        note or "delete-positional",
         base_version=v,
         deletes=manifest.get("deletes", []) + [entry],
     )

@@ -2103,3 +2103,114 @@ def io_manifest_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFra
         F.lit(total).cast("bigint").alias("n_files_total"),
         F.lit(n_read).cast("bigint").alias("n_files_read"),
     )
+
+
+@query(
+    "io_manifest_positional_delete",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey <= 1500
+    ),
+    s1 AS (
+        SELECT * FROM base
+        WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 5 = 0)
+    ),
+    re AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey <= 50 AND o_orderstatus = 'O' AND o_orderkey % 5 = 0
+    ),
+    s2 AS (
+        SELECT * FROM s1 UNION ALL SELECT * FROM re
+    ),
+    fin AS (
+        SELECT * FROM s2 WHERE NOT (o_orderkey % 11 = 7)
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_price,
+           TRUE AS positional_no_rewrite,
+           TRUE AS two_delete_entries,
+           TRUE AS deletes_folded
+    FROM fin
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("io", "lakehouse", "mor"),
+)
+def io_manifest_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE with POSITIONAL delete files (Iceberg's
+    second delete-file kind, io/manifest_store.delete_where_positional):
+    rows are addressed by (data file, parquet row ordinal via
+    `_metadata.row_index`) instead of key values — the form Iceberg
+    writes when keys repeat or no identity columns exist, since an
+    equality delete would erase every row sharing the key while a
+    positional delete erases exactly the matched physical rows.
+
+    v1 commits orders<=1500 as 3 files; v2 positional-deletes
+    (status O, key%5=0) with the file list UNCHANGED; v3 re-appends a
+    slice of the deleted rows, which survive because the delete's
+    applies_to scope names only v1's files (positions in NEW files are
+    untouched by construction — no sequence numbers needed); v4 layers
+    a second positional delete over all current files; compact_mor()
+    folds both entries into plain files, row set byte-preserved.
+
+    100 TB: delete cost = one pruned scan + a (string,long)-pair write
+    proportional to MATCHED rows; read amplification = one (file,pos)
+    anti-join per live entry until compaction — the exact trade Iceberg
+    documents for positional deletes."""
+    from supabase_etl_spark.io import manifest_store as M
+    from supabase_etl_spark.queries._helpers import dsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = scratch_dir("manifest_posdel_")
+    M.commit(o.filter(F.col("o_orderkey") <= 1500).repartition(3), table, "overwrite")
+    files_v1 = M._read_manifest(table, 1)["files"]
+
+    M.delete_where_positional(
+        spark, table, "o_orderstatus = 'O' AND o_orderkey % 5 = 0"
+    )
+    m2 = M._read_manifest(table, 2)
+    positional_no_rewrite = (
+        m2["files"] == files_v1
+        and len(m2.get("deletes", [])) == 1
+        and m2["deletes"][0]["type"] == "positional"
+    )
+
+    M.commit(
+        o.filter(
+            (F.col("o_orderkey") <= 50)
+            & (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderkey") % 5 == 0)
+        ).repartition(1),
+        table,
+        "append",
+    )
+    M.delete_where_positional(spark, table, "o_orderkey % 11 = 7")
+    v4 = M.current_version(table)
+    two_delete_entries = len(M._read_manifest(table, v4).get("deletes", [])) == 2
+
+    v5 = M.compact_mor(spark, table)
+    deletes_folded = not M._read_manifest(table, v5).get("deletes")
+
+    return (
+        M.read(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            "total_price",
+            F.lit(bool(positional_no_rewrite)).alias("positional_no_rewrite"),
+            F.lit(bool(two_delete_entries)).alias("two_delete_entries"),
+            F.lit(bool(deletes_folded)).alias("deletes_folded"),
+        )
+        .orderBy("o_orderstatus")
+    )

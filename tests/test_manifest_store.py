@@ -789,3 +789,41 @@ def test_restore_preserves_partition_metadata(spark, tmp_path):
     assert n_read < total
     assert sorted(r["id"] for r in pruned.collect()) == [i for i in range(40) if i % 4 == 2]
     assert M.read(spark, t, v3).count() == 40
+
+
+def test_positional_delete_removes_exact_rows_not_key_twins(spark, tmp_path):
+    """Positional deletes address physical rows: with duplicate keys,
+    deleting WHERE v = 'old' must keep the same-key sibling row that an
+    equality delete on id would also erase."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, "old") for i in range(10)] + [(i, "new") for i in range(10)],
+        "id bigint, v string",
+    )
+    M.commit(df, t, "overwrite")
+    files_before = M._read_manifest(t, 1)["files"]
+    v = M.delete_where_positional(spark, t, "v = 'old'")
+    m = M._read_manifest(t, v)
+    assert m["files"] == files_before  # zero data files rewritten
+    assert m["deletes"][0]["type"] == "positional"
+    got = {(r["id"], r["v"]) for r in M.read(spark, t).collect()}
+    assert got == {(i, "new") for i in range(10)}
+    # time travel to v1 still sees everything
+    assert M.read(spark, t, 1).count() == 20
+
+
+def test_positional_delete_spares_later_appends_and_compacts(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(50).selectExpr("id", "id AS v"), t, "overwrite")
+    M.delete_where_positional(spark, t, "id < 5")
+    # rows re-appended with the same ids are NEWER physical rows in new
+    # files: the positional delete's applies_to scope misses them
+    M.commit(spark.range(5).selectExpr("id", "id + 1000 AS v"), t, "append")
+    got = {(r["id"], r["v"]) for r in M.read(spark, t).collect() if r["id"] < 5}
+    assert got == {(i, i + 1000) for i in range(5)}
+    # mixing kinds: an equality delete on top of the positional one
+    M.delete_where_mor(spark, t, "id >= 48", ["id"])
+    assert M.read(spark, t).count() == 45 + 5 - 2  # 45 survivors + 5 re-adds - {48,49}
+    v = M.compact_mor(spark, t)
+    assert "deletes" not in M._read_manifest(t, v)
+    assert M.read(spark, t, v).count() == 48
