@@ -888,17 +888,30 @@ def drop_branch(table_dir: str, branch: str) -> None:
 
 
 def commit_partitioned(
-    df: DataFrame, table_dir: str, partition_exprs: dict[str, str], note: str = ""
+    df: DataFrame,
+    table_dir: str,
+    partition_exprs: dict[str, str],
+    note: str = "",
+    mode: str = "overwrite",
 ) -> int:
-    """Hidden-partitioned overwrite commit (Iceberg's partition
-    transforms): ``partition_exprs`` maps partition names to SQL
-    expressions over the data columns (e.g. {"om":
-    "month(o_orderdate)"}). Data files keep only the SOURCE columns —
-    the transform values live in the manifest as per-file partition
-    tuples, so readers prune files by transformed predicates without
-    the writer ever materializing a partition column in the data
-    (the 'hidden' contract: queries filter on source semantics, the
-    layout serves them automatically). One file per partition tuple."""
+    """Hidden-partitioned commit (Iceberg's partition transforms):
+    ``partition_exprs`` maps partition names to SQL expressions over
+    the data columns (e.g. {"om": "month(o_orderdate)"}). Data files
+    keep only the SOURCE columns — the transform values live in the
+    manifest as per-file partition tuples, so readers prune files by
+    transformed predicates without the writer ever materializing a
+    partition column in the data (the 'hidden' contract: queries
+    filter on source semantics, the layout serves them automatically).
+    One file per partition tuple.
+
+    ``mode="append"`` enables PARTITION EVOLUTION (Iceberg spec-id
+    semantics, extensionally): the new batch may use a DIFFERENT
+    partition_exprs than earlier commits — each file keeps the tuple
+    of the spec it was written under, and read_partitioned() prunes
+    per-file against each file's OWN tuple, conservatively scanning
+    files whose spec cannot prove exclusion."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     derived = df
     for name, expr in partition_exprs.items():
         derived = derived.withColumn(name, F_expr(expr))
@@ -929,10 +942,18 @@ def commit_partitioned(
     shutil.rmtree(scratch, ignore_errors=True)
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     prev = current_version(table_dir) if _versions(table_dir) else 0
+    if mode == "append" and prev > 0:
+        base_manifest = _read_manifest(table_dir, prev)
+        files = base_manifest["files"] + files
+        # earlier files keep the tuples of the spec they were written
+        # under — this is what makes evolution per-file, not per-table
+        merged = dict(base_manifest.get("partitions", {}))
+        merged.update(partitions)
+        partitions = merged
     return _commit_files(
         table_dir,
         files,
-        note or f"hidden-partitioned overwrite ({', '.join(names)})",
+        note or f"hidden-partitioned {mode} ({', '.join(names)})",
         base_version=prev,
         partitions=partitions,
     )
@@ -963,13 +984,22 @@ def read_partitioned(
     live = []
     for path in entries:
         pv = pmap.get(path, {})
-        if filters and any(str(pv.get(k)) != str(val) for k, val in filters.items()):
+        # evolution-safe pruning: a file is skipped ONLY when its own
+        # tuple carries the filtered key with a different value. Files
+        # written under an older spec (key absent) cannot prove
+        # exclusion and must be scanned — Iceberg's residual-predicate
+        # rule for evolved tables; callers re-apply the row predicate.
+        if filters and any(
+            k in pv and str(pv[k]) != str(val) for k, val in filters.items()
+        ):
             continue
         live.append(path)
     if not live:
         raise FileNotFoundError(f"no files match partition filter {filters}")
     return (
-        spark.read.parquet(*[os.path.join(table_dir, p) for p in live]),
+        spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_dir, p) for p in live]
+        ),
         total,
         len(live),
     )

@@ -2214,3 +2214,101 @@ def io_manifest_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "io_manifest_partition_evolution",
+    oracle="""
+    WITH old_batch AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               EXTRACT(month FROM o_orderdate) AS om
+        FROM orders WHERE o_orderkey <= 1000
+    ),
+    new_batch AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               EXTRACT(month FROM o_orderdate) AS om
+        FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000
+    ),
+    uni AS (
+        SELECT *, 'old-spec' AS spec FROM old_batch
+        UNION ALL
+        SELECT *, 'new-spec' AS spec FROM new_batch
+    )
+    SELECT spec,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+           TRUE AS new_spec_pruned,
+           TRUE AS old_spec_retained,
+           TRUE AS old_filter_prunes_old
+    FROM uni
+    WHERE o_orderstatus = 'F'
+    GROUP BY spec
+    ORDER BY spec
+    """,
+    tags=("io", "lakehouse", "partitioning"),
+)
+def io_manifest_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION (Iceberg spec-id semantics over the hidden-
+    partitioning manifest): v1 commits orders<=1000 partitioned by
+    month(o_orderdate); v2 APPENDS orders 1001..2000 partitioned by a
+    DIFFERENT transform, o_orderstatus — without rewriting a byte of
+    v1. Each file keeps the partition tuple of the spec it was written
+    under; read_partitioned() prunes per-file against the file's OWN
+    tuple, so a filter on the new spec ({status: 'F'}) skips non-F
+    new-spec files while conservatively scanning EVERY old-spec file
+    (their tuples can't prove exclusion — Iceberg's residual-predicate
+    rule), and the caller's row predicate finishes the job. The query
+    verifies both pruning directions with file counts, then aggregates
+    the status='F' rows per spec generation.
+
+    100 TB: spec changes are pure metadata (one manifest commit);
+    old data lays out under the old spec until OPTIMIZE rewrites it,
+    exactly Iceberg's documented evolution story."""
+    from supabase_etl_spark.io import manifest_store as M
+    from supabase_etl_spark.queries._helpers import dsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    table = scratch_dir("manifest_pevo_")
+    M.commit_partitioned(
+        o.filter(F.col("o_orderkey") <= 1000),
+        table,
+        {"om": "month(o_orderdate)"},
+    )
+    n_old = len(M._read_manifest(table, 1)["files"])
+    M.commit_partitioned(
+        o.filter((F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 2000)),
+        table,
+        {"status": "o_orderstatus"},
+        mode="append",
+    )
+    total_files = len(M._read_manifest(table, 2)["files"])
+    n_new = total_files - n_old
+
+    pruned, total, n_read = M.read_partitioned(spark, table, filters={"status": "F"})
+    # new-spec files pruned to the single F file; every old-spec file kept
+    new_spec_pruned = n_read == n_old + 1 and total == total_files and n_new > 1
+    old_spec_retained = n_read >= n_old
+
+    _, _, n_read_old = M.read_partitioned(spark, table, filters={"om": "3"})
+    old_filter_prunes_old = n_read_old == 1 + n_new
+
+    spec = F.when(F.col("o_orderkey") <= 1000, "old-spec").otherwise("new-spec")
+    return (
+        pruned.filter(F.col("o_orderstatus") == "F")
+        .groupBy(spec.alias("spec"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .select(
+            "spec",
+            "n_rows",
+            "total_price",
+            F.lit(bool(new_spec_pruned)).alias("new_spec_pruned"),
+            F.lit(bool(old_spec_retained)).alias("old_spec_retained"),
+            F.lit(bool(old_filter_prunes_old)).alias("old_filter_prunes_old"),
+        )
+        .orderBy("spec")
+    )

@@ -827,3 +827,31 @@ def test_positional_delete_spares_later_appends_and_compacts(spark, tmp_path):
     v = M.compact_mor(spark, t)
     assert "deletes" not in M._read_manifest(t, v)
     assert M.read(spark, t, v).count() == 48
+
+
+def test_partition_evolution_scans_old_spec_conservatively(spark, tmp_path):
+    """Partition evolution (Iceberg spec-id semantics): an append may
+    change the partition transform; files keep their own spec's tuple,
+    and filters on the NEW spec prune new-spec files while keeping
+    every old-spec file (exclusion unprovable) — data is never lost."""
+    t = str(tmp_path / "tbl")
+    df1 = spark.range(40).selectExpr("id", "id % 4 AS grp", "id * 2 AS v")
+    M.commit_partitioned(df1, t, {"band": "id % 4"})
+    n_old = len(M._read_manifest(t, 1)["files"])
+    df2 = spark.range(100, 140).selectExpr("id", "id % 4 AS grp", "id * 2 AS v")
+    M.commit_partitioned(df2, t, {"parity": "id % 2"}, mode="append")
+    m2 = M._read_manifest(t, 2)
+    assert len(m2["files"]) == n_old + 2
+    # filter on the NEW spec: old-spec files all retained, new pruned
+    pruned, total, n_read = M.read_partitioned(spark, t, filters={"parity": "1"})
+    assert total == n_old + 2 and n_read == n_old + 1
+    ids = sorted(r["id"] for r in pruned.filter("id % 2 = 1").collect())
+    assert ids == [i for i in range(40) if i % 2 == 1] + [
+        i for i in range(100, 140) if i % 2 == 1
+    ]
+    # filter on the OLD spec: new-spec files all retained
+    pruned2, _, n_read2 = M.read_partitioned(spark, t, filters={"band": "2"})
+    assert n_read2 == 1 + 2
+    assert sorted(r["id"] for r in pruned2.filter("id % 4 = 2").collect()) == [
+        i for i in range(40) if i % 4 == 2
+    ] + [i for i in range(100, 140) if i % 4 == 2]
