@@ -8173,3 +8173,134 @@ def events_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("rmst_fraction"),
     )
+
+
+@query(
+    "events_ar2_yule_walker",
+    oracle="""
+    WITH spine AS (
+        SELECT t.event_type, d.day
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+    ),
+    cnt AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT s.event_type, s.day, COALESCE(c.x, 0) AS x
+        FROM spine s LEFT JOIN cnt c
+          ON s.event_type = c.event_type AND s.day = c.day
+    ),
+    lagged AS (
+        SELECT event_type, day, x,
+               lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+               lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS x2,
+               row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rd,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER (PARTITION BY event_type) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY event_type) AS m
+        FROM daily
+    ),
+    moments AS (
+        SELECT event_type, m,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(SUM(CAST((x - m) * (x - m) AS DECIMAL(38,6))) AS DOUBLE) AS c0,
+               CAST(SUM(CAST((x - m) * (x1 - m) AS DECIMAL(38,6))) AS DOUBLE) AS c1,
+               CAST(SUM(CAST((x - m) * (x2 - m) AS DECIMAL(38,6))) AS DOUBLE) AS c2,
+               CAST(MAX(CASE WHEN rd = 1 THEN x END) AS DOUBLE) AS x_last,
+               CAST(MAX(CASE WHEN rd = 2 THEN x END) AS DOUBLE) AS x_prev
+        FROM lagged GROUP BY event_type, m
+    ),
+    fit AS (
+        SELECT event_type, n_days, m, x_last, x_prev,
+               c1 / c0 AS r1, c2 / c0 AS r2
+        FROM moments
+    )
+    SELECT event_type, n_days,
+           round(m, 9) AS mean_daily,
+           round(r1, 9) AS rho1,
+           round(r2, 9) AS rho2,
+           round(r1 * (1 - r2) / (1 - r1 * r1), 9) AS phi1,
+           round((r2 - r1 * r1) / (1 - r1 * r1), 9) AS phi2,
+           round(m + (r1 * (1 - r2) / (1 - r1 * r1)) * (x_last - m)
+                   + ((r2 - r1 * r1) / (1 - r1 * r1)) * (x_prev - m), 9)
+               AS forecast_next
+    FROM fit
+    ORDER BY event_type
+    """,
+    tags=("events", "timeseries", "ml"),
+)
+def events_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit by Yule-Walker per event-type daily-count series, plus
+    the 1-step forecast — the classical linear companion to the
+    Holt/Holt-Winters smoothers already in this module: φ1 =
+    ρ1(1−ρ2)/(1−ρ1²), φ2 = (ρ2−ρ1²)/(1−ρ1²) from the lag-1/lag-2
+    autocorrelations of the 0-filled spine series, x̂_{t+1} = μ +
+    φ1(x_t−μ) + φ2(x_{t−1}−μ).
+
+    Exactness: counts are integers, the mean is an exact rational
+    evaluated identically in both engines, deviation products (≤4 int
+    digits) sum through decimal(38,6), and the 2×2 Yule-Walker solve is
+    the same closed-form double expression on both sides, rounded to 9.
+
+    100 TB: one groupBy to daily cells (the only corpus-sized shuffle);
+    the spine, lags, and solve all run on the day-grained table —
+    series length × types rows, corpus-size-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(days)
+    cnt = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    daily = spine.join(cnt, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("x", F.lit(0).cast("bigint")).alias("x")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wd = Window.partitionBy("event_type").orderBy(F.col("day").desc())
+    wf = Window.partitionBy("event_type")
+    m = (
+        F.sum(F.col("x").cast("decimal(28,6)")).over(wf).cast("double")
+        / F.count(F.lit(1)).over(wf)
+    )
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(wo).alias("x1"),
+        F.lag("x", 2).over(wo).alias("x2"),
+        F.row_number().over(wd).alias("rd"),
+        m.alias("m"),
+    )
+    dev = F.col("x") - F.col("m")
+    moments = lagged.groupBy("event_type", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum((dev * dev).cast("decimal(38,6)")).cast("double").alias("c0"),
+        F.sum((dev * (F.col("x1") - F.col("m"))).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("c1"),
+        F.sum((dev * (F.col("x2") - F.col("m"))).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("c2"),
+        F.max(F.when(F.col("rd") == 1, F.col("x"))).cast("double").alias("x_last"),
+        F.max(F.when(F.col("rd") == 2, F.col("x"))).cast("double").alias("x_prev"),
+    )
+    r1 = F.col("c1") / F.col("c0")
+    r2 = F.col("c2") / F.col("c0")
+    phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    return moments.select(
+        "event_type",
+        "n_days",
+        F.round("m", 9).alias("mean_daily"),
+        F.round(r1, 9).alias("rho1"),
+        F.round(r2, 9).alias("rho2"),
+        F.round(phi1, 9).alias("phi1"),
+        F.round(phi2, 9).alias("phi2"),
+        F.round(
+            F.col("m")
+            + phi1 * (F.col("x_last") - F.col("m"))
+            + phi2 * (F.col("x_prev") - F.col("m")),
+            9,
+        ).alias("forecast_next"),
+    ).orderBy("event_type")

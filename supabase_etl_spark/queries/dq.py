@@ -2320,3 +2320,110 @@ def dq_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "dq_drift_cramer_von_mises",
+    oracle="""
+    WITH tagged AS (
+        SELECT CAST(FLOOR(value) AS BIGINT) AS v,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS in_a
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(SUM(in_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - in_a) AS BIGINT) AS cb
+        FROM tagged GROUP BY v
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per_v),
+    cum AS (
+        SELECT v, ca, cb,
+               SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+               SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+        FROM per_v
+    ),
+    terms AS (
+        SELECT v, ca, cb, cum_a, cum_b,
+               (ca + cb) * POWER(CAST(cum_a * (SELECT nb FROM tot)
+                                      - cum_b * (SELECT na FROM tot) AS DOUBLE)
+                                 / (CAST((SELECT na FROM tot) AS DOUBLE)
+                                    * (SELECT nb FROM tot)), 2) AS t
+        FROM cum
+    )
+    SELECT (SELECT CAST(na AS BIGINT) FROM tot) AS n_a,
+           (SELECT CAST(nb AS BIGINT) FROM tot) AS n_b,
+           CAST(count(*) AS BIGINT) AS n_grid,
+           round(CAST((SELECT na FROM tot) AS DOUBLE) * (SELECT nb FROM tot)
+                 / POWER(CAST((SELECT na + nb FROM tot) AS DOUBLE), 2)
+                 * CAST(SUM(CAST(round(t, 12) AS DECIMAL(38,12))) AS DOUBLE), 9)
+               AS cvm_t,
+           round(1.0 / 6.0 + 1.0 / (6.0 * (SELECT na + nb FROM tot)), 9)
+               AS null_expectation
+    FROM terms
+    """,
+    tags=("dq", "drift", "statistics"),
+)
+def dq_drift_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises drift statistic — the L2 companion
+    to dq_drift_ks (KS sees only the worst single CDF gap; CvM
+    integrates the SQUARED gap over the whole distribution, so it
+    catches broad small shifts KS under-weights). T = (nm/N²)·Σ_x
+    w(x)·(F_A(x)−F_B(x))² over the empirical support, with the null
+    expectation 1/6 + 1/(6N) reported alongside for calibration.
+    Samples: 'view' vs 'click' event values.
+
+    Exactness + scale: values quantize to the integer floor grid (the
+    threshold-table lever — the grid is ≤ a few hundred rows, so the
+    cumulative windows run on a bounded table, never corpus-wide);
+    CDF gaps are exact integer cross-products divided once; per-grid
+    terms are identical doubles rounded to 12 and decimal-summed."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    tagged = ev.select(
+        F.floor("value").cast("bigint").alias("v"),
+        (F.col("event_type") == "view").cast("int").alias("in_a"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
+    )
+    tot = per_v.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        "ca",
+        "cb",
+        F.sum("ca").over(wc).alias("cum_a"),
+        F.sum("cb").over(wc).alias("cum_b"),
+    ).crossJoin(F.broadcast(tot))
+    gap = (F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")).cast(
+        "double"
+    ) / (F.col("na").cast("double") * F.col("nb"))
+    terms = cum.select(
+        "na",
+        "nb",
+        ((F.col("ca") + F.col("cb")) * F.pow(gap, 2)).alias("t"),
+    )
+    return terms.groupBy("na", "nb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grid"),
+        F.round(
+            F.col("na").cast("double")
+            * F.col("nb")
+            / F.pow((F.col("na") + F.col("nb")).cast("double"), 2)
+            * F.sum(F.round(F.col("t"), 12).cast("decimal(38,12)")).cast("double"),
+            9,
+        ).alias("cvm_t"),
+        F.round(
+            F.lit(1.0) / 6.0 + F.lit(1.0) / (6.0 * (F.col("na") + F.col("nb"))), 9
+        ).alias("null_expectation"),
+    ).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "n_grid",
+        "cvm_t",
+        "null_expectation",
+    )
