@@ -2427,3 +2427,236 @@ def dq_drift_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cvm_t",
         "null_expectation",
     )
+
+
+GRUBBS_FLAG_G = 3.0  # operational screen threshold (fixed, documented)
+
+
+@query(
+    "dq_grubbs_outlier_screen",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mu,
+               sqrt((CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                       * CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / count(*))
+                    / (count(*) - 1)) AS s
+        FROM daily
+    ),
+    g AS (
+        SELECT d.day, d.x, m.n, m.mu, m.s,
+               round(abs(d.x - m.mu) / m.s, 9) AS g_stat
+        FROM daily d CROSS JOIN m
+    ),
+    ranked AS (
+        SELECT day, x, n, mu, s, g_stat,
+               ROW_NUMBER() OVER (ORDER BY g_stat DESC, day) AS rn
+        FROM g
+    )
+    SELECT rn, day, round(x, 6) AS daily_total, n AS n_days,
+           round(mu, 6) AS mean_daily, round(s, 6) AS stddev_daily,
+           g_stat,
+           g_stat > {GRUBBS_FLAG_G!r} AS flagged
+    FROM ranked WHERE rn <= 3
+    ORDER BY rn
+    """,
+    tags=("dq", "statistics", "outliers"),
+)
+def dq_grubbs_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs-style maximum-studentized-deviation screen over the daily
+    revenue series: G(day) = |x − x̄|/s, reporting the top-3 suspect
+    days and a fixed operational flag (G > 3.0 — the exact Grubbs
+    critical value needs a t-quantile in N, which an alerting screen
+    replaces with a conservative constant; the MAD variant for
+    heavy-tailed series is events_mad_outliers).
+
+    Exactness: daily totals and the corpus moments run through exact
+    decimals (x² snapped to 6 dp before squaring-sum, the r6
+    cast-scale rule); G is the same double expression both sides,
+    quantized to 9 before ranking with a day tie-break. One corpus
+    groupBy; everything after runs on the day-grained table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("x")
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("x").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(38,6)")).cast("double")
+                - F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+                * F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("s"),
+    )
+    g = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "x",
+        "n",
+        "mu",
+        "s",
+        F.round(F.abs(F.col("x") - F.col("mu")) / F.col("s"), 9).alias("g_stat"),
+    )
+    w = Window.orderBy(F.col("g_stat").desc(), "day")
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "rn",
+            "day",
+            F.round("x", 6).alias("daily_total"),
+            F.col("n").alias("n_days"),
+            F.round("mu", 6).alias("mean_daily"),
+            F.round("s", 6).alias("stddev_daily"),
+            "g_stat",
+            (F.col("g_stat") > GRUBBS_FLAG_G).alias("flagged"),
+        )
+        .orderBy("rn")
+    )
+
+
+@query(
+    "dq_t_closeness",
+    oracle="""
+    WITH rows_ AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 2000) AS BIGINT) AS band
+        FROM customer
+    ),
+    bands AS (SELECT DISTINCT band FROM rows_),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bands FROM bands),
+    gl AS (
+        SELECT band, CAST(count(*) AS BIGINT) AS g FROM rows_ GROUP BY band
+    ),
+    ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rows_),
+    classes AS (
+        SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_c
+        FROM rows_ GROUP BY 1, 2
+    ),
+    cell AS (
+        SELECT c_nationkey, c_mktsegment, band, CAST(count(*) AS BIGINT) AS c
+        FROM rows_ GROUP BY 1, 2, 3
+    ),
+    grid AS (
+        SELECT cl.c_nationkey, cl.c_mktsegment, cl.n_c, b.band,
+               COALESCE(ce.c, 0) AS c, g.g
+        FROM classes cl CROSS JOIN bands b
+        JOIN gl g ON g.band = b.band
+        LEFT JOIN cell ce ON ce.c_nationkey = cl.c_nationkey
+          AND ce.c_mktsegment = cl.c_mktsegment AND ce.band = b.band
+    ),
+    cumdiff AS (
+        SELECT c_nationkey, c_mktsegment, n_c, band,
+               SUM(c * (SELECT n FROM ntot) - g * n_c)
+                   OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+                         ROWS UNBOUNDED PRECEDING) AS cum_num
+        FROM grid
+    ),
+    emd AS (
+        SELECT c_nationkey, c_mktsegment, n_c,
+               round(CAST(SUM(abs(cum_num)) AS DOUBLE)
+                     / (((SELECT n_bands FROM nb) - 1)
+                        * CAST(n_c AS DOUBLE) * (SELECT n FROM ntot)), 9) AS t
+        FROM cumdiff GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT c_nationkey, c_mktsegment, n_c, t,
+               ROW_NUMBER() OVER (ORDER BY t DESC, c_nationkey, c_mktsegment) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_classes
+        FROM emd
+    )
+    SELECT rn, c_nationkey, c_mktsegment, n_c, t, n_classes
+    FROM ranked WHERE rn <= 5
+    ORDER BY rn
+    """,
+    tags=("dq", "privacy"),
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    distributional member of the k-anonymity / l-diversity family: a
+    class can be k-anonymous AND l-diverse yet still leak if its
+    sensitive-attribute distribution diverges from the global one.
+    For the ordinal sensitive attribute (account-balance band), t =
+    EMD(class, global) = Σ_b |cum(p−q)| / (B−1); the five worst
+    classes and the class count are reported.
+
+    Exactness: every cumulative term is the integer cross-product
+    c·N − g·n_c (never a float fraction), divided exactly once; t is
+    quantized to 9 before ranking with class tie-breaks. Scale: the
+    grid is classes × bands (QI-cardinality-sized); cumulative windows
+    partition per class over ≤B rows; the only corpus passes are the
+    two grouped counts."""
+    c = load_table(spark, sf_dir, "customer")
+    rows_ = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("band"),
+    )
+    bands = rows_.select("band").distinct()
+    nb = bands.agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"))
+    gl = rows_.groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+    ntot = rows_.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    classes = rows_.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    cell = rows_.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(bands))
+        .join(F.broadcast(gl), "band")
+        .join(cell, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .crossJoin(F.broadcast(ntot))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_c",
+            "band",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            "g",
+            "n",
+            "n_bands",
+        )
+    )
+    wcum = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cumdiff = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_c",
+        "n",
+        "n_bands",
+        F.sum(F.col("c") * F.col("n") - F.col("g") * F.col("n_c")).over(wcum).alias("cum_num"),
+    )
+    emd = cumdiff.groupBy("c_nationkey", "c_mktsegment", "n_c", "n", "n_bands").agg(
+        F.round(
+            F.sum(F.abs("cum_num")).cast("double")
+            / ((F.col("n_bands") - 1) * F.col("n_c").cast("double") * F.col("n")),
+            9,
+        ).alias("t")
+    )
+    w = Window.orderBy(F.col("t").desc(), "c_nationkey", "c_mktsegment")
+    return (
+        emd.select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_c",
+            "t",
+            F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n_classes"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("rn", "c_nationkey", "c_mktsegment", "n_c", "t", "n_classes")
+        .orderBy("rn")
+    )
