@@ -3000,3 +3000,96 @@ def ml_eval_delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+RDD_BANDWIDTH = 2000.0  # local-linear window on each side of the cutoff
+
+
+@query(
+    "ml_eval_regression_discontinuity",
+    oracle=f"""
+    WITH outcome AS (
+        SELECT c.c_custkey, c.c_acctbal AS x,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS y
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE abs(c.c_acctbal) <= {RDD_BANDWIDTH!r} AND c.c_acctbal <> 0
+        GROUP BY 1, 2
+    ),
+    sides AS (
+        SELECT CASE WHEN x > 0 THEN 'right' ELSE 'left' END AS side,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,2))) AS DOUBLE) AS sxy
+        FROM outcome GROUP BY 1
+    ),
+    fit AS (
+        SELECT side, n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+        FROM sides
+    )
+    SELECT l.n AS n_left, r.n AS n_right,
+           round(l.a, 9) AS intercept_left,
+           round(r.a, 9) AS intercept_right,
+           round(l.b, 9) AS slope_left,
+           round(r.b, 9) AS slope_right,
+           round(r.a - l.a, 9) AS rdd_effect
+    FROM (SELECT * FROM fit WHERE side = 'left') l
+    CROSS JOIN (SELECT * FROM fit WHERE side = 'right') r
+    """,
+    tags=("llm", "ml-eval", "causal"),
+)
+def ml_eval_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimator (Thistlethwaite &
+    Campbell 1960; Imbens & Lemieux 2008 local-linear form) — the
+    causal design the IPW/AIPW/matching family can't cover: treatment
+    assigned by a threshold on a running variable (account balance ≥ 0
+    here), effect = the jump between the two local-linear fits at the
+    cutoff. Outcome: per-customer order count; bandwidth ±2000.
+
+    Exactness: each side's OLS reduces to five sufficient statistics —
+    exact decimal sums with the scale tracked per term (x has 2 true
+    decimals, x² exactly 4, x·y exactly 2) — and the closed-form
+    slope/intercept algebra is the same double expression both sides,
+    rounded to 9. Scale: one join-groupBy for the outcome (the corpus
+    pass), then a 2-row fit table."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    outcome = (
+        c.filter((F.abs("c_acctbal") <= RDD_BANDWIDTH) & (F.col("c_acctbal") != 0))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", F.col("c_acctbal").alias("x"))
+        .agg(F.count("o_orderkey").cast("bigint").alias("y"))
+    )
+    x, y = F.col("x"), F.col("y")
+    sides = outcome.groupBy(
+        F.when(x > 0, "right").otherwise("left").alias("side")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x.cast("decimal(28,2)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(28,0)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        F.sum((x * y).cast("decimal(38,2)")).cast("double").alias("sxy"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    a = (F.col("sy") - b * F.col("sx")) / F.col("n")
+    fit = sides.select("side", "n", b.alias("b"), a.alias("a"))
+    left = fit.filter(F.col("side") == "left").select(
+        F.col("n").alias("n_left"), F.col("a").alias("al"), F.col("b").alias("bl")
+    )
+    right = fit.filter(F.col("side") == "right").select(
+        F.col("n").alias("n_right"), F.col("a").alias("ar"), F.col("b").alias("br")
+    )
+    return left.crossJoin(right).select(
+        "n_left",
+        "n_right",
+        F.round("al", 9).alias("intercept_left"),
+        F.round("ar", 9).alias("intercept_right"),
+        F.round("bl", 9).alias("slope_left"),
+        F.round("br", 9).alias("slope_right"),
+        F.round(F.col("ar") - F.col("al"), 9).alias("rdd_effect"),
+    )

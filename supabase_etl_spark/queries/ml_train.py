@@ -1219,3 +1219,127 @@ def ml_lasso_coordinate_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"b1_{t}") == 0.0).alias("x1_zeroed"),
         (F.col(f"b2_{t}") == 0.0).alias("x2_zeroed"),
     )
+
+
+@query(
+    "ml_slope_one_cf",
+    oracle="""
+    WITH ratings AS (
+        SELECT o.o_custkey AS u, p.p_brand AS item,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) AS r
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    dev AS (
+        SELECT a.item AS i, b.item AS j,
+               CAST(count(*) AS BIGINT) AS n_ij,
+               CAST(SUM(CAST(round(a.r - b.r, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   AS sdiff
+        FROM ratings a JOIN ratings b
+          ON a.u = b.u AND a.item <> b.item
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT t.u, t.item AS j, t.r AS actual,
+               CAST(SUM(CAST(round((d.sdiff / d.n_ij + s.r) * d.n_ij, 12)
+                             AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(SUM(d.n_ij) AS DOUBLE) AS p
+        FROM ratings t
+        JOIN ratings s ON s.u = t.u AND s.item <> t.item
+        JOIN dev d ON d.i = t.item AND d.j = s.item
+        GROUP BY 1, 2, 3
+    )
+    SELECT j AS item,
+           CAST(count(*) AS BIGINT) AS n_preds,
+           round(sqrt(CAST(SUM(CAST(round((p - actual) * (p - actual), 12)
+                                    AS DECIMAL(38,12))) AS DOUBLE)
+                      / count(*)), 9) AS rmse_loo
+    FROM pred
+    GROUP BY j
+    ORDER BY item
+    """,
+    tags=("ml", "recommender"),
+)
+def ml_slope_one_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Slope One collaborative filtering (Lemire & Maclachlan
+    2005) — the deterministic, trivially-distributable rating predictor:
+    dev(i,j) = mean over co-rating users of (r_ui − r_uj), and the
+    leave-one-out prediction for (u,j) is the support-weighted mean of
+    dev(j,i) + r_ui over the user's other items. Fixture: rating =
+    a customer's mean order quantity per part BRAND (a bounded 25-item
+    space), scored as per-item LOO RMSE — the standard eval for a
+    recommender trained and served by the same engine.
+
+    Exactness: ratings are exact integer-sum / count rationals; every
+    summed double term rounds at 1e-12 into decimal(38,12); the final
+    RMSE sqrt is IEEE-correctly-rounded.
+
+    100 TB: the pair stage is user-keyed (cost Σ|user basket|², with
+    the item space bounded — the general-item variant blocks by
+    co-rating the way ml_item_cf_cosine does); dev is an item² table
+    (≤625 rows); prediction re-streams the ratings against broadcast
+    dev. No corpus² anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    ratings = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("o_custkey").alias("u"), F.col("p_brand").alias("item"))
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("r")
+        )
+    )
+    a, b = ratings.alias("a"), ratings.alias("b")
+    dev = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.item") != F.col("b.item")))
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ij"),
+            F.sum(
+                F.round(F.col("a.r") - F.col("b.r"), 12).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("sdiff"),
+        )
+    )
+    t, s = ratings.alias("t"), ratings.alias("s")
+    pred = (
+        t.join(s, (F.col("s.u") == F.col("t.u")) & (F.col("s.item") != F.col("t.item")))
+        .join(
+            F.broadcast(dev),
+            (F.col("i") == F.col("t.item")) & (F.col("j") == F.col("s.item")),
+        )
+        .groupBy(F.col("t.u").alias("u"), F.col("t.item").alias("jt"), F.col("t.r").alias("actual"))
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("sdiff") / F.col("n_ij") + F.col("s.r")) * F.col("n_ij"),
+                        12,
+                    ).cast("decimal(38,12)")
+                ).cast("double")
+                / F.sum("n_ij").cast("double")
+            ).alias("p")
+        )
+    )
+    err2 = F.round((F.col("p") - F.col("actual")) * (F.col("p") - F.col("actual")), 12)
+    return (
+        pred.groupBy(F.col("jt").alias("item"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_preds"),
+            F.round(
+                F.sqrt(
+                    F.sum(err2.cast("decimal(38,12)")).cast("double") / F.count(F.lit(1))
+                ),
+                9,
+            ).alias("rmse_loo"),
+        )
+        .orderBy("item")
+    )
