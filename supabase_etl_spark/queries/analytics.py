@@ -8304,3 +8304,101 @@ def events_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("forecast_next"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_identity_stitching",
+    oracle="""
+    WITH RECURSIVE purch AS (
+        SELECT user_id,
+               CAST(json_extract_string(props, 'k') AS BIGINT) * 100000
+                 + CAST(date_part('epoch', date_trunc('hour', ts)) / 3600 AS BIGINT)
+                   % 100000 AS device
+        FROM events WHERE event_type = 'purchase'
+    ),
+    du AS (SELECT DISTINCT user_id, device FROM purch),
+    pairs AS (
+        SELECT a.user_id AS src, b.user_id AS dst
+        FROM du a JOIN du b
+          ON a.device = b.device AND a.user_id < b.user_id
+    ),
+    edges AS (
+        SELECT DISTINCT src, dst FROM pairs
+        UNION
+        SELECT dst, src FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT DISTINCT user_id, user_id FROM du
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a AS user_id, min(b) AS component FROM reach GROUP BY a),
+    sized AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS n_users
+        FROM comp GROUP BY component
+    )
+    SELECT component, n_users,
+           CAST((SELECT count(*) FROM sized) AS BIGINT) AS n_components,
+           CAST((SELECT count(*) FROM sized WHERE n_users >= 2) AS BIGINT)
+               AS n_stitched
+    FROM sized
+    WHERE n_users >= 2
+    ORDER BY n_users DESC, component
+    """,
+    tags=("events", "graph", "identity"),
+)
+def events_identity_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-device identity stitching — the entity-resolution job every
+    event pipeline runs before sessionization: users observed on the
+    same device fingerprint (here: purchase-event prop `k` × event
+    hour, a deliberately sparse synthetic key) link into one identity
+    graph, and connected components assign each user a canonical
+    identity. Components with ≥2 users are the stitched identities.
+
+    Engine path: distinct (user, device) pairs, device-keyed self-join
+    for co-occurrence edges (cost Σ|device audience|², bounded by the
+    fingerprint's sparsity — the same blocking argument as SNM), then
+    the large-star/small-star CC operator (operators/cc.py, Kiveris
+    2014: log-round, never diameter-round). The oracle replays
+    reachability with a recursive CTE — exact same fixpoint.
+
+    100 TB: dense fingerprints (shared NAT IPs) need a df-cap on the
+    device audience before pairing (drop keys seen by >K users — they
+    carry no identity signal), the standard remedy noted in
+    dedup_containment."""
+    from supabase_etl_spark.operators.cc import connected_components
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    device = (
+        F.get_json_object("props", "$.k").cast("bigint") * 100000
+        + F.pmod(
+            F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600),
+            F.lit(100000),
+        )
+    )
+    du = ev.select("user_id", device.alias("device")).distinct()
+    a, b = du.alias("a"), du.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.device") == F.col("b.device"))
+        & (F.col("a.user_id") < F.col("b.user_id")),
+    ).select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+    nodes = du.select(F.col("user_id").alias("node")).distinct()
+    comp = connected_components(nodes, pairs).select(
+        F.col("node").alias("user_id"), "component"
+    )
+    sized = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    totals = sized.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_components"),
+        F.sum((F.col("n_users") >= 2).cast("int")).cast("bigint").alias("n_stitched"),
+    )
+    return (
+        sized.filter(F.col("n_users") >= 2)
+        .crossJoin(F.broadcast(totals))
+        .select("component", "n_users", "n_components", "n_stitched")
+        .orderBy(F.col("n_users").desc(), "component")
+    )
