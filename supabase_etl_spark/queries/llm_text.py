@@ -2505,3 +2505,290 @@ def text_rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+_PIECE_RE = "[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9 ]"  # BPE-ish piece proxy
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len({_SQL_TOKENS}) AS BIGINT) AS words,
+               CAST(length(text) AS BIGINT) AS chars,
+               CAST(len(regexp_extract_all(text, '{_PIECE_RE}')) AS BIGINT) AS pieces
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(pieces) AS BIGINT) AS total_pieces,
+           round(CAST(SUM(pieces) AS DOUBLE) / SUM(words), 9) AS fertility,
+           round(CAST(SUM(chars) AS DOUBLE) / SUM(words), 9) AS chars_per_word,
+           round(CAST(SUM(chars) AS DOUBLE) / SUM(pieces), 9) AS chars_per_piece
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language — the compression metric
+    tokenizer teams track when a vocabulary under-serves a language
+    (high fertility = more pieces per word = more compute per token of
+    signal; the multilingual-fairness number in the XLM-R/NLLB
+    literature). Pieces come from a BPE-ish regex segmentation
+    (lowercase runs / Titlecase / digits / punctuation singletons) as
+    the vocabulary-free proxy; words are whitespace tokens.
+
+    All counts are exact integers; the three ratios are single double
+    divisions of integer sums — no accumulation anywhere. One scan,
+    one lang-keyed agg; at 100 TB this is the cheapest shape there is."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("words"),
+        F.length("text").cast("bigint").alias("chars"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PIECE_RE), 0))
+        .cast("bigint")
+        .alias("pieces"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("words").cast("bigint").alias("total_words"),
+            F.sum("pieces").cast("bigint").alias("total_pieces"),
+            F.round(F.sum("pieces").cast("double") / F.sum("words"), 9).alias("fertility"),
+            F.round(F.sum("chars").cast("double") / F.sum("words"), 9).alias("chars_per_word"),
+            F.round(F.sum("chars").cast("double") / F.sum("pieces"), 9).alias("chars_per_piece"),
+        )
+        .orderBy("lang")
+    )
+
+
+SB_ALPHA = 0.4  # Brants et al. 2007 stupid-backoff discount
+
+
+@query(
+    "text_stupid_backoff_trigram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, lang,
+               t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM toks, UNNEST(range(1, greatest(0, len(t) - 2) + 1)) AS u(i)
+    ),
+    en_toks AS (SELECT t FROM toks WHERE lang = 'en'),
+    uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS w FROM en_toks) GROUP BY w
+    ),
+    n_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM en_toks, UNNEST(range(1, greatest(0, len(t) - 1) + 1)) AS u(i)
+        ) GROUP BY 1, 2
+    ),
+    tri_en AS (
+        SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+            FROM en_toks, UNNEST(range(1, greatest(0, len(t) - 2) + 1)) AS u(i)
+        ) GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT q.doc_id, q.lang,
+               CASE WHEN t3.c IS NOT NULL THEN 0
+                    WHEN b23.c IS NOT NULL THEN 1
+                    WHEN u3.c IS NOT NULL THEN 2
+                    ELSE 3 END AS lvl,
+               round(CASE
+                 WHEN t3.c IS NOT NULL
+                   THEN ln(CAST(t3.c AS DOUBLE) / b12.c)
+                 WHEN b23.c IS NOT NULL
+                   THEN ln({SB_ALPHA!r} * (CAST(b23.c AS DOUBLE) / u2.c))
+                 WHEN u3.c IS NOT NULL
+                   THEN ln({SB_ALPHA!r} * {SB_ALPHA!r}
+                           * (CAST(u3.c AS DOUBLE) / (SELECT n FROM n_tot)))
+                 ELSE ln({SB_ALPHA!r} * {SB_ALPHA!r}
+                         * (1.0 / (SELECT n FROM n_tot)))
+               END, 12) AS lp
+        FROM tri q
+        LEFT JOIN tri_en t3 ON q.w1 = t3.w1 AND q.w2 = t3.w2 AND q.w3 = t3.w3
+        LEFT JOIN bi b12 ON q.w1 = b12.w1 AND q.w2 = b12.w2
+        LEFT JOIN bi b23 ON q.w2 = b23.w1 AND q.w3 = b23.w2
+        LEFT JOIN uni u2 ON q.w2 = u2.w
+        LEFT JOIN uni u3 ON q.w3 = u3.w
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS doc_lp,
+               CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+               CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+               CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+               CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h0
+        FROM scored GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(round(doc_lp, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*), 9) AS mean_doc_logprob,
+           CAST(SUM(h3) AS BIGINT) AS tri_hits,
+           CAST(SUM(h2) AS BIGINT) AS bigram_backoffs,
+           CAST(SUM(h1) AS BIGINT) AS unigram_backoffs,
+           CAST(SUM(h0) AS BIGINT) AS oov_floor
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "text", "lm"),
+)
+def text_stupid_backoff_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram language-model scoring with STUPID BACKOFF (Brants et
+    al. 2007 — the web-scale LM scheme that replaces discounting with a
+    fixed 0.4 back-off factor precisely because it distributes): the
+    model trains on the lang='en' slice and scores EVERY document, so
+    non-English text exercises the full back-off ladder
+    (trigram → 0.4·bigram → 0.16·unigram → 0.16/N floor). Extends the
+    order-2 text_bigram_logprob to order 3 with the ladder the CCNet
+    family assumes.
+
+    Exactness: every conditional probability is a ratio of exact
+    integer counts evaluated by the same double expression; ln terms
+    round at 1e-12 and decimal-sum (the NLL pattern — ln is
+    libm-identical under this discipline). CASE arms are identical
+    text in both engines, so the ladder picks the same branch per row.
+
+    100 TB: counts are vocab-bounded hash aggs; scoring is five
+    token-keyed equi-joins of the trigram stream against count tables
+    — no corpus×corpus anywhere; per-doc and per-lang rollups are the
+    only further shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", T.tokens(F.col("text")).alias("t"))
+
+    def grams(df, k: int, cols: list[str]):
+        n = F.size("t")
+        return df.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.lit(0), n - (k - 1))),
+                    lambda i: F.struct(
+                        *[
+                            F.element_at(F.col("t"), i + j).alias(cols[j])
+                            for j in range(k)
+                        ]
+                    ),
+                )
+            ).alias("g"),
+        ).select("doc_id", "lang", "g.*")
+
+    tri = grams(toks, 3, ["w1", "w2", "w3"])
+    en = toks.filter(F.col("lang") == "en")
+    uni = (
+        en.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n_tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    bi = (
+        grams(en, 2, ["w1", "w2"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tri_en = (
+        grams(en, 3, ["w1", "w2", "w3"])
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    q = tri.alias("q")
+    joined = (
+        q.join(
+            tri_en.select(
+                F.col("w1").alias("t1"), F.col("w2").alias("t2"),
+                F.col("w3").alias("t3"), F.col("c").alias("c3"),
+            ),
+            (F.col("q.w1") == F.col("t1"))
+            & (F.col("q.w2") == F.col("t2"))
+            & (F.col("q.w3") == F.col("t3")),
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("w1").alias("ba1"), F.col("w2").alias("ba2"),
+                F.col("c").alias("c12"),
+            ),
+            (F.col("q.w1") == F.col("ba1")) & (F.col("q.w2") == F.col("ba2")),
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("w1").alias("bb1"), F.col("w2").alias("bb2"),
+                F.col("c").alias("c23"),
+            ),
+            (F.col("q.w2") == F.col("bb1")) & (F.col("q.w3") == F.col("bb2")),
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("uw2"), F.col("c").alias("cu2")),
+            F.col("q.w2") == F.col("uw2"),
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("uw3"), F.col("c").alias("cu3")),
+            F.col("q.w3") == F.col("uw3"),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_tot))
+    )
+    a = F.lit(SB_ALPHA)
+    lvl = (
+        F.when(F.col("c3").isNotNull(), 0)
+        .when(F.col("c23").isNotNull(), 1)
+        .when(F.col("cu3").isNotNull(), 2)
+        .otherwise(3)
+    )
+    lp = F.round(
+        F.when(F.col("c3").isNotNull(), F.log(F.col("c3").cast("double") / F.col("c12")))
+        .when(
+            F.col("c23").isNotNull(),
+            F.log(a * (F.col("c23").cast("double") / F.col("cu2"))),
+        )
+        .when(
+            F.col("cu3").isNotNull(),
+            F.log(a * a * (F.col("cu3").cast("double") / F.col("n"))),
+        )
+        .otherwise(F.log(a * a * (F.lit(1.0) / F.col("n")))),
+        12,
+    )
+    scored = joined.select("doc_id", "lang", lvl.alias("lvl"), lp.alias("lp"))
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        (F.sum(F.col("lp").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1))).alias("doc_lp"),
+        F.sum((F.col("lvl") == 0).cast("int")).cast("bigint").alias("h3"),
+        F.sum((F.col("lvl") == 1).cast("int")).cast("bigint").alias("h2"),
+        F.sum((F.col("lvl") == 2).cast("int")).cast("bigint").alias("h1"),
+        F.sum((F.col("lvl") == 3).cast("int")).cast("bigint").alias("h0"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.round("doc_lp", 12).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_doc_logprob"),
+            F.sum("h3").cast("bigint").alias("tri_hits"),
+            F.sum("h2").cast("bigint").alias("bigram_backoffs"),
+            F.sum("h1").cast("bigint").alias("unigram_backoffs"),
+            F.sum("h0").cast("bigint").alias("oov_floor"),
+        )
+        .orderBy("lang")
+    )
