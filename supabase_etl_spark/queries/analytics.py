@@ -8402,3 +8402,214 @@ def events_identity_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("component", "n_users", "n_components", "n_stitched")
         .orderBy(F.col("n_users").desc(), "component")
     )
+
+
+HC_QTY_MIN = 47  # edge sparsifier: only high-quantity trade pairs
+
+
+@query(
+    "graph_harmonic_centrality",
+    oracle=f"""
+    WITH raw AS (
+        SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
+               greatest(s.s_nationkey, c.c_nationkey) AS b
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_quantity >= {HC_QTY_MIN} AND s.s_nationkey <> c.c_nationkey
+    ),
+    sym AS (
+        SELECT a AS u, b AS v FROM raw UNION SELECT b, a FROM raw
+    ),
+    nodes AS (SELECT DISTINCT u FROM sym),
+    d2 AS (
+        SELECT DISTINCT p.u, q.v
+        FROM sym p JOIN sym q ON p.v = q.u
+        WHERE q.v <> p.u
+          AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = p.u AND s.v = q.v)
+    ),
+    d3 AS (
+        SELECT DISTINCT p.u, q.v
+        FROM d2 p JOIN sym q ON p.v = q.u
+        WHERE q.v <> p.u
+          AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = p.u AND s.v = q.v)
+          AND NOT EXISTS (SELECT 1 FROM d2 t WHERE t.u = p.u AND t.v = q.v)
+    ),
+    counts AS (
+        SELECT n.u,
+               CAST(COALESCE((SELECT count(*) FROM sym s WHERE s.u = n.u), 0) AS BIGINT) AS n1,
+               CAST(COALESCE((SELECT count(*) FROM d2 t WHERE t.u = n.u), 0) AS BIGINT) AS n2,
+               CAST(COALESCE((SELECT count(*) FROM d3 t WHERE t.u = n.u), 0) AS BIGINT) AS n3
+        FROM nodes n
+    )
+    SELECT u AS nationkey, n1, n2, n3,
+           round(n1 + CAST(n2 AS DOUBLE) / 2 + CAST(n3 AS DOUBLE) / 3, 9)
+               AS harmonic_at_3
+    FROM counts
+    ORDER BY nationkey
+    """,
+    tags=("graph", "centrality"),
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality truncated at 3 hops — the closeness-family
+    score that stays well-defined on disconnected graphs (Boldi &
+    Vigna 2014): h(u) = Σ_v 1/d(u,v), with the sum truncated at
+    distance 3 (the standard bounded-radius approximation; beyond ~3
+    hops the 1/d tail adds little and an exact all-pairs BFS stops
+    being join-shaped). Graph: the nation trade graph sparsified to
+    high-quantity pairs so distance structure exists.
+
+    Exact distance layers by set algebra: D1 = adjacency, D2 =
+    (D1∘D1) − D1 − self, D3 = (D2∘D1) − D2 − D1 − self — each layer is
+    one equi-join + anti-joins, all on the 25-node edge list after the
+    one corpus star-join pass. h = n1 + n2/2 + n3/3 evaluated as the
+    same double expression in both engines.
+
+    100 TB: the corpus cost is the distinct-edge star join; the BFS
+    layers run on the nation-sized graph. For large vertex sets the
+    same layered construction shards by source-node range (each layer
+    stays an equi-join), or swaps to HyperANF sketches — noted, not
+    needed at this graph's size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    raw = (
+        li.filter(F.col("l_quantity") >= HC_QTY_MIN)
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = (
+        raw.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(raw.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+    nodes = sym.select("u").distinct()
+    p, q = sym.alias("p"), sym.alias("q")
+    hop2 = (
+        p.join(q, F.col("p.v") == F.col("q.u"))
+        .filter(F.col("q.v") != F.col("p.u"))
+        .select(F.col("p.u").alias("u"), F.col("q.v").alias("v"))
+        .distinct()
+        .join(sym, ["u", "v"], "left_anti")
+    )
+    h2, q2 = hop2.alias("h2"), sym.alias("q2")
+    hop3 = (
+        h2.join(q2, F.col("h2.v") == F.col("q2.u"))
+        .filter(F.col("q2.v") != F.col("h2.u"))
+        .select(F.col("h2.u").alias("u"), F.col("q2.v").alias("v"))
+        .distinct()
+        .join(sym, ["u", "v"], "left_anti")
+        .join(hop2, ["u", "v"], "left_anti")
+    )
+    c1 = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    c2 = hop2.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    c3 = hop3.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("n3"))
+    zero = F.lit(0).cast("bigint")
+    counts = (
+        nodes.join(c1, "u", "left")
+        .join(c2, "u", "left")
+        .join(c3, "u", "left")
+        .select(
+            F.col("u").alias("nationkey"),
+            F.coalesce("n1", zero).alias("n1"),
+            F.coalesce("n2", zero).alias("n2"),
+            F.coalesce("n3", zero).alias("n3"),
+        )
+    )
+    return counts.select(
+        "nationkey",
+        "n1",
+        "n2",
+        "n3",
+        F.round(
+            F.col("n1") + F.col("n2").cast("double") / 2 + F.col("n3").cast("double") / 3,
+            9,
+        ).alias("harmonic_at_3"),
+    ).orderBy("nationkey")
+
+
+@query(
+    "orders_price_elasticity",
+    oracle="""
+    WITH per_part AS (
+        SELECT p.p_brand AS brand, l.l_partkey,
+               ln(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+                  / CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS DOUBLE)) AS x,
+               ln(CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS DOUBLE)) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT brand,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        FROM per_part GROUP BY brand
+    )
+    SELECT brand, n AS n_parts,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS elasticity,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
+               AS log_intercept
+    FROM m
+    ORDER BY brand
+    """,
+    tags=("analytics", "econ"),
+)
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price elasticity of demand per brand by the standard log-log
+    OLS (elasticity = d ln q / d ln p): each part contributes one
+    (ln unit-price, ln total-quantity) observation; the per-brand slope
+    is the pricing-team number behind markdown and promo decisions —
+    the econometric sibling of the Laspeyres/Paasche index operator.
+
+    Exactness: unit price is a ratio of exact decimal/integer sums;
+    ln terms are identical doubles rounded at 1e-12 into
+    decimal(38,12) sufficient statistics (the NLL discipline); the
+    closed-form OLS algebra is the same double expression both sides.
+
+    100 TB: one star-join + part-keyed agg (the corpus pass), then a
+    brand-keyed agg over the parts table — both map-side combined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_part = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"), "l_partkey")
+        .agg(
+            F.log(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).cast("double")
+                / F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+            ).alias("x"),
+            F.log(F.sum(F.col("l_quantity").cast("bigint")).cast("double")).alias("y"),
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    m = per_part.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(x, 12).cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum(F.round(y, 12).cast("decimal(38,12)")).cast("double").alias("sy"),
+        F.sum(F.round(x * x, 12).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.sum(F.round(x * y, 12).cast("decimal(38,12)")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "brand",
+        F.col("n").alias("n_parts"),
+        F.round(slope, 9).alias("elasticity"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9).alias(
+            "log_intercept"
+        ),
+    ).orderBy("brand")
