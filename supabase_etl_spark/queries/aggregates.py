@@ -2386,3 +2386,179 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / (m2 * F.sqrt(m2)), 9).alias("skewness_g1"),
         F.round(m4 / (m2 * m2) - 3, 9).alias("kurtosis_excess"),
     ).orderBy("g")
+
+
+@query(
+    "agg_effect_sizes",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN o_orderstatus = 'O' THEN 'treat' ELSE 'ctrl' END AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(round(o_totalprice * o_totalprice, 4)
+                             AS DECIMAL(38,4))) AS DOUBLE) AS s2
+        FROM orders WHERE o_orderstatus IN ('O', 'F')
+        GROUP BY 1
+    ),
+    m AS (
+        SELECT grp, n, s1 / n AS mu, (s2 - s1 * s1 / n) / (n - 1) AS var
+        FROM g
+    ),
+    w AS (
+        SELECT t.n AS n_t, c.n AS n_c, t.mu AS mu_t, c.mu AS mu_c,
+               t.var AS var_t, c.var AS var_c,
+               sqrt(((t.n - 1) * t.var + (c.n - 1) * c.var)
+                    / (t.n + c.n - 2)) AS sp
+        FROM (SELECT * FROM m WHERE grp = 'treat') t
+        CROSS JOIN (SELECT * FROM m WHERE grp = 'ctrl') c
+    )
+    SELECT n_t, n_c,
+           round(mu_t - mu_c, 9) AS mean_diff,
+           round((mu_t - mu_c) / sp, 9) AS cohens_d,
+           round((mu_t - mu_c) / sp
+                 * (1.0 - 3.0 / (4.0 * (n_t + n_c) - 9.0)), 9) AS hedges_g,
+           round((mu_t - mu_c) / sqrt(var_c), 9) AS glass_delta
+    FROM w
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes for the two-sample comparison the
+    Welch/Mann-Whitney operators only TEST: Cohen's d (pooled-SD
+    units), Hedges' g (the small-sample bias correction
+    1 − 3/(4N−9)), and Glass's Δ (control-SD units, for unequal
+    variances). Groups: open vs finished orders on total price.
+    Effect sizes are what a significant p-value gets reported WITH —
+    the magnitude, not just the existence, of the difference.
+
+    Exactness: both groups reduce to exact decimal moments (price² is
+    an exact 4-dp decimal); every derived quantity is the same double
+    expression in both engines, rounded at 9. One map-side-combined
+    aggregate over the corpus, then 2-row algebra."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F")
+    )
+    tp = F.col("o_totalprice")
+    g = o.groupBy(
+        F.when(F.col("o_orderstatus") == "O", "treat").otherwise("ctrl").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(tp.cast("decimal(28,2)")).cast("double").alias("s1"),
+        F.sum(F.round(tp * tp, 4).cast("decimal(38,4)")).cast("double").alias("s2"),
+    )
+    m = g.select(
+        "grp",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias("var"),
+    )
+    t = m.filter(F.col("grp") == "treat").select(
+        F.col("n").alias("n_t"), F.col("mu").alias("mu_t"), F.col("var").alias("var_t")
+    )
+    c = m.filter(F.col("grp") == "ctrl").select(
+        F.col("n").alias("n_c"), F.col("mu").alias("mu_c"), F.col("var").alias("var_c")
+    )
+    w = t.crossJoin(c).withColumn(
+        "sp",
+        F.sqrt(
+            ((F.col("n_t") - 1) * F.col("var_t") + (F.col("n_c") - 1) * F.col("var_c"))
+            / (F.col("n_t") + F.col("n_c") - 2)
+        ),
+    )
+    diff = F.col("mu_t") - F.col("mu_c")
+    return w.select(
+        "n_t",
+        "n_c",
+        F.round(diff, 9).alias("mean_diff"),
+        F.round(diff / F.col("sp"), 9).alias("cohens_d"),
+        F.round(
+            diff / F.col("sp") * (F.lit(1.0) - 3.0 / (4.0 * (F.col("n_t") + F.col("n_c")) - 9.0)),
+            9,
+        ).alias("hedges_g"),
+        F.round(diff / F.sqrt(F.col("var_c")), 9).alias("glass_delta"),
+    )
+
+
+@query(
+    "agg_bartlett_test",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                    AS DOUBLE) AS s2
+        FROM lineitem GROUP BY 1
+    ),
+    v AS (
+        SELECT grp, n, (s2 - s1 * s1 / n) / (n - 1) AS var FROM g
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(SUM(CAST(round((n - 1) * var, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                   AS pooled_num,
+               CAST(SUM(CAST(round((n - 1) * ln(var), 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS sum_nlnv,
+               CAST(SUM(CAST(round(1.0 / (n - 1), 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS sum_inv
+        FROM v
+    )
+    SELECT k, n_tot,
+           round(pooled_num / (n_tot - k), 9) AS pooled_var,
+           round(((n_tot - k) * ln(pooled_num / (n_tot - k)) - sum_nlnv)
+                 / (1.0 + (sum_inv - 1.0 / (n_tot - k)) / (3.0 * (k - 1))), 9)
+               AS bartlett_chi2
+    FROM agg
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the returnflag
+    groups — the parametric (normality-assuming) counterpart of the
+    Brown-Forsythe operator: T = [(N−k)·ln(s_p²) − Σ(n_i−1)ln(s_i²)] /
+    [1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1))] ~ χ²(k−1).
+
+    Exactness: group variances come from exact integer power sums;
+    ln terms round at 1e-12 into decimal sums (the NLL discipline);
+    the correction-factor algebra is identical double text both
+    sides. One map-side-combined aggregate, then a k-row reduction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+    )
+    v = g.select(
+        "grp",
+        "n",
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias("var"),
+    )
+    agg = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum(F.round((F.col("n") - 1) * F.col("var"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("pooled_num"),
+        F.sum(F.round((F.col("n") - 1) * F.log("var"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sum_nlnv"),
+        F.sum(F.round(F.lit(1.0) / (F.col("n") - 1), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sum_inv"),
+    )
+    nk = F.col("n_tot") - F.col("k")
+    return agg.select(
+        "k",
+        "n_tot",
+        F.round(F.col("pooled_num") / nk, 9).alias("pooled_var"),
+        F.round(
+            (nk * F.log(F.col("pooled_num") / nk) - F.col("sum_nlnv"))
+            / (
+                F.lit(1.0)
+                + (F.col("sum_inv") - F.lit(1.0) / nk) / (3.0 * (F.col("k") - 1))
+            ),
+            9,
+        ).alias("bartlett_chi2"),
+    )

@@ -1683,3 +1683,63 @@ def sql_ddl_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, total_price double, total_gross double, "
         "table_listed boolean, dropped boolean",
     )
+
+
+@query(
+    "sql_scripting_control_flow",
+    oracle="""
+    WITH ks AS (SELECT unnest(range(0, 41)) AS k),
+    counts AS (
+        SELECT k.k,
+               1000.0 * power(2.0, k.k) AS t,
+               CAST((SELECT count(*) FROM orders
+                     WHERE o_totalprice > 1000.0 * power(2.0, k.k)) AS BIGINT)
+                   AS n_above
+        FROM ks k
+    ),
+    hit AS (
+        SELECT k, t, n_above FROM counts WHERE n_above <= 100
+        ORDER BY k LIMIT 1
+    )
+    SELECT CAST(k AS BIGINT) AS n_doublings,
+           round(t, 6) AS threshold,
+           n_above
+    FROM hit
+    """,
+    tags=("sql", "scripting"),
+)
+def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4's BEGIN…END procedural blocks — DECLARE,
+    data-driven WHILE, SET): the last major SQL-surface addition the
+    registry didn't cover. The script doubles a price threshold until
+    at most 100 orders exceed it — a loop whose trip count depends on
+    the DATA, which is exactly what scripting adds over one-shot SQL.
+    The oracle replays the fixpoint declaratively (first k in an
+    enumerated doubling grid satisfying the predicate), so the
+    procedural and declarative forms must agree bit-for-bit.
+
+    Scale: each iteration is one pushed-down count over the pruned
+    scan; the loop runs O(log(max_price)) times — driver-side control
+    flow, executor-side work, the same shape as every iterative
+    operator here."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t DOUBLE DEFAULT 1000.0;
+          DECLARE k INT DEFAULT 0;
+          DECLARE n_above BIGINT DEFAULT -1;
+          SET n_above = (SELECT count(*) FROM orders WHERE o_totalprice > t);
+          WHILE n_above > 100 DO
+            SET t = t * 2.0;
+            SET k = k + 1;
+            SET n_above = (SELECT count(*) FROM orders WHERE o_totalprice > t);
+          END WHILE;
+          SELECT CAST(k AS BIGINT) AS n_doublings,
+                 round(t, 6) AS threshold,
+                 n_above;
+        END
+        """
+    )
