@@ -2660,3 +2660,143 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rn", "c_nationkey", "c_mktsegment", "n_c", "t", "n_classes")
         .orderBy("rn")
     )
+
+
+FDR_Q = 0.10  # Benjamini-Hochberg false-discovery budget
+# Abramowitz & Stegun 26.2.17 normal-CDF tail constants, string-cast so
+# both engines parse bit-identical doubles (bare literals parse DECIMAL)
+_AS_B = ["0.319381530", "-0.356563782", "1.781477937", "-1.821255978", "1.330274429"]
+_AS_P = "0.2316419"
+_INV_SQRT_2PI = "0.3989422804014327"
+
+
+def _phi_tail_sql(z: str) -> str:
+    """Two-sided normal p-value 2·(1−Φ(|z|)) as identical SQL text."""
+    t = f"(1.0 / (1.0 + CAST('{_AS_P}' AS DOUBLE) * abs({z})))"
+    poly = (
+        f"({t} * (CAST('{_AS_B[0]}' AS DOUBLE) + {t} * (CAST('{_AS_B[1]}' AS DOUBLE) "
+        f"+ {t} * (CAST('{_AS_B[2]}' AS DOUBLE) + {t} * (CAST('{_AS_B[3]}' AS DOUBLE) "
+        f"+ {t} * CAST('{_AS_B[4]}' AS DOUBLE))))))"
+    )
+    return (
+        f"(2.0 * CAST('{_INV_SQRT_2PI}' AS DOUBLE) "
+        f"* exp(-0.5 * {z} * {z}) * {poly})"
+    )
+
+
+@query(
+    "dq_fdr_bh_correction",
+    oracle=f"""
+    WITH nat AS (
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM customer GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_all, CAST(SUM(x) AS BIGINT) AS x_all
+        FROM nat
+    ),
+    z AS (
+        SELECT c_nationkey, n, x,
+               (CAST(x AS DOUBLE) / n
+                - CAST((SELECT x_all FROM tot) - x AS DOUBLE)
+                  / ((SELECT n_all FROM tot) - n))
+               / sqrt(CAST((SELECT x_all FROM tot) AS DOUBLE)
+                      / (SELECT n_all FROM tot)
+                      * (1.0 - CAST((SELECT x_all FROM tot) AS DOUBLE)
+                               / (SELECT n_all FROM tot))
+                      * (1.0 / n + 1.0 / ((SELECT n_all FROM tot) - n))) AS zstat
+        FROM nat
+    ),
+    zq AS (
+        SELECT c_nationkey, n, x, round(zstat, 9) AS zr FROM z
+    ),
+    pv AS (
+        SELECT c_nationkey, n, x, zr AS zstat,
+               round({_phi_tail_sql('zr')}, 12) AS p
+        FROM zq
+    ),
+    ranked AS (
+        SELECT c_nationkey, n, x, zstat, p,
+               ROW_NUMBER() OVER (ORDER BY p, c_nationkey) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM pv
+    ),
+    cut AS (
+        SELECT *,
+               MAX(CASE WHEN p <= rn * {FDR_Q!r} / m THEN rn END) OVER () AS k_max
+        FROM ranked
+    )
+    SELECT rn, c_nationkey, n, x, zstat, p,
+           round(rn * {FDR_Q!r} / m, 12) AS bh_threshold,
+           COALESCE(rn <= k_max, FALSE) AS rejected
+    FROM cut
+    ORDER BY rn
+    """,
+    tags=("dq", "statistics", "abtest"),
+)
+def dq_fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a FAMILY of hypothesis
+    tests — the missing piece once dq_ab_test_ztest runs per segment:
+    25 per-nation two-proportion z-tests (nation delinquency rate vs
+    the rest), each converted to a two-sided p-value, then the BH
+    step-up rule rejects ranks 1..k* where k* = max{{i: p_(i) ≤ i·q/m}}.
+    Without it, 25 tests at α=0.05 expect a false alarm every run.
+
+    Cross-engine Φ: no SQL engine pair shares an erf, so the normal
+    tail uses the Abramowitz-Stegun 26.2.17 polynomial with every
+    constant string-cast (bit-identical parse), z quantized at 9 and p
+    at 12 before the rank — the shared-literal discipline. Scale: one
+    grouped count; everything else is a 25-row window."""
+    c = load_table(spark, sf_dir, "customer")
+    nat = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("c_acctbal") < 0).cast("int")).cast("bigint").alias("x"),
+    )
+    tot = nat.agg(
+        F.sum("n").cast("bigint").alias("n_all"), F.sum("x").cast("bigint").alias("x_all")
+    )
+    j = nat.crossJoin(F.broadcast(tot))
+    p_hat = F.col("x_all").cast("double") / F.col("n_all")
+    zstat = (
+        F.col("x").cast("double") / F.col("n")
+        - (F.col("x_all") - F.col("x")).cast("double") / (F.col("n_all") - F.col("n"))
+    ) / F.sqrt(
+        p_hat
+        * (F.lit(1.0) - p_hat)
+        * (F.lit(1.0) / F.col("n") + F.lit(1.0) / (F.col("n_all") - F.col("n")))
+    )
+    pv = j.select(
+        "c_nationkey",
+        "n",
+        "x",
+        F.round(zstat, 9).alias("zstat"),
+    ).withColumn("p", F.round(F.expr(_phi_tail_sql("zstat")), 12))
+    w = Window.orderBy("p", "c_nationkey")
+    ranked = pv.select(
+        "c_nationkey",
+        "n",
+        "x",
+        "zstat",
+        "p",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("m"),
+    )
+    wall = Window.partitionBy()
+    cut = ranked.withColumn(
+        "k_max",
+        F.max(
+            F.when(F.col("p") <= F.col("rn") * FDR_Q / F.col("m"), F.col("rn"))
+        ).over(wall),
+    )
+    return cut.select(
+        "rn",
+        "c_nationkey",
+        "n",
+        "x",
+        "zstat",
+        "p",
+        F.round(F.col("rn") * FDR_Q / F.col("m"), 12).alias("bh_threshold"),
+        F.coalesce(F.col("rn") <= F.col("k_max"), F.lit(False)).alias("rejected"),
+    ).orderBy("rn")

@@ -3093,3 +3093,56 @@ def ml_eval_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFr
         F.round("br", 9).alias("slope_right"),
         F.round(F.col("ar") - F.col("al"), 9).alias("rdd_effect"),
     )
+
+
+@query(
+    "ml_eval_mcc",
+    oracle=f"""
+    WITH {_SQL_SCORED},
+    conf AS (
+        SELECT model,
+               CAST(SUM(CASE WHEN s > 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN s > 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN s <= 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+               CAST(SUM(CASE WHEN s <= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM scored GROUP BY model
+    )
+    SELECT model, tp, fp, tn, fn,
+           round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 9)
+               AS mcc
+    FROM conf
+    ORDER BY model
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient at the natural threshold
+    (score > 0 ⇔ squashed probability > ½) — the single-number
+    confusion summary that stays honest under class imbalance where
+    accuracy and F1 both flatter (Chicco & Jurman 2020). MCC =
+    (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)).
+
+    Exactness: the four cells are exact integers from one aggregate;
+    products are computed in DOUBLE with identical association order
+    both sides (the raw integer product would overflow int64 at corpus
+    scale), and √ is IEEE-correctly-rounded."""
+    s = _scored(spark, sf_dir)
+    pos = F.col("s") > 0
+    conf = s.groupBy("model").agg(
+        F.sum((pos & (F.col("y") == 1)).cast("int")).cast("bigint").alias("tp"),
+        F.sum((pos & (F.col("y") == 0)).cast("int")).cast("bigint").alias("fp"),
+        F.sum((~pos & (F.col("y") == 0)).cast("int")).cast("bigint").alias("tn"),
+        F.sum((~pos & (F.col("y") == 1)).cast("int")).cast("bigint").alias("fn"),
+    )
+    tp, fp, tn, fn = (F.col(c) for c in ("tp", "fp", "tn", "fn"))
+    mcc = (tp.cast("double") * tn - fp.cast("double") * fn) / F.sqrt(
+        (tp + fp).cast("double")
+        * (tp + fn).cast("double")
+        * (tn + fp).cast("double")
+        * (tn + fn).cast("double")
+    )
+    return conf.select(
+        "model", "tp", "fp", "tn", "fn", F.round(mcc, 9).alias("mcc")
+    ).orderBy("model")
