@@ -2562,3 +2562,98 @@ def agg_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("bartlett_chi2"),
     )
+
+
+@query(
+    "agg_friedman_test",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS block,
+               event_type AS treat,
+               round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                     / count(*), 9) AS metric
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT block, treat,
+               CAST(ROW_NUMBER() OVER (PARTITION BY block
+                                       ORDER BY metric, treat) AS BIGINT) AS r
+        FROM cells
+    ),
+    sums AS (
+        SELECT treat, CAST(SUM(r) AS BIGINT) AS rank_sum,
+               CAST(count(*) AS BIGINT) AS n_blocks
+        FROM ranked GROUP BY treat
+    ),
+    k_ AS (SELECT CAST(count(*) AS BIGINT) AS k FROM sums)
+    SELECT treat, rank_sum, n_blocks,
+           round(12.0 / (n_blocks * (SELECT k FROM k_) * ((SELECT k FROM k_) + 1))
+                 * (SELECT SUM(CAST(rank_sum AS DOUBLE) * rank_sum) FROM sums)
+                 - 3.0 * n_blocks * ((SELECT k FROM k_) + 1), 9) AS friedman_chi2
+    FROM sums
+    ORDER BY treat
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test for k related treatments over b blocks — the
+    nonparametric repeated-measures ANOVA: does any event type's mean
+    value systematically lead the others across weekdays? Blocks =
+    ISO weekday, treatments = event type, cell = mean value; within
+    each block the treatments are ranked and χ²_F = 12/(bk(k+1))·ΣR_j²
+    − 3b(k+1) ~ χ²(k−1).
+
+    Determinism: the cell metric is an exact decimal mean rounded at 9
+    BEFORE ranking, with the treatment name as tie-break (quantize-
+    then-rank), so both engines produce the same integer rank matrix;
+    everything after is integer arithmetic plus one division. Scale:
+    one corpus groupBy to 35 cells; the test runs on the cell grid."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek(F.to_date("ts")).alias("dow_raw"),
+        F.col("event_type").alias("treat"),
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("metric")
+    )
+    # dayofweek is 1=Sunday..7=Saturday; isodow is 1=Monday..7=Sunday.
+    # Convert so both engines block identically.
+    cells = cells.select(
+        F.when(F.col("dow_raw") == 1, 7).otherwise(F.col("dow_raw") - 1)
+        .cast("bigint")
+        .alias("block"),
+        "treat",
+        "metric",
+    )
+    wr = Window.partitionBy("block").orderBy("metric", "treat")
+    ranked = cells.select(
+        "block", "treat", F.row_number().over(wr).cast("bigint").alias("r")
+    )
+    sums = ranked.groupBy("treat").agg(
+        F.sum("r").cast("bigint").alias("rank_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    k_ = sums.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    sum_r2 = sums.agg(
+        F.sum(F.col("rank_sum").cast("double") * F.col("rank_sum")).alias("s2")
+    )
+    return (
+        sums.crossJoin(F.broadcast(k_))
+        .crossJoin(F.broadcast(sum_r2))
+        .select(
+            "treat",
+            "rank_sum",
+            "n_blocks",
+            F.round(
+                F.lit(12.0)
+                / (F.col("n_blocks") * F.col("k") * (F.col("k") + 1))
+                * F.col("s2")
+                - 3.0 * F.col("n_blocks") * (F.col("k") + 1),
+                9,
+            ).alias("friedman_chi2"),
+        )
+        .orderBy("treat")
+    )

@@ -8613,3 +8613,116 @@ def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_intercept"
         ),
     ).orderBy("brand")
+
+
+@query(
+    "events_weibull_mrr",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS first_seen,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+        FROM events GROUP BY user_id
+    ),
+    durs AS (
+        SELECT user_id,
+               CAST(floor(date_part('epoch', first_buy - first_seen) / 3600)
+                    AS BIGINT) + 1 AS h
+        FROM per_user
+        WHERE first_buy IS NOT NULL AND first_buy > first_seen
+    ),
+    ranked AS (
+        SELECT user_id, h,
+               CAST(ROW_NUMBER() OVER (ORDER BY h, user_id) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM durs
+    ),
+    pts AS (
+        SELECT ln(CAST(h AS DOUBLE)) AS x,
+               ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3) / (n + 0.4))) AS y,
+               n
+        FROM ranked
+    ),
+    m AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_users,
+           round((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 9) AS shape_k,
+           round(exp(-((sy - (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) * sx)
+                       / cnt)
+                     / ((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx))), 9)
+               AS scale_hours
+    FROM m
+    """,
+    tags=("events", "survival", "ml"),
+)
+def events_weibull_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit by MEDIAN-RANK REGRESSION (the reliability-
+    engineering standard: Benard's approximation F_i = (i−0.3)/(n+0.4),
+    then OLS of ln(−ln(1−F)) on ln t) for time-to-first-purchase —
+    the parametric companion to the Kaplan-Meier / Nelson-Aalen
+    operators: shape k < 1 means conversion hazard decays (convert
+    early or never), k > 1 means it accumulates.
+
+    Determinism: durations floor to integer hours (+1 to keep ln
+    finite); the rank is (duration, user) — exact; ln/ln(−ln) terms
+    round at 1e-12 into decimal sufficient statistics; the OLS algebra
+    and the final exp are identical double text. Scale: the ranked
+    table is USER-grained (already one per-user agg from the corpus);
+    the window note of dq_drift_ks applies if users ever rival the
+    corpus — swap in the distributed rank."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_buy"),
+    )
+    durs = per_user.filter(
+        F.col("first_buy").isNotNull() & (F.col("first_buy") > F.col("first_seen"))
+    ).select(
+        "user_id",
+        (
+            F.floor(
+                (F.unix_micros("first_buy") - F.unix_micros("first_seen"))
+                / F.lit(3_600_000_000)
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = Window.orderBy("h", "user_id")
+    ranked = durs.select(
+        "h",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    x = F.log(F.col("h").cast("double"))
+    y = F.log(-F.log(F.lit(1.0) - (F.col("i").cast("double") - 0.3) / (F.col("n") + 0.4)))
+    pts = ranked.select(x.alias("x"), y.alias("y"), "n")
+    m = pts.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.round(F.col("x"), 12).cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum(F.round(F.col("y"), 12).cast("decimal(38,12)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("cnt")
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(slope, 9).alias("shape_k"),
+        F.round(F.exp(-intercept / slope), 9).alias("scale_hours"),
+    )

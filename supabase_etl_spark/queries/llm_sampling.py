@@ -1430,3 +1430,91 @@ def sample_mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+NEYMAN_BUDGET = 200  # total labeling budget to allocate
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH strata AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_h,
+               CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                    AS DOUBLE) AS s2
+        FROM documents GROUP BY source
+    ),
+    sd AS (
+        SELECT source, n_h,
+               sqrt((s2 - s1 * s1 / n_h) / (n_h - 1)) AS sigma
+        FROM strata
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(round(n_h * sigma, 6) AS DECIMAL(38,6))) AS DOUBLE)
+            AS denom
+        FROM sd
+    )
+    SELECT source, n_h,
+           round(sigma, 9) AS sigma_chars,
+           round({NEYMAN_BUDGET} * (n_h * sigma)
+                 / (SELECT denom FROM tot), 9) AS neyman_share,
+           CAST(floor({NEYMAN_BUDGET} * round(n_h * sigma, 6)
+                      / (SELECT denom FROM tot)) AS BIGINT) AS n_alloc_floor
+    FROM sd
+    ORDER BY source
+    """,
+    tags=("llm", "sampling", "statistics"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a labeling budget across strata
+    (n_h ∝ N_h·σ_h — the variance-minimizing split of a fixed audit
+    budget, the principled upgrade over proportional sampling that the
+    stratified-sample operator uses): per-source document counts and
+    length standard deviations allocate a {NEYMAN_BUDGET}-label
+    budget. High-variance strata earn more labels per document.
+
+    Exactness: σ_h from exact integer power sums; the N_h·σ_h products
+    round at 1e-6 into the decimal denominator; shares are single
+    double divisions rounded at 9 (floor allocation uses the same
+    rounded numerator both sides). One map-side-combined aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    nc = F.col("n_chars").cast("bigint")
+    strata = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(nc).cast("double").alias("s1"),
+        F.sum(nc * nc).cast("double").alias("s2"),
+    )
+    sd = strata.select(
+        "source",
+        "n_h",
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_h")) / (F.col("n_h") - 1)
+        ).alias("sigma"),
+    )
+    tot = sd.agg(
+        F.sum(F.round(F.col("n_h") * F.col("sigma"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("denom")
+    )
+    return (
+        sd.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_h",
+            F.round("sigma", 9).alias("sigma_chars"),
+            F.round(
+                F.lit(NEYMAN_BUDGET) * (F.col("n_h") * F.col("sigma")) / F.col("denom"),
+                9,
+            ).alias("neyman_share"),
+            F.floor(
+                F.lit(NEYMAN_BUDGET)
+                * F.round(F.col("n_h") * F.col("sigma"), 6)
+                / F.col("denom")
+            )
+            .cast("bigint")
+            .alias("n_alloc_floor"),
+        )
+        .orderBy("source")
+    )

@@ -1343,3 +1343,145 @@ def ml_slope_one_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+PCT_BUCKETS = 16  # perceptron feature-hash dimensionality
+PCT_EPOCHS = 3
+
+
+def _pct_sql() -> str:
+    """Chained-CTE oracle for the unrolled batch perceptron."""
+    head = f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT)
+                   % {PCT_BUCKETS} AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest({{toks}}) AS t FROM documents)
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT doc_id, -1 AS b, 1 AS c FROM documents
+    ),
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+        FROM documents
+    ),
+    w0 AS (SELECT b, CAST(0 AS BIGINT) AS w
+           FROM (SELECT DISTINCT b FROM feats))
+    """
+    body = ""
+    for e in range(1, PCT_EPOCHS + 1):
+        body += f""",
+    marg{e} AS (
+        SELECT f.doc_id, l.y, SUM(f.c * w.w) AS m
+        FROM feats f JOIN w{e - 1} w ON f.b = w.b
+        JOIN lab l ON f.doc_id = l.doc_id
+        GROUP BY 1, 2
+    ),
+    mis{e} AS (SELECT doc_id, y FROM marg{e} WHERE y * m <= 0),
+    upd{e} AS (
+        SELECT f.b, SUM(mi.y * f.c) AS d
+        FROM mis{e} mi JOIN feats f ON f.doc_id = mi.doc_id
+        GROUP BY f.b
+    ),
+    w{e} AS (
+        SELECT w.b, w.w + COALESCE(u.d, 0) AS w
+        FROM w{e - 1} w LEFT JOIN upd{e} u ON w.b = u.b
+    ),
+    stat{e} AS (
+        SELECT {e} AS epoch,
+               CAST((SELECT count(*) FROM mis{e}) AS BIGINT) AS n_misclassified,
+               CAST((SELECT SUM(abs(w)) FROM w{e}) AS BIGINT) AS weight_l1
+    )"""
+    tail = (
+        "\n    SELECT epoch, n_misclassified, weight_l1 FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM stat{e}" for e in range(1, PCT_EPOCHS + 1))
+        + ") ORDER BY epoch"
+    )
+    toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    return (head + body + tail).format(toks=toks)
+
+
+@query(
+    "ml_perceptron_epochs",
+    oracle=_pct_sql(),
+    tags=("ml", "trainer"),
+)
+def ml_perceptron_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch perceptron (Rosenblatt's rule, full-batch variant), 3
+    unrolled epochs over hashed token-count features — the INTEGER
+    trainer of the family: weights, counts, margins, and updates are
+    all exact int64 arithmetic, so unlike logreg/SVM there is no
+    rounding discipline at all; the oracle replays the identical
+    training walk as chained CTEs. Label: lang='en' vs rest; features:
+    md5-hashed token counts in 16 buckets + bias.
+
+    Per epoch: margin = one broadcast join of the (doc, bucket, count)
+    stream against the 17-row weight table + doc-keyed agg;
+    misclassified docs re-aggregate to a bucket-keyed update. Two
+    shuffles per epoch, both map-side combined; weights
+    localCheckpoint between epochs to keep plan depth constant. The
+    md5 bucket hash is the oracle-replayable choice (xxhash64 swaps in
+    for production, the dsir_bucket_expr pattern)."""
+    from supabase_etl_spark.operators.text import tokens as _toks
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = (
+        d.select(
+            "doc_id",
+            F.explode(_toks(F.col("text"))).alias("t"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint")
+                % PCT_BUCKETS
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .unionByName(
+            d.select(
+                "doc_id",
+                F.lit(-1).cast("bigint").alias("b"),
+                F.lit(1).cast("bigint").alias("c"),
+            )
+        )
+        .localCheckpoint()
+    )
+    lab = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).cast("bigint").alias("y"),
+    )
+    w = feats.select("b").distinct().select("b", F.lit(0).cast("bigint").alias("w"))
+    stats = []
+    for e in range(1, PCT_EPOCHS + 1):
+        marg = (
+            feats.join(F.broadcast(w), "b")
+            .join(lab, "doc_id")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("c") * F.col("w")).alias("m"))
+        )
+        mis = marg.filter(F.col("y") * F.col("m") <= 0).select("doc_id", "y")
+        upd = (
+            mis.join(feats, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("y") * F.col("c")).alias("d"))
+        )
+        w = (
+            w.join(upd, "b", "left")
+            .select("b", (F.col("w") + F.coalesce("d", F.lit(0))).alias("w"))
+            .localCheckpoint()
+        )
+        n_mis = mis.agg(F.count(F.lit(1)).cast("bigint").alias("n_misclassified"))
+        l1 = w.agg(F.sum(F.abs("w")).cast("bigint").alias("weight_l1"))
+        stats.append(
+            n_mis.crossJoin(l1).select(
+                F.lit(e).alias("epoch"), "n_misclassified", "weight_l1"
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("epoch")
