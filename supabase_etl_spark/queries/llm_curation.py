@@ -1881,3 +1881,100 @@ def embedding_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "text_garbage_detector",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS BIGINT) AS n_nonalpha,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+                   AS n_digit,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9 .,;:!?''"()-]', '', 'g'))
+                    AS BIGINT) AS n_symbol,
+               CASE WHEN regexp_matches(text,
+                         '[bcdfghjklmnpqrstvwxz]{{6,}}') THEN 1 ELSE 0 END
+                   AS has_consonant_run
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id, source, n_chars,
+               CAST(n_symbol AS DOUBLE) / greatest(n_chars, 1) AS symbol_ratio,
+               CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
+               has_consonant_run,
+               CASE WHEN CAST(n_symbol AS DOUBLE) / greatest(n_chars, 1) > 0.05
+                      OR CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) > 0.3
+                      OR has_consonant_run = 1
+                    THEN 1 ELSE 0 END AS is_garbage
+        FROM feat
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_garbage) AS BIGINT) AS n_garbage,
+           CAST(SUM(has_consonant_run) AS BIGINT) AS n_consonant_runs,
+           round(CAST(SUM(CAST(round(symbol_ratio, 12) AS DECIMAL(38,12)))
+                      AS DOUBLE) / count(*), 9) AS mean_symbol_ratio,
+           round(CAST(SUM(CAST(round(digit_ratio, 12) AS DECIMAL(38,12)))
+                      AS DOUBLE) / count(*), 9) AS mean_digit_ratio
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "curation", "text"),
+)
+def text_garbage_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR/boilerplate garbage detector — the RefinedWeb/C4-family rule
+    screen the Gopher gate doesn't cover: symbol-character ratio,
+    digit ratio, and long consonant runs (the classic OCR-noise
+    signature 'bcdfgh…' ≥ 6). A document trips any rule → garbage.
+    Reported per source as the curation dashboard row.
+
+    All features are regexp length deltas (identical POSIX classes in
+    both engines — the subset that parses the same in Spark's Java
+    regex and DuckDB's RE2); ratios are identical doubles rounded at
+    1e-12 into decimal means. One scan, one source-keyed agg."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("bigint")
+    n_symbol = F.length(
+        F.regexp_replace(F.col("text"), """[A-Za-z0-9 .,;:!?'"()-]""", "")
+    ).cast("bigint")
+    n_digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("bigint")
+    consonant = (
+        F.col("text").rlike("[bcdfghjklmnpqrstvwxz]{6,}").cast("int")
+    )
+    feat = d.select(
+        "doc_id",
+        "source",
+        n_chars.alias("n_chars"),
+        (n_symbol.cast("double") / F.greatest(n_chars, F.lit(1))).alias("symbol_ratio"),
+        (n_digit.cast("double") / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"),
+        consonant.alias("has_consonant_run"),
+    )
+    is_garbage = (
+        (F.col("symbol_ratio") > 0.05)
+        | (F.col("digit_ratio") > 0.3)
+        | (F.col("has_consonant_run") == 1)
+    ).cast("int")
+    return (
+        feat.withColumn("is_garbage", is_garbage)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_garbage").cast("bigint").alias("n_garbage"),
+            F.sum("has_consonant_run").cast("bigint").alias("n_consonant_runs"),
+            F.round(
+                F.sum(F.round("symbol_ratio", 12).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_symbol_ratio"),
+            F.round(
+                F.sum(F.round("digit_ratio", 12).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_digit_ratio"),
+        )
+        .orderBy("source")
+    )

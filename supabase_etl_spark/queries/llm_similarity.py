@@ -2282,3 +2282,85 @@ def embedding_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_pairwise_cosine"),
         F.round(F.col("sum_sq") / F.col("n"), 9).alias("anisotropy_norm2"),
     )
+
+
+RADIUS_TAU = 0.78  # cosine radius for range search
+
+
+@query(
+    "sim_radius_range_search",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe,
+               sqrt({sql_dot("embedding", "embedding")}) AS qn
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               sqrt({sql_dot("embedding", "embedding")}) AS cn
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+        SELECT qid, cid,
+               round({sql_dot("qe", "ce")} / (qn * cn), 9) AS cos_sim
+        FROM q CROSS JOIN c
+    )
+    SELECT qid,
+           CAST(count(*) FILTER (WHERE cos_sim >= {RADIUS_TAU!r}) AS BIGINT)
+               AS n_in_radius,
+           CAST(min(CASE WHEN cos_sim >= {RADIUS_TAU!r} THEN cid END) AS BIGINT)
+               AS min_match_id,
+           round(CAST(SUM(CASE WHEN cos_sim >= {RADIUS_TAU!r}
+                               THEN CAST(cos_sim AS DECIMAL(18,12)) END)
+                      AS DOUBLE), 9) AS sum_match_sim
+    FROM scored
+    GROUP BY qid
+    ORDER BY qid
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_radius_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — the other half of similarity retrieval
+    that top-k can't answer: ALL corpus vectors within cosine ≥ τ of
+    each query, reported as per-query match counts and similarity
+    mass. Retrieval systems use it for duplicate sweeps ("everything
+    closer than 0.78") where k is unknowable in advance.
+
+    Same scale shape as sim_topk_bruteforce: broadcast query batch ×
+    one corpus scan, per-row fold cosine (operators/dedup.dot_double),
+    no shuffle beyond the 10-row aggregate. Cosines quantize at 9
+    before the threshold so the boundary decision is identical in both
+    engines; matched similarities sum through decimal(18,12)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("qn"),
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("cn"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "cid",
+        F.round(
+            dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 9
+        ).alias("cos_sim"),
+    )
+    hit = F.col("cos_sim") >= RADIUS_TAU
+    return (
+        scored.groupBy("qid")
+        .agg(
+            F.sum(hit.cast("int")).cast("bigint").alias("n_in_radius"),
+            F.min(F.when(hit, F.col("cid"))).cast("bigint").alias("min_match_id"),
+            F.round(
+                F.sum(F.when(hit, F.col("cos_sim").cast("decimal(18,12)"))).cast(
+                    "double"
+                ),
+                9,
+            ).alias("sum_match_sim"),
+        )
+        .orderBy("qid")
+    )
