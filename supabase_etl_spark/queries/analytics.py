@@ -8726,3 +8726,359 @@ def events_weibull_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 9).alias("shape_k"),
         F.round(F.exp(-intercept / slope), 9).alias("scale_hours"),
     )
+
+
+HURST_WINDOWS = (8, 16, 32, 64)  # R/S chunk lengths
+
+
+@query(
+    "events_hurst_rs",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t
+        FROM daily
+    ),
+    chunked AS (
+        SELECT w.n, CAST(floor(t / w.n) AS BIGINT) AS chunk, t, x
+        FROM idx CROSS JOIN (
+            SELECT unnest([{", ".join(str(w) for w in HURST_WINDOWS)}]) AS n
+        ) w
+    ),
+    complete AS (
+        SELECT n, chunk, t, x,
+               CAST(count(*) OVER (PARTITION BY n, chunk) AS BIGINT) AS clen,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER (PARTITION BY n, chunk)
+                    AS DOUBLE) / count(*) OVER (PARTITION BY n, chunk) AS mu
+        FROM chunked
+    ),
+    dev AS (
+        SELECT n, chunk, t, x, mu,
+               SUM(x - mu) OVER (PARTITION BY n, chunk ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS z
+        FROM complete WHERE clen = n
+    ),
+    rs AS (
+        SELECT n, chunk,
+               max(z) - min(z) AS r,
+               sqrt(CAST(SUM(CAST(round((x - mu) * (x - mu), 6) AS DECIMAL(38,6)))
+                         AS DOUBLE) / count(*)) AS s
+        FROM dev GROUP BY n, chunk, mu
+    ),
+    mean_rs AS (
+        SELECT n,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CAST(round(r / s, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*) AS rs_mean
+        FROM rs WHERE s > 0 GROUP BY n
+    ),
+    pts AS (
+        SELECT ln(CAST(n AS DOUBLE)) AS lx, ln(rs_mean) AS ly FROM mean_rs
+    ),
+    fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(lx, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(ly, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(lx * lx, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(lx * ly, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        FROM pts
+    )
+    SELECT m.n, m.n_chunks, round(m.rs_mean, 9) AS rs_mean,
+           round((f.k * f.sxy - f.sx * f.sy) / (f.k * f.sxx - f.sx * f.sx), 9)
+               AS hurst_h
+    FROM mean_rs m CROSS JOIN fit f
+    ORDER BY m.n
+    """,
+    tags=("events", "timeseries", "statistics"),
+)
+def events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by classical rescaled-range (R/S) analysis on the
+    daily revenue series — the long-memory diagnostic (H > 0.5
+    trending/persistent, H < 0.5 mean-reverting) that complements the
+    short-lag ACF and burstiness operators. For each window length n ∈
+    {HURST_WINDOWS}: chunk the series, R = range of cumulative
+    deviations, S = population std; H is the slope of ln(mean R/S) on
+    ln(n).
+
+    Determinism: running deviation sums are ORDERED window folds —
+    both engines add the same doubles in the same sequence, so Z is
+    bit-identical; chunk stds come from round-6 decimal moments; R/S
+    and the ln regression round at 1e-12 into decimal sums. Scale: one
+    corpus groupBy to days; every window partitions by (n, chunk) —
+    at most 64 rows each."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("x")
+    )
+    idx = daily.select(
+        "x", (F.row_number().over(Window.orderBy("day")) - 1).alias("t")
+    )
+    windows = spark.createDataFrame(
+        [(int(w),) for w in HURST_WINDOWS], "n bigint"
+    )
+    chunked = idx.crossJoin(F.broadcast(windows)).select(
+        "n", F.floor(F.col("t") / F.col("n")).cast("bigint").alias("chunk"), "t", "x"
+    )
+    wch = Window.partitionBy("n", "chunk")
+    complete = chunked.select(
+        "n",
+        "chunk",
+        "t",
+        "x",
+        F.count(F.lit(1)).over(wch).cast("bigint").alias("clen"),
+        (
+            F.sum(F.col("x").cast("decimal(28,6)")).over(wch).cast("double")
+            / F.count(F.lit(1)).over(wch)
+        ).alias("mu"),
+    ).filter(F.col("clen") == F.col("n"))
+    wz = Window.partitionBy("n", "chunk").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dev = complete.select(
+        "n",
+        "chunk",
+        "x",
+        "mu",
+        F.sum(F.col("x") - F.col("mu")).over(wz).alias("z"),
+    )
+    rs = dev.groupBy("n", "chunk", "mu").agg(
+        (F.max("z") - F.min("z")).alias("r"),
+        F.sqrt(
+            F.sum(
+                F.round((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")), 6).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("s"),
+    )
+    mean_rs = (
+        rs.filter(F.col("s") > 0)
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            (
+                F.sum(F.round(F.col("r") / F.col("s"), 12).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("rs_mean"),
+        )
+    )
+    lx = F.log(F.col("n").cast("double"))
+    ly = F.log("rs_mean")
+    fit = mean_rs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.round(lx, 12).cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum(F.round(ly, 12).cast("decimal(38,12)")).cast("double").alias("sy"),
+        F.sum(F.round(lx * lx, 12).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.sum(F.round(lx * ly, 12).cast("decimal(38,12)")).cast("double").alias("sxy"),
+    )
+    return (
+        mean_rs.crossJoin(F.broadcast(fit))
+        .select(
+            "n",
+            "n_chunks",
+            F.round("rs_mean", 9).alias("rs_mean"),
+            F.round(
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                9,
+            ).alias("hurst_h"),
+        )
+        .orderBy("n")
+    )
+
+
+@query(
+    "graph_betweenness_bounded",
+    oracle=f"""
+    WITH raw AS (
+        SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
+               greatest(s.s_nationkey, c.c_nationkey) AS b
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_quantity >= {HC_QTY_MIN} AND s.s_nationkey <> c.c_nationkey
+    ),
+    sym AS (SELECT a AS u, b AS v FROM raw UNION SELECT b, a FROM raw),
+    nodes AS (SELECT DISTINCT u FROM sym),
+    d2 AS (
+        SELECT DISTINCT p.u AS s, q.v AS t
+        FROM sym p JOIN sym q ON p.v = q.u
+        WHERE q.v <> p.u
+          AND NOT EXISTS (SELECT 1 FROM sym e WHERE e.u = p.u AND e.v = q.v)
+    ),
+    d3 AS (
+        SELECT DISTINCT p.s, q.v AS t
+        FROM d2 p JOIN sym q ON p.t = q.u
+        WHERE q.v <> p.s
+          AND NOT EXISTS (SELECT 1 FROM sym e WHERE e.u = p.s AND e.v = q.v)
+          AND NOT EXISTS (SELECT 1 FROM d2 x WHERE x.s = p.s AND x.t = q.v)
+    ),
+    mid2 AS (
+        SELECT p.u AS s, q.v AS t, p.v AS mid
+        FROM sym p JOIN sym q ON p.v = q.u
+        JOIN d2 ON d2.s = p.u AND d2.t = q.v
+    ),
+    sigma2 AS (SELECT s, t, CAST(count(*) AS BIGINT) AS sg FROM mid2 GROUP BY s, t),
+    cred2 AS (
+        SELECT m.mid AS v,
+               CAST(SUM(CAST(round(1.0 / g.sg, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   AS credit
+        FROM mid2 m JOIN sigma2 g ON m.s = g.s AND m.t = g.t
+        GROUP BY m.mid
+    ),
+    paths3 AS (
+        SELECT e1.u AS s, e1.v AS m1, e2.v AS m2, e3.v AS t
+        FROM sym e1
+        JOIN sym e2 ON e2.u = e1.v
+        JOIN sym e3 ON e3.u = e2.v
+        JOIN d3 ON d3.s = e1.u AND d3.t = e3.v
+        WHERE e2.v <> e1.u AND e3.v <> e2.u
+    ),
+    sigma3 AS (SELECT s, t, CAST(count(*) AS BIGINT) AS sg FROM paths3 GROUP BY s, t),
+    cred3 AS (
+        SELECT v, CAST(SUM(CAST(round(1.0 / sg, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS credit
+        FROM (
+            SELECT p.m1 AS v, g.sg FROM paths3 p
+            JOIN sigma3 g ON p.s = g.s AND p.t = g.t
+            UNION ALL
+            SELECT p.m2, g.sg FROM paths3 p
+            JOIN sigma3 g ON p.s = g.s AND p.t = g.t
+        ) GROUP BY v
+    )
+    SELECT n.u AS nationkey,
+           round((COALESCE(c2.credit, 0) + COALESCE(c3.credit, 0)) / 2.0, 9)
+               AS betweenness_at_3
+    FROM nodes n
+    LEFT JOIN cred2 c2 ON c2.v = n.u
+    LEFT JOIN cred3 c3 ON c3.v = n.u
+    ORDER BY nationkey
+    """,
+    tags=("graph", "centrality"),
+)
+def graph_betweenness_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT betweenness centrality truncated at distance 3 on the
+    sparsified trade graph — shortest-path brokerage, the centrality
+    the degree/harmonic family can't see: b(v) = Σ_{{s≠t}}
+    σ_st(v)/σ_st. Distance-2 pairs credit each common neighbor
+    1/σ; distance-3 pairs enumerate their shortest paths (two joins
+    closed against the d3 layer) and credit both interior nodes.
+    Ordered-pair credits halve at the end (undirected convention).
+
+    This is Brandes' accumulation computed by SET ALGEBRA instead of
+    per-source BFS stacks — every layer is an equi-join + anti-join,
+    so it distributes; the truncation radius bounds the join depth
+    exactly like graph_harmonic_centrality. σ and path counts are
+    exact integers; the 1/σ credits round at 1e-12 into decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    raw = (
+        li.filter(F.col("l_quantity") >= HC_QTY_MIN)
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = (
+        raw.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(raw.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = sym.select("u").distinct()
+    p, q = sym.alias("p"), sym.alias("q")
+    d2 = (
+        p.join(q, F.col("p.v") == F.col("q.u"))
+        .filter(F.col("q.v") != F.col("p.u"))
+        .select(F.col("p.u").alias("s"), F.col("q.v").alias("t"))
+        .distinct()
+        .join(
+            sym.select(F.col("u").alias("s"), F.col("v").alias("t")),
+            ["s", "t"],
+            "left_anti",
+        )
+        .localCheckpoint()
+    )
+    d2a = d2.alias("d2a")
+    d3 = (
+        d2a.join(q, F.col("d2a.t") == F.col("q.u"))
+        .filter(F.col("q.v") != F.col("d2a.s"))
+        .select(F.col("d2a.s").alias("s"), F.col("q.v").alias("t"))
+        .distinct()
+        .join(
+            sym.select(F.col("u").alias("s"), F.col("v").alias("t")),
+            ["s", "t"],
+            "left_anti",
+        )
+        .join(d2, ["s", "t"], "left_anti")
+        .localCheckpoint()
+    )
+    mid2 = (
+        p.join(q, F.col("p.v") == F.col("q.u"))
+        .select(
+            F.col("p.u").alias("s"), F.col("q.v").alias("t"), F.col("p.v").alias("mid")
+        )
+        .join(d2, ["s", "t"])
+    )
+    sigma2 = mid2.groupBy("s", "t").agg(F.count(F.lit(1)).cast("bigint").alias("sg"))
+    cred2 = (
+        mid2.join(sigma2, ["s", "t"])
+        .groupBy(F.col("mid").alias("v"))
+        .agg(
+            F.sum(F.round(F.lit(1.0) / F.col("sg"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("credit")
+        )
+    )
+    e1, e2, e3 = sym.alias("e1"), sym.alias("e2"), sym.alias("e3")
+    paths3 = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, F.col("e3.u") == F.col("e2.v"))
+        .filter((F.col("e2.v") != F.col("e1.u")) & (F.col("e3.v") != F.col("e2.u")))
+        .select(
+            F.col("e1.u").alias("s"),
+            F.col("e1.v").alias("m1"),
+            F.col("e2.v").alias("m2"),
+            F.col("e3.v").alias("t"),
+        )
+        .join(d3, ["s", "t"])
+        .localCheckpoint()
+    )
+    sigma3 = paths3.groupBy("s", "t").agg(F.count(F.lit(1)).cast("bigint").alias("sg"))
+    mids = paths3.join(sigma3, ["s", "t"]).select(
+        F.col("m1").alias("v"), "sg"
+    ).unionAll(paths3.join(sigma3, ["s", "t"]).select(F.col("m2").alias("v"), "sg"))
+    cred3 = mids.groupBy("v").agg(
+        F.sum(F.round(F.lit(1.0) / F.col("sg"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("credit")
+    )
+    return (
+        nodes.join(cred2.withColumnRenamed("credit", "c2"), nodes["u"] == cred2["v"], "left")
+        .drop("v")
+        .join(cred3.withColumnRenamed("credit", "c3"), nodes["u"] == cred3["v"], "left")
+        .drop("v")
+        .select(
+            F.col("u").alias("nationkey"),
+            F.round(
+                (F.coalesce("c2", F.lit(0.0)) + F.coalesce("c3", F.lit(0.0))) / 2.0, 9
+            ).alias("betweenness_at_3"),
+        )
+        .orderBy("nationkey")
+    )
