@@ -1242,3 +1242,80 @@ def multimodal_image_sobel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("uri")
     )
+
+
+AV_DOCS = 30  # A/V pairs: doc_id < AV_DOCS carries both a WAV and a Y4M
+AV_SYNC_TOL_MS = 200.0  # drift alert threshold
+
+
+@query(
+    "multimodal_av_sync_audit",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id,
+               {M.AUDIO_LEN_BASE} + doc_id % {M.AUDIO_LEN_SPAN} AS n_samples,
+               {M.VIDEO_FRAMES_BASE} + doc_id % {M.VIDEO_FRAMES_SPAN} AS n_frames
+        FROM documents WHERE doc_id < {AV_DOCS}
+    )
+    SELECT doc_id,
+           CAST(n_samples AS INT) AS n_samples,
+           CAST(n_frames AS INT) AS n_frames,
+           round(1000.0 * n_samples / {M.AUDIO_RATE}, 9) AS audio_ms,
+           round(1000.0 * n_frames / 25.0, 9) AS video_ms,
+           round(1000.0 * n_samples / {M.AUDIO_RATE}
+                 - 1000.0 * n_frames / 25.0, 9) AS drift_ms,
+           abs(1000.0 * n_samples / {M.AUDIO_RATE}
+               - 1000.0 * n_frames / 25.0) > {AV_SYNC_TOL_MS!r} AS out_of_sync
+    FROM docs
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio", "video"),
+)
+def multimodal_av_sync_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video SYNC audit over REAL container decodes — the
+    ingest-QA check a multimodal training pipeline runs before pairing
+    modalities: each document's WAV (RIFF PCM) and Y4M (YUV4MPEG2)
+    payloads are built and decoded by the engine's own codecs inside
+    Arrow mapInPandas; durations come from the DECODED header facts
+    (sample count / sample rate; frame count / the container's F25:1
+    rate), and the drift between the two tracks is flagged against a
+    200 ms budget. The oracle replays the synthesis arithmetic — a
+    codec header bug (wrong rate, miscounted frames) lands here as a
+    hash mismatch.
+
+    Scale: decode is embarrassingly parallel; only (doc_id, two small
+    ints) survive to the join — the ~1000x payload shrink the other
+    multimodal ops document. The audio×video join is doc-keyed."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < AV_DOCS)
+    ids = d.select("doc_id")
+    audio = M.generate_audio(ids)
+    a_feats = M.extract_audio_features(audio).select(
+        F.regexp_extract("uri", r"doc://(\d+)\.wav", 1).cast("bigint").alias("doc_id"),
+        "n_samples",
+        "sample_rate",
+    )
+    video = M.generate_videos(ids)
+    v_feats = (
+        M.sample_video_frames(video, every_k=1)
+        .groupBy(
+            F.regexp_extract("uri", r"doc://(\d+)\.y4m", 1)
+            .cast("bigint")
+            .alias("doc_id")
+        )
+        .agg(F.max("n_frames").alias("n_frames"))
+    )
+    audio_ms = F.lit(1000.0) * F.col("n_samples") / F.col("sample_rate")
+    video_ms = F.lit(1000.0) * F.col("n_frames") / F.lit(25.0)
+    return (
+        a_feats.join(v_feats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_samples").cast("int").alias("n_samples"),
+            F.col("n_frames").cast("int").alias("n_frames"),
+            F.round(audio_ms, 9).alias("audio_ms"),
+            F.round(video_ms, 9).alias("video_ms"),
+            F.round(audio_ms - video_ms, 9).alias("drift_ms"),
+            (F.abs(audio_ms - video_ms) > AV_SYNC_TOL_MS).alias("out_of_sync"),
+        )
+        .orderBy("doc_id")
+    )
