@@ -1978,3 +1978,93 @@ def text_garbage_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+CCNET_LINE_DF = 3  # a sentence shared by >= 3 docs is boilerplate
+
+
+@query(
+    "text_line_dedup_ccnet",
+    oracle=f"""
+    WITH sents AS (
+        SELECT doc_id, trim(s) AS sentence
+        FROM documents,
+             UNNEST(regexp_split_to_array(text, '[.!?]+')) AS t(s)
+        WHERE trim(s) <> ''
+    ),
+    df AS (
+        SELECT md5(sentence) AS h,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM sents GROUP BY 1
+    ),
+    flagged AS (
+        SELECT s.doc_id,
+               CAST(length(s.sentence) AS BIGINT) AS n_chars,
+               CASE WHEN d.doc_freq >= {CCNET_LINE_DF} THEN 1 ELSE 0 END
+                   AS is_boiler
+        FROM sents s JOIN df d ON md5(s.sentence) = d.h
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(is_boiler) AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN is_boiler = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_kept,
+           CAST(SUM(CASE WHEN is_boiler = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_removed
+    FROM flagged
+    GROUP BY doc_id
+    HAVING SUM(is_boiler) > 0
+    ORDER BY doc_id
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def text_line_dedup_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LINE-level deduplication (Wenzek et al. 2020 remove
+    duplicated lines/sentences BEFORE document dedup — headers,
+    cookie banners, navigation boilerplate): sentences hash to md5,
+    document frequency ≥ {CCNET_LINE_DF} marks boilerplate, and each
+    affected document reports its sentence counts and the exact char
+    budget removed/kept. Complements text_span_splice_dedup (token
+    n-grams within the repetition machinery) at the LINE granularity
+    CCNet actually uses.
+
+    Scale: sentence split is row-local; the df table is one
+    sentence-hash agg (md5 is the cross-engine hash); flagging is one
+    hash-keyed join — the same inverted-index shape as containment.
+    At 100 TB the df table gets a df-cap + length floor (1-2 char
+    sentences dominate otherwise) — noted, not needed at test scale."""
+    d = load_table(spark, sf_dir, "documents")
+    sents = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+                lambda s: s != "",
+            )
+        ).alias("sentence"),
+    )
+    df_tab = sents.groupBy(F.md5("sentence").alias("h")).agg(
+        F.countDistinct("doc_id").cast("bigint").alias("doc_freq")
+    )
+    flagged = sents.join(
+        df_tab, F.md5(F.col("sentence")) == F.col("h")
+    ).select(
+        "doc_id",
+        F.length("sentence").cast("bigint").alias("n_chars"),
+        (F.col("doc_freq") >= CCNET_LINE_DF).cast("int").alias("is_boiler"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+            F.sum("is_boiler").cast("bigint").alias("n_boiler"),
+            F.sum(F.when(F.col("is_boiler") == 0, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_kept"),
+            F.sum(F.when(F.col("is_boiler") == 1, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_removed"),
+        )
+        .filter(F.col("n_boiler") > 0)
+        .orderBy("doc_id")
+    )

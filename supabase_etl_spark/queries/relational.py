@@ -1743,3 +1743,80 @@ def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "sql_ddl_views",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey <= 3000
+    ),
+    v_open AS (
+        SELECT o_custkey, o_totalprice FROM base WHERE o_orderstatus = 'O'
+    ),
+    v_top AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                   AS total_open
+        FROM v_open GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders, round(total_open, 6) AS total_open,
+           TRUE AS view_listed,
+           TRUE AS view_dropped
+    FROM v_top
+    WHERE n_orders >= 3
+    ORDER BY total_open DESC, o_custkey
+    LIMIT 10
+    """,
+    tags=("sql", "ddl"),
+)
+def sql_ddl_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIEW DDL lifecycle — the metastore surface the managed-table op
+    doesn't cover: CREATE OR REPLACE TEMPORARY VIEW over a base scan, a
+    SECOND view stacked on the first (nested resolution), catalog
+    listing, query-through, and DROP VIEW with verification. Views are
+    pure metadata — the plan under the nested view is the same pushed-
+    down scan the oracle's CTE chain describes, which the value hash
+    certifies."""
+    from supabase_etl_spark.io.readers import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") <= 3000).select(
+        "o_custkey", "o_totalprice", "o_orderstatus"
+    ).createOrReplaceTempView("ddl_base_v")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW ddl_open_v AS "
+        "SELECT o_custkey, o_totalprice FROM ddl_base_v WHERE o_orderstatus = 'O'"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW ddl_top_v AS "
+        "SELECT o_custkey, count(*) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_open "
+        "FROM ddl_open_v GROUP BY o_custkey"
+    )
+    listed = {t.name for t in spark.catalog.listTables()} >= {
+        "ddl_base_v",
+        "ddl_open_v",
+        "ddl_top_v",
+    }
+    out = spark.sql(
+        "SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders, "
+        "round(total_open, 6) AS total_open "
+        "FROM ddl_top_v WHERE n_orders >= 3 "
+        "ORDER BY total_open DESC, o_custkey LIMIT 10"
+    ).collect()
+    spark.sql("DROP VIEW ddl_top_v")
+    spark.sql("DROP VIEW ddl_open_v")
+    dropped = "ddl_top_v" not in {t.name for t in spark.catalog.listTables()}
+    spark.catalog.dropTempView("ddl_base_v")
+    rows = [
+        (r["o_custkey"], r["n_orders"], r["total_open"], bool(listed), bool(dropped))
+        for r in out
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_custkey bigint, n_orders bigint, total_open double, "
+        "view_listed boolean, view_dropped boolean",
+    )
