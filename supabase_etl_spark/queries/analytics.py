@@ -9082,3 +9082,86 @@ def graph_betweenness_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "events_binseg_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, x,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cx,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER () AS DOUBLE) AS sx
+        FROM daily
+    ),
+    gains AS (
+        SELECT day, t, n,
+               round(cx * cx / t + (sx - cx) * (sx - cx) / (n - t)
+                     - sx * sx / n, 6) AS gain
+        FROM idx WHERE t < n
+    ),
+    best AS (
+        SELECT day, t, n, gain,
+               ROW_NUMBER() OVER (ORDER BY gain DESC, t) AS rn
+        FROM gains
+    )
+    SELECT t AS split_after, day AS split_day, n AS n_days,
+           round(gain, 6) AS sse_reduction
+    FROM best WHERE rn = 1
+    """,
+    tags=("events", "timeseries", "changepoint"),
+)
+def events_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint (the first split of the classic
+    recursive detector; Scott & Knott 1974): the day t whose mean-shift
+    split maximizes the between-segment sum-of-squares reduction
+    gain(t) = Sx(≤t)²/t + Sx(>t)²/(n−t) − Sx²/n — the OFFLINE
+    complement to the online CUSUM operator (CUSUM alarms as data
+    arrives; binseg names the single best historical break).
+
+    Exactness: the cumulative revenue prefix runs through decimal sums
+    (ordered window, identical fold in both engines); the gain is one
+    double expression quantized at 1e-6 before the argmax rank with a
+    t tie-break. Scale: one corpus groupBy to days, then day-grained
+    windows (the bounded-table pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("x")
+    )
+    wo = Window.orderBy("day")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "day",
+        F.row_number().over(wo).cast("bigint").alias("t"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,6)")).over(wcum).cast("double").alias("cx"),
+        F.sum(F.col("x").cast("decimal(28,6)")).over(wall).cast("double").alias("sx"),
+    )
+    gain = F.round(
+        F.col("cx") * F.col("cx") / F.col("t")
+        + (F.col("sx") - F.col("cx")) * (F.col("sx") - F.col("cx")) / (F.col("n") - F.col("t"))
+        - F.col("sx") * F.col("sx") / F.col("n"),
+        6,
+    )
+    gains = idx.filter(F.col("t") < F.col("n")).select(
+        "day", "t", "n", gain.alias("gain")
+    )
+    wbest = Window.orderBy(F.col("gain").desc(), "t")
+    return (
+        gains.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("t").alias("split_after"),
+            F.col("day").alias("split_day"),
+            F.col("n").alias("n_days"),
+            F.round("gain", 6).alias("sse_reduction"),
+        )
+    )

@@ -3146,3 +3146,65 @@ def ml_eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conf.select(
         "model", "tp", "fp", "tn", "fn", F.round(mcc, 9).alias("mcc")
     ).orderBy("model")
+
+
+@query(
+    "ml_eval_youden_diagnostic_lr",
+    oracle=f"""
+    WITH {_SQL_CUM},
+    rates AS (
+        SELECT model, s,
+               CAST(cumpos_ge AS DOUBLE) / p_tot AS tpr,
+               CAST(cumneg_ge AS DOUBLE) / n_tot AS fpr
+        FROM c
+    ),
+    j AS (
+        SELECT model, s, tpr, fpr, round(tpr - fpr, 12) AS youden_j,
+               ROW_NUMBER() OVER (PARTITION BY model
+                                  ORDER BY round(tpr - fpr, 12) DESC, s) AS rn
+        FROM rates
+    )
+    SELECT model, s AS best_threshold,
+           round(tpr, 9) AS tpr, round(fpr, 9) AS fpr,
+           round(youden_j, 9) AS youden_j,
+           round(tpr / fpr, 9) AS lr_positive,
+           round((1.0 - tpr) / (1.0 - fpr), 9) AS lr_negative
+    FROM j WHERE rn = 1
+    ORDER BY model
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_youden_diagnostic_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden's J threshold selection (J = TPR − FPR, the ROC point
+    farthest above chance) plus the diagnostic likelihood ratios at
+    that operating point (LR+ = TPR/FPR, LR− = (1−TPR)/(1−FPR)) — the
+    epidemiology-style summary that complements best-F1 (prevalence-
+    dependent) with a prevalence-FREE operating point. Runs entirely
+    on the ~40-row score-grid table; J quantizes at 1e-12 before the
+    argmax with a threshold tie-break."""
+    c = _cum(spark, sf_dir)
+    rates = c.select(
+        "model",
+        "s",
+        (F.col("cumpos_ge").cast("double") / F.col("p_tot")).alias("tpr"),
+        (F.col("cumneg_ge").cast("double") / F.col("n_tot")).alias("fpr"),
+    )
+    jcol = F.round(F.col("tpr") - F.col("fpr"), 12)
+    w = Window.partitionBy("model").orderBy(jcol.desc(), "s")
+    return (
+        rates.withColumn("youden_j", jcol)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "model",
+            F.col("s").alias("best_threshold"),
+            F.round("tpr", 9).alias("tpr"),
+            F.round("fpr", 9).alias("fpr"),
+            F.round("youden_j", 9).alias("youden_j"),
+            F.round(F.col("tpr") / F.col("fpr"), 9).alias("lr_positive"),
+            F.round((F.lit(1.0) - F.col("tpr")) / (F.lit(1.0) - F.col("fpr")), 9).alias(
+                "lr_negative"
+            ),
+        )
+        .orderBy("model")
+    )
