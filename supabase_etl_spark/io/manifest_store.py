@@ -692,6 +692,28 @@ def vacuum(
     return {"manifests_removed": removed_manifests, "files_removed": removed_files}
 
 
+def history(table_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY (Delta) / snapshots metadata table (Iceberg):
+    one row per live snapshot — version, note, file/delete-entry
+    counts, and whether it carries partition metadata or constraints.
+    Driver-side O(versions) manifest reads, zero data I/O; vacuumed
+    versions are absent by construction (their manifests are gone)."""
+    out = []
+    for v in _versions(table_dir):
+        m = _read_manifest(table_dir, v)
+        out.append(
+            {
+                "version": v,
+                "note": m.get("note", ""),
+                "n_files": len(m["files"]),
+                "n_delete_entries": len(m.get("deletes", [])),
+                "partitioned": bool(m.get("partitions")),
+                "n_constraints": len(m.get("constraints", [])),
+            }
+        )
+    return out
+
+
 def file_stats(table_dir: str, version: int | None = None) -> list[dict]:
     """Per-data-file planning statistics for a snapshot — the
     manifest-level metadata real formats keep inline (Iceberg manifest

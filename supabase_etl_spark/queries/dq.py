@@ -2800,3 +2800,117 @@ def dq_fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rn") * FDR_Q / F.col("m"), 12).alias("bh_threshold"),
         F.coalesce(F.col("rn") <= F.col("k_max"), F.lit(False)).alias("rejected"),
     ).orderBy("rn")
+
+
+ESD_ROUNDS = 3  # generalized ESD: test up to 3 outliers
+
+
+def _esd_sql() -> str:
+    """Chained-CTE oracle: each round removes the current max-|z| day
+    and recomputes the moments exactly (decimal sums minus the removed
+    value)."""
+    head = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    live0 AS (SELECT day, x FROM daily)
+    """
+    body = ""
+    for r in range(1, ESD_ROUNDS + 1):
+        body += f""",
+    m{r} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mu,
+               sqrt((CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                       * CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / count(*))
+                    / (count(*) - 1)) AS s
+        FROM live{r - 1}
+    ),
+    top{r} AS (
+        SELECT l.day, l.x, m.n,
+               round(abs(l.x - m.mu) / m.s, 9) AS r_stat
+        FROM live{r - 1} l CROSS JOIN m{r} m
+        ORDER BY round(abs(l.x - m.mu) / m.s, 9) DESC, l.day
+        LIMIT 1
+    ),
+    live{r} AS (
+        SELECT l.day, l.x FROM live{r - 1} l
+        WHERE l.day NOT IN (SELECT day FROM top{r})
+    )"""
+    tail = (
+        "\n    SELECT * FROM ("
+        + " UNION ALL ".join(
+            f"SELECT {r} AS round, day AS suspect_day, round(x, 6) AS daily_total, "
+            f"n AS n_live, r_stat FROM top{r}"
+            for r in range(1, ESD_ROUNDS + 1)
+        )
+        + ") ORDER BY round"
+    )
+    return head + body + tail
+
+
+@query(
+    "dq_esd_outliers",
+    oracle=_esd_sql(),
+    tags=("dq", "statistics", "outliers"),
+)
+def dq_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD outlier detection (Rosner 1983) — the
+    MULTI-outlier extension of the Grubbs screen, which a single large
+    anomaly can mask: each of the 3 rounds finds the max studentized
+    deviation, REMOVES that day, and recomputes mean/std on the
+    remainder, so the second and third suspects are judged without the
+    first inflating the variance. The oracle unrolls the identical
+    3-round walk as chained CTEs.
+
+    Exactness: moments per round through exact decimals (round-6 x²),
+    the studentized statistic quantizes at 9 before the argmax with a
+    day tie-break, and removal is an anti-join on the chosen day —
+    both engines walk the same sequence. Scale: the corpus pass is one
+    groupBy to days; rounds run on the day-grained table,
+    localCheckpoint-truncated."""
+    ev = load_table(spark, sf_dir, "events")
+    live = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("x")
+    ).localCheckpoint()
+    outs = []
+    for r in range(1, ESD_ROUNDS + 1):
+        m = live.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum(F.col("x").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias("mu"),
+            F.sqrt(
+                (
+                    F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(38,6)")).cast("double")
+                    - F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+                    * F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+                / (F.count(F.lit(1)) - 1)
+            ).alias("s"),
+        )
+        scored = live.crossJoin(F.broadcast(m)).select(
+            "day",
+            "x",
+            "n",
+            F.round(F.abs(F.col("x") - F.col("mu")) / F.col("s"), 9).alias("r_stat"),
+        )
+        top = (
+            scored.orderBy(F.col("r_stat").desc(), "day").limit(1).localCheckpoint()
+        )
+        outs.append(
+            top.select(
+                F.lit(r).alias("round"),
+                F.col("day").alias("suspect_day"),
+                F.round("x", 6).alias("daily_total"),
+                F.col("n").alias("n_live"),
+                "r_stat",
+            )
+        )
+        live = live.join(top.select("day"), "day", "left_anti").localCheckpoint()
+    out = outs[0]
+    for s in outs[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")

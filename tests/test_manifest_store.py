@@ -855,3 +855,19 @@ def test_partition_evolution_scans_old_spec_conservatively(spark, tmp_path):
     assert sorted(r["id"] for r in pruned2.filter("id % 4 = 2").collect()) == [
         i for i in range(40) if i % 4 == 2
     ] + [i for i in range(100, 140) if i % 4 == 2]
+
+
+def test_history_describes_live_snapshots(spark, tmp_path):
+    """DESCRIBE HISTORY analog: one row per live version with note and
+    metadata counts; vacuumed versions disappear from the listing."""
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10).repartition(2), t, "overwrite", note="bootstrap")
+    M.commit(spark.range(10, 20).repartition(1), t, "append", note="daily load")
+    M.delete_where_mor(spark, t, "id < 3", ["id"], note="gdpr")
+    h = M.history(t)
+    assert [r["version"] for r in h] == [1, 2, 3]
+    assert h[0]["note"] == "bootstrap" and h[0]["n_files"] == 2
+    assert h[1]["n_files"] == 3 and h[1]["n_delete_entries"] == 0
+    assert h[2]["note"] == "gdpr" and h[2]["n_delete_entries"] == 1
+    M.vacuum(t, retain_versions=1)
+    assert [r["version"] for r in M.history(t)] == [3]
