@@ -1518,3 +1518,83 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+ESS_CLIP = 4.0  # importance-weight truncation bound (SWIS-style)
+
+
+@query(
+    "sample_importance_ess",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k
+        FROM src
+    ),
+    w AS (
+        SELECT d.doc_id, d.source,
+               least(CAST((SELECT n FROM tot) AS DOUBLE)
+                     / ((SELECT k FROM tot) * s.n_s), {ESS_CLIP!r}) AS wt
+        FROM documents d JOIN src s ON d.source = s.source
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(round(wt, 12) AS DECIMAL(38,12))) AS DOUBLE), 9)
+               AS sum_w,
+           round(CAST(SUM(CAST(round(wt * wt, 12) AS DECIMAL(38,12))) AS DOUBLE), 9)
+               AS sum_w2,
+           round(POWER(CAST(SUM(CAST(round(wt, 12) AS DECIMAL(38,12))) AS DOUBLE), 2)
+                 / CAST(SUM(CAST(round(wt * wt, 12) AS DECIMAL(38,12))) AS DOUBLE), 9)
+               AS effective_sample_size,
+           round(POWER(CAST(SUM(CAST(round(wt, 12) AS DECIMAL(38,12))) AS DOUBLE), 2)
+                 / CAST(SUM(CAST(round(wt * wt, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*), 9) AS ess_fraction,
+           CAST(SUM(CASE WHEN wt >= {ESS_CLIP!r} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped
+    FROM w
+    """,
+    tags=("llm", "sampling", "statistics"),
+)
+def sample_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of a clipped importance-weighted corpus
+    (Kish ESS = (Σw)²/Σw², with SWIS-style weight truncation at
+    {ESS_CLIP}) — the health metric every importance-sampling pipeline
+    (DSIR reweighting, off-policy eval, RLHF advantage weighting)
+    reports before trusting a reweighted estimate: ESS/n near 1 means
+    the reweighting is benign; near 0 means a few documents dominate.
+    Weights here re-balance sources to the uniform mixture
+    (w = (n/k)/n_s, clipped).
+
+    Exactness: weights are ratios of exact integers clipped by an
+    identical least(); w and w² round at 1e-12 into decimal sums; the
+    ESS algebra is one shared double expression. Scale: one grouped
+    count + one broadcast join + one global aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    tot = src.agg(
+        F.sum("n_s").cast("bigint").alias("n"), F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    w = (
+        d.join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.least(
+                F.col("n").cast("double") / (F.col("k") * F.col("n_s")),
+                F.lit(ESS_CLIP),
+            ).alias("wt")
+        )
+    )
+    sw = F.sum(F.round("wt", 12).cast("decimal(38,12)")).cast("double")
+    sw2 = F.sum(F.round(F.col("wt") * F.col("wt"), 12).cast("decimal(38,12)")).cast(
+        "double"
+    )
+    return w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(sw, 9).alias("sum_w"),
+        F.round(sw2, 9).alias("sum_w2"),
+        F.round(F.pow(sw, 2) / sw2, 9).alias("effective_sample_size"),
+        F.round(F.pow(sw, 2) / sw2 / F.count(F.lit(1)), 9).alias("ess_fraction"),
+        F.sum((F.col("wt") >= ESS_CLIP).cast("int")).cast("bigint").alias("n_clipped"),
+    )
