@@ -1072,3 +1072,4 @@ def join_geo_haversine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= GEO_KNN)
         .orderBy("qid", "rn")
     )
+

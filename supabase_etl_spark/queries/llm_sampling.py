@@ -1598,3 +1598,85 @@ def sample_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(sw, 2) / sw2 / F.count(F.lit(1)), 9).alias("ess_fraction"),
         F.sum((F.col("wt") >= ESS_CLIP).cast("int")).cast("bigint").alias("n_clipped"),
     )
+
+
+PPS_K = 25  # systematic PPS draws
+
+
+@query(
+    "sample_pps_systematic",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, w,
+               SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS hi,
+               SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - w AS lo,
+               SUM(w) OVER () AS tot
+        FROM sized
+    ),
+    grid AS (
+        SELECT unnest(range(0, {PPS_K})) AS j
+    ),
+    anchors AS (
+        -- deterministic anchor: offset = tot / (2k), stride = tot / k
+        -- (integer-scaled by 2k so every comparison stays integral)
+        SELECT j, (2 * j + 1) AS num FROM grid
+    ),
+    picks AS (
+        SELECT a.j, c.doc_id, c.w, c.tot
+        FROM anchors a JOIN cum c
+          ON a.num * c.tot > 2 * {PPS_K} * c.lo
+         AND a.num * c.tot <= 2 * {PPS_K} * c.hi
+    )
+    SELECT j AS draw, doc_id, w AS n_chars,
+           round(CAST({PPS_K} AS DOUBLE) * w / tot, 9) AS inclusion_prob
+    FROM picks
+    ORDER BY draw
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (the
+    textbook PPS design: lay the size-weighted corpus on a line, draw
+    every tot/k with a fixed half-stride anchor) — the sampler that
+    gives token-budget-proportional inclusion WITHOUT per-row
+    randomness, used when a corpus audit must hit big documents with
+    certainty but stay O(1)-seeded and replayable.
+
+    Exactness: all interval membership tests are INTEGER
+    cross-products (anchor·tot vs 2k·cumsum — no division anywhere),
+    so the draw set is bit-deterministic; inclusion probabilities are
+    single double divisions rounded at 9. Scale: the cumulative sums
+    use the day-bounded... rather, doc-grained prefix (swap in
+    operators/prefix.py's distributed rank at corpus scale — the
+    dq_drift_ks note); the k-row anchor join broadcasts."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("w")
+    )
+    wcum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = d.select(
+        "doc_id",
+        "w",
+        F.sum("w").over(wcum).alias("hi"),
+        (F.sum("w").over(wcum) - F.col("w")).alias("lo"),
+        F.sum("w").over(wall).alias("tot"),
+    )
+    anchors = spark.range(PPS_K).select(
+        F.col("id").alias("j"), (2 * F.col("id") + 1).alias("num")
+    )
+    picks = F.broadcast(anchors).join(
+        cum,
+        (F.col("num") * F.col("tot") > 2 * PPS_K * F.col("lo"))
+        & (F.col("num") * F.col("tot") <= 2 * PPS_K * F.col("hi")),
+    )
+    return picks.select(
+        F.col("j").alias("draw"),
+        "doc_id",
+        F.col("w").alias("n_chars"),
+        F.round(F.lit(float(PPS_K)) * F.col("w") / F.col("tot"), 9).alias(
+            "inclusion_prob"
+        ),
+    ).orderBy("draw")
