@@ -1680,3 +1680,88 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inclusion_prob"
         ),
     ).orderBy("draw")
+
+
+@query(
+    "sample_soft_dedup_downweight",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   '\\s+', ' ', 'g'))) AS h
+        FROM documents
+    ),
+    sized AS (
+        SELECT h, CAST(count(*) AS BIGINT) AS dup_n FROM canon GROUP BY h
+    ),
+    weighted AS (
+        SELECT c.doc_id, c.source, c.n_chars, s.dup_n,
+               1.0 / s.dup_n AS w
+        FROM canon c JOIN sized s ON c.h = s.h
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dup_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_duplicated,
+           round(CAST(SUM(CAST(round(w, 12) AS DECIMAL(38,12))) AS DOUBLE), 9)
+               AS effective_docs,
+           round(CAST(SUM(CAST(round(w * n_chars, 6) AS DECIMAL(38,6)))
+                      AS DOUBLE), 6) AS effective_chars
+    FROM weighted
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "sampling", "dedup"),
+)
+def sample_soft_dedup_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication — instead of dropping duplicates, every copy
+    of a duplicated document gets sampling weight 1/cluster_size, so
+    the expected number of times the CONTENT is seen per epoch is one
+    (the downweighting alternative hard dedup pipelines debate; keeps
+    provenance diversity while killing the repetition-memorization
+    gradient). Clusters: canonicalized exact hash (the
+    dedup_exact_canonical key). Reports per-source effective document
+    and char budgets after downweighting.
+
+    Exactness: weights are exact 1/k rationals rounded at 1e-12;
+    char-weighted mass rounds at 1e-6 (integer×rational of ≤4-digit
+    denominators is exact well above that). One hash agg + one
+    hash-keyed join — dedup_exact's scale shape."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    canon = d.select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), h.alias("h")
+    )
+    sized = canon.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("dup_n"))
+    weighted = canon.join(sized, "h").select(
+        "source",
+        "n_chars",
+        "dup_n",
+        (F.lit(1.0) / F.col("dup_n")).alias("w"),
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("dup_n") > 1).cast("int")).cast("bigint").alias("n_duplicated"),
+            F.round(
+                F.sum(F.round("w", 12).cast("decimal(38,12)")).cast("double"), 9
+            ).alias("effective_docs"),
+            F.round(
+                F.sum(F.round(F.col("w") * F.col("n_chars"), 6).cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("effective_chars"),
+        )
+        .orderBy("source")
+    )
