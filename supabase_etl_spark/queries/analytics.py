@@ -9165,3 +9165,88 @@ def events_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("gain", 6).alias("sse_reduction"),
         )
     )
+
+
+@query(
+    "events_periodicity_chi2",
+    oracle="""
+    WITH hours AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(range(0, 24)) AS h) g
+    ),
+    filled AS (
+        SELECT g.event_type, g.h, COALESCE(hr.c, 0) AS c
+        FROM grid g LEFT JOIN hours hr
+          ON g.event_type = hr.event_type AND g.h = hr.h
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM filled GROUP BY 1
+    )
+    SELECT f.event_type, t.n AS n_events,
+           round(SUM((c - t.n / 24.0) * (c - t.n / 24.0)) / (t.n / 24.0), 9)
+               AS chi2_uniform,
+           CAST(max(c) AS BIGINT) AS peak_hour_count,
+           CAST(min(CASE WHEN c = (SELECT max(c2.c) FROM filled c2
+                                   WHERE c2.event_type = f.event_type)
+                         THEN h END) AS BIGINT) AS peak_hour
+    FROM filled f JOIN tot t ON f.event_type = t.event_type
+    GROUP BY f.event_type, t.n
+    ORDER BY f.event_type
+    """,
+    tags=("events", "statistics"),
+)
+def events_periodicity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal-periodicity chi-square per event type — is traffic
+    uniform over the 24 hours, and where is the peak? χ² against the
+    uniform expectation n/24 over the zero-filled hour grid (23 df);
+    the peak hour reports with a min-hour tie-break. Complements the
+    bot-regularity screen (per-user cadence) with the population-level
+    seasonality a capacity planner reads.
+
+    Exactness: counts are integers; the χ² terms share one double
+    expression (c − n/24)²/(n/24) summed over a FIXED 24-cell grid —
+    sequential and identical in both engines (grid-bounded, no decimal
+    discipline needed beyond the shared text). One corpus groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(spark.range(24).select(F.col("id").alias("h")))
+    )
+    filled = grid.join(hours, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0).cast("bigint")).alias("c")
+    )
+    tot = filled.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("n"))
+    j = filled.join(tot, "event_type")
+    exp = F.col("n") / 24.0
+    wmax = Window.partitionBy("event_type")
+    peak = j.withColumn("cmax", F.max("c").over(wmax))
+    return (
+        peak.groupBy("event_type", "n")
+        .agg(
+            F.round(
+                F.sum((F.col("c") - exp) * (F.col("c") - exp)) / exp, 9
+            ).alias("chi2_uniform"),
+            F.max("c").cast("bigint").alias("peak_hour_count"),
+            F.min(F.when(F.col("c") == F.col("cmax"), F.col("h")))
+            .cast("bigint")
+            .alias("peak_hour"),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            "chi2_uniform",
+            "peak_hour_count",
+            "peak_hour",
+        )
+        .orderBy("event_type")
+    )

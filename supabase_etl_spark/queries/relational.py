@@ -1820,3 +1820,53 @@ def sql_ddl_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey bigint, n_orders bigint, total_open double, "
         "view_listed boolean, view_dropped boolean",
     )
+
+
+@query(
+    "sql_table_function",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders, round(total, 6) AS total
+    FROM spend
+    WHERE total >= 500000.0 AND n_orders >= 2
+    ORDER BY total DESC, o_custkey
+    LIMIT 15
+    """,
+    tags=("sql", "udf"),
+)
+def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE-VALUED user function (Spark 4's ``CREATE FUNCTION …
+    RETURNS TABLE … RETURN SELECT``) — the declarative sibling of the
+    Python UDTF: a parameterized query fragment published under a name
+    and invoked in the FROM clause like a relation. Being a SQL macro,
+    Catalyst inlines the body and pushes predicates into the scan —
+    zero runtime boundary, unlike a Python UDTF (which is why the
+    value hash matches the plain-CTE oracle bit for bit)."""
+    from supabase_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION big_spenders(
+            min_total DOUBLE, min_orders BIGINT)
+        RETURNS TABLE (o_custkey BIGINT, n_orders BIGINT, total DOUBLE)
+        RETURN SELECT o_custkey,
+                      count(*) AS n_orders,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                          AS total
+               FROM orders GROUP BY o_custkey
+               HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                        >= min_total
+                  AND count(*) >= min_orders
+        """
+    )
+    return spark.sql(
+        "SELECT o_custkey, n_orders, round(total, 6) AS total "
+        "FROM big_spenders(500000.0, 2) "
+        "ORDER BY total DESC, o_custkey LIMIT 15"
+    )
