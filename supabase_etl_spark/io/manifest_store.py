@@ -321,13 +321,20 @@ def _commit_files(
     any interleaved commit deterministically surface as
     ConcurrentCommitError so the stale writer re-reads and retries.
     """
+    import time as _time
+
     version = base_version + 1
     if constraints is None and base_version > 0:
         # CHECK constraints are table metadata: inherit from the base
         # snapshot unless the caller explicitly sets a new list, so
         # merge/delete/compact/optimize can never silently drop them
         constraints = _read_manifest(table_dir, base_version).get("constraints", [])
-    manifest: dict = {"version": version, "files": files, "note": note}
+    manifest: dict = {
+        "version": version,
+        "files": files,
+        "note": note,
+        "created_at_ms": int(_time.time() * 1000),
+    }
     if partitions:
         manifest["partitions"] = partitions
     if deletes:
@@ -690,6 +697,37 @@ def vacuum(
                 os.unlink(path)
                 removed_files += 1
     return {"manifests_removed": removed_manifests, "files_removed": removed_files}
+
+
+def _version_created_at(table_dir: str, version: int) -> int:
+    """Commit wall-clock in ms: the manifest's stamped created_at_ms,
+    falling back to the manifest file's mtime for pre-stamp history."""
+    m = _read_manifest(table_dir, version)
+    if "created_at_ms" in m:
+        return int(m["created_at_ms"])
+    path = os.path.join(_manifest_dir(table_dir), f"v{version:08d}.json")
+    return int(os.path.getmtime(path) * 1000)
+
+
+def resolve_as_of(table_dir: str, ts_ms: int) -> int:
+    """TIMESTAMP AS OF resolution (Delta/Iceberg time travel by wall
+    clock): the newest version committed at or before ``ts_ms``.
+    Raises if the timestamp predates the first commit. Commit times
+    are monotone by construction (versions publish sequentially), so
+    this is the standard floor search."""
+    candidates = [
+        v for v in _versions(table_dir) if _version_created_at(table_dir, v) <= ts_ms
+    ]
+    if not candidates:
+        raise FileNotFoundError(
+            f"no snapshot at or before ts={ts_ms} in {table_dir}"
+        )
+    return max(candidates)
+
+
+def read_as_of(spark: SparkSession, table_dir: str, ts_ms: int) -> DataFrame:
+    """read() at the snapshot current as of wall-clock ``ts_ms``."""
+    return read(spark, table_dir, resolve_as_of(table_dir, ts_ms))
 
 
 def history(table_dir: str) -> list[dict]:

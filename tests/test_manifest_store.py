@@ -871,3 +871,32 @@ def test_history_describes_live_snapshots(spark, tmp_path):
     assert h[2]["note"] == "gdpr" and h[2]["n_delete_entries"] == 1
     M.vacuum(t, retain_versions=1)
     assert [r["version"] for r in M.history(t)] == [3]
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: resolve the newest snapshot at-or-before a wall
+    clock instant; before-first-commit raises; stamped created_at_ms is
+    authoritative (with mtime fallback for pre-stamp manifests)."""
+    import json as _json
+
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10), t, "overwrite")
+    M.commit(spark.range(10, 30), t, "append")
+    # pin deterministic commit times
+    for v, ts in ((1, 1_000_000), (2, 2_000_000)):
+        path = os.path.join(t, "_manifests", f"v{v:08d}.json")
+        m = _json.load(open(path))
+        m["created_at_ms"] = ts
+        _json.dump(m, open(path, "w"))
+    assert M.resolve_as_of(t, 1_500_000) == 1
+    assert M.resolve_as_of(t, 2_000_000) == 2
+    assert M.read_as_of(spark, t, 1_999_999).count() == 10
+    assert M.read_as_of(spark, t, 9_999_999).count() == 30
+    with pytest.raises(FileNotFoundError):
+        M.resolve_as_of(t, 999_999)
+    # mtime fallback: a foreign manifest without the stamp still resolves
+    path = os.path.join(t, "_manifests", f"v{1:08d}.json")
+    m = _json.load(open(path))
+    del m["created_at_ms"]
+    _json.dump(m, open(path, "w"))
+    assert M.resolve_as_of(t, int(os.path.getmtime(path) * 1000) + 1) >= 1
