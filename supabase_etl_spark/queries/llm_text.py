@@ -2792,3 +2792,98 @@ def text_stupid_backoff_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# vowel-group syllable heuristic: runs of [aeiouy] approximate syllables
+_VOWEL_RUN = "[aeiouy]+"
+
+
+@query(
+    "text_readability_fk",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               CAST(len({_SQL_TOKENS}) AS BIGINT) AS words,
+               CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                    s -> trim(s) <> '')) AS BIGINT) AS sents,
+               CAST(len(regexp_extract_all(lower(text), '{_VOWEL_RUN}'))
+                    AS BIGINT) AS syllables
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, words, sents, syllables,
+               round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+                     - 84.6 * (CAST(syllables AS DOUBLE) / words), 9) AS fre,
+               round(0.39 * (CAST(words AS DOUBLE) / sents)
+                     + 11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59, 9)
+                   AS fk_grade
+        FROM feat WHERE words > 0 AND sents > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(round(fre, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                 / count(*), 9) AS mean_fre,
+           round(CAST(SUM(CAST(round(fk_grade, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                 / count(*), 9) AS mean_fk_grade,
+           CAST(SUM(CASE WHEN fk_grade > 12.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_college_plus
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade level per language —
+    the readability screens curation pipelines use to route text into
+    difficulty tiers (curriculum buckets, kid-safe subsets, legal-prose
+    flags). Syllables use the standard vowel-group heuristic
+    (runs of [aeiouy] in lowercased text), words are whitespace tokens,
+    sentences the terminator split shared with text_sentence_split.
+
+    Exactness: the three counts are exact integers; FRE/FK are one
+    shared double expression per doc rounded at 1e-9, then decimal-
+    summed into per-language means. One scan + one lang-keyed agg."""
+    d = load_table(spark, sf_dir, "documents")
+    sents = F.size(
+        F.filter(
+            F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+            lambda s: s != "",
+        )
+    ).cast("bigint")
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("words"),
+        sents.alias("sents"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_VOWEL_RUN), 0))
+        .cast("bigint")
+        .alias("syllables"),
+    ).filter((F.col("words") > 0) & (F.col("sents") > 0))
+    wps = F.col("words").cast("double") / F.col("sents")
+    spw = F.col("syllables").cast("double") / F.col("words")
+    scored = feat.select(
+        "lang",
+        F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 9).alias("fre"),
+        F.round(F.lit(0.39) * wps + 11.8 * spw - 15.59, 9).alias("fk_grade"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.round("fre", 9).cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_fre"),
+            F.round(
+                F.sum(F.round("fk_grade", 9).cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_fk_grade"),
+            F.sum((F.col("fk_grade") > 12.0).cast("int"))
+            .cast("bigint")
+            .alias("n_college_plus"),
+        )
+        .orderBy("lang")
+    )
