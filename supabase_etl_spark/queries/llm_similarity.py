@@ -2364,3 +2364,90 @@ def sim_radius_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "embedding_sq_reconstruction_error",
+    oracle=f"""
+    WITH {_SQL_SQ_CTES},
+    err AS (
+        SELECT e.vec_id, e.i, e.x, r.xr,
+               (e.x - r.xr) * (e.x - r.xr) AS se
+        FROM ex e JOIN rec r ON e.vec_id = r.vec_id AND e.i = r.i
+    ),
+    per_dim AS (
+        SELECT i,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(se, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sse,
+               CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        FROM err GROUP BY i
+    ),
+    ranked AS (
+        SELECT i, n, round(sse / n, 12) AS mse,
+               round(10.0 * ln(sxx / sse) / ln(10.0), 9) AS snr_db,
+               ROW_NUMBER() OVER (ORDER BY round(sse / n, 12) DESC, i) AS rn
+        FROM per_dim WHERE sse > 0
+    )
+    SELECT rn, i AS dim, n, round(mse, 9) AS mse, snr_db
+    FROM ranked WHERE rn <= 8
+    ORDER BY rn
+    """,
+    tags=("llm", "similarity", "quantization"),
+)
+def embedding_sq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension reconstruction-error audit of the int8 scalar
+    quantizer — the diagnostic that decides WHICH dimensions need finer
+    codes before sim_topk_sq_int8's recall degrades: exact MSE and SNR
+    (10·log10(Σx²/ΣSE)) per dimension under the same 255-level
+    [min,max] codebook, reporting the 8 worst dims. Uniform SQ loses
+    most on heavy-tailed dims; this table is the evidence for
+    per-dim bit allocation (the FAISS SQ8-vs-SQ6 decision).
+
+    Exactness: the reconstruction shares the quantizer's single fixed
+    operation order; squared errors and energies round at 1e-12 into
+    decimal sums; MSE quantizes at 12 before the rank with a dim
+    tie-break. Scale: one posexplode + dims-sized aggs — the codebook
+    pipeline's own shape, nothing new to shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x")
+    )
+    dims = ex.groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    xr = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        F.col("mn")
+        + F.floor(
+            (F.col("x") - F.col("mn")) * F.lit(254.0) / (F.col("mx") - F.col("mn"))
+        )
+        * (F.col("mx") - F.col("mn"))
+        / F.lit(254.0)
+    )
+    err = ex.join(F.broadcast(dims), "i").select(
+        "i",
+        "x",
+        ((F.col("x") - xr) * (F.col("x") - xr)).alias("se"),
+    )
+    per_dim = err.groupBy("i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("se", 12).cast("decimal(38,12)")).cast("double").alias("sse"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mse = F.round(F.col("sse") / F.col("n"), 12)
+    ranked = (
+        per_dim.filter(F.col("sse") > 0)
+        .select(
+            "i",
+            "n",
+            mse.alias("mse"),
+            F.round(F.lit(10.0) * F.log(F.col("sxx") / F.col("sse")) / F.log(F.lit(10.0)), 9).alias("snr_db"),
+        )
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.col("mse").desc(), "i")))
+    )
+    return (
+        ranked.filter(F.col("rn") <= 8)
+        .select("rn", F.col("i").alias("dim"), "n", F.round("mse", 9).alias("mse"), "snr_db")
+        .orderBy("rn")
+    )
