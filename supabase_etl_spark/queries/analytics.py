@@ -9250,3 +9250,147 @@ def events_periodicity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+TRAJ_DAYS = 14  # trajectory length (first 14 days of the corpus)
+TRAJ_TAU = 60.0  # Chebyshev acceptance radius
+TRAJ_TOP_K = 3
+
+
+@query(
+    "events_trajectory_topk",
+    oracle=f"""
+    WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    cells AS (
+        SELECT user_id,
+               date_diff('day', (SELECT d0 FROM bounds), CAST(ts AS DATE)) + 1
+                   AS d,
+               round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                     / count(*), 6) AS v
+        FROM events
+        WHERE date_diff('day', (SELECT d0 FROM bounds), CAST(ts AS DATE))
+                < {TRAJ_DAYS}
+        GROUP BY 1, 2
+    ),
+    users AS (SELECT DISTINCT user_id FROM cells),
+    grid AS (
+        SELECT u.user_id, g.d
+        FROM users u CROSS JOIN (SELECT unnest(range(1, {TRAJ_DAYS + 1})) AS d) g
+    ),
+    filled AS (
+        SELECT g.user_id, g.d, COALESCE(c.v, 0.0) AS v
+        FROM grid g LEFT JOIN cells c
+          ON g.user_id = c.user_id AND g.d = c.d
+    ),
+    traj AS (
+        SELECT user_id,
+               list(v ORDER BY d) AS t,
+               round(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+                     / {TRAJ_DAYS}, 6) AS mu
+        FROM filled GROUP BY user_id
+    ),
+    keyed AS (
+        SELECT user_id, t,
+               CAST(floor(mu / {TRAJ_TAU!r}) AS BIGINT) AS b
+        FROM traj
+    ),
+    cand AS (
+        SELECT a.user_id AS ua, b.user_id AS ub, a.t AS ta, b.t AS tb
+        FROM keyed a JOIN keyed b
+          ON b.b BETWEEN a.b - 1 AND a.b + 1
+         AND a.user_id <> b.user_id
+    ),
+    dist AS (
+        SELECT ua, ub,
+               round(list_max(list_transform(range(1, {TRAJ_DAYS + 1}),
+                                             i -> abs(ta[i] - tb[i]))), 9) AS dist
+        FROM cand
+    ),
+    ranked AS (
+        SELECT ua, ub, dist,
+               ROW_NUMBER() OVER (PARTITION BY ua ORDER BY dist, ub) AS rn
+        FROM dist WHERE dist <= {TRAJ_TAU!r}
+    )
+    SELECT ua AS user_id, rn, ub AS neighbor, dist
+    FROM ranked WHERE rn <= {TRAJ_TOP_K}
+    ORDER BY user_id, rn
+    """,
+    tags=("events", "similarity", "trajectory"),
+)
+def events_trajectory_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k trajectory similarity search (the REPOSE problem shape —
+    distributed top-k over trajectories with reference-point pruning,
+    ICDE 2021 — expressed with a mean-signature band as the reference
+    structure): each user's first {TRAJ_DAYS} days become a 0-filled
+    daily-mean trajectory; similarity is the Chebyshev (aligned L∞)
+    distance; candidates prune by the signature bound |mean_a − mean_b|
+    ≤ max_d |a_d − b_d|, so only ±1 mean-band neighbors are verified —
+    never all user pairs. Per user: the {TRAJ_TOP_K} nearest within
+    radius {TRAJ_TAU}.
+
+    Exactness: cell means quantize at 1e-6 BEFORE any distance; the
+    pairwise max-|diff| is a HOF fold over aligned arrays (identical
+    in both engines); distances quantize at 1e-9 before ranking with a
+    neighbor tie-break. Scale: trajectory build is one corpus groupBy;
+    the verify join is band-blocked (block population bounds the pair
+    count, the SNM argument); arrays are fixed {TRAJ_DAYS}-element."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    cells = (
+        ev.crossJoin(F.broadcast(d0))
+        .withColumn("d", F.datediff(F.to_date("ts"), F.col("d0")) + 1)
+        .filter(F.col("d") <= TRAJ_DAYS)
+        .groupBy("user_id", "d")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("v")
+        )
+    )
+    users = cells.select("user_id").distinct()
+    grid = users.crossJoin(
+        F.broadcast(spark.range(1, TRAJ_DAYS + 1).select(F.col("id").alias("d")))
+    )
+    filled = grid.join(cells, ["user_id", "d"], "left").select(
+        "user_id", "d", F.coalesce("v", F.lit(0.0)).alias("v")
+    )
+    traj = filled.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s.v
+        ).alias("t"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(28,6)")).cast("double") / TRAJ_DAYS, 6
+        ).alias("mu"),
+    )
+    keyed = traj.select(
+        "user_id", "t", F.floor(F.col("mu") / TRAJ_TAU).cast("bigint").alias("b")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("b.b") >= F.col("a.b") - 1)
+        & (F.col("b.b") <= F.col("a.b") + 1)
+        & (F.col("a.user_id") != F.col("b.user_id")),
+    ).select(
+        F.col("a.user_id").alias("ua"),
+        F.col("b.user_id").alias("ub"),
+        F.col("a.t").alias("ta"),
+        F.col("b.t").alias("tb"),
+    )
+    dist = cand.select(
+        "ua",
+        "ub",
+        F.round(
+            F.array_max(F.zip_with("ta", "tb", lambda x, y: F.abs(x - y))), 9
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("ua").orderBy("dist", "ub")
+    return (
+        dist.filter(F.col("dist") <= TRAJ_TAU)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TRAJ_TOP_K)
+        .select(F.col("ua").alias("user_id"), "rn", F.col("ub").alias("neighbor"), "dist")
+        .orderBy("user_id", "rn")
+    )
