@@ -9394,3 +9394,73 @@ def events_trajectory_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ua").alias("user_id"), "rn", F.col("ub").alias("neighbor"), "dist")
         .orderBy("user_id", "rn")
     )
+
+
+PL_KMIN = 2  # power-law fit: degrees >= kmin
+
+
+@query(
+    "graph_powerlaw_alpha",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS v
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS k FROM e GROUP BY u
+    ),
+    tail AS (
+        SELECT k FROM deg WHERE k >= {PL_KMIN}
+    ),
+    fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(ln(CAST(k AS DOUBLE) / ({PL_KMIN} - 0.5)), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS slnk
+        FROM tail
+    )
+    SELECT n AS n_tail,
+           {PL_KMIN} AS k_min,
+           round(1.0 + n / slnk, 9) AS alpha_mle,
+           round((1.0 + n / slnk - 1.0) / sqrt(CAST(n AS DOUBLE)), 9)
+               AS alpha_se
+    FROM fit
+    """,
+    tags=("graph", "statistics"),
+)
+def graph_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the customer-degree distribution by the
+    Clauset-Shalizi-Newman discrete MLE (α = 1 + n/Σln(k/(kmin−½)),
+    SE = (α−1)/√n) — the scale-free-ness diagnostic behind every
+    'is this graph heavy-tailed enough to need skew handling' decision;
+    pairs with the Zipf rank-frequency fit (text) and the degree
+    assortativity operator (structure).
+
+    Exactness: degrees are exact integers; the ln(k/(kmin−½)) terms
+    round at 1e-12 into one decimal sum; the MLE algebra is a shared
+    double expression. One distinct-edge star join + one degree agg."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    tail = deg.filter(F.col("k") >= PL_KMIN)
+    fit = tail.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.round(F.log(F.col("k").cast("double") / (PL_KMIN - 0.5)), 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("slnk"),
+    )
+    alpha = F.lit(1.0) + F.col("n") / F.col("slnk")
+    return fit.select(
+        F.col("n").alias("n_tail"),
+        F.lit(PL_KMIN).alias("k_min"),
+        F.round(alpha, 9).alias("alpha_mle"),
+        F.round((alpha - 1.0) / F.sqrt(F.col("n").cast("double")), 9).alias("alpha_se"),
+    )

@@ -1485,3 +1485,143 @@ def ml_perceptron_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionByName(s)
     return out.orderBy("epoch")
+
+
+HUBER_DELTA = 40.0  # Huber loss elbow, in quantity units
+HUBER_ROUNDS = 2  # unrolled IRLS iterations after the OLS init
+
+
+def _huber_sql() -> str:
+    """Chained-CTE oracle for unrolled Huber IRLS: OLS init, then each
+    round reweights rows by w = min(1, delta/|residual|) and re-solves
+    the 1-feature weighted least squares in closed form."""
+    head = """
+    WITH pts AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y
+        FROM lineitem WHERE l_orderkey <= 4000
+    ),
+    fit0 AS (
+        SELECT (count(*) * CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                - CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE))
+               / (count(*) * CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                  - CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                    * CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)) AS b,
+               (CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+                - (count(*) * CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                   - CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                     * CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE))
+                  / (count(*) * CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                       * CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE))
+                  * CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)) / count(*) AS a
+        FROM pts
+    )"""
+    body = ""
+    for r in range(1, HUBER_ROUNDS + 1):
+        body += f""",
+    wts{r} AS (
+        SELECT x, y,
+               least(1.0, {HUBER_DELTA!r}
+                     / greatest(abs(y - (SELECT a FROM fit{r - 1})
+                                    - (SELECT b FROM fit{r - 1}) * x), 1e-12))
+                   AS w
+        FROM pts
+    ),
+    m{r} AS (
+        SELECT CAST(SUM(CAST(round(w, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+               CAST(SUM(CAST(round(w * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS swx,
+               CAST(SUM(CAST(round(w * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS swy,
+               CAST(SUM(CAST(round(w * x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS swxx,
+               CAST(SUM(CAST(round(w * x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS swxy
+        FROM wts{r}
+    ),
+    fit{r} AS (
+        SELECT (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b,
+               (swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx)
+                   / sw AS a
+        FROM m{r}
+    )"""
+    tail = (
+        "\n    SELECT * FROM ("
+        + " UNION ALL ".join(
+            f"SELECT {r} AS round, round(a, 9) AS intercept, round(b, 9) AS slope "
+            f"FROM fit{r}"
+            for r in range(0, HUBER_ROUNDS + 1)
+        )
+        + ") ORDER BY round"
+    )
+    return head + body + tail
+
+
+@query(
+    "ml_huber_irls",
+    oracle=_huber_sql(),
+    tags=("ml", "trainer", "robust"),
+)
+def ml_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust regression by IRLS (Huber 1964; the M-estimator
+    production pipelines fit when OLS chases outliers): OLS init, then
+    {HUBER_ROUNDS} unrolled reweighting rounds with w =
+    min(1, δ/|residual|) and a closed-form weighted solve — the robust
+    member of the trainer family (ridge/lasso/quantile cover L2/L1/
+    pinball; this is the bounded-influence loss). Emits the
+    (intercept, slope) trajectory per round so the oracle pins the
+    entire walk, not just the fixed point.
+
+    Exactness: each round's five weighted moments round at their true
+    scales (w at 1e-12, x/y products at 1e-6) into decimal sums; the
+    residual floor (1e-12) avoids division blowups identically in both
+    engines. One corpus pass per round, localCheckpoint-truncated —
+    the ml_logreg_gd loop discipline."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 4000)
+    pts = li.select(
+        F.col("l_quantity").cast("double").alias("x"),
+        (F.col("l_extendedprice").cast("double") / 1000.0).alias("y"),
+    ).localCheckpoint()
+    x, y = F.col("x"), F.col("y")
+    m0 = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum(F.round(x * x, 6).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum(F.round(x * y, 6).cast("decimal(38,6)")).cast("double").alias("sxy"),
+    )
+    b0 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = m0.select(b0.alias("b"), ((F.col("sy") - b0 * F.col("sx")) / F.col("n")).alias("a")).localCheckpoint()
+    outs = [fit.select(F.lit(0).alias("round"), F.round("a", 9).alias("intercept"), F.round("b", 9).alias("slope"))]
+    for r in range(1, HUBER_ROUNDS + 1):
+        wcol = F.least(
+            F.lit(1.0),
+            F.lit(HUBER_DELTA)
+            / F.greatest(F.abs(y - F.col("a") - F.col("b") * x), F.lit(1e-12)),
+        )
+        wts = pts.crossJoin(F.broadcast(fit)).select("x", "y", wcol.alias("w"))
+        m = wts.agg(
+            F.sum(F.round("w", 12).cast("decimal(38,12)")).cast("double").alias("sw"),
+            F.sum(F.round(F.col("w") * x, 6).cast("decimal(38,6)")).cast("double").alias("swx"),
+            F.sum(F.round(F.col("w") * y, 6).cast("decimal(38,6)")).cast("double").alias("swy"),
+            F.sum(F.round(F.col("w") * x * x, 6).cast("decimal(38,6)")).cast("double").alias("swxx"),
+            F.sum(F.round(F.col("w") * x * y, 6).cast("decimal(38,6)")).cast("double").alias("swxy"),
+        )
+        bb = (F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")) / (
+            F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        )
+        fit = m.select(
+            bb.alias("b"),
+            ((F.col("swy") - bb * F.col("swx")) / F.col("sw")).alias("a"),
+        ).localCheckpoint()
+        outs.append(
+            fit.select(
+                F.lit(r).alias("round"),
+                F.round("a", 9).alias("intercept"),
+                F.round("b", 9).alias("slope"),
+            )
+        )
+    out = outs[0]
+    for s in outs[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")
