@@ -2657,3 +2657,93 @@ def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("treat")
     )
+
+
+@query(
+    "agg_jackknife_ratio",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey AS grp,
+               CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS num,
+               CAST(count(*) AS BIGINT) AS den
+        FROM customer GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(num) AS BIGINT) AS tn, CAST(SUM(den) AS BIGINT) AS td,
+               CAST(count(*) AS BIGINT) AS k
+        FROM g
+    ),
+    loo AS (
+        SELECT g.grp,
+               CAST((SELECT tn FROM tot) - g.num AS DOUBLE)
+                 / ((SELECT td FROM tot) - g.den) AS r_i
+        FROM g
+    ),
+    full_r AS (
+        SELECT CAST(tn AS DOUBLE) / td AS r, k FROM tot
+    ),
+    var_ AS (
+        SELECT f.r, f.k,
+               CAST(SUM(CAST(round((l.r_i - f.r) * (l.r_i - f.r), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS ssd
+        FROM loo l CROSS JOIN full_r f
+        GROUP BY f.r, f.k
+    )
+    SELECT k AS n_groups,
+           round(r, 9) AS ratio,
+           round(sqrt((k - 1.0) / k * ssd), 9) AS jackknife_se,
+           round(r - CAST('1.959963984540054' AS DOUBLE)
+                     * sqrt((k - 1.0) / k * ssd), 9) AS ci_lo,
+           round(r + CAST('1.959963984540054' AS DOUBLE)
+                     * sqrt((k - 1.0) / k * ssd), 9) AS ci_hi
+    FROM var_
+    """,
+    tags=("agg", "statistics", "sampling"),
+)
+def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error of a ratio estimator
+    (the survey-statistics workhorse for nonlinear statistics where a
+    plain variance formula doesn't exist): the corpus-wide delinquency
+    RATE (negative-balance customers / all customers) with nations as
+    the jackknife groups — each replicate recomputes the ratio with
+    one nation deleted, SE² = (k−1)/k · Σ(r_i − r)². Complements the
+    Poisson bootstrap (row-resampled) with the grouped-replicate
+    design production survey pipelines use.
+
+    Exactness: replicates are ratios of exact integer differences —
+    the leave-one-out trick needs only the group margins, never a
+    second corpus pass; squared deviations round at 1e-12 into one
+    decimal sum. Scale: one grouped count, then k-row algebra."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(F.col("c_nationkey").alias("grp")).agg(
+        F.sum((F.col("c_acctbal") < 0).cast("int")).cast("bigint").alias("num"),
+        F.count(F.lit(1)).cast("bigint").alias("den"),
+    )
+    tot = g.agg(
+        F.sum("num").cast("bigint").alias("tn"),
+        F.sum("den").cast("bigint").alias("td"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    loo = g.crossJoin(F.broadcast(tot)).select(
+        ((F.col("tn") - F.col("num")).cast("double") / (F.col("td") - F.col("den"))).alias("r_i"),
+        (F.col("tn").cast("double") / F.col("td")).alias("r"),
+        "k",
+    )
+    var_ = loo.groupBy("r", "k").agg(
+        F.sum(
+            F.round((F.col("r_i") - F.col("r")) * (F.col("r_i") - F.col("r")), 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("ssd")
+    )
+    se = F.sqrt((F.col("k") - 1.0) / F.col("k") * F.col("ssd"))
+    z = F.expr("CAST('1.959963984540054' AS DOUBLE)")
+    return var_.select(
+        F.col("k").alias("n_groups"),
+        F.round("r", 9).alias("ratio"),
+        F.round(se, 9).alias("jackknife_se"),
+        F.round(F.col("r") - z * se, 9).alias("ci_lo"),
+        F.round(F.col("r") + z * se, 9).alias("ci_hi"),
+    )

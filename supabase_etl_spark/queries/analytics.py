@@ -9464,3 +9464,132 @@ def graph_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha, 9).alias("alpha_mle"),
         F.round((alpha - 1.0) / F.sqrt(F.col("n").cast("double")), 9).alias("alpha_se"),
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH raw AS (
+        SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
+               greatest(s.s_nationkey, c.c_nationkey) AS b
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_quantity >= {HC_QTY_MIN} AND s.s_nationkey <> c.c_nationkey
+    ),
+    sym AS (SELECT a AS u, b AS v FROM raw UNION SELECT b, a FROM raw),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY u),
+    tri AS (
+        -- triangles per vertex: closed wedges centered at u
+        SELECT w1.u, CAST(count(*) AS BIGINT) AS closed2
+        FROM sym w1
+        JOIN sym w2 ON w1.u = w2.u AND w1.v < w2.v
+        JOIN sym e ON e.u = w1.v AND e.v = w2.v
+        GROUP BY w1.u
+    ),
+    loc AS (
+        SELECT d.u, d.k, COALESCE(t.closed2, 0) AS t2,
+               CASE WHEN d.k >= 2
+                    THEN round(2.0 * COALESCE(t.closed2, 0) / (d.k * (d.k - 1)), 9)
+                    ELSE 0.0 END AS c_local
+        FROM deg d LEFT JOIN tri t ON d.u = t.u
+    )
+    SELECT u AS nationkey, k AS degree, t2 AS n_triangles, c_local,
+           round((SELECT CAST(SUM(CAST(round(l2.c_local, 9) AS DECIMAL(38,9)))
+                              AS DOUBLE) / count(*) FROM loc l2), 9)
+               AS mean_local_cc,
+           round((SELECT 1.0 * SUM(t2) / greatest(SUM(k * (k - 1)) / 2, 1)
+                  FROM loc), 9) AS global_transitivity
+    FROM loc
+    ORDER BY nationkey
+    """,
+    tags=("graph",),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node + the two global summaries
+    (Watts-Strogatz mean-local CC and the transitivity ratio
+    3·triangles/wedges) on the sparsified trade graph — the
+    small-world diagnostic the triangle-count operator feeds but never
+    normalized. C_local(u) = 2·T(u)/(k(k−1)); closed wedges come from
+    the same vertex-keyed wedge-close join as graph_ktruss.
+
+    Exactness: triangle and degree counts are exact integers; the two
+    coefficient forms are shared double expressions rounded at 9, with
+    the mean-local average run through a decimal sum. Scale: the
+    corpus pass is the distinct-edge star join; wedges are
+    degree-bounded on the nation graph (the k-truss argument)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    raw = (
+        li.filter(F.col("l_quantity") >= HC_QTY_MIN)
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = (
+        raw.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(raw.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    w1, w2, e = sym.alias("w1"), sym.alias("w2"), sym.alias("e")
+    tri = (
+        w1.join(
+            w2, (F.col("w1.u") == F.col("w2.u")) & (F.col("w1.v") < F.col("w2.v"))
+        )
+        .join(
+            e,
+            (F.col("e.u") == F.col("w1.v")) & (F.col("e.v") == F.col("w2.v")),
+        )
+        .groupBy(F.col("w1.u").alias("u"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t2"))
+    )
+    loc = deg.join(tri, "u", "left").select(
+        "u",
+        "k",
+        F.coalesce("t2", F.lit(0).cast("bigint")).alias("t2"),
+        F.when(
+            F.col("k") >= 2,
+            F.round(
+                F.lit(2.0) * F.coalesce("t2", F.lit(0)) / (F.col("k") * (F.col("k") - 1)),
+                9,
+            ),
+        )
+        .otherwise(0.0)
+        .alias("c_local"),
+    )
+    summ = loc.agg(
+        F.round(
+            F.sum(F.round("c_local", 9).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_local_cc"),
+        F.round(
+            F.lit(1.0)
+            * F.sum("t2")
+            / F.greatest(F.sum(F.col("k") * (F.col("k") - 1)) / 2, F.lit(1)),
+            9,
+        ).alias("global_transitivity"),
+    )
+    return (
+        loc.crossJoin(F.broadcast(summ))
+        .select(
+            F.col("u").alias("nationkey"),
+            F.col("k").alias("degree"),
+            F.col("t2").alias("n_triangles"),
+            "c_local",
+            "mean_local_cc",
+            "global_transitivity",
+        )
+        .orderBy("nationkey")
+    )
