@@ -9593,3 +9593,111 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "events_exponential_fit_gof",
+    oracle="""
+    WITH purch AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+        SELECT CAST(floor(date_part('epoch', ts - prev) / 60) AS BIGINT) + 1 AS g
+        FROM purch WHERE prev IS NOT NULL
+    ),
+    fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               count(*) / CAST(SUM(CAST(g AS DECIMAL(28,0))) AS DOUBLE) AS lam
+        FROM gaps
+    ),
+    ranked AS (
+        SELECT g,
+               CAST(ROW_NUMBER() OVER (ORDER BY g) AS BIGINT) AS i,
+               (SELECT n FROM fit) AS n, (SELECT lam FROM fit) AS lam
+        FROM gaps
+    ),
+    ks AS (
+        SELECT n, lam,
+               max(greatest(
+                   abs(CAST(i AS DOUBLE) / n - round(1.0 - exp(-lam * g), 9)),
+                   abs(round(1.0 - exp(-lam * g), 9) - CAST(i - 1 AS DOUBLE) / n)
+               )) AS d
+        FROM ranked GROUP BY n, lam
+    )
+    SELECT n AS n_gaps,
+           round(lam * 60.0, 9) AS rate_per_hour,
+           round(d, 9) AS ks_statistic,
+           round(d * (sqrt(CAST(n AS DOUBLE)) + 0.12
+                      + 0.11 / sqrt(CAST(n AS DOUBLE))), 9) AS ks_scaled
+    FROM ks
+    """,
+    tags=("events", "statistics", "timeseries"),
+)
+def events_exponential_fit_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential MLE fit of inter-purchase gaps + one-sample KS
+    goodness-of-fit (with the Stephens small-sample scaling) — the 'is
+    this really a Poisson process' check that decides whether the
+    burstiness/Fano operators are even needed: λ̂ = n/Σgap, D = sup-gap
+    between the empirical staircase and 1 − e^(−λt), both one-sided
+    gaps per sorted observation.
+
+    Determinism: gaps floor to integer minutes (+1); λ is an exact
+    integer ratio; the model CDF quantizes at 1e-9 before the sup (exp
+    differs by ≤1 ulp across libms — the quantize absorbs it); ranks
+    tie-break on the integer gap itself, and equal gaps produce equal
+    CDF values so rank order inside ties cannot move the max. The
+    ranked window is user-event-bounded (see the dq_drift_ks note for
+    the corpus-scale swap)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    purch = ev.select(
+        "user_id", "ts", F.lag("ts").over(wo).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    gaps = purch.select(
+        (
+            F.floor((F.unix_micros("ts") - F.unix_micros("prev")) / F.lit(60_000_000))
+            + 1
+        )
+        .cast("bigint")
+        .alias("g")
+    )
+    fit = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.count(F.lit(1))
+            / F.sum(F.col("g").cast("decimal(28,0)")).cast("double")
+        ).alias("lam"),
+    )
+    ranked = gaps.crossJoin(F.broadcast(fit)).select(
+        "g",
+        F.row_number().over(Window.orderBy("g")).cast("bigint").alias("i"),
+        "n",
+        "lam",
+    )
+    cdf = F.round(F.lit(1.0) - F.exp(-F.col("lam") * F.col("g")), 9)
+    ks = ranked.groupBy("n", "lam").agg(
+        F.max(
+            F.greatest(
+                F.abs(F.col("i").cast("double") / F.col("n") - cdf),
+                F.abs(cdf - (F.col("i") - 1).cast("double") / F.col("n")),
+            )
+        ).alias("d")
+    )
+    return ks.select(
+        F.col("n").alias("n_gaps"),
+        F.round(F.col("lam") * 60.0, 9).alias("rate_per_hour"),
+        F.round("d", 9).alias("ks_statistic"),
+        F.round(
+            F.col("d")
+            * (
+                F.sqrt(F.col("n").cast("double"))
+                + 0.12
+                + 0.11 / F.sqrt(F.col("n").cast("double"))
+            ),
+            9,
+        ).alias("ks_scaled"),
+    )

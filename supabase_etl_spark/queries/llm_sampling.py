@@ -1765,3 +1765,115 @@ def sample_soft_dedup_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+CORESET_BUDGET = 64  # coreset size target
+
+
+@query(
+    "sample_coreset_sensitivity",
+    oracle=f"""
+    WITH vals AS (
+        SELECT vec_id, i, CAST(x AS DOUBLE) AS x
+        FROM (
+            SELECT vec_id,
+                   unnest(range(1, len(embedding) + 1)) AS i,
+                   unnest(embedding) AS x
+            FROM embeddings
+        )
+    ),
+    mu AS (
+        SELECT i, CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                    / count(*) AS m
+        FROM vals GROUP BY i
+    ),
+    d2 AS (
+        SELECT v.vec_id,
+               CAST(SUM(CAST(round((v.x - m.m) * (v.x - m.m), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS dist2
+        FROM vals v JOIN mu m ON v.i = m.i
+        GROUP BY v.vec_id
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(dist2, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sd2
+        FROM d2
+    ),
+    sens AS (
+        SELECT vec_id, dist2,
+               round(0.5 / (SELECT n FROM tot)
+                     + 0.5 * round(dist2, 9) / (SELECT sd2 FROM tot), 12) AS s
+        FROM d2
+    ),
+    ranked AS (
+        SELECT vec_id, dist2, s,
+               ROW_NUMBER() OVER (ORDER BY s DESC, vec_id) AS rn
+        FROM sens
+    )
+    SELECT rn, vec_id, round(dist2, 6) AS dist2, round(s, 12) AS sensitivity,
+           round({CORESET_BUDGET} * s, 9) AS expected_copies
+    FROM ranked WHERE rn <= {CORESET_BUDGET}
+    ORDER BY rn
+    """,
+    tags=("llm", "sampling", "embedding"),
+)
+def sample_coreset_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity-sampling coreset plan for k-means (Bachem, Lucic &
+    Krause 2018 lightweight coresets): each vector's sensitivity upper
+    bound s(x) = ½/n + ½·d²(x, mean)/Σd² decides its inclusion
+    pressure in a {CORESET_BUDGET}-point coreset — far-from-mean
+    points are provably the ones a subsample must keep for a bounded
+    k-means objective error. Emits the top-budget plan (the
+    deterministic skeleton; the randomized fill uses the registry's
+    LCG machinery elsewhere).
+
+    Exactness: the mean vector comes from per-dim decimal sums;
+    distances are round-12 decimal sums of identical per-component
+    doubles; sensitivities quantize at 12 before the rank with a
+    vec_id tie-break. Scale: two corpus passes (mean, distances), both
+    map-side combined; no pairwise anything."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vals = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    mu = vals.groupBy("i").agg(
+        (F.sum(F.round("x", 9).cast("decimal(38,9)")).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    d2 = (
+        vals.join(F.broadcast(mu), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.round((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")), 12).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("dist2")
+        )
+    )
+    tot = d2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("dist2", 9).cast("decimal(38,9)")).cast("double").alias("sd2"),
+    )
+    sens = d2.crossJoin(F.broadcast(tot)).select(
+        "vec_id",
+        "dist2",
+        F.round(
+            F.lit(0.5) / F.col("n") + F.lit(0.5) * F.round("dist2", 9) / F.col("sd2"),
+            12,
+        ).alias("s"),
+    )
+    w = Window.orderBy(F.col("s").desc(), "vec_id")
+    return (
+        sens.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CORESET_BUDGET)
+        .select(
+            "rn",
+            "vec_id",
+            F.round("dist2", 6).alias("dist2"),
+            F.round("s", 12).alias("sensitivity"),
+            F.round(F.lit(CORESET_BUDGET) * F.col("s"), 9).alias("expected_copies"),
+        )
+        .orderBy("rn")
+    )
