@@ -9701,3 +9701,79 @@ def events_exponential_fit_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("ks_scaled"),
     )
+
+
+@query(
+    "events_velocity_features",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               CAST(date_part('epoch', ts) AS BIGINT) AS sec
+        FROM events
+    ),
+    feat AS (
+        SELECT user_id, event_id,
+               CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                                   RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+                    AS BIGINT) AS n_1h,
+               CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                                   RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+                    AS BIGINT) AS n_24h
+        FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(n_1h) AS BIGINT) AS max_velocity_1h,
+           CAST(max(n_24h) AS BIGINT) AS max_velocity_24h,
+           round(CAST(SUM(n_24h) AS DOUBLE) / count(*), 9) AS mean_velocity_24h
+    FROM feat
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "features"),
+)
+def events_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time VELOCITY features — the feature-store staple
+    (fraud/abuse models run on 'how many events did this entity emit
+    in the trailing 1h/24h as of each event', computed with strictly
+    PRIOR events so there is no label leakage): event-time RANGE
+    frames ending at 1 PRECEDING second give the leak-free trailing
+    counts, then a per-user rollup reports the velocity profile.
+
+    Exactness: frame bounds are integer epoch seconds — both engines
+    count the same rows; the only float is one mean of integers.
+    Scale: one user-keyed window (the entity partitioning every
+    feature store shards by) + one user-keyed agg — same shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint").alias("sec"),
+    )
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, -1)
+    )
+    w24 = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-86400, -1)
+    )
+    feat = e.select(
+        "user_id",
+        F.count(F.lit(1)).over(w1).cast("bigint").alias("n_1h"),
+        F.count(F.lit(1)).over(w24).cast("bigint").alias("n_24h"),
+    )
+    return (
+        feat.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("n_1h").cast("bigint").alias("max_velocity_1h"),
+            F.max("n_24h").cast("bigint").alias("max_velocity_24h"),
+            F.round(F.sum("n_24h").cast("double") / F.count(F.lit(1)), 9).alias(
+                "mean_velocity_24h"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -2068,3 +2068,67 @@ def text_line_dedup_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_boiler") > 0)
         .orderBy("doc_id")
     )
+
+
+COMPRESS_MIN_RATIO = 0.35  # below this, text is too repetitive (Dolma-style)
+
+
+@query(
+    "text_compression_ratio_filter",
+    oracle=None,  # zlib has no SQL twin: rows-only + pinned golden unit test
+    tags=("llm", "curation", "quality"),
+)
+def text_compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality filter (the Dolma/RefinedWeb 'zlib
+    ratio' heuristic: highly repetitive or templated text compresses
+    far below natural prose, so ratio = deflate_len/raw_len is a cheap
+    one-pass repetition proxy that catches what n-gram rules miss).
+    zlib level 6 over UTF-8 bytes in an Arrow-batched mapInPandas —
+    the one genuinely non-SQL-expressible scalar here, so the query is
+    rows-only by design and tests/test_curation_ops.py pins golden
+    ratios for known strings (the BPE-golden pattern).
+
+    Scale: embarrassingly parallel scan; only (source, grouped counts)
+    shuffle. The deflate is the cost — ~100 MB/s/core, the documented
+    bill the original pipelines pay."""
+    import zlib
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def ratios(batches):
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "raw_len": raw.map(len),
+                    "comp_len": comp,
+                }
+            )
+            yield out
+
+    r = d.mapInPandas(
+        ratios, schema="doc_id bigint, source string, raw_len bigint, comp_len bigint"
+    ).withColumn(
+        "ratio", F.round(F.col("comp_len") / F.col("raw_len"), 9)
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("ratio") < COMPRESS_MIN_RATIO).cast("int"))
+            .cast("bigint")
+            .alias("n_too_repetitive"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_ratio"),
+            F.min("ratio").alias("min_ratio"),
+        )
+        .orderBy("source")
+    )

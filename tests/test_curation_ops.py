@@ -155,3 +155,38 @@ def test_bloom_prefilter_prunes_without_false_negatives(spark):
         f"bloom prefilter too weak: {n_cand} candidates, "
         f"{true_hits} true of {n_train} grams"
     )
+
+
+def test_compression_ratio_golden_values(spark):
+    """zlib-ratio filter: pinned golden ratios — repetitive text
+    compresses far below prose; the filter flag fires only on it."""
+    import zlib
+
+    from supabase_etl_spark.queries.llm_curation import COMPRESS_MIN_RATIO
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "magistrates debated an entirely unrelated question of tariffs."
+    )
+    junk = "spam " * 200
+    for text, expect_flag in ((prose, False), (junk, True)):
+        ratio = len(zlib.compress(text.encode(), 6)) / len(text.encode())
+        assert (ratio < COMPRESS_MIN_RATIO) is expect_flag
+    # engine path agrees with the local computation
+    df = spark.createDataFrame(
+        [(1, "a", prose), (2, "a", junk)], "doc_id bigint, source string, text string"
+    )
+    df.createOrReplaceTempView("_cr_fixture")
+    import pandas as pd
+
+    from supabase_etl_spark.queries import load_all
+
+    # run the registered fn against a scratch parquet dir shaped like testdata
+    import os, tempfile
+
+    tmp = tempfile.mkdtemp(prefix="crfix_")
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = load_all()["text_compression_ratio_filter"].fn(spark, tmp).collect()
+    row = {r["source"]: r for r in out}["a"]
+    assert row["n_docs"] == 2 and row["n_too_repetitive"] == 1
+    assert row["min_ratio"] < COMPRESS_MIN_RATIO
