@@ -63,9 +63,10 @@ CHUNK_SIZE = 300  # reference parity: etl_supabase.py posts 300-row chunks
 
 
 class _Staged(WriterCommitMessage):
-    def __init__(self, path: str, n_rows: int):
+    def __init__(self, path: str, n_rows: int, stats: dict | None = None):
         self.path = path
         self.n_rows = n_rows
+        self.stats = stats or {}
 
 
 class ChunkedJsonlWriter(DataSourceWriter):
@@ -83,10 +84,27 @@ class ChunkedJsonlWriter(DataSourceWriter):
         name = f"task-{uuid.uuid4().hex}.jsonl"
         staged = os.path.join(self.dest, "_staging", name)
         n = 0
+        stats: dict[str, list] = {}  # numeric col -> [min, max] for pruning
+
+        def track(rec: dict) -> None:
+            for k, v in rec.items():
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    continue
+                s = stats.get(k)
+                if s is None:
+                    stats[k] = [v, v]
+                else:
+                    if v < s[0]:
+                        s[0] = v
+                    if v > s[1]:
+                        s[1] = v
+
         with open(staged, "w") as fh:
             chunk = []
             for row in iterator:
-                chunk.append(row.asDict(recursive=True))
+                rec = row.asDict(recursive=True)
+                track(rec)
+                chunk.append(rec)
                 if len(chunk) >= self.chunk_size:
                     fh.write("\n".join(json.dumps(r, default=str) for r in chunk) + "\n")
                     n += len(chunk)
@@ -94,7 +112,7 @@ class ChunkedJsonlWriter(DataSourceWriter):
             if chunk:
                 fh.write("\n".join(json.dumps(r, default=str) for r in chunk) + "\n")
                 n += len(chunk)
-        return _Staged(staged, n)
+        return _Staged(staged, n, stats)
 
     def commit(self, messages):
         # driver-side, after ALL tasks succeeded: atomic publish.
@@ -119,7 +137,13 @@ class ChunkedJsonlWriter(DataSourceWriter):
                 continue
             final = os.path.join(self.dest, os.path.basename(m.path))
             os.rename(m.path, final)
-            published.append({"file": os.path.basename(final), "rows": m.n_rows})
+            entry = {"file": os.path.basename(final), "rows": m.n_rows}
+            if getattr(m, "stats", None):
+                # per-file numeric min/max — the reader's pushFilters
+                # prunes whole files against these (Iceberg manifest
+                # stats, rebuilt at the Python DSv2 layer)
+                entry["stats"] = m.stats
+            published.append(entry)
         tmp = manifest + f".tmp{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as fh:
             json.dump({"files": published}, fh)
@@ -163,6 +187,11 @@ class ChunkedJsonlDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # the reader implements pushFilters (Spark 4.1 DSv2 pushdown);
+    # Spark refuses to plan such a reader unless the feature flag is
+    # on, and the flag is runtime-settable — set it here so a vanilla
+    # (driver-owned) session works without session-factory coupling
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ChunkedJsonlDataSource)
 
 
@@ -319,16 +348,84 @@ class ManifestJsonlReader(DataSourceReader):
         if not self.ddl:
             raise ValueError("option 'schema' (DDL string) is required")
         self.fields, self.types = _parse_ddl_fields(self.ddl)
+        self.pushed: list[tuple[str, str, float]] = []  # (col, op, value)
+
+    def pushFilters(self, filters):
+        """Filter pushdown (Spark 4.1 DSv2 Python API): accept numeric
+        range/equality predicates for FILE pruning against the sink
+        manifest's per-file min/max stats. Every filter is also
+        returned, so Spark still applies the row-level predicate —
+        pruning is a pure I/O win, never a correctness dependency
+        (the conservative contract the parquet footer path uses)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            col = getattr(f, "attribute", None)
+            val = getattr(f, "value", None)
+            if (
+                op
+                and col is not None
+                and len(col) == 1
+                and isinstance(val, (int, float))
+                and not isinstance(val, bool)
+            ):
+                self.pushed.append((col[0], op, val))
+            yield f  # Spark re-evaluates everything row-level
+
+    @staticmethod
+    def _may_match(stats: dict, col: str, op: str, val: float) -> bool:
+        s = stats.get(col)
+        if not s:
+            return True  # no stats for this column: cannot prune
+        mn, mx = s
+        if op == "=":
+            return mn <= val <= mx
+        if op == ">":
+            return mx > val
+        if op == ">=":
+            return mx >= val
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+        return True
 
     def partitions(self):
         manifest = os.path.join(self.dest, "_committed.json")
         with open(manifest) as fh:
             entries = json.load(fh)["files"]
-        return [
-            _FileSlice(os.path.join(self.dest, e["file"])) for e in entries
+        live = [
+            e
+            for e in entries
+            if all(
+                self._may_match(e.get("stats", {}), col, op, val)
+                for col, op, val in self.pushed
+            )
         ]
+        self.files_total = len(entries)
+        self.files_read = len(live)
+        if not live:
+            # DSv2 requires >= 1 partition; an empty slice reads nothing
+            return [_FileSlice("")]
+        return [_FileSlice(os.path.join(self.dest, e["file"])) for e in live]
 
     def read(self, partition: _FileSlice):
+        if not partition.path:  # fully pruned scan
+            return
         casts = [_jsonl_cast(t) for t in self.types]
         with open(partition.path) as fh:
             for line in fh:

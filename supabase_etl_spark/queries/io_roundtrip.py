@@ -2312,3 +2312,80 @@ def io_manifest_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("spec")
     )
+
+
+@query(
+    "io_pyds_pushdown_pruned_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           TRUE AS files_pruned,
+           TRUE AS all_filters_reevaluated
+    FROM events
+    WHERE event_id >= 7000
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("io", "pyds", "pushdown"),
+)
+def io_pyds_pushdown_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DSv2 FILTER PUSHDOWN end to end (Spark 4.1
+    `DataSourceReader.pushFilters`): the chunked-jsonl sink records
+    per-file numeric min/max in its manifest; a range-partitioned
+    write gives the files disjoint event_id ranges; the reader prunes
+    whole files whose stats cannot satisfy `event_id >= 7000` and
+    still returns every filter for row-level re-evaluation — the same
+    conservative contract parquet footer pruning honors. The query
+    verifies pruning via the reader's file counters and value-hashes
+    the filtered aggregate against the direct scan.
+
+    100 TB: pruning turns the Python source's scan cost from
+    corpus-sized to matching-file-sized — the difference between a
+    REST-shaped source being a toy and being usable."""
+    from supabase_etl_spark.io import jsonl_sink_source as J
+    from supabase_etl_spark.io.jsonl_sink_source import ManifestJsonlReader
+
+    J.register(spark)
+    dest = scratch_dir("pyds_push_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    (
+        ev.repartitionByRange(4, "event_id")
+        .write.format("chunked_jsonl")
+        .option("path", dest)
+        .mode("append")
+        .save()
+    )
+    # reader-internals probe: the planner-side pruning decision
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    rd = ManifestJsonlReader(
+        {"path": dest, "schema": "event_id bigint, event_type string, value double"}
+    )
+    leftover = list(rd.pushFilters([GreaterThanOrEqual(("event_id",), 7000)]))
+    rd.partitions()
+    files_pruned = rd.files_read < rd.files_total and rd.files_read >= 1
+    all_reevaluated = len(leftover) == 1
+
+    back = (
+        spark.read.format("chunked_jsonl")
+        .option("path", dest)
+        .option("schema", "event_id bigint, event_type string, value double")
+        .load()
+        .filter(F.col("event_id") >= 7000)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "total_value",
+            F.lit(bool(files_pruned)).alias("files_pruned"),
+            F.lit(bool(all_reevaluated)).alias("all_filters_reevaluated"),
+        )
+        .orderBy("event_type")
+    )

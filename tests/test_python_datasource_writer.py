@@ -216,3 +216,54 @@ def test_reader_rejects_nested_types_up_front(spark, tmp_path):
     names, types = _parse_ddl_fields("a decimal(10,2), b string, map_like_name int")
     assert names == ["a", "b", "map_like_name"]
     assert types == ["decimal(10,2)", "string", "int"]
+
+
+def test_push_filters_prunes_files_by_manifest_stats(spark, tmp_path):
+    """Spark 4.1 Python DSv2 filter pushdown: the sink records per-file
+    numeric min/max; the reader's pushFilters prunes whole files whose
+    stats cannot satisfy the predicate, while returning every filter
+    for row-level re-evaluation (pruning is an I/O win, never a
+    correctness dependency)."""
+    import json as _json
+
+    from supabase_etl_spark.io.jsonl_sink_source import ManifestJsonlReader
+
+    register(spark)
+    dest = str(tmp_path / "pushed")
+    # three range-disjoint files: ids [0,100), [100,200), [200,300)
+    for lo in (0, 100, 200):
+        (
+            spark.range(lo, lo + 100)
+            .selectExpr("id", "id * 2 AS v")
+            .coalesce(1)
+            .write.format("chunked_jsonl")
+            .option("path", dest)
+            .mode("append")
+            .save()
+        )
+    manifest = _json.load(open(os.path.join(dest, "_committed.json")))
+    assert all("stats" in e and "id" in e["stats"] for e in manifest["files"])
+
+    # engine path: result correctness under pushdown
+    back = (
+        spark.read.format("chunked_jsonl")
+        .option("path", dest)
+        .option("schema", "id bigint, v bigint")
+        .load()
+    )
+    got = sorted(r["id"] for r in back.filter("id >= 250").collect())
+    assert got == list(range(250, 300))
+
+    # reader-level proof of pruning: only the [200,300) file survives
+    rd = ManifestJsonlReader({"path": dest, "schema": "id bigint, v bigint"})
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    leftover = list(rd.pushFilters([GreaterThanOrEqual(("id",), 250)]))
+    assert len(leftover) == 1  # everything returned for row-level eval
+    parts = rd.partitions()
+    assert rd.files_total == 3 and rd.files_read == 1 and len(parts) == 1
+    # fully pruned predicate yields an empty (but valid) scan
+    rd2 = ManifestJsonlReader({"path": dest, "schema": "id bigint, v bigint"})
+    list(rd2.pushFilters([GreaterThanOrEqual(("id",), 10_000)]))
+    assert rd2.partitions()[0].path == "" and rd2.files_read == 0
+    assert back.filter("id >= 10000").count() == 0
