@@ -360,3 +360,58 @@ def window_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cum_band_price"),
     ).orderBy("o_custkey", "o_totalprice", "o_orderkey")
+
+
+@query(
+    "window_distribution_functions",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    d AS (
+        SELECT o_custkey, o_orderkey,
+               round(cume_dist() OVER w, 9) AS cd,
+               round(percent_rank() OVER w, 9) AS pr,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM base
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(cd), 9) AS min_cume_dist,
+           round(max(cd), 9) AS max_cume_dist,
+           round(max(pr), 9) AS max_percent_rank
+    FROM d
+    GROUP BY quartile
+    ORDER BY quartile
+    """,
+    tags=("window",),
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTION window family in one plan — cume_dist (share of
+    rows at-or-below), percent_rank ((rank−1)/(n−1)), and ntile —
+    completing the ranking-window surface (row_number/rank/dense_rank
+    live in window_ranking): price quartiles with their exact CDF
+    boundaries. Ordering ties break on the key itself, so both engines
+    see identical frames; the three functions are rational row-count
+    ratios rounded at 9. The window table is orderkey-bounded here;
+    the distributed-rank swap applies at corpus scale (dq_drift_ks
+    note)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    d = o.select(
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+    return (
+        d.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("cd"), 9).alias("min_cume_dist"),
+            F.round(F.max("cd"), 9).alias("max_cume_dist"),
+            F.round(F.max("pr"), 9).alias("max_percent_rank"),
+        )
+        .orderBy("quartile")
+    )
