@@ -9777,3 +9777,76 @@ def events_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+KDE_POINTS = 16  # evaluation grid size
+KDE_BW = 25.0  # Gaussian bandwidth in value units
+
+
+@query(
+    "events_kde_density",
+    oracle=f"""
+    WITH vals AS (
+        SELECT CAST(value AS DOUBLE) AS x FROM events
+        WHERE event_type = 'purchase'
+    ),
+    n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+    grid AS (
+        SELECT g AS gi, 250.0 * (g + 0.5) / {KDE_POINTS} AS x0
+        FROM (SELECT unnest(range(0, {KDE_POINTS})) AS g)
+    ),
+    terms AS (
+        SELECT g.gi, g.x0,
+               round(exp(-0.5 * ((v.x - g.x0) / {KDE_BW!r})
+                         * ((v.x - g.x0) / {KDE_BW!r})), 12) AS kv
+        FROM grid g CROSS JOIN vals v
+    )
+    SELECT gi, round(x0, 6) AS x0,
+           (SELECT n FROM n_) AS n,
+           round(CAST(SUM(CAST(kv AS DECIMAL(38,12))) AS DOUBLE)
+                 / ((SELECT n FROM n_) * {KDE_BW!r}
+                    * CAST('2.5066282746310002' AS DOUBLE)), 9) AS density
+    FROM terms
+    GROUP BY gi, x0
+    ORDER BY gi
+    """,
+    tags=("events", "statistics"),
+)
+def events_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian kernel density estimate of purchase values on a fixed
+    {KDE_POINTS}-point grid — the smooth-distribution view the fixed-
+    width histogram operator quantizes away (mode hunting, bimodality
+    checks before a mixture fit). f̂(x₀) = Σᵢ K((x₀−xᵢ)/h) / (n·h·√2π)
+    with h = {KDE_BW}; √2π is a string-cast shared literal.
+
+    Exactness: per-row kernel values are one shared exp expression
+    rounded at 1e-12 into decimal sums per grid point (exp's possible
+    last-ulp libm split is absorbed by the quantize — the NLL
+    discipline). Scale: the grid broadcasts; ONE corpus scan computes
+    all {KDE_POINTS} partial sums map-side; the shuffle is grid-sized."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    vals = ev.select(F.col("value").cast("double").alias("x"))
+    n_ = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = spark.range(KDE_POINTS).select(
+        F.col("id").alias("gi"),
+        (F.lit(250.0) * (F.col("id") + 0.5) / KDE_POINTS).alias("x0"),
+    )
+    z = (F.col("x") - F.col("x0")) / KDE_BW
+    terms = vals.crossJoin(F.broadcast(grid)).select(
+        "gi", "x0", F.round(F.exp(F.lit(-0.5) * z * z), 12).alias("kv")
+    )
+    sqrt2pi = F.expr("CAST('2.5066282746310002' AS DOUBLE)")
+    return (
+        terms.groupBy("gi", "x0")
+        .agg(F.sum(F.col("kv").cast("decimal(38,12)")).cast("double").alias("s"))
+        .crossJoin(F.broadcast(n_))
+        .select(
+            "gi",
+            F.round("x0", 6).alias("x0"),
+            "n",
+            F.round(F.col("s") / (F.col("n") * KDE_BW * sqrt2pi), 9).alias("density"),
+        )
+        .orderBy("gi")
+    )

@@ -1625,3 +1625,189 @@ def ml_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in outs[1:]:
         out = out.unionByName(s)
     return out.orderBy("round")
+
+
+def _carto_sql() -> str:
+    """Cartography oracle: the perceptron epoch chain, keeping each
+    epoch's margin per doc; confidence/variability from the 3-epoch
+    squashed-probability trajectory."""
+    head = f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT)
+                   % {PCT_BUCKETS} AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+              FROM documents)
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT doc_id, -1 AS b, 1 AS c FROM documents
+    ),
+    lab AS (
+        SELECT doc_id, source,
+               CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+        FROM documents
+    ),
+    w0 AS (SELECT b, CAST(0 AS BIGINT) AS w
+           FROM (SELECT DISTINCT b FROM feats))
+    """
+    body = ""
+    for e in range(1, PCT_EPOCHS + 1):
+        body += f""",
+    marg{e} AS (
+        SELECT f.doc_id, l.y, SUM(f.c * w.w) AS m
+        FROM feats f JOIN w{e - 1} w ON f.b = w.b
+        JOIN lab l ON f.doc_id = l.doc_id
+        GROUP BY 1, 2
+    ),
+    mis{e} AS (SELECT doc_id, y FROM marg{e} WHERE y * m <= 0),
+    upd{e} AS (
+        SELECT f.b, SUM(mi.y * f.c) AS d
+        FROM mis{e} mi JOIN feats f ON f.doc_id = mi.doc_id
+        GROUP BY f.b
+    ),
+    w{e} AS (
+        SELECT w.b, w.w + COALESCE(u.d, 0) AS w
+        FROM w{e - 1} w LEFT JOIN upd{e} u ON w.b = u.b
+    )"""
+    probs = " UNION ALL ".join(
+        f"SELECT doc_id, 0.5 + 0.5 * (y * m) / (1 + abs(y * m)) AS p "
+        f"FROM marg{e}"
+        for e in range(1, PCT_EPOCHS + 1)
+    )
+    tail = f""",
+    probs AS ({probs}),
+    carto AS (
+        SELECT doc_id,
+               round(CAST(SUM(CAST(round(p, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                     / {PCT_EPOCHS}, 9) AS conf,
+               round(sqrt(greatest(
+                   CAST(SUM(CAST(round(p * p, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                       / {PCT_EPOCHS}
+                   - POWER(CAST(SUM(CAST(round(p, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                           / {PCT_EPOCHS}, 2), 0.0)), 9) AS var_
+        FROM probs GROUP BY doc_id
+    )
+    SELECT l.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN conf > 0.7 AND var_ < 0.15 THEN 1 ELSE 0 END)
+                AS BIGINT) AS easy_to_learn,
+           CAST(SUM(CASE WHEN conf < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS hard_to_learn,
+           CAST(SUM(CASE WHEN conf >= 0.3 AND NOT (conf > 0.7 AND var_ < 0.15)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ambiguous,
+           round(CAST(SUM(CAST(conf AS DECIMAL(38,9))) AS DOUBLE) / count(*), 9)
+               AS mean_confidence
+    FROM carto c JOIN lab l ON c.doc_id = l.doc_id
+    GROUP BY l.source
+    ORDER BY l.source"""
+    return head + body + tail
+
+
+@query(
+    "sample_dataset_cartography",
+    oracle=_carto_sql(),
+    tags=("llm", "sampling", "ml"),
+)
+def sample_dataset_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset cartography (Swayamdipta et al., EMNLP 2020): map every
+    training example by its CONFIDENCE (mean model probability of the
+    gold label across training epochs) and VARIABILITY (std of that
+    probability) — easy-to-learn / ambiguous / hard-to-learn regions
+    drive curation (hard = likely mislabeled; ambiguous = most useful).
+    The training walk is the registry's integer batch perceptron;
+    per-epoch probabilities use the rational squash
+    p = ½ + ½·ym/(1+|ym|) (no transcendentals), so the whole map is
+    exact arithmetic on integers. Reported per source.
+
+    Scale: identical per-epoch cost to ml_perceptron_epochs (two
+    map-side-combined shuffles per epoch); the map adds one doc-keyed
+    agg over the 3-epoch probability stream."""
+    from supabase_etl_spark.operators.text import tokens as _toks
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = (
+        d.select("doc_id", F.explode(_toks(F.col("text"))).alias("t"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint")
+                % PCT_BUCKETS
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .unionByName(
+            d.select(
+                "doc_id",
+                F.lit(-1).cast("bigint").alias("b"),
+                F.lit(1).cast("bigint").alias("c"),
+            )
+        )
+        .localCheckpoint()
+    )
+    lab = d.select(
+        "doc_id",
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).cast("bigint").alias("y"),
+    )
+    w = feats.select("b").distinct().select("b", F.lit(0).cast("bigint").alias("w"))
+    probs = []
+    for _e in range(1, PCT_EPOCHS + 1):
+        marg = (
+            feats.join(F.broadcast(w), "b")
+            .join(lab.select("doc_id", "y"), "doc_id")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("c") * F.col("w")).alias("m"))
+        )
+        ym = (F.col("y") * F.col("m")).cast("double")
+        probs.append(
+            marg.select(
+                "doc_id", (F.lit(0.5) + F.lit(0.5) * ym / (1 + F.abs(ym))).alias("p")
+            )
+        )
+        mis = marg.filter(F.col("y") * F.col("m") <= 0).select("doc_id", "y")
+        upd = (
+            mis.join(feats, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("y") * F.col("c")).alias("d"))
+        )
+        w = (
+            w.join(upd, "b", "left")
+            .select("b", (F.col("w") + F.coalesce("d", F.lit(0))).alias("w"))
+            .localCheckpoint()
+        )
+    allp = probs[0]
+    for s in probs[1:]:
+        allp = allp.unionByName(s)
+    sp = F.sum(F.round("p", 12).cast("decimal(38,12)")).cast("double")
+    sp2 = F.sum(F.round(F.col("p") * F.col("p"), 12).cast("decimal(38,12)")).cast("double")
+    carto = allp.groupBy("doc_id").agg(
+        F.round(sp / PCT_EPOCHS, 9).alias("conf"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    sp2 / PCT_EPOCHS - F.pow(sp / PCT_EPOCHS, 2), F.lit(0.0)
+                )
+            ),
+            9,
+        ).alias("var_"),
+    )
+    easy = (F.col("conf") > 0.7) & (F.col("var_") < 0.15)
+    hard = F.col("conf") < 0.3
+    return (
+        carto.join(lab.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(easy.cast("int")).cast("bigint").alias("easy_to_learn"),
+            F.sum(hard.cast("int")).cast("bigint").alias("hard_to_learn"),
+            F.sum((~easy & ~hard).cast("int")).cast("bigint").alias("ambiguous"),
+            F.round(
+                F.sum(F.col("conf").cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_confidence"),
+        )
+        .orderBy("source")
+    )
