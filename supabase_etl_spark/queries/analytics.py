@@ -9850,3 +9850,99 @@ def events_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gi")
     )
+
+
+POT_THRESHOLD = 200.0  # peaks-over-threshold cutoff on event value
+
+
+@query(
+    "events_pot_gpd",
+    oracle=f"""
+    WITH exc AS (
+        SELECT CAST(value AS DOUBLE) - {POT_THRESHOLD!r} AS e
+        FROM events WHERE value > {POT_THRESHOLD!r}
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM events),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(e, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*) AS mu,
+               (CAST(SUM(CAST(round(e * e, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                - CAST(SUM(CAST(round(e, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(round(e, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                  / count(*)) / (count(*) - 1) AS var
+        FROM exc
+    ),
+    fit AS (
+        SELECT n, mu, var,
+               0.5 * (mu * mu / var - 1.0) AS xi_neg,
+               0.5 * mu * (mu * mu / var + 1.0) AS sigma
+        FROM m
+    )
+    SELECT n AS n_exceedances,
+           (SELECT n_all FROM tot) AS n_total,
+           round(mu, 9) AS mean_excess,
+           round(-xi_neg, 9) AS gpd_shape_xi,
+           round(sigma, 9) AS gpd_scale_sigma,
+           round({POT_THRESHOLD!r} + sigma / (-(-xi_neg))
+                 * (POWER(CAST(n AS DOUBLE) / (SELECT n_all FROM tot)
+                          * (SELECT n_all FROM tot) / 100.0, -(-xi_neg)) - 1.0), 9)
+               AS return_level_100
+    FROM fit
+    """,
+    tags=("events", "statistics", "extreme-value"),
+)
+def events_pot_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold extreme-value fit: generalized Pareto by
+    method of moments (ξ = ½(1 − μ²/s²), σ = ½μ(μ²/s² + 1)) on event
+    values exceeding {POT_THRESHOLD} — the threshold-based half of
+    extreme-value theory (the Gumbel operator is the block-maxima
+    half; POT uses every exceedance, so it is the one capacity/risk
+    teams actually fit), plus the 1-in-100-observation return level
+    u + σ/ξ·((m·ζ)^ξ − 1).
+
+    Exactness: exceedances and their squares round at 1e-6 into
+    decimal moments (values carry 2 true decimals); the MoM algebra
+    and return level are one shared double expression. One filtered
+    scan + one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    exc = ev.filter(F.col("value") > POT_THRESHOLD).select(
+        (F.col("value").cast("double") - POT_THRESHOLD).alias("e")
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    m = exc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.round("e", 6).cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        (
+            (
+                F.sum(F.round(F.col("e") * F.col("e"), 6).cast("decimal(38,6)")).cast("double")
+                - F.sum(F.round("e", 6).cast("decimal(38,6)")).cast("double")
+                * F.sum(F.round("e", 6).cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("var"),
+    )
+    xi_neg = F.lit(0.5) * (F.col("mu") * F.col("mu") / F.col("var") - 1.0)
+    sigma = F.lit(0.5) * F.col("mu") * (F.col("mu") * F.col("mu") / F.col("var") + 1.0)
+    fit = m.crossJoin(F.broadcast(tot)).select(
+        "n", "n_all", "mu", xi_neg.alias("xi_neg"), sigma.alias("sigma")
+    )
+    xi = -F.col("xi_neg")
+    rl = F.lit(POT_THRESHOLD) + F.col("sigma") / xi * (
+        F.pow(
+            F.col("n").cast("double") / F.col("n_all") * F.col("n_all") / 100.0, xi
+        )
+        - 1.0
+    )
+    return fit.select(
+        F.col("n").alias("n_exceedances"),
+        F.col("n_all").alias("n_total"),
+        F.round("mu", 9).alias("mean_excess"),
+        F.round(xi, 9).alias("gpd_shape_xi"),
+        F.round("sigma", 9).alias("gpd_scale_sigma"),
+        F.round(rl, 9).alias("return_level_100"),
+    )
