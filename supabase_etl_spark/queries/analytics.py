@@ -9884,9 +9884,9 @@ POT_THRESHOLD = 200.0  # peaks-over-threshold cutoff on event value
            round(mu, 9) AS mean_excess,
            round(-xi_neg, 9) AS gpd_shape_xi,
            round(sigma, 9) AS gpd_scale_sigma,
-           round({POT_THRESHOLD!r} + sigma / (-(-xi_neg))
+           round({POT_THRESHOLD!r} + sigma / (-xi_neg)
                  * (POWER(CAST(n AS DOUBLE) / (SELECT n_all FROM tot)
-                          * (SELECT n_all FROM tot) / 100.0, -(-xi_neg)) - 1.0), 9)
+                          * (SELECT n_all FROM tot) / 100.0, -xi_neg) - 1.0), 9)
                AS return_level_100
     FROM fit
     """,
