@@ -853,8 +853,127 @@ def main() -> None:
             .save()
         )
 
+    def blowup_events(spark_, mult: int):
+        from supabase_etl_spark.io.readers import load_table
+
+        ev = load_table(spark_, SF_DIR, "events").select(
+            "user_id", "event_id", "ts", "event_type", "value", "props"
+        )
+        copies = [
+            ev.select(
+                (F.col("user_id") + i * ID_STRIDE).alias("user_id"),
+                (F.col("event_id") + i * ID_STRIDE).alias("event_id"),
+                "ts",
+                "event_type",
+                # shift each copy's value range so mean-band / device
+                # blocks stay disjoint across copies (constant density)
+                (F.col("value") + F.lit(i * 1000.0)).alias("value"),
+                "props",
+            )
+            for i in range(mult)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    def t_trajectory(docs):
+        # events_trajectory_topk's shape: daily-mean trajectories,
+        # mean-signature band candidates, aligned-array HOF distance
+        from pyspark.sql import Window as W
+
+        ev = blowup_events(spark, docs.__mult__)
+        d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+        cells = (
+            ev.crossJoin(F.broadcast(d0))
+            .withColumn("d", F.datediff(F.to_date("ts"), F.col("d0")) + 1)
+            .filter(F.col("d") <= 14)
+            .groupBy("user_id", "d")
+            .agg(
+                F.round(
+                    F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("v")
+            )
+        )
+        traj = cells.groupBy("user_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s.v
+            ).alias("t"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(28,6)")).cast("double") / 14, 6
+            ).alias("mu"),
+        )
+        keyed = traj.select(
+            "user_id", "t", F.floor(F.col("mu") / 60.0).cast("bigint").alias("b")
+        )
+        a, b = keyed.alias("a"), keyed.alias("b")
+        cand = a.join(
+            b,
+            (F.col("b.b") >= F.col("a.b") - 1)
+            & (F.col("b.b") <= F.col("a.b") + 1)
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        ).select(
+            F.col("a.user_id").alias("ua"),
+            F.col("b.user_id").alias("ub"),
+            F.col("a.t").alias("ta"),
+            F.col("b.t").alias("tb"),
+        )
+        dist = cand.select(
+            "ua",
+            "ub",
+            F.array_max(
+                F.zip_with(
+                    F.slice("ta", 1, F.least(F.size("ta"), F.size("tb"))),
+                    F.slice("tb", 1, F.least(F.size("ta"), F.size("tb"))),
+                    lambda x, y: F.abs(x - y),
+                )
+            ).alias("dist"),
+        )
+        w = W.partitionBy("ua").orderBy("dist", "ub")
+        (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    def t_stitching(docs):
+        # events_identity_stitching's shape: sparse device fingerprints,
+        # device-keyed pair join, log-round star CC
+        from supabase_etl_spark.operators.cc import connected_components
+
+        ev = blowup_events(spark, docs.__mult__).filter(
+            F.col("event_type") == "purchase"
+        )
+        device = (
+            F.get_json_object("props", "$.k").cast("bigint") * 100000
+            + F.pmod(
+                F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600),
+                F.lit(100000),
+            )
+            # copy-disjoint device space (the per-copy token-tag analog)
+            + (F.floor(F.col("user_id") / ID_STRIDE) * 10_000_000_000)
+        )
+        du = ev.select("user_id", device.alias("device")).distinct()
+        a, b = du.alias("a"), du.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.device") == F.col("b.device"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        ).select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        nodes = du.select(F.col("user_id").alias("node")).distinct()
+        comp = connected_components(nodes, pairs)
+        comp.groupBy("component").count().write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     ops = {
         "dedup_exact (sha2 groupBy)": t_exact,
+        "trajectory topk band-blocked": t_trajectory,
+        "identity stitching CC": t_stitching,
         "naive-bayes train+score": t_naive_bayes,
         "rake phrase windows": t_rake,
         "bleu pair gram clip": t_bleu,

@@ -2451,3 +2451,93 @@ def embedding_sq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataF
         .select("rn", F.col("i").alias("dim"), "n", F.round("mse", 9).alias("mse"), "snr_db")
         .orderBy("rn")
     )
+
+
+MMD_GROUPS = 4  # compare label % 4 domains pairwise
+
+
+@query(
+    "embedding_mmd_linear",
+    oracle=f"""
+    WITH vals AS (
+        SELECT label % {MMD_GROUPS} AS grp, i, CAST(x AS DOUBLE) AS x
+        FROM (
+            SELECT label,
+                   unnest(range(1, len(embedding) + 1)) AS i,
+                   unnest(embedding) AS x
+            FROM embeddings
+        )
+    ),
+    mu AS (
+        SELECT grp, i,
+               CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                 / count(*) AS m,
+               CAST(count(*) AS BIGINT) AS n
+        FROM vals GROUP BY grp, i
+    ),
+    pairs AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b,
+               CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b,
+               CAST(SUM(CAST(round((a.m - b.m) * (a.m - b.m), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS mmd2
+        FROM mu a JOIN mu b ON a.i = b.i AND a.grp < b.grp
+        GROUP BY a.grp, b.grp
+    )
+    SELECT grp_a, grp_b, n_a, n_b,
+           round(mmd2, 9) AS mmd2_linear,
+           round(sqrt(mmd2), 9) AS mmd_linear
+    FROM pairs
+    ORDER BY grp_a, grp_b
+    """,
+    tags=("llm", "embedding", "drift"),
+)
+def embedding_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel Maximum Mean Discrepancy between embedding domains
+    (Gretton et al. 2012; with k(x,y)=x·y the MMD² collapses to
+    ‖μ_a − μ_b‖², the mean-embedding distance) — the distribution-shift
+    test in REPRESENTATION space that the token-level KL/JS operators
+    cannot see: two domains with identical vocabularies but different
+    semantics separate here first. All {MMD_GROUPS} label-derived
+    domains compared pairwise.
+
+    Exactness: per-(domain, dim) means from round-9 decimal sums; the
+    squared mean gaps round at 1e-12 into the pairwise decimal sum.
+    Scale: ONE corpus pass builds the domains × dims mean table
+    (map-side combined); the pairwise stage runs on that tiny table —
+    no vector ever meets another vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vals = e.select(
+        (F.col("label") % MMD_GROUPS).alias("grp"),
+        F.posexplode("embedding").alias("i0", "xf"),
+    ).select("grp", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    mu = vals.groupBy("grp", "i").agg(
+        (
+            F.sum(F.round("x", 9).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a, b = mu.alias("a"), mu.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.grp") < F.col("b.grp")))
+        .groupBy(F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b"))
+        .agg(
+            F.max("a.n").cast("bigint").alias("n_a"),
+            F.max("b.n").cast("bigint").alias("n_b"),
+            F.sum(
+                F.round(
+                    (F.col("a.m") - F.col("b.m")) * (F.col("a.m") - F.col("b.m")), 12
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("mmd2"),
+        )
+    )
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        "n_a",
+        "n_b",
+        F.round("mmd2", 9).alias("mmd2_linear"),
+        F.round(F.sqrt("mmd2"), 9).alias("mmd_linear"),
+    ).orderBy("grp_a", "grp_b")

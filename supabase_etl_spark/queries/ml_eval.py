@@ -3208,3 +3208,158 @@ def ml_eval_youden_diagnostic_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+@query(
+    "ml_linear_shap",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x1,
+               CAST(l_discount AS DOUBLE) * 100.0 AS x2,
+               CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(round(x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(round(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x1 * x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(round(x2 * x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(round(x1 * x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(round(x1 * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(round(x2 * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2y
+        FROM pts
+    ),
+    fit AS (
+        -- centered 2-feature OLS by Cramer's rule
+        SELECT n,
+               s1 / n AS m1, s2 / n AS m2, sy / n AS my,
+               ((s1y - s1 * sy / n) * (s22 - s2 * s2 / n)
+                - (s2y - s2 * sy / n) * (s12 - s1 * s2 / n))
+               / ((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n)
+                  - (s12 - s1 * s2 / n) * (s12 - s1 * s2 / n)) AS w1,
+               ((s2y - s2 * sy / n) * (s11 - s1 * s1 / n)
+                - (s1y - s1 * sy / n) * (s12 - s1 * s2 / n))
+               / ((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n)
+                  - (s12 - s1 * s2 / n) * (s12 - s1 * s2 / n)) AS w2
+        FROM m
+    ),
+    shap AS (
+        SELECT f.n, f.my, f.w1, f.w2,
+               CAST(SUM(CAST(round(abs(f.w1 * (p.x1 - f.m1)), 6)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sa1,
+               CAST(SUM(CAST(round(abs(f.w2 * (p.x2 - f.m2)), 6)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sa2
+        FROM pts p CROSS JOIN fit f
+        GROUP BY f.n, f.my, f.w1, f.w2
+    )
+    SELECT feature, round(weight, 9) AS weight,
+           round(mean_abs_shap, 9) AS mean_abs_shap,
+           round(mean_abs_shap / (sa1n + sa2n), 9) AS importance_share,
+           round(my, 9) AS base_value
+    FROM (
+        SELECT 'quantity' AS feature, w1 AS weight, sa1 / n AS mean_abs_shap,
+               sa1 / n AS sa1n, sa2 / n AS sa2n, my
+        FROM shap
+        UNION ALL
+        SELECT 'discount_pct', w2, sa2 / n, sa1 / n, sa2 / n, my FROM shap
+    )
+    ORDER BY feature
+    """,
+    tags=("llm", "ml-eval", "explainability"),
+)
+def ml_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley values for a linear model (for linear f and
+    independent features, φ_j(x) = w_j·(x_j − E[x_j]) is the
+    closed-form SHAP decomposition — Lundberg & Lee 2017, the Linear
+    SHAP case): fit price ~ quantity + discount by centered 2-feature
+    OLS (Cramer), then report each feature's global importance as
+    mean |φ| with its normalized share and the base value E[y].
+    Explainability as a first-class distributed op — one corpus pass
+    for the moments, one for the |φ| means, zero sampling (the
+    kernel-SHAP estimator this replaces needs thousands of model
+    evals per row).
+
+    Exactness: nine sufficient statistics through round-6 decimal sums
+    (2-dp inputs), the Cramer solve and |φ| terms as shared double
+    expressions, |φ| sums through round-6 decimals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("double").alias("x1"),
+        (F.col("l_discount").cast("double") * 100.0).alias("x2"),
+        (F.col("l_extendedprice").cast("double") / 1000.0).alias("y"),
+    )
+
+    def d6(c):
+        return F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        d6(x1).alias("s1"),
+        d6(x2).alias("s2"),
+        d6(y).alias("sy"),
+        d6(x1 * x1).alias("s11"),
+        d6(x2 * x2).alias("s22"),
+        d6(x1 * x2).alias("s12"),
+        d6(x1 * y).alias("s1y"),
+        d6(x2 * y).alias("s2y"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    fit = m.select(
+        "n",
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        (F.col("sy") / n).alias("my"),
+        ((c1y * c22 - c2y * c12) / det).alias("w1"),
+        ((c2y * c11 - c1y * c12) / det).alias("w2"),
+    )
+    shap = pts.crossJoin(F.broadcast(fit)).agg(
+        F.max("n").alias("n"),
+        F.max("my").alias("my"),
+        F.max("w1").alias("w1"),
+        F.max("w2").alias("w2"),
+        d6(F.abs(F.col("w1") * (x1 - F.col("m1")))).alias("sa1"),
+        d6(F.abs(F.col("w2") * (x2 - F.col("m2")))).alias("sa2"),
+    )
+    base = shap.select(
+        "n",
+        "my",
+        "w1",
+        "w2",
+        (F.col("sa1") / F.col("n")).alias("sa1n"),
+        (F.col("sa2") / F.col("n")).alias("sa2n"),
+    )
+    rows = base.select(
+        F.lit("quantity").alias("feature"),
+        F.col("w1").alias("weight"),
+        F.col("sa1n").alias("mean_abs_shap"),
+        "sa1n",
+        "sa2n",
+        "my",
+    ).unionByName(
+        base.select(
+            F.lit("discount_pct").alias("feature"),
+            F.col("w2").alias("weight"),
+            F.col("sa2n").alias("mean_abs_shap"),
+            "sa1n",
+            "sa2n",
+            "my",
+        )
+    )
+    return rows.select(
+        "feature",
+        F.round("weight", 9).alias("weight"),
+        F.round("mean_abs_shap", 9).alias("mean_abs_shap"),
+        F.round(F.col("mean_abs_shap") / (F.col("sa1n") + F.col("sa2n")), 9).alias(
+            "importance_share"
+        ),
+        F.round("my", 9).alias("base_value"),
+    ).orderBy("feature")
