@@ -1870,3 +1870,4 @@ def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM big_spenders(500000.0, 2) "
         "ORDER BY total DESC, o_custkey LIMIT 15"
     )
+
