@@ -9946,3 +9946,121 @@ def events_pot_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sigma", 9).alias("gpd_scale_sigma"),
         F.round(rl, 9).alias("return_level_100"),
     )
+
+
+@query(
+    "events_harrell_cindex",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS first_seen,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy,
+               max(ts) AS last_seen,
+               CAST(count(CASE WHEN CAST(ts AS DATE)
+                                    = (SELECT min(CAST(ts AS DATE)) FROM events)
+                               THEN 1 END) AS BIGINT) AS score
+        FROM events GROUP BY user_id
+    ),
+    subj AS (
+        SELECT user_id, score,
+               CASE WHEN first_buy IS NOT NULL AND first_buy > first_seen
+                    THEN CAST(floor(date_part('epoch', first_buy - first_seen)
+                                    / 3600) AS BIGINT) + 1 END AS t_event,
+               CAST(floor(date_part('epoch', last_seen - first_seen) / 3600)
+                    AS BIGINT) + 1 AS t_cens
+        FROM per_user
+    ),
+    norm AS (
+        SELECT user_id, score,
+               COALESCE(t_event, t_cens) AS t,
+               CASE WHEN t_event IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM subj
+    ),
+    pairs AS (
+        SELECT a.score AS sa, b.score AS sb
+        FROM norm a JOIN norm b
+          ON a.ev = 1 AND (a.t < b.t OR (a.t = b.t AND b.ev = 0))
+         AND a.user_id <> b.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS comparable_pairs,
+           CAST(SUM(CASE WHEN sa > sb THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+           CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT) AS tied_score,
+           round((SUM(CASE WHEN sa > sb THEN 1 ELSE 0 END)
+                  + 0.5 * SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END))
+                 / CAST(count(*) AS DOUBLE), 9) AS c_index
+    FROM pairs
+    """,
+    tags=("events", "survival", "ml-eval"),
+)
+def events_harrell_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's concordance index for a censored time-to-event model —
+    the survival-analysis AUC (Harrell 1982): does first-day activity
+    (the risk score) rank users by how soon they first purchase?
+    Comparable pairs are (event at t, anyone still at risk past t);
+    concordant when the earlier converter carried the higher score;
+    score ties credit ½. The KM/Nelson-Aalen/log-rank family DESCRIBES
+    survival — the C-index EVALUATES a predictor of it.
+
+    Exactness: durations are integer hours, scores integer counts —
+    the whole statistic is integer counting with one final division.
+    Scale note: the pair join here is subject×subject (users are
+    corpus-bounded in this schema); at true scale the standard rewrite
+    orders by t and accumulates score-rank suffix counts per risk set
+    (the Kendall grid trick) — the docstring contract, as with KM."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    per_user = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "first_buy"
+            ),
+            F.max("ts").alias("last_seen"),
+            F.sum((F.to_date("ts") == F.col("d0")).cast("int"))
+            .cast("bigint")
+            .alias("score"),
+        )
+    )
+    hours = lambda a, b: (
+        F.floor((F.unix_micros(a) - F.unix_micros(b)) / F.lit(3_600_000_000)) + 1
+    ).cast("bigint")
+    subj = per_user.select(
+        "user_id",
+        "score",
+        F.when(
+            F.col("first_buy").isNotNull() & (F.col("first_buy") > F.col("first_seen")),
+            hours(F.col("first_buy"), F.col("first_seen")),
+        ).alias("t_event"),
+        hours(F.col("last_seen"), F.col("first_seen")).alias("t_cens"),
+    )
+    norm = subj.select(
+        "user_id",
+        "score",
+        F.coalesce("t_event", "t_cens").alias("t"),
+        F.col("t_event").isNotNull().cast("int").alias("ev"),
+    )
+    a, b = norm.alias("a"), norm.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.ev") == 1)
+        & (
+            (F.col("a.t") < F.col("b.t"))
+            | ((F.col("a.t") == F.col("b.t")) & (F.col("b.ev") == 0))
+        )
+        & (F.col("a.user_id") != F.col("b.user_id")),
+    ).select(F.col("a.score").alias("sa"), F.col("b.score").alias("sb"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("comparable_pairs"),
+        F.sum((F.col("sa") > F.col("sb")).cast("int")).cast("bigint").alias("concordant"),
+        F.sum((F.col("sa") == F.col("sb")).cast("int")).cast("bigint").alias("tied_score"),
+        F.round(
+            (
+                F.sum((F.col("sa") > F.col("sb")).cast("int"))
+                + 0.5 * F.sum((F.col("sa") == F.col("sb")).cast("int"))
+            )
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("c_index"),
+    )
