@@ -10064,3 +10064,113 @@ def events_harrell_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("c_index"),
     )
+
+
+ITS_BREAK = "2024-07-01"  # known intervention date
+
+
+@query(
+    "events_interrupted_time_series",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT y,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+               CASE WHEN day >= DATE '{ITS_BREAK}' THEN 1 ELSE 0 END AS post
+        FROM daily
+    ),
+    seg AS (
+        SELECT post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(t AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(t * t AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(t * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM idx GROUP BY post
+    ),
+    fits AS (
+        SELECT post, n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS intercept
+        FROM seg
+    ),
+    t0_ AS (SELECT CAST(min(t) AS BIGINT) AS t0 FROM idx WHERE post = 1)
+    SELECT pre.n AS n_pre, post.n AS n_post,
+           round(pre.slope, 9) AS trend_pre,
+           round(post.slope, 9) AS trend_post,
+           round(post.slope - pre.slope, 9) AS trend_change,
+           round((post.intercept + post.slope * (SELECT t0 FROM t0_))
+                 - (pre.intercept + pre.slope * (SELECT t0 FROM t0_)), 9)
+               AS level_change_at_break
+    FROM (SELECT * FROM fits WHERE post = 0) pre
+    CROSS JOIN (SELECT * FROM fits WHERE post = 1) post
+    """,
+    tags=("events", "causal", "timeseries"),
+)
+def events_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series analysis (segmented regression around a
+    KNOWN intervention date — the quasi-experimental design for
+    launches without a control group; Wagner et al. 2002): separate
+    level+trend OLS fits before and after {ITS_BREAK}, reporting the
+    trend change and the level jump evaluated AT the break — the two
+    coefficients the policy question actually asks. Complements DiD
+    (needs a control series) and binseg (finds an UNKNOWN break).
+
+    Exactness: day indexes and their squares are exact integers; y
+    terms round at 1e-6 into decimal sums; both segment fits and the
+    jump are shared double expressions. One corpus groupBy to days."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y")
+    )
+    idx = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        (F.col("day") >= F.lit(ITS_BREAK).cast("date")).cast("int").alias("post"),
+    )
+    seg = idx.groupBy("post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("t").cast("decimal(28,0)")).cast("double").alias("sx"),
+        F.sum(F.round("y", 6).cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum((F.col("t") * F.col("t")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum(F.round(F.col("t") * F.col("y"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fits = seg.select(
+        "post",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
+    t0_ = idx.filter(F.col("post") == 1).agg(F.min("t").cast("bigint").alias("t0"))
+    pre = fits.filter(F.col("post") == 0).select(
+        F.col("n").alias("n_pre"), F.col("slope").alias("sl_pre"), F.col("intercept").alias("ic_pre")
+    )
+    post = fits.filter(F.col("post") == 1).select(
+        F.col("n").alias("n_post"), F.col("slope").alias("sl_post"), F.col("intercept").alias("ic_post")
+    )
+    return (
+        pre.crossJoin(post)
+        .crossJoin(F.broadcast(t0_))
+        .select(
+            "n_pre",
+            "n_post",
+            F.round("sl_pre", 9).alias("trend_pre"),
+            F.round("sl_post", 9).alias("trend_post"),
+            F.round(F.col("sl_post") - F.col("sl_pre"), 9).alias("trend_change"),
+            F.round(
+                (F.col("ic_post") + F.col("sl_post") * F.col("t0"))
+                - (F.col("ic_pre") + F.col("sl_pre") * F.col("t0")),
+                9,
+            ).alias("level_change_at_break"),
+        )
+    )
