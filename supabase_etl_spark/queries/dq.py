@@ -2914,3 +2914,72 @@ def dq_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in outs[1:]:
         out = out.unionByName(s)
     return out.orderBy("round")
+
+
+@query(
+    "dq_capture_recapture",
+    oracle="""
+    WITH marked AS (
+        SELECT o_orderkey,
+               CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10 AS b1,
+               CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 9, 8))
+                    AS BIGINT) % 10 AS b2
+        FROM orders
+    ),
+    counts AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_true,
+               CAST(SUM(CASE WHEN b1 < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN b2 < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN b1 < 3 AND b2 < 3 THEN 1 ELSE 0 END) AS BIGINT) AS m
+        FROM marked
+    )
+    SELECT n_true, n1, n2, m,
+           CAST(floor((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0)
+                AS BIGINT) AS chapman_estimate,
+           round(abs((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0 - n_true)
+                 / n_true, 9) AS relative_error
+    FROM counts
+    """,
+    tags=("dq", "statistics", "sampling"),
+)
+def dq_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation (Chapman's
+    bias-corrected Lincoln-Petersen: N̂ = (n1+1)(n2+1)/(m+1) − 1) —
+    the DQ trick for estimating a TRUE entity count when no single
+    source sees everything (how many real customers exist given two
+    overlapping CRM extracts; how many dupes remain after a dedup
+    pass). Two independent deterministic 30% 'captures' come from
+    disjoint md5 hash windows of the key, m is their overlap, and the
+    estimate is audited against the known truth.
+
+    Exactness: all counts are integers from one scan; the estimator is
+    one shared double expression. The hash windows make the two
+    samples independent by construction — the assumption the estimator
+    needs, documented instead of hoped for."""
+    o = load_table(spark, sf_dir, "orders")
+    b1 = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    b2 = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 9, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    counts = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum((b1 < 3).cast("int")).cast("bigint").alias("n1"),
+        F.sum((b2 < 3).cast("int")).cast("bigint").alias("n2"),
+        F.sum(((b1 < 3) & (b2 < 3)).cast("int")).cast("bigint").alias("m"),
+    )
+    est = (F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (F.col("m") + 1) - 1.0
+    return counts.select(
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        F.floor(est).cast("bigint").alias("chapman_estimate"),
+        F.round(F.abs(est - F.col("n_true")) / F.col("n_true"), 9).alias(
+            "relative_error"
+        ),
+    )

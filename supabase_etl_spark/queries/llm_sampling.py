@@ -1877,3 +1877,90 @@ def sample_coreset_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+TOP_P = 0.8  # nucleus mass
+
+
+@query(
+    "sample_top_p_nucleus",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM src),
+    ranked AS (
+        SELECT source, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, source) AS rn,
+               SUM(n) OVER (ORDER BY n DESC, source
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM src
+    ),
+    cut AS (
+        SELECT MIN(rn) AS k FROM ranked
+        WHERE cum * 1.0 >= {TOP_P!r} * (SELECT nt FROM tot)
+    ),
+    nucleus AS (
+        SELECT r.source, r.n, r.rn, r.rn <= (SELECT k FROM cut) AS in_nucleus,
+               (SELECT SUM(n) FROM ranked WHERE rn <= (SELECT k FROM cut)) AS mass
+        FROM ranked r
+    )
+    SELECT rn, source, n,
+           round(CAST(n AS DOUBLE) / (SELECT nt FROM tot), 9) AS p_raw,
+           in_nucleus,
+           CASE WHEN in_nucleus
+                THEN round(CAST(n AS DOUBLE) / mass, 9) ELSE 0.0 END AS p_renormalized
+    FROM nucleus
+    ORDER BY rn
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) truncation of the SOURCE mixture (Holtzman et
+    al. 2020, applied at the data-mixing level: keep the smallest set
+    of domains covering {TOP_P} of the corpus mass, renormalize, drop
+    the long tail) — the truncation counterpart of the temperature
+    mixture operator; pipelines use it to cut noisy micro-domains
+    before training. Emits each domain's raw and renormalized
+    probability with its nucleus membership.
+
+    Exactness: counts are integers; the cutoff compares integer
+    cumulative mass against p·N directly (one double multiply); ranks
+    tie-break on the source name. The rank window is domain-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = src.agg(F.sum("n").cast("bigint").alias("nt"))
+    wo = Window.orderBy(F.col("n").desc(), "source")
+    wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = src.select(
+        "source",
+        "n",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("n").over(wc).alias("cum"),
+    ).crossJoin(F.broadcast(tot))
+    cut = ranked.filter(
+        F.col("cum") * 1.0 >= TOP_P * F.col("nt")
+    ).agg(F.min("rn").alias("k"))
+    withk = ranked.crossJoin(F.broadcast(cut)).withColumn(
+        "in_nucleus", F.col("rn") <= F.col("k")
+    )
+    mass = withk.filter(F.col("in_nucleus")).agg(
+        F.sum("n").cast("bigint").alias("mass")
+    )
+    return (
+        withk.crossJoin(F.broadcast(mass))
+        .select(
+            "rn",
+            "source",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("nt"), 9).alias("p_raw"),
+            "in_nucleus",
+            F.when(
+                F.col("in_nucleus"),
+                F.round(F.col("n").cast("double") / F.col("mass"), 9),
+            )
+            .otherwise(0.0)
+            .alias("p_renormalized"),
+        )
+        .orderBy("rn")
+    )
