@@ -10174,3 +10174,106 @@ def events_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("level_change_at_break"),
         )
     )
+
+
+ERLANG_MU = 20.0  # service rate per agent-hour (3-min handle time)
+ERLANG_TARGET = 0.2  # acceptable P(wait)
+
+
+@query(
+    "events_erlang_c_staffing",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    lam AS (SELECT CAST(max(n) AS DOUBLE) AS lambda FROM hourly),
+    a_ AS (SELECT lambda, lambda / {ERLANG_MU!r} AS a FROM lam),
+    grid AS (
+        SELECT c FROM (SELECT unnest(range(1, 41)) AS c)
+        WHERE c > (SELECT a FROM a_)
+    ),
+    terms AS (
+        SELECT g.c, aa.a,
+               list_reduce(
+                   list_prepend(1.0,
+                       list_transform(range(1, g.c + 1), k -> aa.a / k)),
+                   (acc, x) -> acc * x) AS t_c,
+               list_reduce(
+                   list_prepend(0.0,
+                       list_transform(range(0, g.c),
+                           k -> list_reduce(
+                               list_prepend(1.0,
+                                   list_transform(range(1, k + 1),
+                                                  j -> aa.a / j)),
+                               (acc, x) -> acc * x))),
+                   (acc, x) -> acc + x) AS s_c
+        FROM grid g CROSS JOIN a_ aa
+    ),
+    pw AS (
+        SELECT c, a,
+               round((t_c * c / (c - a)) / (s_c + t_c * c / (c - a)), 9) AS p_wait
+        FROM terms
+    ),
+    cut AS (SELECT MIN(c) AS c_star FROM pw WHERE p_wait <= {ERLANG_TARGET!r})
+    SELECT c AS agents, round(a, 9) AS offered_load,
+           p_wait,
+           c = (SELECT c_star FROM cut) AS is_recommended
+    FROM pw
+    WHERE c <= (SELECT c_star FROM cut) + 2
+    ORDER BY agents
+    """,
+    tags=("events", "ops", "queueing"),
+)
+def events_erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing curve (the 1917 queueing formula every
+    capacity/support team still plans with): offered load a = λ_peak/μ
+    from the busiest observed hour, P(wait) = (aᶜ/c!)·(c/(c−a)) /
+    (Σ_k<c aᵏ/k! + aᶜ/c!·c/(c−a)) per agent count, and the minimum
+    c with P(wait) ≤ the target flagged — extends the Little's-law
+    audit from describing the queue to SIZING it.
+
+    Determinism: aᵏ/k! is computed as the left fold Π(a/j) over an
+    explicit index sequence — the same multiplication order in both
+    engines (no factorial/lgamma libm split); P(wait) rounds at 9.
+    Scale: one corpus groupBy to hours; the c-grid is 40 expression
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    lam = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).agg(F.max("n").cast("double").alias("lambda"))
+    a_ = lam.select("lambda", (F.col("lambda") / ERLANG_MU).alias("a"))
+    grid = spark.range(1, 41).select(F.col("id").cast("int").alias("c"))
+    g = grid.crossJoin(F.broadcast(a_)).filter(F.col("c") > F.col("a"))
+    t_c = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.col("c")), lambda j: F.col("a") / j),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    s_c = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.col("c") - 1),
+            lambda k: F.aggregate(
+                F.when(k >= 1, F.transform(F.sequence(F.lit(1), k), lambda j: F.col("a") / j))
+                .otherwise(F.array().cast("array<double>")),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    erl = t_c * F.col("c") / (F.col("c") - F.col("a"))
+    pw = g.select("c", "a", F.round(erl / (s_c + erl), 9).alias("p_wait"))
+    cut = pw.filter(F.col("p_wait") <= ERLANG_TARGET).agg(F.min("c").alias("c_star"))
+    return (
+        pw.crossJoin(F.broadcast(cut))
+        .filter(F.col("c") <= F.col("c_star") + 2)
+        .select(
+            F.col("c").alias("agents"),
+            F.round("a", 9).alias("offered_load"),
+            "p_wait",
+            (F.col("c") == F.col("c_star")).alias("is_recommended"),
+        )
+        .orderBy("agents")
+    )
