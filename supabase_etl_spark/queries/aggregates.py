@@ -2747,3 +2747,82 @@ def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r") - z * se, 9).alias("ci_lo"),
         F.round(F.col("r") + z * se, 9).alias("ci_hi"),
     )
+
+
+@query(
+    "agg_jarque_bera",
+    oracle="""
+    WITH m AS (
+        SELECT l_linestatus AS g,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4
+        FROM lineitem
+        GROUP BY l_linestatus
+    ),
+    c AS (
+        SELECT g, n,
+               (s2 - s1 * s1 / n) / n AS m2,
+               (s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n) * (s1 / n)) / n AS m3,
+               (s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2
+                   - 3 * n * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) / n AS m4
+        FROM m
+    ),
+    jb AS (
+        SELECT g, n,
+               m3 / (m2 * sqrt(m2)) AS g1,
+               m4 / (m2 * m2) - 3.0 AS g2
+        FROM c
+    )
+    SELECT g,
+           CAST(n AS BIGINT) AS n,
+           round(n / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 9) AS jb_stat,
+           n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+               > CAST(5.991464547107979 AS DOUBLE) AS reject_normal
+    FROM jb
+    ORDER BY g
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per group: JB = n/6·(g1² + g2²/4)
+    from the exact sample skewness g1 and excess kurtosis g2, compared
+    to the chi-square(2) 95% critical value (5.991464547107979, a shared
+    literal so both engines parse the identical double). l_quantity is
+    uniform on 1..50, so normality is (correctly) rejected — the test
+    exercises the full moment algebra.
+
+    Same scale shape as `agg_skewness_kurtosis` (its grouping twin on
+    l_linestatus): the four power sums are exact BIGINTs computed in ONE
+    map-side-combined aggregate; everything after is per-group scalar
+    algebra on identical IEEE doubles. 100 TB: one scan, one 2-group
+    shuffle — nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    m = li.groupBy(F.col("l_linestatus").alias("g")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = (s2 - s1 * s1 / n) / n
+    m3 = (s3 - F.lit(3) * mu * s2 + F.lit(2) * n * mu * mu * mu) / n
+    m4 = (
+        s4 - F.lit(4) * mu * s3 + F.lit(6) * mu * mu * s2 - F.lit(3) * n * mu * mu * mu * mu
+    ) / n
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (g1 * g1 + g2 * g2 / F.lit(4.0))
+    return m.select(
+        "g",
+        n.cast("bigint").alias("n"),
+        F.round(jb, 9).alias("jb_stat"),
+        (jb > F.lit(5.991464547107979)).alias("reject_normal"),
+    ).orderBy("g")

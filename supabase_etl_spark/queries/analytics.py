@@ -10277,3 +10277,83 @@ def events_erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("agents")
     )
+
+
+@query(
+    "events_relative_risk",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 14 AS exposed,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14 AS outcome
+        FROM events GROUP BY user_id
+    ),
+    t AS (
+        SELECT CAST(SUM(CASE WHEN exposed AND outcome THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+               CAST(SUM(CASE WHEN exposed AND NOT outcome THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+               CAST(SUM(CASE WHEN NOT exposed AND outcome THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+               CAST(SUM(CASE WHEN NOT exposed AND NOT outcome THEN 1 ELSE 0 END) AS DOUBLE) AS d
+        FROM u
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           round((a / (a + b)) / (c / (c + d)), 9) AS relative_risk,
+           round(a * d / (b * c), 9) AS odds_ratio,
+           round(exp(ln((a / (a + b)) / (c / (c + d)))
+                     - CAST(1.959963984540054 AS DOUBLE)
+                       * sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d))), 9)
+               AS rr_ci_lo,
+           round(exp(ln((a / (a + b)) / (c / (c + d)))
+                     + CAST(1.959963984540054 AS DOUBLE)
+                       * sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d))), 9)
+               AS rr_ci_hi
+    FROM t
+    """,
+    tags=("events", "statistics"),
+)
+def events_relative_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-study 2x2 epidemiology table: exposure = above-median
+    clicker (>=14 clicks), outcome = heavy purchaser (>=14 purchases).
+    Relative risk (a/(a+b))/(c/(c+d)), odds ratio ad/bc, and the Katz
+    log-method 95% CI for RR: exp(ln RR ± 1.96·sqrt(1/a − 1/(a+b) +
+    1/c − 1/(c+d))) — the association report every growth/health
+    analytics stack runs on user cohorts.
+
+    100 TB: one user-keyed conditional-count aggregate (map-side
+    partials), then a 1-row 2x2; z* is a shared parsed-double literal
+    and ln/exp/sqrt run on identical IEEE inputs, rounded 9 dp."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)) >= 14).alias("exposed"),
+        (F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14).alias(
+            "outcome"
+        ),
+    )
+    t = u.agg(
+        F.sum(F.when(F.col("exposed") & F.col("outcome"), 1).otherwise(0))
+        .cast("double")
+        .alias("a"),
+        F.sum(F.when(F.col("exposed") & ~F.col("outcome"), 1).otherwise(0))
+        .cast("double")
+        .alias("b"),
+        F.sum(F.when(~F.col("exposed") & F.col("outcome"), 1).otherwise(0))
+        .cast("double")
+        .alias("c"),
+        F.sum(F.when(~F.col("exposed") & ~F.col("outcome"), 1).otherwise(0))
+        .cast("double")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in ("a", "b", "c", "d"))
+    rr = (a / (a + b)) / (c / (c + d))
+    se = F.sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d))
+    z = F.lit(1.959963984540054)
+    return t.select(
+        a.cast("bigint").alias("a"),
+        b.cast("bigint").alias("b"),
+        c.cast("bigint").alias("c"),
+        d.cast("bigint").alias("d"),
+        F.round(rr, 9).alias("relative_risk"),
+        F.round(a * d / (b * c), 9).alias("odds_ratio"),
+        F.round(F.exp(F.log(rr) - z * se), 9).alias("rr_ci_lo"),
+        F.round(F.exp(F.log(rr) + z * se), 9).alias("rr_ci_hi"),
+    )

@@ -2983,3 +2983,196 @@ def dq_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "relative_error"
         ),
     )
+
+
+@query(
+    "dq_hbos_outliers",
+    oracle="""
+    WITH b AS (
+        SELECT min(value) AS lo, max(value) AS hi,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM events
+    ),
+    f AS (
+        SELECT e.event_id,
+               CAST(LEAST(CAST(floor((e.value - b.lo) / ((b.hi - b.lo) / 10.0))
+                               AS BIGINT), 9) AS BIGINT) AS vbin,
+               CAST(hour(e.ts) AS BIGINT) AS hbin
+        FROM events e CROSS JOIN b
+    ),
+    vh AS (SELECT vbin, CAST(count(*) AS DOUBLE) AS c FROM f GROUP BY vbin),
+    hh AS (SELECT hbin, CAST(count(*) AS DOUBLE) AS c FROM f GROUP BY hbin),
+    vmax AS (SELECT max(c) AS m FROM vh),
+    hmax AS (SELECT max(c) AS m FROM hh),
+    scored AS (
+        SELECT f.event_id,
+               round(ln(vmax.m / vh.c) + ln(hmax.m / hh.c), 9) AS hbos_score
+        FROM f
+        JOIN vh ON f.vbin = vh.vbin
+        JOIN hh ON f.hbin = hh.hbin
+        CROSS JOIN vmax CROSS JOIN hmax
+    )
+    SELECT event_id, hbos_score
+    FROM scored
+    ORDER BY hbos_score DESC, event_id
+    LIMIT 10
+    """,
+    tags=("dq", "anomaly"),
+)
+def dq_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS — Histogram-Based Outlier Score (Goldstein & Dengel 2012):
+    per-feature equal-width histograms, score = Σ_f ln(max_bin_f /
+    bin_f(x)); a point is anomalous when it sits in sparse bins of
+    MULTIPLE independent features. Features here: event value (10
+    equal-width bins over the global [min,max]) and hour-of-day (24
+    natural bins). Top-10 by score, total-ordered.
+
+    100 TB: two corpus passes — one agg for the global bounds, one for
+    bin counts — then the scoring join is against two BROADCAST bin
+    tables (10 + 24 rows); the top-10 is a TakeOrderedAndProject, never
+    a global sort. Densities are integer counts, the score algebra is
+    identical IEEE doubles in both engines, rounded 9 dp for libm-ln
+    safety."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    f = e.crossJoin(F.broadcast(b)).select(
+        "event_id",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)).cast(
+                "bigint"
+            ),
+            F.lit(9).cast("bigint"),
+        ).alias("vbin"),
+        F.hour("ts").cast("bigint").alias("hbin"),
+    )
+    vh = f.groupBy("vbin").agg(F.count(F.lit(1)).cast("double").alias("vc"))
+    hh = f.groupBy("hbin").agg(F.count(F.lit(1)).cast("double").alias("hc"))
+    vmax = vh.agg(F.max("vc").alias("vm"))
+    hmax = hh.agg(F.max("hc").alias("hm"))
+    scored = (
+        f.join(F.broadcast(vh), "vbin")
+        .join(F.broadcast(hh), "hbin")
+        .crossJoin(F.broadcast(vmax))
+        .crossJoin(F.broadcast(hmax))
+        .select(
+            "event_id",
+            F.round(
+                F.log(F.col("vm") / F.col("vc")) + F.log(F.col("hm") / F.col("hc")), 9
+            ).alias("hbos_score"),
+        )
+    )
+    return scored.orderBy(F.desc("hbos_score"), "event_id").limit(10)
+
+
+@query(
+    "dq_vif_multicollinearity",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(round(l_extendedprice * l_extendedprice, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(round(l_discount * l_discount, 4) AS DECIMAL(18,4))) AS DOUBLE) AS s33,
+               CAST(SUM(CAST(round(l_quantity * l_extendedprice, 2) AS DECIMAL(38,2))) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(round(l_quantity * l_discount, 2) AS DECIMAL(18,2))) AS DOUBLE) AS s13,
+               CAST(SUM(CAST(round(l_extendedprice * l_discount, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s23
+        FROM lineitem
+    ),
+    r AS (
+        SELECT (n * s12 - s1 * s2) / sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2)) AS r12,
+               (n * s13 - s1 * s3) / sqrt((n * s11 - s1 * s1) * (n * s33 - s3 * s3)) AS r13,
+               (n * s23 - s2 * s3) / sqrt((n * s22 - s2 * s2) * (n * s33 - s3 * s3)) AS r23
+        FROM m
+    ),
+    d AS (
+        SELECT r12, r13, r23,
+               1.0 - r12 * r12 - r13 * r13 - r23 * r23 + 2.0 * r12 * r13 * r23 AS det
+        FROM r
+    )
+    SELECT feature,
+           round(vif, 9) AS vif,
+           round(1.0 - 1.0 / vif, 9) AS r_squared,
+           vif > 5.0 AS collinear
+    FROM (
+        SELECT 'l_quantity' AS feature, (1.0 - r23 * r23) / det AS vif FROM d
+        UNION ALL
+        SELECT 'l_extendedprice', (1.0 - r13 * r13) / det FROM d
+        UNION ALL
+        SELECT 'l_discount', (1.0 - r12 * r12) / det FROM d
+    )
+    ORDER BY feature
+    """,
+    tags=("dq", "statistics"),
+)
+def dq_vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance Inflation Factors for three lineitem predictors
+    (quantity, extended price, discount) from the EXACT 3x3 correlation
+    matrix: VIF_j = [R^-1]_jj via the closed-form adjugate of a 3x3
+    correlation matrix (det = 1 - r12² - r13² - r23² + 2·r12·r13·r23),
+    with R²_j = 1 - 1/VIF_j and the usual VIF>5 collinearity flag.
+
+    Moments are exact decimals (quantity is integer; price/discount are
+    2-dp money, so squares/cross-products are 4-dp exact); the
+    correlation and inverse algebra runs on identical IEEE doubles in
+    both engines. 100 TB: ONE map-side-combined aggregate over the
+    corpus (10 sums), then 1-row algebra — the same sufficient-
+    statistics shape as the ridge/regression-family operators."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    p = F.col("l_extendedprice")
+    dc = F.col("l_discount")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(p.cast("decimal(28,2)")).cast("double").alias("s2"),
+        F.sum(dc.cast("decimal(18,2)")).cast("double").alias("s3"),
+        F.sum(q * q).cast("double").alias("s11"),
+        F.sum(F.round(p * p, 4).cast("decimal(38,4)")).cast("double").alias("s22"),
+        F.sum(F.round(dc * dc, 4).cast("decimal(18,4)")).cast("double").alias("s33"),
+        F.sum(F.round(q * p, 2).cast("decimal(38,2)")).cast("double").alias("s12"),
+        F.sum(F.round(q * dc, 2).cast("decimal(18,2)")).cast("double").alias("s13"),
+        F.sum(F.round(p * dc, 4).cast("decimal(38,4)")).cast("double").alias("s23"),
+    )
+    n, s1, s2, s3 = (F.col(c) for c in ("n", "s1", "s2", "s3"))
+    s11, s22, s33 = (F.col(c) for c in ("s11", "s22", "s33"))
+    s12, s13, s23 = (F.col(c) for c in ("s12", "s13", "s23"))
+    r = m.select(
+        ((n * s12 - s1 * s2) / F.sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2))).alias("r12"),
+        ((n * s13 - s1 * s3) / F.sqrt((n * s11 - s1 * s1) * (n * s33 - s3 * s3))).alias("r13"),
+        ((n * s23 - s2 * s3) / F.sqrt((n * s22 - s2 * s2) * (n * s33 - s3 * s3))).alias("r23"),
+    ).select(
+        "r12",
+        "r13",
+        "r23",
+        (
+            F.lit(1.0)
+            - F.col("r12") * F.col("r12")
+            - F.col("r13") * F.col("r13")
+            - F.col("r23") * F.col("r23")
+            + F.lit(2.0) * F.col("r12") * F.col("r13") * F.col("r23")
+        ).alias("det"),
+    )
+    rows = []
+    for feat, expr in (
+        ("l_quantity", (F.lit(1.0) - F.col("r23") * F.col("r23")) / F.col("det")),
+        ("l_extendedprice", (F.lit(1.0) - F.col("r13") * F.col("r13")) / F.col("det")),
+        ("l_discount", (F.lit(1.0) - F.col("r12") * F.col("r12")) / F.col("det")),
+    ):
+        rows.append(
+            r.select(
+                F.lit(feat).alias("feature"),
+                F.round(expr, 9).alias("vif"),
+                F.round(F.lit(1.0) - F.lit(1.0) / expr, 9).alias("r_squared"),
+                (expr > 5.0).alias("collinear"),
+            )
+        )
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("feature")

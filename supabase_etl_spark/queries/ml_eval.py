@@ -3363,3 +3363,114 @@ def ml_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("my", 9).alias("base_value"),
     ).orderBy("feature")
+
+
+@query(
+    "ml_eval_hosmer_lemeshow",
+    oracle=f"""
+    WITH {_SQL_SCORED},
+    grid AS (
+        SELECT model, s,
+               CAST(count(*) AS DOUBLE) AS cnt,
+               CAST(SUM(y) AS DOUBLE) AS pos,
+               {_SQL_P} AS p
+        FROM scored
+        GROUP BY model, s
+    ),
+    cum AS (
+        SELECT model, s, cnt, pos, p,
+               SUM(cnt) OVER (PARTITION BY model ORDER BY s) AS cum_cnt,
+               SUM(cnt) OVER (PARTITION BY model) AS n
+        FROM grid
+    ),
+    binned AS (
+        SELECT model,
+               LEAST(CAST(floor(10.0 * (cum_cnt - cnt / 2.0) / n) AS BIGINT), 9) AS bin,
+               SUM(pos) AS o1,
+               SUM(cnt - pos) AS o0,
+               CAST(SUM(CAST(cnt * p AS DECIMAL(38,12))) AS DOUBLE) AS e1,
+               CAST(SUM(CAST(cnt * (1.0 - p) AS DECIMAL(38,12))) AS DOUBLE) AS e0
+        FROM cum
+        GROUP BY model, bin
+    )
+    SELECT model,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           round(CAST(SUM(CAST((o1 - e1) * (o1 - e1) / e1
+                               + (o0 - e0) * (o0 - e0) / e0
+                               AS DECIMAL(38,12))) AS DOUBLE), 9) AS hl_stat,
+           CAST(SUM(CAST((o1 - e1) * (o1 - e1) / e1
+                         + (o0 - e0) * (o0 - e0) / e0
+                         AS DECIMAL(38,12))) AS DOUBLE)
+               > CAST(15.50731305586545 AS DOUBLE) AS poorly_calibrated
+    FROM binned
+    GROUP BY model
+    ORDER BY model
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit: split the scored corpus into 10
+    equal-count probability bins and compare observed vs expected
+    positives per bin, HL = Σ[(O1−E1)²/E1 + (O0−E0)²/E0] ~ chi²(8); the
+    classical clinical-model calibration test, complementing the
+    ECE/MCE and Brier-decomposition operators with a formal verdict
+    (critical value 15.50731305586545 as a shared parsed literal).
+
+    Deciles are assigned on the GRID: the corpus collapses to the
+    (model, score) table first (~40 rows/model), cumulative counts run
+    on that tiny table, and each grid cell lands in the bin of its
+    count midpoint — exact, deterministic, and free of per-row ntile
+    nondeterminism under ties. 100 TB: one groupBy of the corpus, then
+    grid-sized windows — the family's standard quantization shape."""
+    grid = (
+        _scored(spark, sf_dir)
+        .groupBy("model", "s")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("cnt"),
+            F.sum("y").cast("double").alias("pos"),
+        )
+        .withColumn("z", F.col("s").cast("double") / float(SCORE_GRID))
+        .withColumn("p", 0.5 + 0.5 * F.col("z") / (1.0 + F.abs(F.col("z"))))
+    )
+    w = Window.partitionBy("model").orderBy("s")
+    wall = Window.partitionBy("model")
+    cum = grid.select(
+        "model",
+        "cnt",
+        "pos",
+        "p",
+        F.sum("cnt").over(w).alias("cum_cnt"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    binned = (
+        cum.withColumn(
+            "bin",
+            F.least(
+                F.floor(10.0 * (F.col("cum_cnt") - F.col("cnt") / 2.0) / F.col("n")).cast(
+                    "bigint"
+                ),
+                F.lit(9).cast("bigint"),
+            ),
+        )
+        .groupBy("model", "bin")
+        .agg(
+            F.sum("pos").alias("o1"),
+            F.sum(F.col("cnt") - F.col("pos")).alias("o0"),
+            F.sum((F.col("cnt") * F.col("p")).cast(DEC18)).cast("double").alias("e1"),
+            F.sum((F.col("cnt") * (1.0 - F.col("p"))).cast(DEC18)).cast("double").alias("e0"),
+        )
+    )
+    term = (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("e1") + (
+        F.col("o0") - F.col("e0")
+    ) * (F.col("o0") - F.col("e0")) / F.col("e0")
+    return (
+        binned.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.round(F.sum(term.cast(DEC18)).cast("double"), 9).alias("hl_stat"),
+            (F.sum(term.cast(DEC18)).cast("double") > F.lit(15.50731305586545)).alias(
+                "poorly_calibrated"
+            ),
+        )
+        .orderBy("model")
+    )
