@@ -10357,3 +10357,369 @@ def events_relative_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.log(rr) - z * se), 9).alias("rr_ci_lo"),
         F.round(F.exp(F.log(rr) + z * se), 9).alias("rr_ci_hi"),
     )
+
+
+SAX_SEGMENTS = 8  # PAA word length
+# N(0,1) quartile breakpoints for a 4-letter alphabet, shared literals
+SAX_BP = (-0.6744897501960817, 0.0, 0.6744897501960817)
+
+
+@query(
+    "events_sax_symbols",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        FROM daily GROUP BY event_type
+    ),
+    z AS (
+        SELECT d.event_type, d.day,
+               CAST(floor({SAX_SEGMENTS} * (CAST(row_number() OVER
+                        (PARTITION BY d.event_type ORDER BY d.day) AS DOUBLE) - 1.0)
+                        / s.n) AS BIGINT) AS seg,
+               round((d.y - s.s1 / s.n)
+                     / sqrt((s.s2 - s.s1 * s.s1 / s.n) / s.n), 9) AS zval,
+               CAST(s.n AS BIGINT) AS n_days
+        FROM daily d JOIN stats s USING (event_type)
+    ),
+    paa AS (
+        SELECT event_type, seg, n_days,
+               CAST(SUM(CAST(zval AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS m
+        FROM z GROUP BY event_type, seg, n_days
+    ),
+    sym AS (
+        SELECT event_type, seg, n_days,
+               CASE WHEN m < CAST({SAX_BP[0]!r} AS DOUBLE) THEN 'a'
+                    WHEN m < CAST({SAX_BP[1]!r} AS DOUBLE) THEN 'b'
+                    WHEN m < CAST({SAX_BP[2]!r} AS DOUBLE) THEN 'c'
+                    ELSE 'd' END AS s
+        FROM paa
+    )
+    SELECT event_type, MAX(n_days) AS n_days,
+           string_agg(s, '' ORDER BY seg) AS sax_word
+    FROM sym GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "timeseries"),
+)
+def events_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin, Keogh et al. 2003): each event-type's
+    daily-total series is z-normalized, reduced by Piecewise Aggregate
+    Approximation to 8 segments, and each segment mean is mapped to a
+    4-letter alphabet at the standard-normal quartile breakpoints —
+    the index/motif representation time-series databases build before
+    similarity search.
+
+    100 TB: the corpus collapses to (type, day) partial sums in one
+    map-side-combined aggregate; everything after (z-stats, segment
+    assignment via a per-type row_number window, PAA means, the word
+    concat) runs on the bounded day grid. Exactness: daily sums and
+    PAA means go through decimal accumulators; z-scores are identical
+    IEEE doubles rounded at 9 dp; breakpoints are shared repr()
+    literals, so the letter comparisons see bit-identical doubles."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("y") * F.col("y"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    z = (
+        daily.join(stats, "event_type")
+        .withColumn("rn", F.row_number().over(w).cast("double"))
+        .select(
+            "event_type",
+            F.floor(F.lit(float(SAX_SEGMENTS)) * (F.col("rn") - 1.0) / F.col("n"))
+            .cast("bigint")
+            .alias("seg"),
+            F.round(
+                (F.col("y") - F.col("s1") / F.col("n"))
+                / F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")),
+                9,
+            ).alias("zval"),
+            F.col("n").cast("bigint").alias("n_days"),
+        )
+    )
+    paa = z.groupBy("event_type", "seg", "n_days").agg(
+        (F.sum(F.col("zval").cast("decimal(38,9)")).cast("double") / F.count(F.lit(1))).alias(
+            "m"
+        )
+    )
+    sym = paa.withColumn(
+        "s",
+        F.when(F.col("m") < F.lit(SAX_BP[0]), "a")
+        .when(F.col("m") < F.lit(SAX_BP[1]), "b")
+        .when(F.col("m") < F.lit(SAX_BP[2]), "c")
+        .otherwise("d"),
+    )
+    return (
+        sym.groupBy("event_type")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "s"))), lambda x: x["s"]
+                ),
+                "",
+            ).alias("sax_word"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PH_DELTA = 0.01  # Page-Hinkley allowance, relative-deviation units
+PH_LAMBDA = 2.0  # alarm threshold
+
+
+@query(
+    "events_page_hinkley",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    mu AS (
+        SELECT event_type,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mu
+        FROM daily GROUP BY event_type
+    ),
+    pref AS (
+        SELECT d.event_type, d.day,
+               CAST(row_number() OVER w AS DOUBLE) AS t,
+               CAST(SUM(CAST(d.y AS DECIMAL(38,6))) OVER w AS DOUBLE) AS cum_y,
+               d.y, m.mu
+        FROM daily d JOIN mu m USING (event_type)
+        WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    terms AS (
+        SELECT event_type, day, t,
+               round(y / mu - cum_y / (t * mu) - {PH_DELTA}, 9) AS term
+        FROM pref
+    ),
+    m AS (
+        SELECT event_type, day, t,
+               CAST(SUM(CAST(term AS DECIMAL(38,9))) OVER w AS DOUBLE) AS m_t
+        FROM terms
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    ph AS (
+        SELECT event_type, CAST(t AS BIGINT) AS t,
+               m_t - MIN(m_t) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph_t
+        FROM m
+    )
+    SELECT event_type,
+           CAST(MAX(t) AS BIGINT) AS n_days,
+           round(MAX(ph_t), 6) AS ph_max,
+           MAX(ph_t) > {PH_LAMBDA} AS alarm,
+           CAST(MIN(CASE WHEN ph_t > {PH_LAMBDA} THEN t END) AS BIGINT)
+               AS first_alarm_t
+    FROM ph GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "timeseries"),
+)
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector (Page 1954; the streaming-ML drift
+    test in river/MOA): on the mean-normalized daily series x_t =
+    y_t/mu, accumulate m_t = Σ(x_i − x̄_i − δ) where x̄_i is the RUNNING
+    mean, and alarm when PH_t = m_t − min_{i≤t} m_i exceeds λ. The
+    running-mean form distinguishes it from the fixed-reference CUSUM
+    twin (`events_cusum_changepoint`): PH adapts its baseline as it
+    goes, so slow level shifts still trip it.
+
+    100 TB: corpus → (type, day) partial sums in one aggregate; the
+    prefix windows (running sum, running min of the running sum) all
+    run per type over the bounded day grid. Per-day terms are rounded
+    at 9 dp and prefix-summed through decimals, so Spark's window and
+    DuckDB's agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y")
+    )
+    mu = daily.groupBy("event_type").agg(
+        (F.sum(F.col("y").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "mu"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = (
+        daily.join(mu, "event_type")
+        .withColumn("t", F.row_number().over(Window.partitionBy("event_type").orderBy("day")).cast("double"))
+        .withColumn("cum_y", F.sum(F.col("y").cast("decimal(38,6)")).over(w).cast("double"))
+    )
+    terms = pref.select(
+        "event_type",
+        "day",
+        "t",
+        F.round(
+            F.col("y") / F.col("mu") - F.col("cum_y") / (F.col("t") * F.col("mu")) - PH_DELTA,
+            9,
+        ).alias("term"),
+    )
+    m = terms.withColumn(
+        "m_t", F.sum(F.col("term").cast("decimal(38,9)")).over(w).cast("double")
+    ).withColumn("m_min", F.min("m_t").over(w))
+    ph = m.select(
+        "event_type", F.col("t").cast("bigint").alias("t"), (F.col("m_t") - F.col("m_min")).alias("ph_t")
+    )
+    return (
+        ph.groupBy("event_type")
+        .agg(
+            F.max("t").cast("bigint").alias("n_days"),
+            F.round(F.max("ph_t"), 6).alias("ph_max"),
+            (F.max("ph_t") > F.lit(PH_LAMBDA)).alias("alarm"),
+            F.min(F.when(F.col("ph_t") > PH_LAMBDA, F.col("t")))
+            .cast("bigint")
+            .alias("first_alarm_t"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "orders_bass_diffusion",
+    oracle="""
+    WITH first_order AS (
+        SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS d0
+        FROM orders GROUP BY o_custkey
+    ),
+    wk AS (
+        SELECT CAST(d0 - DATE '1970-01-01' AS BIGINT) // 7 AS w,
+               CAST(count(*) AS BIGINT) AS n_t
+        FROM first_order GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(w) AS wlo, MAX(w) AS whi FROM wk),
+    spine AS (SELECT UNNEST(generate_series(wlo, whi)) AS w FROM bounds),
+    series AS (
+        SELECT s.w,
+               CAST(COALESCE(wk.n_t, 0) AS BIGINT) AS y,
+               CAST(COALESCE(SUM(wk.n_t) OVER (ORDER BY s.w
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS x
+        FROM spine s LEFT JOIN wk ON s.w = wk.w
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS DOUBLE) AS sx2,
+               CAST(SUM(CAST(x*x*x AS DECIMAL(38,0))) AS DOUBLE) AS sx3,
+               CAST(SUM(CAST(x*x*x*x AS DECIMAL(38,0))) AS DOUBLE) AS sx4,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x*y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x*x*y AS DECIMAL(38,0))) AS DOUBLE) AS sx2y
+        FROM series
+    ),
+    sol AS (
+        SELECT n,
+            (n*(sx2*sx4 - sx3*sx3) - sx*(sx*sx4 - sx2*sx3) + sx2*(sx*sx3 - sx2*sx2)) AS det,
+            (sy*(sx2*sx4 - sx3*sx3) - sx*(sxy*sx4 - sx2y*sx3) + sx2*(sxy*sx3 - sx2y*sx2)) AS det_a,
+            (n*(sxy*sx4 - sx2y*sx3) - sy*(sx*sx4 - sx2*sx3) + sx2*(sx*sx2y - sxy*sx2)) AS det_b,
+            (n*(sx2*sx2y - sx3*sxy) - sx*(sx*sx2y - sx3*sy) + sx2*(sx*sxy - sx2*sy)) AS det_c
+        FROM mom
+    ),
+    abc AS (
+        SELECT CAST(n AS BIGINT) AS n_weeks,
+               det_a/det AS a, det_b/det AS b, det_c/det AS c
+        FROM sol
+    )
+    SELECT n_weeks,
+           round(a, 9) AS a, round(b, 9) AS b, round(c, 12) AS c,
+           round((-b - sqrt(b*b - 4.0*a*c)) / (2.0*c), 6) AS m_hat,
+           round(a / ((-b - sqrt(b*b - 4.0*a*c)) / (2.0*c)), 9) AS p_innovation,
+           round(-((-b - sqrt(b*b - 4.0*a*c)) / (2.0*c)) * c, 9) AS q_imitation
+    FROM abc
+    """,
+    tags=("orders", "timeseries"),
+)
+def orders_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion model fit (Bass 1969, the canonical new-product
+    adoption model): weekly first-time-customer counts n_t regressed on
+    cumulative adopters N: n_t = a + b·N + c·N², solved by Cramer's
+    rule on the 3x3 normal equations; then market size m = (−b −
+    sqrt(b² − 4ac)) / 2c, innovation p = a/m, imitation q = −m·c.
+
+    Exactness: x and y are INTEGERS on the complete week spine
+    (sequence-generated, gaps = zero weeks), so all eight regression
+    moments are exact DECIMAL(38,0) sums of int64 products (x⁴ ≤
+    1.6e17 at sf1 — in-range); the Cramer algebra then runs on
+    identical IEEE doubles in both engines. 100 TB: first-order dates
+    are one groupBy of orders; the spine/prefix/regression all live on
+    the bounded week grid — the same sufficient-statistics discipline
+    as the ridge/Holt operators."""
+    o = load_table(spark, sf_dir, "orders")
+    first_order = o.groupBy("o_custkey").agg(F.min(F.to_date("o_orderdate")).alias("d0"))
+    wk = first_order.groupBy(
+        F.floor(F.datediff(F.col("d0"), F.lit("1970-01-01")) / 7)
+        .cast("bigint")
+        .alias("w")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    bounds = wk.agg(F.min("w").alias("wlo"), F.max("w").alias("whi"))
+    spine = bounds.select(F.explode(F.sequence("wlo", "whi")).alias("w"))
+    wprev = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, -1)
+    series = (
+        spine.join(wk, "w", "left")
+        .select("w", F.coalesce(F.col("n_t"), F.lit(0)).cast("bigint").alias("y"))
+        .withColumn("x", F.coalesce(F.sum("y").over(wprev), F.lit(0)).cast("bigint"))
+    )
+    x, y = F.col("x"), F.col("y")
+    d0 = "decimal(38,0)"
+    mom = series.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(d0)).cast("double").alias("sx"),
+        F.sum((x * x).cast(d0)).cast("double").alias("sx2"),
+        F.sum((x * x * x).cast(d0)).cast("double").alias("sx3"),
+        F.sum((x * x * x * x).cast(d0)).cast("double").alias("sx4"),
+        F.sum(y.cast(d0)).cast("double").alias("sy"),
+        F.sum((x * y).cast(d0)).cast("double").alias("sxy"),
+        F.sum((x * x * y).cast(d0)).cast("double").alias("sx2y"),
+    )
+    n, sx, sx2, sx3, sx4, sy, sxy, sx2y = (
+        F.col(c) for c in ("n", "sx", "sx2", "sx3", "sx4", "sy", "sxy", "sx2y")
+    )
+    det = n * (sx2 * sx4 - sx3 * sx3) - sx * (sx * sx4 - sx2 * sx3) + sx2 * (
+        sx * sx3 - sx2 * sx2
+    )
+    det_a = sy * (sx2 * sx4 - sx3 * sx3) - sx * (sxy * sx4 - sx2y * sx3) + sx2 * (
+        sxy * sx3 - sx2y * sx2
+    )
+    det_b = n * (sxy * sx4 - sx2y * sx3) - sy * (sx * sx4 - sx2 * sx3) + sx2 * (
+        sx * sx2y - sxy * sx2
+    )
+    det_c = n * (sx2 * sx2y - sx3 * sxy) - sx * (sx * sx2y - sx3 * sy) + sx2 * (
+        sx * sxy - sx2 * sy
+    )
+    abc = mom.select(
+        n.cast("bigint").alias("n_weeks"),
+        (det_a / det).alias("a"),
+        (det_b / det).alias("b"),
+        (det_c / det).alias("c"),
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    m_hat = (-b - F.sqrt(b * b - 4.0 * a * c)) / (2.0 * c)
+    return abc.select(
+        "n_weeks",
+        F.round(a, 9).alias("a"),
+        F.round(b, 9).alias("b"),
+        F.round(c, 12).alias("c"),
+        F.round(m_hat, 6).alias("m_hat"),
+        F.round(a / m_hat, 9).alias("p_innovation"),
+        F.round(-m_hat * c, 9).alias("q_imitation"),
+    )
