@@ -10723,3 +10723,96 @@ def orders_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(a / m_hat, 9).alias("p_innovation"),
         F.round(-m_hat * c, 9).alias("q_imitation"),
     )
+
+
+NV_FRACTILE_NUM = 3  # underage cost cu
+NV_FRACTILE_DEN = 4  # cu + co  -> critical fractile 0.75
+EOQ_ORDER_COST = 100.0
+EOQ_HOLD_COST = 2.0
+
+
+@query(
+    "orders_newsvendor_eoq",
+    oracle=f"""
+    WITH demand AS (
+        SELECT p.p_type,
+               CAST(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 AS w,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT p_type, d,
+               row_number() OVER (PARTITION BY p_type ORDER BY d, w) AS rn,
+               count(*) OVER (PARTITION BY p_type) AS n
+        FROM demand
+    ),
+    q AS (
+        SELECT p_type, MAX(n) AS n_weeks,
+               CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DOUBLE) / MAX(n) AS mean_weekly,
+               CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DOUBLE) AS total_d,
+               MIN(CASE WHEN rn * {NV_FRACTILE_DEN} >= n * {NV_FRACTILE_NUM}
+                        THEN d END) AS q_star
+        FROM ranked GROUP BY p_type
+    )
+    SELECT p_type,
+           CAST(n_weeks AS BIGINT) AS n_weeks,
+           round(mean_weekly, 9) AS mean_weekly_demand,
+           CAST(q_star AS BIGINT) AS newsvendor_q,
+           round(sqrt(2.0 * total_d * {EOQ_ORDER_COST!r} / {EOQ_HOLD_COST!r}), 6) AS eoq
+    FROM q ORDER BY p_type
+    """,
+    tags=("orders", "operations"),
+)
+def orders_newsvendor_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory policy targets per part type: the newsvendor quantile
+    q* = F⁻¹(cu/(cu+co)) at critical fractile 3/4 — computed as the
+    EXACT discrete percentile of weekly demand (smallest d with
+    rank·4 ≥ n·3, percentile_disc semantics on integer demand, so both
+    engines pick the identical value with no interpolation) — and the
+    EOQ lot size sqrt(2·D·S/H) from total demand. The classic
+    stochastic + deterministic inventory pair over the star schema.
+
+    100 TB: lineitem⋈part is a BROADCAST join (part is the small dim);
+    demand collapses to the (type, week) grid in the same shuffle; the
+    rank window runs per type on the bounded grid. Integer demand sums
+    are exact decimals; sqrt runs on identical IEEE doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    demand = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_type",
+            F.floor(F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01")) / 7)
+            .cast("bigint")
+            .alias("w"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("d"))
+    )
+    wrank = Window.partitionBy("p_type").orderBy("d", "w")
+    wall = Window.partitionBy("p_type")
+    ranked = demand.select(
+        "p_type",
+        "d",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    q = ranked.groupBy("p_type").agg(
+        F.max("n").alias("n_weeks"),
+        (F.sum(F.col("d").cast("decimal(38,0)")).cast("double") / F.max("n")).alias(
+            "mean_weekly"
+        ),
+        F.sum(F.col("d").cast("decimal(38,0)")).cast("double").alias("total_d"),
+        F.min(
+            F.when(F.col("rn") * NV_FRACTILE_DEN >= F.col("n") * NV_FRACTILE_NUM, F.col("d"))
+        ).alias("q_star"),
+    )
+    return q.select(
+        "p_type",
+        F.col("n_weeks").cast("bigint").alias("n_weeks"),
+        F.round("mean_weekly", 9).alias("mean_weekly_demand"),
+        F.col("q_star").cast("bigint").alias("newsvendor_q"),
+        F.round(F.sqrt(2.0 * F.col("total_d") * EOQ_ORDER_COST / EOQ_HOLD_COST), 6).alias(
+            "eoq"
+        ),
+    ).orderBy("p_type")

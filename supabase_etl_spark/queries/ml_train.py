@@ -1811,3 +1811,94 @@ def sample_dataset_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+ALS_LAMBDA = 0.1  # ridge regularizer for both half-steps
+
+
+@query(
+    "ml_als_rank1",
+    oracle=f"""
+    WITH r AS (
+        SELECT o.o_custkey AS u, l.l_partkey AS i,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS rating
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    ustep AS (
+        SELECT u,
+               round(CAST(SUM(CAST(rating AS DECIMAL(38,0))) AS DOUBLE)
+                     / ({ALS_LAMBDA!r} + count(*)), 9) AS uf
+        FROM r GROUP BY u
+    ),
+    istep AS (
+        SELECT r.i,
+               round(CAST(SUM(CAST(round(r.rating * us.uf, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                     / ({ALS_LAMBDA!r}
+                        + CAST(SUM(CAST(round(us.uf * us.uf, 9) AS DECIMAL(38,9))) AS DOUBLE)),
+                     9) AS vf,
+               CAST(count(*) AS BIGINT) AS n_raters
+        FROM r JOIN ustep us ON r.u = us.u
+        GROUP BY r.i
+    )
+    SELECT i AS partkey, n_raters, vf AS item_factor
+    FROM istep
+    ORDER BY vf DESC, i
+    LIMIT 10
+    """,
+    tags=("ml", "recommender"),
+)
+def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full alternation of rank-1 ALS (Koren/Hu-Koren lineage;
+    spark.ml's ALS with rank=1, one sweep) on the implicit
+    (customer, part, quantity) matrix: with items initialized at
+    v=1, the user half-step has the closed form u = Σr / (λ + n_items),
+    and the item half-step v = Σ r·u / (λ + Σ u²). Top-10 items by the
+    learned factor — the popularity-adjusted item strength.
+
+    Exactness: ratings are integer sums; u is rounded to 9 dp, so the
+    r·u and u² products are exact 9/18-dp decimals and both engines'
+    parallel sums agree bit-for-bit. 100 TB: two key-partitioned
+    aggregates and one user-keyed equi-join (the standard distributed
+    ALS shuffle shape — by-user then by-item); the final top-10 is
+    TakeOrdered, never a global sort. Rank-k generalizes by making u a
+    k-vector and the denominator a k×k normal-equation solve per key —
+    same shuffle plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("rating"))
+    )
+    ustep = r.groupBy("u").agg(
+        F.round(
+            F.sum(F.col("rating").cast("decimal(38,0)")).cast("double")
+            / (F.lit(ALS_LAMBDA) + F.count(F.lit(1))),
+            9,
+        ).alias("uf")
+    )
+    istep = (
+        r.join(ustep, "u")
+        .groupBy("i")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("rating") * F.col("uf"), 9).cast("decimal(38,9)")).cast(
+                    "double"
+                )
+                / (
+                    F.lit(ALS_LAMBDA)
+                    + F.sum(
+                        F.round(F.col("uf") * F.col("uf"), 9).cast("decimal(38,9)")
+                    ).cast("double")
+                ),
+                9,
+            ).alias("vf"),
+            F.count(F.lit(1)).cast("bigint").alias("n_raters"),
+        )
+    )
+    return (
+        istep.select(F.col("i").alias("partkey"), "n_raters", F.col("vf").alias("item_factor"))
+        .orderBy(F.desc("item_factor"), "partkey")
+        .limit(10)
+    )
