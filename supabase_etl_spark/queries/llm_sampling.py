@@ -1964,3 +1964,87 @@ def sample_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+CURRICULUM_STEPS = 100  # training steps T in the pacing schedule
+
+
+@query(
+    "sample_curriculum_schedule",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+               count(*) OVER () AS n
+        FROM documents
+    ),
+    steps AS (
+        SELECT doc_id, n_chars,
+               GREATEST(CAST(1 AS BIGINT),
+                   CAST(({CURRICULUM_STEPS} * rnk * rnk + n * n - 1) // (n * n)
+                        AS BIGINT)) AS first_step
+        FROM ranked
+    )
+    SELECT CAST((first_step - 1) // 10 AS BIGINT) AS step_decile,
+           CAST(count(*) AS BIGINT) AS new_docs,
+           CAST(SUM(count(*)) OVER (ORDER BY CAST((first_step - 1) // 10 AS BIGINT)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+               AS mean_difficulty
+    FROM steps
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("llm", "sampling", "curriculum"),
+)
+def sample_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-p curriculum pacing (Platanios et al. 2019): sort the
+    corpus easy→hard (difficulty proxy: n_chars), and with competence
+    c(t) = sqrt(t/T) a document at difficulty-CDF position ρ = rank/N
+    first becomes trainable at step t = ceil(T·ρ²) — computed in EXACT
+    integer arithmetic ((T·rank² + N²−1) div N²). Output: the step-
+    decile release schedule (new docs, cumulative pool, mean
+    difficulty of each tranche).
+
+    100 TB: the global rank is the distributed two-pass construction
+    (operators/prefix.distributed_cumsum — range repartition +
+    partition-local window + broadcast offsets), NEVER a single-
+    partition global window; the decile rollup is a 10-row aggregate.
+    The oracle's row_number() is the sequential twin of the same total
+    order (n_chars, doc_id)."""
+    from supabase_etl_spark.operators.prefix import distributed_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.lit(1).cast("decimal(38,0)").alias("one")
+    )
+    n_total = d.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    ranked = distributed_cumsum(
+        d, "one", [F.col("n_chars"), F.col("doc_id")], out="rnk"
+    ).crossJoin(F.broadcast(n_total))
+    steps = ranked.select(
+        "n_chars",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            # exact int64 ceil-division: (T·rank² + N² − 1) div N²
+            F.expr(
+                f"({CURRICULUM_STEPS}L * cast(rnk as bigint) * cast(rnk as bigint)"
+                " + n * n - 1L) div (n * n)"
+            ),
+        ).alias("first_step"),
+    )
+    byd = steps.groupBy(
+        F.expr("(first_step - 1L) div 10L").cast("bigint").alias("step_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_docs"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("double") / F.count(F.lit(1))
+        ).alias("mean_difficulty"),
+    )
+    wcum = Window.orderBy("step_decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return byd.select(
+        "step_decile",
+        "new_docs",
+        F.sum("new_docs").over(wcum).cast("bigint").alias("cumulative_docs"),
+        "mean_difficulty",
+    ).orderBy("step_decile")

@@ -3474,3 +3474,148 @@ def ml_eval_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+AUC_SUBSAMPLE_B = 16  # half-sampling replicates
+
+
+@query(
+    "ml_eval_auc_subsample_ci",
+    oracle=f"""
+    WITH scored_id AS (
+        SELECT m.model, e.vec_id,
+               CAST(FLOOR((CAST(CASE WHEN m.model = 'm1' THEN embedding[1]
+                                     ELSE embedding[2] END AS DOUBLE)
+                           + 0.25 * (label % 2)) * {SCORE_GRID}) AS BIGINT) AS s,
+               (label % 2) AS y
+        FROM embeddings e
+        CROSS JOIN (SELECT 'm1' AS model UNION ALL SELECT 'm2') m
+    ),
+    reps AS (SELECT UNNEST(generate_series(0, {AUC_SUBSAMPLE_B - 1})) AS rep),
+    sub AS (
+        SELECT s0.model, r.rep, s0.s, s0.y
+        FROM scored_id s0 CROSS JOIN reps r
+        WHERE CAST(concat('0x', substring(
+                  md5(concat(CAST(s0.vec_id AS VARCHAR), '-', CAST(r.rep AS VARCHAR))),
+                  1, 8)) AS BIGINT) % 2 = 0
+    ),
+    g AS (
+        SELECT model, rep, s,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM sub GROUP BY model, rep, s
+    ),
+    c AS (
+        SELECT model, rep, pos, neg,
+               CAST(COALESCE(SUM(neg) OVER (PARTITION BY model, rep ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS cumneg_lt,
+               CAST(SUM(pos) OVER (PARTITION BY model, rep) AS BIGINT) AS p_tot,
+               CAST(SUM(neg) OVER (PARTITION BY model, rep) AS BIGINT) AS n_tot
+        FROM g
+    ),
+    aucs AS (
+        SELECT model, rep,
+               round(CAST(SUM(pos * (2 * cumneg_lt + neg)) AS DOUBLE)
+                     / (2.0 * MAX(p_tot) * MAX(n_tot)), 9) AS auc
+        FROM c GROUP BY model, rep
+    )
+    SELECT model,
+           CAST(count(*) AS BIGINT) AS n_reps,
+           round(CAST(SUM(CAST(auc AS DECIMAL(38,9))) AS DOUBLE) / count(*), 9)
+               AS auc_mean,
+           round(sqrt((CAST(SUM(CAST(round(auc * auc, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                       - CAST(SUM(CAST(auc AS DECIMAL(38,9))) AS DOUBLE)
+                         * CAST(SUM(CAST(auc AS DECIMAL(38,9))) AS DOUBLE) / count(*))
+                      / (count(*) - 1)), 9) AS auc_sd,
+           MIN(auc) AS ci_lo,
+           MAX(auc) AS ci_hi
+    FROM aucs
+    GROUP BY model
+    ORDER BY model
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_auc_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsampling (m-out-of-n bootstrap, Politis-Romano-Wolf lineage)
+    confidence interval for AUC: B=16 deterministic half-samples
+    (inclusion = md5(vec_id, rep) % 2, the cross-engine hash), exact
+    integer concordant-pair AUC per replicate, then the replicate
+    mean / SD / range as the stability report. The eval-suite answer
+    to "is this AUC difference real or sampling noise" — DeLong's
+    analytic twin (`ml_eval_delong_auc_ci`) already ships; this is the
+    resampling cross-check that works for ANY metric.
+
+    100 TB: the corpus explodes ×B but immediately collapses to the
+    (model, rep, score-grid) table — B×~41 rows per model — before any
+    window; per-replicate AUC is integer counting on that grid, so the
+    whole CI costs one wide scan + one grid aggregate. Replicate AUCs
+    are rounded at 9 dp and decimal-summed, keeping both engines
+    bit-identical through the moment algebra."""
+    e = load_table(spark, sf_dir, "embeddings")
+    y = (F.col("label") % 2).alias("y")
+    scored = None
+    for dim, name in ((1, "m1"), (2, "m2")):
+        raw = F.element_at("embedding", dim).cast("double") + 0.25 * (F.col("label") % 2)
+        part = e.select(
+            F.lit(name).alias("model"),
+            F.col("vec_id"),
+            F.floor(raw * SCORE_GRID).cast("bigint").alias("s"),
+            y,
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    reps = spark.range(AUC_SUBSAMPLE_B).select(F.col("id").alias("rep"))
+    sub = scored.crossJoin(F.broadcast(reps)).where(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.col("vec_id").cast("string"), F.col("rep").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    g = sub.groupBy("model", "rep", "s").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("neg"),
+    )
+    wlt = (
+        Window.partitionBy("model", "rep")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("model", "rep")
+    c = g.select(
+        "model",
+        "rep",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(wlt), F.lit(0)).cast("bigint").alias("cumneg_lt"),
+        F.sum("pos").over(wall).cast("bigint").alias("p_tot"),
+        F.sum("neg").over(wall).cast("bigint").alias("n_tot"),
+    )
+    aucs = c.groupBy("model", "rep").agg(
+        F.round(
+            F.sum(F.col("pos") * (2 * F.col("cumneg_lt") + F.col("neg"))).cast("double")
+            / (2.0 * F.max("p_tot") * F.max("n_tot")),
+            9,
+        ).alias("auc")
+    )
+    a = F.col("auc")
+    s1 = F.sum(a.cast("decimal(38,9)")).cast("double")
+    s2 = F.sum(F.round(a * a, 12).cast(DEC18)).cast("double")
+    cnt = F.count(F.lit(1))
+    return (
+        aucs.groupBy("model")
+        .agg(
+            cnt.cast("bigint").alias("n_reps"),
+            F.round(s1 / cnt, 9).alias("auc_mean"),
+            F.round(F.sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 9).alias("auc_sd"),
+            F.min(a).alias("ci_lo"),
+            F.max(a).alias("ci_hi"),
+        )
+        .orderBy("model")
+    )
