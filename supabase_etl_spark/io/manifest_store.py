@@ -113,6 +113,16 @@ def commit(
     if schema_mode not in ("merge", "enforce"):
         raise ValueError(f"schema_mode must be merge|enforce, got {schema_mode}")
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    # column mapping: writers speak the LOGICAL schema; data files keep
+    # the original PHYSICAL names forever (Delta column-mapping name
+    # mode), so a rename never rewrites data. Translate before schema
+    # enforcement — the footer schema being compared is physical.
+    _v0 = current_version(table_dir)
+    if _v0 > 0:
+        _map = _read_manifest(table_dir, _v0).get("column_mapping", {})
+        for _logical, _physical in _map.items():
+            if _logical != _physical and _logical in df.columns:
+                df = df.withColumnRenamed(_logical, _physical)
     if schema_mode == "enforce" and mode == "append" and current_version(table_dir) > 0:
         cur = {f.name: f.dataType for f in _table_schema(df, table_dir, current_version(table_dir))}
         new = {f.name: f.dataType for f in df.schema}
@@ -222,8 +232,16 @@ def read(spark: SparkSession, table_dir: str, version: int | None = None) -> Dat
     snapshot — time travel is just naming an older manifest. If the
     snapshot carries merge-on-read equality deletes (see
     ``delete_where_mor``), they are applied here as anti-joins scoped
-    to the data files each delete was committed against."""
-    return _read_tagged(spark, table_dir, version).drop("_file")
+    to the data files each delete was committed against. If the
+    snapshot carries a column mapping (``rename_column``), physical
+    file columns are renamed to their logical names at this boundary —
+    internal surfaces (merge/delete key columns) stay physical."""
+    df = _read_tagged(spark, table_dir, version).drop("_file")
+    v = version if version is not None else current_version(table_dir)
+    for logical, physical in _read_manifest(table_dir, v).get("column_mapping", {}).items():
+        if logical != physical and physical in df.columns:
+            df = df.withColumnRenamed(physical, logical)
+    return df
 
 
 def _read_tagged(
@@ -309,6 +327,7 @@ def _commit_files(
     deletes: list[dict] | None = None,
     constraints: list[dict] | None = None,
     partitions: dict[str, dict] | None = None,
+    column_mapping: dict[str, str] | None = None,
 ) -> int:
     """Publish manifest at ``base_version + 1`` naming exactly ``files``.
 
@@ -324,16 +343,46 @@ def _commit_files(
     import time as _time
 
     version = base_version + 1
+    base_manifest: dict = {}
+    if base_version > 0:
+        base_manifest = _read_manifest(table_dir, base_version)
     if constraints is None and base_version > 0:
         # CHECK constraints are table metadata: inherit from the base
         # snapshot unless the caller explicitly sets a new list, so
         # merge/delete/compact/optimize can never silently drop them
-        constraints = _read_manifest(table_dir, base_version).get("constraints", [])
+        constraints = base_manifest.get("constraints", [])
+    if column_mapping is None:
+        # column mapping (logical -> physical) is table metadata too:
+        # every commit path inherits it unless rename_column() sets a
+        # new map, so appends/merges never silently undo a rename
+        column_mapping = base_manifest.get("column_mapping", {})
+    # Row lineage (Iceberg v3 row-lineage shape): every data file owns a
+    # contiguous block of monotonically increasing row ids, assigned ONCE
+    # when the file first appears in a manifest and inherited verbatim by
+    # every later snapshot that carries the file. _row_id = first_row_id
+    # + parquet row ordinal; the block length comes from the parquet
+    # footer (driver-side O(new files), same cost class as file_stats).
+    # Files REWRITTEN by COW merge/optimize get fresh ids (a documented
+    # deviation from Iceberg, which threads ids through rewrites).
+    lineage: dict[str, list[int]] = dict(base_manifest.get("lineage", {}))
+    next_row_id = int(base_manifest.get("next_row_id", 1))
+    for f in files:
+        if f not in lineage:
+            import pyarrow.parquet as _pq
+
+            n_rows = _pq.read_metadata(os.path.join(table_dir, f)).num_rows
+            lineage[f] = [next_row_id, version]
+            next_row_id += n_rows
+    # drop lineage entries for files no longer referenced by ANY live
+    # manifest? No — keep them: time travel to old versions still needs
+    # their blocks, and vacuum() is the lifecycle owner for file removal.
     manifest: dict = {
         "version": version,
         "files": files,
         "note": note,
         "created_at_ms": int(_time.time() * 1000),
+        "lineage": lineage,
+        "next_row_id": next_row_id,
     }
     if partitions:
         manifest["partitions"] = partitions
@@ -341,6 +390,8 @@ def _commit_files(
         manifest["deletes"] = deletes
     if constraints:
         manifest["constraints"] = constraints
+    if column_mapping:
+        manifest["column_mapping"] = column_mapping
     tmp = os.path.join(_manifest_dir(table_dir), f".tmp_{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -1204,3 +1255,101 @@ def commit_with_retry(
     raise ConcurrentCommitError(
         f"lost the commit race {max_retries} times in {table_dir}"
     ) from last
+
+
+def rename_column(table_dir: str, old: str, new: str, note: str = "") -> int:
+    """Metadata-only column rename (Delta column-mapping "name mode",
+    Iceberg schema-evolution RENAME): publishes a new snapshot with the
+    SAME data files and an updated logical→physical mapping, so the
+    rename costs O(1) regardless of table size and is time-travel
+    correct (old snapshots keep the old name). ``old`` is the current
+    LOGICAL name (which may itself be a rename); chained renames keep
+    pointing at the original physical column. Readers translate at the
+    ``read()`` boundary; ``commit()`` translates writer dataframes
+    (logical) back to the physical schema, so appended files stay
+    footer-compatible with the original files. Internal row-addressing
+    surfaces (MOR delete key columns, merge keys) remain physical by
+    design — rename before or after, not concurrently with, key-based
+    maintenance.
+
+    Reference parity: Spark SQL's ``ALTER TABLE RENAME COLUMN``
+    requires a catalog with column-mapping support (Delta); this is
+    that contract over the JSON manifest store."""
+    v = current_version(table_dir)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    m = _read_manifest(table_dir, v)
+    mapping: dict[str, str] = dict(m.get("column_mapping", {}))
+    # current logical view: physical columns not renamed map to themselves
+    import pyarrow.parquet as _pq
+
+    physical_cols = set()
+    for f in m["files"]:
+        physical_cols.update(_pq.read_schema(os.path.join(table_dir, f)).names)
+    # logical view: every physical column maps to itself unless renamed
+    view = {c: c for c in physical_cols}
+    for logical, phys in mapping.items():
+        view.pop(phys, None)
+        view[logical] = phys
+    if old not in view:
+        raise ValueError(f"column {old!r} does not exist (logical view: {sorted(view)})")
+    if new in view:
+        raise ValueError(f"column {new!r} already exists")
+    phys = view.pop(old)
+    view[new] = phys
+    new_mapping = {logical: p for logical, p in view.items() if logical != p}
+    return _commit_files(
+        table_dir,
+        m["files"],
+        note or f"rename column {old} -> {new}",
+        base_version=v,
+        deletes=m.get("deletes", []),
+        partitions=m.get("partitions"),
+        column_mapping=new_mapping,
+    )
+
+
+def read_lineage(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """``read()`` plus the row-lineage metadata columns: ``_row_id``
+    (globally unique, monotonically assigned at the commit that first
+    wrote the row's file — Iceberg v3 row-lineage shape) and
+    ``_commit_version`` (the snapshot that added the file). Row ids are
+    stable across appends, deletes of OTHER files, time travel, and
+    clone; COW rewrites (merge/optimize/compact) re-id the rewritten
+    rows — the documented deviation from Iceberg, which carries ids
+    through rewrites by materializing them into the new files.
+
+    100 TB: the id arithmetic is first_row_id + parquet row ordinal
+    (``_metadata.row_index``, computed by the scanner for free); the
+    (file → block) map is manifest metadata joined in as a broadcast
+    literal map — no shuffle, no extra scan."""
+    from pyspark.sql import functions as F
+
+    v = version if version is not None else current_version(table_dir)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _read_manifest(table_dir, v)
+    lineage = manifest.get("lineage", {})
+    df = _scan_tagged(spark, table_dir, manifest["files"], manifest.get("deletes", []))
+    df = df.withColumn("_pos_lineage", F.col("_metadata.row_index"))
+    first_map = []
+    ver_map = []
+    for f in manifest["files"]:
+        base = os.path.basename(f)
+        first, added_v = lineage[f]
+        first_map.extend([F.lit(base), F.lit(int(first))])
+        ver_map.extend([F.lit(base), F.lit(int(added_v))])
+    df = (
+        df.withColumn(
+            "_row_id",
+            (F.create_map(*first_map)[F.col("_file")] + F.col("_pos_lineage")).cast("bigint"),
+        )
+        .withColumn("_commit_version", F.create_map(*ver_map)[F.col("_file")].cast("bigint"))
+        .drop("_file", "_pos_lineage")
+    )
+    for logical, physical in manifest.get("column_mapping", {}).items():
+        if logical != physical and physical in df.columns:
+            df = df.withColumnRenamed(physical, logical)
+    return df

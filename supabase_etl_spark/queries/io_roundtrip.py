@@ -2389,3 +2389,143 @@ def io_pyds_pushdown_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "io_manifest_column_mapping",
+    oracle="""
+    WITH base AS (SELECT n_nationkey, n_name FROM nation),
+    appended AS (
+        SELECT n_nationkey + 100 AS n_nationkey, n_name FROM nation
+        WHERE n_nationkey < 5
+    ),
+    v3 AS (SELECT * FROM base UNION ALL SELECT * FROM appended)
+    SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           'n_name' AS name_col, min(n_name) AS min_name,
+           CAST(NULL AS BOOLEAN) AS metadata_only_rename
+    FROM base
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT), 'nation_name', min(n_name), TRUE
+    FROM base
+    UNION ALL
+    SELECT 3, CAST(count(*) AS BIGINT), 'nation_name', min(n_name), FALSE
+    FROM v3
+    ORDER BY version
+    """,
+    tags=("io", "lakehouse"),
+)
+def io_manifest_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column rename through the manifest store's column
+    mapping (Delta column-mapping name mode / Iceberg RENAME COLUMN):
+    v1 commits nation, v2 renames n_name→nation_name WITHOUT touching
+    any data file (the query itself asserts v2's file list is
+    byte-identical to v1's and reports it as `metadata_only_rename`),
+    v3 appends rows THROUGH THE LOGICAL SCHEMA (writer uses
+    nation_name; commit() translates back to the physical n_name so
+    old and new files stay footer-compatible). Each version's read()
+    is summarized under the column name that version exposes.
+
+    100 TB: the rename is O(1) — one JSON manifest, zero data I/O;
+    reads pay one withColumnRenamed (a projection alias, free in the
+    plan); appends pay the same translation. That is the entire point
+    of name-mode mapping vs rewrite-the-table renames."""
+    from supabase_etl_spark.io import manifest_store as M
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    table = scratch_dir("manifest_colmap_")
+    v1 = M.commit(n, table, mode="overwrite")
+    v2 = M.rename_column(table, "n_name", "nation_name")
+    # metadata-only proof: the rename commit names exactly v1's files
+    f1 = M._read_manifest(table, v1)["files"]
+    f2 = M._read_manifest(table, v2)["files"]
+    meta_only = sorted(f1) == sorted(f2)
+    appended = (
+        n.filter(F.col("n_nationkey") < 5)
+        .select((F.col("n_nationkey") + 100).alias("n_nationkey"),
+                F.col("n_name").alias("nation_name"))
+    )
+    v3 = M.commit(appended, table, mode="append")
+
+    def summarize(version: int, name_col: str, flag) -> DataFrame:
+        return (
+            M.read(spark, table, version)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.min(name_col).alias("min_name"))
+            .select(
+                F.lit(version).alias("version"),
+                "n_rows",
+                F.lit(name_col).alias("name_col"),
+                "min_name",
+                flag.alias("metadata_only_rename"),
+            )
+        )
+
+    return (
+        summarize(v1, "n_name", F.lit(None).cast("boolean"))
+        .unionByName(summarize(v2, "nation_name", F.lit(bool(meta_only))))
+        .unionByName(summarize(v3, "nation_name", F.lit(False)))
+        .orderBy("version")
+    )
+
+
+@query(
+    "io_manifest_row_lineage",
+    oracle="""
+    WITH v1 AS (SELECT n_nationkey FROM nation WHERE n_nationkey < 10),
+    c1 AS (SELECT count(*) AS n1 FROM v1),
+    v2 AS (SELECT n_nationkey FROM nation WHERE n_nationkey >= 10)
+    SELECT 1 AS commit_version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS first_row_id,
+           CAST(count(*) AS BIGINT) AS last_row_id,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+    FROM v1
+    UNION ALL
+    SELECT 2,
+           CAST(count(*) AS BIGINT),
+           CAST((SELECT n1 FROM c1) + 1 AS BIGINT),
+           CAST((SELECT n1 FROM c1) + count(*) AS BIGINT),
+           CAST(SUM(n_nationkey) AS BIGINT)
+    FROM v2
+    ORDER BY commit_version
+    """,
+    tags=("io", "lakehouse"),
+)
+def io_manifest_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row lineage through the manifest store (Iceberg v3 row-lineage
+    shape): every commit's new files receive a contiguous block of
+    globally unique, monotonically increasing `_row_id`s (pinned in the
+    manifest as file→first_row_id; the id of a row is first_row_id +
+    its parquet row ordinal) plus `_commit_version` naming the snapshot
+    that added it. Two ordered single-file commits make the assignment
+    oracle-predictable: v1's rows are ids 1..N1, v2's N1+1..N1+N2 —
+    and because blocks are inherited, re-reading after the append
+    leaves v1's ids untouched (the grouped result proves both).
+
+    100 TB: ids cost nothing at read time (`_metadata.row_index` is
+    scanner-computed; the block map is a broadcast literal map), and
+    commit-time assignment reads only NEW files' footers — O(new
+    files), the same class as footer stats. COW rewrites re-id rows
+    (documented deviation; Iceberg materializes ids into rewritten
+    files to carry them)."""
+    from supabase_etl_spark.io import manifest_store as M
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    table = scratch_dir("manifest_lineage_")
+    # orderBy + coalesce(1): one sorted file per commit, so parquet row
+    # ordinals (and hence row ids) are deterministic for the oracle
+    M.commit(n.filter(F.col("n_nationkey") < 10).orderBy("n_nationkey").coalesce(1),
+             table, mode="overwrite")
+    M.commit(n.filter(F.col("n_nationkey") >= 10).orderBy("n_nationkey").coalesce(1),
+             table, mode="append")
+    return (
+        M.read_lineage(spark, table)
+        .groupBy(F.col("_commit_version").alias("commit_version"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("_row_id").cast("bigint").alias("first_row_id"),
+            F.max("_row_id").cast("bigint").alias("last_row_id"),
+            F.sum("n_nationkey").cast("bigint").alias("sum_key"),
+        )
+        .orderBy("commit_version")
+    )

@@ -900,3 +900,74 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     del m["created_at_ms"]
     _json.dump(m, open(path, "w"))
     assert M.resolve_as_of(t, int(os.path.getmtime(path) * 1000) + 1) >= 1
+
+
+# ---------------------------------------------------------------------------
+# column mapping (metadata-only rename) + row lineage
+# ---------------------------------------------------------------------------
+
+
+def test_rename_column_is_metadata_only_and_time_travel_correct(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = M.commit(spark.range(10).selectExpr("id", "id * 2 AS v"), t, "overwrite")
+    v2 = M.rename_column(t, "v", "doubled")
+    # metadata-only: identical file list, no new data files
+    assert M._read_manifest(t, v1)["files"] == M._read_manifest(t, v2)["files"]
+    # latest read exposes the logical name; pinned read keeps the old one
+    assert "doubled" in M.read(spark, t).columns
+    assert "v" not in M.read(spark, t).columns
+    assert "v" in M.read(spark, t, v1).columns
+
+
+def test_rename_column_append_translates_logical_to_physical(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(5).selectExpr("id", "id * 2 AS v"), t, "overwrite")
+    M.rename_column(t, "v", "doubled")
+    M.commit(spark.range(5, 8).selectExpr("id", "id * 2 AS doubled"), t, "append")
+    out = M.read(spark, t)
+    assert out.columns == ["id", "doubled"]
+    assert out.count() == 8
+    # physical files all agree on the original footer name -> one schema,
+    # no mergeSchema splits
+    rows = sorted(r["doubled"] for r in out.collect())
+    assert rows == [i * 2 for i in range(8)]
+
+
+def test_rename_column_chain_and_collisions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(3).selectExpr("id", "id * 2 AS v"), t, "overwrite")
+    M.rename_column(t, "v", "a")
+    M.rename_column(t, "a", "b")  # chained rename keeps pointing at physical v
+    assert M.read(spark, t).columns == ["id", "b"]
+    with pytest.raises(ValueError):
+        M.rename_column(t, "nope", "x")  # unknown logical name
+    with pytest.raises(ValueError):
+        M.rename_column(t, "b", "id")  # collision with live column
+
+
+def test_row_lineage_blocks_are_stable_across_appends(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10).orderBy("id").coalesce(1), t, "overwrite")
+    lin1 = {r["id"]: r["_row_id"] for r in M.read_lineage(spark, t).collect()}
+    M.commit(spark.range(10, 25).orderBy("id").coalesce(1), t, "append")
+    lin2 = {r["id"]: r["_row_id"] for r in M.read_lineage(spark, t).collect()}
+    # old rows keep their ids verbatim; new rows extend the sequence
+    assert all(lin2[k] == v for k, v in lin1.items())
+    assert sorted(lin2.values()) == list(range(1, 26))
+    # commit version stamps
+    vers = {r["id"]: r["_commit_version"] for r in M.read_lineage(spark, t).collect()}
+    assert vers[0] == 1 and vers[24] == 2
+
+
+def test_row_lineage_time_travel_and_monotonic_next_id(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(4).coalesce(1), t, "overwrite")
+    M.commit(spark.range(4, 9).coalesce(1), t, "append")
+    # pinned v1 sees only block 1
+    ids_v1 = sorted(r["_row_id"] for r in M.read_lineage(spark, t, 1).collect())
+    assert ids_v1 == [1, 2, 3, 4]
+    assert M._read_manifest(t, 2)["next_row_id"] == 10
+    # overwrite starts a fresh file but ids keep ascending (global uniqueness)
+    M.commit(spark.range(2).coalesce(1), t, "overwrite")
+    ids_v3 = sorted(r["_row_id"] for r in M.read_lineage(spark, t, 3).collect())
+    assert ids_v3 == [10, 11]
