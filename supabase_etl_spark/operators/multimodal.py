@@ -399,3 +399,29 @@ def sample_video_frames(df: DataFrame, every_k: int, content_col: str = "content
             "luma_sum bigint, luma_max int, chroma_sum bigint"
         ),
     )
+
+
+def decode_gray_vectors(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """mapInPandas decode → one row per image carrying its dims and the
+    row-major GRAY vector (per-pixel channel sum, an integer in
+    [0, 3·255] — exact, no luma rounding). The vector form is the
+    pairwise-comparison shape: downstream SSIM/PSNR joins pair images
+    on (width, height) and reduce two bounded arrays with zip_with —
+    one row per PAIR, never a per-pixel shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, grays = [], [], []
+            for content in pdf[content_col]:
+                w, h, ch, px = IC.decode_image(bytes(content))
+                gray = [
+                    sum(px[(y * w + x) * ch + c] for c in range(ch))
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                ws.append(w)
+                hs.append(h)
+                grays.append(gray)
+            yield pd.DataFrame({"uri": pdf["uri"], "w": ws, "h": hs, "gray": grays})
+
+    return df.mapInPandas(run, schema="uri string, w int, h int, gray array<long>")

@@ -1319,3 +1319,134 @@ def multimodal_av_sync_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SSIM_TOP_K = 10
+# SSIM stability constants for the integer gray range L = 3*255
+_SSIM_L = 765.0
+_SSIM_C1 = repr((0.01 * _SSIM_L) ** 2)
+_SSIM_C2 = repr((0.03 * _SSIM_L) ** 2)
+_SSIM_C3 = repr((0.03 * _SSIM_L) ** 2 / 2.0)
+
+
+@query(
+    "multimodal_image_ssim_pairs",
+    oracle=f"""
+    WITH {_IMG_DOCS_CTE},
+    px AS (
+        SELECT d.uri, d.w, d.h,
+               y.j * d.w + x.i AS idx,
+               (d.seed + 3 * x.i + 5 * y.j) % 256
+               + (d.seed + 3 * x.i + 5 * y.j + 7) % 256
+               + (d.seed + 3 * x.i + 5 * y.j + 14) % 256 AS v
+        FROM docs d,
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS x(i),
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS y(j)
+        WHERE x.i < d.w AND y.j < d.h
+    ),
+    mom AS (
+        SELECT uri, w, h,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s1,
+               CAST(SUM(v * v) AS DOUBLE) AS s2
+        FROM px GROUP BY uri, w, h
+    ),
+    cross_mom AS (
+        SELECT a.uri AS ua, b.uri AS ub, CAST(SUM(a.v * b.v) AS DOUBLE) AS sab
+        FROM px a JOIN px b
+          ON a.w = b.w AND a.h = b.h AND a.idx = b.idx AND a.uri < b.uri
+        GROUP BY a.uri, b.uri
+    ),
+    scored AS (
+        SELECT c.ua, c.ub,
+               round(
+                 ((2.0 * (ma.s1/ma.n) * (mb.s1/mb.n) + {_SSIM_C1})
+                  / ((ma.s1/ma.n)*(ma.s1/ma.n) + (mb.s1/mb.n)*(mb.s1/mb.n) + {_SSIM_C1}))
+                 * ((2.0 * sqrt(ma.s2/ma.n - (ma.s1/ma.n)*(ma.s1/ma.n))
+                         * sqrt(mb.s2/mb.n - (mb.s1/mb.n)*(mb.s1/mb.n)) + {_SSIM_C2})
+                    / ((ma.s2/ma.n - (ma.s1/ma.n)*(ma.s1/ma.n))
+                       + (mb.s2/mb.n - (mb.s1/mb.n)*(mb.s1/mb.n)) + {_SSIM_C2}))
+                 * ((c.sab/ma.n - (ma.s1/ma.n)*(mb.s1/mb.n) + {_SSIM_C3})
+                    / (sqrt(ma.s2/ma.n - (ma.s1/ma.n)*(ma.s1/ma.n))
+                       * sqrt(mb.s2/mb.n - (mb.s1/mb.n)*(mb.s1/mb.n)) + {_SSIM_C3})),
+                 9) AS ssim
+        FROM cross_mom c
+        JOIN mom ma ON c.ua = ma.uri
+        JOIN mom mb ON c.ub = mb.uri
+    )
+    SELECT ua, ub, ssim
+    FROM scored
+    ORDER BY ssim DESC, ua, ub
+    LIMIT {SSIM_TOP_K}
+    """,
+    tags=("llm", "multimodal", "similarity"),
+)
+def multimodal_image_ssim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global SSIM (Wang et al. 2004, single-window form) between every
+    pair of REAL decoded images sharing the same dimensions: luminance
+    · contrast · structure terms from exact integer pixel moments
+    (μ, σ², σab on the per-pixel channel-sum gray, L = 765, the
+    standard C1=(0.01L)², C2=(0.03L)², C3=C2/2 stabilizers). Top-10
+    most structurally similar pairs — the perceptual-QA complement to
+    the aHash/dHash dedup trio (SSIM catches "same structure,
+    different brightness" that bit hashes miss).
+
+    100 TB: decode shrinks each payload to a ≤(16×16) gray VECTOR in
+    one Arrow pass; pairs are blocked on (w, h) — the same-dims
+    equi-join — and each pair reduces two bounded arrays with a
+    zip_with dot product: one row per pair, no per-pixel shuffle, no
+    all-pairs across dimension classes. Window-level SSIM = the same
+    plan with (w, h, window_id) keys. Oracle replays the pixel
+    synthesis; the engine decodes real PNG/BMP/PPM containers — a
+    codec defect is a hash mismatch."""
+    vecs = M.decode_gray_vectors(_images(spark, sf_dir))
+    mom = vecs.select(
+        "uri",
+        "w",
+        "h",
+        "gray",
+        (F.col("w") * F.col("h")).cast("double").alias("n"),
+        F.aggregate("gray", F.lit(0).cast("long"), lambda a, x: a + x)
+        .cast("double")
+        .alias("s1"),
+        F.aggregate("gray", F.lit(0).cast("long"), lambda a, x: a + x * x)
+        .cast("double")
+        .alias("s2"),
+    )
+    a = mom.select(
+        F.col("uri").alias("ua"), F.col("w").alias("wa"), F.col("h").alias("ha"),
+        F.col("gray").alias("ga"), F.col("n").alias("na"),
+        F.col("s1").alias("s1a"), F.col("s2").alias("s2a"),
+    )
+    b = mom.select(
+        F.col("uri").alias("ub"), F.col("w").alias("wb"), F.col("h").alias("hb"),
+        F.col("gray").alias("gb"), F.col("n").alias("nb"),
+        F.col("s1").alias("s1b"), F.col("s2").alias("s2b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("wa") == F.col("wb")) & (F.col("ha") == F.col("hb")) & (F.col("ua") < F.col("ub")),
+    ).withColumn(
+        "sab",
+        F.aggregate(
+            F.zip_with("ga", "gb", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double"),
+    )
+    mua = F.col("s1a") / F.col("na")
+    mub = F.col("s1b") / F.col("nb")
+    vara = F.col("s2a") / F.col("na") - mua * mua
+    varb = F.col("s2b") / F.col("nb") - mub * mub
+    cov = F.col("sab") / F.col("na") - mua * mub
+    c1, c2, c3 = (F.lit(float(x)) for x in (_SSIM_C1, _SSIM_C2, _SSIM_C3))
+    ssim = (
+        ((2.0 * mua * mub + c1) / (mua * mua + mub * mub + c1))
+        * ((2.0 * F.sqrt(vara) * F.sqrt(varb) + c2) / (vara + varb + c2))
+        * ((cov + c3) / (F.sqrt(vara) * F.sqrt(varb) + c3))
+    )
+    return (
+        pairs.select("ua", "ub", F.round(ssim, 9).alias("ssim"))
+        .orderBy(F.desc("ssim"), "ua", "ub")
+        .limit(SSIM_TOP_K)
+    )
