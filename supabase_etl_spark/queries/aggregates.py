@@ -2826,3 +2826,124 @@ def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jb, 9).alias("jb_stat"),
         (jb > F.lit(5.991464547107979)).alias("reject_normal"),
     ).orderBy("g")
+
+
+PERM_TEST_B = 32  # deterministic md5 label permutations
+
+
+@query(
+    "agg_permutation_test",
+    oracle=f"""
+    WITH obs AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS g,
+               o_totalprice AS v
+        FROM orders WHERE o_orderstatus IN ('O', 'F')
+    ),
+    base AS (
+        SELECT CAST(SUM(CASE WHEN g = 1 THEN CAST(v AS DECIMAL(28,2)) END) AS DOUBLE)
+                   / SUM(g)
+               - CAST(SUM(CASE WHEN g = 0 THEN CAST(v AS DECIMAL(28,2)) END) AS DOUBLE)
+                   / SUM(1 - g) AS obs_diff
+        FROM obs
+    ),
+    reps AS (SELECT UNNEST(generate_series(0, {PERM_TEST_B - 1})) AS rep),
+    perm AS (
+        SELECT r.rep,
+               CAST(concat('0x', substring(
+                   md5(concat(CAST(o.k AS VARCHAR), '-', CAST(r.rep AS VARCHAR))),
+                   1, 8)) AS BIGINT) % 2 AS pg,
+               o.v
+        FROM obs o CROSS JOIN reps r
+    ),
+    pdiff AS (
+        SELECT rep,
+               CAST(SUM(CASE WHEN pg = 1 THEN CAST(v AS DECIMAL(28,2)) END) AS DOUBLE)
+                   / SUM(pg)
+               - CAST(SUM(CASE WHEN pg = 0 THEN CAST(v AS DECIMAL(28,2)) END) AS DOUBLE)
+                   / SUM(1 - pg) AS d
+        FROM perm GROUP BY rep
+    )
+    SELECT CAST({PERM_TEST_B} AS BIGINT) AS n_perms,
+           round(b.obs_diff, 9) AS observed_diff,
+           CAST(SUM(CASE WHEN abs(p.d) >= abs(b.obs_diff) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extreme,
+           round(CAST(SUM(CASE WHEN abs(p.d) >= abs(b.obs_diff) THEN 1 ELSE 0 END)
+                      AS DOUBLE) / {PERM_TEST_B}, 9) AS p_value
+    FROM pdiff p CROSS JOIN base b
+    GROUP BY b.obs_diff
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample permutation test (Fisher's exact-randomization
+    lineage) of the open-vs-finished mean order price: B=32
+    deterministic label shuffles (md5(orderkey, rep) % 2 — the
+    cross-engine hash used by every resampling operator here), p-value
+    = fraction of permuted |mean diffs| at least as extreme as the
+    observed one. The distribution-free twin of `agg_welch_ttest` —
+    valid under ANY error distribution, the property the parametric
+    tests buy with assumptions.
+
+    100 TB: the ×B explode collapses in the SAME map-side-combined
+    aggregate (per-replicate conditional decimal sums) — one wide scan,
+    one 32-group shuffle, no per-row state. Group means are exact
+    decimal sums over 2-dp money; the diff algebra is identical IEEE."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F")
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("g"),
+        F.col("o_totalprice").alias("v"),
+    )
+    dec = "decimal(28,2)"
+    base = o.agg(
+        (
+            F.sum(F.when(F.col("g") == 1, F.col("v").cast(dec))).cast("double") / F.sum("g")
+            - F.sum(F.when(F.col("g") == 0, F.col("v").cast(dec))).cast("double")
+            / F.sum(1 - F.col("g"))
+        ).alias("obs_diff")
+    )
+    reps = spark.range(PERM_TEST_B).select(F.col("id").alias("rep"))
+    perm = o.crossJoin(F.broadcast(reps)).select(
+        "rep",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("-", F.col("k").cast("string"), F.col("rep").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("pg"),
+        "v",
+    )
+    pdiff = perm.groupBy("rep").agg(
+        (
+            F.sum(F.when(F.col("pg") == 1, F.col("v").cast(dec))).cast("double")
+            / F.sum("pg")
+            - F.sum(F.when(F.col("pg") == 0, F.col("v").cast(dec))).cast("double")
+            / F.sum(1 - F.col("pg"))
+        ).alias("d")
+    )
+    return (
+        pdiff.crossJoin(F.broadcast(base))
+        .groupBy("obs_diff")
+        .agg(
+            F.lit(PERM_TEST_B).cast("bigint").alias("n_perms"),
+            F.sum(
+                F.when(F.abs(F.col("d")) >= F.abs(F.col("obs_diff")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+        .select(
+            "n_perms",
+            F.round(F.col("obs_diff"), 9).alias("observed_diff"),
+            "n_extreme",
+            F.round(F.col("n_extreme") / float(PERM_TEST_B), 9).alias("p_value"),
+        )
+    )

@@ -10816,3 +10816,234 @@ def orders_newsvendor_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eoq"
         ),
     ).orderBy("p_type")
+
+
+@query(
+    "events_granger_causality",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS y
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT COALESCE(y, 0.0) AS y,
+               COALESCE(LAG(y) OVER (ORDER BY day), 0.0) AS y1,
+               COALESCE(LAG(x) OVER (ORDER BY day), 0.0) AS x1,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    obs AS (SELECT y, y1, x1 FROM lagged WHERE rn > 1),
+    mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(round(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(y1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(round(x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(round(y1 * y1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(round(x1 * x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(round(y1 * x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(round(y * y1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy1,
+               CAST(SUM(CAST(round(y * x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy2
+        FROM obs
+    ),
+    fit AS (
+        SELECT n, syy, sy, sy1, sy2,
+               -- restricted: y ~ 1 + y1
+               (n * sy1 - s1 * sy) / (n * s11 - s1 * s1) AS br,
+               (sy - (n * sy1 - s1 * sy) / (n * s11 - s1 * s1) * s1) / n AS ar,
+               -- unrestricted: y ~ 1 + y1 + x1 (Cramer 3x3)
+               (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s2*s12) + s2*(s1*s12 - s2*s11)) AS det,
+               (sy*(s11*s22 - s12*s12) - s1*(sy1*s22 - sy2*s12) + s2*(sy1*s12 - sy2*s11)) AS det_a,
+               (n*(sy1*s22 - sy2*s12) - sy*(s1*s22 - s2*s12) + s2*(s1*sy2 - sy1*s2)) AS det_b,
+               (n*(s11*sy2 - s12*sy1) - s1*(s1*sy2 - s12*sy) + s2*(s1*sy1 - s11*sy)) AS det_c,
+               s1, s2, s11, s22, s12
+        FROM mom
+    ),
+    ssr AS (
+        SELECT n,
+               syy - ar * sy - br * sy1 AS ssr_r,
+               syy - (det_a/det) * sy - (det_b/det) * sy1 - (det_c/det) * sy2 AS ssr_u
+        FROM fit
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(ssr_r, 6) AS ssr_restricted,
+           round(ssr_u, 6) AS ssr_unrestricted,
+           round((ssr_r - ssr_u) / (ssr_u / (n - 3.0)), 9) AS f_stat,
+           (ssr_r - ssr_u) / (ssr_u / (n - 3.0)) > 4.0 AS clicks_granger_cause_purchases
+    FROM ssr
+    """,
+    tags=("events", "timeseries", "causal"),
+)
+def events_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality (Granger 1969): does yesterday's click
+    volume improve today's purchase-volume forecast beyond yesterday's
+    purchases alone? Restricted (y ~ 1 + y_{t-1}) vs unrestricted
+    (y ~ 1 + y_{t-1} + x_{t-1}) OLS on the daily grid; F = (ΔSSR/1) /
+    (SSR_u/(n−k−1)), flagged against a conservative F≈4.0 literal.
+    SSRs come from the normal-equation identity SSR = Σy² − β'X'y, so
+    no residual pass is needed.
+
+    100 TB: one conditional aggregate collapses the corpus to the day
+    grid; the lag join is a window on that bounded grid; both fits are
+    closed-form Cramer algebra over ten decimal moments — the
+    sufficient-statistics shape shared by the Bass/ridge/Huber
+    operators."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("value").cast("decimal(28,6)"))
+        )
+        .cast("double")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(28,6)"))
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    wd = Window.orderBy("day")
+    lagged = daily.select(
+        F.coalesce("y", F.lit(0.0)).alias("y"),
+        F.coalesce(F.lag("y").over(wd), F.lit(0.0)).alias("y1"),
+        F.coalesce(F.lag("x").over(wd), F.lit(0.0)).alias("x1"),
+        F.row_number().over(wd).alias("rn"),
+    ).filter(F.col("rn") > 1)
+    d6 = "decimal(38,6)"
+
+    def m(expr, alias):
+        return F.sum(F.round(expr, 6).cast(d6)).cast("double").alias(alias)
+
+    y, y1, x1 = F.col("y"), F.col("y1"), F.col("x1")
+    mom = lagged.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        m(y, "sy"), m(y1, "s1"), m(x1, "s2"),
+        m(y1 * y1, "s11"), m(x1 * x1, "s22"), m(y1 * x1, "s12"),
+        m(y * y, "syy"), m(y * y1, "sy1"), m(y * x1, "sy2"),
+    )
+    n, sy, s1, s2 = (F.col(c) for c in ("n", "sy", "s1", "s2"))
+    s11, s22, s12 = (F.col(c) for c in ("s11", "s22", "s12"))
+    syy, sy1, sy2 = (F.col(c) for c in ("syy", "sy1", "sy2"))
+    br = (n * sy1 - s1 * sy) / (n * s11 - s1 * s1)
+    ar = (sy - br * s1) / n
+    det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s2 * s12) + s2 * (
+        s1 * s12 - s2 * s11
+    )
+    det_a = sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - sy2 * s12) + s2 * (
+        sy1 * s12 - sy2 * s11
+    )
+    det_b = n * (sy1 * s22 - sy2 * s12) - sy * (s1 * s22 - s2 * s12) + s2 * (
+        s1 * sy2 - sy1 * s2
+    )
+    det_c = n * (s11 * sy2 - s12 * sy1) - s1 * (s1 * sy2 - s12 * sy) + s2 * (
+        s1 * sy1 - s11 * sy
+    )
+    ssr_r = syy - ar * sy - br * sy1
+    ssr_u = syy - (det_a / det) * sy - (det_b / det) * sy1 - (det_c / det) * sy2
+    f_stat = (ssr_r - ssr_u) / (ssr_u / (n - 3.0))
+    return mom.select(
+        n.cast("bigint").alias("n_obs"),
+        F.round(ssr_r, 6).alias("ssr_restricted"),
+        F.round(ssr_u, 6).alias("ssr_unrestricted"),
+        F.round(f_stat, 9).alias("f_stat"),
+        (f_stat > 4.0).alias("clicks_granger_cause_purchases"),
+    )
+
+
+CCF_MAX_LAG = 3
+
+
+@query(
+    "events_cross_correlation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COALESCE(CAST(SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS x,
+               COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS y
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT UNNEST(generate_series(-{CCF_MAX_LAG}, {CCF_MAX_LAG})) AS lag),
+    pairs AS (
+        SELECT l.lag, a.x, b.y
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+    ),
+    mom AS (
+        SELECT lag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(round(x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS ccf
+    FROM mom
+    ORDER BY lag
+    """,
+    tags=("events", "timeseries"),
+)
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the click and purchase daily
+    series at lags −3..+3 (corr(x_t, y_{t+lag})): the lead/lag
+    discovery tool behind "which signal moves first" — the
+    cross-series complement of `events_autocorrelation`, and the
+    screening step before the Granger F-test.
+
+    100 TB: the corpus collapses to the day grid once; each lag is a
+    grid self-join on day+lag (7 bounded joins via one lag-spine cross
+    join), and every correlation comes from decimal moments of the
+    aligned pairs. Both engines run the identical Pearson algebra."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("value").cast("decimal(28,6)"))
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value").cast("decimal(28,6)")
+                )
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("y"),
+    )
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = daily.select(F.col("day").alias("da"), "x")
+    b = daily.select(F.col("day").alias("db"), "y")
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("db") == F.date_add(F.col("da"), F.col("lag").cast("int")))
+    )
+    d6 = "decimal(38,6)"
+
+    def m(expr, alias):
+        return F.sum(F.round(expr, 6).cast(d6)).cast("double").alias(alias)
+
+    x, y = F.col("x"), F.col("y")
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        m(x, "sx"), m(y, "sy"), m(x * x, "sxx"), m(y * y, "syy"), m(x * y, "sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    return mom.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        n.cast("bigint").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9
+        ).alias("ccf"),
+    ).orderBy("lag")

@@ -3619,3 +3619,93 @@ def ml_eval_auc_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+@query(
+    "ml_eval_krippendorff_alpha",
+    oracle="""
+    WITH rated AS (
+        SELECT doc_id, lang AS r1,
+               CASE WHEN CAST(concat('0x', substring(
+                        md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+                    THEN 'zz' ELSE lang END AS r2
+        FROM documents
+    ),
+    coinc AS (
+        SELECT r1 AS c, r2 AS k, CAST(count(*) AS BIGINT) AS o FROM rated GROUP BY 1, 2
+        UNION ALL
+        SELECT r2 AS c, r1 AS k, CAST(count(*) AS BIGINT) AS o FROM rated GROUP BY 1, 2
+    ),
+    o_ck AS (SELECT c, k, SUM(o) AS o FROM coinc GROUP BY c, k),
+    margins AS (SELECT c, SUM(o) AS n_c FROM o_ck GROUP BY c),
+    totals AS (
+        SELECT CAST(SUM(n_c) AS DOUBLE) AS n,
+               CAST(SUM(n_c * n_c) AS DOUBLE) AS sum_nc2
+        FROM margins
+    ),
+    d AS (
+        SELECT CAST(SUM(CASE WHEN c <> k THEN o ELSE 0 END) AS DOUBLE) AS disagree
+        FROM o_ck
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_pairable_values,
+           round(d.disagree / t.n, 9) AS d_observed,
+           round((t.n * t.n - t.sum_nc2) / (t.n * (t.n - 1.0)), 9) AS d_expected,
+           round(1.0 - (d.disagree / t.n)
+                 / ((t.n * t.n - t.sum_nc2) / (t.n * (t.n - 1.0))), 9) AS alpha
+    FROM d CROSS JOIN totals t
+    """,
+    tags=("llm", "ml-eval", "agreement"),
+)
+def ml_eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal metric, 2 raters, no missing
+    values): alpha = 1 − D_o/D_e over the COINCIDENCE matrix (each
+    unit's rater pair counted in both orders), D_o = Σ_{c≠k} o_ck / n,
+    D_e = (n² − Σ_c n_c²) / (n(n−1)). Completes the agreement suite
+    (Cohen's kappa, ARI, NMI): alpha is the chance-corrected statistic
+    that generalizes to many raters, missing data, and ordinal
+    metrics, and is the labeling-QA standard for annotation pipelines.
+    Rater 1 is the corpus lang label; rater 2 is the same label with a
+    deterministic 10% md5 corruption — a known-disagreement fixture.
+
+    100 TB: one groupBy collapses the corpus to the (c, k) label-pair
+    table (bounded by label-alphabet², ~36 cells); everything after is
+    integer algebra on that tiny table. Exact integer coincidences →
+    identical IEEE ratios."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("r1"),
+        F.when(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % 10
+            == 0,
+            F.lit("zz"),
+        )
+        .otherwise(F.col("lang"))
+        .alias("r2"),
+    )
+    pair_counts = d.groupBy("r1", "r2").agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    coinc = pair_counts.select(F.col("r1").alias("c"), F.col("r2").alias("k"), "o").unionByName(
+        pair_counts.select(F.col("r2").alias("c"), F.col("r1").alias("k"), "o")
+    )
+    o_ck = coinc.groupBy("c", "k").agg(F.sum("o").alias("o"))
+    margins = o_ck.groupBy("c").agg(F.sum("o").alias("n_c"))
+    totals = margins.agg(
+        F.sum("n_c").cast("double").alias("n"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("double").alias("sum_nc2"),
+    )
+    dis = o_ck.agg(
+        F.sum(F.when(F.col("c") != F.col("k"), F.col("o")).otherwise(0))
+        .cast("double")
+        .alias("disagree")
+    )
+    n, sum_nc2, disagree = F.col("n"), F.col("sum_nc2"), F.col("disagree")
+    d_o = disagree / n
+    d_e = (n * n - sum_nc2) / (n * (n - 1.0))
+    return dis.crossJoin(F.broadcast(totals)).select(
+        n.cast("bigint").alias("n_pairable_values"),
+        F.round(d_o, 9).alias("d_observed"),
+        F.round(d_e, 9).alias("d_expected"),
+        F.round(1.0 - d_o / d_e, 9).alias("alpha"),
+    )

@@ -1871,3 +1871,47 @@ def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY total DESC, o_custkey LIMIT 15"
     )
 
+
+
+@query(
+    "sql_distribute_cluster_by",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("sql", "layout"),
+)
+def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's physical-layout SQL surface: DISTRIBUTE BY (hash
+    repartition on an expression), SORT BY (partition-LOCAL sort), and
+    their fusion CLUSTER BY — Hive-inherited clauses that let SQL users
+    pin the shuffle the way DataFrame users call repartition()/
+    sortWithinPartitions(). The inner CLUSTER BY query repartitions
+    lineitem by (returnflag, linestatus) and locally sorts; the outer
+    aggregate then needs NO second shuffle for the same keys (Catalyst
+    reuses the hash distribution — the plan shows one Exchange, owned
+    by the CLUSTER BY). DuckDB has no layout clauses, so the oracle is
+    the layout-free aggregate — CLUSTER BY must be result-transparent.
+
+    100 TB: this IS the lever — pre-clustering a hot key once and
+    letting every downstream agg/join on that key ride the existing
+    distribution; the same contract bucketed tables persist to disk."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_dcb")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM (
+            SELECT l_returnflag, l_linestatus, l_quantity
+            FROM lineitem_dcb
+            CLUSTER BY l_returnflag, l_linestatus
+        )
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
