@@ -11047,3 +11047,128 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9
         ).alias("ccf"),
     ).orderBy("lag")
+
+
+WALK_STEPS = 6
+
+
+def _walk_pick_sql(start: str, cur: str, step: int) -> str:
+    """Cross-engine deterministic neighbor pick: md5(start-cur-step)
+    mod out-degree, as a 1-based rank into the weight-ordered
+    adjacency."""
+    return (
+        f"CAST(concat('0x', substring(md5(concat({start}, '-', {cur}, "
+        f"'-', '{step}')), 1, 8)) AS BIGINT) % deg + 1"
+    )
+
+
+@query(
+    "graph_deepwalk_corpus",
+    oracle=f"""
+    WITH raw AS (
+        SELECT sn.n_name AS src, cn.n_name AS dst, CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE sn.n_name <> cn.n_name
+        GROUP BY 1, 2
+    ),
+    adj AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rnk,
+               count(*) OVER (PARTITION BY src) AS deg
+        FROM raw
+    ),
+    w0 AS (SELECT DISTINCT src AS start, src AS cur, src AS path FROM adj),
+    {", ".join(
+        f'''w{i} AS (
+        SELECT w.start, a.dst AS cur, concat(w.path, '>', a.dst) AS path
+        FROM w{i - 1} w JOIN adj a ON w.cur = a.src
+        WHERE a.rnk = {_walk_pick_sql("w.start", "w.cur", i)}
+    )''' for i in range(1, WALK_STEPS + 1)
+    )}
+    SELECT start, path AS walk
+    FROM w{WALK_STEPS}
+    ORDER BY start
+    """,
+    tags=("graph", "embedding-prep"),
+)
+def graph_deepwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec WALK-CORPUS generation (Perozzi 2014; the
+    sampling half of graph embeddings, the training half being out of
+    scope like BPE's serving split): one 6-step walk per start node on
+    the nation trade graph, next hop drawn by the deterministic
+    cross-engine hash md5(start, current, step) mod out-degree into
+    the weight-ranked adjacency — the replayable stand-in for the
+    alias-table sampler.
+
+    100 TB: the adjacency (with per-source rank/degree windows keyed
+    by src) is built once; each step is one equi-join of the frontier
+    against it — the Pregel shape, state never collects. Frontier size
+    = #starts forever (walks don't branch); K walks per node = K
+    frontier rows. The oracle unrolls the identical 6 joins as chained
+    CTEs."""
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+        )
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    c = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, s.s_nationkey == n1.s_nk)
+        .join(n2, c.c_nationkey == n2.c_nk)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    wrnk = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+    wdeg = Window.partitionBy("src")
+    adj = raw.select(
+        "src",
+        "dst",
+        F.row_number().over(wrnk).alias("rnk"),
+        F.count(F.lit(1)).over(wdeg).alias("deg"),
+    ).localCheckpoint()  # bounded edge table; truncate the star-join lineage
+    walk = adj.select(F.col("src").alias("start")).distinct().select(
+        "start", F.col("start").alias("cur"), F.col("start").alias("path")
+    )
+    for step in range(1, WALK_STEPS + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("-", F.col("start"), F.col("cur"), F.lit(str(step)))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("deg")
+            + 1
+        )
+        walk = (
+            walk.join(adj, walk.cur == adj.src)
+            .filter(F.col("rnk") == pick)
+            .select(
+                "start",
+                F.col("dst").alias("cur"),
+                F.concat(F.col("path"), F.lit(">"), F.col("dst")).alias("path"),
+            )
+        )
+    return walk.select("start", F.col("path").alias("walk")).orderBy("start")

@@ -1902,3 +1902,115 @@ def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("item_factor"), "partkey")
         .limit(10)
     )
+
+
+@query(
+    "ml_gmm_em_step",
+    oracle="""
+    WITH stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(round(value * value, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s2
+        FROM events
+    ),
+    init AS (
+        SELECT n,
+               s1 / n AS mu,
+               sqrt((s2 - s1 * s1 / n) / n) AS sd
+        FROM stats
+    ),
+    resp AS (
+        SELECT e.value AS x, i.n,
+               round(
+                 GREATEST(round(exp(-((e.value - (i.mu - i.sd / 2.0)) / i.sd)
+                           * ((e.value - (i.mu - i.sd / 2.0)) / i.sd) / 2.0), 12), 1e-12)
+                 / (GREATEST(round(exp(-((e.value - (i.mu - i.sd / 2.0)) / i.sd)
+                            * ((e.value - (i.mu - i.sd / 2.0)) / i.sd) / 2.0), 12), 1e-12)
+                    + GREATEST(round(exp(-((e.value - (i.mu + i.sd / 2.0)) / i.sd)
+                             * ((e.value - (i.mu + i.sd / 2.0)) / i.sd) / 2.0), 12), 1e-12)),
+                 9) AS r
+        FROM events e CROSS JOIN init i
+    ),
+    mstep AS (
+        SELECT MAX(n) AS n,
+               CAST(SUM(CAST(r AS DECIMAL(38,9))) AS DOUBLE) AS sr,
+               CAST(SUM(CAST(round(r * x, 7) AS DECIMAL(38,7))) AS DOUBLE) AS srx,
+               CAST(SUM(CAST(round(r * x * x, 7) AS DECIMAL(38,7))) AS DOUBLE) AS srx2,
+               CAST(SUM(CAST(round((1.0 - r) * x, 7) AS DECIMAL(38,7))) AS DOUBLE) AS sqx,
+               CAST(SUM(CAST(round((1.0 - r) * x * x, 7) AS DECIMAL(38,7))) AS DOUBLE) AS sqx2
+        FROM resp
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(sr / n, 9) AS w1_new,
+           round(srx / sr, 9) AS mu1_new,
+           round(sqx / (n - sr), 9) AS mu2_new,
+           round(srx2 / sr - (srx / sr) * (srx / sr), 6) AS var1_new,
+           round(sqx2 / (n - sr) - (sqx / (n - sr)) * (sqx / (n - sr)), 6) AS var2_new
+    FROM mstep
+    """,
+    tags=("ml", "train"),
+)
+def ml_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full EM step of a two-component 1-D Gaussian mixture
+    (Dempster 1977) on event values, from the deterministic moment
+    init mu ± sd/2 with shared sd and equal weights: E-step
+    responsibilities r_i = e1/(e1+e2) (equal weights and shared sigma
+    cancel), M-step reweighted means/variances and the new mixing
+    weight. The mixture-model gap in the trainer family (NB, logreg,
+    stumps, SVM, lasso are all discriminative or count-based).
+
+    Exactness discipline: the per-row exp kernels are rounded at 12 dp
+    BEFORE the ratio (the events_kde_density precedent for libm-exp
+    cross-engine safety), responsibilities at 9 dp, and every M-step
+    sum runs through exact decimals of bounded-scale products. 100 TB:
+    E+M is ONE map-side-combined aggregate per EM iteration — the
+    canonical distributed-EM shape (sufficient statistics per
+    partition, combine at the driver-free reduce); k components and d
+    dims widen the row, not the plan."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("value") * F.col("value"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    init = stats.select(
+        "n",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")).alias(
+            "sd"
+        ),
+    )
+    x = F.col("value")
+    z1 = (x - (F.col("mu") - F.col("sd") / 2.0)) / F.col("sd")
+    z2 = (x - (F.col("mu") + F.col("sd") / 2.0)) / F.col("sd")
+    # 1e-12 underflow clamp: far-tail rows round both kernels to zero at
+    # 12 dp; the clamp keeps r defined (and identical) in both engines
+    e1 = F.greatest(F.round(F.exp(-z1 * z1 / 2.0), 12), F.lit(1e-12))
+    e2 = F.greatest(F.round(F.exp(-z2 * z2 / 2.0), 12), F.lit(1e-12))
+    resp = e.crossJoin(F.broadcast(init)).select(
+        x.alias("x"), F.col("n"), F.round(e1 / (e1 + e2), 9).alias("r")
+    )
+    r, xx = F.col("r"), F.col("x")
+    mstep = resp.agg(
+        F.max("n").alias("n"),
+        F.sum(r.cast("decimal(38,9)")).cast("double").alias("sr"),
+        F.sum(F.round(r * xx, 7).cast("decimal(38,7)")).cast("double").alias("srx"),
+        F.sum(F.round(r * xx * xx, 7).cast("decimal(38,7)")).cast("double").alias("srx2"),
+        F.sum(F.round((1.0 - r) * xx, 7).cast("decimal(38,7)")).cast("double").alias("sqx"),
+        F.sum(F.round((1.0 - r) * xx * xx, 7).cast("decimal(38,7)"))
+        .cast("double")
+        .alias("sqx2"),
+    )
+    n, sr, srx, srx2, sqx, sqx2 = (
+        F.col(c) for c in ("n", "sr", "srx", "srx2", "sqx", "sqx2")
+    )
+    return mstep.select(
+        n.cast("bigint").alias("n_obs"),
+        F.round(sr / n, 9).alias("w1_new"),
+        F.round(srx / sr, 9).alias("mu1_new"),
+        F.round(sqx / (n - sr), 9).alias("mu2_new"),
+        F.round(srx2 / sr - (srx / sr) * (srx / sr), 6).alias("var1_new"),
+        F.round(sqx2 / (n - sr) - (sqx / (n - sr)) * (sqx / (n - sr)), 6).alias("var2_new"),
+    )

@@ -241,3 +241,51 @@ def scale_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("o_orderstatus")
     )
     return out
+
+
+@query(
+    "scale_aqe_rebalance",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("scale", "aqe"),
+)
+def scale_aqe_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AQE REBALANCE lever: `.hint('rebalance', key)` inserts a
+    RebalancePartitions node that AQE resolves at RUNTIME into evenly
+    sized partitions — splitting skewed shuffle blocks and coalescing
+    tiny ones (the fix for both the hot-key writer file and the
+    thousand-small-files problem, without hand-tuning a repartition
+    count). Result-transparent by contract: the oracle is the plain
+    aggregate, and the query asserts the hint survived into the
+    analyzed plan (`rebalance_in_plan`), the same proof style as the
+    bucketed-join Exchange check.
+
+    100 TB: REBALANCE before a write is the difference between one
+    10 GB file + 999 empty ones and 1000 ~10 MB files under a skewed
+    partition key; before a join it is AQE's skew-split applied to ANY
+    downstream op. Costs one shuffle it was going to pay anyway —
+    the skew-join salted twin covers the join-specific variant."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    balanced = li.hint("rebalance", "l_returnflag")
+    plan = balanced._jdf.queryExecution().optimizedPlan().toString()
+    rebalance_in_plan = "RebalancePartitions" in plan or "rebalance" in plan.lower()
+    out = (
+        balanced.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+    assert rebalance_in_plan, "REBALANCE hint did not reach the optimized plan"
+    return out
