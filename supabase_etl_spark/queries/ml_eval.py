@@ -3709,3 +3709,133 @@ def ml_eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d_e, 9).alias("d_expected"),
         F.round(1.0 - d_o / d_e, 9).alias("alpha"),
     )
+
+
+PLATT_LR = 0.5
+PLATT_EPOCHS = 3
+
+
+@query(
+    "ml_eval_platt_scaling",
+    oracle=f"""
+    WITH {_SQL_SCORED},
+    grid AS (
+        SELECT model, CAST(s AS DOUBLE) / {float(SCORE_GRID)} AS z,
+               CAST(SUM(y) AS DOUBLE) AS pos,
+               CAST(COUNT(*) - SUM(y) AS DOUBLE) AS neg
+        FROM scored GROUP BY model, s
+    ),
+    n AS (SELECT model, SUM(pos) + SUM(neg) AS n FROM grid GROUP BY model),
+    e0 AS (SELECT model, CAST(1.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b FROM n),
+    {", ".join(f'''
+    g{i} AS (
+        SELECT g.model,
+               CAST(SUM(CAST(round((g.pos * ((0.5 + 0.5 * (e.a * g.z + e.b)
+                        / (1.0 + ABS(e.a * g.z + e.b))) - 1.0)
+                    + g.neg * (0.5 + 0.5 * (e.a * g.z + e.b)
+                        / (1.0 + ABS(e.a * g.z + e.b)))) * g.z, 12)
+                    AS DECIMAL(38,12))) AS DOUBLE) AS ga,
+               CAST(SUM(CAST(round(g.pos * ((0.5 + 0.5 * (e.a * g.z + e.b)
+                        / (1.0 + ABS(e.a * g.z + e.b))) - 1.0)
+                    + g.neg * (0.5 + 0.5 * (e.a * g.z + e.b)
+                        / (1.0 + ABS(e.a * g.z + e.b))), 12)
+                    AS DECIMAL(38,12))) AS DOUBLE) AS gb
+        FROM grid g JOIN e{i - 1} e USING (model)
+        GROUP BY g.model
+    ),
+    e{i} AS (
+        SELECT e.model,
+               e.a - {PLATT_LR!r} * g.ga / n.n AS a,
+               e.b - {PLATT_LR!r} * g.gb / n.n AS b
+        FROM e{i - 1} e JOIN g{i} g USING (model) JOIN n USING (model)
+    )''' for i in range(1, PLATT_EPOCHS + 1))}
+    ,
+    nll AS (
+        SELECT g.model,
+               CAST(SUM(CAST(round(
+                   -(g.pos * ln(GREATEST(0.5 + 0.5 * (e.a * g.z + e.b)
+                                / (1.0 + ABS(e.a * g.z + e.b)), 1e-12))
+                     + g.neg * ln(GREATEST(1.0 - (0.5 + 0.5 * (e.a * g.z + e.b)
+                                / (1.0 + ABS(e.a * g.z + e.b))), 1e-12))), 12)
+                   AS DECIMAL(38,12))) AS DOUBLE) AS total_nll
+        FROM grid g JOIN e{PLATT_EPOCHS} e USING (model)
+        GROUP BY g.model
+    )
+    SELECT e.model,
+           round(e.a, 9) AS a_hat,
+           round(e.b, 9) AS b_hat,
+           round(nll.total_nll / n.n, 9) AS mean_nll
+    FROM e{PLATT_EPOCHS} e JOIN nll USING (model) JOIN n USING (model)
+    ORDER BY e.model
+    """,
+    tags=("llm", "ml-eval", "calibration"),
+)
+def ml_eval_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling (Platt 1999): fit p = σ(A·z + B) to the raw model
+    scores by three unrolled gradient epochs — the PARAMETRIC
+    calibrator next to the isotonic (PAV) one already shipped; Platt
+    wins on small/smooth calibration sets, isotonic on large/monotone-
+    violating ones. House trainer discipline: the rational squash
+    0.5 + 0.5u/(1+|u|) replaces the logistic sigmoid (no
+    transcendentals in the gradient), gradients are computed on the
+    (model, score) GRID (~41 cells/model, weighted by pos/neg counts),
+    and each epoch's terms are rounded at 12 dp and decimal-summed so
+    both engines walk the identical parameter trajectory.
+
+    100 TB: ONE corpus pass builds the weighted grid; every epoch is a
+    grid-sized aggregate joined to 1-row-per-model state — the same
+    shape as ml_logreg_gd, where the gradient cost is bounded by the
+    score grid, not the corpus."""
+    grid = (
+        _scored(spark, sf_dir)
+        .groupBy("model", "s")
+        .agg(
+            F.sum("y").cast("double").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("double").alias("neg"),
+        )
+        .withColumn("z", F.col("s").cast("double") / float(SCORE_GRID))
+        .drop("s")
+    ).localCheckpoint()  # grid reused by every epoch; truncate lineage
+    n = grid.groupBy("model").agg((F.sum("pos") + F.sum("neg")).alias("n"))
+    state = n.select("model", F.lit(1.0).alias("a"), F.lit(0.0).alias("b"))
+
+    def squash(u):
+        return 0.5 + 0.5 * u / (1.0 + F.abs(u))
+
+    for _ in range(PLATT_EPOCHS):
+        joined = grid.join(state, "model")
+        p = squash(F.col("a") * F.col("z") + F.col("b"))
+        resid = F.col("pos") * (p - 1.0) + F.col("neg") * p
+        grads = joined.groupBy("model").agg(
+            F.sum(F.round(resid * F.col("z"), 12).cast(DEC18)).cast("double").alias("ga"),
+            F.sum(F.round(resid, 12).cast(DEC18)).cast("double").alias("gb"),
+        )
+        state = (
+            state.join(grads, "model")
+            .join(n, "model")
+            .select(
+                "model",
+                (F.col("a") - PLATT_LR * F.col("ga") / F.col("n")).alias("a"),
+                (F.col("b") - PLATT_LR * F.col("gb") / F.col("n")).alias("b"),
+            )
+        )
+    fin = grid.join(state, "model")
+    p = squash(F.col("a") * F.col("z") + F.col("b"))
+    nll_term = -(
+        F.col("pos") * F.log(F.greatest(p, F.lit(1e-12)))
+        + F.col("neg") * F.log(F.greatest(1.0 - p, F.lit(1e-12)))
+    )
+    nll = fin.groupBy("model").agg(
+        F.sum(F.round(nll_term, 12).cast(DEC18)).cast("double").alias("total_nll")
+    )
+    return (
+        state.join(nll, "model")
+        .join(n, "model")
+        .select(
+            "model",
+            F.round(F.col("a"), 9).alias("a_hat"),
+            F.round(F.col("b"), 9).alias("b_hat"),
+            F.round(F.col("total_nll") / F.col("n"), 9).alias("mean_nll"),
+        )
+        .orderBy("model")
+    )
