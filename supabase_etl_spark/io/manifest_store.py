@@ -439,10 +439,19 @@ def merge(
     key_cols: list[str],
     note: str = "",
     evolve_schema: bool = False,
+    delete_condition: str | None = None,
 ) -> int:
     """Copy-on-write MERGE (Delta's ``MERGE INTO`` core): WHEN MATCHED
     THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *. Returns the new
     version.
+
+    ``delete_condition`` adds the third Delta clause — WHEN MATCHED AND
+    <condition> THEN DELETE — evaluated against the SOURCE rows (the
+    CDC shape: a change feed marks tombstones with an op column, e.g.
+    ``delete_condition="op = 'D'"``). Source rows satisfying it remove
+    their target keys and are NOT inserted; everything else follows the
+    upsert path. One transaction, one snapshot — no intermediate
+    version where deletes landed but updates have not.
 
     The scale-defining property, same as Delta/Iceberg COW: only data
     files that CONTAIN a matched key are rewritten. Touched files are
@@ -458,6 +467,15 @@ def merge(
     from pyspark.sql import functions as F
 
     v = current_version(table_dir)
+    if delete_condition is not None:
+        # split the change feed ONCE: tombstones remove keys and are
+        # never inserted; survivors run the normal upsert path below.
+        # Touched-file discovery uses ALL keys (updates AND deletes),
+        # so a file containing only deleted keys still gets rewritten.
+        tombstones = source.filter(F.expr(delete_condition))
+        source = source.filter(~F.coalesce(F.expr(delete_condition), F.lit(False)))
+    else:
+        tombstones = None
     if v <= 0:
         return commit(source, table_dir, mode="overwrite", note=note or "merge-init")
     manifest = _read_manifest(table_dir, v)
@@ -466,6 +484,13 @@ def merge(
     _validate_constraints(source, manifest.get("constraints", []))
     tgt = _read_tagged(spark, table_dir, v)
     src_keys = source.select(*key_cols).distinct()
+    if tombstones is not None:
+        src_keys = src_keys.unionByName(tombstones.select(*key_cols).distinct()).distinct()
+        if not evolve_schema:
+            # CDC feeds carry command columns (op, ts) the target lacks;
+            # WHEN MATCHED UPDATE SET * writes target columns only
+            tcols = set(tgt.columns) - {"_file"}
+            source = source.select([c for c in source.columns if c in tcols])
     touched = {
         r["_file"]
         for r in tgt.join(src_keys, key_cols, "left_semi")
@@ -479,13 +504,24 @@ def merge(
     keep = (
         tgt.filter(F.col("_file").isin(list(touched)))
         .drop("_file")
-        .join(source.select(*key_cols), key_cols, "left_anti")
+        # anti-join on ALL matched keys (updates AND tombstones): a
+        # deleted key's rows must not survive into the rewrite set
+        .join(src_keys, key_cols, "left_anti")
     )
     # evolve_schema (Delta's mergeSchema/autoMerge): source columns
     # absent from the target null-fill the kept rows; untouched files
     # carry over in their OLD schema and read() reconciles via footer
     # union — schema evolution costs zero rewrites of unmatched files.
-    rewrite = keep.unionByName(source, allowMissingColumns=evolve_schema)
+    if tombstones is not None and not source.columns:
+        # tombstone-only feed whose command columns were all projected
+        # away: nothing to upsert, the rewrite is just the kept rows
+        rewrite = keep
+    elif tombstones is not None and source.isEmpty():
+        # delete-only batch (no surviving upsert rows): skip the union —
+        # an empty source may legitimately lack target columns
+        rewrite = keep
+    else:
+        rewrite = keep.unionByName(source, allowMissingColumns=evolve_schema)
     new_files = _write_data_files(rewrite, table_dir)
     # carried files keep their basenames, so carried MOR delete scopes
     # still hit them; rewritten rows came through read(), which already

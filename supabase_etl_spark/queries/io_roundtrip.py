@@ -2529,3 +2529,84 @@ def io_manifest_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version")
     )
+
+
+@query(
+    "io_manifest_merge_delete_clause",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey AS k, n_name AS v FROM nation
+    ),
+    feed AS (
+        -- CDC batch: delete even keys < 10, update keys 10..14, insert 100..102
+        SELECT n_nationkey AS k, 'D' AS op, CAST(NULL AS VARCHAR) AS v
+        FROM nation WHERE n_nationkey < 10 AND n_nationkey % 2 = 0
+        UNION ALL
+        SELECT n_nationkey, 'U', upper(n_name)
+        FROM nation WHERE n_nationkey BETWEEN 10 AND 14
+        UNION ALL
+        SELECT n_nationkey + 100, 'U', concat('NEW_', n_name)
+        FROM nation WHERE n_nationkey < 3
+    ),
+    merged AS (
+        SELECT b.k, COALESCE(f.v, b.v) AS v
+        FROM base b LEFT JOIN feed f ON b.k = f.k
+        WHERE f.op IS NULL OR f.op <> 'D'
+        UNION ALL
+        SELECT f.k, f.v FROM feed f
+        WHERE f.op = 'U' AND f.k NOT IN (SELECT k FROM base)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_keys,
+           CAST(SUM(CASE WHEN v = upper(v) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_upper_names,
+           min(v) AS min_name
+    FROM merged
+    """,
+    tags=("io", "lakehouse"),
+)
+def io_manifest_merge_delete_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD Delta MERGE clause in one atomic COW transaction:
+    WHEN MATCHED AND op='D' THEN DELETE / WHEN MATCHED THEN UPDATE SET *
+    / WHEN NOT MATCHED THEN INSERT *. A single CDC feed carrying
+    tombstones, updates, and inserts lands as ONE snapshot — no
+    intermediate version where deletes applied but updates had not
+    (the anomaly a delete_where+merge two-step would expose to
+    concurrent readers). The summary hashes the merged table against
+    the relational oracle of the same feed.
+
+    100 TB: identical cost shape to the 2-clause merge — only files
+    containing a matched key (update OR tombstone) rewrite; the
+    tombstone split is two filters on the already-scanned source."""
+    from supabase_etl_spark.io import manifest_store as M
+
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("v")
+    )
+    table = scratch_dir("manifest_mergedel_")
+    M.commit(n, table, mode="overwrite")
+    feed = (
+        n.filter((F.col("k") < 10) & (F.col("k") % 2 == 0))
+        .select("k", F.lit("D").alias("op"), F.lit(None).cast("string").alias("v"))
+        .unionByName(
+            n.filter(F.col("k").between(10, 14)).select(
+                "k", F.lit("U").alias("op"), F.upper("v").alias("v")
+            )
+        )
+        .unionByName(
+            n.filter(F.col("k") < 3).select(
+                (F.col("k") + 100).alias("k"),
+                F.lit("U").alias("op"),
+                F.concat(F.lit("NEW_"), F.col("v")).alias("v"),
+            )
+        )
+    )
+    M.merge(spark, table, feed, ["k"], delete_condition="op = 'D'")
+    return M.read(spark, table).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("k").cast("bigint").alias("sum_keys"),
+        F.sum(F.when(F.col("v") == F.upper("v"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_upper_names"),
+        F.min("v").alias("min_name"),
+    )

@@ -2887,3 +2887,101 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+KN_DISCOUNT = 0.75  # absolute discount d (Chen & Goodman's fixed-d KN)
+KN_TOP = 20
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS b
+        FROM base WHERE len(toks) >= 2
+    ),
+    c2 AS (
+        SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+               CAST(count(*) AS BIGINT) AS c12
+        FROM bg GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT w1,
+               CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS fanout
+        FROM c2 GROUP BY w1
+    ),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS fanin FROM c2 GROUP BY w2),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM c2),
+    scored AS (
+        SELECT c2.w1, c2.w2, c2.c12,
+               round(
+                 GREATEST(c2.c12 - {KN_DISCOUNT!r}, 0.0) / ctx.c1
+                 + ({KN_DISCOUNT!r} * ctx.fanout / ctx.c1)
+                   * (cont.fanin / t.n_types), 9) AS p_kn
+        FROM c2
+        JOIN ctx ON c2.w1 = ctx.w1
+        JOIN cont ON c2.w2 = cont.w2
+        CROSS JOIN t
+    )
+    SELECT w1, w2, c12, p_kn
+    FROM scored
+    ORDER BY p_kn DESC, w1, w2
+    LIMIT {KN_TOP}
+    """,
+    tags=("llm", "text"),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    Goodman 1999's fixed-discount form, d = 0.75): P(w2|w1) =
+    max(c12−d, 0)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/|bigram types|. The
+    canonical LM smoothing — its CONTINUATION count (in how many
+    distinct contexts does w2 appear?) is what separates it from the
+    stupid-backoff and raw-MLE bigram operators already shipped:
+    "Francisco" is frequent but only ever follows "San", so KN
+    correctly refuses to predict it elsewhere. Top-20 bigrams by
+    smoothed probability.
+
+    100 TB: the corpus collapses to the distinct-bigram table in one
+    groupBy; context totals, fanout (N1+ forward), fanin (N1+
+    backward), and the type count are all aggregates OF that table;
+    the scoring join is bigram-keyed. Everything after the first
+    shuffle is vocabulary-sized — the same discipline as the TF-IDF /
+    BPE operators. Integer counts → identical IEEE ratios, rounded at
+    9 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    base = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    bg = base.select(
+        F.posexplode(F.slice("toks", 1, F.size("toks") - 1)).alias("i", "w1"),
+        F.col("toks"),
+    ).select("w1", F.element_at("toks", F.col("i") + 2).alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c2 = c2.localCheckpoint()  # reused by 3 rollups + the scoring join
+    ctx = c2.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("fanout"),
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("fanin"))
+    t = c2.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    scored = (
+        c2.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.greatest(F.col("c12") - KN_DISCOUNT, F.lit(0.0)) / F.col("c1")
+                + (KN_DISCOUNT * F.col("fanout") / F.col("c1"))
+                * (F.col("fanin") / F.col("n_types")),
+                9,
+            ).alias("p_kn"),
+        )
+    )
+    return scored.orderBy(F.desc("p_kn"), "w1", "w2").limit(KN_TOP)

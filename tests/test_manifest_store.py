@@ -971,3 +971,34 @@ def test_row_lineage_time_travel_and_monotonic_next_id(spark, tmp_path):
     M.commit(spark.range(2).coalesce(1), t, "overwrite")
     ids_v3 = sorted(r["_row_id"] for r in M.read_lineage(spark, t, 3).collect())
     assert ids_v3 == [10, 11]
+
+
+def test_merge_delete_clause_single_transaction(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(10).selectExpr("id", "id * 2 AS v"), t, "overwrite")
+    feed = spark.createDataFrame(
+        [(2, "D", None), (3, "U", 99), (100, "U", 7)], "id long, op string, v long"
+    )
+    v = M.merge(spark, t, feed, ["id"], delete_condition="op = 'D'")
+    rows = {r["id"]: r["v"] for r in M.read(spark, t).collect()}
+    assert 2 not in rows  # tombstone removed the key
+    assert rows[3] == 99  # matched update
+    assert rows[100] == 7  # not-matched insert
+    assert len(rows) == 10  # 10 - 1 deleted + 1 inserted
+    # atomicity: exactly ONE new version for the whole feed
+    assert v == 2 and M.current_version(t) == 2
+    # command column did not leak into the table
+    assert "op" not in M.read(spark, t).columns
+
+
+def test_merge_delete_clause_tombstone_only_file_rewrites(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    # two single-row files
+    M.commit(spark.range(1).selectExpr("id", "id AS v").coalesce(1), t, "overwrite")
+    M.commit(
+        spark.range(1, 2).selectExpr("id", "id AS v").coalesce(1), t, "append"
+    )
+    feed = spark.createDataFrame([(1, "D")], "id long, op string")
+    M.merge(spark, t, feed, ["id"], delete_condition="op = 'D'")
+    rows = [r["id"] for r in M.read(spark, t).collect()]
+    assert rows == [0]  # a file containing ONLY deleted keys was rewritten away
