@@ -874,3 +874,55 @@ def test_dtw_corpus_work_is_two_rollups(spark):
     q = load_all()["events_dtw_alignment"]
     plan = _plan(q.fn(spark, SF))
     assert plan.count("events.parquet") == 2
+
+
+def test_hbos_scoring_joins_broadcast_bin_tables(spark):
+    q = load_all()["dq_hbos_outliers"]
+    plan = _plan(q.fn(spark, SF))
+    # both histogram tables (10 + 24 rows) and the max rows broadcast;
+    # the top-10 is a TakeOrdered, never a global Sort+Limit
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curriculum_rank_is_range_partitioned_not_single_window(spark):
+    q = load_all()["sample_curriculum_schedule"]
+    plan = _plan(q.fn(spark, SF))
+    # distributed_cumsum shape: the corpus-sized running sum is a window
+    # PARTITIONED BY the prefix pid (per-partition local sums), never a
+    # single-partition window over the documents scan. The only
+    # SinglePartition windows are bounded: the P-row offsets table and
+    # the 10-row decile cumulative.
+    assert "windowspecdefinition(__pfx_pid" in plan
+
+
+def test_ssim_pairs_block_on_dims_no_cartesian(spark):
+    q = load_all()["multimodal_image_ssim_pairs"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_permutation_test_is_one_aggregate_over_the_explode(spark):
+    q = load_all()["agg_permutation_test"]
+    plan = _plan(q.fn(spark, SF))
+    # the x32 replicate explode collapses in a partial HashAggregate
+    # before the exchange: map-side combine on (rep)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "HashAggregate" in plan
+
+
+def test_cluster_by_owns_the_aggregate_exchange(spark):
+    q = load_all()["sql_distribute_cluster_by"]
+    plan = _plan(q.fn(spark, SF))
+    # CLUSTER BY hash-partitions on the group keys; the downstream
+    # aggregate must NOT add a second hashpartitioning exchange on them
+    assert plan.lower().count("hashpartitioning(l_returnflag") == 1
+
+
+def test_kneser_ney_scoring_stays_vocabulary_sized(spark):
+    q = load_all()["text_kneser_ney_bigram"]
+    plan = _plan(q.fn(spark, SF))
+    # final ranking is TakeOrdered on the bigram-type table
+    assert "TakeOrderedAndProject" in plan
