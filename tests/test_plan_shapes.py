@@ -926,3 +926,44 @@ def test_kneser_ney_scoring_stays_vocabulary_sized(spark):
     plan = _plan(q.fn(spark, SF))
     # final ranking is TakeOrdered on the bigram-type table
     assert "TakeOrderedAndProject" in plan
+
+
+def test_length_batching_ranks_are_distributed(spark):
+    """sample_length_bucketed_batching's two global ranks (length-sorted,
+    md5-shuffled) must come from distributed_cumsum — rangepartitioning
+    exchanges + pid-partitioned windows + broadcast offsets — never a
+    bare Window.orderBy over the corpus (VERDICT r7 finding 1)."""
+    q = load_all()["sample_length_bucketed_batching"]
+    plan = _plan(q.fn(spark, SF))
+    # the rangepartitioning exchange sits behind distributed_cumsum's
+    # localCheckpoint (plan truncation), so assert the window shape
+    # instead: every corpus-ordered window spec must be partitioned by
+    # the prefix pid; the only unpartitioned windows are the bounded
+    # per-partition-offset frames (ordered by pid alone)
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln
+        and "doc_id" in ln
+        and "__pfx_pid" not in ln.split("windowspecdefinition(", 1)[1]
+    ]
+    assert not bad, f"corpus-sized unpartitioned window(s): {bad}"
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pps_cumsum_is_distributed(spark):
+    """sample_pps_systematic's size cumsum must be the distributed
+    prefix (rangepartitioning + broadcast offsets), and the global
+    total must arrive as a broadcast 1-row aggregate — never a
+    Window.partitionBy() over the corpus (VERDICT r7 finding 2)."""
+    q = load_all()["sample_pps_systematic"]
+    plan = _plan(q.fn(spark, SF))
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln
+        and "doc_id" in ln
+        and "__pfx_pid" not in ln.split("windowspecdefinition(", 1)[1]
+    ]
+    assert not bad, f"corpus-sized unpartitioned window(s): {bad}"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
