@@ -82,6 +82,36 @@ class SchemaEnforcementError(ValueError):
     surprise at some later read."""
 
 
+def _translate(df: DataFrame, mapping: dict[str, str], direction: str) -> DataFrame:
+    """Apply the table's column mapping as ONE simultaneous projection.
+
+    ``direction='to_physical'`` renames logical→physical (the writer
+    boundary: commit/merge source frames); ``'to_logical'`` renames
+    physical→logical (the reader boundary: read/read_lineage).
+
+    A single ``select`` is a correctness requirement, not style:
+    iterated ``withColumnRenamed`` applies entries sequentially, so a
+    mapping where one rename reuses a name another entry vacates (legal:
+    rename a→c then rename b→a gives {c: a, a: b}) renames onto a
+    still-present column mid-chain, duplicating names and corrupting
+    every later rename (ADVICE r7, medium). The simultaneous projection
+    evaluates all entries against the ORIGINAL column set."""
+    from pyspark.sql import functions as F
+
+    ren: dict[str, str] = {}
+    for logical, physical in mapping.items():
+        if logical == physical:
+            continue
+        src, dst = (
+            (logical, physical) if direction == "to_physical" else (physical, logical)
+        )
+        if src in df.columns:
+            ren[src] = dst
+    if not ren:
+        return df
+    return df.select([F.col(c).alias(ren.get(c, c)) for c in df.columns])
+
+
 def _table_schema(df: DataFrame, table_dir: str, version: int):
     """Current snapshot's reconciled schema, footer-only (no row read)."""
     manifest = _read_manifest(table_dir, version)
@@ -115,14 +145,16 @@ def commit(
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     # column mapping: writers speak the LOGICAL schema; data files keep
     # the original PHYSICAL names forever (Delta column-mapping name
-    # mode), so a rename never rewrites data. Translate before schema
-    # enforcement — the footer schema being compared is physical.
+    # mode), so a rename never rewrites data. CHECK constraints are
+    # stored in LOGICAL terms (add_constraint validates against read();
+    # rename_column rewrites stored expressions), so they gate the df
+    # BEFORE translation (ADVICE r7: validating post-translation made
+    # every commit fail once a constrained column was renamed).
     _v0 = current_version(table_dir)
     if _v0 > 0:
-        _map = _read_manifest(table_dir, _v0).get("column_mapping", {})
-        for _logical, _physical in _map.items():
-            if _logical != _physical and _logical in df.columns:
-                df = df.withColumnRenamed(_logical, _physical)
+        _m0 = _read_manifest(table_dir, _v0)
+        _validate_constraints(df, _m0.get("constraints", []))
+        df = _translate(df, _m0.get("column_mapping", {}), "to_physical")
     if schema_mode == "enforce" and mode == "append" and current_version(table_dir) > 0:
         cur = {f.name: f.dataType for f in _table_schema(df, table_dir, current_version(table_dir))}
         new = {f.name: f.dataType for f in df.schema}
@@ -136,13 +168,7 @@ def commit(
                 f"schema drift rejected: added={added} missing={missing} "
                 f"retyped={retyped}"
             )
-    prev = current_version(table_dir)
-    if prev > 0:
-        # CHECK constraints gate every write mode (append AND overwrite),
-        # before any data file lands — the Delta contract
-        _validate_constraints(
-            df, _read_manifest(table_dir, prev).get("constraints", [])
-        )
+    prev = _v0
     # the new data files are invisible until the manifest names them
     new_files = _write_data_files(df, table_dir)
     files = list(new_files)
@@ -238,10 +264,9 @@ def read(spark: SparkSession, table_dir: str, version: int | None = None) -> Dat
     internal surfaces (merge/delete key columns) stay physical."""
     df = _read_tagged(spark, table_dir, version).drop("_file")
     v = version if version is not None else current_version(table_dir)
-    for logical, physical in _read_manifest(table_dir, v).get("column_mapping", {}).items():
-        if logical != physical and physical in df.columns:
-            df = df.withColumnRenamed(physical, logical)
-    return df
+    return _translate(
+        df, _read_manifest(table_dir, v).get("column_mapping", {}), "to_logical"
+    )
 
 
 def _read_tagged(
@@ -356,6 +381,19 @@ def _commit_files(
         # every commit path inherits it unless rename_column() sets a
         # new map, so appends/merges never silently undo a rename
         column_mapping = base_manifest.get("column_mapping", {})
+    if partitions is None and base_version > 0:
+        # hidden-partitioning tuples are PER-FILE facts about immutable
+        # files — carrying a surviving file's tuple is always safe, and
+        # NOT carrying it silently degrades read_partitioned(filters=...)
+        # to a full scan after any append/merge/delete/publish on a
+        # commit_partitioned() table (VERDICT r7 finding 3). Default:
+        # inherit the base manifest's tuples for every surviving file;
+        # callers that compute fresh tuples (commit_partitioned) pass an
+        # explicit map. Files REWRITTEN by COW paths get no tuple and are
+        # scanned conservatively (the evolution-safe rule in
+        # read_partitioned), which keeps answers correct.
+        base_parts = base_manifest.get("partitions", {})
+        partitions = {f: base_parts[f] for f in files if f in base_parts} or None
     # Row lineage (Iceberg v3 row-lineage shape): every data file owns a
     # contiguous block of monotonically increasing row ids, assigned ONCE
     # when the file first appears in a manifest and inherited verbatim by
@@ -467,11 +505,23 @@ def merge(
     from pyspark.sql import functions as F
 
     v = current_version(table_dir)
+    if delete_condition is not None and v <= 0:
+        # a CDC feed against a table that does not exist yet cannot
+        # match anything, and the init commit would leak the feed's
+        # command columns (op, ts) into the table schema — the caller
+        # cannot project them away because no target schema exists to
+        # project onto (ADVICE r7, low). Fail fast instead.
+        raise FileNotFoundError(
+            f"merge with delete_condition requires a committed table in "
+            f"{table_dir}; commit the initial snapshot first"
+        )
     if delete_condition is not None:
         # split the change feed ONCE: tombstones remove keys and are
         # never inserted; survivors run the normal upsert path below.
         # Touched-file discovery uses ALL keys (updates AND deletes),
         # so a file containing only deleted keys still gets rewritten.
+        # The condition and the constraint gate below see LOGICAL names
+        # (the caller's vocabulary); translation to physical follows.
         tombstones = source.filter(F.expr(delete_condition))
         source = source.filter(~F.coalesce(F.expr(delete_condition), F.lit(False)))
     else:
@@ -480,8 +530,17 @@ def merge(
         return commit(source, table_dir, mode="overwrite", note=note or "merge-init")
     manifest = _read_manifest(table_dir, v)
     # incoming rows are the only new data a MERGE can introduce — gate
-    # them on the table's CHECK constraints like commit() does
+    # them on the table's CHECK constraints (logical terms) like commit()
     _validate_constraints(source, manifest.get("constraints", []))
+    # writers speak logical names; data files and the target scan are
+    # physical. Translating here keeps the upsert union name-aligned and
+    # the new files footer-compatible — without it a renamed column
+    # null-fills via unionByName and the footer carries the logical name,
+    # which read() would then rename AGAIN into a duplicate (ADVICE r7).
+    mapping = manifest.get("column_mapping", {})
+    source = _translate(source, mapping, "to_physical")
+    if tombstones is not None:
+        tombstones = _translate(tombstones, mapping, "to_physical")
     tgt = _read_tagged(spark, table_dir, v)
     src_keys = source.select(*key_cols).distinct()
     if tombstones is not None:
@@ -922,7 +981,13 @@ def optimize(
     under the same base-version put-if-absent discipline. Compaction
     kills the small-file tax; clustering tightens per-file min/max so
     stats/bloom pruning bites. Cost is one full rewrite of the LIVE
-    snapshot only (never history), the same bill Delta pays."""
+    snapshot only (never history), the same bill Delta pays.
+
+    Hidden-partitioning note: every file is rewritten, so no partition
+    tuple survives — read_partitioned(filters=...) scans conservatively
+    (correct, unpruned) until the next commit_partitioned() restamps
+    the layout; use commit_partitioned(mode='overwrite') when the goal
+    is compaction WITH partition pruning."""
     v = current_version(table_dir)
     if v <= 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
@@ -1237,13 +1302,33 @@ def clone_shallow(src_table: str, dst_table: str, note: str = "") -> int:
     v = current_version(src_table)
     if v <= 0:
         raise FileNotFoundError(f"no committed version in {src_table}")
-    files = [
-        f if os.path.isabs(f) else os.path.abspath(os.path.join(src_table, f))
-        for f in _read_manifest(src_table, v)["files"]
+    src_m = _read_manifest(src_table, v)
+
+    def _abs(f: str) -> str:
+        return f if os.path.isabs(f) else os.path.abspath(os.path.join(src_table, f))
+
+    files = [_abs(f) for f in src_m["files"]]
+    # the clone must see the SOURCE SNAPSHOT's logical table, so every
+    # piece of snapshot metadata rides along with the borrowed files:
+    # MOR deletes (dropping them would resurrect deleted rows in the
+    # clone — applies_to matches by basename, which absolutizing
+    # preserves), the column mapping (else the clone reads physical
+    # names), CHECK constraints, and per-file partition tuples.
+    deletes = [
+        {**e, "files": [_abs(p) for p in e["files"]]}
+        for e in src_m.get("deletes", [])
     ]
+    partitions = {_abs(f): t for f, t in src_m.get("partitions", {}).items()}
     os.makedirs(_manifest_dir(dst_table), exist_ok=True)
     return _commit_files(
-        dst_table, files, note or f"clone-of-{src_table}@v{v}", base_version=0
+        dst_table,
+        files,
+        note or f"clone-of-{src_table}@v{v}",
+        base_version=0,
+        deletes=deletes,
+        constraints=src_m.get("constraints", []),
+        partitions=partitions or None,
+        column_mapping=src_m.get("column_mapping", {}),
     )
 
 
@@ -1334,6 +1419,14 @@ def rename_column(table_dir: str, old: str, new: str, note: str = "") -> int:
     phys = view.pop(old)
     view[new] = phys
     new_mapping = {logical: p for logical, p in view.items() if logical != p}
+    # CHECK constraints are stored in LOGICAL terms and validated against
+    # logical frames (commit/merge), so a rename must rewrite every stored
+    # expression that references the old logical name — otherwise the
+    # first post-rename commit fails to resolve the column (ADVICE r7).
+    constraints = [
+        {**c, "expr": _rewrite_identifier(c["expr"], old, new)}
+        for c in m.get("constraints", [])
+    ]
     return _commit_files(
         table_dir,
         m["files"],
@@ -1342,7 +1435,22 @@ def rename_column(table_dir: str, old: str, new: str, note: str = "") -> int:
         deletes=m.get("deletes", []),
         partitions=m.get("partitions"),
         column_mapping=new_mapping,
+        constraints=constraints,
     )
+
+
+def _rewrite_identifier(expr: str, old: str, new: str) -> str:
+    """Rewrite bare or backtick-quoted occurrences of column ``old`` to
+    ``new`` in a SQL expression. Conservative token rewrite: an
+    occurrence bounded by identifier characters, a dot (struct access),
+    or a quote is left alone, which covers the expressions CHECK
+    constraints carry (predicates over top-level columns). An
+    identifier-like token INSIDE a longer string literal is the known
+    blind spot — same trade every textual SQL rewriter makes."""
+    import re
+
+    out = re.sub(rf"`{re.escape(old)}`", f"`{new}`", expr)
+    return re.sub(rf"(?<![\w.'\"`]){re.escape(old)}(?![\w'\"`])", new, out)
 
 
 def read_lineage(
@@ -1385,7 +1493,4 @@ def read_lineage(
         .withColumn("_commit_version", F.create_map(*ver_map)[F.col("_file")].cast("bigint"))
         .drop("_file", "_pos_lineage")
     )
-    for logical, physical in manifest.get("column_mapping", {}).items():
-        if logical != physical and physical in df.columns:
-            df = df.withColumnRenamed(physical, logical)
-    return df
+    return _translate(df, manifest.get("column_mapping", {}), "to_logical")
