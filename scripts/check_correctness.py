@@ -109,6 +109,17 @@ def main() -> int:
 
     registry = load_all()
     names = args.names or sorted(registry)
+    if args.json and set(names) != set(registry):
+        # the committed per-round snapshot must be registry-complete BY
+        # CONSTRUCTION (VERDICT r7 task 4): a name-restricted run may
+        # not write the artifact, so a query added after the last full
+        # gate can never ship inside a stale "full" snapshot
+        missing = sorted(set(registry) - set(names))[:5]
+        print(
+            f"--json requires the full registry ({len(registry)} queries); "
+            f"got {len(names)} (missing e.g. {missing}) — rerun without names"
+        )
+        return 2
     if args.vanilla:
         from pyspark.sql import SparkSession
 
@@ -187,11 +198,13 @@ def main() -> int:
     if args.json:
         import json
 
+        assert set(results) == set(registry), "snapshot drifted from registry"
         with open(args.json, "w") as fh:
             json.dump(
                 {
                     "sf": args.sf,
                     "n_queries": len(names),
+                    "n_registry": len(registry),
                     "n_match": len(names) - len(failures),
                     "queries": results,
                 },

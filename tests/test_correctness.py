@@ -77,3 +77,29 @@ def test_driver_window_rotates_to_unverified_names():
         assert not stale, f"already-verified names occupy rotation slots: {stale}"
     # deterministic: recomputing from the same artifacts yields the same window
     assert compute_driver_priority(reg, seen) == tuple(DRIVER_PRIORITY)
+
+
+def test_json_snapshot_refuses_partial_registry(tmp_path):
+    """The committed CORRECTNESS_local artifact must be registry-complete
+    by construction (VERDICT r7 task 4): a name-restricted gate run may
+    not write the snapshot. The guard fires before any Spark session."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "snap.json"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "scripts/check_correctness.py",
+            "--json",
+            str(out),
+            "tpch_q6",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert proc.returncode == 2, proc.stdout + proc.stderr
+    assert "full registry" in proc.stdout
+    assert not out.exists()
