@@ -455,6 +455,48 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ahash_images(images: DataFrame) -> DataFrame:
+    """Decode each image container and reduce it to its 64-bit
+    perceptual average-hash (8x8 block-pooled luminance, one bit per
+    block by exact integer cross-multiplication) — shared by the phash
+    dedup query and the SSIM-over-candidates composition. Pure Arrow
+    map: each payload shrinks to a 64-char signature before any
+    shuffle."""
+    import pandas as pd
+
+    from supabase_etl_spark.operators import imagecodec as IC
+
+    def ahash(batches):
+        for pdf in batches:
+            uris, hashes = [], []
+            for uri, content in zip(pdf["uri"], pdf["content"]):
+                w, h, _c, buf = IC.decode_image(bytes(content))
+                bs = [[0] * 8 for _ in range(8)]
+                bc = [[0] * 8 for _ in range(8)]
+                ts = tc = 0
+                for y in range(h):
+                    row = y * w * 3
+                    bi = (y * 8) // h
+                    for x in range(w):
+                        p = row + x * 3
+                        lum = buf[p] + buf[p + 1] + buf[p + 2]
+                        bj = (x * 8) // w
+                        bs[bi][bj] += lum
+                        bc[bi][bj] += 1
+                        ts += lum
+                        tc += 1
+                bits = "".join(
+                    "1" if bs[bi][bj] * tc > ts * bc[bi][bj] else "0"
+                    for bi in range(8)
+                    for bj in range(8)
+                )
+                uris.append(uri)
+                hashes.append(bits)
+            yield pd.DataFrame({"uri": uris, "ahash": hashes})
+
+    return images.mapInPandas(ahash, schema="uri string, ahash string")
+
+
 @query(
     "multimodal_image_phash_dedup",
     oracle=f"""
@@ -506,39 +548,7 @@ def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash mismatch. 100 TB shape: decode+hash is a pure map (Arrow
     batches, no shuffle); the only shuffle is the 64-bit-signature
     groupBy — exactly dedup_exact's plan with a decode in the scan."""
-    import pandas as pd
-
-    from supabase_etl_spark.operators import imagecodec as IC
-
-    def ahash(batches):
-        for pdf in batches:
-            uris, hashes = [], []
-            for uri, content in zip(pdf["uri"], pdf["content"]):
-                w, h, _c, buf = IC.decode_image(bytes(content))
-                bs = [[0] * 8 for _ in range(8)]
-                bc = [[0] * 8 for _ in range(8)]
-                ts = tc = 0
-                for y in range(h):
-                    row = y * w * 3
-                    bi = (y * 8) // h
-                    for x in range(w):
-                        p = row + x * 3
-                        lum = buf[p] + buf[p + 1] + buf[p + 2]
-                        bj = (x * 8) // w
-                        bs[bi][bj] += lum
-                        bc[bi][bj] += 1
-                        ts += lum
-                        tc += 1
-                bits = "".join(
-                    "1" if bs[bi][bj] * tc > ts * bc[bi][bj] else "0"
-                    for bi in range(8)
-                    for bj in range(8)
-                )
-                uris.append(uri)
-                hashes.append(bits)
-            yield pd.DataFrame({"uri": uris, "ahash": hashes})
-
-    hashed = _images(spark, sf_dir).mapInPandas(ahash, schema="uri string, ahash string")
+    hashed = _ahash_images(_images(spark, sf_dir))
     return (
         hashed.groupBy("ahash")
         .agg(F.count(F.lit(1)).alias("n_images"), F.min("uri").alias("keeper_uri"))
@@ -1434,19 +1444,163 @@ def multimodal_image_ssim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).cast("double"),
     )
+    return (
+        pairs.select("ua", "ub", F.round(_ssim_score(), 9).alias("ssim"))
+        .orderBy(F.desc("ssim"), "ua", "ub")
+        .limit(SSIM_TOP_K)
+    )
+
+
+def _ssim_score():
+    """Global-window SSIM column over a pair frame carrying the moment
+    columns (na, s1a, s2a, nb, s1b, s2b, sab) — the luminance ·
+    contrast · structure product with the standard stabilizers."""
     mua = F.col("s1a") / F.col("na")
     mub = F.col("s1b") / F.col("nb")
     vara = F.col("s2a") / F.col("na") - mua * mua
     varb = F.col("s2b") / F.col("nb") - mub * mub
     cov = F.col("sab") / F.col("na") - mua * mub
     c1, c2, c3 = (F.lit(float(x)) for x in (_SSIM_C1, _SSIM_C2, _SSIM_C3))
-    ssim = (
+    return (
         ((2.0 * mua * mub + c1) / (mua * mua + mub * mub + c1))
         * ((2.0 * F.sqrt(vara) * F.sqrt(varb) + c2) / (vara + varb + c2))
         * ((cov + c3) / (F.sqrt(vara) * F.sqrt(varb) + c3))
     )
-    return (
-        pairs.select("ua", "ub", F.round(ssim, 9).alias("ssim"))
-        .orderBy(F.desc("ssim"), "ua", "ub")
-        .limit(SSIM_TOP_K)
+
+
+def _gray_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded gray vectors + exact integer pixel moments per image."""
+    vecs = M.decode_gray_vectors(_images(spark, sf_dir))
+    return vecs.select(
+        "uri",
+        "w",
+        "h",
+        "gray",
+        (F.col("w") * F.col("h")).cast("double").alias("n"),
+        F.aggregate("gray", F.lit(0).cast("long"), lambda a, x: a + x)
+        .cast("double")
+        .alias("s1"),
+        F.aggregate("gray", F.lit(0).cast("long"), lambda a, x: a + x * x)
+        .cast("double")
+        .alias("s2"),
+    )
+
+
+@query(
+    "multimodal_ssim_over_phash_candidates",
+    oracle=f"""
+    WITH {_IMG_DOCS_CTE},
+    px AS (
+        SELECT d.uri, d.w, d.h,
+               y.j * d.w + x.i AS idx,
+               x.i AS xi, y.j AS yj,
+               (d.seed + 3 * x.i + 5 * y.j) % 256
+               + (d.seed + 3 * x.i + 5 * y.j + 7) % 256
+               + (d.seed + 3 * x.i + 5 * y.j + 14) % 256 AS v
+        FROM docs d,
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS x(i),
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS y(j)
+        WHERE x.i < d.w AND y.j < d.h
+    ),
+    blocks AS (
+        SELECT uri, (yj * 8) // h AS bi, (xi * 8) // w AS bj,
+               SUM(v) AS bs, COUNT(*) AS bc
+        FROM px GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT uri, SUM(v) AS ts, COUNT(*) AS tc FROM px GROUP BY uri),
+    hashes AS (
+        SELECT b.uri,
+               string_agg(
+                   CASE WHEN b.bs * t.tc > t.ts * b.bc THEN '1' ELSE '0' END,
+                   '' ORDER BY b.bi, b.bj) AS ahash
+        FROM blocks b JOIN tot t USING (uri) GROUP BY b.uri
+    ),
+    mom AS (
+        SELECT uri, w, h,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s1,
+               CAST(SUM(v * v) AS DOUBLE) AS s2
+        FROM px GROUP BY uri, w, h
+    ),
+    cand AS (
+        SELECT ha.uri AS ua, hb.uri AS ub
+        FROM hashes ha JOIN hashes hb
+          ON ha.ahash = hb.ahash AND ha.uri < hb.uri
+    ),
+    cross_mom AS (
+        SELECT c.ua, c.ub, CAST(SUM(a.v * b.v) AS DOUBLE) AS sab
+        FROM cand c
+        JOIN px a ON a.uri = c.ua
+        JOIN px b ON b.uri = c.ub
+         AND a.w = b.w AND a.h = b.h AND a.idx = b.idx
+        GROUP BY c.ua, c.ub
+    )
+    SELECT c.ua, c.ub,
+           round(
+             ((2.0 * (ma.s1/ma.n) * (mb.s1/mb.n) + {_SSIM_C1})
+              / ((ma.s1/ma.n)*(ma.s1/ma.n) + (mb.s1/mb.n)*(mb.s1/mb.n) + {_SSIM_C1}))
+             * ((2.0 * sqrt(ma.s2/ma.n - (ma.s1/ma.n)*(ma.s1/ma.n))
+                     * sqrt(mb.s2/mb.n - (mb.s1/mb.n)*(mb.s1/mb.n)) + {_SSIM_C2})
+                / ((ma.s2/ma.n - (ma.s1/ma.n)*(ma.s1/ma.n))
+                   + (mb.s2/mb.n - (mb.s1/mb.n)*(mb.s1/mb.n)) + {_SSIM_C2}))
+             * ((c.sab/ma.n - (ma.s1/ma.n)*(mb.s1/mb.n) + {_SSIM_C3})
+                / (sqrt(ma.s2/ma.n - (ma.s1/ma.n)*(ma.s1/ma.n))
+                   * sqrt(mb.s2/mb.n - (mb.s1/mb.n)*(mb.s1/mb.n)) + {_SSIM_C3})),
+             9) AS ssim
+    FROM cross_mom c
+    JOIN mom ma ON c.ua = ma.uri
+    JOIN mom mb ON c.ub = mb.uri AND ma.w = mb.w AND ma.h = mb.h
+    ORDER BY ssim DESC, ua, ub
+    """,
+    tags=("llm", "multimodal", "similarity", "dedup"),
+)
+def multimodal_ssim_over_phash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION composition of perceptual dedup + structural
+    verification (VERDICT r7 task 6): candidate pairs come from the
+    aHash bucket join (images sharing the 64-bit signature — the
+    dedup_exact-shaped shuffle of multimodal_image_phash_dedup), and
+    ONLY those pairs are scored with global SSIM. Replaces the
+    quadratic same-dims blocking of multimodal_image_ssim_pairs (an
+    eval fixture) with a candidate set linear in true near-duplicates:
+    at 100 TB the bucket join emits ~one pair per duplicate, the gray
+    vectors join in by uri (two bounded-array lookups per pair), and
+    no dimension class ever goes all-pairs. Same-dims guard on the
+    SSIM join keeps zip_with well-defined when a signature collides
+    across sizes."""
+    hashed = _ahash_images(_images(spark, sf_dir))
+    cand = (
+        hashed.alias("x")
+        .join(
+            hashed.alias("y"),
+            (F.col("x.ahash") == F.col("y.ahash"))
+            & (F.col("x.uri") < F.col("y.uri")),
+        )
+        .select(F.col("x.uri").alias("ua"), F.col("y.uri").alias("ub"))
+    )
+    mom = _gray_moments(spark, sf_dir)
+    a = mom.select(
+        F.col("uri").alias("ua"), F.col("w").alias("wa"), F.col("h").alias("ha"),
+        F.col("gray").alias("ga"), F.col("n").alias("na"),
+        F.col("s1").alias("s1a"), F.col("s2").alias("s2a"),
+    )
+    b = mom.select(
+        F.col("uri").alias("ub"), F.col("w").alias("wb"), F.col("h").alias("hb"),
+        F.col("gray").alias("gb"), F.col("n").alias("nb"),
+        F.col("s1").alias("s1b"), F.col("s2").alias("s2b"),
+    )
+    pairs = (
+        cand.join(a, "ua")
+        .join(b, "ub")
+        .filter((F.col("wa") == F.col("wb")) & (F.col("ha") == F.col("hb")))
+        .withColumn(
+            "sab",
+            F.aggregate(
+                F.zip_with("ga", "gb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double"),
+        )
+    )
+    return pairs.select("ua", "ub", F.round(_ssim_score(), 9).alias("ssim")).orderBy(
+        F.desc("ssim"), "ua", "ub"
     )
