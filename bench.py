@@ -68,6 +68,19 @@ def main() -> None:
         "sample_dsir": {"SPARK_GRAFT_DSIR_HASH": "xxhash64"},
     }
 
+    # Fixed-stage floor (VERDICT r7 task 7): the cheapest possible Spark
+    # action at this parallelism — spark.range(1) through a noop write —
+    # measures scheduler + stage-launch + noop-sink latency that every
+    # query pays regardless of plan. Reported as `floor` and subtracted
+    # into `ratio_adj`, so sub-second queries on millisecond oracles stop
+    # reading as 60x "slowdowns" when the gap is all fixed overhead.
+    floor = None
+    for _ in range(3):
+        t0 = time.time()
+        materialize(spark.range(1))
+        dt = time.time() - t0
+        floor = dt if floor is None else min(floor, dt)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(bench_set):
@@ -123,6 +136,7 @@ def main() -> None:
         )
     oracle_timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
+    ratios_adj: dict[str, float] = {}
     oracle_total = 0.0
     spark_matched_total = 0.0
     for name in sorted(bench_set):
@@ -137,9 +151,19 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         oracle_timings[name] = round(best, 3)
         ratios[name] = round(timings[name] / best, 2) if best > 0 else -1.0
+        # overhead-adjusted ratio: subtract the fixed stage floor from
+        # the Spark wall (clamped at 0) before dividing — the number
+        # that answers "is the PLAN slow, or is it just stage latency?"
+        ratios_adj[name] = (
+            round(max(timings[name] - floor, 0.0) / best, 2) if best > 0 else -1.0
+        )
         oracle_total += best
         spark_matched_total += timings[name]
-        print(f"# oracle {name}: {best:.3f}s (ratio {ratios[name]:.2f}x)", flush=True)
+        print(
+            f"# oracle {name}: {best:.3f}s (ratio {ratios[name]:.2f}x, "
+            f"adj {ratios_adj[name]:.2f}x)",
+            flush=True,
+        )
 
     payload = {
         "metric": "bench_total_wall",
@@ -148,6 +172,8 @@ def main() -> None:
         "queries": timings,
         "oracle": oracle_timings,
         "ratio": ratios,
+        "ratio_adj": ratios_adj,
+        "floor": round(floor, 3),
         "oracle_total": round(oracle_total, 3),
         "ratio_total": round(spark_matched_total / oracle_total, 3)
         if oracle_total > 0

@@ -2947,3 +2947,56 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_extreme") / float(PERM_TEST_B), 9).alias("p_value"),
         )
     )
+
+
+@query(
+    "agg_atkinson_index",
+    oracle="""
+    WITH pos AS (
+        SELECT o_orderpriority AS priority, o_totalprice AS x FROM orders
+    ),
+    grp AS (
+        SELECT priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu,
+               CAST(SUM(CAST(round(ln(x), 9) AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS mean_ln
+        FROM pos GROUP BY priority
+    )
+    SELECT priority, n, round(mu, 6) AS mean_price,
+           round(exp(mean_ln), 6) AS geometric_mean,
+           round(1.0 - exp(mean_ln) / mu, 9) AS atkinson_eps1
+    FROM grp
+    ORDER BY priority
+    """,
+    tags=("agg", "inequality"),
+)
+def agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index at ε=1 per order priority — the
+    welfare-theoretic companion to agg_theil_inequality: A₁ = 1 −
+    geomean/mean, where the geometric mean is exp(mean of ln x)
+    (prices are strictly positive). One grouped aggregation computes
+    count, decimal price sum, and the round-9 ln-term decimal sum; the
+    exp/ratio algebra runs on the 5-row group table as a shared double
+    expression. At 100 TB this is a single map-side-combined hash agg
+    — the same plan class as any SUM/AVG rollup; no per-row state ever
+    leaves its partition unaggregated."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), F.col("o_totalprice").alias("x")
+    )
+    grp = o.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("x").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)))
+        .alias("mu"),
+        (
+            F.sum(F.round(F.log("x"), 9).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_ln"),
+    )
+    return grp.select(
+        "priority",
+        "n",
+        F.round(F.col("mu"), 6).alias("mean_price"),
+        F.round(F.exp(F.col("mean_ln")), 6).alias("geometric_mean"),
+        F.round(1.0 - F.exp(F.col("mean_ln")) / F.col("mu"), 9).alias("atkinson_eps1"),
+    ).orderBy("priority")

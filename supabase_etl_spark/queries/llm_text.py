@@ -2985,3 +2985,98 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("p_kn"), "w1", "w2").limit(KN_TOP)
+
+
+PMI_MIN_COUNT = 5  # collocation support floor
+PMI_TOP = 20
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS b
+        FROM base WHERE len(toks) >= 2
+    ),
+    c2 AS (
+        SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM bg GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM c2),
+    m AS (
+        SELECT w1, w2, n_ab,
+               CAST(SUM(n_ab) OVER (PARTITION BY w1) AS BIGINT) AS n_a,
+               CAST(SUM(n_ab) OVER (PARTITION BY w2) AS BIGINT) AS n_b
+        FROM c2
+    )
+    SELECT w1, w2, n_ab,
+           round(ln(CAST(n_ab AS DOUBLE) * t.n / (CAST(n_a AS DOUBLE) * n_b)), 9)
+               AS pmi
+    FROM m, tot t
+    WHERE n_ab >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {PMI_TOP}
+    """,
+    tags=("llm", "text"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church & Hanks
+    1990) — the classic "which word pairs stick together" signal used
+    for tokenizer-merge candidates and phrase-aware quality filters:
+    PMI(a,b) = ln(n_ab·N / (n_a·n_b)) over the adjacent-bigram table,
+    with marginals taken as the bigram table's own row/column sums and
+    a support floor (n_ab ≥ {PMI_MIN_COUNT}) before ranking.
+
+    Scale shape: bigrams are built row-locally (shifted-slice zip, no
+    shuffle), ONE grouped count produces the vocab²-bounded bigram
+    table, and both marginals are windows OVER THAT TABLE — the corpus
+    is never re-scanned or re-shuffled for them. Final cut is
+    quantize-then-rank (PMI round-9, w1/w2 tiebreak) with a top-{PMI_TOP}
+    limit that plans as TakeOrdered."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+    n1 = F.size("toks") - 1
+    bigram_arr = F.zip_with(
+        F.slice("toks", 1, n1),
+        F.slice(F.col("toks"), 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    c2 = (
+        d.filter(F.size("toks") >= 2)
+        .select(F.explode(bigram_arr).alias("b"))
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    tot = c2.agg(F.sum("n_ab").cast("bigint").alias("n"))
+    m = c2.select(
+        "w1",
+        "w2",
+        "n_ab",
+        F.sum("n_ab").over(Window.partitionBy("w1")).cast("bigint").alias("n_a"),
+        F.sum("n_ab").over(Window.partitionBy("w2")).cast("bigint").alias("n_b"),
+    )
+    return (
+        m.filter(F.col("n_ab") >= PMI_MIN_COUNT)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOP)
+    )
