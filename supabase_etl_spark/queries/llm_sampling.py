@@ -345,21 +345,21 @@ _DSIR_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
         FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tot
     ),
     bdoc AS (
-        SELECT doc_id, b, CAST(count(*) AS DECIMAL(10,0)) AS n_db
+        SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n_db
         FROM bucketed GROUP BY doc_id, b
     ),
     docw AS (
         SELECT doc_id,
-               SUM(n_db * CAST(round(lr, 12) AS DECIMAL(14,12))) AS lw
+               SUM(n_db * CAST(round(lr * 1000000000000.0) AS BIGINT)) AS lw12
         FROM bdoc JOIN ratio USING (b)
         GROUP BY doc_id
     ),
     scored AS (
         SELECT d.doc_id, d.lang,
-               CAST(COALESCE(w.lw, 0) AS DOUBLE)
+               CAST(COALESCE(w.lw12, 0) AS DOUBLE) / 1000000000000.0
                  - ln(-ln((({A} * d.doc_id + {B}) % {P} + 1)
                           / (CAST({P} AS DOUBLE) + 1))) AS gkey,
-               CAST(COALESCE(w.lw, 0) AS DOUBLE) AS logw
+               CAST(COALESCE(w.lw12, 0) AS DOUBLE) / 1000000000000.0 AS logw
         FROM documents d LEFT JOIN docw w USING (doc_id)
     ),
     ranked AS (
@@ -428,32 +428,41 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     bucket = dsir_bucket_expr("g")
-    # hash every gram ONCE into a (doc, bucket) count grid; the
-    # distribution aggs and the scoring pass both derive from this
-    # frame, whose identical groupBy Exchange Spark reuses
-    # (ReusedExchange) — one tokenize+md5 pass over the corpus instead
-    # of two (the md5/conv gram hashing dominated the r5 bench at 2x
-    # corpus volume before this)
+    # hash every gram ONCE into a (doc, bucket) count grid and PIN it
+    # (localCheckpoint): the grid has two consumers (the 256-row
+    # distribution agg and the scoring join) and relying on
+    # ReusedExchange proved brittle — the r8 plan audit found the join
+    # side acquires a pushed isnotnull(doc_id) the agg side lacks, so
+    # the subtrees stop being identical and the WHOLE tokenize+hash
+    # pipeline re-ran per consumer (3 corpus scans at 2x corpus gram
+    # volume — the dominant cost at any scale). The checkpoint
+    # materializes the post-aggregation grid (strictly smaller than
+    # the gram stream) exactly once; at 100 TB that is the standard
+    # reuse-vs-recompute call for a multi-consumer subplan.
     bdoc = (
         grams.select("doc_id", "lang", bucket.alias("b"))
         .groupBy("doc_id", "lang", "b")
         .agg(F.count(F.lit(1)).alias("n_db"))
+        .localCheckpoint()
     )
-    # ONE conditional agg carries both distributions (raw + target) —
-    # a separate filtered tcnt branch would have its lang predicate
-    # pushed below the bdoc aggregation, making the subtrees differ
-    # and defeating exchange reuse; this way bdoc has exactly two
-    # consumers (this 256-row agg and the scoring join) over an
-    # identical shuffle subtree
+    # ONE conditional agg carries both distributions (raw + target);
+    # the corpus totals fold in as windows over the 256-row bucket
+    # table — no extra aggregate stage, no crossJoin
+    wall = Window.partitionBy()
     cnt = bdoc.groupBy("b").agg(
         F.sum("n_db").alias("cr"),
         F.coalesce(
             F.sum(F.when(F.col("lang") == "en", F.col("n_db"))), F.lit(0)
         ).alias("ct"),
     )
-    tot = cnt.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     smooth = F.lit(DSIR_BUCKETS).cast("bigint")
-    ratio = cnt.crossJoin(F.broadcast(tot)).select(
+    ratio = cnt.select(
+        "b",
+        "cr",
+        "ct",
+        F.sum("cr").over(wall).alias("nr"),
+        F.sum("ct").over(wall).alias("nt"),
+    ).select(
         "b",
         (
             F.log(
@@ -468,22 +477,28 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Σ over buckets n_db·lr replaces Σ over occurrences — scoring
     # joins the 256-row ratio table onto the grid, not the raw gram
-    # stream. The ratio is quantized ONCE to 12 fractional digits and
-    # the product uses small exact decimals — DECIMAL(10,0)·(14,12) →
-    # (25,12), no precision-loss rounding in either engine (a full
-    # (38,18)·(38,18) multiply hits Spark's precision cap and rounds).
-    lr_q = F.round(F.col("lr"), 12).cast("decimal(14,12)")
+    # stream. The ratio is quantized ONCE to a 1e-12-scaled BIGINT on
+    # the 256-row table, so the grid-sized product and the per-doc sum
+    # run in pure LONG arithmetic (whole-stage codegen) — the r8
+    # hierarchical integer-scale lever; the earlier DECIMAL(10,0)·
+    # (14,12) multiply put every grid row on Spark's slow decimal path
+    # (measured: the scoring stage dropped ~0.5s at sf0.1). Exactness
+    # is unchanged: both engines round the same IEEE double lr·1e12 to
+    # the same integer and sum exactly. Per-doc overflow bound:
+    # Σ n_db·|lr12| ≤ grams_per_doc · ~3e13 — safe to ~3e5 tokens/doc,
+    # far above the corpus's n_chars ceiling.
+    lr12 = F.round(F.col("lr") * 1e12, 0).cast("long")
     docw = (
-        bdoc.join(F.broadcast(ratio), "b")
+        bdoc.join(F.broadcast(ratio.select("b", lr12.alias("lr12"))), "b")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("n_db").cast("decimal(10,0)") * lr_q).alias("lw"))
+        .agg(F.sum(F.col("n_db") * F.col("lr12")).alias("lw12"))
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     u = (
         ((F.lit(A).cast("bigint") * F.col("doc_id") + F.lit(B)) % P + 1).cast("double")
         / F.lit(float(P + 1))
     )
-    logw = F.coalesce(F.col("lw"), F.lit(0).cast("decimal(25,12)")).cast("double")
+    logw = F.coalesce(F.col("lw12"), F.lit(0)).cast("double") / F.lit(1e12)
     scored = docs.join(docw, "doc_id", "left").select(
         "doc_id",
         "lang",
