@@ -11172,3 +11172,271 @@ def graph_deepwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return walk.select("start", F.col("path").alias("walk")).orderBy("start")
+
+
+KATZ_QTY_MIN = 47  # same sparsifier as harmonic centrality
+KATZ_BETA = "0.1"  # attenuation, shared literal
+
+
+@query(
+    "graph_katz_centrality",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_quantity >= {KATZ_QTY_MIN} AND s.s_nationkey <> c.c_nationkey
+    ),
+    nodes AS (SELECT n_nationkey AS v FROM nation),
+    w1 AS (
+        SELECT dst AS v, CAST(count(*) AS BIGINT) AS wc FROM edges GROUP BY dst
+    ),
+    w2 AS (
+        SELECT e.dst AS v, CAST(SUM(w1.wc) AS BIGINT) AS wc
+        FROM edges e JOIN w1 ON w1.v = e.src GROUP BY e.dst
+    ),
+    w3 AS (
+        SELECT e.dst AS v, CAST(SUM(w2.wc) AS BIGINT) AS wc
+        FROM edges e JOIN w2 ON w2.v = e.src GROUP BY e.dst
+    )
+    SELECT n.v AS nationkey,
+           CAST(COALESCE(w1.wc, 0) AS BIGINT) AS walks_1,
+           CAST(COALESCE(w2.wc, 0) AS BIGINT) AS walks_2,
+           CAST(COALESCE(w3.wc, 0) AS BIGINT) AS walks_3,
+           round(CAST({KATZ_BETA} AS DOUBLE) * COALESCE(w1.wc, 0)
+                 + CAST({KATZ_BETA} AS DOUBLE) * CAST({KATZ_BETA} AS DOUBLE)
+                   * COALESCE(w2.wc, 0)
+                 + CAST({KATZ_BETA} AS DOUBLE) * CAST({KATZ_BETA} AS DOUBLE)
+                   * CAST({KATZ_BETA} AS DOUBLE) * COALESCE(w3.wc, 0), 9)
+               AS katz
+    FROM nodes n LEFT JOIN w1 ON w1.v = n.v
+    LEFT JOIN w2 ON w2.v = n.v
+    LEFT JOIN w3 ON w3.v = n.v
+    ORDER BY nationkey
+    """,
+    tags=("graph", "centrality"),
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (Katz 1953) at radius 3 on the
+    sparsified DIRECTED trade graph: katz(v) = Σ_k β^k · (# walks of
+    length k ending at v). Walk counts stay EXACT INTEGERS through all
+    three rounds (wc_{{k+1}}(v) = Σ_{{u→v}} wc_k(u) — each round is one
+    edge⋈counts equi-join + a destination-keyed sum, the Pregel shape
+    shared with graph_pagerank), so nothing needs an IEEE-order
+    canonicalization until the final β-polynomial, a shared 1-expression
+    double on the node-sized table. At 100 TB: 3 vertex-keyed
+    join+agg rounds over the edge list; no per-iteration driver state
+    beyond the loop counter."""
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    c = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= KATZ_QTY_MIN
+    ).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+        .localCheckpoint()  # 3 consumers; truncate the star-join lineage
+    )
+    wc = edges.groupBy(F.col("dst").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("wc")
+    )
+    walks = [wc]
+    for _ in range(2):
+        prev = walks[-1]
+        walks.append(
+            edges.join(prev, edges.src == prev.v)
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.sum("wc").cast("bigint").alias("wc"))
+            .withColumnRenamed("v2", "v")
+        )
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    out = nodes
+    for i, w in enumerate(walks, start=1):
+        out = out.join(
+            w.select(F.col("v").alias("nationkey"), F.col("wc").alias(f"walks_{i}")),
+            "nationkey",
+            "left",
+        )
+    beta = F.lit(float(KATZ_BETA))
+    w1 = F.coalesce(F.col("walks_1"), F.lit(0)).cast("bigint")
+    w2 = F.coalesce(F.col("walks_2"), F.lit(0)).cast("bigint")
+    w3 = F.coalesce(F.col("walks_3"), F.lit(0)).cast("bigint")
+    return out.select(
+        "nationkey",
+        w1.alias("walks_1"),
+        w2.alias("walks_2"),
+        w3.alias("walks_3"),
+        F.round(beta * w1 + beta * beta * w2 + beta * beta * beta * w3, 9).alias(
+            "katz"
+        ),
+    ).orderBy("nationkey")
+
+
+@query(
+    "graph_louvain_gain",
+    oracle="""
+    WITH raw AS (
+        SELECT s.s_nationkey AS u, c.c_nationkey AS v, count(*) AS w
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY u, v
+    ),
+    sym AS (
+        SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+            SELECT u, v, w FROM raw UNION ALL SELECT v, u, w FROM raw
+        ) GROUP BY u, v
+    ),
+    comm AS (SELECT n_nationkey AS v, n_regionkey AS c FROM nation),
+    deg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS k FROM sym GROUP BY u),
+    m AS (SELECT CAST(SUM(w) / 2 AS BIGINT) AS m FROM sym),
+    ctot AS (
+        SELECT cm.c, CAST(SUM(d.k) AS BIGINT) AS tot
+        FROM deg d JOIN comm cm ON cm.v = d.u GROUP BY cm.c
+    ),
+    kin AS (
+        SELECT e.u, cm.c, CAST(SUM(e.w) AS BIGINT) AS k_in
+        FROM sym e JOIN comm cm ON cm.v = e.v
+        GROUP BY e.u, cm.c
+    ),
+    cand AS (
+        SELECT k.u, co.c AS a, k.c AS cand_c,
+               k.k_in AS kic,
+               COALESCE(ka.k_in, 0) AS kia,
+               d.k, ta.tot AS tota, tc.tot AS totc, m.m
+        FROM kin k
+        JOIN comm co ON co.v = k.u
+        JOIN deg d ON d.u = k.u
+        LEFT JOIN kin ka ON ka.u = k.u AND ka.c = co.c
+        JOIN ctot ta ON ta.c = co.c
+        JOIN ctot tc ON tc.c = k.c
+        CROSS JOIN m
+        WHERE k.c <> co.c
+    ),
+    gains AS (
+        SELECT u, a AS community, cand_c AS target_community,
+               round((CAST(kic AS DOUBLE) - kia) / m
+                     - CAST(k AS DOUBLE)
+                       * (CAST(totc AS DOUBLE) - tota + k)
+                       / (2.0 * CAST(m AS DOUBLE) * m), 12) AS dq
+        FROM cand
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY u
+                                     ORDER BY dq DESC, target_community) AS rk
+        FROM gains
+    )
+    SELECT u AS nationkey, community, target_community,
+           dq AS best_gain,
+           CAST(dq > 0 AS BOOLEAN) AS would_move
+    FROM best WHERE rk = 1
+    ORDER BY nationkey
+    """,
+    tags=("graph", "community"),
+)
+def graph_louvain_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One parallel Louvain phase-1 sweep (Blondel et al. 2008)
+    evaluated over the weighted undirected nation trade graph with
+    region as the initial community assignment: for every node and
+    every NEIGHBOR community, the exact modularity change of moving
+    there — ΔQ = (k_i,in(c) − k_i,in(a\\i))/m − k_i·(Σtot(c) − Σtot(a)
+    + k_i)/(2m²) — then the best positive move per node
+    (quantize-then-rank: ΔQ round-12, community tiebreak). Every input
+    to the formula is an exact integer (edge weights, degrees,
+    community totals); ΔQ itself is one shared double expression, so
+    both engines compute identical values. Scale shape: the candidate
+    set is bounded by Σ|neighbor communities| (vertex-keyed joins +
+    community-keyed aggs — the distributed-Louvain building block);
+    nothing is sequential, which is exactly how parallel Louvain
+    implementations batch phase-1 sweeps."""
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    c = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    sym = (
+        raw.select("u", "v", "w")
+        .unionAll(raw.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .localCheckpoint()  # consumed by deg and kin; truncate star-join lineage
+    )
+    comm = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("v"), F.col("n_regionkey").alias("c")
+        )
+    )
+    deg = sym.groupBy("u").agg(F.sum("w").cast("bigint").alias("k"))
+    m = sym.agg((F.sum("w") / 2).cast("bigint").alias("m"))
+    ctot = (
+        deg.join(comm, deg.u == comm.v)
+        .groupBy("c")
+        .agg(F.sum("k").cast("bigint").alias("tot"))
+    )
+    kin = (
+        sym.join(comm, sym.v == comm.v)
+        .groupBy("u", "c")
+        .agg(F.sum("w").cast("bigint").alias("k_in"))
+    )
+    own = comm.select(F.col("v").alias("u"), F.col("c").alias("a"))
+    kia = kin.select(F.col("u").alias("u2"), F.col("c").alias("a2"), F.col("k_in").alias("kia"))
+    cand = (
+        kin.join(own, "u")
+        .filter(F.col("c") != F.col("a"))
+        .join(
+            kia,
+            (F.col("u") == F.col("u2")) & (F.col("a") == F.col("a2")),
+            "left",
+        )
+        .join(deg.select(F.col("u").alias("u3"), "k"), F.col("u") == F.col("u3"))
+        .join(F.broadcast(ctot.select(F.col("c").alias("a4"), F.col("tot").alias("tota"))), F.col("a") == F.col("a4"))
+        .join(F.broadcast(ctot.select(F.col("c").alias("c5"), F.col("tot").alias("totc"))), F.col("c") == F.col("c5"))
+        .crossJoin(F.broadcast(m))
+    )
+    dq = F.round(
+        (F.col("k_in").cast("double") - F.coalesce(F.col("kia"), F.lit(0)))
+        / F.col("m")
+        - F.col("k").cast("double")
+        * (F.col("totc").cast("double") - F.col("tota") + F.col("k"))
+        / (2.0 * F.col("m").cast("double") * F.col("m")),
+        12,
+    )
+    gains = cand.select(
+        "u",
+        F.col("a").alias("community"),
+        F.col("c").alias("target_community"),
+        dq.alias("dq"),
+    )
+    wrk = Window.partitionBy("u").orderBy(F.desc("dq"), "target_community")
+    return (
+        gains.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("u").alias("nationkey"),
+            "community",
+            "target_community",
+            F.col("dq").alias("best_gain"),
+            (F.col("dq") > 0).alias("would_move"),
+        )
+        .orderBy("nationkey")
+    )

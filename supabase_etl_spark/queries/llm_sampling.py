@@ -2088,3 +2088,86 @@ def sample_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_docs").over(wcum).cast("bigint").alias("cumulative_docs"),
         "mean_difficulty",
     ).orderBy("step_decile")
+
+
+LR_BUDGET = 1000  # total seats to apportion across sources
+
+
+@query(
+    "sample_largest_remainder_split",
+    oracle=f"""
+    WITH grp AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM grp),
+    quota AS (
+        SELECT g.source, g.n_docs,
+               CAST(({LR_BUDGET} * g.n_docs) // t.n AS BIGINT) AS floor_alloc,
+               CAST(({LR_BUDGET} * g.n_docs) % t.n AS BIGINT) AS remainder_num
+        FROM grp g CROSS JOIN tot t
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY remainder_num DESC, source) AS rk,
+               CAST({LR_BUDGET} AS BIGINT) - SUM(floor_alloc) OVER () AS seats_left
+        FROM quota
+    )
+    SELECT source, n_docs, floor_alloc,
+           remainder_num, rk AS remainder_rank,
+           floor_alloc + CASE WHEN rk <= seats_left THEN 1 ELSE 0 END
+               AS final_alloc
+    FROM ranked
+    ORDER BY source
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_largest_remainder_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed sampling
+    budget across sources — the exact integer answer to "give every
+    domain its proportional share of {LR_BUDGET} training slots and
+    distribute the rounding leftovers fairly". Pure integer arithmetic
+    end-to-end: quotas as integer div/mod against the corpus total (no
+    float quota ever exists, so no engine can disagree), leftovers
+    ranked by the integer remainder numerator with a source tiebreak.
+    At 100 TB this is one grouped count plus window algebra on the
+    SOURCE-sized table (bounded by the domain alphabet, never the
+    corpus) — the windows here are over dozens of rows by design."""
+    d = load_table(spark, sf_dir, "documents")
+    grp = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = grp.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    quota = grp.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        # SQL `div`: exact BIGINT division (a/b then cast would round-trip
+        # through double and lose exactness past 2^53 totals)
+        F.expr(f"({LR_BUDGET} * n_docs) div n").cast("bigint").alias("floor_alloc"),
+        ((F.lit(LR_BUDGET) * F.col("n_docs")) % F.col("n"))
+        .cast("bigint")
+        .alias("remainder_num"),
+    )
+    wrk = Window.orderBy(F.desc("remainder_num"), "source")
+    wall = Window.partitionBy()
+    ranked = quota.select(
+        "source",
+        "n_docs",
+        "floor_alloc",
+        "remainder_num",
+        F.row_number().over(wrk).alias("remainder_rank"),
+        (F.lit(LR_BUDGET).cast("bigint") - F.sum("floor_alloc").over(wall)).alias(
+            "seats_left"
+        ),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "floor_alloc",
+        "remainder_num",
+        "remainder_rank",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("remainder_rank") <= F.col("seats_left"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("final_alloc"),
+    ).orderBy("source")
