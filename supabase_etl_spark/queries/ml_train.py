@@ -2014,3 +2014,419 @@ def ml_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(srx2 / sr - (srx / sr) * (srx / sr), 6).alias("var1_new"),
         F.round(sqx2 / (n - sr) - (sqx / (n - sr)) * (sqx / (n - sr)), 6).alias("var2_new"),
     )
+
+
+# ---------------------------------------------------------------------------
+# logistic regression by IRLS (2 Newton steps, rational squash)
+# ---------------------------------------------------------------------------
+
+IRLS_STEPS = 2
+_IRLS_FEAT = """
+        SELECT CAST(year(o_orderdate) - 1995 AS BIGINT) AS x,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+"""
+
+
+def _irls_sql_step(i: int) -> str:
+    """One Newton step over the (x, y, n) grid given beta{i-1}(b0, b1):
+    squash p and its derivative w per grid row, five decimal-summed
+    moments, Cramer 2x2 solve, new beta."""
+    p = i - 1
+    return f"""
+    terms{i} AS (
+        SELECT g.x, g.y, g.n,
+               0.5 + 0.5 * (b.b0 + b.b1 * g.x)
+                         / (1.0 + ABS(b.b0 + b.b1 * g.x)) AS prob,
+               0.5 / ((1.0 + ABS(b.b0 + b.b1 * g.x))
+                      * (1.0 + ABS(b.b0 + b.b1 * g.x))) AS wgt
+        FROM grid g CROSS JOIN beta{p} b
+    ),
+    mom{i} AS (
+        SELECT
+            CAST(SUM(CAST(round(n * wgt, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+            CAST(SUM(CAST(round(n * wgt * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS swx,
+            CAST(SUM(CAST(round(n * wgt * x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS swxx,
+            CAST(SUM(CAST(round(n * (y - prob), 12) AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+            CAST(SUM(CAST(round(n * (y - prob) * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g1
+        FROM terms{i}
+    ),
+    beta{i} AS (
+        SELECT b.b0 + (m.swxx * m.g0 - m.swx * m.g1)
+                      / (m.sw * m.swxx - m.swx * m.swx) AS b0,
+               b.b1 + (m.sw * m.g1 - m.swx * m.g0)
+                      / (m.sw * m.swxx - m.swx * m.swx) AS b1
+        FROM mom{i} m CROSS JOIN beta{p} b
+    ),
+    loss{i} AS (
+        SELECT CAST(SUM(CAST(round(
+                   -g.n * (g.y * ln(0.5 + 0.5 * (b.b0 + b.b1 * g.x)
+                                          / (1.0 + ABS(b.b0 + b.b1 * g.x)))
+                     + (1 - g.y) * ln(1.0 - (0.5 + 0.5 * (b.b0 + b.b1 * g.x)
+                                             / (1.0 + ABS(b.b0 + b.b1 * g.x))))),
+                   9) AS DECIMAL(38,12))) AS DOUBLE) AS nll
+        FROM grid g CROSS JOIN beta{i} b
+    )"""
+
+
+_IRLS_ORACLE = (
+    f"""WITH grid AS ({_IRLS_FEAT}),
+    beta0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1),"""
+    + ",".join(_irls_sql_step(i) for i in range(1, IRLS_STEPS + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, round(b.b0, 9) AS b0, round(b.b1, 9) AS b1,"
+        f" round(l.nll, 6) AS log_loss FROM beta{i} b, loss{i} l"
+        for i in range(1, IRLS_STEPS + 1)
+    )
+    + "\n    ORDER BY step"
+)
+
+
+@query("ml_logistic_irls", oracle=_IRLS_ORACLE, tags=("llm", "ml-train", "iterative"))
+def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression by IRLS / Newton-Raphson (two unrolled
+    steps) — the second-order companion to ml_logreg_gd's first-order
+    epochs: each step solves the 2×2 weighted normal equations
+    (X'WX)δ = X'(y−p) in closed form (Cramer), with W the link
+    derivative. The rational squash p = 0.5 + 0.5·z/(1+|z|) replaces
+    sigmoid so no transcendental enters the update (its derivative
+    0.5/(1+|z|)² is W); the NLL report uses round-9 ln terms through
+    decimal sums, the registry's standard pattern.
+
+    Scale shape: the corpus collapses ONCE into a (x, y, count) grid
+    (one map-side-combined agg; the grid is bounded by the feature
+    alphabet), and every Newton step is grid-sized arithmetic — five
+    decimal moments + a broadcast 1-row beta frame. 100 TB costs one
+    corpus pass, full stop; steps are free. Xu et al.'s distributed
+    IRLS is exactly this sufficient-statistics collapse."""
+    o = load_table(spark, sf_dir, "orders")
+    grid = (
+        o.select(
+            (F.year("o_orderdate") - 1995).cast("bigint").alias("x"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()  # grid-sized; consumed by every step
+    )
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+
+    def dec12(c):
+        return F.sum(F.round(c, 12).cast("decimal(38,12)")).cast("double")
+
+    out = None
+    for step in range(1, IRLS_STEPS + 1):
+        t = grid.crossJoin(F.broadcast(beta))
+        z = F.col("b0") + F.col("b1") * F.col("x")
+        prob = 0.5 + 0.5 * z / (1.0 + F.abs(z))
+        wgt = 0.5 / ((1.0 + F.abs(z)) * (1.0 + F.abs(z)))
+        mom = t.agg(
+            dec12(F.col("n") * wgt).alias("sw"),
+            dec12(F.col("n") * wgt * F.col("x")).alias("swx"),
+            dec12(F.col("n") * wgt * F.col("x") * F.col("x")).alias("swxx"),
+            dec12(F.col("n") * (F.col("y") - prob)).alias("g0"),
+            dec12(F.col("n") * (F.col("y") - prob) * F.col("x")).alias("g1"),
+        )
+        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        beta = (
+            mom.crossJoin(F.broadcast(beta.select(F.col("b0").alias("pb0"), F.col("b1").alias("pb1"))))
+            .select(
+                (F.col("pb0") + (F.col("swxx") * F.col("g0") - F.col("swx") * F.col("g1")) / det).alias("b0"),
+                (F.col("pb1") + (F.col("sw") * F.col("g1") - F.col("swx") * F.col("g0")) / det).alias("b1"),
+            )
+        )
+        t2 = grid.crossJoin(F.broadcast(beta))
+        z2 = F.col("b0") + F.col("b1") * F.col("x")
+        p2 = 0.5 + 0.5 * z2 / (1.0 + F.abs(z2))
+        nll = t2.agg(
+            F.sum(
+                F.round(
+                    -F.col("n")
+                    * (
+                        F.col("y") * F.log(p2)
+                        + (1 - F.col("y")) * F.log(1.0 - p2)
+                    ),
+                    9,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("nll")
+        )
+        row = beta.crossJoin(F.broadcast(nll)).select(
+            F.lit(step).alias("step"),
+            F.round("b0", 9).alias("b0"),
+            F.round("b1", 9).alias("b1"),
+            F.round("nll", 6).alias("log_loss"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# AdaBoost with decision stumps (2 rounds, exponential reweighting)
+# ---------------------------------------------------------------------------
+
+ADA_ROUNDS = 2
+_ADA_FEAT = """
+        SELECT CAST(year(o_orderdate) - 1992 AS BIGINT) AS x1,
+               CAST(o_orderkey % 5 AS BIGINT) AS x2,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END AS y,
+               CAST(count(*) AS DOUBLE) AS dw
+        FROM orders GROUP BY 1, 2, 3
+"""
+
+
+def _ada_sql_round(i: int) -> str:
+    """One AdaBoost round over the weighted grid d{i-1}(x1, x2, y, dw):
+    per-(feature, bin) class masses, cumulative cut scan with both
+    polarities, argmin weighted error, alpha, exponential reweight."""
+    p = i - 1
+    return f"""
+    stats{i} AS (
+        SELECT f, b,
+               CAST(SUM(CASE WHEN y = 1
+                             THEN CAST(round(dw, 12) AS DECIMAL(38,12))
+                             ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS pos_m,
+               CAST(SUM(CASE WHEN y = -1
+                             THEN CAST(round(dw, 12) AS DECIMAL(38,12))
+                             ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS neg_m
+        FROM (
+            SELECT 1 AS f, x1 AS b, y, dw FROM d{p}
+            UNION ALL
+            SELECT 2 AS f, x2 AS b, y, dw FROM d{p}
+        ) GROUP BY f, b
+    ),
+    cum{i} AS (
+        SELECT f, b,
+               SUM(pos_m) OVER (PARTITION BY f ORDER BY b
+                                ROWS UNBOUNDED PRECEDING) AS pos_le,
+               SUM(neg_m) OVER (PARTITION BY f ORDER BY b
+                                ROWS UNBOUNDED PRECEDING) AS neg_le,
+               SUM(pos_m) OVER (PARTITION BY f) AS pos_t,
+               SUM(neg_m) OVER (PARTITION BY f) AS neg_t,
+               MAX(b) OVER (PARTITION BY f) AS bmax
+        FROM stats{i}
+    ),
+    cand{i} AS (
+        SELECT f, b, pol,
+               CASE WHEN pol = 1
+                    THEN (neg_le + (pos_t - pos_le)) / (pos_t + neg_t)
+                    ELSE (pos_le + (neg_t - neg_le)) / (pos_t + neg_t)
+               END AS err
+        FROM cum{i} CROSS JOIN (SELECT 1 AS pol UNION ALL SELECT -1) pols
+        WHERE b < bmax
+    ),
+    best{i} AS (
+        SELECT f AS feature, b AS split_bin, pol AS polarity, err,
+               0.5 * ln((1.0 - err) / err) AS alpha
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY round(err, 9) ASC,
+                                         f ASC, b ASC, pol ASC) AS rk
+            FROM cand{i}
+        ) WHERE rk = 1
+    ),
+    d{i} AS (
+        SELECT g.x1, g.x2, g.y,
+               round(g.dw * exp(-s.alpha * g.y *
+                   (CASE WHEN s.feature = 1
+                         THEN CASE WHEN g.x1 <= s.split_bin
+                                   THEN s.polarity ELSE -s.polarity END
+                         ELSE CASE WHEN g.x2 <= s.split_bin
+                                   THEN s.polarity ELSE -s.polarity END
+                    END)), 12) AS dw
+        FROM d{p} g CROSS JOIN best{i} s
+    )"""
+
+
+def _ada_h(i: int) -> str:
+    """SQL for round-i stump's ±1 prediction on grid row g."""
+    return (
+        f"(CASE WHEN s{i}.feature = 1 "
+        f"THEN CASE WHEN g.x1 <= s{i}.split_bin THEN s{i}.polarity ELSE -s{i}.polarity END "
+        f"ELSE CASE WHEN g.x2 <= s{i}.split_bin THEN s{i}.polarity ELSE -s{i}.polarity END END)"
+    )
+
+
+_ADA_ORACLE = (
+    f"""WITH d0 AS ({_ADA_FEAT}),"""
+    + ",".join(_ada_sql_round(i) for i in range(1, ADA_ROUNDS + 1))
+    + f""",
+    ens AS (
+        SELECT CAST(SUM(CASE WHEN (CASE WHEN s1.alpha * {_ada_h(1)}
+                                        + s2.alpha * {_ada_h(2)} > 0
+                                   THEN 1 ELSE -1 END) <> g.y
+                        THEN CAST(g.dw AS BIGINT) ELSE 0 END) AS BIGINT) AS n_err,
+               CAST(SUM(CAST(g.dw AS BIGINT)) AS BIGINT) AS n
+        FROM d0 g CROSS JOIN best1 s1 CROSS JOIN best2 s2
+    )
+    """
+    + "\n    UNION ALL ".join(
+        f"SELECT {i} AS round, b.feature, b.split_bin, b.polarity,"
+        f" round(b.err, 9) AS err, round(b.alpha, 9) AS alpha,"
+        f" round(CAST(e.n_err AS DOUBLE) / e.n, 9) AS ensemble_train_err"
+        f" FROM best{i} b, ens e"
+        for i in range(1, ADA_ROUNDS + 1)
+    )
+    + "\n    ORDER BY round"
+)
+
+
+@query("ml_adaboost_stumps", oracle=_ADA_ORACLE, tags=("llm", "ml-train", "iterative"))
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost.M1 with depth-1 stumps, two unrolled rounds (Freund &
+    Schapire 1997) — the EXPONENTIAL-reweighting member of the boosting
+    family next to ml_gb_stumps' squared-loss residuals: per round the
+    best (feature, cut, polarity) stump minimizes the weighted error
+    over the cut table, α = ½ln((1−ε)/ε), and every grid row's weight
+    multiplies by exp(−α·y·h(x)).
+
+    Scale shape: the corpus collapses ONCE into a (x1, x2, y, count)
+    grid; each round's error scan is two cumulative windows over the
+    per-feature BIN table (≤ feature-alphabet rows, never the corpus)
+    with both polarities evaluated from the same cumulative masses; the
+    chosen stump re-enters as a broadcast 1-row frame. Weights stay on
+    the grid (round-12 before every decimal sum), so round cost is
+    grid-sized — the distributed-AdaBoost sufficient-statistics shape.
+    Ensemble training error is exact integer counting on the original
+    counts."""
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            (F.year("o_orderdate") - 1992).cast("bigint").alias("x1"),
+            (F.col("o_orderkey") % 5).cast("bigint").alias("x2"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(-1).alias("y"),
+        )
+        .groupBy("x1", "x2", "y")
+        .agg(F.count(F.lit(1)).cast("double").alias("dw"))
+        .localCheckpoint()  # grid-sized; every round re-reads it
+    )
+    grid0 = d
+    dec12pos = lambda y_val: F.sum(
+        F.when(
+            F.col("y") == y_val, F.round(F.col("dw"), 12).cast("decimal(38,12)")
+        ).otherwise(F.lit(0).cast("decimal(38,12)"))
+    ).cast("double")
+    bests = []
+    cur = d
+    for rnd in range(1, ADA_ROUNDS + 1):
+        stacked = cur.select(F.lit(1).alias("f"), F.col("x1").alias("b"), "y", "dw").unionAll(
+            cur.select(F.lit(2).alias("f"), F.col("x2").alias("b"), "y", "dw")
+        )
+        stats = stacked.groupBy("f", "b").agg(
+            dec12pos(1).alias("pos_m"), dec12pos(-1).alias("neg_m")
+        )
+        wcum = Window.partitionBy("f").orderBy("b").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        wall = Window.partitionBy("f")
+        cum = stats.select(
+            "f",
+            "b",
+            F.sum("pos_m").over(wcum).alias("pos_le"),
+            F.sum("neg_m").over(wcum).alias("neg_le"),
+            F.sum("pos_m").over(wall).alias("pos_t"),
+            F.sum("neg_m").over(wall).alias("neg_t"),
+            F.max("b").over(wall).alias("bmax"),
+        )
+        pols = spark.range(1).select(F.lit(1).alias("pol")).unionAll(
+            spark.range(1).select(F.lit(-1).alias("pol"))
+        )
+        err = F.when(
+            F.col("pol") == 1,
+            (F.col("neg_le") + (F.col("pos_t") - F.col("pos_le")))
+            / (F.col("pos_t") + F.col("neg_t")),
+        ).otherwise(
+            (F.col("pos_le") + (F.col("neg_t") - F.col("neg_le")))
+            / (F.col("pos_t") + F.col("neg_t"))
+        )
+        cand = (
+            cum.filter(F.col("b") < F.col("bmax"))
+            .crossJoin(F.broadcast(pols))
+            .select("f", "b", "pol", err.alias("err"))
+        )
+        wrk = Window.orderBy(
+            F.round(F.col("err"), 9).asc(),
+            F.col("f").asc(),
+            F.col("b").asc(),
+            F.col("pol").asc(),
+        )
+        best = (
+            cand.withColumn("rk", F.row_number().over(wrk))
+            .filter(F.col("rk") == 1)
+            .select(
+                F.col("f").alias("feature"),
+                F.col("b").alias("split_bin"),
+                F.col("pol").alias("polarity"),
+                "err",
+                (0.5 * F.log((1.0 - F.col("err")) / F.col("err"))).alias("alpha"),
+            )
+        )
+        bests.append(best)
+        h = F.when(
+            F.col("feature") == 1,
+            F.when(F.col("x1") <= F.col("split_bin"), F.col("polarity")).otherwise(
+                -F.col("polarity")
+            ),
+        ).otherwise(
+            F.when(F.col("x2") <= F.col("split_bin"), F.col("polarity")).otherwise(
+                -F.col("polarity")
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "x1",
+            "x2",
+            "y",
+            F.round(F.col("dw") * F.exp(-F.col("alpha") * F.col("y") * h), 12).alias(
+                "dw"
+            ),
+        )
+    s1 = bests[0].select(
+        F.col("feature").alias("f1"), F.col("split_bin").alias("c1"),
+        F.col("polarity").alias("p1"), F.col("alpha").alias("a1"),
+    )
+    s2 = bests[1].select(
+        F.col("feature").alias("f2"), F.col("split_bin").alias("c2"),
+        F.col("polarity").alias("p2"), F.col("alpha").alias("a2"),
+    )
+
+    def hx(fcol, ccol, pcol):
+        return F.when(
+            F.col(fcol) == 1,
+            F.when(F.col("x1") <= F.col(ccol), F.col(pcol)).otherwise(-F.col(pcol)),
+        ).otherwise(
+            F.when(F.col("x2") <= F.col(ccol), F.col(pcol)).otherwise(-F.col(pcol))
+        )
+
+    score = F.col("a1") * hx("f1", "c1", "p1") + F.col("a2") * hx("f2", "c2", "p2")
+    pred = F.when(score > 0, 1).otherwise(-1)
+    ens = (
+        grid0.crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(s2))
+        .agg(
+            F.sum(
+                F.when(pred != F.col("y"), F.col("dw").cast("bigint")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_err"),
+            F.sum(F.col("dw").cast("bigint")).cast("bigint").alias("n"),
+        )
+    )
+    out = None
+    for i, b in enumerate(bests, start=1):
+        row = b.crossJoin(F.broadcast(ens)).select(
+            F.lit(i).alias("round"),
+            "feature",
+            "split_bin",
+            "polarity",
+            F.round("err", 9).alias("err"),
+            F.round("alpha", 9).alias("alpha"),
+            F.round(F.col("n_err").cast("double") / F.col("n"), 9).alias(
+                "ensemble_train_err"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")
