@@ -2127,3 +2127,74 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+EDV_KEY_CHARS = 32  # normalized-prefix blocking key
+EDV_VERIFY_CHARS = 160  # edit-distance window
+EDV_MAX_DIST = 24  # accept threshold
+
+
+@query(
+    "dedup_edit_distance_verify",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               lower(regexp_replace(substr(text, 1, {EDV_KEY_CHARS}),
+                                    '[^a-zA-Z0-9]', '', 'g')) AS k,
+               substr(text, 1, {EDV_VERIFY_CHARS}) AS head
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb,
+               levenshtein(a.head, b.head) AS dist
+        FROM keyed a JOIN keyed b
+          ON a.k = b.k AND a.doc_id < b.doc_id
+        WHERE a.k <> ''
+    )
+    SELECT ida, idb, CAST(dist AS BIGINT) AS edit_distance,
+           dist <= {EDV_MAX_DIST} AS is_near_dup
+    FROM pairs
+    ORDER BY ida, idb
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance VERIFICATION of blocked near-dup candidates — the
+    character-level verifier the dedup family was missing (Jaccard and
+    SimHash verify set overlap; Levenshtein catches small in-place
+    edits that keep the token multiset intact). Candidates block on the
+    normalized {EDV_KEY_CHARS}-char prefix (the SNM key discipline);
+    each surviving pair pays ONE bounded Levenshtein on the first
+    {EDV_VERIFY_CHARS} chars — O({EDV_VERIFY_CHARS}²) DP cells per
+    PAIR, JVM-side (Spark's levenshtein builtin), never per-char
+    shuffled. At 100 TB the pair set is linear in true near-duplicates
+    (exact-prefix groups), the same candidate-bound argument as
+    dedup_exact; an unblocked all-pairs Levenshtein is the thing this
+    composition exists to avoid."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.lower(
+            F.regexp_replace(
+                F.substring(F.col("text"), 1, EDV_KEY_CHARS), "[^a-zA-Z0-9]", ""
+            )
+        ).alias("k"),
+        F.substring(F.col("text"), 1, EDV_VERIFY_CHARS).alias("head"),
+    ).filter(F.col("k") != "")
+    a = keyed.select(
+        F.col("doc_id").alias("ida"), F.col("k"), F.col("head").alias("ha")
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("idb"), F.col("k"), F.col("head").alias("hb")
+    )
+    return (
+        a.join(b, ["k"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            F.levenshtein("ha", "hb").cast("bigint").alias("edit_distance"),
+            (F.levenshtein("ha", "hb") <= EDV_MAX_DIST).alias("is_near_dup"),
+        )
+        .orderBy("ida", "idb")
+    )
