@@ -3000,3 +3000,190 @@ def agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.col("mean_ln")), 6).alias("geometric_mean"),
         F.round(1.0 - F.exp(F.col("mean_ln")) / F.col("mu"), 9).alias("atkinson_eps1"),
     ).orderBy("priority")
+
+
+KMV_K = 100  # sketch size
+_KMV_M = float(16 ** 15)  # hash space: md5 15-hex-digit prefix
+
+
+@query(
+    "agg_kmv_theta_sketch",
+    oracle=f"""
+    WITH el AS (
+        SELECT DISTINCT event_type AS s,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || '#'
+                                 || CAST(CAST(ts AS DATE) AS VARCHAR)),
+                          1, 15)) AS BIGINT) AS h,
+               user_id, CAST(ts AS DATE) AS d
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    kmv AS (
+        SELECT s, list_sort(list(DISTINCT h))[1:{KMV_K}] AS ks
+        FROM el GROUP BY s
+    ),
+    ab AS (
+        SELECT a.ks AS ka, b.ks AS kb
+        FROM kmv a, kmv b WHERE a.s = 'click' AND b.s = 'purchase'
+    ),
+    un AS (
+        SELECT ka, kb,
+               list_sort(list_distinct(list_concat(ka, kb)))[1:{KMV_K}] AS ku
+        FROM ab
+    ),
+    est AS (
+        SELECT CAST({KMV_K} - 1 AS DOUBLE) * {_KMV_M!r} / ka[{KMV_K}] AS est_a,
+               CAST({KMV_K} - 1 AS DOUBLE) * {_KMV_M!r} / kb[{KMV_K}] AS est_b,
+               CAST({KMV_K} - 1 AS DOUBLE) * {_KMV_M!r} / ku[{KMV_K}] AS est_u,
+               len(list_filter(ku, x -> list_contains(ka, x)
+                                    AND list_contains(kb, x))) AS c_int,
+               len(list_filter(ku, x -> list_contains(ka, x)
+                                    AND NOT list_contains(kb, x))) AS c_diff
+        FROM un
+    ),
+    exact AS (
+        SELECT (SELECT count(DISTINCT (user_id, d)) FROM el WHERE s = 'click')
+                   AS xa,
+               (SELECT count(DISTINCT (user_id, d)) FROM el WHERE s = 'purchase')
+                   AS xb,
+               (SELECT count(*) FROM
+                   (SELECT user_id, d FROM el WHERE s = 'click'
+                    INTERSECT
+                    SELECT user_id, d FROM el WHERE s = 'purchase')) AS xi
+        FROM (SELECT 1)
+    )
+    SELECT m.measure, m.exact, m.estimate FROM (
+        SELECT 'a_click' AS measure, CAST(x.xa AS BIGINT) AS exact,
+               round(e.est_a, 6) AS estimate FROM est e, exact x
+        UNION ALL
+        SELECT 'b_purchase', CAST(x.xb AS BIGINT), round(e.est_b, 6)
+        FROM est e, exact x
+        UNION ALL
+        SELECT 'union', CAST(x.xa + x.xb - x.xi AS BIGINT), round(e.est_u, 6)
+        FROM est e, exact x
+        UNION ALL
+        SELECT 'intersection', CAST(x.xi AS BIGINT),
+               round(CAST(e.c_int AS DOUBLE) / {KMV_K} * e.est_u, 6)
+        FROM est e, exact x
+        UNION ALL
+        SELECT 'a_minus_b', CAST(x.xa - x.xi AS BIGINT),
+               round(CAST(e.c_diff AS DOUBLE) / {KMV_K} * e.est_u, 6)
+        FROM est e, exact x
+    ) m
+    ORDER BY m.measure
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch distinct counting with FULL set algebra
+    (Beyer et al. 2007; the Apache DataSketches theta contract): keep
+    the k smallest element hashes per set, estimate |S| = (k−1)·M/θ,
+    and — the capability HLL fundamentally lacks — estimate
+    INTERSECTION and DIFFERENCE by membership arithmetic inside the
+    union sketch. Elements: (user, day) activity pairs for two event
+    types; estimates sit beside exact ground truth in the output.
+    Deterministic by construction (md5 element hash, no RNG), so the
+    whole pipeline hash-matches the oracle.
+
+    Scale shape: the KMV build is TWO-LEVEL — per-partition k-smallest
+    (array_sort + slice on collect_list bounded by the partition's
+    distinct elements, emitting ≤k values) then a k·partitions merge —
+    so no set ever funnels through one task un-truncated; every
+    subsequent operation (union, θ, membership counts) runs on ≤k-row
+    arrays in 1-row frames. This is the sketch-mergeability argument
+    verbatim: 100 TB reduces to k numbers per set per partition."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("event_type").alias("s"),
+            "user_id",
+            F.to_date("ts").alias("d"),
+        )
+        .distinct()
+        .localCheckpoint()  # consumed by the sketch AND the exact panel
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("#"),
+                        F.col("d").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+    el = ev.select("s", h).distinct()
+    lvl1 = el.withColumn("pid", F.spark_partition_id()).groupBy("s", "pid").agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("hs")
+    )
+    kmv = lvl1.groupBy("s").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("hs"))), 1, KMV_K).alias("ks")
+    )
+    ka = kmv.filter(F.col("s") == "click").select(F.col("ks").alias("ka"))
+    kb = kmv.filter(F.col("s") == "purchase").select(F.col("ks").alias("kb"))
+    un = ka.crossJoin(kb).select(
+        "ka",
+        "kb",
+        F.slice(F.array_sort(F.array_union("ka", "kb")), 1, KMV_K).alias("ku"),
+    )
+    theta = lambda c: F.element_at(F.col(c), KMV_K).cast("double")
+    est = un.select(
+        (F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / theta("ka")).alias("est_a"),
+        (F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / theta("kb")).alias("est_b"),
+        (F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / theta("ku")).alias("est_u"),
+        F.size(
+            F.filter(
+                "ku",
+                lambda x: F.array_contains(F.col("ka"), x)
+                & F.array_contains(F.col("kb"), x),
+            )
+        ).alias("c_int"),
+        F.size(
+            F.filter(
+                "ku",
+                lambda x: F.array_contains(F.col("ka"), x)
+                & ~F.array_contains(F.col("kb"), x),
+            )
+        ).alias("c_diff"),
+    )
+    xa = ev.filter(F.col("s") == "click").select("user_id", "d").distinct().count()
+    xb = ev.filter(F.col("s") == "purchase").select("user_id", "d").distinct().count()
+    xi = (
+        ev.filter(F.col("s") == "click")
+        .select("user_id", "d")
+        .intersect(ev.filter(F.col("s") == "purchase").select("user_id", "d"))
+        .count()
+    )
+    rows = [
+        ("a_click", xa, F.round(F.col("est_a"), 6)),
+        ("b_purchase", xb, F.round(F.col("est_b"), 6)),
+        ("union", xa + xb - xi, F.round(F.col("est_u"), 6)),
+        (
+            "intersection",
+            xi,
+            F.round(F.col("c_int").cast("double") / KMV_K * F.col("est_u"), 6),
+        ),
+        (
+            "a_minus_b",
+            xa - xi,
+            F.round(F.col("c_diff").cast("double") / KMV_K * F.col("est_u"), 6),
+        ),
+    ]
+    out = None
+    for name, exact, estimate in rows:
+        row = est.select(
+            F.lit(name).alias("measure"),
+            F.lit(exact).cast("bigint").alias("exact"),
+            estimate.alias("estimate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("measure")
