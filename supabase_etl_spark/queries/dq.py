@@ -3271,3 +3271,267 @@ def dq_data_vault_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("sat_order_hashdiff", sat))
         .orderBy("entity")
     )
+
+
+# ---------------------------------------------------------------------------
+# isolation forest (deterministic, fixed-depth, distributed)
+# ---------------------------------------------------------------------------
+
+IF_TREES = 4
+IF_DEPTH = 4
+IF_TOP = 10
+_IF_EULER = 0.5772156649015329
+
+
+def _if_u(key):
+    """md5-seeded uniform in [0,1) — 6 decimal digits, cross-engine."""
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 1000000
+    ).cast("double") / 1000000.0
+
+
+@query(
+    "dq_isolation_forest",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(o_totalprice AS DOUBLE) AS x1,
+               CAST(o_orderkey % 1000 AS DOUBLE) AS x2
+        FROM orders
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    pts0 AS (
+        SELECT t.t, b.x1, b.x2, b.k, 'r' AS node0
+        FROM base b CROSS JOIN (SELECT unnest(range(1, 5)) AS t) t
+    ),
+    stats1 AS (
+        SELECT t, node0,
+               min(x1) AS mn1, max(x1) AS mx1,
+               min(x2) AS mn2, max(x2) AS mx2
+        FROM pts0 GROUP BY t, node0
+    ),
+    split1 AS (
+        SELECT t, node0,
+               CAST(CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node0, '|f')), 1, 8)) AS BIGINT) % 2
+                    AS INT) AS f,
+               (CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node0, '|u')), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 AS u,
+               mn1, mx1, mn2, mx2
+        FROM stats1
+    ),
+    pts1 AS (
+        SELECT p.t, p.x1, p.x2, p.k,
+               concat(p.node0,
+                  CASE WHEN (CASE WHEN s.f = 0 THEN p.x1 ELSE p.x2 END)
+                        < (CASE WHEN s.f = 0 THEN s.mn1 + s.u * (s.mx1 - s.mn1)
+                                ELSE s.mn2 + s.u * (s.mx2 - s.mn2) END)
+                       THEN '0' ELSE '1' END) AS node1
+        FROM pts0 p JOIN split1 s ON p.t = s.t AND p.node0 = s.node0
+    ),
+    stats2 AS (
+        SELECT t, node1,
+               min(x1) AS mn1, max(x1) AS mx1,
+               min(x2) AS mn2, max(x2) AS mx2
+        FROM pts1 GROUP BY t, node1
+    ),
+    split2 AS (
+        SELECT t, node1,
+               CAST(CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node1, '|f')), 1, 8)) AS BIGINT) % 2
+                    AS INT) AS f,
+               (CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node1, '|u')), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 AS u,
+               mn1, mx1, mn2, mx2
+        FROM stats2
+    ),
+    pts2 AS (
+        SELECT p.t, p.x1, p.x2, p.k,
+               concat(p.node1,
+                  CASE WHEN (CASE WHEN s.f = 0 THEN p.x1 ELSE p.x2 END)
+                        < (CASE WHEN s.f = 0 THEN s.mn1 + s.u * (s.mx1 - s.mn1)
+                                ELSE s.mn2 + s.u * (s.mx2 - s.mn2) END)
+                       THEN '0' ELSE '1' END) AS node2
+        FROM pts1 p JOIN split2 s ON p.t = s.t AND p.node1 = s.node1
+    ),
+    stats3 AS (
+        SELECT t, node2,
+               min(x1) AS mn1, max(x1) AS mx1,
+               min(x2) AS mn2, max(x2) AS mx2
+        FROM pts2 GROUP BY t, node2
+    ),
+    split3 AS (
+        SELECT t, node2,
+               CAST(CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node2, '|f')), 1, 8)) AS BIGINT) % 2
+                    AS INT) AS f,
+               (CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node2, '|u')), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 AS u,
+               mn1, mx1, mn2, mx2
+        FROM stats3
+    ),
+    pts3 AS (
+        SELECT p.t, p.x1, p.x2, p.k,
+               concat(p.node2,
+                  CASE WHEN (CASE WHEN s.f = 0 THEN p.x1 ELSE p.x2 END)
+                        < (CASE WHEN s.f = 0 THEN s.mn1 + s.u * (s.mx1 - s.mn1)
+                                ELSE s.mn2 + s.u * (s.mx2 - s.mn2) END)
+                       THEN '0' ELSE '1' END) AS node3
+        FROM pts2 p JOIN split3 s ON p.t = s.t AND p.node2 = s.node2
+    ),
+    stats4 AS (
+        SELECT t, node3,
+               min(x1) AS mn1, max(x1) AS mx1,
+               min(x2) AS mn2, max(x2) AS mx2
+        FROM pts3 GROUP BY t, node3
+    ),
+    split4 AS (
+        SELECT t, node3,
+               CAST(CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node3, '|f')), 1, 8)) AS BIGINT) % 2
+                    AS INT) AS f,
+               (CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node3, '|u')), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 AS u,
+               mn1, mx1, mn2, mx2
+        FROM stats4
+    ),
+    pts4 AS (
+        SELECT p.t, p.x1, p.x2, p.k,
+               concat(p.node3,
+                  CASE WHEN (CASE WHEN s.f = 0 THEN p.x1 ELSE p.x2 END)
+                        < (CASE WHEN s.f = 0 THEN s.mn1 + s.u * (s.mx1 - s.mn1)
+                                ELSE s.mn2 + s.u * (s.mx2 - s.mn2) END)
+                       THEN '0' ELSE '1' END) AS node4
+        FROM pts3 p JOIN split4 s ON p.t = s.t AND p.node3 = s.node3
+    ),
+    leafsz AS (
+        SELECT t, node4, CAST(count(*) AS BIGINT) AS m
+        FROM pts4 GROUP BY t, node4
+    ),
+    paths AS (
+        SELECT p.k,
+               round(4 + CASE
+                   WHEN l.m <= 1 THEN 0.0
+                   WHEN l.m = 2 THEN 1.0
+                   ELSE 2.0 * (ln(l.m - 1.0) + 0.5772156649015329)
+                        - 2.0 * (l.m - 1.0) / l.m END, 9) AS path
+        FROM pts4 p JOIN leafsz l
+          ON p.t = l.t AND p.node4 = l.node4
+    ),
+    avgp AS (
+        SELECT k,
+               CAST(SUM(CAST(path AS DECIMAL(38,12))) AS DOUBLE) / 4
+                   AS mean_path
+        FROM paths GROUP BY k
+    ),
+    scored AS (
+        SELECT a.k, a.mean_path,
+               power(2.0, -a.mean_path /
+                   (2.0 * (ln(nn.n - 1.0) + 0.5772156649015329)
+                    - 2.0 * (nn.n - 1.0) / nn.n)) AS score
+        FROM avgp a CROSS JOIN n nn
+    )
+    SELECT k AS orderkey, round(mean_path, 6) AS mean_path,
+           round(score, 9) AS anomaly_score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, k) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+    ORDER BY anomaly_score DESC, orderkey
+""",
+    tags=("dq", "anomaly", "iterative"),
+)
+def dq_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation forest anomaly scoring (Liu et al. 2008), expressed as
+    a DETERMINISTIC distributed plan: 4 trees x depth-4
+    fixed unrolling, split feature and threshold drawn from md5-seeded
+    uniforms over each node's ACTUAL (min, max) range — the true
+    iForest recursion, replayable bit-for-bit in both engines. Each
+    depth level is ONE grouped min/max aggregation over (tree, node) +
+    ONE broadcast join back onto the point stream; path length uses the
+    standard expected-continuation c(m) on the leaf-size table; the
+    anomaly score 2^(-E[path]/c(n)) ranks quantize-then-rank with a
+    TakeOrdered top-10.
+
+    Scale shape: points never leave their partitions except the
+    (tree, node) min/max aggs (map-side combined, at most
+    trees x 2^depth groups — bounded state); the split tables broadcast
+    back. Depth levels are the only sequential dimension, exactly like
+    the tree-ensemble trainers (ml_gb_stumps); nothing is per-point
+    driver-side. The fixed-depth variant scores singleton leaves with
+    c(1)=0, matching the paper's early-isolation credit."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("x1"),
+        (F.col("o_orderkey") % 1000).cast("double").alias("x2"),
+    )
+    n_total = base.count()  # driver-side scalar, one footer-cheap count
+    trees = spark.range(1, IF_TREES + 1).select(F.col("id").alias("t"))
+    pts = base.crossJoin(F.broadcast(trees)).select(
+        "t", "x1", "x2", "k", F.lit("r").alias("node")
+    )
+    for _d in range(1, IF_DEPTH + 1):
+        stats = pts.groupBy("t", "node").agg(
+            F.min("x1").alias("mn1"),
+            F.max("x1").alias("mx1"),
+            F.min("x2").alias("mn2"),
+            F.max("x2").alias("mx2"),
+        )
+        key_f = F.concat(F.col("t").cast("string"), F.lit("|"), F.col("node"), F.lit("|f"))
+        key_u = F.concat(F.col("t").cast("string"), F.lit("|"), F.col("node"), F.lit("|u"))
+        split = stats.select(
+            F.col("t").alias("st"),
+            F.col("node").alias("snode"),
+            (
+                F.conv(F.substring(F.md5(key_f), 1, 8), 16, 10).cast("bigint") % 2
+            ).cast("int").alias("f"),
+            _if_u(key_u).alias("u"),
+            "mn1",
+            "mx1",
+            "mn2",
+            "mx2",
+        )
+        thr = F.when(
+            F.col("f") == 0, F.col("mn1") + F.col("u") * (F.col("mx1") - F.col("mn1"))
+        ).otherwise(F.col("mn2") + F.col("u") * (F.col("mx2") - F.col("mn2")))
+        xval = F.when(F.col("f") == 0, F.col("x1")).otherwise(F.col("x2"))
+        grown = F.concat(
+            F.col("node"), F.when(xval < thr, "0").otherwise("1")
+        ).alias("grown")
+        pts = (
+            pts.join(
+                F.broadcast(split),
+                (F.col("t") == F.col("st")) & (F.col("node") == F.col("snode")),
+            )
+            .select("t", "x1", "x2", "k", grown)
+            .withColumnRenamed("grown", "node")
+        )
+    leafsz = pts.groupBy(F.col("t").alias("lt"), F.col("node").alias("lnode")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    cpath = F.when(F.col("m") <= 1, F.lit(0.0)).when(F.col("m") == 2, F.lit(1.0)).otherwise(
+        2.0 * (F.log(F.col("m") - 1.0) + F.lit(_IF_EULER))
+        - 2.0 * (F.col("m") - 1.0) / F.col("m")
+    )
+    paths = pts.join(
+        F.broadcast(leafsz),
+        (F.col("t") == F.col("lt")) & (F.col("node") == F.col("lnode")),
+    ).select("k", F.round(F.lit(float(IF_DEPTH)) + cpath, 9).alias("path"))
+    avgp = paths.groupBy("k").agg(
+        (
+            F.sum(F.col("path").cast("decimal(38,12)")).cast("double") / IF_TREES
+        ).alias("mean_path")
+    )
+    c_n = (
+        2.0 * (F.log(F.lit(float(n_total)) - 1.0) + F.lit(_IF_EULER))
+        - 2.0 * (F.lit(float(n_total)) - 1.0) / F.lit(float(n_total))
+    )
+    scored = avgp.select(
+        "k",
+        "mean_path",
+        F.pow(F.lit(2.0), -F.col("mean_path") / c_n).alias("score"),
+    )
+    w = Window.orderBy(F.round(F.col("score"), 9).desc(), "k")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= IF_TOP)
+        .select(
+            F.col("k").alias("orderkey"),
+            F.round("mean_path", 6).alias("mean_path"),
+            F.round("score", 9).alias("anomaly_score"),
+        )
+        .orderBy(F.desc("anomaly_score"), "orderkey")
+    )
