@@ -1000,9 +1000,52 @@ def main() -> None:
             F.sum("n_tok"), F.max("n_tok") * F.count(F.lit(1))
         ).write.format("noop").mode("overwrite").save()
 
+    def t_iforest(docs):
+        # dq_isolation_forest's shape over a blown-up point set: 4
+        # trees x 4 depth levels of (tree,node) min/max agg + broadcast
+        # split-back, then leaf-size credit
+        mult = docs.__mult__
+        base = spark.range(15000 * mult).select(
+            F.col("id").alias("k"),
+            (F.pmod(F.col("id") * 2654435761, F.lit(100000)).cast("double")).alias("x1"),
+            (F.col("id") % 1000).cast("double").alias("x2"),
+        )
+        trees = spark.range(1, 5).select(F.col("id").alias("t"))
+        pts = base.crossJoin(F.broadcast(trees)).select(
+            "t", "x1", "x2", "k", F.lit("r").alias("node")
+        )
+        for _d in range(4):
+            stats = pts.groupBy("t", "node").agg(
+                F.min("x1").alias("mn1"), F.max("x1").alias("mx1"),
+                F.min("x2").alias("mn2"), F.max("x2").alias("mx2"),
+            )
+            key_u = F.concat(F.col("t").cast("string"), F.lit("|"), F.col("node"))
+            split = stats.select(
+                F.col("t").alias("st"), F.col("node").alias("snode"),
+                (F.conv(F.substring(F.md5(key_u), 1, 8), 16, 10).cast("bigint") % 2).alias("f"),
+                ((F.conv(F.substring(F.md5(key_u), 9, 8), 16, 10).cast("bigint") % 1000000) / 1000000.0).alias("u"),
+                "mn1", "mx1", "mn2", "mx2",
+            )
+            thr = F.when(F.col("f") == 0, F.col("mn1") + F.col("u") * (F.col("mx1") - F.col("mn1"))).otherwise(
+                F.col("mn2") + F.col("u") * (F.col("mx2") - F.col("mn2")))
+            xval = F.when(F.col("f") == 0, F.col("x1")).otherwise(F.col("x2"))
+            pts = (
+                pts.join(F.broadcast(split),
+                         (F.col("t") == F.col("st")) & (F.col("node") == F.col("snode")))
+                .select("t", "x1", "x2", "k",
+                        F.concat(F.col("node"), F.when(xval < thr, "0").otherwise("1")).alias("grown"))
+                .withColumnRenamed("grown", "node")
+            )
+        leafsz = pts.groupBy(F.col("t").alias("lt"), F.col("node").alias("lnode")).agg(
+            F.count(F.lit(1)).alias("m"))
+        pts.join(F.broadcast(leafsz),
+                 (F.col("t") == F.col("lt")) & (F.col("node") == F.col("lnode"))
+        ).groupBy("k").agg(F.sum("m")).write.format("noop").mode("overwrite").save()
+
     ops = {
         "dedup_exact (sha2 groupBy)": t_exact,
         "length-bucketed batching ranks": t_length_batching,
+        "isolation forest 4x4": t_iforest,
         "trajectory topk band-blocked": t_trajectory,
         "identity stitching CC": t_stitching,
         "naive-bayes train+score": t_naive_bayes,

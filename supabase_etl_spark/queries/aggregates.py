@@ -3072,6 +3072,7 @@ _KMV_M = float(16 ** 15)  # hash space: md5 15-hex-digit prefix
     ORDER BY m.measure
     """,
     tags=("agg", "sketch"),
+    bench=True,
 )
 def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV / theta-sketch distinct counting with FULL set algebra

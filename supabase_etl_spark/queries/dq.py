@@ -3432,6 +3432,7 @@ def _if_u(key):
     ORDER BY anomaly_score DESC, orderkey
 """,
     tags=("dq", "anomaly", "iterative"),
+    bench=True,
 )
 def dq_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isolation forest anomaly scoring (Liu et al. 2008), expressed as

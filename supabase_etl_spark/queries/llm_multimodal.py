@@ -1553,6 +1553,7 @@ def _gray_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY ssim DESC, ua, ub
     """,
     tags=("llm", "multimodal", "similarity", "dedup"),
+    bench=True,
 )
 def multimodal_ssim_over_phash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION composition of perceptual dedup + structural
