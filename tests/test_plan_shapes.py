@@ -967,3 +967,43 @@ def test_pps_cumsum_is_distributed(spark):
     ]
     assert not bad, f"corpus-sized unpartitioned window(s): {bad}"
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_isolation_forest_splits_broadcast_no_cartesian(spark):
+    """dq_isolation_forest: every per-level split table must broadcast
+    back onto the point stream (bounded trees·2^depth rows) and the
+    tree replication must not plan as a CartesianProduct."""
+    q = load_all()["dq_isolation_forest"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # one per depth level
+
+
+def test_kmv_sketch_no_cartesian_and_bounded_aggs(spark):
+    """agg_kmv_theta_sketch: the two-level k-smallest build must be
+    aggregate-shaped (ObjectHashAggregate for the bounded collect_list
+    slices); the 1-row sketch algebra may only nest via broadcast."""
+    q = load_all()["agg_kmv_theta_sketch"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "ObjectHashAggregate" in plan
+
+
+def test_edit_distance_candidates_are_equi_join(spark):
+    """dedup_edit_distance_verify: the prefix-key block must plan as an
+    equi-join on k — an unblocked Levenshtein all-pairs would appear as
+    a nested-loop/cartesian join."""
+    q = load_all()["dedup_edit_distance_verify"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pmi_topk_is_take_ordered(spark):
+    """text_pmi_collocations: the final cut compiles to
+    TakeOrderedAndProject; marginals ride windows over the bigram
+    table (no second corpus aggregation)."""
+    q = load_all()["text_pmi_collocations"]
+    plan = _plan(q.fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
