@@ -3156,14 +3156,24 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c_diff"),
     )
-    xa = ev.filter(F.col("s") == "click").select("user_id", "d").distinct().count()
-    xb = ev.filter(F.col("s") == "purchase").select("user_id", "d").distinct().count()
-    xi = (
-        ev.filter(F.col("s") == "click")
-        .select("user_id", "d")
-        .intersect(ev.filter(F.col("s") == "purchase").select("user_id", "d"))
-        .count()
+    # exact ground-truth panel in ONE action: pivot each (user, day)
+    # element to has_click/has_purchase flags, then a single aggregate
+    # yields |A|, |B|, and |A∩B| — replacing two count() actions plus an
+    # INTERSECT (four stage launches on trivially small data)
+    panel = (
+        ev.groupBy("user_id", "d")
+        .agg(
+            F.max((F.col("s") == "click").cast("int")).alias("ca"),
+            F.max((F.col("s") == "purchase").cast("int")).alias("cb"),
+        )
+        .agg(
+            F.sum("ca").cast("bigint").alias("xa"),
+            F.sum("cb").cast("bigint").alias("xb"),
+            F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("xi"),
+        )
+        .collect()[0]
     )
+    xa, xb, xi = int(panel["xa"]), int(panel["xb"]), int(panel["xi"])
     rows = [
         ("a_click", xa, F.round(F.col("est_a"), 6)),
         ("b_purchase", xb, F.round(F.col("est_b"), 6)),

@@ -3499,6 +3499,14 @@ def dq_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("t", "x1", "x2", "k", grown)
             .withColumnRenamed("grown", "node")
+            # pin each level: the NEXT level consumes this frame TWICE
+            # (its min/max agg and its split-back join), so a lazy chain
+            # re-evaluates every prior level per consumer — 2^depth
+            # replays of the point stream by depth 4 (measured 4.3s at
+            # sf0.1; 3.6s pinned — the residual is the 4 eager
+            # materializations plus ~10 stage launches). Linear materialization is the same
+            # reuse-vs-recompute call as sample_dsir's grid.
+            .localCheckpoint()
         )
     leafsz = pts.groupBy(F.col("t").alias("lt"), F.col("node").alias("lnode")).agg(
         F.count(F.lit(1)).cast("bigint").alias("m")
