@@ -3283,16 +3283,48 @@ IF_TOP = 10
 _IF_EULER = 0.5772156649015329
 
 
-def _if_u(key):
-    """md5-seeded uniform in [0,1) — 6 decimal digits, cross-engine."""
-    return (
-        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 1000000
-    ).cast("double") / 1000000.0
 
+# The driver-side split-table recursion below mirrors how spark.ml's
+# tree trainers work: per level, ONE bounded statistics aggregation over
+# the full point stream (conditional min/max/count per live (tree, node)
+# — at most IF_TREES * 2**depth groups, collected as a single row), then
+# the next level's node assignment is compiled into a literal CASE
+# expression. No join, no checkpoint, no point-stream replication.
+_IF_SQL_SPLIT = """
+        SELECT t, node{d0},
+               CAST(CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node{d0}, '|f')), 1, 8)) AS BIGINT) % 2
+                    AS INT) AS f,
+               (CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node{d0}, '|u')), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 AS u,
+               mn1, mx1, mn2, mx2
+        FROM stats{d}
+"""
 
-@query(
-    "dq_isolation_forest",
-    oracle="""
+_IF_SQL_LEVEL = """
+    stats{d} AS (
+        SELECT t, node{d0},
+               min(x1) AS mn1, max(x1) AS mx1,
+               min(x2) AS mn2, max(x2) AS mx2
+        FROM pts{d0} GROUP BY t, node{d0}
+    ),
+    split{d} AS ({split}
+    ),
+    pts{d} AS (
+        SELECT p.t, p.x1, p.x2, p.k,
+               concat(p.node{d0},
+                  CASE WHEN (CASE WHEN s.f = 0 THEN p.x1 ELSE p.x2 END)
+                        < (CASE WHEN s.f = 0 THEN s.mn1 + s.u * (s.mx1 - s.mn1)
+                                ELSE s.mn2 + s.u * (s.mx2 - s.mn2) END)
+                       THEN '0' ELSE '1' END) AS node{d}
+        FROM pts{d0} p JOIN split{d} s ON p.t = s.t AND p.node{d0} = s.node{d0}
+    ),
+"""
+
+_IF_SQL_LEVELS = "".join(
+    _IF_SQL_LEVEL.format(d=d, d0=d - 1, split=_IF_SQL_SPLIT.format(d=d, d0=d - 1))
+    for d in range(1, IF_DEPTH + 1)
+)
+
+_IF_ORACLE = f"""
     WITH base AS (
         SELECT o_orderkey AS k,
                CAST(o_totalprice AS DOUBLE) AS x1,
@@ -3302,117 +3334,44 @@ def _if_u(key):
     n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
     pts0 AS (
         SELECT t.t, b.x1, b.x2, b.k, 'r' AS node0
-        FROM base b CROSS JOIN (SELECT unnest(range(1, 5)) AS t) t
+        FROM base b CROSS JOIN (SELECT unnest(range(1, {IF_TREES + 1})) AS t) t
     ),
-    stats1 AS (
-        SELECT t, node0,
-               min(x1) AS mn1, max(x1) AS mx1,
-               min(x2) AS mn2, max(x2) AS mx2
-        FROM pts0 GROUP BY t, node0
-    ),
-    split1 AS (
-        SELECT t, node0,
-               CAST(CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node0, '|f')), 1, 8)) AS BIGINT) % 2
-                    AS INT) AS f,
-               (CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node0, '|u')), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 AS u,
-               mn1, mx1, mn2, mx2
-        FROM stats1
-    ),
-    pts1 AS (
-        SELECT p.t, p.x1, p.x2, p.k,
-               concat(p.node0,
-                  CASE WHEN (CASE WHEN s.f = 0 THEN p.x1 ELSE p.x2 END)
-                        < (CASE WHEN s.f = 0 THEN s.mn1 + s.u * (s.mx1 - s.mn1)
-                                ELSE s.mn2 + s.u * (s.mx2 - s.mn2) END)
-                       THEN '0' ELSE '1' END) AS node1
-        FROM pts0 p JOIN split1 s ON p.t = s.t AND p.node0 = s.node0
-    ),
-    stats2 AS (
-        SELECT t, node1,
-               min(x1) AS mn1, max(x1) AS mx1,
-               min(x2) AS mn2, max(x2) AS mx2
-        FROM pts1 GROUP BY t, node1
-    ),
-    split2 AS (
-        SELECT t, node1,
-               CAST(CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node1, '|f')), 1, 8)) AS BIGINT) % 2
-                    AS INT) AS f,
-               (CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node1, '|u')), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 AS u,
-               mn1, mx1, mn2, mx2
-        FROM stats2
-    ),
-    pts2 AS (
-        SELECT p.t, p.x1, p.x2, p.k,
-               concat(p.node1,
-                  CASE WHEN (CASE WHEN s.f = 0 THEN p.x1 ELSE p.x2 END)
-                        < (CASE WHEN s.f = 0 THEN s.mn1 + s.u * (s.mx1 - s.mn1)
-                                ELSE s.mn2 + s.u * (s.mx2 - s.mn2) END)
-                       THEN '0' ELSE '1' END) AS node2
-        FROM pts1 p JOIN split2 s ON p.t = s.t AND p.node1 = s.node1
-    ),
-    stats3 AS (
-        SELECT t, node2,
-               min(x1) AS mn1, max(x1) AS mx1,
-               min(x2) AS mn2, max(x2) AS mx2
-        FROM pts2 GROUP BY t, node2
-    ),
-    split3 AS (
-        SELECT t, node2,
-               CAST(CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node2, '|f')), 1, 8)) AS BIGINT) % 2
-                    AS INT) AS f,
-               (CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node2, '|u')), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 AS u,
-               mn1, mx1, mn2, mx2
-        FROM stats3
-    ),
-    pts3 AS (
-        SELECT p.t, p.x1, p.x2, p.k,
-               concat(p.node2,
-                  CASE WHEN (CASE WHEN s.f = 0 THEN p.x1 ELSE p.x2 END)
-                        < (CASE WHEN s.f = 0 THEN s.mn1 + s.u * (s.mx1 - s.mn1)
-                                ELSE s.mn2 + s.u * (s.mx2 - s.mn2) END)
-                       THEN '0' ELSE '1' END) AS node3
-        FROM pts2 p JOIN split3 s ON p.t = s.t AND p.node2 = s.node2
-    ),
-    stats4 AS (
-        SELECT t, node3,
-               min(x1) AS mn1, max(x1) AS mx1,
-               min(x2) AS mn2, max(x2) AS mx2
-        FROM pts3 GROUP BY t, node3
-    ),
-    split4 AS (
-        SELECT t, node3,
-               CAST(CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node3, '|f')), 1, 8)) AS BIGINT) % 2
-                    AS INT) AS f,
-               (CAST(concat('0x', substr(md5(concat(CAST(t AS VARCHAR), '|', node3, '|u')), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 AS u,
-               mn1, mx1, mn2, mx2
-        FROM stats4
-    ),
-    pts4 AS (
-        SELECT p.t, p.x1, p.x2, p.k,
-               concat(p.node3,
-                  CASE WHEN (CASE WHEN s.f = 0 THEN p.x1 ELSE p.x2 END)
-                        < (CASE WHEN s.f = 0 THEN s.mn1 + s.u * (s.mx1 - s.mn1)
-                                ELSE s.mn2 + s.u * (s.mx2 - s.mn2) END)
-                       THEN '0' ELSE '1' END) AS node4
-        FROM pts3 p JOIN split4 s ON p.t = s.t AND p.node3 = s.node3
-    ),
+    {_IF_SQL_LEVELS}
     leafsz AS (
-        SELECT t, node4, CAST(count(*) AS BIGINT) AS m
-        FROM pts4 GROUP BY t, node4
+        SELECT t, node{IF_DEPTH}, CAST(count(*) AS BIGINT) AS m
+        FROM pts{IF_DEPTH} GROUP BY t, node{IF_DEPTH}
+    ),
+    -- early-isolation credit (Liu et al. 2008): a point whose node
+    -- became a singleton at depth d stops there with path = d; prefix
+    -- population at depth d is the sum of leaf sizes sharing the first
+    -- d split bits (a window over the <= trees * 2^depth leaf table)
+    pfx AS (
+        SELECT t, node{IF_DEPTH}, m,
+               SUM(m) OVER (PARTITION BY t, substr(node{IF_DEPTH}, 1, 2)) AS c1,
+               SUM(m) OVER (PARTITION BY t, substr(node{IF_DEPTH}, 1, 3)) AS c2,
+               SUM(m) OVER (PARTITION BY t, substr(node{IF_DEPTH}, 1, 4)) AS c3
+        FROM leafsz
+    ),
+    leafpath AS (
+        SELECT t, node{IF_DEPTH},
+               round(CASE WHEN c1 = 1 THEN 1.0
+                          WHEN c2 = 1 THEN 2.0
+                          WHEN c3 = 1 THEN 3.0
+                          WHEN m = 1 THEN {IF_DEPTH}.0
+                          WHEN m = 2 THEN {IF_DEPTH} + 1.0
+                          ELSE {IF_DEPTH}
+                               + 2.0 * (ln(m - 1.0) + 0.5772156649015329)
+                               - 2.0 * (m - 1.0) / m END, 9) AS path
+        FROM pfx
     ),
     paths AS (
-        SELECT p.k,
-               round(4 + CASE
-                   WHEN l.m <= 1 THEN 0.0
-                   WHEN l.m = 2 THEN 1.0
-                   ELSE 2.0 * (ln(l.m - 1.0) + 0.5772156649015329)
-                        - 2.0 * (l.m - 1.0) / l.m END, 9) AS path
-        FROM pts4 p JOIN leafsz l
-          ON p.t = l.t AND p.node4 = l.node4
+        SELECT p.k, l.path
+        FROM pts{IF_DEPTH} p JOIN leafpath l
+          ON p.t = l.t AND p.node{IF_DEPTH} = l.node{IF_DEPTH}
     ),
     avgp AS (
         SELECT k,
-               CAST(SUM(CAST(path AS DECIMAL(38,12))) AS DOUBLE) / 4
+               CAST(SUM(CAST(path AS DECIMAL(38,12))) AS DOUBLE) / {IF_TREES}
                    AS mean_path
         FROM paths GROUP BY k
     ),
@@ -3428,115 +3387,212 @@ def _if_u(key):
     FROM (
         SELECT *, ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, k) AS rk
         FROM scored
-    ) WHERE rk <= 10
+    ) WHERE rk <= {IF_TOP}
     ORDER BY anomaly_score DESC, orderkey
-""",
+"""
+
+
+@query(
+    "dq_isolation_forest",
+    oracle=_IF_ORACLE,
     tags=("dq", "anomaly", "iterative"),
     bench=True,
 )
 def dq_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isolation forest anomaly scoring (Liu et al. 2008), expressed as
-    a DETERMINISTIC distributed plan: 4 trees x depth-4
-    fixed unrolling, split feature and threshold drawn from md5-seeded
+    a DETERMINISTIC distributed plan: IF_TREES x depth-IF_DEPTH fixed
+    unrolling, split feature and threshold drawn from md5-seeded
     uniforms over each node's ACTUAL (min, max) range — the true
-    iForest recursion, replayable bit-for-bit in both engines. Each
-    depth level is ONE grouped min/max aggregation over (tree, node) +
-    ONE broadcast join back onto the point stream; path length uses the
-    standard expected-continuation c(m) on the leaf-size table; the
-    anomaly score 2^(-E[path]/c(n)) ranks quantize-then-rank with a
-    TakeOrdered top-10.
+    iForest recursion, replayable bit-for-bit in both engines. Early
+    isolation earns its credit: a point whose node becomes a singleton
+    at depth d scores path = d (the paper's h(x) with c(1) = 0), not
+    the fixed-depth floor; non-singleton leaves score
+    IF_DEPTH + c(m) as usual.
 
-    Scale shape: points never leave their partitions except the
-    (tree, node) min/max aggs (map-side combined, at most
-    trees x 2^depth groups — bounded state); the split tables broadcast
-    back. Depth levels are the only sequential dimension, exactly like
-    the tree-ensemble trainers (ml_gb_stumps); nothing is per-point
-    driver-side. The fixed-depth variant scores singleton leaves with
-    c(1)=0, matching the paper's early-isolation credit."""
+    Scale shape (the spark.ml tree-trainer pattern): the per-level
+    split statistics are ONE global aggregate of conditional
+    min/max/count expressions per live (tree, node) — at most
+    IF_TREES * 2^depth groups, i.e. a SINGLE collected row per level,
+    never per-point driver state. The next level's node assignment
+    compiles those collected stats into a literal CASE chain, so the
+    point stream is consumed by pure narrow projections: zero joins,
+    zero shuffles (beyond each aggregate's 1-row reduce), zero
+    checkpoints, zero point replication — the former broadcast-join +
+    localCheckpoint pipeline (4 eager materializations of a 4x corpus
+    frame) collapses to IF_DEPTH + 1 scan-and-aggregate passes plus one
+    final TakeOrdered top-{IF_TOP} pass. Each pass is
+    whole-stage-codegen over the 2-column scan, so a 100 TB input costs
+    5 metadata-pruned scans and nothing else.
+
+    Determinism: split stats (min/max/count) collect as exact doubles /
+    longs; f and u re-derive from md5 in Python exactly as the oracle's
+    SQL md5 (same first-8-hex-digits % trick); thresholds
+    mn + u * (mx - mn) are the same IEEE ops on the same doubles in
+    Python, Spark literals, and DuckDB; c(m) and the final score stay
+    ENGINE-side (both engines' ln over identical integer m), matching
+    the established cross-engine parity of the per-level unrolled
+    oracle."""
+    import hashlib
+
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
         F.col("o_orderkey").alias("k"),
         F.col("o_totalprice").cast("double").alias("x1"),
         (F.col("o_orderkey") % 1000).cast("double").alias("x2"),
     )
-    n_total = base.count()  # driver-side scalar, one footer-cheap count
-    trees = spark.range(1, IF_TREES + 1).select(F.col("id").alias("t"))
-    pts = base.crossJoin(F.broadcast(trees)).select(
-        "t", "x1", "x2", "k", F.lit("r").alias("node")
-    )
-    for _d in range(1, IF_DEPTH + 1):
-        stats = pts.groupBy("t", "node").agg(
+
+    def md5mod(s: str, mod: int) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+    def nv_str(nid: int) -> str:
+        """Heap-index node id -> the oracle's bit-string label
+        (1 -> 'r', 2 -> 'r0', 3 -> 'r1', 4 -> 'r00', ...)."""
+        return "r" + bin(nid)[3:]
+
+    trees = range(1, IF_TREES + 1)
+    # splits[(t, nid)] = (feature_bit, literal threshold); populated one
+    # level at a time from the collected bounded stats table
+    splits: dict[tuple[int, int], tuple[int, float]] = {}
+    counts: dict[tuple[int, int], int] = {}
+
+    def node_at(t: int, depth: int):
+        """Flat decision expression: each row walks exactly `depth`
+        double-vs-literal comparisons to its integer node id — no
+        column back-references for Catalyst to inline exponentially,
+        no string building in the hot path."""
+
+        def rec(nid: int, remaining: int):
+            if remaining == 0 or (t, nid) not in splits:
+                return F.lit(nid)
+            f_bit, thr = splits[(t, nid)]
+            xcol = F.col("x1") if f_bit == 0 else F.col("x2")
+            return F.when(xcol < F.lit(thr), rec(2 * nid, remaining - 1)).otherwise(
+                rec(2 * nid + 1, remaining - 1)
+            )
+
+        return rec(1, depth)
+
+    def tree_node_stats(depth: int):
+        """ONE scan-and-aggregate pass: per-row node ids for all trees
+        at `depth`, exploded to (t, node) and reduced to at most
+        IF_TREES * 2^depth groups (map-side combined)."""
+        ex = base.select(
+            "x1",
+            "x2",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"), node_at(t, depth).alias("node")
+                        )
+                        for t in trees
+                    ]
+                )
+            ).alias("tn"),
+        ).select("x1", "x2", F.col("tn.t").alias("t"), F.col("tn.node").alias("node"))
+        return ex.groupBy("t", "node").agg(
             F.min("x1").alias("mn1"),
             F.max("x1").alias("mx1"),
             F.min("x2").alias("mn2"),
             F.max("x2").alias("mx2"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
         )
-        key_f = F.concat(F.col("t").cast("string"), F.lit("|"), F.col("node"), F.lit("|f"))
-        key_u = F.concat(F.col("t").cast("string"), F.lit("|"), F.col("node"), F.lit("|u"))
-        split = stats.select(
-            F.col("t").alias("st"),
-            F.col("node").alias("snode"),
-            (
-                F.conv(F.substring(F.md5(key_f), 1, 8), 16, 10).cast("bigint") % 2
-            ).cast("int").alias("f"),
-            _if_u(key_u).alias("u"),
-            "mn1",
-            "mx1",
-            "mn2",
-            "mx2",
+
+    n_total = 0
+    for d in range(1, IF_DEPTH + 1):
+        stats = {(r["t"], r["node"]): r for r in tree_node_stats(d - 1).collect()}
+        if d == 1:
+            n_total = int(stats[(1, 1)]["c"])
+        for (t, nid), r in stats.items():
+            counts[(t, nid)] = int(r["c"])
+            nv = nv_str(nid)
+            f_bit = md5mod(f"{t}|{nv}|f", 2)
+            u = md5mod(f"{t}|{nv}|u", 1_000_000) / 1_000_000.0
+            mn, mx = (r["mn1"], r["mx1"]) if f_bit == 0 else (r["mn2"], r["mx2"])
+            splits[(t, nid)] = (f_bit, mn + u * (mx - mn))
+    # leaf populations: one final bounded stats pass at full depth
+    leafsz: dict[tuple[int, int], int] = {}
+    for r in tree_node_stats(IF_DEPTH).collect():
+        leafsz[(r["t"], r["node"])] = int(r["c"])
+    # early-isolation depth per leaf from the driver-held count tables:
+    # counts[(t, ancestor)] is the node population at each depth, and
+    # ancestor ids are just right-shifts of the leaf id
+    iso: dict[tuple[int, int], int] = {}
+    for (t, nid), m in leafsz.items():
+        for dd in range(1, IF_DEPTH):
+            if counts[(t, nid >> (IF_DEPTH - dd))] == 1:
+                iso[(t, nid)] = dd
+                break
+        else:
+            if m == 1:
+                iso[(t, nid)] = IF_DEPTH
+    # literal per-tree lookup maps (<= 2^IF_DEPTH entries each): leaf
+    # size and isolation depth keyed by leaf id; c(m) and the score stay
+    # engine-side for ln parity with the oracle
+    m_maps = {
+        t: F.create_map(
+            *[
+                x
+                for (tt, nid), m in leafsz.items()
+                if tt == t
+                for x in (F.lit(nid), F.lit(m))
+            ]
         )
-        thr = F.when(
-            F.col("f") == 0, F.col("mn1") + F.col("u") * (F.col("mx1") - F.col("mn1"))
-        ).otherwise(F.col("mn2") + F.col("u") * (F.col("mx2") - F.col("mn2")))
-        xval = F.when(F.col("f") == 0, F.col("x1")).otherwise(F.col("x2"))
-        grown = F.concat(
-            F.col("node"), F.when(xval < thr, "0").otherwise("1")
-        ).alias("grown")
-        pts = (
-            pts.join(
-                F.broadcast(split),
-                (F.col("t") == F.col("st")) & (F.col("node") == F.col("snode")),
-            )
-            .select("t", "x1", "x2", "k", grown)
-            .withColumnRenamed("grown", "node")
-            # pin each level: the NEXT level consumes this frame TWICE
-            # (its min/max agg and its split-back join), so a lazy chain
-            # re-evaluates every prior level per consumer — 2^depth
-            # replays of the point stream by depth 4 (measured 4.3s at
-            # sf0.1; 3.6s pinned — the residual is the 4 eager
-            # materializations plus ~10 stage launches). Linear materialization is the same
-            # reuse-vs-recompute call as sample_dsir's grid.
-            .localCheckpoint()
+        for t in trees
+    }
+    iso_maps = {}
+    for t in trees:
+        pairs = [
+            x
+            for (tt, nid), dd in iso.items()
+            if tt == t
+            for x in (F.lit(nid), F.lit(dd))
+        ]
+        iso_maps[t] = F.create_map(*pairs) if pairs else None
+
+    def tree_path(t: int):
+        leaf = F.col(f"leaf{t}")
+        m = F.element_at(m_maps[t], leaf).cast("double")
+        cpath = F.when(m == 2.0, F.lit(1.0)).otherwise(
+            2.0 * (F.log(m - 1.0) + F.lit(_IF_EULER)) - 2.0 * (m - 1.0) / m
         )
-    leafsz = pts.groupBy(F.col("t").alias("lt"), F.col("node").alias("lnode")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("m")
+        full = F.lit(float(IF_DEPTH)) + cpath
+        if iso_maps[t] is not None:
+            iso_d = F.element_at(iso_maps[t], leaf)
+            full = F.when(iso_d.isNotNull(), iso_d.cast("double")).otherwise(full)
+        return F.round(full, 9)
+
+    # the scoring pass is the only compute-dense one (map lookups +
+    # ln/pow per row); when the scan parallelism is below the cluster's
+    # (a single local parquet split), spread it with one cheap shuffle —
+    # on a many-split (100 TB) scan this branch never fires
+    par = spark.sparkContext.defaultParallelism
+    fin = base.repartition(par) if base.rdd.getNumPartitions() < par else base
+    leaves = fin.select(
+        "k", *[node_at(t, IF_DEPTH).alias(f"leaf{t}") for t in trees]
     )
-    cpath = F.when(F.col("m") <= 1, F.lit(0.0)).when(F.col("m") == 2, F.lit(1.0)).otherwise(
-        2.0 * (F.log(F.col("m") - 1.0) + F.lit(_IF_EULER))
-        - 2.0 * (F.col("m") - 1.0) / F.col("m")
-    )
-    paths = pts.join(
-        F.broadcast(leafsz),
-        (F.col("t") == F.col("lt")) & (F.col("node") == F.col("lnode")),
-    ).select("k", F.round(F.lit(float(IF_DEPTH)) + cpath, 9).alias("path"))
-    avgp = paths.groupBy("k").agg(
-        (
-            F.sum(F.col("path").cast("decimal(38,12)")).cast("double") / IF_TREES
-        ).alias("mean_path")
+    path_cols = [tree_path(t) for t in trees]
+    mean_path = (
+        sum(
+            (p.cast("decimal(38,12)") for p in path_cols[1:]),
+            path_cols[0].cast("decimal(38,12)"),
+        ).cast("double")
+        / IF_TREES
     )
     c_n = (
         2.0 * (F.log(F.lit(float(n_total)) - 1.0) + F.lit(_IF_EULER))
         - 2.0 * (F.lit(float(n_total)) - 1.0) / F.lit(float(n_total))
     )
-    scored = avgp.select(
+    scored = leaves.select("k", mean_path.alias("mean_path")).select(
         "k",
         "mean_path",
         F.pow(F.lit(2.0), -F.col("mean_path") / c_n).alias("score"),
     )
-    w = Window.orderBy(F.round(F.col("score"), 9).desc(), "k")
+    # global top-k compiles to TakeOrderedAndProject (per-partition
+    # heaps) — never a single-partition window
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= IF_TOP)
+        scored.orderBy(F.round(F.col("score"), 9).desc(), "k")
+        .limit(IF_TOP)
         .select(
             F.col("k").alias("orderkey"),
             F.round("mean_path", 6).alias("mean_path"),

@@ -969,14 +969,20 @@ def test_pps_cumsum_is_distributed(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_isolation_forest_splits_broadcast_no_cartesian(spark):
-    """dq_isolation_forest: every per-level split table must broadcast
-    back onto the point stream (bounded trees·2^depth rows) and the
-    tree replication must not plan as a CartesianProduct."""
+def test_isolation_forest_scan_only_no_joins(spark):
+    """dq_isolation_forest (driver-side split tables, r9): the returned
+    scoring plan must be a pure projection over the point scan — the
+    per-level split stats collect as bounded rows and compile into
+    literal decision expressions, so NO join, NO window, and NO
+    checkpoint scan may appear anywhere; the top-10 must compile to
+    TakeOrderedAndProject (per-partition heaps)."""
     q = load_all()["dq_isolation_forest"]
     plan = _plan(q.fn(spark, SF))
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 4  # one per depth level
+    assert "Join" not in plan  # matches every join exec node name
+    assert "WindowExec" not in plan and "Window" not in plan
+    assert "Scan ExistingRDD" not in plan  # no lineage truncation left
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_kmv_sketch_no_cartesian_and_bounded_aggs(spark):
