@@ -80,3 +80,40 @@ def distributed_cumsum(
         .withColumn(out, F.col(_LOCAL) + F.col(_OFF))
         .drop(_PID, _LOCAL, _OFF)
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    order: list[Column],
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out`` = row_number() in the total order ``order`` (must be
+    a total order — include a tie-breaking key), computed as the
+    distributed prefix count: range-repartition on the sort key,
+    per-partition local row numbers, plus each partition's broadcast
+    offset. Bit-equal to ``row_number() OVER (ORDER BY ...)`` without
+    dragging the dataset through one task (pinned by
+    tests/test_prefix_sum.py)."""
+    tagged = df.withColumn("__pfx_one", F.lit(1).cast("bigint"))
+    return distributed_cumsum(
+        tagged, "__pfx_one", order, out=out, num_partitions=num_partitions
+    ).drop("__pfx_one")
+
+
+def ntile_from_rank(rn: Column, n: Column, buckets: int) -> Column:
+    """Exact NTILE(buckets) from a 1-based rank and the total row count
+    — SQL semantics: the first ``n % buckets`` tiles get
+    ``n div buckets + 1`` rows, the rest ``n div buckets``. All-integer
+    arithmetic, so the swap for a global-order ntile window is
+    bit-exact in any engine. ``greatest(base, 1)`` only guards the
+    never-taken branch when n < buckets (every tile then has one row
+    and the first branch covers all ranks)."""
+    base = (n / buckets).cast("bigint")
+    rem = n % buckets
+    cut = rem * (base + 1)
+    return (
+        F.when(rn <= cut, ((rn - 1) / (base + 1)).cast("bigint") + 1)
+        .otherwise(rem + ((rn - cut - 1) / F.greatest(base, F.lit(1))).cast("bigint") + 1)
+        .cast("int")
+    )

@@ -34,6 +34,15 @@ class QuerySpec:
     oracle: str | None = None  # DuckDB SQL; None => driver does rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    # Sanctioned unpartitioned windows: one justification string per
+    # single-partition WindowExec in the physical plan whose input is
+    # bounded (grid / group-domain / island-spine tables) but not
+    # mechanically provable from the plan. The registry-wide lint
+    # (tests/test_window_lint_registry.py) fails any query whose
+    # unaccounted single-partition window count exceeds len(uwin) —
+    # windows over TakeOrdered/limit results and the distributed-prefix
+    # offset tables are auto-recognized and need no entry.
+    uwin: tuple[str, ...] = field(default_factory=tuple)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -66,13 +75,21 @@ _QUERY_MODULES = [
 ]
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench: bool = False):
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+    uwin: tuple[str, ...] = (),
+):
     """Decorator: register a query under ``name``."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, bench=bench)
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, bench=bench, uwin=uwin
+        )
         return fn
 
     return deco

@@ -1383,6 +1383,10 @@ MWU_BIN = 1000.0  # Mann-Whitney score quantization (midranks handle ties)
     ORDER BY n1
     """,
     tags=("agg", "stats"),
+    uwin=(
+        'quantized score-grid table (bounded threshold buckets, agg_auc lever)',
+        'quantized score-grid table (bounded threshold buckets, agg_auc lever)',
+    ),
 )
 def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) with midrank tie handling and

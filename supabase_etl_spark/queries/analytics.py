@@ -995,11 +995,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quintiles) —
     the classic customer-value rollup. One per-user hash aggregate,
-    then three global NTILE windows over the user-level table (users ≪
-    events, so the global sort is over the small aggregate, never the
-    event stream; deterministic user_id tie-breaks keep quintile edges
-    engine-identical). The corpus max-date anchor is a scalar subquery
-    — broadcast, not a driver round-trip."""
+    then three DISTRIBUTED quintile assignments over the user-level
+    table: each is a range-partitioned exact rank
+    (operators.prefix.distributed_rank) fed through the all-integer
+    NTILE formula — bit-equal to the oracle's global NTILE(5) windows
+    without dragging the user table (billions of rows at 100 TB)
+    through one task. Deterministic user_id tie-breaks keep quintile
+    edges engine-identical. The corpus max-date anchor is a broadcast
+    1-row aggregate, not a driver round-trip."""
+    from supabase_etl_spark.operators.prefix import distributed_rank, ntile_from_rank
+
     e = load_table(spark, sf_dir, "events")
     anchor = e.agg(F.max(F.col("ts").cast("date")).alias("anchor"))
     base = (
@@ -1017,18 +1022,29 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
-    w_m = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
-    return base.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
-    ).orderBy("user_id")
+    n1 = base.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    ranked = distributed_rank(
+        base, [F.col("recency_days").asc(), F.col("user_id").asc()], out="__r_rn"
+    )
+    ranked = distributed_rank(
+        ranked, [F.col("frequency").desc(), F.col("user_id").asc()], out="__f_rn"
+    )
+    ranked = distributed_rank(
+        ranked, [F.col("monetary").desc(), F.col("user_id").asc()], out="__m_rn"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n1))
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            ntile_from_rank(F.col("__r_rn"), F.col("__n"), 5).alias("r_score"),
+            ntile_from_rank(F.col("__f_rn"), F.col("__n"), 5).alias("f_score"),
+            ntile_from_rank(F.col("__m_rn"), F.col("__n"), 5).alias("m_score"),
+        )
+        .orderBy("user_id")
+    )
 
 
 FUNNEL_WINDOW_DAYS = 7
@@ -2049,6 +2065,9 @@ US_PER_DAY = 86_400_000_000
     ORDER BY trend_rank
     """,
     tags=("events", "analytics"),
+    uwin=(
+        'event_type-domain table (handful of categories)',
+    ),
 )
 def events_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially time-decayed engagement ranking — the "trending
@@ -3289,6 +3308,10 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY hours
     """,
     tags=("events", "analytics", "survival"),
+    uwin=(
+        'distinct integer-hour event-time grid (<= timeline hours)',
+        'distinct integer-hour event-time grid (<= timeline hours)',
+    ),
 )
 def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival estimate of time-to-first-purchase
@@ -3932,6 +3955,9 @@ QINI_GRID = 40
     ORDER BY s DESC
     """,
     tags=("events", "analytics", "ml-eval"),
+    uwin=(
+        'quantized uplift-score grid (bounded thresholds)',
+    ),
 )
 def events_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Qini uplift curve: users split into deterministic treatment /
@@ -5102,6 +5128,10 @@ def orders_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY hours
     """,
     tags=("events", "analytics", "survival"),
+    uwin=(
+        'distinct integer-hour event-time grid (<= timeline hours)',
+        'distinct integer-hour event-time grid (<= timeline hours)',
+    ),
 )
 def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative-hazard estimator, the additive twin of
@@ -5269,6 +5299,9 @@ def events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY week
     """,
     tags=("events", "analytics", "growth"),
+    uwin=(
+        'week-grained series (<= timeline weeks)',
+    ),
 )
 def events_lifecycle_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Growth accounting: classify each user-week as new / retained /
@@ -5350,6 +5383,10 @@ LORENZ_BUCKETS = 10
     ORDER BY decile
     """,
     tags=("events", "analytics", "stats"),
+    uwin=(
+        '10-row decile rollup table',
+        '10-row decile rollup table',
+    ),
 )
 def events_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve at decile resolution: rank users by total event
@@ -6198,6 +6235,10 @@ def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cause, hours
     """,
     tags=("events", "analytics", "survival"),
+    uwin=(
+        'integer-hour duration grid (<= timeline hours)',
+        'integer-hour duration grid (<= timeline hours)',
+    ),
 )
 def events_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aalen-Johansen cumulative incidence under competing risks: each
@@ -6644,6 +6685,10 @@ def _dtw_oracle() -> str:
     "events_dtw_alignment",
     oracle=_dtw_oracle(),
     tags=("events", "timeseries"),
+    uwin=(
+        'day-grained daily series (<= timeline days)',
+        'day-grained daily series (<= timeline days)',
+    ),
 )
 def events_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slope-constrained dynamic time warping between the daily 'click'
@@ -7254,6 +7299,9 @@ def events_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataF
     FROM terms
     """,
     tags=("events", "analytics", "survival"),
+    uwin=(
+        'distinct integer-hour event-time grid (<= timeline hours)',
+    ),
 )
 def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-rank (Mantel-Cox) test comparing time-to-first-purchase
@@ -7852,6 +7900,11 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts
     """,
     tags=("events", "analytics", "statistics"),
+    uwin=(
+        'day-grained daily series (<= timeline days)',
+        'day-grained daily series (<= timeline days)',
+        'day-grained daily series (<= timeline days)',
+    ),
 )
 def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wald-Wolfowitz runs test for randomness of the daily series
@@ -8081,6 +8134,10 @@ RMST_TAU = 200  # restriction horizon (hours)
     FROM segs
     """,
     tags=("events", "analytics", "survival"),
+    uwin=(
+        'distinct integer-hour event-time grid (<= timeline hours)',
+        'distinct integer-hour event-time grid (<= timeline hours)',
+    ),
 )
 def events_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Restricted mean survival time: the area under the Kaplan-Meier
@@ -8671,12 +8728,16 @@ def events_weibull_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     early or never), k > 1 means it accumulates.
 
     Determinism: durations floor to integer hours (+1 to keep ln
-    finite); the rank is (duration, user) — exact; ln/ln(−ln) terms
-    round at 1e-12 into decimal sufficient statistics; the OLS algebra
-    and the final exp are identical double text. Scale: the ranked
-    table is USER-grained (already one per-user agg from the corpus);
-    the window note of dq_drift_ks applies if users ever rival the
-    corpus — swap in the distributed rank."""
+    finite); the rank is (duration, user) — exact, computed as the
+    DISTRIBUTED range-partitioned rank
+    (operators.prefix.distributed_rank — at 100 TB the user table is
+    billions of rows, so the Benard ranks never ride a
+    single-partition window) with n arriving as a broadcast 1-row
+    aggregate; ln/ln(−ln) terms round at 1e-12 into decimal sufficient
+    statistics; the OLS algebra and the final exp are identical double
+    text."""
+    from supabase_etl_spark.operators.prefix import distributed_rank
+
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min("ts").alias("first_seen"),
@@ -8696,11 +8757,11 @@ def events_weibull_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("h"),
     )
-    w = Window.orderBy("h", "user_id")
-    ranked = durs.select(
-        "h",
-        F.row_number().over(w).cast("bigint").alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    n1 = durs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        distributed_rank(durs, [F.asc("h"), F.asc("user_id")], out="i")
+        .crossJoin(F.broadcast(n1))
+        .select("h", F.col("i").cast("bigint").alias("i"), "n")
     )
     x = F.log(F.col("h").cast("double"))
     y = F.log(-F.log(F.lit(1.0) - (F.col("i").cast("double") - 0.3) / (F.col("n") + 0.4)))
@@ -8794,6 +8855,10 @@ HURST_WINDOWS = (8, 16, 32, 64)  # R/S chunk lengths
     ORDER BY m.n
     """,
     tags=("events", "timeseries", "statistics"),
+    uwin=(
+        'day-grained daily series (<= timeline days)',
+        'day-grained daily series (<= timeline days)',
+    ),
 )
 def events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hurst exponent by classical rescaled-range (R/S) analysis on the
@@ -9117,6 +9182,10 @@ def graph_betweenness_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM best WHERE rn = 1
     """,
     tags=("events", "timeseries", "changepoint"),
+    uwin=(
+        'day-grained daily series (<= timeline days)',
+        'day-grained daily series (<= timeline days)',
+    ),
 )
 def events_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-segmentation changepoint (the first split of the classic
@@ -9634,6 +9703,9 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ks
     """,
     tags=("events", "statistics", "timeseries"),
+    uwin=(
+        'duration-bucket grid (bounded)',
+    ),
 )
 def events_exponential_fit_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential MLE fit of inter-purchase gaps + one-sample KS
@@ -10111,6 +10183,11 @@ ITS_BREAK = "2024-07-01"  # known intervention date
     CROSS JOIN (SELECT * FROM fits WHERE post = 1) post
     """,
     tags=("events", "causal", "timeseries"),
+    uwin=(
+        'day-grained daily series (<= timeline days)',
+        'day-grained daily series (<= timeline days)',
+        'day-grained daily series (<= timeline days)',
+    ),
 )
 def events_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interrupted time-series analysis (segmented regression around a
@@ -10648,6 +10725,9 @@ def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM abc
     """,
     tags=("orders", "timeseries"),
+    uwin=(
+        'week-grained adoption series (<= timeline weeks)',
+    ),
 )
 def orders_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bass diffusion model fit (Bass 1969, the canonical new-product
@@ -10877,6 +10957,9 @@ def orders_newsvendor_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ssr
     """,
     tags=("events", "timeseries", "causal"),
+    uwin=(
+        'day-grained daily series (<= timeline days)',
+    ),
 )
 def events_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 Granger causality (Granger 1969): does yesterday's click

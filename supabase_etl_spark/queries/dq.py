@@ -1248,6 +1248,9 @@ DP_LCG_A, DP_LCG_B, DP_LCG_P = 1_103_515_245, 12_345, 2_147_483_647
     ORDER BY event_type
     """,
     tags=("dq", "privacy"),
+    uwin=(
+        'event_type-domain table (handful of categories)',
+    ),
 )
 def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private release of grouped counts via the Laplace
@@ -1812,6 +1815,9 @@ def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY pattern
     """,
     tags=("dq", "profiling"),
+    uwin=(
+        'missingness-pattern combos (<= 2^audited-columns rows)',
+    ),
 )
 def dq_missingness_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missingness-pattern profile (the md.pattern / missingno matrix):
@@ -1908,6 +1914,9 @@ def dq_missingness_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY day
     """,
     tags=("dq", "monitoring"),
+    uwin=(
+        'day-grained daily series (<= timeline days)',
+    ),
 )
 def dq_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical process control over the daily order-value mean:
@@ -2256,6 +2265,14 @@ def dq_association_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY a.day
     """,
     tags=("dq", "monitoring"),
+    uwin=(
+        'day-grained daily series (<= timeline days)',
+        'day-grained daily series (<= timeline days)',
+        'day-grained daily series (<= timeline days)',
+        'day-grained daily series (<= timeline days)',
+        'day-grained daily series (<= timeline days)',
+        'day-grained daily series (<= timeline days)',
+    ),
 )
 def dq_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality-aware anomaly alerting: daily totals are compared
@@ -2363,6 +2380,9 @@ def dq_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM terms
     """,
     tags=("dq", "drift", "statistics"),
+    uwin=(
+        'integer-floor value grid (<= a few hundred support points)',
+    ),
 )
 def dq_drift_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Cramér–von Mises drift statistic — the L2 companion
@@ -2579,6 +2599,9 @@ def dq_grubbs_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY rn
     """,
     tags=("dq", "privacy"),
+    uwin=(
+        'quasi-identifier class table (nation x band grid)',
+    ),
 )
 def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
@@ -2735,6 +2758,11 @@ def _phi_tail_sql(z: str) -> str:
     ORDER BY rn
     """,
     tags=("dq", "statistics", "abtest"),
+    uwin=(
+        'nation-grained p-value table (25 rows)',
+        'nation-grained p-value table (25 rows)',
+        'nation-grained p-value table (25 rows)',
+    ),
 )
 def dq_fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini-Hochberg FDR correction over a FAMILY of hypothesis

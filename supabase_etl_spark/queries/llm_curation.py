@@ -430,6 +430,9 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY d.source
     """,
     tags=("llm", "curation", "sampling"),
+    uwin=(
+        'source-domain table (bounded corpus sources)',
+    ),
 )
 def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain mixture resampling: each source gets a target share
@@ -1093,6 +1096,10 @@ TEMP_BUDGET_FRAC = 0.5  # temperature-mixture total budget
     ORDER BY r.source
     """,
     tags=("llm", "sampling"),
+    uwin=(
+        'source-domain table (bounded corpus sources)',
+        'source-domain table (bounded corpus sources)',
+    ),
 )
 def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain sampling (the multilingual mixture
@@ -1216,20 +1223,28 @@ def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score DECILE CALIBRATION table — the summary a curation
     team reads before picking a score cutoff (the decile boundaries
     become the candidate thresholds; mean length per decile shows what
-    a cutoff throws away). ntile(10) runs over the (score, doc_id)
-    total order; the scores themselves are the registry's pure-column
+    a cutoff throws away). The scores are the registry's pure-column
     quality expression rounded to 9 digits so rank order is
-    engine-stable. The ntile is the one global-ordering window — at
-    100 TB swap it for approx-quantile boundaries + a broadcast bin
-    join (same output shape, documented swap, identical downstream)."""
+    engine-stable. The decile assignment is DISTRIBUTED: a
+    range-partitioned exact rank (operators.prefix.distributed_rank —
+    per-partition row numbers + broadcast offsets, never a
+    single-partition ntile window over the corpus) fed through the
+    all-integer NTILE formula, bit-equal to the oracle's
+    ntile(10) OVER (ORDER BY q DESC, doc_id)."""
+    from supabase_etl_spark.operators.prefix import distributed_rank, ntile_from_rank
     from supabase_etl_spark.operators.text import quality_score
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", F.round(quality_score(F.col("text")), 9).alias("q")
     )
-    binned = d.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.desc("q"), F.asc("doc_id"))),
+    n1 = d.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    binned = (
+        distributed_rank(d, [F.desc("q"), F.asc("doc_id")], out="__rn")
+        .crossJoin(F.broadcast(n1))
+        .withColumn(
+            "decile",
+            ntile_from_rank(F.col("__rn"), F.col("__n"), 10),
+        )
     )
     return (
         binned.groupBy("decile")

@@ -374,6 +374,9 @@ _DSIR_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
     """,
     tags=("llm", "sampling"),
     bench=True,
+    uwin=(
+        '256-row hashed-gram ratio grid (checkpointed)',
+    ),
 )
 def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al.,
@@ -1871,7 +1874,10 @@ def sample_coreset_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distances are round-12 decimal sums of identical per-component
     doubles; sensitivities quantize at 12 before the rank with a
     vec_id tie-break. Scale: two corpus passes (mean, distances), both
-    map-side combined; no pairwise anything."""
+    map-side combined; no pairwise anything. The top-budget cut is
+    orderBy().limit() — TakeOrderedAndProject per-partition heaps —
+    with the rank derived on the budget-sized result (the DSIR shape),
+    never a global row_number window over every vector."""
     e = load_table(spark, sf_dir, "embeddings")
     vals = e.select(
         "vec_id", F.posexplode("embedding").alias("i0", "xf")
@@ -1904,10 +1910,10 @@ def sample_coreset_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).alias("s"),
     )
+    top = sens.orderBy(F.col("s").desc(), "vec_id").limit(CORESET_BUDGET)
     w = Window.orderBy(F.col("s").desc(), "vec_id")
     return (
-        sens.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= CORESET_BUDGET)
+        top.withColumn("rn", F.row_number().over(w))
         .select(
             "rn",
             "vec_id",
@@ -1954,6 +1960,12 @@ TOP_P = 0.8  # nucleus mass
     ORDER BY rn
     """,
     tags=("llm", "sampling"),
+    uwin=(
+        'source-domain table (bounded corpus sources; re-evaluated per consumer)',
+        'source-domain table (bounded corpus sources; re-evaluated per consumer)',
+        'source-domain table (bounded corpus sources; re-evaluated per consumer)',
+        'source-domain table (bounded corpus sources; re-evaluated per consumer)',
+    ),
 )
 def sample_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nucleus (top-p) truncation of the SOURCE mixture (Holtzman et
@@ -2037,6 +2049,9 @@ CURRICULUM_STEPS = 100  # training steps T in the pacing schedule
     ORDER BY 1
     """,
     tags=("llm", "sampling", "curriculum"),
+    uwin=(
+        '10-row schedule-decile table',
+    ),
 )
 def sample_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Root-p curriculum pacing (Platanios et al. 2019): sort the
@@ -2121,6 +2136,10 @@ LR_BUDGET = 1000  # total seats to apportion across sources
     ORDER BY source
     """,
     tags=("llm", "sampling"),
+    uwin=(
+        'source-domain table (bounded corpus sources)',
+        'source-domain table (bounded corpus sources)',
+    ),
 )
 def sample_largest_remainder_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder (Hamilton) apportionment of a fixed sampling

@@ -1356,6 +1356,9 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
     tags=("llm", "text"),
+    uwin=(
+        'vocab-sized rank-frequency table (documented distributed-rank swap)',
+    ),
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit of the corpus rank-frequency curve: least-squares
@@ -2439,6 +2442,9 @@ _RBO_W_CASE = (
     ORDER BY d
     """,
     tags=("llm", "text", "ranking"),
+    uwin=(
+        'depth-K rank-overlap grid (K rows)',
+    ),
 )
 def text_rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two

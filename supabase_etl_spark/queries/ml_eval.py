@@ -999,6 +999,11 @@ TREE_MAX_BIN = 60
     ORDER BY split_bin
     """,
     tags=("llm", "ml-eval", "tree"),
+    uwin=(
+        'histogram-bin grid (fixed bin count)',
+        'histogram-bin grid (fixed bin count)',
+        'histogram-bin grid (fixed bin count)',
+    ),
 )
 def ml_tree_histogram_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-based decision-tree split finding — the core kernel of
@@ -2555,9 +2560,15 @@ def ml_eval_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFram
     classifier, and report the accuracy drop per feature. The
     permutation is a rank self-join (identity rank joined to the
     md5-shuffled rank) — replayable in both engines, unlike an RNG
-    shuffle, and distributed as two range-partitioned ranks + an
-    equi-join rather than any driver-side shuffle. One corpus pass
-    scores baseline and all three permuted variants together."""
+    shuffle. Both ranks are genuinely distributed
+    (operators.prefix.distributed_rank: range repartition +
+    per-partition row numbers + broadcast offsets — never a
+    single-partition window over the vector table), and the
+    materialized ranked frame feeds the three permutation equi-joins
+    without re-evaluation. One final pass scores baseline and all
+    three permuted variants together."""
+    from supabase_etl_spark.operators.prefix import distributed_rank
+
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id",
@@ -2569,14 +2580,14 @@ def ml_eval_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFram
         F.element_at("embedding", 2).cast("double").alias("f2"),
         F.element_at("embedding", 3).cast("double").alias("f3"),
     )
-    wr = Window.orderBy("vec_id")
-    wp = Window.orderBy(
-        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#perm"))), "vec_id"
-    )
-    ranked = base.select(
-        "*",
-        F.row_number().over(wr).alias("rid"),
-        F.row_number().over(wp).alias("prid"),
+    ranked = distributed_rank(base, [F.asc("vec_id")], out="rid")
+    ranked = distributed_rank(
+        ranked,
+        [
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#perm"))).asc(),
+            F.asc("vec_id"),
+        ],
+        out="prid",
     )
     a = ranked.alias("a")
     perm = (

@@ -1333,6 +1333,9 @@ def struct_map_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY gap_start
     """,
     tags=("sql", "windows"),
+    uwin=(
+        'island-spine table (one row per island, << key space)',
+    ),
 )
 def sql_gaps_in_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-range detection over a key sequence (the
@@ -1344,20 +1347,26 @@ def sql_gaps_in_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the k - row_number() trick, holes are lead(island_start) -
     island_end between consecutive islands.
 
-    Scale note: the global ORDER BY window here is island-spine work —
-    the island GROUPING is key-distributed, and the spans table (one
-    row per island) is orders of magnitude smaller than the key space,
-    so the one ordered pass runs over metadata-sized input. For a key
-    space whose ISLAND count itself explodes, the distributed-rank
-    construction (sample_epoch_shuffle) replaces the spine window."""
+    Scale note: the island-forming rank (k - row_number()) runs over
+    the full key subset, so it uses the DISTRIBUTED rank
+    (operators.prefix.distributed_rank — range repartition +
+    per-partition row numbers + broadcast offsets), never a
+    single-partition window over the keys. The remaining lead() window
+    is island-spine work: one row per island, orders of magnitude
+    smaller than the key space (for a key space whose ISLAND count
+    itself explodes, the same distributed-rank idiom replaces the
+    spine window)."""
+    from supabase_etl_spark.operators.prefix import distributed_rank
+
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
     )
-    w = Window.orderBy("k")
-    islands = o.select("k", (F.col("k") - F.row_number().over(w)).alias("grp"))
+    islands = distributed_rank(o, [F.asc("k")], out="__rn").select(
+        "k", (F.col("k") - F.col("__rn")).alias("grp")
+    )
     spans = islands.groupBy("grp").agg(
         F.min("k").alias("island_start"), F.max("k").alias("island_end")
     )

@@ -387,6 +387,9 @@ def window_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY quartile
     """,
     tags=("window",),
+    uwin=(
+        'orderkey <= 2000 bounded demo subset',
+    ),
 )
 def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DISTRIBUTION window family in one plan — cume_dist (share of

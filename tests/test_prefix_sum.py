@@ -83,3 +83,54 @@ def test_chained_cumsum_over_shuffle_output(spark):
     g = {r["v"]: (r["ca"], r["cb"]) for r in got.collect()}
     wnt = {r["v"]: (r["ca"], r["cb"]) for r in want.collect()}
     assert g == wnt
+
+
+def test_distributed_rank_matches_row_number(spark):
+    """distributed_rank == row_number() OVER (ORDER BY ...) bit-for-bit,
+    including expression order keys and duplicate sort values with a
+    tie-break column."""
+    from supabase_etl_spark.operators.prefix import distributed_rank
+
+    base = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 37).alias("v")
+    )
+    got = distributed_rank(base, [F.desc("v"), F.asc("k")], out="rn")
+    w = Window.orderBy(F.desc("v"), F.asc("k"))
+    want = base.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    g = {r["k"]: r["rn"] for r in got.collect()}
+    ww = {r["k"]: r["rn"] for r in want.collect()}
+    assert g == ww
+    # expression key (md5 shuffle order — the permutation-importance shape)
+    got2 = distributed_rank(
+        base, [F.md5(F.col("k").cast("string")).asc(), F.asc("k")], out="rn"
+    )
+    w2 = Window.orderBy(F.md5(F.col("k").cast("string")).asc(), F.asc("k"))
+    want2 = base.withColumn("rn", F.row_number().over(w2).cast("bigint"))
+    assert {r["k"]: r["rn"] for r in got2.collect()} == {
+        r["k"]: r["rn"] for r in want2.collect()
+    }
+
+
+def test_ntile_from_rank_matches_ntile_exactly(spark):
+    """ntile_from_rank == NTILE(b) OVER the same total order for every
+    (n, buckets) shape: n < b, n == b, n % b == 0, n % b != 0."""
+    from supabase_etl_spark.operators.prefix import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+
+    for n, b in [(3, 10), (10, 10), (40, 5), (47, 5), (1, 4), (12345, 7)]:
+        base = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 11).alias("v")
+        )
+        n1 = base.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        got = (
+            distributed_rank(base, [F.desc("v"), F.asc("k")], out="rn")
+            .crossJoin(F.broadcast(n1))
+            .withColumn("tile", ntile_from_rank(F.col("rn"), F.col("__n"), b))
+        )
+        w = Window.orderBy(F.desc("v"), F.asc("k"))
+        want = base.withColumn("tile", F.ntile(b).over(w))
+        g = {r["k"]: r["tile"] for r in got.collect()}
+        ww = {r["k"]: r["tile"] for r in want.collect()}
+        assert g == ww, f"ntile mismatch for n={n}, b={b}"
