@@ -15,6 +15,21 @@ the same queries IN THE SAME PROCESS, against the same parquet, and
 reports per-query and total spark/oracle RATIOS — the epoch-invariant
 number. `value` stays the Spark total for continuity with earlier
 rounds; `ratio_total` is the headline.
+
+OVERHEAD ACCOUNTING (r8 ADVICE + task 6):
+  * `floor` — cheapest possible Spark action (range(1) → noop write):
+    scheduler + stage-launch + sink latency every stage pays.
+  * `oracle_floor` — the analogous DuckDB per-statement overhead
+    (SELECT 1 through the same execute/fetchall path).
+  * `stages` — stage launches OBSERVED per query (status tracker over
+    a per-run job group), so "floor-dominated" is measured, not argued.
+  * `ratio_adj` — (spark − floor) / oracle. A SPARK-OVERHEAD DIAGNOSTIC
+    (one stage launch forgiven), NOT a symmetric comparison.
+  * `ratio_stage_adj` — max(spark − stages·floor, 0) /
+    max(oracle − oracle_floor, 1 ms): both sides stripped of their
+    measured fixed overhead — the number that answers "is the PLAN
+    slow at scale, or is this the local multi-action floor?". Queries
+    still >2x here get a plan audit.
 """
 
 from __future__ import annotations
@@ -81,7 +96,24 @@ def main() -> None:
         dt = time.time() - t0
         floor = dt if floor is None else min(floor, dt)
 
+    tracker = spark.sparkContext.statusTracker()
+
+    def stage_count(group: str) -> int:
+        """DISTINCT stage launches observed for a job group (includes
+        every driver-side collect a query makes while building its
+        plan). Distinct because AQE submits one job per materialized
+        query stage and each job's stageIds re-lists its (skipped)
+        ancestors — counting duplicates would over-subtract the floor
+        and flatter Spark in ratio_stage_adj."""
+        sids: set[int] = set()
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            if info is not None:
+                sids.update(info.stageIds)
+        return len(sids)
+
     timings: dict[str, float] = {}
+    stages: dict[str, int] = {}
     total = 0.0
     for name in sorted(bench_set):
         spec = bench_set[name]
@@ -93,11 +125,15 @@ def main() -> None:
         # 20-30% from GC/compaction; the min is the stable estimator of
         # the plan's actual cost
         best = None
-        for _ in range(2):
+        for i in range(2):
+            group = f"bench:{name}:{i}"
+            spark.sparkContext.setJobGroup(group, name)
             t0 = time.time()
             materialize(spec.fn(spark, sf_dir))
             dt = time.time() - t0
+            spark.sparkContext.setJobGroup("bench:idle", "")
             best = dt if best is None else min(best, dt)
+            stages[name] = stage_count(group)
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s", flush=True)
@@ -134,9 +170,19 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    # analogous oracle per-statement floor (ADVICE r8: subtracting only
+    # the Spark floor flattered Spark) — the cheapest DuckDB statement
+    # through the same execute/fetchall path
+    oracle_floor = None
+    for _ in range(3):
+        t0 = time.time()
+        con.execute("SELECT 1").fetchall()
+        dt = time.time() - t0
+        oracle_floor = dt if oracle_floor is None else min(oracle_floor, dt)
     oracle_timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
     ratios_adj: dict[str, float] = {}
+    ratios_stage_adj: dict[str, float] = {}
     oracle_total = 0.0
     spark_matched_total = 0.0
     for name in sorted(bench_set):
@@ -151,17 +197,23 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         oracle_timings[name] = round(best, 3)
         ratios[name] = round(timings[name] / best, 2) if best > 0 else -1.0
-        # overhead-adjusted ratio: subtract the fixed stage floor from
-        # the Spark wall (clamped at 0) before dividing — the number
-        # that answers "is the PLAN slow, or is it just stage latency?"
+        # Spark-overhead DIAGNOSTIC (one stage launch forgiven; the
+        # oracle keeps its own overhead — see module docstring)
         ratios_adj[name] = (
             round(max(timings[name] - floor, 0.0) / best, 2) if best > 0 else -1.0
         )
+        # symmetric stage-adjusted ratio: strip the MEASURED fixed
+        # overhead from both sides (stages x floor vs oracle_floor)
+        o_net = max(best - oracle_floor, 0.001)
+        s_net = max(timings[name] - stages.get(name, 1) * floor, 0.0)
+        ratios_stage_adj[name] = round(s_net / o_net, 2)
         oracle_total += best
         spark_matched_total += timings[name]
         print(
             f"# oracle {name}: {best:.3f}s (ratio {ratios[name]:.2f}x, "
-            f"adj {ratios_adj[name]:.2f}x)",
+            f"adj {ratios_adj[name]:.2f}x, "
+            f"stage_adj {ratios_stage_adj[name]:.2f}x over "
+            f"{stages.get(name, 0)} stages)",
             flush=True,
         )
 
@@ -173,7 +225,10 @@ def main() -> None:
         "oracle": oracle_timings,
         "ratio": ratios,
         "ratio_adj": ratios_adj,
+        "ratio_stage_adj": ratios_stage_adj,
+        "stages": stages,
         "floor": round(floor, 3),
+        "oracle_floor": round(oracle_floor, 4),
         "oracle_total": round(oracle_total, 3),
         "ratio_total": round(spark_matched_total / oracle_total, 3)
         if oracle_total > 0

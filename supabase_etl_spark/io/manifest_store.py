@@ -541,6 +541,14 @@ def merge(
     source = _translate(source, mapping, "to_physical")
     if tombstones is not None:
         tombstones = _translate(tombstones, mapping, "to_physical")
+    # key_cols speak LOGICAL names like every other caller-facing merge
+    # surface (source columns, delete_condition, constraints) —
+    # translate them alongside the frames so the key join hits the same
+    # physical columns the translated source now carries. Without this,
+    # a swap rename (old logical name reused for a different column)
+    # would silently key the upsert on the wrong column's data
+    # (ADVICE r8, medium).
+    key_cols = [mapping.get(k, k) for k in key_cols]
     tgt = _read_tagged(spark, table_dir, v)
     src_keys = source.select(*key_cols).distinct()
     if tombstones is not None:
@@ -663,7 +671,15 @@ def delete_where_mor(
     if v <= 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _read_manifest(table_dir, v)
+    # condition and key_cols speak LOGICAL names (read() view); the
+    # delete FILE is an internal surface applied to the physical scan,
+    # so translate the key frame and the recorded key_cols to physical
+    # — otherwise the reader's anti-join misses after a rename
+    # (same vocabulary rule as merge(); ADVICE r8, medium).
+    mapping = manifest.get("column_mapping", {})
     keys = read(spark, table_dir, v).filter(cond).select(*key_cols).distinct()
+    keys = _translate(keys, mapping, "to_physical")
+    key_cols = [mapping.get(k, k) for k in key_cols]
     del_dir = os.path.join(table_dir, "deletes")
     os.makedirs(del_dir, exist_ok=True)
     scratch = os.path.join(table_dir, f"_tmp_{uuid.uuid4().hex[:12]}")

@@ -3035,9 +3035,16 @@ _KMV_M = float(16 ** 15)  # hash space: md5 15-hex-digit prefix
         FROM ab
     ),
     est AS (
-        SELECT CAST({KMV_K} - 1 AS DOUBLE) * {_KMV_M!r} / ka[{KMV_K}] AS est_a,
-               CAST({KMV_K} - 1 AS DOUBLE) * {_KMV_M!r} / kb[{KMV_K}] AS est_b,
-               CAST({KMV_K} - 1 AS DOUBLE) * {_KMV_M!r} / ku[{KMV_K}] AS est_u,
+        -- exact-mode fallback (DataSketches theta contract): a sketch
+        -- holding fewer than k values retains every element, so the
+        -- estimate is the retained count
+        SELECT CASE WHEN len(ka) < {KMV_K} THEN CAST(len(ka) AS DOUBLE)
+                    ELSE CAST({KMV_K} - 1 AS DOUBLE) * {_KMV_M!r} / ka[{KMV_K}] END AS est_a,
+               CASE WHEN len(kb) < {KMV_K} THEN CAST(len(kb) AS DOUBLE)
+                    ELSE CAST({KMV_K} - 1 AS DOUBLE) * {_KMV_M!r} / kb[{KMV_K}] END AS est_b,
+               CASE WHEN len(ku) < {KMV_K} THEN CAST(len(ku) AS DOUBLE)
+                    ELSE CAST({KMV_K} - 1 AS DOUBLE) * {_KMV_M!r} / ku[{KMV_K}] END AS est_u,
+               len(ku) < {KMV_K} AS exact_u,
                len(list_filter(ku, x -> list_contains(ka, x)
                                     AND list_contains(kb, x))) AS c_int,
                len(list_filter(ku, x -> list_contains(ka, x)
@@ -3066,11 +3073,15 @@ _KMV_M = float(16 ** 15)  # hash space: md5 15-hex-digit prefix
         FROM est e, exact x
         UNION ALL
         SELECT 'intersection', CAST(x.xi AS BIGINT),
-               round(CAST(e.c_int AS DOUBLE) / {KMV_K} * e.est_u, 6)
+               round(CAST(e.c_int AS DOUBLE)
+                     * (CASE WHEN e.exact_u THEN 1.0
+                             ELSE e.est_u / {KMV_K} END), 6)
         FROM est e, exact x
         UNION ALL
         SELECT 'a_minus_b', CAST(x.xa - x.xi AS BIGINT),
-               round(CAST(e.c_diff AS DOUBLE) / {KMV_K} * e.est_u, 6)
+               round(CAST(e.c_diff AS DOUBLE)
+                     * (CASE WHEN e.exact_u THEN 1.0
+                             ELSE e.est_u / {KMV_K} END), 6)
         FROM est e, exact x
     ) m
     ORDER BY m.measure
@@ -3141,10 +3152,20 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.array_sort(F.array_union("ka", "kb")), 1, KMV_K).alias("ku"),
     )
     theta = lambda c: F.element_at(F.col(c), KMV_K).cast("double")
+    # exact-mode fallback (DataSketches theta contract, ADVICE r8): a
+    # sketch holding fewer than k values retains EVERY element (θ = 1),
+    # so the estimate is the retained count — without this, element_at
+    # (ks, k) is NULL and every downstream estimate silently nulls
+    kmv_est = lambda c: F.when(
+        F.size(F.col(c)) < KMV_K, F.size(F.col(c)).cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / theta(c))
     est = un.select(
-        (F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / theta("ka")).alias("est_a"),
-        (F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / theta("kb")).alias("est_b"),
-        (F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / theta("ku")).alias("est_u"),
+        kmv_est("ka").alias("est_a"),
+        kmv_est("kb").alias("est_b"),
+        kmv_est("ku").alias("est_u"),
+        # membership-arithmetic scale: retained-count / θ_u — in exact
+        # mode every union element is retained, so the multiplier is 1
+        (F.size(F.col("ku")) < KMV_K).alias("exact_u"),
         F.size(
             F.filter(
                 "ku",
@@ -3185,12 +3206,24 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "intersection",
             xi,
-            F.round(F.col("c_int").cast("double") / KMV_K * F.col("est_u"), 6),
+            F.round(
+                F.col("c_int").cast("double")
+                * F.when(F.col("exact_u"), F.lit(1.0)).otherwise(
+                    F.col("est_u") / KMV_K
+                ),
+                6,
+            ),
         ),
         (
             "a_minus_b",
             xa - xi,
-            F.round(F.col("c_diff").cast("double") / KMV_K * F.col("est_u"), 6),
+            F.round(
+                F.col("c_diff").cast("double")
+                * F.when(F.col("exact_u"), F.lit(1.0)).otherwise(
+                    F.col("est_u") / KMV_K
+                ),
+                6,
+            ),
         ),
     ]
     out = None

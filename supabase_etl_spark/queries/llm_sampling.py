@@ -494,7 +494,20 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docw = (
         bdoc.join(F.broadcast(ratio.select("b", lr12.alias("lr12"))), "b")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("n_db") * F.col("lr12")).alias("lw12"))
+        .agg(
+            # checked accumulation: try_sum nulls on 64-bit overflow
+            # (the documented ~3e5 tokens/doc bound made a loud error
+            # instead of a silent wrap — ADVICE r8, low)
+            F.coalesce(
+                F.try_sum(F.col("n_db") * F.col("lr12")),
+                F.raise_error(
+                    F.lit(
+                        "sample_dsir lw12 long accumulation overflow — "
+                        "document exceeds the ~3e5-token scoring bound"
+                    )
+                ).cast("bigint"),
+            ).alias("lw12")
+        )
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     u = (

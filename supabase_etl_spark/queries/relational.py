@@ -77,12 +77,28 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100, 0).cast("long").alias("di2"),
         F.spark_partition_id().alias("pid"),
     )
+    # CHECKED long sums: the <8.4e7-rows-per-partition invariant the
+    # integer-scale lever rests on is enforced, not assumed — try_sum
+    # nulls on 64-bit overflow (including inside partial-agg buffers),
+    # and the coalesce turns that into a loud error instead of the
+    # silent wraparound of a plain long SUM (ADVICE r8, low)
+    def checked(c: str):
+        return F.coalesce(
+            F.try_sum(c),
+            F.raise_error(
+                F.lit(
+                    f"q1 integer-scale partial sum overflow in {c} — "
+                    "input partition exceeds the documented row bound"
+                )
+            ).cast("bigint"),
+        ).alias(c)
+
     part = base.groupBy("pid", "l_returnflag", "l_linestatus").agg(
-        F.sum("q2").alias("q2"),
-        F.sum("p2").alias("p2"),
-        F.sum("d6").alias("d6"),
-        F.sum("c6").alias("c6"),
-        F.sum("di2").alias("di2"),
+        checked("q2"),
+        checked("p2"),
+        checked("d6"),
+        checked("c6"),
+        checked("di2"),
         F.count(F.lit(1)).alias("n"),
     )
     dec = "decimal(38,0)"

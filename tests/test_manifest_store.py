@@ -1133,3 +1133,39 @@ def test_clone_carries_mor_deletes_and_mapping(spark, tmp_path):
     M.commit(spark.createDataFrame([(100, 1)], "id long, val long"), dst, "append")
     assert M.read(spark, dst).count() == 9
     assert M.read(spark, src).count() == 8
+
+
+def test_merge_key_on_swap_renamed_column(spark, tmp_path):
+    """merge() keyed on a SWAP-renamed column (old logical name reused
+    for a different physical column) must key on the column the CURRENT
+    logical name points at — every caller-facing merge surface speaks
+    logical names uniformly (ADVICE r8, medium)."""
+    t = str(tmp_path / "tbl")
+    M.commit(
+        spark.range(3).selectExpr("id", "id AS a", "id * 2 AS b"), t, "overwrite"
+    )
+    M.rename_column(t, "a", "c")
+    M.rename_column(t, "b", "a")  # logical a now points at physical b
+    # key on logical 'a' (= physical b = id*2): a=4 matches the id=2 row
+    src = spark.createDataFrame([(4, 77, 99), (100, 1, 50)], "a long, c long, id long")
+    M.merge(spark, t, src, ["a"])
+    got = {r["a"]: (r["c"], r["id"]) for r in M.read(spark, t).collect()}
+    assert got[4] == (77, 99), "matched row must update via the swapped key"
+    assert got[100] == (1, 50), "unmatched row must insert"
+    assert len(got) == 4  # ids 0,1 kept; id=2 replaced; one insert
+
+
+def test_mor_delete_key_on_renamed_column(spark, tmp_path):
+    """delete_where_mor() after a rename: condition and key_cols speak
+    the logical name; the delete file must still anti-join the physical
+    scan (its recorded key_cols are translated at write time)."""
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(5).selectExpr("id", "id * 2 AS v"), t, "overwrite")
+    M.rename_column(t, "v", "val")
+    M.delete_where_mor(spark, t, "val = 4", ["val"])
+    got = {r["id"]: r["val"] for r in M.read(spark, t).collect()}
+    assert got == {0: 0, 1: 2, 3: 6, 4: 8}
+    # rows appended later under a deleted key are unaffected (scoping)
+    M.commit(spark.createDataFrame([(9, 4)], "id long, val long"), t, "append")
+    got2 = {r["id"]: r["val"] for r in M.read(spark, t).collect()}
+    assert got2[9] == 4 and 2 not in got2

@@ -397,3 +397,21 @@ def test_sliding_hll_tracks_exact(spark):
         ex = exact[r["win_day"]]
         rel = abs(r["approx_users_7d"] - ex) / ex
         assert rel <= 0.05, (r["win_day"], rel)
+
+
+def test_kmv_exact_mode_below_k(spark, monkeypatch):
+    """agg_kmv_theta_sketch with k ABOVE every set's cardinality must
+    fall back to exact mode (DataSketches theta contract: θ = 1, the
+    estimate is the retained count) — estimates equal ground truth for
+    every measure, and nothing nulls (ADVICE r8, low)."""
+    import supabase_etl_spark.queries.aggregates as agg
+
+    monkeypatch.setattr(agg, "KMV_K", 10_000_000)
+    rows = agg.agg_kmv_theta_sketch(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["estimate"] is not None, f"{r['measure']} estimate is NULL"
+        assert r["estimate"] == float(r["exact"]), (
+            f"{r['measure']}: exact-mode estimate {r['estimate']} "
+            f"!= ground truth {r['exact']}"
+        )
