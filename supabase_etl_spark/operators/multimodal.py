@@ -425,3 +425,58 @@ def decode_gray_vectors(df: DataFrame, content_col: str = "content") -> DataFram
             yield pd.DataFrame({"uri": pdf["uri"], "w": ws, "h": hs, "gray": grays})
 
     return df.mapInPandas(run, schema="uri string, w int, h int, gray array<long>")
+
+
+def decode_gray_with_ahash(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """ONE decode pass emitting both the row-major GRAY vector (the
+    SSIM/PSNR pairwise shape, as decode_gray_vectors) and the 64-bit
+    block-pooled average-hash computed from the SAME gray values —
+    for compositions that need the perceptual signature AND the pixel
+    vectors (candidate generation + structural verify), so the image
+    set is never decoded twice (VERDICT r8 task 5). Callers should
+    pin the result (localCheckpoint) when consuming it from more than
+    one side of a join: mapInPandas re-executes per consumer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, grays, hashes = [], [], [], []
+            for content in pdf[content_col]:
+                w, h, ch, px = IC.decode_image(bytes(content))
+                gray = [
+                    sum(px[(y * w + x) * ch + c] for c in range(ch))
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                bs = [[0] * 8 for _ in range(8)]
+                bc = [[0] * 8 for _ in range(8)]
+                ts = sum(gray)
+                tc = w * h
+                for y in range(h):
+                    bi = (y * 8) // h
+                    base = y * w
+                    for x in range(w):
+                        bj = (x * 8) // w
+                        bs[bi][bj] += gray[base + x]
+                        bc[bi][bj] += 1
+                bits = "".join(
+                    "1" if bs[bi][bj] * tc > ts * bc[bi][bj] else "0"
+                    for bi in range(8)
+                    for bj in range(8)
+                )
+                ws.append(w)
+                hs.append(h)
+                grays.append(gray)
+                hashes.append(bits)
+            yield pd.DataFrame(
+                {
+                    "uri": pdf["uri"],
+                    "w": ws,
+                    "h": hs,
+                    "gray": grays,
+                    "ahash": hashes,
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="uri string, w int, h int, gray array<long>, ahash string"
+    )

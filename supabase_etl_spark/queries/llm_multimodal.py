@@ -1468,24 +1468,6 @@ def _ssim_score():
     )
 
 
-def _gray_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decoded gray vectors + exact integer pixel moments per image."""
-    vecs = M.decode_gray_vectors(_images(spark, sf_dir))
-    return vecs.select(
-        "uri",
-        "w",
-        "h",
-        "gray",
-        (F.col("w") * F.col("h")).cast("double").alias("n"),
-        F.aggregate("gray", F.lit(0).cast("long"), lambda a, x: a + x)
-        .cast("double")
-        .alias("s1"),
-        F.aggregate("gray", F.lit(0).cast("long"), lambda a, x: a + x * x)
-        .cast("double")
-        .alias("s2"),
-    )
-
-
 @query(
     "multimodal_ssim_over_phash_candidates",
     oracle=f"""
@@ -1567,8 +1549,16 @@ def multimodal_ssim_over_phash_candidates(spark: SparkSession, sf_dir: str) -> D
     vectors join in by uri (two bounded-array lookups per pair), and
     no dimension class ever goes all-pairs. Same-dims guard on the
     SSIM join keeps zip_with well-defined when a signature collides
-    across sizes."""
-    hashed = _ahash_images(_images(spark, sf_dir))
+    across sizes.
+
+    The image set is decoded EXACTLY ONCE (r8 task 5): one Arrow
+    mapInPandas pass emits gray vector + aHash together and is pinned
+    with localCheckpoint, so the signature self-join and both moment
+    sides read the same materialized decode instead of re-running the
+    codec per consumer (previously two decode passes, one per
+    helper)."""
+    dec = M.decode_gray_with_ahash(_images(spark, sf_dir)).localCheckpoint()
+    hashed = dec.select("uri", "ahash")
     cand = (
         hashed.alias("x")
         .join(
@@ -1578,7 +1568,19 @@ def multimodal_ssim_over_phash_candidates(spark: SparkSession, sf_dir: str) -> D
         )
         .select(F.col("x.uri").alias("ua"), F.col("y.uri").alias("ub"))
     )
-    mom = _gray_moments(spark, sf_dir)
+    mom = dec.select(
+        "uri",
+        "w",
+        "h",
+        "gray",
+        (F.col("w") * F.col("h")).cast("double").alias("n"),
+        F.aggregate("gray", F.lit(0).cast("long"), lambda a, x: a + x)
+        .cast("double")
+        .alias("s1"),
+        F.aggregate("gray", F.lit(0).cast("long"), lambda a, x: a + x * x)
+        .cast("double")
+        .alias("s2"),
+    )
     a = mom.select(
         F.col("uri").alias("ua"), F.col("w").alias("wa"), F.col("h").alias("ha"),
         F.col("gray").alias("ga"), F.col("n").alias("na"),
