@@ -50,6 +50,41 @@ def blowup_docs(spark, mult: int):
     return out
 
 
+_BLOWN_DIRS: dict[int, str] = {}
+
+
+def _blown_sf_dir(spark, mult: int) -> str:
+    """Materialize a blown-up sf dir (documents + orders parquet) once
+    per multiplier, so real query fns can run unmodified on 1x/3x/10x
+    inputs. Write cost is OUTSIDE the timed region (cached per mult)."""
+    import tempfile
+
+    if mult in _BLOWN_DIRS:
+        return _BLOWN_DIRS[mult]
+    from supabase_etl_spark.io.readers import load_table
+
+    d = tempfile.mkdtemp(prefix=f"scale_sf_{mult}x_")
+    blowup_docs(spark, mult).coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    copies = [
+        o.select(
+            (F.col("o_orderkey") + i * ID_STRIDE).alias("o_orderkey"),
+            (F.col("o_totalprice") + F.lit(i * 0.001)).alias("o_totalprice"),
+        )
+        for i in range(mult)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    _BLOWN_DIRS[mult] = d
+    return d
+
+
 def main() -> None:
     from supabase_etl_spark.operators import dedup as D
     from supabase_etl_spark.session import get_spark
@@ -1001,51 +1036,89 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
 
     def t_iforest(docs):
-        # dq_isolation_forest's shape over a blown-up point set: 4
-        # trees x 4 depth levels of (tree,node) min/max agg + broadcast
-        # split-back, then leaf-size credit
+        # dq_isolation_forest's REAL r9 code over a blown-up orders
+        # table (tmp parquet): driver-side bounded split stats, flat
+        # decision exprs, no joins/checkpoints — the query fn itself
+        from supabase_etl_spark.queries.dq import dq_isolation_forest
+
+        dq_isolation_forest(spark, docs.__sfdir__).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def t_edv(docs):
+        # dedup_edit_distance_verify's REAL code over blown-up docs:
+        # prefix-key blocked equi-join + one bounded levenshtein per
+        # candidate pair. Per-copy token tags perturb the normalized
+        # prefix keys, so block populations stay ~constant under
+        # growth — the coarse-vs-fine ER lesson applied to EDV.
+        from supabase_etl_spark.queries.llm_dedup import dedup_edit_distance_verify
+
+        dedup_edit_distance_verify(spark, docs.__sfdir__).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def t_e2e_pipeline(docs):
+        # the composed LSH -> jaccard -> levenshtein -> CC -> survivor
+        # pipeline (dedup_pipeline_end_to_end), real fn over blown-up docs
+        from supabase_etl_spark.queries.llm_dedup import dedup_pipeline_end_to_end
+
+        dedup_pipeline_end_to_end(spark, docs.__sfdir__).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def t_ssim_phash(docs):
+        # multimodal_ssim_over_phash_candidates' shape over a growing
+        # image set: ONE combined decode pass (gray + aHash, pinned),
+        # signature-bucket candidates, moment join, zip_with SSIM core
+        from supabase_etl_spark.operators import multimodal as M
+
         mult = docs.__mult__
-        base = spark.range(15000 * mult).select(
-            F.col("id").alias("k"),
-            (F.pmod(F.col("id") * 2654435761, F.lit(100000)).cast("double")).alias("x1"),
-            (F.col("id") % 1000).cast("double").alias("x2"),
+        ids = spark.range(100 * mult).select(F.col("id").alias("doc_id"))
+        dec = M.decode_gray_with_ahash(M.generate_images(ids)).localCheckpoint()
+        hashed = dec.select("uri", "ahash")
+        cand = (
+            hashed.alias("x")
+            .join(
+                hashed.alias("y"),
+                (F.col("x.ahash") == F.col("y.ahash"))
+                & (F.col("x.uri") < F.col("y.uri")),
+            )
+            .select(F.col("x.uri").alias("ua"), F.col("y.uri").alias("ub"))
         )
-        trees = spark.range(1, 5).select(F.col("id").alias("t"))
-        pts = base.crossJoin(F.broadcast(trees)).select(
-            "t", "x1", "x2", "k", F.lit("r").alias("node")
+        mom = dec.select(
+            "uri", "w", "h", "gray",
+            F.aggregate("gray", F.lit(0).cast("long"), lambda a, x: a + x).alias("s1"),
         )
-        for _d in range(4):
-            stats = pts.groupBy("t", "node").agg(
-                F.min("x1").alias("mn1"), F.max("x1").alias("mx1"),
-                F.min("x2").alias("mn2"), F.max("x2").alias("mx2"),
+        a = mom.select(F.col("uri").alias("ua"), F.col("w").alias("wa"),
+                       F.col("h").alias("ha"), F.col("gray").alias("ga"),
+                       F.col("s1").alias("s1a"))
+        b = mom.select(F.col("uri").alias("ub"), F.col("w").alias("wb"),
+                       F.col("h").alias("hb"), F.col("gray").alias("gb"),
+                       F.col("s1").alias("s1b"))
+        (
+            cand.join(a, "ua")
+            .join(b, "ub")
+            .filter((F.col("wa") == F.col("wb")) & (F.col("ha") == F.col("hb")))
+            .select(
+                "ua", "ub",
+                F.aggregate(
+                    F.zip_with("ga", "gb", lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("sab"),
             )
-            key_u = F.concat(F.col("t").cast("string"), F.lit("|"), F.col("node"))
-            split = stats.select(
-                F.col("t").alias("st"), F.col("node").alias("snode"),
-                (F.conv(F.substring(F.md5(key_u), 1, 8), 16, 10).cast("bigint") % 2).alias("f"),
-                ((F.conv(F.substring(F.md5(key_u), 9, 8), 16, 10).cast("bigint") % 1000000) / 1000000.0).alias("u"),
-                "mn1", "mx1", "mn2", "mx2",
-            )
-            thr = F.when(F.col("f") == 0, F.col("mn1") + F.col("u") * (F.col("mx1") - F.col("mn1"))).otherwise(
-                F.col("mn2") + F.col("u") * (F.col("mx2") - F.col("mn2")))
-            xval = F.when(F.col("f") == 0, F.col("x1")).otherwise(F.col("x2"))
-            pts = (
-                pts.join(F.broadcast(split),
-                         (F.col("t") == F.col("st")) & (F.col("node") == F.col("snode")))
-                .select("t", "x1", "x2", "k",
-                        F.concat(F.col("node"), F.when(xval < thr, "0").otherwise("1")).alias("grown"))
-                .withColumnRenamed("grown", "node")
-            )
-        leafsz = pts.groupBy(F.col("t").alias("lt"), F.col("node").alias("lnode")).agg(
-            F.count(F.lit(1)).alias("m"))
-        pts.join(F.broadcast(leafsz),
-                 (F.col("t") == F.col("lt")) & (F.col("node") == F.col("lnode"))
-        ).groupBy("k").agg(F.sum("m")).write.format("noop").mode("overwrite").save()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
 
     ops = {
         "dedup_exact (sha2 groupBy)": t_exact,
         "length-bucketed batching ranks": t_length_batching,
         "isolation forest 4x4": t_iforest,
+        "edit-distance verify blocked": t_edv,
+        "ssim over phash candidates": t_ssim_phash,
+        "dedup pipeline e2e (LSH->lev->CC)": t_e2e_pipeline,
         "trajectory topk band-blocked": t_trajectory,
         "identity stitching CC": t_stitching,
         "naive-bayes train+score": t_naive_bayes,
@@ -1078,6 +1151,7 @@ def main() -> None:
         for mult in BLOWUPS:
             docs = blowup_docs(spark, mult)
             docs.__mult__ = mult  # for ops that build their own corpus
+            docs.__sfdir__ = _blown_sf_dir(spark, mult)  # real-fn ops
             fn(docs)  # warm codegen at this plan shape
             t0 = time.time()
             fn(docs)

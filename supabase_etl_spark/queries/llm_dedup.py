@@ -2198,3 +2198,154 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ida", "idb")
     )
+
+
+@query(
+    "dedup_pipeline_end_to_end",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTES},
+    {_sql_minhash_cte()},
+    inter AS (
+        SELECT c.ida, c.idb, count(*) AS inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.ida
+        JOIN sh sb ON sb.doc_id = c.idb AND sb.s = sa.s
+        GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT i.ida, i.idb
+        FROM inter i
+        JOIN sizes sa ON i.ida = sa.doc_id
+        JOIN sizes sb ON i.idb = sb.doc_id
+        WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+    ),
+    heads AS (
+        SELECT doc_id, substr(text, 1, {EDV_VERIFY_CHARS}) AS head
+        FROM documents
+    ),
+    verified AS (
+        SELECT p.ida, p.idb
+        FROM jpairs p
+        JOIN heads a ON a.doc_id = p.ida
+        JOIN heads b ON b.doc_id = p.idb
+        WHERE levenshtein(a.head, b.head) <= {EDV_MAX_DIST}
+    ),
+    edges AS (
+        SELECT ida AS src, idb AS dst FROM verified
+        UNION
+        SELECT idb, ida FROM verified
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    csize AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM clusters GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           (c.doc_id = c.cluster_id) AS is_survivor
+    FROM clusters c JOIN csize s ON c.cluster_id = s.cluster_id
+    ORDER BY c.doc_id
+    """,
+    tags=("llm", "dedup", "pipeline"),
+    bench=True,
+)
+def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-dup curation pipeline as ONE composed plan
+    (VERDICT r8 task 7) — the sequence a production training-data
+    pipeline actually executes, each stage the registry's own operator:
+
+      1. CANDIDATES: MinHash signatures + LSH banding (dedup_minhash_lsh
+         machinery) — one signature aggregate, one merge-hinted band
+         self-join; candidates ~ linear in true near-dups.
+      2. SET VERIFY: exact Jaccard on candidates via row-local
+         array_intersect, >= {JACCARD_THRESHOLD}.
+      3. CHAR VERIFY: bounded Levenshtein on the {EDV_VERIFY_CHARS}-char
+         heads (dedup_edit_distance_verify's verifier) — one JVM DP per
+         surviving pair, catching token-preserving in-place edits.
+      4. CLUSTER: connected components by min-label propagation
+         (dedup_clusters' fixpoint; log-diameter rounds, checkpointed).
+      5. SURVIVE: min-id canonical per cluster + cluster sizes (one
+         keyed aggregate joined back).
+
+    Output is the full keep/drop ledger: every document with its
+    cluster, cluster size, and survivor flag. 100 TB posture: no stage
+    is all-pairs (banded candidates only), the verifies are per-pair
+    row-local, CC state is (doc, label) pairs, and the survivor rule is
+    an aggregate — the pipeline's cost is corpus-linear plus
+    near-dup-linear."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # 1. LSH candidates (identical construction to dedup_minhash_lsh)
+    sids = D.shingle_ids(d)
+    bands = D.band_keys(D.minhash_signature(sids)).hint("merge")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            [F.col(f"a.k{r}") == F.col(f"b.k{r}") for r in range(D.ROWS_PER_BAND)]
+            + [
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    # 2. exact-Jaccard re-rank on candidates (array-local intersection)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    arrs = toks.select("doc_id", D.shingles_of_tokens(F.col("toks")).alias("sh"))
+    jacc = (
+        cand.join(
+            arrs.select(F.col("doc_id").alias("ida"), F.col("sh").alias("sha")), "ida"
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("idb"), F.col("sh").alias("shb")), "idb"
+        )
+        .select(
+            "ida",
+            "idb",
+            F.size(F.array_intersect("sha", "shb")).alias("inter"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
+        .filter(
+            F.col("inter")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("ida", "idb")
+    )
+    # 3. bounded edit-distance verify on the heads
+    heads = d.select(
+        "doc_id", F.substring(F.col("text"), 1, EDV_VERIFY_CHARS).alias("head")
+    )
+    verified = (
+        jacc.join(
+            heads.select(F.col("doc_id").alias("ida"), F.col("head").alias("ha")),
+            "ida",
+        )
+        .join(
+            heads.select(F.col("doc_id").alias("idb"), F.col("head").alias("hb")),
+            "idb",
+        )
+        .filter(F.levenshtein("ha", "hb") <= EDV_MAX_DIST)
+        .select("ida", "idb")
+    )
+    # 4. connected components + 5. survivor ledger
+    labels = _min_label_fixpoint(d, verified)
+    csize = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        labels.join(csize, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+        )
+        .orderBy("doc_id")
+    )
