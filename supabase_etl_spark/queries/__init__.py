@@ -141,17 +141,24 @@ _STATIC_PRIORITY: tuple[str, ...] = (
 )
 
 # Family quotas for the rotated window, in fill order. Six under-verified
-# families × 8-10 slots = 50. When a family runs dry (fully verified in
+# families × 6-12 slots = 50. When a family runs dry (fully verified in
 # prior rounds) its unused slots backfill from the remaining candidates
 # in registry order, so the window always holds 50 names while any
-# unverified oracle-bearing query exists.
+# unverified oracle-bearing query exists. Re-aimed each round at the
+# LARGEST never-verified families (r9: the r7 sampling / agg-stats /
+# events-econometrics waves the window had not touched, per VERDICT r8
+# task 3 — events 83, text 39, dq 37, agg 30, sample 27 unverified,
+# while the r8 quota families are largely drained).
 _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
-    ("ml_eval_", 10),
-    ("ml_", 8),
-    ("graph_", 8),
-    ("io_manifest_", 8),
-    ("multimodal_", 8),
-    ("stream_", 8),
+    # pin the r9 composed-pipeline flagship into the window (prefix
+    # match on the full name), then fill by family
+    ("dedup_pipeline_end_to_end", 1),
+    ("sample_", 8),
+    ("agg_", 8),
+    ("events_", 11),
+    ("text_", 8),
+    ("dq_", 8),
+    ("dedup_", 6),
 )
 _WINDOW_SIZE = 50
 
