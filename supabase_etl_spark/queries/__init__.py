@@ -150,12 +150,14 @@ _STATIC_PRIORITY: tuple[str, ...] = (
 # task 3 — events 83, text 39, dq 37, agg 30, sample 27 unverified,
 # while the r8 quota families are largely drained).
 _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
-    # pin the r9 composed-pipeline flagship into the window (prefix
+    # pin the r9 composed-pipeline flagships into the window (prefix
     # match on the full name), then fill by family
     ("dedup_pipeline_end_to_end", 1),
+    ("corpus_prepare_end_to_end", 1),
+    ("multimodal_dedup_pipeline_e2e", 1),
     ("sample_", 8),
     ("agg_", 8),
-    ("events_", 11),
+    ("events_", 9),
     ("text_", 8),
     ("dq_", 8),
     ("dedup_", 6),

@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 
 from supabase_etl_spark.io.readers import load_table
 from supabase_etl_spark.operators.text import (
+    lang_id,
     ngrams_all,
+    sql_lang_id,
     sql_ngrams_all,
     sql_quality_score,
     tokens,
@@ -2144,6 +2146,209 @@ def text_compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame
                 9,
             ).alias("mean_ratio"),
             F.min("ratio").alias("min_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+CP_TEMP = 0.7  # temperature for the prepared corpus's mixture weights
+
+
+@query(
+    "corpus_prepare_end_to_end",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, lang, {_SQL_TOKENS} AS t,
+               {_sql_bucket("doc_id")} < {DECON_BENCH_PCT} AS is_bench,
+               ({sql_lang_id()}) = lang AS lang_match
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id,
+               len(t) AS n_words,
+               (len(t) BETWEEN 50 AND 100000)
+               AND (CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                    / greatest(len(t), 1) BETWEEN 3.0 AND 10.0)
+               AND (CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                    / greatest(len(t), 1) >= 0.8) AS q_pass
+        FROM toks
+    ),
+    bench_grams AS (
+        SELECT DISTINCT unnest({sql_ngrams_all("t", DECON_K)}) AS g
+        FROM toks WHERE is_bench
+    ),
+    train_grams AS (
+        SELECT doc_id, unnest({sql_ngrams_all("t", DECON_K)}) AS g
+        FROM toks WHERE NOT is_bench
+    ),
+    contaminated AS (
+        SELECT DISTINCT tg.doc_id
+        FROM train_grams tg JOIN bench_grams bg ON tg.g = bg.g
+    ),
+    ledger AS (
+        SELECT tk.source,
+               count(*) AS n_docs,
+               CAST(SUM(CASE WHEN tk.is_bench THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bench,
+               CAST(SUM(CASE WHEN NOT tk.is_bench AND q.q_pass
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+               CAST(SUM(CASE WHEN NOT tk.is_bench AND c.doc_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               CAST(SUM(CASE WHEN NOT tk.is_bench AND q.q_pass
+                             AND c.doc_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+               CAST(SUM(CASE WHEN NOT tk.is_bench AND q.q_pass
+                             AND c.doc_id IS NULL
+                             THEN q.n_words ELSE 0 END) AS BIGINT)
+                   AS tokens_final,
+               CAST(SUM(CASE WHEN NOT tk.is_bench AND q.q_pass
+                             AND c.doc_id IS NULL AND tk.lang_match
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_match
+        FROM toks tk
+        JOIN quality q USING (doc_id)
+        LEFT JOIN contaminated c ON tk.doc_id = c.doc_id
+        GROUP BY tk.source
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(round(power(CAST(tokens_final AS DOUBLE),
+                                         {1.0 / CP_TEMP!r}), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS z
+        FROM ledger
+    )
+    SELECT l.source, l.n_docs, l.n_bench, l.n_pass_quality,
+           l.n_contaminated, l.n_final, l.tokens_final, l.n_lang_match,
+           round(round(power(CAST(l.tokens_final AS DOUBLE),
+                             {1.0 / CP_TEMP!r}), 12) / t.z, 9) AS mix_weight
+    FROM ledger l CROSS JOIN tot t
+    ORDER BY l.source
+    """,
+    tags=("llm", "curation", "pipeline"),
+    bench=True,
+)
+def corpus_prepare_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TEXT-CORPUS PREPARATION pipeline as one composed plan — the
+    sequence a pretraining-data team runs between raw ingest and the
+    sampler, each stage the registry's own operator:
+
+      1. QUALITY GATE: Gopher core rules (word count / mean word
+         length / alpha fraction — corpus_curate's expressions).
+      2. LANG-ID: stopword-profile prediction scored against the
+         labeled language (text_lang_id's classifier).
+      3. DECONTAMINATE: the LCG benchmark holdout's {DECON_K}-grams
+         build a broadcast Bloom bitmap; the train-gram stream drops
+         map-side on 5 JVM bit tests, survivors verify in the exact
+         equi-join (decontaminate_bloom's two-stage shape — no false
+         negatives by construction).
+      4. ACCOUNT + MIX: one per-source ledger (docs, holdout, quality
+         passes, contaminated, final keeps, final token budget,
+         lang-ID agreement on the final set) plus temperature-
+         {CP_TEMP} mixture weights over the final token counts
+         (sample_temperature_mixture's shape; exact decimal
+         normalizer, round-9 output).
+
+    100 TB posture: the corpus is scanned once into token arrays; the
+    gram stream is the only explode and dies map-side on the Bloom
+    probe; every downstream table is source-grained (bounded). The
+    one corpus-sized shuffle is the contamination verify join on
+    surviving grams — linear in true contamination."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        tokens(F.col("text")).alias("t"),
+        (_bucket(F.col("doc_id")) < DECON_BENCH_PCT).alias("is_bench"),
+        (lang_id(F.col("text")) == F.col("lang")).alias("lang_match"),
+    )
+    n = F.greatest(F.size("t"), F.lit(1))
+    mean_wl = (
+        F.aggregate(
+            F.transform(F.col("t"), lambda x: F.length(x)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("double")
+        / n
+    )
+    alpha = (
+        F.size(F.filter(F.col("t"), lambda x: x.rlike("[A-Za-z]"))).cast("double") / n
+    )
+    q = tk.select(
+        "doc_id",
+        "source",
+        "lang_match",
+        "is_bench",
+        F.size("t").alias("n_words"),
+        (
+            F.size("t").between(50, 100_000)
+            & mean_wl.between(3.0, 10.0)
+            & (alpha >= 0.8)
+        ).alias("q_pass"),
+    )
+    bench_grams = (
+        tk.filter("is_bench")
+        .select(F.explode(ngrams_all(F.col("t"), DECON_K)).alias("g"))
+        .distinct()
+    )
+    bloom = _bloom_bitmap(spark, bench_grams)
+    pr = tk.filter(~F.col("is_bench")).select(
+        "doc_id", F.explode(ngrams_all(F.col("t"), DECON_K)).alias("g")
+    )
+    for j in range(BLOOM_K_HASH):
+        pr = pr.withColumn(
+            f"p{j}", F.pmod(F.xxhash64("g", F.lit(j)), F.lit(BLOOM_M_BITS))
+        )
+    contaminated = (
+        pr.join(F.broadcast(bloom))
+        .filter(_bloom_hit_cond())
+        .select("doc_id", "g")
+        .join(bench_grams, "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+    train = F.col("is_bench") == False  # noqa: E712
+    final = train & F.col("q_pass") & F.col("is_cont").isNull()
+    ledger = (
+        q.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_bench"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bench"),
+            F.sum(F.when(train & F.col("q_pass"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass_quality"),
+            F.sum(F.when(train & F.col("is_cont").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum(F.when(final, 1).otherwise(0)).cast("bigint").alias("n_final"),
+            F.sum(F.when(final, F.col("n_words")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_final"),
+            F.sum(F.when(final & F.col("lang_match"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_lang_match"),
+        )
+    )
+    pw = F.round(
+        F.pow(F.col("tokens_final").cast("double"), F.lit(1.0 / CP_TEMP)), 12
+    )
+    tot = ledger.agg(
+        F.sum(pw.cast("decimal(38,12)")).cast("double").alias("z")
+    )
+    return (
+        ledger.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_bench",
+            "n_pass_quality",
+            "n_contaminated",
+            "n_final",
+            "tokens_final",
+            "n_lang_match",
+            F.round(pw / F.col("z"), 9).alias("mix_weight"),
         )
         .orderBy("source")
     )

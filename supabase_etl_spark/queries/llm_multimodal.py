@@ -1607,3 +1607,190 @@ def multimodal_ssim_over_phash_candidates(spark: SparkSession, sf_dir: str) -> D
     return pairs.select("ua", "ub", F.round(_ssim_score(), 9).alias("ssim")).orderBy(
         F.desc("ssim"), "ua", "ub"
     )
+
+
+SSIM_DEDUP_T = 0.98  # structural-verify accept threshold (round-9 SSIM)
+
+
+@query(
+    "multimodal_dedup_pipeline_e2e",
+    oracle=f"""
+    WITH RECURSIVE {_IMG_DOCS_CTE},
+    px AS (
+        SELECT d.doc_id, d.uri, d.w, d.h,
+               y.j * d.w + x.i AS idx,
+               x.i AS xi, y.j AS yj,
+               (d.seed + 3 * x.i + 5 * y.j) % 256
+               + (d.seed + 3 * x.i + 5 * y.j + 7) % 256
+               + (d.seed + 3 * x.i + 5 * y.j + 14) % 256 AS v
+        FROM docs d,
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS x(i),
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS y(j)
+        WHERE x.i < d.w AND y.j < d.h
+    ),
+    blocks AS (
+        SELECT uri, (yj * 8) // h AS bi, (xi * 8) // w AS bj,
+               SUM(v) AS bs, COUNT(*) AS bc
+        FROM px GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT uri, SUM(v) AS ts, COUNT(*) AS tc FROM px GROUP BY uri),
+    hashes AS (
+        SELECT b.uri,
+               string_agg(
+                   CASE WHEN b.bs * t.tc > t.ts * b.bc THEN '1' ELSE '0' END,
+                   '' ORDER BY b.bi, b.bj) AS ahash
+        FROM blocks b JOIN tot t USING (uri) GROUP BY b.uri
+    ),
+    mom AS (
+        SELECT doc_id, uri, w, h,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s1,
+               CAST(SUM(v * v) AS DOUBLE) AS s2
+        FROM px GROUP BY doc_id, uri, w, h
+    ),
+    cand AS (
+        SELECT ha.uri AS ua, hb.uri AS ub
+        FROM hashes ha JOIN hashes hb
+          ON ha.ahash = hb.ahash AND ha.uri < hb.uri
+    ),
+    cross_mom AS (
+        SELECT c.ua, c.ub, CAST(SUM(a.v * b.v) AS DOUBLE) AS sab
+        FROM cand c
+        JOIN px a ON a.uri = c.ua
+        JOIN px b ON b.uri = c.ub
+         AND a.w = b.w AND a.h = b.h AND a.idx = b.idx
+        GROUP BY c.ua, c.ub
+    ),
+    verified AS (
+        SELECT ma.doc_id AS ida, mb.doc_id AS idb
+        FROM cross_mom c
+        JOIN mom ma ON c.ua = ma.uri
+        JOIN mom mb ON c.ub = mb.uri AND ma.w = mb.w AND ma.h = mb.h
+        WHERE round(
+             ((2.0 * (ma.s1/ma.n) * (mb.s1/mb.n) + {_SSIM_C1})
+              / ((ma.s1/ma.n)*(ma.s1/ma.n) + (mb.s1/mb.n)*(mb.s1/mb.n) + {_SSIM_C1}))
+             * ((2.0 * sqrt(ma.s2/ma.n - (ma.s1/ma.n)*(ma.s1/ma.n))
+                     * sqrt(mb.s2/mb.n - (mb.s1/mb.n)*(mb.s1/mb.n)) + {_SSIM_C2})
+                / ((ma.s2/ma.n - (ma.s1/ma.n)*(ma.s1/ma.n))
+                   + (mb.s2/mb.n - (mb.s1/mb.n)*(mb.s1/mb.n)) + {_SSIM_C2}))
+             * ((c.sab/ma.n - (ma.s1/ma.n)*(mb.s1/mb.n) + {_SSIM_C3})
+                / (sqrt(ma.s2/ma.n - (ma.s1/ma.n)*(ma.s1/ma.n))
+                   * sqrt(mb.s2/mb.n - (mb.s1/mb.n)*(mb.s1/mb.n)) + {_SSIM_C3})),
+             9) >= {SSIM_DEDUP_T!r}
+    ),
+    edges AS (
+        SELECT ida AS src, idb AS dst FROM verified
+        UNION
+        SELECT idb, ida FROM verified
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM docs
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    csize AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM clusters GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           (c.doc_id = c.cluster_id) AS is_survivor
+    FROM clusters c JOIN csize s ON c.cluster_id = s.cluster_id
+    ORDER BY c.doc_id
+    """,
+    tags=("llm", "multimodal", "dedup", "pipeline"),
+)
+def multimodal_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMAGE-SPACE mirror of dedup_pipeline_end_to_end — perceptual
+    dedup as one composed plan, every stage the registry's own
+    operator:
+
+      1. DECODE ONCE: gray vector + 64-bit aHash from a single pinned
+         Arrow pass (operators/multimodal.decode_gray_with_ahash).
+      2. CANDIDATES: aHash-equality bucket join (dedup_exact-shaped
+         shuffle on the signature — linear in true near-duplicates,
+         never all-pairs, no dims class fallback).
+      3. STRUCTURAL VERIFY: global SSIM on candidate pairs only
+         (row-local zip_with dot products over the pinned vectors),
+         accept at >= {SSIM_DEDUP_T} on the round-9 score.
+      4. CLUSTER: large-star/small-star connected components
+         (operators/cc — log-round, checkpoint-truncated).
+      5. SURVIVE: min-doc_id canonical per cluster + cluster sizes.
+
+    Output is the keep/drop ledger for the image corpus. 100 TB
+    posture: payloads shrink ~1000x at the decode boundary before any
+    shuffle, candidates are signature-bucketed, the SSIM verify is
+    per-pair row-local, and CC runs on (id, id) pairs — corpus-linear
+    plus near-dup-linear, the same argument as the text pipeline."""
+    from supabase_etl_spark.operators.cc import connected_components
+
+    dec = M.decode_gray_with_ahash(_images(spark, sf_dir)).localCheckpoint()
+    did = F.regexp_replace("uri", "^doc://", "").cast("bigint")
+    hashed = dec.select(did.alias("did"), "uri", "ahash")
+    cand = (
+        hashed.alias("x")
+        .join(
+            hashed.alias("y"),
+            (F.col("x.ahash") == F.col("y.ahash"))
+            & (F.col("x.uri") < F.col("y.uri")),
+        )
+        .select(
+            F.col("x.uri").alias("ua"),
+            F.col("y.uri").alias("ub"),
+            F.col("x.did").alias("ida"),
+            F.col("y.did").alias("idb"),
+        )
+    )
+    mom = dec.select(
+        "uri",
+        "w",
+        "h",
+        "gray",
+        (F.col("w") * F.col("h")).cast("double").alias("n"),
+        F.aggregate("gray", F.lit(0).cast("long"), lambda a, x: a + x)
+        .cast("double")
+        .alias("s1"),
+        F.aggregate("gray", F.lit(0).cast("long"), lambda a, x: a + x * x)
+        .cast("double")
+        .alias("s2"),
+    )
+    a = mom.select(
+        F.col("uri").alias("ua"), F.col("w").alias("wa"), F.col("h").alias("ha"),
+        F.col("gray").alias("ga"), F.col("n").alias("na"),
+        F.col("s1").alias("s1a"), F.col("s2").alias("s2a"),
+    )
+    b = mom.select(
+        F.col("uri").alias("ub"), F.col("w").alias("wb"), F.col("h").alias("hb"),
+        F.col("gray").alias("gb"), F.col("n").alias("nb"),
+        F.col("s1").alias("s1b"), F.col("s2").alias("s2b"),
+    )
+    verified = (
+        cand.join(a, "ua")
+        .join(b, "ub")
+        .filter((F.col("wa") == F.col("wb")) & (F.col("ha") == F.col("hb")))
+        .withColumn(
+            "sab",
+            F.aggregate(
+                F.zip_with("ga", "gb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double"),
+        )
+        .filter(F.round(_ssim_score(), 9) >= SSIM_DEDUP_T)
+        .select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+    )
+    nodes = dec.select(did.alias("node"))
+    labels = connected_components(nodes, verified)
+    csize = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        labels.join(csize, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_survivor"),
+        )
+        .orderBy("doc_id")
+    )

@@ -286,13 +286,20 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN-subquery over the same fact table. The per-order qty agg and the
     main join both shuffle lineitem on l_orderkey, so AQE reuses one
     Exchange; the surviving-keys side is tiny post-HAVING and
-    broadcasts back. Decimal qty sums keep the >180 gate and the output
-    sum bit-stable across engines."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    broadcasts back. Quantities ride the q1 integer-scale lever
+    (×100 LONG sums — whole-stage-codegen long adds instead of the
+    decimal path; ~12% wall at sf0.1): the >180 gate becomes >18000 on
+    exact integers and total_qty = Σq2/100 is the same double as the
+    oracle's decimal sum (integral quantities, sums ≪ 2^53). Overflow
+    headroom is ~1.8e15 rows per partition at max quantity — five
+    orders of magnitude beyond any real partition."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q2")
+    )
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
-        .filter(F.col("q") > 180)
+        .agg(F.sum("q2").alias("q"))
+        .filter(F.col("q") > 18000)
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     o = load_table(spark, sf_dir, "orders")
@@ -302,7 +309,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .agg((F.sum("q2").cast("double") / 100).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
