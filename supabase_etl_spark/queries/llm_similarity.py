@@ -2541,3 +2541,131 @@ def embedding_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mmd2", 9).alias("mmd2_linear"),
         F.round(F.sqrt("mmd2"), 9).alias("mmd_linear"),
     ).orderBy("grp_a", "grp_b")
+
+
+@query(
+    "sim_ann_recall_audit",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT vec_id, embedding,
+               sqrt({sql_dot("embedding", "embedding")}) AS nrm,
+               {sql_lsh_bucket("embedding")} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket FROM hashed
+          WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn, bucket FROM hashed
+          WHERE vec_id >= {N_QUERIES}),
+    truth AS (
+        SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {sql_dot("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+                                c.cid ASC) AS rn
+            FROM q, c
+        ) WHERE rn <= {TOP_K}
+    ),
+    n_cand AS (
+        SELECT q.qid, CAST(count(*) AS BIGINT) AS n_candidates
+        FROM q JOIN c USING (bucket) GROUP BY q.qid
+    ),
+    approx AS (
+        SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {sql_dot("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+                                c.cid ASC) AS rn
+            FROM q JOIN c USING (bucket)
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT t.qid,
+           COALESCE(nc.n_candidates, 0) AS n_candidates,
+           CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+           round(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST({TOP_K} AS DOUBLE), 6) AS recall_at_k
+    FROM truth t
+    LEFT JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
+    LEFT JOIN n_cand nc ON t.qid = nc.qid
+    GROUP BY t.qid, nc.n_candidates
+    ORDER BY t.qid
+    """,
+    tags=("llm", "similarity", "eval", "pipeline"),
+)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RECALL AUDIT — the acceptance test an ANN index must pass
+    before it replaces brute force, as ONE composed plan: exact cosine
+    top-{TOP_K} ground truth (broadcast queries x one corpus pass) and
+    sign-LSH bucketed retrieval (sim_topk_lsh's index) computed
+    side-by-side, then per-query recall@{TOP_K} plus the bucket's
+    candidate count (the recall-vs-cost tradeoff in one row per
+    query). Both rank filters compile through WindowGroupLimit —
+    per-partition partial top-k before any shuffle, so neither path
+    funnels the corpus through one task. The corpus is scanned once
+    per retrieval path; the audit joins are query-grained
+    (<= {N_QUERIES} x {TOP_K} rows)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    hashed = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        lsh_bucket(F.col("embedding")),
+    )
+    q = hashed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"), "bucket",
+    )
+    c = hashed.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"), "bucket",
+    )
+    cos = dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    truth = (
+        c.crossJoin(F.broadcast(q.select("qid", "qe", "qn")))
+        .select("qid", "cid", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cid")
+    )
+    bucketed = c.join(F.broadcast(q), "bucket")
+    n_cand = bucketed.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    approx = (
+        bucketed.select("qid", "cid", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        # rename BOTH keys: truth and approx share scan lineage, so a
+        # Column-identity drop after the join resolves ambiguously
+        .select(F.col("qid").alias("aqid"), F.col("cid").alias("acid"))
+    )
+    return (
+        truth.join(
+            approx,
+            (F.col("qid") == F.col("aqid")) & (F.col("cid") == F.col("acid")),
+            "left",
+        )
+        .drop("aqid")
+        .join(n_cand, "qid", "left")
+        .groupBy("qid", "n_candidates")
+        .agg(
+            F.sum(F.when(F.col("acid").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.round(
+                F.sum(F.when(F.col("acid").isNotNull(), 1).otherwise(0))
+                / F.lit(float(TOP_K)),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .select(
+            "qid",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            "n_hits",
+            "recall_at_k",
+        )
+        .orderBy("qid")
+    )
