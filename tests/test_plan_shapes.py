@@ -1013,3 +1013,51 @@ def test_pmi_topk_is_take_ordered(spark):
     q = load_all()["text_pmi_collocations"]
     plan = _plan(q.fn(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_pipeline_e2e_no_cartesian_banded_candidates(spark):
+    """dedup_pipeline_end_to_end: the returned (post-CC) plan must hold
+    keyed joins only — never a cartesian or nested-loop pair join — and
+    the CC fixpoint arrives checkpoint-truncated (Scan ExistingRDD).
+    The candidate/verify stages run BEFORE the checkpoint; their shapes
+    are pinned by test_edit_distance_candidates_are_equi_join and the
+    minhash band-join tests on the component operators."""
+    q = load_all()["dedup_pipeline_end_to_end"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed CC labels
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_multimodal_dedup_pipeline_candidates_bucketed(spark):
+    """multimodal_dedup_pipeline_e2e: candidates come from the aHash
+    signature bucket join; the decode is pinned (one Scan ExistingRDD
+    feeds every consumer) and no stage goes all-pairs."""
+    q = load_all()["multimodal_dedup_pipeline_e2e"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # the pinned single decode pass
+    assert "ahash" in plan
+
+
+def test_corpus_prepare_bloom_broadcast_before_verify(spark):
+    """corpus_prepare_end_to_end: the Bloom bitmap must arrive as a
+    BROADCAST (the gram stream dies map-side on bit tests before any
+    shuffle); the exact verify join stays keyed."""
+    q = load_all()["corpus_prepare_end_to_end"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "xxhash64" in plan  # the 5 JVM bit-test probes
+
+
+def test_ann_recall_audit_partial_topk(spark):
+    """sim_ann_recall_audit: both rank<=k filters must compile through
+    WindowGroupLimit (per-partition partial top-k before the qid
+    shuffle) so neither retrieval path funnels the corpus through one
+    task."""
+    q = load_all()["sim_ann_recall_audit"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
