@@ -480,3 +480,168 @@ def decode_gray_with_ahash(df: DataFrame, content_col: str = "content") -> DataF
     return df.mapInPandas(
         run, schema="uri string, w int, h int, gray array<long>, ahash string"
     )
+
+
+def audio_clipping_stats(
+    df: DataFrame, clip_t: int, content_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched WAV decode → exact integer clipping diagnostics:
+    samples at or above ``clip_t`` in magnitude (the near-full-scale
+    band a limiter or a bad gain stage parks audio in), plus the
+    LONGEST consecutive clipped run — the feature that separates a
+    transient peak from a flattened waveform. All-integer outputs keep
+    the decode oracle-checkable without float discipline."""
+    from supabase_etl_spark.operators import audiocodec as AC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uri, content in zip(pdf["uri"], pdf[content_col]):
+                _rate, _ch, s = AC.decode_wav(bytes(content))
+                run_len = best = n_clip = 0
+                for v in s:
+                    if abs(v) >= clip_t:
+                        n_clip += 1
+                        run_len += 1
+                        if run_len > best:
+                            best = run_len
+                    else:
+                        run_len = 0
+                rows.append(
+                    {
+                        "uri": uri,
+                        "n_samples": len(s),
+                        "peak": max(abs(v) for v in s) if s else 0,
+                        "n_clipped": n_clip,
+                        "max_clip_run": best,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "uri string, n_samples int, peak int, n_clipped int, "
+            "max_clip_run int"
+        ),
+    )
+
+
+def audio_walsh_coeffs(
+    df: DataFrame, ks: tuple[int, ...], content_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched WAV decode → square-wave (Walsh/sequency) analysis
+    coefficients c_k = Σ_n s[n]·w_k(n) with w_k(n) = 1 − 2·(⌊2kn/N⌋ mod
+    2), the ±1 square wave completing k cycles over the N samples — the
+    integer-exact analog of a k-bin DFT (Walsh–Hadamard sequency
+    analysis; transcendental-free, so Spark and the SQL oracle agree
+    bit-for-bit with no float discipline). |c_k| ≤ 2000·N fits easily
+    in int64; power = c_k² stays exact too."""
+    from supabase_etl_spark.operators import audiocodec as AC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uri, content in zip(pdf["uri"], pdf[content_col]):
+                _rate, _ch, s = AC.decode_wav(bytes(content))
+                n = len(s)
+                for k in ks:
+                    c = sum(
+                        v * (1 - 2 * (((2 * k * i) // n) % 2))
+                        for i, v in enumerate(s)
+                    )
+                    rows.append(
+                        {"uri": uri, "n_samples": n, "k": k, "coeff": c}
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, schema="uri string, n_samples int, k int, coeff bigint"
+    )
+
+
+def image_color_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Arrow-batched image decode → exact integer color/intensity
+    sufficient statistics per image: an 8-bucket histogram of the
+    per-pixel channel sum (gray ∈ [0, 765], bucket = min(gray//96, 7))
+    plus the integer moments of the two opponent axes rg = R−G and
+    2·yb = R+G−2B that the Hasler–Süsstrunk colorfulness metric is
+    built from. Doubles (entropy, colorfulness) are derived JVM-side
+    from these exact integers so the decode stays hash-checkable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uri, content in zip(pdf["uri"], pdf[content_col]):
+                w, h, ch, px = IC.decode_image(bytes(content))
+                hist = [0] * 8
+                s_rg = s_rg2 = s_yb2 = s_yb22 = 0
+                for p in range(w * h):
+                    base = p * ch
+                    r = px[base]
+                    g = px[base + 1] if ch > 1 else r
+                    b = px[base + 2] if ch > 2 else r
+                    gray = r + g + b if ch > 2 else 3 * r
+                    hist[min(gray // 96, 7)] += 1
+                    rg = r - g
+                    yb2 = r + g - 2 * b
+                    s_rg += rg
+                    s_rg2 += rg * rg
+                    s_yb2 += yb2
+                    s_yb22 += yb2 * yb2
+                rows.append(
+                    {
+                        "uri": uri,
+                        "w": w,
+                        "h": h,
+                        "hist": hist,
+                        "sum_rg": s_rg,
+                        "sum_rg2": s_rg2,
+                        "sum_yb2": s_yb2,
+                        "sum_yb22": s_yb22,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "uri string, w int, h int, hist array<long>, sum_rg bigint, "
+            "sum_rg2 bigint, sum_yb2 bigint, sum_yb22 bigint"
+        ),
+    )
+
+
+def video_motion_energy(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Arrow-batched Y4M decode → per-frame motion energy: the exact
+    integer sum of absolute luma differences against the previous frame
+    (frame 0 has no predecessor and emits no row). The scalar-per-frame
+    output is the keyframe-selection input every video curation
+    pipeline computes before deciding which frames to keep — payload
+    shrinks ~W·H× before anything shuffles."""
+    from supabase_etl_spark.operators import videocodec as VC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uri, content in zip(pdf["uri"], pdf[content_col]):
+                _w, _h, _fps, frames = VC.decode_y4m(bytes(content))
+                for f in range(1, len(frames)):
+                    prev_y = frames[f - 1][0]
+                    cur_y = frames[f][0]
+                    rows.append(
+                        {
+                            "uri": uri,
+                            "frame_idx": f,
+                            "n_frames": len(frames),
+                            "motion": sum(
+                                abs(a - b) for a, b in zip(cur_y, prev_y)
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        schema="uri string, frame_idx int, n_frames int, motion bigint",
+    )

@@ -1794,3 +1794,306 @@ def multimodal_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+CLIP_T = 1900  # near-full-scale threshold on the ±2000 PCM fixture range
+WALSH_KS = (1, 2, 4, 8)  # sequency bins (cycles over the clip)
+
+
+@query(
+    "multimodal_audio_clipping_audit",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, concat('doc://', doc_id, '.wav') AS uri,
+               doc_id % {M.SEED_MOD} AS seed,
+               {M.AUDIO_LEN_BASE} + doc_id % {M.AUDIO_LEN_SPAN} AS n
+        FROM documents WHERE doc_id < {AUDIO_DOCS}
+    ),
+    sig AS (
+        SELECT d.uri, d.n, t.i,
+               (7 * d.seed + 11 * t.i) % {M.AUDIO_AMP_MOD} - 2000 AS s
+        FROM docs d, range(0, {M.AUDIO_LEN_BASE + M.AUDIO_LEN_SPAN}) AS t(i)
+        WHERE t.i < d.n
+    ),
+    clipped AS (
+        SELECT uri, i,
+               i - ROW_NUMBER() OVER (PARTITION BY uri ORDER BY i) AS grp
+        FROM sig WHERE abs(s) >= {CLIP_T}
+    ),
+    runs AS (
+        SELECT uri, count(*) AS run_len FROM clipped GROUP BY uri, grp
+    ),
+    agg AS (
+        SELECT uri, CAST(any_value(n) AS INT) AS n_samples,
+               CAST(max(abs(s)) AS INT) AS peak,
+               CAST(sum(CASE WHEN abs(s) >= {CLIP_T} THEN 1 ELSE 0 END)
+                    AS INT) AS n_clipped
+        FROM sig GROUP BY uri
+    )
+    SELECT a.uri, a.n_samples, a.peak, a.n_clipped,
+           CAST(coalesce(max(r.run_len), 0) AS INT) AS max_clip_run,
+           round(CAST(a.n_clipped AS DOUBLE) / a.n_samples, 6) AS clip_ratio
+    FROM agg a LEFT JOIN runs r ON a.uri = r.uri
+    GROUP BY a.uri, a.n_samples, a.peak, a.n_clipped
+    ORDER BY a.uri
+    """,
+    tags=("llm", "multimodal", "audio", "dq"),
+)
+def multimodal_audio_clipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-quality gate for a training corpus: REAL WAV decode →
+    per-clip clipping census (samples in the near-full-scale band
+    |s| ≥ {CLIP_T}, the longest consecutive clipped run, clip ratio).
+    The run length is the signal a peak meter can't give — a flattened
+    waveform (hard limiter, broken gain stage) shows long runs, a
+    transient shows 1-2. The oracle replays the deterministic PCM
+    synthesis and finds runs with the gaps-and-islands window — the
+    max-run LOOP in the decode UDF and the SQL island count must agree
+    exactly or the hash breaks. At 100 TB: decode parallelism is
+    partition count; five integers per clip leave the executor."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < AUDIO_DOCS)
+    stats = M.audio_clipping_stats(M.generate_audio(d.select("doc_id")), CLIP_T)
+    return stats.select(
+        "uri",
+        "n_samples",
+        "peak",
+        "n_clipped",
+        "max_clip_run",
+        F.round(
+            F.col("n_clipped").cast("double") / F.col("n_samples"), 6
+        ).alias("clip_ratio"),
+    ).orderBy("uri")
+
+
+@query(
+    "multimodal_audio_walsh_sequency",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, concat('doc://', doc_id, '.wav') AS uri,
+               doc_id % {M.SEED_MOD} AS seed,
+               {M.AUDIO_LEN_BASE} + doc_id % {M.AUDIO_LEN_SPAN} AS n
+        FROM documents WHERE doc_id < {AUDIO_DOCS}
+    ),
+    sig AS (
+        SELECT d.uri, d.n, t.i,
+               (7 * d.seed + 11 * t.i) % {M.AUDIO_AMP_MOD} - 2000 AS s
+        FROM docs d, range(0, {M.AUDIO_LEN_BASE + M.AUDIO_LEN_SPAN}) AS t(i)
+        WHERE t.i < d.n
+    ),
+    co AS (
+        SELECT s.uri, CAST(any_value(s.n) AS INT) AS n_samples,
+               CAST(k.k AS INT) AS k,
+               CAST(sum(s.s * (1 - 2 * (((2 * k.k * s.i) // s.n) % 2)))
+                    AS BIGINT) AS coeff
+        FROM sig s CROSS JOIN (VALUES (1), (2), (4), (8)) AS k(k)
+        GROUP BY s.uri, k.k
+    )
+    SELECT uri, n_samples, k, coeff, coeff * coeff AS power
+    FROM co ORDER BY uri, k
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_audio_walsh_sequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequency-domain feature extraction over real decoded audio:
+    Walsh (square-wave) analysis coefficients c_k = Σ s[n]·w_k(n) for
+    k ∈ {WALSH_KS} cycles, w_k the ±1 square wave — the
+    Walsh–Hadamard analog of a k-bin DFT, chosen over Goertzel/DCT
+    because the ±1 basis keeps every coefficient an exact int64 (no
+    transcendental basis, so the SQL oracle is bit-identical by
+    construction rather than by libm agreement). Spectral shape per
+    clip = 4 integers; the corpus never shuffles anything wider."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < AUDIO_DOCS)
+    co = M.audio_walsh_coeffs(M.generate_audio(d.select("doc_id")), WALSH_KS)
+    return co.select(
+        "uri",
+        "n_samples",
+        "k",
+        "coeff",
+        (F.col("coeff") * F.col("coeff")).alias("power"),
+    ).orderBy("uri", "k")
+
+
+def _sql_entropy8(cols: list[str], n: str) -> str:
+    """-Σ (c/n)·ln(c/n) over 8 bucket-count columns, left-associated in
+    index order so the Spark expression tree (same order) folds doubles
+    identically."""
+    terms = [
+        f"(CASE WHEN {c} > 0 THEN -(CAST({c} AS DOUBLE) / {n})"
+        f" * ln(CAST({c} AS DOUBLE) / {n}) ELSE 0.0 END)"
+        for c in cols
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "multimodal_image_entropy_colorfulness",
+    oracle=f"""
+    WITH {_IMG_DOCS_CTE},
+    px AS (
+        SELECT d.uri, d.w, d.h,
+               (d.seed + 3 * x.i + 5 * y.j) % 256 AS r,
+               (d.seed + 3 * x.i + 5 * y.j + 7) % 256 AS g,
+               (d.seed + 3 * x.i + 5 * y.j + 14) % 256 AS b
+        FROM docs d,
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS x(i),
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS y(j)
+        WHERE x.i < d.w AND y.j < d.h
+    ),
+    st AS (
+        SELECT uri, w, h, CAST(count(*) AS DOUBLE) AS n,
+               {", ".join(f"SUM(CASE WHEN least((r + g + b) // 96, 7) = {i} THEN 1 ELSE 0 END) AS c{i}" for i in range(8))},
+               SUM(r - g) AS sum_rg,
+               SUM((r - g) * (r - g)) AS sum_rg2,
+               SUM(r + g - 2 * b) AS sum_yb2,
+               SUM((r + g - 2 * b) * (r + g - 2 * b)) AS sum_yb22
+        FROM px GROUP BY uri, w, h
+    ),
+    m AS (
+        SELECT uri, w, h, n,
+               {", ".join(f"c{i}" for i in range(8))},
+               CAST(sum_rg AS DOUBLE) / n AS mean_rg,
+               CAST(sum_rg2 AS DOUBLE) / n AS ms_rg,
+               CAST(sum_yb2 AS DOUBLE) / (2.0 * n) AS mean_yb,
+               CAST(sum_yb22 AS DOUBLE) / (4.0 * n) AS ms_yb
+        FROM st
+    )
+    SELECT uri, w, h,
+           round({_sql_entropy8([f"c{i}" for i in range(8)], "n")}, 6)
+               AS entropy,
+           CAST(CASE {" ".join(f"WHEN c{i} = greatest({', '.join(f'c{j}' for j in range(8))}) THEN {i}" for i in range(8))} END
+               AS INT) AS dominant_bucket,
+           round(sqrt(greatest((ms_rg - mean_rg * mean_rg)
+                               + (ms_yb - mean_yb * mean_yb), 0.0))
+                 + 0.3 * sqrt(mean_rg * mean_rg + mean_yb * mean_yb),
+                 6) AS colorfulness
+    FROM m ORDER BY uri
+    """,
+    tags=("llm", "multimodal", "dq"),
+)
+def multimodal_image_entropy_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-quality gate for a vision corpus: REAL decode → 8-bucket
+    intensity-histogram entropy (flat/synthetic images score low — the
+    visual analog of the text garbage filter) and Hasler–Süsstrunk
+    colorfulness from the rg/yb opponent axes (gray-world screenshots
+    and color-cast scans separate cleanly). The decode UDF emits ONLY
+    exact integer sufficient statistics (histogram + opponent-axis
+    moments); entropy/colorfulness are JVM-side double expressions
+    written in the same association order as the oracle's, so the hash
+    checks decode, binning, and the derivation. The variance operand is
+    clamped at 0 on both sides — ms − mean² can round fractionally
+    negative in float. At 100 TB: one decode pass, 12 integers per
+    image shuffle-side."""
+    stats = M.image_color_stats(_images(spark, sf_dir))
+    n = F.col("w").cast("double") * F.col("h").cast("double")
+    cs = [F.element_at("hist", i + 1) for i in range(8)]
+    ent_terms = [
+        F.when(
+            c > 0,
+            -(c.cast("double") / F.col("n")) * F.log(c.cast("double") / F.col("n")),
+        ).otherwise(F.lit(0.0))
+        for c in cs
+    ]
+    entropy = ent_terms[0]
+    for t in ent_terms[1:]:
+        entropy = entropy + t
+    mean_rg = F.col("sum_rg").cast("double") / F.col("n")
+    ms_rg = F.col("sum_rg2").cast("double") / F.col("n")
+    mean_yb = F.col("sum_yb2").cast("double") / (F.lit(2.0) * F.col("n"))
+    ms_yb = F.col("sum_yb22").cast("double") / (F.lit(4.0) * F.col("n"))
+    colorfulness = F.sqrt(
+        F.greatest(
+            (ms_rg - mean_rg * mean_rg) + (ms_yb - mean_yb * mean_yb),
+            F.lit(0.0),
+        )
+    ) + F.lit(0.3) * F.sqrt(mean_rg * mean_rg + mean_yb * mean_yb)
+    return (
+        stats.withColumn("n", n)
+        .select(
+            "uri",
+            "w",
+            "h",
+            F.round(entropy, 6).alias("entropy"),
+            (F.array_position(F.col("hist"), F.array_max("hist")) - 1)
+            .cast("int")
+            .alias("dominant_bucket"),
+            F.round(colorfulness, 6).alias("colorfulness"),
+        )
+        .orderBy("uri")
+    )
+
+
+@query(
+    "multimodal_video_motion_keyframes",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, concat('doc://', doc_id, '.y4m') AS uri,
+               doc_id % {M.SEED_MOD} AS seed,
+               {M.VIDEO_FRAMES_BASE} + doc_id % {M.VIDEO_FRAMES_SPAN} AS n
+        FROM documents WHERE doc_id < {VIDEO_DOCS}
+    ),
+    dif AS (
+        SELECT d.uri, f.f AS frame_idx, d.n,
+               SUM(abs((d.seed + 3 * x.i + 5 * y.j + 11 * f.f) % 256
+                       - (d.seed + 3 * x.i + 5 * y.j + 11 * (f.f - 1)) % 256))
+                   AS motion
+        FROM docs d,
+             range(1, {M.VIDEO_FRAMES_BASE + M.VIDEO_FRAMES_SPAN}) AS f(f),
+             range(0, {M.VIDEO_W}) AS x(i),
+             range(0, {M.VIDEO_H}) AS y(j)
+        WHERE f.f < d.n
+        GROUP BY d.uri, f.f, d.n
+    ),
+    nb AS (
+        SELECT uri, frame_idx, n, motion,
+               coalesce(lag(motion) OVER (PARTITION BY uri ORDER BY frame_idx),
+                        -1) AS prev,
+               coalesce(lead(motion) OVER (PARTITION BY uri ORDER BY frame_idx),
+                        -1) AS nxt
+        FROM dif
+    ),
+    kf AS (
+        SELECT uri, frame_idx, n, motion
+        FROM nb WHERE motion > prev AND motion >= nxt
+    )
+    SELECT uri, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(n AS INT) AS n_frames, CAST(motion AS BIGINT) AS motion,
+           CAST(ROW_NUMBER() OVER (PARTITION BY uri ORDER BY frame_idx)
+                AS INT) AS kf_rank
+    FROM kf ORDER BY uri, frame_idx
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def multimodal_video_motion_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection for video curation: REAL Y4M decode → exact
+    per-frame motion energy (Σ|Δluma| vs the previous frame) → local
+    maxima are the keyframes (strictly rising into the frame, not
+    falling out of it — the tie rule that keeps plateau runs from
+    double-selecting). This is the frame-sampling pass a video training
+    pipeline runs instead of fixed-stride decimation: scene changes get
+    kept, static spans get dropped. The per-video neighbor windows
+    partition by uri — bounded by frames-per-clip, never corpus-wide.
+    At 100 TB: decode emits one scalar per frame (~W·H× shrink before
+    any shuffle); everything downstream is per-clip."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < VIDEO_DOCS)
+    mo = M.video_motion_energy(M.generate_videos(d.select("doc_id")))
+    w = Window.partitionBy("uri").orderBy("frame_idx")
+    nb = mo.select(
+        "uri",
+        "frame_idx",
+        F.col("n_frames"),
+        "motion",
+        F.coalesce(F.lag("motion").over(w), F.lit(-1)).alias("prev"),
+        F.coalesce(F.lead("motion").over(w), F.lit(-1)).alias("nxt"),
+    )
+    kf = nb.filter((F.col("motion") > F.col("prev")) & (F.col("motion") >= F.col("nxt")))
+    return (
+        kf.select(
+            "uri",
+            "frame_idx",
+            "n_frames",
+            "motion",
+            F.row_number().over(w).cast("int").alias("kf_rank"),
+        )
+        .orderBy("uri", "frame_idx")
+    )
