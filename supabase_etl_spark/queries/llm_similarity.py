@@ -2669,3 +2669,99 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+KNN_GRAPH_K = 5  # neighbors kept per node
+
+
+@query(
+    "sim_knn_graph_bucketed",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT vec_id, embedding,
+               sqrt({sql_dot("embedding", "embedding")}) AS nrm,
+               {sql_lsh_bucket("embedding")} AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS node, b.vec_id AS neighbor,
+               {sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+                   AS cos_sim
+        FROM hashed a JOIN hashed b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT node, neighbor, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY node
+                        ORDER BY cos_sim DESC, neighbor ASC) AS INT) AS rank
+        FROM scored
+    ),
+    topk AS (SELECT * FROM ranked WHERE rank <= {KNN_GRAPH_K})
+    SELECT t.node, t.neighbor, t.cos_sim, t.rank,
+           (r.node IS NOT NULL) AS mutual
+    FROM topk t
+    LEFT JOIN topk r ON r.node = t.neighbor AND r.neighbor = t.node
+    ORDER BY t.node, t.rank
+    """,
+    tags=("llm", "similarity", "graph"),
+)
+def sim_knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH construction — the shared substrate under semantic
+    dedup (SemDeDup), graph-based ANN indexes (HNSW/NSG build their
+    layers from exactly this), and density-based embedding clustering.
+    Candidates come from the sign-LSH bucket self-join (the banded
+    equi-join every near-dup family here uses — never all-pairs), exact
+    cosine re-ranks inside the bucket, each node keeps its top-k, and a
+    self-join of the edge list on the reversed key marks MUTUAL edges
+    (the reciprocal-kNN signal that separates core points from hubs).
+
+    Scale shape: one corpus scan computes signatures; the self-join
+    shuffles on the bucket key (pair population ~N²/2^planes, tunable
+    by plane count); the top-k window partitions by node and compiles
+    through WindowGroupLimit (per-partition partial top-k); the
+    mutuality self-join is edge-keyed (k·N rows). Nothing corpus-sized
+    crosses one task."""
+    e = load_table(spark, sf_dir, "embeddings")
+    hashed = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        lsh_bucket(F.col("embedding")),
+    )
+    a = hashed.select(
+        "bucket",
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = hashed.select(
+        "bucket",
+        F.col("vec_id").alias("neighbor"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor").asc()
+    )
+    topk = (
+        a.join(b, "bucket")
+        .filter(F.col("node") != F.col("neighbor"))
+        .select("node", "neighbor", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+    )
+    rev = topk.select(
+        F.col("neighbor").alias("node"), F.col("node").alias("neighbor")
+    ).withColumn("mutual", F.lit(True))
+    return (
+        topk.join(rev, ["node", "neighbor"], "left")
+        .select(
+            "node",
+            "neighbor",
+            "cos_sim",
+            "rank",
+            F.coalesce(F.col("mutual"), F.lit(False)).alias("mutual"),
+        )
+        .orderBy("node", "rank")
+    )

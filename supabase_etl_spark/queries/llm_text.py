@@ -3086,3 +3086,163 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(PMI_TOP)
     )
+
+
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 4  # winnowing window (consecutive grams per selection window)
+
+
+@query(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(range(1, greatest(0, len(t) - {WINNOW_K - 1}) + 1)) AS pos,
+               unnest(list_transform(
+                   range(1, greatest(0, len(t) - {WINNOW_K - 1}) + 1),
+                   i -> md5(array_to_string(t[i:i + {WINNOW_K - 1}], chr(31)))))
+                   AS h
+        FROM toks
+    ),
+    nb AS (
+        SELECT doc_id, pos, h,
+               count(*) OVER (PARTITION BY doc_id) AS ng,
+               lag(h, 1) OVER w AS l1, lag(h, 2) OVER w AS l2,
+               lag(h, 3) OVER w AS l3,
+               lead(h, 1) OVER w AS r1, lead(h, 2) OVER w AS r2,
+               lead(h, 3) OVER w AS r3
+        FROM grams WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sel AS (
+        SELECT doc_id, pos, h FROM (
+            SELECT doc_id, pos, h, ng,
+                   (CASE WHEN l1 > h THEN 1 ELSE 0 END
+                    + CASE WHEN l1 > h AND l2 > h THEN 1 ELSE 0 END
+                    + CASE WHEN l1 > h AND l2 > h AND l3 > h
+                           THEN 1 ELSE 0 END) AS a,
+                   (CASE WHEN r1 >= h THEN 1 ELSE 0 END
+                    + CASE WHEN r1 >= h AND r2 >= h THEN 1 ELSE 0 END
+                    + CASE WHEN r1 >= h AND r2 >= h AND r3 >= h
+                           THEN 1 ELSE 0 END) AS b
+            FROM nb
+        )
+        WHERE least(a, pos - 1) + least(b, ng - pos) >= {WINNOW_W - 1}
+    ),
+    sh AS (
+        SELECT h FROM sel GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+        SELECT s.doc_id, count(*) AS n_fp,
+               sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS n_sh
+        FROM sel s LEFT JOIN sh ON s.h = sh.h
+        GROUP BY s.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(0, len(t.t) - {WINNOW_K - 1}) AS INT) AS n_grams,
+           CAST(coalesce(p.n_fp, 0) AS INT) AS n_fingerprints,
+           CAST(coalesce(p.n_sh, 0) AS INT) AS n_shared,
+           round(CAST(coalesce(p.n_sh, 0) AS DOUBLE)
+                 / greatest(coalesce(p.n_fp, 0), 1), 6) AS share_ratio
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token 4-gram, slide a
+    w=4 window over the hash sequence, and select each window's
+    LEFTMOST MINIMUM — the selection guarantees at least one
+    fingerprint per w consecutive grams while staying position-robust
+    (an insertion far away cannot change which grams win locally,
+    unlike every-k-th sampling). A position q wins some window iff its
+    run of strictly-greater predecessors plus its run of >= successors
+    (each clipped to the document edge) covers w-1 — six lag/lead
+    columns make that a per-row boolean, no per-window explode.
+    Fingerprints shared across >=2 documents give the per-doc overlap
+    ratio MOSS reports.
+
+    Hashes are md5 hex STRINGS ordered lexicographically — bit-identical
+    in both engines, unlike xxhash64 (Spark-only) or DuckDB's hash().
+    Scale: one corpus explode (linear), per-doc windows (partitioned by
+    doc_id — bounded), one vocabulary-sized groupBy for sharing, one
+    gram-keyed equi-join back. The corpus never crosses one task."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    n_grams = F.greatest(F.lit(0), F.size("t") - F.lit(WINNOW_K - 1))
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.md5(
+                    F.concat_ws(chr(31), F.slice(F.col("t"), i, WINNOW_K))
+                ),
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    w = W.Window.partitionBy("doc_id").orderBy("pos")
+    wall = W.Window.partitionBy("doc_id")
+    h = F.col("h")
+    l1, l2, l3 = (F.lag("h", k).over(w) for k in (1, 2, 3))
+    r1, r2, r3 = (F.lead("h", k).over(w) for k in (1, 2, 3))
+
+    def one(c):
+        return F.when(c, 1).otherwise(0)
+
+    a = (
+        one(l1 > h)
+        + one((l1 > h) & (l2 > h))
+        + one((l1 > h) & (l2 > h) & (l3 > h))
+    )
+    b = (
+        one(r1 >= h)
+        + one((r1 >= h) & (r2 >= h))
+        + one((r1 >= h) & (r2 >= h) & (r3 >= h))
+    )
+    nb = grams.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.count(F.lit(1)).over(wall).alias("ng"),
+        a.alias("a"),
+        b.alias("b"),
+    )
+    sel = nb.filter(
+        F.least(F.col("a"), F.col("pos") - 1)
+        + F.least(F.col("b"), F.col("ng") - F.col("pos"))
+        >= WINNOW_W - 1
+    ).select("doc_id", "pos", "h")
+    sh = (
+        sel.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(True).alias("shared"))
+    )
+    per_doc = (
+        sel.join(sh, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(one(F.col("shared"))).alias("n_sh"),
+        )
+    )
+    return (
+        toked.select("doc_id", n_grams.cast("int").alias("n_grams"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_fp"), F.lit(0)).cast("int").alias("n_fingerprints"),
+            F.coalesce(F.col("n_sh"), F.lit(0)).cast("int").alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_sh"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("n_fp"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("share_ratio"),
+        )
+        .orderBy("doc_id")
+    )
