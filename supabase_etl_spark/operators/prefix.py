@@ -82,6 +82,59 @@ def distributed_cumsum(
     )
 
 
+def distributed_cumsums(
+    df: DataFrame,
+    values: list[str],
+    order: list[Column],
+    outs: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``distributed_cumsum`` over SEVERAL value columns sharing one
+    total order — one range shuffle, one checkpoint, one P-row offsets
+    frame carrying every column's partition totals (instead of one full
+    pass per value). Risk-set style consumers (survival/Cox, Lorenz)
+    need 2-4 running sums over the same ordering; paying the shuffle
+    once keeps the plan the same size as a single cumsum."""
+    spark = df.sparkSession
+    par = num_partitions or spark.sparkContext.defaultParallelism
+    # Same correctness checkpoint as distributed_cumsum: both consumers
+    # must see ONE materialized range partitioning.
+    ranged = (
+        df.repartitionByRange(par, *order)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    wloc = (
+        Window.partitionBy(_PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.select(
+        "*", *[F.sum(v).over(wloc).alias(f"{_LOCAL}_{i}") for i, v in enumerate(values)]
+    )
+    woff = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy(_PID)
+        .agg(*[F.sum(v).alias(f"__ptot_{i}") for i, v in enumerate(values)])
+        .select(
+            _PID,
+            *[
+                F.coalesce(F.sum(f"__ptot_{i}").over(woff), F.lit(0)).alias(
+                    f"{_OFF}_{i}"
+                )
+                for i in range(len(values))
+            ],
+        )
+    )
+    out = local.join(F.broadcast(offsets), _PID)
+    for i, name in enumerate(outs):
+        out = out.withColumn(name, F.col(f"{_LOCAL}_{i}") + F.col(f"{_OFF}_{i}"))
+    return out.drop(
+        _PID, *[f"{_LOCAL}_{i}" for i in range(len(values))],
+        *[f"{_OFF}_{i}" for i in range(len(values))],
+    )
+
+
 def distributed_rank(
     df: DataFrame,
     order: list[Column],

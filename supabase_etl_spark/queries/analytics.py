@@ -11523,3 +11523,137 @@ def graph_louvain_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "events_cox_score_test",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS delta,
+               CAST(round(ln(1 + count(*)), 6) AS DECIMAL(18,6)) AS x
+        FROM events GROUP BY user_id
+    ),
+    at_t AS (
+        SELECT dur, CAST(count(*) AS BIGINT) AS n_t,
+               sum(x) AS sx, sum(x * x) AS sx2,
+               CAST(sum(delta) AS BIGINT) AS d_t,
+               sum(CASE WHEN delta = 1 THEN x
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS sdx
+        FROM u GROUP BY dur
+    ),
+    cum AS (
+        SELECT dur, d_t, sdx,
+               sum(n_t) OVER w AS big_n,
+               sum(sx) OVER w AS big_sx,
+               sum(sx2) OVER w AS big_sx2
+        FROM at_t
+        WINDOW w AS (ORDER BY dur DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    terms AS (
+        SELECT d_t,
+               CAST(CAST(sdx AS DOUBLE)
+                    - CAST(d_t AS DOUBLE)
+                      * (CAST(big_sx AS DOUBLE) / CAST(big_n AS DOUBLE))
+                    AS DECIMAL(38,18)) AS u_term,
+               CAST(CAST(d_t AS DOUBLE)
+                    * (CAST(big_sx2 AS DOUBLE) / CAST(big_n AS DOUBLE)
+                       - (CAST(big_sx AS DOUBLE) / CAST(big_n AS DOUBLE))
+                         * (CAST(big_sx AS DOUBLE) / CAST(big_n AS DOUBLE)))
+                    AS DECIMAL(38,18)) AS v_term
+        FROM cum WHERE d_t > 0
+    ),
+    sub AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+               CAST(sum(delta) AS BIGINT) AS n_observed
+        FROM u
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+               round(CAST(sum(u_term) AS DOUBLE), 6) AS score_u,
+               round(CAST(sum(v_term) AS DOUBLE), 6) AS info_v
+        FROM terms
+    )
+    SELECT s.n_subjects, s.n_observed, a.n_event_times, a.score_u, a.info_v,
+           round(a.score_u / sqrt(a.info_v), 6) AS z_score
+    FROM sub s CROSS JOIN agg a
+    """,
+    tags=("events", "analytics", "survival"),
+)
+def events_cox_score_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards SCORE TEST at β=0 (the partial-
+    likelihood first derivative; Cox 1972) — 'does engagement intensity
+    (x = ln(1+events)) shift the hazard of conversion?' without fitting
+    anything iterative. Subjects are users, time is first-to-last-seen
+    seconds, the event is any purchase (Breslow handling for tied
+    times). U = Σ_events (x_i − x̄_risk(t_i)), V = Σ d_t·Var_risk(x);
+    z = U/√V is the one-covariate log-rank generalization.
+
+    Risk-set statistics at every event time are suffix sums over the
+    DISTINCT-duration table in decreasing time order — at 100 TB the
+    duration table is user-sized, so the running sums go through
+    operators/prefix.distributed_cumsums (ONE range shuffle for all
+    three columns, never a single-partition window). Covariates are
+    round-6 decimals so every cumulative is exact; per-time terms are
+    IEEE-identical doubles folded through decimal(38,18)."""
+    from supabase_etl_spark.operators.prefix import distributed_cumsums
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+         / F.lit(1000000)).cast("bigint").alias("dur"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("delta"),
+        F.round(F.log(F.lit(1) + F.count(F.lit(1))), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+    )
+    at_t = u.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum("delta").cast("bigint").alias("d_t"),
+        F.sum(
+            F.when(F.col("delta") == 1, F.col("x")).otherwise(
+                F.lit(0).cast("decimal(18,6)")
+            )
+        ).alias("sdx"),
+    )
+    cum = distributed_cumsums(
+        at_t,
+        values=["n_t", "sx", "sx2"],
+        order=[F.col("dur").desc()],
+        outs=["big_n", "big_sx", "big_sx2"],
+    )
+    xbar = F.col("big_sx").cast("double") / F.col("big_n").cast("double")
+    u_term = (
+        F.col("sdx").cast("double") - F.col("d_t").cast("double") * xbar
+    ).cast("decimal(38,18)")
+    v_term = (
+        F.col("d_t").cast("double")
+        * (F.col("big_sx2").cast("double") / F.col("big_n").cast("double")
+           - xbar * xbar)
+    ).cast("decimal(38,18)")
+    terms = cum.filter(F.col("d_t") > 0).select(
+        u_term.alias("u_term"), v_term.alias("v_term")
+    )
+    sub = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum("delta").cast("bigint").alias("n_observed"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+        F.round(F.sum("u_term").cast("double"), 6).alias("score_u"),
+        F.round(F.sum("v_term").cast("double"), 6).alias("info_v"),
+    )
+    return sub.crossJoin(F.broadcast(agg)).select(
+        "n_subjects",
+        "n_observed",
+        "n_event_times",
+        "score_u",
+        "info_v",
+        F.round(F.col("score_u") / F.sqrt(F.col("info_v")), 6).alias("z_score"),
+    )

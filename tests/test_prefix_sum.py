@@ -134,3 +134,42 @@ def test_ntile_from_rank_matches_ntile_exactly(spark):
         g = {r["k"]: r["tile"] for r in got.collect()}
         ww = {r["k"]: r["tile"] for r in want.collect()}
         assert g == ww, f"ntile mismatch for n={n}, b={b}"
+
+
+def test_distributed_cumsums_multi_matches_sequential(spark):
+    """Multi-value variant: every output column bit-equal to its own
+    sequential window, from ONE range shuffle."""
+    from supabase_etl_spark.operators.prefix import distributed_cumsums
+
+    vals = [((69069 * i + 1) % 1000003 - 500000) / 100 for i in range(300)]
+    rows = [
+        (
+            i,
+            Decimal(v).quantize(Decimal("0.000001")),
+            Decimal(2 * v + 1).quantize(Decimal("0.000001")),
+            i % 7,
+        )
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, a decimal(28,6), b decimal(28,6), c bigint"
+    )
+    order = [F.col("a").desc(), F.col("k").asc()]
+    for p in (1, 4, 16):
+        got = {
+            r["k"]: (r["ca"], r["cb"], r["cc"])
+            for r in distributed_cumsums(
+                df, ["a", "b", "c"], order, ["ca", "cb", "cc"], num_partitions=p
+            ).collect()
+        }
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r["k"]: (r["ca"], r["cb"], r["cc"])
+            for r in df.select(
+                "k",
+                F.sum("a").over(w).alias("ca"),
+                F.sum("b").over(w).alias("cb"),
+                F.sum("c").over(w).alias("cc"),
+            ).collect()
+        }
+        assert got == want
