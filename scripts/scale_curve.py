@@ -1112,8 +1112,117 @@ def main() -> None:
             .save()
         )
 
+    def t_winnowing(docs):
+        # text_winnowing_fingerprint's REAL code over blown-up docs:
+        # one gram explode, per-doc lag/lead windows, vocab-sized share
+        # groupBy — should track token count ~linearly
+        from supabase_etl_spark.queries.llm_text import text_winnowing_fingerprint
+
+        text_winnowing_fingerprint(spark, docs.__sfdir__).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def t_knn_graph(docs):
+        # sim_knn_graph_bucketed's shape over a growing synthetic vector
+        # set (embeddings don't blow up with documents): LSH bucket
+        # self-join + per-node top-k through WindowGroupLimit. Pair
+        # population ~N^2/2^planes — the quadratic-within-bucket term the
+        # plane count controls; watch it against the linear stages.
+        from pyspark.sql import Window as W
+
+        from supabase_etl_spark.operators.dedup import dot_double
+        from supabase_etl_spark.queries.llm_similarity import (
+            DIM,
+            KNN_GRAPH_K,
+            lsh_bucket,
+        )
+
+        mult = docs.__mult__
+        base = spark.range(500 * mult).select(F.col("id").alias("vec_id"))
+        vec = base.select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                lambda d: (
+                    (F.lit(1103515245) * (F.col("vec_id") * DIM + d)
+                     + F.lit(12345)) % F.lit(2147483648)
+                ).cast("double") / F.lit(2147483648.0) - F.lit(0.5),
+            ).alias("embedding"),
+        )
+        hashed = vec.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+            lsh_bucket(F.col("embedding")),
+        ).localCheckpoint()
+        a = hashed.select("bucket", F.col("vec_id").alias("node"),
+                          F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+        b = hashed.select("bucket", F.col("vec_id").alias("neighbor"),
+                          F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+        cos = dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        w = W.partitionBy("node").orderBy(F.col("cos_sim").desc(),
+                                          F.col("neighbor").asc())
+        (
+            a.join(b, "bucket")
+            .filter(F.col("node") != F.col("neighbor"))
+            .select("node", "neighbor", cos.alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= KNN_GRAPH_K)
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    def t_audio_e2e(docs):
+        # multimodal_audio_dedup_pipeline_e2e's shape over a growing clip
+        # set: generate + resample + canonical decode (one pass,
+        # checkpointed), signature bucket join, exact verify, CC
+        from supabase_etl_spark.operators import multimodal as M
+        from supabase_etl_spark.operators.cc import connected_components
+        from supabase_etl_spark.queries.llm_multimodal import (
+            AUDIO_BLOCKS,
+            CANON_RATE,
+            COARSE_DIV,
+        )
+
+        mult = docs.__mult__
+        ids = spark.range(40 * mult).select(F.col("id").alias("doc_id"))
+        orig = M.generate_audio(ids)
+        res = M.resample_audio(orig, factor=2).select(
+            F.concat(F.col("uri"), F.lit(".r2")).alias("uri"), "content"
+        )
+        corpus = orig.select("uri", "content").unionByName(res)
+        feats = M.audio_canonical_features(
+            corpus, CANON_RATE, AUDIO_BLOCKS
+        ).localCheckpoint()
+        doc_id = F.regexp_extract("uri", r"doc://(\d+)", 1).cast("bigint")
+        variant = F.when(F.col("uri").endswith(".r2"), 1).otherwise(0)
+        coarse = [
+            (F.element_at("b", i + 1) / COARSE_DIV).cast("long")
+            for i in range(AUDIO_BLOCKS)
+        ]
+        nodes = feats.select(
+            (F.lit(2) * doc_id + variant).alias("node"),
+            "m", "peak", "sum_abs", "b",
+            F.concat_ws(":", F.col("m"), *coarse).alias("sig"),
+        )
+        a = nodes.select("sig", F.col("node").alias("na"),
+                         F.col("sum_abs").alias("sa"), F.col("b").alias("ba"))
+        bb = nodes.select("sig", F.col("node").alias("nb"),
+                          F.col("sum_abs").alias("sb"), F.col("b").alias("bb"))
+        verified = (
+            a.join(bb, "sig")
+            .filter((F.col("na") < F.col("nb")) & (F.col("sa") == F.col("sb"))
+                    & (F.col("ba") == F.col("bb")))
+            .select(F.col("na").alias("src"), F.col("nb").alias("dst"))
+        )
+        connected_components(nodes.select("node"), verified).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     ops = {
         "dedup_exact (sha2 groupBy)": t_exact,
+        "winnowing fingerprints": t_winnowing,
+        "knn graph bucketed": t_knn_graph,
+        "audio dedup pipeline e2e": t_audio_e2e,
         "length-bucketed batching ranks": t_length_batching,
         "isolation forest 4x4": t_iforest,
         "edit-distance verify blocked": t_edv,

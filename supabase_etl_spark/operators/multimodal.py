@@ -645,3 +645,47 @@ def video_motion_energy(df: DataFrame, content_col: str = "content") -> DataFram
         run,
         schema="uri string, frame_idx int, n_frames int, motion bigint",
     )
+
+
+def audio_canonical_features(
+    df: DataFrame, canon_rate: int, n_blocks: int = 8, content_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched WAV decode → RATE CANONICALIZATION (2:1 floor-avg
+    decimation until the sample rate reaches ``canon_rate`` — the same
+    exact integer DSP as resample_audio, so a clip and its pre-decimated
+    copy canonicalize to IDENTICAL sample lists) → integer envelope
+    features: length, peak, Σ|v|, and ``n_blocks`` energy-block sums.
+    This is the normalize-then-fingerprint front half of cross-sample-
+    rate audio dedup; every output is an exact integer."""
+    from supabase_etl_spark.operators import audiocodec as AC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uri, content in zip(pdf["uri"], pdf[content_col]):
+                rate, _ch, s = AC.decode_wav(bytes(content))
+                while rate > canon_rate:
+                    s = [
+                        (s[2 * j] + s[2 * j + 1]) // 2
+                        for j in range(len(s) // 2)
+                    ]
+                    rate //= 2
+                m = len(s)
+                blocks = [0] * n_blocks
+                for j, v in enumerate(s):
+                    blocks[(n_blocks * j) // m] += abs(v)
+                rows.append(
+                    {
+                        "uri": uri,
+                        "m": m,
+                        "peak": max(abs(v) for v in s) if s else 0,
+                        "sum_abs": sum(abs(v) for v in s),
+                        "b": blocks,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        schema="uri string, m int, peak int, sum_abs bigint, b array<long>",
+    )

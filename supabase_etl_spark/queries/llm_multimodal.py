@@ -2097,3 +2097,163 @@ def multimodal_video_motion_keyframes(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("uri", "frame_idx")
     )
+
+
+CANON_RATE = 4000  # canonical sample rate for cross-rate dedup
+AUDIO_BLOCKS = 8
+COARSE_DIV = 256  # block-energy quantizer for the bucketing signature
+
+
+@query(
+    "multimodal_audio_dedup_pipeline_e2e",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, doc_id % {M.SEED_MOD} AS seed,
+               {M.AUDIO_LEN_BASE} + doc_id % {M.AUDIO_LEN_SPAN} AS n
+        FROM documents WHERE doc_id < {AUDIO_DOCS}
+    ),
+    can AS (
+        -- canonical 4 kHz samples: floor-avg of consecutive synth pairs
+        -- (identical for the original and its pre-decimated copy)
+        SELECT d.doc_id, t.j, d.n // 2 AS m,
+               CAST(floor(((((7 * d.seed + 11 * (2 * t.j))
+                             % {M.AUDIO_AMP_MOD}) - 2000)
+                           + (((7 * d.seed + 11 * (2 * t.j + 1))
+                               % {M.AUDIO_AMP_MOD}) - 2000)) / 2.0)
+                    AS BIGINT) AS v
+        FROM docs d,
+             range(0, ({M.AUDIO_LEN_BASE + M.AUDIO_LEN_SPAN}) // 2) AS t(j)
+        WHERE t.j < d.n // 2
+    ),
+    feat AS (
+        SELECT doc_id, CAST(any_value(m) AS INT) AS m,
+               CAST(max(abs(v)) AS INT) AS peak,
+               CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+               {", ".join(f"CAST(sum(CASE WHEN ({AUDIO_BLOCKS} * j) // m = {i} THEN abs(v) ELSE 0 END) AS BIGINT) AS b{i}" for i in range(AUDIO_BLOCKS))}
+        FROM can GROUP BY doc_id
+    ),
+    nodes AS (
+        SELECT 2 * f.doc_id + var.v AS node, f.doc_id, var.v AS variant,
+               f.m, f.peak, f.sum_abs,
+               {", ".join(f"f.b{i}" for i in range(AUDIO_BLOCKS))},
+               concat_ws(':', f.m,
+                         {", ".join(f"f.b{i} // {COARSE_DIV}" for i in range(AUDIO_BLOCKS))})
+                   AS sig
+        FROM feat f, (VALUES (0), (1)) AS var(v)
+    ),
+    verified AS (
+        SELECT a.node AS na, b.node AS nb
+        FROM nodes a JOIN nodes b
+          ON a.sig = b.sig AND a.node < b.node
+        WHERE a.m = b.m AND a.peak = b.peak AND a.sum_abs = b.sum_abs
+          AND {" AND ".join(f"a.b{i} = b.b{i}" for i in range(AUDIO_BLOCKS))}
+    ),
+    edges AS (
+        SELECT na AS src, nb AS dst FROM verified
+        UNION
+        SELECT nb, na FROM verified
+    ),
+    reach(a, b) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    clusters AS (SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a),
+    csize AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM clusters GROUP BY cluster_id
+    )
+    SELECT c.node // 2 AS doc_id, CAST(c.node % 2 AS INT) AS variant,
+           c.cluster_id, s.cluster_size,
+           (c.node = c.cluster_id) AS is_survivor
+    FROM clusters c JOIN csize s USING (cluster_id)
+    ORDER BY doc_id, variant
+    """,
+    tags=("llm", "multimodal", "audio", "dedup", "pipeline"),
+)
+def multimodal_audio_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO-SPACE dedup pipeline end-to-end, the audio sibling of
+    multimodal_dedup_pipeline_e2e: the corpus is every clip at its
+    native rate PLUS a 2:1-resampled copy of each (re-encoded through
+    the engine's WAV codec — the cross-sample-rate duplicate every real
+    audio lake contains), and the pipeline must find exactly those
+    pairs: decode → CANONICALIZE rate (exact 2:1 floor-avg decimation
+    to 4 kHz, so a clip and its resample collapse to identical sample
+    lists) → 8-block energy-envelope fingerprint → coarse-quantized
+    signature bucket join (candidates, never all-pairs) → EXACT verify
+    on the full envelope (peak, Σ|v|, all 8 blocks) → large/small-star
+    connected components → min-node survivor ledger.
+
+    The oracle replays synthesis→decimation→fingerprint→verify and the
+    component closure as one recursive CTE: a wrong re-encoded header,
+    a truncation-vs-floor slip in the decimation, or an unconverged CC
+    all hash-mismatch. Scale: one decode pass (checkpointed, consumed
+    by both join sides), signature-keyed candidates linear in true
+    dups, log-round CC on (node, label) pairs."""
+    from supabase_etl_spark.operators.cc import connected_components
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < AUDIO_DOCS)
+    orig = M.generate_audio(d.select("doc_id"))
+    res = M.resample_audio(orig, factor=2).select(
+        F.concat(F.col("uri"), F.lit(".r2")).alias("uri"), "content"
+    )
+    corpus = orig.select("uri", "content").unionByName(res)
+    feats = M.audio_canonical_features(
+        corpus, CANON_RATE, AUDIO_BLOCKS
+    ).localCheckpoint()
+    doc_id = F.regexp_extract("uri", r"doc://(\d+)", 1).cast("bigint")
+    variant = F.when(F.col("uri").endswith(".r2"), 1).otherwise(0)
+    coarse = [
+        (F.element_at("b", i + 1) / COARSE_DIV).cast("long")
+        for i in range(AUDIO_BLOCKS)
+    ]
+    nodes = feats.select(
+        (F.lit(2) * doc_id + variant).alias("node"),
+        "m",
+        "peak",
+        "sum_abs",
+        "b",
+        F.concat_ws(":", F.col("m"), *coarse).alias("sig"),
+    )
+    a = nodes.select(
+        "sig",
+        F.col("node").alias("na"),
+        F.col("m").alias("ma"),
+        F.col("peak").alias("pa"),
+        F.col("sum_abs").alias("sa"),
+        F.col("b").alias("ba"),
+    )
+    b = nodes.select(
+        "sig",
+        F.col("node").alias("nb"),
+        F.col("m").alias("mb"),
+        F.col("peak").alias("pb"),
+        F.col("sum_abs").alias("sb"),
+        F.col("b").alias("bb"),
+    )
+    verified = (
+        a.join(b, "sig")
+        .filter(
+            (F.col("na") < F.col("nb"))
+            & (F.col("ma") == F.col("mb"))
+            & (F.col("pa") == F.col("pb"))
+            & (F.col("sa") == F.col("sb"))
+            & (F.col("ba") == F.col("bb"))
+        )
+        .select(F.col("na").alias("src"), F.col("nb").alias("dst"))
+    )
+    labels = connected_components(nodes.select("node"), verified)
+    csize = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        labels.join(csize, "component")
+        .select(
+            (F.col("node") / 2).cast("bigint").alias("doc_id"),
+            (F.col("node") % 2).cast("int").alias("variant"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_survivor"),
+        )
+        .orderBy("doc_id", "variant")
+    )
