@@ -2170,6 +2170,7 @@ COARSE_DIV = 256  # block-energy quantizer for the bucketing signature
     ORDER BY doc_id, variant
     """,
     tags=("llm", "multimodal", "audio", "dedup", "pipeline"),
+    bench=True,
 )
 def multimodal_audio_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO-SPACE dedup pipeline end-to-end, the audio sibling of

@@ -3150,6 +3150,7 @@ WINNOW_W = 4  # winnowing window (consecutive grams per selection window)
     ORDER BY t.doc_id
     """,
     tags=("llm", "text", "dedup"),
+    bench=True,
 )
 def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,

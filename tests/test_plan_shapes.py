@@ -1061,3 +1061,89 @@ def test_ann_recall_audit_partial_topk(spark):
     plan = _plan(q.fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_knn_graph_bucket_join_partial_topk(spark):
+    """sim_knn_graph_bucketed: candidates must arrive through the
+    bucket equi-join (never a cartesian self-pairing) and the per-node
+    top-k must compile through WindowGroupLimit so no node's candidate
+    list funnels the corpus through one task; the mutuality self-join
+    stays keyed."""
+    q = load_all()["sim_knn_graph_bucketed"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_winnowing_windows_are_doc_partitioned(spark):
+    """text_winnowing_fingerprint: every window partitions by doc_id
+    (the registry lint proves boundedness; this pins the plan against a
+    per-window explode regression) and the share join is a keyed join
+    on the gram hash."""
+    q = load_all()["text_winnowing_fingerprint"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partitionBy" not in plan  # physical plans spell windows differently
+    assert plan.count("Window") >= 1
+
+
+def test_cox_score_prefix_shuffle_no_global_window(spark):
+    """events_cox_score_test: the risk-set cumulatives must ride the
+    distributed prefix construction (range exchange + checkpointed
+    scan), never an unpartitioned corpus window; the final panel join
+    is a broadcast of the 1-row aggregate."""
+    q = load_all()["events_cox_score_test"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # the pinned range partitioning
+    assert "BroadcastExchange" in plan
+
+
+def test_audio_dedup_pipeline_signature_bucketed(spark):
+    """multimodal_audio_dedup_pipeline_e2e: the returned (post-CC) plan
+    holds keyed joins only and arrives checkpoint-truncated (the CC
+    fixpoint and the pinned decode). The candidate/verify stage runs
+    BEFORE those checkpoints, so its shape is pinned separately below
+    on the same operators: the pair join must be an equi-join on the
+    coarse signature, never a cartesian."""
+    from pyspark.sql import functions as F
+
+    from supabase_etl_spark.operators import multimodal as M
+    from supabase_etl_spark.queries.llm_multimodal import (
+        AUDIO_BLOCKS,
+        CANON_RATE,
+        COARSE_DIV,
+    )
+
+    q = load_all()["multimodal_audio_dedup_pipeline_e2e"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # pinned decode + CC labels
+
+    # pre-CC candidate/verify shape (what the checkpoint hides above)
+    ids = spark.range(8).select(F.col("id").alias("doc_id"))
+    feats = M.audio_canonical_features(
+        M.generate_audio(ids), CANON_RATE, AUDIO_BLOCKS
+    )
+    coarse = [
+        (F.element_at("b", i + 1) / COARSE_DIV).cast("long")
+        for i in range(AUDIO_BLOCKS)
+    ]
+    nodes = feats.select(
+        F.col("uri").alias("node"),
+        F.col("sum_abs"),
+        F.concat_ws(":", F.col("m"), *coarse).alias("sig"),
+    )
+    a = nodes.select("sig", F.col("node").alias("na"), F.col("sum_abs").alias("sa"))
+    b = nodes.select("sig", F.col("node").alias("nb"), F.col("sum_abs").alias("sb"))
+    cand_plan = _plan(
+        a.join(b, "sig").filter(
+            (F.col("na") < F.col("nb")) & (F.col("sa") == F.col("sb"))
+        )
+    )
+    assert "CartesianProduct" not in cand_plan
+    assert "BroadcastNestedLoopJoin" not in cand_plan
+    assert "sig" in cand_plan
