@@ -193,3 +193,48 @@ def sql_fingerprint(text: str = "text") -> str:
 
 def _sql_tuple(words: tuple[str, ...]) -> str:
     return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1) -> float:
+    """Standard Jaro-Winkler similarity (Winkler 1990): Jaro matching
+    within the max(|s1|,|s2|)/2 − 1 window, transposition count over
+    matched sequences, plus the ≤4-char common-prefix bonus. Written to
+    the textbook definition so it agrees bit-for-bit (at round-6) with
+    DuckDB's ``jaro_winkler_similarity`` — verified on planted probe
+    pairs in tests/test_text_ops.py."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i in range(l1):
+        lo, hi = max(0, i - md), min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s1[i] == s2[j]:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    p = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a == b:
+            p += 1
+        else:
+            break
+    return j + p * prefix_scale * (1.0 - j)

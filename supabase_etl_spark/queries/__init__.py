@@ -155,12 +155,23 @@ _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
     ("dedup_pipeline_end_to_end", 1),
     ("corpus_prepare_end_to_end", 1),
     ("multimodal_dedup_pipeline_e2e", 1),
-    ("sample_", 8),
-    ("agg_", 8),
-    ("events_", 9),
-    ("text_", 8),
-    ("dq_", 8),
-    ("dedup_", 6),
+    # r9 second-wave flagships: every new operator of the wave gets a
+    # driver-verification slot in its debut round (the r8 pattern)
+    ("multimodal_audio_dedup_pipeline_e2e", 1),
+    ("multimodal_audio_clipping_audit", 1),
+    ("multimodal_audio_walsh_sequency", 1),
+    ("multimodal_image_entropy_colorfulness", 1),
+    ("multimodal_video_motion_keyframes", 1),
+    ("sim_knn_graph_bucketed", 1),
+    ("text_winnowing_fingerprint", 1),
+    ("events_cox_score_test", 1),
+    ("er_jaro_winkler_verify", 1),
+    ("sample_", 6),
+    ("agg_", 6),
+    ("events_", 7),
+    ("text_", 6),
+    ("dq_", 6),
+    ("dedup_", 4),
 )
 _WINDOW_SIZE = 50
 

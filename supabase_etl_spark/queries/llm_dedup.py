@@ -2349,3 +2349,79 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+JW_THRESHOLD = 0.9  # accept threshold on the verify head
+
+
+@query(
+    "er_jaro_winkler_verify",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               lower(regexp_replace(substr(text, 1, {EDV_KEY_CHARS}),
+                                    '[^a-zA-Z0-9]', '', 'g')) AS k,
+               substr(text, 1, {EDV_VERIFY_CHARS}) AS head
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb,
+               round(jaro_winkler_similarity(a.head, b.head), 6) AS jw
+        FROM keyed a JOIN keyed b
+          ON a.k = b.k AND a.doc_id < b.doc_id
+        WHERE a.k <> ''
+    )
+    SELECT ida, idb, jw, jw >= {JW_THRESHOLD} AS is_match
+    FROM pairs
+    ORDER BY ida, idb
+    """,
+    tags=("llm", "dedup", "er"),
+)
+def er_jaro_winkler_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler VERIFICATION of blocked candidates — the record-
+    linkage verifier (Winkler 1990, the Census Bureau string comparator)
+    beside the Levenshtein one: JW rewards shared prefixes and tolerates
+    transpositions, the error model of human-keyed names/titles, where
+    edit distance over-penalizes swaps. Same normalized-prefix blocking
+    as dedup_edit_distance_verify; each candidate pair pays ONE bounded
+    JW on the {EDV_VERIFY_CHARS}-char head, computed in an Arrow-batched
+    pandas UDF (operators/text.jaro_winkler — the sanctioned Python
+    boundary: per-PAIR on blocked candidates only, never per-token, and
+    the pair set is linear in true near-dups). The oracle scores the
+    SAME pairs with DuckDB's native jaro_winkler_similarity — two
+    independent implementations of the published definition must agree
+    at round-6 on every candidate or the hash breaks."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from supabase_etl_spark.operators.text import jaro_winkler
+
+    @pandas_udf("double")
+    def jw_udf(a, b):  # annotations omitted: PEP-563 strings break inference
+        return pd.Series(
+            [jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.lower(
+            F.regexp_replace(
+                F.substring(F.col("text"), 1, EDV_KEY_CHARS), "[^a-zA-Z0-9]", ""
+            )
+        ).alias("k"),
+        F.substring(F.col("text"), 1, EDV_VERIFY_CHARS).alias("head"),
+    ).filter(F.col("k") != "")
+    a = keyed.select(F.col("doc_id").alias("ida"), "k", F.col("head").alias("ha"))
+    b = keyed.select(F.col("doc_id").alias("idb"), "k", F.col("head").alias("hb"))
+    return (
+        a.join(b, ["k"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            F.round(jw_udf(F.col("ha"), F.col("hb")), 6).alias("jw"),
+        )
+        .withColumn("is_match", F.col("jw") >= JW_THRESHOLD)
+        .orderBy("ida", "idb")
+    )

@@ -152,3 +152,32 @@ def test_bpe_encode_applies_merges_greedily(spark, tmp_path):
     # doc 0: rounds 1-3 learn ab, ab+c, ab+abc -> each 'ababc' is ONE
     # symbol (greedy rank-order application fully collapses the word)
     assert out[0]["n_bpe_tokens"] == 2 and out[0]["n_chars"] == 10
+
+
+def test_jaro_winkler_matches_duckdb_reference():
+    """operators/text.jaro_winkler vs DuckDB's native implementation:
+    two independent codings of the published definition must agree at
+    round-6 on classic probe pairs (transpositions, prefix bonus,
+    disjoint strings, empty edge)."""
+    import duckdb
+
+    from supabase_etl_spark.operators.text import jaro_winkler
+
+    pairs = [
+        ("martha", "marhta"),
+        ("dwayne", "duane"),
+        ("dixon", "dicksonx"),
+        ("abc", "abc"),
+        ("", "x"),
+        ("a", "b"),
+        ("window batch", "batch window"),
+        ("table scan merge", "table scan merg"),
+        ("aaaa", "aaaa aaaa"),
+        ("key agg row scan", "key agg row scans"),
+    ]
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute(
+            "SELECT round(jaro_winkler_similarity(?, ?), 6)", [a, b]
+        ).fetchone()[0]
+        assert round(jaro_winkler(a, b), 6) == want, (a, b)
