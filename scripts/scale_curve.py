@@ -1218,11 +1218,60 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    def t_video_e2e(docs):
+        # multimodal_video_dedup_pipeline_e2e's shape over a growing
+        # clip set: generate + decimate + canonical decode (one pass,
+        # checkpointed), per-frame signature bucket join, exact
+        # dual-sequence verify, CC
+        from supabase_etl_spark.operators import multimodal as M
+        from supabase_etl_spark.operators.cc import connected_components
+        from supabase_etl_spark.queries.llm_multimodal import (
+            VCANON_FPS,
+            VCOARSE_DIV,
+        )
+
+        mult = docs.__mult__
+        ids = spark.range(30 * mult).select(F.col("id").alias("doc_id"))
+        orig = M.generate_videos(ids)
+        dec = M.decimate_videos(orig).select(
+            F.concat(F.col("uri"), F.lit(".d2")).alias("uri"), "content"
+        )
+        corpus = orig.select("uri", "content").unionByName(dec)
+        feats = M.video_canonical_features(corpus, VCANON_FPS).localCheckpoint()
+        doc_id = F.regexp_extract("uri", r"doc://(\d+)", 1).cast("bigint")
+        variant = F.when(F.col("uri").endswith(".d2"), 1).otherwise(0)
+        coarse = F.array_join(
+            F.transform(
+                F.col("luma"),
+                lambda x: (x / VCOARSE_DIV).cast("long").cast("string"),
+            ),
+            ":",
+        )
+        nodes = feats.select(
+            (F.lit(2) * doc_id + variant).alias("node"),
+            "luma", "chroma",
+            F.concat_ws("|", F.col("m"), coarse).alias("sig"),
+        )
+        a = nodes.select("sig", F.col("node").alias("na"),
+                         F.col("luma").alias("la"), F.col("chroma").alias("ca"))
+        bb = nodes.select("sig", F.col("node").alias("nb"),
+                          F.col("luma").alias("lb"), F.col("chroma").alias("cb"))
+        verified = (
+            a.join(bb, "sig")
+            .filter((F.col("na") < F.col("nb")) & (F.col("la") == F.col("lb"))
+                    & (F.col("ca") == F.col("cb")))
+            .select(F.col("na").alias("src"), F.col("nb").alias("dst"))
+        )
+        connected_components(nodes.select("node"), verified).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     ops = {
         "dedup_exact (sha2 groupBy)": t_exact,
         "winnowing fingerprints": t_winnowing,
         "knn graph bucketed": t_knn_graph,
         "audio dedup pipeline e2e": t_audio_e2e,
+        "video dedup pipeline e2e": t_video_e2e,
         "length-bucketed batching ranks": t_length_batching,
         "isolation forest 4x4": t_iforest,
         "edit-distance verify blocked": t_edv,

@@ -689,3 +689,64 @@ def audio_canonical_features(
         run,
         schema="uri string, m int, peak int, sum_abs bigint, b array<long>",
     )
+
+
+def video_canonical_features(
+    df: DataFrame,
+    canon_fps: tuple[int, int] = (25, 2),
+    content_col: str = "content",
+) -> DataFrame:
+    """Arrow-batched Y4M decode → FRAME-RATE CANONICALIZATION (keep
+    even-index frames, halving the rate, until fps ≤ ``canon_fps`` —
+    so a clip and its pre-decimated re-encoded copy canonicalize to
+    IDENTICAL frame lists) → exact integer per-frame features: the
+    luma-sum and chroma-sum sequences in frame order. The video front
+    half of cross-frame-rate dedup; one row per clip, two bounded
+    arrays, ~W·H× payload shrink before anything shuffles."""
+    from supabase_etl_spark.operators import videocodec as VC
+
+    target_num, target_den = canon_fps
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uri, content in zip(pdf["uri"], pdf[content_col]):
+                _w, _h, fps, frames = VC.decode_y4m(bytes(content))
+                num, den = fps
+                while num * target_den > target_num * den:
+                    frames = frames[::2]
+                    den *= 2
+                rows.append(
+                    {
+                        "uri": uri,
+                        "m": len(frames),
+                        "luma": [sum(f[0]) for f in frames],
+                        "chroma": [sum(f[1]) + sum(f[2]) for f in frames],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        schema="uri string, m int, luma array<long>, chroma array<long>",
+    )
+
+
+def decimate_videos(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Decode each Y4M clip, keep the even-index frames, and RE-ENCODE
+    at half the frame rate — the fixture constructor for cross-frame-
+    rate duplicates (the video analog of resample_audio)."""
+    from supabase_etl_spark.operators import videocodec as VC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uris, contents = [], []
+            for uri, content in zip(pdf["uri"], pdf[content_col]):
+                w, h, (num, den), frames = VC.decode_y4m(bytes(content))
+                uris.append(uri)
+                contents.append(
+                    VC.encode_y4m(w, h, frames[::2], fps=(num, den * 2))
+                )
+            yield pd.DataFrame({"uri": uris, "content": contents})
+
+    return df.mapInPandas(run, schema="uri string, content binary")

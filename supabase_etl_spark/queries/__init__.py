@@ -158,6 +158,7 @@ _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
     # r9 second-wave flagships: every new operator of the wave gets a
     # driver-verification slot in its debut round (the r8 pattern)
     ("multimodal_audio_dedup_pipeline_e2e", 1),
+    ("multimodal_video_dedup_pipeline_e2e", 1),
     ("multimodal_audio_clipping_audit", 1),
     ("multimodal_audio_walsh_sequency", 1),
     ("multimodal_image_entropy_colorfulness", 1),
@@ -168,7 +169,7 @@ _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
     ("er_jaro_winkler_verify", 1),
     ("sample_", 6),
     ("agg_", 6),
-    ("events_", 7),
+    ("events_", 6),
     ("text_", 6),
     ("dq_", 6),
     ("dedup_", 4),

@@ -2258,3 +2258,159 @@ def multimodal_audio_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("doc_id", "variant")
     )
+
+
+VCANON_FPS = (25, 2)  # canonical frame rate (12.5 fps) for cross-rate dedup
+VCOARSE_DIV = 256  # per-frame luma quantizer for the bucketing signature
+
+
+@query(
+    "multimodal_video_dedup_pipeline_e2e",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, doc_id % {M.SEED_MOD} AS seed,
+               {M.VIDEO_FRAMES_BASE} + doc_id % {M.VIDEO_FRAMES_SPAN} AS n
+        FROM documents WHERE doc_id < {VIDEO_DOCS}
+    ),
+    cf AS (
+        -- canonical 12.5 fps frame features: even source frames only
+        -- (identical for the original and its decimated re-encode)
+        SELECT d.doc_id, f.f,
+               SUM((d.seed + 3 * x.i + 5 * y.j + 11 * (2 * f.f)) % 256)
+                   AS luma,
+               SUM((d.seed + 7 * (2 * f.f) + x.i) % 256
+                   + (d.seed + 13 * (2 * f.f) + y.j) % 256) AS chroma
+        FROM docs d,
+             range(0, ({M.VIDEO_FRAMES_BASE + M.VIDEO_FRAMES_SPAN} + 1) // 2)
+                 AS f(f),
+             range(0, {M.VIDEO_W}) AS x(i),
+             range(0, {M.VIDEO_H}) AS y(j)
+        WHERE 2 * f.f < d.n
+        GROUP BY d.doc_id, f.f
+    ),
+    feat AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS m,
+               list(luma ORDER BY f) AS luma_l,
+               list(chroma ORDER BY f) AS chroma_l,
+               string_agg(CAST(luma // {VCOARSE_DIV} AS VARCHAR),
+                          ':' ORDER BY f) AS coarse
+        FROM cf GROUP BY doc_id
+    ),
+    nodes AS (
+        SELECT 2 * f.doc_id + v.v AS node, f.doc_id, v.v AS variant,
+               f.m, f.luma_l, f.chroma_l,
+               concat(f.m, '|', f.coarse) AS sig
+        FROM feat f, (VALUES (0), (1)) AS v(v)
+    ),
+    verified AS (
+        SELECT a.node AS na, b.node AS nb
+        FROM nodes a JOIN nodes b
+          ON a.sig = b.sig AND a.node < b.node
+        WHERE a.m = b.m AND a.luma_l = b.luma_l AND a.chroma_l = b.chroma_l
+    ),
+    edges AS (
+        SELECT na AS src, nb AS dst FROM verified
+        UNION
+        SELECT nb, na FROM verified
+    ),
+    reach(a, b) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    clusters AS (SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a),
+    csize AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM clusters GROUP BY cluster_id
+    )
+    SELECT c.node // 2 AS doc_id, CAST(c.node % 2 AS INT) AS variant,
+           c.cluster_id, s.cluster_size,
+           (c.node = c.cluster_id) AS is_survivor
+    FROM clusters c JOIN csize s USING (cluster_id)
+    ORDER BY doc_id, variant
+    """,
+    tags=("llm", "multimodal", "video", "dedup", "pipeline"),
+    bench=True,
+)
+def multimodal_video_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO-SPACE dedup pipeline end-to-end — completes the modality
+    triptych beside multimodal_dedup_pipeline_e2e (images) and
+    multimodal_audio_dedup_pipeline_e2e (audio): the corpus is every
+    clip at its native 25 fps PLUS a frame-decimated 12.5 fps re-encode
+    of each (the cross-frame-rate duplicate a scraped video lake is
+    full of), and the pipeline must find exactly those pairs: decode →
+    CANONICALIZE frame rate (keep even frames until ≤ 12.5 fps, so a
+    clip and its decimated copy collapse to identical frame lists) →
+    per-frame luma/chroma-sum sequences → coarse-quantized per-frame
+    signature bucket join → EXACT verify on both full sequences →
+    connected components → min-node survivor ledger.
+
+    The oracle replays plane synthesis at even frame indices, the
+    signature, the verify, and the component closure in one recursive
+    CTE — a wrong re-encoded F-rate header, an off-by-one in the frame
+    stride, or an unconverged CC all hash-mismatch. Scale: one decode
+    pass (checkpointed, both join sides), candidates linear in true
+    dups, two bounded arrays per clip shuffle-side."""
+    from supabase_etl_spark.operators.cc import connected_components
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < VIDEO_DOCS)
+    orig = M.generate_videos(d.select("doc_id"))
+    dec = M.decimate_videos(orig).select(
+        F.concat(F.col("uri"), F.lit(".d2")).alias("uri"), "content"
+    )
+    corpus = orig.select("uri", "content").unionByName(dec)
+    feats = M.video_canonical_features(corpus, VCANON_FPS).localCheckpoint()
+    doc_id = F.regexp_extract("uri", r"doc://(\d+)", 1).cast("bigint")
+    variant = F.when(F.col("uri").endswith(".d2"), 1).otherwise(0)
+    coarse = F.array_join(
+        F.transform(
+            F.col("luma"), lambda x: (x / VCOARSE_DIV).cast("long").cast("string")
+        ),
+        ":",
+    )
+    nodes = feats.select(
+        (F.lit(2) * doc_id + variant).alias("node"),
+        "m",
+        "luma",
+        "chroma",
+        F.concat_ws("|", F.col("m"), coarse).alias("sig"),
+    )
+    a = nodes.select(
+        "sig",
+        F.col("node").alias("na"),
+        F.col("m").alias("ma"),
+        F.col("luma").alias("la"),
+        F.col("chroma").alias("ca"),
+    )
+    b = nodes.select(
+        "sig",
+        F.col("node").alias("nb"),
+        F.col("m").alias("mb"),
+        F.col("luma").alias("lb"),
+        F.col("chroma").alias("cb"),
+    )
+    verified = (
+        a.join(b, "sig")
+        .filter(
+            (F.col("na") < F.col("nb"))
+            & (F.col("ma") == F.col("mb"))
+            & (F.col("la") == F.col("lb"))
+            & (F.col("ca") == F.col("cb"))
+        )
+        .select(F.col("na").alias("src"), F.col("nb").alias("dst"))
+    )
+    labels = connected_components(nodes.select("node"), verified)
+    csize = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        labels.join(csize, "component")
+        .select(
+            (F.col("node") / 2).cast("bigint").alias("doc_id"),
+            (F.col("node") % 2).cast("int").alias("variant"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_survivor"),
+        )
+        .orderBy("doc_id", "variant")
+    )

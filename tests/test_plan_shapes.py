@@ -1147,3 +1147,44 @@ def test_audio_dedup_pipeline_signature_bucketed(spark):
     assert "CartesianProduct" not in cand_plan
     assert "BroadcastNestedLoopJoin" not in cand_plan
     assert "sig" in cand_plan
+
+
+def test_video_dedup_pipeline_signature_bucketed(spark):
+    """multimodal_video_dedup_pipeline_e2e: keyed joins only in the
+    returned (post-CC) plan, checkpoint-truncated decode + CC; the
+    candidate join shape (equi-join on the coarse per-frame signature)
+    is pinned on the pre-CC operators below."""
+    from pyspark.sql import functions as F
+
+    from supabase_etl_spark.operators import multimodal as M
+    from supabase_etl_spark.queries.llm_multimodal import VCANON_FPS, VCOARSE_DIV
+
+    q = load_all()["multimodal_video_dedup_pipeline_e2e"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # pinned decode + CC labels
+
+    ids = spark.range(6).select(F.col("id").alias("doc_id"))
+    feats = M.video_canonical_features(M.generate_videos(ids), VCANON_FPS)
+    coarse = F.array_join(
+        F.transform(
+            F.col("luma"), lambda x: (x / VCOARSE_DIV).cast("long").cast("string")
+        ),
+        ":",
+    )
+    nodes = feats.select(
+        F.col("uri").alias("node"),
+        F.col("luma"),
+        F.concat_ws("|", F.col("m"), coarse).alias("sig"),
+    )
+    a = nodes.select("sig", F.col("node").alias("na"), F.col("luma").alias("la"))
+    b = nodes.select("sig", F.col("node").alias("nb"), F.col("luma").alias("lb"))
+    cand_plan = _plan(
+        a.join(b, "sig").filter(
+            (F.col("na") < F.col("nb")) & (F.col("la") == F.col("lb"))
+        )
+    )
+    assert "CartesianProduct" not in cand_plan
+    assert "BroadcastNestedLoopJoin" not in cand_plan
+    assert "sig" in cand_plan
