@@ -167,12 +167,13 @@ _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
     ("text_winnowing_fingerprint", 1),
     ("events_cox_score_test", 1),
     ("er_jaro_winkler_verify", 1),
+    ("agg_exact_median_distributed", 1),
     ("sample_", 6),
     ("agg_", 6),
     ("events_", 6),
     ("text_", 6),
     ("dq_", 6),
-    ("dedup_", 4),
+    ("dedup_", 3),
 )
 _WINDOW_SIZE = 50
 

@@ -289,3 +289,75 @@ def scale_aqe_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert rebalance_in_plan, "REBALANCE hint did not reach the optimized plan"
     return out
+
+
+@query(
+    "agg_exact_median_distributed",
+    oracle="""
+    WITH v AS (
+        SELECT l_extendedprice AS x,
+               row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS rn
+        FROM lineitem
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+    sel AS (
+        SELECT x FROM v CROSS JOIN n
+        WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    ),
+    p90 AS (
+        SELECT x FROM v CROSS JOIN n WHERE rn = (9 * n + 9) // 10
+    )
+    SELECT (SELECT n FROM n) AS n_rows,
+           round(CAST((SELECT sum(CAST(x AS DECIMAL(28,6))) FROM sel)
+                      AS DOUBLE)
+                 / (SELECT count(*) FROM sel), 6) AS median_cont,
+           (SELECT max(x) FROM p90) AS p90_disc
+    """,
+    tags=("agg", "percentile", "scale"),
+)
+def agg_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median (and a discrete p90) of a corpus-sized
+    column with NO single-task sort and NO per-group value buffer —
+    the scale-lever alternative to `percentile()` (agg_percentiles),
+    whose ObjectHashAggregate collects every group value into one
+    task's memory and to `approx_percentile`, which trades exactness
+    away. The order statistic comes from operators/prefix.
+    distributed_rank (range shuffle + partition-local row numbers +
+    broadcast offsets — bit-equal to the global window, pinned in
+    tests/test_prefix_sum.py); the target ranks ((n+1)//2, n//2+1,
+    ceil(0.9n)) are integer arithmetic on the broadcast 1-row count.
+    Even-n interpolation averages the two middle values through an
+    exact decimal sum. This is how a 100 TB median is actually
+    computed: two corpus passes (count + ranked scan), everything else
+    row-count-free."""
+    from supabase_etl_spark.operators.prefix import distributed_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x"), "l_orderkey", "l_linenumber"
+    )
+    cnt = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = distributed_rank(
+        li, order=[F.col("x").asc(), F.col("l_orderkey"), F.col("l_linenumber")]
+    )
+    lo = F.floor((F.col("n") + 1) / 2).cast("bigint")
+    hi = (F.floor(F.col("n") / 2) + 1).cast("bigint")
+    r90 = F.floor((9 * F.col("n") + 9) / 10).cast("bigint")
+    sel = ranked.crossJoin(F.broadcast(cnt)).filter(
+        (F.col("rn") == lo) | (F.col("rn") == hi) | (F.col("rn") == r90)
+    )
+    return sel.groupBy("n").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("rn") == lo) | (F.col("rn") == hi),
+                    F.col("x").cast("decimal(28,6)"),
+                )
+            ).cast("double")
+            / F.count(
+                F.when((F.col("rn") == lo) | (F.col("rn") == hi), F.lit(1))
+            ),
+            6,
+        ).alias("median_cont"),
+        F.max(F.when(F.col("rn") == r90, F.col("x"))).alias("p90_disc"),
+    ).select(F.col("n").alias("n_rows"), "median_cont", "p90_disc")
