@@ -198,10 +198,11 @@ def _sql_tuple(words: tuple[str, ...]) -> str:
 def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1) -> float:
     """Standard Jaro-Winkler similarity (Winkler 1990): Jaro matching
     within the max(|s1|,|s2|)/2 − 1 window, transposition count over
-    matched sequences, plus the ≤4-char common-prefix bonus. Written to
-    the textbook definition so it agrees bit-for-bit (at round-6) with
-    DuckDB's ``jaro_winkler_similarity`` — verified on planted probe
-    pairs in tests/test_text_ops.py."""
+    matched sequences, plus the ≤4-char common-prefix bonus applied
+    only when the Jaro score exceeds 0.7 (the rapidfuzz/DuckDB boost
+    threshold). Agrees bit-for-bit with DuckDB's
+    ``jaro_winkler_similarity`` — verified on planted probe pairs
+    including low-similarity prefixed ones in tests/test_text_ops.py."""
     if s1 == s2:
         return 1.0
     l1, l2 = len(s1), len(s2)
@@ -231,6 +232,8 @@ def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1) -> float:
             k += 1
     t //= 2
     j = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if j <= 0.7:  # rapidfuzz/DuckDB apply the Winkler boost only past 0.7
+        return j
     p = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a == b:

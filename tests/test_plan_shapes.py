@@ -1085,8 +1085,18 @@ def test_winnowing_windows_are_doc_partitioned(spark):
     plan = _plan(q.fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "partitionBy" not in plan  # physical plans spell windows differently
     assert plan.count("Window") >= 1
+    # every physical window spec must partition by doc_id — an
+    # unpartitioned corpus-wide window would spell an empty partition
+    # list in windowspecdefinition(...) (ADVICE r9: the former
+    # "'partitionBy' not in plan" assertion was vacuous for physical
+    # plans).
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected windowspecdefinition nodes in the plan"
+    for s in specs:
+        assert s.lstrip().startswith("doc_id"), f"window not doc-partitioned: {s}"
 
 
 def test_cox_score_prefix_shuffle_no_global_window(spark):

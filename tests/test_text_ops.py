@@ -174,6 +174,13 @@ def test_jaro_winkler_matches_duckdb_reference():
         ("table scan merge", "table scan merg"),
         ("aaaa", "aaaa aaaa"),
         ("key agg row scan", "key agg row scans"),
+        # discriminating region for the Winkler boost threshold: common
+        # raw prefix but Jaro <= 0.7 — the bonus must NOT apply (ADVICE
+        # r9: these fail if the 0.7 gate is missing).
+        ("abc", "abzzzzzzzzzzzzz"),
+        ("prefix", "prxyzzzzzzzzzzzzzz"),
+        ("abcd", "abzz"),
+        ("spark", "spxxxxxxxxxx"),
     ]
     con = duckdb.connect()
     for a, b in pairs:
