@@ -1050,6 +1050,10 @@ def test_corpus_prepare_bloom_broadcast_before_verify(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert "xxhash64" in plan  # the 5 JVM bit-test probes
+    # scan-once discipline (VERDICT r9 task 1): downstream stages read
+    # the persisted tokenized frame, never a fresh corpus derivation —
+    # the r9 plan re-scanned documents 16 times.
+    assert "InMemoryTableScan" in plan
 
 
 def test_ann_recall_audit_partial_topk(spark):
