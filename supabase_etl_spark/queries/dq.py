@@ -3483,41 +3483,46 @@ def dq_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits: dict[tuple[int, int], tuple[int, float]] = {}
     counts: dict[tuple[int, int], int] = {}
 
-    def node_at(t: int, depth: int):
-        """Flat decision expression: each row walks exactly `depth`
-        double-vs-literal comparisons to its integer node id — no
-        column back-references for Catalyst to inline exponentially,
-        no string building in the hot path."""
+    def _dbl(v: float) -> str:
+        """Exact double literal: repr() round-trips the IEEE value and
+        a string CAST re-parses it to the identical bits JVM-side."""
+        return f"CAST('{v!r}' AS DOUBLE)"
 
-        def rec(nid: int, remaining: int):
+    def node_sql(t: int, depth: int) -> str:
+        """Flat decision expression AS ONE SQL STRING: each row walks
+        exactly `depth` double-vs-literal comparisons to its integer
+        node id. Built as text and parsed once — constructing the same
+        tree from nested F.when objects cost ~2s of py4j round trips
+        per run (the r9 build-time hotspot), dwarfing the actual
+        cluster work."""
+
+        def rec(nid: int, remaining: int) -> str:
             if remaining == 0 or (t, nid) not in splits:
-                return F.lit(nid)
+                return str(nid)
             f_bit, thr = splits[(t, nid)]
-            xcol = F.col("x1") if f_bit == 0 else F.col("x2")
-            return F.when(xcol < F.lit(thr), rec(2 * nid, remaining - 1)).otherwise(
-                rec(2 * nid + 1, remaining - 1)
+            xcol = "x1" if f_bit == 0 else "x2"
+            return (
+                f"IF({xcol} < {_dbl(thr)}, "
+                f"{rec(2 * nid, remaining - 1)}, {rec(2 * nid + 1, remaining - 1)})"
             )
 
         return rec(1, depth)
 
+    def node_at(t: int, depth: int):
+        return F.expr(node_sql(t, depth))
+
     def tree_node_stats(depth: int):
         """ONE scan-and-aggregate pass: per-row node ids for all trees
         at `depth`, exploded to (t, node) and reduced to at most
-        IF_TREES * 2^depth groups (map-side combined)."""
+        IF_TREES * 2^depth groups (map-side combined). inline() of one
+        literal struct array keeps the whole explode a single parsed
+        expression."""
+        structs = ", ".join(
+            f"struct({t} AS t, {node_sql(t, depth)} AS node)" for t in trees
+        )
         ex = base.select(
-            "x1",
-            "x2",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("t"), node_at(t, depth).alias("node")
-                        )
-                        for t in trees
-                    ]
-                )
-            ).alias("tn"),
-        ).select("x1", "x2", F.col("tn.t").alias("t"), F.col("tn.node").alias("node"))
+            "x1", "x2", F.expr(f"inline(array({structs}))")
+        )
         return ex.groupBy("t", "node").agg(
             F.min("x1").alias("mn1"),
             F.max("x1").alias("mx1"),
@@ -3558,25 +3563,19 @@ def dq_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size and isolation depth keyed by leaf id; c(m) and the score stay
     # engine-side for ln parity with the oracle
     m_maps = {
-        t: F.create_map(
-            *[
-                x
-                for (tt, nid), m in leafsz.items()
-                if tt == t
-                for x in (F.lit(nid), F.lit(m))
-            ]
+        t: F.expr(
+            "map("
+            + ", ".join(
+                f"{nid}, {m}" for (tt, nid), m in leafsz.items() if tt == t
+            )
+            + ")"
         )
         for t in trees
     }
     iso_maps = {}
     for t in trees:
-        pairs = [
-            x
-            for (tt, nid), dd in iso.items()
-            if tt == t
-            for x in (F.lit(nid), F.lit(dd))
-        ]
-        iso_maps[t] = F.create_map(*pairs) if pairs else None
+        pairs = [f"{nid}, {dd}" for (tt, nid), dd in iso.items() if tt == t]
+        iso_maps[t] = F.expr("map(" + ", ".join(pairs) + ")") if pairs else None
 
     def tree_path(t: int):
         leaf = F.col(f"leaf{t}")
