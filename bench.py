@@ -30,6 +30,16 @@ OVERHEAD ACCOUNTING (r8 ADVICE + task 6):
     measured fixed overhead — the number that answers "is the PLAN
     slow at scale, or is this the local multi-action floor?". Queries
     still >2x here get a plan audit.
+
+ADJUDICATION BASES (VERDICT r9 task 3): codec-bound queries (the
+engine decodes real WAV/Y4M/BMP container bytes; the DuckDB oracle
+replays the fixture's sample/pixel SYNTHESIS in SQL without touching a
+byte) are gated on ABSOLUTE wall + the SCALE.md blowup curve, not a
+ratio — a spark/oracle ratio there measures the oracle's decode
+exemption, not the engine. They report under `codec_queries` /
+`codec_total` with the synthesis-oracle wall kept as a diagnostic
+(`codec_oracle_synthesis`); `ratio_total` and the per-query ratio maps
+cover only basis="ratio" queries, where both sides do equivalent work.
 """
 
 from __future__ import annotations
@@ -185,6 +195,7 @@ def main() -> None:
     ratios_stage_adj: dict[str, float] = {}
     oracle_total = 0.0
     spark_matched_total = 0.0
+    codec_oracle: dict[str, float] = {}
     for name in sorted(bench_set):
         sql = bench_set[name].oracle
         if sql is None:
@@ -195,6 +206,17 @@ def main() -> None:
             con.execute(sql).fetchall()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+        if bench_set[name].basis == "absolute":
+            # codec-bound: the oracle replays synthesis, not decode —
+            # keep its wall as a diagnostic, gate the query on absolute
+            # wall (codec_queries) + the SCALE.md curve instead
+            codec_oracle[name] = round(best, 3)
+            print(
+                f"# codec-diagnostic {name}: synthesis-oracle {best:.3f}s "
+                f"(absolute-gated, engine {timings[name]:.3f}s)",
+                flush=True,
+            )
+            continue
         oracle_timings[name] = round(best, 3)
         ratios[name] = round(timings[name] / best, 2) if best > 0 else -1.0
         # Spark-overhead DIAGNOSTIC (one stage launch forgiven; the
@@ -217,11 +239,20 @@ def main() -> None:
             flush=True,
         )
 
+    codec_queries = {
+        n: timings[n]
+        for n in sorted(bench_set)
+        if bench_set[n].basis == "absolute"
+    }
     payload = {
         "metric": "bench_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "codec_queries": codec_queries,
+        "codec_total": round(sum(codec_queries.values()), 3),
+        "codec_oracle_synthesis": codec_oracle,
+        "basis": {n: bench_set[n].basis for n in sorted(bench_set)},
         "oracle": oracle_timings,
         "ratio": ratios,
         "ratio_adj": ratios_adj,

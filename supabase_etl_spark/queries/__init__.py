@@ -34,6 +34,14 @@ class QuerySpec:
     oracle: str | None = None  # DuckDB SQL; None => driver does rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    # Bench adjudication basis (VERDICT r9 task 3). "ratio": the DuckDB
+    # oracle does equivalent work, so spark/oracle wall ratios are fair.
+    # "absolute": the engine decodes real container bytes (WAV/Y4M/BMP)
+    # while the oracle replays the fixture's pixel/sample SYNTHESIS in
+    # SQL without touching a byte — a ratio would measure the oracle's
+    # exemption, so bench.py gates these on absolute wall + the SCALE.md
+    # blowup curve instead and keeps the oracle time as a diagnostic.
+    basis: str = "ratio"
     # Sanctioned unpartitioned windows: one justification string per
     # single-partition WindowExec in the physical plan whose input is
     # bounded (grid / group-domain / island-spine tables) but not
@@ -81,14 +89,18 @@ def query(
     tags: tuple[str, ...] = (),
     bench: bool = False,
     uwin: tuple[str, ...] = (),
+    basis: str = "ratio",
 ):
     """Decorator: register a query under ``name``."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        if basis not in ("ratio", "absolute"):
+            raise ValueError(f"unknown bench basis: {basis}")
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tags, bench=bench, uwin=uwin
+            name=name, fn=fn, oracle=oracle, tags=tags, bench=bench, uwin=uwin,
+            basis=basis,
         )
         return fn
 

@@ -433,6 +433,7 @@ VIDEO_DOCS = 30  # fixture corpus: doc_id < VIDEO_DOCS
     """,
     tags=("llm", "multimodal", "video"),
     bench=True,
+    basis="absolute",
 )
 def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode + frame sampling: each payload is a genuine
@@ -1536,6 +1537,7 @@ def _ssim_score():
     """,
     tags=("llm", "multimodal", "similarity", "dedup"),
     bench=True,
+    basis="absolute",
 )
 def multimodal_ssim_over_phash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION composition of perceptual dedup + structural
@@ -2171,6 +2173,7 @@ COARSE_DIV = 256  # block-energy quantizer for the bucketing signature
     """,
     tags=("llm", "multimodal", "audio", "dedup", "pipeline"),
     bench=True,
+    basis="absolute",
 )
 def multimodal_audio_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO-SPACE dedup pipeline end-to-end, the audio sibling of
@@ -2331,6 +2334,7 @@ VCOARSE_DIV = 256  # per-frame luma quantizer for the bucketing signature
     """,
     tags=("llm", "multimodal", "video", "dedup", "pipeline"),
     bench=True,
+    basis="absolute",
 )
 def multimodal_video_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIDEO-SPACE dedup pipeline end-to-end — completes the modality
