@@ -680,3 +680,30 @@ def test_transform_with_state_gate_reason_is_exact():
     else:
         assert not transform_with_state_available()
         assert "google.protobuf" in reason
+
+
+def test_incremental_curation_capstone_batches_and_snapshots(spark):
+    """stream_incremental_curation_e2e must really run ONE transaction
+    per landing file: 3 ledger rows (one per micro-batch, in pinned
+    mtime order 0,1,2), and the manifest table must hold the base
+    commit plus one append per ingesting batch — so each snapshot is a
+    time-travelable audit point. dup_prior must be non-decreasing-able
+    across batches only via REAL corpus growth: range 0 can only
+    collide with base, later ranges also with earlier ingests."""
+    from supabase_etl_spark.queries import REGISTRY, load_all
+
+    load_all()
+    out = (
+        REGISTRY["stream_incremental_curation_e2e"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert [r["range_id"] for r in out] == [0, 1, 2]
+    for r in out:
+        assert (
+            r["n_arrived"]
+            == r["n_quality_fail"]
+            + r["n_dup_within"]
+            + r["n_dup_prior"]
+            + r["n_ingested"]
+        )
