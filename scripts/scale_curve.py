@@ -28,7 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BLOWUPS = (1, 3, 10)
+# default 1/3/10; VERDICT r9 task 5 runs 1/30/100 for the flagship
+# pipelines via SPARK_GRAFT_BLOWUPS=1,30,100
+BLOWUPS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_BLOWUPS", "1,3,10").split(",")
+)
 ID_STRIDE = 10_000_000  # distinct doc_id space per copy
 
 
@@ -64,7 +68,24 @@ def _blown_sf_dir(spark, mult: int) -> str:
     from supabase_etl_spark.io.readers import load_table
 
     d = tempfile.mkdtemp(prefix=f"scale_sf_{mult}x_")
-    blowup_docs(spark, mult).coalesce(8).write.mode("overwrite").parquet(
+    # carry source/lang so full-pipeline real fns (corpus_prepare) run;
+    # in-memory ops via blowup_docs keep their 2-column contract
+    full = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    fcopies = [
+        full.select(
+            (F.col("doc_id") + i * ID_STRIDE).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", rf"$1_c{i}").alias("text"),
+            "lang",
+            "source",
+        )
+        for i in range(mult)
+    ]
+    fout = fcopies[0]
+    for c in fcopies[1:]:
+        fout = fout.unionByName(c)
+    fout.coalesce(max(8, mult // 4)).write.mode("overwrite").parquet(
         os.path.join(d, "documents.parquet")
     )
     o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
@@ -1066,6 +1087,18 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def t_corpus_prepare(docs):
+        # the composed quality-gate -> lang-ID -> Bloom-decontaminate ->
+        # mixture-ledger pipeline (corpus_prepare_end_to_end), real fn
+        # over blown-up docs (scan-once persist included in the timing)
+        from supabase_etl_spark.queries.llm_curation import (
+            corpus_prepare_end_to_end,
+        )
+
+        corpus_prepare_end_to_end(spark, docs.__sfdir__).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     def t_ssim_phash(docs):
         # multimodal_ssim_over_phash_candidates' shape over a growing
         # image set: ONE combined decode pass (gray + aHash, pinned),
@@ -1277,6 +1310,7 @@ def main() -> None:
         "edit-distance verify blocked": t_edv,
         "ssim over phash candidates": t_ssim_phash,
         "dedup pipeline e2e (LSH->lev->CC)": t_e2e_pipeline,
+        "corpus prepare e2e (gate->bloom->ledger)": t_corpus_prepare,
         "trajectory topk band-blocked": t_trajectory,
         "identity stitching CC": t_stitching,
         "naive-bayes train+score": t_naive_bayes,
@@ -1320,12 +1354,16 @@ def main() -> None:
         print(
             f"# {name}: "
             + " ".join(f"{m}x={w:.2f}s" for m, w in zip(BLOWUPS, walls))
-            + f"  (10x/1x = {ratio:.1f})",
+            + f"  ({BLOWUPS[-1]}x/{BLOWUPS[0]}x = {ratio:.1f})",
             flush=True,
         )
 
-    print("\n| operator | 1x | 3x | 10x | 10x/1x |")
-    print("|---|---|---|---|---|")
+    hi, lo = BLOWUPS[-1], BLOWUPS[0]
+    print(
+        "\n| operator | " + " | ".join(f"{m}x" for m in BLOWUPS)
+        + f" | {hi}x/{lo}x |"
+    )
+    print("|---" * (len(BLOWUPS) + 2) + "|")
     for name, walls, ratio in rows:
         cells = " | ".join(f"{w:.2f}s" for w in walls)
         print(f"| {name} | {cells} | {ratio:.1f}x |")
