@@ -162,30 +162,26 @@ _STATIC_PRIORITY: tuple[str, ...] = (
 # task 3 — events 83, text 39, dq 37, agg 30, sample 27 unverified,
 # while the r8 quota families are largely drained).
 _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
-    # pin the r9 composed-pipeline flagships into the window (prefix
-    # match on the full name), then fill by family
-    ("dedup_pipeline_end_to_end", 1),
-    ("corpus_prepare_end_to_end", 1),
-    ("multimodal_dedup_pipeline_e2e", 1),
-    # r9 second-wave flagships: every new operator of the wave gets a
-    # driver-verification slot in its debut round (the r8 pattern)
-    ("multimodal_audio_dedup_pipeline_e2e", 1),
-    ("multimodal_video_dedup_pipeline_e2e", 1),
-    ("multimodal_audio_clipping_audit", 1),
-    ("multimodal_audio_walsh_sequency", 1),
-    ("multimodal_image_entropy_colorfulness", 1),
-    ("multimodal_video_motion_keyframes", 1),
-    ("sim_knn_graph_bucketed", 1),
-    ("text_winnowing_fingerprint", 1),
-    ("events_cox_score_test", 1),
-    ("er_jaro_winkler_verify", 1),
-    ("agg_exact_median_distributed", 1),
-    ("sample_", 6),
+    # pin the r10 debuts into the window (every new operator gets a
+    # driver-verification slot in its debut round — the r8/r9 pattern):
+    # the streaming incremental-curation capstone and the r10 wave
+    ("stream_incremental_curation_e2e", 1),
+    ("dedup_exact_substring", 1),
+    ("text_blocklist_gate", 1),
+    ("ml_eval_rouge_n", 1),
+    ("ml_eval_kfold_cv", 1),
+    ("agg_count_min_sketch", 1),
+    ("sim_hamming_topk", 1),
+    # family quotas re-aimed at the LARGEST never-verified families as
+    # measured from the committed artifacts at r10 start (events 77,
+    # text 33, dq 31, agg 24, sample 21, io 18 — VERDICT r9 task 4's
+    # family guesses corrected by the computed census)
+    ("events_", 13),
+    ("text_", 8),
+    ("dq_", 8),
     ("agg_", 6),
-    ("events_", 6),
-    ("text_", 6),
-    ("dq_", 6),
-    ("dedup_", 3),
+    ("sample_", 5),
+    ("io_", 5),
 )
 _WINDOW_SIZE = 50
 

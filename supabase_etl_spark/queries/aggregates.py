@@ -3235,3 +3235,107 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("measure")
+
+
+CM_W = 64  # count-min width (buckets per row)
+CM_D = 4  # count-min depth (independent hash rows)
+CM_PROBES = ("join", "hash", "scan", "vector", "spill", "watermark", "zzz_absent")
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> t <> '')) AS t
+        FROM documents
+    ),
+    grid AS (
+        SELECT d,
+               CAST(concat('0x', substring(md5(concat(CAST(d AS VARCHAR), '|', t)),
+                                           1, 8)) AS BIGINT) % {CM_W} AS w,
+               count(*) AS c
+        FROM tok, unnest(range(0, {CM_D})) AS u(d)
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT unnest(ARRAY[{", ".join(f"'{p}'" for p in CM_PROBES)}]) AS t
+    ),
+    est AS (
+        SELECT p.t,
+               min(COALESCE(g.c, 0)) AS cm_est
+        FROM probes p
+        CROSS JOIN unnest(range(0, {CM_D})) AS u(d)
+        LEFT JOIN grid g
+          ON g.d = u.d
+         AND g.w = CAST(concat('0x', substring(md5(concat(CAST(u.d AS VARCHAR),
+                                                          '|', p.t)), 1, 8))
+                        AS BIGINT) % {CM_W}
+        GROUP BY p.t
+    ),
+    exact AS (
+        SELECT t, count(*) AS c FROM tok GROUP BY t
+    )
+    SELECT e.t AS token,
+           CAST(COALESCE(x.c, 0) AS BIGINT) AS exact_count,
+           CAST(e.cm_est AS BIGINT) AS cm_estimate,
+           CAST(e.cm_est - COALESCE(x.c, 0) AS BIGINT) AS overestimate
+    FROM est e LEFT JOIN exact x USING (t)
+    ORDER BY e.t
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): a {CM_D}x{CM_W}
+    counter grid over the corpus token stream; a point query reads one
+    counter per hash row and returns the MIN — never an underestimate,
+    overestimate bounded by collisions. The mergeable-sketch shape a
+    100 TB frequency service wants: partial grids build map-side per
+    partition (groupBy (d, bucket) with partial aggregation), merge by
+    cell-wise addition, and the full stream is never retained.
+
+    Probe set: fixed vocabulary literals (incl. one absent token whose
+    estimate must come purely from collisions). Output pins the
+    CM guarantee row-by-row: estimate >= exact, overestimate = the
+    collision mass. Hash is the registry's cross-engine 32-bit md5
+    prefix (the DSIR idiom)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.array_remove(F.split("text", r"\s+"), "")).alias("t")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("t"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % CM_W
+    )
+    grid = (
+        tok.select("t", F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1))).alias("d"))
+        .select("d", bucket.alias("w"))
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = spark.createDataFrame([(p,) for p in CM_PROBES], "t string")
+    pd_ = probes.select(
+        "t", F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1))).alias("d")
+    ).select("t", "d", bucket.alias("w"))
+    est = (
+        pd_.join(F.broadcast(grid), ["d", "w"], "left")
+        .groupBy("t")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cm_est"))
+    )
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        est.join(exact, "t", "left")
+        .select(
+            F.col("t").alias("token"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("exact_count"),
+            F.col("cm_est").cast("bigint").alias("cm_estimate"),
+            (F.col("cm_est") - F.coalesce("c", F.lit(0)))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy("token")
+    )

@@ -2425,3 +2425,112 @@ def er_jaro_winkler_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_match", F.col("jw") >= JW_THRESHOLD)
         .orderBy("ida", "idb")
     )
+
+
+XS_K = 6  # ExactSubstr window length (tokens)
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    win AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(list_slice(t, i, i + {XS_K} - 1), ' ')) AS h
+        FROM tok, unnest(range(1, len(t) - {XS_K} + 2)) AS u(i)
+        WHERE len(t) >= {XS_K}
+    ),
+    dup AS (
+        SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dw AS (
+        SELECT w.doc_id, w.pos FROM win w JOIN dup USING (h)
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, p
+        FROM dw, unnest(range(pos, pos + {XS_K})) AS r(p)
+    ),
+    per AS (
+        SELECT d.doc_id,
+               (SELECT count(*) FROM dw WHERE dw.doc_id = d.doc_id) AS n_dup_windows,
+               (SELECT count(*) FROM cov WHERE cov.doc_id = d.doc_id) AS n_removed
+        FROM tok d
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(p.n_dup_windows AS BIGINT) AS n_dup_windows,
+           CAST(p.n_removed AS BIGINT) AS n_removed,
+           CAST(len(t.t) - p.n_removed AS BIGINT) AS n_kept
+    FROM tok t JOIN per p USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+    bench=True,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING deduplication (the ExactSubstr operator of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): any {XS_K}-token window whose content occurs in ≥2
+    distinct documents is a duplicated span; every token covered by a
+    duplicated window is removed from the training copy. The published
+    implementation builds a single-node suffix array — this is the
+    distributed re-expression: overlapping token windows with a
+    content hash, one shuffle on the hash to find cross-document
+    repeats, and a positional-coverage union per document.
+
+    Output is the per-document removal ledger (window count, tokens
+    removed, tokens kept) — the numbers a curation run reports and the
+    training-set writer consumes.
+
+    100 TB posture: windows are linear in corpus tokens (one per
+    position, K constant); the dup test is ONE hash-keyed
+    aggregate+semi-join (never doc×doc); coverage explodes at most
+    K rows per duplicated window (linear in true duplication). No
+    suffix array, no global sort, no driver state."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    win = tk.filter(F.size("t") >= XS_K).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {XS_K} + 1), "
+                f"i -> struct(i AS pos, "
+                f"md5(array_join(slice(t, i, {XS_K}), ' ')) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dw = win.join(dup, "h", "left_semi")
+    cov = (
+        dw.select(
+            "doc_id", F.explode(F.sequence("pos", F.col("pos") + XS_K - 1)).alias("p")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    ndw = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    return (
+        tk.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(ndw, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            (F.col("n_tokens") - F.coalesce("n_removed", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2765,3 +2765,93 @@ def sim_knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node", "rank")
     )
+
+
+HAM_QUERIES = 5  # vec_id < 5 are the probe vectors
+HAM_K = 10
+
+_PACK_SPARK = (
+    "aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT), (acc, i) -> acc + "
+    "IF(element_at(embedding, i + 1) > CAST(0 AS FLOAT), "
+    "shiftleft(CAST(1 AS BIGINT), i - {lo}), CAST(0 AS BIGINT)))"
+)
+_PACK_SQL = (
+    "list_sum(list_transform(range({lo}, {hi} + 1), i -> CASE "
+    "WHEN list_extract(embedding, i + 1) > 0 THEN (1::BIGINT << (i - {lo})) "
+    "ELSE 0::BIGINT END))"
+)
+
+
+@query(
+    "sim_hamming_topk",
+    oracle=f"""
+    WITH packed AS (
+        SELECT vec_id,
+               {_PACK_SQL.format(lo=0, hi=31)} AS w1,
+               {_PACK_SQL.format(lo=32, hi=63)} AS w2
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, w1 AS q1, w2 AS q2 FROM packed
+          WHERE vec_id < {HAM_QUERIES}),
+    c AS (SELECT * FROM packed WHERE vec_id >= {HAM_QUERIES}),
+    dist AS (
+        SELECT q.qid, c.vec_id,
+               CAST(bit_count(xor(q.q1, c.w1)) + bit_count(xor(q.q2, c.w2))
+                    AS INT) AS hamming
+        FROM q CROSS JOIN c
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY hamming, vec_id) AS rk
+        FROM dist
+    )
+    SELECT qid, vec_id, hamming, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {HAM_K}
+    ORDER BY qid, rk
+    """,
+    tags=("llm", "similarity", "embedding"),
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding ANN baseline: sign-binarize each 64-d vector
+    into two 32-bit words (the memory layout a billion-vector Hamming
+    index actually stores — 8 bytes/vector instead of 256) and rank
+    candidates per probe by popcount of the XOR. This is the
+    quantization floor every binary-hashing paper (LSH with random
+    hyperplanes, ITQ) evaluates against.
+
+    Scale shape: packing is a pure row-local fold at scan speed; the
+    probe set broadcasts (queries x corpus, one corpus pass — never
+    corpus x corpus); per-probe top-{HAM_K} compiles through
+    WindowGroupLimit so no probe funnels the corpus into one task.
+    XOR+popcount are exact integer ops — bit-identical cross-engine by
+    construction."""
+    e = load_table(spark, sf_dir, "embeddings")
+    packed = e.select(
+        "vec_id",
+        F.expr(_PACK_SPARK.format(lo=0, hi=31)).alias("w1"),
+        F.expr(_PACK_SPARK.format(lo=32, hi=63)).alias("w2"),
+    )
+    q = packed.filter(F.col("vec_id") < HAM_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w1").alias("q1"),
+        F.col("w2").alias("q2"),
+    )
+    c = packed.filter(F.col("vec_id") >= HAM_QUERIES)
+    dist = F.broadcast(q).crossJoin(c).select(
+        "qid",
+        "vec_id",
+        (
+            F.bit_count(F.col("q1").bitwiseXOR(F.col("w1")))
+            + F.bit_count(F.col("q2").bitwiseXOR(F.col("w2")))
+        )
+        .cast("int")
+        .alias("hamming"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("qid").orderBy("hamming", "vec_id")
+    )
+    return (
+        dist.withColumn("rk", rk.cast("int"))
+        .filter(F.col("rk") <= HAM_K)
+        .orderBy("qid", "rk")
+    )

@@ -3247,3 +3247,86 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# C4-style blocklist gate (Raffel et al. 2020 filtered pages containing
+# any "List of Dirty, Naughty …" word; the list here is a deterministic
+# STAND-IN drawn from the synthetic vocabulary — the machinery, not the
+# lexicon, is the operator).
+BLOCKLIST = ("slow", "spill", "skew", "stale")
+BLOCK_MAX_RATIO = 0.02  # gate: > 2% blocklisted tokens
+
+
+@query(
+    "text_blocklist_gate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, len(t) AS n_tokens,
+               len(list_filter(t, x -> lower(x) IN
+                   ({", ".join(f"'{w}'" for w in BLOCKLIST)}))) AS n_bad
+        FROM tok
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN CAST(n_bad AS DOUBLE) / greatest(n_tokens, 1)
+                              > {BLOCK_MAX_RATIO!r}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(sum(n_bad) AS BIGINT) AS total_bad,
+           round(CAST(sum(CAST(CAST(n_bad AS DOUBLE) / greatest(n_tokens, 1)
+                               AS DECIMAL(38,18))) AS DOUBLE) / count(*), 9)
+               AS mean_bad_ratio
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "text", "curation"),
+)
+def text_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist (badword) filtering — the C4 cleanup rule (Raffel et
+    al. 2020, §2.2): a document is dropped when its blocklisted-token
+    ratio exceeds the gate. Emits the per-source moderation ledger
+    (docs, blocked, total hits, mean ratio) a curation run publishes.
+
+    The blocklist is a broadcast literal IN-set folded into the token
+    filter — at 100 TB this is a pure scan-speed map (one corpus pass,
+    no shuffle beyond the ~20-row source rollup); a real lexicon of a
+    few thousand terms would ride the same plan as a broadcast join or
+    an Aho-Corasick-compiled regex, still map-side. Ratios accumulate
+    as exact decimals so partition order cannot move the mean."""
+    d = load_table(spark, sf_dir, "documents")
+    t = T.tokens(F.col("text"))
+    bad = F.size(
+        F.filter(t, lambda x: F.lower(x).isin(*BLOCKLIST))
+    )
+    scored = d.select(
+        "source",
+        F.size(t).alias("n_tokens"),
+        bad.alias("n_bad"),
+    ).select(
+        "source",
+        "n_bad",
+        (F.col("n_bad").cast("double") / F.greatest("n_tokens", F.lit(1))).alias(
+            "ratio"
+        ),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("ratio") > BLOCK_MAX_RATIO, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_blocked"),
+            F.sum("n_bad").cast("bigint").alias("total_bad"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_bad_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -3850,3 +3850,272 @@ def ml_eval_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+ROUGE_N = 2  # bigram ROUGE
+
+
+@query(
+    "ml_eval_rouge_n",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    pairs AS (
+        SELECT c.doc_id AS pair_id, c.t AS ct, r.t AS rt
+        FROM tok c JOIN tok r ON r.doc_id = c.doc_id - 1
+        WHERE c.doc_id % 2 = 1
+    ),
+    cg AS (
+        SELECT pair_id, g, count(*) AS nc
+        FROM pairs, unnest(list_transform(range(1, len(ct) - {ROUGE_N} + 2),
+            i -> array_to_string(list_slice(ct, i, i + {ROUGE_N} - 1), ' ')))
+            AS u(g)
+        GROUP BY pair_id, g
+    ),
+    rg AS (
+        SELECT pair_id, g, count(*) AS nr
+        FROM pairs, unnest(list_transform(range(1, len(rt) - {ROUGE_N} + 2),
+            i -> array_to_string(list_slice(rt, i, i + {ROUGE_N} - 1), ' ')))
+            AS u(g)
+        GROUP BY pair_id, g
+    ),
+    ov AS (
+        SELECT cg.pair_id, CAST(sum(least(cg.nc, rg.nr)) AS BIGINT) AS matched
+        FROM cg JOIN rg USING (pair_id, g)
+        GROUP BY cg.pair_id
+    ),
+    sizes AS (
+        SELECT pair_id,
+               CAST(greatest(len(ct) - {ROUGE_N} + 1, 0) AS BIGINT) AS n_c,
+               CAST(greatest(len(rt) - {ROUGE_N} + 1, 0) AS BIGINT) AS n_r
+        FROM pairs
+    )
+    SELECT s.pair_id,
+           COALESCE(o.matched, 0) AS matched,
+           round(COALESCE(o.matched, 0) / greatest(s.n_c, 1), 9) AS rouge_p,
+           round(COALESCE(o.matched, 0) / greatest(s.n_r, 1), 9) AS rouge_r,
+           round(CASE WHEN COALESCE(o.matched, 0) = 0 THEN 0.0
+                 ELSE 2.0 * (COALESCE(o.matched, 0) / greatest(s.n_c, 1))
+                          * (COALESCE(o.matched, 0) / greatest(s.n_r, 1))
+                      / ((COALESCE(o.matched, 0) / greatest(s.n_c, 1))
+                         + (COALESCE(o.matched, 0) / greatest(s.n_r, 1)))
+                 END, 9) AS rouge_f1
+    FROM sizes s LEFT JOIN ov o USING (pair_id)
+    ORDER BY s.pair_id
+    """,
+    tags=("llm", "ml-eval", "text"),
+)
+def ml_eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-{ROUGE_N} (Lin 2004) between candidate/reference pairs —
+    the n-gram-overlap recall metric every summarization eval reports
+    (complement of the registry's BLEU, which is precision-clipped the
+    other way). Pairing fixture: each odd doc is the "candidate", its
+    even predecessor the "reference". Matched = Σ_g min(count_cand(g),
+    count_ref(g)) — the clipped multiset intersection; P, R, F1 follow.
+
+    100 TB posture: grams explode linearly (one row per position),
+    per-pair gram counts reduce map-side, and the overlap is ONE
+    equi-join on (pair, gram) — batch-of-pairs × grams, never
+    corpus × corpus. Per-row double arithmetic only (IEEE-identical
+    cross-engine); counts are exact longs."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_remove(F.split("text", r"\s+"), "").alias("t")
+    )
+    c = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("pair_id"), F.col("t").alias("ct")
+    )
+    r = d.select((F.col("doc_id") + 1).alias("pair_id"), F.col("t").alias("rt"))
+    pairs = c.join(r, "pair_id")
+
+    def grams(col: str):
+        return F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size({col}) - {ROUGE_N} + 1, 0)), "
+                f"i -> array_join(slice({col}, i, {ROUGE_N}), ' '))"
+            )
+        )
+
+    cg = (
+        pairs.select("pair_id", grams("ct").alias("g"))
+        .groupBy("pair_id", "g")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    rg = (
+        pairs.select("pair_id", grams("rt").alias("g"))
+        .groupBy("pair_id", "g")
+        .agg(F.count(F.lit(1)).alias("nr"))
+    )
+    ov = (
+        cg.join(rg, ["pair_id", "g"])
+        .groupBy("pair_id")
+        .agg(F.sum(F.least("nc", "nr")).cast("bigint").alias("matched"))
+    )
+    sizes = pairs.select(
+        "pair_id",
+        F.greatest(F.size("ct") - ROUGE_N + 1, F.lit(0)).cast("bigint").alias("n_c"),
+        F.greatest(F.size("rt") - ROUGE_N + 1, F.lit(0)).cast("bigint").alias("n_r"),
+    )
+    m = F.coalesce("matched", F.lit(0)).cast("bigint")
+    p = m / F.greatest("n_c", F.lit(1))
+    rr = m / F.greatest("n_r", F.lit(1))
+    return (
+        sizes.join(ov, "pair_id", "left")
+        .select(
+            "pair_id",
+            m.alias("matched"),
+            F.round(p, 9).alias("rouge_p"),
+            F.round(rr, 9).alias("rouge_r"),
+            F.round(
+                F.when(m == 0, F.lit(0.0)).otherwise(2.0 * p * rr / (p + rr)), 9
+            ).alias("rouge_f1"),
+        )
+        .orderBy("pair_id")
+    )
+
+
+CV_FOLDS = 5
+_CV_A, _CV_B, _CV_P = 1_103_515_245, 12_345, 2_147_483_647
+
+
+@query(
+    "ml_eval_kfold_cv",
+    oracle=f"""
+    WITH li AS (
+        SELECT CAST((({_CV_A} * CAST(l_orderkey AS BIGINT) + {_CV_B})
+                     % {_CV_P}) % {CV_FOLDS} AS INT) AS fold,
+               CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem
+    ),
+    fs AS (
+        SELECT fold,
+               count(*) AS n,
+               SUM(CAST(x AS DECIMAL(28,6))) AS dsx,
+               SUM(CAST(y AS DECIMAL(28,6))) AS dsy,
+               SUM(CAST(x * x AS DECIMAL(28,6))) AS dsxx,
+               SUM(CAST(y * y AS DECIMAL(38,6))) AS dsyy,
+               SUM(CAST(x * y AS DECIMAL(38,6))) AS dsxy
+        FROM li GROUP BY fold
+    ),
+    g AS (
+        SELECT SUM(n) AS n_t, SUM(dsx) AS dsx_t, SUM(dsy) AS dsy_t,
+               SUM(dsxx) AS dsxx_t, SUM(dsyy) AS dsyy_t, SUM(dsxy) AS dsxy_t
+        FROM fs
+    ),
+    m AS (
+        SELECT fs.fold, fs.n AS n_f,
+               CAST(fs.dsx AS DOUBLE) AS sx_f, CAST(fs.dsy AS DOUBLE) AS sy_f,
+               CAST(fs.dsxx AS DOUBLE) AS sxx_f, CAST(fs.dsyy AS DOUBLE) AS syy_f,
+               CAST(fs.dsxy AS DOUBLE) AS sxy_f,
+               g.n_t - fs.n AS n_o,
+               CAST(g.dsx_t - fs.dsx AS DOUBLE) AS sx_o,
+               CAST(g.dsy_t - fs.dsy AS DOUBLE) AS sy_o,
+               CAST(g.dsxx_t - fs.dsxx AS DOUBLE) AS sxx_o,
+               CAST(g.dsxy_t - fs.dsxy AS DOUBLE) AS sxy_o
+        FROM fs CROSS JOIN g
+    ),
+    fit AS (
+        SELECT fold, n_f, sx_f, sy_f, sxx_f, syy_f, sxy_f,
+               (n_o * sxy_o - sx_o * sy_o) / (n_o * sxx_o - sx_o * sx_o) AS b,
+               (sy_o - (n_o * sxy_o - sx_o * sy_o)
+                       / (n_o * sxx_o - sx_o * sx_o) * sx_o) / n_o AS a
+        FROM m
+    )
+    SELECT fold,
+           CAST(n_f AS BIGINT) AS n_test,
+           round(b, 9) AS slope,
+           round(a, 9) AS intercept,
+           round(sqrt((syy_f + n_f * a * a + b * b * sxx_f - 2.0 * a * sy_f
+                       - 2.0 * b * sxy_f + 2.0 * a * b * sx_f) / n_f), 6)
+               AS rmse
+    FROM fit
+    ORDER BY fold
+    """,
+    tags=("llm", "ml-eval", "regression"),
+)
+def ml_eval_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of an OLS fit (y = a + b·x over
+    lineitem's quantity→extendedprice) — the eval harness every model
+    selection loop runs, expressed the only way it survives 100 TB:
+    ONE corpus scan builds per-fold sufficient statistics
+    (n, Σx, Σy, Σx², Σy², Σxy as exact decimals), and every fold's
+    leave-fold-out training set is the GLOBAL sums minus that fold's —
+    exact decimal subtraction, no second pass, no per-fold re-scan
+    (naive CV re-reads the corpus K times). Held-out RMSE expands
+    Σ(y−a−bx)² from the same six statistics.
+
+    Folds assign by LCG over l_orderkey — GROUP k-fold at the order
+    grain, so line items of one order never straddle train/test (the
+    leakage rule split_leakage_safe pins for documents). Doubles are
+    cast from the exact decimals and the closed forms evaluate the
+    identical expression tree in both engines (the
+    agg_regression_family discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fold = (
+        (
+            (F.lit(_CV_A).cast("bigint") * F.col("l_orderkey").cast("bigint") + _CV_B)
+            % _CV_P
+        )
+        % CV_FOLDS
+    ).cast("int")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    fs = li.select(
+        fold.alias("fold"), x.alias("x"), y.alias("y")
+    ).groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,6)")).alias("dsx"),
+        F.sum(F.col("y").cast("decimal(28,6)")).alias("dsy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)")).alias("dsxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)")).alias("dsyy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)")).alias("dsxy"),
+    )
+    g = fs.agg(
+        F.sum("n").alias("n_t"),
+        F.sum("dsx").alias("dsx_t"),
+        F.sum("dsy").alias("dsy_t"),
+        F.sum("dsxx").alias("dsxx_t"),
+        F.sum("dsyy").alias("dsyy_t"),
+        F.sum("dsxy").alias("dsxy_t"),
+    )
+    m = fs.crossJoin(F.broadcast(g)).select(
+        "fold",
+        F.col("n").alias("n_f"),
+        F.col("dsx").cast("double").alias("sx_f"),
+        F.col("dsy").cast("double").alias("sy_f"),
+        F.col("dsxx").cast("double").alias("sxx_f"),
+        F.col("dsyy").cast("double").alias("syy_f"),
+        F.col("dsxy").cast("double").alias("sxy_f"),
+        (F.col("n_t") - F.col("n")).alias("n_o"),
+        (F.col("dsx_t") - F.col("dsx")).cast("double").alias("sx_o"),
+        (F.col("dsy_t") - F.col("dsy")).cast("double").alias("sy_o"),
+        (F.col("dsxx_t") - F.col("dsxx")).cast("double").alias("sxx_o"),
+        (F.col("dsxy_t") - F.col("dsxy")).cast("double").alias("sxy_o"),
+    )
+    n_o, sx_o, sy_o = F.col("n_o"), F.col("sx_o"), F.col("sy_o")
+    sxx_o, sxy_o = F.col("sxx_o"), F.col("sxy_o")
+    b = (n_o * sxy_o - sx_o * sy_o) / (n_o * sxx_o - sx_o * sx_o)
+    fit = m.select(
+        "fold", "n_f", "sx_f", "sy_f", "sxx_f", "syy_f", "sxy_f",
+        b.alias("b"),
+        ((sy_o - b * sx_o) / n_o).alias("a"),
+    )
+    n_f, a_c, b_c = F.col("n_f"), F.col("a"), F.col("b")
+    sse = (
+        F.col("syy_f")
+        + n_f * a_c * a_c
+        + b_c * b_c * F.col("sxx_f")
+        - 2.0 * a_c * F.col("sy_f")
+        - 2.0 * b_c * F.col("sxy_f")
+        + 2.0 * a_c * b_c * F.col("sx_f")
+    )
+    return fit.select(
+        "fold",
+        F.col("n_f").cast("bigint").alias("n_test"),
+        F.round(b_c, 9).alias("slope"),
+        F.round(a_c, 9).alias("intercept"),
+        F.round(F.sqrt(sse / n_f), 6).alias("rmse"),
+    ).orderBy("fold")
