@@ -106,6 +106,20 @@ def main() -> None:
         dt = time.time() - t0
         floor = dt if floor is None else min(floor, dt)
 
+    # per-broadcast build+exchange constant (r10 SCALE.md decomposition):
+    # a tiny broadcast-join action minus the 1-stage floor — the fixed
+    # cost every BroadcastExchange in a sub-second query pays
+    from pyspark.sql import functions as _F
+
+    _r, _tiny = spark.range(100), spark.range(25).withColumnRenamed("id", "k")
+    bcast_floor = None
+    for _ in range(3):
+        t0 = time.time()
+        materialize(_r.join(_F.broadcast(_tiny), _r.id % 25 == _tiny.k))
+        dt = time.time() - t0
+        bcast_floor = dt if bcast_floor is None else min(bcast_floor, dt)
+    bcast_floor = max(bcast_floor - floor, 0.0)
+
     tracker = spark.sparkContext.statusTracker()
 
     def stage_count(group: str) -> int:
@@ -259,6 +273,7 @@ def main() -> None:
         "ratio_stage_adj": ratios_stage_adj,
         "stages": stages,
         "floor": round(floor, 3),
+        "bcast_floor": round(bcast_floor, 3),
         "oracle_floor": round(oracle_floor, 4),
         "oracle_total": round(oracle_total, 3),
         "ratio_total": round(spark_matched_total / oracle_total, 3)
