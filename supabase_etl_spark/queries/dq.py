@@ -3627,3 +3627,136 @@ def dq_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("anomaly_score"), "orderkey")
     )
+
+
+@query(
+    "dq_drift_wasserstein",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT l_extendedprice AS v,
+               CASE WHEN l_shipdate < DATE '{KS_SPLIT_DATE}' THEN 1 ELSE 0 END AS in_a
+        FROM lineitem
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(SUM(in_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - in_a) AS BIGINT) AS cb
+        FROM tagged GROUP BY v
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per_v),
+    cum AS (
+        SELECT v,
+               SUM(ca) OVER w AS cum_a,
+               SUM(cb) OVER w AS cum_b,
+               lead(v) OVER (ORDER BY v) AS next_v
+        FROM per_v
+        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT (SELECT CAST(na AS BIGINT) FROM tot) AS n_a,
+           (SELECT CAST(nb AS BIGINT) FROM tot) AS n_b,
+           round(CAST(SUM(CAST(abs(cum_a * (SELECT nb FROM tot)
+                                   - cum_b * (SELECT na FROM tot))
+                               * (next_v - v) AS DECIMAL(38,12)))
+                      AS DOUBLE)
+                 / CAST((SELECT na * nb FROM tot) AS DOUBLE), 9) AS w1
+    FROM cum WHERE next_v IS NOT NULL
+    """,
+    tags=("dq", "drift"),
+)
+def dq_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Wasserstein-1 (earth mover's) distance — the
+    drift statistic that weighs HOW FAR mass moved, completing the
+    registry's drift family (PSI bins, KS max-gap, Cramér-von Mises
+    mean-square gap): W1 = ∫|F_A − F_B| dx, evaluated exactly as
+    Σ over consecutive distinct values of |F_A(v) − F_B(v)|·(next−v).
+
+    Same distributed construction as dq_drift_ks: per-value counts,
+    ONE range-partitioned prefix pass for both running CDFs (never a
+    single-partition window), with the successor value obtained from
+    the partition-local lead plus each partition's first value
+    broadcast to its predecessor — O(partitions) boundary metadata,
+    zero extra shuffles. The CDF gap stays integer-scaled
+    (|cumA·nB − cumB·nA|), each term is decimal-cast before the sum so
+    partition order cannot move the double, and the division by nA·nB
+    happens once at the end. The final distinct value's term is
+    dropped EXACTLY (both CDFs are 1 there, the gap is 0).
+
+    Samples: lineitem prices shipped before vs after
+    {KS_SPLIT_DATE}."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_shipdate") < F.lit(KS_SPLIT_DATE).cast("date"))
+        .cast("int")
+        .alias("in_a"),
+    )
+    per_v = li.groupBy("v").agg(
+        F.sum("in_a").cast("decimal(20,0)").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("decimal(20,0)").alias("cb"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    ranged = (
+        per_v.repartitionByRange(par, "v")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    wloc = Window.partitionBy("_pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wlead = Window.partitionBy("_pid").orderBy("v")
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("ca").alias("_ta"), F.sum("cb").alias("_tb"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_ta").over(woff), F.lit(0)).alias("_oa"),
+            F.coalesce(F.sum("_tb").over(woff), F.lit(0)).alias("_ob"),
+        )
+    )
+    # each partition's FIRST value, shifted to its predecessor: the
+    # lead() of a partition's last row lives one partition to the right
+    firsts = (
+        ranged.groupBy("_pid")
+        .agg(F.min("v").alias("_fv"))
+        .select((F.col("_pid") - 1).alias("_pid"), F.col("_fv").alias("_next_first"))
+    )
+    cum = (
+        ranged.withColumn("_la", F.sum("ca").over(wloc))
+        .withColumn("_lb", F.sum("cb").over(wloc))
+        .withColumn("_lead", F.lead("v").over(wlead))
+        .join(F.broadcast(offsets), "_pid")
+        .join(F.broadcast(firsts), "_pid", "left")
+        .select(
+            "v",
+            (F.col("_la") + F.col("_oa")).alias("cum_a"),
+            (F.col("_lb") + F.col("_ob")).alias("cum_b"),
+            F.coalesce("_lead", "_next_first").alias("next_v"),
+        )
+    )
+    tot = per_v.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    term = (
+        F.abs(
+            F.col("cum_a").cast("bigint") * F.col("nb")
+            - F.col("cum_b").cast("bigint") * F.col("na")
+        )
+        * (F.col("next_v") - F.col("v"))
+    ).cast("decimal(38,12)")
+    return (
+        cum.filter(F.col("next_v").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(F.sum(term).alias("_s"))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.round(
+                F.col("_s").cast("double")
+                / (F.col("na") * F.col("nb")).cast("double"),
+                9,
+            ).alias("w1"),
+        )
+    )
