@@ -173,6 +173,7 @@ _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
     ("agg_count_min_sketch", 1),
     ("sim_hamming_topk", 1),
     ("dq_drift_wasserstein", 1),
+    ("dedup_cdc_chunks", 1),
     # family quotas re-aimed at the LARGEST never-verified families as
     # measured from the committed artifacts at r10 start (events 77,
     # text 33, dq 31, agg 24, sample 21, io 18 — VERDICT r9 task 4's

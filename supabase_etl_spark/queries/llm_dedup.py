@@ -2534,3 +2534,117 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CDC_W = 8  # fingerprint window (chars)
+CDC_D = 16  # boundary divisor => expected chunk length ~CDC_D chars
+
+_CDC_SPARK_BOUNDS = (
+    f"array_append(CASE WHEN length(text) > {CDC_W} THEN "
+    f"filter(sequence({CDC_W}, length(text) - 1), i -> "
+    f"pmod(CAST(conv(substring(md5(substring(text, i - {CDC_W} + 1, {CDC_W})), "
+    f"1, 8), 16, 10) AS BIGINT), {CDC_D}) = 0) "
+    f"ELSE CAST(array() AS ARRAY<INT>) END, length(text))"
+)
+_CDC_SQL_BOUNDS = (
+    f"list_append(list_filter(range({CDC_W}, length(text)), i -> "
+    f"CAST(concat('0x', substring(md5(substr(text, i - {CDC_W} + 1, {CDC_W})), "
+    f"1, 8)) AS BIGINT) % {CDC_D} = 0), length(text))"
+)
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, text, {_CDC_SQL_BOUNDS} AS bf
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id,
+               md5(substr(text, CASE WHEN i = 1 THEN 0
+                                     ELSE list_extract(bf, i - 1) END + 1,
+                          list_extract(bf, i)
+                          - CASE WHEN i = 1 THEN 0
+                                 ELSE list_extract(bf, i - 1) END)) AS h,
+               list_extract(bf, i)
+               - CASE WHEN i = 1 THEN 0 ELSE list_extract(bf, i - 1) END AS l
+        FROM b, unnest(range(1, len(bf) + 1)) AS u(i)
+    ),
+    dup AS (
+        SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per AS (
+        SELECT c.doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks,
+               CAST(sum(CASE WHEN d.h IS NOT NULL THEN c.l ELSE 0 END) AS BIGINT)
+                   AS dup_chars
+        FROM ch c LEFT JOIN dup d USING (h)
+        GROUP BY c.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(length(b.text) AS BIGINT) AS total_chars,
+           CAST(p.n_chunks AS BIGINT) AS n_chunks,
+           p.n_dup_chunks, p.dup_chars
+    FROM b JOIN per p USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    tags=("llm", "dedup", "chunking"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/LBFS storage
+    primitive, Muthitacharoen et al. 2001): chunk boundaries land where
+    a {CDC_W}-char windowed fingerprint hits 0 mod {CDC_D}, so an
+    insertion early in a document shifts only the chunk it touches —
+    unlike fixed-size blocks, identical content re-chunks identically
+    at any offset. Chunks are content-hashed and deduplicated across
+    the corpus; the per-document ledger reports chunk counts and
+    duplicated bytes (what a dedup storage layer would save).
+
+    Distributed shape: boundary detection is a ROW-LOCAL higher-order
+    filter over character positions (no explode of the position
+    stream), chunk structs explode at ~1 row per {CDC_D} chars, and
+    cross-doc dedup is ONE hash-keyed aggregate + broadcast-back —
+    linear in corpus bytes, no state across rows, no sequential scan
+    (the windowed fingerprint replaces the stateful Gear rolling hash
+    precisely so every position tests independently)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select("doc_id", "text", F.expr(_CDC_SPARK_BOUNDS).alias("bf"))
+    ch = b.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(bf)), i -> struct("
+                "md5(substring(text, IF(i = 1, 0, element_at(bf, i - 1)) + 1, "
+                "element_at(bf, i) - IF(i = 1, 0, element_at(bf, i - 1)))) AS h, "
+                "element_at(bf, i) - IF(i = 1, 0, element_at(bf, i - 1)) AS l))"
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.h").alias("h"), F.col("c.l").alias("l"))
+    dup = (
+        ch.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(True).alias("is_dup"))
+    )
+    per = (
+        ch.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.sum(F.when(F.col("is_dup"), F.col("l")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_chars"),
+        )
+    )
+    return (
+        b.select("doc_id", F.length("text").cast("bigint").alias("total_chars"))
+        .join(per, "doc_id")
+        .select("doc_id", "total_chars", "n_chunks", "n_dup_chunks", "dup_chars")
+        .orderBy("doc_id")
+    )
