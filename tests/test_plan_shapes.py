@@ -1202,3 +1202,46 @@ def test_video_dedup_pipeline_signature_bucketed(spark):
     assert "CartesianProduct" not in cand_plan
     assert "BroadcastNestedLoopJoin" not in cand_plan
     assert "sig" in cand_plan
+
+
+def test_exact_substring_hash_keyed_no_pairs(spark):
+    """dedup_exact_substring: the dup test must be hash-keyed (semi
+    join after the window-hash aggregate), never doc x doc; the shared
+    tokenized/window frames arrive through the cache (scan-once)."""
+    q = load_all()["dedup_exact_substring"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_cdc_chunks_row_local_boundaries(spark):
+    """dedup_cdc_chunks: boundary detection is a row-local higher-order
+    filter (no explode of the position stream before the chunk stage)
+    and the cross-doc dedup joins on the chunk hash only."""
+    q = load_all()["dedup_cdc_chunks"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_hamming_topk_partial_topk(spark):
+    """sim_hamming_topk: the probe fan-out is the intended broadcast
+    nested-loop (queries x corpus, one corpus pass) and the per-probe
+    top-k compiles through WindowGroupLimit — no probe funnels the
+    corpus into one task."""
+    q = load_all()["sim_hamming_topk"]
+    plan = _plan(q.fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_kfold_cv_single_corpus_aggregation(spark):
+    """ml_eval_kfold_cv: the fold table is persisted so the global
+    rollup and the per-fold join read ONE materialization — naive CV's
+    K corpus re-reads must not reappear."""
+    q = load_all()["ml_eval_kfold_cv"]
+    plan = _plan(q.fn(spark, SF))
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastExchange" in plan  # K-row global stats broadcast
