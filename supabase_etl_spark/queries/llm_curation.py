@@ -2224,6 +2224,10 @@ CP_TEMP = 0.7  # temperature for the prepared corpus's mixture weights
     """,
     tags=("llm", "curation", "pipeline"),
     bench=True,
+    uwin=(
+        "mixture normalizer over the ~20-row source-grained ledger "
+        "(bounded by the source domain)",
+    ),
 )
 def corpus_prepare_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TEXT-CORPUS PREPARATION pipeline as one composed plan — the
@@ -2259,9 +2263,10 @@ def corpus_prepare_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     held 16 `Scan parquet` leaves); the bench-gram set (consumed by the
     Bloom build and the exact verify join) and the source-grained
     ledger (consumed by the mixture normalizer and the final select)
-    are pinned the same way. Storage is MEMORY_AND_DISK — at cluster
-    scale the tokenized frame spills, which still beats 16 corpus
-    re-tokenizations."""
+    are pinned the same way. localCheckpoint is the registry's ONE
+    sanctioned storage use (the hygiene gate forbids persist residue);
+    it stores MEMORY_AND_DISK, so at cluster scale the tokenized frame
+    spills — still far better than 16 corpus re-tokenizations."""
     d = load_table(spark, sf_dir, "documents")
     tk = d.select(
         "doc_id",
@@ -2270,7 +2275,7 @@ def corpus_prepare_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens(F.col("text")).alias("t"),
         (_bucket(F.col("doc_id")) < DECON_BENCH_PCT).alias("is_bench"),
         (lang_id(F.col("text")) == F.col("lang")).alias("lang_match"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     n = F.greatest(F.size("t"), F.lit(1))
     mean_wl = (
         F.aggregate(
@@ -2299,7 +2304,7 @@ def corpus_prepare_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         tk.filter("is_bench")
         .select(F.explode(ngrams_all(F.col("t"), DECON_K)).alias("g"))
         .distinct()
-        .persist()  # consumed by the Bloom build AND the exact verify join
+        .localCheckpoint(eager=False)  # consumed by the Bloom build AND the exact verify join
     )
     bloom = _bloom_bitmap(spark, bench_grams)
     pr = tk.filter(~F.col("is_bench")).select(
@@ -2342,16 +2347,21 @@ def corpus_prepare_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_lang_match"),
         )
-        .persist()  # source-grained (bounded) table
     )
     pw = F.round(
         F.pow(F.col("tokens_final").cast("double"), F.lit(1.0 / CP_TEMP)), 12
     )
-    tot = ledger.agg(
-        F.sum(pw.cast("decimal(38,12)")).cast("double").alias("z")
+    # mixture normalizer: one unpartitioned window over the ~20-row
+    # source-grained ledger (uwin-sanctioned — bounded by the source
+    # domain), so the pipeline is ONE plan segment with no second
+    # replay and no checkpoint of the ledger
+    z = (
+        F.sum(pw.cast("decimal(38,12)"))
+        .over(Window.partitionBy())
+        .cast("double")
     )
     return (
-        ledger.crossJoin(F.broadcast(tot))
+        ledger.withColumn("z", z)
         .select(
             "source",
             "n_docs",

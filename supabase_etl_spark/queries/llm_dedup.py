@@ -2495,8 +2495,9 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan-once discipline: the tokenized frame feeds the window stream
     # AND the final ledger; the window stream feeds the dup aggregate
     # AND the coverage stage; duplicated windows feed coverage AND the
-    # per-doc window count (MEMORY_AND_DISK at cluster scale)
-    tk = d.select("doc_id", tokens(F.col("text")).alias("t")).persist()
+    # per-doc window count — pinned with localCheckpoint, the hygiene
+    # gate's one sanctioned storage use (stores MEMORY_AND_DISK)
+    tk = d.select("doc_id", tokens(F.col("text")).alias("t")).localCheckpoint(eager=False)
     import os
 
     # window-hash choice mirrors the DSIR precedent: md5 is the default
@@ -2518,14 +2519,14 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{hfn}(array_join(slice(t, i, {XS_K}), ' ')) AS h))"
             )
         ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")).persist()
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")).localCheckpoint(eager=False)
     dup = (
         win.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    dw = win.join(dup, "h", "left_semi").persist()
+    dw = win.join(dup, "h", "left_semi").localCheckpoint(eager=False)
     cov = (
         dw.select(
             "doc_id", F.explode(F.sequence("pos", F.col("pos") + XS_K - 1)).alias("p")
@@ -2629,7 +2630,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # scan-once: boundaries feed the chunk stream AND the final ledger;
     # chunks feed the dup aggregate AND the per-doc rollup
-    b = d.select("doc_id", "text", F.expr(_CDC_SPARK_BOUNDS).alias("bf")).persist()
+    b = d.select("doc_id", "text", F.expr(_CDC_SPARK_BOUNDS).alias("bf")).localCheckpoint(eager=False)
     ch = b.select(
         "doc_id",
         F.explode(
@@ -2640,7 +2641,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "element_at(bf, i) - IF(i = 1, 0, element_at(bf, i - 1)) AS l))"
             )
         ).alias("c"),
-    ).select("doc_id", F.col("c.h").alias("h"), F.col("c.l").alias("l")).persist()
+    ).select("doc_id", F.col("c.h").alias("h"), F.col("c.l").alias("l")).localCheckpoint(eager=False)
     dup = (
         ch.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

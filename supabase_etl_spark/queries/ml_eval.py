@@ -3923,12 +3923,12 @@ def ml_eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine); counts are exact longs."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.array_remove(F.split("text", r"\s+"), "").alias("t")
-    ).persist()  # consumed by both join sides; pairs feed cg/rg/sizes
+    ).localCheckpoint(eager=False)  # consumed by both join sides; pairs feed cg/rg/sizes
     c = d.filter(F.col("doc_id") % 2 == 1).select(
         F.col("doc_id").alias("pair_id"), F.col("t").alias("ct")
     )
     r = d.select((F.col("doc_id") + 1).alias("pair_id"), F.col("t").alias("rt"))
-    pairs = c.join(r, "pair_id").persist()
+    pairs = c.join(r, "pair_id").localCheckpoint(eager=False)
 
     def grams(col: str):
         return F.explode(
@@ -4072,7 +4072,7 @@ def ml_eval_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)")).alias("dsxx"),
         F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)")).alias("dsyy"),
         F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)")).alias("dsxy"),
-    ).persist()  # K-row table consumed by the global rollup AND the fold join
+    ).localCheckpoint(eager=False)  # K-row table consumed by the global rollup AND the fold join
     g = fs.agg(
         F.sum("n").alias("n_t"),
         F.sum("dsx").alias("dsx_t"),

@@ -1051,9 +1051,9 @@ def test_corpus_prepare_bloom_broadcast_before_verify(spark):
     assert "BroadcastExchange" in plan
     assert "xxhash64" in plan  # the 5 JVM bit-test probes
     # scan-once discipline (VERDICT r9 task 1): downstream stages read
-    # the persisted tokenized frame, never a fresh corpus derivation —
-    # the r9 plan re-scanned documents 16 times.
-    assert "InMemoryTableScan" in plan
+    # the checkpoint-pinned tokenized frame, never a fresh corpus
+    # derivation — the r9 plan re-scanned documents 16 times.
+    assert "Scan ExistingRDD" in plan
 
 
 def test_ann_recall_audit_partial_topk(spark):
@@ -1207,12 +1207,13 @@ def test_video_dedup_pipeline_signature_bucketed(spark):
 def test_exact_substring_hash_keyed_no_pairs(spark):
     """dedup_exact_substring: the dup test must be hash-keyed (semi
     join after the window-hash aggregate), never doc x doc; the shared
-    tokenized/window frames arrive through the cache (scan-once)."""
+    tokenized/window frames arrive through the localCheckpoint pin
+    (scan-once, hygiene-sanctioned)."""
     q = load_all()["dedup_exact_substring"]
     plan = _plan(q.fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "InMemoryTableScan" in plan
+    assert "Scan ExistingRDD" in plan
 
 
 def test_cdc_chunks_row_local_boundaries(spark):
@@ -1223,7 +1224,7 @@ def test_cdc_chunks_row_local_boundaries(spark):
     plan = _plan(q.fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "InMemoryTableScan" in plan
+    assert "Scan ExistingRDD" in plan
 
 
 def test_hamming_topk_partial_topk(spark):
@@ -1238,10 +1239,10 @@ def test_hamming_topk_partial_topk(spark):
 
 
 def test_kfold_cv_single_corpus_aggregation(spark):
-    """ml_eval_kfold_cv: the fold table is persisted so the global
-    rollup and the per-fold join read ONE materialization — naive CV's
-    K corpus re-reads must not reappear."""
+    """ml_eval_kfold_cv: the fold table is checkpoint-pinned so the
+    global rollup and the per-fold join read ONE materialization —
+    naive CV's K corpus re-reads must not reappear."""
     q = load_all()["ml_eval_kfold_cv"]
     plan = _plan(q.fn(spark, SF))
-    assert "InMemoryTableScan" in plan
+    assert "Scan ExistingRDD" in plan
     assert "BroadcastExchange" in plan  # K-row global stats broadcast
