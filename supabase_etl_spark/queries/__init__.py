@@ -174,6 +174,9 @@ _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
     ("sim_hamming_topk", 1),
     ("dq_drift_wasserstein", 1),
     ("dedup_cdc_chunks", 1),
+    ("multimodal_image_text_alignment", 1),
+    ("embedding_chamfer_hausdorff", 1),
+    ("agg_wilcoxon_signed_rank", 1),
     # family quotas re-aimed at the LARGEST never-verified families as
     # measured from the committed artifacts at r10 start (events 77,
     # text 33, dq 31, agg 24, sample 21, io 18 — VERDICT r9 task 4's

@@ -3349,3 +3349,122 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+@query(
+    "agg_wilcoxon_signed_rank",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_orderkey,
+               CAST(a.l_extendedprice AS DOUBLE)
+               - CAST(b.l_extendedprice AS DOUBLE) AS d
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_linenumber = 1 AND b.l_linenumber = 2
+        WHERE a.l_extendedprice <> b.l_extendedprice
+    ),
+    per_v AS (
+        SELECT abs(d) AS v,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM pairs GROUP BY abs(d)
+    ),
+    cum AS (
+        SELECT v, cnt, pos,
+               COALESCE(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_prev
+        FROM per_v
+    ),
+    s AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(pos * (2 * cum_prev + cnt + 1)) AS BIGINT) AS w2,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties3
+        FROM cum
+    )
+    SELECT n AS n_pairs,
+           round(w2 / 2.0, 6) AS w_plus,
+           round((w2 / 2.0 - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1) * (2.0 * n + 1) / 24.0 - ties3 / 48.0),
+                 6) AS z
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (paired, two-sided z approximation
+    with the standard tie correction, no continuity correction) — the
+    non-parametric paired-comparison companion to the registry's
+    Mann-Whitney U (independent samples). Pairs: each order's line 1
+    vs line 2 price; zero differences drop per the classic procedure.
+
+    Exactness: tie-AVERAGED ranks never materialize per row — per
+    distinct |d|, the average rank is cum_before + (cnt+1)/2, so
+    W⁺ = Σ pos·(2·cum_before + cnt + 1) / 2 stays an exact INTEGER
+    until one final halving; mean/variance/tie terms are integer
+    closed forms. The rank prefix uses the distributed range-partition
+    construction (dq_drift_ks's shape) — never a single-partition
+    window over corpus-sized data."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_extendedprice").cast("double").alias("p")
+    )
+    a = li.filter(F.col("l_linenumber") == 1).select("l_orderkey", F.col("p").alias("pa"))
+    b = li.filter(F.col("l_linenumber") == 2).select("l_orderkey", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") != F.col("pb"))
+        .select((F.col("pa") - F.col("pb")).alias("d"))
+    )
+    per_v = pairs.groupBy(F.abs("d").alias("v")).agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("cnt"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("decimal(20,0)")
+        .alias("pos"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    ranged = (
+        per_v.repartitionByRange(par, "v")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    wloc = Window.partitionBy("_pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("cnt").alias("_t"))
+        .select("_pid", F.coalesce(F.sum("_t").over(woff), F.lit(0)).alias("_o"))
+    )
+    cum = (
+        ranged.withColumn("_l", F.coalesce(F.sum("cnt").over(wloc), F.lit(0)))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            "cnt",
+            "pos",
+            (F.col("_l") + F.col("_o")).alias("cum_prev"),
+        )
+    )
+    s = cum.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(
+            F.col("pos") * (2 * F.col("cum_prev") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("w2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("ties3"),
+    )
+    n, w2, t3 = F.col("n"), F.col("w2"), F.col("ties3")
+    return s.select(
+        n.alias("n_pairs"),
+        F.round(w2 / 2.0, 6).alias("w_plus"),
+        F.round(
+            (w2 / 2.0 - n * (n + 1) / 4.0)
+            / F.sqrt(n * (n + 1) * (2.0 * n + 1) / 24.0 - t3 / 48.0),
+            6,
+        ).alias("z"),
+    )

@@ -2418,3 +2418,113 @@ def multimodal_video_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("doc_id", "variant")
     )
+
+
+ALIGN_TAU = 0.5  # alignment gate threshold on the stand-in scorer
+
+
+@query(
+    "multimodal_image_text_alignment",
+    oracle=f"""
+    WITH {_IMG_DOCS_CTE},
+    px AS (
+        SELECT d.doc_id, d.w, d.h,
+               least(((d.seed + 3 * x.i + 5 * y.j) % 256
+                      + (d.seed + 3 * x.i + 5 * y.j + 7) % 256
+                      + (d.seed + 3 * x.i + 5 * y.j + 14) % 256) // 96, 7) AS bkt
+        FROM docs d,
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS x(i),
+             range(0, {M.DIM_BASE + M.DIM_SPAN}) AS y(j)
+        WHERE x.i < d.w AND y.j < d.h
+    ),
+    ih AS (
+        SELECT doc_id, CAST(count(*) AS DOUBLE) AS n,
+               {", ".join(f"SUM(CASE WHEN bkt = {i} THEN 1 ELSE 0 END) AS c{i}" for i in range(8))}
+        FROM px GROUP BY doc_id
+    ),
+    tf AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+        FROM documents WHERE doc_id < {IMG_DOCS}
+    ),
+    th AS (
+        SELECT doc_id, CAST(greatest(len(t), 1) AS DOUBLE) AS m,
+               {", ".join(f"len(list_filter(t, x -> least(length(x) - 1, 7) = {i})) AS d{i}" for i in range(8))}
+        FROM tf
+    ),
+    sc AS (
+        SELECT i.doc_id,
+               ({" + ".join(f"(i.c{k} / i.n) * (t.d{k} / t.m)" for k in range(8))}) AS dot,
+               sqrt({" + ".join(f"(i.c{k} / i.n) * (i.c{k} / i.n)" for k in range(8))}) AS ni,
+               sqrt({" + ".join(f"(t.d{k} / t.m) * (t.d{k} / t.m)" for k in range(8))}) AS nt
+        FROM ih i JOIN th t USING (doc_id)
+    )
+    SELECT doc_id,
+           round(CASE WHEN ni * nt = 0 THEN 0.0 ELSE dot / (ni * nt) END, 6)
+               AS align_score,
+           (CASE WHEN ni * nt = 0 THEN 0.0 ELSE dot / (ni * nt) END)
+               >= {ALIGN_TAU!r} AS kept
+    FROM sc ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "curation"),
+)
+def multimodal_image_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text ALIGNMENT gate — the LAION/DataComp curation step
+    that drops caption-image pairs whose modalities disagree. The
+    production scorer is a CLIP dot product; this container has no
+    vision model, so per the multimodal stubbing policy the scorer is
+    a DETERMINISTIC STAND-IN (cosine between the image's 8-bucket
+    intensity histogram from the REAL decode and the caption's 8-bucket
+    token-length profile) while every piece of Spark plumbing the real
+    thing needs is genuine: the decode-once Arrow pass emitting exact
+    integer sufficient statistics, the modality join keyed on doc_id,
+    the row-local feature normalization, the thresholded keep/drop
+    verdict. Swapping in real CLIP embeddings changes one column
+    expression, not the plan.
+
+    100 TB posture: one image decode pass (integer histograms
+    shuffle-side, 8 longs per image), one row-local text profile, ONE
+    doc_id equi-join — batch-of-pairs, never cross-modal cartesian."""
+    stats = M.image_color_stats(_images(spark, sf_dir))
+    n = (F.col("w") * F.col("h")).cast("double")
+    ih = stats.select(
+        F.regexp_extract("uri", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        *[
+            (F.element_at("hist", k + 1) / n).alias(f"p{k}")
+            for k in range(8)
+        ],
+    )
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < IMG_DOCS)
+    t = F.array_remove(F.split("text", r"\s+"), "")
+    m = F.greatest(F.size(t), F.lit(1)).cast("double")
+    def _bucket_is(kk: int):
+        # NB: a two-parameter lambda would make F.filter pass the array
+        # INDEX as the second argument — capture the bucket in a closure
+        return lambda x: F.least(F.length(x) - 1, F.lit(7)) == kk
+
+    th = d.select(
+        "doc_id",
+        *[
+            (F.size(F.filter(t, _bucket_is(k))) / m).alias(f"q{k}")
+            for k in range(8)
+        ],
+    )
+    j = ih.join(th, "doc_id")
+    dot = sum(
+        (F.col(f"p{k}") * F.col(f"q{k}") for k in range(1, 8)),
+        F.col("p0") * F.col("q0"),
+    )
+    ni = F.sqrt(
+        sum((F.col(f"p{k}") * F.col(f"p{k}") for k in range(1, 8)),
+            F.col("p0") * F.col("p0"))
+    )
+    nt = F.sqrt(
+        sum((F.col(f"q{k}") * F.col(f"q{k}") for k in range(1, 8)),
+            F.col("q0") * F.col("q0"))
+    )
+    score = F.when(ni * nt == 0, F.lit(0.0)).otherwise(dot / (ni * nt))
+    return j.select(
+        "doc_id",
+        F.round(score, 6).alias("align_score"),
+        (score >= ALIGN_TAU).alias("kept"),
+    ).orderBy("doc_id")

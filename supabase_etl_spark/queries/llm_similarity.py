@@ -2855,3 +2855,97 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= HAM_K)
         .orderBy("qid", "rk")
     )
+
+
+_L2_SQL = (
+    "sqrt(greatest({na2} + {nb2} - 2.0 * {dot}, 0.0))"
+)
+
+
+@query(
+    "embedding_chamfer_hausdorff",
+    oracle=f"""
+    WITH a AS (
+        SELECT vec_id AS ida, embedding AS ea,
+               {sql_dot("embedding", "embedding")} AS na2
+        FROM embeddings WHERE label = 0
+    ),
+    b AS (
+        SELECT vec_id AS idb, embedding AS eb,
+               {sql_dot("embedding", "embedding")} AS nb2
+        FROM embeddings WHERE label = 1
+    ),
+    pd AS (
+        SELECT ida, idb,
+               sqrt(greatest(na2 + nb2 - 2.0 * {sql_dot("ea", "eb")}, 0.0)) AS d
+        FROM a CROSS JOIN b
+    ),
+    ma AS (SELECT ida, min(d) AS md FROM pd GROUP BY ida),
+    mb AS (SELECT idb, min(d) AS md FROM pd GROUP BY idb)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+           round((SELECT CAST(SUM(CAST(md AS DECIMAL(38,18))) AS DOUBLE)
+                         / count(*) FROM ma)
+                 + (SELECT CAST(SUM(CAST(md AS DECIMAL(38,18))) AS DOUBLE)
+                           / count(*) FROM mb), 6) AS chamfer,
+           round(greatest((SELECT max(md) FROM ma),
+                          (SELECT max(md) FROM mb)), 6) AS hausdorff
+    """,
+    tags=("llm", "similarity", "embedding", "ml-eval"),
+)
+def embedding_chamfer_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chamfer distance and (symmetric) Hausdorff distance between two
+    embedding SETS — the set-level similarity metrics retrieval and
+    generative-eval suites report when comparing a produced point
+    cloud / embedding batch against a reference set. Chamfer averages
+    each side's nearest-neighbor distance; Hausdorff takes the worst
+    case.
+
+    Sets here: label-0 vs label-1 vectors. The pair stage is
+    set-A × set-B with the SMALLER side broadcast — these are eval
+    sets (bounded by construction), never corpus × corpus; at 100 TB
+    the corpus-sized side streams once past the broadcast. Distances
+    share one exact fold (dot_double, DuckDB list_reduce order), the
+    per-point minima reduce map-side, and the two means go through
+    exact decimal sums before ONE division each."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm2 = dot_double(F.col("embedding"), F.col("embedding"))
+    a = e.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        nrm2.alias("na2"),
+    )
+    b = e.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        nrm2.alias("nb2"),
+    )
+    d = F.sqrt(
+        F.greatest(
+            F.col("na2") + F.col("nb2") - 2.0 * dot_double(F.col("ea"), F.col("eb")),
+            F.lit(0.0),
+        )
+    )
+    pd_ = (
+        a.crossJoin(F.broadcast(b))
+        .select("ida", "idb", d.alias("d"))
+        .localCheckpoint(eager=False)  # consumed by BOTH directed minima
+    )
+    ma = pd_.groupBy("ida").agg(F.min("d").alias("md"))
+    mb = pd_.groupBy("idb").agg(F.min("d").alias("md"))
+    sa = ma.agg(
+        F.count(F.lit(1)).alias("n_a"),
+        (F.sum(F.col("md").cast("decimal(38,18)")).cast("double") / F.count(F.lit(1))).alias("ca"),
+        F.max("md").alias("ha"),
+    )
+    sb = mb.agg(
+        F.count(F.lit(1)).alias("n_b"),
+        (F.sum(F.col("md").cast("decimal(38,18)")).cast("double") / F.count(F.lit(1))).alias("cb"),
+        F.max("md").alias("hb"),
+    )
+    return sa.crossJoin(F.broadcast(sb)).select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.col("ca") + F.col("cb"), 6).alias("chamfer"),
+        F.round(F.greatest("ha", "hb"), 6).alias("hausdorff"),
+    )
