@@ -1087,6 +1087,29 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def t_exact_substring(docs):
+        # ExactSubstr dedup (dedup_exact_substring), real fn over
+        # blown-up docs — production xxhash64 window-hash path
+        import os
+
+        from supabase_etl_spark.queries.llm_dedup import dedup_exact_substring
+
+        os.environ["SPARK_GRAFT_XS_HASH"] = "xxhash64"
+        try:
+            dedup_exact_substring(spark, docs.__sfdir__).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        finally:
+            os.environ.pop("SPARK_GRAFT_XS_HASH", None)
+
+    def t_cdc_chunks(docs):
+        # content-defined chunking dedup (dedup_cdc_chunks), real fn
+        from supabase_etl_spark.queries.llm_dedup import dedup_cdc_chunks
+
+        dedup_cdc_chunks(spark, docs.__sfdir__).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     def t_corpus_prepare(docs):
         # the composed quality-gate -> lang-ID -> Bloom-decontaminate ->
         # mixture-ledger pipeline (corpus_prepare_end_to_end), real fn
@@ -1311,6 +1334,8 @@ def main() -> None:
         "ssim over phash candidates": t_ssim_phash,
         "dedup pipeline e2e (LSH->lev->CC)": t_e2e_pipeline,
         "corpus prepare e2e (gate->bloom->ledger)": t_corpus_prepare,
+        "exact-substring dedup (windows->coverage)": t_exact_substring,
+        "cdc chunk dedup (boundaries->chunk hash)": t_cdc_chunks,
         "trajectory topk band-blocked": t_trajectory,
         "identity stitching CC": t_stitching,
         "naive-bayes train+score": t_naive_bayes,
