@@ -751,7 +751,7 @@ _VOCAB_TOK = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
     SELECT f.doc_id,
            CAST(count(*) AS BIGINT) AS n_tok,
            CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-           list(coalesce(v.id, 0) ORDER BY f.pos) AS ids
+           array_to_string(list(CAST(coalesce(v.id, 0) AS VARCHAR) ORDER BY f.pos), ' ') AS ids
     FROM flat f LEFT JOIN vocab v ON f.tok = v.tok
     GROUP BY f.doc_id
     ORDER BY f.doc_id
@@ -762,7 +762,11 @@ def text_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary build + token→id mapping — the tokenizer-fitting step
     of a training pipeline: rank the corpus's top-{VOCAB_K} tokens by
     frequency (ties broken lexicographically, ids dense from 1), then
-    encode every document as its ordered id sequence with OOV→0.
+    encode every document as its ordered id sequence with OOV→0. The
+    sequence is emitted as a space-joined STRING, not an array — the
+    driver-facing contract is scalar-only columns (pandas canon cannot
+    sort/hash list cells), enforced registry-wide by
+    tests/test_output_type_lint.py.
 
     Scale shape: token frequencies are one map-side-combinable agg; the
     top-K cut is a TakeOrdered (K rows to the driver-side limit, never
@@ -798,9 +802,12 @@ def text_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
             .cast("bigint")
             .alias("n_oov"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "id"))),
-                lambda s: s["id"],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+                " ",
             ).alias("ids"),
         )
         .orderBy("doc_id")
