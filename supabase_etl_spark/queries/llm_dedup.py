@@ -1251,6 +1251,15 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d
     trunc = F.expr("substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))")
+    # scan-once discipline (VERDICT r10 task 2): the incoming batch feeds
+    # the exact-hash stage, the union into the shingle stream, AND the
+    # final verdict join; the exploded shingle frame feeds the band keys,
+    # the size table, and BOTH sides of the exact-Jaccard intersection;
+    # the band-key table is consumed twice (batch/corpus sides). Unpinned,
+    # Catalyst re-derives each from the parquet scan per consumer — the
+    # r10 plan had 48 Scan-parquet leaves and blew 1.9s -> 13.4s under
+    # load. localCheckpoint(eager=False) pins each shared frame once
+    # (the hygiene gate's one sanctioned storage use).
     incoming = (
         d.filter(F.col("doc_id") % 20 == 0)
         .select((F.col("doc_id") + COPY_OFFSET).alias("doc_id"), "text")
@@ -1260,6 +1269,7 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 trunc.alias("text"),
             )
         )
+        .localCheckpoint(eager=False)
     )
 
     # stage 1: exact content hash, batch semi-joined into corpus digests
@@ -1272,10 +1282,10 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 2: cross-side MinHash bands (batch x corpus only)
     both_docs = corpus.unionByName(incoming)
-    sh = D.exploded_shingles(both_docs)
+    sh = D.exploded_shingles(both_docs).localCheckpoint(eager=False)
     bands = D.band_keys(D.minhash_signature(
         sh.select("doc_id", D.strhash(F.col("s")).alias("sid"))
-    ))
+    )).localCheckpoint(eager=False)
     is_new = F.col("doc_id") >= COPY_OFFSET
     cand = (
         bands.filter(is_new).alias("a")
@@ -2555,19 +2565,57 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CDC_W = 8  # fingerprint window (chars)
 CDC_D = 16  # boundary divisor => expected chunk length ~CDC_D chars
-
-_CDC_SPARK_BOUNDS = (
-    f"array_append(CASE WHEN length(text) > {CDC_W} THEN "
-    f"filter(sequence({CDC_W}, length(text) - 1), i -> "
-    f"pmod(CAST(conv(substring(md5(substring(text, i - {CDC_W} + 1, {CDC_W})), "
-    f"1, 8), 16, 10) AS BIGINT), {CDC_D}) = 0) "
-    f"ELSE CAST(array() AS ARRAY<INT>) END, length(text))"
-)
+# Rabin-style windowed polynomial fingerprint (the original LBFS CDC
+# boundary test, Muthitacharoen et al. 2001 §3.1): f(i) = sum_j
+# coef[j] * codepoint(char at window pos j) mod P, boundary where
+# f % CDC_D == 0. Replaces r10's per-position md5 — same chunking
+# statistics, but the polynomial is 8 multiply-adds both engines
+# evaluate natively: numpy-vectorized on the Spark side (mapInPandas,
+# the lever SCALE.md named), a plain arithmetic lambda in DuckDB.
+# Bounds: codepoint <= 0x10FFFF, coef < P = 1e9+7, 8 terms => sum
+# < 2^63 on both engines, no overflow, no wraparound ambiguity.
+_CDC_B = 263
+_CDC_P = 1_000_000_007
+_CDC_COEF = tuple(pow(_CDC_B, CDC_W - 1 - j, _CDC_P) for j in range(CDC_W))
+# window ending at position i covers chars i-W+1 .. i (1-based); char
+# j (0-based in-window) sits at position i - (W-1-j)
 _CDC_SQL_BOUNDS = (
-    f"list_append(list_filter(range({CDC_W}, length(text)), i -> "
-    f"CAST(concat('0x', substring(md5(substr(text, i - {CDC_W} + 1, {CDC_W})), "
-    f"1, 8)) AS BIGINT) % {CDC_D} = 0), length(text))"
+    f"list_append(list_filter(range({CDC_W}, length(text)), i -> ("
+    + " + ".join(
+        f"CAST({_CDC_COEF[j]} AS BIGINT) * unicode(substr(text, i - {CDC_W - 1 - j}, 1))"
+        for j in range(CDC_W)
+    )
+    + f") % {_CDC_P} % {CDC_D} = 0), length(text))"
 )
+
+
+def _cdc_boundary_batches(batches):
+    """mapInPandas kernel: per document, the full boundary-position
+    stream in one vectorized pass. utf-32-le decode gives exact code
+    points (byte==char only holds for ASCII; this matches DuckDB's
+    unicode() for ANY text). For an n-char doc the fingerprint of every
+    window is CDC_W shifted multiply-adds over one int64 array — no
+    per-position interpreter, no state across positions."""
+    import numpy as np
+
+    coef = np.array(_CDC_COEF, dtype=np.int64)
+    for pdf in batches:
+        bfs = []
+        for txt in pdf["text"]:
+            n = len(txt)
+            if n <= CDC_W:
+                bfs.append([n])
+                continue
+            cp = np.frombuffer(
+                txt.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            m = n - CDC_W  # windows ending at positions CDC_W .. n-1
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(CDC_W):
+                h += coef[j] * cp[j : j + m]
+            pos = np.nonzero((h % _CDC_P) % CDC_D == 0)[0] + CDC_W
+            bfs.append(np.append(pos, n).astype("int32").tolist())
+        yield pdf.assign(bf=bfs)
 
 
 @query(
@@ -2613,24 +2661,28 @@ _CDC_SQL_BOUNDS = (
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (the FastCDC/LBFS storage
     primitive, Muthitacharoen et al. 2001): chunk boundaries land where
-    a {CDC_W}-char windowed fingerprint hits 0 mod {CDC_D}, so an
-    insertion early in a document shifts only the chunk it touches —
-    unlike fixed-size blocks, identical content re-chunks identically
-    at any offset. Chunks are content-hashed and deduplicated across
-    the corpus; the per-document ledger reports chunk counts and
+    a {CDC_W}-char Rabin-style windowed polynomial fingerprint hits 0
+    mod {CDC_D}, so an insertion early in a document shifts only the
+    chunk it touches — unlike fixed-size blocks, identical content
+    re-chunks identically at any offset. Chunks are content-hashed
+    (md5 ledger, unchanged from r10) and deduplicated across the
+    corpus; the per-document ledger reports chunk counts and
     duplicated bytes (what a dedup storage layer would save).
 
-    Distributed shape: boundary detection is a ROW-LOCAL higher-order
-    filter over character positions (no explode of the position
-    stream), chunk structs explode at ~1 row per {CDC_D} chars, and
-    cross-doc dedup is ONE hash-keyed aggregate + broadcast-back —
-    linear in corpus bytes, no state across rows, no sequential scan
-    (the windowed fingerprint replaces the stateful Gear rolling hash
-    precisely so every position tests independently)."""
+    Distributed shape: boundary detection is ONE Arrow-batched
+    mapInPandas pass — per doc, every window's fingerprint is {CDC_W}
+    numpy multiply-adds over the code-point array (r10's interpreted
+    per-position md5 higher-order filter was the registry's largest
+    constant, 6.8s at sf0.1; SCALE.md named this exact lever). Still
+    stateless across positions and rows. Chunk structs explode at ~1
+    row per {CDC_D} chars, and cross-doc dedup is ONE hash-keyed
+    aggregate + broadcast-back — linear in corpus bytes."""
     d = load_table(spark, sf_dir, "documents")
     # scan-once: boundaries feed the chunk stream AND the final ledger;
     # chunks feed the dup aggregate AND the per-doc rollup
-    b = d.select("doc_id", "text", F.expr(_CDC_SPARK_BOUNDS).alias("bf")).localCheckpoint(eager=False)
+    b = d.select("doc_id", "text").mapInPandas(
+        _cdc_boundary_batches, "doc_id bigint, text string, bf array<int>"
+    ).localCheckpoint(eager=False)
     ch = b.select(
         "doc_id",
         F.explode(
