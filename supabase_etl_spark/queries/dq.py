@@ -3715,12 +3715,20 @@ def dq_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("_tb").over(woff), F.lit(0)).alias("_ob"),
         )
     )
-    # each partition's FIRST value, shifted to its predecessor: the
-    # lead() of a partition's last row lives one partition to the right
+    # each partition's FIRST value, shifted to its PREDECESSOR AMONG THE
+    # PRESENT pids: the lead() of a partition's last row lives in the
+    # next non-empty partition. A bare _pid - 1 shift silently drops a
+    # boundary term whenever repartitionByRange leaves an empty
+    # partition between two non-empty ones (ADVICE r10) — lag() over
+    # the O(partitions) firsts table is gap-robust for free.
     firsts = (
         ranged.groupBy("_pid")
-        .agg(F.min("v").alias("_fv"))
-        .select((F.col("_pid") - 1).alias("_pid"), F.col("_fv").alias("_next_first"))
+        .agg(F.min("v").alias("_next_first"))
+        .select(
+            F.lag("_pid").over(Window.orderBy("_pid")).alias("_pid"),
+            "_next_first",
+        )
+        .filter(F.col("_pid").isNotNull())
     )
     cum = (
         ranged.withColumn("_la", F.sum("ca").over(wloc))

@@ -3931,10 +3931,17 @@ def ml_eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = c.join(r, "pair_id").localCheckpoint(eager=False)
 
     def grams(col: str):
+        # Spark's sequence(1, 0) is DESCENDING [1, 0] — a greatest(..., 0)
+        # upper bound does NOT empty it, it sends i=0 into slice() which
+        # throws INVALID_PARAMETER_VALUE.START on any doc shorter than
+        # ROUGE_N tokens. Guard the whole transform instead: short docs
+        # emit no grams (matches the oracle, which ranges over
+        # len - N + 1 <= 0 and yields nothing).
         return F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size({col}) - {ROUGE_N} + 1, 0)), "
-                f"i -> array_join(slice({col}, i, {ROUGE_N}), ' '))"
+                f"IF(size({col}) < {ROUGE_N}, array(), "
+                f"transform(sequence(1, size({col}) - {ROUGE_N} + 1), "
+                f"i -> array_join(slice({col}, i, {ROUGE_N}), ' ')))"
             )
         )
 
