@@ -162,31 +162,26 @@ _STATIC_PRIORITY: tuple[str, ...] = (
 # task 3 — events 83, text 39, dq 37, agg 30, sample 27 unverified,
 # while the r8 quota families are largely drained).
 _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
-    # pin the r10 debuts into the window (every new operator gets a
-    # driver-verification slot in its debut round — the r8/r9 pattern):
-    # the streaming incremental-curation capstone and the r10 wave
-    ("stream_incremental_curation_e2e", 1),
-    ("dedup_exact_substring", 1),
-    ("text_blocklist_gate", 1),
-    ("ml_eval_rouge_n", 1),
-    ("ml_eval_kfold_cv", 1),
-    ("agg_count_min_sketch", 1),
-    ("sim_hamming_topk", 1),
-    ("dq_drift_wasserstein", 1),
-    ("dedup_cdc_chunks", 1),
-    ("multimodal_image_text_alignment", 1),
-    ("embedding_chamfer_hausdorff", 1),
-    ("agg_wilcoxon_signed_rank", 1),
+    # pin the r11 repairs/debuts into the window (every new or repaired
+    # operator gets a driver-verification slot — the r8-r10 pattern):
+    # text_vocab_ids is the r10 driver-ERR repaired to a string-
+    # serialized id column (it re-enters the candidate pool via the
+    # verified-only driver_verified_names semantics); the multimodal
+    # incremental-ingest capstone is the r11 debut.
+    ("text_vocab_ids", 1),
+    ("multimodal_incremental_ingest", 1),
     # family quotas re-aimed at the LARGEST never-verified families as
-    # measured from the committed artifacts at r10 start (events 77,
-    # text 33, dq 31, agg 24, sample 21, io 18 — VERDICT r9 task 4's
-    # family guesses corrected by the computed census)
-    ("events_", 13),
-    ("text_", 8),
-    ("dq_", 8),
-    ("agg_", 6),
+    # computed from the committed artifacts at r11 start (events 64,
+    # text 25, dq 23, agg/sample/io/ml 18 each, udf 13, embedding 11 —
+    # VERDICT r10 task 3)
+    ("events_", 14),
+    ("text_", 6),
+    ("dq_", 6),
+    ("agg_", 5),
     ("sample_", 5),
     ("io_", 5),
+    ("ml_", 4),
+    ("udf_", 3),
 )
 _WINDOW_SIZE = 50
 
@@ -212,7 +207,17 @@ def driver_verified_names(root: "str | None" = None) -> set[str]:
         except (OSError, ValueError):
             continue
         if isinstance(data, dict):
-            seen.update(k for k, v in data.items() if isinstance(v, dict))
+            # only entries the driver actually VERIFIED retire a name: a
+            # row with err/null matches (r10's text_vocab_ids — the
+            # driver's pandas canon crashed on its then-list column)
+            # must rotate back into the window after the fix, not count
+            # as covered.
+            seen.update(
+                k
+                for k, v in data.items()
+                if isinstance(v, dict)
+                and (v.get("hash_match") or v.get("rows_match"))
+            )
     return seen
 
 
