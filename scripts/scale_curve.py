@@ -1110,6 +1110,26 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def t_mm_incremental_ingest(docs):
+        # multimodal incremental-ingest capstone (real fn, real
+        # streaming harness + manifest commits) over a growing image
+        # count: 256 x mult images through the same 3-micro-batch flow.
+        # Image count, not document blowup, is the scale axis — the
+        # fixture cap is lifted via the env knob the fn reads.
+        import os
+
+        from supabase_etl_spark.queries.streaming import (
+            multimodal_incremental_ingest,
+        )
+
+        os.environ["SPARK_GRAFT_MM_INC_DOCS"] = str(256 * docs.__mult__)
+        try:
+            multimodal_incremental_ingest(spark, SF_DIR).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        finally:
+            os.environ.pop("SPARK_GRAFT_MM_INC_DOCS", None)
+
     def t_corpus_prepare(docs):
         # the composed quality-gate -> lang-ID -> Bloom-decontaminate ->
         # mixture-ledger pipeline (corpus_prepare_end_to_end), real fn
@@ -1336,6 +1356,7 @@ def main() -> None:
         "corpus prepare e2e (gate->bloom->ledger)": t_corpus_prepare,
         "exact-substring dedup (windows->coverage)": t_exact_substring,
         "cdc chunk dedup (boundaries->chunk hash)": t_cdc_chunks,
+        "multimodal incremental ingest (decode->gate->dedup->manifest)": t_mm_incremental_ingest,
         "trajectory topk band-blocked": t_trajectory,
         "identity stitching CC": t_stitching,
         "naive-bayes train+score": t_naive_bayes,
