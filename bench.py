@@ -40,6 +40,15 @@ exemption, not the engine. They report under `codec_queries` /
 `codec_total` with the synthesis-oracle wall kept as a diagnostic
 (`codec_oracle_synthesis`); `ratio_total` and the per-query ratio maps
 cover only basis="ratio" queries, where both sides do equivalent work.
+
+SELF-LABELING (r11, VERDICT r10 task 6): the noop-action floor is
+sampled throughout the run (start, every 8th query, end —
+`floor_samples`; it decays ~60 ms cold -> ~15 ms warm, so it is NOT a
+constant). `floor` stays the start-of-run value the adjusted ratios
+subtract (the r9/r10 comparability basis). `load_factor` =
+median(floor_samples) / `floor_quiet_ref` (the committed quiet-machine
+median): a contended run (load_factor >~ 1.5) announces itself in the
+artifact instead of reading as a uniform wall regression.
 """
 
 from __future__ import annotations
@@ -47,6 +56,15 @@ from __future__ import annotations
 import json
 import os
 import time
+
+# Quiet-machine RUN-LONG MEDIAN noop floor (r11 measurement: samples
+# decay ~60 ms cold -> ~15 ms warm over a full bench on an idle
+# local[32] box; median 0.017). The runtime median divided by this
+# reference is the run's `load_factor`: a contended run labels itself
+# instead of reading as a uniform regression. Re-baseline whenever the
+# committed bench is regenerated on a quiet machine and the median
+# moves materially.
+FLOOR_QUIET_REF = 0.017
 
 
 def main() -> None:
@@ -83,13 +101,17 @@ def main() -> None:
         # queries (ADVICE r1).
         df.write.format("noop").mode("overwrite").save()
 
-    # Per-query env overrides: the bench measures the PRODUCTION path.
-    # sample_dsir's registry default is the md5 gram hash purely for
-    # DuckDB-oracle bit-parity; deployments run xxhash64 (~25% faster
-    # end-to-end, SCALE.md r6 A/B), so that's what the headline row
-    # times (VERDICT r6 task 3). The md5 path stays green in the
-    # correctness gate, and an extra diagnostic row below tracks it.
-    env_overrides: dict[str, dict[str, str]] = {
+    # HASH-BASIS POLICY (r11, ADVICE r10): the ratio maps the gate reads
+    # are strictly apples-to-apples — every ratio-basis row times the
+    # ORACLE-PARITY path (md5 where the DuckDB oracle hashes md5), so
+    # numerator and denominator do the same hash work. The faster
+    # production paths (xxhash64, ~25-27% faster end-to-end, SCALE.md
+    # A/Bs) are timed as *_xxhash64_production DIAGNOSTIC rows excluded
+    # from totals/ratios. This inverts the r6-r10 arrangement (headline
+    # xxhash64 + md5 diagnostic) for sample_dsir and
+    # dedup_exact_substring — round-over-round comparison for those two
+    # rows crosses the basis change at r11.
+    production_overrides: dict[str, dict[str, str]] = {
         "sample_dsir": {"SPARK_GRAFT_DSIR_HASH": "xxhash64"},
         "dedup_exact_substring": {"SPARK_GRAFT_XS_HASH": "xxhash64"},
     }
@@ -100,12 +122,29 @@ def main() -> None:
     # query pays regardless of plan. Reported as `floor` and subtracted
     # into `ratio_adj`, so sub-second queries on millisecond oracles stop
     # reading as 60x "slowdowns" when the gap is all fixed overhead.
-    floor = None
-    for _ in range(3):
-        t0 = time.time()
-        materialize(spark.range(1))
-        dt = time.time() - t0
-        floor = dt if floor is None else min(floor, dt)
+    # The noop floor is NOT a constant: r11's interleaved sampling shows
+    # it decaying ~60 ms -> ~15 ms as the JVM warms over the run
+    # (`floor_samples`). Two distinct uses, two distinct values:
+    #   * stage_adj keeps the r9/r10 basis — the START-of-run floor —
+    #     for round-over-round comparability (a noop also under-counts a
+    #     real action's fixed part: no codegen compile, no AQE wait, no
+    #     broadcast build; those are decomposed separately via
+    #     bcast_floor and SCALE.md's AQE constants);
+    #   * load_factor uses the MEDIAN sample vs the committed
+    #     quiet-machine median — the run-long contention signal.
+    floor_samples: list[float] = []
+
+    def sample_floor() -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            materialize(spark.range(1))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        floor_samples.append(round(best, 4))
+        return best
+
+    floor = sample_floor()
 
     # per-broadcast build+exchange constant (r10 SCALE.md decomposition):
     # a tiny broadcast-join action minus the 1-stage floor — the fixed
@@ -140,10 +179,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     stages: dict[str, int] = {}
     total = 0.0
-    for name in sorted(bench_set):
+    for qi, name in enumerate(sorted(bench_set)):
+        if qi and qi % 8 == 0:
+            sample_floor()  # interleaved floor sample (see above)
         spec = bench_set[name]
-        for k, v in env_overrides.get(name, {}).items():
-            os.environ[k] = v
         if os.path.isdir(smoke_dir):
             materialize(spec.fn(spark, smoke_dir))
         # best of 2 measured runs: single-machine wall times jitter
@@ -167,20 +206,36 @@ def main() -> None:
         # clearCache is belt-and-braces for any future cached frame,
         # not a required leak valve as in r1-r3
         spark.catalog.clearCache()
-        for k in env_overrides.get(name, {}):
-            os.environ.pop(k, None)
 
-    # Diagnostic row (excluded from totals/ratios): the md5 oracle-parity
-    # DSIR path, so the md5↔xxhash64 gap stays visible round-over-round.
-    if "sample_dsir" in bench_set:
+    # Diagnostic rows (excluded from totals/ratios): the xxhash64
+    # PRODUCTION paths, so the md5↔xxhash64 gap stays visible
+    # round-over-round while the ratio maps stay apples-to-apples.
+    for name, env in production_overrides.items():
+        if name not in bench_set:
+            continue
+        for k, v in env.items():
+            os.environ[k] = v
         best = None
         for _ in range(2):
             t0 = time.time()
-            materialize(bench_set["sample_dsir"].fn(spark, sf_dir))
+            materialize(bench_set[name].fn(spark, sf_dir))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        timings["sample_dsir_md5_parity"] = round(best, 3)
-        print(f"# sample_dsir_md5_parity: {best:.3f}s (diagnostic)", flush=True)
+        for k in env:
+            os.environ.pop(k, None)
+        timings[f"{name}_xxhash64_production"] = round(best, 3)
+        print(
+            f"# {name}_xxhash64_production: {best:.3f}s (diagnostic)",
+            flush=True,
+        )
+        spark.catalog.clearCache()
+
+    # end-of-Spark-work floor sample, then the run-long median (the
+    # contention-label value — NOT what stage_adj subtracts)
+    floor_end = sample_floor()
+    import statistics
+
+    floor_median = statistics.median(floor_samples)
 
     # Same-process DuckDB oracle timings for the same queries — the
     # denominator of the epoch-invariant ratio. Queries with
@@ -237,10 +292,13 @@ def main() -> None:
         # Spark-overhead DIAGNOSTIC (one stage launch forgiven; the
         # oracle keeps its own overhead — see module docstring)
         ratios_adj[name] = (
-            round(max(timings[name] - floor, 0.0) / best, 2) if best > 0 else -1.0
+            round(max(timings[name] - floor, 0.0) / best, 2)
+            if best > 0
+            else -1.0
         )
         # symmetric stage-adjusted ratio: strip the MEASURED fixed
-        # overhead from both sides (stages x floor vs oracle_floor)
+        # overhead from both sides (stages x start-of-run floor vs
+        # oracle_floor — the r9/r10 continuity basis, see floor notes)
         o_net = max(best - oracle_floor, 0.001)
         s_net = max(timings[name] - stages.get(name, 1) * floor, 0.0)
         ratios_stage_adj[name] = round(s_net / o_net, 2)
@@ -253,6 +311,16 @@ def main() -> None:
             f"{stages.get(name, 0)} stages)",
             flush=True,
         )
+
+    # CONTENTION SELF-LABELING (VERDICT r10 task 6): the r10 driver
+    # re-run read ~2x slower than the committed bench UNIFORMLY — machine
+    # load, not regression — but adjudicating that required a judge-side
+    # git comparison. The median run-interleaved floor against the
+    # committed quiet-machine reference labels the run: load_factor >~
+    # 1.5 means contended, and the per-query walls should be read
+    # against the committed bench_results.json rather than as plan
+    # regressions.
+    load_factor = round(floor_median / FLOOR_QUIET_REF, 2)
 
     codec_queries = {
         n: timings[n]
@@ -273,7 +341,12 @@ def main() -> None:
         "ratio_adj": ratios_adj,
         "ratio_stage_adj": ratios_stage_adj,
         "stages": stages,
-        "floor": round(floor, 3),
+        "floor": round(floor, 4),
+        "floor_end": round(floor_end, 4),
+        "floor_median": round(floor_median, 4),
+        "floor_samples": floor_samples,
+        "floor_quiet_ref": FLOOR_QUIET_REF,
+        "load_factor": load_factor,
         "bcast_floor": round(bcast_floor, 3),
         "oracle_floor": round(oracle_floor, 4),
         "oracle_total": round(oracle_total, 3),
