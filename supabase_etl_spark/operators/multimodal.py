@@ -285,6 +285,45 @@ def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataF
     )
 
 
+def audio_energy_fingerprint(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Arrow-batched real WAV decode → (uri, n_samples, fingerprint):
+    |sample| energy pooled into 16 time blocks, one bit per block
+    (block mean > clip mean, exact integer cross-multiplication) — the
+    chromaprint-granularity perceptual signature
+    multimodal_audio_fingerprint_dedup groups on, factored out so the
+    incremental-ingest capstone decodes each clip exactly once."""
+    from supabase_etl_spark.operators import audiocodec as AC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uris, ns, fps = [], [], []
+            for uri, content in zip(pdf["uri"], pdf[content_col]):
+                _rate, _ch, samples = AC.decode_wav(bytes(content))
+                n = len(samples)
+                bs = [0] * 16
+                bc = [0] * 16
+                ts = 0
+                for i, s in enumerate(samples):
+                    e = abs(s)
+                    bi = (i * 16) // n
+                    bs[bi] += e
+                    bc[bi] += 1
+                    ts += e
+                bits = "".join(
+                    "1" if bs[bi] * n > ts * bc[bi] else "0" for bi in range(16)
+                )
+                uris.append(uri)
+                ns.append(n)
+                fps.append(bits)
+            yield pd.DataFrame(
+                {"uri": uris, "n_samples": ns, "fingerprint": fps}
+            )
+
+    return df.mapInPandas(
+        run, schema="uri string, n_samples int, fingerprint string"
+    )
+
+
 def resample_audio(df: DataFrame, factor: int = 2, content_col: str = "content") -> DataFrame:
     """Arrow-batched integer decimation: decode WAV, average each
     consecutive ``factor``-sample block (floor division — exact

@@ -170,14 +170,18 @@ _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
     # incremental-ingest capstone is the r11 debut.
     ("text_vocab_ids", 1),
     ("multimodal_incremental_ingest", 1),
+    ("multimodal_audio_incremental_ingest", 1),
+    ("sample_data_constrained_epochs", 1),
+    ("sample_shard_snake_balanced", 1),
+    ("sample_length_histogram_match", 1),
     # family quotas re-aimed at the LARGEST never-verified families as
     # computed from the committed artifacts at r11 start (events 64,
     # text 25, dq 23, agg/sample/io/ml 18 each, udf 13, embedding 11 —
-    # VERDICT r10 task 3)
-    ("events_", 14),
-    ("text_", 6),
+    # VERDICT r10 task 3); 6 debut pins + 44 quota slots = 50
+    ("events_", 12),
+    ("text_", 5),
     ("dq_", 6),
-    ("agg_", 5),
+    ("agg_", 4),
     ("sample_", 5),
     ("io_", 5),
     ("ml_", 4),

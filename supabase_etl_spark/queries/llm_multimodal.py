@@ -602,36 +602,9 @@ def multimodal_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> Data
     fingerprint is a pure Arrow map; the only shuffle is the signature
     groupBy. The oracle replays PCM synthesis + identical pooling in
     SQL."""
-    import pandas as pd
-
-    from supabase_etl_spark.operators import audiocodec as AC
-
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < AUDIO_DOCS)
     audio = M.generate_audio(d.select("doc_id"))
-
-    def fingerprint(batches):
-        for pdf in batches:
-            uris, fps = [], []
-            for uri, content in zip(pdf["uri"], pdf["content"]):
-                _rate, _ch, samples = AC.decode_wav(bytes(content))
-                n = len(samples)
-                bs = [0] * 16
-                bc = [0] * 16
-                ts = 0
-                for i, s in enumerate(samples):
-                    e = abs(s)
-                    bi = (i * 16) // n
-                    bs[bi] += e
-                    bc[bi] += 1
-                    ts += e
-                bits = "".join(
-                    "1" if bs[bi] * n > ts * bc[bi] else "0" for bi in range(16)
-                )
-                uris.append(uri)
-                fps.append(bits)
-            yield pd.DataFrame({"uri": uris, "fingerprint": fps})
-
-    fps = audio.mapInPandas(fingerprint, schema="uri string, fingerprint string")
+    fps = M.audio_energy_fingerprint(audio).select("uri", "fingerprint")
     return (
         fps.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_clips"), F.min("uri").alias("keeper_uri"))

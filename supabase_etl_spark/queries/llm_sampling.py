@@ -2203,3 +2203,302 @@ def sample_largest_remainder_split(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("final_alloc"),
     ).orderBy("source")
+
+
+DCS_RSTAR = 15.39  # repeat-value decay constant (Muennighoff et al. 2023)
+DCS_EPOCH_GRID = (1, 2, 4, 8, 16)
+_DCS_TOK = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+
+
+@query(
+    "sample_data_constrained_epochs",
+    oracle=f"""
+    WITH src AS (
+        SELECT source,
+               CAST(sum(len({_DCS_TOK})) AS BIGINT) AS unique_tokens
+        FROM documents GROUP BY source
+    ),
+    grid AS (
+        SELECT * FROM (VALUES {", ".join(f"({e})" for e in DCS_EPOCH_GRID)})
+        AS g(epochs)
+    )
+    SELECT s.source, g.epochs, s.unique_tokens,
+           CAST(s.unique_tokens * g.epochs AS BIGINT) AS total_tokens,
+           round(s.unique_tokens * (1 + {DCS_RSTAR} *
+                 (1 - exp(-(g.epochs - 1) / {DCS_RSTAR}))), 3)
+               AS effective_tokens,
+           round((1 + {DCS_RSTAR} * (1 - exp(-(g.epochs - 1) / {DCS_RSTAR})))
+                 / g.epochs, 9) AS effective_fraction
+    FROM src s CROSS JOIN grid g
+    ORDER BY s.source, g.epochs
+    """,
+    tags=("llm", "sampling", "scaling-law"),
+)
+def sample_data_constrained_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained scaling planner (Muennighoff et al., NeurIPS
+    2023): when the unique corpus is smaller than the compute-optimal
+    token budget, repeated epochs still add value, but with
+    exponentially decaying returns — effective data D' = U * (1 + R* *
+    (1 - e^(-R/R*))) for R repeat epochs past the first, with the
+    paper's fitted R* = {DCS_RSTAR} (epochs beyond ~4 repeats are worth
+    a rapidly vanishing fraction; ~16 repeats saturate). The planning
+    table every data-constrained pretraining run starts from: per
+    source, the effective-token yield and efficiency of training 1 / 2
+    / 4 / 8 / 16 epochs over it. (The marginal value e^(-R/R*) depends
+    only on the epoch count, so under this law the budget-optimal
+    allocation is UNIFORM epochs across sources — the table shows the
+    law; the water-filling and mixture operators handle caps the law
+    doesn't model.)
+
+    100 TB shape: one map-side-combinable token-count aggregate over
+    the corpus scan (source-keyed, tiny shuffle), crossJoin with a
+    broadcast {len(DCS_EPOCH_GRID)}-row literal epoch grid, per-row
+    closed-form arithmetic. The exp() is a per-row transform over the
+    source x epoch grid (exact bigint token counts times a shared
+    per-epoch constant; round margins are 6+ orders above double ulp)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    src = d.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("unique_tokens")
+    )
+    grid = spark.createDataFrame(
+        [(e,) for e in DCS_EPOCH_GRID], "epochs int"
+    )
+    k = F.lit(1.0) + F.lit(DCS_RSTAR) * (
+        F.lit(1.0)
+        - F.exp(-(F.col("epochs") - 1).cast("double") / F.lit(DCS_RSTAR))
+    )
+    return (
+        src.crossJoin(F.broadcast(grid))
+        .select(
+            "source",
+            "epochs",
+            "unique_tokens",
+            (F.col("unique_tokens") * F.col("epochs"))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.round(F.col("unique_tokens") * k, 3).alias("effective_tokens"),
+            F.round(k / F.col("epochs"), 9).alias("effective_fraction"),
+        )
+        .orderBy("source", "epochs")
+    )
+
+
+SHARD_COUNT = 16  # training shards for the snake-draft assignment
+_SHARD_TOK = r"len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))"
+
+
+@query(
+    "sample_shard_snake_balanced",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_SHARD_TOK} AS n_tok FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tok,
+               row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS r0
+        FROM d
+    ),
+    assigned AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN (r0 // {SHARD_COUNT}) % 2 = 0
+                    THEN r0 % {SHARD_COUNT}
+                    ELSE {SHARD_COUNT} - 1 - (r0 % {SHARD_COUNT}) END AS shard_id
+        FROM ranked
+    ),
+    tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM d)
+    SELECT a.shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(a.n_tok) AS BIGINT) AS tokens,
+           round(CAST(sum(a.n_tok) AS DOUBLE) * {SHARD_COUNT} / t.t, 9)
+               AS share_of_mean
+    FROM assigned a CROSS JOIN tot t
+    GROUP BY a.shard_id, t.t
+    ORDER BY a.shard_id
+    """,
+    tags=("llm", "sampling", "sharding"),
+)
+def sample_shard_snake_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-balanced shard assignment — the write-side
+    step every training-data pipeline ends with: documents dealt into
+    {SHARD_COUNT} shards by SNAKE DRAFT over the token-count rank
+    (descending; block k deals left-to-right, block k+1 right-to-left),
+    the classic streaming approximation of LPT/greedy bin packing: each
+    2S-block contributes rank i + rank 2S-1-i to every shard, so shard
+    token totals stay within one document of each other wherever the
+    length distribution is smooth. Output is the per-shard ledger
+    (docs, tokens, share-of-mean) a shard writer would verify before
+    sealing files.
+
+    100 TB shape: the global rank is operators/prefix.distributed_rank
+    (range-repartition + per-partition offsets — bit-equal to
+    row_number() without a single-partition window), the snake map is
+    per-row integer arithmetic, and the ledger is one {SHARD_COUNT}-key
+    aggregate. Nothing driver-side; ties broken by doc_id so the
+    assignment replays bit-for-bit."""
+    from supabase_etl_spark.operators.prefix import distributed_rank
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    ranked = distributed_rank(
+        d, [F.col("n_tok").desc(), F.col("doc_id").asc()], out="r"
+    ).withColumn("r0", F.col("r") - 1)
+    s = F.lit(SHARD_COUNT)
+    assigned = ranked.select(
+        "doc_id",
+        "n_tok",
+        F.when(
+            (F.col("r0") / s).cast("bigint") % 2 == 0, F.col("r0") % s
+        )
+        .otherwise(s - 1 - F.col("r0") % s)
+        .cast("int")
+        .alias("shard_id"),
+    )
+    tot = d.agg(F.sum("n_tok").cast("bigint").alias("t"))
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard_id",
+            "n_docs",
+            "tokens",
+            F.round(
+                F.col("tokens").cast("double") * SHARD_COUNT / F.col("t"), 9
+            ).alias("share_of_mean"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+HIST_BUCKET_W = 10  # token-length bucket width for histogram matching
+HIST_BUCKET_CAP = 12  # top bucket absorbs the tail
+
+
+@query(
+    "sample_length_histogram_match",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               least({_SHARD_TOK} // {HIST_BUCKET_W}, {HIST_BUCKET_CAP})
+                   AS bucket
+        FROM documents
+    ),
+    b AS (
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_en
+        FROM d GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(sum(n_all) AS BIGINT) AS s_tot,
+               CAST(sum(n_en) AS BIGINT) AS t_tot
+        FROM b
+    ),
+    c AS (
+        SELECT min(CAST(b.n_all AS DOUBLE) * t.t_tot
+                   / (CAST(b.n_en AS DOUBLE) * t.s_tot)) AS c
+        FROM b CROSS JOIN tot t WHERE b.n_en > 0
+    ),
+    rates AS (
+        SELECT b.bucket, b.n_all, b.n_en,
+               CASE WHEN b.n_en = 0 THEN 0.0
+                    ELSE c.c * (CAST(b.n_en AS DOUBLE) * t.s_tot)
+                         / (CAST(b.n_all AS DOUBLE) * t.t_tot) END AS rate
+        FROM b CROSS JOIN tot t CROSS JOIN c
+    )
+    SELECT r.bucket, r.n_all, r.n_en, round(r.rate, 9) AS accept_rate,
+           CAST(count(*) FILTER (
+               WHERE CAST(({A} * d.doc_id + {B}) % {P} + 1 AS DOUBLE)
+                     / {P + 1} < r.rate) AS BIGINT) AS n_accepted
+    FROM rates r JOIN d ON d.bucket = r.bucket
+    GROUP BY r.bucket, r.n_all, r.n_en, r.rate
+    ORDER BY r.bucket
+    """,
+    tags=("llm", "sampling", "distribution-matching"),
+)
+def sample_length_histogram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram matching by rejection sampling — reshape the corpus's
+    token-length distribution to a target's (here: the 'en' slice, the
+    "formal register" stand-in): per length bucket, accept with
+    probability c * target_share / corpus_share, with c the largest
+    constant keeping every rate <= 1 (the bucket already AT the target
+    shape accepts everything; over-represented buckets thin). The
+    distribution-reshaping sibling of DSIR (which matches n-gram
+    distributions) and temperature mixing (which matches source
+    shares); acceptance runs on the registry's deterministic LCG so
+    the kept set replays bit-for-bit.
+
+    100 TB shape: one bucketed count aggregate (a dozen keys), the
+    normalizing constant from that bounded table, then a broadcast-join
+    of the rate table back onto the corpus scan — accept/reject is one
+    shuffle-free map pass; the only corpus shuffle is the final ledger
+    rollup. Rates are ratios of exact bigints through IEEE
+    correctly-rounded double ops, so both engines accept identical
+    doc_ids."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.least(
+            F.size(tokens(F.col("text"))) / HIST_BUCKET_W,
+            F.lit(HIST_BUCKET_CAP),
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    b = d.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_en"),
+    )
+    tot = b.agg(
+        F.sum("n_all").cast("bigint").alias("s_tot"),
+        F.sum("n_en").cast("bigint").alias("t_tot"),
+    )
+    bt = b.crossJoin(F.broadcast(tot))
+    c = bt.filter(F.col("n_en") > 0).agg(
+        F.min(
+            F.col("n_all").cast("double")
+            * F.col("t_tot")
+            / (F.col("n_en").cast("double") * F.col("s_tot"))
+        ).alias("c")
+    )
+    rates = bt.crossJoin(F.broadcast(c)).select(
+        "bucket",
+        "n_all",
+        "n_en",
+        F.when(F.col("n_en") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("c")
+            * (F.col("n_en").cast("double") * F.col("s_tot"))
+            / (F.col("n_all").cast("double") * F.col("t_tot"))
+        )
+        .alias("rate"),
+    )
+    u = (
+        (F.lit(A).cast("bigint") * F.col("doc_id") + F.lit(B)) % P + 1
+    ).cast("double") / F.lit(float(P + 1))
+    return (
+        d.join(F.broadcast(rates), "bucket")
+        .groupBy("bucket", "n_all", "n_en", "rate")
+        .agg(
+            F.sum(F.when(u < F.col("rate"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_accepted")
+        )
+        .select(
+            "bucket",
+            "n_all",
+            "n_en",
+            F.round("rate", 9).alias("accept_rate"),
+            "n_accepted",
+        )
+        .orderBy("bucket")
+    )

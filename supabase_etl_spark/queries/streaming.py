@@ -2084,3 +2084,281 @@ def multimodal_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("range_id")
     )
+
+
+AUD_INC_DOCS = 512  # fixture cap for the audio ingest capstone
+AUD_Q_MIN_SAMPLES = 500  # min-duration quality gate (samples)
+
+
+def _aud_inc_cap() -> int:
+    """Clip-count cap for the audio incremental-ingest capstone; env
+    override exists ONLY for scripts/scale_curve.py stress runs."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_AUD_INC_DOCS", AUD_INC_DOCS))
+
+
+@query(
+    "multimodal_audio_incremental_ingest",
+    oracle=f"""
+    WITH inc AS (
+        SELECT doc_id,
+               CAST((doc_id % 6 - 1) // 2 AS INT) AS range_id,
+               CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+                    WHEN doc_id % 10 = 9 THEN doc_id - 6
+                    WHEN doc_id % 10 = 5 THEN doc_id - 2
+                    ELSE doc_id END AS aud_id
+        FROM documents WHERE doc_id % 2 = 1 AND doc_id < {AUD_INC_DOCS}
+    ),
+    ids AS (
+        SELECT DISTINCT aud_id AS id FROM inc
+        UNION
+        SELECT doc_id FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id < {AUD_INC_DOCS}
+    ),
+    clips AS (
+        SELECT id, id % 251 AS seed, 400 + id % 201 AS n FROM ids
+    ),
+    sig AS (
+        SELECT c.id, c.n, (t.i * 16) // c.n AS bi,
+               abs((7 * c.seed + 11 * t.i) % 4001 - 2000) AS e
+        FROM clips c, range(0, 601) AS t(i)
+        WHERE t.i < c.n
+    ),
+    blocks AS (
+        SELECT id, bi, SUM(e) AS bs, COUNT(*) AS bc FROM sig GROUP BY 1, 2
+    ),
+    tot AS (SELECT id, SUM(e) AS ts, COUNT(*) AS tc FROM sig GROUP BY id),
+    fps AS (
+        SELECT b.id,
+               string_agg(CASE WHEN b.bs * t.tc > t.ts * b.bc
+                               THEN '1' ELSE '0' END,
+                          '' ORDER BY b.bi) AS fingerprint
+        FROM blocks b JOIN tot t USING (id) GROUP BY b.id
+    ),
+    meta AS (
+        SELECT c.id, f.fingerprint, c.n AS n_samples
+        FROM clips c JOIN fps f USING (id)
+    ),
+    base AS (
+        SELECT DISTINCT m.fingerprint, m.n_samples
+        FROM meta m JOIN documents d ON m.id = d.doc_id
+        WHERE d.doc_id % 2 = 0 AND d.doc_id < {AUD_INC_DOCS}
+    ),
+    arr AS (
+        SELECT n.doc_id, n.range_id, m.fingerprint, m.n_samples,
+               (m.n_samples >= {AUD_Q_MIN_SAMPLES}) AS q_pass
+        FROM inc n JOIN meta m ON n.aud_id = m.id
+    ),
+    cand AS (
+        SELECT *, row_number() OVER (PARTITION BY fingerprint, n_samples,
+                                     range_id ORDER BY doc_id) AS rin
+        FROM arr WHERE q_pass
+    ),
+    ranked AS (
+        SELECT c.doc_id, c.range_id, c.fingerprint, c.n_samples,
+               row_number() OVER (PARTITION BY c.fingerprint, c.n_samples
+                                  ORDER BY c.range_id, c.doc_id) AS rg,
+               (b.fingerprint IS NOT NULL) AS in_base
+        FROM cand c
+        LEFT JOIN base b ON c.fingerprint = b.fingerprint
+                        AND c.n_samples = b.n_samples
+        WHERE c.rin = 1
+    ),
+    ing AS (
+        SELECT range_id, count(*) AS n_ingested,
+               CAST(sum(n_samples) AS BIGINT) AS samples_ingested
+        FROM ranked WHERE rg = 1 AND NOT in_base
+        GROUP BY range_id
+    ),
+    dupw AS (
+        SELECT range_id, count(*) AS n_dup_within
+        FROM cand WHERE rin > 1 GROUP BY range_id
+    ),
+    dupp AS (
+        SELECT range_id, count(*) AS n_dup_prior
+        FROM ranked WHERE in_base OR rg > 1 GROUP BY range_id
+    ),
+    led AS (
+        SELECT range_id, count(*) AS n_arrived,
+               CAST(sum(CASE WHEN q_pass THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_quality_fail
+        FROM arr GROUP BY range_id
+    )
+    SELECT l.range_id, l.n_arrived, l.n_quality_fail,
+           COALESCE(w.n_dup_within, 0) AS n_dup_within,
+           COALESCE(p.n_dup_prior, 0) AS n_dup_prior,
+           COALESCE(i.n_ingested, 0) AS n_ingested,
+           COALESCE(i.samples_ingested, 0) AS samples_ingested
+    FROM led l
+    LEFT JOIN dupw w USING (range_id)
+    LEFT JOIN dupp p USING (range_id)
+    LEFT JOIN ing i USING (range_id)
+    ORDER BY l.range_id
+    """,
+    tags=("streaming", "llm", "multimodal", "audio", "dedup", "lakehouse",
+          "pipeline"),
+)
+def multimodal_audio_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO incremental-ingest capstone — the second modality of
+    multimodal_incremental_ingest (VERDICT r10 task 7 asked for
+    "images/audio"): new audio shards land as micro-batches against
+    the manifest-stored clip corpus. Stages are the registry's own
+    operators: generate_audio (real RIFF/WAVE containers),
+    audio_energy_fingerprint (decode ONCE → 16-block energy-envelope
+    signature, the multimodal_audio_fingerprint_dedup kernel),
+    min-duration gate (n_samples >= {AUD_Q_MIN_SAMPLES}), batch-internal
+    min-doc_id dedup on (fingerprint, n_samples), anti-join against the
+    manifest snapshot's signature index, manifest append, ledger +
+    final-snapshot readback. Planted overlap classes and batch
+    structure mirror the image capstone (id%10 == 1/9/5 → corpus /
+    within-batch / cross-batch duplicates); the DuckDB oracle replays
+    PCM synthesis + identical integer pooling and first-wins ranking.
+
+    100 TB posture: identical to the image capstone — signatures,
+    never samples, cross the shuffle; blocking set is a pruned column
+    scan of the manifest; per-batch work is batch-sized."""
+    import os
+
+    from supabase_etl_spark.io import manifest_store as MS
+    from supabase_etl_spark.io.readers import load_table
+    from supabase_etl_spark.io.scratch import scratch_dir
+    from supabase_etl_spark.operators import multimodal as M
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _aud_inc_cap()
+    )
+
+    def signatures(ids_df: DataFrame) -> DataFrame:
+        clips = M.generate_audio(ids_df, id_col="aud_id")
+        return M.audio_energy_fingerprint(clips).select(
+            F.regexp_replace("uri", r"^doc://|\.wav$", "")
+            .cast("bigint")
+            .alias("aud_id"),
+            "n_samples",
+            "fingerprint",
+        )
+
+    base = signatures(
+        d.filter(F.col("doc_id") % 2 == 0).select(F.col("doc_id").alias("aud_id"))
+    ).select(
+        F.col("aud_id").alias("doc_id"),
+        "fingerprint",
+        "n_samples",
+        F.lit(-1).cast("int").alias("range_id"),
+    )
+    table = scratch_dir("aud_inc_tbl_")
+    MS.commit(base, table, mode="overwrite")
+
+    feed = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        ((F.col("doc_id") % 6 - 1) / 2).cast("int").alias("range_id"),
+        F.when(F.col("doc_id") % 10 == 1, F.col("doc_id") - 1)
+        .when(F.col("doc_id") % 10 == 9, F.col("doc_id") - 6)
+        .when(F.col("doc_id") % 10 == 5, F.col("doc_id") - 2)
+        .otherwise(F.col("doc_id"))
+        .alias("aud_id"),
+    )
+    zone = scratch_dir("aud_inc_zone_")
+    for r in range(3):
+        feed.filter(F.col("range_id") == r).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(zone, f"part{r}"))
+    now = 1_700_000_000
+    for r in range(3):
+        pdir = os.path.join(zone, f"part{r}")
+        for fn in os.listdir(pdir):
+            os.utime(os.path.join(pdir, fn), (now + 100 * r, now + 100 * r))
+
+    src = (
+        spark.readStream.schema("doc_id bigint, range_id int, aud_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(zone, "part*"))
+    )
+
+    ledger: list[tuple[int, int, int, int, int]] = []
+
+    def curate(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        q = (
+            batch_df.join(signatures(batch_df.select("aud_id").distinct()), "aud_id")
+            .select(
+                "doc_id",
+                "range_id",
+                "fingerprint",
+                "n_samples",
+                (F.col("n_samples") >= AUD_Q_MIN_SAMPLES).alias("q_pass"),
+            )
+            .persist()
+        )
+        panel = q.agg(
+            F.min("range_id").alias("r"),
+            F.count(F.lit(1)).alias("arrived"),
+            F.sum(F.when(~F.col("q_pass"), 1).otherwise(0)).alias("qfail"),
+        ).collect()[0]
+        wmin = F.min("doc_id").over(Window.partitionBy("fingerprint", "n_samples"))
+        cand = (
+            q.filter("q_pass")
+            .withColumn("min_id", wmin)
+            .filter(F.col("doc_id") == F.col("min_id"))
+            .drop("min_id", "q_pass")
+        )
+        n_cand = cand.count()
+        n_dup_within = int(panel["arrived"]) - int(panel["qfail"]) - n_cand
+        cur = MS.read(sess, table).select("fingerprint", "n_samples").distinct()
+        ingest = cand.join(cur, ["fingerprint", "n_samples"], "left_anti").persist()
+        n_ingest = ingest.count()
+        if n_ingest:
+            MS.commit(ingest, table, mode="append")
+        ledger.append(
+            (
+                int(panel["r"]),
+                int(panel["arrived"]),
+                int(panel["qfail"]),
+                int(n_dup_within),
+                int(n_cand - n_ingest),
+            )
+        )
+        q.unpersist()
+        ingest.unpersist()
+
+    ckpt = scratch_dir("aud_inc_ckpt_")
+    sq = (
+        src.writeStream.foreachBatch(curate)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    led = spark.createDataFrame(
+        ledger,
+        "range_id int, n_arrived bigint, n_quality_fail bigint, "
+        "n_dup_within bigint, n_dup_prior bigint",
+    )
+    snap = (
+        MS.read(spark, table)
+        .filter(F.col("range_id") >= 0)
+        .groupBy("range_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ingested"),
+            F.sum("n_samples").cast("bigint").alias("samples_ingested"),
+        )
+    )
+    return (
+        led.join(snap, "range_id", "left")
+        .select(
+            "range_id",
+            "n_arrived",
+            "n_quality_fail",
+            "n_dup_within",
+            "n_dup_prior",
+            F.coalesce("n_ingested", F.lit(0)).cast("bigint").alias("n_ingested"),
+            F.coalesce("samples_ingested", F.lit(0))
+            .cast("bigint")
+            .alias("samples_ingested"),
+        )
+        .orderBy("range_id")
+    )
