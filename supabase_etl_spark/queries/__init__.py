@@ -174,12 +174,14 @@ _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
     ("sample_data_constrained_epochs", 1),
     ("sample_shard_snake_balanced", 1),
     ("sample_length_histogram_match", 1),
+    ("ml_eval_pass_at_k", 1),
+    ("text_good_turing_smoothing", 1),
     # family quotas re-aimed at the LARGEST never-verified families as
     # computed from the committed artifacts at r11 start (events 64,
     # text 25, dq 23, agg/sample/io/ml 18 each, udf 13, embedding 11 —
-    # VERDICT r10 task 3); 6 debut pins + 44 quota slots = 50
-    ("events_", 12),
-    ("text_", 5),
+    # VERDICT r10 task 3); 8 debut pins + 42 quota slots = 50
+    ("events_", 11),
+    ("text_", 4),
     ("dq_", 6),
     ("agg_", 4),
     ("sample_", 5),

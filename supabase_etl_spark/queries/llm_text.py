@@ -3337,3 +3337,78 @@ def text_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+GT_MAX_C = 10  # report Good-Turing adjustments for counts 1..GT_MAX_C
+
+
+@query(
+    "text_good_turing_smoothing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_VOCAB_TOK}) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    fof AS (SELECT c, CAST(count(*) AS BIGINT) AS n_c FROM tf GROUP BY c),
+    tot AS (
+        SELECT CAST(sum(c * n_c) AS BIGINT) AS n_tokens,
+               CAST(sum(n_c) AS BIGINT) AS v_types
+        FROM fof
+    )
+    SELECT f.c, f.n_c,
+           round(CAST((f.c + 1) * COALESCE(f2.n_c, 0) AS DOUBLE) / f.n_c, 9)
+               AS c_star,
+           round(CAST(f.n_c * f.c AS DOUBLE) / t.n_tokens, 9) AS raw_mass,
+           round(CAST((f.c + 1) * COALESCE(f2.n_c, 0) AS DOUBLE)
+                 / t.n_tokens, 9) AS gt_mass
+    FROM fof f
+    LEFT JOIN fof f2 ON f2.c = f.c + 1
+    CROSS JOIN tot t
+    WHERE f.c <= {GT_MAX_C}
+    ORDER BY f.c
+    """,
+    tags=("llm", "text", "smoothing"),
+)
+def text_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus vocabulary — the
+    classical estimate behind unseen-mass / coverage analysis when
+    sizing a tokenizer or judging how much of a held-out domain a
+    corpus can explain: types seen c times get adjusted count
+    c* = (c+1)·N_(c+1)/N_c, and the total probability mass reassigned
+    to UNSEEN types is N_1/N (the c=1 row's raw mass). Reported for
+    c = 1..{GT_MAX_C}: the frequency-of-frequencies N_c, the adjusted
+    count c*, the raw mass c·N_c/N, and the GT-smoothed mass
+    (c+1)·N_(c+1)/N.
+
+    100 TB shape: token counts are one map-side-combinable aggregate;
+    the frequency-of-frequencies table is a second tiny aggregate over
+    it; the c -> c+1 successor is a self-join on that bounded table
+    (never a global-order window); totals fold in via one broadcast
+    1-row frame."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    fof = tf.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+    tot = fof.agg(
+        F.sum(F.col("c") * F.col("n_c")).cast("bigint").alias("n_tokens")
+    )
+    nxt = fof.select((F.col("c") - 1).alias("c"), F.col("n_c").alias("n_c1"))
+    gt_num = ((F.col("c") + 1) * F.coalesce("n_c1", F.lit(0))).cast("double")
+    return (
+        fof.filter(F.col("c") <= GT_MAX_C)
+        .join(nxt, "c", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            "n_c",
+            F.round(gt_num / F.col("n_c"), 9).alias("c_star"),
+            F.round(
+                (F.col("n_c") * F.col("c")).cast("double") / F.col("n_tokens"), 9
+            ).alias("raw_mass"),
+            F.round(gt_num / F.col("n_tokens"), 9).alias("gt_mass"),
+        )
+        .orderBy("c")
+    )

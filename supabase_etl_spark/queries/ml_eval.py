@@ -4126,3 +4126,80 @@ def ml_eval_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(a_c, 9).alias("intercept"),
         F.round(F.sqrt(sse / n_f), 6).alias("rmse"),
     ).orderBy("fold")
+
+
+PASS_K_GRID = (1, 5, 10)
+PASS_PROBLEMS = 997  # orderkey-hash problem buckets
+
+
+@query(
+    "ml_eval_pass_at_k",
+    oracle=f"""
+    WITH trials AS (
+        SELECT CAST(o_orderkey % {PASS_PROBLEMS} AS BIGINT) AS problem_id,
+               CAST(count(*) AS BIGINT) AS n_trials,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_success
+        FROM orders GROUP BY 1
+    ),
+    grid AS (
+        SELECT * FROM (VALUES {", ".join(f"({k})" for k in PASS_K_GRID)})
+        AS g(k)
+    )
+    SELECT t.problem_id, t.n_trials, t.n_success, g.k,
+           round(CASE WHEN t.n_trials - t.n_success < g.k THEN 1.0
+                 ELSE 1.0 - list_reduce(
+                     list_transform(range(0, g.k),
+                         j -> CAST(t.n_trials - t.n_success - j AS DOUBLE)
+                              / (t.n_trials - j)),
+                     (a, b) -> a * b) END, 9) AS pass_at_k
+    FROM trials t CROSS JOIN grid g
+    WHERE t.n_trials >= g.k
+    ORDER BY t.problem_id, g.k
+    """,
+    tags=("llm", "ml-eval"),
+)
+def ml_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, HumanEval §2.1) — THE eval
+    statistic for sampled-generation benchmarks: given n sampled trials
+    per problem with c successes, the expectation of "at least one of k
+    random samples passes" is 1 − C(n−c, k)/C(n, k), computed in the
+    numerically stable falling-factorial product form Π_j (n−c−j)/(n−j)
+    (never materializing binomials). Trials fixture: orderkey-hash
+    problem buckets over ``orders``, success = status 'F'; k grid
+    {PASS_K_GRID}.
+
+    100 TB shape: one map-side-combinable per-problem aggregate, a
+    broadcast k-grid crossJoin, and a per-row fold over k <= 10 factors
+    — left-to-right double products are IEEE-identical cross-engine
+    (both engines fold the same factor list in the same order)."""
+    o = load_table(spark, sf_dir, "orders")
+    trials = o.groupBy(
+        (F.col("o_orderkey") % PASS_PROBLEMS).cast("bigint").alias("problem_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trials"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_success"),
+    )
+    grid = spark.createDataFrame([(k,) for k in PASS_K_GRID], "k int")
+    n, c, k = F.col("n_trials"), F.col("n_success"), F.col("k")
+    prod = F.aggregate(
+        F.sequence(F.lit(0), k - 1),
+        F.lit(1.0),
+        lambda acc, j: acc * (n - c - j).cast("double") / (n - j),
+    )
+    return (
+        trials.crossJoin(F.broadcast(grid))
+        .filter(n >= k)
+        .select(
+            "problem_id",
+            "n_trials",
+            "n_success",
+            "k",
+            F.round(
+                F.when(n - c < k, F.lit(1.0)).otherwise(F.lit(1.0) - prod), 9
+            ).alias("pass_at_k"),
+        )
+        .orderBy("problem_id", "k")
+    )
