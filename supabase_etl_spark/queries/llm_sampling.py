@@ -2452,12 +2452,15 @@ def sample_length_histogram_match(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("bucket"),
     )
+    # scan-once: the bounded bucket table feeds tot, the scale constant,
+    # and the rate table — unpinned, Catalyst re-derives the corpus scan
+    # per consumer (the r11 plan audit counted 5 parquet scans)
     b = d.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_all"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
         .cast("bigint")
         .alias("n_en"),
-    )
+    ).localCheckpoint(eager=False)
     tot = b.agg(
         F.sum("n_all").cast("bigint").alias("s_tot"),
         F.sum("n_en").cast("bigint").alias("t_tot"),

@@ -3391,7 +3391,14 @@ def text_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    fof = tf.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+    # scan-once: the bounded frequency-of-frequencies table feeds the
+    # c<=cap filter, the successor self-join side, and the totals —
+    # pinned so the corpus token explode runs once, not per consumer
+    fof = (
+        tf.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+        .localCheckpoint(eager=False)
+    )
     tot = fof.agg(
         F.sum(F.col("c") * F.col("n_c")).cast("bigint").alias("n_tokens")
     )
