@@ -157,39 +157,40 @@ _STATIC_PRIORITY: tuple[str, ...] = (
 # prior rounds) its unused slots backfill from the remaining candidates
 # in registry order, so the window always holds 50 names while any
 # unverified oracle-bearing query exists. Re-aimed each round at the
-# LARGEST never-verified families (r9: the r7 sampling / agg-stats /
-# events-econometrics waves the window had not touched, per VERDICT r8
-# task 3 — events 83, text 39, dq 37, agg 30, sample 27 unverified,
-# while the r8 quota families are largely drained).
+# LARGEST never-verified families (r12: events 54, text 24, agg 21,
+# dq 17, ml 14, io 13 never-verified at r12 start — VERDICT r11 task 1
+# names analytics/events, ml_eval/ml_train, io/manifest explicitly).
 _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
-    # pin the r11 repairs/debuts into the window (every new or repaired
-    # operator gets a driver-verification slot — the r8-r10 pattern):
-    # text_vocab_ids is the r10 driver-ERR repaired to a string-
-    # serialized id column (it re-enters the candidate pool via the
-    # verified-only driver_verified_names semantics); the multimodal
-    # incremental-ingest capstone is the r11 debut.
-    ("text_vocab_ids", 1),
-    ("multimodal_incremental_ingest", 1),
-    ("multimodal_audio_incremental_ingest", 1),
-    ("sample_data_constrained_epochs", 1),
-    ("sample_shard_snake_balanced", 1),
-    ("sample_length_histogram_match", 1),
-    ("ml_eval_pass_at_k", 1),
-    ("text_good_turing_smoothing", 1),
+    # pin the r12 debuts into the window (every new operator gets a
+    # driver-verification slot — the r8-r11 pattern): the staked
+    # watermark late-data-drop ledger (VERDICT r11 task 3).
+    ("stream_watermark_late_drop_ledger", 1),
     # family quotas re-aimed at the LARGEST never-verified families as
-    # computed from the committed artifacts at r11 start (events 64,
-    # text 25, dq 23, agg/sample/io/ml 18 each, udf 13, embedding 11 —
-    # VERDICT r10 task 3); 8 debut pins + 42 quota slots = 50
-    ("events_", 11),
-    ("text_", 4),
+    # computed from the committed artifacts at r12 start; 1 debut pin +
+    # 2 re-pins + 47 quota slots = 50
+    ("events_", 16),
+    ("text_", 7),
+    ("agg_", 7),
     ("dq_", 6),
-    ("agg_", 4),
-    ("sample_", 5),
-    ("io_", 5),
-    ("ml_", 4),
-    ("udf_", 3),
+    ("ml_", 5),
+    ("io_", 4),
+    ("embedding_", 2),
 )
 _WINDOW_SIZE = 50
+
+# Repaired-or-rewritten queries forced back into the window even though
+# an OLD driver artifact already verified them (VERDICT r11 task 6):
+# driver_verified_names() keeps them out of the candidate pool, but the
+# post-rewrite code deserves fresh driver-contract proof the way
+# text_vocab_ids' repair got it in r11. dedup_cdc_chunks' boundary pass
+# was rewritten to the Rabin windowed-polynomial kernel in r11
+# (llm_dedup.py:2593) AFTER its last driver verification;
+# sample_length_histogram_match was pinned in-round (commit a0030c6)
+# after its r11 driver run was already green.
+_REPIN: tuple[str, ...] = (
+    "dedup_cdc_chunks",
+    "sample_length_histogram_match",
+)
 
 # Computed on first load_all(); falls back to _STATIC_PRIORITY.
 DRIVER_PRIORITY: tuple[str, ...] = ()
@@ -231,9 +232,11 @@ def compute_driver_priority(registry: dict[str, QuerySpec], seen: set[str]) -> t
     """The 50-slot driver window: never-driver-verified, oracle-bearing
     names first, allocated by family quota then backfilled in registry
     order; if fewer than 50 unverified names remain, the oldest-verified
-    names cycle back in (registry order) to keep re-checking coverage."""
+    names cycle back in (registry order) to keep re-checking coverage.
+    ``_REPIN`` names lead the window regardless of verification state —
+    they carry a repair/rewrite that postdates their last driver run."""
     candidates = [n for n, s in registry.items() if s.oracle is not None and n not in seen]
-    window: list[str] = []
+    window: list[str] = [n for n in _REPIN if n in registry and registry[n].oracle is not None]
     for prefix, quota in _ROTATION_QUOTAS:
         fam = [n for n in candidates if n.startswith(prefix) and n not in window]
         window.extend(fam[:quota])

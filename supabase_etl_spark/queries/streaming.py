@@ -2362,3 +2362,181 @@ def multimodal_audio_incremental_ingest(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("range_id")
     )
+
+
+@query(
+    "stream_watermark_late_drop_ledger",
+    oracle="""
+    WITH base AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+    b AS (SELECT min(us) AS lo, max(us) AS hi FROM base),
+    sched AS (
+        SELECT us,
+               CASE WHEN us < lo + (hi - lo) // 3
+                    THEN CASE WHEN event_id % 7 = 0 THEN 2 ELSE 0 END
+                    WHEN us < lo + 2 * ((hi - lo) // 3) THEN 1
+                    ELSE 2 END AS arrival
+        FROM base, b
+    ),
+    wm AS (
+        -- the watermark in effect DURING micro-batch 1: event-time max
+        -- of batch 0 floored to ms, minus the 31-minute delay. Batches
+        -- 0 and 1 filter against the initial watermark (epoch 0) and
+        -- the two-watermark rule makes batch 2 the only dropping batch.
+        SELECT max(us) // 1000 - 31 * 60 * 1000 AS late_wm_ms
+        FROM sched WHERE arrival = 0
+    ),
+    cls AS (
+        SELECT (us // 3600000000) * 3600000000 AS wstart_us,
+               arrival = 2
+               AND ((us // 3600000000) + 1) * 3600000 <= late_wm_ms
+                   AS dropped
+        FROM sched, wm
+    )
+    SELECT 'window' AS part, make_timestamp(wstart_us) AS window_start,
+           count(*) AS n
+    FROM cls WHERE NOT dropped GROUP BY 2
+    UNION ALL
+    -- numRowsDroppedByWatermark counts the state operator's INPUT rows,
+    -- which are per-window partial-aggregate rows (one per window per
+    -- micro-batch under the single-file-per-batch fixture), so the
+    -- replay counts DISTINCT dropped windows, not raw late events.
+    SELECT 'dropped_state_rows', NULL, count(DISTINCT wstart_us)
+    FROM cls WHERE dropped
+    UNION ALL
+    SELECT 'late_events', NULL, count(*) FROM cls WHERE dropped
+    UNION ALL
+    SELECT 'arrived', NULL, count(*) FROM cls
+    ORDER BY part, window_start
+    """,
+    tags=("streaming", "watermark", "ledger"),
+)
+def stream_watermark_late_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA-DROP LEDGER (VERDICT r11 task 3): watermark drop
+    accounting reconciled, number for number, against a deterministic
+    batch replay of Spark's own two-watermark semantics.
+
+    Fixture: events replayed as a 3-file landing zone in arrival order
+    (``maxFilesPerTrigger=1`` + pinned mtimes = 3 real micro-batches).
+    Batches are the ts-tertiles of the table EXCEPT that tertile-1 rows
+    with ``event_id % 7 == 0`` are held back and arrive in batch 2 —
+    stragglers whose event time is up to ~10 days older than the
+    then-current watermark.
+
+    The aggregation (1-hour tumbling count, 31-minute watermark delay,
+    update mode) drops a late row iff its window END (ms) <= the
+    watermark in effect during the PREVIOUS batch (Spark's
+    late-events/eviction watermark split, SPARK-24634; equality DROPS —
+    both facts probed empirically on this engine version, so the replay
+    encodes <= against batch N-2's event-time max, not the current
+    watermark). Under the 3-batch schedule only batch 2 can drop, and
+    its late watermark is max(ts of batch 0) floored to ms minus the
+    delay — exact integer arithmetic DuckDB replays verbatim.
+
+    The returned ledger carries four reconciled facts: final
+    per-window counts read back from the SINK (max-merge over update
+    emissions — counts are monotone per window), total
+    ``numRowsDroppedByWatermark`` summed from the query's OWN progress
+    metrics, the raw late-event count implied by the sink (arrived
+    minus survived), and total ``numInputRows`` from the same metrics.
+    ``numRowsDroppedByWatermark`` is measured at the state operator,
+    whose input under this single-file-per-batch fixture is ONE
+    partial-aggregate row per window per micro-batch — so the metric
+    equals the number of distinct dropped WINDOWS (verified: 236 vs
+    472 raw late events at sf0.01), and the oracle replays exactly
+    that alongside the raw count. The hash gate fails if the engine's
+    metric accounting ever disagrees with the declared drop semantics
+    (arrived == survived + late_events by construction).
+
+    100 TB posture: the ledger is O(windows + batches), the stream
+    state is bounded by the watermark (that is the point of the
+    operator), and the replay schedule is one pinned scan + three
+    column-pruned file writes; nothing corpus-sized crosses a shuffle
+    except the windowed count itself, which partial-aggregates
+    map-side.
+
+    Reference: the cron reference re-runs the whole extract daily
+    (etl.yml:4-6) and has no late-data story; this is the Structured
+    Streaming contract a 100 TB ingest needs instead."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from supabase_etl_spark.io.readers import load_table
+    from supabase_etl_spark.io.scratch import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    ev = ev.localCheckpoint(eager=False)  # one source scan feeds bounds + 3 writes
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    )
+    third = F.expr("(hi - lo) div 3")  # integer division, = DuckDB's //
+    sched = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "ts",
+        F.when(
+            us < F.col("lo") + third,
+            F.when(F.col("event_id") % 7 == 0, F.lit(2)).otherwise(F.lit(0)),
+        )
+        .when(us < F.col("lo") + 2 * third, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("arrival"),
+    )
+    zone = scratch_dir("wm_ledger_zone_")
+    for r in range(3):
+        sched.filter(F.col("arrival") == r).select("event_id", "ts").coalesce(
+            1
+        ).write.parquet(os.path.join(zone, f"p{r}"))
+    t0 = 1_700_000_000
+    for r in range(3):
+        pdir = os.path.join(zone, f"p{r}")
+        for fn in os.listdir(pdir):
+            os.utime(os.path.join(pdir, fn), (t0 + 100 * r, t0 + 100 * r))
+
+    src = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(zone, "p*"))
+    )
+    agg = (
+        src.withWatermark("ts", "31 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    name = "wmled_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = 0
+    arrived = 0
+    for p in q.recentProgress:
+        arrived += p["numInputRows"]
+        for so in p["stateOperators"]:
+            dropped += so.get("numRowsDroppedByWatermark", 0)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    win = (
+        spark.table(name)
+        .groupBy("window_start")
+        .agg(F.max("n").alias("n"))
+        .select(F.lit("window").alias("part"), "window_start", "n")
+    )
+    survived = win.agg(F.sum("n")).first()[0] or 0
+    summary = spark.createDataFrame(
+        [
+            ("dropped_state_rows", None, dropped),
+            ("late_events", None, arrived - survived),
+            ("arrived", None, arrived),
+        ],
+        "part string, window_start timestamp, n bigint",
+    )
+    return win.unionByName(summary).orderBy("part", "window_start")
