@@ -51,6 +51,17 @@ class QuerySpec:
     # windows over TakeOrdered/limit results and the distributed-prefix
     # offset tables are auto-recognized and need no entry.
     uwin: tuple[str, ...] = field(default_factory=tuple)
+    # Sanctioned parquet-scan leaves beyond the default budget
+    # (#distinct paths + 1). The registry-wide scan-leaf lint
+    # (tests/test_scan_leaf_lint.py) mechanizes the unpinned-shared-
+    # lineage audit that caught dedup_incremental_ingest (r10, 48
+    # leaves) and the two r11 debuts (5 and 3 leaves over 1 table):
+    # every FileSourceScanExec beyond the budget must be sanctioned by
+    # one justification string here — a genuine multi-pass over the
+    # source (self-join, bounds probe, second pass at a different
+    # granularity), never silent lineage recompute, which is fixed by
+    # localCheckpoint(eager=False)-pinning the shared frame instead.
+    scans: tuple[str, ...] = field(default_factory=tuple)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -90,6 +101,7 @@ def query(
     bench: bool = False,
     uwin: tuple[str, ...] = (),
     basis: str = "ratio",
+    scans: tuple[str, ...] = (),
 ):
     """Decorator: register a query under ``name``."""
 
@@ -100,7 +112,7 @@ def query(
             raise ValueError(f"unknown bench basis: {basis}")
         REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, tags=tags, bench=bench, uwin=uwin,
-            basis=basis,
+            basis=basis, scans=scans,
         )
         return fn
 

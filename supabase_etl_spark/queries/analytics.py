@@ -357,7 +357,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # 625-row edge table; truncate the star-join lineage
     )
-    nodes = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("v"))
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("v")
+    ).localCheckpoint(eager=False)  # consumed every iteration (scan-leaf lint)
     n_nodes = nodes.count()
     ranks = nodes.select("v", (F.lit(1.0) / n_nodes).alias("rank"))
     for _ in range(PR_ITERATIONS):
@@ -545,6 +547,10 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderkey
     """,
     tags=("cdc", "join"),
+    scans=(
+        "CDC batch c1 is a filter-disjoint scan of the fixture table (in production a distinct change feed)",
+        "CDC batch c2 likewise — base snapshot + two change batches = three pruned scans by design",
+    ),
 )
 def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (SCD type 1, latest-wins) as a distributed
@@ -953,6 +959,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # multi-consumer edge list: pin once (scan-leaf lint) — without
+        # it the basket self-join re-runs per consumer
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -1095,6 +1104,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)  # 2 consumers (scan-leaf lint)
     )
     span = F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAYS")
     clicks = (
@@ -1102,6 +1112,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + span))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)  # 2 consumers (scan-leaf lint)
     )
     purchases = (
         clicks.join(e.filter(F.col("event_type") == "purchase"), "user_id")
@@ -1587,6 +1598,9 @@ def graph_label_propagation(
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # multi-consumer edge list: pin once (scan-leaf lint) — without
+        # it the basket self-join re-runs per consumer
+        .localCheckpoint(eager=False)
     )
     sym = (
         edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -1920,7 +1934,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = ev.join(med, "user_id").select(
         "user_id", "event_id", "value", F.abs(F.col("value") - F.col("med")).alias("adev")
-    )
+    ).localCheckpoint(eager=False)  # 2 consumers (scan-leaf lint)
     mad = dev.groupBy("user_id").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
     )
@@ -2011,6 +2025,9 @@ def graph_kcore(
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # multi-consumer edge list: pin once (scan-leaf lint) — without
+        # it the basket self-join re-runs per consumer
+        .localCheckpoint(eager=False)
     )
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -2166,8 +2183,10 @@ def events_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the a-priori property), each round broadcast-filtered by the
     last."""
     ev = load_table(spark, sf_dir, "events")
-    baskets = ev.select("user_id", "event_type").distinct()
-    n = ev.agg(F.countDistinct("user_id").alias("n_baskets"))
+    # baskets feeds the item counts AND both self-join sides: pin once
+    # (scan-leaf lint) so the dedup agg runs a single time
+    baskets = ev.select("user_id", "event_type").distinct().localCheckpoint(eager=False)
+    n = baskets.agg(F.countDistinct("user_id").alias("n_baskets"))
     item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     a, b = baskets.alias("a"), baskets.alias("b")
     pair = (
@@ -2324,6 +2343,13 @@ IVM_SPLIT_ORDER = 3000  # orders with key <= split are the "old" batch
     ORDER BY o.o_orderkey
     """,
     tags=("analytics", "ivm"),
+    scans=(
+        "IVM delta join: the dA x B0 term re-scans orders with its own old/new partition filter",
+        "IVM delta join: the A0 x dB term re-scans lineitem likewise",
+        "IVM delta join: the dA x dB term re-scans orders' delta partition",
+        "IVM delta join: the dA x dB term re-scans lineitem's delta partition",
+        "standing-state term scans both base partitions; all four terms partition-prune differently, which is the point of incremental view maintenance (pinning would materialize base+delta and defeat pruning)",
+    ),
 )
 def merge_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance for a JOIN view — the delta rule
@@ -3354,7 +3380,7 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("t_obs"),
         F.col("first_purchase").isNotNull().alias("is_event"),
-    )
+    ).localCheckpoint(eager=False)  # 3 consumers (scan-leaf lint)
     tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     drops = obs.groupBy(F.col("t_obs").alias("t")).agg(
         F.count(F.lit(1)).cast("bigint").alias("leaving")
@@ -3514,7 +3540,7 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     e = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)  # 3 consumers (scan-leaf lint)
     a1 = e.groupBy("p").agg(F.count(F.lit(1)).alias("a"))
     h1 = (
         e.join(a1, "p")
@@ -3604,9 +3630,16 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # the edge list feeds the adjacency (twice), the anti-join and —
+        # through adj — degrees and wedges: pin it once (every graph
+        # system materializes the edge list) or the basket self-join
+        # re-runs per consumer (the plan read 22 parquet-scan leaves)
+        .localCheckpoint(eager=False)
     )
     adj = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = adj.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    ).localCheckpoint(eager=False)  # 3 consumers (z, x, y joins)
     a1, a2 = adj.alias("a1"), adj.alias("a2")
     wedges = a1.join(
         a2, (F.col("a1.u") == F.col("a2.u")) & (F.col("a1.v") < F.col("a2.v"))
@@ -3888,6 +3921,7 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = flags.groupBy(
         (F.col("hc") * 4 + F.col("hs") * 2 + F.col("hv")).alias("s")
     ).agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
+    sets = sets.localCheckpoint(eager=False)  # shared frame (scan-leaf lint)
     v = sets.agg(
         *[
             F.coalesce(
@@ -4090,8 +4124,16 @@ def orders_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("o1.o_orderpriority", "o2.o_orderpriority").alias("li"),
         F.greatest("o1.o_orderpriority", "o2.o_orderpriority").alias("gi"),
     )
-    wins = matches.groupBy(F.col("winner").alias("item")).agg(F.count(F.lit(1)).alias("w"))
-    pair_games = matches.groupBy("li", "gi").agg(F.count(F.lit(1)).alias("g"))
+    # One items²-bounded reduction of the match self-join (≤5
+    # priorities → ≤20 (li,gi,winner) rows), pinned: every MM step
+    # derives from it, and without the pin Catalyst re-derives the
+    # orders self-join per consumer (the plan read 68 parquet-scan
+    # leaves). The expensive corpus self-join now runs exactly once.
+    tri = matches.groupBy("li", "gi", "winner").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
+    wins = tri.groupBy(F.col("winner").alias("item")).agg(F.sum("c").alias("w"))
+    pair_games = tri.groupBy("li", "gi").agg(F.sum("c").alias("g"))
     games = (
         pair_games.select(F.col("li").alias("item"), "g")
         .unionByName(pair_games.select(F.col("gi").alias("item"), "g"))
@@ -4337,7 +4379,7 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the months-sized cell table; revenue goes through exact
     decimals at both the cell and cumulative levels."""
     ev = load_table(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts")).localCheckpoint(eager=False)
     cohorted = (
         ev.filter(F.col("event_type") == "purchase")
         .join(firsts, "user_id")
@@ -4546,6 +4588,7 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cur", "nxt")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    trans = trans.localCheckpoint(eager=False)  # shared frame (scan-leaf lint)
     row_tot = trans.groupBy("cur").agg(F.sum("c").alias("rc"))
     grand = trans.agg(F.sum("c").alias("g"))
     p = F.col("c").cast("double") / F.col("rc")
@@ -4765,6 +4808,9 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # multi-consumer edge list: pin once (scan-leaf lint) — without
+        # it the basket self-join re-runs per consumer
+        .localCheckpoint(eager=False)
     )
     adj = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = adj.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
@@ -4860,6 +4906,9 @@ def graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # multi-consumer edge list: pin once (scan-leaf lint) — without
+        # it the basket self-join re-runs per consumer
+        .localCheckpoint(eager=False)
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     labeled = (
@@ -4871,6 +4920,9 @@ def graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("cv"))),
             "v",
         )
+        # 4 consumers (m, within, both degsum legs): pin or the part
+        # broadcasts re-scan per consumer (scan-leaf lint)
+        .localCheckpoint(eager=False)
     )
     m = labeled.agg(F.count(F.lit(1)).alias("m"))
     within = (
@@ -4949,7 +5001,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     presence = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
         F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
-    )
+    ).localCheckpoint(eager=False)  # 2 union legs + sweep (scan-leaf lint)
     endpoints = presence.select(
         "day", F.col("start_ts").alias("at_ts"), F.lit(1).alias("delta"), "user_id"
     ).unionByName(
@@ -5166,6 +5218,7 @@ def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t_obs"),
         F.col("first_purchase").isNotNull().alias("is_event"),
     )
+    obs = obs.localCheckpoint(eager=False)  # shared frame (scan-leaf lint)
     tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     drops = obs.groupBy(F.col("t_obs").alias("t")).agg(
         F.count(F.lit(1)).cast("bigint").alias("leaving")
@@ -5403,6 +5456,7 @@ def events_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("total")
     )
+    per_user = per_user.localCheckpoint(eager=False)  # shared frame (scan-leaf lint)
     par = spark.sparkContext.defaultParallelism
     ranged = per_user.repartitionByRange(par, "total", "user_id").withColumn(
         "pid", F.spark_partition_id()
@@ -6280,7 +6334,7 @@ def events_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((us(t_end) - us(F.col("first_seen"))) / F.lit(3600000000.0))
         .cast("bigint")
         .alias("t_obs"),
-    )
+    ).localCheckpoint(eager=False)  # 3 consumers (scan-leaf lint)
     tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     drops = obs.groupBy(F.col("t_obs").alias("t")).agg(
         F.count(F.lit(1)).cast("bigint").alias("leaving")
@@ -6825,6 +6879,9 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # multi-consumer edge list: pin once (scan-leaf lint) — without
+        # it the basket self-join re-runs per consumer
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -6936,14 +6993,18 @@ def events_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct-accumulator CSE trap), updating only on demand days. At
     100 TB the series key shards like every bounded-fold operator."""
     ev = load_table(spark, sf_dir, "events")
-    spine = ev.select("event_type").distinct().crossJoin(
-        ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    # one corpus scan (scan-leaf lint): the (type, day) cell rollup
+    # carries the demand count per cell, and the spine domains are the
+    # distincts of the same rollup (every type/day of events appears)
+    cells = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("value") > 200.0, 1).otherwise(0))
+        .cast("double")
+        .alias("z")
+    ).localCheckpoint(eager=False)
+    spine = cells.select("event_type").distinct().crossJoin(
+        cells.select("day").distinct()
     )
-    demand = (
-        ev.filter(F.col("value") > 200.0)
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(F.count(F.lit(1)).cast("double").alias("z"))
-    )
+    demand = cells.filter(F.col("z") > 0)
     daily = spine.join(demand, ["event_type", "day"], "left").select(
         "event_type", "day", F.coalesce("z", F.lit(0.0)).alias("z")
     )
@@ -7332,6 +7393,7 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t_obs"),
         F.col("first_purchase").isNotNull().alias("is_event"),
     )
+    obs = obs.localCheckpoint(eager=False)  # shared frame (scan-leaf lint)
     d_t = obs.groupBy(F.col("t_obs").alias("t")).agg(
         F.sum(F.when((F.col("grp") == 1) & F.col("is_event"), 1).otherwise(0))
         .cast("bigint")
@@ -7444,7 +7506,7 @@ def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double")
             / F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
         ).alias("p"),
-    )
+    ).localCheckpoint(eager=False)  # 3 consumers (scan-leaf lint)
     bounds = per.agg(
         F.min("yr").alias("y0"), (F.min("yr") + 1).alias("y1")
     )
@@ -7822,6 +7884,7 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("y")
     )
+    daily = daily.localCheckpoint(eager=False)  # shared frame (scan-leaf lint)
     a, b = daily.alias("a"), daily.alias("b")
     sgn = (
         F.when(F.col("b.y") > F.col("a.y"), 1)
@@ -8167,6 +8230,7 @@ def events_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t_obs"),
         F.col("first_purchase").isNotNull().alias("is_event"),
     )
+    obs = obs.localCheckpoint(eager=False)  # shared frame (hygiene; km pin hides it from the lint)
     tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     drops = obs.groupBy(F.col("t_obs").alias("t")).agg(
         F.count(F.lit(1)).cast("bigint").alias("leaving")
@@ -8201,7 +8265,7 @@ def events_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(upto)
         ).alias("s"),
         F.lead("t").over(Window.orderBy("t")).alias("t_next"),
-    )
+    ).localCheckpoint(eager=False)  # 2 consumers (scan-leaf lint)
     head = km.agg(
         F.lit(1.0).alias("s"),
         F.coalesce(F.min("t"), F.lit(RMST_TAU)).cast("double").alias("width"),
@@ -8305,12 +8369,14 @@ def events_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
     the spine, lags, and solve all run on the day-grained table —
     series length × types rows, corpus-size-independent."""
     ev = load_table(spark, sf_dir, "events")
-    days = ev.select(F.to_date("ts").alias("day")).distinct()
-    types = ev.select("event_type").distinct()
-    spine = types.crossJoin(days)
     cnt = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x")).localCheckpoint(eager=False)
+    # spine domains from the day-grained table (scan-leaf lint): the
+    # distinct days/types of events == those of its (type, day) rollup
+    days = cnt.select("day").distinct()
+    types = cnt.select("event_type").distinct()
+    spine = types.crossJoin(days)
     daily = spine.join(cnt, ["event_type", "day"], "left").select(
         "event_type", "day", F.coalesce("x", F.lit(0).cast("bigint")).alias("x")
     )
@@ -9293,7 +9359,7 @@ def events_periodicity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filled = grid.join(hours, ["event_type", "h"], "left").select(
         "event_type", "h", F.coalesce("c", F.lit(0).cast("bigint")).alias("c")
-    )
+    ).localCheckpoint(eager=False)  # 24xtypes grid, 2 consumers (scan-leaf lint)
     tot = filled.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("n"))
     j = filled.join(tot, "event_type")
     exp = F.col("n") / 24.0
@@ -9417,7 +9483,7 @@ def events_trajectory_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("v")
         )
-    )
+    ).localCheckpoint(eager=False)  # 2 consumers (scan-leaf lint)
     users = cells.select("user_id").distinct()
     grid = users.crossJoin(
         F.broadcast(spark.range(1, TRAJ_DAYS + 1).select(F.col("id").alias("d")))
@@ -9435,7 +9501,7 @@ def events_trajectory_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = traj.select(
         "user_id", "t", F.floor(F.col("mu") / TRAJ_TAU).cast("bigint").alias("b")
-    )
+    ).localCheckpoint(eager=False)  # self-joined (scan-leaf lint)
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = a.join(
         b,
@@ -10112,7 +10178,7 @@ def events_harrell_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.coalesce("t_event", "t_cens").alias("t"),
         F.col("t_event").isNotNull().cast("int").alias("ev"),
-    )
+    ).localCheckpoint(eager=False)  # self-joined (scan-leaf lint)
     a, b = norm.alias("a"), norm.alias("b")
     pairs = a.join(
         b,
@@ -10210,6 +10276,7 @@ def events_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFram
         F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
         (F.col("day") >= F.lit(ITS_BREAK).cast("date")).cast("int").alias("post"),
     )
+    idx = idx.localCheckpoint(eager=False)  # shared frame (scan-leaf lint)
     seg = idx.groupBy("post").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("t").cast("decimal(28,0)")).cast("double").alias("sx"),
@@ -11467,7 +11534,7 @@ def graph_louvain_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     comm = F.broadcast(
         load_table(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("v"), F.col("n_regionkey").alias("c")
-        )
+        ).localCheckpoint(eager=False)  # 3 consumers (scan-leaf lint)
     )
     deg = sym.groupBy("u").agg(F.sum("w").cast("bigint").alias("k"))
     m = sym.agg((F.sum("w") / 2).cast("bigint").alias("m"))

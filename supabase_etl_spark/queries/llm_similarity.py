@@ -1489,6 +1489,12 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_tot))
         .select("i", "j", (F.col("sp") / F.col("n")).alias("g"))
     )
+    # Pin the d²-sized matrix table: it feeds every iteration, and
+    # without the pin Catalyst re-derives the corpus Gram pass per
+    # consumer — the plan read 84 parquet-scan leaves (the lint's worst
+    # catch). After the pin the corpus is scanned once, as the
+    # docstring always claimed.
+    gu = gu.localCheckpoint(eager=False)
     gm = gu.unionByName(
         gu.filter(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "g"
@@ -1499,6 +1505,9 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nrm = None
     for _ in range(3):
+        # w and nrm are d-row / 1-row tables each consumed twice per
+        # round (nrm + next v, v + eigenvalue): pin per iteration or
+        # the lineage doubles every round.
         w = (
             gm.join(v.select(F.col("i").alias("j"), "v"), "j")
             .groupBy("i")
@@ -1507,14 +1516,14 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("w")
             )
-        )
+        ).localCheckpoint(eager=False)
         nrm = w.agg(
             F.sqrt(
                 F.sum(F.round(F.col("w") * F.col("w"), 12).cast("decimal(38,12)")).cast(
                     "double"
                 )
             ).alias("nrm")
-        )
+        ).localCheckpoint(eager=False)
         v = w.crossJoin(F.broadcast(nrm)).select(
             "i", (F.col("w") / F.col("nrm")).alias("v")
         )
@@ -1760,15 +1769,21 @@ def embedding_farthest_first_init(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit(1.0)
             - dot_double(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn")),
         )
+        # d is consumed 4× per round (max probe, argmax, picked-center
+        # join, next round's update) and c twice — without pins the
+        # corpus lineage multiplies 4× per round (the plan read 84 scan
+        # leaves). Pinned, each round is exactly one pass over the
+        # running-distance table, the k-pass shape the docstring
+        # describes.
         d = d.crossJoin(F.broadcast(cent)).select(
             "vec_id", "embedding", "nrm", nd.alias("d")
-        )
+        ).localCheckpoint(eager=False)
         mx = d.agg(F.max("d").alias("mx"))
         c = (
             d.crossJoin(F.broadcast(mx))
             .filter(F.col("d") == F.col("mx"))
             .agg(F.min("vec_id").alias("center_id"), F.max("d").alias("dist"))
-        )
+        ).localCheckpoint(eager=False)
         picked = d.join(
             F.broadcast(c), d["vec_id"] == c["center_id"]
         ).select(F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))

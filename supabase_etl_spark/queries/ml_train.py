@@ -494,9 +494,14 @@ def ml_gb_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mu"
         )
     )
+    # The residual frame is consumed 3x per round (two stacked scans,
+    # the next round's update) and each round chains on the last -
+    # unpinned, the orders lineage multiplied to 40 parquet-scan
+    # leaves. Pinning per round is the standard GBDT shape: residual
+    # state is materialized once per boosting round.
     cur = feat.crossJoin(F.broadcast(mu)).select(
         "x1", "x2", (F.col("y") - F.col("mu")).alias("r")
-    )
+    ).localCheckpoint(eager=False)
     nu = F.lit(float(GB_NU))
     out_rows = []
     for rnd in range(1, GB_ROUNDS + 1):
@@ -540,7 +545,7 @@ def ml_gb_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("rk") == 1)
             .drop("rk")
-        )
+        ).localCheckpoint(eager=False)  # 1-row stump: feeds next round AND the output row
         leaf = F.when(
             F.col("feature") == 1,
             F.when(F.col("x1") <= F.col("split_bin"), F.col("leaf_l")).otherwise(
@@ -553,7 +558,7 @@ def ml_gb_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = cur.crossJoin(F.broadcast(best)).select(
             "x1", "x2", (F.col("r") - nu * leaf).alias("r")
-        )
+        ).localCheckpoint(eager=False)
         mse = cur.agg(
             (
                 F.sum(F.round(F.col("r") * F.col("r"), 0).cast("decimal(38,0)")).cast(
