@@ -203,8 +203,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale) and measured fastest of the three join strategies at
     # sf0.1 (0.47s merge / 0.49s shuffle_hash / 0.59s broadcast for the
     # candidate stage). Net cost of dropping the cache is ~0.4s at
-    # sf0.1 — the price of zero storage pinning.
-    bands = D.band_keys(D.minhash_signature(sids)).hint("merge")
+    # sf0.1 — the price of zero storage pinning. The SIGNATURE table is
+    # different: doc_id + 16 longs per doc — the thing every MinHash
+    # system materializes — so it takes a localCheckpoint pin (scan-leaf
+    # lint) and both band-join sides re-derive their explode from the
+    # pinned rows instead of re-running shingle+minhash per side.
+    bands = D.band_keys(
+        D.minhash_signature(sids).localCheckpoint(eager=False)
+    ).hint("merge")
     cand = (
         bands.alias("a")
         .join(
@@ -345,7 +351,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         range(1, D.SIMHASH_BITS),
         F.when(F.col("s0") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0)),
     )
-    sig = bits.select("doc_id", sig_expr.alias("simhash"))
+    sig = bits.select("doc_id", sig_expr.alias("simhash")).localCheckpoint(
+        eager=False
+    )  # doc_id + 1 long per doc; feeds bands AND both hamming lookups
     band_arr = F.array(
         *[
             F.struct(
@@ -448,6 +456,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = (
         e.unionByName(planted)
         .withColumn("nrm", F.sqrt(D.dot_double(F.col("embedding"), F.col("embedding"))))
+        .localCheckpoint(eager=False)  # bands + 2 lookup joins (scan-leaf lint)
     )
     band_arr = F.array(
         *[
@@ -1414,12 +1423,13 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("text"), 1, SNM_KEY_CHARS), "[^a-zA-Z0-9]", ""
         )
     )
+    all_docs = all_docs.localCheckpoint(eager=False)  # 2 consumers (scan-leaf lint)
     keyed = all_docs.select("doc_id", key.alias("k"))
 
     par = spark.sparkContext.defaultParallelism
     ranged = keyed.repartitionByRange(par, "k", "doc_id").withColumn(
         "pid", F.spark_partition_id()
-    )
+    ).localCheckpoint(eager=False)  # 2 consumers; also pins pid<->row binding
     wlocal = W.partitionBy("pid").orderBy("k", "doc_id")
     local = ranged.withColumn("lrn", F.row_number().over(wlocal))
     # per-partition row counts -> exclusive running offsets; bounded by
@@ -1441,7 +1451,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = local.join(F.broadcast(offsets), "pid").select(
         "doc_id", (F.col("lrn") + F.col("off")).alias("rn")
-    )
+    ).localCheckpoint(eager=False)  # probe + build sides (scan-leaf lint)
 
     probe = ranked.select(
         F.col("doc_id").alias("id_a"),
@@ -1456,7 +1466,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    sh = D.exploded_shingles(all_docs)
+    sh = D.exploded_shingles(all_docs).localCheckpoint(eager=False)  # 3 consumers
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh.alias("sa"), F.col("ida") == F.col("sa.doc_id"))
@@ -1830,7 +1840,7 @@ def dedup_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = e.select((F.col("vec_id") + COPY_OFFSET).alias("vec_id"), "embedding")
     normed = e.unionByName(planted).withColumn(
         "nrm", F.sqrt(D.dot_double(F.col("embedding"), F.col("embedding")))
-    )
+    ).localCheckpoint(eager=False)  # bands + 2 lookup joins (scan-leaf lint)
     band_arr = F.array(
         *[
             F.struct(
@@ -2096,8 +2106,12 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled stratum, and the candidate side is the same banded join
     the production dedup runs."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    true_pairs = D.jaccard_pairs(d, JACCARD_THRESHOLD).select("ida", "idb")
-    bands = D.band_keys(D.minhash_signature(D.shingle_ids(d))).hint("merge")
+    true_pairs = D.jaccard_pairs(d, JACCARD_THRESHOLD).select(
+        "ida", "idb"
+    ).localCheckpoint(eager=False)  # 2 consumers (scan-leaf lint)
+    bands = D.band_keys(D.minhash_signature(D.shingle_ids(d))).hint(
+        "merge"
+    ).localCheckpoint(eager=False)  # self-joined (scan-leaf lint)
     cand = (
         bands.alias("a")
         .join(
@@ -2108,6 +2122,7 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
         .distinct()
+        .localCheckpoint(eager=False)  # 2 consumers (scan-leaf lint)
     )
     tp = cand.join(true_pairs, ["ida", "idb"], "left_semi").agg(
         F.count(F.lit(1)).cast("bigint").alias("tp")
