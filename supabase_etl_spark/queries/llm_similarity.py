@@ -263,7 +263,7 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid table is always broadcast-sized."""
     e = load_table(spark, sf_dir, "embeddings")
     nrm = F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
-    vecs = e.select("vec_id", "embedding", nrm.alias("nrm"))
+    vecs = e.select("vec_id", "embedding", nrm.alias("nrm")).localCheckpoint(eager=False)  # shared frame (scan-leaf lint)
     cent = (
         e.filter(F.col("vec_id") % CENTROID_STEP == 0)
         .select(
@@ -283,6 +283,7 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "nrm", "cent_id", cent_cos.alias("cent_cos"))
         .withColumn("crn", F.row_number().over(w_assign))
     )
+    assign_scored = assign_scored.localCheckpoint(eager=False)  # assignment pass: 2 consumers
     assigned = assign_scored.filter(F.col("crn") == 1).select(
         "vec_id", "embedding", "nrm", "cent_id"
     )
@@ -386,6 +387,7 @@ def sim_topk_sq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("i", "xr"))), lambda s: s.xr
         ).alias("e8")
     )
+    vecs = vecs.localCheckpoint(eager=False)  # the int8 index; q + corpus sides
     nrm = F.sqrt(dot_double(F.col("e8"), F.col("e8")))
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("e8").alias("qe"), nrm.alias("qn")
@@ -498,6 +500,7 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sx")
         )
+        .localCheckpoint(eager=False)  # joined for both i and j (scan-leaf lint)
     )
     return (
         sxy.join(means.alias("ma"), sxy["i"] == F.col("ma.i"))
@@ -563,6 +566,9 @@ def _pq_train_codebooks(spark: SparkSession, sf_dir: str):
     # Recall vs brute force pinned in tests/test_tolerance.py.
     oracle=None,
     tags=("llm", "similarity", "quantization"),
+    scans=(
+        "PQ codebook training is a deliberate separate pass before encode+ADC scan (train -> encode is the PQ contract)",
+    ),
 )
 def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
@@ -962,9 +968,10 @@ def sim_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_trunc = dot_double(
         F.slice(F.col("qe"), 1, MRL_DIM), F.slice(F.col("ce"), 1, MRL_DIM)
     ) / (F.col("qnt") * F.col("cnt"))
+    q = q.localCheckpoint(eager=False)  # broadcast side + final spine (scan-leaf lint)
     scored = c.crossJoin(F.broadcast(q)).select(
         "qid", "cid", cos_full.alias("cos_full"), cos_trunc.alias("cos_trunc")
-    )
+    ).localCheckpoint(eager=False)  # both ranking passes (scan-leaf lint)
     wf = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("cid"))
     wt = Window.partitionBy("qid").orderBy(F.desc("cos_trunc"), F.asc("cid"))
     rf = scored.withColumn("rn", F.row_number().over(wf)).filter(
@@ -1231,6 +1238,7 @@ def embedding_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("x") / eps).cast("bigint").alias("cx"),
         F.floor(F.col("y") / eps).cast("bigint").alias("cy"),
     )
+    pts = pts.localCheckpoint(eager=False)  # probe, build, final spine (scan-leaf lint)
     offs = F.expr("array(-1, 0, 1)")
     probe = (
         pts.select("vec_id", "x", "y", "cx", "cy", F.explode(offs).alias("dx"))
@@ -1258,6 +1266,7 @@ def embedding_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ida") != F.col("idb")) & (d2 <= eps2))
         .select("ida", "idb")
     )
+    nbr = nbr.localCheckpoint(eager=False)  # cnt, edges, border (scan-leaf lint)
     cnt = nbr.groupBy("ida").agg(F.count(F.lit(1)).alias("n"))
     core = cnt.filter(F.col("n") + 1 >= DBSCAN_MINPTS).select(
         F.col("ida").alias("node")
@@ -1362,7 +1371,10 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("embedding", 1, MAT_DIM).alias("ce16"),
         nrm.alias("cn"),
     )
-    base = c.crossJoin(F.broadcast(q))
+    q = q.localCheckpoint(eager=False)  # broadcast side + final spine (scan-leaf lint)
+    base = c.crossJoin(F.broadcast(q)).localCheckpoint(
+        eager=False
+    )  # both ranking passes (scan-leaf lint)
 
     def topk(score, name: str) -> DataFrame:
         w = Window.partitionBy("qid").orderBy(F.col(name).desc(), F.col("cid").asc())
@@ -1616,7 +1628,7 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, making the whole curve value-hashable."""
     e = load_table(spark, sf_dir, "embeddings")
     nrm = F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
-    vecs = e.select("vec_id", "embedding", nrm.alias("nrm"))
+    vecs = e.select("vec_id", "embedding", nrm.alias("nrm")).localCheckpoint(eager=False)  # shared frame (scan-leaf lint)
     cent = vecs.filter(F.col("vec_id") % CENTROID_STEP == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_e"),
@@ -1631,6 +1643,7 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "nrm", "cent_id", ccos.alias("ccos"))
         .withColumn("crn", F.row_number().over(wassign))
     )
+    assign_scored = assign_scored.localCheckpoint(eager=False)  # assignment pass: 2 consumers
     assigned = assign_scored.filter(F.col("crn") == 1).select(
         "vec_id", "embedding", "nrm", "cent_id"
     )
@@ -2042,6 +2055,8 @@ def sim_rocchio_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("vec_id") >= PRF_QUERIES).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), nrm.alias("cn")
     )
+    q = q.localCheckpoint(eager=False)  # round-0 + expansion consumers
+    c = c.localCheckpoint(eager=False)  # round-0, feedback, round-1 passes
     cos0 = dot_double(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w0 = Window.partitionBy("qid").orderBy(F.col("cos0").desc(), F.col("cid").asc())
     r0 = (
@@ -2191,7 +2206,7 @@ def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dists = c.crossJoin(F.broadcast(q)).select(
         "aid", "alabel", "cid", "clabel", F.sqrt(dist2).alias("d")
-    )
+    ).localCheckpoint(eager=False)  # positive, band, semi-hard passes (scan-leaf lint)
     pw = Window.partitionBy("aid").orderBy("d", "cid")
     p1 = (
         dists.filter(F.col("alabel") == F.col("clabel"))
@@ -2627,7 +2642,7 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         lsh_bucket(F.col("embedding")),
-    )
+    ).localCheckpoint(eager=False)  # shared frame (scan-leaf lint)
     q = hashed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"), "bucket",
@@ -2742,7 +2757,7 @@ def sim_knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         lsh_bucket(F.col("embedding")),
-    )
+    ).localCheckpoint(eager=False)  # shared frame (scan-leaf lint)
     a = hashed.select(
         "bucket",
         F.col("vec_id").alias("node"),
