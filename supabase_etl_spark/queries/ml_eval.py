@@ -403,6 +403,7 @@ def ml_eval_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("truth"),
         F.when(flip, (F.col("label") + 1) % 10).otherwise(F.col("label")).alias("pred"),
     )
+    pred = pred.localCheckpoint(eager=False)  # margins + diagonal (scan-leaf lint)
     by_truth = pred.groupBy(F.col("truth").alias("cls")).agg(F.count(F.lit(1)).alias("support"))
     by_pred = pred.groupBy(F.col("pred").alias("cls")).agg(
         F.count(F.lit(1)).alias("predicted_n")
@@ -528,6 +529,8 @@ def ml_eval_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("clabel"),
         nrm.alias("cn"),
     )
+    q = q.localCheckpoint(eager=False)  # shared frame (scan-leaf lint)
+    corpus = corpus.localCheckpoint(eager=False)  # relevance totals + scoring (scan-leaf lint)
     rel_tot = (
         corpus.join(F.broadcast(q.select("qid", "qlabel")), F.col("qlabel") == F.col("clabel"))
         .groupBy("qid")
@@ -625,6 +628,7 @@ def ml_eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(flip, (F.col("label") + shift) % 10).otherwise(F.col("label"))
 
     raters = e.select(rater(4, 3, 1).alias("ra"), rater(5, 4, 2).alias("rb"))
+    raters = raters.localCheckpoint(eager=False)  # total + both margins (scan-leaf lint)
     tot = raters.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0)).alias("agree_n"),
@@ -725,10 +729,14 @@ def ml_eval_ari_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 5
     )
     assign = e.select(F.col("label").alias("ca"), cb.alias("cb"))
-    tot = assign.agg(F.count(F.lit(1)).alias("n"))
-    nij = assign.groupBy("ca", "cb").agg(F.count(F.lit(1)).alias("c"))
-    ai = assign.groupBy("ca").agg(F.count(F.lit(1)).alias("c"))
-    bj = assign.groupBy("cb").agg(F.count(F.lit(1)).alias("c"))
+    # one corpus scan (scan-leaf lint): margins and total derive from
+    # the pinned k x k contingency table
+    nij = assign.groupBy("ca", "cb").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
+    tot = nij.agg(F.sum("c").alias("n"))
+    ai = nij.groupBy("ca").agg(F.sum("c").alias("c"))
+    bj = nij.groupBy("cb").agg(F.sum("c").alias("c"))
 
     def comb2_sum(df: DataFrame, alias: str) -> DataFrame:
         return df.agg((F.sum(F.col("c") * (F.col("c") - 1)) / 2.0).alias(alias))
@@ -1233,6 +1241,7 @@ def ml_eval_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.col("o_orderkey") % 3).alias("fold"),
     )
+    folds = folds.localCheckpoint(eager=False)  # train/calib/test consumers (scan-leaf lint)
     train_mean = (
         folds.filter(F.col("fold") == 0)
         .groupBy("cat")
@@ -1315,8 +1324,10 @@ def events_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     user by their distinct-type count, the same bounded-basket shape
     as the market-basket operator."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.select("user_id", "event_type").distinct()
-    n_users = ev.agg(F.countDistinct("user_id").alias("n"))
+    per_user = ev.select("user_id", "event_type").distinct().localCheckpoint(
+        eager=False
+    )  # margins + both join sides (scan-leaf lint)
+    n_users = per_user.agg(F.countDistinct("user_id").alias("n"))
     marg = per_user.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
     a, b = per_user.alias("a"), per_user.alias("b")
     pairs = (
@@ -1724,6 +1735,7 @@ def ml_eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("y"),
         (F.col("o_orderkey") % 3).alias("fold"),
     )
+    folds = folds.localCheckpoint(eager=False)  # train + test folds (scan-leaf lint)
     model = (
         folds.filter(F.col("fold") < 2)
         .groupBy("cat")
@@ -1827,7 +1839,7 @@ def ml_eval_model_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grid-bounded threshold-table machinery, so the whole card
     costs two corpus passes (scores + fairness counts) regardless of
     corpus size."""
-    c = _cum(spark, sf_dir)
+    c = _cum(spark, sf_dir).localCheckpoint(eager=False)  # multi-consumer (scan-leaf lint)
     p = _p_col()
     aucs = c.groupBy("model").agg(
         (
@@ -1955,7 +1967,7 @@ def ml_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the decomposition are both grid-sized, corpus-independent."""
     p = _p_col()
     bin_ = F.least(F.floor(p * 10).cast("bigint"), F.lit(9).cast("bigint"))
-    c = _cum(spark, sf_dir)
+    c = _cum(spark, sf_dir).localCheckpoint(eager=False)  # multi-consumer (scan-leaf lint)
     n_rows = F.col("pos") + F.col("neg")
     bins = (
         c.select(
@@ -2240,6 +2252,7 @@ def ml_eval_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(Window.partitionBy("pair", "x")).cast("double").alias("cx"),
         F.sum("c").over(Window.partitionBy("pair", "y")).cast("double").alias("cy"),
     )
+    probs = probs.localCheckpoint(eager=False)  # mi + marginal entropies (scan-leaf lint)
     p = F.col("c") / F.col("n")
     mi_term = p * F.log(p / ((F.col("cx") / F.col("n")) * (F.col("cy") / F.col("n"))))
     mi = probs.groupBy("pair").agg(
@@ -2360,7 +2373,7 @@ def ml_eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.sum("pos").over(w).cast("bigint").alias("cp_le"),
         F.sum("n").over(w).cast("bigint").alias("cn_le"),
-    )
+    ).localCheckpoint(eager=False)  # self-joined + bins (scan-leaf lint)
     ci, cj = c.alias("i"), c.alias("j")
     intervals = ci.join(
         cj,
@@ -2461,6 +2474,7 @@ def ml_eval_ece_mce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("pos"),
         F.sum("n").cast("bigint").alias("n"),
     )
+    binned = binned.localCheckpoint(eager=False)  # tot + per-bin (scan-leaf lint)
     tot = binned.groupBy("model").agg(F.sum("n").cast("bigint").alias("n_tot"))
     gap = F.abs(
         F.col("pos").cast("double") / F.col("n")
@@ -2715,6 +2729,7 @@ def ml_eval_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
         F.col("c_nationkey").alias("nat"),
     )
+    units = units.localCheckpoint(eager=False)  # cells + scoring (scan-leaf lint)
     cells = units.groupBy("seg", "nat").agg(
         (F.sum("treated").cast("double") / F.count(F.lit(1))).alias("score")
     )
@@ -2725,6 +2740,7 @@ def ml_eval_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.floor(F.col("score") / PSM_CALIPER).cast("bigint").alias("bucket"),
     )
+    scored = scored.localCheckpoint(eager=False)  # treated + control sides (scan-leaf lint)
     treated = scored.filter(F.col("treated") == 1).select(
         F.col("c_custkey").alias("t_key"),
         F.col("y").alias("y_t"),
@@ -2971,7 +2987,7 @@ def ml_eval_delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits) sum through decimal(38,12) inside the 15-sig-digit
     cross-engine agreement window; z_{{0.975}} is a string-cast literal
     (decimal-literal parsing double-rounds 1 ulp in DuckDB)."""
-    c = _cum(spark, sf_dir)
+    c = _cum(spark, sf_dir).localCheckpoint(eager=False)  # multi-consumer (scan-leaf lint)
     auc = c.groupBy("model").agg(
         (
             F.sum(F.col("pos") * (2 * (F.col("cumneg_le") - F.col("neg")) + F.col("neg"))).cast("double")
@@ -3075,6 +3091,7 @@ def ml_eval_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count("o_orderkey").cast("bigint").alias("y"))
     )
     x, y = F.col("x"), F.col("y")
+    outcome = outcome.localCheckpoint(eager=False)  # shared frame (scan-leaf lint)
     sides = outcome.groupBy(
         F.when(x > 0, "right").otherwise("left").alias("side")
     ).agg(
@@ -3306,6 +3323,7 @@ def ml_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
 
     x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    pts = pts.localCheckpoint(eager=False)  # moment pass + scoring pass (scan-leaf lint)
     m = pts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         d6(x1).alias("s1"),
@@ -3696,7 +3714,9 @@ def ml_eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("lang"))
         .alias("r2"),
     )
-    pair_counts = d.groupBy("r1", "r2").agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    pair_counts = d.groupBy("r1", "r2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    ).localCheckpoint(eager=False)  # both coincidence legs (scan-leaf lint)
     coinc = pair_counts.select(F.col("r1").alias("c"), F.col("r2").alias("k"), "o").unionByName(
         pair_counts.select(F.col("r2").alias("c"), F.col("r1").alias("k"), "o")
     )
