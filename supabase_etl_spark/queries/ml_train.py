@@ -96,6 +96,10 @@ _NB_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
     ORDER BY true_class, pred_class
     """,
     tags=("llm", "ml-train", "text"),
+    scans=(
+        "score pass re-tokenizes the corpus against the broadcast model — train and score are the two documented corpus passes of NB",
+        "class-prior pass is a doc_id-only pruned scan (1-row aggregate)",
+    ),
     bench=True,
 )
 def ml_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,6 +251,7 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % 2).alias("y"),
     )
     eta = F.lit(float(LR_ETA))
+    feat = feat.localCheckpoint(eager=False)  # consumed per epoch (scan-leaf lint)
     beta = spark.createDataFrame(
         [(0.0, 0.0, 0.0)], "beta0 double, beta1 double, beta2 double"
     )
@@ -346,6 +351,7 @@ def ml_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = li.select(
         F.col("l_orderkey").alias("ok"), (F.col("l_partkey") % 200).alias("item")
     ).distinct()
+    basket = basket.localCheckpoint(eager=False)  # margins + both join sides (scan-leaf lint)
     item_n = basket.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
     a = basket.alias("a")
     b = basket.alias("b")
@@ -354,6 +360,7 @@ def ml_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    pair = pair.localCheckpoint(eager=False)  # both sym legs (scan-leaf lint)
     sym = pair.unionAll(pair.select(F.col("j").alias("i"), F.col("i").alias("j"), "c"))
     ni = item_n.select(F.col("item").alias("i"), F.col("n").alias("n_i"))
     nj = item_n.select(F.col("item").alias("j"), F.col("n").alias("n_j"))
@@ -797,6 +804,7 @@ def ml_cf_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = li.select(
         F.col("l_orderkey").alias("ok"), (F.col("l_partkey") % 200).alias("item")
     ).distinct()
+    basket = basket.localCheckpoint(eager=False)  # margins + both join sides (scan-leaf lint)
     item_n = basket.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
     a = basket.alias("a")
     b = basket.alias("b")
@@ -805,6 +813,7 @@ def ml_cf_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    pair = pair.localCheckpoint(eager=False)  # both sym legs (scan-leaf lint)
     sym = pair.unionAll(pair.select(F.col("j").alias("i"), F.col("i").alias("j"), "c"))
     ni = item_n.select(F.col("item").alias("i"), F.col("n").alias("n_i"))
     nj = item_n.select(F.col("item").alias("j"), F.col("n").alias("n_j"))
@@ -942,6 +951,7 @@ def ml_svm_hinge_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_custkey") % 2) * 2 - 1).alias("yy"),
     )
     eta, lam = float(SVM_ETA), float(SVM_LAMBDA)
+    feat = feat.localCheckpoint(eager=False)  # consumed per epoch (scan-leaf lint)
     w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
     snapshots = []
     for _ in range(SVM_EPOCHS):
@@ -1301,6 +1311,7 @@ def ml_slope_one_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         )
     )
+    ratings = ratings.localCheckpoint(eager=False)  # self-join + LOO scoring (scan-leaf lint)
     a, b = ratings.alias("a"), ratings.alias("b")
     dev = (
         a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.item") != F.col("b.item")))
@@ -1458,7 +1469,7 @@ def ml_perceptron_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = d.select(
         "doc_id",
         F.when(F.col("lang") == "en", 1).otherwise(-1).cast("bigint").alias("y"),
-    )
+    ).localCheckpoint(eager=False)  # joined every epoch (scan-leaf lint)
     w = feats.select("b").distinct().select("b", F.lit(0).cast("bigint").alias("w"))
     stats = []
     for e in range(1, PCT_EPOCHS + 1):
@@ -1755,7 +1766,7 @@ def sample_dataset_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.when(F.col("lang") == "en", 1).otherwise(-1).cast("bigint").alias("y"),
-    )
+    ).localCheckpoint(eager=False)  # joined every epoch + final rollup (scan-leaf lint)
     w = feats.select("b").distinct().select("b", F.lit(0).cast("bigint").alias("w"))
     probs = []
     for _e in range(1, PCT_EPOCHS + 1):
@@ -1876,6 +1887,7 @@ def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("rating"))
     )
+    r = r.localCheckpoint(eager=False)  # user + item steps (scan-leaf lint)
     ustep = r.groupBy("u").agg(
         F.round(
             F.sum(F.col("rating").cast("decimal(38,0)")).cast("double")
