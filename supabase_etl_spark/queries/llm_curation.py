@@ -668,6 +668,7 @@ def text_repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same hashed-slice gram carriage as text_span_splice_dedup (8-byte
     # shuffle keys instead of 8-token strings; counts unchanged absent
     # a 64-bit collision)
+    toked = toked.localCheckpoint(eager=False)  # grams + position spine (scan-leaf lint)
     n_tok = F.size("t")
     grams = toked.select(
         "doc_id",

@@ -446,6 +446,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = d.select("doc_id", F.explode("toks").alias("t"))
     tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tf = tf.localCheckpoint(eager=False)  # total + scoring join (scan-leaf lint)
     total = tf.agg(F.sum("c").alias("n"))
     nll = (-F.log(F.col("c").cast("double") / F.col("n"))).cast("decimal(38,18)")
     return (
@@ -933,6 +934,7 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the boundary comparison, so no engine can flip a bucket on
     a 1-ulp divergence."""
     nll = _bigram_nll_frame(spark, sf_dir)
+    nll = nll.localCheckpoint(eager=False)  # thresholds + bucketing (scan-leaf lint)
     th = nll.agg(
         F.round(F.expr("percentile(mean_nll, CAST(1.0/3 AS DOUBLE))"), 6).alias("t1"),
         F.round(F.expr("percentile(mean_nll, CAST(2.0/3 AS DOUBLE))"), 6).alias("t2"),
@@ -1034,6 +1036,7 @@ def _bm25_ranked_frame(spark: SparkSession, sf_dir: str, depth: int) -> DataFram
         "doc_id", T.tokens(F.col("text")).alias("toks")
     )
     tok = d.select("doc_id", F.explode("toks").alias("term"))
+    tok = tok.localCheckpoint(eager=False)  # doc lengths + tf (the index build)
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1047,6 +1050,7 @@ def _bm25_ranked_frame(spark: SparkSession, sf_dir: str, depth: int) -> DataFram
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    tf = tf.localCheckpoint(eager=False)  # df + scoring (scan-leaf lint)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -1235,7 +1239,9 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(T.tokens(F.col("text"))).alias("t"))
-    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    st = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).alias("c_st")
+    ).localCheckpoint(eager=False)  # margins + terms (scan-leaf lint)
     stot = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
     ct = st.groupBy("t").agg(F.sum("c_st").cast("bigint").alias("c_t"))
     tot = ct.agg(F.sum("c_t").cast("bigint").alias("n"))
@@ -2106,6 +2112,7 @@ def text_bleu_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("ws")
     )
+    toks = toks.localCheckpoint(eager=False)  # hyp + ref sides (scan-leaf lint)
     h = toks.select(F.col("doc_id").alias("hyp_id"), F.col("ws").alias("hws"))
     r = toks.select(F.col("doc_id").alias("ref_id"), F.col("ws").alias("rws"))
     pairs = h.join(r, F.col("ref_id") == F.col("hyp_id") + 1)
@@ -2288,7 +2295,9 @@ def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, no vocab×sources blowup for the absent side."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(T.tokens(F.col("text"))).alias("t"))
-    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    st = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).alias("c_st")
+    ).localCheckpoint(eager=False)  # margins + terms (scan-leaf lint)
     stot = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
     ct = st.groupBy("t").agg(F.sum("c_st").cast("bigint").alias("c_t"))
     tot = ct.agg(F.sum("c_t").cast("bigint").alias("n"))
@@ -2683,7 +2692,9 @@ def text_stupid_backoff_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no corpus×corpus anywhere; per-doc and per-lang rollups are the
     only further shuffles."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", T.tokens(F.col("text")).alias("t"))
+    toks = d.select("doc_id", "lang", T.tokens(F.col("text")).alias("t")).localCheckpoint(
+        eager=False
+    )  # uni/bi/tri count passes (scan-leaf lint)
 
     def grams(df, k: int, cols: list[str]):
         n = F.size("t")
@@ -3223,7 +3234,9 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("a"), F.col("pos") - 1)
         + F.least(F.col("b"), F.col("ng") - F.col("pos"))
         >= WINNOW_W - 1
-    ).select("doc_id", "pos", "h")
+    ).select("doc_id", "pos", "h").localCheckpoint(
+        eager=False
+    )  # shared-hash agg + per-doc join (scan-leaf lint)
     sh = (
         sel.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
