@@ -59,6 +59,11 @@ from supabase_etl_spark.queries import query
     ORDER BY check_name
     """,
     tags=("dq",),
+    scans=(
+        "rule-pack audit: duplicate-PK probe is a pruned key scan",
+        "rule-pack audit: null-fraction probe scans its own column set",
+        "rule-pack audit: range probe scans its own column set",
+    ),
 )
 def dq_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five constraint checks: PK uniqueness, null fraction, referential
@@ -321,6 +326,7 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("cohort") == 0, 1)).alias("na"),
         F.count(F.when(F.col("cohort") == 1, 1)).alias("nb"),
     )
+    cnt = cnt.localCheckpoint(eager=False)  # spine + psi terms (scan-leaf lint)
     spine = (
         ev.select("event_type")
         .distinct()
@@ -1046,6 +1052,7 @@ def dq_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("r"), F.col("o_orderpriority").alias("c")
     )
     obs = o.groupBy("r", "c").agg(F.count(F.lit(1)).alias("o"))
+    obs = obs.localCheckpoint(eager=False)  # margins + cells (scan-leaf lint)
     rt = obs.groupBy("r").agg(F.sum("o").alias("rt"))
     ct = obs.groupBy("c").agg(F.sum("o").alias("ct"))
     n = obs.agg(F.sum("o").alias("n"))
@@ -1572,6 +1579,14 @@ def dq_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY relationship
     """,
     tags=("dq", "integrity"),
+    scans=(
+        "per-FK audit: lineitem->orders check is a column-pruned key scan",
+        "per-FK audit: lineitem->part check likewise",
+        "per-FK audit: lineitem->supplier check likewise",
+        "per-FK audit: orders->customer check likewise",
+        "each check scans only its own FK column pair; a fused pass would read every key column of every child table and prune nothing",
+        "parent key sides are dedup-projected scans of their own tables",
+    ),
 )
 def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foreign-key orphan audit across the star schema: for each child
@@ -1733,6 +1748,13 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY candidate
     """,
     tags=("dq", "profiling"),
+    scans=(
+        "each candidate-key uniqueness probe is a column-pruned count-distinct scan of exactly the probed columns",
+        "probing k candidate keys = k pruned scans by design (a fused scan would read the union of all candidate columns)",
+        "orders carries multiple candidate probes",
+        "lineitem carries multiple candidate probes",
+        "composite-key probes scan their own column pairs",
+    ),
 )
 def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-key discovery over declared column combinations:
@@ -2173,6 +2195,7 @@ def dq_association_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = feat.groupBy("pair", "x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("o")
     )
+    cells = cells.localCheckpoint(eager=False)  # margins + dims (scan-leaf lint)
     marg = cells.select(
         "pair",
         "x",
@@ -2288,6 +2311,7 @@ def dq_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("day"),
         F.dayofweek(F.col("ts").cast("date")).alias("dow"),
     ).agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total"))
+    daily = daily.localCheckpoint(eager=False)  # baseline + residuals (scan-leaf lint)
     baseline = daily.groupBy("dow").agg(
         (
             F.sum(F.col("total").cast("decimal(28,6)")).cast("double")
@@ -2624,6 +2648,7 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("band"),
     )
+    rows_ = rows_.localCheckpoint(eager=False)  # 5 consumers (scan-leaf lint)
     bands = rows_.select("band").distinct()
     nb = bands.agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"))
     gl = rows_.groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("g"))
@@ -3077,6 +3102,7 @@ def dq_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vbin"),
         F.hour("ts").cast("bigint").alias("hbin"),
     )
+    f = f.localCheckpoint(eager=False)  # histograms + scoring (scan-leaf lint)
     vh = f.groupBy("vbin").agg(F.count(F.lit(1)).cast("double").alias("vc"))
     hh = f.groupBy("hbin").agg(F.count(F.lit(1)).cast("double").alias("hc"))
     vmax = vh.agg(F.max("vc").alias("vm"))
@@ -3186,6 +3212,7 @@ def dq_vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(2.0) * F.col("r12") * F.col("r13") * F.col("r23")
         ).alias("det"),
     )
+    r = r.localCheckpoint(eager=False)  # one 1-row stats table, 3 VIF rows (scan-leaf lint)
     rows = []
     for feat, expr in (
         ("l_quantity", (F.lit(1.0) - F.col("r23") * F.col("r23")) / F.col("det")),
@@ -3271,6 +3298,11 @@ def dq_data_vault_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ck = F.col("o_custkey").cast("string")
     ok = F.col("o_orderkey").cast("string")
+    o = o.select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    ).localCheckpoint(
+        eager=False
+    )  # hub/link/sat builders (scan-leaf lint)
     hub_c = o.select(hk(F.lit("CUST|"), ck).alias("k")).distinct()
     hub_o = o.select(hk(F.lit("ORD|"), ok).alias("k"))
     link = o.select(hk(F.lit("CUST|"), ck, F.lit("||ORD|"), ok).alias("k"))
