@@ -167,6 +167,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens(F.col("text")).alias("t"),
         (_bucket(F.col("doc_id")) < DECON_BENCH_PCT).alias("is_bench"),
     )
+    tk = tk.localCheckpoint(eager=False)  # bench + train sides (scan-leaf lint)
     bench_grams = (
         tk.filter("is_bench")
         .select(F.explode(ngrams_all(F.col("t"), DECON_K)).alias("g"))
@@ -865,6 +866,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens(F.col("text")).alias("t"),
         (_bucket(F.col("doc_id")) < DECON_BENCH_PCT).alias("is_bench"),
     )
+    tk = tk.localCheckpoint(eager=False)  # bench + train sides (scan-leaf lint)
     bench_grams = (
         tk.filter("is_bench")
         .select(F.explode(ngrams_all(F.col("t"), DECON_K)).alias("g"))
@@ -1116,6 +1118,7 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     free corpus scan, same scale shape as sample_domain_mixture."""
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = counts.localCheckpoint(eager=False)  # rates + acceptance join (scan-leaf lint)
     w_all = Window.partitionBy()
     rates = counts.select(
         "source",
@@ -1325,6 +1328,7 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "v0")
     ).select("vec_id", "label", "pos", F.col("v0").cast("double").alias("v"))
+    vals = vals.localCheckpoint(eager=False)  # means + distances (scan-leaf lint)
     means = vals.groupBy("label", "pos").agg(
         (F.sum(F.col("v").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias("m")
     )
@@ -1340,6 +1344,7 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist"),
         )
     )
+    dists = dists.localCheckpoint(eager=False)  # stats + outlier rows (scan-leaf lint)
     st = dists.groupBy("label").agg(
         (F.sum(F.col("dist").cast("decimal(38,18)")).cast("double") / F.count(F.lit(1))).alias("mu"),
         (
@@ -1673,10 +1678,12 @@ def sample_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global rank without a single-partition window: range-repartition,
     # rank locally, add broadcast per-partition offsets (same pattern as
     # dedup_sorted_neighborhood)
+    d = d.localCheckpoint(eager=False)  # per-source rank + global rank (scan-leaf lint)
     par = spark.sparkContext.defaultParallelism
     ranged = d.repartitionByRange(par, "n_chars", "doc_id").withColumn(
         "pid", F.spark_partition_id()
     )
+    ranged = ranged.localCheckpoint(eager=False)  # rank + offsets; pins pid binding (scan-leaf lint)
     wlocal = Window.partitionBy("pid").orderBy("n_chars", "doc_id")
     local = ranged.withColumn("lrn", F.row_number().over(wlocal))
     offsets = (

@@ -795,6 +795,7 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = keyed.repartitionByRange(par, "epoch", "shuffle_key", "doc_id").withColumn(
         "pid", F.spark_partition_id()
     )
+    ranged = ranged.localCheckpoint(eager=False)  # rank + offsets; pins pid binding (scan-leaf lint)
     wl = Window.partitionBy("pid").orderBy("epoch", "shuffle_key", "doc_id")
     local = ranged.withColumn("lrn", F.row_number().over(wl))
     # per-partition counts -> exclusive offsets; the only driver-ordered
@@ -1091,6 +1092,7 @@ def sample_water_filling_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy."""
     d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     supply = d.groupBy("source").agg(F.sum("n_chars").alias("sup"))
+    supply = supply.localCheckpoint(eager=False)  # count + fill iterations (scan-leaf lint)
     n_src = supply.count()  # source-cardinality metadata, bounded
     cur = supply.select(
         "source",
@@ -1617,6 +1619,7 @@ def sample_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     count + one broadcast join + one global aggregate."""
     d = load_table(spark, sf_dir, "documents")
     src = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    src = src.localCheckpoint(eager=False)  # total + weights (scan-leaf lint)
     tot = src.agg(
         F.sum("n_s").cast("bigint").alias("n"), F.count(F.lit(1)).cast("bigint").alias("k")
     )
@@ -1895,6 +1898,7 @@ def sample_coreset_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = e.select(
         "vec_id", F.posexplode("embedding").alias("i0", "xf")
     ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    vals = vals.localCheckpoint(eager=False)  # mean pass + distance pass (scan-leaf lint)
     mu = vals.groupBy("i").agg(
         (F.sum(F.round("x", 9).cast("decimal(38,9)")).cast("double") / F.count(F.lit(1))).alias("m")
     )
@@ -1911,6 +1915,7 @@ def sample_coreset_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist2")
         )
     )
+    d2 = d2.localCheckpoint(eager=False)  # total + sensitivity rows (scan-leaf lint)
     tot = d2.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.round("dist2", 9).cast("decimal(38,9)")).cast("double").alias("sd2"),
@@ -2003,6 +2008,7 @@ def sample_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wo).alias("rn"),
         F.sum("n").over(wc).alias("cum"),
     ).crossJoin(F.broadcast(tot))
+    ranked = ranked.localCheckpoint(eager=False)  # cut + nucleus tagging (scan-leaf lint)
     cut = ranked.filter(
         F.col("cum") * 1.0 >= TOP_P * F.col("nt")
     ).agg(F.min("rn").alias("k"))
