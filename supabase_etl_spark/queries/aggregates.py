@@ -1010,6 +1010,8 @@ def agg_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     a = ev.filter(F.col("event_type") == "view").select("user_id")
     b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    a = a.localCheckpoint(eager=False)  # sketch + exact passes (scan-leaf lint)
+    b = b.localCheckpoint(eager=False)  # sketch + exact passes (scan-leaf lint)
     sk = (
         a.agg(F.hll_sketch_agg("user_id").alias("sk_a"))
         .crossJoin(b.agg(F.hll_sketch_agg("user_id").alias("sk_b")))
@@ -1489,6 +1491,7 @@ def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("cust_rev")
         )
     )
+    rev = rev.localCheckpoint(eager=False)  # shared frame (scan-leaf lint)
     seg = rev.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("cust_rev").cast("decimal(28,6)")).cast("double").alias("seg_rev"),
@@ -1893,6 +1896,7 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = cust.filter(F.col("c_acctbal") > 0).select(
         "c_nationkey", F.col("c_acctbal").alias("x")
     )
+    pos = pos.localCheckpoint(eager=False)  # totals + rows + inner (scan-leaf lint)
     tot = pos.agg(
         (F.sum(F.col("x").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)))
         .alias("mu"),
@@ -2632,6 +2636,7 @@ def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "treat",
         "metric",
     )
+    cells = cells.localCheckpoint(eager=False)  # rank + sums (scan-leaf lint)
     wr = Window.partitionBy("block").orderBy("metric", "treat")
     ranked = cells.select(
         "block", "treat", F.row_number().over(wr).cast("bigint").alias("r")

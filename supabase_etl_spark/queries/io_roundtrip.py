@@ -708,6 +708,8 @@ def io_manifest_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     M.commit(v2_df, table, mode="overwrite")
     v1 = M.read(spark, table, 1)
     v2 = M.read(spark, table, 2)
+    v1 = v1.localCheckpoint(eager=False)  # both except-directions (scan-leaf lint)
+    v2 = v2.localCheckpoint(eager=False)  # both except-directions (scan-leaf lint)
     deletes = v1.exceptAll(v2).select(
         F.lit("delete").alias("change_type"), "o_orderkey", "o_totalprice"
     )
@@ -2413,6 +2415,9 @@ def io_pyds_pushdown_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY version
     """,
     tags=("io", "lakehouse"),
+    scans=(
+        "reads versions 1, 2 and 3 of the same manifest table — time travel across a metadata-only rename IS the query",
+    ),
 )
 def io_manifest_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only column rename through the manifest store's column

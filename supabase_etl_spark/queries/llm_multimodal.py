@@ -1092,7 +1092,9 @@ def multimodal_image_histogram_similarity(spark: SparkSession, sf_dir: str) -> D
                 }
             )
 
-    h = imgs.mapInPandas(hist, schema="uri string, bucket int, c long")
+    h = imgs.mapInPandas(hist, schema="uri string, bucket int, c long").localCheckpoint(
+        eager=False
+    )  # decode once: norms + both join sides (scan-leaf lint)
     norms = h.groupBy("uri").agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2"))
     a = h.alias("a")
     b = h.alias("b")

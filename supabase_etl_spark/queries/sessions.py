@@ -118,6 +118,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
     )
+    v = v.localCheckpoint(eager=False)  # next stage + final counts (scan-leaf lint)
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
@@ -125,6 +126,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
     )
+    c = c.localCheckpoint(eager=False)  # next stage + final counts (scan-leaf lint)
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")

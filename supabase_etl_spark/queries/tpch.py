@@ -387,6 +387,14 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("tpch", "join", "subquery"),
+    scans=(
+        "TPC-H Q2 correlated MIN(ps_supplycost) subquery re-scans partsupp (spec shape)",
+        "the subquery re-scans supplier for the cost-side join (spec shape)",
+        "the subquery re-scans nation (spec shape)",
+        "the subquery re-scans region (spec shape)",
+        "outer and subquery sides prune differently (part filter only outer), so a shared pin would widen the scan",
+        "classic two-phase Q2 plans scan the cost tables twice by design",
+    ),
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape without a partsupp table: lineitem is the
@@ -600,6 +608,10 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY value DESC, l_partkey
     """,
     tags=("tpch", "agg", "subquery"),
+    scans=(
+        "TPC-H Q11 HAVING threshold = a second aggregate over the same partsupp join (spec shape)",
+        "supplier/nation sides re-broadcast for the threshold branch",
+    ),
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (lineitem value standing in for partsupp
@@ -879,6 +891,10 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     ORDER BY s_suppkey
     """,
     tags=("tpch", "join", "semi", "subquery"),
+    scans=(
+        "TPC-H Q20 half-of-shipped subquery re-scans lineitem against partsupp availability (spec shape)",
+        "part-name prefix filter side scans part separately from the availability branch",
+    ),
 )
 def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (shipped quantity standing in for partsupp
@@ -949,6 +965,10 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("tpch", "join", "agg", "subquery"),
+    scans=(
+        "TPC-H Q21 spec: lineitem self-joined as l1/l2 (other-supplier exists)",
+        "TPC-H Q21 spec: lineitem self-joined as l3 (late-other-supplier not-exists)",
+    ),
     bench=True,
 )
 def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
