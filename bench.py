@@ -25,11 +25,16 @@ OVERHEAD ACCOUNTING (r8 ADVICE + task 6):
     a per-run job group), so "floor-dominated" is measured, not argued.
   * `ratio_adj` — (spark − floor) / oracle. A SPARK-OVERHEAD DIAGNOSTIC
     (one stage launch forgiven), NOT a symmetric comparison.
-  * `ratio_stage_adj` — max(spark − stages·floor, 0) /
+  * `ratio_stage_adj` — max(spark − stages·floor_near, 0) /
     max(oracle − oracle_floor, 1 ms): both sides stripped of their
     measured fixed overhead — the number that answers "is the PLAN
     slow at scale, or is this the local multi-action floor?". Queries
-    still >2x here get a plan audit.
+    still >2x here get a plan audit. floor_near is the floor sample
+    nearest in time to the query's measurement (r12): the floor decays
+    ~60→15 ms as the JVM warms, and subtracting the start-of-run value
+    over-charged late-measured sub-second queries (r11's join_q3 read
+    3.89x on an improved wall). `ratio_stage_adj_startfloor` keeps the
+    old basis for r9-r11 continuity.
 
 ADJUDICATION BASES (VERDICT r9 task 3): codec-bound queries (the
 engine decodes real WAV/Y4M/BMP container bytes; the DuckDB oracle
@@ -44,8 +49,9 @@ cover only basis="ratio" queries, where both sides do equivalent work.
 SELF-LABELING (r11, VERDICT r10 task 6): the noop-action floor is
 sampled throughout the run (start, every 8th query, end —
 `floor_samples`; it decays ~60 ms cold -> ~15 ms warm, so it is NOT a
-constant). `floor` stays the start-of-run value the adjusted ratios
-subtract (the r9/r10 comparability basis). `load_factor` =
+constant). `floor` is the start-of-run value (ratio_adj and the
+startfloor continuity diagnostic subtract it; ratio_stage_adj uses the
+per-query nearest sample). `load_factor` =
 median(floor_samples) / `floor_quiet_ref` (the committed quiet-machine
 median): a contended run (load_factor >~ 1.5) announces itself in the
 artifact instead of reading as a uniform wall regression.
@@ -124,15 +130,20 @@ def main() -> None:
     # reading as 60x "slowdowns" when the gap is all fixed overhead.
     # The noop floor is NOT a constant: r11's interleaved sampling shows
     # it decaying ~60 ms -> ~15 ms as the JVM warms over the run
-    # (`floor_samples`). Two distinct uses, two distinct values:
-    #   * stage_adj keeps the r9/r10 basis — the START-of-run floor —
-    #     for round-over-round comparability (a noop also under-counts a
-    #     real action's fixed part: no codegen compile, no AQE wait, no
+    # (`floor_samples`). Three distinct uses, three distinct values:
+    #   * ratio_stage_adj subtracts the NEAREST-IN-TIME floor sample per
+    #     query (VERDICT r11 task 4: the old start-of-run basis
+    #     over-subtracted for queries measured late in the warm run and
+    #     pushed join_q3 to a scary 3.89x on an IMPROVED 0.73s wall);
+    #   * ratio_stage_adj_startfloor keeps the r9-r11 start-of-run basis
+    #     as a continuity diagnostic (a noop also under-counts a real
+    #     action's fixed part: no codegen compile, no AQE wait, no
     #     broadcast build; those are decomposed separately via
     #     bcast_floor and SCALE.md's AQE constants);
     #   * load_factor uses the MEDIAN sample vs the committed
     #     quiet-machine median — the run-long contention signal.
     floor_samples: list[float] = []
+    floor_sample_t: list[float] = []
 
     def sample_floor() -> float:
         best = None
@@ -142,6 +153,7 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         floor_samples.append(round(best, 4))
+        floor_sample_t.append(time.time())
         return best
 
     floor = sample_floor()
@@ -178,6 +190,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     stages: dict[str, int] = {}
+    q_measured_t: dict[str, float] = {}  # when each query's timing landed
     total = 0.0
     for qi, name in enumerate(sorted(bench_set)):
         if qi and qi % 8 == 0:
@@ -199,6 +212,7 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
             stages[name] = stage_count(group)
         timings[name] = round(best, 3)
+        q_measured_t[name] = time.time()
         total += best
         print(f"# {name}: {best:.3f}s", flush=True)
         # r4 removed all operator-level caches (ReusedExchange covers
@@ -237,6 +251,16 @@ def main() -> None:
 
     floor_median = statistics.median(floor_samples)
 
+    def floor_near(name: str) -> float:
+        """The floor sample nearest in time to the query's measurement —
+        what its stage launches actually cost on the then-current JVM
+        warmth (VERDICT r11 task 4)."""
+        t = q_measured_t.get(name)
+        if t is None or not floor_sample_t:
+            return floor
+        i = min(range(len(floor_sample_t)), key=lambda k: abs(floor_sample_t[k] - t))
+        return floor_samples[i]
+
     # Same-process DuckDB oracle timings for the same queries — the
     # denominator of the epoch-invariant ratio. Queries with
     # oracle=None (rows-only checks) have no denominator and are
@@ -263,6 +287,7 @@ def main() -> None:
     ratios: dict[str, float] = {}
     ratios_adj: dict[str, float] = {}
     ratios_stage_adj: dict[str, float] = {}
+    ratios_stage_adj_start: dict[str, float] = {}
     oracle_total = 0.0
     spark_matched_total = 0.0
     codec_oracle: dict[str, float] = {}
@@ -297,11 +322,14 @@ def main() -> None:
             else -1.0
         )
         # symmetric stage-adjusted ratio: strip the MEASURED fixed
-        # overhead from both sides (stages x start-of-run floor vs
-        # oracle_floor — the r9/r10 continuity basis, see floor notes)
+        # overhead from both sides (stages x nearest-in-time floor vs
+        # oracle_floor — see floor notes; the start-floor basis stays
+        # as the r9-r11 continuity diagnostic)
         o_net = max(best - oracle_floor, 0.001)
-        s_net = max(timings[name] - stages.get(name, 1) * floor, 0.0)
+        s_net = max(timings[name] - stages.get(name, 1) * floor_near(name), 0.0)
         ratios_stage_adj[name] = round(s_net / o_net, 2)
+        s_net_start = max(timings[name] - stages.get(name, 1) * floor, 0.0)
+        ratios_stage_adj_start[name] = round(s_net_start / o_net, 2)
         oracle_total += best
         spark_matched_total += timings[name]
         print(
@@ -340,6 +368,7 @@ def main() -> None:
         "ratio": ratios,
         "ratio_adj": ratios_adj,
         "ratio_stage_adj": ratios_stage_adj,
+        "ratio_stage_adj_startfloor": ratios_stage_adj_start,
         "stages": stages,
         "floor": round(floor, 4),
         "floor_end": round(floor_end, 4),
