@@ -1130,6 +1130,25 @@ def main() -> None:
         finally:
             os.environ.pop("SPARK_GRAFT_MM_INC_DOCS", None)
 
+    def t_aud_incremental_ingest(docs):
+        # audio incremental-ingest capstone (real fn, real streaming
+        # harness + manifest commits) over a growing clip count: 512 x
+        # mult clips through the same 3-micro-batch flow (VERDICT r11
+        # task 5 — scale rows for BOTH new capstones).
+        import os
+
+        from supabase_etl_spark.queries.streaming import (
+            multimodal_audio_incremental_ingest,
+        )
+
+        os.environ["SPARK_GRAFT_AUD_INC_DOCS"] = str(512 * docs.__mult__)
+        try:
+            multimodal_audio_incremental_ingest(spark, SF_DIR).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        finally:
+            os.environ.pop("SPARK_GRAFT_AUD_INC_DOCS", None)
+
     def t_corpus_prepare(docs):
         # the composed quality-gate -> lang-ID -> Bloom-decontaminate ->
         # mixture-ledger pipeline (corpus_prepare_end_to_end), real fn
@@ -1357,6 +1376,7 @@ def main() -> None:
         "exact-substring dedup (windows->coverage)": t_exact_substring,
         "cdc chunk dedup (boundaries->chunk hash)": t_cdc_chunks,
         "multimodal incremental ingest (decode->gate->dedup->manifest)": t_mm_incremental_ingest,
+        "audio incremental ingest (decode->gate->dedup->manifest)": t_aud_incremental_ingest,
         "trajectory topk band-blocked": t_trajectory,
         "identity stitching CC": t_stitching,
         "naive-bayes train+score": t_naive_bayes,
