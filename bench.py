@@ -25,16 +25,24 @@ OVERHEAD ACCOUNTING (r8 ADVICE + task 6):
     a per-run job group), so "floor-dominated" is measured, not argued.
   * `ratio_adj` — (spark − floor) / oracle. A SPARK-OVERHEAD DIAGNOSTIC
     (one stage launch forgiven), NOT a symmetric comparison.
-  * `ratio_stage_adj` — max(spark − stages·floor_near, 0) /
+  * `ratio_stage_adj` — max(spark − stages·STAGE_FIXED_REF, 0) /
     max(oracle − oracle_floor, 1 ms): both sides stripped of their
-    measured fixed overhead — the number that answers "is the PLAN
-    slow at scale, or is this the local multi-action floor?". Queries
-    still >2x here get a plan audit. floor_near is the floor sample
-    nearest in time to the query's measurement (r12): the floor decays
-    ~60→15 ms as the JVM warms, and subtracting the start-of-run value
-    over-charged late-measured sub-second queries (r11's join_q3 read
-    3.89x on an improved wall). `ratio_stage_adj_startfloor` keeps the
-    old basis for r9-r11 continuity.
+    fixed overhead — the number that answers "is the PLAN slow at
+    scale, or is this the local multi-action floor?". Queries still
+    >2x here get a plan audit. STAGE_FIXED_REF is a COMMITTED
+    deterministic per-stage constant (r12, VERDICT r11 task 4): the
+    old start-of-run noop basis depended on cold-start luck (52 ms one
+    run, 30 the next) and pushed r11's join_q3 to 3.89x on an improved
+    0.73s wall. The literal r11 suggestion — the nearest-in-time noop
+    sample — was measured and REJECTED: the noop decays to ~15-30 ms
+    warm while a real action with a fresh plan costs ~100 ms/stage
+    (codegen compile + scheduler; a fresh 2-stage agg reads ~0.20s
+    warm), so nearest-noop subtraction made q3 read 6.8x — the
+    opposite of the intended fix. 60 ms/stage is SCALE.md's r10
+    measured per-action constant for real sub-second queries; a
+    committed reference also makes the column comparable across runs
+    by construction. `ratio_stage_adj_startfloor` keeps the r9-r11
+    basis for continuity.
 
 ADJUDICATION BASES (VERDICT r9 task 3): codec-bound queries (the
 engine decodes real WAV/Y4M/BMP container bytes; the DuckDB oracle
@@ -62,6 +70,14 @@ from __future__ import annotations
 import json
 import os
 import time
+
+# Deterministic per-stage fixed-overhead reference for ratio_stage_adj
+# (r12): the r10 SCALE.md decomposition measured ~61.5 ms/action on
+# real sub-second queries (scheduler + codegen + commit), and the r11
+# committed cold floor read 52 ms — a committed 60 ms splits the
+# difference and stays fixed across runs. See the module docstring for
+# why the warm NOOP floor (~15-30 ms) is the wrong estimator here.
+STAGE_FIXED_REF = 0.06
 
 # Quiet-machine RUN-LONG MEDIAN noop floor (r11 measurement: samples
 # decay ~60 ms cold -> ~15 ms warm over a full bench on an idle
@@ -251,15 +267,10 @@ def main() -> None:
 
     floor_median = statistics.median(floor_samples)
 
-    def floor_near(name: str) -> float:
-        """The floor sample nearest in time to the query's measurement —
-        what its stage launches actually cost on the then-current JVM
-        warmth (VERDICT r11 task 4)."""
-        t = q_measured_t.get(name)
-        if t is None or not floor_sample_t:
-            return floor
-        i = min(range(len(floor_sample_t)), key=lambda k: abs(floor_sample_t[k] - t))
-        return floor_samples[i]
+    # (The nearest-in-time noop sample was implemented and rejected —
+    # see the module docstring; per-query measurement offsets ship in
+    # the payload as q_measured_rel so the warm/cold position of every
+    # measurement stays auditable.)
 
     # Same-process DuckDB oracle timings for the same queries — the
     # denominator of the epoch-invariant ratio. Queries with
@@ -321,12 +332,12 @@ def main() -> None:
             if best > 0
             else -1.0
         )
-        # symmetric stage-adjusted ratio: strip the MEASURED fixed
-        # overhead from both sides (stages x nearest-in-time floor vs
+        # symmetric stage-adjusted ratio: strip the fixed overhead
+        # from both sides (stages x the committed STAGE_FIXED_REF vs
         # oracle_floor — see floor notes; the start-floor basis stays
         # as the r9-r11 continuity diagnostic)
         o_net = max(best - oracle_floor, 0.001)
-        s_net = max(timings[name] - stages.get(name, 1) * floor_near(name), 0.0)
+        s_net = max(timings[name] - stages.get(name, 1) * STAGE_FIXED_REF, 0.0)
         ratios_stage_adj[name] = round(s_net / o_net, 2)
         s_net_start = max(timings[name] - stages.get(name, 1) * floor, 0.0)
         ratios_stage_adj_start[name] = round(s_net_start / o_net, 2)
@@ -374,6 +385,10 @@ def main() -> None:
         "floor_end": round(floor_end, 4),
         "floor_median": round(floor_median, 4),
         "floor_samples": floor_samples,
+        "stage_fixed_ref": STAGE_FIXED_REF,
+        "q_measured_rel": {
+            n: round(t - floor_sample_t[0], 1) for n, t in q_measured_t.items()
+        },
         "floor_quiet_ref": FLOOR_QUIET_REF,
         "load_factor": load_factor,
         "bcast_floor": round(bcast_floor, 3),
