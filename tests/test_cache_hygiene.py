@@ -20,14 +20,15 @@ from supabase_etl_spark.queries import load_all
 
 SF = "/root/testdata/sf0.001"
 
-# every query that cached an intermediate before r4 and has NOT since
-# moved to the sanctioned localCheckpoint class.
-# dedup_incremental_ingest left this list in r11: its shared shingle /
-# band / incoming frames are now localCheckpoint(eager=False)-pinned
-# (the r10 VERDICT task-2 fix for its 48-scan plan), and checkpoint
-# blocks are ContextCleaner-freed on GC, per the exclusion above; the
-# registry-wide tests/test_storage_hygiene_registry.py still guards it
-# against persist()/cache() residue.
+# every query that cached an intermediate before r4. As of r12 ALL of
+# them live in the sanctioned localCheckpoint class (the scan-leaf
+# lint pinned their signature/edge tables), so the gate sharpened
+# instead of emptying: the queries still run back-to-back with no
+# clearCache(), and every persistent RDD they leave behind must be a
+# LOCALLY-CHECKPOINTED pin (ContextCleaner-freed on GC, per the
+# exclusion above) — a cache()/persist()-style block fails the test.
+# tests/test_storage_hygiene_registry.py additionally source-lints
+# persist()/cache() out of the whole registry.
 FORMERLY_CACHING = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -38,22 +39,32 @@ FORMERLY_CACHING = [
 ]
 
 
-def _persistent_rdd_ids(spark) -> set[int]:
-    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
-    ids = set()
+def _persistent_rdds(spark) -> dict:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.keySet().iterator()
+    out = {}
     while it.hasNext():
-        ids.add(it.next())
-    return ids
+        k = it.next()
+        out[k] = jmap.get(k)
+    return out
 
 
 def test_composed_queries_leave_no_storage_behind(spark):
     qs = load_all()
-    before = _persistent_rdd_ids(spark)
+    before = set(_persistent_rdds(spark))
     for name in FORMERLY_CACHING:
         assert name in qs, f"registry lost {name}"
         qs[name].fn(spark, SF).write.format("noop").mode("overwrite").save()
-    leaked = _persistent_rdd_ids(spark) - before
-    assert not leaked, f"queries left persistent RDDs behind: {leaked}"
+    after = _persistent_rdds(spark)
+    unsanctioned = {
+        k: v.toString()
+        for k, v in after.items()
+        if k not in before and not v.rdd().isLocallyCheckpointed()
+    }
+    assert not unsanctioned, (
+        "queries left NON-checkpoint persistent RDDs behind "
+        f"(cache()/persist() residue): {unsanctioned}"
+    )
     cached_tables = [
         t.name for t in spark.catalog.listTables() if spark.catalog.isCached(t.name)
     ]
