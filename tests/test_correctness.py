@@ -59,8 +59,12 @@ def test_driver_window_rotates_to_unverified_names():
     """The window must contain NO name already green in a committed
     driver artifact while unverified oracle-bearing names remain —
     otherwise the rotation silently re-verifies the same 50 (VERDICT r6
-    tasks 1 + 9)."""
+    tasks 1 + 9). The _REPIN names are the sanctioned exception: a
+    query whose code was repaired/rewritten AFTER its last driver run
+    deliberately re-enters the window for post-rewrite driver-contract
+    proof (VERDICT r11 task 6)."""
     from supabase_etl_spark.queries import (
+        _REPIN,
         DRIVER_PRIORITY,
         compute_driver_priority,
         driver_verified_names,
@@ -72,7 +76,7 @@ def test_driver_window_rotates_to_unverified_names():
     if not seen:
         pytest.skip("no committed driver artifacts (fresh clone)")
     unverified = [n for n, s in reg.items() if s.oracle is not None and n not in seen]
-    stale = [n for n in DRIVER_PRIORITY if n in seen]
+    stale = [n for n in DRIVER_PRIORITY if n in seen and n not in _REPIN]
     if len(unverified) >= 50:
         assert not stale, f"already-verified names occupy rotation slots: {stale}"
     # deterministic: recomputing from the same artifacts yields the same window
