@@ -58,8 +58,10 @@ SELF-LABELING (r11, VERDICT r10 task 6): the noop-action floor is
 sampled throughout the run (start, every 8th query, end —
 `floor_samples`; it decays ~60 ms cold -> ~15 ms warm, so it is NOT a
 constant). `floor` is the start-of-run value (ratio_adj and the
-startfloor continuity diagnostic subtract it; ratio_stage_adj uses the
-per-query nearest sample). `load_factor` =
+startfloor continuity diagnostic subtract it; ratio_stage_adj subtracts
+the COMMITTED stages × STAGE_FIXED_REF instead — the nearest-in-time
+sample was measured and rejected, see above; `floor_sample_t` now only
+feeds the `q_measured_rel` warm/cold position stamp). `load_factor` =
 median(floor_samples) / `floor_quiet_ref` (the committed quiet-machine
 median): a contended run (load_factor >~ 1.5) announces itself in the
 artifact instead of reading as a uniform wall regression.
@@ -147,10 +149,12 @@ def main() -> None:
     # The noop floor is NOT a constant: r11's interleaved sampling shows
     # it decaying ~60 ms -> ~15 ms as the JVM warms over the run
     # (`floor_samples`). Three distinct uses, three distinct values:
-    #   * ratio_stage_adj subtracts the NEAREST-IN-TIME floor sample per
-    #     query (VERDICT r11 task 4: the old start-of-run basis
-    #     over-subtracted for queries measured late in the warm run and
-    #     pushed join_q3 to a scary 3.89x on an IMPROVED 0.73s wall);
+    #   * ratio_stage_adj subtracts the COMMITTED stages ×
+    #     STAGE_FIXED_REF (r12; module docstring — the nearest-in-time
+    #     noop sample was implemented, measured, and REJECTED: the warm
+    #     noop under-counts a real action's ~100 ms/stage fixed cost
+    #     and pushed join_q3 to 6.8x); the samples themselves now only
+    #     feed load_factor and the q_measured_rel warm/cold stamp;
     #   * ratio_stage_adj_startfloor keeps the r9-r11 start-of-run basis
     #     as a continuity diagnostic (a noop also under-counts a real
     #     action's fixed part: no codegen compile, no AQE wait, no

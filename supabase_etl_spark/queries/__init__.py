@@ -62,6 +62,17 @@ class QuerySpec:
     # granularity), never silent lineage recompute, which is fixed by
     # localCheckpoint(eager=False)-pinning the shared frame instead.
     scans: tuple[str, ...] = field(default_factory=tuple)
+    # Sanctioned parquet-scan leaves INSIDE pinned builder frames
+    # (VERDICT r12 task 3 — the scan-leaf lint's blind spot: a
+    # localCheckpoint truncates its subtree to a LogicalRDD, so
+    # recompute inside the pin's one-time materialization is invisible
+    # to the consumer-plan lint). tests/test_pin_interior_lint.py spies
+    # on every localCheckpoint call the query makes and audits each
+    # BUILDER frame's own physical plan with the same
+    # distinct-paths + 1 budget; the query's total builder excess must
+    # be <= len(pin_scans), one justification string per sanctioned
+    # extra leaf — a genuine multi-pass in the builder, never recompute.
+    pin_scans: tuple[str, ...] = field(default_factory=tuple)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -102,6 +113,7 @@ def query(
     uwin: tuple[str, ...] = (),
     basis: str = "ratio",
     scans: tuple[str, ...] = (),
+    pin_scans: tuple[str, ...] = (),
 ):
     """Decorator: register a query under ``name``."""
 
@@ -112,7 +124,7 @@ def query(
             raise ValueError(f"unknown bench basis: {basis}")
         REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, tags=tags, bench=bench, uwin=uwin,
-            basis=basis, scans=scans,
+            basis=basis, scans=scans, pin_scans=pin_scans,
         )
         return fn
 
@@ -173,20 +185,17 @@ _STATIC_PRIORITY: tuple[str, ...] = (
 # dq 17, ml 14, io 13 never-verified at r12 start — VERDICT r11 task 1
 # names analytics/events, ml_eval/ml_train, io/manifest explicitly).
 _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
-    # pin the r12 debuts into the window (every new operator gets a
-    # driver-verification slot — the r8-r11 pattern): the staked
-    # watermark late-data-drop ledger (VERDICT r11 task 3).
-    ("stream_watermark_late_drop_ledger", 1),
     # family quotas re-aimed at the LARGEST never-verified families as
-    # computed from the committed artifacts at r12 start; 1 debut pin +
-    # 2 re-pins + 47 quota slots = 50
+    # computed from the committed artifacts at r13 start (events 37,
+    # text 14, sample 13, dq 11, udf 10, sim 9, sql 9 of 201 total —
+    # VERDICT r12 task 2); 1 active re-pin + 49 quota slots = 50
     ("events_", 16),
-    ("text_", 7),
-    ("agg_", 7),
+    ("text_", 8),
+    ("sample_", 7),
     ("dq_", 6),
-    ("ml_", 5),
-    ("io_", 4),
-    ("embedding_", 2),
+    ("udf_", 5),
+    ("sim_", 4),
+    ("sql_", 3),
 )
 _WINDOW_SIZE = 50
 
@@ -194,33 +203,56 @@ _WINDOW_SIZE = 50
 # an OLD driver artifact already verified them (VERDICT r11 task 6):
 # driver_verified_names() keeps them out of the candidate pool, but the
 # post-rewrite code deserves fresh driver-contract proof the way
-# text_vocab_ids' repair got it in r11. dedup_cdc_chunks' boundary pass
-# was rewritten to the Rabin windowed-polynomial kernel in r11
-# (llm_dedup.py:2593) AFTER its last driver verification;
-# sample_length_histogram_match was pinned in-round (commit a0030c6)
-# after its r11 driver run was already green.
-_REPIN: tuple[str, ...] = (
-    "dedup_cdc_chunks",
-    "sample_length_histogram_match",
+# text_vocab_ids' repair got it in r11. Each entry is
+# ``(name, last_stale_round)``: the repair postdates every driver
+# artifact up to and including ``last_stale_round``, and the re-pin
+# EXPIRES automatically once a driver artifact from a LATER round
+# verifies the name (ADVICE r12: a standing allowlist with no expiry
+# would lead the window forever, displacing never-verified names).
+# agg_levene_brown_forsythe: integer-units rewrite landed r13 (its
+# round(,3) formulation diverged at sf0.1 — SCALE.md r12 post-close),
+# so artifacts ≤ r12 are stale. dedup_cdc_chunks /
+# sample_length_histogram_match: repaired r11→r12, re-verified by the
+# r12 driver artifact — kept here as the (now-expired) record.
+_REPIN: tuple[tuple[str, int], ...] = (
+    ("agg_levene_brown_forsythe", 12),
+    ("dedup_cdc_chunks", 11),
+    ("sample_length_histogram_match", 11),
 )
+
+
+def active_repin_names(verified_rounds: "dict[str, int] | None" = None) -> tuple[str, ...]:
+    """_REPIN entries whose repair is NOT yet covered by a driver
+    artifact newer than the repair round — these lead the window."""
+    if verified_rounds is None:
+        verified_rounds = driver_verified_rounds()
+    return tuple(
+        n for n, stale in _REPIN if verified_rounds.get(n, -1) <= stale
+    )
 
 # Computed on first load_all(); falls back to _STATIC_PRIORITY.
 DRIVER_PRIORITY: tuple[str, ...] = ()
 
 
-def driver_verified_names(root: "str | None" = None) -> set[str]:
-    """Query names green in any committed driver artifact.
+def driver_verified_rounds(root: "str | None" = None) -> dict[str, int]:
+    """Query name → LATEST round whose committed driver artifact
+    verified it.
 
     Reads ``CORRECTNESS_r*.json`` at the repo root (NOT the builder's
     ``CORRECTNESS_local_*`` artifacts — only independent driver runs
-    retire a name from the rotation).
+    retire a name from the rotation). The round number feeds _REPIN
+    expiry: a repair is proven once an artifact NEWER than the repair
+    verifies the name.
     """
     import json
+    import re
     from pathlib import Path
 
     base = Path(root) if root else Path(__file__).resolve().parents[2]
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     for p in sorted(base.glob("CORRECTNESS_r[0-9]*.json")):
+        m = re.search(r"_r(\d+)\.json$", p.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             data = json.loads(p.read_text())
         except (OSError, ValueError):
@@ -231,13 +263,17 @@ def driver_verified_names(root: "str | None" = None) -> set[str]:
             # driver's pandas canon crashed on its then-list column)
             # must rotate back into the window after the fix, not count
             # as covered.
-            seen.update(
-                k
-                for k, v in data.items()
-                if isinstance(v, dict)
-                and (v.get("hash_match") or v.get("rows_match"))
-            )
+            for k, v in data.items():
+                if isinstance(v, dict) and (
+                    v.get("hash_match") or v.get("rows_match")
+                ):
+                    seen[k] = max(seen.get(k, 0), rnd)
     return seen
+
+
+def driver_verified_names(root: "str | None" = None) -> set[str]:
+    """Query names green in any committed driver artifact."""
+    return set(driver_verified_rounds(root))
 
 
 def compute_driver_priority(registry: dict[str, QuerySpec], seen: set[str]) -> tuple[str, ...]:
@@ -245,10 +281,16 @@ def compute_driver_priority(registry: dict[str, QuerySpec], seen: set[str]) -> t
     names first, allocated by family quota then backfilled in registry
     order; if fewer than 50 unverified names remain, the oldest-verified
     names cycle back in (registry order) to keep re-checking coverage.
-    ``_REPIN`` names lead the window regardless of verification state —
-    they carry a repair/rewrite that postdates their last driver run."""
+    Active ``_REPIN`` names lead the window regardless of verification
+    state — they carry a repair/rewrite that postdates their last
+    driver run; once a LATER artifact re-verifies them they expire back
+    into the ordinary pool (ADVICE r12)."""
     candidates = [n for n, s in registry.items() if s.oracle is not None and n not in seen]
-    window: list[str] = [n for n in _REPIN if n in registry and registry[n].oracle is not None]
+    window: list[str] = [
+        n
+        for n in active_repin_names()
+        if n in registry and registry[n].oracle is not None
+    ]
     for prefix, quota in _ROTATION_QUOTAS:
         fam = [n for n in candidates if n.startswith(prefix) and n not in window]
         window.extend(fam[:quota])

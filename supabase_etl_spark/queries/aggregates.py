@@ -2116,52 +2116,49 @@ def agg_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pts AS (
         SELECT l_returnflag AS g,
-               CAST(CAST(l_extendedprice * 0.0001 AS DECIMAL(18,6))
-                    AS DOUBLE) AS x
+               CAST(CAST(l_extendedprice * 0.0001 AS DECIMAL(18,6)) * 1000000
+                    AS BIGINT) AS xu
         FROM lineitem
     ),
     med AS (
         SELECT g,
-               CAST(SUM(CASE WHEN rn IN (CAST(floor((n + 1) / 2.0) AS BIGINT),
-                                         CAST(floor((n + 2) / 2.0) AS BIGINT))
-                             THEN x ELSE 0 END) AS DOUBLE)
-               / SUM(CASE WHEN rn IN (CAST(floor((n + 1) / 2.0) AS BIGINT),
-                                      CAST(floor((n + 2) / 2.0) AS BIGINT))
-                          THEN 1 ELSE 0 END) AS median
+               SUM(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                        THEN xu ELSE 0 END)
+               + SUM(CASE WHEN rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+                          THEN xu ELSE 0 END) AS m2
         FROM (
-            SELECT g, x,
-                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+            SELECT g, xu,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY xu) AS rn,
                    COUNT(*) OVER (PARTITION BY g) AS n
             FROM pts
         ) GROUP BY g
     ),
     z AS (
-        SELECT p.g, round(ABS(p.x - m.median), 3) AS z
+        SELECT p.g, ABS(2 * p.xu - m.m2) AS z2
         FROM pts p JOIN med m ON p.g = m.g
     ),
     grp AS (
         SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(z AS DECIMAL(28,6))) AS DOUBLE) AS s1,
-               CAST(SUM(CAST(z * z AS DECIMAL(28,6))) AS DOUBLE) AS s2
+               SUM(CAST(z2 AS DECIMAL(38,0))) AS s1d,
+               SUM(CAST(z2 * z2 AS DECIMAL(38,0))) AS s2d
         FROM z GROUP BY g
     ),
-    tot AS (
-        SELECT CAST(SUM(n) AS BIGINT) AS n_all, COUNT(*) AS k,
-               CAST(SUM(CAST(s1 AS DECIMAL(28,6))) AS DOUBLE) AS s1_all
+    moments AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(s1d) AS DOUBLE) AS s1_all,
+               SUM(CAST(s1d AS DOUBLE) * CAST(s1d AS DOUBLE)
+                   / CAST(n AS DOUBLE)) AS a,
+               CAST(SUM(s2d) AS DOUBLE) AS c
         FROM grp
     )
-    SELECT t.n_all, CAST(t.k AS BIGINT) AS k,
-           round((SELECT SUM(s1 * s1 / n) FROM grp)
-                 - t.s1_all * t.s1_all / t.n_all, 6) AS ss_between,
-           round((SELECT SUM(s2) FROM grp)
-                 - (SELECT SUM(s1 * s1 / n) FROM grp), 6) AS ss_within,
-           round(
-               (((SELECT SUM(s1 * s1 / n) FROM grp)
-                 - t.s1_all * t.s1_all / t.n_all) / (t.k - 1))
-               / (((SELECT SUM(s2) FROM grp)
-                   - (SELECT SUM(s1 * s1 / n) FROM grp)) / (t.n_all - t.k)),
-               6) AS bf_statistic
-    FROM tot t
+    SELECT n_all, k,
+           round((a - s1_all * s1_all / n_all) / 4000000000000.0, 6)
+               AS ss_between,
+           round((c - a) / 4000000000000.0, 6) AS ss_within,
+           round(((a - s1_all * s1_all / n_all) / (k - 1))
+                 / ((c - a) / (n_all - k)), 6) AS bf_statistic
+    FROM moments
     """,
     tags=("agg", "statistics"),
 )
@@ -2170,65 +2167,72 @@ def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     homogeneity across the return-flag groups: one-way ANOVA on the
     absolute deviations from each group's EXACT median — the
     robust pre-check before any pooled-variance t/ANOVA inference.
-    Medians come from distributed ranks (avg of the two middle order
-    statistics); deviations snap to 3 dp so their squares are exact
-    6-dp rationals and every moment accumulates in cast-safe
-    decimal(28,6); the F-ratio is then pure identical-double
-    arithmetic. Two window passes + two grouped aggregations — the
-    rank partitions by group, so 100 TB sorts within groups, never
-    globally."""
+    Scale-stable integer-units formulation: x is an exact 6-dp
+    rational, so xu = x·1e6 is an exact BIGINT; the group median is
+    the midpoint of the two middle order statistics, so m2 = 2·median
+    ·1e6 is their exact integer SUM (odd n picks the same row twice);
+    z2 = |2·xu − m2| = 2e6·|x − median| is exact with NO rounding
+    snap — the .0005-tie class that made the old 3-dp formulation
+    scale-dependent cannot occur. Moments sum z2 and z2² through
+    decimal(38,0) (z2² ≈ 4e14/row overflows bigint's 9.2e18 within
+    ~20k rows; at 100 TB the decimal accumulator is mandatory), then
+    ONE cast to double per group total and a single /4e12 unit
+    conversion at the end — identical IEEE arithmetic on both
+    engines at any row count. Two window passes + two grouped
+    aggregations — the rank partitions by group, so 100 TB sorts
+    within groups, never globally."""
     li = load_table(spark, sf_dir, "lineitem")
     pts = li.select(
         F.col("l_returnflag").alias("g"),
-        (F.col("l_extendedprice") * 0.0001)
-        .cast("decimal(18,6)")
-        .cast("double")
-        .alias("x"),
+        ((F.col("l_extendedprice") * 0.0001).cast("decimal(18,6)") * 1000000)
+        .cast("bigint")
+        .alias("xu"),
     )
-    wr = Window.partitionBy("g").orderBy("x")
+    wr = Window.partitionBy("g").orderBy("xu")
     wn = Window.partitionBy("g")
     ranked = pts.select(
         "g",
-        "x",
+        "xu",
         F.row_number().over(wr).alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
     lo = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
     hi = F.floor((F.col("n") + 2) / 2.0).cast("bigint")
-    mid = F.col("rn").isin if False else None  # noqa: F841
-    is_mid = (F.col("rn") == lo) | (F.col("rn") == hi)
     med = ranked.groupBy("g").agg(
         (
-            F.sum(F.when(is_mid, F.col("x")).otherwise(0.0)).cast("double")
-            / F.sum(F.when(is_mid, 1).otherwise(0))
-        ).alias("median")
+            F.sum(F.when(F.col("rn") == lo, F.col("xu")).otherwise(F.lit(0)))
+            + F.sum(F.when(F.col("rn") == hi, F.col("xu")).otherwise(F.lit(0)))
+        ).alias("m2")
     )
     z = pts.join(F.broadcast(med), "g").select(
-        "g", F.round(F.abs(F.col("x") - F.col("median")), 3).alias("z")
+        "g", F.abs(2 * F.col("xu") - F.col("m2")).alias("z2")
     )
     grp = z.groupBy("g").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("z").cast("decimal(28,6)")).cast("double").alias("s1"),
-        F.sum((F.col("z") * F.col("z")).cast("decimal(28,6)"))
-        .cast("double")
-        .alias("s2"),
+        F.sum(F.col("z2").cast("decimal(38,0)")).alias("s1d"),
+        F.sum((F.col("z2") * F.col("z2")).cast("decimal(38,0)")).alias("s2d"),
     )
-    tot = grp.agg(
+    moments = grp.agg(
         F.sum("n").cast("bigint").alias("n_all"),
-        F.count(F.lit(1)).alias("k"),
-        F.sum(F.col("s1").cast("decimal(28,6)")).cast("double").alias("s1_all"),
-        F.sum(F.col("s1") * F.col("s1") / F.col("n")).alias("sb_raw"),
-        F.sum("s2").alias("s2_all"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s1d").cast("double").alias("s1_all"),
+        F.sum(
+            F.col("s1d").cast("double")
+            * F.col("s1d").cast("double")
+            / F.col("n").cast("double")
+        ).alias("a"),
+        F.sum("s2d").cast("double").alias("c"),
     )
-    ssb = F.col("sb_raw") - F.col("s1_all") * F.col("s1_all") / F.col("n_all")
-    ssw = F.col("s2_all") - F.col("sb_raw")
-    return tot.select(
+    ssb_u = F.col("a") - F.col("s1_all") * F.col("s1_all") / F.col("n_all")
+    ssw_u = F.col("c") - F.col("a")
+    units = F.lit(4000000000000.0)
+    return moments.select(
         "n_all",
-        F.col("k").cast("bigint").alias("k"),
-        F.round(ssb, 6).alias("ss_between"),
-        F.round(ssw, 6).alias("ss_within"),
+        "k",
+        F.round(ssb_u / units, 6).alias("ss_between"),
+        F.round(ssw_u / units, 6).alias("ss_within"),
         F.round(
-            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_all") - F.col("k"))), 6
+            (ssb_u / (F.col("k") - 1)) / (ssw_u / (F.col("n_all") - F.col("k"))), 6
         ).alias("bf_statistic"),
     )
 

@@ -3110,6 +3110,61 @@ WINNOW_K = 4  # tokens per gram
 WINNOW_W = 4  # winnowing window (consecutive grams per selection window)
 
 
+def winnowing_selected_builder(spark: SparkSession, sf_dir: str):
+    """(toked, sel) builder frames for text_winnowing_fingerprint —
+    module-level so tests/test_plan_shapes.py asserts window
+    partitioning on the EXACT frame the query localCheckpoints, not a
+    re-implementation that could drift (ADVICE r12). `sel` is returned
+    UN-pinned; the query adds the localCheckpoint."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    n_grams = F.greatest(F.lit(0), F.size("t") - F.lit(WINNOW_K - 1))
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.md5(
+                    F.concat_ws(chr(31), F.slice(F.col("t"), i, WINNOW_K))
+                ),
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    w = W.Window.partitionBy("doc_id").orderBy("pos")
+    wall = W.Window.partitionBy("doc_id")
+    h = F.col("h")
+    l1, l2, l3 = (F.lag("h", k).over(w) for k in (1, 2, 3))
+    r1, r2, r3 = (F.lead("h", k).over(w) for k in (1, 2, 3))
+
+    def one(c):
+        return F.when(c, 1).otherwise(0)
+
+    a = (
+        one(l1 > h)
+        + one((l1 > h) & (l2 > h))
+        + one((l1 > h) & (l2 > h) & (l3 > h))
+    )
+    b = (
+        one(r1 >= h)
+        + one((r1 >= h) & (r2 >= h))
+        + one((r1 >= h) & (r2 >= h) & (r3 >= h))
+    )
+    nb = grams.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.count(F.lit(1)).over(wall).alias("ng"),
+        a.alias("a"),
+        b.alias("b"),
+    )
+    sel = nb.filter(
+        F.least(F.col("a"), F.col("pos") - 1)
+        + F.least(F.col("b"), F.col("ng") - F.col("pos"))
+        >= WINNOW_W - 1
+    ).select("doc_id", "pos", "h")
+    return toked, sel
+
+
 @query(
     "text_winnowing_fingerprint",
     oracle=f"""
@@ -3189,54 +3244,11 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one corpus explode (linear), per-doc windows (partitioned by
     doc_id — bounded), one vocabulary-sized groupBy for sharing, one
     gram-keyed equi-join back. The corpus never crosses one task."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toked = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
-    n_grams = F.greatest(F.lit(0), F.size("t") - F.lit(WINNOW_K - 1))
-    grams = toked.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n_grams),
-                lambda i: F.md5(
-                    F.concat_ws(chr(31), F.slice(F.col("t"), i, WINNOW_K))
-                ),
-            )
-        ).alias("pos0", "h"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
-    w = W.Window.partitionBy("doc_id").orderBy("pos")
-    wall = W.Window.partitionBy("doc_id")
-    h = F.col("h")
-    l1, l2, l3 = (F.lag("h", k).over(w) for k in (1, 2, 3))
-    r1, r2, r3 = (F.lead("h", k).over(w) for k in (1, 2, 3))
-
-    def one(c):
-        return F.when(c, 1).otherwise(0)
-
-    a = (
-        one(l1 > h)
-        + one((l1 > h) & (l2 > h))
-        + one((l1 > h) & (l2 > h) & (l3 > h))
-    )
-    b = (
-        one(r1 >= h)
-        + one((r1 >= h) & (r2 >= h))
-        + one((r1 >= h) & (r2 >= h) & (r3 >= h))
-    )
-    nb = grams.select(
-        "doc_id",
-        "pos",
-        "h",
-        F.count(F.lit(1)).over(wall).alias("ng"),
-        a.alias("a"),
-        b.alias("b"),
-    )
-    sel = nb.filter(
-        F.least(F.col("a"), F.col("pos") - 1)
-        + F.least(F.col("b"), F.col("ng") - F.col("pos"))
-        >= WINNOW_W - 1
-    ).select("doc_id", "pos", "h").localCheckpoint(
+    toked, sel = winnowing_selected_builder(spark, sf_dir)
+    sel = sel.localCheckpoint(
         eager=False
     )  # shared-hash agg + per-doc join (scan-leaf lint)
+    n_grams = F.greatest(F.lit(0), F.size("t") - F.lit(WINNOW_K - 1))
     sh = (
         sel.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -3248,7 +3260,7 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_fp"),
-            F.sum(one(F.col("shared"))).alias("n_sh"),
+            F.sum(F.when(F.col("shared"), 1).otherwise(0)).alias("n_sh"),
         )
     )
     return (

@@ -62,10 +62,12 @@ def test_driver_window_rotates_to_unverified_names():
     tasks 1 + 9). The _REPIN names are the sanctioned exception: a
     query whose code was repaired/rewritten AFTER its last driver run
     deliberately re-enters the window for post-rewrite driver-contract
-    proof (VERDICT r11 task 6)."""
+    proof (VERDICT r11 task 6) — but only while ACTIVE: once a driver
+    artifact NEWER than the repair verifies the name, the re-pin
+    expires and may no longer occupy a slot (ADVICE r12)."""
     from supabase_etl_spark.queries import (
-        _REPIN,
         DRIVER_PRIORITY,
+        active_repin_names,
         compute_driver_priority,
         driver_verified_names,
         load_all,
@@ -75,12 +77,34 @@ def test_driver_window_rotates_to_unverified_names():
     seen = driver_verified_names()
     if not seen:
         pytest.skip("no committed driver artifacts (fresh clone)")
+    active = active_repin_names()
     unverified = [n for n, s in reg.items() if s.oracle is not None and n not in seen]
-    stale = [n for n in DRIVER_PRIORITY if n in seen and n not in _REPIN]
+    stale = [n for n in DRIVER_PRIORITY if n in seen and n not in active]
     if len(unverified) >= 50:
         assert not stale, f"already-verified names occupy rotation slots: {stale}"
     # deterministic: recomputing from the same artifacts yields the same window
     assert compute_driver_priority(reg, seen) == tuple(DRIVER_PRIORITY)
+
+
+def test_repins_expire_once_reverified():
+    """_REPIN auto-expiry (ADVICE r12): an entry is active only while NO
+    driver artifact newer than its repair round has verified the name —
+    a repin must not lead the window forever once its post-repair code
+    has independent proof."""
+    from supabase_etl_spark.queries import _REPIN, active_repin_names
+
+    # synthetic verified-rounds map exercises both sides of the boundary
+    name = _REPIN[0][0]
+    stale_round = _REPIN[0][1]
+    assert name in active_repin_names({name: stale_round})  # same-round artifact: still stale
+    assert name in active_repin_names({})  # never verified: active
+    assert name not in active_repin_names({name: stale_round + 1})  # newer artifact: expired
+    # and the real committed artifacts: the r11 repins were re-verified
+    # by the r12 driver artifact, so they must be expired by now
+    real_active = active_repin_names()
+    for n, stale in _REPIN:
+        if n in ("dedup_cdc_chunks", "sample_length_histogram_match"):
+            assert n not in real_active, f"{n} re-verified in r12 but still active"
 
 
 def test_json_snapshot_refuses_partial_registry(tmp_path):

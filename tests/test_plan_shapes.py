@@ -663,7 +663,21 @@ def test_quantile_normalize_global_rank_is_range_partitioned(spark):
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert any(s.lstrip().startswith("pid") for s in specs), specs
-    assert not any(s.lstrip().startswith("specifiedwindowframe") for s in specs)
+    # ADVICE r12: the old guard only rejected unpartitioned-AND-unordered
+    # specs; an ordered corpus-wide window (the actual regression —
+    # e.g. a global rank ordered by n_chars with no partition) starts
+    # with the ORDER column and slipped through. Every window must
+    # either carry a partition column (first token a bare column;
+    # boundedness of the partition key is the registry window lint's
+    # job) or — the one sanctioned unpartitioned shape — be the SNM
+    # offsets cumulation ordered BY pid itself, whose input is the
+    # bounded per-partition-counts frame (#partitions rows), never the
+    # corpus.
+    for s in specs:
+        first = s.split(",")[0].strip()
+        assert not first.startswith("specifiedwindowframe"), f"unpartitioned unordered window: {s}"
+        if " ASC" in first or " DESC" in first:
+            assert first.startswith("pid"), f"corpus-wide ordered window: {s}"
 
 
 def test_mor_delete_read_is_scoped_anti_join(spark, tmp_path):
@@ -1111,33 +1125,15 @@ def test_winnowing_windows_are_doc_partitioned(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # r12: the lag/lead windows moved inside the sel localCheckpoint
     # pin (scan-leaf lint), so the doc-partitioning assertion runs on
-    # the BUILDER plan — the same frame the pin materializes — while
-    # the final plan keeps the negative guards above.
+    # the BUILDER plan — since r13 the query's ACTUAL builder frame
+    # (module-level winnowing_selected_builder), not an inline
+    # re-implementation that could drift from the query (ADVICE r12).
     import re
 
-    from supabase_etl_spark.io.readers import load_table
-    from supabase_etl_spark.operators import text as T
-    from pyspark.sql import functions as F
+    from supabase_etl_spark.queries.llm_text import winnowing_selected_builder
 
-    toked = load_table(spark, SF, "documents").select(
-        "doc_id", T.tokens(F.col("text")).alias("t")
-    )
-    n_grams = F.greatest(F.lit(0), F.size("t") - F.lit(4 - 1))
-    grams = toked.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n_grams),
-                lambda i: F.md5(F.concat_ws(chr(31), F.slice(F.col("t"), i, 4))),
-            )
-        ).alias("pos0", "h"),
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("doc_id").orderBy("pos0")
-    builder_plan = _plan(
-        grams.select("doc_id", F.lag("h", 1).over(w).alias("l1"))
-    )
+    _, sel = winnowing_selected_builder(spark, SF)
+    builder_plan = _plan(sel)
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", builder_plan)
     assert specs, "expected windowspecdefinition nodes in the builder plan"
     for s in specs:
