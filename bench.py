@@ -14,7 +14,13 @@ adjudication exercise. So every run now times the DuckDB oracle SQL of
 the same queries IN THE SAME PROCESS, against the same parquet, and
 reports per-query and total spark/oracle RATIOS — the epoch-invariant
 number. `value` stays the Spark total for continuity with earlier
-rounds; `ratio_total` is the headline.
+rounds; `ratio_total` is the headline. Since r13 (VERDICT r12 task 8)
+each query's oracle is timed IMMEDIATELY after its Spark wall
+(A/B-interleaved, best-of-3, after a full warmup pass) instead of in a
+separate post-phase: the r11→r12 oracle_total swing (±15% between
+sessions) was the later phase absorbing whatever the machine was doing
+by then, and interleaving pins both sides of every ratio to one
+session state.
 
 OVERHEAD ACCOUNTING (r8 ADVICE + task 6):
   * `floor` — cheapest possible Spark action (range(1) → noop write):
@@ -208,9 +214,55 @@ def main() -> None:
                 sids.update(info.stageIds)
         return len(sids)
 
+    # INTERLEAVED ORACLE TIMING (r13, VERDICT r12 task 8): oracle_total
+    # swung ±15% between sessions (97.8s r12 vs 126.3s r11) when the
+    # whole DuckDB phase ran after the whole Spark phase — the ratio
+    # absorbed whatever the machine was doing during the LATER phase.
+    # Each query's oracle now runs immediately after its Spark timing
+    # (A/B pairing, best-of-3 on the oracle side), so numerator and
+    # denominator of every per-query ratio share one session state and
+    # ratio_total's round-over-round delta is attributable to code.
+    # NOTE for round-over-round reads: r12→r13 oracle walls cross this
+    # measurement change (payload carries oracle_interleaved: true).
+    import duckdb
+
+    from supabase_etl_spark.io.readers import TABLE_NAMES as _TABLES
+
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    # analogous oracle per-statement floor (ADVICE r8: subtracting only
+    # the Spark floor flattered Spark) — the cheapest DuckDB statement
+    # through the same execute/fetchall path
+    oracle_floor = None
+    for _ in range(3):
+        t0 = time.time()
+        con.execute("SELECT 1").fetchall()
+        dt = time.time() - t0
+        oracle_floor = dt if oracle_floor is None else min(oracle_floor, dt)
+    # oracle warmup: one pass over every oracle SQL populates DuckDB's
+    # buffer pool and the OS page cache for the parquet inputs, matching
+    # the Spark side's table-count + smoke-scale warmup above
+    for name in sorted(bench_set):
+        if bench_set[name].oracle is not None:
+            con.execute(bench_set[name].oracle).fetchall()
+
+    def time_oracle(sql: str) -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
     timings: dict[str, float] = {}
     stages: dict[str, int] = {}
     q_measured_t: dict[str, float] = {}  # when each query's timing landed
+    oracle_timings_raw: dict[str, float] = {}
+    codec_oracle_raw: dict[str, float] = {}
     total = 0.0
     for qi, name in enumerate(sorted(bench_set)):
         if qi and qi % 8 == 0:
@@ -235,6 +287,14 @@ def main() -> None:
         q_measured_t[name] = time.time()
         total += best
         print(f"# {name}: {best:.3f}s", flush=True)
+        # the A/B pair: this query's oracle, timed under the same
+        # session state its Spark wall just saw
+        if spec.oracle is not None:
+            ob = time_oracle(spec.oracle)
+            if spec.basis == "absolute":
+                codec_oracle_raw[name] = ob
+            else:
+                oracle_timings_raw[name] = ob
         # r4 removed all operator-level caches (ReusedExchange covers
         # the self-joins; A/B showed caching was a net loss), so this
         # clearCache is belt-and-braces for any future cached frame,
@@ -276,28 +336,10 @@ def main() -> None:
     # the payload as q_measured_rel so the warm/cold position of every
     # measurement stays auditable.)
 
-    # Same-process DuckDB oracle timings for the same queries — the
-    # denominator of the epoch-invariant ratio. Queries with
-    # oracle=None (rows-only checks) have no denominator and are
-    # excluded from ratio_total's numerator too.
-    import duckdb
-
-    from supabase_etl_spark.io.readers import TABLE_NAMES as _TABLES
-
-    con = duckdb.connect()
-    for t in _TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    # analogous oracle per-statement floor (ADVICE r8: subtracting only
-    # the Spark floor flattered Spark) — the cheapest DuckDB statement
-    # through the same execute/fetchall path
-    oracle_floor = None
-    for _ in range(3):
-        t0 = time.time()
-        con.execute("SELECT 1").fetchall()
-        dt = time.time() - t0
-        oracle_floor = dt if oracle_floor is None else min(oracle_floor, dt)
+    # Ratio assembly from the interleaved A/B timings (the loop above):
+    # per-query spark/oracle ratios where both walls shared one session
+    # state. Queries with oracle=None (rows-only checks) have no
+    # denominator and are excluded from ratio_total's numerator too.
     oracle_timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
     ratios_adj: dict[str, float] = {}
@@ -306,27 +348,17 @@ def main() -> None:
     oracle_total = 0.0
     spark_matched_total = 0.0
     codec_oracle: dict[str, float] = {}
-    for name in sorted(bench_set):
-        sql = bench_set[name].oracle
-        if sql is None:
-            continue
-        best = None
-        for _ in range(2):  # best-of-2, mirroring the Spark side
-            t0 = time.time()
-            con.execute(sql).fetchall()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        if bench_set[name].basis == "absolute":
-            # codec-bound: the oracle replays synthesis, not decode —
-            # keep its wall as a diagnostic, gate the query on absolute
-            # wall (codec_queries) + the SCALE.md curve instead
-            codec_oracle[name] = round(best, 3)
-            print(
-                f"# codec-diagnostic {name}: synthesis-oracle {best:.3f}s "
-                f"(absolute-gated, engine {timings[name]:.3f}s)",
-                flush=True,
-            )
-            continue
+    for name, best in sorted(codec_oracle_raw.items()):
+        # codec-bound: the oracle replays synthesis, not decode —
+        # keep its wall as a diagnostic, gate the query on absolute
+        # wall (codec_queries) + the SCALE.md curve instead
+        codec_oracle[name] = round(best, 3)
+        print(
+            f"# codec-diagnostic {name}: synthesis-oracle {best:.3f}s "
+            f"(absolute-gated, engine {timings[name]:.3f}s)",
+            flush=True,
+        )
+    for name, best in sorted(oracle_timings_raw.items()):
         oracle_timings[name] = round(best, 3)
         ratios[name] = round(timings[name] / best, 2) if best > 0 else -1.0
         # Spark-overhead DIAGNOSTIC (one stage launch forgiven; the
@@ -397,6 +429,10 @@ def main() -> None:
         "load_factor": load_factor,
         "bcast_floor": round(bcast_floor, 3),
         "oracle_floor": round(oracle_floor, 4),
+        # r13: oracles timed A/B-interleaved with their Spark walls
+        # (best-of-3, warmed) — oracle walls before r13 were a separate
+        # post-phase and are not directly comparable
+        "oracle_interleaved": True,
         "oracle_total": round(oracle_total, 3),
         "ratio_total": round(spark_matched_total / oracle_total, 3)
         if oracle_total > 0

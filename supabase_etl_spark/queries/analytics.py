@@ -344,6 +344,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
+        # bounded (≤ nation² rows) and consumed twice INSIDE the edges
+        # pin's builder (directly + via outw) — without this inner pin
+        # the 5-table star join runs twice per edges materialization
+        # (pin-interior lint, r13)
+        .localCheckpoint(eager=False)
     )
     outw = raw.groupBy(F.col("src").alias("o_src")).agg(
         F.sum("w").cast("bigint").alias("total")
@@ -5792,6 +5797,10 @@ def graph_ppr_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
+        # bounded (≤ nation² rows), consumed twice inside the edges
+        # pin's builder — inner pin keeps the star join single-pass
+        # (pin-interior lint, r13)
+        .localCheckpoint(eager=False)
     )
     outw = raw.groupBy(F.col("src").alias("o_src")).agg(
         F.sum("w").cast("bigint").alias("total")
@@ -11523,6 +11532,10 @@ def graph_louvain_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        # bounded (≤ nation² rows), consumed twice inside the sym pin's
+        # builder (direct + reversed union) — inner pin keeps the
+        # 4-table star join single-pass (pin-interior lint, r13)
+        .localCheckpoint(eager=False)
     )
     sym = (
         raw.select("u", "v", "w")

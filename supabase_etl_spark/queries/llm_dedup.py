@@ -961,6 +961,18 @@ def _sql_semantic_dist2(e: str, c: str) -> str:
     """,
     tags=("llm", "dedup", "embedding"),
     bench=True,
+    # pin-interior lint (r13): the normed pin's ONE-TIME builder makes a
+    # genuine two-pass over the corpus — vectors flow once through the
+    # centroid-distance argmin and once through the assignment
+    # join-back — plus the bounded centroid probe re-read. Pinning allv
+    # instead would materialize 2n embeddings to save a cheap columnar
+    # parquet re-scan: strictly worse at 100 TB, so the extra leaves
+    # are sanctioned, not pinned away.
+    pin_scans=(
+        "assign pass: corpus × broadcast centroids argmin",
+        "join-back pass: corpus re-scan for cluster_id attach",
+        "centroid probe: bounded vec_id<K re-read for the broadcast side",
+    ),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
@@ -2303,9 +2315,18 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     an aggregate — the pipeline's cost is corpus-linear plus
     near-dup-linear."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # 1. LSH candidates (identical construction to dedup_minhash_lsh)
+    # 1. LSH candidates (identical construction to dedup_minhash_lsh).
+    # bands / arrs / heads are each consumed TWICE (self-join or
+    # ida/idb lookup pair) inside the CC fixpoint's first pin builder —
+    # without their own pins the documents scan ran 12× in that one
+    # materialization (pin-interior lint, r13; same pattern as the
+    # edit-distance-verify pipeline above).
     sids = D.shingle_ids(d)
-    bands = D.band_keys(D.minhash_signature(sids)).hint("merge")
+    bands = (
+        D.band_keys(D.minhash_signature(sids))
+        .hint("merge")
+        .localCheckpoint(eager=False)
+    )
     cand = (
         bands.alias("a")
         .join(
@@ -2321,7 +2342,9 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 2. exact-Jaccard re-rank on candidates (array-local intersection)
     toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
-    arrs = toks.select("doc_id", D.shingles_of_tokens(F.col("toks")).alias("sh"))
+    arrs = toks.select(
+        "doc_id", D.shingles_of_tokens(F.col("toks")).alias("sh")
+    ).localCheckpoint(eager=False)  # ida + idb lookup sides
     jacc = (
         cand.join(
             arrs.select(F.col("doc_id").alias("ida"), F.col("sh").alias("sha")), "ida"
@@ -2346,7 +2369,7 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3. bounded edit-distance verify on the heads
     heads = d.select(
         "doc_id", F.substring(F.col("text"), 1, EDV_VERIFY_CHARS).alias("head")
-    )
+    ).localCheckpoint(eager=False)  # ida + idb lookup sides
     verified = (
         jacc.join(
             heads.select(F.col("doc_id").alias("ida"), F.col("head").alias("ha")),

@@ -921,10 +921,18 @@ def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("source", F.explode(tokens(F.col("text"))).alias("t"))
     st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_st"))
     stot = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
-    p = st.join(F.broadcast(stot), "source").select(
-        "source",
-        "t",
-        (F.col("c_st").cast("double") / F.col("n_s").cast("double")).alias("p"),
+    p = (
+        st.join(F.broadcast(stot), "source")
+        .select(
+            "source",
+            "t",
+            (F.col("c_st").cast("double") / F.col("n_s").cast("double")).alias("p"),
+        )
+        # vocab×domain-sized; consumed twice per round (q_t blend + KL)
+        # inside every kl pin's builder — without this pin the corpus
+        # tokenize ran 2× per round (pin-interior lint, r13), breaking
+        # the docstring's one-corpus-scan contract
+        .localCheckpoint(eager=False)
     )
     n_src = d.select("source").distinct().count()  # bounded: domain count
     w = (
