@@ -185,17 +185,23 @@ _STATIC_PRIORITY: tuple[str, ...] = (
 # dq 17, ml 14, io 13 never-verified at r12 start — VERDICT r11 task 1
 # names analytics/events, ml_eval/ml_train, io/manifest explicitly).
 _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
+    # pin the r13 debuts into the window (every new operator gets a
+    # driver-verification slot — the r8-r12 pattern): the LSH banding
+    # planner and the Z-order clustering/pruning ledger.
+    ("dedup_lsh_band_planner", 1),
+    ("io_zorder_clustering_prune", 1),
     # family quotas re-aimed at the LARGEST never-verified families as
     # computed from the committed artifacts at r13 start (events 37,
     # text 14, sample 13, dq 11, udf 10, sim 9, sql 9 of 201 total —
-    # VERDICT r12 task 2); 1 active re-pin + 49 quota slots = 50
+    # VERDICT r12 task 2); 1 active re-pin + 2 debut pins + 47 quota
+    # slots = 50
     ("events_", 16),
     ("text_", 8),
     ("sample_", 7),
     ("dq_", 6),
-    ("udf_", 5),
+    ("udf_", 4),
     ("sim_", 4),
-    ("sql_", 3),
+    ("sql_", 2),
 )
 _WINDOW_SIZE = 50
 

@@ -2615,3 +2615,186 @@ def io_manifest_merge_delete_clause(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("n_upper_names"),
         F.min("v").alias("min_name"),
     )
+
+
+# Z-order clustering ledger: 16-bit per-dimension grid, 64 target files.
+# The bit-interleave is generated ONCE as SQL text shared verbatim by the
+# Spark expression and the DuckDB oracle — pure integer DIV/% arithmetic
+# (no engine-specific shift operators), so the z-values are exact and
+# identical by construction.
+ZORDER_BITS = 16
+ZORDER_FILES = 64
+
+
+def _zorder_expr(px: str, sx: str, div: str) -> str:
+    """``div`` is the engine's integer-division spelling — Spark SQL
+    ``DIV``, DuckDB ``//``; everything else is shared verbatim."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(({px} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({sx} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@query(
+    "io_zorder_clustering_prune",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(MAX(l_partkey) AS BIGINT) AS maxp,
+               CAST(MAX(l_suppkey) AS BIGINT) AS maxs,
+               CAST(MAX(l_orderkey) AS BIGINT) AS maxo
+        FROM lineitem
+    ),
+    keyed AS (
+        SELECT ((l_partkey - 1) * {1 << ZORDER_BITS}) // b.maxp AS px,
+               ((l_suppkey - 1) * {1 << ZORDER_BITS}) // b.maxs AS sx,
+               l_orderkey, l_partkey, l_suppkey, b.maxp, b.maxs, b.maxo
+        FROM lineitem, bounds b
+    ),
+    zed AS (
+        SELECT l_partkey, l_suppkey, maxp, maxs,
+               ({_zorder_expr("px", "sx", "//")}) AS z,
+               ((l_orderkey - 1) * {ZORDER_FILES}) // maxo AS natural_file
+        FROM keyed
+    ),
+    assigned AS (
+        SELECT l_partkey, l_suppkey, maxp, maxs, natural_file,
+               (z * {ZORDER_FILES}) // {1 << (2 * ZORDER_BITS)} AS zorder_file
+        FROM zed
+    ),
+    stacked AS (
+        SELECT 'natural' AS layout, natural_file AS f,
+               l_partkey, l_suppkey, maxp, maxs FROM assigned
+        UNION ALL
+        SELECT 'zorder' AS layout, zorder_file AS f,
+               l_partkey, l_suppkey, maxp, maxs FROM assigned
+    ),
+    stats AS (
+        SELECT layout, f,
+               MIN(l_partkey) AS min_p, MAX(l_partkey) AS max_p,
+               MIN(l_suppkey) AS min_s, MAX(l_suppkey) AS max_s,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_partkey BETWEEN (maxp * 7) // 16
+                                              AND (maxp * 9) // 16
+                              AND l_suppkey BETWEEN (maxs * 7) // 16
+                                              AND (maxs * 9) // 16
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+               MAX(maxp) AS maxp, MAX(maxs) AS maxs
+        FROM stacked GROUP BY layout, f
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN NOT (max_p < (maxp * 7) // 16
+                                OR min_p > (maxp * 9) // 16
+                                OR max_s < (maxs * 7) // 16
+                                OR min_s > (maxs * 9) // 16)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(SUM(CASE WHEN NOT (max_p < (maxp * 7) // 16
+                                OR min_p > (maxp * 9) // 16
+                                OR max_s < (maxs * 7) // 16
+                                OR min_s > (maxs * 9) // 16)
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matching
+    FROM stats GROUP BY layout
+    ORDER BY layout
+    """,
+    tags=("io", "lakehouse", "layout"),
+)
+def io_zorder_clustering_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering planner + pruning ledger — the lakehouse
+    OPTIMIZE ZORDER BY (partkey, suppkey) decision, measured instead of
+    asserted: map both cluster keys onto a 16-bit grid, bit-interleave
+    them into a Morton z-value (pure integer DIV/% arithmetic shared
+    verbatim with the oracle), range-split z-space into 64 target
+    files, and compute each file's min/max column stats. The ledger
+    then replays a center 2-D box predicate (middle eighth of each key
+    range) against those stats — exactly the min/max zone-map pruning
+    a manifest-backed scan performs — for BOTH layouts: insert-order
+    ("natural", orderkey ranges) and z-ordered. files_scanned /
+    rows_scanned quantify what Z-ordering buys: a 2-D box on a natural
+    layout hits nearly every file (partkey is uncorrelated with insert
+    order), while the z-layout bounds it near the box's area fraction.
+    At 100 TB this IS the decision ledger for paying the clustering
+    rewrite: one linear pass + a 64-row stats table per layout, no
+    shuffle beyond the stats aggregate; the same z-expression feeds a
+    repartitionByRange writer when the rewrite is actually executed
+    (io_manifest_optimize / io_compact_small_files do the file IO
+    side). Every value is exact integer arithmetic — no float rounding
+    anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    bounds = F.broadcast(
+        li.agg(
+            F.max("l_partkey").cast("bigint").alias("maxp"),
+            F.max("l_suppkey").cast("bigint").alias("maxs"),
+            F.max("l_orderkey").cast("bigint").alias("maxo"),
+        )
+    )
+    keyed = li.crossJoin(bounds).selectExpr(
+        "l_partkey",
+        "l_suppkey",
+        "maxp",
+        "maxs",
+        f"((l_partkey - 1) * {1 << ZORDER_BITS}) DIV maxp AS px",
+        f"((l_suppkey - 1) * {1 << ZORDER_BITS}) DIV maxs AS sx",
+        f"((l_orderkey - 1) * {ZORDER_FILES}) DIV maxo AS natural_file",
+    )
+    assigned = keyed.selectExpr(
+        "l_partkey",
+        "l_suppkey",
+        "maxp",
+        "maxs",
+        "natural_file",
+        f"(({_zorder_expr('px', 'sx', 'DIV')}) * {ZORDER_FILES}) "
+        f"DIV {1 << (2 * ZORDER_BITS)} AS zorder_file",
+    )
+    # both layouts from ONE corpus pass: explode a 2-element
+    # (layout, file) array per row instead of a union of two selects
+    # over the same frame — the union shape re-scans lineitem per
+    # branch (scan-leaf lint caught exactly that on this query's first
+    # draft)
+    stacked = assigned.selectExpr(
+        "l_partkey",
+        "l_suppkey",
+        "maxp",
+        "maxs",
+        "explode(array(named_struct('layout', 'natural', 'f', natural_file), "
+        "named_struct('layout', 'zorder', 'f', zorder_file))) AS lf",
+    ).selectExpr(
+        "lf.layout AS layout", "lf.f AS f", "l_partkey", "l_suppkey", "maxp", "maxs"
+    )
+    in_box = (
+        "l_partkey BETWEEN (maxp * 7) DIV 16 AND (maxp * 9) DIV 16 "
+        "AND l_suppkey BETWEEN (maxs * 7) DIV 16 AND (maxs * 9) DIV 16"
+    )
+    stats = stacked.groupBy("layout", "f").agg(
+        F.min("l_partkey").alias("min_p"),
+        F.max("l_partkey").alias("max_p"),
+        F.min("l_suppkey").alias("min_s"),
+        F.max("l_suppkey").alias("max_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.expr(f"CASE WHEN {in_box} THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_match"),
+        F.max("maxp").alias("maxp"),
+        F.max("maxs").alias("maxs"),
+    )
+    scanned = (
+        "NOT (max_p < (maxp * 7) DIV 16 OR min_p > (maxp * 9) DIV 16 "
+        "OR max_s < (maxs * 7) DIV 16 OR min_s > (maxs * 9) DIV 16)"
+    )
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.expr(f"CASE WHEN {scanned} THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("files_scanned"),
+            F.sum(F.expr(f"CASE WHEN {scanned} THEN n_rows ELSE 0 END"))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("bigint").alias("rows_matching"),
+        )
+        .orderBy("layout")
+    )

@@ -2757,3 +2757,129 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "total_chars", "n_chunks", "n_dup_chunks", "dup_chars")
         .orderBy("doc_id")
     )
+
+
+# LSH band planner grid: midpoint Riemann rule over similarity space.
+# 200 exact-rational midpoints s_i = (i + 0.5)/200 make the integral
+# split at the 0.8 threshold boundary-unambiguous (s_i is never exactly
+# 0.8), so both engines bucket every grid point identically.
+PLANNER_GRID = 200
+
+
+@query(
+    "dedup_lsh_band_planner",
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    combos AS (
+        SELECT b, r FROM (SELECT unnest(range(1, {D.NUM_HASHES} + 1)) AS b),
+                          (SELECT unnest(range(1, {D.NUM_HASHES} + 1)) AS r)
+        WHERE b * r <= {D.NUM_HASHES}
+    ),
+    grid AS (
+        SELECT (unnest(range(0, {PLANNER_GRID})) + 0.5) / {PLANNER_GRID}.0 AS s
+    ),
+    curve AS (
+        SELECT c.b, c.r, g.s,
+               1.0 - pow(1.0 - pow(g.s, c.r), c.b) AS p
+        FROM combos c, grid g
+    ),
+    areas AS (
+        SELECT b, r,
+               SUM(CASE WHEN s < {JACCARD_THRESHOLD} THEN p ELSE 0 END)
+                   / {PLANNER_GRID}.0 AS fp_area,
+               SUM(CASE WHEN s > {JACCARD_THRESHOLD} THEN 1.0 - p ELSE 0 END)
+                   / {PLANNER_GRID}.0 AS fn_area
+        FROM curve GROUP BY b, r
+    )
+    SELECT CAST(a.b AS BIGINT) AS b, CAST(a.r AS BIGINT) AS r,
+           CAST(a.b * a.r AS BIGINT) AS n_hashes_used,
+           round(pow(1.0 / a.b, 1.0 / a.r), 6) AS s50,
+           round(a.fp_area, 6) AS fp_area,
+           round(a.fn_area, 6) AS fn_area,
+           round(a.fp_area + a.fn_area, 6) AS total_err,
+           round(n.n_docs * (n.n_docs - 1) / 2.0 * a.fp_area, 3)
+               AS exp_fp_pairs_uniform,
+           (a.b = {D.BANDS} AND a.r = {D.ROWS_PER_BAND}) AS is_current
+    FROM areas a, n
+    ORDER BY total_err, b, r
+    """,
+    tags=("llm", "dedup", "planner"),
+)
+def dedup_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter planner — the S-curve tuning step every
+    MinHash deployment does BEFORE spending a cluster pass (Leskovec,
+    Rajaraman & Ullman, MMDS ch.3): for every (bands b, rows-per-band
+    r) within the signature budget, the candidate-collision curve is
+    p(s) = 1 − (1 − s^r)^b; the planner integrates its false-positive
+    mass below the Jaccard threshold and false-negative mass above it
+    (midpoint rule, PLANNER_GRID-point exact-rational grid) and ranks
+    configurations by total error, flagging the engine's own committed
+    (b=BANDS, r=ROWS_PER_BAND) config. exp_fp_pairs_uniform
+    scales fp_area by C(n_docs, 2) — the uniform-similarity UPPER BAND
+    on wasted candidate verifications, the number that decides whether
+    a 100 TB dedup run drowns in verify work. Cost shape: one O(1)
+    corpus count plus a broadcast closed-form grid (35 combos × 200
+    points); corpus-independent, like the sampling family's grid
+    queries. Pow() is libm on both engines (≤1 ulp apart, not
+    bit-contracted), so every float column rounds at 6 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    combos = (
+        n.select(
+            "n_docs",
+            F.explode(F.sequence(F.lit(1), F.lit(D.NUM_HASHES))).alias("b"),
+        )
+        .select(
+            "n_docs",
+            "b",
+            F.explode(F.sequence(F.lit(1), F.lit(D.NUM_HASHES))).alias("r"),
+        )
+        .filter(F.col("b") * F.col("r") <= D.NUM_HASHES)
+    )
+    curve = combos.select(
+        "n_docs",
+        "b",
+        "r",
+        F.explode(F.sequence(F.lit(0), F.lit(PLANNER_GRID - 1))).alias("i"),
+    ).select(
+        "n_docs",
+        "b",
+        "r",
+        ((F.col("i") + 0.5) / PLANNER_GRID).alias("s"),
+    ).select(
+        "n_docs",
+        "b",
+        "r",
+        "s",
+        (
+            F.lit(1.0)
+            - F.pow(F.lit(1.0) - F.pow(F.col("s"), F.col("r")), F.col("b"))
+        ).alias("p"),
+    )
+    areas = curve.groupBy("n_docs", "b", "r").agg(
+        (
+            F.sum(F.when(F.col("s") < JACCARD_THRESHOLD, F.col("p")).otherwise(0.0))
+            / PLANNER_GRID
+        ).alias("fp_area"),
+        (
+            F.sum(
+                F.when(F.col("s") > JACCARD_THRESHOLD, 1.0 - F.col("p")).otherwise(0.0)
+            )
+            / PLANNER_GRID
+        ).alias("fn_area"),
+    )
+    return areas.select(
+        F.col("b").cast("bigint").alias("b"),
+        F.col("r").cast("bigint").alias("r"),
+        (F.col("b") * F.col("r")).cast("bigint").alias("n_hashes_used"),
+        F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 6).alias("s50"),
+        F.round("fp_area", 6).alias("fp_area"),
+        F.round("fn_area", 6).alias("fn_area"),
+        F.round(F.col("fp_area") + F.col("fn_area"), 6).alias("total_err"),
+        F.round(
+            F.col("n_docs") * (F.col("n_docs") - 1) / 2.0 * F.col("fp_area"), 3
+        ).alias("exp_fp_pairs_uniform"),
+        ((F.col("b") == D.BANDS) & (F.col("r") == D.ROWS_PER_BAND)).alias(
+            "is_current"
+        ),
+    ).orderBy("total_err", "b", "r")
