@@ -190,18 +190,17 @@ _ROTATION_QUOTAS: tuple[tuple[str, int], ...] = (
     # planner and the Z-order clustering/pruning ledger.
     ("dedup_lsh_band_planner", 1),
     ("io_zorder_clustering_prune", 1),
-    ("scale_dynamic_partition_pruning", 1),
     # family quotas re-aimed at the LARGEST never-verified families as
     # computed from the committed artifacts at r13 start (events 37,
     # text 14, sample 13, dq 11, udf 10, sim 9, sql 9 of 201 total —
-    # VERDICT r12 task 2); 1 active re-pin + 3 debut pins + 46 quota
+    # VERDICT r12 task 2); 1 active re-pin + 2 debut pins + 47 quota
     # slots = 50
     ("events_", 16),
     ("text_", 8),
     ("sample_", 7),
     ("dq_", 6),
     ("udf_", 4),
-    ("sim_", 3),
+    ("sim_", 4),
     ("sql_", 2),
 )
 _WINDOW_SIZE = 50

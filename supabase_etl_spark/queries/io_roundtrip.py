@@ -2719,8 +2719,12 @@ def io_zorder_clustering_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle beyond the stats aggregate; the same z-expression feeds a
     repartitionByRange writer when the rewrite is actually executed
     (io_manifest_optimize / io_compact_small_files do the file IO
-    side). Every value is exact integer arithmetic — no float rounding
-    anywhere."""
+    side). Complements io_parquet_zorder above: that query WRITES a
+    z-clustered layout and proves both predicates push into the scan;
+    this one quantifies the files/rows-scanned BENEFIT against the
+    natural layout — the before/after number that justifies paying the
+    rewrite. Every value is exact integer arithmetic — no float
+    rounding anywhere."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey"
     )

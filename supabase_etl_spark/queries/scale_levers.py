@@ -361,75 +361,3 @@ def agg_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_cont"),
         F.max(F.when(F.col("rn") == r90, F.col("x"))).alias("p90_disc"),
     ).select(F.col("n").alias("n_rows"), "median_cont", "p90_disc")
-
-
-@query(
-    "scale_dynamic_partition_pruning",
-    oracle="""
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
-               AS total_price
-    FROM orders
-    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-    tags=("scale", "planner"),
-    scans=(
-        "layout write: one pass over orders builds the partitioned scratch table",
-        "dim build: one distinct-priorities pass writes the flagged dim table",
-    ),
-)
-def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dynamic partition pruning (DPP) — the scale lever that turns a
-    dim-filtered fact join into a partition-scoped scan at RUNTIME:
-    orders land priority-partitioned (the daily-load layout of
-    io_dynamic_partition_overwrite), a file-backed priority dim carries
-    an `expedited` flag, and filtering the dim on that NON-join-key
-    column (`expedited = 1`) makes Spark insert a
-    dynamicpruningexpression partition filter fed by the broadcast dim
-    — the fact scan reads 2 of 5 partitions although no static
-    partition predicate exists anywhere in the query. The shape is
-    deliberate, probed against Spark's PartitionPruning rule: a
-    LocalRelation dim constant-folds its Filter away and a bare
-    boolean column fails `isLikelySelective`, so only the
-    literal-comparison filter on a file-backed dim demonstrates the
-    real production pattern (fact ⋈ dim WHERE dim.attribute). At
-    100 TB this is the difference between scanning the fleet and
-    scanning the day; tests/test_plan_shapes.py pins the
-    dynamicpruning partition filter so a regression to a full scan
-    fails the build, and the oracle replays the equivalent static
-    IN-filter aggregate over the unpartitioned source. Two sanctioned
-    extra source passes build the partitioned layout and the dim."""
-    from supabase_etl_spark.io.scratch import scratch_dir
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
-    )
-    out = scratch_dir("dpp_")
-    o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
-    dimdir = scratch_dir("dppdim_")
-    (
-        o.select("o_orderpriority")
-        .distinct()
-        .selectExpr(
-            "o_orderpriority AS priority",
-            "CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS expedited",
-        )
-        .write.mode("overwrite")
-        .parquet(dimdir)
-    )
-    fact = spark.read.parquet(out)
-    dim = spark.read.parquet(dimdir).filter(F.col("expedited") == 1)
-    return (
-        fact.join(F.broadcast(dim), fact.o_orderpriority == dim.priority)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
-            .cast("double")
-            .alias("total_price"),
-        )
-        .orderBy("o_orderpriority")
-    )

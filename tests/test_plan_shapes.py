@@ -1283,16 +1283,3 @@ def test_kfold_cv_single_corpus_aggregation(spark):
     plan = _plan(q.fn(spark, SF))
     assert "Scan ExistingRDD" in plan
     assert "BroadcastExchange" in plan  # K-row global stats broadcast
-
-
-def test_dynamic_partition_pruning_fires(spark):
-    """scale_dynamic_partition_pruning: the priority-partitioned fact
-    scan must carry a dynamicpruningexpression partition filter (fed by
-    the broadcast dim) — the whole point of the operator. A regression
-    to a full scan (e.g. the dim degrading to a LocalRelation whose
-    filter constant-folds away, or the filter shape failing Spark's
-    isLikelySelective test) fails here."""
-    q = load_all()["scale_dynamic_partition_pruning"]
-    plan = _plan(q.fn(spark, SF))
-    assert "dynamicpruningexpression" in plan, "DPP did not fire"
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
