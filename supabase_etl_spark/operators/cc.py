@@ -84,13 +84,24 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(CC_MAX_ROUNDS):
-        new_e = _small_star(_large_star(e)).localCheckpoint()
-        # fixpoint: the edge set is unchanged (both sides deduped sorted
-        # pairs, so set equality == equal counts + empty difference)
-        if new_e.count() == e.count() and new_e.exceptAll(e).limit(1).count() == 0:
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # fixpoint: the edge set is unchanged. r13 (guide §1.2): the old
+        # check cost THREE sequential actions per round (eager pin +
+        # count + exceptAll count); both sides are deduped sorted pairs
+        # (sets), so set equality is ONE tagged aggregate — +1/-1 per
+        # side, any group summing non-zero is a difference — and that
+        # single action also materializes the round's lazy pin.
+        diff = (
+            new_e.select("a", "b", F.lit(1).alias("t"))
+            .unionByName(e.select("a", "b", F.lit(-1).alias("t")))
+            .groupBy("a", "b")
+            .agg(F.sum("t").alias("d"))
+            .filter(F.col("d") != 0)
+        )
+        if diff.limit(1).count() == 0:
             # fixpoint graph is one star per component, centered at the
             # component min: label = least(self, min neighbor)
             directed = new_e.select(

@@ -3235,14 +3235,26 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ]
-    out = None
-    for name, exact, estimate in rows:
-        row = est.select(
-            F.lit(name).alias("measure"),
-            F.lit(exact).cast("bigint").alias("exact"),
-            estimate.alias("estimate"),
+    # r13: ONE inline() over a literal struct array instead of a 5-way
+    # unionByName — each union branch replayed the ENTIRE sketch-build
+    # subtree (distinct + two-level KMV aggregates) because `est` is a
+    # plan, not data; the pinned `ev` hid the recompute from the
+    # scan-leaf lint (LogicalRDD leaves). Identical rows/values: the
+    # same five (measure, exact, estimate) expressions, evaluated once.
+    out = est.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("measure"),
+                        F.lit(exact).cast("bigint").alias("exact"),
+                        estimate.alias("estimate"),
+                    )
+                    for name, exact, estimate in rows
+                ]
+            )
         )
-        out = row if out is None else out.unionByName(row)
+    )
     return out.orderBy("measure")
 
 

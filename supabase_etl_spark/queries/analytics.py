@@ -1610,22 +1610,33 @@ def graph_label_propagation(
     sym = (
         edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
+    # r13: the per-round "most frequent label, ties to smallest" pick is
+    # a partial-aggregating min(struct(-count, lbl)) instead of a
+    # row_number window — same winner by lexicographic struct order,
+    # but no per-node sort and map-side combine on both aggregation
+    # levels (guide §2.3 "aggregate before you shuffle"); pins are
+    # eager=False so all rounds materialize inside the ONE final action
+    # (fixed round count — no driver-side convergence read), removing
+    # `iterations` sequential checkpoint jobs.
     for _ in range(iterations):
         labels = (
             sym.join(labels, sym["v"] == labels["node"])
             .select(sym["u"].alias("node"), "lbl")
             .groupBy("node", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
-            .localCheckpoint()
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("lbl"))
+                ).alias("b")
+            )
+            .select("node", F.col("b.lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
         )
     return (
         labels.groupBy(F.col("lbl").alias("community"))
@@ -6059,7 +6070,14 @@ def graph_ktruss(
     )
 
     def support(e: DataFrame) -> DataFrame:
-        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        # r13 (guide §3.1): the co-purchase subgraph is BOUNDED BY
+        # CONSTRUCTION (l_orderkey <= 2000 caps the basket count, ≤7
+        # parts per basket cap the edge count), so the wedge-closing
+        # sides broadcast — each support round previously shuffled the
+        # edge list three ways (SMJ wedge join + closure + semi-join),
+        # all fixed-size data. On an UNBOUNDED graph the keyed SMJ +
+        # degree-ordered orientation (docstring) remains the shape.
+        e1, e2, e3 = e.alias("e1"), F.broadcast(e.alias("e2")), F.broadcast(e.alias("e3"))
         tri = (
             e1.join(
                 e2,
@@ -6083,7 +6101,9 @@ def graph_ktruss(
 
     for _ in range(rounds):
         sup = support(edges).filter(F.col("sup") >= k - 2).select("u", "v")
-        edges = edges.join(sup, ["u", "v"], "left_semi").localCheckpoint(eager=False)
+        edges = edges.join(F.broadcast(sup), ["u", "v"], "left_semi").localCheckpoint(
+            eager=False
+        )
     return (
         support(edges)
         .select("u", "v", F.col("sup").cast("bigint").alias("support"))

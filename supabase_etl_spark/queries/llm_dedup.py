@@ -523,17 +523,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_PROPAGATION_ROUNDS = 20
 
 
-def _min_label_fixpoint(d: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Connected components by min-label propagation over an undirected
-    pair graph: labels start as doc_id; each round every node takes the
-    min of its own label and its neighbors', until a round changes
-    nothing. One equi-join + one groupBy (shuffle on doc_id) per round;
-    rounds needed = component diameter (near-dup clusters are cliques or
-    near-cliques, so 2-3 in practice). The driver loop iterates over
-    *plans*, never rows (GraphX/Pregel shape); lineage is truncated per
-    round with localCheckpoint so plans stay bounded and the blocks are
-    reclaimed by the ContextCleaner when each round's frame goes out of
-    scope.
+def _min_label_fixpoint_members(pairs: DataFrame) -> DataFrame:
+    """Connected-component labels for the EDGE-ENDPOINT vertices of an
+    undirected pair graph, by min-label propagation (labels start as
+    doc_id; each round every node takes the min of its own and its
+    neighbors' labels until a round changes nothing).
+
+    r13 optimization (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    shuffles outright): the fixpoint only ever CHANGES labels of
+    vertices that touch an edge, so the iteration state is the member
+    set (≤ 2·|pairs| rows), never the corpus — the previous shape
+    materialized a full-corpus label table per round plus a
+    corpus-sized convergence JOIN per round. Convergence is now a
+    `chg` flag computed IN the propagation select (labels only
+    decrease, so changed ⟺ nbr_min < cluster_id) and counted with one
+    filter scan of the round's pinned frame — no join. Pins are
+    eager=False so each round's materialization and its convergence
+    count share one job.
 
     Raises RuntimeError if the fixpoint is not reached within
     MAX_PROPAGATION_ROUNDS — a silently-unconverged result would emit
@@ -544,33 +550,53 @@ def _min_label_fixpoint(d: DataFrame, pairs: DataFrame) -> DataFrame:
         pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
         .unionByName(pairs.select(F.col("idb").alias("src"), F.col("ida").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    # symmetric edge list ⇒ src alone covers every endpoint
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=False)
+    )
     changed = -1
-    for _ in range(MAX_PROPAGATION_ROUNDS):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+    rounds = 0
+    while rounds < MAX_PROPAGATION_ROUNDS:
+        # propagate TWO lazy rounds per convergence count: near-dup
+        # components are near-cliques (diameter ~2 — sf0.1 measures 2
+        # rounds total), so batching halves the sequential action
+        # count, and an extra lazy round over the tiny member table is
+        # cheaper than a job launch. Convergence needs only the LAST
+        # round's change count: a round with 0 changes is the fixpoint
+        # no matter what earlier rounds did.
+        new_labels = labels
+        for _ in range(2):
+            if rounds >= MAX_PROPAGATION_ROUNDS:
+                break
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+            new_labels = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                    (
+                        F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                        < F.col("cluster_id")
+                    ).alias("chg"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            labels = new_labels.drop("chg")
+            rounds += 1
+        # one job: materializes (and pins) the batch AND counts changes
+        changed = new_labels.filter("chg").count()
         if changed == 0:
             break
     if changed != 0:
@@ -581,6 +607,24 @@ def _min_label_fixpoint(d: DataFrame, pairs: DataFrame) -> DataFrame:
             "component"
         )
     return labels
+
+
+def _attach_cluster_labels(d: DataFrame, members: DataFrame) -> DataFrame:
+    """Full-corpus (doc_id, cluster_id) from member-only labels: docs
+    outside every edge keep their own id. The member table is bounded
+    by 2·|pairs| (near-dup membership is the minority by the dedup
+    pipeline's own premise), so it BROADCASTS — the corpus crosses no
+    exchange to pick up its label."""
+    return d.select("doc_id").join(F.broadcast(members), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+
+
+def _min_label_fixpoint(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Full-corpus connected-component labels (doc_id, cluster_id) —
+    the member-only fixpoint above plus the broadcast label attach."""
+    return _attach_cluster_labels(d, _min_label_fixpoint_members(pairs))
 
 
 @query(
@@ -704,9 +748,12 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical survivor. Emits the corpus accounting row (docs, quality
     passes, canonicals, curated count, curated token budget)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # cluster assignment (min-label propagation, as dedup_clusters)
+    # cluster assignment (min-label propagation, as dedup_clusters) —
+    # member-only labels; docs outside every near-dup pair are their own
+    # canonical, picked up via broadcast left join + coalesce below
+    # (guide §2.4: the corpus never shuffles to learn its cluster)
     pairs = D.jaccard_pairs(d, JACCARD_THRESHOLD).select("ida", "idb")
-    labels = _min_label_fixpoint(d, pairs)
+    members = _min_label_fixpoint_members(pairs)
     # quality gate (Gopher core rules, same exprs as text_gopher_filter)
     toks = tokens(F.col("text"))
     n = F.greatest(F.size(toks), F.lit(1))
@@ -726,11 +773,12 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (alpha >= 0.8)
         ).alias("q_pass"),
     )
-    keep = F.col("q_pass") & (F.col("doc_id") == F.col("cluster_id"))
-    return q.join(labels, "doc_id").agg(
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    keep = F.col("q_pass") & (F.col("doc_id") == cid)
+    return q.join(F.broadcast(members), "doc_id", "left").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("q_pass"), 1).otherwise(0)).alias("n_pass_quality"),
-        F.sum(F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)).alias(
+        F.sum(F.when(F.col("doc_id") == cid, 1).otherwise(0)).alias(
             "n_canonical"
         ),
         F.sum(F.when(keep, 1).otherwise(0)).alias("n_curated"),
@@ -2382,18 +2430,27 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.levenshtein("ha", "hb") <= EDV_MAX_DIST)
         .select("ida", "idb")
     )
-    # 4. connected components + 5. survivor ledger
-    labels = _min_label_fixpoint(d, verified)
-    csize = labels.groupBy("cluster_id").agg(
+    # 4. connected components + 5. survivor ledger — member-only labels
+    # and sizes (every multi-member cluster lives entirely inside the
+    # edge-endpoint set; isolated docs are singleton survivors), so the
+    # corpus picks up (cluster_id, cluster_size) through ONE broadcast
+    # left join with coalesce defaults instead of a corpus-sized
+    # groupBy + corpus-sized join (guide §2.3/§2.4)
+    members = _min_label_fixpoint_members(verified)
+    csize = members.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     return (
-        labels.join(csize, "cluster_id")
+        d.select("doc_id")
+        .join(F.broadcast(members.join(csize, "cluster_id")), "doc_id", "left")
         .select(
             "doc_id",
-            "cluster_id",
-            "cluster_size",
-            (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+            cid.alias("cluster_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1).cast("bigint")).alias(
+                "cluster_size"
+            ),
+            (F.col("doc_id") == cid).alias("is_survivor"),
         )
         .orderBy("doc_id")
     )

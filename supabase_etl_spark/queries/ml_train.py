@@ -121,7 +121,14 @@ def ml_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).alias("c0"),
         F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("c1"),
     )
-    vocab = counts.filter(F.col("c0") + F.col("c1") >= NB_MIN_DF)
+    # r13: vocab feeds BOTH the totals aggregate and the llr model —
+    # unpinned, each consumer replayed the full corpus tokenize +
+    # term groupBy (4 documents scans in the before-plan,
+    # plans/r13/ml_nb_train_score_before.txt). The pin bounds the
+    # train pass to one tokenization; vocab is min-df-bounded state.
+    vocab = counts.filter(F.col("c0") + F.col("c1") >= NB_MIN_DF).localCheckpoint(
+        eager=False
+    )
     tot = vocab.agg(
         F.sum("c0").alias("n0"), F.sum("c1").alias("n1"), F.count(F.lit(1)).alias("v")
     )
@@ -142,8 +149,14 @@ def ml_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).alias("b")
     )
+    # r13 (guide §3.1): the model table is vocab-bounded (min-df) — the
+    # docstring's "broadcast join + doc-level groupBy" was planning as a
+    # shuffle join, sending the whole corpus TOKEN STREAM across an
+    # exchange keyed on term before the per-doc reduce. Broadcasting the
+    # model removes that corpus-sized shuffle; the scoring pass now
+    # shuffles only per-doc partial sums.
     scored = (
-        tok.join(llr, "term")
+        tok.join(F.broadcast(llr), "term")
         .crossJoin(F.broadcast(prior))
         .groupBy("doc_id", "c", "b")
         .agg((F.sum(F.col("w").cast(DEC)).cast("double") + F.first("b")).alias("margin"))

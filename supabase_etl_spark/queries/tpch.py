@@ -965,22 +965,19 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("tpch", "join", "agg", "subquery"),
-    scans=(
-        "TPC-H Q21 spec: lineitem self-joined as l1/l2 (other-supplier exists)",
-        "TPC-H Q21 spec: lineitem self-joined as l3 (late-other-supplier not-exists)",
-    ),
     bench=True,
 )
 def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape ("late" = shipped >60 days after order date):
     suppliers who were the sole late supplier on a multi-supplier
     finished order. The classic EXISTS/NOT-EXISTS pair over lineitem is
-    rewritten as ONE per-order aggregation (supplier count + late
-    supplier count) joined back — a single extra shuffle on orderkey
-    instead of two correlated self-join passes; the oracle runs the
-    identical rewrite. At 100 TB this halves the lineitem traffic vs
-    the literal two-subquery plan and AQE reuses the orderkey
-    exchange."""
+    rewritten as per-(order, supplier) then per-order aggregation —
+    r13 collapses the previous two-consumer shape (per-order stats +
+    a second late-line probe over the same join) into ONE lineitem
+    pass: the sole late supplier and its late-line count ride the
+    per-order aggregate as a struct, so numwait needs no join back
+    into lineitem at all. At 100 TB lineitem is scanned and shuffled
+    exactly once."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
@@ -990,11 +987,31 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
-    stats = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supps"
-        ),
+    # r13 (guide §1.2/§2.3): ONE lineitem pass instead of two. The old
+    # shape consumed `lo` twice (per-order stats + the late-line probe),
+    # re-scanning lineitem+orders and re-running the orderkey join. Now
+    # lineitems collapse once to (order, supplier, late_lines); per-order
+    # qualification and the sole late supplier's late-line count come
+    # from one more bounded aggregate. numwait ≡ the late lines of the
+    # single late supplier on qualifying orders — exactly the rows the
+    # old probe counted.
+    g = lo.groupBy(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("late_lines"))
+    qual = (
+        g.groupBy("ok")
+        .agg(
+            F.count(F.lit(1)).alias("n_supps"),
+            F.sum((F.col("late_lines") > 0).cast("int")).alias("n_late_supps"),
+            F.max(
+                F.when(
+                    F.col("late_lines") > 0,
+                    F.struct(F.col("sk"), F.col("late_lines")),
+                )
+            ).alias("late"),
+        )
+        .filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+        .select(F.col("late.sk").alias("sk"), F.col("late.late_lines").alias("late_lines"))
     )
     n = F.broadcast(
         load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
@@ -1004,12 +1021,9 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
     )
     return (
-        lo.filter(F.col("is_late"))
-        .join(stats, lo.l_orderkey == stats.ok)
-        .filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
-        .join(nation_supp, lo.l_suppkey == nation_supp.s_suppkey)
+        qual.join(nation_supp, qual.sk == nation_supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

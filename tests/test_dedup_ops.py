@@ -111,3 +111,42 @@ def test_exact_substring_hash_paths_agree(spark, monkeypatch):
     xx_rows = [tuple(r) for r in fn(spark, SF).collect()]
     spark.catalog.clearCache()
     assert md5_rows == xx_rows
+
+
+def test_min_label_fixpoint_members_matches_bruteforce(spark):
+    """r13 fixpoint rewrite: member-only min-label propagation plus the
+    broadcast attach must label every doc with its component's min id —
+    including chain components (diameter > batch size) and isolated
+    docs (own id), and an empty pair graph must short-circuit."""
+    from supabase_etl_spark.queries.llm_dedup import (
+        _min_label_fixpoint,
+        _min_label_fixpoint_members,
+    )
+
+    # graph: clique {1,2,3}, chain 10-11-12-13-14 (diameter 4 — crosses
+    # the 2-round count batches), pair {20,21}; isolated: 30, 31
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (13, 14), (20, 21)],
+        "ida bigint, idb bigint",
+    )
+    d = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 13, 14, 20, 21, 30, 31)],
+        "doc_id bigint",
+    )
+    got = {(r["doc_id"], r["cluster_id"]) for r in _min_label_fixpoint(d, pairs).collect()}
+    want = {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10), (14, 10),
+        (20, 20), (21, 20),
+        (30, 30), (31, 31),
+    }
+    assert got == want
+    # member table holds ONLY edge-endpoint vertices
+    members = {r["doc_id"] for r in _min_label_fixpoint_members(pairs).collect()}
+    assert members == {1, 2, 3, 10, 11, 12, 13, 14, 20, 21}
+    # empty pair graph: every doc is its own singleton cluster
+    empty = pairs.filter("ida < 0")
+    got_empty = {
+        (r["doc_id"], r["cluster_id"]) for r in _min_label_fixpoint(d, empty).collect()
+    }
+    assert got_empty == {(i, i) for i in (1, 2, 3, 10, 11, 12, 13, 14, 20, 21, 30, 31)}
