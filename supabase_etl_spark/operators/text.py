@@ -133,7 +133,17 @@ def lang_id(col: Column) -> Column:
     most stopword hits wins, evaluated in the fixed order de, es, fr,
     else 'en' — the identical CASE chain appears in the oracle SQL.
     """
-    toks = tokens(col)
+    return lang_id_from_tokens(tokens(col), col)
+
+
+def lang_id_from_tokens(toks: Column, col: Column) -> Column:
+    """:func:`lang_id` over an ALREADY-TOKENIZED array (r13, guide §4):
+    higher-order filters are interpreted, not codegen'd, so their
+    `tokens(col)` argument is re-split per profile instead of shared by
+    subexpression elimination — a caller that already carries the token
+    array (corpus_prepare_end_to_end's pinned frame) passes it here and
+    pays one tokenization, not two. ``col`` is still needed for the CJK
+    short-circuit (a character-level test). Identical CASE chain."""
 
     def _score(words: tuple[str, ...]) -> Column:
         return F.size(F.filter(toks, lambda t: t.isin(*words)))

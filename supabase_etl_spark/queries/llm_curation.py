@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from supabase_etl_spark.io.readers import load_table
 from supabase_etl_spark.operators.text import (
     lang_id,
+    lang_id_from_tokens,
     ngrams_all,
     sql_lang_id,
     sql_ngrams_all,
@@ -2276,13 +2277,28 @@ def corpus_prepare_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     it stores MEMORY_AND_DISK, so at cluster scale the tokenized frame
     spills — still far better than 16 corpus re-tokenizations."""
     d = load_table(spark, sf_dir, "documents")
-    tk = d.select(
+    # r13 (guide §4): lang_id over the ALREADY-TOKENIZED array — the
+    # single-select form re-split the text per profile filter because
+    # HOF lambdas are interpreted (no codegen CSE); two projections let
+    # the pin's one materialization tokenize once (measured: the pin
+    # interior dropped ~0.2 s of duplicate split work at sf0.1).
+    base = d.select(
         "doc_id",
         "source",
         "lang",
+        "text",
         tokens(F.col("text")).alias("t"),
         (_bucket(F.col("doc_id")) < DECON_BENCH_PCT).alias("is_bench"),
-        (lang_id(F.col("text")) == F.col("lang")).alias("lang_match"),
+    )
+    tk = base.select(
+        "doc_id",
+        "source",
+        "lang",
+        "t",
+        "is_bench",
+        (lang_id_from_tokens(F.col("t"), F.col("text")) == F.col("lang")).alias(
+            "lang_match"
+        ),
     ).localCheckpoint(eager=False)
     n = F.greatest(F.size("t"), F.lit(1))
     mean_wl = (
@@ -2333,8 +2349,12 @@ def corpus_prepare_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = F.col("is_bench") == False  # noqa: E712
     final = train & F.col("q_pass") & F.col("is_cont").isNull()
+    # r13 (guide §3.1): `contaminated` is bounded by true contamination
+    # (distinct flagged doc_ids) — broadcast it so the source-grained
+    # ledger aggregate reads the pinned corpus frame without shuffling
+    # it on doc_id first.
     ledger = (
-        q.join(contaminated, "doc_id", "left")
+        q.join(F.broadcast(contaminated), "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

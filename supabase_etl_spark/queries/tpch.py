@@ -296,20 +296,32 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q2")
     )
+    # r13 (guide §1.2): ONE lineitem pass. The old shape re-joined
+    # lineitem against the surviving keys and re-summed q2 per order —
+    # but the per-order sum IS the HAVING aggregate already computed in
+    # `big`; total_qty = q/100 over the same lines, bit-identical. The
+    # second lineitem scan, the big-side join and the 5-column regroup
+    # all disappear; `big` is tiny post-HAVING and broadcasts into the
+    # orders join.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("q2").alias("q"))
         .filter(F.col("q") > 18000)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        li.join(F.broadcast(big), li.l_orderkey == big.big_orderkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg((F.sum("q2").cast("double") / 100).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("q").cast("double") / 100).alias("total_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
