@@ -1367,8 +1367,15 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # r13 (guide §3.1): `cand` and `inter` are candidate-sized (linear
+    # in true cross-side near-dups) while the shingle stream and the
+    # size table are corpus-sized — broadcast the BOUNDED side so the
+    # verify stage stops shuffling corpus-sized tables on doc_id. The
+    # shingle-match join keeps its keyed shuffle (sa ⋈ sb on shingle)
+    # only where the corpus side genuinely carries the data.
     inter = (
-        cand.join(sh.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
+        F.broadcast(cand)
+        .join(sh.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
         .join(
             sh.alias("sb"),
             (F.col("old_id") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
@@ -1377,7 +1384,8 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     near_dup = (
-        inter.join(sizes.alias("za"), F.col("new_id") == F.col("za.doc_id"))
+        F.broadcast(inter)
+        .join(sizes.alias("za"), F.col("new_id") == F.col("za.doc_id"))
         .join(sizes.alias("zb"), F.col("old_id") == F.col("zb.doc_id"))
         .filter(
             F.col("inter") / (F.col("za.n") + F.col("zb.n") - F.col("inter"))
@@ -1387,11 +1395,12 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+    # verdict flags are batch-bounded — broadcast them onto the batch
     return (
         incoming.join(
-            exact_dup.withColumn("is_exact", F.lit(True)), "doc_id", "left"
+            F.broadcast(exact_dup.withColumn("is_exact", F.lit(True))), "doc_id", "left"
         )
-        .join(near_dup.withColumn("is_near", F.lit(True)), "doc_id", "left")
+        .join(F.broadcast(near_dup.withColumn("is_near", F.lit(True))), "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("is_exact"), F.lit("duplicate_exact"))
