@@ -2178,9 +2178,17 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_pairs = D.jaccard_pairs(d, JACCARD_THRESHOLD).select(
         "ida", "idb"
     ).localCheckpoint(eager=False)  # 2 consumers (scan-leaf lint)
-    bands = D.band_keys(D.minhash_signature(D.shingle_ids(d))).hint(
-        "merge"
-    ).localCheckpoint(eager=False)  # self-joined (scan-leaf lint)
+    # r13: the merge hint this site carried was DEAD — localCheckpoint
+    # truncates the plan to a LogicalRDD, dropping any hint attached
+    # below it (the HintErrorLogger warning), so since the pin landed
+    # the planner has chosen the band-join strategy itself (static SMJ
+    # on the stats-free pinned frame, AQE free to convert to broadcast
+    # at runtime). Resurrecting the hint post-pin forced SMJ and
+    # blocked AQE's conversion — measured slower — so the dead hint is
+    # REMOVED rather than revived.
+    bands = D.band_keys(D.minhash_signature(D.shingle_ids(d))).localCheckpoint(
+        eager=False
+    )  # self-joined (scan-leaf lint)
     cand = (
         bands.alias("a")
         .join(
@@ -2379,9 +2387,11 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization (pin-interior lint, r13; same pattern as the
     # edit-distance-verify pipeline above).
     sids = D.shingle_ids(d)
+    # r13: dead hint removed (see dedup_lsh_quality_audit note) — the
+    # pin already dropped it, and reviving it would pin the join to SMJ
+    # against AQE's runtime broadcast conversion.
     bands = (
         D.band_keys(D.minhash_signature(sids))
-        .hint("merge")
         .localCheckpoint(eager=False)
     )
     cand = (
