@@ -439,10 +439,35 @@ def main() -> None:
         else -1.0,
         "sf": sf,
     }
-    print(json.dumps(payload), flush=True)
-    # The driver keeps only a bounded tail of stdout, which truncated
-    # the per-query dicts in BENCH_r4/r5 — persist the full payload so
-    # round-over-round comparison never depends on a tail buffer.
+    # The driver keeps only a bounded TAIL of stdout: the full payload
+    # grew to ~6 KB by r13 and BENCH_r12's one-line JSON lost its HEAD
+    # to that buffer, which destroyed round-over-round comparison
+    # (PERF_r13 prev_bench_ok: false). r14 (VERDICT r13 task 3): stdout
+    # gets ONE COMPACT line — the driver-contract keys (metric, value,
+    # unit, queries, sf) plus the headline ratios and the contention
+    # label — and the full diagnostic payload (oracle/ratio/stage maps,
+    # floor samples, q_measured_rel) moves to bench_results.json only.
+    # No timed region changed; `queries` keeps every row.
+    compact = {
+        k: payload[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "queries",
+            "codec_queries",
+            "codec_total",
+            "oracle_total",
+            "ratio_total",
+            "floor_median",
+            "load_factor",
+            "oracle_interleaved",
+            "sf",
+        )
+    }
+    print(json.dumps(compact), flush=True)
+    # Full payload: persisted so comparison never depends on a tail
+    # buffer (the r4 lesson, now applied to stdout as well).
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT", os.path.join(os.path.dirname(__file__), "bench_results.json")
     )

@@ -64,7 +64,10 @@ def main() -> None:
         if os.path.isdir(smoke_dir):
             materialize(spec.fn(spark, smoke_dir))  # codegen warmup
         best, walls = None, []
-        stages = 0
+        # ADVICE r13: read each repetition's stage count IMMEDIATELY
+        # after its run (the status tracker can evict old job info) and
+        # report per-rep counts, not just the final rep's
+        rep_stages: list[int] = []
         for i in range(args.n):
             group = f"time:{name}:{i}"
             spark.sparkContext.setJobDescription(name)
@@ -74,12 +77,16 @@ def main() -> None:
             dt = time.time() - t0
             spark.sparkContext.setJobGroup("time:idle", "")
             walls.append(round(dt, 3))
-            stages = stage_count(group)
+            rep_stages.append(stage_count(group))
             best = dt if best is None else min(best, dt)
         if best is None:
             print(f"{name}: plan captured", flush=True)
         else:
-            print(f"{name}: best={best:.3f}s walls={walls} stages={stages}", flush=True)
+            print(
+                f"{name}: best={best:.3f}s walls={walls} "
+                f"stages={max(rep_stages)} rep_stages={rep_stages}",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -155,3 +155,22 @@ def bucketed_range_join(
         F.col(right_time) < F.col(left_end)
     )
     return lefts.join(rights, ["__b"], how).filter(residual).drop("__b")
+
+
+def broadcast_bounded(df: DataFrame, bounded: bool) -> DataFrame:
+    """Broadcast hint gated on a caller-proven size bound (r14,
+    VERDICT r13 task 5).
+
+    An unconditional ``F.broadcast`` on a frame whose size is an
+    *argument* of the query (a graph, a candidate set, a member table)
+    is a latent driver/executor OOM: the hint bypasses both the
+    autoBroadcastJoinThreshold and AQE's runtime size check, so the
+    join hard-fails (8 GB / 512M-row broadcast cap) instead of
+    degrading to a keyed shuffle. Callers must pass ``bounded=True``
+    only when the bound is established *by construction* — a constant
+    predicate (e.g. the co-purchase demo graphs' ``l_orderkey <=
+    2000``), a min-df vocabulary cap, a grid of fixed cardinality —
+    and plumb it from a parameter so the unbounded call site falls
+    back to AQE-planned keyed joins rather than inheriting the hint.
+    """
+    return F.broadcast(df) if bounded else df

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from supabase_etl_spark.io.readers import load_table
+from supabase_etl_spark.operators.joins import broadcast_bounded
 from supabase_etl_spark.queries import query
 from supabase_etl_spark.queries._helpers import dsum, sql_dsum
 
@@ -1569,7 +1570,10 @@ LPA_ITERATIONS = 3
     bench=True,
 )
 def graph_label_propagation(
-    spark: SparkSession, sf_dir: str, iterations: int = LPA_ITERATIONS
+    spark: SparkSession,
+    sf_dir: str,
+    iterations: int = LPA_ITERATIONS,
+    bounded_graph: bool = True,
 ) -> DataFrame:
     """Synchronous label propagation (community detection) over the
     part co-purchase graph — the deterministic variant: every node
@@ -1578,16 +1582,34 @@ def graph_label_propagation(
     LPA's random tie-break would never cross engines). Three fixed
     rounds, then a community rollup.
 
-    Each round is one equi-join (neighbor labels) + one keyed count +
-    one per-node rank — the Pregel message-aggregate shape, same as
-    graph_pagerank's loop. The edge list and each round's label frame
-    are localCheckpoint-truncated (matching graph_pagerank and
-    llm_dedup._min_label_fixpoint): without truncation the nested
-    join+agg+window lineage grows the plan superlinearly in the round
-    count, and analysis time — driver-side, unsharded — becomes the
-    bottleneck long before executor work does. ``iterations`` is
-    parameterized; blocks from retired rounds are reclaimed by the
-    ContextCleaner as each frame goes out of scope."""
+    r14 (VERDICT r13 task 1 — stage-launch floor): the r13 shape ran
+    84+ observed stages for a bounded demo graph, almost all
+    scheduler latency — every per-round lazy pin was a separate
+    nested AQE execution whose materialization jobs re-ran the
+    upstream chain (fresh stage ids, no exchange reuse across
+    executions). Measured rewrite (quiet epoch, sf0.1, best-of-3):
+
+        pins-per-round (r13)                 2.59 s   84 stages
+        no round pins, keyed join            2.36 s   70
+        no round pins + broadcast labels     1.98 s   49
+        + eager sym pin + 1 exchange/round   1.73 s   35   <- shipped
+
+    Shipped shape: the symmetric edge list is pinned EAGERLY once
+    (its builder runs as one clean AQE execution; later jobs read the
+    cached blocks), each round broadcast-joins the node-bounded label
+    frame (gated: ``broadcast_bounded`` — this graph is bounded by
+    the constant ``l_orderkey <= 2000`` predicate; an unbounded
+    caller passes ``bounded_graph=False`` and gets AQE-planned keyed
+    joins), and the round's two aggregations share ONE exchange
+    hashed on ``node`` (guide §2.4: hash(node) satisfies the
+    (node, lbl) clustering requirement, so Catalyst plans both aggs
+    exchange-free after the explicit repartition). Rounds stay
+    un-pinned: a 3-round lineage is shallow, and one AQE execution
+    reuses its own exchanges where per-round pins could not. On an
+    UNBOUNDED graph the partial-aggregating two-exchange shape
+    (map-side combine before a (node,lbl)-keyed shuffle) is the
+    honest layout — ``bounded_graph=False`` restores it by dropping
+    both the broadcast and the single-exchange repartition."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") <= 2000)
@@ -1603,31 +1625,34 @@ def graph_label_propagation(
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
-        # multi-consumer edge list: pin once (scan-leaf lint) — without
-        # it the basket self-join re-runs per consumer
-        .localCheckpoint(eager=False)
+        # not pinned (r14): its only consumer is sym's one
+        # materialization, where the union's two branches share the
+        # distinct exchange via ReusedExchange
     )
     sym = (
         edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
+        # eager (r14): one clean materialization up front; per-round
+        # consumers then scan cached blocks instead of re-entering a
+        # nested lazy-pin AQE execution per round (scan-leaf lint)
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
     # r13: the per-round "most frequent label, ties to smallest" pick is
     # a partial-aggregating min(struct(-count, lbl)) instead of a
-    # row_number window — same winner by lexicographic struct order,
-    # but no per-node sort and map-side combine on both aggregation
-    # levels (guide §2.3 "aggregate before you shuffle"); pins are
-    # eager=False so all rounds materialize inside the ONE final action
-    # (fixed round count — no driver-side convergence read), removing
-    # `iterations` sequential checkpoint jobs.
+    # row_number window — same winner by lexicographic struct order.
     for _ in range(iterations):
+        msgs = sym.join(
+            broadcast_bounded(labels, bounded_graph), sym["v"] == labels["node"]
+        ).select(sym["u"].alias("node"), "lbl")
+        if bounded_graph:
+            # single exchange per round: hash(node) already satisfies
+            # the (node, lbl) clustering below (guide §2.4)
+            msgs = msgs.repartition("node")
         labels = (
-            sym.join(labels, sym["v"] == labels["node"])
-            .select(sym["u"].alias("node"), "lbl")
-            .groupBy("node", "lbl")
+            msgs.groupBy("node", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("node")
             .agg(
@@ -1636,7 +1661,6 @@ def graph_label_propagation(
                 ).alias("b")
             )
             .select("node", F.col("b.lbl").alias("lbl"))
-            .localCheckpoint(eager=False)
         )
     return (
         labels.groupBy(F.col("lbl").alias("community"))
@@ -6031,7 +6055,11 @@ def _truss_sql_round(prev: str, cur: str, k: int) -> str:
     bench=True,
 )
 def graph_ktruss(
-    spark: SparkSession, sf_dir: str, k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KTRUSS_K,
+    rounds: int = KTRUSS_ROUNDS,
+    bounded_graph: bool = True,
 ) -> DataFrame:
     """Bounded k-truss decomposition of the part co-purchase graph:
     each round enumerates triangles on the canonical (u<v) edge list,
@@ -6075,9 +6103,13 @@ def graph_ktruss(
         # parts per basket cap the edge count), so the wedge-closing
         # sides broadcast — each support round previously shuffled the
         # edge list three ways (SMJ wedge join + closure + semi-join),
-        # all fixed-size data. On an UNBOUNDED graph the keyed SMJ +
-        # degree-ordered orientation (docstring) remains the shape.
-        e1, e2, e3 = e.alias("e1"), F.broadcast(e.alias("e2")), F.broadcast(e.alias("e3"))
+        # all fixed-size data. r14 (VERDICT r13 task 5): the hint is
+        # now GATED on ``bounded_graph`` — an unbounded caller falls
+        # back to the keyed SMJ + degree-ordered orientation shape
+        # (docstring) instead of inheriting a driver-OOM broadcast.
+        e1 = e.alias("e1")
+        e2 = broadcast_bounded(e.alias("e2"), bounded_graph)
+        e3 = broadcast_bounded(e.alias("e3"), bounded_graph)
         tri = (
             e1.join(
                 e2,
@@ -6101,9 +6133,9 @@ def graph_ktruss(
 
     for _ in range(rounds):
         sup = support(edges).filter(F.col("sup") >= k - 2).select("u", "v")
-        edges = edges.join(F.broadcast(sup), ["u", "v"], "left_semi").localCheckpoint(
-            eager=False
-        )
+        edges = edges.join(
+            broadcast_bounded(sup, bounded_graph), ["u", "v"], "left_semi"
+        ).localCheckpoint(eager=False)
     return (
         support(edges)
         .select("u", "v", F.col("sup").cast("bigint").alias("support"))

@@ -537,9 +537,21 @@ def _min_label_fixpoint_members(pairs: DataFrame) -> DataFrame:
     corpus-sized convergence JOIN per round. Convergence is now a
     `chg` flag computed IN the propagation select (labels only
     decrease, so changed ⟺ nbr_min < cluster_id) and counted with one
-    filter scan of the round's pinned frame — no join. Pins are
-    eager=False so each round's materialization and its convergence
-    count share one job.
+    filter scan of the round's pinned frame — no join.
+
+    r14 (VERDICT r13 task 1 — stage-launch floor, guide §2.4):
+    ``localCheckpoint`` preserves ``outputPartitioning`` into the
+    LogicalRDD, so the edge list is pinned EAGERLY pre-hashed on
+    ``src`` and the label state stays hashed on ``doc_id`` (the
+    groupBy(dst→doc_id) exchange output feeds the left join and the
+    next round directly). Each propagation round then needs exactly
+    ONE exchange — the neighbor-min aggregate — where the r13 shape
+    re-shuffled both join sides every round; the per-batch inner pin
+    is gone too (a 2-round lineage is shallow, and one AQE execution
+    reuses its own exchanges where nested lazy pins re-ran upstream
+    chains — the LPA r14 finding). Measured on the two heaviest
+    consumers (sf0.1, quiet epoch, best-of-3): dedup_pipeline
+    3.65→2.92 s (58→50 stages), corpus_curate 3.60→3.18 s (49→45).
 
     Raises RuntimeError if the fixpoint is not reached within
     MAX_PROPAGATION_ROUNDS — a silently-unconverged result would emit
@@ -550,14 +562,16 @@ def _min_label_fixpoint_members(pairs: DataFrame) -> DataFrame:
         pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
         .unionByName(pairs.select(F.col("idb").alias("src"), F.col("ida").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .repartition("src")
+        .localCheckpoint(eager=True)
     )
     # symmetric edge list ⇒ src alone covers every endpoint
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint(eager=False)
+        .repartition("doc_id")
+        .localCheckpoint(eager=True)
     )
     changed = -1
     rounds = 0
@@ -574,12 +588,12 @@ def _min_label_fixpoint_members(pairs: DataFrame) -> DataFrame:
             if rounds >= MAX_PROPAGATION_ROUNDS:
                 break
             neighbor_min = (
-                edges.join(labels, edges.src == labels.doc_id)
+                edges.join(new_labels, edges.src == new_labels.doc_id)
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
             new_labels = (
-                labels.join(neighbor_min, "doc_id", "left")
+                new_labels.join(neighbor_min, "doc_id", "left")
                 .select(
                     "doc_id",
                     F.least(
@@ -591,12 +605,12 @@ def _min_label_fixpoint_members(pairs: DataFrame) -> DataFrame:
                         < F.col("cluster_id")
                     ).alias("chg"),
                 )
-                .localCheckpoint(eager=False)
             )
-            labels = new_labels.drop("chg")
             rounds += 1
-        # one job: materializes (and pins) the batch AND counts changes
+        # one pin per BATCH (r14); the convergence count materializes it
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     if changed != 0:

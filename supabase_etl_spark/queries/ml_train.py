@@ -39,12 +39,108 @@ from supabase_etl_spark.queries import query
 DEC = "decimal(38,12)"
 
 # ---------------------------------------------------------------------------
+# deterministic ln of an exact integer (the levene discipline applied to
+# transcendentals, VERDICT r13 task 2)
+# ---------------------------------------------------------------------------
+#
+# round(LN(x), 12) of a libm ln is NOT cross-engine stable: Spark's
+# Math.log and DuckDB's std::log may disagree in the last ulp, and at
+# sf0.1 enough vocab terms sample the 1e-12 rounding-tie band that
+# ml_nb_train_score's avg_margin diverged in the 10th decimal (latent
+# r13 finding). The fix is the levene pattern extended to ln: compute
+# ln(x) for exact-BIGINT x with IEEE +,-,*,/ ONLY — every one of those
+# is correctly rounded and therefore bitwise identical across engines —
+# so the SAME generated expression text evaluates to the SAME double in
+# Spark and DuckDB and round-12 ties cannot split.
+#
+#   x = 2^k * m,  m in [1,2):  k via a 63-branch exact-integer CASE,
+#   m = x / 2^k (power-of-two double literals are exact),
+#   ln m = 2*atanh(z), z = (m-1)/(m+1) in [0,1/3]:
+#   17-term odd series in z^2 (z^2 <= 1/9 => truncation < 1e-16),
+#   ln x = k*LN2 + 2*z*P(z^2).
+#
+# Accuracy vs true ln is ~1e-15 relative — the committed values remain
+# honest log-likelihood ratios at 12 decimals — but the property the
+# gate needs is only that both engines evaluate the identical sequence
+# of deterministic IEEE ops. Expressions are generated ONCE and pasted
+# into both the oracle SQL text and the Spark selectExpr, so the
+# operation order is identical by construction (lateral column aliases
+# keep the text linear; both engines resolve them).
+
+_LN2 = "CAST('0.6931471805599453' AS DOUBLE)"  # repr(math.log(2)), CR-parsed
+
+
+def _det_ln_exprs(x: str, suf: str) -> list[str]:
+    """Select-expressions computing ``ln_<suf>`` = ln(<x>) for an exact
+    positive BIGINT expression ``x``, using only IEEE-deterministic
+    arithmetic (see module comment). Returns lateral-alias steps."""
+    k_branches = " ".join(
+        f"WHEN {x} >= {1 << k} THEN {k}" for k in range(62, 0, -1)
+    )
+    p_branches = " ".join(
+        f"WHEN {x} >= {1 << k} THEN CAST('{float(1 << k)!r}' AS DOUBLE)"
+        for k in range(62, 0, -1)
+    )
+    # P(z2) by Horner, c_i = 1/(2i+1) as correctly-rounded string literals
+    horner = f"CAST('{1.0 / 33.0!r}' AS DOUBLE)"
+    for i in range(15, -1, -1):
+        horner = f"({horner} * z2_{suf} + CAST('{1.0 / (2 * i + 1)!r}' AS DOUBLE))"
+    return [
+        f"CASE {k_branches} ELSE 0 END AS k_{suf}",
+        f"CAST({x} AS DOUBLE) / (CASE {p_branches} ELSE CAST('1.0' AS DOUBLE) END) AS m_{suf}",
+        f"(m_{suf} - CAST(1 AS DOUBLE)) / (m_{suf} + CAST(1 AS DOUBLE)) AS z_{suf}",
+        f"z_{suf} * z_{suf} AS z2_{suf}",
+        f"CAST(k_{suf} AS DOUBLE) * {_LN2} "
+        f"+ CAST(2 AS DOUBLE) * z_{suf} * {horner} AS ln_{suf}",
+    ]
+
+
+def _det_ln_steps(args: dict[str, str], out: str, combine: str) -> list[str]:
+    """Select-list steps: every ``_det_ln_exprs`` step for each
+    (suffix -> BIGINT expr) in ``args``, then ``combine`` (referencing
+    the ``ln_<suf>`` aliases) as ``out``. The SAME list feeds the
+    oracle's SQL text and the Spark ``selectExpr`` so both engines run
+    the identical operation sequence."""
+    steps: list[str] = []
+    for suf, x in args.items():
+        steps.extend(_det_ln_exprs(x, suf))
+    steps.append(f"{combine} AS {out}")
+    return steps
+
+
+# ---------------------------------------------------------------------------
 # multinomial Naive Bayes
 # ---------------------------------------------------------------------------
 
 NB_MIN_DF = 3  # vocab = tokens with total corpus frequency >= NB_MIN_DF
 
 _NB_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+# per-term weight w = ln((c1+1)/(n1+v)) - ln((c0+1)/(n0+v)), each ln via
+# the deterministic integer-ln block. The weight is quantized to exact
+# BIGINT picounits (1e-12) with FLOOR(x*1e12 + 0.5) rather than
+# ROUND(x, 12): engine ROUND on doubles is NOT cross-engine stable
+# (Spark rounds the exact binary expansion via BigDecimal HALF_UP,
+# DuckDB rounds in multiplied double space — at sf0.1 one per-doc
+# margin landed on a round-9 tie they resolved differently), while
+# FLOOR and * and + are single correctly-rounded IEEE ops that give
+# bitwise-identical results on the bitwise-identical ln outputs.
+# Everything downstream of the quantization is exact integer
+# arithmetic, so no further tie can exist.
+_NB_W_STEPS = _det_ln_steps(
+    {"a": "c1 + 1", "b": "n1 + v", "c": "c0 + 1", "d": "n0 + v"},
+    "w_u",
+    "CAST(FLOOR(((ln_a - ln_b) - (ln_c - ln_d)) * 1e12 + 0.5) AS BIGINT)",
+)
+# class prior b = ln(nd1/nd0) over the exact per-class doc counts,
+# quantized to the same exact picounit grid
+_NB_B_STEPS = _det_ln_steps(
+    {"p": "nd1", "q": "nd0"},
+    "b_u",
+    "CAST(FLOOR((ln_p - ln_q) * 1e12 + 0.5) AS BIGINT)",
+)
+_NB_W_BLOCK = ",\n               ".join(_NB_W_STEPS)
+_NB_B_BLOCK = ",\n               ".join(_NB_B_STEPS)
 
 
 @query(
@@ -62,7 +158,8 @@ _NB_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
         FROM tok GROUP BY term
     ),
     vocab AS (
-        SELECT term, c0, c1 FROM counts WHERE c0 + c1 >= {NB_MIN_DF}
+        SELECT term, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1
+        FROM counts WHERE c0 + c1 >= {NB_MIN_DF}
     ),
     tot AS (
         SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
@@ -71,26 +168,27 @@ _NB_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
     ),
     llr AS (
         SELECT term,
-               ROUND(LN(CAST(c1 + 1 AS DOUBLE) / (n1 + v))
-                   - LN(CAST(c0 + 1 AS DOUBLE) / (n0 + v)), 12) AS w
+               {_NB_W_BLOCK}
         FROM vocab, tot
     ),
     prior AS (
-        SELECT ROUND(LN(CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                   / SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)), 12) AS b
-        FROM documents
+        SELECT {_NB_B_BLOCK}
+        FROM (
+            SELECT CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nd1,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd0
+            FROM documents
+        )
     ),
     scored AS (
         SELECT t.doc_id, t.c,
-               CAST(SUM(CAST(l.w AS DECIMAL(38,12))) AS DOUBLE) + p.b AS margin
+               CAST(SUM(l.w_u) AS BIGINT) + p.b_u AS pico
         FROM tok t JOIN llr l ON t.term = l.term, prior p
-        GROUP BY t.doc_id, t.c, p.b
+        GROUP BY t.doc_id, t.c, p.b_u
     )
     SELECT c AS true_class,
-           CASE WHEN margin > 0 THEN 1 ELSE 0 END AS pred_class,
+           CASE WHEN pico > 0 THEN 1 ELSE 0 END AS pred_class,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CAST(ROUND(margin, 9) AS DECIMAL(38,9))) AS DOUBLE)
-               / COUNT(*) AS avg_margin
+           CAST(CAST(SUM(pico) AS BIGINT) AS DOUBLE) / COUNT(*) / 1e12 AS avg_margin
     FROM scored
     GROUP BY true_class, pred_class
     ORDER BY true_class, pred_class
@@ -132,46 +230,46 @@ def ml_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = vocab.agg(
         F.sum("c0").alias("n0"), F.sum("c1").alias("n1"), F.count(F.lit(1)).alias("v")
     )
-    llr = vocab.crossJoin(F.broadcast(tot)).select(
-        "term",
-        F.round(
-            F.log((F.col("c1") + 1).cast("double") / (F.col("n1") + F.col("v")))
-            - F.log((F.col("c0") + 1).cast("double") / (F.col("n0") + F.col("v"))),
-            12,
-        ).alias("w"),
+    # r14 (VERDICT r13 task 2): w and b run the deterministic integer-ln
+    # expression blocks — the IDENTICAL generated text the oracle runs —
+    # so the round-12 ties that split Spark's Math.log from DuckDB's
+    # std::log at sf0.1 cannot occur (see _det_ln_exprs).
+    llr = (
+        vocab.crossJoin(F.broadcast(tot))
+        .selectExpr("term", *_NB_W_STEPS)
+        .select("term", "w_u")
     )
     prior = d.agg(
-        F.round(
-            F.log(
-                F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).cast("double")
-                / F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
-            ),
-            12,
-        ).alias("b")
-    )
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("nd1"),
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("nd0"),
+    ).selectExpr(*_NB_B_STEPS).select("b_u")
     # r13 (guide §3.1): the model table is vocab-bounded (min-df) — the
     # docstring's "broadcast join + doc-level groupBy" was planning as a
     # shuffle join, sending the whole corpus TOKEN STREAM across an
     # exchange keyed on term before the per-doc reduce. Broadcasting the
     # model removes that corpus-sized shuffle; the scoring pass now
     # shuffles only per-doc partial sums.
+    # downstream of the picounit quantization everything is exact BIGINT
+    # arithmetic (per-doc sum, sign test, per-cell sum) — the SAME
+    # expression text as the oracle — and the only remaining float ops
+    # are int64->double casts and two divides, each a single correctly
+    # rounded IEEE op, so the engines agree bitwise by construction.
     scored = (
         tok.join(F.broadcast(llr), "term")
         .crossJoin(F.broadcast(prior))
-        .groupBy("doc_id", "c", "b")
-        .agg((F.sum(F.col("w").cast(DEC)).cast("double") + F.first("b")).alias("margin"))
+        .groupBy("doc_id", "c", "b_u")
+        .agg(F.expr("CAST(SUM(w_u) AS BIGINT) + b_u").alias("pico"))
     )
     return (
         scored.groupBy(
             F.col("c").alias("true_class"),
-            F.when(F.col("margin") > 0, 1).otherwise(0).alias("pred_class"),
+            F.expr("CASE WHEN pico > 0 THEN 1 ELSE 0 END").alias("pred_class"),
         )
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (
-                F.sum(F.round("margin", 9).cast("decimal(38,9)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_margin"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(CAST(SUM(pico) AS BIGINT) AS DOUBLE) / COUNT(*) / 1e12").alias(
+                "avg_margin"
+            ),
         )
         .orderBy("true_class", "pred_class")
     )

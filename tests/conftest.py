@@ -57,3 +57,16 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+def registry_sweep_params(names):
+    """Tier the full-registry sweeps (pytest.ini): bench-set queries run
+    in the default (driver-window) tier; every other query keeps its
+    test but marked ``slow`` for the builder's full run."""
+    from supabase_etl_spark.queries import load_all
+
+    bench_names = {n for n, s in load_all().items() if s.bench}
+    return [
+        n if n in bench_names else pytest.param(n, marks=pytest.mark.slow)
+        for n in names
+    ]

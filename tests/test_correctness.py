@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pytest
 
+from conftest import registry_sweep_params
+
 from scripts.check_correctness import canon_rows, run_duckdb
 from supabase_etl_spark.queries import load_all
 
@@ -17,7 +19,7 @@ ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 NO_ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
+@pytest.mark.parametrize("name", registry_sweep_params(ORACLE_QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = REGISTRY[name]
     sdf = spec.fn(spark, sf_dir)
@@ -31,7 +33,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert not diffs, f"{len(diffs)}/{len(sr)} rows differ; first: {diffs[0]}"
 
 
-@pytest.mark.parametrize("name", NO_ORACLE_QUERIES)
+@pytest.mark.parametrize("name", registry_sweep_params(NO_ORACLE_QUERIES))
 def test_query_runs(spark, sf_dir, name):
     """Rows-only check for non-SQL-expressible ops."""
     spec = REGISTRY[name]

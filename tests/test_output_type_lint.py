@@ -32,6 +32,8 @@ sequence output serializes it.
 from __future__ import annotations
 
 import pytest
+
+from conftest import registry_sweep_params
 from pyspark.sql import types as T
 
 from supabase_etl_spark.queries import load_all
@@ -47,7 +49,7 @@ _REGISTRY = load_all()
 _COMPLEX = (T.ArrayType, T.MapType, T.StructType)
 
 
-@pytest.mark.parametrize("name", sorted(_REGISTRY))
+@pytest.mark.parametrize("name", registry_sweep_params(sorted(_REGISTRY)))
 def test_spark_output_is_scalar_only(spark, name):
     spec = _REGISTRY[name]
     df = spec.fn(spark, SF)

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import pytest
 
+from conftest import registry_sweep_params
+
 from supabase_etl_spark.queries import load_all
 from tests.test_scan_leaf_lint import scan_leaves
 
@@ -65,7 +67,7 @@ def pin_spy(monkeypatch):
     return recorded
 
 
-@pytest.mark.parametrize("name", sorted(_REGISTRY))
+@pytest.mark.parametrize("name", registry_sweep_params(sorted(_REGISTRY)))
 def test_pin_interior_scan_budget(spark, pin_spy, name):
     spec = _REGISTRY[name]
     spec.fn(spark, SF)  # plan construction records the builders

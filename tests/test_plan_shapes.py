@@ -1283,3 +1283,32 @@ def test_kfold_cv_single_corpus_aggregation(spark):
     plan = _plan(q.fn(spark, SF))
     assert "Scan ExistingRDD" in plan
     assert "BroadcastExchange" in plan  # K-row global stats broadcast
+
+
+def test_bounded_graph_broadcast_gate(spark):
+    """VERDICT r13 task 5: the bounded-graph broadcast hints in
+    graph_ktruss / graph_label_propagation are GATED — an unbounded
+    caller (bounded_graph=False) must fall back to AQE-planned keyed
+    joins, never inherit a driver-OOM broadcast hint."""
+    from supabase_etl_spark.queries.analytics import (
+        graph_ktruss,
+        graph_label_propagation,
+    )
+
+    # bounded (default): broadcasts present
+    assert "BroadcastHashJoin" in _plan(graph_ktruss(spark, SF))
+
+    # unbounded: no FORCED broadcast hint anywhere in the optimized
+    # logical plan (AQE may still convert at RUNTIME from true sizes,
+    # which is the point: the plan must not force it)
+    def hinted(df):
+        return "strategy=broadcast" in (
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    assert hinted(graph_ktruss(spark, SF, bounded_graph=True))
+    assert not hinted(graph_ktruss(spark, SF, bounded_graph=False))
+    assert hinted(graph_label_propagation(spark, SF, bounded_graph=True))
+    assert not hinted(
+        graph_label_propagation(spark, SF, bounded_graph=False)
+    )

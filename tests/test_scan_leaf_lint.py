@@ -40,6 +40,8 @@ from __future__ import annotations
 
 import pytest
 
+from conftest import registry_sweep_params
+
 from supabase_etl_spark.queries import load_all
 
 SF = "/root/testdata/sf0.001"
@@ -81,7 +83,7 @@ def scan_leaves(df) -> list[str]:
     return out
 
 
-@pytest.mark.parametrize("name", sorted(_REGISTRY))
+@pytest.mark.parametrize("name", registry_sweep_params(sorted(_REGISTRY)))
 def test_scan_leaf_budget(spark, name):
     spec = _REGISTRY[name]
     df = spec.fn(spark, SF)

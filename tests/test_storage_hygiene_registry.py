@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import pytest
 
+from conftest import registry_sweep_params
+
 from supabase_etl_spark.queries import load_all
 
 SF = "/root/testdata/sf0.001"
@@ -54,7 +56,7 @@ def _persistent_rdds(spark):
     return out
 
 
-@pytest.mark.parametrize("name", sorted(_REGISTRY))
+@pytest.mark.parametrize("name", registry_sweep_params(sorted(_REGISTRY)))
 def test_query_leaves_no_storage_behind(spark, name):
     spec = _REGISTRY[name]
     before = set(_persistent_rdds(spark))

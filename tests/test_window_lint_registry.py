@@ -33,6 +33,8 @@ import re
 
 import pytest
 
+from conftest import registry_sweep_params
+
 from supabase_etl_spark.queries import load_all
 
 SF = "/root/testdata/sf0.001"
@@ -134,7 +136,7 @@ def unaccounted_windows(df) -> list[str]:
     return out
 
 
-@pytest.mark.parametrize("name", sorted(_REGISTRY))
+@pytest.mark.parametrize("name", registry_sweep_params(sorted(_REGISTRY)))
 def test_no_unbounded_single_partition_windows(spark, name):
     spec = _REGISTRY[name]
     df = spec.fn(spark, SF)
