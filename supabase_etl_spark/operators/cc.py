@@ -45,7 +45,10 @@ def _large_star(e: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("m").alias("a"), F.col("v").alias("b"))  # m <= u < v
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        # no .distinct() here (r14): the output feeds _small_star, whose
+        # groupBy-min absorbs duplicates map-side and whose own final
+        # distinct dedups the round — the extra exchange bought nothing
+        # (A/B on multimodal_video_dedup_pipeline_e2e: 2.77->2.34 s)
     )
 
 
@@ -87,13 +90,19 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     for _ in range(CC_MAX_ROUNDS):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # eager round pin (r14, the LPA/fixpoint finding): a LAZY pin
+        # here defers its final stage into the next consumer, and every
+        # nested AQE materialization job re-ran the deferred upstream
+        # chain with fresh stage ids — observed as 3->7-stage 1-task
+        # recompute chains per round. Eager materializes the round once,
+        # cleanly; the convergence aggregate then reads cached blocks
+        # (multimodal_video e2e A/B: 4.51->2.77 s, 54->45 stages).
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # fixpoint: the edge set is unchanged. r13 (guide §1.2): the old
         # check cost THREE sequential actions per round (eager pin +
         # count + exceptAll count); both sides are deduped sorted pairs
         # (sets), so set equality is ONE tagged aggregate — +1/-1 per
-        # side, any group summing non-zero is a difference — and that
-        # single action also materializes the round's lazy pin.
+        # side, any group summing non-zero is a difference.
         diff = (
             new_e.select("a", "b", F.lit(1).alias("t"))
             .unionByName(e.select("a", "b", F.lit(-1).alias("t")))

@@ -3153,9 +3153,19 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmv = lvl1.groupBy("s").agg(
         F.slice(F.array_sort(F.flatten(F.collect_list("hs"))), 1, KMV_K).alias("ks")
     )
-    ka = kmv.filter(F.col("s") == "click").select(F.col("ks").alias("ka"))
-    kb = kmv.filter(F.col("s") == "purchase").select(F.col("ks").alias("kb"))
-    un = ka.crossJoin(kb).select(
+    # r14 (guide §2.4 / VERDICT task 1): the r13 shape filtered the
+    # 2-row kmv frame TWICE (ka, kb) and cross-joined — each filter
+    # replayed the whole sketch-build subtree (el distinct + two-level
+    # KMV), doubling every stage of the build. One global pivot
+    # aggregate extracts both sketches in a single pass of the build.
+    un = kmv.groupBy().agg(
+        F.first(F.when(F.col("s") == "click", F.col("ks")), ignorenulls=True).alias(
+            "ka"
+        ),
+        F.first(F.when(F.col("s") == "purchase", F.col("ks")), ignorenulls=True).alias(
+            "kb"
+        ),
+    ).select(
         "ka",
         "kb",
         F.slice(F.array_sort(F.array_union("ka", "kb")), 1, KMV_K).alias("ku"),
@@ -3190,10 +3200,12 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c_diff"),
     )
-    # exact ground-truth panel in ONE action: pivot each (user, day)
-    # element to has_click/has_purchase flags, then a single aggregate
-    # yields |A|, |B|, and |A∩B| — replacing two count() actions plus an
-    # INTERSECT (four stage launches on trivially small data)
+    # exact ground-truth panel: pivot each (user, day) element to
+    # has_click/has_purchase flags, then a single aggregate yields
+    # |A|, |B|, and |A∩B|. r14 (VERDICT task 1): the panel no longer
+    # round-trips the driver as a collect — its 1-row frame broadcast
+    # cross-joins into the SAME final action as the sketch estimates,
+    # so the whole query is one pin materialization plus one action.
     panel = (
         ev.groupBy("user_id", "d")
         .agg(
@@ -3205,16 +3217,18 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cb").cast("bigint").alias("xb"),
             F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("xi"),
         )
-        .collect()[0]
     )
-    xa, xb, xi = int(panel["xa"]), int(panel["xb"]), int(panel["xi"])
     rows = [
-        ("a_click", xa, F.round(F.col("est_a"), 6)),
-        ("b_purchase", xb, F.round(F.col("est_b"), 6)),
-        ("union", xa + xb - xi, F.round(F.col("est_u"), 6)),
+        ("a_click", F.col("xa"), F.round(F.col("est_a"), 6)),
+        ("b_purchase", F.col("xb"), F.round(F.col("est_b"), 6)),
+        (
+            "union",
+            F.col("xa") + F.col("xb") - F.col("xi"),
+            F.round(F.col("est_u"), 6),
+        ),
         (
             "intersection",
-            xi,
+            F.col("xi"),
             F.round(
                 F.col("c_int").cast("double")
                 * F.when(F.col("exact_u"), F.lit(1.0)).otherwise(
@@ -3225,7 +3239,7 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (
             "a_minus_b",
-            xa - xi,
+            F.col("xa") - F.col("xi"),
             F.round(
                 F.col("c_diff").cast("double")
                 * F.when(F.col("exact_u"), F.lit(1.0)).otherwise(
@@ -3241,13 +3255,13 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan, not data; the pinned `ev` hid the recompute from the
     # scan-leaf lint (LogicalRDD leaves). Identical rows/values: the
     # same five (measure, exact, estimate) expressions, evaluated once.
-    out = est.select(
+    out = est.crossJoin(F.broadcast(panel)).select(
         F.inline(
             F.array(
                 *[
                     F.struct(
                         F.lit(name).alias("measure"),
-                        F.lit(exact).cast("bigint").alias("exact"),
+                        exact.cast("bigint").alias("exact"),
                         estimate.alias("estimate"),
                     )
                     for name, exact, estimate in rows

@@ -3476,14 +3476,13 @@ def dq_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     never per-point driver state. The next level's node assignment
     compiles those collected stats into a literal CASE chain, so the
     point stream is consumed by pure narrow projections. r14 (VERDICT
-    r13 task 4): the 3-column point frame is pinned once (the
-    spark.ml trainer's input cache — the recursion is inherently
-    multi-pass, each level's thresholds depend on the previous
-    level's collected stats) and the leaf-population pass rides
-    inside the final action as a 64-group aggregate folded into one
-    broadcast map, so the trainer is IF_DEPTH sequential collects
-    plus ONE scoring action over a single parquet read — down from
-    IF_DEPTH + 2 driver round trips each re-reading the scan.
+    r13 task 4): the 3-column point frame is pinned once — the
+    spark.ml trainer's input cache; the recursion is inherently
+    multi-pass and data-dependent sequential (each level's thresholds
+    need the previous level's collected stats, so the pass count
+    cannot drop below IF_DEPTH + 2 without changing what the query
+    computes), but every pass after the first now reads cached blocks
+    instead of re-reading parquet (A/B: 4.00 -> 3.39 s).
 
     Determinism: split stats (min/max/count) collect as exact doubles /
     longs; f and u re-derive from md5 in Python exactly as the oracle's
@@ -3582,31 +3581,58 @@ def dq_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
             u = md5mod(f"{t}|{nv}|u", 1_000_000) / 1_000_000.0
             mn, mx = (r["mn1"], r["mx1"]) if f_bit == 0 else (r["mn2"], r["mx2"])
             splits[(t, nid)] = (f_bit, mn + u * (mx - mn))
-    # r14 (VERDICT r13 task 4): the leaf-population pass no longer
-    # round-trips through the driver. It rides INSIDE the final action
-    # as a tiny aggregate (<= IF_TREES * 2^IF_DEPTH = 64 groups, a
-    # constant of the query) folded into one broadcast single-row map
-    # the scoring projection looks leaf sizes up in — the sequential
-    # pass count drops from IF_DEPTH + 2 to IF_DEPTH + 1 and, with the
-    # pinned base, the whole trainer reads parquet exactly once.
-    # Early-isolation depths at depth < IF_DEPTH only need the ALREADY
-    # COLLECTED per-level counts (a leaf's ancestors are right-shifts
-    # of its id); the depth-IF_DEPTH singleton case (m == 1) resolves
-    # engine-side from the leaf-size map.
+    # leaf populations: one final bounded stats pass at full depth —
+    # this collect stays a driver round trip DELIBERATELY (r14 A/B:
+    # replacing the literal leaf-size maps with an engine-side
+    # broadcast map column + element_at lookups ran 3.4 -> 9.3 s; the
+    # per-row map-column probe is far more expensive than a
+    # codegen-folded literal map, so the VERDICT task-4 "fold the
+    # leaf pass into the final action" idea is measured and REJECTED).
+    # With the pinned base it reads cached blocks, not parquet.
+    leafsz: dict[tuple[int, int], int] = {}
+    for r in tree_node_stats(IF_DEPTH).collect():
+        leafsz[(r["t"], r["node"])] = int(r["c"])
+    # early-isolation depth per leaf from the driver-held count tables:
+    # counts[(t, ancestor)] is the node population at each depth, and
+    # ancestor ids are just right-shifts of the leaf id
     iso: dict[tuple[int, int], int] = {}
-    for t, nid3 in list(counts):
-        if nid3 < (1 << (IF_DEPTH - 1)):
-            continue  # not a depth-(IF_DEPTH-1) node
-        for child in (2 * nid3, 2 * nid3 + 1):
-            for dd in range(1, IF_DEPTH):
-                anc = child >> (IF_DEPTH - dd)
-                if counts.get((t, anc)) == 1:
-                    iso[(t, child)] = dd
-                    break
+    for (t, nid), m in leafsz.items():
+        for dd in range(1, IF_DEPTH):
+            if counts[(t, nid >> (IF_DEPTH - dd))] == 1:
+                iso[(t, nid)] = dd
+                break
+        else:
+            if m == 1:
+                iso[(t, nid)] = IF_DEPTH
+    # literal per-tree lookup maps (<= 2^IF_DEPTH entries each): leaf
+    # size and isolation depth keyed by leaf id; c(m) and the score stay
+    # engine-side for ln parity with the oracle
+    m_maps = {
+        t: F.expr(
+            "map("
+            + ", ".join(
+                f"{nid}, {m}" for (tt, nid), m in leafsz.items() if tt == t
+            )
+            + ")"
+        )
+        for t in trees
+    }
     iso_maps = {}
     for t in trees:
         pairs = [f"{nid}, {dd}" for (tt, nid), dd in iso.items() if tt == t]
         iso_maps[t] = F.expr("map(" + ", ".join(pairs) + ")") if pairs else None
+
+    def tree_path(t: int):
+        leaf = F.col(f"leaf{t}")
+        m = F.element_at(m_maps[t], leaf).cast("double")
+        cpath = F.when(m == 2.0, F.lit(1.0)).otherwise(
+            2.0 * (F.log(m - 1.0) + F.lit(_IF_EULER)) - 2.0 * (m - 1.0) / m
+        )
+        full = F.lit(float(IF_DEPTH)) + cpath
+        if iso_maps[t] is not None:
+            iso_d = F.element_at(iso_maps[t], leaf)
+            full = F.when(iso_d.isNotNull(), iso_d.cast("double")).otherwise(full)
+        return F.round(full, 9)
 
     # the scoring pass is the only compute-dense one (map lookups +
     # ln/pow per row); when the scan parallelism is below the cluster's
@@ -3614,45 +3640,8 @@ def dq_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on a many-split (100 TB) scan this branch never fires
     par = spark.sparkContext.defaultParallelism
     fin = base.repartition(par) if base.rdd.getNumPartitions() < par else base
-    # leaf sizes: one 64-group aggregate over the SAME exchange the
-    # scoring pass reads (ReusedExchange), packed into a single-row
-    # map keyed t * 1000 + leaf_id and broadcast to the scorers
-    leaf_structs = ", ".join(
-        f"struct({t} AS t, {node_sql(t, IF_DEPTH)} AS node)" for t in trees
-    )
-    lm = (
-        fin.select(F.expr(f"inline(array({leaf_structs}))"))
-        .groupBy("t", "node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-        .groupBy()
-        .agg(
-            F.map_from_entries(
-                F.collect_list(
-                    F.struct(
-                        (F.col("t") * 1000 + F.col("node")).alias("key"),
-                        F.col("m").alias("value"),
-                    )
-                )
-            ).alias("lm")
-        )
-    )
-
-    def tree_path(t: int):
-        leaf = F.col(f"leaf{t}")
-        m = F.element_at(F.col("lm"), (F.lit(t * 1000) + leaf)).cast("double")
-        cpath = F.when(m == 2.0, F.lit(1.0)).otherwise(
-            2.0 * (F.log(m - 1.0) + F.lit(_IF_EULER)) - 2.0 * (m - 1.0) / m
-        )
-        full = F.when(m == 1.0, F.lit(float(IF_DEPTH))).otherwise(
-            F.lit(float(IF_DEPTH)) + cpath
-        )
-        if iso_maps[t] is not None:
-            iso_d = F.element_at(iso_maps[t], leaf)
-            full = F.when(iso_d.isNotNull(), iso_d.cast("double")).otherwise(full)
-        return F.round(full, 9)
-
-    leaves = fin.crossJoin(F.broadcast(lm)).select(
-        "k", "lm", *[node_at(t, IF_DEPTH).alias(f"leaf{t}") for t in trees]
+    leaves = fin.select(
+        "k", *[node_at(t, IF_DEPTH).alias(f"leaf{t}") for t in trees]
     )
     path_cols = [tree_path(t) for t in trees]
     mean_path = (
