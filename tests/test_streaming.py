@@ -707,3 +707,39 @@ def test_incremental_curation_capstone_batches_and_snapshots(spark):
             + r["n_dup_prior"]
             + r["n_ingested"]
         )
+
+
+def test_incremental_replay_state_is_bounded(spark):
+    """VERDICT r13 task 8: the stateful replay operators persist
+    bounded per-batch frames and MUST unpersist them before the next
+    batch — a leak here grows executor storage linearly in the batch
+    count, which at production stream lengths is an OOM. Run the
+    heaviest replay query end-to-end and assert every surviving
+    persistent RDD is a sanctioned localCheckpoint pin, never
+    persist()/cache() residue from a foreachBatch body."""
+    from supabase_etl_spark.queries import load_all
+
+    def _persistent_rdds():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        it = jmap.keySet().iterator()
+        out = {}
+        while it.hasNext():
+            k = it.next()
+            out[k] = jmap.get(k)
+        return out
+
+    before = set(_persistent_rdds())
+    q = load_all()["stream_incremental_curation_e2e"]
+    q.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    after = _persistent_rdds()
+    leaked = {
+        k: v.toString()
+        for k, v in after.items()
+        if k not in before and not v.rdd().isLocallyCheckpointed()
+    }
+    assert not leaked, (
+        "foreachBatch body leaked persist() blocks across batches: "
+        f"{leaked}"
+    )
